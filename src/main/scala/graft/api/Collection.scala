@@ -1,0 +1,61 @@
+package graft.api
+
+import graft.model.Where
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A Chroma-style collection over a record DataFrame.
+  *
+  * Record schema (FIXTURES.md §1; mirrors `ProjectionRecord`
+  * `rust/types/src/execution/operator.rs:526-530` with metadata shredded by
+  * type like the reference's typed indexes):
+  * {{{
+  *   id STRING, offset_id LONG, embedding ARRAY<FLOAT>, document STRING,
+  *   uri STRING, meta_str MAP<STRING,STRING>, meta_int MAP<STRING,LONG>,
+  *   meta_float MAP<STRING,DOUBLE>, meta_bool MAP<STRING,BOOLEAN>, [_arr...]
+  * }}}
+  *
+  * The four reference plans (`rust/types/src/execution/plan.rs`):
+  *   - Count  -> [[Collection.countDf]]
+  *   - Get    -> [[Collection.get]] (filter -> offset/limit by offset_id -> project)
+  *   - Knn    -> graft.operators.Knn over this DataFrame
+  *   - Search -> graft.operators.RankFusion
+  *
+  * Everything compiles to a single Catalyst plan — filters push into the
+  * scan, projections prune columns (`Include` flags ≙ select list,
+  * `chromadb/api/types.py:526-537`). At 100 TB a collection is a
+  * partitioned table; none of these ops shuffle except the global sort for
+  * offset/limit, which Spark plans as TakeOrdered for small limits.
+  */
+final class Collection(val records: DataFrame) {
+
+  /** Count plan — `plan.rs:34`. */
+  def countDf: DataFrame = records.agg(count(lit(1)).as("n"))
+
+  /** Get plan — `plan.rs:67`: filter → offset_id order → offset/limit → project.
+    * Ordering is by internal offset_id (insertion order), exactly the
+    * reference's `Limit` semantics (`operator.rs:385-391`).
+    */
+  def get(
+      where: Option[Where.Expr] = None,
+      limit: Option[Int] = None,
+      offset: Int = 0,
+      include: Seq[String] = Seq("document")): DataFrame = {
+    val filtered = where.map(w => records.filter(Where.compile(w))).getOrElse(records)
+    val ordered = filtered.orderBy(col("offset_id"))
+    val sliced0 = if (offset > 0) ordered.offset(offset) else ordered
+    val sliced = limit.map(sliced0.limit).getOrElse(sliced0)
+    val cols: Seq[Column] = col("id") +: include.map {
+      case m if m.startsWith("meta:") =>
+        // projection of a single metadata key (Select key, operator.rs:1787-1794)
+        val k = m.stripPrefix("meta:")
+        coalesce(
+          element_at(col("meta_str"), k),
+          element_at(col("meta_int"), k).cast("string"),
+          element_at(col("meta_float"), k).cast("string"),
+          element_at(col("meta_bool"), k).cast("string")).as(k)
+      case c => col(c)
+    }
+    sliced.select(cols: _*)
+  }
+}
