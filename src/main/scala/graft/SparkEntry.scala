@@ -16,6 +16,7 @@ object SparkEntry {
   val packs: Seq[QueryPack] = Seq(
     Relational,
     ChromaCore,
+    VectorSearch,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{GroupedTopK, Knn, Rank}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** KNN / Search surface over the `embeddings` table — the reference's
+  * signature query path (`Knn` plan `plan.rs:114`, `Search` plan
+  * `plan.rs:588`).
+  *
+  * All distances here are exact (brute force): the correctness gate wants
+  * hash-equality, and the f32-sequential kernels ([[graft.functions.Distances]])
+  * are bit-identical to DuckDB's list functions, so even the dist column
+  * matches. The approximate path (IVF/SPANN-style) lives in
+  * [[graft.operators.Ivf]] and is gated on recall in ScalaTest instead.
+  */
+object VectorSearch extends QueryPack {
+
+  private def candidates(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id").as("offset_id"), col("embedding"))
+
+  private def queryVecs(s: SparkSession, d: String, n: Int = 5): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+
+  // dist travels as double through the top-k aggregate; surface it as
+  // float32 to match the engines' f32 kernels (widening is exact, so the
+  // round-trip is lossless).
+  private val outCols = Seq(col("query_id"), col("rank"),
+    col("offset_id").as("vec_id"), col("dist").cast("float").as("dist"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // KnnBatch, cosine space: 5 queries × top-10, exact.
+    "vs_knn_cosine" -> { (s, d) =>
+      Knn.exact(candidates(s, d), queryVecs(s, d), k = 10, space = "cosine")
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // KnnBatch, L2 space (euclidean, f32-sqrt to mirror DuckDB list_distance).
+    "vs_knn_l2" -> { (s, d) =>
+      Knn.exact(candidates(s, d), queryVecs(s, d), k = 10, space = "l2")
+        .withColumn("dist", sqrt(col("dist")).cast("float"))
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // KnnMerge: overlapping "compacted" and "log" source splits, union-dedup
+    // by min dist, re-rank (knn_merge.rs semantics; ReadLevel=IndexAndWal).
+    "vs_knn_merge" -> { (s, d) =>
+      val all = candidates(s, d)
+      val idx = all.filter(col("offset_id") < 300)
+      val log = all.filter(col("offset_id") >= 200)
+      val q = queryVecs(s, d)
+      Knn.merge(Seq(
+        Knn.exact(idx, q, k = 10),
+        Knn.exact(log, q, k = 10)), k = 10)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Search plan: two KNN leaves fused by a weighted-sum RankExpr with
+    // per-leaf defaults, global top-20 by score (orchestration/rank.rs).
+    "vs_rank_fusion" -> { (s, d) =>
+      val all = candidates(s, d)
+      val q0 = queryVecs(s, d, 1)
+      val q1 = queryVecs(s, d, 2).filter(col("query_id") === 1)
+      val leaf0 = Knn.exact(all, q0, k = 50).drop("query_id")
+      val leaf1 = Knn.exact(all, q1, k = 50).drop("query_id")
+      import Rank._
+      Rank.evaluate(Seq(leaf0, leaf1),
+          Sum(Seq(Mul(Seq(Val(0.7), Leaf(0, default = 2.0))),
+                  Mul(Seq(Val(0.3), Leaf(1, default = 2.0))))))
+        .orderBy(col("score"), col("offset_id"))
+        .limit(20)
+        .select(col("offset_id").as("vec_id"), col("score"))
+    },
+
+    // RankedGroupBy (MinK): nearest 2 vectors per label for one query.
+    "vs_grouped_topk" -> { (s, d) =>
+      val nn = Knn.exact(candidates(s, d), queryVecs(s, d, 1), k = 100)
+      val labeled = nn.join(
+        Tables.embeddings(s, d).select(col("vec_id").as("offset_id"), col("label")),
+        Seq("offset_id"))
+      GroupedTopK(labeled, Seq(col("label")), Seq(col("dist"), col("offset_id")), k = 2)
+        .select(col("label"), col("group_rank").cast("long").as("group_rank"),
+          col("offset_id").as("vec_id"), col("dist"))
+        .orderBy(col("label"), col("group_rank"))
+    },
+  )
+
+  private val qcte =
+    """q AS (SELECT vec_id AS query_id, embedding AS qe
+      |      FROM embeddings WHERE vec_id < 5)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "vs_knn_cosine" ->
+      s"""WITH $qcte,
+         |d AS (SELECT query_id, vec_id,
+         |        1.0 - list_cosine_similarity(embedding, qe) AS dist
+         |      FROM embeddings, q),
+         |r AS (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |      FROM d)
+         |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "vs_knn_l2" ->
+      s"""WITH $qcte,
+         |d AS (SELECT query_id, vec_id, list_distance(embedding, qe) AS dist
+         |      FROM embeddings, q),
+         |r AS (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |      FROM d)
+         |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "vs_knn_merge" ->
+      s"""WITH $qcte,
+         |da AS (SELECT query_id, vec_id,
+         |         1.0 - list_cosine_similarity(embedding, qe) AS dist
+         |       FROM embeddings, q WHERE vec_id < 300),
+         |ra AS (SELECT query_id, vec_id, dist, row_number()
+         |         OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn FROM da),
+         |db AS (SELECT query_id, vec_id,
+         |         1.0 - list_cosine_similarity(embedding, qe) AS dist
+         |       FROM embeddings, q WHERE vec_id >= 200),
+         |rb AS (SELECT query_id, vec_id, dist, row_number()
+         |         OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn FROM db),
+         |u AS (SELECT query_id, vec_id, dist FROM ra WHERE rn <= 10
+         |      UNION ALL SELECT query_id, vec_id, dist FROM rb WHERE rn <= 10),
+         |b AS (SELECT query_id, vec_id, min(dist) AS dist FROM u GROUP BY 1, 2),
+         |r AS (SELECT query_id, vec_id, dist, row_number()
+         |        OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank FROM b)
+         |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "vs_rank_fusion" ->
+      """WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |q1 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+        |d0 AS (SELECT vec_id, 1.0 - list_cosine_similarity(embedding, q0.qe) AS dist
+        |       FROM embeddings, q0),
+        |l0 AS (SELECT vec_id, dist FROM
+        |        (SELECT vec_id, dist, row_number() OVER (ORDER BY dist, vec_id) AS rn FROM d0)
+        |       WHERE rn <= 50),
+        |d1 AS (SELECT vec_id, 1.0 - list_cosine_similarity(embedding, q1.qe) AS dist
+        |       FROM embeddings, q1),
+        |l1 AS (SELECT vec_id, dist FROM
+        |        (SELECT vec_id, dist, row_number() OVER (ORDER BY dist, vec_id) AS rn FROM d1)
+        |       WHERE rn <= 50),
+        |f AS (SELECT coalesce(l0.vec_id, l1.vec_id) AS vec_id,
+        |        0.7 * coalesce(l0.dist::DOUBLE, 2.0) + 0.3 * coalesce(l1.dist::DOUBLE, 2.0) AS score
+        |      FROM l0 FULL OUTER JOIN l1 ON l0.vec_id = l1.vec_id)
+        |SELECT vec_id, score FROM f
+        |ORDER BY f.score, vec_id LIMIT 20""".stripMargin,
+
+    "vs_grouped_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |d AS (SELECT vec_id, label,
+        |        1.0 - list_cosine_similarity(embedding, qe) AS dist
+        |      FROM embeddings, q),
+        |r AS (SELECT vec_id, label, dist,
+        |        row_number() OVER (ORDER BY dist, vec_id) AS rn FROM d),
+        |nn AS (SELECT * FROM r WHERE rn <= 100),
+        |g AS (SELECT label, vec_id, dist,
+        |        row_number() OVER (PARTITION BY label ORDER BY dist, vec_id) AS group_rank
+        |      FROM nn)
+        |SELECT label, group_rank, vec_id, dist FROM g WHERE group_rank <= 2
+        |ORDER BY label, group_rank""".stripMargin,
+  )
+}

@@ -40,8 +40,9 @@ def compare(name, got: pd.DataFrame, exp: pd.DataFrame):
     for c in g.columns:
         gv, ev = g[c], e[c]
         if pd.api.types.is_float_dtype(gv) and pd.api.types.is_float_dtype(ev):
-            if not np.allclose(gv.fillna(-1e308), ev.fillna(-1e308), rtol=1e-9, atol=1e-9):
-                bad = (~np.isclose(gv.fillna(-1e308), ev.fillna(-1e308), rtol=1e-9, atol=1e-9)).idxmax()
+            gq, eq = gv.fillna(-1e308).values, ev.fillna(-1e308).values
+            if not np.allclose(gq, eq, rtol=1e-9, atol=1e-9):
+                bad = int(np.argmax(~np.isclose(gq, eq, rtol=1e-9, atol=1e-9)))
                 return f"VAL col={c} row={bad} got={gv[bad]} exp={ev[bad]}"
             if not np.array_equal(gv.fillna(-1e308).values, ev.fillna(-1e308).values):
                 bad = int(np.argmax(gv.fillna(-1e308).values != ev.fillna(-1e308).values))
