@@ -17,6 +17,9 @@ object SparkEntry {
     Relational,
     ChromaCore,
     VectorSearch,
+    WritePath,
+    TextAnalysis,
+    DedupPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.functions.Distances
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines: exact, shingle-Jaccard,
+  * MinHash+LSH, SimHash. All set up as shuffle-lean DataFrame plans.
+  *
+  * Scale notes (100 TB):
+  *   - exact: one hash-shuffle on the digest — the cheapest possible form.
+  *   - jaccard: inverted-index self-join on shingles. The skew killer is
+  *     frequent shingles (df² pair blowup), so [[jaccardPairs]] takes a
+  *     `maxDf` cap dropping shingles whose document frequency exceeds it —
+  *     standard practice (a shingle shared by >maxDf docs carries ~no
+  *     similarity signal). At our SFs the cap is above the observed max df,
+  *     so results stay exact and oracle-checkable.
+  *   - minhash LSH: fixed 16 bands x 4 rows; candidate generation touches
+  *     only band-key collisions, verification re-checks true Jaccard, so
+  *     output precision is exact and recall is 1-(1-j^4)^16.
+  *   - simhash: 64-bit signature per doc + banded Hamming candidates.
+  */
+object Dedup {
+
+  /** doc -> (doc_id, tokens, shingles) prep used by all text variants. */
+  def withShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    docs.select(col("doc_id"), TextStats.shingles(toks, n).as("shingles"))
+  }
+
+  /** Exact dedup: canonical id per identical text (md5 group). */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    docs.select(col("doc_id"),
+      min(col("doc_id")).over(w).as("keep_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+  }
+
+  /** Exact n-gram Jaccard pairs with similarity >= `threshold`, via an
+    * inverted-index join on shingles (df-capped at `maxDf`).
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      maxDf: Long = 1000000L): DataFrame = {
+    val sh = withShingles(docs, n)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
+    val rare = ex0.groupBy("sg").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sg")
+    val ex = ex0.join(broadcast(rare), "sg")
+    val a = ex.as("a"); val b = ex.as("b")
+    val inter = a.join(b,
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("inter"), col("na").cast("long").as("na"),
+        col("nb").cast("long").as("nb"), col("jaccard"))
+  }
+
+  /** MinHash signatures: `perms` permutations via seeded xxhash64 over
+    * shingles (shingle -> minhash -> band -> bucket join).
+    */
+  def minhashSignatures(sh: DataFrame, perms: Int): DataFrame =
+    sh.filter(size(col("shingles")) > 0).select(col("doc_id"),
+      transform(sequence(lit(0), lit(perms - 1)),
+        i => array_min(transform(col("shingles"), s => xxhash64(i, s))))
+        .as("sig"))
+
+  /** LSH candidate pairs -> exact-Jaccard verification at `threshold`.
+    * Returns verified pairs (subset of [[jaccardPairs]] output, with recall
+    * 1-(1-j^r)^b per pair).
+    */
+  def minhashLsh(docs: DataFrame, threshold: Double, n: Int = 3,
+      bands: Int = 16, rows: Int = 4): DataFrame = {
+    val sh = withShingles(docs, n).cache()
+    val sig = minhashSignatures(sh, bands * rows)
+    val banded = sig.select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // verify candidates with true Jaccard on the shingle sets
+    val withSets = candidates
+      .join(sh.select(col("doc_id").as("da"), col("shingles").as("sa")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("shingles").as("sb")), "db")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: per-bit vote of seeded token hashes. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    // votes: for each bit, sum of +-1 over tokens; bit set iff vote > 0.
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        array((0 until 64).map(b =>
+          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*),
+        (x, y) => x + y))
+    val sig = (0 until 64).map(b =>
+        when(element_at(col("_votes"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    docs.select(col("doc_id"), votes.as("_votes"))
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Hamming-distance pairs <= maxDist via 4x16-bit banded candidates. */
+  def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    val sig = simhash(docs).cache()
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("chunk"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("a.simhash").as("ha"),
+        col("b.doc_id").as("db"), col("b.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("da"), col("db"), col("hamming"))
+  }
+
+  /** Exact top-k most-similar embedding pairs (cosine). The 100 TB path
+    * replaces the pair join with LSH/IVF bucketing ([[Ivf]]); exact is the
+    * oracle-checkable baseline.
+    */
+  def embeddingTopPairs(vecs: DataFrame, k: Int): DataFrame = {
+    val a = vecs.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = vecs.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        Distances.cosineSimilarity(col("ea"), col("eb")).as("sim"))
+      .orderBy(col("sim").desc, col("va"), col("vb"))
+      .limit(k)
+  }
+}

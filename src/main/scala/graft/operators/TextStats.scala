@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis building blocks for training-data pipelines: tokenization,
+  * quality scoring, language-ID heuristics, shingling, fingerprinting.
+  *
+  * Everything is pure `functions._` column algebra (codegen'd, no UDFs), so
+  * it runs inside WholeStageCodegen and scales linearly with the scan —
+  * the properties the reference's tokenizer pipeline gets from its native
+  * code (`rust/index/src/fulltext/tokenizer.rs:183-220`: lowercase,
+  * non-alnum split, length filters).
+  */
+object TextStats {
+
+  /** Lowercased alphanumeric tokens (reference tokenizer semantics). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish subword count: letter runs, digit runs, single punctuation. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Distinct word `n`-gram shingles, space-joined. Empty when < n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Count of tokens that appear in `words`. */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Small per-language stopword profiles for the language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "les"))
+}

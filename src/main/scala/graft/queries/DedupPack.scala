@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup surface over `documents` / `embeddings`.
+  *
+  * `dd_exact`, `dd_ngram_jaccard`, `dd_emb_top_pairs` are exact and
+  * oracle-checked. `dd_minhash_lsh` and `dd_simhash_pairs` are the
+  * approximate scale paths: rows-only here, gated in ScalaTest
+  * (DedupSpec: LSH output ⊆ exact pairs, recall >= 0.9; simhash sanity).
+  */
+object DedupPack extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> { (s, d) =>
+      Dedup.exact(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    "dd_ngram_jaccard" -> { (s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.5)
+        .orderBy(col("da"), col("db"))
+    },
+
+    "dd_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), threshold = 0.5)
+        .orderBy(col("da"), col("db"))
+    },
+
+    "dd_simhash_pairs" -> { (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), maxDist = 6)
+        .orderBy(col("da"), col("db"))
+    },
+
+    "dd_emb_top_pairs" -> { (s, d) =>
+      Dedup.embeddingTopPairs(Tables.embeddings(s, d), k = 20)
+    },
+  )
+
+  private val sqlShingles =
+    """toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |    CASE WHEN len(t) >= 3
+      |         THEN list_distinct(list_transform(range(1, len(t)-1),
+      |                i -> array_to_string(t[i:i+2], ' ')))
+      |         ELSE [] END AS s
+      |  FROM toks)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      s"""WITH $sqlShingles,
+         |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+         |SELECT da, db, inter, sa.n AS na, sb.n AS nb,
+         |  inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+         |FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
+         |ORDER BY da, db""".stripMargin,
+
+    "dd_emb_top_pairs" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  list_cosine_similarity(a.embedding, b.embedding) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin,
+  )
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextStats
+import graft.operators.TextStats._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over `documents`: token counting, quality scoring,
+  * language-ID heuristic, shingle fingerprinting. All ratios are exact
+  * int/int double divisions, identical across engines — no rounding needed.
+  */
+object TextAnalysis extends QueryPack {
+
+  private def toks: Column = TextStats.tokens(col("text"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace, BPE-ish regex, distinct alnum tokens.
+    "ta_tokens" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        wsTokenCount(col("text")).cast("long").as("n_ws"),
+        bpeishTokenCount(col("text")).cast("long").as("n_bpe"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: length / alpha ratio / stopword ratio composite.
+    "ta_quality" -> { (s, d) =>
+      val t = toks
+      val nTok = size(t)
+      val nStop = hitCount(t, stopwords("en"))
+      val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tok"),
+        (nStop.cast("double") / nTok).as("stop_ratio"),
+        (alpha.cast("double") / length(col("text"))).as("alpha_ratio"),
+        (lit(0.5) * (nStop.cast("double") / nTok)
+          + lit(0.3) * (alpha.cast("double") / length(col("text")))
+          + lit(0.2) * least(lit(1.0), nTok.cast("double") / 50.0)).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language-ID heuristic: stopword-profile scores, argmax with
+    // deterministic tie order en > de > es > fr.
+    "ta_langid" -> { (s, d) =>
+      val t = toks
+      val n = size(t)
+      def score(l: String): Column =
+        hitCount(t, stopwords(l)).cast("double") / n
+      val (en, de, es, fr) = (score("en"), score("de"), score("es"), score("fr"))
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("en_score"), de.as("de_score"), es.as("es_score"), fr.as("fr_score"),
+        when(en >= de && en >= es && en >= fr, "en")
+          .when(de >= es && de >= fr, "de")
+          .when(es >= fr, "es")
+          .otherwise("fr").as("pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprint: min-md5 over word-5-gram shingles + cardinality
+    // (rolling-hash winnowing, expressed as a bottom-1 sketch).
+    "ta_fingerprint" -> { (s, d) =>
+      val sh = TextStats.shingles(toks, 5)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        array_min(transform(sh, s0 => md5(s0))).as("fp"),
+        size(sh).cast("long").as("n_shingles"))
+        .orderBy(col("doc_id"))
+    },
+  )
+
+  private def sqlToks = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '')"
+  private def sqlHits(l: String) =
+    s"len(list_filter(t, x -> x IN (${stopwords(l).map(w => s"'$w'").mkString(",")})))"
+
+  val oracle: Map[String, String] = Map(
+    "ta_tokens" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+         |  len(list_distinct($sqlToks)) AS n_uniq
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta_quality" ->
+      s"""WITH base AS (SELECT doc_id, text, $sqlToks AS t FROM documents),
+         |m AS (SELECT doc_id, len(t) AS n_tok,
+         |        ${sqlHits("en")} AS n_stop,
+         |        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         |        length(text) AS n_chars
+         |      FROM base)
+         |SELECT doc_id, n_tok,
+         |  n_stop::DOUBLE / n_tok AS stop_ratio,
+         |  alpha::DOUBLE / n_chars AS alpha_ratio,
+         |  0.5 * (n_stop::DOUBLE / n_tok) + 0.3 * (alpha::DOUBLE / n_chars)
+         |    + 0.2 * least(1.0, n_tok::DOUBLE / 50.0) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "ta_langid" ->
+      s"""WITH base AS (SELECT doc_id, lang, $sqlToks AS t FROM documents),
+         |m AS (SELECT doc_id, lang, len(t) AS n,
+         |        ${sqlHits("en")}::DOUBLE / len(t) AS en_score,
+         |        ${sqlHits("de")}::DOUBLE / len(t) AS de_score,
+         |        ${sqlHits("es")}::DOUBLE / len(t) AS es_score,
+         |        ${sqlHits("fr")}::DOUBLE / len(t) AS fr_score
+         |      FROM base)
+         |SELECT doc_id, lang AS labeled_lang, en_score, de_score, es_score, fr_score,
+         |  CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+         |       WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+         |       WHEN es_score >= fr_score THEN 'es'
+         |       ELSE 'fr' END AS pred
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "ta_fingerprint" ->
+      s"""WITH base AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(t) >= 5
+         |              THEN list_distinct(list_transform(range(1, len(t)-3),
+         |                     i -> array_to_string(t[i:i+4], ' ')))
+         |              ELSE [] END AS s
+         |       FROM base)
+         |SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fp,
+         |  len(s) AS n_shingles
+         |FROM sh ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Materialize
+import graft.operators.Materialize.LogOp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-path semantics (`add/update/upsert/delete` → WAL → materialize →
+  * compacted segment — SURVEY §3.4) driven through a deterministic
+  * synthetic WAL derived from the `documents` table.
+  *
+  * The WAL exercises every transition of `operation.rs:16-34`:
+  * {{{
+  *   +0 Add     every doc            (AddNew)
+  *   +1 Update  doc_id%3==0          (UpdateExisting: merge `source` key)
+  *   +2 Delete  doc_id%7==0          (DeleteExisting)
+  *   +3 Add     doc_id%21==0         (OverwriteExisting: add-after-delete)
+  *   +4 Upsert  doc_id%10==0         (full replace, doc + meta)
+  *   +5 Add     doc_id%9==0          (duplicate Add → must be ignored;
+  *                                    every %9∩deleted id is %21 ⊂ re-added,
+  *                                    so these all hit live records)
+  * }}}
+  *
+  * The DuckDB oracle spells out the expected final state as a CASE over the
+  * op precedence — a hash match proves the fold applies ops in log-offset
+  * order with the right per-op semantics.
+  */
+object WritePath extends QueryPack {
+
+  /** The synthetic WAL as a typed Dataset. */
+  def syntheticWal(s: SparkSession, d: String) = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val base = docs.select(
+      concat(lit("doc-"), col("doc_id")).as("id"),
+      (col("doc_id") * 10).as("log_offset"),
+      lit("Add").as("op"),
+      col("text").as("document"),
+      map(lit("lang"), col("lang")).as("meta"))
+    val upd = docs.filter(col("doc_id") % 3 === 0).select(
+      concat(lit("doc-"), col("doc_id")).as("id"),
+      (col("doc_id") * 10 + 1).as("log_offset"),
+      lit("Update").as("op"),
+      lit(null).cast("string").as("document"),
+      map(lit("source"), col("source")).as("meta"))
+    val del = docs.filter(col("doc_id") % 7 === 0).select(
+      concat(lit("doc-"), col("doc_id")).as("id"),
+      (col("doc_id") * 10 + 2).as("log_offset"),
+      lit("Delete").as("op"),
+      lit(null).cast("string").as("document"),
+      map_from_arrays(array(), array()).cast("map<string,string>").as("meta"))
+    val readd = docs.filter(col("doc_id") % 21 === 0).select(
+      concat(lit("doc-"), col("doc_id")).as("id"),
+      (col("doc_id") * 10 + 3).as("log_offset"),
+      lit("Add").as("op"),
+      concat(lit("readded "), col("text")).as("document"),
+      map(lit("lang"), col("lang")).as("meta"))
+    val upsert = docs.filter(col("doc_id") % 10 === 0).select(
+      concat(lit("doc-"), col("doc_id")).as("id"),
+      (col("doc_id") * 10 + 4).as("log_offset"),
+      lit("Upsert").as("op"),
+      lit("upserted").as("document"),
+      map(lit("v"), lit("2")).as("meta"))
+    val dupAdd = docs.filter(col("doc_id") % 9 === 0).select(
+      concat(lit("doc-"), col("doc_id")).as("id"),
+      (col("doc_id") * 10 + 5).as("log_offset"),
+      lit("Add").as("op"),
+      lit("dup should be ignored").as("document"),
+      map_from_arrays(array(), array()).cast("map<string,string>").as("meta"))
+    base.union(upd).union(del).union(readd).union(upsert).union(dupAdd)
+      .as[LogOp]
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wp_materialize_lww" -> { (s, d) =>
+      val live = Materialize(s, syntheticWal(s, d))
+      live.toDF()
+        .select(col("id"), col("document"),
+          element_at(col("meta"), "lang").as("lang"),
+          element_at(col("meta"), "source").as("source"),
+          element_at(col("meta"), "v").as("v"))
+        .orderBy(col("id"))
+    },
+
+    // Same fold, but on top of a pre-existing "compacted segment":
+    // segment holds every doc; the log holds only the later ops. Proves
+    // the segment-as-pseudo-log path (SourceRecordSegment rebuild).
+    "wp_materialize_over_segment" -> { (s, d) =>
+      import s.implicits._
+      val wal = syntheticWal(s, d)
+      val segment = Materialize(s, wal.filter(o => o.log_offset % 10 == 0)) // Adds only
+      val tail = wal.filter(o => o.log_offset % 10 != 0)
+      Materialize(s, tail, Some(Materialize.segmentAsLog(s, segment)))
+        .toDF()
+        .select(col("id"), col("document"),
+          element_at(col("meta"), "lang").as("lang"),
+          element_at(col("meta"), "source").as("source"),
+          element_at(col("meta"), "v").as("v"))
+        .orderBy(col("id"))
+    },
+  )
+
+  private val expectedStateSql =
+    """SELECT 'doc-'||doc_id AS id,
+      |  CASE WHEN doc_id%10=0 THEN 'upserted'
+      |       WHEN doc_id%21=0 THEN 'readded '||text
+      |       ELSE text END AS document,
+      |  CASE WHEN doc_id%10=0 THEN NULL ELSE lang END AS lang,
+      |  CASE WHEN doc_id%10=0 THEN NULL
+      |       WHEN doc_id%21=0 THEN NULL
+      |       WHEN doc_id%3=0 THEN source
+      |       ELSE NULL END AS source,
+      |  CASE WHEN doc_id%10=0 THEN '2' ELSE NULL END AS v
+      |FROM documents
+      |WHERE NOT (doc_id%7=0 AND doc_id%21<>0 AND doc_id%10<>0)
+      |ORDER BY id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "wp_materialize_lww" -> expectedStateSql,
+    "wp_materialize_over_segment" -> expectedStateSql,
+  )
+}

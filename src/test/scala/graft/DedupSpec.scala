@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality gates for the approximate dedup paths (the driver's oracle only
+  * rows-checks these): LSH output must be a subset of the exact pairs with
+  * high recall; simhash must be deterministic and rank near-dups closer
+  * than random pairs.
+  */
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("minhash LSH verified pairs == subset of exact jaccard pairs, recall >= 0.9") {
+    val exact = Dedup.jaccardPairs(docs, 0.5).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, 0.5).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-pairs: ${lsh -- exact}")
+    assert(exact.nonEmpty, "test data has no near-dup pairs?")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash is deterministic and near-dups are closer than random pairs") {
+    val s1 = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearPairs = Dedup.jaccardPairs(docs, 0.5).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (nearPairs.nonEmpty) {
+      val nearAvg = nearPairs.map { case (a, b) => hamming(s1(a), s1(b)) }.sum.toDouble / nearPairs.length
+      val ids = s1.keys.toArray.sorted
+      val randAvg = ids.sliding(2, 2).collect { case Array(a, b) => hamming(s1(a), s1(b)) }
+        .sum.toDouble / (ids.length / 2)
+      assert(nearAvg < randAvg, s"near-dup avg hamming $nearAvg !< random $randAvg")
+    }
+  }
+
+  test("exact dedup: every keep_id is the group minimum and non-dups map to self") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.forall(r => r.getLong(1) <= r.getLong(0)))
+    val dups = out.count(_.getBoolean(2))
+    val distinctTexts = docs.select(countDistinct(col("text"))).collect()(0).getLong(0)
+    assert(out.length - dups == distinctTexts)
+  }
+}
