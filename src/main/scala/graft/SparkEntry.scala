@@ -20,6 +20,7 @@ object SparkEntry {
     WritePath,
     TextAnalysis,
     DedupPack,
+    StreamingPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -33,11 +33,14 @@ object Knn {
   class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     private val ord: Ordering[Scored] = Ordering.by(s => (s.dist, s.oid))
     override def zero: Seq[Scored] = Nil
+    // dedup by oid: IVF replica assignment can surface the same vector
+    // from several posting lists (identical dist, so dropping is safe).
     override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
       if (b.size >= k && ord.gteq(a, b.last)) b
+      else if (b.exists(_.oid == a.oid)) b
       else ((b :+ a).sorted(ord)).take(k)
     override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] =
-      (x ++ y).sorted(ord).take(k)
+      (x ++ y).sorted(ord).distinctBy(_.oid).take(k)
     override def finish(r: Seq[Scored]): Seq[Scored] = r
     override def bufferEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()

@@ -88,6 +88,24 @@ object VectorSearch extends QueryPack {
           col("offset_id").as("vec_id"), col("dist"))
         .orderBy(col("label"), col("group_rank"))
     },
+    // SPANN-style IVF ANN (approximate → rows-only here; recall >= 0.95
+    // gated in IvfSpec, mirroring invariants.py:281).
+    "vs_ann_ivf" -> { (s, d) =>
+      val model = graft.operators.Ivf.build(candidates(s, d), nCentroids = 16, nReplica = 4)
+      graft.operators.Ivf.search(model, queryVecs(s, d), k = 10, nprobe = 8)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // KNN similarity join: every left row (vec_id < 50) → top-3 right rows.
+    "vs_similarity_join" -> { (s, d) =>
+      val left = Tables.embeddings(s, d).filter(col("vec_id") < 50)
+        .select(col("vec_id").as("left_id"), col("embedding"))
+      graft.operators.SimilarityJoin.exact(left, candidates(s, d), k = 3)
+        .select(col("left_id"), col("rank"), col("offset_id").as("vec_id"),
+          col("dist").cast("float").as("dist"))
+        .orderBy(col("left_id"), col("rank"))
+    },
   )
 
   private val qcte =
@@ -168,5 +186,17 @@ object VectorSearch extends QueryPack {
         |      FROM nn)
         |SELECT label, group_rank, vec_id, dist FROM g WHERE group_rank <= 2
         |ORDER BY label, group_rank""".stripMargin,
+
+    "vs_similarity_join" ->
+      """WITH q AS (SELECT vec_id AS left_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 50),
+        |d AS (SELECT left_id, vec_id,
+        |        1.0 - list_cosine_similarity(embedding, qe) AS dist
+        |      FROM embeddings, q),
+        |r AS (SELECT left_id, vec_id, dist,
+        |        row_number() OVER (PARTITION BY left_id ORDER BY dist, vec_id) AS rank
+        |      FROM d)
+        |SELECT left_id, rank, vec_id, dist FROM r WHERE rank <= 3
+        |ORDER BY left_id, rank""".stripMargin,
   )
 }

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming face of the engine — the reference's ingest is a
+  * stream (wal3 WAL + FetchLog offsets, SURVEY §2.9); here the same shapes
+  * run as real `readStream` pipelines: a windowed aggregation and a
+  * stateful sessionizer (`flatMapGroupsWithState` ≙ the reference's
+  * incremental attached functions with `completion_offset` catch-up,
+  * `orchestration/attached_function_orchestrator.rs`).
+  *
+  * For verification the parquet file drives the stream with
+  * `Trigger.AvailableNow` + a memory sink, processed synchronously —
+  * the batch DuckDB oracle must match the streamed result exactly.
+  */
+object EventStream {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType), // nanos
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over the events parquet (nanos ts → micros, exact).
+    * The file source wants a directory; testdata is a flat read-only file,
+    * so stage a symlink dir under java.io.tmpdir (in production the WAL is
+    * a directory-per-collection already).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream", src.getParent.getFileName.toString, "events")
+    Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink, return
+    * the materialized result.
+    */
+  def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"stream_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Tumbling 1h event-time window aggregation (watermark surface). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  case class Ev(event_id: Long, user_id: Long, tsMs: Long, value: Double)
+  case class Session(user_id: Long, session_seq: Long, n_events: Long,
+      duration_ms: Long, sum_value: Double)
+
+  private def round2(x: Double): Double =
+    BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Stateful sessionization: 30-min-gap sessions per user via
+    * flatMapGroupsWithState. State carries (next seq, last session tail) so
+    * sessions stitch correctly across micro-batches.
+    */
+  def sessionize(events: DataFrame): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val evs = events.select(col("event_id"), col("user_id"),
+      unix_millis(col("ts")).as("tsMs"), col("value")).as[Ev]
+
+    val gapMs = 30L * 60 * 1000
+    def fn(userId: Long, it: Iterator[Ev],
+        state: GroupState[(Long, Seq[Ev])]): Iterator[Session] = {
+      val (seq0, carried) = state.getOption.getOrElse((1L, Seq.empty[Ev]))
+      val evsSorted = (carried ++ it).sortBy(e => (e.tsMs, e.event_id))
+      if (evsSorted.isEmpty) Iterator.empty
+      else {
+        // split into gap-separated runs
+        val sessions = evsSorted.tail.foldLeft(Vector(Vector(evsSorted.head))) {
+          (acc, e) =>
+            if (e.tsMs - acc.last.last.tsMs > gapMs) acc :+ Vector(e)
+            else acc.init :+ (acc.last :+ e)
+        }
+        // with AvailableNow all data is in one batch: emit everything
+        state.update((seq0 + sessions.length, Seq.empty))
+        sessions.iterator.zipWithIndex.map { case (s, i) =>
+          Session(userId, seq0 + i, s.length,
+            s.last.tsMs - s.head.tsMs, round2(s.map(_.value).sum))
+        }
+      }
+    }
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+  }
+}
