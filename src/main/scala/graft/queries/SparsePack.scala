@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.SparseOps
+import graft.operators.TextStats
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse retrieval surface: IDF (`operators/idf.rs:24-56`), BM25 scoring
+  * (`chromadb/utils/embedding_functions/bm25_embedding_function.py`), and
+  * sparse-dot KNN (`rust/index/src/sparse/reader.rs`) over `documents`.
+  *
+  * Sparse vectors here are term-frequency vectors over a sorted global
+  * term dictionary (`term_id = dense rank of term`) — integer values, so
+  * f32 accumulation in [[SparseOps.sparseDot]] is exact and matches the
+  * DuckDB oracle's integer sums bit-for-bit. The unbounded-vocab variant
+  * (hash-indexed, no dictionary) swaps the rank join for `xxhash64`.
+  *
+  * ln() differs by <=1 ulp across libm implementations → idf/bm25 scores
+  * are rounded to 6 places on both sides.
+  */
+object SparsePack extends QueryPack {
+
+  private val queryTerms = Seq("query", "data", "filter", "spark")
+
+  /** (doc_id, term, tf) exploded token frequencies. */
+  private def termFreqs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Idf operator: corpus document frequencies → BM25-style idf.
+    "sp_idf" -> { (s, d) =>
+      val n = Tables.documents(s, d).count()
+      termFreqs(s, d)
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("idf", round(
+          log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+        .filter(col("df") >= 10)
+        .orderBy(col("term"))
+    },
+
+    // BM25 ranking of documents for a fixed term query (k1=1.2, b=0.75).
+    "sp_bm25_rank" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val tf = termFreqs(s, d)
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val avgdl = dl.agg(avg("dl")).collect()(0).getDouble(0)
+      val df = tf.filter(col("term").isin(queryTerms: _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val idf = df.withColumn("idf",
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      val k1 = 1.2; val b = 0.75
+      tf.filter(col("term").isin(queryTerms: _*))
+        .join(broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .withColumn("contrib",
+          col("idf") * (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+        .groupBy("doc_id")
+        .agg(round(sum("contrib"), 6).as("bm25"), count(lit(1)).as("n_terms"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(20)
+    },
+
+    // Sparse KNN: top-20 docs by sparse dot against the query's tf vector,
+    // through the codegen'd merge-intersection SparseDot expression.
+    "sp_sparse_knn" -> { (s, d) =>
+      val tf = termFreqs(s, d)
+      // global sorted term dictionary (scale path: xxhash64 the term)
+      val dict = tf.select("term").distinct()
+        .withColumn("term_id", row_number().over(Window.orderBy("term")))
+      val docVecs = tf.join(dict, "term")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("term_id"), col("tf")))).as("p"))
+        .select(col("doc_id"),
+          col("p.term_id").as("indices"),
+          col("p.tf").cast("array<float>").as("values"))
+      val qIds = dict.filter(col("term").isin(queryTerms: _*))
+        .orderBy("term_id").collect().map(_.getInt(1))
+      val qi = array(qIds.map(i => lit(i)): _*)
+      val qv = array(qIds.map(_ => lit(1.0f)): _*)
+      docVecs
+        .select(col("doc_id"),
+          SparseOps.sparseDot(col("indices"), col("values"), qi, qv).as("score"))
+        .filter(col("score") > 0)
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(20)
+    },
+  )
+
+  private val qTermsSql = queryTerms.map(t => s"'$t'").mkString(",")
+  private val tfSql =
+    """tf AS (
+      |  SELECT doc_id, unnest(t) AS term FROM
+      |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+      |       x -> x <> '') AS t FROM documents)),
+      |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "sp_idf" ->
+      s"""WITH $tfSql
+         |SELECT term, count(*) AS df,
+         |  round(ln(((SELECT count(*) FROM documents) - count(*) + 0.5)
+         |           / (count(*) + 0.5) + 1.0), 6) AS idf
+         |FROM freq GROUP BY term HAVING count(*) >= 10 ORDER BY term""".stripMargin,
+
+    "sp_bm25_rank" ->
+      s"""WITH $tfSql,
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM freq GROUP BY 1),
+         |stats AS (SELECT avg(dl) AS avgdl FROM dl),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |idf AS (SELECT term, count(*) AS df,
+         |          ln(((SELECT n FROM n) - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+         |        FROM freq WHERE term IN ($qTermsSql) GROUP BY term)
+         |SELECT f.doc_id,
+         |  round(sum(idf.idf * (f.tf * 2.2)
+         |    / (f.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))), 6) AS bm25,
+         |  count(*) AS n_terms
+         |FROM freq f JOIN idf ON f.term = idf.term JOIN dl ON f.doc_id = dl.doc_id
+         |WHERE f.term IN ($qTermsSql)
+         |GROUP BY f.doc_id ORDER BY bm25 DESC, f.doc_id LIMIT 20""".stripMargin,
+
+    "sp_sparse_knn" ->
+      s"""WITH $tfSql
+         |SELECT doc_id, CAST(sum(tf) AS FLOAT) AS score
+         |FROM freq WHERE term IN ($qTermsSql)
+         |GROUP BY doc_id HAVING sum(tf) > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+  )
+}
