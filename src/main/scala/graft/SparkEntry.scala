@@ -22,11 +22,15 @@ object SparkEntry {
     DedupPack,
     StreamingPack,
     SparsePack,
+    MultimodalPack,
+    FacadePack,
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The signature Chroma shape: hybrid Search plan end-to-end — JSON-DSL
+    * pre-filter, two KNN leaves, rank fusion, grouped top-k. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("fc_search_grouped")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.flatMap(_.queries).toMap

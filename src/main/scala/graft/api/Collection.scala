@@ -1,6 +1,7 @@
 package graft.api
 
 import graft.model.Where
+import graft.operators.{GroupedTopK, Knn, Rank}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -57,5 +58,57 @@ final class Collection(val records: DataFrame) {
       case c => col(c)
     }
     sliced.select(cols: _*)
+  }
+
+  /** Knn plan — `plan.rs:114`: filter → batch KNN → projection+distance
+    * (`KnnProjection`, operator.rs:657-661). `queries` is
+    * (query_id, q_embedding); the filter runs BEFORE the KNN (pre-filtered
+    * ANN, `knn_filter.rs` order), so the top-k is exact over the allowed
+    * set.
+    */
+  def query(
+      queries: DataFrame,
+      k: Int,
+      where: Option[Where.Expr] = None,
+      space: String = "cosine",
+      include: Seq[String] = Seq()): DataFrame = {
+    val filtered = where.map(w => records.filter(Where.compile(w))).getOrElse(records)
+    val nn = Knn.exact(filtered.select(col("offset_id"), col("embedding")),
+      queries, k, space)
+    val proj = col("query_id") +: col("rank") +: col("dist") +:
+      col("id") +: include.map(col)
+    nn.join(records.drop("embedding"), Seq("offset_id"))
+      .select(proj: _*)
+  }
+
+  /** Search plan — `plan.rs:588`: filter → rank expression over KNN
+    * leaves → optional grouped top-k → offset/limit slice → select.
+    * Each leaf is (q_embedding, k, space); `Rank.Leaf(i, ...)` in `rank`
+    * refers to leaf i.
+    */
+  def search(
+      leaves: Seq[(DataFrame, Int, String)],
+      rank: Rank.Expr,
+      where: Option[Where.Expr] = None,
+      groupBy: Option[(Seq[Column], Int)] = None,
+      limit: Option[Int] = None,
+      offset: Int = 0,
+      include: Seq[String] = Seq()): DataFrame = {
+    val filtered = where.map(w => records.filter(Where.compile(w))).getOrElse(records)
+    val cands = filtered.select(col("offset_id"), col("embedding"))
+    val leafResults = leaves.map { case (q, k, space) =>
+      Knn.exact(cands, q, k, space).drop("query_id")
+    }
+    val scored = Rank.evaluate(leafResults, rank)
+      .join(records.drop("embedding"), Seq("offset_id"))
+    val grouped = groupBy match {
+      case Some((keys, k)) =>
+        GroupedTopK(scored, keys, Seq(col("score"), col("offset_id")), k)
+      case None => scored
+    }
+    val ordered = grouped.orderBy(col("score"), col("offset_id"))
+    val sliced0 = if (offset > 0) ordered.offset(offset) else ordered
+    val sliced = limit.map(sliced0.limit).getOrElse(sliced0)
+    sliced.select((col("id") +: col("score").as("#score") +: include.map(col)): _*)
   }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `BINARY` columns with typed
+  * metadata, processed by batched per-partition workers.
+  *
+  * The reference models media as `uri` pointers on records
+  * (`chromadb/api/models/Collection.py:96-109`) with pluggable data loaders
+  * / embedding functions. At 100 TB the Spark-native shape is: bytes or
+  * uris in the table, decode/feature-extract as `mapPartitions` batches so
+  * per-executor model/codec state is initialized once per partition, not
+  * per row.
+  *
+  * The actual image/audio codecs are NOT in this container, so
+  * [[decodeStub]] is a clearly-marked deterministic fake; everything
+  * around it — schema, batching, partitioning, output contract — is the
+  * real plumbing a codec would drop into.
+  */
+object Multimodal {
+
+  /** Deterministic fake "decode": parses a fake header from the bytes.
+    * STUB — replace with a real codec (e.g. javax.imageio / ffmpeg JNI)
+    * when available; the signature and batching stay the same.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
+    val n = bytes.length
+    val width = n % 64 + 1
+    val height = n / 64 + 1
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    (width, height, digest)
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_bytes", LongType),
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("sig", StringType)))
+
+  /** Batched decode/feature-extract over (doc_id, blob BINARY) rows —
+    * the `mapInPandas` shape in Scala: one worker init per partition,
+    * rows streamed through it.
+    */
+  def decodeFeatures(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      // per-partition init happens here (codec/model handle)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, sig) = decodeStub(bytes)
+        Row(id, bytes.length.toLong, w, h, sig)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

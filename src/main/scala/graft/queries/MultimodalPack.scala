@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.EmbeddingFunctions
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal + embedding-function surface. `mm_decode_features` routes
+  * real bytes through the batched mapPartitions decode path (stubbed
+  * codec, real plumbing) and is oracle-checked on the deterministic
+  * outputs. `mm_embed_knn` embeds text with the hashed-BoW embedding
+  * function and runs KNN over the result (rows-only; determinism and
+  * unit-norm gated in MultimodalSpec).
+  */
+object MultimodalPack extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_features" -> { (s, d) =>
+      val blobs = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      Multimodal.decodeFeatures(blobs).orderBy(col("doc_id"))
+    },
+
+    "mm_embed_knn" -> { (s, d) =>
+      val ef = EmbeddingFunctions.registry("hashed_bow_64")
+      val docsVec = Tables.documents(s, d)
+        .select(col("doc_id").as("offset_id"), ef.embed(col("text")).as("embedding"))
+      val queries = docsVec.filter(col("offset_id") < 3)
+        .select(col("offset_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.operators.Knn.exact(docsVec, queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_decode_features" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS height,
+        |  md5(text) AS sig
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
