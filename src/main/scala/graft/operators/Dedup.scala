@@ -42,7 +42,10 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
       maxDf: Long = 1000000L): DataFrame = {
-    val sh = withShingles(docs, n)
+    // cache: the shingle table is referenced 4x below (both join sides,
+    // sizes, df filter) — without it the tokenize+shingle scan re-runs
+    // per reference. At cluster scale this is a persisted temp table.
+    val sh = withShingles(docs, n).cache()
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
     val rare = ex0.groupBy("sg").agg(count(lit(1)).as("df"))
