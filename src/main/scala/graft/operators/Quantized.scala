@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.Distances
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Quantized two-phase KNN — the reference's RaBitQ path
+  * (`rust/index/src/quantization/{mod.rs,single_bit.rs}`,
+  * `orchestration/quantized_spann_knn.rs`): cheap coarse distance on 1-bit
+  * codes, exact re-rank of the survivors.
+  *
+  * 1-bit code = sign bit per dimension, packed into LONG words (64 dims →
+  * 1 word). Coarse distance = Hamming distance via `bit_count(xor)` —
+  * pure codegen'd integer ops, ~50× cheaper than the float kernel and 16×
+  * smaller to scan (8 bytes vs 256 for 64-d f32). Phase 2 re-ranks the
+  * top `alpha*k` coarse candidates with the exact kernel.
+  *
+  * At 100 TB the codes live as their own column (or table): the coarse
+  * pass scans codes only — column pruning keeps the wide embedding column
+  * out of the scan entirely until re-rank, which touches `alpha*k` rows.
+  */
+object Quantized {
+
+  /** Pack sign bits into ceil(dim/64) LONG words: bit j of word w =
+    * (embedding[64w+j] > 0).
+    */
+  def signCode(embedding: Column, dim: Int): Column = {
+    val words = (0 until dim by 64).map { base =>
+      val n = math.min(64, dim - base)
+      (0 until n).map { j =>
+        when(element_at(embedding, base + j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }
+    array(words: _*)
+  }
+
+  /** Hamming distance between two code arrays. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, x) => acc + x)
+
+  /** Two-phase KNN: coarse Hamming top-(alpha*k) → exact re-rank top-k.
+    * candidates: (offset_id, embedding); queries: (query_id, q_embedding).
+    */
+  def search(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      alpha: Int = 5, space: String = "cosine"): DataFrame = {
+    val coded = candidates.withColumn("code", signCode(col("embedding"), dim))
+    val qcoded = queries.withColumn("qcode", signCode(col("q_embedding"), dim))
+    // phase 1: coarse candidates (integer ops only on the code column)
+    val coarse = GroupedTopK(
+      coded.crossJoin(broadcast(qcoded))
+        .withColumn("hd", hamming(col("code"), col("qcode"))),
+      Seq(col("query_id")), Seq(col("hd"), col("offset_id")), alpha * k)
+      .select(col("query_id"), col("offset_id"), col("embedding"), col("q_embedding"))
+    // phase 2: exact re-rank of alpha*k survivors
+    val topk = udaf(new Knn.TopKAgg(k))
+    coarse
+      .select(col("query_id"), col("offset_id"),
+        Distances.distance(space)(col("embedding"), col("q_embedding")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("offset_id"), col("dist")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.oid").as("offset_id"), col("col.dist").as("dist"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{And, Contains, Expression, Literal, RLike}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule: `col RLIKE pattern` → `col CONTAINS <literal> AND
+  * col RLIKE pattern` when the regex contains a long-enough mandatory
+  * literal run.
+  *
+  * This is the Spark-native form of the reference's regex→literal
+  * prefilter (`rust/types/src/regex/literal_expr.rs:23-60`, trigram
+  * candidate scan `operators/filter.rs:363-455`): the regex itself can't
+  * reach the parquet scan, but the implied `Contains` compiles to a
+  * `StringContains` data-source filter and prunes row groups / rows
+  * before the expensive regex runs. Semantics unchanged — the literal is
+  * a necessary condition of the regex.
+  *
+  * Registered through [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`).
+  */
+object RegexPrefilter extends Rule[LogicalPlan] {
+
+  private val rewritten = TreeNodeTag[Boolean]("graft.regexPrefilter")
+  private val meta = ".*+?()[]{}|\\^$".toSet
+
+  /** Longest literal run that every match must contain. Conservative: a
+    * char adjacent to any metacharacter is dropped (quantifiers make the
+    * preceding char optional; alternations/classes void the run).
+    */
+  private[graft] def mandatoryLiteral(pattern: String): Option[String] = {
+    if (pattern.exists(c => c == '|' || c == '\\')) return None // alternation/escapes: bail
+    val runs = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    val chars = pattern.toCharArray
+    for (i <- chars.indices) {
+      val c = chars(i)
+      val nextIsQuant = i + 1 < chars.length && "*+?{".contains(chars(i + 1))
+      if (!meta.contains(c) && !nextIsQuant) cur.append(c)
+      else { if (cur.nonEmpty) { runs += cur.toString; cur.clear() } }
+    }
+    if (cur.nonEmpty) runs += cur.toString
+    runs.filter(_.length >= 3).sortBy(-_.length).headOption
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val newCond = cond.transformUp {
+        case r @ RLike(e, Literal(p: UTF8String, StringType))
+            if r.getTagValue(rewritten).isEmpty =>
+          mandatoryLiteral(p.toString) match {
+            case Some(lit) =>
+              r.setTagValue(rewritten, true)
+              And(Contains(e, Literal(UTF8String.fromString(lit), StringType)), r)
+            case None =>
+              r.setTagValue(rewritten, true)
+              r
+          }
+      }
+      if (newCond fastEquals cond) f else Filter(newCond, child)
+  }
+}
+
+/** Session extension wiring for the engine's custom Catalyst pieces. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RegexPrefilter)
+  }
+}

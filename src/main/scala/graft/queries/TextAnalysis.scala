@@ -70,6 +70,19 @@ object TextAnalysis extends QueryPack {
         size(sh).cast("long").as("n_shingles"))
         .orderBy(col("doc_id"))
     },
+    // Attached-function token statistics: per-lang top-10 tokens through
+    // the TokenFreqAgg UDAF (partial-aggregated count maps).
+    "ta_token_stats" -> { (s, d) =>
+      val tokfreq = udaf(new graft.operators.Statistics.TokenFreqAgg(10))
+      Tables.documents(s, d)
+        .select(col("lang"), explode(toks).as("term"))
+        .groupBy("lang")
+        .agg(tokfreq(col("term")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._1").as("term"), col("col._2").as("cnt"))
+        .orderBy(col("lang"), col("rank"))
+    },
   )
 
   private def sqlToks = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '')"
@@ -112,6 +125,15 @@ object TextAnalysis extends QueryPack {
          |       WHEN es_score >= fr_score THEN 'es'
          |       ELSE 'fr' END AS pred
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "ta_token_stats" ->
+      s"""WITH tf AS (SELECT lang, unnest($sqlToks) AS term FROM documents),
+         |c AS (SELECT lang, term, count(*) AS cnt FROM tf GROUP BY 1, 2),
+         |r AS (SELECT lang, term, cnt,
+         |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rank
+         |      FROM c)
+         |SELECT lang, rank, term, cnt FROM r WHERE rank <= 10
+         |ORDER BY lang, rank""".stripMargin,
 
     "ta_fingerprint" ->
       s"""WITH base AS (SELECT doc_id, $sqlToks AS t FROM documents),

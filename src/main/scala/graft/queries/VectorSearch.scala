@@ -97,6 +97,15 @@ object VectorSearch extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // RaBitQ-style two-phase KNN: 1-bit sign codes + Hamming coarse pass,
+    // exact re-rank of alpha*k survivors. Deterministic → oracle-checked.
+    "vs_quantized_knn" -> { (s, d) =>
+      graft.operators.Quantized.search(candidates(s, d), queryVecs(s, d),
+          k = 10, dim = 64, alpha = 5)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // KNN similarity join: every left row (vec_id < 50) → top-3 right rows.
     "vs_similarity_join" -> { (s, d) =>
       val left = Tables.embeddings(s, d).filter(col("vec_id") < 50)
@@ -186,6 +195,24 @@ object VectorSearch extends QueryPack {
         |      FROM nn)
         |SELECT label, group_rank, vec_id, dist FROM g WHERE group_rank <= 2
         |ORDER BY label, group_rank""".stripMargin,
+
+    "vs_quantized_knn" ->
+      s"""WITH $qcte,
+         |h AS (SELECT query_id, vec_id, embedding, qe,
+         |        len(list_filter(range(1, 65),
+         |          i -> (embedding[i] > 0) <> (qe[i] > 0))) AS hd
+         |      FROM embeddings, q),
+         |c AS (SELECT query_id, vec_id, embedding, qe FROM
+         |        (SELECT query_id, vec_id, embedding, qe,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY hd, vec_id) AS rn
+         |         FROM h) WHERE rn <= 50),
+         |d AS (SELECT query_id, vec_id,
+         |        1.0 - list_cosine_similarity(embedding, qe) AS dist FROM c),
+         |r AS (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |      FROM d)
+         |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "vs_similarity_join" ->
       """WITH q AS (SELECT vec_id AS left_id, embedding AS qe
