@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Ivf, Knn, Materialize}
+import graft.sources.CollectionStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StorageSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_store").toString
+
+  test("IVF postings round-trip and probe reads prune partitions") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val model = Ivf.build(vecs, nCentroids = 8, nReplica = 2)
+    val root = tmp()
+    CollectionStore.saveIvf(model, root)
+    val loaded = CollectionStore.loadIvf(spark, root)
+
+    // round-trip: same assignment set
+    val a = model.postings.select("centroid_id", "offset_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val b = loaded.postings.select("centroid_id", "offset_id")
+      .collect().map(r => (r.getAs[Int]("centroid_id"), r.getAs[Long]("offset_id"))).toSet
+    assert(a == b)
+
+    // probing two lists must prune the other six at the scan
+    val probe = loaded.postings.filter(col("centroid_id").isin(0, 1))
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.contains("centroid_id"), scan.take(600))
+    assert(probe.select(countDistinct(col("centroid_id"))).collect()(0).getLong(0) <= 2)
+
+    // search over the loaded model still agrees with exact KNN on recall
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val exact = Knn.exact(vecs, queries, 10).select("query_id", "offset_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ivf.search(loaded, queries, 10, nprobe = 6)
+      .select("query_id", "offset_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact & approx).size.toDouble / exact.size >= 0.8)
+  }
+
+  test("fork is copy-on-write: divergent WALs over a shared segment") {
+    import spark.implicits._
+    val segment = Seq(
+      Materialize.Rec("a", Some("doc a"), Map("k" -> "1")),
+      Materialize.Rec("b", Some("doc b"), Map())).toDS()
+    val segLog = Materialize.segmentAsLog(spark, segment)
+
+    val walMain = Seq(Materialize.LogOp("a", 1, "Delete", None, Map())).toDS()
+    val walFork = Seq(
+      Materialize.LogOp("c", 1, "Add", Some("doc c"), Map()),
+      Materialize.LogOp("b", 2, "Update", None, Map("k" -> "2"))).toDS()
+
+    val main = Materialize(spark, walMain, Some(segLog)).collect().map(_.id).toSet
+    val fork = Materialize(spark, walFork, Some(segLog))
+      .collect().map(r => r.id -> r.meta.get("k")).toMap
+
+    assert(main == Set("b"))                      // original lost "a"
+    assert(fork.keySet == Set("a", "b", "c"))     // fork kept "a", added "c"
+    assert(fork("b").contains("2"))               // fork's update applied
+  }
+}
