@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Materialize
+import graft.operators.Materialize.{LogOp, Rec}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property check of the WAL fold against a sequential in-memory oracle of
+  * `operation.rs:16-34`: random per-id op sequences must materialize to the
+  * same final state (mirrors the reference's hypothesis state machines,
+  * `chromadb/test/property/test_embeddings.py`).
+  */
+class MaterializePropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val ids = (0 until 12).map(i => s"id$i")
+  private val genOp: Gen[(String, Option[String], Map[String, String])] = for {
+    op <- Gen.oneOf("Add", "Update", "Upsert", "Delete")
+    doc <- Gen.option(Gen.oneOf("d1", "d2", "d3"))
+    meta <- Gen.mapOf(Gen.zip(Gen.oneOf("k1", "k2"), Gen.oneOf("v1", "v2")))
+  } yield (op, doc, meta)
+
+  private def oracleFold(ops: Seq[LogOp]): Option[Rec] = {
+    var cur: Option[Rec] = None
+    ops.sortBy(_.log_offset).foreach { o =>
+      o.op match {
+        case "Add" => if (cur.isEmpty) cur = Some(Rec(o.id, o.document, o.meta))
+        case "Upsert" => cur = Some(Rec(o.id, o.document, o.meta))
+        case "Update" => cur = cur.map(c => Rec(c.id,
+          if (o.document.isDefined) o.document else c.document, c.meta ++ o.meta))
+        case "Delete" => cur = None
+      }
+    }
+    cur
+  }
+
+  test("Materialize == sequential oracle over 10 random WALs") {
+    import spark.implicits._
+    val params = Gen.Parameters.default
+    for (caseIdx <- 0 until 10) {
+      val seed = Seed(caseIdx.toLong * 104729 + 7)
+      val raw = Gen.listOfN(80, Gen.zip(Gen.oneOf(ids), genOp))
+        .pureApply(params, seed)
+      val wal = raw.zipWithIndex.map { case ((id, (op, doc, meta)), off) =>
+        LogOp(id, off.toLong, op, doc, meta)
+      }
+      val got = Materialize(spark, wal.toDS()).collect()
+        .map(r => r.id -> ((r.document, r.meta))).toMap
+      val expected = wal.groupBy(_.id).flatMap { case (id, ops) =>
+        oracleFold(ops).map(r => id -> ((r.document, r.meta)))
+      }
+      assert(got == expected, s"case $caseIdx\n got=$got\n exp=$expected")
+    }
+  }
+}
