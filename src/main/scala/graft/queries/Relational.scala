@@ -133,6 +133,32 @@ object Relational extends QueryPack {
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     },
 
+    // --- cube (full grouping-sets lattice; Spark-native extra).
+    "q_cube_events" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("day", date_format(date_trunc("day", $"ts"), "yyyy-MM-dd"))
+        .filter($"day" < "2024-01-08")
+        .cube($"day", $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+        .orderBy($"day".asc_nulls_first, $"event_type".asc_nulls_first)
+    },
+
+    // --- TPC-H Q10 style: returned-item revenue per customer, top 20.
+    "q10_returned_items" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey")
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    },
+
     // --- distinct / approx-distinct surface.
     "q_distinct_parts" -> { (s, d) =>
       import s.implicits._
@@ -256,6 +282,26 @@ object Relational extends QueryPack {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_cube_events" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n, round(sum(value),2) AS total
+        |FROM events
+        |WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') < '2024-01-08'
+        |GROUP BY CUBE (1, 2)
+        |ORDER BY day NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_distinct_parts" ->
       """SELECT l_returnflag,

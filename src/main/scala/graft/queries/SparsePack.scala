@@ -48,7 +48,8 @@ object SparsePack extends QueryPack {
       val n = docs.count()
       val tf = termFreqs(s, d)
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      val avgdl = dl.agg(avg("dl")).collect()(0).getDouble(0)
+      // corpus scalar as a broadcast single-row join — no driver collect
+      val avgdl = dl.agg(avg("dl").as("avgdl"))
       val df = tf.filter(col("term").isin(queryTerms: _*))
         .groupBy("term").agg(count(lit(1)).as("df"))
       val idf = df.withColumn("idf",
@@ -57,9 +58,10 @@ object SparsePack extends QueryPack {
       tf.filter(col("term").isin(queryTerms: _*))
         .join(broadcast(idf), "term")
         .join(dl, "doc_id")
+        .crossJoin(broadcast(avgdl))
         .withColumn("contrib",
           col("idf") * (col("tf") * lit(k1 + 1)) /
-            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
         .groupBy("doc_id")
         .agg(round(sum("contrib"), 6).as("bm25"), count(lit(1)).as("n_terms"))
         .orderBy(desc("bm25"), col("doc_id"))
@@ -70,9 +72,12 @@ object SparsePack extends QueryPack {
     // through the codegen'd merge-intersection SparseDot expression.
     "sp_sparse_knn" -> { (s, d) =>
       val tf = termFreqs(s, d)
-      // global sorted term dictionary (scale path: xxhash64 the term)
+      // global sorted term dictionary; cached — referenced by both the doc
+      // vectors and the query-term lookup. (Scale path for unbounded
+      // vocab: term_id = xxhash64(term), no global sort.)
       val dict = tf.select("term").distinct()
         .withColumn("term_id", row_number().over(Window.orderBy("term")))
+        .cache()
       val docVecs = tf.join(dict, "term")
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("term_id"), col("tf")))).as("p"))

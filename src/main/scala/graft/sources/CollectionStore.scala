@@ -45,4 +45,41 @@ object CollectionStore {
     Ivf.Model(
       centroids = spark.read.parquet(s"$root/ivf/centroids"),
       postings = spark.read.parquet(s"$root/ivf/postings"))
+
+  /** Optimistic conditional commit — the reference's conditional
+    * transactions (`rust/types/src/conditional_transaction.rs:21-88`):
+    * publish a new collection version iff the current version still equals
+    * `expectedVersion`. Atomicity via `Files.createFile` on the version
+    * marker (object-store equivalent: if-none-match put). Returns the new
+    * version, or None on a lost race / stale expectation.
+    */
+  def conditionalCommit(root: String, expectedVersion: Long,
+      write: String => Unit): Option[Long] = {
+    val dir = java.nio.file.Paths.get(root, "_versions")
+    java.nio.file.Files.createDirectories(dir)
+    if (currentVersion(root) != expectedVersion) return None
+    val next = expectedVersion + 1
+    val dataDir = s"$root/v$next"
+    write(dataDir)
+    try {
+      java.nio.file.Files.createFile(dir.resolve(s"v$next")) // atomic claim
+      Some(next)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => None // lost the race
+    }
+  }
+
+  def currentVersion(root: String): Long = {
+    val dir = java.nio.file.Paths.get(root, "_versions")
+    if (!java.nio.file.Files.isDirectory(dir)) 0L
+    else {
+      val vs = java.nio.file.Files.list(dir).iterator()
+      var max = 0L
+      while (vs.hasNext) {
+        val n = vs.next().getFileName.toString
+        if (n.startsWith("v")) max = math.max(max, n.drop(1).toLong)
+      }
+      max
+    }
+  }
 }

@@ -44,6 +44,19 @@ class StorageSpec extends AnyFunSuite {
     assert((exact & approx).size.toDouble / exact.size >= 0.8)
   }
 
+  test("conditional commit: stale expectation and double-commit both refused") {
+    val root = tmp()
+    var writes = 0
+    def w(dir: String): Unit = writes += 1
+    assert(CollectionStore.currentVersion(root) == 0)
+    assert(CollectionStore.conditionalCommit(root, 0, w) == Some(1))
+    assert(CollectionStore.currentVersion(root) == 1)
+    assert(CollectionStore.conditionalCommit(root, 0, w).isEmpty) // stale
+    assert(CollectionStore.conditionalCommit(root, 1, w) == Some(2))
+    assert(writes == 2) // stale attempt rejected before writing
+    assert(CollectionStore.currentVersion(root) == 2)
+  }
+
   test("fork is copy-on-write: divergent WALs over a shared segment") {
     import spark.implicits._
     val segment = Seq(
