@@ -1,0 +1,56 @@
+package graft.api
+
+import graft.operators.Materialize
+import graft.operators.Materialize.{LogOp, Rec}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** User-facing write API — `collection.add/update/upsert/delete`
+  * (`service_based_frontend.rs:2079-2652`): each call appends typed
+  * operation records to the WAL; [[flush]] materializes WAL over the
+  * current segment into the next compacted state (the compactor's job,
+  * SURVEY §3.4).
+  *
+  * Offsets are assigned monotonically per writer — the single-writer-per-
+  * collection discipline the reference's log service provides; cross-writer
+  * ordering comes from the WAL service (or conditional commit,
+  * `CollectionStore.conditionalCommit`).
+  */
+final class Writer(spark: SparkSession, var segment: Dataset[Rec]) {
+  import spark.implicits._
+
+  private var wal: Vector[LogOp] = Vector.empty
+  private var nextOffset: Long = 0L
+
+  private def append(op: String, id: String, doc: Option[String],
+      meta: Map[String, String]): Unit = {
+    wal = wal :+ LogOp(id, nextOffset, op, doc, meta)
+    nextOffset += 1
+  }
+
+  def add(id: String, doc: Option[String], meta: Map[String, String] = Map()): Unit =
+    append("Add", id, doc, meta)
+  def update(id: String, doc: Option[String], meta: Map[String, String] = Map()): Unit =
+    append("Update", id, doc, meta)
+  def upsert(id: String, doc: Option[String], meta: Map[String, String] = Map()): Unit =
+    append("Upsert", id, doc, meta)
+  def delete(id: String): Unit = append("Delete", id, None, Map())
+
+  def pendingOps: Int = wal.size
+
+  /** Materialize WAL over the segment; returns and swaps in the new state. */
+  def flush(): Dataset[Rec] = {
+    if (wal.nonEmpty) {
+      segment = Materialize(spark, wal.toDS(),
+        Some(Materialize.segmentAsLog(spark, segment)))
+      wal = Vector.empty
+    }
+    segment
+  }
+}
+
+object Writer {
+  def empty(spark: SparkSession): Writer = {
+    import spark.implicits._
+    new Writer(spark, spark.emptyDataset[Rec])
+  }
+}
