@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextStats
+import graft.operators.TextStats._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed training-data pipeline — the reason the pieces exist:
+  * quality-score → exact-dedup → language-ID → token budget, in ONE
+  * Catalyst plan (single scan, one window shuffle on the digest, no
+  * intermediate materialization). Output: the surviving corpus with its
+  * routing metadata, exactly what a 100 TB pretraining prep job emits.
+  */
+object PipelinePack extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pl_training_prep" -> { (s, d) =>
+      val t = TextStats.tokens(col("text"))
+      val nTok = size(t)
+      val nStop = hitCount(t, stopwords("en"))
+      val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      val quality = lit(0.5) * (nStop.cast("double") / nTok) +
+        lit(0.3) * (alpha.cast("double") / length(col("text"))) +
+        lit(0.2) * least(lit(1.0), nTok.cast("double") / 50.0)
+      val keepW = Window.partitionBy(md5(col("text")))
+      def score(l: String): Column = hitCount(t, stopwords(l)).cast("double") / nTok
+
+      Tables.documents(s, d)
+        .withColumn("quality", quality)
+        .withColumn("keep_id", min(col("doc_id")).over(keepW))
+        .withColumn("n_tok", nTok.cast("long"))
+        .withColumn("en", score("en")).withColumn("de", score("de"))
+        .withColumn("es", score("es")).withColumn("fr", score("fr"))
+        .withColumn("pred",
+          when(col("en") >= col("de") && col("en") >= col("es") && col("en") >= col("fr"), "en")
+            .when(col("de") >= col("es") && col("de") >= col("fr"), "de")
+            .when(col("es") >= col("fr"), "es").otherwise("fr"))
+        .filter(col("doc_id") === col("keep_id") && col("quality") >= 0.45)
+        .select(col("doc_id"), col("n_tok"), col("quality"), col("pred"))
+        .orderBy(col("doc_id"))
+    },
+  )
+
+  private def sqlToks = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '')"
+  private def sqlHits(l: String) =
+    s"len(list_filter(t, x -> x IN (${stopwords(l).map(w => s"'$w'").mkString(",")})))"
+
+  val oracle: Map[String, String] = Map(
+    "pl_training_prep" ->
+      s"""WITH base AS (SELECT doc_id, text, $sqlToks AS t FROM documents),
+         |m AS (SELECT doc_id, text, len(t) AS n_tok,
+         |        0.5 * (${sqlHits("en")}::DOUBLE / len(t))
+         |          + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text))
+         |          + 0.2 * least(1.0, len(t)::DOUBLE / 50.0) AS quality,
+         |        ${sqlHits("en")}::DOUBLE / len(t) AS en,
+         |        ${sqlHits("de")}::DOUBLE / len(t) AS de,
+         |        ${sqlHits("es")}::DOUBLE / len(t) AS es,
+         |        ${sqlHits("fr")}::DOUBLE / len(t) AS fr,
+         |        min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |      FROM base)
+         |SELECT doc_id, n_tok, quality,
+         |  CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |       WHEN de >= es AND de >= fr THEN 'de'
+         |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred
+         |FROM m WHERE doc_id = keep_id AND quality >= 0.45
+         |ORDER BY doc_id""".stripMargin,
+  )
+}

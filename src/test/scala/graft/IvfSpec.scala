@@ -9,7 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * IVF top-10 vs exact top-10 over the same queries.
   */
 class IvfSpec extends AnyFunSuite {
-  import SparkTestSession._
+  import SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
 
   test("IVF recall@10 >= 0.95 vs exact KNN") {
     val vecs = Tables.embeddings(spark, sf)
