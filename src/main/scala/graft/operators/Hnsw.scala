@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.functions.Distances
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** HNSW graph index, built **per partition** and merged — the Spark shape
+  * of the reference's sharded HNSW segments (`rust/index/src/hnsw.rs`,
+  * per-shard search + `KnnMerge`, `orchestration/knn.rs:44-100`).
+  *
+  * The graph itself is a faithful small HNSW (Malkov & Yashunin 2016,
+  * arXiv:1603.09320): exponential level assignment, greedy descent through
+  * upper layers, beam (ef) search at layer 0, bidirectional links pruned
+  * to M. One graph per partition keeps build embarrassingly parallel and
+  * memory-local — each executor owns graphs for its partitions only; a
+  * query fans out to every partition's graph (map-side, k per partition)
+  * and results merge with the same bounded top-k aggregate as exact KNN.
+  *
+  * Scale: build is O(N·log N·M·dim) total, no shuffle. Search cost scales
+  * with partition count; for very high partition counts route through IVF
+  * centroids first (the two compose: HNSW over each centroid's postings).
+  */
+object Hnsw {
+
+  final class Graph(dim: Int, m: Int, efConstruction: Int, seed: Long,
+      space: String) {
+    private val dist: (Array[Float], Array[Float]) => Float = space match {
+      case "cosine" => (a, b) => 1f - Distances.scalar.cosineSim(a, b)
+      case "ip"     => (a, b) => 1f - Distances.scalar.dot(a, b)
+      case _        => Distances.scalar.l2Sq _
+    }
+    private val rng = new java.util.Random(seed)
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val vecs = mutable.ArrayBuffer[Array[Float]]()
+    private val ids = mutable.ArrayBuffer[Long]()
+    // neighbors(level)(node) = list of node indices
+    private val neighbors = mutable.ArrayBuffer[mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]]()
+    private var entry: Int = -1
+    private var maxLevel: Int = -1
+
+    private def levelOf(): Int =
+      math.floor(-math.log(rng.nextDouble() max 1e-12) * mL).toInt
+
+    /** beam search at one level from `start`, returns up to ef closest. */
+    private def searchLevel(q: Array[Float], start: Seq[Int], ef: Int,
+        level: Int): mutable.PriorityQueue[(Float, Int)] = {
+      val visited = mutable.HashSet[Int](start: _*)
+      // candidates: min-heap by dist (negate for PQ); results: max-heap
+      val cand = mutable.PriorityQueue[(Float, Int)]()(Ordering.by(-_._1))
+      val res = mutable.PriorityQueue[(Float, Int)]()(Ordering.by(_._1))
+      start.foreach { s => val d = dist(q, vecs(s)); cand.enqueue((d, s)); res.enqueue((d, s)) }
+      while (cand.nonEmpty) {
+        val (d, c) = cand.dequeue()
+        if (d > res.head._1 && res.size >= ef) { cand.clear() }
+        else {
+          for (n <- neighbors(level)(c) if !visited(n)) {
+            visited += n
+            val dn = dist(q, vecs(n))
+            if (res.size < ef || dn < res.head._1) {
+              cand.enqueue((dn, n)); res.enqueue((dn, n))
+              if (res.size > ef) res.dequeue()
+            }
+          }
+        }
+      }
+      res
+    }
+
+    def insert(id: Long, v: Array[Float]): Unit = {
+      val node = vecs.length
+      vecs += v; ids += id
+      val level = levelOf()
+      while (neighbors.size <= level) neighbors += mutable.ArrayBuffer()
+      for (l <- 0 to level) {
+        while (neighbors(l).size <= node) neighbors(l) += mutable.ArrayBuffer[Int]()
+      }
+      // also pad lower levels for nodes added when level grows
+      for (l <- neighbors.indices) {
+        while (neighbors(l).size <= node) neighbors(l) += mutable.ArrayBuffer[Int]()
+      }
+      if (entry < 0) { entry = node; maxLevel = level; return }
+
+      var ep = entry
+      // greedy descent above the node's level
+      for (l <- maxLevel until level by -1) {
+        var changed = true
+        while (changed) {
+          changed = false
+          for (n <- neighbors(l)(ep)) {
+            if (dist(v, vecs(n)) < dist(v, vecs(ep))) { ep = n; changed = true }
+          }
+        }
+      }
+      // connect at each level from min(level, maxLevel) down to 0
+      for (l <- math.min(level, maxLevel) to 0 by -1) {
+        val found = searchLevel(v, Seq(ep), efConstruction, l).toSeq.sortBy(_._1)
+        val mmax = if (l == 0) 2 * m else m
+        val selected = found.take(m).map(_._2)
+        neighbors(l)(node) = mutable.ArrayBuffer(selected: _*)
+        for (n <- selected) {
+          val nb = neighbors(l)(n)
+          nb += node
+          if (nb.size > mmax) {
+            // prune to closest mmax
+            val pruned = nb.map(x => (dist(vecs(n), vecs(x)), x)).sortBy(_._1)
+              .take(mmax).map(_._2)
+            neighbors(l)(n) = pruned.to(mutable.ArrayBuffer)
+          }
+        }
+        ep = found.head._2
+      }
+      if (level > maxLevel) { maxLevel = level; entry = node }
+    }
+
+    def search(q: Array[Float], k: Int, efSearch: Int): Seq[(Long, Float)] = {
+      if (entry < 0) return Nil
+      var ep = entry
+      for (l <- maxLevel until 0 by -1) {
+        var changed = true
+        while (changed) {
+          changed = false
+          for (n <- neighbors(l)(ep)) {
+            if (dist(q, vecs(n)) < dist(q, vecs(ep))) { ep = n; changed = true }
+          }
+        }
+      }
+      searchLevel(q, Seq(ep), math.max(efSearch, k), 0)
+        .toSeq.sortBy(_._1).take(k).map { case (d, n) => (ids(n), d) }
+    }
+  }
+
+  /** Distributed search: build a graph per partition, search the broadcast
+    * query batch against each, merge per-partition top-k exactly like
+    * `KnnMerge`. Returns (query_id, rank, offset_id, dist).
+    */
+  def search(candidates: DataFrame, queries: DataFrame, k: Int,
+      space: String = "cosine", m: Int = 16, efConstruction: Int = 100,
+      efSearch: Int = 64): DataFrame = {
+    val spark = candidates.sparkSession
+    val qs = queries.select(col("query_id"), col("q_embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qB = spark.sparkContext.broadcast(qs)
+
+    val perPart = candidates.select(col("offset_id"), col("embedding")).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val dim = rows.head.getSeq[Float](1).length
+          val g = new Graph(dim, m, efConstruction, seed = 42L + pid, space)
+          rows.foreach(r => g.insert(r.getLong(0), r.getSeq[Float](1).toArray))
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, k, efSearch).map { case (id, d) => Row(qid, id, d.toDouble) }
+          }
+        }
+      }
+    val schema = StructType(Seq(StructField("query_id", LongType),
+      StructField("offset_id", LongType), StructField("dist", DoubleType)))
+    val local = spark.createDataFrame(perPart, schema)
+    // global merge: same bounded top-k as KnnMerge
+    val topk = udaf(new Knn.TopKAgg(k))
+    local.groupBy(col("query_id"))
+      .agg(topk(col("offset_id"), col("dist")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.oid").as("offset_id"), col("col.dist").as("dist"))
+  }
+}

@@ -97,6 +97,15 @@ object VectorSearch extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Per-partition HNSW graphs + KnnMerge (the reference's default index;
+    // approximate → rows-only, recall >= 0.95 gated in HnswSpec).
+    "vs_ann_hnsw" -> { (s, d) =>
+      graft.operators.Hnsw.search(
+          candidates(s, d).repartition(4), queryVecs(s, d), k = 10)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // RaBitQ-style two-phase KNN: 1-bit sign codes + Hamming coarse pass,
     // exact re-rank of alpha*k survivors. Deterministic → oracle-checked.
     "vs_quantized_knn" -> { (s, d) =>
