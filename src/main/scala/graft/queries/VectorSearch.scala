@@ -77,6 +77,24 @@ object VectorSearch extends QueryPack {
         .select(col("offset_id").as("vec_id"), col("score"))
     },
 
+    // Reciprocal-rank fusion: RankExpr with return_rank=true (position in
+    // each KNN list, not distance) + Div/Sum/Val algebra — rank.rs:134-151.
+    "vs_rank_rrf" -> { (s, d) =>
+      val all = candidates(s, d)
+      val q0 = queryVecs(s, d, 1)
+      val q1 = queryVecs(s, d, 2).filter(col("query_id") === 1)
+      val leaf0 = Knn.exact(all, q0, k = 30).drop("query_id")
+      val leaf1 = Knn.exact(all, q1, k = 30).drop("query_id")
+      import Rank._
+      Rank.evaluate(Seq(leaf0, leaf1),
+          Sum(Seq(
+            Div(Val(1.0), Sum(Seq(Val(60.0), Leaf(0, default = 1000, returnRank = true)))),
+            Div(Val(1.0), Sum(Seq(Val(60.0), Leaf(1, default = 1000, returnRank = true)))))))
+        .orderBy(col("score").desc, col("offset_id"))
+        .limit(15)
+        .select(col("offset_id").as("vec_id"), col("score"))
+    },
+
     // RankedGroupBy (MinK): nearest 2 vectors per label for one query.
     "vs_grouped_topk" -> { (s, d) =>
       val nn = Knn.exact(candidates(s, d), queryVecs(s, d, 1), k = 100)
@@ -190,6 +208,24 @@ object VectorSearch extends QueryPack {
         |      FROM l0 FULL OUTER JOIN l1 ON l0.vec_id = l1.vec_id)
         |SELECT vec_id, score FROM f
         |ORDER BY f.score, vec_id LIMIT 20""".stripMargin,
+
+    "vs_rank_rrf" ->
+      """WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |q1 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+        |l0 AS (SELECT vec_id, rn FROM
+        |        (SELECT vec_id, row_number() OVER (ORDER BY
+        |           (1.0 - list_cosine_similarity(embedding, q0.qe)), vec_id) AS rn
+        |         FROM embeddings, q0) WHERE rn <= 30),
+        |l1 AS (SELECT vec_id, rn FROM
+        |        (SELECT vec_id, row_number() OVER (ORDER BY
+        |           (1.0 - list_cosine_similarity(embedding, q1.qe)), vec_id) AS rn
+        |         FROM embeddings, q1) WHERE rn <= 30),
+        |f AS (SELECT coalesce(l0.vec_id, l1.vec_id) AS vec_id,
+        |        1.0 / (60.0 + coalesce(l0.rn::DOUBLE, 1000))
+        |          + 1.0 / (60.0 + coalesce(l1.rn::DOUBLE, 1000)) AS score
+        |      FROM l0 FULL OUTER JOIN l1 ON l0.vec_id = l1.vec_id)
+        |SELECT vec_id, score FROM f
+        |ORDER BY f.score DESC, vec_id LIMIT 15""".stripMargin,
 
     "vs_grouped_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
