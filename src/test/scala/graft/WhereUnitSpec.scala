@@ -1,0 +1,76 @@
+package graft
+
+import graft.model.{Where, WhereParser}
+import graft.model.Where._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for Where corners the oracle queries don't reach: typed
+  * array $contains variants and every WhereParser form.
+  */
+class WhereUnitSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType), StructField("document", StringType),
+    StructField("meta_str", MapType(StringType, StringType)),
+    StructField("meta_int", MapType(StringType, LongType)),
+    StructField("meta_float", MapType(StringType, DoubleType)),
+    StructField("meta_bool", MapType(StringType, BooleanType)),
+    StructField("meta_str_arr", MapType(StringType, ArrayType(StringType))),
+    StructField("meta_int_arr", MapType(StringType, ArrayType(LongType))),
+    StructField("meta_float_arr", MapType(StringType, ArrayType(DoubleType))),
+    StructField("meta_bool_arr", MapType(StringType, ArrayType(BooleanType)))))
+
+  private def df = {
+    val rows = Seq(
+      Row("r1", "alpha doc", Map("k" -> "v"), Map("n" -> 5L), Map("f" -> 1.5),
+        Map("b" -> true), Map("tags" -> Seq("x", "y")), Map("ns" -> Seq(1L, 2L)),
+        Map("fs" -> Seq(0.5, 2.5)), Map("bs" -> Seq(true))),
+      Row("r2", "beta doc", Map[String, String](), Map[String, Long](),
+        Map[String, Double](), Map[String, Boolean](), Map[String, Seq[String]](),
+        Map[String, Seq[Long]](), Map[String, Seq[Double]](), Map[String, Seq[Boolean]]()))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+  }
+
+  private def idsFor(e: Expr): Set[String] =
+    df.filter(Where.compile(e)).select("id").collect().map(_.getString(0)).toSet
+
+  test("typed array $contains / $not_contains with missing keys") {
+    assert(idsFor(ArrContains("tags", VStr("x"), negated = false)) == Set("r1"))
+    assert(idsFor(ArrContains("tags", VStr("x"), negated = true)) == Set("r2")) // absent → true
+    assert(idsFor(ArrContains("ns", VInt(2), negated = false)) == Set("r1"))
+    assert(idsFor(ArrContains("fs", VFloat(2.5), negated = false)) == Set("r1"))
+    assert(idsFor(ArrContains("bs", VBool(true), negated = false)) == Set("r1"))
+    assert(idsFor(ArrContains("ns", VInt(9), negated = false)) == Set())
+  }
+
+  test("parser: every DSL form round-trips to the right AST") {
+    assert(WhereParser.parse("""{"k": "v"}""") == Cmp("k", "$eq", VStr("v")))
+    assert(WhereParser.parse("""{"n": {"$gt": 3}}""") == Cmp("n", "$gt", VInt(3)))
+    assert(WhereParser.parse("""{"f": {"$lte": 1.5}}""") == Cmp("f", "$lte", VFloat(1.5)))
+    assert(WhereParser.parse("""{"n": {"$in": [1, 2]}}""") ==
+      SetIn("n", Seq(VInt(1), VInt(2)), negated = false))
+    assert(WhereParser.parse("""{"$document": {"$contains": "x"}}""") ==
+      DocContains("x", negated = false))
+    assert(WhereParser.parse("""{"$document": {"$not_regex": "a.b"}}""") ==
+      DocRegex("a.b", negated = true))
+    assert(WhereParser.parse("""{"#id": {"$in": ["a", "b"]}}""") == IdIn(Seq("a", "b")))
+    assert(WhereParser.parse("""{"$and": [{"a": 1}, {"b": 2}]}""") ==
+      And(Seq(Cmp("a", "$eq", VInt(1)), Cmp("b", "$eq", VInt(2)))))
+    // implicit conjunction over multiple fields
+    assert(WhereParser.parse("""{"a": 1, "b": {"$ne": "x"}}""") ==
+      And(Seq(Cmp("a", "$eq", VInt(1)), Cmp("b", "$ne", VStr("x")))))
+    intercept[IllegalArgumentException](WhereParser.parse("""{"a": {"$bogus": 1}}"""))
+  }
+
+  test("parsed where compiles and filters like the hand-built AST") {
+    val json = """{"$or": [{"n": {"$gte": 5}}, {"$document": {"$contains": "beta"}}]}"""
+    assert(idsFor(WhereParser.parse(json)) == Set("r1", "r2"))
+    val json2 = """{"$and": [{"k": "v"}, {"b": {"$eq": true}}]}"""
+    assert(idsFor(WhereParser.parse(json2)) == Set("r1"))
+  }
+}
