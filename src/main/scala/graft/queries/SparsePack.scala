@@ -95,6 +95,22 @@ object SparsePack extends QueryPack {
         .orderBy(desc("score"), col("doc_id"))
         .limit(20)
     },
+    // Same top-20 as sp_sparse_knn, but through the MaxScore dynamic-
+    // pruning operator (document-at-a-time with upper-bound skipping —
+    // the reference's sparse/maxscore.rs). Exact → shares the same oracle.
+    "sp_sparse_knn_maxscore" -> { (s, d) =>
+      val tf = termFreqs(s, d)
+      val dict = tf.select("term").distinct()
+        .withColumn("term_id", row_number().over(Window.orderBy("term")))
+        .cache()
+      val postings = tf.join(dict, "term")
+        .select(col("term_id"), col("doc_id"), col("tf").cast("float").as("w"))
+      val qIds = dict.filter(col("term").isin(queryTerms: _*))
+        .collect().map(_.getInt(1))
+      graft.operators.MaxScore.topk(postings, qIds.map(i => i -> 1.0f).toSeq, k = 20)
+        .select(col("doc_id"), col("score").cast("float").as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+    },
   )
 
   private val qTermsSql = queryTerms.map(t => s"'$t'").mkString(",")
@@ -130,6 +146,13 @@ object SparsePack extends QueryPack {
          |GROUP BY f.doc_id ORDER BY bm25 DESC, f.doc_id LIMIT 20""".stripMargin,
 
     "sp_sparse_knn" ->
+      s"""WITH $tfSql
+         |SELECT doc_id, CAST(sum(tf) AS FLOAT) AS score
+         |FROM freq WHERE term IN ($qTermsSql)
+         |GROUP BY doc_id HAVING sum(tf) > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "sp_sparse_knn_maxscore" ->
       s"""WITH $tfSql
          |SELECT doc_id, CAST(sum(tf) AS FLOAT) AS score
          |FROM freq WHERE term IN ($qTermsSql)
