@@ -31,31 +31,40 @@ object Distances {
     override def nullIntolerant: Boolean = true
 
     protected def kernel(a: Array[Float], b: Array[Float]): Float
-    /** Java loop body: assigns the result variable given ArrayData vars. */
-    protected def javaKernel(a: String, b: String, result: String): String
+    /** Java loop body: assigns the result variable given ArrayData vars.
+      * Local names MUST come from `ctx.freshName` — two instances of these
+      * expressions in one whole-stage-codegen'd projection would otherwise
+      * declare duplicate Java locals, fail Janino compilation, and silently
+      * fall back to interpreted eval.
+      */
+    protected def javaKernel(ctx: CodegenContext, a: String, b: String, result: String): String
 
     override def nullSafeEval(l: Any, r: Any): Any =
       kernel(l.asInstanceOf[ArrayData].toFloatArray(),
         r.asInstanceOf[ArrayData].toFloatArray())
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => javaKernel(a, b, ev.value.code))
+      nullSafeCodeGen(ctx, ev, (a, b) => javaKernel(ctx, a, b, ev.value.code))
   }
 
   /** Sequential-f32 cosine similarity (DuckDB `list_cosine_similarity`-exact). */
   private case class CosineSim(left: Expression, right: Expression) extends FloatVecBinary {
     override def prettyName: String = "cosine_similarity"
     protected def kernel(a: Array[Float], b: Array[Float]): Float = scalar.cosineSim(a, b)
-    protected def javaKernel(a: String, b: String, result: String): String =
-      s"""int n = $a.numElements();
-         |float acc = 0f, na = 0f, nb = 0f;
-         |for (int i = 0; i < n; i++) {
-         |  float x = $a.getFloat(i); float y = $b.getFloat(i);
-         |  acc += x * y; na += x * x; nb += y * y;
+    protected def javaKernel(ctx: CodegenContext, a: String, b: String, result: String): String = {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val sim = ctx.freshName("sim")
+      s"""int $n = $a.numElements();
+         |float $acc = 0f, $na = 0f, $nb = 0f;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $x = $a.getFloat($i); float $y = $b.getFloat($i);
+         |  $acc += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |float sim = acc / ((float) Math.sqrt(na) * (float) Math.sqrt(nb));
-         |$result = Math.min(1.0f, Math.max(-1.0f, sim));
+         |float $sim = $acc / ((float) Math.sqrt($na) * (float) Math.sqrt($nb));
+         |$result = Math.min(1.0f, Math.max(-1.0f, $sim));
          |""".stripMargin
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
@@ -63,12 +72,14 @@ object Distances {
   private case class DotF32(left: Expression, right: Expression) extends FloatVecBinary {
     override def prettyName: String = "dot_f32"
     protected def kernel(a: Array[Float], b: Array[Float]): Float = scalar.dot(a, b)
-    protected def javaKernel(a: String, b: String, result: String): String =
-      s"""int n = $a.numElements();
-         |float acc = 0f;
-         |for (int i = 0; i < n; i++) { acc += $a.getFloat(i) * $b.getFloat(i); }
-         |$result = acc;
+    protected def javaKernel(ctx: CodegenContext, a: String, b: String, result: String): String = {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      s"""int $n = $a.numElements();
+         |float $acc = 0f;
+         |for (int $i = 0; $i < $n; $i++) { $acc += $a.getFloat($i) * $b.getFloat($i); }
+         |$result = $acc;
          |""".stripMargin
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
@@ -76,14 +87,17 @@ object Distances {
   private case class L2Sq(left: Expression, right: Expression) extends FloatVecBinary {
     override def prettyName: String = "l2_sq"
     protected def kernel(a: Array[Float], b: Array[Float]): Float = scalar.l2Sq(a, b)
-    protected def javaKernel(a: String, b: String, result: String): String =
-      s"""int n = $a.numElements();
-         |float acc = 0f;
-         |for (int i = 0; i < n; i++) {
-         |  float d = $a.getFloat(i) - $b.getFloat(i); acc += d * d;
+    protected def javaKernel(ctx: CodegenContext, a: String, b: String, result: String): String = {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""int $n = $a.numElements();
+         |float $acc = 0f;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $d = $a.getFloat($i) - $b.getFloat($i); $acc += $d * $d;
          |}
-         |$result = acc;
+         |$result = $acc;
          |""".stripMargin
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 

@@ -37,18 +37,25 @@ object SparseOps {
       acc
     }
 
+    // Locals via ctx.freshName: two sparse_dot calls in one codegen'd
+    // projection must not declare duplicate Java variables (Janino failure
+    // → silent interpreted fallback).
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (ia, va, ib, vb) =>
-        s"""int a = 0, b = 0;
-           |int na = $ia.numElements(), nb = $ib.numElements();
-           |float acc = 0f;
-           |while (a < na && b < nb) {
-           |  int x = $ia.getInt(a), y = $ib.getInt(b);
-           |  if (x == y) { acc += $va.getFloat(a) * $vb.getFloat(b); a++; b++; }
-           |  else if (x < y) a++; else b++;
+      nullSafeCodeGen(ctx, ev, (ia, va, ib, vb) => {
+        val a = ctx.freshName("a"); val b = ctx.freshName("b")
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val acc = ctx.freshName("acc"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""int $a = 0, $b = 0;
+           |int $na = $ia.numElements(), $nb = $ib.numElements();
+           |float $acc = 0f;
+           |while ($a < $na && $b < $nb) {
+           |  int $x = $ia.getInt($a), $y = $ib.getInt($b);
+           |  if ($x == $y) { $acc += $va.getFloat($a) * $vb.getFloat($b); $a++; $b++; }
+           |  else if ($x < $y) $a++; else $b++;
            |}
-           |${ev.value} = acc;
-           |""".stripMargin)
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
 
     override protected def withNewChildrenInternal(
         a: Expression, b: Expression, c: Expression, d: Expression) =

@@ -37,19 +37,34 @@ object Dedup {
       .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
   }
 
-  /** Exact n-gram Jaccard pairs with similarity >= `threshold`, via an
-    * inverted-index join on shingles (df-capped at `maxDf`).
+  /** Shingles with document frequency above this carry ~no similarity
+    * signal but drive the df² pair blowup in the inverted-index join; the
+    * default cap is set where it actually fires on skewed corpora (a real
+    * protection, not a vacuous bound). [[graft.queries.DedupPack]] mirrors
+    * the same cap in its DuckDB oracle so results stay hash-exact even
+    * when shingles are dropped.
+    */
+  val DefaultMaxDf: Long = 10000L
+
+  /** N-gram Jaccard pairs with similarity >= `threshold`, via an
+    * inverted-index join on shingles (df-capped at `maxDf`; dropped
+    * shingles only reduce the intersection count, set sizes stay full —
+    * the estimate is precision-biased).
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
-      maxDf: Long = 1000000L): DataFrame = {
+      maxDf: Long = DefaultMaxDf): DataFrame = {
     // cache: the shingle table is referenced 4x below (both join sides,
     // sizes, df filter) — without it the tokenize+shingle scan re-runs
     // per reference. At cluster scale this is a persisted temp table.
     val sh = withShingles(docs, n).cache()
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
-    val rare = ex0.groupBy("sg").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("sg")
+    val dfreq = ex0.groupBy("sg").agg(count(lit(1)).as("df")).cache()
+    val dropped = dfreq.filter(col("df") > maxDf).count()
+    if (dropped > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+        .warn(s"jaccardPairs: dropping $dropped shingles with df > $maxDf")
+    val rare = dfreq.filter(col("df") <= maxDf).select("sg")
     val ex = ex0.join(broadcast(rare), "sg")
     val a = ex.as("a"); val b = ex.as("b")
     val inter = a.join(b,

@@ -22,7 +22,10 @@ object SimilarityJoin {
       space: String = "cosine"): DataFrame = {
     val topk = udaf(new Knn.TopKAgg(k))
     val dist = Distances.distance(space)(col("embedding"), col("l_embedding"))
-    right.crossJoin(left.select(col("left_id"), col("embedding").as("l_embedding")))
+    // broadcast the (small) left/query side: the candidate scan stays
+    // shuffle-free and the cartesian is a BroadcastNestedLoopJoin, same as
+    // Knn.exact.
+    right.crossJoin(broadcast(left.select(col("left_id"), col("embedding").as("l_embedding"))))
       .select(col("left_id"), col("offset_id"), dist.as("dist"))
       .groupBy(col("left_id"))
       .agg(topk(col("offset_id"), col("dist")).as("nn"))

@@ -30,10 +30,14 @@ object RegexPrefilter extends Rule[LogicalPlan] {
 
   /** Longest literal run that every match must contain. Conservative: a
     * char adjacent to any metacharacter is dropped (quantifiers make the
-    * preceding char optional; alternations/classes void the run).
+    * preceding char optional), and any pattern containing alternation,
+    * escapes, groups, or character classes bails out entirely — a group
+    * may be optional (`(abc)?xyz`) and a class (`ab[x-z]cd`) is not a
+    * literal, so runs inside or adjacent to them are NOT mandatory.
     */
   private[graft] def mandatoryLiteral(pattern: String): Option[String] = {
-    if (pattern.exists(c => c == '|' || c == '\\')) return None // alternation/escapes: bail
+    if (pattern.exists(c => c == '|' || c == '\\' || c == '(' || c == '['))
+      return None // alternation/escapes/groups/classes: bail
     val runs = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     val chars = pattern.toCharArray

@@ -59,7 +59,10 @@ object DedupPack extends QueryPack {
 
     "dd_ngram_jaccard" ->
       s"""WITH $sqlShingles,
-         |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         |ex0 AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         |dfreq AS (SELECT sg FROM ex0 GROUP BY sg
+         |          HAVING count(*) <= ${graft.operators.Dedup.DefaultMaxDf}),
+         |ex AS (SELECT ex0.doc_id, ex0.sg FROM ex0 JOIN dfreq USING (sg)),
          |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
          |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2),

@@ -103,7 +103,7 @@ object VectorSearch extends QueryPack {
         Seq("offset_id"))
       GroupedTopK(labeled, Seq(col("label")), Seq(col("dist"), col("offset_id")), k = 2)
         .select(col("label"), col("group_rank").cast("long").as("group_rank"),
-          col("offset_id").as("vec_id"), col("dist"))
+          col("offset_id").as("vec_id"), col("dist").cast("float").as("dist"))
         .orderBy(col("label"), col("group_rank"))
     },
     // SPANN-style IVF ANN (approximate → rows-only here; recall >= 0.95

@@ -37,4 +37,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("cosine_similarity"), p.take(800))
     assert(!p.toLowerCase.contains("batchevalpython"))
   }
+
+  test("similarity join: left/query side broadcasts (no candidate shuffle)") {
+    val p = plan("vs_similarity_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("partial_topkagg"), "per-left top-k must be a partial aggregate")
+  }
+
+  test("two distance kernels in one codegen'd projection compile (freshName locals)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Distances
+    import SparkTestSession.spark.implicits._
+    // Duplicate fixed locals would fail Janino and silently fall back to
+    // interpreted eval; with CODEGEN_FACTORY_MODE default this still returns
+    // correct values, so assert correctness AND force codegen-only.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq((Seq(1f, 0f), Seq(1f, 1f))).toDF("a", "b")
+        .select(
+          Distances.cosineSimilarity(col("a"), col("b")).as("c1"),
+          Distances.cosineSimilarity(col("b"), col("a")).as("c2"),
+          Distances.l2Squared(col("a"), col("b")).as("l1"),
+          Distances.l2Squared(col("b"), col("a")).as("l2"),
+          graft.functions.SparseOps.sparseDot(
+            array(lit(1), lit(3)), array(lit(1f), lit(2f)),
+            array(lit(1), lit(3)), array(lit(1f), lit(2f))).as("s1"),
+          graft.functions.SparseOps.sparseDot(
+            array(lit(2)), array(lit(5f)),
+            array(lit(2)), array(lit(3f))).as("s2"))
+      val r = df.collect()(0)
+      assert(math.abs(r.getFloat(0) - r.getFloat(1)) < 1e-6f)
+      assert(r.getFloat(2) == 1f && r.getFloat(3) == 1f)
+      assert(r.getFloat(4) == 5f && r.getFloat(5) == 15f)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }
