@@ -16,17 +16,30 @@ import org.apache.spark.sql.types.{DataType, FloatType}
   */
 object SparseOps {
 
-  /** dot((ia, va), (ib, vb)) with both index arrays sorted ascending. */
+  /** dot((ia, va), (ib, vb)) with both index arrays sorted ascending.
+    * Index arrays may be `ARRAY<INT>` (bounded dictionary ids) or
+    * `ARRAY<BIGINT>` (xxhash64'd unbounded-vocabulary ids) — both sides
+    * must use the same type.
+    */
   private case class SparseDot(first: Expression, second: Expression,
       third: Expression, fourth: Expression) extends QuaternaryExpression {
     override def dataType: DataType = FloatType
     override def prettyName: String = "sparse_dot"
     override def nullIntolerant: Boolean = true
 
+    private def longIndices: Boolean = first.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+
     override protected def nullSafeEval(ia: Any, va: Any, ib: Any, vb: Any): Any = {
-      val i1 = ia.asInstanceOf[ArrayData].toIntArray()
+      val i1: Array[Long] =
+        if (longIndices) ia.asInstanceOf[ArrayData].toLongArray()
+        else ia.asInstanceOf[ArrayData].toIntArray().map(_.toLong)
       val v1 = va.asInstanceOf[ArrayData].toFloatArray()
-      val i2 = ib.asInstanceOf[ArrayData].toIntArray()
+      val i2: Array[Long] =
+        if (longIndices) ib.asInstanceOf[ArrayData].toLongArray()
+        else ib.asInstanceOf[ArrayData].toIntArray().map(_.toLong)
       val v2 = vb.asInstanceOf[ArrayData].toFloatArray()
       var a = 0; var b = 0; var acc = 0f
       while (a < i1.length && b < i2.length) {
@@ -45,11 +58,12 @@ object SparseOps {
         val a = ctx.freshName("a"); val b = ctx.freshName("b")
         val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
         val acc = ctx.freshName("acc"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        val (jty, getter) = if (longIndices) ("long", "getLong") else ("int", "getInt")
         s"""int $a = 0, $b = 0;
            |int $na = $ia.numElements(), $nb = $ib.numElements();
            |float $acc = 0f;
            |while ($a < $na && $b < $nb) {
-           |  int $x = $ia.getInt($a), $y = $ib.getInt($b);
+           |  $jty $x = $ia.$getter($a), $y = $ib.$getter($b);
            |  if ($x == $y) { $acc += $va.getFloat($a) * $vb.getFloat($b); $a++; $b++; }
            |  else if ($x < $y) $a++; else $b++;
            |}

@@ -12,6 +12,16 @@ import scala.collection.mutable
   * provably-losing documents — so the output is hash-identical to the
   * brute-force scorer.
   *
+  * On top of the per-list global upper bounds, posting lists carry
+  * per-block maxima (Block-Max WAND refinement, `sparse/maxscore.rs`
+  * block structure): the abandonment check for a candidate doc uses the
+  * max weight of the block containing that doc instead of the whole-list
+  * max, which is much tighter on lists whose heavy entries cluster — and
+  * the subsequent lookup binary-searches only within that block.
+  *
+  * Term ids are LONG (xxhash64 of the term — unbounded vocabulary, no
+  * global dictionary sort; see `queries/SparsePack`).
+  *
   * Spark shape: posting lists partitioned by doc hash; each partition runs
   * MaxScore locally over its term→postings map and emits its top-k; the
   * global merge is the same bounded aggregate as KNN. Per-partition
@@ -21,21 +31,54 @@ import scala.collection.mutable
   */
 object MaxScore {
 
+  /** Docs per block for the block-max structure. */
+  private[graft] val BlockSize = 64
+
+  private final case class PList(docs: Array[Long], ws: Array[Float],
+      qw: Float, ub: Float, blockLastDoc: Array[Long], blockMax: Array[Float])
+
+  private def buildPList(docs: Array[Long], ws: Array[Float], qw: Float): PList = {
+    var mx = 0f; var i = 0
+    while (i < ws.length) { if (ws(i) > mx) mx = ws(i); i += 1 }
+    val nBlocks = (docs.length + BlockSize - 1) / BlockSize
+    val blockLastDoc = new Array[Long](nBlocks)
+    val blockMax = new Array[Float](nBlocks)
+    var b = 0
+    while (b < nBlocks) {
+      val end = math.min((b + 1) * BlockSize, docs.length)
+      blockLastDoc(b) = docs(end - 1)
+      var bm = 0f; var j = b * BlockSize
+      while (j < end) { if (ws(j) > bm) bm = ws(j); j += 1 }
+      blockMax(b) = bm
+      b += 1
+    }
+    PList(docs, ws, qw, qw * mx, blockLastDoc, blockMax)
+  }
+
+  /** Block index containing `doc` (first block with lastDoc >= doc), or -1
+    * if doc is past the list's end.
+    */
+  private def blockOf(p: PList, doc: Long): Int = {
+    var lo = 0; var hi = p.blockLastDoc.length - 1
+    if (hi < 0 || doc > p.blockLastDoc(hi)) return -1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (p.blockLastDoc(mid) < doc) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   /** Local MaxScore: postings = term -> sorted (doc, weight) arrays. */
   private[graft] def topkLocal(
-      postings: Map[Int, (Array[Long], Array[Float])],
-      query: Seq[(Int, Float)], k: Int): Seq[(Long, Float)] = {
-    val terms = query.filter(q => postings.contains(q._1))
-      .map { case (t, qw) =>
-        val (docs, ws) = postings(t)
-        var mx = 0f; var i = 0
-        while (i < ws.length) { if (ws(i) > mx) mx = ws(i); i += 1 }
-        (docs, ws, qw, qw * mx)
-      }
-      .sortBy(_._4) // ascending upper bound
+      postings: Map[Long, (Array[Long], Array[Float])],
+      query: Seq[(Long, Float)], k: Int): Seq[(Long, Float)] = {
+    val terms: Array[PList] = query.filter(q => postings.contains(q._1))
+      .map { case (t, qw) => val (docs, ws) = postings(t); buildPList(docs, ws, qw) }
+      .sortBy(_.ub) // ascending upper bound
+      .toArray
     if (terms.isEmpty) return Nil
     val n = terms.length
-    val ubPrefix = terms.scanLeft(0f)((acc, t) => acc + t._4).toArray // len n+1
+    val ubPrefix = terms.scanLeft(0f)((acc, t) => acc + t.ub) // len n+1
     val cursor = Array.fill(n)(0)
     // min-heap of current top-k (score, doc) — threshold = heap head
     val heap = mutable.PriorityQueue[(Float, Long)]()(Ordering.by(s => (-s._1, s._2)))
@@ -51,13 +94,18 @@ object MaxScore {
       essentialFrom = j
     }
 
+    // scratch: per-candidate block index and block-max prefix for the
+    // non-essential lists 0..essentialFrom-1
+    val blkIdx = new Array[Int](n)
+    val bmPrefix = new Array[Float](n + 1)
+
     while (essentialFrom < n) {
       // next doc: min current doc across essential lists
       var doc = Long.MaxValue
       var j = essentialFrom
       while (j < n) {
-        val (docs, _, _, _) = terms(j)
-        if (cursor(j) < docs.length && docs(cursor(j)) < doc) doc = docs(cursor(j))
+        val p = terms(j)
+        if (cursor(j) < p.docs.length && p.docs(cursor(j)) < doc) doc = p.docs(cursor(j))
         j += 1
       }
       if (doc == Long.MaxValue) { essentialFrom = n }
@@ -66,22 +114,39 @@ object MaxScore {
         var score = 0f
         j = essentialFrom
         while (j < n) {
-          val (docs, ws, qw, _) = terms(j)
-          if (cursor(j) < docs.length && docs(cursor(j)) == doc) {
-            score += qw * ws(cursor(j)); cursor(j) += 1
+          val p = terms(j)
+          if (cursor(j) < p.docs.length && p.docs(cursor(j)) == doc) {
+            score += p.qw * p.ws(cursor(j)); cursor(j) += 1
           }
           j += 1
         }
-        // non-essential lookups with early abandon: current bound =
-        // actual score so far + upper bounds of lists not yet looked up
+        // Block-max bounds for the non-essential lists: bmPrefix(l) =
+        // Σ_{i<l} qw_i * blockMax_i(doc) — tighter than ubPrefix because it
+        // bounds only the block that could contain this doc.
+        var l = 0
+        while (l < essentialFrom) {
+          val b = blockOf(terms(l), doc)
+          blkIdx(l) = b
+          bmPrefix(l + 1) = bmPrefix(l) + (if (b < 0) 0f else terms(l).qw * terms(l).blockMax(b))
+          l += 1
+        }
+        // non-essential lookups with early abandon on the block-max bound:
+        // current bound = actual score so far + block-max bounds of lists
+        // not yet looked up. Abandonment only skips provably-losing docs —
+        // surviving docs are fully evaluated, so results stay exact.
         var jj = essentialFrom - 1
         var abandoned = false
         while (jj >= 0 && !abandoned) {
-          if (heap.size >= k && score + ubPrefix(jj + 1) < threshold) abandoned = true
+          if (heap.size >= k && score + bmPrefix(jj + 1) < threshold) abandoned = true
           else {
-            val (docs, ws, qw, _) = terms(jj)
-            val idx = java.util.Arrays.binarySearch(docs, doc)
-            if (idx >= 0) score += qw * ws(idx)
+            val b = blkIdx(jj)
+            if (b >= 0) {
+              val p = terms(jj)
+              val from = b * BlockSize
+              val to = math.min((b + 1) * BlockSize, p.docs.length)
+              val idx = java.util.Arrays.binarySearch(p.docs, from, to, doc)
+              if (idx >= 0) score += p.qw * p.ws(idx)
+            }
             jj -= 1
           }
         }
@@ -98,20 +163,20 @@ object MaxScore {
     heap.toSeq.sortBy(s => (-s._1, s._2)).map { case (s, d) => (d, s) }
   }
 
-  /** Distributed exact sparse top-k: postings (term_id INT, doc_id LONG,
+  /** Distributed exact sparse top-k: postings (term_id LONG, doc_id LONG,
     * w FLOAT) sharded by doc; query broadcast; per-shard MaxScore + merge.
     * Output: (doc_id, score) top-k by (score desc, doc_id).
     */
-  def topk(postings: DataFrame, query: Seq[(Int, Float)], k: Int): DataFrame = {
+  def topk(postings: DataFrame, query: Seq[(Long, Float)], k: Int): DataFrame = {
     val spark = postings.sparkSession
     val qB = spark.sparkContext.broadcast(query)
     val local = postings
       .repartition(col("doc_id"))
       .select(col("term_id"), col("doc_id"), col("w")).rdd
       .mapPartitions { it =>
-        val byTerm = mutable.HashMap[Int, mutable.ArrayBuffer[(Long, Float)]]()
+        val byTerm = mutable.HashMap[Long, mutable.ArrayBuffer[(Long, Float)]]()
         it.foreach { r =>
-          byTerm.getOrElseUpdate(r.getInt(0), mutable.ArrayBuffer())
+          byTerm.getOrElseUpdate(r.getLong(0), mutable.ArrayBuffer())
             .append((r.getLong(1), r.getFloat(2)))
         }
         val p = byTerm.map { case (t, buf) =>

@@ -4,18 +4,18 @@ import graft.Tables
 import graft.functions.SparseOps
 import graft.operators.TextStats
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sparse retrieval surface: IDF (`operators/idf.rs:24-56`), BM25 scoring
   * (`chromadb/utils/embedding_functions/bm25_embedding_function.py`), and
   * sparse-dot KNN (`rust/index/src/sparse/reader.rs`) over `documents`.
   *
-  * Sparse vectors here are term-frequency vectors over a sorted global
-  * term dictionary (`term_id = dense rank of term`) — integer values, so
+  * Sparse vectors here are term-frequency vectors with hash-assigned ids
+  * (`term_id = xxhash64(term)` — unbounded vocabulary, no global
+  * dictionary sort, no single-partition window). Values are integer tf, so
   * f32 accumulation in [[SparseOps.sparseDot]] is exact and matches the
-  * DuckDB oracle's integer sums bit-for-bit. The unbounded-vocab variant
-  * (hash-indexed, no dictionary) swaps the rank join for `xxhash64`.
+  * DuckDB oracle's integer sums bit-for-bit; scores depend only on term
+  * equality, so hashed ids leave results unchanged.
   *
   * ln() differs by <=1 ulp across libm implementations → idf/bm25 scores
   * are rounded to 6 places on both sides.
@@ -70,24 +70,20 @@ object SparsePack extends QueryPack {
 
     // Sparse KNN: top-20 docs by sparse dot against the query's tf vector,
     // through the codegen'd merge-intersection SparseDot expression.
+    // Unbounded-vocabulary ids: term_id = xxhash64(term) — no global
+    // dictionary, no single-partition sort window, and the query-side ids
+    // are constant-folded literals (zero driver round-trips). Scores only
+    // depend on term EQUALITY, so hashed ids leave results unchanged.
     "sp_sparse_knn" -> { (s, d) =>
-      val tf = termFreqs(s, d)
-      // global sorted term dictionary; cached — referenced by both the doc
-      // vectors and the query-term lookup. (Scale path for unbounded
-      // vocab: term_id = xxhash64(term), no global sort.)
-      val dict = tf.select("term").distinct()
-        .withColumn("term_id", row_number().over(Window.orderBy("term")))
-        .cache()
-      val docVecs = tf.join(dict, "term")
+      val tf = termFreqs(s, d).withColumn("term_id", xxhash64(col("term")))
+      val docVecs = tf
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("term_id"), col("tf")))).as("p"))
         .select(col("doc_id"),
           col("p.term_id").as("indices"),
           col("p.tf").cast("array<float>").as("values"))
-      val qIds = dict.filter(col("term").isin(queryTerms: _*))
-        .orderBy("term_id").collect().map(_.getInt(1))
-      val qi = array(qIds.map(i => lit(i)): _*)
-      val qv = array(qIds.map(_ => lit(1.0f)): _*)
+      val qi = array_sort(array(queryTerms.map(t => xxhash64(lit(t))): _*))
+      val qv = array(queryTerms.map(_ => lit(1.0f)): _*)
       docVecs
         .select(col("doc_id"),
           SparseOps.sparseDot(col("indices"), col("values"), qi, qv).as("score"))
@@ -96,18 +92,19 @@ object SparsePack extends QueryPack {
         .limit(20)
     },
     // Same top-20 as sp_sparse_knn, but through the MaxScore dynamic-
-    // pruning operator (document-at-a-time with upper-bound skipping —
-    // the reference's sparse/maxscore.rs). Exact → shares the same oracle.
+    // pruning operator (document-at-a-time with block-max upper-bound
+    // skipping — the reference's sparse/maxscore.rs). Exact → shares the
+    // same oracle. The one collect pulls 4 hashed query ids from a
+    // single-row local relation, not from data.
     "sp_sparse_knn_maxscore" -> { (s, d) =>
-      val tf = termFreqs(s, d)
-      val dict = tf.select("term").distinct()
-        .withColumn("term_id", row_number().over(Window.orderBy("term")))
-        .cache()
-      val postings = tf.join(dict, "term")
+      val tf = termFreqs(s, d).withColumn("term_id", xxhash64(col("term")))
+      val postings = tf
         .select(col("term_id"), col("doc_id"), col("tf").cast("float").as("w"))
-      val qIds = dict.filter(col("term").isin(queryTerms: _*))
-        .collect().map(_.getInt(1))
-      graft.operators.MaxScore.topk(postings, qIds.map(i => i -> 1.0f).toSeq, k = 20)
+      val qIds = s.range(1)
+        .select(queryTerms.map(t => xxhash64(lit(t))): _*)
+        .collect()(0)
+      val q = (0 until queryTerms.size).map(i => qIds.getLong(i) -> 1.0f)
+      graft.operators.MaxScore.topk(postings, q, k = 20)
         .select(col("doc_id"), col("score").cast("float").as("score"))
         .orderBy(desc("score"), col("doc_id"))
     },

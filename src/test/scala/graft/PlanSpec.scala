@@ -38,6 +38,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("batchevalpython"))
   }
 
+  test("sparse knn: hashed term ids, no single-partition dictionary window") {
+    for (q <- Seq("sp_sparse_knn", "sp_sparse_knn_maxscore")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must not funnel the vocabulary through a global window\n" + p.take(800))
+    }
+  }
+
   test("similarity join: left/query side broadcasts (no candidate shuffle)") {
     val p = plan("vs_similarity_join")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
