@@ -129,20 +129,52 @@ object Hnsw {
       searchLevel(q, Seq(ep), math.max(efSearch, k), 0)
         .toSeq.sortBy(_._1).take(k).map { case (d, n) => (ids(n), d) }
     }
+
+    /** Compact serialized state — the analogue of the reference persisting
+      * each HNSW segment as a blob (`rust/index/src/hnsw.rs` save/load):
+      * one blob per partition graph, stored in parquet.
+      */
+    def serialize(): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.ObjectOutputStream(bos)
+      out.writeObject((m, space, ids.toArray, vecs.toArray,
+        neighbors.map(_.map(_.toArray).toArray).toArray, entry, maxLevel))
+      out.close()
+      bos.toByteArray
+    }
   }
 
-  /** Distributed search: build a graph per partition, search the broadcast
-    * query batch against each, merge per-partition top-k exactly like
-    * `KnnMerge`. Returns (query_id, rank, offset_id, dist).
-    */
-  def search(candidates: DataFrame, queries: DataFrame, k: Int,
-      space: String = "cosine", m: Int = 16, efConstruction: Int = 100,
-      efSearch: Int = 64): DataFrame = {
-    val spark = candidates.sparkSession
-    val qs = queries.select(col("query_id"), col("q_embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qB = spark.sparkContext.broadcast(qs)
+  object Graph {
+    def deserialize(bytes: Array[Byte]): Graph = {
+      val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+      val (m, space, ids, vecs, nbrs, entry, maxLevel) = in.readObject()
+        .asInstanceOf[(Int, String, Array[Long], Array[Array[Float]],
+          Array[Array[Array[Int]]], Int, Int)]
+      in.close()
+      val dim = if (vecs.nonEmpty) vecs(0).length else 0
+      val g = new Graph(dim, m, 0, 0L, space)
+      g.ids ++= ids
+      g.vecs ++= vecs
+      nbrs.foreach { lvl =>
+        g.neighbors += lvl.map(n => mutable.ArrayBuffer(n.toSeq: _*))
+          .to(mutable.ArrayBuffer)
+      }
+      g.entry = entry
+      g.maxLevel = maxLevel
+      g
+    }
+  }
 
+  /** Compaction-time index build: one graph per input partition, each
+    * serialized to a blob row `(pid, blob)` under `<root>/hnsw/graphs` —
+    * the reference builds HNSW at compaction and serves queries from the
+    * persisted segment (`rust/worker/src/compactor/`, `hnsw.rs` save).
+    * Build is embarrassingly parallel, no shuffle. `root` must be shared
+    * storage on a real cluster.
+    */
+  def buildAndSave(candidates: DataFrame, root: String,
+      m: Int = 16, efConstruction: Int = 100, space: String = "cosine"): Unit = {
+    val spark = candidates.sparkSession
     val perPart = candidates.select(col("offset_id"), col("embedding")).rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val rows = it.toArray
@@ -151,11 +183,41 @@ object Hnsw {
           val dim = rows.head.getSeq[Float](1).length
           val g = new Graph(dim, m, efConstruction, seed = 42L + pid, space)
           rows.foreach(r => g.insert(r.getLong(0), r.getSeq[Float](1).toArray))
-          qB.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, k, efSearch).map { case (id, d) => Row(qid, id, d.toDouble) }
-          }
+          Iterator(Row(pid, g.serialize()))
         }
       }
+    val schema = StructType(Seq(StructField("pid", IntegerType),
+      StructField("blob", BinaryType)))
+    spark.createDataFrame(perPart, schema)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/hnsw/graphs")
+  }
+
+  /** Query-time search over the persisted graphs: queries reach executors
+    * through Spark's broadcast exchange (no collect in engine code), each
+    * graph blob deserializes once per scan partition, per-graph top-k
+    * merges with the same bounded aggregate as `KnnMerge`.
+    * Returns (query_id, rank, offset_id, dist).
+    */
+  def searchSaved(spark: org.apache.spark.sql.SparkSession, root: String,
+      queries: DataFrame, k: Int, efSearch: Int = 64): DataFrame = {
+    val graphs = spark.read.parquet(s"$root/hnsw/graphs")
+    val joined = graphs.crossJoin(
+      broadcast(queries.select(col("query_id"), col("q_embedding"))))
+    val perPart = joined.rdd.mapPartitions { it =>
+      // consecutive rows share a pid (one blob row × all broadcast queries);
+      // deserialize on pid change, not per row
+      var curPid = Int.MinValue
+      var g: Graph = null
+      it.flatMap { r =>
+        val pid = r.getInt(0)
+        if (g == null || pid != curPid) {
+          g = Graph.deserialize(r.getAs[Array[Byte]](1)); curPid = pid
+        }
+        g.search(r.getSeq[Float](3).toArray, k, math.max(efSearch, k))
+          .map { case (id, d) => Row(r.getLong(2), id, d.toDouble) }
+      }
+    }
     val schema = StructType(Seq(StructField("query_id", LongType),
       StructField("offset_id", LongType), StructField("dist", DoubleType)))
     val local = spark.createDataFrame(perPart, schema)
@@ -166,5 +228,19 @@ object Hnsw {
       .select(col("query_id"), posexplode(col("nn")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.oid").as("offset_id"), col("col.dist").as("dist"))
+  }
+
+  /** Ad-hoc one-shot search: build into an ephemeral root, then serve from
+    * it — one code path with the persisted index, no driver round-trip of
+    * queries. Long-lived collections use
+    * [[graft.sources.CollectionStore.hnswServing]] instead so the build
+    * cost amortizes across queries.
+    */
+  def search(candidates: DataFrame, queries: DataFrame, k: Int,
+      space: String = "cosine", m: Int = 16, efConstruction: Int = 100,
+      efSearch: Int = 64): DataFrame = {
+    val root = s"/tmp/graft_index/adhoc/${java.util.UUID.randomUUID()}"
+    buildAndSave(candidates, root, m, efConstruction, space)
+    searchSaved(candidates.sparkSession, root, queries, k, efSearch)
   }
 }

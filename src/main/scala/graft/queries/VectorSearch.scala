@@ -106,20 +106,26 @@ object VectorSearch extends QueryPack {
           col("offset_id").as("vec_id"), col("dist").cast("float").as("dist"))
         .orderBy(col("label"), col("group_rank"))
     },
-    // SPANN-style IVF ANN (approximate → rows-only here; recall >= 0.95
-    // gated in IvfSpec, mirroring invariants.py:281).
+    // SPANN-style IVF ANN served from the PERSISTED index: the k-means fit
+    // + posting write happen once per dataset (compaction-time); the query
+    // only routes + scans the partitioned parquet postings. Approximate →
+    // rows-only here; recall >= 0.95 gated in IvfSpec (invariants.py:281).
     "vs_ann_ivf" -> { (s, d) =>
-      val model = graft.operators.Ivf.build(candidates(s, d), nCentroids = 16, nReplica = 4)
+      val model = graft.sources.CollectionStore.ivfServing(
+        candidates(s, d), graft.sources.CollectionStore.indexRoot(d),
+        nCentroids = 16, nReplica = 4)
       graft.operators.Ivf.search(model, queryVecs(s, d), k = 10, nprobe = 8)
         .select(outCols: _*)
         .orderBy(col("query_id"), col("rank"))
     },
 
-    // Per-partition HNSW graphs + KnnMerge (the reference's default index;
-    // approximate → rows-only, recall >= 0.95 gated in HnswSpec).
+    // Per-partition HNSW graphs + KnnMerge, served from persisted blobs
+    // (the reference's default index, built at compaction; approximate →
+    // rows-only, recall >= 0.95 gated in HnswSpec).
     "vs_ann_hnsw" -> { (s, d) =>
-      graft.operators.Hnsw.search(
-          candidates(s, d).repartition(4), queryVecs(s, d), k = 10)
+      val root = graft.sources.CollectionStore.hnswServing(
+        candidates(s, d).repartition(4), graft.sources.CollectionStore.indexRoot(d))
+      graft.operators.Hnsw.searchSaved(s, root, queryVecs(s, d), k = 10)
         .select(outCols: _*)
         .orderBy(col("query_id"), col("rank"))
     },

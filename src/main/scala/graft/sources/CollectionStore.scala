@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.operators.Ivf
+import graft.operators.{Hnsw, Ivf}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,56 @@ object CollectionStore {
     Ivf.Model(
       centroids = spark.read.parquet(s"$root/ivf/centroids"),
       postings = spark.read.parquet(s"$root/ivf/postings"))
+
+  /** Default persisted-index root for a dataset directory (override with
+    * SPARK_GRAFT_INDEX_DIR; must be shared storage on a real cluster).
+    */
+  def indexRoot(sfDir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_index") + "/" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Build `what` under `root` iff no marker with the same `key` exists —
+    * the compaction-time contract: index build happens once per collection
+    * version, queries only read. The marker is written after a successful
+    * build, so a failed build retries next call.
+    */
+  def ensureBuilt(root: String, what: String, key: String)(build: => Unit): Unit = {
+    val marker = java.nio.file.Paths.get(root, what, "_built")
+    val ok = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == key
+    if (!ok) {
+      build
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, key.getBytes("UTF-8"))
+    }
+  }
+
+  /** Serving IVF model: k-means fit + posting write happen once (keyed on
+    * params + row count); every query reads the partitioned parquet
+    * postings. This is the reference's compactor-builds/query-reads split
+    * (`rust/worker/src/compactor/compaction_manager.rs`,
+    * `rust/index/src/spann/types.rs`).
+    */
+  def ivfServing(vecs: DataFrame, root: String, nCentroids: Int,
+      nReplica: Int = 2, seed: Long = 42L): Ivf.Model = {
+    val key = s"ivf-$nCentroids-$nReplica-$seed-n${vecs.count()}"
+    ensureBuilt(root, "ivf", key) {
+      saveIvf(Ivf.build(vecs, nCentroids, nReplica, seed), root)
+    }
+    loadIvf(vecs.sparkSession, root)
+  }
+
+  /** Serving HNSW: per-partition graphs built + persisted once; use
+    * [[Hnsw.searchSaved]] against the returned root.
+    */
+  def hnswServing(vecs: DataFrame, root: String, m: Int = 16,
+      efConstruction: Int = 100, space: String = "cosine"): String = {
+    val key = s"hnsw-$m-$efConstruction-$space-n${vecs.count()}"
+    ensureBuilt(root, "hnsw", key) {
+      Hnsw.buildAndSave(vecs, root, m, efConstruction, space)
+    }
+    root
+  }
 
   /** Optimistic conditional commit — the reference's conditional
     * transactions (`rust/types/src/conditional_transaction.rs:21-88`):

@@ -28,6 +28,35 @@ class HnswSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"HNSW recall $recall < 0.95")
   }
 
+  test("served HNSW: persisted graphs match recall gate and reuse skips rebuild") {
+    import graft.sources.CollectionStore
+    val root = "/tmp/graft_index/spec_hnsw"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+      .repartition(4)
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "offset_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    CollectionStore.hnswServing(vecs, root)
+    val exact = rs(Knn.exact(
+      Tables.embeddings(spark, sf).select(col("vec_id").as("offset_id"), col("embedding")),
+      queries, 10))
+    val served = rs(Hnsw.searchSaved(spark, root, queries, 10))
+    val recall = (exact & served).size.toDouble / exact.size
+    assert(recall >= 0.95, s"served HNSW recall $recall < 0.95")
+    // reuse: marker matches → second serving call must not rewrite graphs
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, "hnsw", "graphs"))
+    CollectionStore.hnswServing(vecs, root)
+    val mtime2 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, "hnsw", "graphs"))
+    assert(mtime == mtime2, "second serving call rebuilt the persisted graphs")
+    assert(rs(Hnsw.searchSaved(spark, root, queries, 10)) == served)
+  }
+
   test("single graph: self-query returns itself first") {
     val g = new Hnsw.Graph(4, 8, 50, 1L, "l2")
     val rnd = new java.util.Random(7)

@@ -31,6 +31,32 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"IVF recall $recall < 0.95")
   }
 
+  test("served IVF: persisted postings searched without a refit, same recall") {
+    import graft.sources.CollectionStore
+    val root = "/tmp/graft_index/spec_ivf"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "offset_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = CollectionStore.ivfServing(vecs, root, nCentroids = 16, nReplica = 4)
+    val exact = rs(Knn.exact(vecs, queries, 10))
+    val served = rs(Ivf.search(model, queries, 10, nprobe = 8))
+    val recall = (exact & served).size.toDouble / exact.size
+    assert(recall >= 0.95, s"served IVF recall $recall < 0.95")
+    // second call reuses the persisted index (no KMeans refit / rewrite)
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, "ivf", "centroids"))
+    val model2 = CollectionStore.ivfServing(vecs, root, nCentroids = 16, nReplica = 4)
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, "ivf", "centroids")) == mtime,
+      "second serving call refit the index")
+    assert(rs(Ivf.search(model2, queries, 10, nprobe = 8)) == served)
+  }
+
   test("IVF build is deterministic for a fixed seed") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("offset_id"), col("embedding"))
