@@ -112,9 +112,42 @@ object Where {
       if (negated) coalesce(!c, lit(true)) else coalesce(c, lit(false))
 
     case DocRegex(pattern, negated) =>
+      validateRegexSubset(pattern)
       val c = col("document").rlike(pattern)
       if (negated) coalesce(!c, lit(true)) else coalesce(c, lit(false))
 
     case IdIn(ids) => col("id").isin(ids: _*)
+  }
+
+  /** Reject patterns outside the Rust-regex subset the reference accepts
+    * (`rust/types/src/regex/hir.rs:14-26` is the whole allowed surface —
+    * the Rust regex crate has no look-around, no atomic/conditional
+    * groups, no backreferences). Java's `rlike` would happily evaluate
+    * them and silently diverge from the reference, so they fail loudly at
+    * compile/parse time instead.
+    */
+  private[graft] def validateRegexSubset(p: String): Unit = {
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"regex uses $what, which is outside the reference's Rust-regex subset: $p")
+    var i = 0
+    while (i < p.length) {
+      p(i) match {
+        case '\\' =>
+          if (i + 1 < p.length) {
+            val c = p(i + 1)
+            if (c.isDigit && c != '0') fail(s"a backreference \\$c")
+            if (c == 'k') fail("a named backreference \\k")
+          }
+          i += 2
+        case '(' if p.startsWith("(?", i) =>
+          val rest = p.substring(math.min(i + 2, p.length))
+          if (rest.startsWith("=") || rest.startsWith("!")) fail("look-ahead")
+          if (rest.startsWith("<=") || rest.startsWith("<!")) fail("look-behind")
+          if (rest.startsWith(">")) fail("an atomic group")
+          if (rest.startsWith("(")) fail("a conditional group")
+          i += 1
+        case _ => i += 1
+      }
+    }
   }
 }

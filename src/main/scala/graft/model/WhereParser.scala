@@ -37,8 +37,10 @@ object WhereParser {
       case ("$document", JObject(List((op, v)))) => (op, v) match {
         case ("$contains", JString(s))     => DocContains(s, negated = false)
         case ("$not_contains", JString(s)) => DocContains(s, negated = true)
-        case ("$regex", JString(s))        => DocRegex(s, negated = false)
-        case ("$not_regex", JString(s))    => DocRegex(s, negated = true)
+        case ("$regex", JString(s))        =>
+          Where.validateRegexSubset(s); DocRegex(s, negated = false)
+        case ("$not_regex", JString(s))    =>
+          Where.validateRegexSubset(s); DocRegex(s, negated = true)
         case other => throw new IllegalArgumentException(s"bad doc op $other")
       }
       case ("#id", JObject(List(("$in", JArray(ids))))) =>

@@ -158,9 +158,9 @@ object Dedup {
       .select(col("da"), col("db"), col("hamming"))
   }
 
-  /** Exact top-k most-similar embedding pairs (cosine). The 100 TB path
-    * replaces the pair join with LSH/IVF bucketing ([[Ivf]]); exact is the
-    * oracle-checkable baseline.
+  /** Exact top-k most-similar embedding pairs (cosine) — all-pairs
+    * cartesian, O(n²) distance evals. Kept ONLY as the oracle/spec
+    * baseline; the scale path is [[embeddingAnnPairs]].
     */
   def embeddingTopPairs(vecs: DataFrame, k: Int): DataFrame = {
     val a = vecs.select(col("vec_id").as("va"), col("embedding").as("ea"))
@@ -168,6 +168,27 @@ object Dedup {
     a.join(b, col("va") < col("vb"))
       .select(col("va"), col("vb"),
         Distances.cosineSimilarity(col("ea"), col("eb")).as("sim"))
+      .orderBy(col("sim").desc, col("va"), col("vb"))
+      .limit(k)
+  }
+
+  /** Approximate top-k near-duplicate pairs via IVF posting co-membership
+    * — the bucketed 100 TB path (SPANN posting-list locality,
+    * `rust/index/src/spann/types.rs`): candidate pairs are generated ONLY
+    * inside each centroid's posting list (a shuffle-colocated self-join on
+    * `centroid_id`, Σ|list|² work instead of n²), then verified with the
+    * exact cosine kernel. `nReplica` multi-assignment is what catches
+    * near-dups straddling a centroid boundary; recall vs the exact top-k
+    * is gated in DedupSpec (>= 0.9).
+    */
+  def embeddingAnnPairs(model: Ivf.Model, k: Int): DataFrame = {
+    val p = model.postings.select(col("centroid_id"), col("offset_id"), col("embedding"))
+    val a = p.as("a"); val b = p.as("b")
+    a.join(b, col("a.centroid_id") === col("b.centroid_id") &&
+        col("a.offset_id") < col("b.offset_id"))
+      .select(col("a.offset_id").as("va"), col("b.offset_id").as("vb"),
+        Distances.cosineSimilarity(col("a.embedding"), col("b.embedding")).as("sim"))
+      .dropDuplicates("va", "vb") // pairs sharing several lists appear once
       .orderBy(col("sim").desc, col("va"), col("vb"))
       .limit(k)
   }

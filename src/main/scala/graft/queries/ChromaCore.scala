@@ -101,6 +101,18 @@ object ChromaCore extends QueryPack {
         include = Seq("document"))
     },
 
+    // Get: negated document $regex + positive $contains + negated array
+    // $contains — the negation surface (metadata.rs:1775-1781) under the
+    // same two-valued semantics.
+    "cc_doc_not_regex" -> { (s, d) =>
+      docsCollection(s, d).get(
+        where = Some(And(Seq(
+          DocRegex("sort (merge|scan)", negated = true),
+          DocContains("filter", negated = false),
+          ArrContains("tags", VStr("tag2"), negated = true)))),
+        include = Seq("document"))
+    },
+
     // Projection of several metadata keys (Select keys, operator.rs:1787-1794).
     "cc_projection_multi" -> { (s, d) =>
       docsCollection(s, d).get(
@@ -146,6 +158,13 @@ object ChromaCore extends QueryPack {
       """SELECT 'doc-'||doc_id AS id, text AS document FROM documents
         |WHERE regexp_matches(text, 'sort (merge|scan)')
         |  AND NOT contains(text, 'join')
+        |ORDER BY doc_id""".stripMargin,
+
+    "cc_doc_not_regex" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document FROM documents
+        |WHERE NOT regexp_matches(text, 'sort (merge|scan)')
+        |  AND contains(text, 'filter')
+        |  AND doc_id%3<>2
         |ORDER BY doc_id""".stripMargin,
 
     "cc_projection_multi" ->

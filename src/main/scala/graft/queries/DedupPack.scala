@@ -37,6 +37,17 @@ object DedupPack extends QueryPack {
     "dd_emb_top_pairs" -> { (s, d) =>
       Dedup.embeddingTopPairs(Tables.embeddings(s, d), k = 20)
     },
+
+    // Bucketed near-dup pairs over the SAME persisted IVF index the ANN
+    // queries serve from — candidates from posting co-membership, exact
+    // cosine verify. Approximate → rows-only; recall >= 0.9 vs the exact
+    // top-20 gated in DedupSpec.
+    "dd_emb_ann" -> { (s, d) =>
+      val model = graft.sources.CollectionStore.ivfServing(
+        Tables.embeddings(s, d).select(col("vec_id").as("offset_id"), col("embedding")),
+        graft.sources.CollectionStore.indexRoot(d), nCentroids = 16, nReplica = 4)
+      Dedup.embeddingAnnPairs(model, k = 20)
+    },
   )
 
   private val sqlShingles =

@@ -41,6 +41,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding ANN pairs: recall >= 0.9 vs exact top-20, sims exact on candidates") {
+    val vecs = Tables.embeddings(spark, sf)
+    val model = graft.operators.Ivf.build(
+      vecs.select(col("vec_id").as("offset_id"), col("embedding")),
+      nCentroids = 16, nReplica = 4)
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ps(Dedup.embeddingTopPairs(vecs, 20))
+    val ann = ps(Dedup.embeddingAnnPairs(model, 20))
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"embedding ANN pair recall $recall < 0.9")
+    // candidate sims are computed with the exact kernel: any pair reported
+    // by both paths must carry an identical sim value
+    val exactSims = Dedup.embeddingTopPairs(vecs, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getFloat(2)).toMap
+    Dedup.embeddingAnnPairs(model, 20).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactSims.get(key).foreach(s => assert(s == r.getFloat(2)))
+    }
+  }
+
   test("exact dedup: every keep_id is the group minimum and non-dups map to self") {
     val out = Dedup.exact(docs).collect()
     assert(out.forall(r => r.getLong(1) <= r.getLong(0)))

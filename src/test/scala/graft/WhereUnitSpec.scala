@@ -67,6 +67,27 @@ class WhereUnitSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WhereParser.parse("""{"a": {"$bogus": 1}}"""))
   }
 
+  test("parser rejects regexes outside the Rust-regex subset, accepts the subset") {
+    def reject(p: String) = intercept[IllegalArgumentException](
+      WhereParser.parse(s"""{"$$document": {"$$regex": "$p"}}"""))
+    reject("(?=abc)def")        // look-ahead
+    reject("(?!abc)def")        // negative look-ahead
+    reject("(?<=a)b")           // look-behind
+    reject("(?<!a)b")           // negative look-behind
+    reject("(?>ab)c")           // atomic group
+    reject("(a)\\\\1")          // backreference
+    reject("(?<g>a)\\\\k<g>")   // named backreference
+    // the allowed Rust surface parses fine
+    assert(WhereParser.parse("""{"$document": {"$regex": "(?:ab)+c"}}""") ==
+      DocRegex("(?:ab)+c", negated = false))
+    assert(WhereParser.parse("""{"$document": {"$regex": "(?i)abc"}}""") ==
+      DocRegex("(?i)abc", negated = false))
+    assert(WhereParser.parse("""{"$document": {"$not_regex": "(?<name>a)b"}}""") ==
+      DocRegex("(?<name>a)b", negated = true))
+    assert(WhereParser.parse("""{"$document": {"$regex": "a\\0b"}}""") ==
+      DocRegex("a\\0b", negated = false))
+  }
+
   test("parsed where compiles and filters like the hand-built AST") {
     val json = """{"$or": [{"n": {"$gte": 5}}, {"$document": {"$contains": "beta"}}]}"""
     assert(idsFor(WhereParser.parse(json)) == Set("r1", "r2"))
