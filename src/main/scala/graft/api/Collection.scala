@@ -81,6 +81,36 @@ final class Collection(val records: DataFrame) {
       .select(proj: _*)
   }
 
+  /** Sparse KNN plan over a per-key sparse-vector metadata column —
+    * `MetadataValue::SparseVector` (`rust/types/src/metadata.rs:39`) with a
+    * per-key sparse index (`rust/types/src/collection_schema.rs:745-873`),
+    * scored like the sparse-KNN orchestration
+    * (`rust/worker/src/execution/orchestration/sparse_knn.rs:78`):
+    * dot(query, record[key]) via the codegen'd merge-intersection kernel,
+    * top-k by score. `queryVec` is a ONE-ROW DataFrame
+    * (qi ARRAY<BIGINT>, qv ARRAY<FLOAT>) sorted by qi — it broadcasts, so
+    * IDF-scaled weights computed from corpus stats stay in-plan (no
+    * driver round-trip).
+    */
+  def sparseSearch(
+      key: String,
+      queryVec: DataFrame,
+      k: Int,
+      where: Option[Where.Expr] = None,
+      include: Seq[String] = Seq()): DataFrame = {
+    val filtered = where.map(w => records.filter(Where.compile(w))).getOrElse(records)
+    val sv = element_at(col("meta_sparse"), key)
+    val score = graft.functions.SparseOps.sparseDot(
+      sv.getField("indices"), sv.getField("values"), col("_qi"), col("_qv"))
+    filtered
+      .crossJoin(broadcast(queryVec.select(col("qi").as("_qi"), col("qv").as("_qv"))))
+      .select((col("id") +: col("offset_id") +: score.as("#score") +: include.map(col)): _*)
+      .filter(col("#score") > 0)
+      .orderBy(desc("#score"), col("offset_id"))
+      .limit(k)
+      .drop("offset_id")
+  }
+
   /** Search plan — `plan.rs:588`: filter → rank expression over KNN
     * leaves → optional grouped top-k → offset/limit slice → select.
     * Each leaf is (q_embedding, k, space); `Rank.Leaf(i, ...)` in `rank`

@@ -37,6 +37,28 @@ object FacadePack extends QueryPack {
     Tables.embeddings(s, d).filter(col("vec_id") < n)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
 
+  private val sparseTerms = Seq("query", "data", "filter", "spark")
+
+  /** documents as a collection carrying a `tf_bow` sparse vector per record
+    * in `meta_sparse` — `MetadataValue::SparseVector` as a first-class
+    * record column (indices = xxhash64(term), values = term frequency).
+    */
+  def docsSparseCollection(s: SparkSession, d: String): Collection = {
+    val base = ChromaCore.docsCollection(s, d).records
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(graft.operators.TextStats.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("term_id", xxhash64(col("term")))
+    val sv = tf.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("term_id"), col("tf")))).as("p"))
+      .select(col("doc_id").as("offset_id"),
+        struct(col("p.term_id").as("indices"),
+          col("p.tf").cast("array<float>").as("values")).as("sv"))
+    new Collection(
+      base.join(sv, Seq("offset_id"), "left")
+        .withColumn("meta_sparse", map(lit("tf_bow"), col("sv"))).drop("sv"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Knn plan with a JSON-DSL pre-filter (filter-before-KNN order).
     "fc_query_filtered" -> { (s, d) =>
@@ -65,6 +87,45 @@ object FacadePack extends QueryPack {
           element_at(col("meta_int"), "label").as("label"))
         .orderBy(col("score"), col("id"))
     },
+    // Sparse KNN through the facade: tf_bow sparse column, where-filtered
+    // (filter-before-KNN), plain tf weights — integer-valued f32 sums are
+    // exact, so the oracle hash-matches.
+    "fc_sparse_search" -> { (s, d) =>
+      val where = WhereParser.parse("""{"lang": {"$eq": "en"}}""")
+      val qv = s.range(1).select(
+        array_sort(array(sparseTerms.map(t => xxhash64(lit(t))): _*)).as("qi"),
+        array(sparseTerms.map(_ => lit(1.0f)): _*).as("qv"))
+      docsSparseCollection(s, d)
+        .sparseSearch("tf_bow", qv, k = 20, where = Some(where))
+        .select(col("id"), col("#score").cast("float").as("score"))
+    },
+
+    // Same, with BM25-IDF-scaled query weights computed IN-PLAN from
+    // corpus document frequencies (the reference's Idf operator feeding
+    // sparse KNN). Weights quantize to 1/64 steps so every product and
+    // the <=4-term sum are exactly representable in f32 — bit-identical
+    // to the DuckDB oracle's double arithmetic.
+    "fc_sparse_idf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val termIds = s.range(1).select(explode(array(
+        sparseTerms.map(t => struct(xxhash64(lit(t)).as("term_id"), lit(t).as("term"))): _*)).as("t"))
+        .select(col("t.term_id"), col("t.term"))
+      val df = docs
+        .select(col("doc_id"), explode(graft.operators.TextStats.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .join(broadcast(termIds), "term")
+        .groupBy("term_id").agg(count(lit(1)).as("df"))
+      val qv = df.crossJoin(broadcast(n))
+        .withColumn("w",
+          (floor(log((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * 64.0) / 64.0).cast("float"))
+        .agg(sort_array(collect_list(struct(col("term_id"), col("w")))).as("p"))
+        .select(col("p.term_id").as("qi"), col("p.w").as("qv"))
+      docsSparseCollection(s, d)
+        .sparseSearch("tf_bow", qv, k = 20)
+        .select(col("id"), col("#score").cast("float").as("score"))
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -81,6 +142,31 @@ object FacadePack extends QueryPack {
         |      FROM d)
         |SELECT query_id, rank, dist, 'vec-'||vec_id AS id FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "fc_sparse_search" ->
+      """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM
+        |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |       x -> x <> '') AS t FROM documents WHERE lang='en')),
+        |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2)
+        |SELECT 'doc-'||doc_id AS id, CAST(sum(tf) AS FLOAT) AS score
+        |FROM freq WHERE term IN ('query','data','filter','spark')
+        |GROUP BY doc_id HAVING sum(tf) > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "fc_sparse_idf" ->
+      """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM
+        |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |       x -> x <> '') AS t FROM documents)),
+        |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |idf AS (SELECT term,
+        |          floor(ln(((SELECT n FROM n) - count(*) + 0.5) / (count(*) + 0.5) + 1.0)
+        |            * 64) / 64 AS w
+        |        FROM freq WHERE term IN ('query','data','filter','spark') GROUP BY term)
+        |SELECT 'doc-'||f.doc_id AS id, CAST(sum(f.tf * idf.w) AS FLOAT) AS score
+        |FROM freq f JOIN idf ON f.term = idf.term
+        |GROUP BY f.doc_id HAVING sum(f.tf * idf.w) > 0
+        |ORDER BY score DESC, f.doc_id LIMIT 20""".stripMargin,
 
     "fc_search_grouped" ->
       """WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
