@@ -39,17 +39,41 @@ object Quantized {
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
       lit(0), (acc, x) => acc + x)
 
-  /** Two-phase KNN: coarse Hamming top-(alpha*k) → exact re-rank top-k.
-    * candidates: (offset_id, embedding); queries: (query_id, q_embedding).
+  /** Multi-bit scalar quantization (`rust/index/src/quantization/
+    * multi_bit.rs`): each dimension → a `bits`-bit level over the fixed
+    * clamp range [lo, hi). Constants default to ±0.5 — exactly binary-
+    * representable, so `floor((x-lo)*scale)` is bit-identical across
+    * engines and the codes are deterministic/oracle-checkable.
     */
-  def search(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      alpha: Int = 5, space: String = "cosine"): DataFrame = {
-    val coded = candidates.withColumn("code", signCode(col("embedding"), dim))
-    val qcoded = queries.withColumn("qcode", signCode(col("q_embedding"), dim))
+  def mbCode(embedding: Column, bits: Int, lo: Double = -0.5,
+      hi: Double = 0.5): Column = {
+    val levels = (1 << bits) - 1
+    val scale = (1 << bits) / (hi - lo)
+    transform(embedding, x =>
+      least(greatest(floor((x.cast("double") - lit(lo)) * lit(scale)), lit(0.0)),
+        lit(levels.toDouble)).cast("int"))
+  }
+
+  /** Coarse distance on multi-bit codes: Σ (la−lb)². Integer math, and —
+    * because dequantized values are `lo + (level+0.5)/scale` — it equals
+    * the squared-L2 of the dequantized (corrected) vectors up to the
+    * constant 1/scale², so the ranking IS the corrected coarse distance's.
+    */
+  def mbCoarseDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0), (acc, x) => acc + x)
+
+  /** Shared two-phase plan: coarse integer distance top-(alpha*k) on the
+    * code column only → exact re-rank of survivors.
+    */
+  private def twoPhase(candidates: DataFrame, queries: DataFrame, k: Int,
+      alpha: Int, space: String,
+      code: Column => Column, coarseDist: (Column, Column) => Column): DataFrame = {
+    val coded = candidates.withColumn("code", code(col("embedding")))
+    val qcoded = queries.withColumn("qcode", code(col("q_embedding")))
     // phase 1: coarse candidates (integer ops only on the code column)
     val coarse = GroupedTopK(
       coded.crossJoin(broadcast(qcoded))
-        .withColumn("hd", hamming(col("code"), col("qcode"))),
+        .withColumn("hd", coarseDist(col("code"), col("qcode"))),
       Seq(col("query_id")), Seq(col("hd"), col("offset_id")), alpha * k)
       .select(col("query_id"), col("offset_id"), col("embedding"), col("q_embedding"))
     // phase 2: exact re-rank of alpha*k survivors
@@ -63,4 +87,20 @@ object Quantized {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.oid").as("offset_id"), col("col.dist").as("dist"))
   }
+
+  /** Two-phase KNN on 1-bit sign codes (Hamming coarse pass).
+    * candidates: (offset_id, embedding); queries: (query_id, q_embedding).
+    */
+  def search(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      alpha: Int = 5, space: String = "cosine"): DataFrame =
+    twoPhase(candidates, queries, k, alpha, space,
+      signCode(_, dim), hamming)
+
+  /** Two-phase KNN on multi-bit codes — tighter coarse bounds than 1-bit
+    * at bits× the code size, same plan shape.
+    */
+  def searchMb(candidates: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 2, alpha: Int = 5, space: String = "cosine"): DataFrame =
+    twoPhase(candidates, queries, k, alpha, space,
+      mbCode(_, bits), mbCoarseDist)
 }

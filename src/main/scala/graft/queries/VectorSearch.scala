@@ -139,6 +139,16 @@ object VectorSearch extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Multi-bit (2-bit) scalar quantization, same two-phase plan with a
+    // corrected coarse distance — tighter than 1-bit at the same alpha.
+    // Deterministic codes → oracle-checked.
+    "vs_quantized_mb" -> { (s, d) =>
+      graft.operators.Quantized.searchMb(candidates(s, d), queryVecs(s, d),
+          k = 10, bits = 2, alpha = 5)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // KNN similarity join: every left row (vec_id < 50) → top-3 right rows.
     "vs_similarity_join" -> { (s, d) =>
       val left = Tables.embeddings(s, d).filter(col("vec_id") < 50)
@@ -259,6 +269,32 @@ object VectorSearch extends QueryPack {
          |         FROM h) WHERE rn <= 50),
          |d AS (SELECT query_id, vec_id,
          |        1.0 - list_cosine_similarity(embedding, qe) AS dist FROM c),
+         |r AS (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |      FROM d)
+         |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "vs_quantized_mb" ->
+      s"""WITH $qcte,
+         |c AS (SELECT vec_id, embedding,
+         |        list_transform(embedding,
+         |          x -> least(greatest(floor((x::DOUBLE + 0.5) * 4), 0), 3)) AS code
+         |      FROM embeddings),
+         |qc AS (SELECT query_id, qe,
+         |        list_transform(qe,
+         |          x -> least(greatest(floor((x::DOUBLE + 0.5) * 4), 0), 3)) AS qcode
+         |      FROM q),
+         |h AS (SELECT query_id, vec_id, embedding, qe,
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (code[i] - qcode[i]) * (code[i] - qcode[i]))) AS hd
+         |      FROM c, qc),
+         |cand AS (SELECT query_id, vec_id, embedding, qe FROM
+         |          (SELECT query_id, vec_id, embedding, qe,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY hd, vec_id) AS rn
+         |           FROM h) WHERE rn <= 50),
+         |d AS (SELECT query_id, vec_id,
+         |        1.0 - list_cosine_similarity(embedding, qe) AS dist FROM cand),
          |r AS (SELECT query_id, vec_id, dist,
          |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
          |      FROM d)
