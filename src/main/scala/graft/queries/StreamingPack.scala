@@ -22,8 +22,9 @@ object StreamingPack extends QueryPack {
     "st_sessionize_stateful" -> { (s, d) =>
       val out = EventStream.runToTable(
         EventStream.sessionize(EventStream.readEvents(s, d)).toDF(),
-        OutputMode.Append())
-      out.orderBy(col("user_id"), col("session_seq"))
+        OutputMode.Update())
+      EventStream.latestSessions(out)
+        .orderBy(col("user_id"), col("session_seq"))
     },
   )
 

@@ -16,9 +16,9 @@ import org.apache.spark.sql.types._
   * `Trigger.AvailableNow` + a memory sink, processed synchronously —
   * the batch DuckDB oracle must match the streamed result exactly.
   */
-object EventStream {
+object EventStream extends Serializable {
 
-  private val eventsSchema = StructType(Seq(
+  private[graft] val eventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType), // nanos
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
@@ -70,8 +70,19 @@ object EventStream {
     BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Stateful sessionization: 30-min-gap sessions per user via
-    * flatMapGroupsWithState. State carries (next seq, last session tail) so
-    * sessions stitch correctly across micro-batches.
+    * flatMapGroupsWithState, correct across micro-batches.
+    *
+    * State carries (next session seq, events of the still-OPEN trailing
+    * session). Each batch re-splits carried-tail + new events: every run
+    * except the last is closed by a gap and emits its final row; the last
+    * run stays in state AND emits its current snapshot under its final
+    * session_seq, so the output is complete even when the stream ends with
+    * the session open. A later batch that extends the tail re-emits the
+    * same (user_id, session_seq) with more events — Update-mode semantics;
+    * [[latestSessions]] materializes last-write-wins, exactly the
+    * materialization rule the write path already uses (wp_materialize_lww).
+    * Assumes per-user cross-batch event-time order (a WAL replay), the
+    * reference's `completion_offset` contract.
     */
   def sessionize(events: DataFrame): Dataset[Session] = {
     val spark = events.sparkSession
@@ -83,24 +94,38 @@ object EventStream {
     def fn(userId: Long, it: Iterator[Ev],
         state: GroupState[(Long, Seq[Ev])]): Iterator[Session] = {
       val (seq0, carried) = state.getOption.getOrElse((1L, Seq.empty[Ev]))
-      val evsSorted = (carried ++ it).sortBy(e => (e.tsMs, e.event_id))
-      if (evsSorted.isEmpty) Iterator.empty
+      val incoming = it.toVector
+      if (incoming.isEmpty) Iterator.empty
       else {
+        val evsSorted = (carried ++ incoming).sortBy(e => (e.tsMs, e.event_id))
         // split into gap-separated runs
-        val sessions = evsSorted.tail.foldLeft(Vector(Vector(evsSorted.head))) {
+        val runs = evsSorted.tail.foldLeft(Vector(Vector(evsSorted.head))) {
           (acc, e) =>
             if (e.tsMs - acc.last.last.tsMs > gapMs) acc :+ Vector(e)
             else acc.init :+ (acc.last :+ e)
         }
-        // with AvailableNow all data is in one batch: emit everything
-        state.update((seq0 + sessions.length, Seq.empty))
-        sessions.iterator.zipWithIndex.map { case (s, i) =>
-          Session(userId, seq0 + i, s.length,
+        val closed = runs.init
+        val tail = runs.last
+        state.update((seq0 + closed.length, tail))
+        def toSession(s: Vector[Ev], seq: Long): Session =
+          Session(userId, seq, s.length,
             s.last.tsMs - s.head.tsMs, round2(s.map(_.value).sum))
-        }
+        (closed.zipWithIndex.map { case (s, i) => toSession(s, seq0 + i) } :+
+          toSession(tail, seq0 + closed.length)).iterator
       }
     }
     evs.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(fn)
   }
+
+  /** Materialize the Update-mode sessionize output: keep the latest
+    * snapshot per (user_id, session_seq). `n_events` grows monotonically
+    * for an extended tail, so max_by(n_events) IS last-write-wins.
+    */
+  def latestSessions(out: DataFrame): DataFrame =
+    out.groupBy(col("user_id"), col("session_seq"))
+      .agg(max_by(struct(col("n_events"), col("duration_ms"), col("sum_value")),
+        col("n_events")).as("s"))
+      .select(col("user_id"), col("session_seq"),
+        col("s.n_events"), col("s.duration_ms"), col("s.sum_value"))
 }

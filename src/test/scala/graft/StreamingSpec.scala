@@ -1,0 +1,99 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-batch correctness of the stateful sessionizer: the same events
+  * split over MULTIPLE micro-batches must produce exactly the sessions a
+  * batch computation finds — sessions straddling a batch boundary stitch
+  * through the carried state instead of splitting.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sessionize stitches sessions across micro-batch boundaries") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventStream.eventsSchema)
+      .parquet(s"$sf/events.parquet")
+
+    // stage as TWO files split by ts → maxFilesPerTrigger=1 forces two
+    // micro-batches with the boundary in the middle of active sessions
+    val stage = "/tmp/graft_stream/spec_multibatch"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    raw.repartitionByRange(2, col("ts")).write.parquet(stage)
+
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = EventStream.runToTable(
+      EventStream.sessionize(stream).toDF(), OutputMode.Update())
+    val got = EventStream.latestSessions(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+
+    // batch expectation: same gap-split computed locally
+    val gapMs = 30L * 60 * 1000
+    val byUser = raw
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("tsMs"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val want = byUser.flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._2)).toVector
+      val runs = sorted.tail.foldLeft(Vector(Vector(sorted.head))) { (acc, e) =>
+        if (e._3 - acc.last.last._3 > gapMs) acc :+ Vector(e)
+        else acc.init :+ (acc.last :+ e)
+      }
+      runs.zipWithIndex.map { case (s, i) =>
+        (uid, (i + 1).toLong, s.length.toLong, s.last._3 - s.head._3,
+          BigDecimal(s.map(_._4).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toSet
+    assert(got == want,
+      s"streamed-sessions != batch-sessions; missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("a session straddling the batch boundary stitches (synthetic)") {
+    import SparkTestSession.spark.implicits._
+    val min = 60L * 1000_000_000L // one minute in nanos
+    // user 1: 4 events with <=30min gaps, split 2|2 across files → ONE
+    // session of 4; user 2: far-apart events → two singleton sessions
+    val fileA = Seq(
+      (1L, 0L * min, 1L, "c", 1.0, ""), (2L, 10L * min, 1L, "c", 1.0, ""),
+      (3L, 0L * min, 2L, "c", 1.0, ""))
+    val fileB = Seq(
+      (4L, 20L * min, 1L, "c", 1.0, ""), (5L, 35L * min, 1L, "c", 1.0, ""),
+      (6L, 200L * min, 2L, "c", 1.0, ""))
+    val stage = new java.io.File("/tmp/graft_stream/spec_synth")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    stage.mkdirs()
+    def writeOne(rows: Seq[(Long, Long, Long, String, Double, String)], name: String,
+        mtime: Long): Unit = {
+      val tmp = new java.io.File(stage, s"_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp.getPath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stage, s"$name.parquet")
+      org.apache.commons.io.FileUtils.moveFile(part, dst)
+      dst.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    writeOne(fileA, "a", 1000000L)
+    writeOne(fileB, "b", 2000000L)
+
+    val stream = SparkTestSession.spark.readStream
+      .schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.getPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = EventStream.runToTable(
+      EventStream.sessionize(stream).toDF(), OutputMode.Update())
+    val got = EventStream.latestSessions(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, 4L, 35L * 60 * 1000),  // stitched across the boundary
+      (2L, 1L, 1L, 0L), (2L, 2L, 1L, 0L)), s"got $got")
+  }
+}
