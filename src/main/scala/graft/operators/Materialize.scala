@@ -37,19 +37,27 @@ object Materialize {
   /** A materialized record. */
   case class Rec(id: String, document: Option[String], meta: Map[String, String])
 
+  /** A null metadata VALUE is a tombstone: in Update it removes the key
+    * from the live record (the reference's `UpdateMetadataValue::None`,
+    * `rust/types/src/metadata.rs` update semantics); in Add/Upsert a
+    * null-valued key is simply absent.
+    */
   private def fold(ops: Iterator[LogOp]): Iterator[Rec] = {
     val sorted = ops.toSeq.sortBy(_.log_offset)
     var cur: Option[Rec] = None
     sorted.foreach { o =>
       o.op match {
         case "Add" =>
-          if (cur.isEmpty) cur = Some(Rec(o.id, o.document, o.meta))
+          if (cur.isEmpty) cur = Some(Rec(o.id, o.document, o.meta.filter(_._2 != null)))
         case "Upsert" =>
-          cur = Some(Rec(o.id, o.document, o.meta))
+          cur = Some(Rec(o.id, o.document, o.meta.filter(_._2 != null)))
         case "Update" =>
-          cur = cur.map(c => Rec(c.id,
-            if (o.document.isDefined) o.document else c.document,
-            c.meta ++ o.meta))
+          cur = cur.map { c =>
+            val (dels, sets) = o.meta.partition(_._2 == null)
+            Rec(c.id,
+              if (o.document.isDefined) o.document else c.document,
+              (c.meta -- dels.keys) ++ sets)
+          }
         case "Delete" =>
           cur = None
         case other => throw new IllegalArgumentException(s"bad op $other")

@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.operators.{Hnsw, Ivf}
+import graft.operators.{Fts, Hnsw, Ivf}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,8 +56,19 @@ object CollectionStore {
   /** Build `what` under `root` iff no marker with the same `key` exists —
     * the compaction-time contract: index build happens once per collection
     * version, queries only read. The marker is written after a successful
-    * build, so a failed build retries next call.
+    * build, so a failed build retries next call. Roots verified once in
+    * this JVM are remembered — a serving process checks its index version
+    * at open, not per query.
     */
+  private val verifiedRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Run `body` (fingerprint + ensureBuilt) once per (root, params) per
+    * JVM — the open-the-index-once step of a serving process.
+    */
+  private def once(memo: String)(body: => Unit): Unit = {
+    if (!verifiedRoots.contains(memo)) { body; verifiedRoots.add(memo) }
+  }
+
   def ensureBuilt(root: String, what: String, key: String)(build: => Unit): Unit = {
     val marker = java.nio.file.Paths.get(root, what, "_built")
     val ok = java.nio.file.Files.exists(marker) &&
@@ -69,6 +80,15 @@ object CollectionStore {
     }
   }
 
+  /** Parquet read with the resolved file listing + schema memoized per
+    * (session, path) — repeated queries against a served index must not
+    * re-list its partition tree.
+    */
+  private val dfCache = scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+  def readCached(spark: SparkSession, path: String): DataFrame =
+    dfCache.getOrElseUpdate((System.identityHashCode(spark), path),
+      spark.read.parquet(path))
+
   /** Serving IVF model: k-means fit + posting write happen once (keyed on
     * params + row count); every query reads the partitioned parquet
     * postings. This is the reference's compactor-builds/query-reads split
@@ -77,11 +97,16 @@ object CollectionStore {
     */
   def ivfServing(vecs: DataFrame, root: String, nCentroids: Int,
       nReplica: Int = 2, seed: Long = 42L): Ivf.Model = {
-    val key = s"ivf-$nCentroids-$nReplica-$seed-n${vecs.count()}"
-    ensureBuilt(root, "ivf", key) {
-      saveIvf(Ivf.build(vecs, nCentroids, nReplica, seed), root)
+    once(s"ivf-$root-$nCentroids-$nReplica-$seed") {
+      val key = s"ivf-$nCentroids-$nReplica-$seed-n${vecs.count()}"
+      ensureBuilt(root, "ivf", key) {
+        saveIvf(Ivf.build(vecs, nCentroids, nReplica, seed), root)
+      }
     }
-    loadIvf(vecs.sparkSession, root)
+    val spark = vecs.sparkSession
+    Ivf.Model(
+      centroids = readCached(spark, s"$root/ivf/centroids"),
+      postings = readCached(spark, s"$root/ivf/postings"))
   }
 
   /** Serving HNSW: per-partition graphs built + persisted once; use
@@ -89,9 +114,26 @@ object CollectionStore {
     */
   def hnswServing(vecs: DataFrame, root: String, m: Int = 16,
       efConstruction: Int = 100, space: String = "cosine"): String = {
-    val key = s"hnsw-$m-$efConstruction-$space-n${vecs.count()}"
-    ensureBuilt(root, "hnsw", key) {
-      Hnsw.buildAndSave(vecs, root, m, efConstruction, space)
+    once(s"hnsw-$root-$m-$efConstruction-$space") {
+      val key = s"hnsw-$m-$efConstruction-$space-n${vecs.count()}"
+      ensureBuilt(root, "hnsw", key) {
+        Hnsw.buildAndSave(vecs, root, m, efConstruction, space)
+      }
+    }
+    root
+  }
+
+  /** Serving trigram FTS index: posting table built + persisted once per
+    * collection version; queries route through
+    * [[Fts.containsSearch]]/[[Fts.regexSearch]] against the returned root.
+    */
+  def ftsServing(docs: DataFrame, root: String,
+      nBuckets: Int = Fts.DefaultBuckets): String = {
+    once(s"fts-$root-$nBuckets") {
+      val key = s"fts-$nBuckets-n${docs.count()}"
+      ensureBuilt(root, "fts", key) {
+        Fts.buildAndSave(docs, root, nBuckets)
+      }
     }
     root
   }

@@ -15,20 +15,28 @@ class MaterializePropertySpec extends AnyFunSuite {
   import SparkTestSession._
 
   private val ids = (0 until 12).map(i => s"id$i")
+  // null metadata value = tombstone (UpdateMetadataValue::None)
   private val genOp: Gen[(String, Option[String], Map[String, String])] = for {
     op <- Gen.oneOf("Add", "Update", "Upsert", "Delete")
     doc <- Gen.option(Gen.oneOf("d1", "d2", "d3"))
-    meta <- Gen.mapOf(Gen.zip(Gen.oneOf("k1", "k2"), Gen.oneOf("v1", "v2")))
+    meta <- Gen.mapOf(Gen.zip(Gen.oneOf("k1", "k2"),
+      Gen.oneOf[String]("v1", "v2", null)))
   } yield (op, doc, meta)
 
   private def oracleFold(ops: Seq[LogOp]): Option[Rec] = {
     var cur: Option[Rec] = None
     ops.sortBy(_.log_offset).foreach { o =>
       o.op match {
-        case "Add" => if (cur.isEmpty) cur = Some(Rec(o.id, o.document, o.meta))
-        case "Upsert" => cur = Some(Rec(o.id, o.document, o.meta))
-        case "Update" => cur = cur.map(c => Rec(c.id,
-          if (o.document.isDefined) o.document else c.document, c.meta ++ o.meta))
+        case "Add" =>
+          if (cur.isEmpty) cur = Some(Rec(o.id, o.document, o.meta.filter(_._2 != null)))
+        case "Upsert" => cur = Some(Rec(o.id, o.document, o.meta.filter(_._2 != null)))
+        case "Update" => cur = cur.map { c =>
+          val merged = o.meta.foldLeft(c.meta) {
+            case (m, (k, null)) => m - k
+            case (m, (k, v))    => m.updated(k, v)
+          }
+          Rec(c.id, if (o.document.isDefined) o.document else c.document, merged)
+        }
         case "Delete" => cur = None
       }
     }

@@ -24,6 +24,11 @@ class StreamingSpec extends AnyFunSuite {
     val stage = "/tmp/graft_stream/spec_multibatch"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
     raw.repartitionByRange(2, col("ts")).write.parquet(stage)
+    // the file source orders batches by modification time: pin the
+    // earlier-ts part file strictly older so replay order is the WAL order
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L + i * 60000L) }
 
     val stream = spark.readStream.schema(EventStream.eventsSchema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
