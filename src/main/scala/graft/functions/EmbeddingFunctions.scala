@@ -17,6 +17,19 @@ trait EmbeddingFunction {
   def embed(text: Column): Column
 }
 
+/** Sparse counterpart — the reference's sparse embedding functions
+  * (`chromadb/utils/embedding_functions/bm25_embedding_function.py`,
+  * SPLADE et al.) emit `SparseVector`s; here the output is a
+  * `STRUCT<indices ARRAY<BIGINT>, values ARRAY<FLOAT>>` with indices
+  * sorted ascending — exactly the `meta_sparse` value shape, so the
+  * output plugs straight into `Collection.sparseSearch`.
+  */
+trait SparseEmbeddingFunction {
+  def name: String
+  /** text column → sparse vector struct column */
+  def embedSparse(text: Column): Column
+}
+
 object EmbeddingFunctions {
 
   /** Deterministic hashed bag-of-words embedder (a real, useful baseline —
@@ -41,7 +54,88 @@ object EmbeddingFunctions {
     }
   }
 
+  /** Hashed character-n-gram embedder (subword features a la fastText):
+    * char n-grams of the lowercased text feature-hashed into `dim`
+    * buckets, histogram L2-normalized. Robust to tokenization-hostile
+    * text (code, URLs, CJK) where word-BoW degrades.
+    */
+  final class HashedCharNgram(val dim: Int = 64, n: Int = 3) extends EmbeddingFunction {
+    val name = s"hashed_char${n}gram_$dim"
+    def embed(text: Column): Column = {
+      val lowered = lower(text)
+      val grams = transform(
+        sequence(lit(1), greatest(length(lowered) - (n - 1), lit(0))),
+        i => lowered.substr(i, lit(n)))
+      val buckets = transform(grams, g => pmod(xxhash64(g), lit(dim)).cast("int"))
+      val counts = aggregate(buckets,
+        array_repeat(lit(0), dim),
+        (acc, b) => transform(acc, (x, i) => when(i === b, x + 1).otherwise(x)))
+      element_at(transform(array(counts), c =>
+        transform(c, x => (x / sqrt(aggregate(c, lit(0.0d),
+          (a, v) => a + v.cast("double") * v))).cast("float"))), 1)
+    }
+  }
+
+  /** Deterministic text-statistics featurizer: 8 quality signals as a
+    * dense vector — the embedding-function shape of the reference's
+    * quality scoring, useful as classifier input at pipeline scale.
+    * Not normalized (features carry magnitudes).
+    */
+  final class TextStatsFeatures extends EmbeddingFunction {
+    val name = "text_stats_8"
+    val dim = 8
+    def embed(text: Column): Column = {
+      val len = length(text).cast("double")
+      val toks = graft.operators.TextStats.tokens(text)
+      val nToks = size(toks).cast("double")
+      def ratio(pattern: String): Column =
+        (length(text) - length(regexp_replace(text, pattern, ""))).cast("double") /
+          greatest(len, lit(1.0))
+      array(Seq(
+        log1p(len),
+        ratio("[\\p{Punct}]"),
+        ratio("[0-9]"),
+        ratio("[A-Z]"),
+        ratio("\\s"),
+        nToks / greatest(len, lit(1.0)),                       // token density
+        size(array_distinct(toks)).cast("double") /
+          greatest(nToks, lit(1.0)),                           // type-token ratio
+        len / greatest(nToks, lit(1.0))                        // avg token span
+      ).map(_.cast("float")): _*)
+    }
+  }
+
+  /** BM25 sparse embedding function — the doc-side BM25 term saturation of
+    * `bm25_embedding_function.py` (fastembed Bm25: k1=1.2, b=0.75, fixed
+    * avgdl constant; IDF belongs to the query side). Values quantize to
+    * 1/1024 steps so the f32 sparse-dot kernel is bit-identical to a
+    * double-computing oracle.
+    */
+  final class Bm25Sparse(k1: Double = 1.2, b: Double = 0.75,
+      avgdl: Double = 256.0) extends SparseEmbeddingFunction {
+    val name = "bm25_sparse"
+    def embedSparse(text: Column): Column = {
+      val toks = graft.operators.TextStats.tokens(text)
+      val dl = size(toks).cast("double")
+      val uniq = array_distinct(toks)
+      val pairs = sort_array(transform(uniq, t => {
+        val tf = size(filter(toks, x => x === t)).cast("double")
+        val x = tf * lit(k1 + 1) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / lit(avgdl)))
+        struct(xxhash64(t).as("i"),
+          (floor(x * lit(1024.0)) / lit(1024.0)).cast("float").as("v"))
+      }))
+      struct(pairs.getField("i").as("indices"), pairs.getField("v").as("values"))
+    }
+  }
+
   val registry: Map[String, EmbeddingFunction] = Seq(
-    new HashedBow(64), new HashedBow(128)
+    new HashedBow(64), new HashedBow(128),
+    new HashedCharNgram(64), new HashedCharNgram(128),
+    new TextStatsFeatures
+  ).map(f => f.name -> f).toMap
+
+  val sparseRegistry: Map[String, SparseEmbeddingFunction] = Seq(
+    new Bm25Sparse()
   ).map(f => f.name -> f).toMap
 }

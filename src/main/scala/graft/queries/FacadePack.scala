@@ -126,6 +126,20 @@ object FacadePack extends QueryPack {
         .sparseSearch("tf_bow", qv, k = 20)
         .select(col("id"), col("#score").cast("float").as("score"))
     },
+    // Sparse search where the record column comes from the Bm25Sparse
+    // EMBEDDING FUNCTION (doc-side BM25 saturation, 1/1024-quantized →
+    // f32 dot bit-identical to the double-computing oracle).
+    "fc_sparse_bm25ef" -> { (s, d) =>
+      val ef = new graft.functions.EmbeddingFunctions.Bm25Sparse()
+      val base = ChromaCore.docsCollection(s, d).records
+      val coll = new Collection(base.withColumn("meta_sparse",
+        map(lit("bm25"), ef.embedSparse(col("document")))))
+      val qv = s.range(1).select(
+        array_sort(array(sparseTerms.map(t => xxhash64(lit(t))): _*)).as("qi"),
+        array(sparseTerms.map(_ => lit(1.0f)): _*).as("qv"))
+      coll.sparseSearch("bm25", qv, k = 20)
+        .select(col("id"), col("#score").cast("float").as("score"))
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -167,6 +181,21 @@ object FacadePack extends QueryPack {
         |FROM freq f JOIN idf ON f.term = idf.term
         |GROUP BY f.doc_id HAVING sum(f.tf * idf.w) > 0
         |ORDER BY score DESC, f.doc_id LIMIT 20""".stripMargin,
+
+    "fc_sparse_bm25ef" ->
+      """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM
+        |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |       x -> x <> '') AS t FROM documents)),
+        |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tf GROUP BY 1),
+        |v AS (SELECT f.doc_id, f.term,
+        |        floor(f.tf::DOUBLE * 2.2 / (f.tf::DOUBLE
+        |            + 1.2 * (0.25 + 0.75 * dl.dl::DOUBLE / 256.0)) * 1024.0) / 1024.0 AS val
+        |      FROM freq f JOIN dl ON f.doc_id = dl.doc_id)
+        |SELECT 'doc-'||doc_id AS id, CAST(sum(val) AS FLOAT) AS score
+        |FROM v WHERE term IN ('query','data','filter','spark')
+        |GROUP BY doc_id HAVING sum(val) > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "fc_search_grouped" ->
       """WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.EmbeddingFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EmbeddingFunction protocol gates: every registered function must be
+  * deterministic, dimension-correct, and (for the normalized families)
+  * unit-norm; sparse functions must emit sorted, aligned index/value
+  * arrays that plug into sparseSearch unchanged.
+  */
+class EmbeddingFunctionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables.documents(spark, sf).limit(50).cache()
+
+  test("dense registry: deterministic, right dim, normalized where claimed") {
+    for ((name, ef) <- EmbeddingFunctions.registry) {
+      val out = docs.select(ef.embed(col("text")).as("e"))
+      val a = out.collect().map(_.getSeq[Float](0))
+      val b = out.collect().map(_.getSeq[Float](0))
+      assert(a.toSeq == b.toSeq, s"$name not deterministic")
+      assert(a.forall(_.length == ef.dim), s"$name wrong dim")
+      if (name.startsWith("hashed_")) {
+        a.filter(_.exists(_ != 0f)).foreach { v =>
+          val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+          assert(math.abs(norm - 1.0) < 1e-4, s"$name norm $norm != 1")
+        }
+      }
+      // embeddings separate texts: among 50 docs, vectors are not all equal
+      assert(a.distinct.length > 1, s"$name collapses all inputs")
+    }
+  }
+
+  test("bm25 sparse EF: sorted indices, aligned values, saturating in tf") {
+    val ef = new EmbeddingFunctions.Bm25Sparse()
+    val out = docs.select(ef.embedSparse(col("text")).as("sv"))
+      .select(col("sv.indices"), col("sv.values")).collect()
+    out.foreach { r =>
+      val idx = r.getSeq[Long](0); val vs = r.getSeq[Float](1)
+      assert(idx.length == vs.length)
+      assert(idx == idx.sorted, "indices must be sorted for the merge kernel")
+      assert(idx.distinct.length == idx.length, "indices must be unique")
+      assert(vs.forall(v => v > 0f && v < 2.2f), "bm25 values bounded by k1+1")
+    }
+    // saturation: tf=10 scores higher than tf=1 but far below 10x
+    import SparkTestSession.spark.implicits._
+    val two = Seq(("a " * 1).trim, ("a " * 10).trim).toDF("text")
+      .select(ef.embedSparse(col("text")).as("sv"))
+      .select(element_at(col("sv.values"), 1)).collect().map(_.getFloat(0))
+    assert(two(1) > two(0) && two(1) < 10 * two(0))
+  }
+}
