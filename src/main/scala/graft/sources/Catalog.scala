@@ -1,0 +1,209 @@
+package graft.sources
+
+import graft.api.Collection
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** Tenant/database/collection system catalog — the reference's sysdb
+  * surface (`rust/frontend/src/server.rs:290-400`: create_tenant /
+  * create_database / create_collection) with per-key schema + index
+  * configuration (`rust/types/src/collection_schema.rs:233-244`
+  * `Schema`/`ValueTypes`; per-key `sparse_vector_index`
+  * `collection_schema.rs:745-873`).
+  *
+  * Spark-first shape: the catalog is a directory tree of JSON descriptors
+  * next to the parquet data it describes —
+  * `<root>/_sysdb/<tenant>/<database>/<collection>.json` — and collection
+  * data lives at `<root>/<tenant>/<database>/<collection>/` in the
+  * [[CollectionStore]] layout. Index config in the schema drives which
+  * serving indexes [[provision]] builds (vector → IVF+HNSW, document →
+  * trigram FTS); sparse keys are computed columns and need no build step.
+  * On a cluster `root` is shared storage; descriptor writes use
+  * create-new (no overwrite) for the same lost-race atomicity as
+  * [[CollectionStore.conditionalCommit]].
+  */
+object Catalog {
+
+  /** Per-key value types (`collection_schema.rs:233-244`). */
+  sealed trait ValueType { def name: String }
+  case object VString extends ValueType { val name = "string" }
+  case object VInt extends ValueType { val name = "int" }
+  case object VFloat extends ValueType { val name = "float" }
+  case object VBool extends ValueType { val name = "bool" }
+  case object VSparseVector extends ValueType { val name = "sparse_vector" }
+  final case class VDenseVector(dim: Int, space: String) extends ValueType {
+    val name = s"dense_vector($dim,$space)"
+  }
+  object ValueType {
+    def parse(s: String): ValueType = s match {
+      case "string" => VString
+      case "int" => VInt
+      case "float" => VFloat
+      case "bool" => VBool
+      case "sparse_vector" => VSparseVector
+      case v if v.startsWith("dense_vector(") =>
+        val parts = v.stripPrefix("dense_vector(").stripSuffix(")").split(",")
+        VDenseVector(parts(0).toInt, parts(1))
+      case other => throw new IllegalArgumentException(s"unknown value type $other")
+    }
+  }
+
+  /** Per-key config: type + whether a serving index is provisioned. */
+  final case class KeyConfig(valueType: ValueType, indexed: Boolean = false)
+
+  /** Collection schema: embedding config + document FTS flag + typed
+    * metadata keys.
+    */
+  final case class Schema(
+      embedding: Option[VDenseVector] = None,
+      documentFts: Boolean = false,
+      keys: Map[String, KeyConfig] = Map.empty)
+
+  final case class CollectionRef(tenant: String, database: String,
+      name: String, schema: Schema, root: String, dataRoot: String)
+
+  private def sysdbPath(root: String, tenant: String, db: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, "_sysdb", tenant, db)
+
+  private def validName(s: String): Unit =
+    require(s.matches("[A-Za-z0-9._-]{1,128}"), s"invalid catalog name: '$s'")
+
+  def createTenant(root: String, tenant: String): Unit = {
+    validName(tenant)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "_sysdb", tenant))
+  }
+
+  def createDatabase(root: String, tenant: String, db: String): Unit = {
+    validName(db)
+    val t = java.nio.file.Paths.get(root, "_sysdb", tenant)
+    require(java.nio.file.Files.isDirectory(t), s"no such tenant $tenant")
+    java.nio.file.Files.createDirectories(t.resolve(db))
+  }
+
+  /** Register a collection. Fails on duplicates (create-new atomicity —
+    * the loser of a concurrent race gets FileAlreadyExists, same contract
+    * as the reference's sysdb unique constraint).
+    */
+  def createCollection(root: String, tenant: String, db: String,
+      name: String, schema: Schema): CollectionRef = {
+    validName(name)
+    val dir = sysdbPath(root, tenant, db)
+    require(java.nio.file.Files.isDirectory(dir), s"no such database $tenant/$db")
+    implicit val fmts: Formats = DefaultFormats
+    val json = Serialization.write(Map(
+      "embedding" -> schema.embedding.map(_.name),
+      "document_fts" -> schema.documentFts,
+      "keys" -> schema.keys.map { case (k, c) =>
+        k -> Map("type" -> c.valueType.name, "indexed" -> c.indexed) }))
+    val f = dir.resolve(s"$name.json")
+    java.nio.file.Files.write(f, json.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW) // throws if duplicate
+    ref(root, tenant, db, name, schema)
+  }
+
+  def getCollection(root: String, tenant: String, db: String,
+      name: String): CollectionRef = {
+    val f = sysdbPath(root, tenant, db).resolve(s"$name.json")
+    require(java.nio.file.Files.exists(f), s"no such collection $tenant/$db/$name")
+    val j = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+    val emb = (j \ "embedding") match {
+      case JString(s) => Some(ValueType.parse(s).asInstanceOf[VDenseVector])
+      case _ => None
+    }
+    val fts = (j \ "document_fts") match { case JBool(b) => b; case _ => false }
+    val keys = (j \ "keys") match {
+      case JObject(fields) => fields.map { case (k, v) =>
+        val t = (v \ "type") match { case JString(s) => ValueType.parse(s)
+          case o => throw new IllegalArgumentException(s"bad type $o") }
+        val idx = (v \ "indexed") match { case JBool(b) => b; case _ => false }
+        k -> KeyConfig(t, idx)
+      }.toMap
+      case _ => Map.empty[String, KeyConfig]
+    }
+    ref(root, tenant, db, name, Schema(emb, fts, keys))
+  }
+
+  def listCollections(root: String, tenant: String, db: String): Seq[String] = {
+    val dir = sysdbPath(root, tenant, db)
+    if (!java.nio.file.Files.isDirectory(dir)) Nil
+    else {
+      val it = java.nio.file.Files.list(dir).iterator()
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.endsWith(".json")) out += n.stripSuffix(".json")
+      }
+      out.result().sorted
+    }
+  }
+
+  private def ref(root: String, tenant: String, db: String, name: String,
+      schema: Schema): CollectionRef =
+    CollectionRef(tenant, db, name, schema, root, s"$root/$tenant/$db/$name")
+
+  /** Validate a record DataFrame against the declared schema: the typed
+    * metadata maps may only carry DECLARED keys of the matching type —
+    * the reference rejects writes outside the schema
+    * (`collection_schema.rs` validation). Runs as one aggregate over the
+    * data (no collect of rows).
+    */
+  def validate(records: DataFrame, schema: Schema): Unit = {
+    import org.apache.spark.sql.functions._
+    def declared(t: ValueType): Seq[String] =
+      schema.keys.collect { case (k, c) if c.valueType == t => k }.toSeq
+    val checks = Seq(
+      "meta_str" -> declared(VString), "meta_int" -> declared(VInt),
+      "meta_float" -> declared(VFloat), "meta_bool" -> declared(VBool),
+      "meta_sparse" -> declared(VSparseVector)
+    ).filter { case (c, _) => records.columns.contains(c) }
+    if (checks.isEmpty) return
+    val badPerCol = checks.map { case (colName, keys) =>
+      val allowed = array(keys.map(lit): _*)
+      sum(size(array_except(map_keys(col(colName)), allowed))).as(colName)
+    }
+    val row = records.agg(badPerCol.head, badPerCol.tail: _*).collect()(0)
+    checks.map(_._1).zipWithIndex.foreach { case (colName, i) =>
+      if (!row.isNullAt(i) && row.getLong(i) > 0)
+        throw new IllegalArgumentException(
+          s"records carry undeclared $colName keys (schema violation)")
+    }
+    schema.embedding.foreach { e =>
+      require(records.columns.contains("embedding"),
+        "schema declares an embedding but records have no embedding column")
+    }
+  }
+
+  /** Compaction-time provisioning: build every serving index the schema
+    * asks for over the stored records. Vector config → IVF postings +
+    * per-partition HNSW blobs; document_fts → trigram postings. Sparse
+    * keys are stored columns — searched directly, nothing to build.
+    */
+  def provision(spark: SparkSession, ref: CollectionRef,
+      nCentroids: Int = 16, nReplica: Int = 4): Unit = {
+    import org.apache.spark.sql.functions._
+    val records = CollectionStore.loadRecords(spark, ref.dataRoot)
+    ref.schema.embedding.foreach { e =>
+      val vecs = records.select(col("offset_id"), col("embedding"))
+      CollectionStore.ivfServing(vecs, ref.dataRoot, nCentroids, nReplica)
+      CollectionStore.hnswServing(vecs, ref.dataRoot, space = e.space)
+    }
+    if (ref.schema.documentFts)
+      CollectionStore.ftsServing(
+        records.select(col("offset_id").as("doc_id"), col("document").as("text")),
+        ref.dataRoot)
+  }
+
+  /** Write records (validated) + provision declared indexes + open. */
+  def writeCollection(spark: SparkSession, ref: CollectionRef,
+      records: DataFrame): Collection = {
+    validate(records, ref.schema)
+    CollectionStore.saveRecords(records, ref.dataRoot)
+    provision(spark, ref)
+    openCollection(spark, ref)
+  }
+
+  def openCollection(spark: SparkSession, ref: CollectionRef): Collection =
+    new Collection(CollectionStore.loadRecords(spark, ref.dataRoot))
+}
