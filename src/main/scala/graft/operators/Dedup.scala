@@ -64,7 +64,10 @@ object Dedup {
     if (dropped > 0)
       org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
         .warn(s"jaccardPairs: dropping $dropped shingles with df > $maxDf")
-    val rare = dfreq.filter(col("df") <= maxDf).select("sg")
+    // df >= 2: a shingle in exactly one doc can't form a pair — dropping
+    // it is exact and removes the (typically dominant) unique-shingle mass
+    // from the self-join
+    val rare = dfreq.filter(col("df") <= maxDf && col("df") >= 2).select("sg")
     val ex = ex0.join(broadcast(rare), "sg")
     val a = ex.as("a"); val b = ex.as("b")
     val inter = a.join(b,

@@ -39,16 +39,23 @@ object FacadePack extends QueryPack {
 
   private val sparseTerms = Seq("query", "data", "filter", "spark")
 
-  /** documents as a collection carrying a `tf_bow` sparse vector per record
-    * in `meta_sparse` — `MetadataValue::SparseVector` as a first-class
-    * record column (indices = xxhash64(term), values = term frequency).
-    */
-  def docsSparseCollection(s: SparkSession, d: String): Collection = {
-    val base = ChromaCore.docsCollection(s, d).records
-    val tf = Tables.documents(s, d)
+  /** (doc_id, term, tf, term_id) term frequencies over documents. */
+  private def docsTf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(graft.operators.TextStats.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("term_id", xxhash64(col("term")))
+
+  /** documents as a collection carrying a `tf_bow` sparse vector per record
+    * in `meta_sparse` — `MetadataValue::SparseVector` as a first-class
+    * record column (indices = xxhash64(term), values = term frequency).
+    * Pass an externally-cached `tf` when the query also derives corpus
+    * stats from it (single tokenize pass).
+    */
+  def docsSparseCollection(s: SparkSession, d: String,
+      tf0: Option[DataFrame] = None): Collection = {
+    val base = ChromaCore.docsCollection(s, d).records
+    val tf = tf0.getOrElse(docsTf(s, d))
     val sv = tf.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("term_id"), col("tf")))).as("p"))
       .select(col("doc_id").as("offset_id"),
@@ -108,13 +115,14 @@ object FacadePack extends QueryPack {
     "fc_sparse_idf" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val n = docs.agg(count(lit(1)).as("n"))
+      // shared lineage feeds both the per-record sparse column and the
+      // document-frequency stats (re-computed, not cached: the codegen'd
+      // tokenize is cheaper than materializing 1.5M tf rows)
+      val tf = docsTf(s, d)
       val termIds = s.range(1).select(explode(array(
-        sparseTerms.map(t => struct(xxhash64(lit(t)).as("term_id"), lit(t).as("term"))): _*)).as("t"))
-        .select(col("t.term_id"), col("t.term"))
-      val df = docs
-        .select(col("doc_id"), explode(graft.operators.TextStats.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .join(broadcast(termIds), "term")
+        sparseTerms.map(t => xxhash64(lit(t))): _*)).as("term_id"))
+      val df = tf
+        .join(broadcast(termIds), "term_id")
         .groupBy("term_id").agg(count(lit(1)).as("df"))
       val qv = df.crossJoin(broadcast(n))
         .withColumn("w",
@@ -122,7 +130,7 @@ object FacadePack extends QueryPack {
             * 64.0) / 64.0).cast("float"))
         .agg(sort_array(collect_list(struct(col("term_id"), col("w")))).as("p"))
         .select(col("p.term_id").as("qi"), col("p.w").as("qv"))
-      docsSparseCollection(s, d)
+      docsSparseCollection(s, d, Some(tf))
         .sparseSearch("tf_bow", qv, k = 20)
         .select(col("id"), col("#score").cast("float").as("score"))
     },
