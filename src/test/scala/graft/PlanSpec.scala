@@ -52,6 +52,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_topkagg"), "per-left top-k must be a partial aggregate")
   }
 
+  test("embedding near-dup ANN: pairs join is key-equi on centroid_id, not cartesian") {
+    val p = plan("dd_emb_ann")
+    assert(!p.contains("CartesianProduct"),
+      "posting co-membership must join on centroid_id, not cross-join\n" + p.take(800))
+  }
+
+  test("facade sparse search: query vector broadcasts; dot is the codegen kernel") {
+    val p = plan("fc_sparse_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+    assert(p.contains("sparse_dot"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("multi-bit quantized: coarse pass broadcasts queries, partial top-k") {
+    val p = plan("vs_quantized_mb")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("partial_topkagg"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("two distance kernels in one codegen'd projection compile (freshName locals)") {
     import org.apache.spark.sql.functions._
     import graft.functions.Distances
