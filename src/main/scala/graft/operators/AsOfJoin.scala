@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, attach the most recent
+  * right row with the same key whose timestamp is <= the left row's
+  * timestamp.
+  *
+  * Spark has no built-in ASOF JOIN (DuckDB/Pandas do), and the naive
+  * encoding — a range join `l.key = r.key AND r.ts <= l.ts` followed by a
+  * per-left-row max — explodes to O(|matches|) intermediate rows and is a
+  * scale-killer on dense keys. This implementation instead *unions* the two
+  * sides, hash-shuffles once on the key, sorts within partitions by
+  * (ts, side, tiebreak), and carries the last-seen right payload forward
+  * with `last(_, ignoreNulls = true)` over a running window:
+  *
+  *   - exactly ONE shuffle (the window partitionBy) — same cost as the
+  *     equi-join it replaces, no range blowup;
+  *   - at equal timestamps the right row sorts BEFORE the left row
+  *     (side 0 < side 1), making the bound inclusive (`r.ts <= l.ts`);
+  *   - among right rows tied on (key, ts) the largest `tiebreak` wins,
+  *     keeping the result deterministic.
+  *
+  * The same shape serves temporal metadata lookup in a log-structured
+  * store: "state of record X as of log position T" (the reference answers
+  * this via its log offset merge, e.g. rust/worker materialization at a
+  * given log offset).
+  *
+  * @param right    must contain `key`, `ts`, `tiebreak`, and the payload
+  *                 columns to surface
+  * @param payload  right columns to attach (null when no match)
+  */
+object AsOfJoin {
+
+  def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
+           tiebreak: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_side", lit(1))
+      .withColumn("_tb", lit(null).cast(right.schema(tiebreak).dataType))
+      .withColumn("_r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          payload.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
+    val r = right.select(
+      (Seq(col(key), col(ts).as(ts)) ++
+        leftCols.filterNot(c => c == key || c == ts).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        lit(0).as("_side") :+
+        col(tiebreak).as("_tb") :+
+        struct(payload.map(col): _*).as("_r")): _*)
+      .select(l.columns.map(col): _*) // align column order
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_side").asc, col("_tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"_match.$c").as(c)): _*)
+  }
+}

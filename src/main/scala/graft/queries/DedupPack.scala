@@ -48,6 +48,24 @@ object DedupPack extends QueryPack {
         graft.sources.CollectionStore.indexRoot(d), nCentroids = 16, nReplica = 4)
       Dedup.embeddingAnnPairs(model, k = 20)
     },
+
+    // Benchmark-contamination check: train docs sharing any word-4-gram
+    // with the eval split (doc_id % 20 == 0 stands in for a benchmark
+    // set). Eval shingle sets are small by construction (benchmarks are
+    // KBs, corpora are TBs) → broadcast the eval side so the 100-TB train
+    // scan joins map-side with NO shuffle; the only shuffle is the final
+    // per-doc count. Mirrors the inverted-index shape of jaccardPairs.
+    "dd_contamination" -> { (s, d) =>
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        explode(graft.operators.TextStats.shingles(
+          graft.operators.TextStats.tokens(col("text")), 4)).as("sg"))
+      val evalSh = sh.filter(col("doc_id") % 20 === 0).select("sg").distinct()
+      sh.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(evalSh), Seq("sg"))
+        // shingles() is distinct-per-doc, so count(*) == distinct count
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   private val sqlShingles =
@@ -89,5 +107,21 @@ object DedupPack extends QueryPack {
         |  list_cosine_similarity(a.embedding, b.embedding) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin,
+
+    "dd_contamination" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(t) >= 4
+        |         THEN list_distinct(list_transform(range(1, len(t)-2),
+        |                i -> array_to_string(t[i:i+3], ' ')))
+        |         ELSE [] END) AS sg
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT sg FROM sh WHERE doc_id % 20 = 0)
+        |SELECT a.doc_id, count(*) AS n_shared
+        |FROM sh a JOIN ev USING (sg)
+        |WHERE a.doc_id % 20 <> 0
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
   )
 }

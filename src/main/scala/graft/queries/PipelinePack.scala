@@ -41,6 +41,21 @@ object PipelinePack extends QueryPack {
         .select(col("doc_id"), col("n_tok"), col("quality"), col("pred"))
         .orderBy(col("doc_id"))
     },
+
+    // Deterministic stratified sampling: keep a per-stratum rate keyed off
+    // the first hex byte of md5(doc_id) — even-suffixed sources at 25%,
+    // odd at 12.5%. Pure scan-side filter (no shuffle, no RNG state), so
+    // the sample is reproducible and resumable at any scale, and the
+    // filter pushes into the scan alongside column pruning.
+    "pl_sample_hash" -> { (s, d) =>
+      val rate = when(substring(col("source"), -1, 1)
+        .isin("0", "2", "4", "6", "8"), lit("40")).otherwise(lit("20"))
+      Tables.documents(s, d)
+        .withColumn("bucket", substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("source"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   private def sqlToks = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '')"
@@ -66,5 +81,13 @@ object PipelinePack extends QueryPack {
          |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred
          |FROM m WHERE doc_id = keep_id AND quality >= 0.45
          |ORDER BY doc_id""".stripMargin,
+
+    "pl_sample_hash" ->
+      """SELECT doc_id, source, substr(md5(doc_id::VARCHAR), 1, 2) AS bucket
+        |FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
+        |  (CASE WHEN right(source, 1) IN ('0','2','4','6','8')
+        |        THEN '40' ELSE '20' END)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

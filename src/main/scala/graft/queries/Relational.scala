@@ -197,6 +197,27 @@ object Relational extends QueryPack {
           round(sum($"value"), 2).as("sum_value"))
         .orderBy($"user_id", $"session_seq")
     },
+
+    // --- as-of (point-in-time) join: for each error event, the most
+    // recent click by the same user at-or-before it. Single-shuffle
+    // union+window plan (operators/AsOfJoin.scala), oracle'd against
+    // DuckDB's native ASOF LEFT JOIN.
+    "q_asof_error_click" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"),
+          unix_micros($"ts").as("click_ts_us"))
+      graft.operators.AsOfJoin
+        .asof(errors, clicks, "user_id", "ts", "click_id",
+          Seq("click_id", "click_ts_us"))
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"click_id", $"click_ts_us",
+          (unix_micros($"ts") - $"click_ts_us").as("gap_us"))
+        .orderBy($"event_id")
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -332,5 +353,14 @@ object Relational extends QueryPack {
         |  max(ms) - min(ms) AS duration_ms, round(sum(value),2) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_asof_error_click" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+        |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

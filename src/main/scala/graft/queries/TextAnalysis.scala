@@ -83,6 +83,29 @@ object TextAnalysis extends QueryPack {
           col("col._1").as("term"), col("col._2").as("cnt"))
         .orderBy(col("lang"), col("rank"))
     },
+
+    // Gopher-style repetition signals: duplicate-token ratio, most-common
+    // word fraction, most-common bigram fraction. Pure per-row array
+    // algebra — zero shuffles, stays in WholeStageCodegen, so it scales
+    // with the scan (docs are bounded-length; the per-doc O(m^2) distinct
+    // scan is constant work per row).
+    "ta_repetition" -> { (s, d) =>
+      val t = toks
+      val n = size(t)
+      val bi = transform(sequence(lit(1), n - 1),
+        i => concat_ws(" ", slice(t, i, lit(2))))
+      def topFreq(arr: Column): Column =
+        array_max(transform(array_distinct(arr),
+          g => size(filter(arr, x => x === g))))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        n.cast("long").as("n_tok"),
+        (size(array_distinct(t)).cast("double") / n).as("uniq_ratio"),
+        (topFreq(t).cast("double") / n).as("top_word_frac"),
+        when(n >= 2, topFreq(bi).cast("double") / (n - 1))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   private def sqlToks = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '')"
@@ -146,5 +169,23 @@ object TextAnalysis extends QueryPack {
          |SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fp,
          |  len(s) AS n_shingles
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "ta_repetition" ->
+      s"""WITH base AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |b AS (SELECT doc_id, t, len(t) AS n,
+         |        CASE WHEN len(t) >= 2
+         |             THEN list_transform(range(1, len(t)),
+         |                    i -> array_to_string(t[i:i+1], ' '))
+         |             ELSE [] END AS bi
+         |      FROM base)
+         |SELECT doc_id, n AS n_tok,
+         |  len(list_distinct(t))::DOUBLE / n AS uniq_ratio,
+         |  list_max(list_transform(list_distinct(t),
+         |    w -> len(list_filter(t, x -> x = w))))::DOUBLE / n AS top_word_frac,
+         |  CASE WHEN n >= 2
+         |       THEN list_max(list_transform(list_distinct(bi),
+         |              g -> len(list_filter(bi, x -> x = g))))::DOUBLE / (n - 1)
+         |       ELSE 0.0 END AS top_bigram_frac
+         |FROM b ORDER BY doc_id""".stripMargin,
   )
 }
