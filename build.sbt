@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+UseG1GC",
+  // 60+ queries' worth of whole-stage-codegen classes overflow the
+  // default 240 MB code cache; once full the JIT disables itself and
+  // every later hot loop runs interpreted (observed 10-60x per-query
+  // inflation mid-bench).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -43,6 +43,11 @@ object Bench {
       } catch { case _: Throwable => }
     }
     val results = selected.map { case (name, fn) =>
+      // Queries are independent: drop cached storage from the previous
+      // query so 60+ queries in one JVM don't accumulate into memory
+      // pressure that taxes later queries (observed 5-60x inflation).
+      // Served indexes are plain parquet reads — unaffected.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -81,4 +81,112 @@ object Materialize {
     import spark.implicits._
     records.map(r => LogOp(r.id, Long.MinValue, "Add", r.document, r.meta))
   }
+
+  // ---------------------------------------------------------------------
+  // DataFrame-native fold: the same state machine as [[fold]], expressed
+  // as a Catalyst `aggregate` over the per-id op array — no lambda
+  // deserialization, stays in codegen, and (crucially) the fold can run
+  // AFTER a join, seeded with a segment record as its initial state.
+  // ---------------------------------------------------------------------
+
+  import org.apache.spark.sql.Column
+
+  private val emptyMeta: Column =
+    map_from_arrays(array(), array()).cast("map<string,string>")
+
+  private def state(live: Column, doc: Column, meta: Column): Column =
+    struct(live.as("live"), doc.cast("string").as("document"), meta.as("meta"))
+
+  /** Dead initial state (id not present before the log). */
+  def deadState: Column = state(lit(false), lit(null), emptyMeta)
+
+  /** Live initial state from a compacted segment record. */
+  def liveState(doc: Column, meta: Column): Column =
+    state(lit(true), doc, coalesce(meta, emptyMeta))
+
+  /** One state-machine step; `o` is struct(log_offset, op, document, meta). */
+  private def step(st: Column, o: Column): Column = {
+    val op = o.getField("op")
+    val oDoc = o.getField("document")
+    val oMeta = o.getField("meta")
+    val setsOnly = map_filter(oMeta, (_, v) => v.isNotNull)
+    // Update merge: keep prior keys not mentioned, apply non-null sets,
+    // drop tombstoned (null-valued) keys.
+    val updMeta = map_concat(
+      map_filter(st.getField("meta"), (k, _) => !map_contains_key(oMeta, k)),
+      setsOnly)
+    when(op === "Add" && !st.getField("live"), state(lit(true), oDoc, setsOnly))
+      .when(op === "Upsert", state(lit(true), oDoc, setsOnly))
+      .when(op === "Update" && st.getField("live"),
+        state(lit(true), coalesce(oDoc, st.getField("document")), updMeta))
+      .when(op === "Delete", deadState)
+      .otherwise(st)
+  }
+
+  /** Fold a sorted op array from `init`; returns the final state struct. */
+  def foldOps(ops: Column, init: Column): Column =
+    aggregate(ops, init, step)
+
+  /** Per-id sorted op arrays: ONE shuffle on id over the log only.
+    * Input columns: id, log_offset, op, document, meta. Sorts with an
+    * explicit comparator on log_offset — the struct carries a MAP, which
+    * the default (full-struct) ordering rejects.
+    */
+  def opsById(log: DataFrame): DataFrame = {
+    val byOffset = (l: Column, r: Column) =>
+      when(l.getField("log_offset") < r.getField("log_offset"), -1)
+        .when(l.getField("log_offset") > r.getField("log_offset"), 1)
+        .otherwise(0)
+    log.groupBy("id").agg(array_sort(collect_list(
+      struct(col("log_offset"), col("op"), col("document"), col("meta"))),
+      byOffset).as("ops"))
+  }
+
+  /** DataFrame-native materialization of a bare log (no prior segment):
+    * same result as [[apply]], fully codegen (no typed lambdas).
+    */
+  def applyDf(log: DataFrame): DataFrame =
+    opsById(log)
+      .withColumn("st", foldOps(col("ops"), deadState))
+      .filter(col("st.live"))
+      .select(col("id"), col("st.document").as("document"), col("st.meta").as("meta"))
+
+  /** Compaction merge for the 100-TB shape: the segment is huge, the
+    * WAL-tail between compactions is small. The reference streams the
+    * segment through the materializer without re-sorting it
+    * (`rust/segment/src/types.rs` applies log deltas over blockfile
+    * records); the Spark-native equivalent:
+    *
+    *   1. fold the log into per-id op arrays — the ONLY shuffle, on the
+    *      small side;
+    *   2. `segment LEFT JOIN broadcast(ops)` — the segment is scanned
+    *      once, never shuffled, never sorted; rows with ops re-fold
+    *      seeded from the live record ([[liveState]]), others pass
+    *      through;
+    *   3. ids new in the log anti-join against the segment's id column
+    *      via a broadcast in BOTH directions (probe the big side with
+    *      the small id set, then anti the small side with the matches) —
+    *      the second segment scan prunes to the id column only.
+    *
+    * Segment lineage: scan + broadcast-hash-join, zero exchanges — the
+    * plan survives a segment 1000× the executor memory.
+    */
+  def compactionMerge(segment: DataFrame, log: DataFrame): DataFrame = {
+    val ops = opsById(log).cache()
+    val existing = segment
+      .join(broadcast(ops), Seq("id"), "left")
+      .withColumn("st",
+        when(col("ops").isNull, liveState(col("document"), col("meta")))
+          .otherwise(foldOps(col("ops"), liveState(col("document"), col("meta")))))
+      .filter(col("st.live"))
+      .select(col("id"), col("st.document").as("document"), col("st.meta").as("meta"))
+    val presentIds = segment.select("id")
+      .join(broadcast(ops.select("id")), Seq("id"))
+    val fresh = ops
+      .join(broadcast(presentIds), Seq("id"), "left_anti")
+      .withColumn("st", foldOps(col("ops"), deadState))
+      .filter(col("st.live"))
+      .select(col("id"), col("st.document").as("document"), col("st.meta").as("meta"))
+    existing.unionByName(fresh)
+  }
 }

@@ -99,6 +99,32 @@ object WritePath extends QueryPack {
           element_at(col("meta"), "v").as("v"))
         .orderBy(col("id"))
     },
+
+    // Same semantics, DataFrame-native expression fold (no typed lambdas,
+    // codegen end-to-end) — Materialize.applyDf.
+    "wp_materialize_dfagg" -> { (s, d) =>
+      Materialize.applyDf(syntheticWal(s, d).toDF())
+        .select(col("id"), col("document"),
+          element_at(col("meta"), "lang").as("lang"),
+          element_at(col("meta"), "source").as("source"),
+          element_at(col("meta"), "v").as("v"))
+        .orderBy(col("id"))
+    },
+
+    // The 100-TB compaction shape: huge segment + small WAL tail merged
+    // with ZERO segment-side shuffles (broadcast ops join; see
+    // Materialize.compactionMerge + CompactionMergeSpec plan gates).
+    "wp_compaction_merge" -> { (s, d) =>
+      val wal = syntheticWal(s, d).toDF()
+      val segment = Materialize.applyDf(wal.filter(col("log_offset") % 10 === 0))
+      val tail = wal.filter(col("log_offset") % 10 =!= 0)
+      Materialize.compactionMerge(segment, tail)
+        .select(col("id"), col("document"),
+          element_at(col("meta"), "lang").as("lang"),
+          element_at(col("meta"), "source").as("source"),
+          element_at(col("meta"), "v").as("v"))
+        .orderBy(col("id"))
+    },
   )
 
   private val expectedStateSql =
@@ -119,5 +145,7 @@ object WritePath extends QueryPack {
   val oracle: Map[String, String] = Map(
     "wp_materialize_lww" -> expectedStateSql,
     "wp_materialize_over_segment" -> expectedStateSql,
+    "wp_materialize_dfagg" -> expectedStateSql,
+    "wp_compaction_merge" -> expectedStateSql,
   )
 }
