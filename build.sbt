@@ -33,4 +33,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // every later hot loop runs interpreted (observed 10-60x per-query
   // inflation mid-bench).
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -49,8 +49,11 @@ object Bench {
       // Served indexes are plain parquet reads — unaffected.
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
+      System.err.println(s"[bench] start $name")
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] done  $name $dt%.2f s")
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -48,14 +48,25 @@ object Ivf {
       model.clusterCenters.zipWithIndex.map { case (c, i) =>
         (i, c.toArray.map(_.toFloat).toSeq)
       }.toSeq).toDF("centroid_id", "centroid")
+    Model(centroids, assign(vecs, centroids, nReplica))
+  }
+
+  /** Posting assignment of a vector batch against FIXED centroids — each
+    * vector goes to its `nReplica` nearest lists. Per-vector independent,
+    * so it is also the incremental index-maintenance step: a WAL-tail
+    * micro-batch appends `assign(batch, centroids, r)` to the posting
+    * table and the result is row-identical to a full batch rebuild over
+    * the same centroids (SPANN appends to posting lists between
+    * centroid-split compactions; `rust/index/src/spann/types.rs`).
+    */
+  def assign(vecs: DataFrame, centroids: DataFrame, nReplica: Int): DataFrame = {
     val cdist = Distances.distance("l2")(col("centroid"), col("embedding"))
-    val postings = GroupedTopK(
+    GroupedTopK(
       vecs.crossJoin(broadcast(centroids))
         .select(col("offset_id"), col("embedding"), col("centroid_id"),
           cdist.as("cdist")),
       Seq(col("offset_id")), Seq(col("cdist"), col("centroid_id")), nReplica)
       .select(col("centroid_id"), col("offset_id"), col("embedding"))
-    Model(centroids, postings)
   }
 
   /** ANN search: route each query to its `nprobe` nearest centroids, scan

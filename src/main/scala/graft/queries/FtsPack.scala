@@ -47,6 +47,25 @@ object FtsPack extends QueryPack {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
+
+    // Hybrid where_document + KNN (the reference's pre-filtered vector
+    // query with a full-text where_document leaf): FTS candidates feed an
+    // id semi-join on the embedding table, exact KNN runs over survivors
+    // only. At 100 TB the FTS index prunes the KNN candidate scan to the
+    // matching slice — filter-first ordering, `knn_filter.rs`.
+    "ft_knn_hybrid" -> { (s, d) =>
+      val cand = Fts.containsSearch(Tables.documents(s, d), served(s, d), needle)
+        .select(col("doc_id").as("offset_id"))
+      val survivors = Tables.embeddings(s, d)
+        .select(col("vec_id").as("offset_id"), col("embedding"))
+        .join(cand, Seq("offset_id"))
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.operators.Knn.exact(survivors, queries, k = 5, "cosine")
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("offset_id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -61,5 +80,19 @@ object FtsPack extends QueryPack {
     "ft_regex_indexed" ->
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE regexp_matches(text, '$pattern') ORDER BY doc_id""".stripMargin,
+
+    "ft_knn_hybrid" ->
+      s"""WITH cand AS (SELECT doc_id FROM documents WHERE contains(text, '$needle')),
+         |e AS (SELECT vec_id, embedding FROM embeddings JOIN cand ON vec_id = doc_id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id < 3),
+         |dd AS (SELECT query_id, vec_id,
+         |         1.0 - list_cosine_similarity(embedding, qe) AS dist
+         |       FROM e, q),
+         |r AS (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |      FROM dd)
+         |SELECT query_id, rank, dist, vec_id AS offset_id FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -26,6 +26,35 @@ object StreamingPack extends QueryPack {
       EventStream.latestSessions(out)
         .orderBy(col("user_id"), col("session_seq"))
     },
+
+    // Incremental IVF maintenance: vectors stream in (3 staged files →
+    // 3 micro-batches), each batch appends to the served posting table
+    // against fixed centroids; the query then SEARCHES the
+    // incrementally-built index. Approximate (no SQL oracle) — parity
+    // with the batch-built postings is gated in StreamingSpec.
+    "st_ivf_upsert" -> { (s, d) =>
+      import graft.Tables
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("offset_id"), col("embedding"))
+      val centroids = graft.sources.CollectionStore.ivfServing(
+        vecs, graft.sources.CollectionStore.indexRoot(d),
+        nCentroids = 16, nReplica = 4).centroids
+      val base = java.nio.file.Files.createTempDirectory("ivf_upsert").toString
+      // stage the "arriving WAL tail" as 3 parquet files
+      vecs.withColumn("part", pmod(col("offset_id"), lit(3)))
+        .repartition(3, col("part")).drop("part")
+        .write.mode("overwrite").parquet(s"$base/src")
+      EventStream.ivfMaintain(s, s"$base/src", centroids,
+        s"$base/postings", s"$base/ckpt", nReplica = 4)
+      val model = graft.operators.Ivf.Model(
+        centroids, s.read.parquet(s"$base/postings"))
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.operators.Ivf.search(model, queries, k = 10, nprobe = 4)
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("offset_id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
   )
 
   val oracle: Map[String, String] = Map(

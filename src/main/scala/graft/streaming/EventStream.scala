@@ -41,6 +41,47 @@ object EventStream extends Serializable {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Incremental ANN index maintenance — the reference's compaction loop
+    * (WAL tail → vector-segment index writer,
+    * `rust/worker/src/compactor/compaction_manager.rs`) as Structured
+    * Streaming: each micro-batch of new vectors is assigned to the FIXED
+    * served centroids ([[graft.operators.Ivf.assign]]) and appended to the
+    * centroid-partitioned posting table. Because assignment is per-vector
+    * independent, the incrementally-maintained table is row-identical to
+    * a batch rebuild over the same centroids (StreamingSpec proves it
+    * across multi-file micro-batches); centroid re-splits remain a
+    * compaction-time rebuild, exactly like SPANN.
+    *
+    * `srcDir` holds parquet files of (offset_id LONG, embedding
+    * ARRAY<FLOAT>); files arriving later are picked up by the next run
+    * (AvailableNow processes what exists, the checkpoint carries the
+    * offset).
+    */
+  def ivfMaintain(spark: SparkSession, srcDir: String, centroids: DataFrame,
+      postingsDir: String, checkpoint: String, nReplica: Int = 2,
+      filesPerBatch: Int = 1): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("offset_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Ivf.assign(batch, centroids, nReplica)
+          .repartition(col("centroid_id")) // one writer per touched list
+          .write.mode("append").partitionBy("centroid_id")
+          .parquet(postingsDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink, return
     * the materialized result.
     */

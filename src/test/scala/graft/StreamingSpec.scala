@@ -101,4 +101,34 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 1L, 4L, 35L * 60 * 1000),  // stitched across the boundary
       (2L, 1L, 1L, 0L), (2L, 2L, 1L, 0L)), s"got $got")
   }
+
+  test("incremental IVF maintenance == batch assignment over same centroids") {
+    import graft.operators.Ivf
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val model = Ivf.build(vecs, nCentroids = 8, nReplica = 2)
+    val centroids = model.centroids.cache()
+
+    val base = java.nio.file.Files.createTempDirectory("ivf_maint_spec").toString
+    vecs.withColumn("part", pmod(col("offset_id"), lit(3)))
+      .repartition(3, col("part")).drop("part")
+      .write.parquet(s"$base/src")
+    EventStream.ivfMaintain(spark, s"$base/src", centroids,
+      s"$base/postings", s"$base/ckpt", nReplica = 2)
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("centroid_id", "offset_id")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val incremental = key(spark.read.parquet(s"$base/postings"))
+    val batch = key(model.postings)
+    assert(incremental == batch,
+      s"incremental != batch: only-inc=${(incremental -- batch).take(5)} " +
+        s"only-batch=${(batch -- incremental).take(5)}")
+
+    // a second run with NO new files appends nothing (checkpoint holds)
+    EventStream.ivfMaintain(spark, s"$base/src", centroids,
+      s"$base/postings", s"$base/ckpt", nReplica = 2)
+    assert(key(spark.read.parquet(s"$base/postings")) == batch,
+      "re-run without new files must be a no-op")
+  }
 }
