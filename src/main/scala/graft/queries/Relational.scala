@@ -218,6 +218,43 @@ object Relational extends QueryPack {
           (unix_micros($"ts") - $"click_ts_us").as("gap_us"))
         .orderBy($"event_id")
     },
+
+    // Exact interpolated percentiles per group (the analytics twin of the
+    // reference's collection statistics): Spark `percentile` == DuckDB
+    // `quantile_cont` (linear interpolation). Exact percentile shuffles
+    // the group's values; at 100 TB swap in approx_percentile (t-digest,
+    // partial-merge) when 1e-3 relative error is acceptable.
+    "q_percentiles" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Forward as-of with a 1-hour tolerance: the next purchase after each
+    // error, if it happens within the hour (pandas merge_asof
+    // direction='forward', tolerance=1h). Same single-shuffle plan.
+    "q_asof_forward_tol" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id".as("next_purchase_id"),
+          unix_micros($"ts").as("p_ts_us"))
+      graft.operators.AsOfJoin
+        .asof(errors, purchases, "user_id", "ts", "next_purchase_id",
+          Seq("next_purchase_id", "p_ts_us"),
+          direction = "forward", toleranceMicros = 3600000000L)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"next_purchase_id", ($"p_ts_us" - unix_micros($"ts")).as("gap_us"))
+        .orderBy($"event_id")
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -361,6 +398,25 @@ object Relational extends QueryPack {
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND c.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_asof_forward_tol" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(e.ts) <= 3600000000
+        |       THEN p.event_id END AS next_purchase_id,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(e.ts) <= 3600000000
+        |       THEN epoch_us(p.ts) - epoch_us(e.ts) END AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND p.ts >= e.ts
         |ORDER BY e.event_id""".stripMargin,
   )
 }
