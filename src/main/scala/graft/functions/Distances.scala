@@ -120,6 +120,15 @@ object Distances {
     }
   }
 
+  /** SQL-surface builders: expression constructors for FunctionRegistry
+    * injection (GraftExtensions), so plain `spark.sql` text can call the
+    * codegen kernels — `SELECT cosine_similarity_f32(a.e, b.e) ...`.
+    */
+  def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity_f32" -> { args => CosineSim(args(0), args(1)) },
+    "dot_f32" -> { args => DotF32(args(0), args(1)) },
+    "l2sq_f32" -> { args => L2Sq(args(0), args(1)) })
+
   /** Pure-Scala kernels for executor-side imperative paths (heaps, IVF). */
   object scalar {
     def cosineSim(a: Array[Float], b: Array[Float]): Float = {

@@ -79,4 +79,8 @@ object SparseOps {
   def sparseDot(ia: Column, va: Column, ib: Column, vb: Column): Column =
     SqlBridge.column(SparseDot(SqlBridge.expr(ia), SqlBridge.expr(va),
       SqlBridge.expr(ib), SqlBridge.expr(vb)))
+
+  /** SQL-surface builder for FunctionRegistry injection (GraftExtensions). */
+  def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "sparse_dot" -> { args => SparseDot(args(0), args(1), args(2), args(3)) })
 }

@@ -103,4 +103,37 @@ object Quantized {
       bits: Int = 2, alpha: Int = 5, space: String = "cosine"): DataFrame =
     twoPhase(candidates, queries, k, alpha, space,
       mbCode(_, bits), mbCoarseDist)
+
+  /** Two-phase KNN over a PERSISTED code column: phase 1 scans the
+    * (offset_id, code) table only — 8 bytes/row instead of the wide f32
+    * embedding, integer ops end-to-end — and phase 2 pulls just the
+    * alpha·k survivors from the embedding table through a broadcast-hash
+    * join (the embedding scan is never shuffled). This is the RaBitQ
+    * layout the reference keeps beside its vector segment
+    * (`rust/index/src/quantization/`): codes live with the index, wide
+    * vectors are only touched for re-rank. Results are identical to
+    * [[search]] with the same (dim, alpha).
+    */
+  def searchServed(codes: DataFrame, embeddings: DataFrame,
+      queries: DataFrame, k: Int, dim: Int, alpha: Int = 5,
+      space: String = "cosine"): DataFrame = {
+    val qcoded = queries
+      .select(col("query_id"), signCode(col("q_embedding"), dim).as("qcode"))
+    val survivors = GroupedTopK(
+      codes.crossJoin(broadcast(qcoded))
+        .withColumn("hd", hamming(col("code"), col("qcode"))),
+      Seq(col("query_id")), Seq(col("hd"), col("offset_id")), alpha * k)
+      .select(col("query_id"), col("offset_id"))
+    val topk = udaf(new Knn.TopKAgg(k))
+    embeddings
+      .join(broadcast(survivors), Seq("offset_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("offset_id"),
+        Distances.distance(space)(col("embedding"), col("q_embedding")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("offset_id"), col("dist")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.oid").as("offset_id"), col("col.dist").as("dist"))
+  }
 }

@@ -69,9 +69,23 @@ object RegexPrefilter extends Rule[LogicalPlan] {
   }
 }
 
-/** Session extension wiring for the engine's custom Catalyst pieces. */
+/** Session extension wiring for the engine's custom Catalyst pieces:
+  * the regex-prefilter optimizer rule, plus the codegen kernels exposed
+  * as SQL functions so `spark.sql` text (and JDBC/thrift users) can call
+  * them without the Scala DSL — `cosine_similarity_f32`, `dot_f32`,
+  * `l2sq_f32`, `sparse_dot`.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RegexPrefilter)
+    val fns = graft.functions.Distances.sqlBuilders ++
+      graft.functions.SparseOps.sqlBuilders
+    fns.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions", name),
+        builder))
+    }
   }
 }

@@ -38,6 +38,26 @@ object VectorSearch extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // The same cosine KNN as pure SQL TEXT — no Scala DSL anywhere: temp
+    // view + the codegen kernel registered in the session FunctionRegistry
+    // by GraftExtensions (`cosine_similarity_f32`). Proves the engine's
+    // surface works from spark.sql/JDBC, not just the library API.
+    "vs_sql_knn" -> { (s, d) =>
+      Tables.embeddings(s, d).createOrReplaceTempView("emb")
+      s.sql("""
+        |WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM emb WHERE vec_id < 5),
+        |d AS (SELECT query_id, vec_id,
+        |        CAST(1.0 AS FLOAT) - cosine_similarity_f32(embedding, qe) AS dist
+        |      FROM emb, q),
+        |r AS (SELECT query_id, vec_id, dist,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+        |      FROM d)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dist
+        |FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)
+    },
+
     // KnnBatch, L2 space (euclidean, f32-sqrt to mirror DuckDB list_distance).
     "vs_knn_l2" -> { (s, d) =>
       Knn.exact(candidates(s, d), queryVecs(s, d), k = 10, space = "l2")
@@ -139,6 +159,18 @@ object VectorSearch extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Two-phase over the PERSISTED code column: coarse pass scans the
+    // 8-byte (offset_id, code) table only; survivors pull embeddings via
+    // broadcast join. Same results as vs_quantized_knn → same oracle.
+    "vs_quantized_served" -> { (s, d) =>
+      val codes = graft.sources.CollectionStore.codesServing(
+        candidates(s, d), graft.sources.CollectionStore.indexRoot(d), dim = 64)
+      graft.operators.Quantized.searchServed(codes, candidates(s, d),
+          queryVecs(s, d), k = 10, dim = 64, alpha = 5)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Multi-bit (2-bit) scalar quantization, same two-phase plan with a
     // corrected coarse distance — tighter than 1-bit at the same alpha.
     // Deterministic codes → oracle-checked.
@@ -164,8 +196,37 @@ object VectorSearch extends QueryPack {
     """q AS (SELECT vec_id AS query_id, embedding AS qe
       |      FROM embeddings WHERE vec_id < 5)""".stripMargin
 
+  private lazy val quantized1BitSql =
+    s"""WITH $qcte,
+       |h AS (SELECT query_id, vec_id, embedding, qe,
+       |        len(list_filter(range(1, 65),
+       |          i -> (embedding[i] > 0) <> (qe[i] > 0))) AS hd
+       |      FROM embeddings, q),
+       |c AS (SELECT query_id, vec_id, embedding, qe FROM
+       |        (SELECT query_id, vec_id, embedding, qe,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY hd, vec_id) AS rn
+       |         FROM h) WHERE rn <= 50),
+       |d AS (SELECT query_id, vec_id,
+       |        1.0 - list_cosine_similarity(embedding, qe) AS dist FROM c),
+       |r AS (SELECT query_id, vec_id, dist,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+       |      FROM d)
+       |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "vs_knn_cosine" ->
+      s"""WITH $qcte,
+         |d AS (SELECT query_id, vec_id,
+         |        1.0 - list_cosine_similarity(embedding, qe) AS dist
+         |      FROM embeddings, q),
+         |r AS (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |      FROM d)
+         |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "vs_sql_knn" ->
       s"""WITH $qcte,
          |d AS (SELECT query_id, vec_id,
          |        1.0 - list_cosine_similarity(embedding, qe) AS dist
@@ -257,23 +318,10 @@ object VectorSearch extends QueryPack {
         |SELECT label, group_rank, vec_id, dist FROM g WHERE group_rank <= 2
         |ORDER BY label, group_rank""".stripMargin,
 
-    "vs_quantized_knn" ->
-      s"""WITH $qcte,
-         |h AS (SELECT query_id, vec_id, embedding, qe,
-         |        len(list_filter(range(1, 65),
-         |          i -> (embedding[i] > 0) <> (qe[i] > 0))) AS hd
-         |      FROM embeddings, q),
-         |c AS (SELECT query_id, vec_id, embedding, qe FROM
-         |        (SELECT query_id, vec_id, embedding, qe,
-         |           row_number() OVER (PARTITION BY query_id ORDER BY hd, vec_id) AS rn
-         |         FROM h) WHERE rn <= 50),
-         |d AS (SELECT query_id, vec_id,
-         |        1.0 - list_cosine_similarity(embedding, qe) AS dist FROM c),
-         |r AS (SELECT query_id, vec_id, dist,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
-         |      FROM d)
-         |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
+    "vs_quantized_knn" -> quantized1BitSql,
+
+    // served variant is result-identical (same codes, same alpha)
+    "vs_quantized_served" -> quantized1BitSql,
 
     "vs_quantized_mb" ->
       s"""WITH $qcte,

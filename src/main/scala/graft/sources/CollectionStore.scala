@@ -138,6 +138,24 @@ object CollectionStore {
     root
   }
 
+  /** Serving quantized codes: the (offset_id, code) column persisted
+    * beside the vector segment (the reference keeps RaBitQ codes with the
+    * index, `rust/index/src/quantization/`), built once per collection
+    * version; [[graft.operators.Quantized.searchServed]] scans ONLY this
+    * 8-byte column in its coarse phase.
+    */
+  def codesServing(vecs: DataFrame, root: String, dim: Int): DataFrame = {
+    once(s"codes-$root-$dim") {
+      val key = s"codes-$dim-n${vecs.count()}"
+      ensureBuilt(root, "codes", key) {
+        vecs.select(col("offset_id"),
+            graft.operators.Quantized.signCode(col("embedding"), dim).as("code"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/codes/data")
+      }
+    }
+    readCached(vecs.sparkSession, s"$root/codes/data")
+  }
+
   /** Optimistic conditional commit — the reference's conditional
     * transactions (`rust/types/src/conditional_transaction.rs:21-88`):
     * publish a new collection version iff the current version still equals

@@ -106,4 +106,21 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("served quantized: coarse pass scans only the 8-byte code column") {
+    val p = plan("vs_quantized_served")
+    assert(p.contains("struct<offset_id:bigint,code:array<bigint>>"),
+      "coarse phase must scan the persisted code table, not embeddings\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"),
+      "survivors must broadcast into the embedding re-rank join\n" + p.take(800))
+    assert(p.contains("partial_topkagg"), p.take(800))
+  }
+
+  test("sql-registered kernels: spark.sql text plans the codegen expression") {
+    val p = plan("vs_sql_knn")
+    // resolved through the injected FunctionRegistry entry; the planned
+    // expression prints under its prettyName
+    assert(p.contains("cosine_similarity("), p.take(800))
+    assert(!p.toLowerCase.contains("batchevalpython"))
+  }
 }
