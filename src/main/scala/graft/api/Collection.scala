@@ -60,6 +60,31 @@ final class Collection(val records: DataFrame) {
     sliced.select(cols: _*)
   }
 
+  /** Get plan with a served trigram-FTS index: mandatory where_document
+    * contains-needles ([[Where.mandatoryContains]]) prune the scan to
+    * candidate offset_ids BEFORE the full predicate verifies — the
+    * reference's where_document path through its FTS segment. Falls back
+    * to the plain [[get]] scan when the predicate has no mandatory needle.
+    * Semantics are identical to [[get]] (candidates are a superset of
+    * matches; the full Where still runs).
+    */
+  def getIndexed(
+      ftsRoot: String,
+      where: Where.Expr,
+      limit: Option[Int] = None,
+      offset: Int = 0,
+      include: Seq[String] = Seq("document")): DataFrame = {
+    val needles = Where.mandatoryContains(where)
+    val spark = records.sparkSession
+    val pruned = needles.foldLeft(records) { (df, needle) =>
+      val cand = graft.operators.Fts
+        .candidateIds(spark, ftsRoot, needle)
+        .select(col("doc_id").as("offset_id"))
+      df.join(cand, Seq("offset_id"), "left_semi")
+    }
+    new Collection(pruned).get(Some(where), limit, offset, include)
+  }
+
   /** Knn plan — `plan.rs:114`: filter → batch KNN → projection+distance
     * (`KnnProjection`, operator.rs:657-661). `queries` is
     * (query_id, q_embedding); the filter runs BEFORE the KNN (pre-filtered

@@ -54,6 +54,21 @@ object Where {
   /** restrict to explicit user ids — `operator.rs:182-185` */
   final case class IdIn(ids: Seq[String]) extends Expr
 
+  /** Document-contains needles that are MANDATORY for the whole predicate
+    * — usable as an index prefilter. And: either side's needles prune;
+    * Or: only needles required by EVERY branch prune; negations and
+    * non-document leaves contribute none. (Same conservative stance as
+    * the regex literal prefilter; the reference routes where_document
+    * through its FTS segment identically.)
+    */
+  def mandatoryContains(e: Expr): Seq[String] = e match {
+    case DocContains(n, false) if n.length >= 3 => Seq(n)
+    case And(cs) => cs.flatMap(mandatoryContains).distinct
+    case Or(cs) if cs.nonEmpty =>
+      cs.map(mandatoryContains(_).toSet).reduce(_ intersect _).toSeq.sorted
+    case _ => Seq.empty
+  }
+
   /** Typed lookup of `key` in the shredded metadata maps. */
   private def lookup(key: String, v: Value): Column = v match {
     case VStr(_)   => element_at(col("meta_str"), key)

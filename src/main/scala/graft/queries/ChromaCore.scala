@@ -101,6 +101,21 @@ object ChromaCore extends QueryPack {
         include = Seq("document"))
     },
 
+    // Get with where_document routed through the served trigram index:
+    // the mandatory $contains needle prunes to FTS candidates, the full
+    // predicate (incl. the metadata leaf) verifies. Same result as the
+    // plain scan — the oracle can't tell them apart, the plan can.
+    "cc_get_indexed" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.ftsServing(
+        graft.Tables.documents(s, d), graft.sources.CollectionStore.indexRoot(d))
+      docsCollection(s, d).getIndexed(
+        root,
+        where = And(Seq(
+          DocContains("sort merge", negated = false),
+          Cmp("par", "$lte", VInt(6)))),
+        include = Seq("document"))
+    },
+
     // Get: negated document $regex + positive $contains + negated array
     // $contains — the negation surface (metadata.rs:1775-1781) under the
     // same two-valued semantics.
@@ -165,6 +180,11 @@ object ChromaCore extends QueryPack {
         |WHERE NOT regexp_matches(text, 'sort (merge|scan)')
         |  AND contains(text, 'filter')
         |  AND doc_id%3<>2
+        |ORDER BY doc_id""".stripMargin,
+
+    "cc_get_indexed" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document FROM documents
+        |WHERE contains(text, 'sort merge') AND doc_id%10 <= 6
         |ORDER BY doc_id""".stripMargin,
 
     "cc_projection_multi" ->

@@ -56,6 +56,37 @@ object PipelinePack extends QueryPack {
         .select(col("doc_id"), col("source"), col("bucket"))
         .orderBy(col("doc_id"))
     },
+
+    // Fixed-size-per-stratum sample: exactly n docs per source, chosen by
+    // hash order — a deterministic "reservoir". One shuffle on the
+    // stratum key; WindowGroupLimit prunes each partition to n before the
+    // shuffle, so the plan moves ~n·strata rows at any corpus size.
+    "pl_sample_topn" -> { (s, d) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token-budget allocation: per language, keep the longest documents
+    // while the running token total stays under budget — the "fill each
+    // language bucket" step of corpus mixing. Window per lang: state is
+    // one partial sum per group, shuffle is one pass.
+    "pl_token_budget" -> { (s, d) =>
+      val nTok = size(TextStats.tokens(col("text"))).cast("long")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("n_tok", nTok)
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= 3000)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   private def sqlToks = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '')"
@@ -89,5 +120,24 @@ object PipelinePack extends QueryPack {
         |  (CASE WHEN right(source, 1) IN ('0','2','4','6','8')
         |        THEN '40' ELSE '20' END)
         |ORDER BY doc_id""".stripMargin,
+
+    "pl_sample_topn" ->
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+
+    "pl_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, lang, n_chars, len($sqlToks) AS n_tok
+         |           FROM documents),
+         |c AS (SELECT doc_id, lang, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY lang
+         |          ORDER BY n_chars DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+         |      FROM t)
+         |SELECT doc_id, lang, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+         |FROM c WHERE cum_tok <= 3000 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -94,4 +94,21 @@ class WhereUnitSpec extends AnyFunSuite {
     val json2 = """{"$and": [{"k": "v"}, {"b": {"$eq": true}}]}"""
     assert(idsFor(WhereParser.parse(json2)) == Set("r1"))
   }
+
+  test("mandatoryContains: And unions, Or intersects, negation contributes none") {
+    import Where._
+    val c1 = DocContains("alpha", negated = false)
+    val c2 = DocContains("betaX", negated = false)
+    val neg = DocContains("gamma", negated = true)
+    val cmp = Cmp("k", "$eq", VStr("v"))
+    assert(mandatoryContains(And(Seq(c1, cmp, neg))) == Seq("alpha"))
+    assert(mandatoryContains(And(Seq(c1, c2))).toSet == Set("alpha", "betaX"))
+    // Or: a needle prunes only if required by every branch
+    assert(mandatoryContains(Or(Seq(c1, c2))).isEmpty)
+    assert(mandatoryContains(Or(Seq(And(Seq(c1, cmp)), c1))) == Seq("alpha"))
+    // under Or with a non-document branch nothing is mandatory
+    assert(mandatoryContains(Or(Seq(c1, cmp))).isEmpty)
+    // short needles can't hit a trigram index
+    assert(mandatoryContains(DocContains("ab", negated = false)).isEmpty)
+  }
 }
