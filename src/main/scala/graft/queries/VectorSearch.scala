@@ -58,6 +58,13 @@ object VectorSearch extends QueryPack {
         |ORDER BY query_id, rank""".stripMargin)
     },
 
+    // KnnBatch, inner-product space (dist = 1 - dot, the reference's ip).
+    "vs_knn_ip" -> { (s, d) =>
+      Knn.exact(candidates(s, d), queryVecs(s, d), k = 10, space = "ip")
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // KnnBatch, L2 space (euclidean, f32-sqrt to mirror DuckDB list_distance).
     "vs_knn_l2" -> { (s, d) =>
       Knn.exact(candidates(s, d), queryVecs(s, d), k = 10, space = "l2")
@@ -219,6 +226,17 @@ object VectorSearch extends QueryPack {
       s"""WITH $qcte,
          |d AS (SELECT query_id, vec_id,
          |        1.0 - list_cosine_similarity(embedding, qe) AS dist
+         |      FROM embeddings, q),
+         |r AS (SELECT query_id, vec_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |      FROM d)
+         |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "vs_knn_ip" ->
+      s"""WITH $qcte,
+         |d AS (SELECT query_id, vec_id,
+         |        1.0 - list_inner_product(embedding, qe) AS dist
          |      FROM embeddings, q),
          |r AS (SELECT query_id, vec_id, dist,
          |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
