@@ -35,6 +35,31 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec]) {
     append("Upsert", id, doc, meta)
   def delete(id: String): Unit = append("Delete", id, None, Map())
 
+  /** Predicate delete — the reference's `delete(where=..., where_document=
+    * ...)` (`service_based_frontend.rs:2595-2652`), which resolves the
+    * predicate to matching ids against the CURRENT read-your-writes state
+    * (pending WAL applied) and then deletes by id, exactly as the
+    * reference's frontend issues a Get before the delete. The matched id
+    * set is bounded by the predicate (the reference materializes the same
+    * list); ids append in sorted order so WAL offsets stay deterministic.
+    * Returns the number of records deleted.
+    */
+  def deleteWhere(where: graft.model.Where.Expr): Long = {
+    import org.apache.spark.sql.functions._
+    val state = flush().toDF()
+    val none = map_from_arrays(array(), array())
+    val view = state.select(col("id"), col("document"),
+      col("meta").as("meta_str"),
+      none.cast("map<string,bigint>").as("meta_int"),
+      none.cast("map<string,double>").as("meta_float"),
+      none.cast("map<string,boolean>").as("meta_bool"),
+      none.cast("map<string,array<string>>").as("meta_str_arr"))
+    val ids = view.filter(graft.model.Where.compile(where))
+      .select("id").as[String].collect()
+    ids.sorted.foreach(delete)
+    ids.length.toLong
+  }
+
   def pendingOps: Int = wal.size
 
   /** Materialize WAL over the segment; returns and swaps in the new state. */

@@ -111,6 +111,27 @@ object WritePath extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // Predicate delete through the user-facing Writer: add every doc,
+    // delete(where = lang=de OR document contains 'sort merge'), flush —
+    // the surviving state must equal the oracle's NOT(predicate) scan.
+    "wp_delete_where" -> { (s, d) =>
+      import graft.model.Where._
+      import s.implicits._
+      val w = graft.api.Writer.empty(s)
+      Tables.documents(s, d)
+        .select($"doc_id", $"text", $"lang").as[(Long, String, String)]
+        .collect().sortBy(_._1)
+        .foreach { case (i, text, lang) =>
+          w.add(s"doc-$i", Some(text), Map("lang" -> lang)) }
+      w.deleteWhere(Or(Seq(
+        Cmp("lang", "$eq", VStr("de")),
+        DocContains("sort merge", negated = false))))
+      w.flush().toDF()
+        .select($"id", $"document",
+          element_at($"meta", "lang").as("lang"))
+        .orderBy($"id")
+    },
+
     // The 100-TB compaction shape: huge segment + small WAL tail merged
     // with ZERO segment-side shuffles (broadcast ops join; see
     // Materialize.compactionMerge + CompactionMergeSpec plan gates).
@@ -147,5 +168,10 @@ object WritePath extends QueryPack {
     "wp_materialize_over_segment" -> expectedStateSql,
     "wp_materialize_dfagg" -> expectedStateSql,
     "wp_compaction_merge" -> expectedStateSql,
+
+    "wp_delete_where" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document, lang FROM documents
+        |WHERE NOT (lang = 'de' OR contains(text, 'sort merge'))
+        |ORDER BY id""".stripMargin,
   )
 }
