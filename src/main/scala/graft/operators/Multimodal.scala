@@ -39,6 +39,40 @@ object Multimodal {
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("sig", StringType)))
 
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("frame_idx", LongType),
+    StructField("byte_off", LongType), StructField("sig", StringType)))
+
+  /** Frame sampling over a "video" blob: fixed-size frame windows, every
+    * `stride`-th frame emitted with its byte offset and content digest.
+    * The frame DECODER is the stub boundary (real codecs absent from this
+    * container); the sampling loop, per-partition batching, one-to-many
+    * explode shape, and deterministic output contract are the real
+    * plumbing a video pipeline drops ffmpeg into. Scales map-only: frames
+    * per row are bounded by blob size, no shuffle until the output sort.
+    */
+  def frameSample(blobs: DataFrame, frameBytes: Int = 100,
+      stride: Int = 3): DataFrame = {
+    val spark = blobs.sparkSession
+    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5") // per-partition init
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { i =>
+          val off = i * frameBytes
+          val frame = java.util.Arrays.copyOfRange(bytes, off,
+            math.min(off + frameBytes, bytes.length))
+          digest.reset()
+          val sig = digest.digest(frame).map("%02x".format(_)).mkString
+          Row(id, i.toLong, off.toLong, sig)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
   /** Batched decode/feature-extract over (doc_id, blob BINARY) rows —
     * the `mapInPandas` shape in Scala: one worker init per partition,
     * rows streamed through it.

@@ -22,6 +22,16 @@ object MultimodalPack extends QueryPack {
       Multimodal.decodeFeatures(blobs).orderBy(col("doc_id"))
     },
 
+    // Frame sampling over "video" blobs: every 3rd 100-byte frame with
+    // its offset + digest — the one-to-many media explode, oracle-checked
+    // on the deterministic sampling geometry.
+    "mm_frame_sample" -> { (s, d) =>
+      val blobs = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      Multimodal.frameSample(blobs, frameBytes = 100, stride = 3)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     "mm_embed_knn" -> { (s, d) =>
       val ef = EmbeddingFunctions.registry("hashed_bow_64")
       // embed-at-write: materialize the embedded table once (in production
@@ -44,5 +54,15 @@ object MultimodalPack extends QueryPack {
         |  CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS height,
         |  md5(text) AS sig
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // documents are pure ASCII (octet_length == length holds corpus-wide),
+    // so VARCHAR slicing equals byte slicing and md5(substr) == md5(frame)
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |        unnest(range(0, (octet_length(encode(text)) + 99) // 100, 3)) AS frame_idx
+        |      FROM documents)
+        |SELECT doc_id, frame_idx, frame_idx * 100 AS byte_off,
+        |  md5(substring(text, CAST(frame_idx * 100 + 1 AS INT), 100)) AS sig
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
