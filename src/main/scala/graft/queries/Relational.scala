@@ -219,6 +219,20 @@ object Relational extends QueryPack {
         .orderBy($"event_id")
     },
 
+    // RANGE frame over event time: per user, the rolling 30-minute sum of
+    // event values — a value-based frame (rows at equal offsets share
+    // results), complementing the ROWS frames in q_window_running.
+    "q_window_range" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(unix_millis($"ts"))
+        .rangeBetween(-30L * 60 * 1000, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("roll_sum", round(sum($"value").over(w), 2))
+        .withColumn("roll_n", count(lit(1)).over(w))
+        .select($"event_id", $"user_id", $"roll_sum", $"roll_n")
+        .orderBy($"event_id")
+    },
+
     // Exact interpolated percentiles per group (the analytics twin of the
     // reference's collection statistics): Spark `percentile` == DuckDB
     // `quantile_cont` (linear interpolation). Exact percentile shuffles
@@ -399,6 +413,15 @@ object Relational extends QueryPack {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND c.ts <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 2) AS roll_sum,
+        |  count(*) OVER w AS roll_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |  RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,
