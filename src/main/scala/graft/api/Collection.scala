@@ -106,6 +106,29 @@ final class Collection(val records: DataFrame) {
       .select(proj: _*)
   }
 
+  /** Knn plan served from a persisted IVF index — the reference's
+    * query-time path once a collection's vector segment is compacted
+    * (route to nprobe centroids, scan only those posting lists). The
+    * optional `where` pre-filter applies AFTER the probe (post-filtered
+    * ANN): candidates come from the index, survivors re-join the records.
+    * Approximate — recall vs [[query]] is the IVF gate (IvfSpec ≥ 0.95).
+    */
+  def queryAnn(
+      model: graft.operators.Ivf.Model,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      where: Option[Where.Expr] = None,
+      space: String = "cosine",
+      include: Seq[String] = Seq()): DataFrame = {
+    val nn = graft.operators.Ivf.search(model, queries, k, nprobe, space)
+    val base = where.map(w => records.filter(Where.compile(w))).getOrElse(records)
+    val proj = col("query_id") +: col("rank") +: col("dist") +:
+      col("id") +: include.map(col)
+    nn.join(base.drop("embedding"), Seq("offset_id"))
+      .select(proj: _*)
+  }
+
   /** Sparse KNN plan over a per-key sparse-vector metadata column —
     * `MetadataValue::SparseVector` (`rust/types/src/metadata.rs:39`) with a
     * per-key sparse index (`rust/types/src/collection_schema.rs:745-873`),

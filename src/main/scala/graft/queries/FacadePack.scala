@@ -94,6 +94,23 @@ object FacadePack extends QueryPack {
           element_at(col("meta_int"), "label").as("label"))
         .orderBy(col("score"), col("id"))
     },
+    // Served-ANN query through the facade: the collection's persisted IVF
+    // index answers, candidates re-join record content. Approximate →
+    // rows-only; recall gates live in IvfSpec.
+    "fc_ann_query" -> { (s, d) =>
+      val model = graft.sources.CollectionStore.ivfServing(
+        graft.Tables.embeddings(s, d)
+          .select(col("vec_id").as("offset_id"), col("embedding")),
+        graft.sources.CollectionStore.indexRoot(d), nCentroids = 16, nReplica = 4)
+      val queries = graft.Tables.embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      vecCollection(s, d)
+        .queryAnn(model, queries, k = 5, nprobe = 4)
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Sparse KNN through the facade: tf_bow sparse column, where-filtered
     // (filter-before-KNN), plain tf weights — integer-valued f32 sums are
     // exact, so the oracle hash-matches.
