@@ -84,6 +84,27 @@ object TextAnalysis extends QueryPack {
         .orderBy(col("lang"), col("rank"))
     },
 
+    // Corpus-level statistics (the collection-stats surface): doc count,
+    // token totals, global vocabulary size, length distribution. One
+    // shuffle for the distinct-vocab count; everything else partial-aggs.
+    "ta_corpus_stats" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("lang"), toks.as("t"), col("n_chars"))
+      val stats = base.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("t")).cast("long")).as("total_tok"),
+        min(size(col("t")).cast("long")).as("min_tok"),
+        max(size(col("t")).cast("long")).as("max_tok"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      // vocab as explode + two-phase distinct count — never materializes
+      // a language's token set in one aggregation buffer
+      val vocab = base
+        .select(col("lang"), explode(array_distinct(col("t"))).as("term"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("term")).as("vocab"))
+      stats.join(vocab, Seq("lang")).orderBy(col("lang"))
+    },
+
     // Gopher-style repetition signals: duplicate-token ratio, most-common
     // word fraction, most-common bigram fraction. Pure per-row array
     // algebra — zero shuffles, stays in WholeStageCodegen, so it scales
@@ -169,6 +190,19 @@ object TextAnalysis extends QueryPack {
          |SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fp,
          |  len(s) AS n_shingles
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "ta_corpus_stats" ->
+      s"""WITH base AS (SELECT lang, $sqlToks AS t, n_chars FROM documents),
+         |stats AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(len(t)) AS BIGINT) AS total_tok,
+         |    CAST(min(len(t)) AS BIGINT) AS min_tok,
+         |    CAST(max(len(t)) AS BIGINT) AS max_tok,
+         |    round(avg(n_chars), 2) AS avg_chars
+         |  FROM base GROUP BY lang),
+         |v AS (SELECT lang, count(DISTINCT term) AS vocab
+         |  FROM (SELECT lang, unnest(t) AS term FROM base) GROUP BY lang)
+         |SELECT s.lang, n_docs, total_tok, min_tok, max_tok, avg_chars, vocab
+         |FROM stats s JOIN v USING (lang) ORDER BY lang""".stripMargin,
 
     "ta_repetition" ->
       s"""WITH base AS (SELECT doc_id, $sqlToks AS t FROM documents),

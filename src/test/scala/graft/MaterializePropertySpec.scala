@@ -61,4 +61,29 @@ class MaterializePropertySpec extends AnyFunSuite {
       assert(got == expected, s"case $caseIdx\n got=$got\n exp=$expected")
     }
   }
+
+  test("compactionMerge(applyDf(prefix), suffix) == applyDf(all) over random splits") {
+    import spark.implicits._
+    val params = Gen.Parameters.default
+    for (caseIdx <- 0 until 6) {
+      val seed = Seed(caseIdx.toLong * 31337 + 11)
+      val raw = Gen.listOfN(80, Gen.zip(Gen.oneOf(ids), genOp))
+        .pureApply(params, seed)
+      val wal = raw.zipWithIndex.map { case ((id, (op, doc, meta)), off) =>
+        LogOp(id, off.toLong, op, doc, meta)
+      }
+      // compaction point at a pseudo-random offset inside the WAL
+      val cut = (caseIdx * 23 + 17) % 60 + 10
+      val walDf = wal.toDS().toDF()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), Option(r.getString(1)),
+          r.getMap[String, String](2).toSeq.sorted.mkString(","))).toSet
+      val segment = Materialize.applyDf(walDf.filter(s"log_offset < $cut"))
+      val merged = Materialize.compactionMerge(
+        segment, walDf.filter(s"log_offset >= $cut"))
+      val full = Materialize.applyDf(walDf)
+      assert(canon(merged) == canon(full),
+        s"case $caseIdx cut=$cut\n merged=${canon(merged)}\n full=${canon(full)}")
+    }
+  }
 }
