@@ -73,6 +73,32 @@ object Multimodal {
     spark.createDataFrame(rdd, frameSchema)
   }
 
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_in", LongType),
+    StructField("n_out", LongType), StructField("sig", StringType)))
+
+  /** "Resize": deterministic stride-downsample of the blob (every
+    * `stride`-th byte). STUB for a real resampler — the size contract
+    * (ceil(n/stride)), batching, and digest verification are the real
+    * plumbing; swap the inner loop for an image scaler when codecs
+    * exist. Map-only, no shuffle.
+    */
+  def resize(blobs: DataFrame, stride: Int = 4): DataFrame = {
+    val spark = blobs.sparkSession
+    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val out = bytes.indices.by(stride).map(bytes(_)).toArray
+        digest.reset()
+        val sig = digest.digest(out).map("%02x".format(_)).mkString
+        Row(id, bytes.length.toLong, out.length.toLong, sig)
+      }
+    }
+    spark.createDataFrame(rdd, resizeSchema)
+  }
+
   /** Batched decode/feature-extract over (doc_id, blob BINARY) rows —
     * the `mapInPandas` shape in Scala: one worker init per partition,
     * rows streamed through it.

@@ -32,6 +32,13 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // Stride-downsample "resize" over the blob, digest-verified.
+    "mm_resize" -> { (s, d) =>
+      val blobs = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      Multimodal.resize(blobs, stride = 4).orderBy(col("doc_id"))
+    },
+
     "mm_embed_knn" -> { (s, d) =>
       val ef = EmbeddingFunctions.registry("hashed_bow_64")
       // embed-at-write: materialize the embedded table once (in production
@@ -53,6 +60,16 @@ object MultimodalPack extends QueryPack {
         |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
         |  CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS height,
         |  md5(text) AS sig
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ASCII corpus: every-4th-char of the VARCHAR == every-4th-byte
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_in,
+        |  (octet_length(encode(text)) + 3) // 4 AS n_out,
+        |  md5(array_to_string(
+        |    list_transform(range(1, length(text) + 1, 4),
+        |      i -> substring(text, CAST(i AS INT), 1)), '')) AS sig
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // documents are pure ASCII (octet_length == length holds corpus-wide),
