@@ -63,10 +63,14 @@ object Bench {
       if (t1 > 5.0) name -> math.min(t1, timeOne(name, selected(name)))
       else name -> t1
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact (3-decimal) values keep the whole line inside the driver's
+    // bounded output tail; millisecond resolution is below run-to-run noise.
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

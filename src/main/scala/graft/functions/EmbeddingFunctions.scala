@@ -32,6 +32,25 @@ trait SparseEmbeddingFunction {
 
 object EmbeddingFunctions {
 
+  /** Attach a computed column so it is evaluated exactly ONCE per row.
+    *
+    * A bare `withColumn` leaves the expression open to `CollapseProject`,
+    * which inlines a fresh copy into every downstream consumer — each
+    * `getField`, every filter the optimizer pushes below the projection,
+    * each sort key. For an interpreted higher-order-function tree (all
+    * embedding functions here) that re-evaluation multiplies: the BM25
+    * facade query measured ~40× the single-evaluation cost before this
+    * barrier existed. The one-element `explode` is a `Generate` node the
+    * optimizer never collapses through, so downstream operators see a
+    * plain attribute. This mirrors the reference, which materializes
+    * embeddings at write/compaction time rather than re-deriving them
+    * inside the query plan.
+    */
+  def attachOnce(df: DataFrame, name: String, value: Column): DataFrame = {
+    val keep = df.columns.map(df.col)
+    df.select(keep :+ explode(array(value)).as(name): _*)
+  }
+
   /** Deterministic hashed bag-of-words embedder (a real, useful baseline —
     * feature hashing a la HashingTF — and the stand-in for model-based
     * functions, which are not available in this container). L2-normalized.
@@ -62,10 +81,13 @@ object EmbeddingFunctions {
   final class HashedCharNgram(val dim: Int = 64, n: Int = 3) extends EmbeddingFunction {
     val name = s"hashed_char${n}gram_$dim"
     def embed(text: Column): Column = {
-      val lowered = lower(text)
-      val grams = transform(
-        sequence(lit(1), greatest(length(lowered) - (n - 1), lit(0))),
-        i => lowered.substr(i, lit(n)))
+      // `lower(text)` must be bound through a lambda slot: referencing it
+      // directly inside the transform lambda re-lowercases the whole text
+      // once per gram (O(len²) in the interpreted HOF path).
+      val grams = flatten(transform(array(lower(text)), lowered =>
+        transform(
+          sequence(lit(1), greatest(length(lowered) - (n - 1), lit(0))),
+          i => lowered.substr(i, lit(n)))))
       val buckets = transform(grams, g => pmod(xxhash64(g), lit(dim)).cast("int"))
       val counts = aggregate(buckets,
         array_repeat(lit(0), dim),
@@ -115,17 +137,41 @@ object EmbeddingFunctions {
       avgdl: Double = 256.0) extends SparseEmbeddingFunction {
     val name = "bm25_sparse"
     def embedSparse(text: Column): Column = {
-      val toks = graft.operators.TextStats.tokens(text)
-      val dl = size(toks).cast("double")
-      val uniq = array_distinct(toks)
-      val pairs = sort_array(transform(uniq, t => {
-        val tf = size(filter(toks, x => x === t)).cast("double")
+      // Term frequencies by run-length over the SORTED token array —
+      // O(n log n) per document. Two past performance bugs inform the
+      // shape:
+      //  - a per-distinct-token `filter(toks, _ === t)` recount is O(n²);
+      //  - a lambda body referencing an OUTER subtree (e.g.
+      //    `element_at(toks, i)` with toks defined outside the lambda)
+      //    re-evaluates that subtree per ELEMENT in Spark's interpreted
+      //    HOF path — re-tokenizing the document n times. Every shared
+      //    subtree is therefore bound once via `bound` (a 1-element
+      //    transform whose lambda slot downstream lambdas read for free).
+      def bound(e: Column)(f: Column => Column): Column =
+        element_at(transform(array(e), v => f(v)), 1)
+      bound(sort_array(graft.operators.TextStats.tokens(text))) { toks =>
+      bound(size(toks)) { n =>
+      // 1-based positions where a new run (distinct token) starts.
+      bound(when(n === 0, array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(1), n), i =>
+          (i === 1) || (element_at(toks, i) =!= element_at(toks, i - 1))))) { starts =>
+      // Each run ends where the next begins (sentinel n+1 for the last).
+      // Empty guard: zip_with null-pads the shorter side, so ends must be
+      // empty (not [n+1]) when there are no tokens.
+      bound(when(size(starts) === 0, array().cast("array<int>"))
+        .otherwise(concat(
+          slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+          array(n + 1)))) { ends =>
+      bound(sort_array(zip_with(starts, ends, (s, e) => {
+        val tf = (e - s).cast("double")
         val x = tf * lit(k1 + 1) /
-          (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / lit(avgdl)))
-        struct(xxhash64(t).as("i"),
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * n.cast("double") / lit(avgdl)))
+        struct(xxhash64(element_at(toks, s)).as("i"),
           (floor(x * lit(1024.0)) / lit(1024.0)).cast("float").as("v"))
-      }))
-      struct(pairs.getField("i").as("indices"), pairs.getField("v").as("values"))
+      }))) { pairs =>
+        struct(pairs.getField("i").as("indices"),
+          pairs.getField("v").as("values"))
+      }}}}}
     }
   }
 

@@ -157,8 +157,8 @@ object FacadePack extends QueryPack {
     "fc_sparse_bm25ef" -> { (s, d) =>
       val ef = new graft.functions.EmbeddingFunctions.Bm25Sparse()
       val base = ChromaCore.docsCollection(s, d).records
-      val coll = new Collection(base.withColumn("meta_sparse",
-        map(lit("bm25"), ef.embedSparse(col("document")))))
+      val coll = new Collection(graft.functions.EmbeddingFunctions.attachOnce(
+        base, "meta_sparse", map(lit("bm25"), ef.embedSparse(col("document")))))
       val qv = s.range(1).select(
         array_sort(array(sparseTerms.map(t => xxhash64(lit(t))): _*)).as("qi"),
         array(sparseTerms.map(_ => lit(1.0f)): _*).as("qv"))
