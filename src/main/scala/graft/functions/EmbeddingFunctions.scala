@@ -57,20 +57,12 @@ object EmbeddingFunctions {
     */
   final class HashedBow(val dim: Int = 64) extends EmbeddingFunction {
     val name = s"hashed_bow_$dim"
-    def embed(text: Column): Column = {
-      // Single pass: hash each token once to a bucket, then histogram with
-      // an aggregate fold (dim int-ops per token). The lambda-binding trick
-      // (transform over a 1-element array) makes Catalyst evaluate the
-      // counts subtree once instead of re-deriving it for norm + divide.
-      val buckets = transform(graft.operators.TextStats.tokens(text),
-        t => pmod(xxhash64(t), lit(dim)).cast("int"))
-      val counts = aggregate(buckets,
-        array_repeat(lit(0), dim),
-        (acc, b) => transform(acc, (x, i) => when(i === b, x + 1).otherwise(x)))
-      element_at(transform(array(counts), c =>
-        transform(c, x => (x / sqrt(aggregate(c, lit(0.0d),
-          (a, v) => a + v.cast("double") * v))).cast("float"))), 1)
-    }
+    // Single native-kernel pass (hash -> histogram -> L2 normalize):
+    // the expression-tree formulation of the same fold evaluated ~dim
+    // interpreted nodes per token; TextHash.hashedBow is one JVM loop.
+    def embed(text: Column): Column =
+      graft.functions.TextHash.hashedBow(
+        graft.operators.TextStats.tokens(text), dim)
   }
 
   /** Hashed character-n-gram embedder (subword features a la fastText):

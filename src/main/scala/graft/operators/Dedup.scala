@@ -53,13 +53,19 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
       maxDf: Long = DefaultMaxDf): DataFrame = {
-    // cache: the shingle table is referenced 4x below (both join sides,
-    // sizes, df filter) — without it the tokenize+shingle scan re-runs
-    // per reference. At cluster scale this is a persisted temp table.
-    val sh = withShingles(docs, n).cache()
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("sg"))
-    val dfreq = ex0.groupBy("sg").agg(count(lit(1)).as("df")).cache()
+    // The exploded (doc_id, xxhash64(shingle)) table is what every
+    // downstream step consumes — cache THAT, not the array<string>
+    // column (columnar-caching string arrays costs multiples of the
+    // recompute, measured here; two longs per row compress to ~nothing).
+    // Hashing shingles to 64-bit ids up front keeps the self-join
+    // shuffle narrow; intersection counts are unchanged absent a 64-bit
+    // collision (~10^-9 at corpus scale). At cluster scale this cached
+    // table is the persisted inverted index.
+    val sh = withShingles(docs, n)
+    val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("sg0"))
+      .select(col("doc_id"), xxhash64(col("sg0")).as("sg")).cache()
+    val sizes = ex0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = ex0.groupBy("sg").agg(count(lit(1)).as("df"))
     val dropped = dfreq.filter(col("df") > maxDf).count()
     if (dropped > 0)
       org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
@@ -84,14 +90,17 @@ object Dedup {
         col("nb").cast("long").as("nb"), col("jaccard"))
   }
 
-  /** MinHash signatures: `perms` permutations via seeded xxhash64 over
-    * shingles (shingle -> minhash -> band -> bucket join).
+  /** MinHash signatures: `perms` permutations over shingles
+    * (shingle -> minhash -> band -> bucket join), via the native
+    * [[graft.functions.TextHash.minhashSig]] kernel — two string hashes
+    * per shingle plus a tight h1+i*h2 loop (Kirsch–Mitzenmacher
+    * composite hashing), versus `perms` interpreted hash-expression
+    * evaluations per shingle. Minwise independence for the banding
+    * analysis is gated by recall in DedupSpec.
     */
   def minhashSignatures(sh: DataFrame, perms: Int): DataFrame =
     sh.filter(size(col("shingles")) > 0).select(col("doc_id"),
-      transform(sequence(lit(0), lit(perms - 1)),
-        i => array_min(transform(col("shingles"), s => xxhash64(i, s))))
-        .as("sig"))
+      graft.functions.TextHash.minhashSig(col("shingles"), perms).as("sig"))
 
   /** LSH candidate pairs -> exact-Jaccard verification at `threshold`.
     * Returns verified pairs (subset of [[jaccardPairs]] output, with recall
@@ -99,8 +108,13 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, threshold: Double, n: Int = 3,
       bands: Int = 16, rows: Int = 4): DataFrame = {
-    val sh = withShingles(docs, n).cache()
-    val sig = minhashSignatures(sh, bands * rows)
+    // Cache the SIGNATURES (doc_id + 64 longs — megabytes), not the
+    // array<string> shingle table: the banding select references sig 16
+    // times and the candidate self-join twice more, while the shingle
+    // arrays are only re-read by the final verify joins (two cheap
+    // re-scans of the codegen'd tokenize).
+    val sh = withShingles(docs, n)
+    val sig = minhashSignatures(sh, bands * rows).cache()
     val banded = sig.select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
@@ -123,23 +137,13 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens: per-bit vote of seeded token hashes. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = TextStats.tokens(col("text"))
-    // votes: for each bit, sum of +-1 over tokens; bit set iff vote > 0.
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        array((0 until 64).map(b =>
-          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*),
-        (x, y) => x + y))
-    val sig = (0 until 64).map(b =>
-        when(element_at(col("_votes"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    docs.select(col("doc_id"), votes.as("_votes"))
-      .select(col("doc_id"), sig.as("simhash"))
-  }
+  /** 64-bit SimHash over tokens: per-bit vote of seeded token hashes,
+    * via the native [[graft.functions.TextHash.simhash64]] kernel (one
+    * JVM loop per row instead of a 64-wide interpreted fold per token).
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextHash.simhash64(TextStats.tokens(col("text"))).as("simhash"))
 
   /** Hamming-distance pairs <= maxDist via 4x16-bit banded candidates. */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {

@@ -26,12 +26,21 @@ object TextStats {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Distinct word `n`-gram shingles, space-joined. Empty when < n tokens. */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct word `n`-gram shingles, space-joined. Empty when < n tokens.
+    *
+    * `toks0` (often a full tokenize tree) is bound once through a lambda
+    * slot before the per-position lambda references it: Spark's
+    * subexpression elimination skips conditionally-evaluated branches, so
+    * a direct reference inside the transform lambda would re-evaluate the
+    * tokenizer once per shingle position (measured ~1.5 ms/row — it
+    * dominated every dedup query sharing this helper).
+    */
+  def shingles(toks0: Column, n: Int): Column =
+    element_at(transform(array(toks0), toks =>
+      when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(array().cast("array<string>"))), 1)
 
   /** Count of tokens that appear in `words`. */
   def hitCount(toks: Column, words: Seq[String]): Column =
