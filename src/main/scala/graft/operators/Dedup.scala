@@ -165,6 +165,47 @@ object Dedup {
       .select(col("da"), col("db"), col("hamming"))
   }
 
+  /** Connected components over the near-duplicate pair graph — the
+    * cluster-then-keep-one step of corpus dedup (each cluster's min
+    * doc_id is the canonical survivor). Min-label propagation: every
+    * paired doc starts as its own label; each iteration takes the min of
+    * neighbor labels (one shuffle join), converging in graph-diameter
+    * iterations — near-dup clusters are near-cliques, so 2-4 rounds in
+    * practice, with `maxIters` bounding adversarial chains. Lineage is
+    * truncated per iteration via localCheckpoint; on a real cluster use
+    * a reliable checkpoint dir. Only docs appearing in >= 1 pair are
+    * clustered (singletons are trivially their own canonical).
+    */
+  def dupClusters(docs: DataFrame, threshold: Double, n: Int = 3,
+      maxIters: Int = 25): DataFrame = {
+    val pairs = jaccardPairs(docs, threshold, n).select(col("da"), col("db"))
+    val edges = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("label")).as("nbl"))
+      // every node has >= 1 edge (both directions present) so the inner
+      // join keeps the full node set
+      val next = labels.join(nbrMin, Seq("node"))
+        .select(col("node"), least(col("label"), col("nbl")).as("label"))
+        .localCheckpoint(true)
+      done = next
+        .join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") < col("prev")).isEmpty
+      labels = next
+      it += 1
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster"), col("csize"))
+  }
+
   /** Exact top-k most-similar embedding pairs (cosine) — all-pairs
     * cartesian, O(n²) distance evals. Kept ONLY as the oracle/spec
     * baseline; the scale path is [[embeddingAnnPairs]].

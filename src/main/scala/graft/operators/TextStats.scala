@@ -42,6 +42,30 @@ object TextStats {
           i => concat_ws(" ", slice(toks, i, lit(n))))))
         .otherwise(array().cast("array<string>"))), 1)
 
+  /** PII scrubbing patterns: (kind, regex, replacement). Conservative
+    * RE2-compatible syntax (no look-around) so one pattern text runs
+    * identically in Spark (java.util.regex) and engines like DuckDB/RE2
+    * — the same portability constraint the reference imposes on `$regex`
+    * (`rust/types/src/regex/hir.rs`).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?", "<PHONE>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Replace every PII pattern occurrence with its tag (training-data
+    * scrubbing; codegen'd regexp_replace chain, no UDF).
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, p, r) }
+
+  /** Occurrences of one PII pattern kind in `text`. */
+  def piiCount(text: Column, kind: String): Column = {
+    val p = piiPatterns.find(_._1 == kind)
+      .getOrElse(throw new IllegalArgumentException(s"unknown pii kind $kind"))._2
+    size(regexp_extract_all(text, lit(p), lit(0)))
+  }
+
   /** Count of tokens that appear in `words`. */
   def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))

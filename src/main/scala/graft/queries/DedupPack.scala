@@ -49,6 +49,16 @@ object DedupPack extends QueryPack {
       Dedup.embeddingAnnPairs(model, k = 20)
     },
 
+    // Near-dup clusters: connected components over the exact jaccard
+    // pair graph (min-label propagation), each doc tagged with its
+    // cluster's canonical (min) id and cluster size — the keep-one-per-
+    // cluster step of corpus dedup. Oracle: DuckDB recursive CTE over
+    // the identical pair set.
+    "dd_dup_clusters" -> { (s, d) =>
+      Dedup.dupClusters(Tables.documents(s, d), threshold = 0.5)
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark-contamination check: train docs sharing any word-4-gram
     // with the eval split (doc_id % 20 == 0 stands in for a benchmark
     // set). Eval shingle sets are small by construction (benchmarks are
@@ -110,6 +120,31 @@ object DedupPack extends QueryPack {
         |  list_cosine_similarity(a.embedding, b.embedding) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin,
+
+    "dd_dup_clusters" ->
+      s"""WITH RECURSIVE $sqlShingles,
+         |ex0 AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         |dfreq AS (SELECT sg FROM ex0 GROUP BY sg
+         |          HAVING count(*) <= ${graft.operators.Dedup.DefaultMaxDf}),
+         |ex AS (SELECT ex0.doc_id, ex0.sg FROM ex0 JOIN dfreq USING (sg)),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         |jp AS (SELECT da, db FROM pairs
+         |       JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |       WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+         |und AS (SELECT da AS src, db AS dst FROM jp
+         |        UNION ALL SELECT db, da FROM jp),
+         |cc(node, label) AS (
+         |  SELECT DISTINCT src, src FROM und
+         |  UNION
+         |  SELECT und.src, cc.label FROM und JOIN cc ON und.dst = cc.node),
+         |lab AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node),
+         |sz AS (SELECT cluster, count(*) AS csize FROM lab GROUP BY cluster)
+         |SELECT lab.node AS doc_id, lab.cluster, sz.csize
+         |FROM lab JOIN sz USING (cluster)
+         |ORDER BY doc_id""".stripMargin,
 
     "dd_contamination" ->
       """WITH toks AS (SELECT doc_id,

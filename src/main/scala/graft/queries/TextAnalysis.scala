@@ -105,6 +105,32 @@ object TextAnalysis extends QueryPack {
       stats.join(vocab, Seq("lang")).orderBy(col("lang"))
     },
 
+    // PII scrubbing (training-data redaction): tag emails / phones /
+    // IPv4s and emit per-row redaction counts + a digest of the cleaned
+    // text. The corpus is synthetic, so the PII-bearing text is
+    // constructed deterministically in-plan from customer fields — the
+    // oracle builds the identical string; the operator under test is the
+    // generic regexp_replace chain + counters in TextStats (RE2-safe
+    // patterns, codegen'd, no UDF).
+    "ta_pii_redact" -> { (s, d) =>
+      val t = concat(
+        lit("contact "), col("c_name"),
+        lit(" <user"), col("c_custkey").cast("string"),
+        lit("@example.com> or +1-"),
+        lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"),
+        lit("-555-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("c_custkey") % 256).cast("string"),
+        lit(".1 segment "), col("c_mktsegment"))
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        TextStats.piiCount(t, "email").cast("long").as("n_email"),
+        TextStats.piiCount(t, "phone").cast("long").as("n_phone"),
+        TextStats.piiCount(t, "ipv4").cast("long").as("n_ip"),
+        md5(TextStats.redactPii(t)).as("sig"))
+        .orderBy(col("c_custkey"))
+    },
+
     // Gopher-style repetition signals: duplicate-token ratio, most-common
     // word fraction, most-common bigram fraction. Pure per-row array
     // algebra — zero shuffles, stays in WholeStageCodegen, so it scales
@@ -134,6 +160,27 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(t, x -> x IN (${stopwords(l).map(w => s"'$w'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    "ta_pii_redact" ->
+      """WITH t AS (SELECT c_custkey,
+        |  'contact ' || c_name || ' <user' || c_custkey || '@example.com> or +1-' ||
+        |  lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-555-' ||
+        |  lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |  ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.1 segment ' ||
+        |  c_mktsegment AS x
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(x,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(x,
+        |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(x,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(x,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS sig
+        |FROM t ORDER BY c_custkey""".stripMargin,
+
     "ta_tokens" ->
       s"""SELECT doc_id,
          |  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws,

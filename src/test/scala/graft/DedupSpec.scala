@@ -62,6 +62,58 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dup clusters == transitive closure of the jaccard pair graph") {
+    val pairs = Dedup.jaccardPairs(docs, 0.5).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.dupClusters(docs, 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == expected.keySet)
+    // same canonical label (min of component) per node
+    got.foreach { case (node, (cluster, csize)) =>
+      assert(cluster == expected(node), s"node $node cluster")
+      assert(csize == expected.values.count(_ == expected(node)), s"node $node size")
+    }
+  }
+
+  test("pii redaction removes every counted pattern occurrence") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail a.b-c_d@ex-ample.co.uk and 1-234-5678 plus 10.20.30.40 done",
+      "no pii here at all",
+      "+421-123-456-7890 twice +1-800-555-1234 and x@y.io").toDF("t")
+    val out = rows.select(
+      graft.operators.TextStats.redactPii(col("t")).as("red"),
+      graft.operators.TextStats.piiCount(col("t"), "email").as("ne"),
+      graft.operators.TextStats.piiCount(col("t"), "phone").as("np"),
+      graft.operators.TextStats.piiCount(col("t"), "ipv4").as("ni")).collect()
+    assert(out(0).getString(0) == "mail <EMAIL> and <PHONE> plus <IP> done")
+    assert((out(0).getInt(1), out(0).getInt(2), out(0).getInt(3)) == ((1, 1, 1)))
+    assert(out(1).getString(0) == "no pii here at all")
+    assert((out(1).getInt(1), out(1).getInt(2), out(1).getInt(3)) == ((0, 0, 0)))
+    assert(out(2).getString(0) == "<PHONE> twice <PHONE> and <EMAIL>")
+    assert(out(2).getInt(2) == 2)
+    // redacted text never still matches any pattern
+    graft.operators.TextStats.piiPatterns.foreach { case (kind, _, _) =>
+      out.foreach { r =>
+        val recount = rows.sparkSession.range(1)
+          .select(graft.operators.TextStats.piiCount(lit(r.getString(0)), kind))
+          .collect()(0).getInt(0)
+        assert(recount == 0, s"$kind still present after redaction")
+      }
+    }
+  }
+
   test("exact dedup: every keep_id is the group minimum and non-dups map to self") {
     val out = Dedup.exact(docs).collect()
     assert(out.forall(r => r.getLong(1) <= r.getLong(0)))
