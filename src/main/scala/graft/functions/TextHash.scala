@@ -161,4 +161,19 @@ object TextHash {
   /** token array<string> -> L2-normalized dim-bucket hashed BoW vector. */
   def hashedBow(toks: Column, dim: Int): Column =
     SqlBridge.column(HashedBowVec(SqlBridge.expr(toks), dim))
+
+  private def litInt(e: Expression, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"$arg must be an integer literal, got $other")
+  }
+
+  /** SQL-surface builders for FunctionRegistry injection (GraftExtensions):
+    * `minhash_sig(shingles, perms)`, `simhash64(tokens)`,
+    * `hashed_bow(tokens, dim)` callable from plain spark.sql text.
+    */
+  def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_sig" -> { args => MinHashSig(args(0), litInt(args(1), "perms")) },
+    "simhash64" -> { args => SimHash64(args(0)) },
+    "hashed_bow" -> { args => HashedBowVec(args(0), litInt(args(1), "dim")) })
 }

@@ -79,7 +79,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RegexPrefilter)
     val fns = graft.functions.Distances.sqlBuilders ++
-      graft.functions.SparseOps.sqlBuilders
+      graft.functions.SparseOps.sqlBuilders ++
+      graft.functions.TextHash.sqlBuilders
     fns.foreach { case (name, builder) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

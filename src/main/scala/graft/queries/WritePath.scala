@@ -132,6 +132,47 @@ object WritePath extends QueryPack {
         .orderBy($"id")
     },
 
+    // Collection fork (copy-on-write, `service_based_frontend.rs:
+    // 1663-1787`): the compacted segment is persisted ONCE and both
+    // branches read the same immutable files; parent and fork diverge
+    // only in their WAL tails (parent applies the standard tail, the
+    // fork deletes doc_id%5 and upserts doc_id%4). The full-outer diff
+    // of the two materialized states proves neither branch's writes
+    // leaked into the other.
+    "wp_fork_cow" -> { (s, d) =>
+      val wal = syntheticWal(s, d).toDF()
+      val root = graft.sources.CollectionStore.indexRoot(d) + "/fork_demo"
+      graft.sources.CollectionStore.ensureBuilt(root, "segment", "adds-v1") {
+        graft.sources.CollectionStore.saveRecords(
+          Materialize.applyDf(wal.filter(col("log_offset") % 10 === 0)),
+          s"$root/segment")
+      }
+      val seg = s.read.parquet(s"$root/segment/records")
+      val parent = Materialize.compactionMerge(
+        seg, wal.filter(col("log_offset") % 10 =!= 0))
+      val docs = Tables.documents(s, d)
+      val forkDel = docs.filter(col("doc_id") % 5 === 0).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        (col("doc_id") * 10 + 1).as("log_offset"),
+        lit("Delete").as("op"),
+        lit(null).cast("string").as("document"),
+        map_from_arrays(array(), array()).cast("map<string,string>").as("meta"))
+      val forkUps = docs.filter(col("doc_id") % 4 === 0).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        (col("doc_id") * 10 + 2).as("log_offset"),
+        lit("Upsert").as("op"),
+        lit("forked").as("document"),
+        map(lit("branch"), lit("fork")).as("meta"))
+      val fork = Materialize.compactionMerge(seg, forkDel.union(forkUps))
+      parent.select(col("id"), col("document").as("parent_doc")).alias("p")
+        .join(fork.select(col("id"), col("document").as("fork_doc")).alias("f"),
+          Seq("id"), "full_outer")
+        .select(col("id"), col("parent_doc"), col("fork_doc"),
+          col("parent_doc").isNotNull.as("in_parent"),
+          col("fork_doc").isNotNull.as("in_fork"))
+        .orderBy(col("id"))
+    },
+
     // The 100-TB compaction shape: huge segment + small WAL tail merged
     // with ZERO segment-side shuffles (broadcast ops join; see
     // Materialize.compactionMerge + CompactionMergeSpec plan gates).
@@ -172,6 +213,22 @@ object WritePath extends QueryPack {
     "wp_delete_where" ->
       """SELECT 'doc-'||doc_id AS id, text AS document, lang FROM documents
         |WHERE NOT (lang = 'de' OR contains(text, 'sort merge'))
+        |ORDER BY id""".stripMargin,
+
+    "wp_fork_cow" ->
+      """WITH p AS (SELECT 'doc-'||doc_id AS id,
+        |             CASE WHEN doc_id%10=0 THEN 'upserted'
+        |                  WHEN doc_id%21=0 THEN 'readded '||text
+        |                  ELSE text END AS parent_doc
+        |           FROM documents
+        |           WHERE NOT (doc_id%7=0 AND doc_id%21<>0 AND doc_id%10<>0)),
+        |f AS (SELECT 'doc-'||doc_id AS id,
+        |        CASE WHEN doc_id%4=0 THEN 'forked' ELSE text END AS fork_doc
+        |      FROM documents
+        |      WHERE doc_id%5<>0 OR doc_id%4=0)
+        |SELECT coalesce(p.id, f.id) AS id, p.parent_doc, f.fork_doc,
+        |  p.id IS NOT NULL AS in_parent, f.id IS NOT NULL AS in_fork
+        |FROM p FULL OUTER JOIN f ON p.id = f.id
         |ORDER BY id""".stripMargin,
   )
 }

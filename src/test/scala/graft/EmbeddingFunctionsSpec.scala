@@ -50,4 +50,23 @@ class EmbeddingFunctionsSpec extends AnyFunSuite {
       .select(element_at(col("sv.values"), 1)).collect().map(_.getFloat(0))
     assert(two(1) > two(0) && two(1) < 10 * two(0))
   }
+
+  test("TextHash kernels callable from plain SQL via GraftExtensions") {
+    import SparkTestSession.spark
+    val r = spark.sql(
+      """SELECT simhash64(array('alpha','beta')) AS sh,
+        |       size(minhash_sig(array('a b c','b c d'), 8)) AS ms,
+        |       size(hashed_bow(array('x','y','x'), 16)) AS hb""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) != 0L)
+    assert(r.getInt(1) == 8)
+    assert(r.getInt(2) == 16)
+    // SQL surface and Column DSL agree
+    val viaSql = spark.sql("SELECT simhash64(array('alpha','beta')) AS s")
+      .collect()(0).getLong(0)
+    val viaDsl = spark.range(1)
+      .select(graft.functions.TextHash.simhash64(
+        array(lit("alpha"), lit("beta")))).collect()(0).getLong(0)
+    assert(viaSql == viaDsl)
+  }
 }
