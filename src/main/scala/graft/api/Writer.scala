@@ -19,12 +19,33 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec]) {
   import spark.implicits._
 
   private var wal: Vector[LogOp] = Vector.empty
+  private var batches: Vector[Dataset[LogOp]] = Vector.empty
   private var nextOffset: Long = 0L
 
   private def append(op: String, id: String, doc: Option[String],
       meta: Map[String, String]): Unit = {
     wal = wal :+ LogOp(id, nextOffset, op, doc, meta)
     nextOffset += 1
+  }
+
+  /** Bulk append — the client-batch ingestion path: one `op` per record
+    * of `ops` (columns `id`, `document`, `meta`), appended as a single
+    * WAL batch that never routes through the driver. Ids must be unique
+    * within one batch (the reference rejects duplicate ids per request,
+    * `service_based_frontend.rs:2079`), so all rows share the batch's
+    * log offset; ordering ACROSS batches and single-record ops comes
+    * from the monotonically increasing offset base.
+    */
+  def addBatch(ops: org.apache.spark.sql.DataFrame, op: String = "Add"): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = nextOffset
+    nextOffset += 1
+    batches = batches :+ ops.select(
+      col("id").cast("string").as("id"),
+      lit(base).as("log_offset"),
+      lit(op).as("op"),
+      col("document").cast("string").as("document"),
+      col("meta").cast("map<string,string>").as("meta")).as[LogOp]
   }
 
   def add(id: String, doc: Option[String], meta: Map[String, String] = Map()): Unit =
@@ -54,20 +75,28 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec]) {
       none.cast("map<string,double>").as("meta_float"),
       none.cast("map<string,boolean>").as("meta_bool"),
       none.cast("map<string,array<string>>").as("meta_str_arr"))
-    val ids = view.filter(graft.model.Where.compile(where))
-      .select("id").as[String].collect()
-    ids.sorted.foreach(delete)
-    ids.length.toLong
+    // The matched id set stays distributed: the Delete ops append as a
+    // WAL batch (no driver round-trip — at corpus scale the match list
+    // does not fit a driver). Only the COUNT is an action, mirroring the
+    // reference frontend's deleted-count response.
+    val matched = view.filter(graft.model.Where.compile(where)).select(col("id"))
+    val n = matched.count()
+    addBatch(matched
+      .withColumn("document", lit(null).cast("string"))
+      .withColumn("meta", none.cast("map<string,string>")), op = "Delete")
+    n
   }
 
-  def pendingOps: Int = wal.size
+  def pendingOps: Int = wal.size + batches.size
 
   /** Materialize WAL over the segment; returns and swaps in the new state. */
   def flush(): Dataset[Rec] = {
-    if (wal.nonEmpty) {
-      segment = Materialize(spark, wal.toDS(),
+    if (wal.nonEmpty || batches.nonEmpty) {
+      val all = (wal.toDS() +: batches).reduce(_ union _)
+      segment = Materialize(spark, all,
         Some(Materialize.segmentAsLog(spark, segment)))
       wal = Vector.empty
+      batches = Vector.empty
     }
     segment
   }

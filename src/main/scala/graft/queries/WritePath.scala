@@ -111,18 +111,18 @@ object WritePath extends QueryPack {
         .orderBy(col("id"))
     },
 
-    // Predicate delete through the user-facing Writer: add every doc,
+    // Predicate delete through the user-facing Writer: bulk-add every
+    // doc (one distributed WAL batch, no driver round-trip),
     // delete(where = lang=de OR document contains 'sort merge'), flush —
     // the surviving state must equal the oracle's NOT(predicate) scan.
     "wp_delete_where" -> { (s, d) =>
       import graft.model.Where._
       import s.implicits._
       val w = graft.api.Writer.empty(s)
-      Tables.documents(s, d)
-        .select($"doc_id", $"text", $"lang").as[(Long, String, String)]
-        .collect().sortBy(_._1)
-        .foreach { case (i, text, lang) =>
-          w.add(s"doc-$i", Some(text), Map("lang" -> lang)) }
+      w.addBatch(Tables.documents(s, d).select(
+        concat(lit("doc-"), $"doc_id").as("id"),
+        $"text".as("document"),
+        map(lit("lang"), $"lang").as("meta")))
       w.deleteWhere(Or(Seq(
         Cmp("lang", "$eq", VStr("de")),
         DocContains("sort merge", negated = false))))
