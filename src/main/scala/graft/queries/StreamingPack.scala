@@ -27,6 +27,25 @@ object StreamingPack extends QueryPack {
         .orderBy(col("user_id"), col("session_seq"))
     },
 
+    // Built-in session windows (SURVEY §2.9 "expose session_window
+    // natively") — the declarative twin of the stateful sessionizer:
+    // Spark merges per-event [ts, ts+gap) windows itself; a session
+    // closes when the next event is >= 30 min after the last.
+    "st_session_window" -> { (s, d) =>
+      val out = EventStream.runToTable(
+        EventStream.readEvents(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("sum_value")),
+        OutputMode.Complete())
+      out.select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // Incremental IVF maintenance: vectors stream in (3 staged files →
     // 3 micro-batches), each batch appends to the served posting table
     // against fixed centroids; the query then SEARCHES the
@@ -62,6 +81,27 @@ object StreamingPack extends QueryPack {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // session_window closes a session when the inter-event gap is >= 30
+    // min (each event extends the window to ts+gap, merge on overlap) —
+    // hence `>=` here where the custom sessionizer uses `>`.
+    "st_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value, epoch_ms(ts) AS ms, event_id,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 30*60*1000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value),2) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "st_sessionize_stateful" ->
       """WITH flagged AS (
