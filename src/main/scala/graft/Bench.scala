@@ -30,6 +30,8 @@ object Bench {
           .select(col("vec_id").as("offset_id"), col("embedding"))
         val root = graft.sources.CollectionStore.indexRoot(sfDir)
         graft.sources.CollectionStore.ivfServing(vecs, root, nCentroids = 16, nReplica = 4)
+        graft.sources.CollectionStore.ivfRebalancedServing(vecs, root,
+          nCentroids = 16, nReplica = 4, splitThreshold = 800, mergeThreshold = 20)
         graft.sources.CollectionStore.hnswServing(vecs.repartition(4), root)
       } catch { case _: Throwable => }
     }

@@ -69,6 +69,121 @@ object Ivf {
       .select(col("centroid_id"), col("offset_id"), col("embedding"))
   }
 
+  /** Row emitted by the local split: child list membership + the child's
+    * centroid (public: encoder codegen must construct it). */
+  final case class SplitRow(centroid_id: Int, offset_id: Long,
+      embedding: Array[Float], centroid: Array[Float])
+
+  /** Deterministic local 2-means (Lloyd) over one posting list: seeds are
+    * the min-offset_id member and the member farthest from it; ties break
+    * by offset_id. Returns (meanA, meanB, assignment-to-B flags).
+    */
+  private[operators] def twoMeans(members: Array[(Long, Array[Float])],
+      iters: Int = 10): (Array[Float], Array[Float], Array[Boolean]) = {
+    val dim = members.head._2.length
+    def l2(a: Array[Float], b: Array[Float]): Float =
+      Distances.scalar.l2Sq(a, b)
+    val sorted = members.sortBy(_._1)
+    var ca = sorted.head._2.clone()
+    var cb = sorted.maxBy(m => (l2(m._2, ca), m._1))._2.clone()
+    val toB = new Array[Boolean](members.length)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < members.length) {
+        toB(i) = l2(members(i)._2, cb) < l2(members(i)._2, ca)
+        i += 1
+      }
+      val sa = new Array[Double](dim); val sb = new Array[Double](dim)
+      var na = 0; var nb = 0
+      i = 0
+      while (i < members.length) {
+        val e = members(i)._2
+        val (s, _) = if (toB(i)) (sb, { nb += 1 }) else (sa, { na += 1 })
+        var d2 = 0
+        while (d2 < dim) { s(d2) += e(d2); d2 += 1 }
+        i += 1
+      }
+      if (na > 0) ca = Array.tabulate(dim)(d2 => (sa(d2) / na).toFloat)
+      if (nb > 0) cb = Array.tabulate(dim)(d2 => (sb(d2) / nb).toFloat)
+      it += 1
+    }
+    (ca, cb, toB)
+  }
+
+  /** SPANN posting-list maintenance — the reference's split/merge
+    * compaction knobs (`spann_configuration.rs:102-145` split_threshold /
+    * merge_threshold; local splits in `rust/index/src/spann/types.rs`):
+    * lists above `splitThreshold` 2-means-split IN PLACE (the Lloyd loop
+    * runs executor-side over that one list — no global refit, no
+    * segment-wide shuffle, exactly SPANN's locality argument), lists
+    * below `mergeThreshold` retire and their members reassign to the
+    * nearest surviving centroid. Rounds repeat until every list is in
+    * bounds (a skewed list needs log2(size/threshold) rounds). The
+    * per-centroid size table is centroid-count-sized — driver-safe at
+    * any corpus scale; a list must fit one executor, which is the
+    * invariant the split itself maintains.
+    */
+  def rebalance(model: Model, splitThreshold: Int, mergeThreshold: Int = 0,
+      maxRounds: Int = 8): Model = {
+    var cur = model
+    var round = 0
+    var done = false
+    val spark = model.postings.sparkSession
+    import spark.implicits._
+    while (!done && round < maxRounds) {
+      val sizes = cur.postings.groupBy("centroid_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val bigIds = sizes.filter(_._2 > splitThreshold).keys.toSet
+      val smallIds = sizes.filter(_._2 < mergeThreshold).keys.toSet -- bigIds
+      if (bigIds.isEmpty && smallIds.isEmpty) done = true
+      else {
+        val maxId = sizes.keys.max
+        val childBase = bigIds.toSeq.sorted.zipWithIndex
+          .map { case (p, i) => p -> (maxId + 1 + 2 * i) }.toMap
+        val retired = (bigIds ++ smallIds).toSeq
+        val keptPost = cur.postings
+          .filter(!col("centroid_id").isin(retired: _*))
+        val keptCent = cur.centroids
+          .filter(!col("centroid_id").isin(retired: _*))
+        // local split of each oversized list; child rows carry their new
+        // centroid so both tables derive from one pass
+        val bcBase = spark.sparkContext.broadcast(childBase)
+        val splitRows = cur.postings
+          .filter(col("centroid_id").isin(bigIds.toSeq: _*))
+          .select(col("centroid_id"), col("offset_id"), col("embedding"))
+          .as[(Int, Long, Array[Float])]
+          .groupByKey(_._1)
+          .flatMapGroups { (pid: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+            val members = it.map(t => (t._2, t._3)).toArray
+            val (ca, cb, toB) = twoMeans(members)
+            val base = bcBase.value(pid)
+            members.iterator.zipWithIndex.map { case ((oid, emb), i) =>
+              if (toB(i)) SplitRow(base + 1, oid, emb, cb)
+              else SplitRow(base, oid, emb, ca)
+            }
+          }.toDF().cache()
+        val childPost = splitRows.select("centroid_id", "offset_id", "embedding")
+        val childCent = splitRows.groupBy("centroid_id")
+          .agg(first(col("centroid")).as("centroid"))
+        // retire undersized lists: members go to the nearest surviving
+        // centroid (single assignment — replicas elsewhere keep theirs)
+        val smallMembers = cur.postings
+          .filter(col("centroid_id").isin(smallIds.toSeq: _*))
+          .select(col("offset_id"), col("embedding"))
+          .dropDuplicates("offset_id")
+        val mergedPost =
+          if (smallIds.isEmpty) keptPost.limit(0)
+          else assign(smallMembers, keptCent, nReplica = 1)
+        cur = Model(
+          keptCent.union(childCent.select(col("centroid_id"), col("centroid"))),
+          keptPost.union(childPost).union(mergedPost))
+      }
+      round += 1
+    }
+    cur
+  }
+
   /** ANN search: route each query to its `nprobe` nearest centroids, scan
     * only those posting lists, top-k per query. Same output shape as
     * [[Knn.exact]].

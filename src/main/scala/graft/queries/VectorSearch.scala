@@ -146,6 +146,20 @@ object VectorSearch extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Same served path over the REBALANCED index: SPANN split/merge
+    // maintenance (Ivf.rebalance — split_threshold/merge_threshold knobs
+    // of spann_configuration.rs) ran at build time, so every posting
+    // list is size-bounded; queries route + probe identically.
+    // Approximate → rows-only; size/recall invariants gated in IvfSpec.
+    "vs_ann_ivf_rebalanced" -> { (s, d) =>
+      val model = graft.sources.CollectionStore.ivfRebalancedServing(
+        candidates(s, d), graft.sources.CollectionStore.indexRoot(d),
+        nCentroids = 16, nReplica = 4, splitThreshold = 800, mergeThreshold = 20)
+      graft.operators.Ivf.search(model, queryVecs(s, d), k = 10, nprobe = 10)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Per-partition HNSW graphs + KnnMerge, served from persisted blobs
     // (the reference's default index, built at compaction; approximate →
     // rows-only, recall >= 0.95 gated in HnswSpec).

@@ -109,6 +109,32 @@ object CollectionStore {
       postings = readCached(spark, s"$root/ivf/postings"))
   }
 
+  /** Serving IVF with SPANN split/merge maintenance applied at build
+    * time ([[Ivf.rebalance]]): the compactor's list-size rebalancing
+    * runs once, the bounded-list index persists under `ivf2/`, queries
+    * route + probe exactly like [[ivfServing]].
+    */
+  def ivfRebalancedServing(vecs: DataFrame, root: String, nCentroids: Int,
+      nReplica: Int = 2, splitThreshold: Int = 1000, mergeThreshold: Int = 0,
+      seed: Long = 42L): Ivf.Model = {
+    once(s"ivf2-$root-$nCentroids-$nReplica-$splitThreshold-$mergeThreshold-$seed") {
+      val key = s"ivf2-$nCentroids-$nReplica-$splitThreshold-$mergeThreshold-" +
+        s"$seed-n${vecs.count()}"
+      ensureBuilt(root, "ivf2", key) {
+        val m = Ivf.rebalance(Ivf.build(vecs, nCentroids, nReplica, seed),
+          splitThreshold, mergeThreshold)
+        m.centroids.write.mode(SaveMode.Overwrite).parquet(s"$root/ivf2/centroids")
+        m.postings.repartition(col("centroid_id"))
+          .write.mode(SaveMode.Overwrite).partitionBy("centroid_id")
+          .parquet(s"$root/ivf2/postings")
+      }
+    }
+    val spark = vecs.sparkSession
+    Ivf.Model(
+      centroids = readCached(spark, s"$root/ivf2/centroids"),
+      postings = readCached(spark, s"$root/ivf2/postings"))
+  }
+
   /** Serving HNSW: per-partition graphs built + persisted once; use
     * [[Hnsw.searchSaved]] against the returned root.
     */

@@ -66,4 +66,39 @@ class IvfSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("rebalance: split bounds list sizes, merge retires tiny lists, recall holds") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    // few centroids → oversized lists that MUST split to meet the bound
+    val model = Ivf.build(vecs, nCentroids = 4, nReplica = 4)
+    val splitAt = 300
+    val out = Ivf.rebalance(model, splitThreshold = splitAt, mergeThreshold = 10)
+    val sizes = out.postings.groupBy("centroid_id").count()
+      .collect().map(r => r.getLong(1))
+    assert(sizes.forall(_ <= splitAt), s"oversized list survived: ${sizes.max}")
+    assert(sizes.forall(_ >= 10) || sizes.length == 1,
+      s"undersized list survived: ${sizes.min}")
+    // no vector lost: every original offset_id still has >= 1 posting
+    val before = model.postings.select("offset_id").distinct().count()
+    val after = out.postings.select("offset_id").distinct().count()
+    assert(after == before, s"membership changed: $before -> $after")
+    // centroid table and posting table agree
+    val cids = out.centroids.select("centroid_id").collect().map(_.getInt(0)).toSet
+    val pids = out.postings.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(pids.subsetOf(cids), s"postings with no centroid: ${pids -- cids}")
+    // recall over the rebalanced index (probe proportionally to list count)
+    val k = 10
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "offset_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(Knn.exact(vecs, queries, k))
+    val approx = resultSet(
+      Ivf.search(out, queries, k, nprobe = math.max(8, cids.size / 2)))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.95, s"post-rebalance recall $recall < 0.95")
+  }
 }
