@@ -135,7 +135,13 @@ object Ivf {
       val sizes = cur.postings.groupBy("centroid_id").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val bigIds = sizes.filter(_._2 > splitThreshold).keys.toSet
-      val smallIds = sizes.filter(_._2 < mergeThreshold).keys.toSet -- bigIds
+      val smallIds0 = sizes.filter(_._2 < mergeThreshold).keys.toSet -- bigIds
+      // merging needs a survivor to merge INTO: if every non-split list is
+      // undersized, keep the largest of them alive instead of retiring all
+      val smallIds =
+        if (smallIds0.isEmpty || (sizes.keySet -- bigIds -- smallIds0).nonEmpty)
+          smallIds0
+        else smallIds0 - smallIds0.maxBy(sizes)
       if (bigIds.isEmpty && smallIds.isEmpty) done = true
       else {
         val maxId = sizes.keys.max
