@@ -191,14 +191,15 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("node")).agg(min(col("label")).as("nbl"))
       // every node has >= 1 edge (both directions present) so the inner
-      // join keeps the full node set
+      // join keeps the full node set. The improvement flag rides along in
+      // the checkpointed result, so convergence detection reads the
+      // materialized iteration instead of running another join.
       val next = labels.join(nbrMin, Seq("node"))
-        .select(col("node"), least(col("label"), col("nbl")).as("label"))
+        .select(col("node"), least(col("label"), col("nbl")).as("label"),
+          (col("nbl") < col("label")).as("improved"))
         .localCheckpoint(true)
-      done = next
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") < col("prev")).isEmpty
-      labels = next
+      done = next.filter(col("improved")).isEmpty
+      labels = next.select("node", "label")
       it += 1
     }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
