@@ -1,0 +1,163 @@
+package graft.api
+
+import graft.operators.Materialize
+import graft.operators.Materialize.Rec
+import graft.sources.{Catalog, CollectionStore}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Top-level client — the reference's `chromadb.Client` surface
+  * (`rust/frontend/src/server.rs:290-400`: create_tenant /
+  * create_database / create_collection / get_collection /
+  * list_collections / delete_collection) composed from the engine's
+  * pieces: catalog ops via [[graft.sources.Catalog]], per-collection
+  * data via [[CollectionHandle]] (WAL writes through [[Writer]], reads
+  * through [[Collection]] plans with read-your-writes).
+  */
+final class Client(spark: SparkSession, root: String,
+    val tenant: String = "default_tenant",
+    val database: String = "default_database") {
+
+  Catalog.createTenant(root, tenant)
+  Catalog.createDatabase(root, tenant, database)
+
+  def createCollection(name: String,
+      schema: Catalog.Schema = Catalog.Schema()): CollectionHandle =
+    new CollectionHandle(spark,
+      Catalog.createCollection(root, tenant, database, name, schema))
+
+  def getCollection(name: String): CollectionHandle =
+    new CollectionHandle(spark,
+      Catalog.getCollection(root, tenant, database, name))
+
+  def getOrCreateCollection(name: String,
+      schema: Catalog.Schema = Catalog.Schema()): CollectionHandle =
+    if (listCollections().contains(name)) getCollection(name)
+    else createCollection(name, schema)
+
+  def listCollections(): Seq[String] =
+    Catalog.listCollections(root, tenant, database)
+
+  def countCollections(): Long = listCollections().size.toLong
+
+  def deleteCollection(name: String): Unit = {
+    val ref = Catalog.getCollection(root, tenant, database, name)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      root, "_sysdb", tenant, database, s"$name.json"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ref.dataRoot))
+  }
+}
+
+/** One collection through the client: WAL-semantics writes (add is
+  * ignored for live ids, upsert replaces, update merges with metadata
+  * tombstones, delete removes) and read-your-writes reads — every read
+  * materializes pending ops over the compacted segment, the same fold
+  * the compactor runs.
+  *
+  * Metadata through this facade is the WAL's string map (shredded typed
+  * maps belong to the compacted record schema); `offset_id` is the
+  * materializer's stable `first_offset` assignment, so insertion-order
+  * pagination behaves like the reference. Batch writes share one offset
+  * base, so pagination within a single batch tie-breaks by id.
+  */
+final class CollectionHandle(spark: SparkSession,
+    val ref: Catalog.CollectionRef) {
+  import spark.implicits._
+
+  private val writer: Writer = {
+    val recDir = java.nio.file.Paths.get(ref.dataRoot, "records")
+    if (java.nio.file.Files.isDirectory(recDir)) {
+      // the persisted segment is the SHREDDED serving schema; map it back
+      // to WAL-record shape for the materializer
+      val seg = CollectionStore.loadRecords(spark, ref.dataRoot)
+        .select(col("id"), col("document"), col("meta_str").as("meta"),
+          col("embedding"), col("offset_id").as("first_offset")).as[Rec]
+      val next = seg.agg(max(col("first_offset"))).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0) + 1
+      }
+      new Writer(spark, seg, next)
+    } else new Writer(spark, spark.emptyDataset[Rec])
+  }
+
+  /** Fill the optional record columns so any (id [, document, meta,
+    * embedding]) frame batch-appends.
+    */
+  private def withDefaults(records: DataFrame): DataFrame = {
+    var df = records
+    if (!df.columns.contains("document"))
+      df = df.withColumn("document", lit(null).cast("string"))
+    if (!df.columns.contains("meta"))
+      df = df.withColumn("meta",
+        map_from_arrays(array(), array()).cast("map<string,string>"))
+    df
+  }
+
+  def add(records: DataFrame): Unit =
+    writer.addBatch(withDefaults(records), op = "Add")
+  def upsert(records: DataFrame): Unit =
+    writer.addBatch(withDefaults(records), op = "Upsert")
+  def update(records: DataFrame): Unit =
+    writer.addBatch(withDefaults(records), op = "Update")
+  def delete(ids: Seq[String]): Unit = ids.foreach(writer.delete)
+  def deleteWhere(where: graft.model.Where.Expr): Long = writer.deleteWhere(where)
+
+  /** Read-your-writes live state (pending WAL folded over the segment). */
+  def state: Dataset[Rec] = writer.flush()
+
+  /** The live state in the standard shredded record schema, driving the
+    * Count/Get/Knn/Search plans. `offset_id` is assigned HERE — dense
+    * row numbers over (first_offset, id) — because assigning offset ids
+    * to materialized records is MaterializeLogs' contract in the
+    * reference (batch appends share a WAL offset base, so first_offset
+    * alone is not unique). The global window is bounded by the
+    * un-compacted working set, the same boundedness the fold state
+    * relies on; the 100-TB compacted path reads stored records whose
+    * offset_ids were assigned at compaction.
+    */
+  def asCollection: Collection = {
+    val none = map_from_arrays(array(), array())
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("first_offset"), col("id"))
+    new Collection(state.toDF().select(
+      col("id"),
+      row_number().over(w).cast("long").as("offset_id"),
+      col("embedding"),
+      col("document"),
+      lit(null).cast("string").as("uri"),
+      col("meta").as("meta_str"),
+      none.cast("map<string,bigint>").as("meta_int"),
+      none.cast("map<string,double>").as("meta_float"),
+      none.cast("map<string,boolean>").as("meta_bool")))
+  }
+
+  def count(): Long = state.count()
+
+  def get(where: Option[graft.model.Where.Expr] = None,
+      limit: Option[Int] = None, offset: Int = 0,
+      include: Seq[String] = Seq("document")): DataFrame =
+    asCollection.get(where, limit, offset, include)
+
+  def peek(n: Int = 10): DataFrame = get(limit = Some(n))
+
+  def query(queries: DataFrame, k: Int,
+      where: Option[graft.model.Where.Expr] = None,
+      space: String = "cosine"): DataFrame =
+    asCollection.query(queries, k, where, space)
+
+  /** Compact: validate against the declared schema, persist the live
+    * state as the collection's record segment (shredded serving schema),
+    * build declared serving indexes with [[provision]]. The next open
+    * resumes offsets past this segment.
+    */
+  def persist(): Unit = {
+    val records = asCollection.records
+    // schema-less collections accept arbitrary metadata (the reference
+    // only enforces declared per-key config)
+    if (ref.schema.keys.nonEmpty || ref.schema.embedding.isDefined)
+      Catalog.validate(records, ref.schema)
+    CollectionStore.saveRecords(records, ref.dataRoot)
+  }
+
+  def provision(): Unit = Catalog.provision(spark, ref)
+}

@@ -43,7 +43,9 @@ final class Collection(val records: DataFrame) {
       offset: Int = 0,
       include: Seq[String] = Seq("document")): DataFrame = {
     val filtered = where.map(w => records.filter(Where.compile(w))).getOrElse(records)
-    val ordered = filtered.orderBy(col("offset_id"))
+    // id tie-break: batch appends share an offset base, so offset_id alone
+    // is not a total order until compaction re-assigns
+    val ordered = filtered.orderBy(col("offset_id"), col("id"))
     val sliced0 = if (offset > 0) ordered.offset(offset) else ordered
     val sliced = limit.map(sliced0.limit).getOrElse(sliced0)
     val cols: Seq[Column] = col("id") +: include.map {

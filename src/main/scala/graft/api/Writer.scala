@@ -15,16 +15,19 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * ordering comes from the WAL service (or conditional commit,
   * `CollectionStore.conditionalCommit`).
   */
-final class Writer(spark: SparkSession, var segment: Dataset[Rec]) {
+final class Writer(spark: SparkSession, var segment: Dataset[Rec],
+    startOffset: Long = 0L) {
   import spark.implicits._
 
   private var wal: Vector[LogOp] = Vector.empty
   private var batches: Vector[Dataset[LogOp]] = Vector.empty
-  private var nextOffset: Long = 0L
+  // New ops must sort AFTER every compacted record's assigned offset —
+  // reopening a persisted collection passes max(first_offset)+1 here.
+  private var nextOffset: Long = startOffset
 
   private def append(op: String, id: String, doc: Option[String],
-      meta: Map[String, String]): Unit = {
-    wal = wal :+ LogOp(id, nextOffset, op, doc, meta)
+      meta: Map[String, String], emb: Option[Seq[Float]] = None): Unit = {
+    wal = wal :+ LogOp(id, nextOffset, op, doc, meta, emb)
     nextOffset += 1
   }
 
@@ -40,20 +43,27 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec]) {
     import org.apache.spark.sql.functions._
     val base = nextOffset
     nextOffset += 1
+    val emb =
+      if (ops.columns.contains("embedding")) col("embedding").cast("array<float>")
+      else lit(null).cast("array<float>")
     batches = batches :+ ops.select(
       col("id").cast("string").as("id"),
       lit(base).as("log_offset"),
       lit(op).as("op"),
       col("document").cast("string").as("document"),
-      col("meta").cast("map<string,string>").as("meta")).as[LogOp]
+      col("meta").cast("map<string,string>").as("meta"),
+      emb.as("embedding")).as[LogOp]
   }
 
-  def add(id: String, doc: Option[String], meta: Map[String, String] = Map()): Unit =
-    append("Add", id, doc, meta)
-  def update(id: String, doc: Option[String], meta: Map[String, String] = Map()): Unit =
-    append("Update", id, doc, meta)
-  def upsert(id: String, doc: Option[String], meta: Map[String, String] = Map()): Unit =
-    append("Upsert", id, doc, meta)
+  def add(id: String, doc: Option[String], meta: Map[String, String] = Map(),
+      embedding: Option[Seq[Float]] = None): Unit =
+    append("Add", id, doc, meta, embedding)
+  def update(id: String, doc: Option[String], meta: Map[String, String] = Map(),
+      embedding: Option[Seq[Float]] = None): Unit =
+    append("Update", id, doc, meta, embedding)
+  def upsert(id: String, doc: Option[String], meta: Map[String, String] = Map(),
+      embedding: Option[Seq[Float]] = None): Unit =
+    append("Upsert", id, doc, meta, embedding)
   def delete(id: String): Unit = append("Delete", id, None, Map())
 
   /** Predicate delete — the reference's `delete(where=..., where_document=

@@ -26,16 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object Materialize {
 
-  /** One WAL record (FIXTURES.md §2; `rust/types/src/record.rs`). */
+  /** One WAL record (FIXTURES.md §2; `rust/types/src/record.rs` —
+    * `OperationRecord` carries the vector alongside document/metadata).
+    */
   case class LogOp(
       id: String,
       log_offset: Long,
       op: String, // Add | Update | Upsert | Delete
       document: Option[String],
-      meta: Map[String, String])
+      meta: Map[String, String],
+      embedding: Option[Seq[Float]] = None)
 
-  /** A materialized record. */
-  case class Rec(id: String, document: Option[String], meta: Map[String, String])
+  /** A materialized record. `first_offset` is the log offset at which the
+    * record (most recently) became live — the reference's stable
+    * offset_id assignment: Add from dead assigns it, Update/Upsert on a
+    * live record keep it, re-add after delete assigns anew.
+    */
+  case class Rec(id: String, document: Option[String],
+      meta: Map[String, String],
+      embedding: Option[Seq[Float]] = None,
+      first_offset: Long = Long.MinValue)
 
   /** A null metadata VALUE is a tombstone: in Update it removes the key
     * from the live record (the reference's `UpdateMetadataValue::None`,
@@ -48,15 +58,21 @@ object Materialize {
     sorted.foreach { o =>
       o.op match {
         case "Add" =>
-          if (cur.isEmpty) cur = Some(Rec(o.id, o.document, o.meta.filter(_._2 != null)))
+          if (cur.isEmpty)
+            cur = Some(Rec(o.id, o.document, o.meta.filter(_._2 != null),
+              o.embedding, o.log_offset))
         case "Upsert" =>
-          cur = Some(Rec(o.id, o.document, o.meta.filter(_._2 != null)))
+          val off = cur.map(_.first_offset).getOrElse(o.log_offset)
+          cur = Some(Rec(o.id, o.document, o.meta.filter(_._2 != null),
+            o.embedding, off))
         case "Update" =>
           cur = cur.map { c =>
             val (dels, sets) = o.meta.partition(_._2 == null)
             Rec(c.id,
               if (o.document.isDefined) o.document else c.document,
-              (c.meta -- dels.keys) ++ sets)
+              (c.meta -- dels.keys) ++ sets,
+              if (o.embedding.isDefined) o.embedding else c.embedding,
+              c.first_offset)
           }
         case "Delete" =>
           cur = None
@@ -76,10 +92,15 @@ object Materialize {
     all.groupByKey(_.id).flatMapGroups((_, ops) => fold(ops))
   }
 
-  /** Compacted records as offset −inf pseudo-Adds feeding the same fold. */
+  /** Compacted records as pseudo-Adds feeding the same fold. The
+    * pseudo-Add carries the record's assigned `first_offset`, so
+    * re-materialization preserves stable offset ids (WAL-tail ops always
+    * carry later offsets than the compacted watermark).
+    */
   def segmentAsLog(spark: SparkSession, records: Dataset[Rec]): Dataset[LogOp] = {
     import spark.implicits._
-    records.map(r => LogOp(r.id, Long.MinValue, "Add", r.document, r.meta))
+    records.map(r =>
+      LogOp(r.id, r.first_offset, "Add", r.document, r.meta, r.embedding))
   }
 
   // ---------------------------------------------------------------------
@@ -94,31 +115,46 @@ object Materialize {
   private val emptyMeta: Column =
     map_from_arrays(array(), array()).cast("map<string,string>")
 
-  private def state(live: Column, doc: Column, meta: Column): Column =
-    struct(live.as("live"), doc.cast("string").as("document"), meta.as("meta"))
+  private def state(live: Column, doc: Column, meta: Column,
+      emb: Column, firstOffset: Column): Column =
+    struct(live.as("live"), doc.cast("string").as("document"), meta.as("meta"),
+      emb.cast("array<float>").as("embedding"),
+      firstOffset.cast("long").as("first_offset"))
 
   /** Dead initial state (id not present before the log). */
-  def deadState: Column = state(lit(false), lit(null), emptyMeta)
+  def deadState: Column =
+    state(lit(false), lit(null), emptyMeta, lit(null), lit(Long.MinValue))
 
   /** Live initial state from a compacted segment record. */
-  def liveState(doc: Column, meta: Column): Column =
-    state(lit(true), doc, coalesce(meta, emptyMeta))
+  def liveState(doc: Column, meta: Column, emb: Column,
+      firstOffset: Column): Column =
+    state(lit(true), doc, coalesce(meta, emptyMeta), emb, firstOffset)
 
-  /** One state-machine step; `o` is struct(log_offset, op, document, meta). */
+  /** One state-machine step; `o` is
+    * struct(log_offset, op, document, meta, embedding). first_offset
+    * follows the reference's stable offset-id rule: assigned when a
+    * record becomes live, kept by Update/Upsert on a live record,
+    * re-assigned on add-after-delete.
+    */
   private def step(st: Column, o: Column): Column = {
     val op = o.getField("op")
     val oDoc = o.getField("document")
     val oMeta = o.getField("meta")
+    val oEmb = o.getField("embedding")
     val setsOnly = map_filter(oMeta, (_, v) => v.isNotNull)
     // Update merge: keep prior keys not mentioned, apply non-null sets,
     // drop tombstoned (null-valued) keys.
     val updMeta = map_concat(
       map_filter(st.getField("meta"), (k, _) => !map_contains_key(oMeta, k)),
       setsOnly)
-    when(op === "Add" && !st.getField("live"), state(lit(true), oDoc, setsOnly))
-      .when(op === "Upsert", state(lit(true), oDoc, setsOnly))
+    val keepOff = when(st.getField("live"), st.getField("first_offset"))
+      .otherwise(o.getField("log_offset"))
+    when(op === "Add" && !st.getField("live"),
+        state(lit(true), oDoc, setsOnly, oEmb, o.getField("log_offset")))
+      .when(op === "Upsert", state(lit(true), oDoc, setsOnly, oEmb, keepOff))
       .when(op === "Update" && st.getField("live"),
-        state(lit(true), coalesce(oDoc, st.getField("document")), updMeta))
+        state(lit(true), coalesce(oDoc, st.getField("document")), updMeta,
+          coalesce(oEmb, st.getField("embedding")), st.getField("first_offset")))
       .when(op === "Delete", deadState)
       .otherwise(st)
   }
@@ -137,10 +173,19 @@ object Materialize {
       when(l.getField("log_offset") < r.getField("log_offset"), -1)
         .when(l.getField("log_offset") > r.getField("log_offset"), 1)
         .otherwise(0)
-    log.groupBy("id").agg(array_sort(collect_list(
-      struct(col("log_offset"), col("op"), col("document"), col("meta"))),
+    val withEmb =
+      if (log.columns.contains("embedding")) log
+      else log.withColumn("embedding", lit(null).cast("array<float>"))
+    withEmb.groupBy("id").agg(array_sort(collect_list(
+      struct(col("log_offset"), col("op"), col("document"), col("meta"),
+        col("embedding"))),
       byOffset).as("ops"))
   }
+
+  private def stateCols: Seq[Column] = Seq(
+    col("id"), col("st.document").as("document"), col("st.meta").as("meta"),
+    col("st.embedding").as("embedding"),
+    col("st.first_offset").as("first_offset"))
 
   /** DataFrame-native materialization of a bare log (no prior segment):
     * same result as [[apply]], fully codegen (no typed lambdas).
@@ -149,7 +194,7 @@ object Materialize {
     opsById(log)
       .withColumn("st", foldOps(col("ops"), deadState))
       .filter(col("st.live"))
-      .select(col("id"), col("st.document").as("document"), col("st.meta").as("meta"))
+      .select(stateCols: _*)
 
   /** Compaction merge for the 100-TB shape: the segment is huge, the
     * WAL-tail between compactions is small. The reference streams the
@@ -173,20 +218,27 @@ object Materialize {
     */
   def compactionMerge(segment: DataFrame, log: DataFrame): DataFrame = {
     val ops = opsById(log).cache()
-    val existing = segment
+    val seg =
+      if (segment.columns.contains("embedding")) segment
+      else segment.withColumn("embedding", lit(null).cast("array<float>"))
+    val seg2 =
+      if (seg.columns.contains("first_offset")) seg
+      else seg.withColumn("first_offset", lit(Long.MinValue))
+    val segLive = liveState(col("document"), col("meta"), col("embedding"),
+      col("first_offset"))
+    val existing = seg2
       .join(broadcast(ops), Seq("id"), "left")
       .withColumn("st",
-        when(col("ops").isNull, liveState(col("document"), col("meta")))
-          .otherwise(foldOps(col("ops"), liveState(col("document"), col("meta")))))
+        when(col("ops").isNull, segLive).otherwise(foldOps(col("ops"), segLive)))
       .filter(col("st.live"))
-      .select(col("id"), col("st.document").as("document"), col("st.meta").as("meta"))
-    val presentIds = segment.select("id")
+      .select(stateCols: _*)
+    val presentIds = seg2.select("id")
       .join(broadcast(ops.select("id")), Seq("id"))
     val fresh = ops
       .join(broadcast(presentIds), Seq("id"), "left_anti")
       .withColumn("st", foldOps(col("ops"), deadState))
       .filter(col("st.live"))
-      .select(col("id"), col("st.document").as("document"), col("st.meta").as("meta"))
+      .select(stateCols: _*)
     existing.unionByName(fresh)
   }
 }

@@ -111,6 +111,30 @@ object FacadePack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Full client lifecycle end-to-end (chromadb.Client surface):
+    // create collection -> batch add -> merge-update -> predicate delete
+    // -> paginated filtered get, all through the WAL-semantics handle
+    // with read-your-writes. Offsets assign densely by id within the add
+    // batch, so the oracle's ORDER BY id pagination is the same order.
+    "fc_client_e2e" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_client_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("docs")
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("lang"), col("lang")).as("meta")))
+      coll.update(Tables.documents(s, d).filter(col("doc_id") % 3 === 0).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        lit(null).cast("string").as("document"),
+        map(lit("src"), col("source")).as("meta")))
+      coll.deleteWhere(WhereParser.parse("""{"lang": {"$eq": "de"}}"""))
+      coll.get(
+        where = Some(graft.model.Where.DocContains("data", negated = false)),
+        limit = Some(200), offset = 10,
+        include = Seq("document", "meta:lang", "meta:src"))
+    },
+
     // Sparse KNN through the facade: tf_bow sparse column, where-filtered
     // (filter-before-KNN), plain tf weights — integer-valued f32 sums are
     // exact, so the oracle hash-matches.
@@ -181,6 +205,15 @@ object FacadePack extends QueryPack {
         |      FROM d)
         |SELECT query_id, rank, dist, 'vec-'||vec_id AS id FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "fc_client_e2e" ->
+      """WITH live AS (
+        |  SELECT 'doc-'||doc_id AS id, text AS document, lang,
+        |    CASE WHEN doc_id%3=0 THEN source ELSE NULL END AS src
+        |  FROM documents WHERE lang <> 'de')
+        |SELECT id, document, lang, src FROM live
+        |WHERE contains(document, 'data')
+        |ORDER BY id LIMIT 200 OFFSET 10""".stripMargin,
 
     "fc_sparse_search" ->
       """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM

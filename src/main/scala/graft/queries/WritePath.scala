@@ -69,6 +69,7 @@ object WritePath extends QueryPack {
       lit("dup should be ignored").as("document"),
       map_from_arrays(array(), array()).cast("map<string,string>").as("meta"))
     base.union(upd).union(del).union(readd).union(upsert).union(dupAdd)
+      .withColumn("embedding", lit(null).cast("array<float>"))
       .as[LogOp]
   }
 
@@ -142,7 +143,7 @@ object WritePath extends QueryPack {
     "wp_fork_cow" -> { (s, d) =>
       val wal = syntheticWal(s, d).toDF()
       val root = graft.sources.CollectionStore.indexRoot(d) + "/fork_demo"
-      graft.sources.CollectionStore.ensureBuilt(root, "segment", "adds-v1") {
+      graft.sources.CollectionStore.ensureBuilt(root, "segment", "adds-v2") {
         graft.sources.CollectionStore.saveRecords(
           Materialize.applyDf(wal.filter(col("log_offset") % 10 === 0)),
           s"$root/segment")

@@ -1,0 +1,98 @@
+package graft
+
+import graft.api.Client
+import graft.model.Where
+import graft.sources.Catalog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end client lifecycle — the chromadb.Client surface composed
+  * from catalog + writer + collection plans: create/list/delete
+  * collections, WAL-semantics writes with read-your-writes reads,
+  * persistence round-trip with stable offset ids.
+  */
+class ClientSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_client").toString
+    dir
+  }
+
+  test("collection lifecycle: create, duplicate rejection, list, delete") {
+    val client = new Client(spark, freshRoot())
+    client.createCollection("docs")
+    client.createCollection("vecs")
+    assert(client.listCollections() == Seq("docs", "vecs"))
+    assert(client.countCollections() == 2)
+    intercept[Exception] { client.createCollection("docs") }
+    client.deleteCollection("docs")
+    assert(client.listCollections() == Seq("vecs"))
+    assert(client.getOrCreateCollection("vecs").ref.name == "vecs")
+  }
+
+  test("write semantics + read-your-writes through the handle") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("c")
+    coll.add(Seq(
+      ("a", "alpha doc", Map("k" -> "1")),
+      ("b", "beta doc", Map("k" -> "2")),
+      ("c", "gamma doc", Map("k" -> "3"))).toDF("id", "document", "meta"))
+    assert(coll.count() == 3)
+    // duplicate add is a no-op; upsert replaces; update merges
+    coll.add(Seq(("a", "SHOULD BE IGNORED", Map.empty[String, String]))
+      .toDF("id", "document", "meta"))
+    coll.upsert(Seq(("b", "beta v2", Map("v" -> "2")))
+      .toDF("id", "document", "meta"))
+    coll.update(Seq(("c", null.asInstanceOf[String], Map("extra" -> "x")))
+      .toDF("id", "document", "meta"))
+    coll.delete(Seq("missing")) // delete of absent id: no-op
+    val st = coll.state.collect().map(r => r.id -> r).toMap
+    assert(st("a").document.contains("alpha doc"))
+    assert(st("b").document.contains("beta v2") && st("b").meta == Map("v" -> "2"))
+    assert(st("c").document.contains("gamma doc") &&
+      st("c").meta == Map("k" -> "3", "extra" -> "x"))
+    // predicate delete + where-filtered get
+    assert(coll.deleteWhere(Where.Cmp("v", "$eq", Where.VStr("2"))) == 1L)
+    assert(coll.count() == 2)
+    val got = coll.get(limit = Some(10)).select("id").as[String].collect()
+    assert(got.sorted.sameElements(Array("a", "c")))
+  }
+
+  test("embedding writes drive KNN through the handle") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("v",
+      Catalog.Schema(embedding = Some(Catalog.VDenseVector(2, "cosine"))))
+    coll.add(Seq(
+      ("a", Seq(1.0f, 0.0f)), ("b", Seq(0.9f, 0.1f)), ("c", Seq(0.0f, 1.0f)))
+      .toDF("id", "embedding"))
+    // update can revector a live record
+    coll.update(Seq(("c", Seq(0.95f, 0.05f))).toDF("id", "embedding"))
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("query_id", "q_embedding")
+    val nn = coll.query(q, k = 2).select("rank", "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(nn.toSeq == Seq(1L -> "a", 2L -> "c"))
+  }
+
+  test("persist + reopen: state survives, offsets stay stable and advance") {
+    val root = freshRoot()
+    val client = new Client(spark, root)
+    val coll = client.createCollection("p")
+    coll.add(Seq(("a", "one"), ("b", "two")).toDF("id", "document"))
+    coll.persist()
+    val reopened = client.getCollection("p")
+    assert(reopened.count() == 2)
+    val offsets0 = reopened.state.collect().map(r => r.id -> r.first_offset).toMap
+    // new writes land after the persisted watermark and win LWW
+    reopened.upsert(Seq(("a", "one v2")).toDF("id", "document"))
+    reopened.add(Seq(("d", "four")).toDF("id", "document"))
+    val st = reopened.state.collect().map(r => r.id -> r).toMap
+    assert(st("a").document.contains("one v2"))
+    assert(st("a").first_offset == offsets0("a"), "upsert must keep the assigned offset")
+    assert(st("d").first_offset > offsets0.values.max, "new id offsets advance")
+    // insertion-order pagination: d (latest) sorts last
+    val page = reopened.get(limit = Some(10)).select("id").as[String].collect()
+    assert(page.last == "d")
+  }
+}
