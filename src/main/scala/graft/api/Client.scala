@@ -114,21 +114,41 @@ final class CollectionHandle(spark: SparkSession,
     * un-compacted working set, the same boundedness the fold state
     * relies on; the 100-TB compacted path reads stored records whose
     * offset_ids were assigned at compaction.
+    *
+    * Metadata shreds by the DECLARED schema: keys typed int/float/bool
+    * in the collection schema cast out of the WAL's string map into the
+    * typed maps (the reference's typed metadata indexes), so numeric and
+    * boolean Where predicates work through the facade; undeclared keys
+    * stay strings.
     */
   def asCollection: Collection = {
     val none = map_from_arrays(array(), array())
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("first_offset"), col("id"))
+    def declared(t: Catalog.ValueType): Seq[String] =
+      ref.schema.keys.collect { case (k, c) if c.valueType == t => k }.toSeq
+    def typedMap(keys: Seq[String], cast: String): org.apache.spark.sql.Column =
+      if (keys.isEmpty) none.cast(s"map<string,$cast>")
+      else map_filter(
+        transform_values(
+          map_filter(col("meta"), (k, _) => k.isin(keys: _*)),
+          (_, v) => v.cast(cast)),
+        (_, v) => v.isNotNull)
+    val typedKeys = declared(Catalog.VInt) ++ declared(Catalog.VFloat) ++
+      declared(Catalog.VBool)
+    val strMap =
+      if (typedKeys.isEmpty) col("meta")
+      else map_filter(col("meta"), (k, _) => !k.isin(typedKeys: _*))
     new Collection(state.toDF().select(
       col("id"),
       row_number().over(w).cast("long").as("offset_id"),
       col("embedding"),
       col("document"),
       lit(null).cast("string").as("uri"),
-      col("meta").as("meta_str"),
-      none.cast("map<string,bigint>").as("meta_int"),
-      none.cast("map<string,double>").as("meta_float"),
-      none.cast("map<string,boolean>").as("meta_bool")))
+      strMap.as("meta_str"),
+      typedMap(declared(Catalog.VInt), "bigint").as("meta_int"),
+      typedMap(declared(Catalog.VFloat), "double").as("meta_float"),
+      typedMap(declared(Catalog.VBool), "boolean").as("meta_bool")))
   }
 
   def count(): Long = state.count()

@@ -75,6 +75,28 @@ class ClientSpec extends AnyFunSuite {
     assert(nn.toSeq == Seq(1L -> "a", 2L -> "c"))
   }
 
+  test("declared schema keys shred typed: numeric/bool Where works via client") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("t", Catalog.Schema(keys = Map(
+      "n" -> Catalog.KeyConfig(Catalog.VInt),
+      "score" -> Catalog.KeyConfig(Catalog.VFloat),
+      "ok" -> Catalog.KeyConfig(Catalog.VBool))))
+    coll.add(Seq(
+      ("a", Map("n" -> "5", "score" -> "0.9", "ok" -> "true", "tag" -> "x")),
+      ("b", Map("n" -> "2", "score" -> "0.1", "ok" -> "false")),
+      ("c", Map("tag" -> "y"))).toDF("id", "meta"))
+    def ids(w: Where.Expr): Seq[String] =
+      coll.get(where = Some(w), include = Seq())
+        .select("id").as[String].collect().toSeq.sorted
+    assert(ids(Where.Cmp("n", "$gt", Where.VInt(3))) == Seq("a"))
+    assert(ids(Where.Cmp("score", "$lte", Where.VFloat(0.5))) == Seq("b"))
+    assert(ids(Where.Cmp("ok", "$eq", Where.VBool(true))) == Seq("a"))
+    // $ne TRUE on absent key (two-valued semantics through the facade)
+    assert(ids(Where.Cmp("n", "$ne", Where.VInt(5))) == Seq("b", "c"))
+    // undeclared keys stay string-queryable
+    assert(ids(Where.Cmp("tag", "$eq", Where.VStr("y"))) == Seq("c"))
+  }
+
   test("persist + reopen: state survives, offsets stay stable and advance") {
     val root = freshRoot()
     val client = new Client(spark, root)
