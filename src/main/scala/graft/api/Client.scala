@@ -180,4 +180,27 @@ final class CollectionHandle(spark: SparkSession,
   }
 
   def provision(): Unit = Catalog.provision(spark, ref)
+
+  /** Run one of the collection's attached functions over the live
+    * (read-your-writes) state. The name must be declared in the schema —
+    * the reference resolves attached functions per collection, not
+    * globally.
+    */
+  def runAttached(name: String): DataFrame = {
+    require(ref.schema.attached.contains(name),
+      s"function '$name' is not attached to ${ref.name} " +
+        s"(attached: ${ref.schema.attached.mkString(", ")})")
+    graft.functions.AttachedFunctions.resolve(name)(asCollection.records)
+  }
+
+  /** Compute every attached function and persist its output beside the
+    * collection (`<dataRoot>/functions/<name>`) — the compaction-time
+    * catch-up the reference's executor runs by completion offset.
+    */
+  def runAttachedAll(): Unit =
+    ref.schema.attached.foreach { n =>
+      runAttached(n).write.mode("overwrite")
+        .parquet(s"${ref.dataRoot}/functions/" +
+          n.replaceAll("[^A-Za-z0-9._-]", "_"))
+    }
 }

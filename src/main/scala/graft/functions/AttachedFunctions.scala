@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Server-side named functions bound to collections — the reference's
+  * attached functions (`rust/frontend/src/impls/service_based_frontend.rs:
+  * 3208-3460`: register by name, executor runs them over the collection,
+  * outputs live beside it; accumulators in
+  * `rust/worker/src/execution/functions/statistics.rs`). Here a function
+  * is records-DataFrame → small output DataFrame, so it composes into one
+  * Catalyst plan over the live state; the streaming face (incremental
+  * catch-up by completion offset) is the same aggregation run under
+  * Structured Streaming (`st_sessionize_stateful` shape).
+  */
+object AttachedFunctions {
+
+  trait AttachedFunction {
+    def name: String
+    /** records in the standard shredded schema → output table */
+    def apply(records: DataFrame): DataFrame
+  }
+
+  /** CounterFunction: live record count. */
+  object RecordCount extends AttachedFunction {
+    val name = "record_count"
+    def apply(records: DataFrame): DataFrame =
+      records.agg(count(lit(1)).as("n"))
+  }
+
+  /** Token-frequency statistic: global top-10 document tokens by
+    * (count desc, token asc) — the TokenFreqAgg accumulator shape as a
+    * two-phase partial aggregation.
+    */
+  object TokenStats10 extends AttachedFunction {
+    val name = "token_stats_10"
+    def apply(records: DataFrame): DataFrame =
+      records
+        .select(explode(graft.operators.TextStats.tokens(col("document"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("term")).limit(10)
+  }
+
+  /** Histogram over a string metadata key (absent key → bucket NULL). */
+  final class MetaHistogram(key: String) extends AttachedFunction {
+    val name = s"meta_histogram:$key"
+    def apply(records: DataFrame): DataFrame =
+      records.groupBy(element_at(col("meta_str"), key).as("value"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("value"))
+  }
+
+  /** Resolve a registered function by name; `meta_histogram:<key>` is a
+    * parameterized family.
+    */
+  def resolve(name: String): AttachedFunction = name match {
+    case RecordCount.name => RecordCount
+    case TokenStats10.name => TokenStats10
+    case h if h.startsWith("meta_histogram:") =>
+      new MetaHistogram(h.stripPrefix("meta_histogram:"))
+    case other =>
+      throw new IllegalArgumentException(s"unknown attached function '$other'")
+  }
+}

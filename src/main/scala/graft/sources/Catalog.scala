@@ -53,12 +53,14 @@ object Catalog {
   final case class KeyConfig(valueType: ValueType, indexed: Boolean = false)
 
   /** Collection schema: embedding config + document FTS flag + typed
-    * metadata keys.
+    * metadata keys + attached server-side functions (names resolved
+    * against [[graft.functions.AttachedFunctions]]).
     */
   final case class Schema(
       embedding: Option[VDenseVector] = None,
       documentFts: Boolean = false,
-      keys: Map[String, KeyConfig] = Map.empty)
+      keys: Map[String, KeyConfig] = Map.empty,
+      attached: Seq[String] = Seq.empty)
 
   final case class CollectionRef(tenant: String, database: String,
       name: String, schema: Schema, root: String, dataRoot: String)
@@ -91,12 +93,15 @@ object Catalog {
     validName(name)
     val dir = sysdbPath(root, tenant, db)
     require(java.nio.file.Files.isDirectory(dir), s"no such database $tenant/$db")
+    // fail at registration, not first run, if an attached name is unknown
+    schema.attached.foreach(graft.functions.AttachedFunctions.resolve)
     implicit val fmts: Formats = DefaultFormats
     val json = Serialization.write(Map(
       "embedding" -> schema.embedding.map(_.name),
       "document_fts" -> schema.documentFts,
       "keys" -> schema.keys.map { case (k, c) =>
-        k -> Map("type" -> c.valueType.name, "indexed" -> c.indexed) }))
+        k -> Map("type" -> c.valueType.name, "indexed" -> c.indexed) },
+      "attached" -> schema.attached))
     val f = dir.resolve(s"$name.json")
     java.nio.file.Files.write(f, json.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW) // throws if duplicate
@@ -122,7 +127,11 @@ object Catalog {
       }.toMap
       case _ => Map.empty[String, KeyConfig]
     }
-    ref(root, tenant, db, name, Schema(emb, fts, keys))
+    val attached = (j \ "attached") match {
+      case JArray(vs) => vs.collect { case JString(s) => s }
+      case _ => Seq.empty[String]
+    }
+    ref(root, tenant, db, name, Schema(emb, fts, keys, attached))
   }
 
   def listCollections(root: String, tenant: String, db: String): Seq[String] = {

@@ -97,6 +97,38 @@ class ClientSpec extends AnyFunSuite {
     assert(ids(Where.Cmp("tag", "$eq", Where.VStr("y"))) == Seq("c"))
   }
 
+  test("attached functions: declared, resolved, run over live state, persisted") {
+    val client = new Client(spark, freshRoot())
+    intercept[Exception] {
+      client.createCollection("bad",
+        Catalog.Schema(attached = Seq("no_such_fn")))
+    }
+    val coll = client.createCollection("af", Catalog.Schema(attached = Seq(
+      "record_count", "token_stats_10", "meta_histogram:lang")))
+    coll.add(Seq(
+      ("a", "alpha beta beta", Map("lang" -> "en")),
+      ("b", "beta gamma", Map("lang" -> "en")),
+      ("c", "delta", Map("lang" -> "de"))).toDF("id", "document", "meta"))
+    intercept[Exception] { coll.runAttached("record_count_x") }
+    assert(coll.runAttached("record_count").collect()(0).getLong(0) == 3L)
+    val top = coll.runAttached("token_stats_10").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(top.head == ("beta" -> 3L))
+    val hist = coll.runAttached("meta_histogram:lang").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist == Map("de" -> 1L, "en" -> 2L))
+    // delete moves the live state the functions see
+    coll.delete(Seq("c"))
+    assert(coll.runAttached("record_count").collect()(0).getLong(0) == 2L)
+    coll.runAttachedAll()
+    val persisted = spark.read.parquet(
+      s"${coll.ref.dataRoot}/functions/meta_histogram_lang")
+    assert(persisted.collect().map(r => r.getString(0)).toSet == Set("en"))
+    // schema (incl. attachments) round-trips through the catalog
+    assert(client.getCollection("af").ref.schema.attached ==
+      Seq("record_count", "token_stats_10", "meta_histogram:lang"))
+  }
+
   test("persist + reopen: state survives, offsets stay stable and advance") {
     val root = freshRoot()
     val client = new Client(spark, root)
