@@ -46,6 +46,13 @@ final class Client(spark: SparkSession, root: String,
       root, "_sysdb", tenant, database, s"$name.json"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ref.dataRoot))
   }
+
+  /** Fork `src` into `dst` — copy-on-write: dst reads src's persisted
+    * segment (no data copied) and diverges through its own WAL.
+    */
+  def forkCollection(src: String, dst: String): CollectionHandle =
+    new CollectionHandle(spark,
+      Catalog.forkCollection(root, tenant, database, src, dst))
 }
 
 /** One collection through the client: WAL-semantics writes (add is
@@ -64,12 +71,26 @@ final class CollectionHandle(spark: SparkSession,
     val ref: Catalog.CollectionRef) {
   import spark.implicits._
 
-  private val writer: Writer = {
-    val recDir = java.nio.file.Paths.get(ref.dataRoot, "records")
-    if (java.nio.file.Files.isDirectory(recDir)) {
+  /** Nearest ancestor (self first, then the fork chain) with a persisted
+    * segment — copy-on-write: a fork reads its source's immutable files
+    * until its own first compaction.
+    */
+  private def segmentDataRoot(r: Catalog.CollectionRef,
+      hops: Int = 16): Option[String] = {
+    if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(r.dataRoot, "records"))) Some(r.dataRoot)
+    else r.forkedFrom match {
+      case Some(src) if hops > 0 => segmentDataRoot(
+        Catalog.getCollection(r.root, r.tenant, r.database, src), hops - 1)
+      case _ => None
+    }
+  }
+
+  private val writer: Writer = segmentDataRoot(ref) match {
+    case Some(dataRoot) =>
       // the persisted segment is the SHREDDED serving schema; map it back
       // to WAL-record shape for the materializer
-      val seg = CollectionStore.loadRecords(spark, ref.dataRoot)
+      val seg = CollectionStore.loadRecords(spark, dataRoot)
         .select(col("id"), col("document"), col("meta_str").as("meta"),
           col("embedding"), col("offset_id").as("first_offset")).as[Rec]
       val next = seg.agg(max(col("first_offset"))).collect()(0) match {
@@ -77,7 +98,7 @@ final class CollectionHandle(spark: SparkSession,
         case r => r.getLong(0) + 1
       }
       new Writer(spark, seg, next)
-    } else new Writer(spark, spark.emptyDataset[Rec])
+    case None => new Writer(spark, spark.emptyDataset[Rec])
   }
 
   /** Fill the optional record columns so any (id [, document, meta,

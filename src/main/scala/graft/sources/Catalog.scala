@@ -63,7 +63,8 @@ object Catalog {
       attached: Seq[String] = Seq.empty)
 
   final case class CollectionRef(tenant: String, database: String,
-      name: String, schema: Schema, root: String, dataRoot: String)
+      name: String, schema: Schema, root: String, dataRoot: String,
+      forkedFrom: Option[String] = None)
 
   private def sysdbPath(root: String, tenant: String, db: String): java.nio.file.Path =
     java.nio.file.Paths.get(root, "_sysdb", tenant, db)
@@ -131,7 +132,11 @@ object Catalog {
       case JArray(vs) => vs.collect { case JString(s) => s }
       case _ => Seq.empty[String]
     }
-    ref(root, tenant, db, name, Schema(emb, fts, keys, attached))
+    val forked = (j \ "forked_from") match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    ref(root, tenant, db, name, Schema(emb, fts, keys, attached), forked)
   }
 
   def listCollections(root: String, tenant: String, db: String): Seq[String] = {
@@ -149,8 +154,33 @@ object Catalog {
   }
 
   private def ref(root: String, tenant: String, db: String, name: String,
-      schema: Schema): CollectionRef =
-    CollectionRef(tenant, db, name, schema, root, s"$root/$tenant/$db/$name")
+      schema: Schema, forkedFrom: Option[String] = None): CollectionRef =
+    CollectionRef(tenant, db, name, schema, root, s"$root/$tenant/$db/$name",
+      forkedFrom)
+
+  /** Fork a collection (`service_based_frontend.rs:1663-1787`):
+    * copy-on-write by construction — the fork's descriptor carries the
+    * source name and NO data of its own; until its first compaction it
+    * reads the source's persisted segment, and its writes diverge in its
+    * own WAL/dataRoot. Same create-new atomicity as createCollection.
+    */
+  def forkCollection(root: String, tenant: String, db: String,
+      src: String, dst: String): CollectionRef = {
+    val srcRef = getCollection(root, tenant, db, src)
+    validName(dst)
+    implicit val fmts: Formats = DefaultFormats
+    val json = Serialization.write(Map(
+      "embedding" -> srcRef.schema.embedding.map(_.name),
+      "document_fts" -> srcRef.schema.documentFts,
+      "keys" -> srcRef.schema.keys.map { case (k, c) =>
+        k -> Map("type" -> c.valueType.name, "indexed" -> c.indexed) },
+      "attached" -> srcRef.schema.attached,
+      "forked_from" -> src))
+    val f = sysdbPath(root, tenant, db).resolve(s"$dst.json")
+    java.nio.file.Files.write(f, json.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    ref(root, tenant, db, dst, srcRef.schema, Some(src))
+  }
 
   /** Validate a record DataFrame against the declared schema: the typed
     * metadata maps may only carry DECLARED keys of the matching type —

@@ -129,6 +129,36 @@ class ClientSpec extends AnyFunSuite {
       Seq("record_count", "token_stats_10", "meta_histogram:lang"))
   }
 
+  test("fork through the client: copy-on-write, divergent WALs, parent intact") {
+    val root = freshRoot()
+    val client = new Client(spark, root)
+    val parent = client.createCollection("par")
+    parent.add(Seq(("a", "one"), ("b", "two"), ("c", "three"))
+      .toDF("id", "document"))
+    parent.persist()
+    val fork = client.forkCollection("par", "child")
+    assert(fork.count() == 3, "fork sees the shared segment without copying")
+    // no data directory of its own until it compacts
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(fork.ref.dataRoot, "records")))
+    fork.delete(Seq("b"))
+    fork.upsert(Seq(("a", "one forked")).toDF("id", "document"))
+    fork.add(Seq(("d", "four")).toDF("id", "document"))
+    assert(fork.count() == 3)
+    val fd = fork.state.collect().map(r => r.id -> r.document.get).toMap
+    assert(fd == Map("a" -> "one forked", "c" -> "three", "d" -> "four"))
+    // the parent never sees the fork's writes
+    val reopened = client.getCollection("par")
+    assert(reopened.count() == 3)
+    assert(reopened.state.collect().map(_.id).sorted.sameElements(
+      Array("a", "b", "c")))
+    // the fork's own compaction detaches it from the parent's files
+    fork.persist()
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(fork.ref.dataRoot, "records")))
+    assert(client.getCollection("child").count() == 3)
+  }
+
   test("persist + reopen: state survives, offsets stay stable and advance") {
     val root = freshRoot()
     val client = new Client(spark, root)
