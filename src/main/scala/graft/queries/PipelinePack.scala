@@ -71,6 +71,24 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Percentile-based corpus cut: keep documents at or above their
+    // language's median token count — the distribution-aware filtering
+    // step of corpus curation. Exact `percentile` matches DuckDB
+    // quantile_cont bit-for-bit (proven by q_percentiles); the per-lang
+    // cut table is tiny and broadcasts, so the corpus scan never
+    // shuffles. At 100 TB swap approx_percentile in (same plan shape).
+    "pl_quality_cut" -> { (s, d) =>
+      val nTok = size(TextStats.tokens(col("text"))).cast("double")
+      val docs = Tables.documents(s, d).withColumn("n_tok", nTok)
+      val cuts = docs.groupBy("lang")
+        .agg(expr("percentile(n_tok, 0.5)").as("cut"))
+      docs.join(broadcast(cuts), "lang")
+        .filter(col("n_tok") >= col("cut"))
+        .select(col("doc_id"), col("lang"),
+          col("n_tok").cast("long").as("n_tok"), col("cut"))
+        .orderBy(col("doc_id"))
+    },
+
     // Token-budget allocation: per language, keep the longest documents
     // while the running token total stays under budget — the "fill each
     // language bucket" step of corpus mixing. Window per lang: state is
@@ -128,6 +146,15 @@ object PipelinePack extends QueryPack {
         |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+
+    "pl_quality_cut" ->
+      s"""WITH t AS (SELECT doc_id, lang, len($sqlToks)::DOUBLE AS n_tok
+         |           FROM documents),
+         |c AS (SELECT lang, quantile_cont(n_tok, 0.5) AS cut
+         |      FROM t GROUP BY lang)
+         |SELECT t.doc_id, t.lang, CAST(t.n_tok AS BIGINT) AS n_tok, c.cut
+         |FROM t JOIN c USING (lang) WHERE t.n_tok >= c.cut
+         |ORDER BY t.doc_id""".stripMargin,
 
     "pl_token_budget" ->
       s"""WITH t AS (SELECT doc_id, lang, n_chars, len($sqlToks) AS n_tok

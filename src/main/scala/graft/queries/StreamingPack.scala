@@ -46,6 +46,19 @@ object StreamingPack extends QueryPack {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // Streaming exact dedup — dd_exact's ingest-time face: the corpus
+    // streams in and the digest groups aggregate incrementally
+    // (state-store-backed count + keep-id per digest). Streamed result
+    // must equal the batch dedup oracle exactly.
+    "st_dedup_stream" -> { (s, d) =>
+      val out = EventStream.runToTable(
+        EventStream.readDocuments(s, d)
+          .groupBy(md5(col("text")).as("digest"))
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id")),
+        OutputMode.Complete())
+      out.orderBy(col("keep_id"))
+    },
+
     // Incremental IVF maintenance: vectors stream in (3 staged files →
     // 3 micro-batches), each batch appends to the served posting table
     // against fixed centroids; the query then SEARCHES the
@@ -81,6 +94,11 @@ object StreamingPack extends QueryPack {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "st_dedup_stream" ->
+      """SELECT md5(text) AS digest, count(*) AS n_copies,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     // session_window closes a session when the inter-event gap is >= 30
     // min (each event extends the window to ts+gap, merge on overlap) —

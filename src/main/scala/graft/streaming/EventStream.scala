@@ -23,23 +23,40 @@ object EventStream extends Serializable {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming source over the events parquet (nanos ts → micros, exact).
-    * The file source wants a directory; testdata is a flat read-only file,
+  /** The file source wants a directory; testdata is a flat read-only file,
     * so stage a symlink dir under java.io.tmpdir (in production the WAL is
     * a directory-per-collection already).
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  private def stagedDir(dir: String, table: String): String = {
     import java.nio.file.{Files, Paths}
-    val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
+    val src = Paths.get(s"$dir/$table.parquet").toAbsolutePath
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_stream", src.getParent.getFileName.toString, "events")
+      "graft_stream", src.getParent.getFileName.toString, table)
     Files.createDirectories(stage)
-    val link = stage.resolve("events.parquet")
+    val link = stage.resolve(s"$table.parquet")
     if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    stage.toString
+  }
+
+  /** Streaming source over the events parquet (nanos ts → micros, exact). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema).parquet(stage.toString)
+    spark.readStream.schema(eventsSchema)
+      .parquet(stagedDir(dir, "events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  private[graft] val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source over the documents parquet (an ingest-shaped corpus
+    * stream for the streaming dedup/statistics faces).
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsSchema)
+      .parquet(stagedDir(dir, "documents"))
 
   /** Incremental ANN index maintenance — the reference's compaction loop
     * (WAL tail → vector-segment index writer,
