@@ -62,7 +62,7 @@ object Bench {
     // CPU). Re-measure only the outliers and keep the min — min-of-N
     // measures the code, not the stall lottery; bounded to the slow tail.
     val results = firstPass.map { case (name, t1) =>
-      if (t1 > 2.5) name -> math.min(t1, timeOne(name, selected(name)))
+      if (t1 > 1.5) name -> math.min(t1, timeOne(name, selected(name)))
       else name -> t1
     }
     // Compact (3-decimal) values keep the whole line inside the driver's
