@@ -53,6 +53,15 @@ final class Client(spark: SparkSession, root: String,
   def forkCollection(src: String, dst: String): CollectionHandle =
     new CollectionHandle(spark,
       Catalog.forkCollection(root, tenant, database, src, dst))
+
+  /** The reference's `collection.modify(name=…, metadata=…)`: rename
+    * and/or replace collection metadata. Renames move only the catalog
+    * descriptor — the stored segment stays where it is.
+    */
+  def modifyCollection(name: String, newName: Option[String] = None,
+      metadata: Option[Map[String, String]] = None): CollectionHandle =
+    new CollectionHandle(spark,
+      Catalog.modifyCollection(root, tenant, database, name, newName, metadata))
 }
 
 /** One collection through the client: WAL-semantics writes (add is

@@ -179,8 +179,21 @@ object Dedup {
   def dupClusters(docs: DataFrame, threshold: Double, n: Int = 3,
       maxIters: Int = 25): DataFrame = {
     val pairs = jaccardPairs(docs, threshold, n).select(col("da"), col("db"))
-    val edges = pairs
-      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+    val labels = connectedComponents(pairs, maxIters)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster"), col("csize"))
+  }
+
+  /** Min-label propagation over an undirected pair graph `(da, db)` →
+    * `(node, label)` where `label` is the component's min node id. One
+    * shuffle join per iteration, converging in graph-diameter rounds;
+    * lineage truncated per round via localCheckpoint (a reliable
+    * checkpoint dir on a real cluster). Only paired nodes appear.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val p = pairs.toDF("da", "db")
+    val edges = p.union(p.select(col("db"), col("da")))
       .toDF("src", "dst").localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
@@ -202,9 +215,46 @@ object Dedup {
       labels = next.select("node", "label")
       it += 1
     }
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
-    labels.join(sizes, "label")
-      .select(col("node").as("doc_id"), col("label").as("cluster"), col("csize"))
+    labels
+  }
+
+  /** Embedding cosine-threshold pairs from IVF posting co-membership —
+    * the candidate generator for [[semanticDedup]]. Same Σ|list|² bucketed
+    * shape as [[embeddingAnnPairs]], but threshold-filtered instead of
+    * global top-k (a fixpoint input, not a ranking).
+    */
+  def embeddingThresholdPairs(model: Ivf.Model, threshold: Double): DataFrame = {
+    val p = model.postings.select(col("centroid_id"), col("offset_id"), col("embedding"))
+    val a = p.as("a"); val b = p.as("b")
+    a.join(b, col("a.centroid_id") === col("b.centroid_id") &&
+        col("a.offset_id") < col("b.offset_id"))
+      .select(col("a.offset_id").as("va"), col("b.offset_id").as("vb"),
+        Distances.cosineSimilarity(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("va", "vb")
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * connected components over the cosine-threshold near-dup graph, keep
+    * one representative (min id) per component. Candidate pairs come from
+    * IVF posting co-membership — the published method's "dedup within
+    * k-means clusters" step, here riding the SAME persisted serving index
+    * as the ANN queries — so the all-pairs cosine never materializes.
+    * Output: every vector tagged `(vec_id, keep_id, is_dup)`; singletons
+    * keep themselves. Approximate (cluster-boundary pairs can be missed);
+    * recall vs the exact threshold graph is gated in DedupSpec.
+    */
+  def semanticDedup(vecs: DataFrame, model: Ivf.Model,
+      threshold: Double, maxIters: Int = 25): DataFrame = {
+    val pairs = embeddingThresholdPairs(model, threshold)
+      .select(col("va"), col("vb"))
+    val labels = connectedComponents(pairs, maxIters)
+      .select(col("node").as("vec_id"), col("label"))
+    vecs.select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("keep_id"))
+      .withColumn("is_dup", col("vec_id") =!= col("keep_id"))
   }
 
   /** Exact top-k most-similar embedding pairs (cosine) — all-pairs

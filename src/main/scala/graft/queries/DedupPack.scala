@@ -49,6 +49,22 @@ object DedupPack extends QueryPack {
       Dedup.embeddingAnnPairs(model, k = 20)
     },
 
+    // SemDeDup-style semantic dedup: connected components over the
+    // cosine>=0.4 near-dup graph (candidates from the SAME persisted IVF
+    // index), keep the min vec_id per component. Approximate → rows-only;
+    // DedupSpec gates pair recall + kept-set agreement vs the exact
+    // threshold graph.
+    "dd_semdedup" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("offset_id"), col("embedding"))
+      val model = graft.sources.CollectionStore.ivfServing(
+        vecs, graft.sources.CollectionStore.indexRoot(d),
+        nCentroids = 16, nReplica = 4)
+      Dedup.semanticDedup(
+        Tables.embeddings(s, d), model, threshold = 0.4)
+        .orderBy(col("vec_id"))
+    },
+
     // Near-dup clusters: connected components over the exact jaccard
     // pair graph (min-label propagation), each doc tagged with its
     // cluster's canonical (min) id and cluster size — the keep-one-per-

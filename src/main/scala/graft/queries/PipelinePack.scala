@@ -89,6 +89,29 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Sequence packing (concat-and-chunk): deterministically order each
+    // (lang, shard) stream by doc-id hash, run a token cumsum, and cut
+    // fixed 512-token training sequences at exclusive-cumsum boundaries —
+    // the standard "concatenate then chunk" LLM pretraining packer.
+    // Sharding the window by pmod(doc_id, 8) is the scale move: packing
+    // is embarrassingly parallel across shards, so no language ever
+    // funnels through a single partition (at 100 TB raise the shard count
+    // with the cluster, same plan).
+    "pl_pack_sequences" -> { (s, d) =>
+      val nTok = size(TextStats.tokens(col("text"))).cast("long")
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("n_tok", nTok)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("seq_id", floor((col("cum") - col("n_tok")) / lit(512)))
+        .groupBy(col("lang"), col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tok"))
+        .orderBy(col("lang"), col("shard"), col("seq_id"))
+    },
+
     // Token-budget allocation: per language, keep the longest documents
     // while the running token total stays under budget — the "fill each
     // language bucket" step of corpus mixing. Window per lang: state is
@@ -155,6 +178,19 @@ object PipelinePack extends QueryPack {
          |SELECT t.doc_id, t.lang, CAST(t.n_tok AS BIGINT) AS n_tok, c.cut
          |FROM t JOIN c USING (lang) WHERE t.n_tok >= c.cut
          |ORDER BY t.doc_id""".stripMargin,
+
+    "pl_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+         |        len($sqlToks) AS n_tok
+         |      FROM documents),
+         |c AS (SELECT doc_id, lang, shard, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY lang, shard
+         |          ORDER BY md5(doc_id::VARCHAR), doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM t)
+         |SELECT lang, shard, CAST((cum - n_tok) // 512 AS BIGINT) AS seq_id,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tok
+         |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, seq_id""".stripMargin,
 
     "pl_token_budget" ->
       s"""WITH t AS (SELECT doc_id, lang, n_chars, len($sqlToks) AS n_tok

@@ -131,6 +131,30 @@ object TextAnalysis extends QueryPack {
         .orderBy(col("c_custkey"))
     },
 
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf·ln(N/df). Two aggregations (term counts per doc, then doc
+    // frequency over the tf table — df is exactly one count per distinct
+    // (doc, term) row, no second distinct needed) and a WindowGroupLimit
+    // top-3. The tf⋈df join stays a shuffle join on purpose: at corpus
+    // scale the vocabulary is NOT broadcastable; the 1-row corpus count
+    // is.
+    "ta_keywords" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * log(col("n").cast("double") / col("df")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+          col("df"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
     // Gopher-style repetition signals: duplicate-token ratio, most-common
     // word fraction, most-common bigram fraction. Pure per-row array
     // algebra — zero shuffles, stays in WholeStageCodegen, so it scales
@@ -237,6 +261,22 @@ object TextAnalysis extends QueryPack {
          |SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fp,
          |  len(s) AS n_shingles
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "ta_keywords" ->
+      s"""WITH base AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(t) AS term FROM base)
+         |       GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, term, tf, df, tf * ln(n::DOUBLE / df) AS tfidf
+         |       FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tf, df, tfidf,
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY tfidf DESC, term) AS rank
+         |      FROM sc)
+         |SELECT doc_id, rank, term, tf, df, round(tfidf, 6) AS tfidf
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "ta_corpus_stats" ->
       s"""WITH base AS (SELECT lang, $sqlToks AS t, n_chars FROM documents),

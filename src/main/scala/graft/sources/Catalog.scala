@@ -64,7 +64,8 @@ object Catalog {
 
   final case class CollectionRef(tenant: String, database: String,
       name: String, schema: Schema, root: String, dataRoot: String,
-      forkedFrom: Option[String] = None)
+      forkedFrom: Option[String] = None,
+      metadata: Map[String, String] = Map.empty)
 
   private def sysdbPath(root: String, tenant: String, db: String): java.nio.file.Path =
     java.nio.file.Paths.get(root, "_sysdb", tenant, db)
@@ -90,23 +91,65 @@ object Catalog {
     * as the reference's sysdb unique constraint).
     */
   def createCollection(root: String, tenant: String, db: String,
-      name: String, schema: Schema): CollectionRef = {
+      name: String, schema: Schema,
+      metadata: Map[String, String] = Map.empty): CollectionRef = {
     validName(name)
     val dir = sysdbPath(root, tenant, db)
     require(java.nio.file.Files.isDirectory(dir), s"no such database $tenant/$db")
     // fail at registration, not first run, if an attached name is unknown
     schema.attached.foreach(graft.functions.AttachedFunctions.resolve)
+    writeDescriptor(dir.resolve(s"$name.json"), schema,
+      forkedFrom = None, dataDir = None, metadata = metadata,
+      createNew = true)
+    ref(root, tenant, db, name, schema, metadata = metadata)
+  }
+
+  private def writeDescriptor(f: java.nio.file.Path, schema: Schema,
+      forkedFrom: Option[String], dataDir: Option[String],
+      metadata: Map[String, String], createNew: Boolean): Unit = {
     implicit val fmts: Formats = DefaultFormats
-    val json = Serialization.write(Map(
+    val base = Map(
       "embedding" -> schema.embedding.map(_.name),
       "document_fts" -> schema.documentFts,
       "keys" -> schema.keys.map { case (k, c) =>
         k -> Map("type" -> c.valueType.name, "indexed" -> c.indexed) },
-      "attached" -> schema.attached))
-    val f = dir.resolve(s"$name.json")
-    java.nio.file.Files.write(f, json.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE_NEW) // throws if duplicate
-    ref(root, tenant, db, name, schema)
+      "attached" -> schema.attached,
+      "metadata" -> metadata) ++
+      forkedFrom.map("forked_from" -> _) ++
+      dataDir.map("data_dir" -> _)
+    val json = Serialization.write(base)
+    val opts =
+      if (createNew) Seq(java.nio.file.StandardOpenOption.CREATE_NEW)
+      else Seq(java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    java.nio.file.Files.write(f, json.getBytes("UTF-8"), opts: _*)
+  }
+
+  /** The reference's `collection.modify(name=…, metadata=…)`
+    * (`service_based_frontend.rs` update_collection route): rename and/or
+    * replace the collection-level metadata map. A rename moves only the
+    * descriptor — the descriptor's `data_dir` keeps pointing at the
+    * original data directory, so the (potentially enormous) stored
+    * segment never moves; collection identity is the data dir, the name
+    * is a mutable catalog label.
+    */
+  def modifyCollection(root: String, tenant: String, db: String,
+      name: String, newName: Option[String] = None,
+      metadata: Option[Map[String, String]] = None): CollectionRef = {
+    val cur = getCollection(root, tenant, db, name)
+    val dir = sysdbPath(root, tenant, db)
+    val nm = newName.getOrElse(name)
+    newName.foreach(validName)
+    val md = metadata.getOrElse(cur.metadata)
+    // keep the existing data dir across renames (derive it from the
+    // current ref — it already resolves any prior data_dir indirection)
+    val dataDir = cur.dataRoot.split('/').last
+    writeDescriptor(dir.resolve(s"$nm.json"), cur.schema,
+      cur.forkedFrom, Some(dataDir), md,
+      createNew = nm != name) // rename loses a concurrent race atomically
+    if (nm != name) java.nio.file.Files.delete(dir.resolve(s"$name.json"))
+    CollectionRef(tenant, db, nm, cur.schema, root, cur.dataRoot,
+      cur.forkedFrom, md)
   }
 
   def getCollection(root: String, tenant: String, db: String,
@@ -136,7 +179,16 @@ object Catalog {
       case JString(s) => Some(s)
       case _ => None
     }
-    ref(root, tenant, db, name, Schema(emb, fts, keys, attached), forked)
+    val md = (j \ "metadata") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val dataDir = (j \ "data_dir") match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    ref(root, tenant, db, name, Schema(emb, fts, keys, attached), forked,
+      md, dataDir)
   }
 
   def listCollections(root: String, tenant: String, db: String): Seq[String] = {
@@ -154,9 +206,11 @@ object Catalog {
   }
 
   private def ref(root: String, tenant: String, db: String, name: String,
-      schema: Schema, forkedFrom: Option[String] = None): CollectionRef =
-    CollectionRef(tenant, db, name, schema, root, s"$root/$tenant/$db/$name",
-      forkedFrom)
+      schema: Schema, forkedFrom: Option[String] = None,
+      metadata: Map[String, String] = Map.empty,
+      dataDir: Option[String] = None): CollectionRef =
+    CollectionRef(tenant, db, name, schema, root,
+      s"$root/$tenant/$db/${dataDir.getOrElse(name)}", forkedFrom, metadata)
 
   /** Fork a collection (`service_based_frontend.rs:1663-1787`):
     * copy-on-write by construction — the fork's descriptor carries the
@@ -168,18 +222,10 @@ object Catalog {
       src: String, dst: String): CollectionRef = {
     val srcRef = getCollection(root, tenant, db, src)
     validName(dst)
-    implicit val fmts: Formats = DefaultFormats
-    val json = Serialization.write(Map(
-      "embedding" -> srcRef.schema.embedding.map(_.name),
-      "document_fts" -> srcRef.schema.documentFts,
-      "keys" -> srcRef.schema.keys.map { case (k, c) =>
-        k -> Map("type" -> c.valueType.name, "indexed" -> c.indexed) },
-      "attached" -> srcRef.schema.attached,
-      "forked_from" -> src))
-    val f = sysdbPath(root, tenant, db).resolve(s"$dst.json")
-    java.nio.file.Files.write(f, json.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
-    ref(root, tenant, db, dst, srcRef.schema, Some(src))
+    writeDescriptor(sysdbPath(root, tenant, db).resolve(s"$dst.json"),
+      srcRef.schema, forkedFrom = Some(src), dataDir = None,
+      metadata = srcRef.metadata, createNew = true)
+    ref(root, tenant, db, dst, srcRef.schema, Some(src), srcRef.metadata)
   }
 
   /** Validate a record DataFrame against the declared schema: the typed

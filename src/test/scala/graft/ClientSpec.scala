@@ -60,6 +60,34 @@ class ClientSpec extends AnyFunSuite {
     assert(got.sorted.sameElements(Array("a", "c")))
   }
 
+  test("modify: rename keeps data in place, metadata replaces, old name gone") {
+    val root = freshRoot()
+    val client = new Client(spark, root)
+    val coll = client.createCollection("orig")
+    coll.add(Seq(("a", "alpha"), ("b", "beta")).toDF("id", "document"))
+    coll.persist()
+    // metadata-only modify
+    val withMd = client.modifyCollection("orig",
+      metadata = Some(Map("owner" -> "team-x", "hnsw:space" -> "cosine")))
+    assert(withMd.ref.metadata("owner") == "team-x")
+    assert(client.getCollection("orig").ref.metadata ==
+      Map("owner" -> "team-x", "hnsw:space" -> "cosine"))
+    // rename: data stays at the original dataRoot, old name unresolvable
+    val renamed = client.modifyCollection("orig", newName = Some("renamed"))
+    assert(renamed.ref.dataRoot == withMd.ref.dataRoot)
+    assert(renamed.ref.metadata("owner") == "team-x") // metadata survives
+    assert(client.listCollections() == Seq("renamed"))
+    intercept[Exception] { client.getCollection("orig") }
+    val got = client.getCollection("renamed")
+    assert(got.ref.dataRoot == withMd.ref.dataRoot)
+    assert(got.count() == 2L)
+    // rename onto an existing name loses the create-new race
+    client.createCollection("other")
+    intercept[Exception] {
+      client.modifyCollection("renamed", newName = Some("other"))
+    }
+  }
+
   test("embedding writes drive KNN through the handle") {
     val client = new Client(spark, freshRoot())
     val coll = client.createCollection("v",

@@ -62,6 +62,46 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup: pairs subset of exact threshold graph, recall >= 0.9, keep = component min") {
+    val vecs = Tables.embeddings(spark, sf)
+    val model = graft.operators.Ivf.build(
+      vecs.select(col("vec_id").as("offset_id"), col("embedding")),
+      nCentroids = 16, nReplica = 4)
+    val tau = 0.4
+    // exact threshold graph from the all-pairs oracle
+    val a = vecs.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = vecs.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val exactPairs = a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        graft.functions.Distances.cosineSimilarity(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "no threshold pairs in test data?")
+    val annPairs = Dedup.embeddingThresholdPairs(model, tau)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(annPairs.subsetOf(exactPairs), s"false pairs: ${annPairs -- exactPairs}")
+    val recall = annPairs.size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"threshold-pair recall $recall < 0.9")
+    // keep/drop output: every vector appears once; keep_id is the min of
+    // the vector's component in the CANDIDATE graph (union-find twin)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    annPairs.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val out = Dedup.semanticDedup(vecs, model, tau).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == vecs.count())
+    out.foreach { case (id, (keep, isDup)) =>
+      assert(keep == find(id), s"vec $id keep_id")
+      assert(isDup == (keep != id))
+    }
+  }
+
   test("dup clusters == transitive closure of the jaccard pair graph") {
     val pairs = Dedup.jaccardPairs(docs, 0.5).select("da", "db")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
