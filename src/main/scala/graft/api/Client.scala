@@ -110,8 +110,16 @@ final class CollectionHandle(spark: SparkSession,
     case None => new Writer(spark, spark.emptyDataset[Rec])
   }
 
+  private def embedFn: Option[graft.functions.EmbeddingFunction] =
+    ref.schema.embeddingFunction
+      .map(graft.functions.EmbeddingFunctions.registry(_))
+
   /** Fill the optional record columns so any (id [, document, meta,
-    * embedding]) frame batch-appends.
+    * embedding]) frame batch-appends. Writes carrying documents but no
+    * embeddings embed with the schema-declared embedding function —
+    * the reference's add-with-documents path
+    * (`chromadb/api/models/Collection.py:96-109`), here server-side so
+    * the embed runs distributed next to the WAL append.
     */
   private def withDefaults(records: DataFrame): DataFrame = {
     var df = records
@@ -120,7 +128,12 @@ final class CollectionHandle(spark: SparkSession,
     if (!df.columns.contains("meta"))
       df = df.withColumn("meta",
         map_from_arrays(array(), array()).cast("map<string,string>"))
-    df
+    embedFn match {
+      case Some(fn) if !df.columns.contains("embedding") =>
+        graft.functions.EmbeddingFunctions.attachOnce(
+          df, "embedding", fn.embed(col("document")))
+      case _ => df
+    }
   }
 
   def add(records: DataFrame): Unit =
@@ -194,6 +207,23 @@ final class CollectionHandle(spark: SparkSession,
       where: Option[graft.model.Where.Expr] = None,
       space: String = "cosine"): DataFrame =
     asCollection.query(queries, k, where, space)
+
+  /** `query_texts` — embed the query strings with the collection's
+    * declared embedding function, then KNN. The texts are the client's
+    * literal query payload (a handful of rows), so building the query
+    * frame driver-side is the wire contract, not an engine collect.
+    */
+  def queryText(texts: Seq[String], k: Int,
+      where: Option[graft.model.Where.Expr] = None,
+      space: String = "cosine"): DataFrame = {
+    val fn = embedFn.getOrElse(throw new IllegalArgumentException(
+      s"collection ${ref.name} declares no embedding_function"))
+    val q = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("query_id", "text")
+    query(graft.functions.EmbeddingFunctions
+      .attachOnce(q, "q_embedding", fn.embed(col("text"))).drop("text"),
+      k, where, space)
+  }
 
   /** Compact: validate against the declared schema, persist the live
     * state as the collection's record segment (shredded serving schema),

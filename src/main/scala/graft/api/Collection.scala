@@ -164,7 +164,8 @@ final class Collection(val records: DataFrame) {
   /** Search plan — `plan.rs:588`: filter → rank expression over KNN
     * leaves → optional grouped top-k → offset/limit slice → select.
     * Each leaf is (q_embedding, k, space); `Rank.Leaf(i, ...)` in `rank`
-    * refers to leaf i.
+    * refers to leaf i. `groupDesc` flips the in-group ordering
+    * (`$max_k` vs `$min_k`, operator.rs:2306-2323).
     */
   def search(
       leaves: Seq[(DataFrame, Int, String)],
@@ -173,7 +174,8 @@ final class Collection(val records: DataFrame) {
       groupBy: Option[(Seq[Column], Int)] = None,
       limit: Option[Int] = None,
       offset: Int = 0,
-      include: Seq[String] = Seq()): DataFrame = {
+      include: Seq[Column] = Seq(),
+      groupDesc: Boolean = false): DataFrame = {
     val filtered = where.map(w => records.filter(Where.compile(w))).getOrElse(records)
     val cands = filtered.select(col("offset_id"), col("embedding"))
     val leafResults = leaves.map { case (q, k, space) =>
@@ -183,12 +185,52 @@ final class Collection(val records: DataFrame) {
       .join(records.drop("embedding"), Seq("offset_id"))
     val grouped = groupBy match {
       case Some((keys, k)) =>
-        GroupedTopK(scored, keys, Seq(col("score"), col("offset_id")), k)
+        val sort =
+          if (groupDesc) Seq(col("score").desc, col("offset_id"))
+          else Seq(col("score"), col("offset_id"))
+        GroupedTopK(scored, keys, sort, k)
       case None => scored
     }
     val ordered = grouped.orderBy(col("score"), col("offset_id"))
     val sliced0 = if (offset > 0) ordered.offset(offset) else ordered
     val sliced = limit.map(sliced0.limit).getOrElse(sliced0)
-    sliced.select((col("id") +: col("score").as("#score") +: include.map(col)): _*)
+    sliced.select((col("id") +: col("score").as("#score") +: include): _*)
+  }
+
+  /** Typed projection of one metadata key across the shredded maps —
+    * the `Select` field key (`operator.rs:1787-1794`).
+    */
+  private def metaValue(k: String): Column = coalesce(
+    element_at(col("meta_str"), k),
+    element_at(col("meta_int"), k).cast("string"),
+    element_at(col("meta_float"), k).cast("string"),
+    element_at(col("meta_bool"), k).cast("string"))
+
+  /** Search plan from the reference's WIRE payload
+    * (`plan.rs:235` SearchPayload JSON, parsed by
+    * [[graft.model.SearchParser]]): `$knn` leaves become exact-KNN score
+    * frames, the rank tree compiles to column algebra, `group_by`
+    * drives grouped top-k, `select` keys project. One Catalyst plan, same
+    * as the programmatic [[search]].
+    */
+  def searchPayload(json: String, space: String = "cosine"): DataFrame = {
+    val req = graft.model.SearchParser.parse(json)
+    val spark = records.sparkSession
+    val leafFrames = req.leaves.map { l =>
+      val vec = array(l.query.map(f => lit(f)): _*).cast("array<float>")
+      (spark.range(1).select(lit(0L).as("query_id"), vec.as("q_embedding")),
+        l.limit, space)
+    }
+    val include: Seq[Column] = req.select.filterNot(_ == "#score").flatMap {
+      case "#document" => Seq(col("document"))
+      case "#embedding" => Seq(col("embedding"))
+      case "#metadata" => Seq(col("meta_str"), col("meta_int"),
+        col("meta_float"), col("meta_bool"))
+      case k => Seq(metaValue(k).as(k))
+    }
+    search(leafFrames, req.rank, req.filter,
+      req.groupBy.map(g => (g.keys.map(metaValue), g.k)),
+      req.limit, req.offset, include,
+      groupDesc = req.groupBy.exists(_.descending))
   }
 }

@@ -1,0 +1,149 @@
+package graft.model
+
+import graft.operators.Rank
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Parser for the reference's Search API wire payload
+  * (`rust/types/src/execution/plan.rs:235` `SearchPayload`, serde shapes
+  * in `rust/types/src/execution/operator.rs`):
+  *
+  * {{{
+  *   {
+  *     "filter": { <where JSON — query_ids fold into "#id" $in> },
+  *     "rank": {"$sum": [{"$mul": [{"$val": 0.6}, {"$knn":
+  *       {"query": [0.1, 0.2], "limit": 50, "default": 2.0,
+  *        "return_rank": false}}]}, ...]},
+  *     "group_by": {"keys": ["label"],
+  *       "aggregate": {"$min_k": {"keys": ["#score"], "k": 1}}},
+  *     "limit": {"offset": 0, "limit": 10},
+  *     "select": {"keys": ["#score", "label"]}
+  *   }
+  * }}}
+  *
+  * `$knn` leaves (`operator.rs:1163-1174`) carry the dense query vector
+  * inline; they are hoisted into [[Request.leaves]] in traversal order and
+  * replaced by [[Rank.Leaf]] references, exactly how the reference's
+  * `Rank::knn_queries` lifts them for the Knn orchestrators. A leaf with
+  * no `default` uses f32::MAX (records the leaf missed rank last, matching
+  * "absent = unranked" without dropping rows the other leaves retrieved).
+  */
+object SearchParser {
+
+  /** One hoisted `$knn` leaf: inline dense query + fetch size. */
+  final case class KnnLeaf(query: Seq[Float], limit: Int)
+
+  /** Grouped top-k: group keys (metadata field names), orderings from
+    * `$min_k`/`$max_k` over `#score`, and per-group k.
+    */
+  final case class Group(keys: Seq[String], k: Int, descending: Boolean)
+
+  final case class Request(
+      filter: Option[Where.Expr],
+      rank: Rank.Expr,
+      leaves: Seq[KnnLeaf],
+      groupBy: Option[Group],
+      limit: Option[Int],
+      offset: Int,
+      select: Seq[String])
+
+  private val NoDefault: Double = Float.MaxValue.toDouble
+
+  def parse(json: String): Request = {
+    val j = JsonMethods.parse(json)
+    val leaves = scala.collection.mutable.ArrayBuffer[KnnLeaf]()
+
+    def num(v: JValue, what: String): Double = v match {
+      case JInt(i) => i.toDouble
+      case JLong(i) => i.toDouble
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case o => throw new IllegalArgumentException(s"bad $what: $o")
+    }
+
+    def rankExpr(v: JValue): Rank.Expr = v match {
+      case JObject(List((op, body))) => (op, body) match {
+        case ("$val", n) => Rank.Val(num(n, "$val"))
+        case ("$knn", JObject(fields)) =>
+          val m = fields.toMap
+          val q = m.getOrElse("query",
+            throw new IllegalArgumentException("$knn needs query")) match {
+            case JArray(vs) => vs.map(x => num(x, "query element").toFloat)
+            case o => throw new IllegalArgumentException(s"bad $$knn query $o")
+          }
+          val lim = m.get("limit").map(num(_, "limit").toInt).getOrElse(16)
+          val default = m.get("default") match {
+            case Some(JNull) | None => NoDefault
+            case Some(d) => num(d, "default")
+          }
+          val rr = m.get("return_rank") match {
+            case Some(JBool(b)) => b
+            case _ => false
+          }
+          leaves += KnnLeaf(q, lim)
+          Rank.Leaf(leaves.size - 1, default, rr)
+        case ("$sum", JArray(cs)) => Rank.Sum(cs.map(rankExpr))
+        case ("$mul", JArray(cs)) => Rank.Mul(cs.map(rankExpr))
+        case ("$min", JArray(cs)) => Rank.Min(cs.map(rankExpr))
+        case ("$max", JArray(cs)) => Rank.Max(cs.map(rankExpr))
+        case ("$sub", JObject(fields)) =>
+          val m = fields.toMap
+          Rank.Sub(rankExpr(m("left")), rankExpr(m("right")))
+        case ("$div", JObject(fields)) =>
+          val m = fields.toMap
+          Rank.Div(rankExpr(m("left")), rankExpr(m("right")))
+        case ("$abs", e) => Rank.Abs(rankExpr(e))
+        case ("$exp", e) => Rank.Exp(rankExpr(e))
+        case ("$log", e) => Rank.Log(rankExpr(e))
+        case other => throw new IllegalArgumentException(s"bad rank op $other")
+      }
+      case other => throw new IllegalArgumentException(s"bad rank expr $other")
+    }
+
+    val filter = (j \ "filter") match {
+      case JNothing | JNull | JObject(Nil) => None
+      case w => Some(WhereParser.parse(JsonMethods.compact(JsonMethods.render(w))))
+    }
+    val rank = (j \ "rank") match {
+      case JNothing | JNull =>
+        throw new IllegalArgumentException("search payload needs rank")
+      case r => rankExpr(r)
+    }
+    val groupBy = (j \ "group_by") match {
+      case JNothing | JNull | JObject(Nil) => None
+      case g =>
+        val keys = (g \ "keys") match {
+          case JArray(ks) => ks.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        (g \ "aggregate") match {
+          // GroupBy is active only with keys AND an aggregate
+          // (operator.rs:2376-2381 is_active)
+          case JObject(List((aggOp, body))) if keys.nonEmpty =>
+            val k = (body \ "k") match {
+              case v => num(v, "aggregate k").toInt
+            }
+            val desc = aggOp match {
+              case "$min_k" => false
+              case "$max_k" => true
+              case o => throw new IllegalArgumentException(s"bad aggregate $o")
+            }
+            Some(Group(keys, k, desc))
+          case _ => None
+        }
+    }
+    val limit = (j \ "limit" \ "limit") match {
+      case JNothing | JNull => None
+      case v => Some(num(v, "limit").toInt)
+    }
+    val offset = (j \ "limit" \ "offset") match {
+      case JNothing | JNull => 0
+      case v => num(v, "offset").toInt
+    }
+    val select = (j \ "select" \ "keys") match {
+      case JArray(ks) => ks.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    Request(filter, rank, leaves.toSeq, groupBy, limit, offset, select)
+  }
+}

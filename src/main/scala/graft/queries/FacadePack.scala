@@ -89,11 +89,40 @@ object FacadePack extends QueryPack {
                          Mul(Seq(Val(0.4), Leaf(1, default = 2.0))))),
           groupBy = Some((Seq(element_at(col("meta_int"), "label")), 1)),
           limit = Some(10),
-          include = Seq("meta_int"))
+          include = Seq(col("meta_int")))
         .select(col("id"), col("#score").as("score"),
           element_at(col("meta_int"), "label").as("label"))
         .orderBy(col("score"), col("id"))
     },
+    // Search plan arriving as the reference's WIRE JSON payload
+    // (SearchPayload: filter + $knn rank algebra + group_by + limit +
+    // select), built exactly as a client would — query embeddings
+    // collected into the payload literal (2 rows; client-side query
+    // construction, not an engine collect), then parsed and compiled to
+    // ONE Catalyst plan by SearchParser/Collection.searchPayload.
+    "fc_search_json" -> { (s, d) =>
+      val qs = Tables.embeddings(s, d).filter(col("vec_id") < 2)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      def vec(id: Long) = qs(id).mkString("[", ",", "]")
+      val payload =
+        s"""{
+           |  "filter": {"label": {"$$ne": 4}},
+           |  "rank": {"$$sum": [
+           |    {"$$mul": [{"$$val": 0.7}, {"$$knn":
+           |      {"query": ${vec(0)}, "limit": 50, "default": 2.0}}]},
+           |    {"$$mul": [{"$$val": 0.3}, {"$$knn":
+           |      {"query": ${vec(1)}, "limit": 50, "default": 2.0}}]}]},
+           |  "group_by": {"keys": ["label"],
+           |    "aggregate": {"$$min_k": {"keys": ["#score"], "k": 1}}},
+           |  "limit": {"offset": 0, "limit": 10},
+           |  "select": {"keys": ["#score", "label"]}
+           |}""".stripMargin
+      vecCollection(s, d).searchPayload(payload)
+        .select(col("id"), col("#score").as("score"), col("label"))
+        .orderBy(col("score"), col("id"))
+    },
+
     // Served-ANN query through the facade: the collection's persisted IVF
     // index answers, candidates re-join record content. Approximate →
     // rows-only; recall gates live in IvfSpec.
@@ -254,6 +283,29 @@ object FacadePack extends QueryPack {
         |FROM v WHERE term IN ('query','data','filter','spark')
         |GROUP BY doc_id HAVING sum(val) > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "fc_search_json" ->
+      """WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |q1 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+        |cand AS (SELECT * FROM embeddings WHERE label <> 4),
+        |l0 AS (SELECT vec_id, dist FROM
+        |        (SELECT vec_id, 1.0 - list_cosine_similarity(embedding, q0.qe) AS dist,
+        |           row_number() OVER (ORDER BY (1.0 - list_cosine_similarity(embedding, q0.qe)), vec_id) AS rn
+        |         FROM cand, q0) WHERE rn <= 50),
+        |l1 AS (SELECT vec_id, dist FROM
+        |        (SELECT vec_id, 1.0 - list_cosine_similarity(embedding, q1.qe) AS dist,
+        |           row_number() OVER (ORDER BY (1.0 - list_cosine_similarity(embedding, q1.qe)), vec_id) AS rn
+        |         FROM cand, q1) WHERE rn <= 50),
+        |f AS (SELECT coalesce(l0.vec_id, l1.vec_id) AS vec_id,
+        |        0.7 * coalesce(l0.dist::DOUBLE, 2.0) + 0.3 * coalesce(l1.dist::DOUBLE, 2.0) AS score
+        |      FROM l0 FULL OUTER JOIN l1 ON l0.vec_id = l1.vec_id),
+        |j AS (SELECT f.vec_id, f.score, e.label::VARCHAR AS label
+        |      FROM f JOIN embeddings e ON f.vec_id = e.vec_id),
+        |g AS (SELECT vec_id, score, label,
+        |        row_number() OVER (PARTITION BY label ORDER BY score, vec_id) AS rn
+        |      FROM j)
+        |SELECT 'vec-'||vec_id AS id, score, label FROM g WHERE rn = 1
+        |ORDER BY score, id LIMIT 10""".stripMargin,
 
     "fc_search_grouped" ->
       """WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

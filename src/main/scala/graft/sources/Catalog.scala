@@ -54,13 +54,20 @@ object Catalog {
 
   /** Collection schema: embedding config + document FTS flag + typed
     * metadata keys + attached server-side functions (names resolved
-    * against [[graft.functions.AttachedFunctions]]).
+    * against [[graft.functions.AttachedFunctions]]) + optional embedding
+    * function (resolved against
+    * [[graft.functions.EmbeddingFunctions.registry]]) — the reference's
+    * per-collection `embedding_function` config
+    * (`chromadb/api/models/Collection.py:96-109`): writes carrying
+    * documents but no embeddings embed server-side, and query texts
+    * embed with the same function.
     */
   final case class Schema(
       embedding: Option[VDenseVector] = None,
       documentFts: Boolean = false,
       keys: Map[String, KeyConfig] = Map.empty,
-      attached: Seq[String] = Seq.empty)
+      attached: Seq[String] = Seq.empty,
+      embeddingFunction: Option[String] = None)
 
   final case class CollectionRef(tenant: String, database: String,
       name: String, schema: Schema, root: String, dataRoot: String,
@@ -98,6 +105,10 @@ object Catalog {
     require(java.nio.file.Files.isDirectory(dir), s"no such database $tenant/$db")
     // fail at registration, not first run, if an attached name is unknown
     schema.attached.foreach(graft.functions.AttachedFunctions.resolve)
+    schema.embeddingFunction.foreach { n =>
+      require(graft.functions.EmbeddingFunctions.registry.contains(n),
+        s"unknown embedding function $n")
+    }
     writeDescriptor(dir.resolve(s"$name.json"), schema,
       forkedFrom = None, dataDir = None, metadata = metadata,
       createNew = true)
@@ -115,6 +126,7 @@ object Catalog {
         k -> Map("type" -> c.valueType.name, "indexed" -> c.indexed) },
       "attached" -> schema.attached,
       "metadata" -> metadata) ++
+      schema.embeddingFunction.map("embedding_function" -> _) ++
       forkedFrom.map("forked_from" -> _) ++
       dataDir.map("data_dir" -> _)
     val json = Serialization.write(base)
@@ -187,7 +199,11 @@ object Catalog {
       case JString(s) => Some(s)
       case _ => None
     }
-    ref(root, tenant, db, name, Schema(emb, fts, keys, attached), forked,
+    val ef = (j \ "embedding_function") match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    ref(root, tenant, db, name, Schema(emb, fts, keys, attached, ef), forked,
       md, dataDir)
   }
 

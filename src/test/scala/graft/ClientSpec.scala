@@ -103,6 +103,37 @@ class ClientSpec extends AnyFunSuite {
     assert(nn.toSeq == Seq(1L -> "a", 2L -> "c"))
   }
 
+  test("declared embedding function: server-side embed on add, query_texts") {
+    val client = new Client(spark, freshRoot())
+    intercept[Exception] {
+      client.createCollection("bad-ef",
+        Catalog.Schema(embeddingFunction = Some("no_such_ef")))
+    }
+    val coll = client.createCollection("texts", Catalog.Schema(
+      embedding = Some(Catalog.VDenseVector(64, "cosine")),
+      embeddingFunction = Some("hashed_bow_64")))
+    coll.add(Seq(
+      ("a", "spark shuffles the partitions"),
+      ("b", "ducks swim on the pond"),
+      ("c", "completely different words entirely")).toDF("id", "document"))
+    // embeddings were computed server-side: KNN by text finds the
+    // identical document first at ~zero distance
+    val hits = coll.queryText(Seq("ducks swim on the pond"), k = 2)
+      .select("rank", "id", "dist").collect()
+    assert(hits.head.getString(1) == "b")
+    assert(hits.head.getDouble(2) < 1e-6)
+    // explicit embeddings still win over the function
+    coll.add(Seq(("d", "ducks swim on the pond again")).toDF("id", "document"))
+    assert(coll.count() == 4L)
+    // schema round-trips through the descriptor
+    assert(client.getCollection("texts").ref.schema.embeddingFunction
+      .contains("hashed_bow_64"))
+    // queryText without a declared function is rejected
+    val plain = client.createCollection("plain")
+    plain.add(Seq(("x", "doc")).toDF("id", "document"))
+    intercept[IllegalArgumentException] { plain.queryText(Seq("doc"), 1) }
+  }
+
   test("declared schema keys shred typed: numeric/bool Where works via client") {
     val client = new Client(spark, freshRoot())
     val coll = client.createCollection("t", Catalog.Schema(keys = Map(

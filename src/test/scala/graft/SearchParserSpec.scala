@@ -1,0 +1,78 @@
+package graft
+
+import graft.model.{SearchParser, Where}
+import graft.operators.Rank
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wire-payload parsing: every serde production of the reference's
+  * SearchPayload (`rust/types/src/execution/plan.rs:235`,
+  * `operator.rs:1153-1192` RankExpr) maps onto the engine's typed
+  * request.
+  */
+class SearchParserSpec extends AnyFunSuite {
+
+  test("full payload: filter, nested rank, group_by, limit, select") {
+    val r = SearchParser.parse(
+      """{
+        |  "filter": {"$and": [{"label": {"$gt": 1}}, {"even": true}]},
+        |  "rank": {"$sum": [
+        |    {"$mul": [{"$val": 0.7}, {"$knn": {"query": [1.0, 2.0], "limit": 50, "default": 2.0}}]},
+        |    {"$knn": {"query": [0.5, 0.5], "return_rank": true}}]},
+        |  "group_by": {"keys": ["label"], "aggregate": {"$max_k": {"keys": ["#score"], "k": 3}}},
+        |  "limit": {"offset": 5, "limit": 10},
+        |  "select": {"keys": ["#score", "#document", "label"]}
+        |}""".stripMargin)
+    assert(r.filter.contains(Where.And(Seq(
+      Where.Cmp("label", "$gt", Where.VInt(1)),
+      Where.Cmp("even", "$eq", Where.VBool(true))))))
+    assert(r.leaves == Seq(
+      SearchParser.KnnLeaf(Seq(1.0f, 2.0f), 50),
+      SearchParser.KnnLeaf(Seq(0.5f, 0.5f), 16))) // default_knn_limit = 16
+    r.rank match {
+      case Rank.Sum(Seq(Rank.Mul(Seq(Rank.Val(w), Rank.Leaf(0, d, false))),
+          Rank.Leaf(1, _, true))) =>
+        assert(w == 0.7 && d == 2.0)
+      case other => fail(s"rank shape: $other")
+    }
+    assert(r.groupBy.contains(SearchParser.Group(Seq("label"), 3, descending = true)))
+    assert(r.limit.contains(10) && r.offset == 5)
+    assert(r.select == Seq("#score", "#document", "label"))
+  }
+
+  test("defaults: no filter/group/limit/select; $knn default limit and no-default fill") {
+    val r = SearchParser.parse("""{"rank": {"$knn": {"query": [1.5]}}}""")
+    assert(r.filter.isEmpty && r.groupBy.isEmpty && r.limit.isEmpty
+      && r.offset == 0 && r.select.isEmpty)
+    r.rank match {
+      case Rank.Leaf(0, d, false) => assert(d == Float.MaxValue.toDouble)
+      case other => fail(s"$other")
+    }
+  }
+
+  test("$sub/$div/$abs/$exp/$log/$min/$max compile; missing rank rejected") {
+    val r = SearchParser.parse(
+      """{"rank": {"$div": {
+        |  "left": {"$abs": {"$sub": {"left": {"$val": 1}, "right": {"$val": 2}}}},
+        |  "right": {"$max": [{"$exp": {"$val": 0}}, {"$log": {"$val": 1}},
+        |            {"$min": [{"$val": 3}, {"$val": 4}]}]}}}}""".stripMargin)
+    assert(r.leaves.isEmpty)
+    r.rank match {
+      case Rank.Div(Rank.Abs(Rank.Sub(Rank.Val(1.0), Rank.Val(2.0))), Rank.Max(_)) =>
+      case other => fail(s"$other")
+    }
+    intercept[IllegalArgumentException] { SearchParser.parse("""{"filter": {}}""") }
+    intercept[IllegalArgumentException] {
+      SearchParser.parse("""{"rank": {"$nope": 1}}""")
+    }
+  }
+
+  test("group_by without aggregate (or without keys) is inactive") {
+    val noAgg = SearchParser.parse(
+      """{"rank": {"$val": 1}, "group_by": {"keys": ["label"]}}""")
+    assert(noAgg.groupBy.isEmpty)
+    val noKeys = SearchParser.parse(
+      """{"rank": {"$val": 1},
+        | "group_by": {"aggregate": {"$min_k": {"keys": ["#score"], "k": 1}}}}""".stripMargin)
+    assert(noKeys.groupBy.isEmpty)
+  }
+}
