@@ -207,6 +207,36 @@ object Catalog {
       md, dataDir)
   }
 
+  def listTenants(root: String): Seq[String] = listDirs(
+    java.nio.file.Paths.get(root, "_sysdb"))
+
+  def listDatabases(root: String, tenant: String): Seq[String] = listDirs(
+    java.nio.file.Paths.get(root, "_sysdb", tenant))
+
+  /** Drop a database from the sysdb. Refuses while collections remain —
+    * the reference's delete_database cascades server-side; here the safe
+    * contract is explicit collection deletion first (data dirs hold the
+    * actual segments).
+    */
+  def deleteDatabase(root: String, tenant: String, db: String): Unit = {
+    require(listCollections(root, tenant, db).isEmpty,
+      s"database $tenant/$db still has collections")
+    java.nio.file.Files.deleteIfExists(sysdbPath(root, tenant, db))
+  }
+
+  private def listDirs(p: java.nio.file.Path): Seq[String] = {
+    if (!java.nio.file.Files.isDirectory(p)) Nil
+    else {
+      val it = java.nio.file.Files.list(p).iterator()
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val e = it.next()
+        if (java.nio.file.Files.isDirectory(e)) out += e.getFileName.toString
+      }
+      out.result().sorted
+    }
+  }
+
   def listCollections(root: String, tenant: String, db: String): Seq[String] = {
     val dir = sysdbPath(root, tenant, db)
     if (!java.nio.file.Files.isDirectory(dir)) Nil

@@ -41,6 +41,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(back.schema == schema)
   }
 
+  test("tenant/database admin: list, guarded delete") {
+    Catalog.createTenant(root, "beta")
+    Catalog.createDatabase(root, "beta", "dev")
+    assert(Catalog.listTenants(root).contains("beta"))
+    assert(Catalog.listDatabases(root, "acme") == Seq("prod"))
+    assert(Catalog.listDatabases(root, "beta") == Seq("dev"))
+    // delete refuses while collections remain
+    intercept[IllegalArgumentException](
+      Catalog.deleteDatabase(root, "acme", "prod"))
+    Catalog.deleteDatabase(root, "beta", "dev")
+    assert(Catalog.listDatabases(root, "beta").isEmpty)
+  }
+
   test("validate rejects undeclared metadata keys, accepts declared ones") {
     import SparkTestSession.spark.implicits._
     val ok = Seq(("id-1", 1L, Seq(1f, 2f), "hello world", Map("lang" -> "en"), Map("stars" -> 5L)))
