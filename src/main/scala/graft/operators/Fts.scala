@@ -37,6 +37,19 @@ object Fts {
     */
   val MaxIdPushdown = 10000
 
+  /** Posting rows of `docs` — one row per (bucket, trigram) with the
+    * sorted doc list. Compaction build and incremental (streaming)
+    * maintenance share this plan; the incremental path appends one such
+    * row set per micro-batch, so a trigram may own several rows whose doc
+    * lists are disjoint (each doc arrives in exactly one batch).
+    */
+  def postings(docs: DataFrame, nBuckets: Int = DefaultBuckets): DataFrame =
+    docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(trigramCol).as("trigram"))
+      .withColumn("bucket", pmod(xxhash64(col("trigram")), lit(nBuckets)).cast("int"))
+      .groupBy("bucket", "trigram")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+
   /** Build + persist the posting table under `<root>/fts/postings`: ONE
     * row per trigram — `(bucket, trigram, docs ARRAY<LONG>)` — so a query
     * reads exactly its needle's posting rows, the blockfile posting-list
@@ -44,11 +57,7 @@ object Fts {
     */
   def buildAndSave(docs: DataFrame, root: String,
       nBuckets: Int = DefaultBuckets): Unit = {
-    docs.filter(length(col("text")) >= 3)
-      .select(col("doc_id"), explode(trigramCol).as("trigram"))
-      .withColumn("bucket", pmod(xxhash64(col("trigram")), lit(nBuckets)).cast("int"))
-      .groupBy("bucket", "trigram")
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+    postings(docs, nBuckets)
       .repartition(col("bucket")) // one writer per bucket → no tiny files
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
@@ -95,24 +104,48 @@ object Fts {
       nBuckets: Int = DefaultBuckets): DataFrame = {
     val tgs = needleTrigrams(needle)
     postingRows(spark, root, tgs, nBuckets)
-      .select(explode(col("docs")).as("doc_id"))
-      // build deduped trigrams per doc, so plain count == intersect-all
-      .groupBy("doc_id").agg(count(lit(1)).as("ntg"))
+      .select(col("trigram"), explode(col("docs")).as("doc_id"))
+      // distinct trigrams per doc == intersect-all (robust to a trigram's
+      // postings being split across appended per-batch rows)
+      .groupBy("doc_id").agg(countDistinct(col("trigram")).as("ntg"))
       .filter(col("ntg") === tgs.size)
       .select("doc_id")
   }
 
+  /** Merge-union two sorted arrays (disjoint per-batch posting rows of
+    * the same trigram; dedups just in case).
+    */
+  private def mergeUnion(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    var i = 0; var j = 0
+    var last = Long.MinValue; var any = false
+    def emit(v: Long): Unit = if (!any || v != last) { out += v; last = v; any = true }
+    while (i < a.length && j < b.length) {
+      if (a(i) <= b(j)) { emit(a(i)); i += 1 } else { emit(b(j)); j += 1 }
+    }
+    while (i < a.length) { emit(a(i)); i += 1 }
+    while (j < b.length) { emit(b(j)); j += 1 }
+    out.result()
+  }
+
   /** Driver merge-intersection of the (sorted) posting arrays — the
-    * reference's in-process posting intersect. Returns None when the
-    * lists exceed [[MaxDriverIntersect]] entries.
+    * reference's in-process posting intersect. A trigram split across
+    * several appended rows (incremental maintenance) is merge-unioned
+    * back into one list first. Returns None when the lists exceed
+    * [[MaxDriverIntersect]] entries.
     */
   private def candidateIdsLocal(spark: SparkSession, root: String,
       tgs: Seq[String], nBuckets: Int): Option[Array[Long]] = {
     val rows = postingRows(spark, root, tgs, nBuckets)
-      .select(col("docs")).collect()
-    if (rows.length < tgs.size) return Some(Array.empty) // a trigram matches nothing
-    val lists = rows.map(_.getSeq[Long](0).toArray)
-    if (lists.map(_.length.toLong).sum > MaxDriverIntersect) return None
+      .select(col("trigram"), col("docs")).collect()
+    // every needle trigram must have at least one posting row
+    if (rows.map(_.getString(0)).distinct.length < tgs.size)
+      return Some(Array.empty)
+    if (rows.map(_.getSeq[Long](1).size.toLong).sum > MaxDriverIntersect)
+      return None
+    val lists = rows.groupBy(_.getString(0)).values.map { rs =>
+      rs.map(_.getSeq[Long](1).toArray).reduce(mergeUnion)
+    }.toArray
     Some(lists.sortBy(_.length).reduce { (a, b) =>
       // merge-intersect two sorted arrays
       val out = Array.newBuilder[Long]

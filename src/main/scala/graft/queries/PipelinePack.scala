@@ -128,6 +128,51 @@ object PipelinePack extends QueryPack {
         .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
         .orderBy(col("doc_id"))
     },
+
+    // Domain-mixture reweighting: given a target mixture (uniform over
+    // sources here), compute each source's actual token share and the
+    // repeat/epoch factor (target/actual) a sampler would apply — the
+    // "data mixing" table of a pretraining run (Pile/DoReMi-style).
+    // Aggregates the corpus to |sources| rows in one partial agg, then
+    // broadcasts the 1-row total: the corpus scan never shuffles rows.
+    "pl_mixture_weights" -> { (s, d) =>
+      val nTok = size(TextStats.tokens(col("text"))).cast("long")
+      val bySrc = Tables.documents(s, d)
+        .select(col("source"), nTok.as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok"))
+      val total = bySrc.agg(sum(col("tok")).as("total_tok"),
+        count(lit(1)).as("n_src"))
+      bySrc.crossJoin(broadcast(total))
+        .withColumn("actual_share", col("tok").cast("double") / col("total_tok"))
+        .withColumn("repeat_factor",
+          round((lit(1.0) / col("n_src")) / col("actual_share"), 6))
+        .select(col("source"), col("n_docs"), col("tok"),
+          round(col("actual_share"), 6).as("actual_share"), col("repeat_factor"))
+        .orderBy(col("source"))
+    },
+
+    // Deterministic training-order shuffle: route every document to a
+    // hash shard and assign its position within the shard by hash order —
+    // the global-shuffle step before sequence packing, decomposed so no
+    // single partition ever sees the whole corpus (shards are
+    // epoch-reproducible and independent; at 100 TB raise the shard count
+    // with the cluster and the plan is unchanged: one hash shuffle plus
+    // shard-local sorts).
+    "pl_shuffle_shards" -> { (s, d) =>
+      // first hex nibble of the md5 → shard 0..15, portable across engines
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("h", h)
+        .withColumn("shard",
+          (expr("locate(substring(h, 1, 1), '0123456789abcdef')") - 1)
+            .cast("long"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
   )
 
   private def sqlToks = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '')"
@@ -202,5 +247,27 @@ object PipelinePack extends QueryPack {
          |      FROM t)
          |SELECT doc_id, lang, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
          |FROM c WHERE cum_tok <= 3000 ORDER BY doc_id""".stripMargin,
+
+    "pl_mixture_weights" ->
+      s"""WITH t AS (SELECT source, len($sqlToks) AS n_tok FROM documents),
+         |s AS (SELECT source, count(*) AS n_docs,
+         |        CAST(sum(n_tok) AS BIGINT) AS tok
+         |      FROM t GROUP BY source),
+         |g AS (SELECT CAST(sum(tok) AS BIGINT) AS total_tok,
+         |        count(*) AS n_src FROM s)
+         |SELECT source, n_docs, tok,
+         |  round(tok::DOUBLE / total_tok, 6) AS actual_share,
+         |  round((1.0 / n_src) / (tok::DOUBLE / total_tok), 6) AS repeat_factor
+         |FROM s CROSS JOIN g ORDER BY source""".stripMargin,
+
+    "pl_shuffle_shards" ->
+      """WITH t AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |        CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT)
+        |          AS shard
+        |      FROM t)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
   )
 }

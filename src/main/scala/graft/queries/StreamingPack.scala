@@ -87,6 +87,26 @@ object StreamingPack extends QueryPack {
           col("dist").cast("float").as("dist"), col("offset_id"))
         .orderBy(col("query_id"), col("rank"))
     },
+
+    // Incremental FTS maintenance: the corpus streams in (3 staged files
+    // → 3 micro-batches), each batch appends its trigram posting rows to
+    // the served table; the query then answers a contains search from the
+    // incrementally-built index. EXACT — the result must hash-match the
+    // plain contains oracle, proving stream-built == batch-built.
+    "st_fts_upsert" -> { (s, d) =>
+      import graft.Tables
+      val docs = Tables.documents(s, d)
+      val base = java.nio.file.Files.createTempDirectory("fts_upsert").toString
+      docs.select(col("doc_id"), col("text"))
+        .withColumn("part", pmod(col("doc_id"), lit(3)))
+        .repartition(3, col("part")).drop("part")
+        .write.mode("overwrite").parquet(s"$base/src")
+      EventStream.ftsMaintain(s, s"$base/src", s"$base/fts/postings",
+        s"$base/ckpt")
+      graft.operators.Fts.containsSearch(docs, base, "sort merge")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -99,6 +119,10 @@ object StreamingPack extends QueryPack {
       """SELECT md5(text) AS digest, count(*) AS n_copies,
         |  min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "st_fts_upsert" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE contains(text, 'sort merge') ORDER BY doc_id""".stripMargin,
 
     // session_window closes a session when the inter-event gap is >= 30
     // min (each event extends the window to ts+gap, merge on overlap) —

@@ -177,6 +177,30 @@ object TextAnalysis extends QueryPack {
           .otherwise(lit(0.0)).as("top_bigram_frac"))
         .orderBy(col("doc_id"))
     },
+
+    // Gopher-style rule filters: token-count bounds, mean word length,
+    // alphabetic-word fraction, stopword floor — the classic rule gate a
+    // pretraining pipeline applies before model-based filtering. Pure
+    // per-row array algebra (zero shuffles, WholeStageCodegen end to
+    // end), so throughput == scan throughput at any corpus size.
+    "ta_gopher_rules" -> { (s, d) =>
+      val t = toks
+      val n = size(t)
+      val meanLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / n
+      val alphaFrac = size(filter(t, x => x.rlike("[a-z]")))
+        .cast("double") / n
+      val nStop = hitCount(t, stopwords("en"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        n.cast("long").as("n_tok"),
+        meanLen.as("mean_len"),
+        alphaFrac.as("alpha_frac"),
+        nStop.cast("long").as("n_stop"),
+        (n.between(5, 400) && meanLen >= 3.0 && meanLen <= 10.0 &&
+          alphaFrac >= 0.8 && nStop >= 2).as("keep"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   private def sqlToks = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '')"
@@ -308,5 +332,19 @@ object TextAnalysis extends QueryPack {
          |              g -> len(list_filter(bi, x -> x = g))))::DOUBLE / (n - 1)
          |       ELSE 0.0 END AS top_bigram_frac
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "ta_gopher_rules" ->
+      s"""WITH base AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |m AS (SELECT doc_id, len(t) AS n_tok,
+         |        list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+         |          AS mean_len,
+         |        len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+         |          / len(t) AS alpha_frac,
+         |        ${sqlHits("en")} AS n_stop
+         |      FROM base)
+         |SELECT doc_id, n_tok, mean_len, alpha_frac, n_stop,
+         |  (n_tok BETWEEN 5 AND 400) AND mean_len >= 3.0 AND mean_len <= 10.0
+         |    AND alpha_frac >= 0.8 AND n_stop >= 2 AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -99,6 +99,37 @@ object EventStream extends Serializable {
     q.awaitTermination()
   }
 
+  /** Incremental trigram-FTS maintenance: documents stream in and each
+    * micro-batch appends its posting rows to the served table (same
+    * layout [[graft.operators.Fts.buildAndSave]] writes, so queries read
+    * batch-built and stream-built indexes identically — a trigram may own
+    * one row per batch; the intersect paths merge them). The streaming
+    * face of the reference's compaction-time FTS segment build.
+    */
+  def ftsMaintain(spark: SparkSession, srcDir: String, postingsDir: String,
+      checkpoint: String, nBuckets: Int = graft.operators.Fts.DefaultBuckets,
+      filesPerBatch: Int = 1): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Fts.postings(batch, nBuckets)
+          .repartition(col("bucket")) // one writer per touched bucket
+          .write.mode("append").partitionBy("bucket")
+          .parquet(postingsDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink, return
     * the materialized result.
     */

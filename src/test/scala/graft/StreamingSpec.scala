@@ -131,4 +131,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(key(spark.read.parquet(s"$base/postings")) == batch,
       "re-run without new files must be a no-op")
   }
+
+  test("incremental FTS maintenance serves the same candidates as the batch build") {
+    import graft.operators.Fts
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"),
+      col("n_chars"))
+    val base = java.nio.file.Files.createTempDirectory("fts_maint_spec").toString
+
+    // batch-built twin
+    Fts.buildAndSave(docs, s"$base/batch")
+
+    // stream-built: 3 staged files → 3 append micro-batches
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("part", pmod(col("doc_id"), lit(3)))
+      .repartition(3, col("part")).drop("part")
+      .write.parquet(s"$base/src")
+    EventStream.ftsMaintain(spark, s"$base/src", s"$base/inc/fts/postings",
+      s"$base/ckpt")
+
+    // the split actually exercised the multi-row-per-trigram layout
+    val perTrigram = spark.read.parquet(s"$base/inc/fts/postings")
+      .groupBy("trigram").count().agg(max("count")).head().getLong(0)
+    assert(perTrigram > 1, "expected some trigram split across batches")
+
+    val needle = "the"
+    def got(root: String) =
+      Fts.containsSearch(docs, root, needle)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fromBatch = got(s"$base/batch")
+    val fromInc = got(s"$base/inc")
+    val truth = docs.filter(col("text").contains(needle))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fromBatch == truth, "batch index wrong")
+    assert(fromInc == truth,
+      s"incremental index diverges: only-inc=${(fromInc -- truth).take(5)} " +
+        s"missing=${(truth -- fromInc).take(5)}")
+  }
 }
