@@ -172,8 +172,14 @@ object Hnsw {
     * Build is embarrassingly parallel, no shuffle. `root` must be shared
     * storage on a real cluster.
     */
-  def buildAndSave(candidates: DataFrame, root: String,
-      m: Int = 16, efConstruction: Int = 100, space: String = "cosine"): Unit = {
+  /** One serialized per-partition graph row per input partition —
+    * `(pid, blob)`. `pidOffset` keeps pids unique when several graph
+    * sets coexist in one table (incremental maintenance appends one set
+    * per micro-batch; [[searchSaved]] merges across all of them).
+    */
+  def graphRows(candidates: DataFrame, m: Int = 16,
+      efConstruction: Int = 100, space: String = "cosine",
+      pidOffset: Int = 0): DataFrame = {
     val spark = candidates.sparkSession
     val perPart = candidates.select(col("offset_id"), col("embedding")).rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -181,17 +187,21 @@ object Hnsw {
         if (rows.isEmpty) Iterator.empty
         else {
           val dim = rows.head.getSeq[Float](1).length
-          val g = new Graph(dim, m, efConstruction, seed = 42L + pid, space)
+          val g = new Graph(dim, m, efConstruction, seed = 42L + pidOffset + pid, space)
           rows.foreach(r => g.insert(r.getLong(0), r.getSeq[Float](1).toArray))
-          Iterator(Row(pid, g.serialize()))
+          Iterator(Row(pidOffset + pid, g.serialize()))
         }
       }
     val schema = StructType(Seq(StructField("pid", IntegerType),
       StructField("blob", BinaryType)))
     spark.createDataFrame(perPart, schema)
+  }
+
+  def buildAndSave(candidates: DataFrame, root: String,
+      m: Int = 16, efConstruction: Int = 100, space: String = "cosine"): Unit =
+    graphRows(candidates, m, efConstruction, space)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/hnsw/graphs")
-  }
 
   /** Query-time search over the persisted graphs: queries reach executors
     * through Spark's broadcast exchange (no collect in engine code), each

@@ -74,7 +74,7 @@ object StreamingPack extends QueryPack {
       val base = java.nio.file.Files.createTempDirectory("ivf_upsert").toString
       // stage the "arriving WAL tail" as 3 parquet files
       vecs.withColumn("part", pmod(col("offset_id"), lit(3)))
-        .repartition(3, col("part")).drop("part")
+        .repartitionByRange(3, col("part")).drop("part")
         .write.mode("overwrite").parquet(s"$base/src")
       EventStream.ivfMaintain(s, s"$base/src", centroids,
         s"$base/postings", s"$base/ckpt", nReplica = 4)
@@ -99,13 +99,35 @@ object StreamingPack extends QueryPack {
       val base = java.nio.file.Files.createTempDirectory("fts_upsert").toString
       docs.select(col("doc_id"), col("text"))
         .withColumn("part", pmod(col("doc_id"), lit(3)))
-        .repartition(3, col("part")).drop("part")
+        .repartitionByRange(3, col("part")).drop("part")
         .write.mode("overwrite").parquet(s"$base/src")
       EventStream.ftsMaintain(s, s"$base/src", s"$base/fts/postings",
         s"$base/ckpt")
       graft.operators.Fts.containsSearch(docs, base, "sort merge")
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // Incremental HNSW maintenance: vectors stream in (3 staged files →
+    // 3 micro-batches), each batch appends its own per-partition graphs;
+    // the query searches the stream-built index through the same
+    // searchSaved path as the batch build. Approximate (no SQL oracle) —
+    // recall vs exact KNN is gated in StreamingSpec.
+    "st_hnsw_upsert" -> { (s, d) =>
+      import graft.Tables
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("offset_id"), col("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("hnsw_upsert").toString
+      vecs.withColumn("part", pmod(col("offset_id"), lit(3)))
+        .repartitionByRange(3, col("part")).drop("part")
+        .write.mode("overwrite").parquet(s"$base/src")
+      EventStream.hnswMaintain(s, s"$base/src", base, s"$base/ckpt")
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.operators.Hnsw.searchSaved(s, base, queries, k = 10)
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("offset_id"))
+        .orderBy(col("query_id"), col("rank"))
     },
   )
 

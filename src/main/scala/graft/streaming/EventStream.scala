@@ -130,6 +130,38 @@ object EventStream extends Serializable {
     q.awaitTermination()
   }
 
+  /** Incremental HNSW maintenance: each arriving vector micro-batch
+    * builds its own per-partition graphs and appends them to the served
+    * graph table — the reference compactor's new-segment-per-compaction
+    * shape ([[graft.operators.Hnsw.searchSaved]] already k-way-merges
+    * across graph rows, so batch-built and stream-built indexes serve
+    * through one code path). Batch ids offset the pids so graph rows
+    * never collide.
+    */
+  def hnswMaintain(spark: SparkSession, srcDir: String, root: String,
+      checkpoint: String, m: Int = 16, efConstruction: Int = 100,
+      space: String = "cosine", filesPerBatch: Int = 1): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("offset_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Hnsw.graphRows(batch, m, efConstruction, space,
+          pidOffset = (batchId * 65536L).toInt)
+          .write.mode("append").parquet(s"$root/hnsw/graphs")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink, return
     * the materialized result.
     */

@@ -111,7 +111,7 @@ class StreamingSpec extends AnyFunSuite {
 
     val base = java.nio.file.Files.createTempDirectory("ivf_maint_spec").toString
     vecs.withColumn("part", pmod(col("offset_id"), lit(3)))
-      .repartition(3, col("part")).drop("part")
+      .repartitionByRange(3, col("part")).drop("part")
       .write.parquet(s"$base/src")
     EventStream.ivfMaintain(spark, s"$base/src", centroids,
       s"$base/postings", s"$base/ckpt", nReplica = 2)
@@ -144,7 +144,7 @@ class StreamingSpec extends AnyFunSuite {
     // stream-built: 3 staged files → 3 append micro-batches
     docs.select(col("doc_id"), col("text"))
       .withColumn("part", pmod(col("doc_id"), lit(3)))
-      .repartition(3, col("part")).drop("part")
+      .repartitionByRange(3, col("part")).drop("part")
       .write.parquet(s"$base/src")
     EventStream.ftsMaintain(spark, s"$base/src", s"$base/inc/fts/postings",
       s"$base/ckpt")
@@ -166,5 +166,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromInc == truth,
       s"incremental index diverges: only-inc=${(fromInc -- truth).take(5)} " +
         s"missing=${(truth -- fromInc).take(5)}")
+  }
+
+  test("incremental HNSW maintenance keeps recall >= 0.95 vs exact KNN") {
+    import graft.operators.{Hnsw, Knn}
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("hnsw_maint_spec").toString
+    vecs.withColumn("part", pmod(col("offset_id"), lit(3)))
+      .repartitionByRange(3, col("part")).drop("part")
+      .write.parquet(s"$base/src")
+    EventStream.hnswMaintain(spark, s"$base/src", base, s"$base/ckpt")
+    // 3 batches → at least 3 graph rows in the served table
+    assert(spark.read.parquet(s"$base/hnsw/graphs").count() >= 3)
+
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val k = 10
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "offset_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = key(Hnsw.searchSaved(spark, base, queries, k))
+    val exact = key(Knn.exact(vecs, queries, k, "cosine"))
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"stream-built HNSW recall $recall < 0.95")
   }
 }
