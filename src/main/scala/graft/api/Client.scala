@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   */
 final class Client(spark: SparkSession, root: String,
     val tenant: String = "default_tenant",
-    val database: String = "default_database") {
+    val database: String = "default_database",
+    val limits: Quotas.Limits = Quotas.Unlimited) {
 
   Catalog.createTenant(root, tenant)
   Catalog.createDatabase(root, tenant, database)
@@ -24,11 +25,11 @@ final class Client(spark: SparkSession, root: String,
   def createCollection(name: String,
       schema: Catalog.Schema = Catalog.Schema()): CollectionHandle =
     new CollectionHandle(spark,
-      Catalog.createCollection(root, tenant, database, name, schema))
+      Catalog.createCollection(root, tenant, database, name, schema), limits)
 
   def getCollection(name: String): CollectionHandle =
     new CollectionHandle(spark,
-      Catalog.getCollection(root, tenant, database, name))
+      Catalog.getCollection(root, tenant, database, name), limits)
 
   def getOrCreateCollection(name: String,
       schema: Catalog.Schema = Catalog.Schema()): CollectionHandle =
@@ -52,7 +53,7 @@ final class Client(spark: SparkSession, root: String,
     */
   def forkCollection(src: String, dst: String): CollectionHandle =
     new CollectionHandle(spark,
-      Catalog.forkCollection(root, tenant, database, src, dst))
+      Catalog.forkCollection(root, tenant, database, src, dst), limits)
 
   /** The reference's `collection.modify(name=…, metadata=…)`: rename
     * and/or replace collection metadata. Renames move only the catalog
@@ -61,7 +62,8 @@ final class Client(spark: SparkSession, root: String,
   def modifyCollection(name: String, newName: Option[String] = None,
       metadata: Option[Map[String, String]] = None): CollectionHandle =
     new CollectionHandle(spark,
-      Catalog.modifyCollection(root, tenant, database, name, newName, metadata))
+      Catalog.modifyCollection(root, tenant, database, name, newName, metadata),
+      limits)
 }
 
 /** One collection through the client: WAL-semantics writes (add is
@@ -77,8 +79,29 @@ final class Client(spark: SparkSession, root: String,
   * base, so pagination within a single batch tie-breaks by id.
   */
 final class CollectionHandle(spark: SparkSession,
-    val ref: Catalog.CollectionRef) {
+    val ref: Catalog.CollectionRef,
+    val limits: Quotas.Limits = Quotas.Unlimited) {
   import spark.implicits._
+
+  /** Quota enforcement at the write edge, mirroring the reference's
+    * frontend checks: batch record count, embedding width (from the
+    * batch's first embedded row — dims are uniform per collection), and
+    * the collection-size ceiling. Counting is skipped entirely under
+    * [[Quotas.Unlimited]] so the unlimited path stays job-free.
+    */
+  private def checkWriteQuotas(records: DataFrame): Unit = {
+    if (limits.maxBatchRecords != Int.MaxValue ||
+        limits.maxRecordsPerCollection != Long.MaxValue) {
+      val n = records.count()
+      Quotas.validateBatch(n, limits)
+      Quotas.validateCollectionSize(count() + n, limits)
+    }
+    if (limits.maxDim != Int.MaxValue && records.columns.contains("embedding")) {
+      records.select(size(col("embedding")).as("d"))
+        .filter(col("d") > 0).limit(1).collect()
+        .foreach(r => Quotas.validateDim(r.getInt(0), limits))
+    }
+  }
 
   /** Nearest ancestor (self first, then the fork chain) with a persisted
     * segment — copy-on-write: a fork reads its source's immutable files
@@ -136,14 +159,23 @@ final class CollectionHandle(spark: SparkSession,
     }
   }
 
-  def add(records: DataFrame): Unit =
-    writer.addBatch(withDefaults(records), op = "Add")
-  def upsert(records: DataFrame): Unit =
-    writer.addBatch(withDefaults(records), op = "Upsert")
-  def update(records: DataFrame): Unit =
-    writer.addBatch(withDefaults(records), op = "Update")
+  def add(records: DataFrame): Unit = {
+    val r = withDefaults(records); checkWriteQuotas(r)
+    writer.addBatch(r, op = "Add")
+  }
+  def upsert(records: DataFrame): Unit = {
+    val r = withDefaults(records); checkWriteQuotas(r)
+    writer.addBatch(r, op = "Upsert")
+  }
+  def update(records: DataFrame): Unit = {
+    val r = withDefaults(records); checkWriteQuotas(r)
+    writer.addBatch(r, op = "Update")
+  }
   def delete(ids: Seq[String]): Unit = ids.foreach(writer.delete)
-  def deleteWhere(where: graft.model.Where.Expr): Long = writer.deleteWhere(where)
+  def deleteWhere(where: graft.model.Where.Expr): Long = {
+    Quotas.validateWhere(where, limits)
+    writer.deleteWhere(where)
+  }
 
   /** Read-your-writes live state (pending WAL folded over the segment). */
   def state: Dataset[Rec] = writer.flush()
@@ -198,15 +230,21 @@ final class CollectionHandle(spark: SparkSession,
 
   def get(where: Option[graft.model.Where.Expr] = None,
       limit: Option[Int] = None, offset: Int = 0,
-      include: Seq[String] = Seq("document")): DataFrame =
+      include: Seq[String] = Seq("document")): DataFrame = {
+    where.foreach(Quotas.validateWhere(_, limits))
+    limit.foreach(Quotas.validateResults(_, limits))
     asCollection.get(where, limit, offset, include)
+  }
 
   def peek(n: Int = 10): DataFrame = get(limit = Some(n))
 
   def query(queries: DataFrame, k: Int,
       where: Option[graft.model.Where.Expr] = None,
-      space: String = "cosine"): DataFrame =
+      space: String = "cosine"): DataFrame = {
+    where.foreach(Quotas.validateWhere(_, limits))
+    Quotas.validateResults(k, limits)
     asCollection.query(queries, k, where, space)
+  }
 
   /** `query_texts` — embed the query strings with the collection's
     * declared embedding function, then KNN. The texts are the client's
