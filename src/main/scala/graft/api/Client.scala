@@ -291,6 +291,40 @@ final class CollectionHandle(spark: SparkSession,
     graft.functions.AttachedFunctions.resolve(name)(asCollection.records)
   }
 
+  /** Dump the live collection as JSONL — one
+    * `{id, document, metadata, embedding}` object per line, the shape
+    * chroma dumps/loads through its client batch utilities. A
+    * distributed `spark.write.json`, so exports scale with the cluster.
+    */
+  def exportJsonl(path: String): Unit =
+    state.toDF().select(col("id"), col("document"),
+      col("meta").as("metadata"), col("embedding"))
+      .write.mode("overwrite").json(path)
+
+  /** Bulk-load a JSONL dump as one upsert batch (schema-first read: no
+    * inference pass over a 100 TB dump; malformed lines fail loudly).
+    */
+  def importJsonl(path: String): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("document",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("metadata",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val rows = spark.read.schema(schema)
+      .option("mode", "FAILFAST").json(path)
+      .withColumnRenamed("metadata", "meta")
+      .withColumn("meta", coalesce(col("meta"),
+        map_from_arrays(array(), array()).cast("map<string,string>")))
+    upsert(rows)
+  }
+
   /** Compute every attached function and persist its output beside the
     * collection (`<dataRoot>/functions/<name>`) — the compaction-time
     * catch-up the reference's executor runs by completion offset.

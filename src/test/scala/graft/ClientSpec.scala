@@ -32,6 +32,23 @@ class ClientSpec extends AnyFunSuite {
     assert(client.getOrCreateCollection("vecs").ref.name == "vecs")
   }
 
+  test("JSONL export/import round-trips the live state") {
+    val client = new Client(spark, freshRoot())
+    val src = client.createCollection("dump_src")
+    src.add(Seq(
+      ("a", "alpha doc", Map("k" -> "1"), Seq(1f, 0f)),
+      ("b", "beta doc", Map("k" -> "2"), Seq(0f, 1f)))
+      .toDF("id", "document", "meta", "embedding"))
+    val path = freshRoot() + "/dump"
+    src.exportJsonl(path)
+
+    val dst = client.createCollection("dump_dst")
+    dst.importJsonl(path)
+    def key(h: graft.api.CollectionHandle) = h.state.collect()
+      .map(r => (r.id, r.document, r.meta, r.embedding)).toSet
+    assert(key(dst) == key(src), "imported state differs from exported")
+  }
+
   test("write semantics + read-your-writes through the handle") {
     val client = new Client(spark, freshRoot())
     val coll = client.createCollection("c")
