@@ -32,6 +32,29 @@ object CollectionStore {
   def loadRecords(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/records")
 
+  /** Persist a record segment BUCKETED on the join key — the co-located
+    * layout for the hot merge joins of the write path (log ⋈ segment on
+    * id at every compaction, KNN-result ⋈ records on offset_id at every
+    * projection). Two tables bucketed the same way join with ZERO
+    * exchanges on either side: at 100 TB that deletes the segment-side
+    * shuffle — the largest data movement in the system — from every
+    * compaction. Bucketing needs the session catalog (bucket metadata
+    * lives in the table descriptor, not the parquet files), hence
+    * `saveAsTable` with an explicit external path instead of raw
+    * parquet.
+    */
+  def saveRecordsBucketed(records: DataFrame, root: String, table: String,
+      key: String = "offset_id", nBuckets: Int = 32): Unit = {
+    val spark = records.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    records.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", s"$root/bucketed/$table")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
   def saveIvf(model: Ivf.Model, root: String): Unit = {
     model.centroids.write.mode(SaveMode.Overwrite).parquet(s"$root/ivf/centroids")
     model.postings

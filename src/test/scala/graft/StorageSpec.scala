@@ -44,6 +44,37 @@ class StorageSpec extends AnyFunSuite {
     assert((exact & approx).size.toDouble / exact.size >= 0.8)
   }
 
+  test("bucketed segments join with zero exchanges on either side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = tmp()
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    // the two sides of the projection join: records and a score table
+    CollectionStore.saveRecordsBucketed(vecs, root, "bkt_records", nBuckets = 8)
+    CollectionStore.saveRecordsBucketed(
+      vecs.select(col("offset_id"), lit(0.5).as("score")),
+      root, "bkt_scores", nBuckets = 8)
+    try {
+      val joined = spark.table("bkt_records")
+        .join(spark.table("bkt_scores"), "offset_id")
+      assert(joined.count() == vecs.count())
+      val plan = joined.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: ShuffleExchangeExec => e
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+      }.flatMap {
+        case e: ShuffleExchangeExec => Seq(e)
+        case p => p.collect { case e: ShuffleExchangeExec => e }
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join must be exchange-free, found: ${shuffles.map(_.nodeName)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_records")
+      spark.sql("DROP TABLE IF EXISTS bkt_scores")
+    }
+  }
+
   test("conditional commit: stale expectation and double-commit both refused") {
     val root = tmp()
     var writes = 0
