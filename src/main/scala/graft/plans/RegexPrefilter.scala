@@ -41,11 +41,20 @@ object RegexPrefilter extends Rule[LogicalPlan] {
     val runs = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     val chars = pattern.toCharArray
-    for (i <- chars.indices) {
+    var i = 0
+    while (i < chars.length) {
       val c = chars(i)
-      val nextIsQuant = i + 1 < chars.length && "*+?{".contains(chars(i + 1))
-      if (!meta.contains(c) && !nextIsQuant) cur.append(c)
-      else { if (cur.nonEmpty) { runs += cur.toString; cur.clear() } }
+      if (c == '{') {
+        // counted quantifier: its digits/comma are syntax, not pattern
+        // literals — flush and skip to the closing brace
+        if (cur.nonEmpty) { runs += cur.toString; cur.clear() }
+        while (i < chars.length && chars(i) != '}') i += 1
+      } else {
+        val nextIsQuant = i + 1 < chars.length && "*+?{".contains(chars(i + 1))
+        if (!meta.contains(c) && !nextIsQuant) cur.append(c)
+        else { if (cur.nonEmpty) { runs += cur.toString; cur.clear() } }
+      }
+      i += 1
     }
     if (cur.nonEmpty) runs += cur.toString
     runs.filter(_.length >= 3).sortBy(-_.length).headOption
