@@ -66,10 +66,14 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("sg0")).as("sg")).cache()
     val sizes = ex0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val dfreq = ex0.groupBy("sg").agg(count(lit(1)).as("df"))
-    val dropped = dfreq.filter(col("df") > maxDf).count()
-    if (dropped > 0)
-      org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
-        .warn(s"jaccardPairs: dropping $dropped shingles with df > $maxDf")
+    // the dropped-shingle census is an extra full pass over the inverted
+    // index — run it only when the operator's logger asks for it
+    val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+    if (log.isInfoEnabled) {
+      val dropped = dfreq.filter(col("df") > maxDf).count()
+      if (dropped > 0)
+        log.warn(s"jaccardPairs: dropping $dropped shingles with df > $maxDf")
+    }
     // df >= 2: a shingle in exactly one doc can't form a pair — dropping
     // it is exact and removes the (typically dominant) unique-shingle mass
     // from the self-join
