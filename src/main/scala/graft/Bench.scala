@@ -44,6 +44,15 @@ object Bench {
         graft.sources.CollectionStore.readCached(spark, s"$root/fts/postings").schema
       } catch { case _: Throwable => }
     }
+    if (selected.keys.exists(_ == "fc_sparse_served")) {
+      try {
+        val root = graft.sources.CollectionStore.sparseServing(
+          graft.queries.FacadePack.docsSparseCollection(spark, sfDir).records,
+          "tf_bow", graft.sources.CollectionStore.indexRoot(sfDir))
+        graft.sources.CollectionStore
+          .readCached(spark, s"$root/sparse_tf_bow/postings").schema
+      } catch { case _: Throwable => }
+    }
     def timeOne(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       // Queries are independent: drop cached storage from the previous
       // query so 60+ queries in one JVM don't accumulate into memory

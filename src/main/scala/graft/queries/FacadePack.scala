@@ -177,6 +177,25 @@ object FacadePack extends QueryPack {
         .select(col("id"), col("#score").cast("float").as("score"))
     },
 
+    // Sparse KNN SERVED from the persisted per-key posting index (the
+    // reference's sparse_vector_index at compaction): explode once at
+    // build, query-time reads prune to the terms' bucket directories and
+    // run Block-Max MaxScore. Exact — hash-matches the same corpus math
+    // as the in-plan variant, over all languages.
+    "fc_sparse_served" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d)
+      graft.sources.CollectionStore.sparseServing(
+        docsSparseCollection(s, d).records, "tf_bow", root)
+      val qIds = s.range(1)
+        .select(sparseTerms.map(t => xxhash64(lit(t))): _*).collect()(0)
+      val q = sparseTerms.indices.map(i => qIds.getLong(i) -> 1.0f)
+      graft.sources.CollectionStore
+        .sparseServedSearch(s, root, "tf_bow", q, k = 20)
+        .select(col("doc_id"), concat(lit("doc-"), col("doc_id")).as("id"),
+          col("score").cast("float").as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+    },
+
     // Same, with BM25-IDF-scaled query weights computed IN-PLAN from
     // corpus document frequencies (the reference's Idf operator feeding
     // sparse KNN). Weights quantize to 1/64 steps so every product and
@@ -250,6 +269,16 @@ object FacadePack extends QueryPack {
         |       x -> x <> '') AS t FROM documents WHERE lang='en')),
         |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2)
         |SELECT 'doc-'||doc_id AS id, CAST(sum(tf) AS FLOAT) AS score
+        |FROM freq WHERE term IN ('query','data','filter','spark')
+        |GROUP BY doc_id HAVING sum(tf) > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "fc_sparse_served" ->
+      """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM
+        |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |       x -> x <> '') AS t FROM documents)),
+        |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2)
+        |SELECT doc_id, 'doc-'||doc_id AS id, CAST(sum(tf) AS FLOAT) AS score
         |FROM freq WHERE term IN ('query','data','filter','spark')
         |GROUP BY doc_id HAVING sum(tf) > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,

@@ -187,6 +187,51 @@ object CollectionStore {
     root
   }
 
+  /** Served sparse posting index for one `meta_sparse` key — the
+    * reference's per-key `sparse_vector_index`
+    * (`rust/types/src/collection_schema.rs:745-873`, posting shards in
+    * `rust/index/src/sparse/`): the record column explodes once at
+    * compaction into `(term_id, doc_id, w)` rows **partitioned by
+    * `bucket = pmod(term_id, nBuckets)`**, so a query's posting read
+    * prunes to its terms' directories, the same seek shape as FTS.
+    */
+  def sparseServing(records: DataFrame, key: String, root: String,
+      nBuckets: Int = 64): String = {
+    once(s"sparse-$root-$key-$nBuckets") {
+      val buildKey = s"sparse-$key-$nBuckets-n${records.count()}"
+      ensureBuilt(root, s"sparse_$key", buildKey) {
+        val sv = element_at(col("meta_sparse"), key)
+        records.filter(sv.isNotNull)
+          .select(col("offset_id").as("doc_id"),
+            sv.getField("indices").as("ti"), sv.getField("values").as("tv"))
+          .select(col("doc_id"), explode(arrays_zip(col("ti"), col("tv"))).as("p"))
+          .select(col("doc_id"), col("p.ti").as("term_id"),
+            col("p.tv").cast("float").as("w"))
+          .withColumn("bucket", pmod(col("term_id"), lit(nBuckets)).cast("int"))
+          .repartition(col("bucket")) // one writer per bucket
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(s"$root/sparse_$key/postings")
+      }
+    }
+    root
+  }
+
+  /** Query-time sparse top-k over the served postings: the query's terms
+    * resolve to bucket literals (static partition pruning), the pruned
+    * posting rows feed Block-Max MaxScore — exact, never touches the
+    * record segment until the caller projects ids.
+    */
+  def sparseServedSearch(spark: SparkSession, root: String, key: String,
+      query: Seq[(Long, Float)], k: Int, nBuckets: Int = 64): DataFrame = {
+    val buckets = query
+      .map(q => java.lang.Math.floorMod(q._1, nBuckets.toLong).toInt).distinct
+    val posts = readCached(spark, s"$root/sparse_$key/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term_id").isin(query.map(_._1): _*))
+      .select("term_id", "doc_id", "w")
+    graft.operators.MaxScore.topk(posts, query, k)
+  }
+
   /** Serving quantized codes: the (offset_id, code) column persisted
     * beside the vector segment (the reference keeps RaBitQ codes with the
     * index, `rust/index/src/quantization/`), built once per collection

@@ -44,6 +44,42 @@ class StorageSpec extends AnyFunSuite {
     assert((exact & approx).size.toDouble / exact.size >= 0.8)
   }
 
+  test("served sparse postings: pruned read, MaxScore result == brute dot") {
+    val root = tmp()
+    val coll = graft.queries.FacadePack.docsSparseCollection(spark, sf)
+    CollectionStore.sparseServing(coll.records, "tf_bow", root)
+
+    val terms = Seq("query", "data", "filter", "spark")
+    val qIds = spark.range(1)
+      .select(terms.map(t => xxhash64(lit(t))): _*).collect()(0)
+    val q = terms.indices.map(i => qIds.getLong(i) -> 1.0f)
+    val served = CollectionStore
+      .sparseServedSearch(spark, root, "tf_bow", q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1).toFloat)).toSet
+
+    // brute-force twin through the facade column
+    import spark.implicits._
+    val qv = spark.range(1).select(
+      array_sort(array(terms.map(t => xxhash64(lit(t))): _*)).as("qi"),
+      array(terms.map(_ => lit(1.0f)): _*).as("qv"))
+    val brute = coll.sparseSearch("tf_bow", qv, k = 10)
+      .select(col("id"), col("#score"))
+      .collect()
+      .map(r => (r.getString(0).stripPrefix("doc-").toLong, r.getFloat(1)))
+      .toSet
+    assert(served == brute,
+      s"served != brute: only-served=${(served -- brute).take(5)} " +
+        s"only-brute=${(brute -- served).take(5)}")
+
+    // the posting read prunes to the query terms' buckets
+    val pruned = CollectionStore.readCached(spark, s"$root/sparse_tf_bow/postings")
+      .filter(col("bucket").isin(q.map(t =>
+        java.lang.Math.floorMod(t._1, 64L).toInt).distinct: _*))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("bucket"),
+      scan.take(600))
+  }
+
   test("bucketed segments join with zero exchanges on either side") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
