@@ -111,8 +111,9 @@ final class Collection(val records: DataFrame) {
   /** Knn plan served from a persisted IVF index — the reference's
     * query-time path once a collection's vector segment is compacted
     * (route to nprobe centroids, scan only those posting lists). The
-    * optional `where` pre-filter applies AFTER the probe (post-filtered
-    * ANN): candidates come from the index, survivors re-join the records.
+    * optional `where` PRE-filters (`knn_filter.rs` ordering): the allowed
+    * offset_ids semi-join the probed posting rows before scoring, so a
+    * filtered query still returns k survivors from the allowed set.
     * Approximate — recall vs [[query]] is the IVF gate (IvfSpec ≥ 0.95).
     */
   def queryAnn(
@@ -123,11 +124,12 @@ final class Collection(val records: DataFrame) {
       where: Option[Where.Expr] = None,
       space: String = "cosine",
       include: Seq[String] = Seq()): DataFrame = {
-    val nn = graft.operators.Ivf.search(model, queries, k, nprobe, space)
-    val base = where.map(w => records.filter(Where.compile(w))).getOrElse(records)
+    val allowed = where.map(w => records.filter(Where.compile(w)))
+    val nn = graft.operators.Ivf.search(model, queries, k, nprobe, space,
+      allowed = allowed)
     val proj = col("query_id") +: col("rank") +: col("dist") +:
       col("id") +: include.map(col)
-    nn.join(base.drop("embedding"), Seq("offset_id"))
+    nn.join(records.drop("embedding"), Seq("offset_id"))
       .select(proj: _*)
   }
 

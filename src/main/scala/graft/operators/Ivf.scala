@@ -194,8 +194,17 @@ object Ivf {
     * only those posting lists, top-k per query. Same output shape as
     * [[Knn.exact]].
     */
+  /** Route + probe + top-k. `allowed` is the PRE-filter (`knn_filter.rs`
+    * ordering): an `offset_id` set that semi-joins the probed posting
+    * rows BEFORE scoring, so the top-k is taken over the allowed set and
+    * a filtered query still returns k survivors (post-filtering the
+    * result would return fewer). The semi-join keys on offset_id — at
+    * scale Spark plans it as a broadcast/bloom semi-join under AQE when
+    * the filter is selective.
+    */
   def search(model: Model, queries: DataFrame, k: Int, nprobe: Int,
-      space: String = "cosine"): DataFrame = {
+      space: String = "cosine",
+      allowed: Option[DataFrame] = None): DataFrame = {
     val cdist = Distances.distance(space)(col("centroid"), col("q_embedding"))
     val routed = GroupedTopK(
       queries.crossJoin(broadcast(model.centroids))
@@ -206,8 +215,13 @@ object Ivf {
 
     val topk = udaf(new Knn.TopKAgg(k))
     val dist = Distances.distance(space)(col("embedding"), col("q_embedding"))
-    model.postings
-      .join(broadcast(routed), Seq("centroid_id"))
+    val probed = model.postings.join(broadcast(routed), Seq("centroid_id"))
+    val candidates = allowed match {
+      case Some(ids) => probed.join(ids.select("offset_id"), Seq("offset_id"),
+        "left_semi")
+      case None => probed
+    }
+    candidates
       .select(col("query_id"), col("offset_id"), dist.as("dist"))
       .groupBy(col("query_id"))
       .agg(topk(col("offset_id"), col("dist")).as("nn"))

@@ -31,6 +31,28 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"IVF recall $recall < 0.95")
   }
 
+  test("pre-filtered search: k survivors, all allowed, recall vs filtered exact") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val model = Ivf.build(vecs, nCentroids = 16, nReplica = 4)
+    val k = 10
+    // allow only even offset_ids — a post-filter would halve the rows;
+    // the pre-filter must still return k per query, all even
+    val allowed = vecs.filter(col("offset_id") % 2 === 0).select("offset_id")
+    val got = Ivf.search(model, queries, k, nprobe = 8, allowed = Some(allowed))
+    val rows = got.select("query_id", "offset_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 10 * k, s"expected full k per query, got ${rows.length}")
+    assert(rows.forall(_._2 % 2 == 0), "pre-filter leaked a disallowed id")
+    val exact = Knn.exact(vecs.filter(col("offset_id") % 2 === 0), queries, k)
+      .select("query_id", "offset_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & rows.toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"filtered IVF recall $recall < 0.9")
+  }
+
   test("served IVF: persisted postings searched without a refit, same recall") {
     import graft.sources.CollectionStore
     val root = "/tmp/graft_index/spec_ivf"
