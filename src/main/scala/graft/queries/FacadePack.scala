@@ -140,6 +140,26 @@ object FacadePack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // PRE-filtered ANN through the facade (filter-first, knn_filter.rs):
+    // the Where's allowed set semi-joins the probed postings before
+    // scoring, so every query still returns k survivors, all satisfying
+    // the filter. Approximate (rows-only); k-completeness + allowed-only
+    // + recall are gated in IvfSpec.
+    "fc_ann_filtered" -> { (s, d) =>
+      val model = graft.sources.CollectionStore.ivfServing(
+        graft.Tables.embeddings(s, d)
+          .select(col("vec_id").as("offset_id"), col("embedding")),
+        graft.sources.CollectionStore.indexRoot(d), nCentroids = 16, nReplica = 4)
+      val queries = graft.Tables.embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val where = WhereParser.parse("""{"even": {"$eq": true}}""")
+      vecCollection(s, d)
+        .queryAnn(model, queries, k = 5, nprobe = 8, where = Some(where))
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Full client lifecycle end-to-end (chromadb.Client surface):
     // create collection -> batch add -> merge-update -> predicate delete
     // -> paginated filtered get, all through the WAL-semantics handle
