@@ -183,6 +183,21 @@ final class Collection(val records: DataFrame) {
     val leafResults = leaves.map { case (q, k, space) =>
       Knn.exact(cands, q, k, space).drop("query_id")
     }
+    searchEvaluated(leafResults, rank, groupBy, limit, offset, include, groupDesc)
+  }
+
+  /** The post-leaf Search pipeline: rank fusion → grouped top-k →
+    * slice → select, shared by dense, sparse, and mixed leaf sets. Leaf
+    * frames carry (offset_id, rank, dist).
+    */
+  private def searchEvaluated(
+      leafResults: Seq[DataFrame],
+      rank: Rank.Expr,
+      groupBy: Option[(Seq[Column], Int)],
+      limit: Option[Int],
+      offset: Int,
+      include: Seq[Column],
+      groupDesc: Boolean): DataFrame = {
     val scored = Rank.evaluate(leafResults, rank)
       .join(records.drop("embedding"), Seq("offset_id"))
     val grouped = groupBy match {
@@ -197,6 +212,31 @@ final class Collection(val records: DataFrame) {
     val sliced0 = if (offset > 0) ordered.offset(offset) else ordered
     val sliced = limit.map(sliced0.limit).getOrElse(sliced0)
     sliced.select((col("id") +: col("score").as("#score") +: include): _*)
+  }
+
+  /** A sparse `$knn` leaf (`QueryVector::Sparse` against `Key::field`,
+    * `operator.rs:843-859`): score = sparse dot of the query against the
+    * record's `meta_sparse[key]` vector, leaf distance = −score so the
+    * rank algebra's ascending order puts the best match first (mirrors
+    * 1−sim dense spaces). Query pairs sort driver-side — the codegen'd
+    * merge-intersection kernel needs both sides index-sorted.
+    */
+  private def sparseLeafFrame(filtered: DataFrame, key: String,
+      qi: Seq[Long], qv: Seq[Float], k: Int): DataFrame = {
+    val sorted = qi.zip(qv).sortBy(_._1)
+    val qiC = array(sorted.map(p => lit(p._1)): _*)
+    val qvC = array(sorted.map(p => lit(p._2)): _*)
+    val sv = element_at(col("meta_sparse"), key)
+    val dot = graft.functions.SparseOps.sparseDot(
+      sv.getField("indices"), sv.getField("values"), qiC, qvC)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dist"), col("offset_id"))
+    filtered
+      .select(col("offset_id"), (-dot).cast("double").as("dist"))
+      .filter(col("dist") < 0)
+      .orderBy(col("dist"), col("offset_id")).limit(k)
+      // rank over <= k rows: the window is bounded by the leaf's fetch
+      .withColumn("rank", row_number().over(w).cast("long"))
   }
 
   /** Typed projection of one metadata key across the shredded maps —
@@ -216,12 +256,22 @@ final class Collection(val records: DataFrame) {
     * as the programmatic [[search]].
     */
   def searchPayload(json: String, space: String = "cosine"): DataFrame = {
+    import graft.model.SearchParser.{KnnLeafDense, KnnLeafSparse}
     val req = graft.model.SearchParser.parse(json)
     val spark = records.sparkSession
-    val leafFrames = req.leaves.map { l =>
-      val vec = array(l.query.map(f => lit(f)): _*).cast("array<float>")
-      (spark.range(1).select(lit(0L).as("query_id"), vec.as("q_embedding")),
-        l.limit, space)
+    val filtered = req.filter
+      .map(w => records.filter(Where.compile(w))).getOrElse(records)
+    // lazy: a sparse-only payload may run on a collection with no dense
+    // embedding column at all
+    lazy val cands = filtered.select(col("offset_id"), col("embedding"))
+    val leafResults = req.leaves.map {
+      case KnnLeafDense(q, lim) =>
+        val vec = array(q.map(f => lit(f)): _*).cast("array<float>")
+        Knn.exact(cands,
+          spark.range(1).select(lit(0L).as("query_id"), vec.as("q_embedding")),
+          lim, space).drop("query_id")
+      case KnnLeafSparse(key, qi, qv, lim) =>
+        sparseLeafFrame(filtered, key, qi, qv, lim)
     }
     val include: Seq[Column] = req.select.filterNot(_ == "#score").flatMap {
       case "#document" => Seq(col("document"))
@@ -230,7 +280,7 @@ final class Collection(val records: DataFrame) {
         col("meta_float"), col("meta_bool"))
       case k => Seq(metaValue(k).as(k))
     }
-    search(leafFrames, req.rank, req.filter,
+    searchEvaluated(leafResults, req.rank,
       req.groupBy.map(g => (g.keys.map(metaValue), g.k)),
       req.limit, req.offset, include,
       groupDesc = req.groupBy.exists(_.descending))

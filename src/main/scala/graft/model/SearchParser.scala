@@ -30,8 +30,15 @@ import org.json4s.jackson.JsonMethods
   */
 object SearchParser {
 
-  /** One hoisted `$knn` leaf: inline dense query + fetch size. */
-  final case class KnnLeaf(query: Seq[Float], limit: Int)
+  /** One hoisted `$knn` leaf — the payload's `QueryVector` is untagged
+    * (`operator.rs:861-866`): a JSON array is a dense query, an object
+    * with `indices`/`values` is a sparse one against a per-key sparse
+    * index (`Key::field`, `operator.rs:855`).
+    */
+  sealed trait KnnLeaf { def limit: Int }
+  final case class KnnLeafDense(query: Seq[Float], limit: Int) extends KnnLeaf
+  final case class KnnLeafSparse(key: String, indices: Seq[Long],
+      values: Seq[Float], limit: Int) extends KnnLeaf
 
   /** Grouped top-k: group keys (metadata field names), orderings from
     * `$min_k`/`$max_k` over `#score`, and per-group k.
@@ -66,12 +73,37 @@ object SearchParser {
         case ("$val", n) => Rank.Val(num(n, "$val"))
         case ("$knn", JObject(fields)) =>
           val m = fields.toMap
-          val q = m.getOrElse("query",
+          val lim = m.get("limit").map(num(_, "limit").toInt).getOrElse(16)
+          val leaf = m.getOrElse("query",
             throw new IllegalArgumentException("$knn needs query")) match {
-            case JArray(vs) => vs.map(x => num(x, "query element").toFloat)
+            case JArray(vs) =>
+              KnnLeafDense(vs.map(x => num(x, "query element").toFloat), lim)
+            case JObject(qf) =>
+              val qm = qf.toMap
+              // indices are exact 64-bit ids (hashed terms) — never route
+              // them through Double, its 53-bit mantissa corrupts them
+              val idx = qm.get("indices") match {
+                case Some(JArray(is)) => is.map {
+                  case JInt(i) => i.toLong
+                  case JLong(l) => l
+                  case o => throw new IllegalArgumentException(s"bad index $o")
+                }
+                case o => throw new IllegalArgumentException(s"bad sparse indices $o")
+              }
+              val vals = qm.get("values") match {
+                case Some(JArray(vs)) => vs.map(x => num(x, "value").toFloat)
+                case o => throw new IllegalArgumentException(s"bad sparse values $o")
+              }
+              if (idx.size != vals.size) throw new IllegalArgumentException(
+                "sparse vector length mismatch")
+              val key = m.get("key") match {
+                case Some(JString(s)) => s
+                case _ => throw new IllegalArgumentException(
+                  "sparse $knn needs a key (the per-key sparse index)")
+              }
+              KnnLeafSparse(key, idx, vals, lim)
             case o => throw new IllegalArgumentException(s"bad $$knn query $o")
           }
-          val lim = m.get("limit").map(num(_, "limit").toInt).getOrElse(16)
           val default = m.get("default") match {
             case Some(JNull) | None => NoDefault
             case Some(d) => num(d, "default")
@@ -80,7 +112,7 @@ object SearchParser {
             case Some(JBool(b)) => b
             case _ => false
           }
-          leaves += KnnLeaf(q, lim)
+          leaves += leaf
           Rank.Leaf(leaves.size - 1, default, rr)
         case ("$sum", JArray(cs)) => Rank.Sum(cs.map(rankExpr))
         case ("$mul", JArray(cs)) => Rank.Mul(cs.map(rankExpr))

@@ -197,6 +197,25 @@ object FacadePack extends QueryPack {
         .select(col("id"), col("#score").cast("float").as("score"))
     },
 
+    // Sparse $knn leaf through the WIRE payload (QueryVector::Sparse +
+    // Key::field, operator.rs:843-866): the JSON object query routes to
+    // the per-key meta_sparse column, scored by the codegen'd sparse dot,
+    // fused through the same rank pipeline as dense leaves. Leaf dist is
+    // -dot, so the query projects score = -#score.
+    "fc_search_sparse_json" -> { (s, d) =>
+      val qIds = s.range(1)
+        .select(sparseTerms.map(t => xxhash64(lit(t))): _*).collect()(0)
+      val idsJson = sparseTerms.indices.map(qIds.getLong).mkString(", ")
+      val valsJson = sparseTerms.map(_ => "1.0").mkString(", ")
+      val payload =
+        s"""{"rank": {"$$knn": {"query": {"indices": [$idsJson],
+           |  "values": [$valsJson]}, "key": "tf_bow", "limit": 20}},
+           |"limit": {"limit": 20}}""".stripMargin
+      docsSparseCollection(s, d).searchPayload(payload)
+        .select(col("id"), (-col("#score")).cast("float").as("score"))
+        .orderBy(desc("score"), col("id"))
+    },
+
     // Sparse KNN SERVED from the persisted per-key posting index (the
     // reference's sparse_vector_index at compaction): explode once at
     // build, query-time reads prune to the terms' bucket directories and
@@ -287,6 +306,16 @@ object FacadePack extends QueryPack {
       """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM
         |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
         |       x -> x <> '') AS t FROM documents WHERE lang='en')),
+        |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2)
+        |SELECT 'doc-'||doc_id AS id, CAST(sum(tf) AS FLOAT) AS score
+        |FROM freq WHERE term IN ('query','data','filter','spark')
+        |GROUP BY doc_id HAVING sum(tf) > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "fc_search_sparse_json" ->
+      """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM
+        |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |       x -> x <> '') AS t FROM documents)),
         |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2)
         |SELECT 'doc-'||doc_id AS id, CAST(sum(tf) AS FLOAT) AS score
         |FROM freq WHERE term IN ('query','data','filter','spark')

@@ -26,8 +26,8 @@ class SearchParserSpec extends AnyFunSuite {
       Where.Cmp("label", "$gt", Where.VInt(1)),
       Where.Cmp("even", "$eq", Where.VBool(true))))))
     assert(r.leaves == Seq(
-      SearchParser.KnnLeaf(Seq(1.0f, 2.0f), 50),
-      SearchParser.KnnLeaf(Seq(0.5f, 0.5f), 16))) // default_knn_limit = 16
+      SearchParser.KnnLeafDense(Seq(1.0f, 2.0f), 50),
+      SearchParser.KnnLeafDense(Seq(0.5f, 0.5f), 16))) // default_knn_limit = 16
     r.rank match {
       case Rank.Sum(Seq(Rank.Mul(Seq(Rank.Val(w), Rank.Leaf(0, d, false))),
           Rank.Leaf(1, _, true))) =>
@@ -37,6 +37,25 @@ class SearchParserSpec extends AnyFunSuite {
     assert(r.groupBy.contains(SearchParser.Group(Seq("label"), 3, descending = true)))
     assert(r.limit.contains(10) && r.offset == 5)
     assert(r.select == Seq("#score", "#document", "label"))
+  }
+
+  test("sparse $knn leaf: object query with indices/values + key") {
+    val r = SearchParser.parse(
+      """{"rank": {"$knn": {"query": {"indices": [5, 1], "values": [0.5, 0.25]},
+        |  "key": "tf_bow", "limit": 7}}}""".stripMargin)
+    assert(r.leaves == Seq(
+      SearchParser.KnnLeafSparse("tf_bow", Seq(5L, 1L), Seq(0.5f, 0.25f), 7)))
+    // sparse without a key is rejected (the reference requires Key::field)
+    intercept[IllegalArgumentException] {
+      SearchParser.parse(
+        """{"rank": {"$knn": {"query": {"indices": [1], "values": [1.0]}}}}""")
+    }
+    // length mismatch is rejected
+    intercept[IllegalArgumentException] {
+      SearchParser.parse(
+        """{"rank": {"$knn": {"query": {"indices": [1, 2], "values": [1.0]},
+          |  "key": "k"}}}""".stripMargin)
+    }
   }
 
   test("defaults: no filter/group/limit/select; $knn default limit and no-default fill") {
