@@ -72,13 +72,19 @@ object Dedup {
     if (log.isInfoEnabled) {
       val dropped = dfreq.filter(col("df") > maxDf).count()
       if (dropped > 0)
-        log.warn(s"jaccardPairs: dropping $dropped shingles with df > $maxDf")
+        log.info(s"jaccardPairs: dropping $dropped shingles with df > $maxDf")
     }
     // df >= 2: a shingle in exactly one doc can't form a pair — dropping
     // it is exact and removes the (typically dominant) unique-shingle mass
-    // from the self-join
+    // from the self-join.
+    // Semi-join as a SHUFFLE join, never a broadcast: `rare` is the
+    // vocabulary (every shingle with 2 <= df <= maxDf) — at corpus scale
+    // that's billions of rows, so broadcasting it OOMs the driver long
+    // before the self-join runs. Both sides hash-partition on `sg` (the
+    // same key the pair self-join shuffles on, so the exchange is reused)
+    // and AQE layers a runtime bloom filter on top when profitable.
     val rare = dfreq.filter(col("df") <= maxDf && col("df") >= 2).select("sg")
-    val ex = ex0.join(broadcast(rare), "sg")
+    val ex = ex0.join(rare.hint("shuffle_hash"), Seq("sg"), "left_semi")
     val a = ex.as("a"); val b = ex.as("b")
     val inter = a.join(b,
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))

@@ -179,7 +179,7 @@ object Hnsw {
     */
   def graphRows(candidates: DataFrame, m: Int = 16,
       efConstruction: Int = 100, space: String = "cosine",
-      pidOffset: Int = 0): DataFrame = {
+      pidOffset: Long = 0L): DataFrame = {
     val spark = candidates.sparkSession
     val perPart = candidates.select(col("offset_id"), col("embedding")).rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -192,7 +192,9 @@ object Hnsw {
           Iterator(Row(pidOffset + pid, g.serialize()))
         }
       }
-    val schema = StructType(Seq(StructField("pid", IntegerType),
+    // pid is a LONG: incremental maintenance packs (batchId << 16 | part)
+    // and an Int overflows at batchId >= 32768
+    val schema = StructType(Seq(StructField("pid", LongType),
       StructField("blob", BinaryType)))
     spark.createDataFrame(perPart, schema)
   }
@@ -203,29 +205,29 @@ object Hnsw {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/hnsw/graphs")
 
-  /** Query-time search over the persisted graphs: queries reach executors
-    * through Spark's broadcast exchange (no collect in engine code), each
-    * graph blob deserializes once per scan partition, per-graph top-k
-    * merges with the same bounded aggregate as `KnnMerge`.
+  /** Query-time search over the persisted graphs: the query batch (bounded
+    * by the client batch quota — hundreds of rows, kilobytes) ships to
+    * executors ONCE as a broadcast variable; the graphs scan maps
+    * partition-locally, so each blob row is touched exactly once and never
+    * duplicated per query (a crossJoin here materializes blob × query rows
+    * — q × 64 MB of heap churn per partition at serving scale).
     * Returns (query_id, rank, offset_id, dist).
     */
   def searchSaved(spark: org.apache.spark.sql.SparkSession, root: String,
       queries: DataFrame, k: Int, efSearch: Int = 64): DataFrame = {
     val graphs = graft.sources.CollectionStore.readCached(spark, s"$root/hnsw/graphs")
-    val joined = graphs.crossJoin(
-      broadcast(queries.select(col("query_id"), col("q_embedding"))))
-    val perPart = joined.rdd.mapPartitions { it =>
-      // consecutive rows share a pid (one blob row × all broadcast queries);
-      // deserialize on pid change, not per row
-      var curPid = Int.MinValue
-      var g: Graph = null
+    val qArr = queries.select(col("query_id"), col("q_embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bq = spark.sparkContext.broadcast(qArr)
+    val perPart = graphs.select(col("blob")).rdd.mapPartitions { it =>
+      val qs = bq.value
       it.flatMap { r =>
-        val pid = r.getInt(0)
-        if (g == null || pid != curPid) {
-          g = Graph.deserialize(r.getAs[Array[Byte]](1)); curPid = pid
+        // one deserialize per blob row; all queries probe the same graph
+        val g = Graph.deserialize(r.getAs[Array[Byte]](0))
+        qs.iterator.flatMap { case (qid, q) =>
+          g.search(q, k, math.max(efSearch, k))
+            .map { case (id, d) => Row(qid, id, d.toDouble) }
         }
-        g.search(r.getSeq[Float](3).toArray, k, math.max(efSearch, k))
-          .map { case (id, d) => Row(r.getLong(2), id, d.toDouble) }
       }
     }
     val schema = StructType(Seq(StructField("query_id", LongType),
@@ -249,7 +251,10 @@ object Hnsw {
   def search(candidates: DataFrame, queries: DataFrame, k: Int,
       space: String = "cosine", m: Int = 16, efConstruction: Int = 100,
       efSearch: Int = 64): DataFrame = {
-    val root = s"/tmp/graft_index/adhoc/${java.util.UUID.randomUUID()}"
+    // under the SHARED index root (SPARK_GRAFT_INDEX_DIR on a real
+    // cluster) — /tmp is driver-local and executors can't read it
+    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_index") +
+      s"/adhoc/${java.util.UUID.randomUUID()}"
     buildAndSave(candidates, root, m, efConstruction, space)
     searchSaved(candidates.sparkSession, root, queries, k, efSearch)
   }

@@ -181,9 +181,16 @@ object Ivf {
         val mergedPost =
           if (smallIds.isEmpty) keptPost.limit(0)
           else assign(smallMembers, keptCent, nReplica = 1)
-        cur = Model(
-          keptCent.union(childCent.select(col("centroid_id"), col("centroid"))),
-          keptPost.union(childPost).union(mergedPost))
+        // materialize the round (truncating lineage, as connectedComponents
+        // does) so the splitRows cache can be released NOW — without this,
+        // up to maxRounds cached DataFrames pin executor memory
+        val nextPost = keptPost.union(childPost).union(mergedPost)
+          .localCheckpoint(true)
+        val nextCent = keptCent
+          .union(childCent.select(col("centroid_id"), col("centroid")))
+          .localCheckpoint(true)
+        splitRows.unpersist(false)
+        cur = Model(nextCent, nextPost)
       }
       round += 1
     }

@@ -164,7 +164,8 @@ object CollectionStore {
   def hnswServing(vecs: DataFrame, root: String, m: Int = 16,
       efConstruction: Int = 100, space: String = "cosine"): String = {
     once(s"hnsw-$root-$m-$efConstruction-$space") {
-      val key = s"hnsw-$m-$efConstruction-$space-n${vecs.count()}"
+      // v2: pid column widened to long (incremental-maintenance packing)
+      val key = s"hnsw-v2-$m-$efConstruction-$space-n${vecs.count()}"
       ensureBuilt(root, "hnsw", key) {
         Hnsw.buildAndSave(vecs, root, m, efConstruction, space)
       }

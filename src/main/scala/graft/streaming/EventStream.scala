@@ -155,7 +155,7 @@ object EventStream extends Serializable {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Hnsw.graphRows(batch, m, efConstruction, space,
-          pidOffset = (batchId * 65536L).toInt)
+          pidOffset = batchId * 65536L)
           .write.mode("append").parquet(s"$root/hnsw/graphs")
       }
       .start()

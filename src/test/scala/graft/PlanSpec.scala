@@ -52,6 +52,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_topkagg"), "per-left top-k must be a partial aggregate")
   }
 
+  test("jaccard: vocabulary df-filter is a shuffle semi-join, never broadcast") {
+    // `rare` is vocab-sized (billions of shingles at corpus scale) — a
+    // broadcast there OOMs before the pair self-join even starts.
+    val p = plan("dd_ngram_jaccard")
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"), p.take(1200))
+    assert(!p.split("\n").exists(l => l.contains("Broadcast") && l.contains("LeftSemi")),
+      "rare-shingle semi-join must not broadcast the vocabulary\n" + p.take(1200))
+  }
+
   test("embedding near-dup ANN: pairs join is key-equi on centroid_id, not cartesian") {
     val p = plan("dd_emb_ann")
     assert(!p.contains("CartesianProduct"),
