@@ -62,8 +62,9 @@ object Dedup {
     // collision (~10^-9 at corpus scale). At cluster scale this cached
     // table is the persisted inverted index.
     val sh = withShingles(docs, n)
-    val ex0 = sh.select(col("doc_id"), explode(col("shingles")).as("sg0"))
-      .select(col("doc_id"), xxhash64(col("sg0")).as("sg")).cache()
+    val ex0 = graft.sources.CollectionStore.cacheOnce(
+      sh.select(col("doc_id"), explode(col("shingles")).as("sg0"))
+        .select(col("doc_id"), xxhash64(col("sg0")).as("sg")))
     val sizes = ex0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val dfreq = ex0.groupBy("sg").agg(count(lit(1)).as("df"))
     // the dropped-shingle census is an extra full pass over the inverted
@@ -124,7 +125,8 @@ object Dedup {
     // arrays are only re-read by the final verify joins (two cheap
     // re-scans of the codegen'd tokenize).
     val sh = withShingles(docs, n)
-    val sig = minhashSignatures(sh, bands * rows).cache()
+    val sig = graft.sources.CollectionStore.cacheOnce(
+      minhashSignatures(sh, bands * rows))
     val banded = sig.select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
@@ -157,7 +159,7 @@ object Dedup {
 
   /** Hamming-distance pairs <= maxDist via 4x16-bit banded candidates. */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    val sig = simhash(docs).cache()
+    val sig = graft.sources.CollectionStore.cacheOnce(simhash(docs))
     val banded = sig.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))

@@ -217,7 +217,11 @@ object Materialize {
     * plan survives a segment 1000× the executor memory.
     */
   def compactionMerge(segment: DataFrame, log: DataFrame): DataFrame = {
-    val ops = opsById(log).cache()
+    // cache the folded WAL tail (reused by the ops join, the present-id
+    // probe, and the fresh-id anti-join); cacheOnce so merging a shared
+    // tail twice (e.g. a fork's parent branch) doesn't re-register the
+    // plan with the CacheManager
+    val ops = graft.sources.CollectionStore.cacheOnce(opsById(log))
     val seg =
       if (segment.columns.contains("embedding")) segment
       else segment.withColumn("embedding", lit(null).cast("array<float>"))

@@ -84,10 +84,10 @@ object DedupPack extends QueryPack {
     "dd_contamination" -> { (s, d) =>
       // the shingle table feeds both the eval and the train side — cache
       // it so tokenize+shingle runs once (a persisted temp table at scale)
-      val sh = Tables.documents(s, d).select(col("doc_id"),
-        explode(graft.operators.TextStats.shingles(
-          graft.operators.TextStats.tokens(col("text")), 4)).as("sg"))
-        .cache()
+      val sh = graft.sources.CollectionStore.cacheOnce(
+        Tables.documents(s, d).select(col("doc_id"),
+          explode(graft.operators.TextStats.shingles(
+            graft.operators.TextStats.tokens(col("text")), 4)).as("sg")))
       val evalSh = sh.filter(col("doc_id") % 20 === 0).select("sg").distinct()
       sh.filter(col("doc_id") % 20 =!= 0)
         .join(broadcast(evalSh), Seq("sg"))

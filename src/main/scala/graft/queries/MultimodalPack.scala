@@ -43,9 +43,9 @@ object MultimodalPack extends QueryPack {
       val ef = EmbeddingFunctions.registry("hashed_bow_64")
       // embed-at-write: materialize the embedded table once (in production
       // this is the stored collection), then query it.
-      val docsVec = Tables.documents(s, d)
-        .select(col("doc_id").as("offset_id"), ef.embed(col("text")).as("embedding"))
-        .cache()
+      val docsVec = graft.sources.CollectionStore.cacheOnce(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("offset_id"), ef.embed(col("text")).as("embedding")))
       val queries = docsVec.filter(col("offset_id") < 3)
         .select(col("offset_id").as("query_id"), col("embedding").as("q_embedding"))
       graft.operators.Knn.exact(docsVec, queries, k = 5)

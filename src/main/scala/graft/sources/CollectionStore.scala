@@ -112,6 +112,16 @@ object CollectionStore {
     dfCache.getOrElseUpdate((System.identityHashCode(spark), path),
       spark.read.parquet(path))
 
+  /** Cache `df` unless an equivalent plan is already in the CacheManager —
+    * re-registering the same plan rebuilds the InMemoryRelation wrapper
+    * and warns ("Asked to cache already cached data") on every repeat
+    * call of an operator over shared inputs.
+    */
+  def cacheOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.cache()
+    else df
+
   /** Serving IVF model: k-means fit + posting write happen once (keyed on
     * params + row count); every query reads the partitioned parquet
     * postings. This is the reference's compactor-builds/query-reads split

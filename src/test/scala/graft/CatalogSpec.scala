@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class CatalogSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private val root = "/tmp/graft_index/spec_catalog"
+  private val root = specRoot("catalog")
   org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
 
   private val schema = Schema(

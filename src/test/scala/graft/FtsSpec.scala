@@ -13,7 +13,7 @@ class FtsSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private lazy val root = {
-    val r = "/tmp/graft_index/spec_fts"
+    val r = specRoot("fts")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r))
     CollectionStore.ftsServing(Tables.documents(spark, sf), r)
   }

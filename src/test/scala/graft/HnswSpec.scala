@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * invariant (recall >= 0.95, `invariants.py:281`) for its default index.
   */
 class HnswSpec extends AnyFunSuite {
-  import SparkTestSession.spark
+  import SparkTestSession.{spark, specRoot}
   private val sf = "/root/testdata/sf0.01"
 
   test("per-partition HNSW + merge: recall@10 >= 0.95 vs exact") {
@@ -30,7 +30,7 @@ class HnswSpec extends AnyFunSuite {
 
   test("served HNSW: persisted graphs match recall gate and reuse skips rebuild") {
     import graft.sources.CollectionStore
-    val root = "/tmp/graft_index/spec_hnsw"
+    val root = specRoot("hnsw")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("offset_id"), col("embedding"))

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * IVF top-10 vs exact top-10 over the same queries.
   */
 class IvfSpec extends AnyFunSuite {
-  import SparkTestSession.spark
+  import SparkTestSession.{spark, specRoot}
   private val sf = "/root/testdata/sf0.01"
 
   test("IVF recall@10 >= 0.95 vs exact KNN") {
@@ -55,7 +55,7 @@ class IvfSpec extends AnyFunSuite {
 
   test("served IVF: persisted postings searched without a refit, same recall") {
     import graft.sources.CollectionStore
-    val root = "/tmp/graft_index/spec_ivf"
+    val root = specRoot("ivf")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("offset_id"), col("embedding"))

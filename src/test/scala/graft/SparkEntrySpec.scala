@@ -17,6 +17,14 @@ object SparkTestSession {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Per-run spec scratch root: two concurrent `sbt test` JVMs sharing a
+    * fixed path corrupt each other's cached file listings (observed as a
+    * FtsSpec FILE_NOT_EXIST flake), so every run gets its own directory.
+    */
+  private lazy val runRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_spec_")
+  def specRoot(name: String): String = runRoot.resolve(name).toString
 }
 
 /** Smoke: every registered query runs and returns rows at sf0.001, and

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * through the carried state instead of splitting.
   */
 class StreamingSpec extends AnyFunSuite {
-  import SparkTestSession.spark
+  import SparkTestSession.{spark, specRoot}
   private val sf = "/root/testdata/sf0.001"
 
   test("sessionize stitches sessions across micro-batch boundaries") {
@@ -21,7 +21,7 @@ class StreamingSpec extends AnyFunSuite {
 
     // stage as TWO files split by ts → maxFilesPerTrigger=1 forces two
     // micro-batches with the boundary in the middle of active sessions
-    val stage = "/tmp/graft_stream/spec_multibatch"
+    val stage = specRoot("stream_multibatch")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
     raw.repartitionByRange(2, col("ts")).write.parquet(stage)
     // the file source orders batches by modification time: pin the
@@ -71,7 +71,7 @@ class StreamingSpec extends AnyFunSuite {
     val fileB = Seq(
       (4L, 20L * min, 1L, "c", 1.0, ""), (5L, 35L * min, 1L, "c", 1.0, ""),
       (6L, 200L * min, 2L, "c", 1.0, ""))
-    val stage = new java.io.File("/tmp/graft_stream/spec_synth")
+    val stage = new java.io.File(specRoot("stream_synth"))
     org.apache.commons.io.FileUtils.deleteQuietly(stage)
     stage.mkdirs()
     def writeOne(rows: Seq[(Long, Long, Long, String, Double, String)], name: String,
