@@ -25,8 +25,18 @@ object Ivf {
 
   /** centroids: (centroid_id INT, centroid ARRAY<FLOAT>);
     * postings: (centroid_id INT, offset_id LONG, embedding ARRAY<FLOAT>).
+    *
+    * `centroidGraphRoot`: persisted HNSW over the CENTROID table — the
+    * reference routes SPANN queries through a centers graph rather than
+    * scanning every centroid (`rust/index/src/spann/types.rs`). Set by
+    * [[graft.sources.CollectionStore.ivfServing]] when the centroid count
+    * crosses its routing threshold; [[search]] then routes through the
+    * graph (log-ish probes per query) instead of broadcasting all
+    * centroids (q x nCentroids distance evals — the routing bottleneck
+    * at the ~10^5-10^6 lists a 100 TB corpus needs).
     */
-  final case class Model(centroids: DataFrame, postings: DataFrame)
+  final case class Model(centroids: DataFrame, postings: DataFrame,
+      centroidGraphRoot: Option[String] = None)
 
   /** Batch index build = the compaction job's index-writer phase
     * (SURVEY §3.4). Deterministic for a fixed seed.
@@ -212,13 +222,27 @@ object Ivf {
   def search(model: Model, queries: DataFrame, k: Int, nprobe: Int,
       space: String = "cosine",
       allowed: Option[DataFrame] = None): DataFrame = {
-    val cdist = Distances.distance(space)(col("centroid"), col("q_embedding"))
-    val routed = GroupedTopK(
-      queries.crossJoin(broadcast(model.centroids))
-        .select(col("query_id"), col("q_embedding"), col("centroid_id"),
-          cdist.as("cdist")),
-      Seq(col("query_id")), Seq(col("cdist"), col("centroid_id")), nprobe)
-      .select(col("query_id"), col("q_embedding"), col("centroid_id"))
+    val routed = model.centroidGraphRoot match {
+      // centers-graph routing: nprobe nearest centroids via the persisted
+      // HNSW over the centroid table — cost per query is the graph walk,
+      // not nCentroids distance evals
+      case Some(graphRoot) =>
+        Hnsw.searchSaved(queries.sparkSession, graphRoot, queries,
+            k = nprobe, efSearch = math.max(64, 2 * nprobe))
+          .select(col("query_id"), col("offset_id").cast("int").as("centroid_id"))
+          .join(broadcast(queries.select(col("query_id"), col("q_embedding"))),
+            Seq("query_id"))
+          .select(col("query_id"), col("q_embedding"), col("centroid_id"))
+      // brute-force routing: fine to ~10^4 centroids, and exact
+      case None =>
+        val cdist = Distances.distance(space)(col("centroid"), col("q_embedding"))
+        GroupedTopK(
+          queries.crossJoin(broadcast(model.centroids))
+            .select(col("query_id"), col("q_embedding"), col("centroid_id"),
+              cdist.as("cdist")),
+          Seq(col("query_id")), Seq(col("cdist"), col("centroid_id")), nprobe)
+          .select(col("query_id"), col("q_embedding"), col("centroid_id"))
+    }
 
     val topk = udaf(new Knn.TopKAgg(k))
     val dist = Distances.distance(space)(col("embedding"), col("q_embedding"))

@@ -146,6 +146,21 @@ object VectorSearch extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Served ANN routed through the CENTROID GRAPH (SPANN centers-HNSW,
+    // rust/index/src/spann/types.rs): queries walk a persisted HNSW over
+    // the centroid table instead of scoring every centroid — the scale
+    // path once lists reach 10^5+. Forced on here (threshold 1) so the
+    // verify artifact exercises the routed plan; routing overlap and
+    // end-to-end recall are gated in IvfSpec. Approximate → rows-only.
+    "vs_ann_ivf_routed" -> { (s, d) =>
+      val model = graft.sources.CollectionStore.ivfServing(
+        candidates(s, d), graft.sources.CollectionStore.indexRoot(d),
+        nCentroids = 16, nReplica = 4, graphRouteThreshold = 1)
+      graft.operators.Ivf.search(model, queryVecs(s, d), k = 10, nprobe = 8)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Same served path over the REBALANCED index: SPANN split/merge
     // maintenance (Ivf.rebalance — split_threshold/merge_threshold knobs
     // of spann_configuration.rs) ran at build time, so every posting

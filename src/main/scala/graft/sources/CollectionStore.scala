@@ -128,8 +128,17 @@ object CollectionStore {
     * (`rust/worker/src/compactor/compaction_manager.rs`,
     * `rust/index/src/spann/types.rs`).
     */
+  /** Centroid count at or above which [[ivfServing]] also persists an
+    * HNSW over the centroid table and routes queries through it — below
+    * this, brute-force routing is both exact and cheaper than a graph
+    * walk; above it (SPANN wants ~10^5-10^6 lists at 100 TB), per-query
+    * all-centroids scoring becomes the search bottleneck.
+    */
+  val CentroidGraphThreshold: Int = 4096
+
   def ivfServing(vecs: DataFrame, root: String, nCentroids: Int,
-      nReplica: Int = 2, seed: Long = 42L): Ivf.Model = {
+      nReplica: Int = 2, seed: Long = 42L, space: String = "cosine",
+      graphRouteThreshold: Int = CentroidGraphThreshold): Ivf.Model = {
     once(s"ivf-$root-$nCentroids-$nReplica-$seed") {
       val key = s"ivf-$nCentroids-$nReplica-$seed-n${vecs.count()}"
       ensureBuilt(root, "ivf", key) {
@@ -137,9 +146,28 @@ object CollectionStore {
       }
     }
     val spark = vecs.sparkSession
+    val centroids = readCached(spark, s"$root/ivf/centroids")
+    // centers graph (reference: SPANN routes through an HNSW over the
+    // centroid set, `rust/index/src/spann/types.rs`) — built once beside
+    // the postings; `space` must match the query-time distance
+    val graphRoot =
+      if (nCentroids < graphRouteThreshold) None
+      else {
+        val gr = s"$root/ivf/centroid_graph"
+        once(s"ivf-cgraph-$root-$nCentroids-$space") {
+          ensureBuilt(root, "ivf/centroid_graph", s"cgraph-$nCentroids-$space") {
+            Hnsw.buildAndSave(
+              centroids.select(col("centroid_id").cast("long").as("offset_id"),
+                col("centroid").as("embedding")),
+              gr, space = space)
+          }
+        }
+        Some(gr)
+      }
     Ivf.Model(
-      centroids = readCached(spark, s"$root/ivf/centroids"),
-      postings = readCached(spark, s"$root/ivf/postings"))
+      centroids = centroids,
+      postings = readCached(spark, s"$root/ivf/postings"),
+      centroidGraphRoot = graphRoot)
   }
 
   /** Serving IVF with SPANN split/merge maintenance applied at build

@@ -79,6 +79,63 @@ class IvfSpec extends AnyFunSuite {
     assert(rs(Ivf.search(model2, queries, 10, nprobe = 8)) == served)
   }
 
+  test("centroid-graph routing at 4096 centroids matches brute-force routing") {
+    import graft.operators.{GroupedTopK, Hnsw}
+    // 4096 synthetic centroids (the testdata has only 2k vectors; what's
+    // under test is ROUTING at a centroid count where all-centroids
+    // scoring is the bottleneck)
+    val nC = 4096
+    val dim = 64
+    val rng = new scala.util.Random(7)
+    val cents = (0 until nC).map(i =>
+      (i, Seq.fill(dim)(rng.nextFloat() * 2f - 1f)))
+    val centDf = spark.createDataFrame(cents).toDF("centroid_id", "centroid")
+    val root = specRoot("cgraph4096")
+    Hnsw.buildAndSave(
+      centDf.select(col("centroid_id").cast("long").as("offset_id"),
+        col("centroid").as("embedding")),
+      root, space = "cosine")
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val nprobe = 16
+    val viaGraph = Hnsw.searchSaved(spark, root, queries, k = nprobe,
+        efSearch = 2 * nprobe)
+      .select("query_id", "offset_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cdist = graft.functions.Distances.distance("cosine")(
+      col("centroid"), col("q_embedding"))
+    val brute = GroupedTopK(
+        queries.crossJoin(broadcast(centDf))
+          .select(col("query_id"), col("centroid_id"), cdist.as("cdist")),
+        Seq(col("query_id")), Seq(col("cdist"), col("centroid_id")), nprobe)
+      .select(col("query_id"), col("centroid_id").cast("long").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (viaGraph & brute).size.toDouble / brute.size
+    assert(overlap >= 0.9, s"routing overlap $overlap < 0.9")
+  }
+
+  test("search through the centroid graph keeps the end-to-end recall gate") {
+    import graft.operators.Hnsw
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val base = Ivf.build(vecs, nCentroids = 16, nReplica = 4)
+    val gr = specRoot("ivf_routed_cgraph")
+    Hnsw.buildAndSave(
+      base.centroids.select(col("centroid_id").cast("long").as("offset_id"),
+        col("centroid").as("embedding")),
+      gr, space = "cosine")
+    val routedModel = base.copy(centroidGraphRoot = Some(gr))
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "offset_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = rs(Knn.exact(vecs, queries, 10))
+    val routed = rs(Ivf.search(routedModel, queries, 10, nprobe = 8))
+    val recall = (exact & routed).size.toDouble / exact.size
+    assert(recall >= 0.95, s"graph-routed IVF recall $recall < 0.95")
+  }
+
   test("IVF build is deterministic for a fixed seed") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("offset_id"), col("embedding"))
