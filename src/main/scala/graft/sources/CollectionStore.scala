@@ -234,10 +234,27 @@ object CollectionStore {
     * `bucket = pmod(term_id, nBuckets)`**, so a query's posting read
     * prunes to its terms' directories, the same seek shape as FTS.
     */
+  /** Doc-ids per posting block in the served sparse layout. Range-based
+    * (block_id = doc_id / span), NOT count-based: blocking by range needs
+    * no per-term window or whole-list buffer (a stop-term's list never
+    * materializes in one place), and ranges align ACROSS terms, which is
+    * what lets a per-range score upper bound prune whole blocks at query
+    * time (Block-Max WAND, `rust/index/src/sparse/maxscore.rs`).
+    */
+  val SparseBlockSpan: Long = 4096L
+
+  /** Persist the per-key sparse index as BLOCKED postings:
+    * `(bucket, term_id, block_id, block_max, docs, ws)` — block metadata
+    * (`block_max`) is a scalar column readable WITHOUT touching the
+    * doc/weight arrays, so the query-time pruning pass scans a skinny
+    * schema and skipped blocks' arrays are never read
+    * (`rust/index/src/sparse/{maxscore.rs,reader.rs}` store block maxima
+    * beside the posting blocks for the same reason).
+    */
   def sparseServing(records: DataFrame, key: String, root: String,
-      nBuckets: Int = 64): String = {
-    once(s"sparse-$root-$key-$nBuckets") {
-      val buildKey = s"sparse-$key-$nBuckets-n${records.count()}"
+      nBuckets: Int = 64, blockSpan: Long = SparseBlockSpan): String = {
+    once(s"sparse-$root-$key-$nBuckets-$blockSpan") {
+      val buildKey = s"sparse-v2-$key-$nBuckets-$blockSpan-n${records.count()}"
       ensureBuilt(root, s"sparse_$key", buildKey) {
         val sv = element_at(col("meta_sparse"), key)
         records.filter(sv.isNotNull)
@@ -246,6 +263,13 @@ object CollectionStore {
           .select(col("doc_id"), explode(arrays_zip(col("ti"), col("tv"))).as("p"))
           .select(col("doc_id"), col("p.ti").as("term_id"),
             col("p.tv").cast("float").as("w"))
+          .withColumn("block_id", floor(col("doc_id") / blockSpan).cast("long"))
+          .groupBy(col("term_id"), col("block_id"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("w")))).as("blk"))
+          .select(col("term_id"), col("block_id"),
+            array_max(expr("transform(blk, x -> x.w)")).as("block_max"),
+            expr("transform(blk, x -> x.doc_id)").as("docs"),
+            expr("transform(blk, x -> x.w)").as("ws"))
           .withColumn("bucket", pmod(col("term_id"), lit(nBuckets)).cast("int"))
           .repartition(col("bucket")) // one writer per bucket
           .write.mode(SaveMode.Overwrite).partitionBy("bucket")
@@ -260,15 +284,72 @@ object CollectionStore {
     * posting rows feed Block-Max MaxScore — exact, never touches the
     * record segment until the caller projects ids.
     */
+  /** Served sparse top-k with STORAGE-level block skipping, exact:
+    *
+    *   1. bound pass — scan ONLY the scalar block metadata (term_id,
+    *      block_id, block_max; the array columns are pruned from the read
+    *      schema) and compute each doc-range's score upper bound
+    *      `bound(R) = Σ_t qw_t · block_max(t, R)`;
+    *   2. seed pass — exactly score the few highest-bounded ranges; the
+    *      kth seed score is a valid threshold τ (k docs with score ≥ τ
+    *      exist, so the true kth score ≥ τ);
+    *   3. survivor pass — ranges with `bound < τ` are skipped WITHOUT
+    *      reading their arrays (every doc there scores ≤ bound < τ ≤ kth);
+    *      the rest run the exact MaxScore scorer.
+    *
+    * Results are hash-identical to the brute-force scorer: pruning drops
+    * only provably-losing blocks (strict `<`, with a float-rounding
+    * epsilon of slack on the survivor side).
+    */
   def sparseServedSearch(spark: SparkSession, root: String, key: String,
-      query: Seq[(Long, Float)], k: Int, nBuckets: Int = 64): DataFrame = {
+      query: Seq[(Long, Float)], k: Int, nBuckets: Int = 64,
+      seedRanges: Int = 8): DataFrame =
+    sparseServedImpl(spark, root, key, query, k, nBuckets, seedRanges)._1
+
+  /** [[sparseServedSearch]] plus (surviving, total) block counts for the
+    * skip gate in StorageSpec. Runs the counts as actions.
+    */
+  def sparseServedSearchStats(spark: SparkSession, root: String, key: String,
+      query: Seq[(Long, Float)], k: Int, nBuckets: Int = 64,
+      seedRanges: Int = 8): (DataFrame, Long, Long) = {
+    val (res, survivors, bounds) =
+      sparseServedImpl(spark, root, key, query, k, nBuckets, seedRanges)
+    (res, survivors.count(), bounds.count())
+  }
+
+  private def sparseServedImpl(spark: SparkSession, root: String, key: String,
+      query: Seq[(Long, Float)], k: Int, nBuckets: Int,
+      seedRanges: Int): (DataFrame, DataFrame, DataFrame) = {
     val buckets = query
       .map(q => java.lang.Math.floorMod(q._1, nBuckets.toLong).toInt).distinct
-    val posts = readCached(spark, s"$root/sparse_$key/postings")
+    val blocks = readCached(spark, s"$root/sparse_$key/postings")
       .filter(col("bucket").isin(buckets: _*) &&
         col("term_id").isin(query.map(_._1): _*))
-      .select("term_id", "doc_id", "w")
-    graft.operators.MaxScore.topk(posts, query, k)
+    val qw = typedLit(query.toMap)
+    // metadata-only bound pass: the projection carries no array columns,
+    // so the parquet scan reads just the three scalars
+    val bounds = blocks
+      .select(col("block_id"),
+        (element_at(qw, col("term_id")) * col("block_max")).as("tb"))
+      .groupBy("block_id").agg(sum(col("tb")).as("bound"))
+    def flat(b: DataFrame): DataFrame = b
+      .select(col("term_id"), explode(arrays_zip(col("docs"), col("ws"))).as("p"))
+      .select(col("term_id"), col("p.docs").as("doc_id"), col("p.ws").as("w"))
+    val seeds = bounds.orderBy(col("bound").desc, col("block_id"))
+      .limit(seedRanges).select("block_id")
+    val seedTop = graft.operators.MaxScore
+      .topk(flat(blocks.join(broadcast(seeds), "block_id")), query, k)
+      .collect()
+    // τ needs k seeded docs to be a valid lower bound of the kth score;
+    // the epsilon absorbs float-rounding between the summed bound and the
+    // kernel's score (over-inclusion never costs exactness)
+    val tau =
+      if (seedTop.length >= k) seedTop.map(_.getDouble(1)).min - 1e-4
+      else Double.NegativeInfinity
+    val survivors = bounds.filter(col("bound") >= tau).select("block_id")
+    val res = graft.operators.MaxScore
+      .topk(flat(blocks.join(broadcast(survivors), "block_id")), query, k)
+    (res, survivors, bounds)
   }
 
   /** Serving quantized codes: the (offset_id, code) column persisted

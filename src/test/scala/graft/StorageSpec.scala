@@ -80,6 +80,42 @@ class StorageSpec extends AnyFunSuite {
       scan.take(600))
   }
 
+  test("served sparse: block-max bounds skip blocks at the storage level") {
+    import spark.implicits._
+    val root = tmp()
+    // skewed corpus: term 1 is heavy (w≈10) only in docs 0..63, w=0.01
+    // everywhere else; term 2 flat. With blockSpan=16 that's 32 doc
+    // ranges; every top-5 doc lives in the first 4 ranges, so the other
+    // ranges' bounds (≈0.51) fall below τ (≈10) and must be skipped.
+    val n = 512
+    val rows = (0 until n).map { i =>
+      val w = if (i < 64) 10f + (i % 7) else 0.01f
+      (i.toLong, Seq(1L, 2L), Seq(w, 0.5f))
+    }
+    val recs = rows.toDF("offset_id", "ti", "tv")
+      .select(col("offset_id"), map(lit("s"),
+        struct(col("ti").as("indices"),
+          col("tv").cast("array<float>").as("values"))).as("meta_sparse"))
+    CollectionStore.sparseServing(recs, "s", root, blockSpan = 16L)
+    val q = Seq(1L -> 1.0f, 2L -> 1.0f)
+    val (res, surviving, total) =
+      CollectionStore.sparseServedSearchStats(spark, root, "s", q, k = 5)
+    assert(total - surviving > 0,
+      s"no blocks skipped: $surviving of $total ranges survived")
+    // exactness survives the skipping
+    val got = res.collect().map(r => (r.getLong(0), r.getDouble(1).toFloat))
+    val want = rows.map(r => (r._1, r._3.sum))
+      .sortBy { case (d, s) => (-s, d) }.take(5)
+    assert(got.toSeq == want,
+      s"skipped search wrong: got=${got.toSeq} want=$want")
+    // the bound pass reads a skinny schema: no array columns in the scan
+    val meta = CollectionStore.readCached(spark, s"$root/sparse_s/postings")
+      .select("term_id", "block_id", "block_max")
+    val scan = meta.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") && !scan.contains("docs:array"),
+      "bound pass must not read the posting arrays\n" + scan.take(800))
+  }
+
   test("bucketed segments join with zero exchanges on either side") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
