@@ -104,6 +104,70 @@ object Quantized {
     twoPhase(candidates, queries, k, alpha, space,
       mbCode(_, bits), mbCoarseDist)
 
+  /** RaBitQ-style rotated 1-bit two-phase KNN (Gao & Long, SIGMOD 2024,
+    * arXiv:2405.12497; reference `rust/index/src/quantization/{mod.rs,
+    * single_bit.rs}`): vectors pass through a seeded fast random rotation
+    * ([[graft.functions.Rotation.fwhtRotate]]) before sign-coding, and
+    * each vector stores two scalar corrections —
+    * `corr = <x̄, v̄>` (cosine of the vector to its own binary direction)
+    * and `vnorm = ‖v‖`. The rotation isotropizes anisotropic data (a
+    * heavy dimension otherwise dominates true distance while still
+    * contributing one bit), and the correction turns the code overlap
+    * `(d−2·hamming)/d = <x̄_v, x̄_q>` into the paper's inner-product
+    * estimate `<v̄,q̄> ≈ <x̄_v, x̄_q>/corr_v` (query-side distortion is
+    * per-query constant, so it never reorders a query's candidates).
+    * Coarse ranking per space: cosine → est desc; ip → ‖v‖·est desc;
+    * l2 → ‖v‖² − 2‖v‖‖q‖·est asc. Phase 2 re-ranks exactly, as
+    * [[search]] does.
+    */
+  def searchRotated(candidates: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, alpha: Int = 5, space: String = "cosine",
+      seed: Long = 42L, rounds: Int = 3): DataFrame = {
+    var d = 1
+    while (d < dim) d <<= 1
+    val rotated = graft.functions.Rotation.fwhtRotate(col("embedding"), seed, rounds)
+    val norm = (c: Column) => sqrt(aggregate(c,
+      lit(0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val sumAbs = (c: Column) => aggregate(c,
+      lit(0d), (acc, x) => acc + abs(x.cast("double")))
+    val coded = candidates
+      .withColumn("rot", rotated)
+      // corr = Σ|v_i| / (√d·‖v‖): <x̄, v̄> with x̄ = sign(v)/√d
+      .withColumn("vnorm", norm(col("rot")))
+      .withColumn("corr",
+        when(col("vnorm") === 0d, lit(1d))
+          .otherwise(sumAbs(col("rot")) / (lit(math.sqrt(d)) * col("vnorm"))))
+      .withColumn("code", signCode(col("rot"), d))
+      .drop("rot")
+    val qcoded = queries
+      .withColumn("qrot",
+        graft.functions.Rotation.fwhtRotate(col("q_embedding"), seed, rounds))
+      .withColumn("qnorm", norm(col("qrot")))
+      .withColumn("qcode", signCode(col("qrot"), d))
+      .drop("qrot")
+    val est = ((lit(d) - lit(2) * hamming(col("code"), col("qcode")))
+      .cast("double") / lit(d.toDouble)) / col("corr")
+    val coarseKey = space match {
+      case "l2" => col("vnorm") * col("vnorm") -
+        lit(2d) * col("vnorm") * col("qnorm") * est
+      case "ip" => -(col("vnorm") * est)
+      case _    => -est
+    }
+    val coarse = GroupedTopK(
+      coded.crossJoin(broadcast(qcoded)).withColumn("hd", coarseKey),
+      Seq(col("query_id")), Seq(col("hd"), col("offset_id")), alpha * k)
+      .select(col("query_id"), col("offset_id"), col("embedding"), col("q_embedding"))
+    val topk = udaf(new Knn.TopKAgg(k))
+    coarse
+      .select(col("query_id"), col("offset_id"),
+        Distances.distance(space)(col("embedding"), col("q_embedding")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("offset_id"), col("dist")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.oid").as("offset_id"), col("col.dist").as("dist"))
+  }
+
   /** Two-phase KNN over a PERSISTED code column: phase 1 scans the
     * (offset_id, code) table only — 8 bytes/row instead of the wide f32
     * embedding, integer ops end-to-end — and phase 2 pulls just the

@@ -46,6 +46,62 @@ class QuantizedSpec extends AnyFunSuite {
     assert(twoBit >= 0.75, s"2-bit coarse recall $twoBit < 0.75")
   }
 
+  test("fwht rotation is orthonormal: norms and pairwise dots preserved") {
+    import SparkTestSession.spark.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 8).map(_ => Seq.fill(64)(rng.nextFloat() * 2f - 1f))
+    val df = rows.toDF("embedding")
+      .select(col("embedding"),
+        graft.functions.Rotation.fwhtRotate(col("embedding")).as("rot"))
+      .collect().map(r => (r.getSeq[Float](0).toArray, r.getSeq[Float](1).toArray))
+    def norm(a: Array[Float]) = math.sqrt(a.map(x => x.toDouble * x).sum)
+    for ((orig, rot) <- df) {
+      assert(rot.length == 64)
+      assert(math.abs(norm(orig) - norm(rot)) < 1e-3,
+        s"rotation changed the norm: ${norm(orig)} -> ${norm(rot)}")
+    }
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    for (Seq((a0, ar), (b0, br)) <- df.toSeq.combinations(2)) {
+      assert(math.abs(dot(a0, b0) - dot(ar, br)) < 1e-2,
+        s"rotation changed a pairwise dot: ${dot(a0, b0)} -> ${dot(ar, br)}")
+    }
+  }
+
+  test("rotated 1-bit beats plain 1-bit and 2-bit scalar on anisotropic data") {
+    // scale the first 8 dims by 8x: true cosine is now dominated by
+    // dimensions that contribute the same ONE bit to a plain sign code
+    // and SATURATE the fixed-clamp scalar code — the failure mode the
+    // rotation exists to fix (it spreads the heavy dims across all 64
+    // coordinates while preserving angles exactly).
+    val weights = array((0 until 64).map(i => lit(if (i < 8) 8f else 1f)): _*)
+    val scaled = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), zip_with(col("embedding"), weights,
+        (x, w) => x * w).as("embedding"))
+    val vecs = scaled.select(col("vec_id").as("offset_id"), col("embedding"))
+    val queries = scaled.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val k = 10
+    def finalRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Knn.exact(vecs, queries, k)
+        .select("query_id", "offset_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = df.select("query_id", "offset_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val rotated = finalRecall(
+      Quantized.searchRotated(vecs, queries, k, dim = 64, alpha = 5))
+    val plain = finalRecall(
+      Quantized.search(vecs, queries, k, dim = 64, alpha = 5))
+    val mb2 = finalRecall(
+      Quantized.searchMb(vecs, queries, k, bits = 2, alpha = 5))
+    info(s"recall@10 on 8x-anisotropic data: rotated=$rotated plain=$plain mb2=$mb2")
+    assert(rotated >= plain, s"rotated $rotated < plain 1-bit $plain")
+    assert(rotated >= mb2, s"rotated $rotated < 2-bit scalar $mb2")
+    assert(rotated >= 0.9, s"rotated recall $rotated < 0.9")
+  }
+
   test("mbCode is deterministic and clamps to the level range") {
     import SparkTestSession.spark.implicits._
     val df = Seq(Seq(-5f, -0.49f, -0.1f, 0f, 0.2f, 0.49f, 5f)).toDF("embedding")
