@@ -84,21 +84,34 @@ final class CollectionHandle(spark: SparkSession,
   import spark.implicits._
 
   /** Quota enforcement at the write edge, mirroring the reference's
-    * frontend checks: batch record count, embedding width (from the
-    * batch's first embedded row — dims are uniform per collection), and
-    * the collection-size ceiling. Counting is skipped entirely under
-    * [[Quotas.Unlimited]] so the unlimited path stays job-free.
+    * frontend checks: batch record count, embedding width (max over the
+    * batch — a mixed-dim batch must not slip an over-limit vector past a
+    * first-row sample), and the collection-size ceiling. Counting is
+    * skipped entirely under [[Quotas.Unlimited]] so the unlimited path
+    * stays job-free.
+    *
+    * The size ceiling is op-aware: Update never grows the collection
+    * (it only touches live ids) so it skips the check; Add/Upsert first
+    * test the cheap over-approximation `count() + n`, and only when THAT
+    * trips do they pay the precise job counting ids not already present
+    * — so near-cap update/upsert traffic isn't falsely rejected.
     */
-  private def checkWriteQuotas(records: DataFrame): Unit = {
+  private def checkWriteQuotas(records: DataFrame, op: String = "Add"): Unit = {
     if (limits.maxBatchRecords != Int.MaxValue ||
-        limits.maxRecordsPerCollection != Long.MaxValue) {
+        (limits.maxRecordsPerCollection != Long.MaxValue && op != "Update")) {
       val n = records.count()
       Quotas.validateBatch(n, limits)
-      Quotas.validateCollectionSize(count() + n, limits)
+      if (limits.maxRecordsPerCollection != Long.MaxValue && op != "Update" &&
+          count() + n > limits.maxRecordsPerCollection) {
+        val fresh = records.select(col("id"))
+          .join(state.toDF().select(col("id")), Seq("id"), "left_anti")
+          .count()
+        Quotas.validateCollectionSize(count() + fresh, limits)
+      }
     }
     if (limits.maxDim != Int.MaxValue && records.columns.contains("embedding")) {
-      records.select(size(col("embedding")).as("d"))
-        .filter(col("d") > 0).limit(1).collect()
+      records.agg(max(size(col("embedding"))).as("d")).collect()
+        .filter(!_.isNullAt(0))
         .foreach(r => Quotas.validateDim(r.getInt(0), limits))
     }
   }
@@ -121,9 +134,13 @@ final class CollectionHandle(spark: SparkSession,
   private val writer: Writer = segmentDataRoot(ref) match {
     case Some(dataRoot) =>
       // the persisted segment is the SHREDDED serving schema; map it back
-      // to WAL-record shape for the materializer
-      val seg = CollectionStore.loadRecords(spark, dataRoot)
-        .select(col("id"), col("document"), col("meta_str").as("meta"),
+      // to WAL-record shape for the materializer. The typed maps
+      // tag-encode into the wire string map (TypedMeta) so int/float/bool
+      // metadata — declared or not — survives the persist/reopen cycle.
+      val seg = TypedMeta.encode(
+          CollectionStore.loadRecords(spark, dataRoot)
+            .withColumnRenamed("meta_str", "meta"))
+        .select(col("id"), col("document"), col("meta"),
           col("embedding"), col("offset_id").as("first_offset")).as[Rec]
       val next = seg.agg(max(col("first_offset"))).collect()(0) match {
         case r if r.isNullAt(0) => 0L
@@ -151,24 +168,29 @@ final class CollectionHandle(spark: SparkSession,
     if (!df.columns.contains("meta"))
       df = df.withColumn("meta",
         map_from_arrays(array(), array()).cast("map<string,string>"))
+    // typed metadata columns (meta_int/meta_float/meta_bool) tag-encode
+    // into the WAL string map and round-trip typed for ANY key — the
+    // reference's typed UpdateMetadataValue (metadata.rs:659-683)
+    df = TypedMeta.encode(df)
     embedFn match {
       case Some(fn) if !df.columns.contains("embedding") =>
-        graft.functions.EmbeddingFunctions.attachOnce(
-          df, "embedding", fn.embed(col("document")))
+        // embedDf: expression functions attach once (codegen plan),
+        // model-backed functions run batched mapPartitions inference
+        fn.embedDf(df, "document", "embedding")
       case _ => df
     }
   }
 
   def add(records: DataFrame): Unit = {
-    val r = withDefaults(records); checkWriteQuotas(r)
+    val r = withDefaults(records); checkWriteQuotas(r, "Add")
     writer.addBatch(r, op = "Add")
   }
   def upsert(records: DataFrame): Unit = {
-    val r = withDefaults(records); checkWriteQuotas(r)
+    val r = withDefaults(records); checkWriteQuotas(r, "Upsert")
     writer.addBatch(r, op = "Upsert")
   }
   def update(records: DataFrame): Unit = {
-    val r = withDefaults(records); checkWriteQuotas(r)
+    val r = withDefaults(records); checkWriteQuotas(r, "Update")
     writer.addBatch(r, op = "Update")
   }
   def delete(ids: Seq[String]): Unit = ids.foreach(writer.delete)
@@ -211,19 +233,25 @@ final class CollectionHandle(spark: SparkSession,
         (_, v) => v.isNotNull)
     val typedKeys = declared(Catalog.VInt) ++ declared(Catalog.VFloat) ++
       declared(Catalog.VBool)
-    val strMap =
+    val strMap0 =
       if (typedKeys.isEmpty) col("meta")
       else map_filter(col("meta"), (k, _) => !k.isin(typedKeys: _*))
+    // typed values for a key come from EITHER source, mutually exclusive
+    // per row: a tag-encoded entry casts to null through the declared
+    // path (filtered), an untagged declared entry carries no tag
+    def merged(decl: Seq[String], cast: String,
+        tagged: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      map_concat(typedMap(decl, cast), tagged(col("meta")))
     new Collection(state.toDF().select(
       col("id"),
       row_number().over(w).cast("long").as("offset_id"),
       col("embedding"),
       col("document"),
       lit(null).cast("string").as("uri"),
-      strMap.as("meta_str"),
-      typedMap(declared(Catalog.VInt), "bigint").as("meta_int"),
-      typedMap(declared(Catalog.VFloat), "double").as("meta_float"),
-      typedMap(declared(Catalog.VBool), "boolean").as("meta_bool")))
+      TypedMeta.decodeStr(strMap0).as("meta_str"),
+      merged(declared(Catalog.VInt), "bigint", TypedMeta.decodeInt).as("meta_int"),
+      merged(declared(Catalog.VFloat), "double", TypedMeta.decodeFloat).as("meta_float"),
+      merged(declared(Catalog.VBool), "boolean", TypedMeta.decodeBool).as("meta_bool")))
   }
 
   def count(): Long = state.count()
@@ -322,7 +350,23 @@ final class CollectionHandle(spark: SparkSession,
       .withColumnRenamed("metadata", "meta")
       .withColumn("meta", coalesce(col("meta"),
         map_from_arrays(array(), array()).cast("map<string,string>")))
-    upsert(rows)
+    // a dump is one logical submission but arrives in max-batch-size
+    // chunks, the reference's client batch utilities
+    // (chromadb/utils/batch_utils.py) — otherwise any import larger than
+    // maxBatchRecords could never load under the quota envelope
+    if (limits.maxBatchRecords == Int.MaxValue) upsert(rows)
+    else {
+      val n = rows.count()
+      val chunks = ((n + limits.maxBatchRecords - 1) / limits.maxBatchRecords).toInt
+      if (chunks <= 1) upsert(rows)
+      else {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+        val numbered = rows.withColumn("_chunk",
+          floor((row_number().over(w) - 1) / limits.maxBatchRecords))
+        for (c <- 0 until chunks)
+          upsert(numbered.filter(col("_chunk") === c).drop("_chunk"))
+      }
+    }
   }
 
   /** Compute every attached function and persist its output beside the

@@ -1,0 +1,72 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata over the WAL's string map — the reference keeps
+  * metadata values typed end-to-end (`rust/types/src/metadata.rs:659-683`
+  * `UpdateMetadataValue::{Bool,Int,Float,Str}`), while this facade's WAL
+  * record carries one `map<string,string>`. The tagged-union equivalent:
+  * typed values encode with a one-char 0x01 sigil + type tag prefix that
+  * survives the materializer fold untouched, and decode back into the
+  * typed maps on read — so int/float/bool metadata round-trips typed for
+  * ANY key, declared in the collection schema or not.
+  *
+  * Plain strings stay unprefixed (existing writes are already valid);
+  * a user string that happens to start with the sigil escapes behind the
+  * string tag. All encode/decode steps are map expressions inside the
+  * write/read plans — nothing touches the driver.
+  */
+object TypedMeta {
+
+  private val Sigil = "\u0001"
+  val TagInt: String = Sigil + "i" + Sigil
+  val TagFloat: String = Sigil + "f" + Sigil
+  val TagBool: String = Sigil + "b" + Sigil
+  val TagStr: String = Sigil + "s" + Sigil
+
+  /** Fold typed metadata columns (`meta_int`, `meta_float`, `meta_bool`,
+    * if present on the batch) into the WAL string map with type tags;
+    * escape plain strings that collide with the sigil. Typed keys win
+    * over same-named plain entries.
+    */
+  def encode(records: DataFrame): DataFrame = {
+    val typedCols = Seq("meta_int" -> TagInt, "meta_float" -> TagFloat,
+      "meta_bool" -> TagBool).filter { case (c, _) => records.columns.contains(c) }
+    if (typedCols.isEmpty) return records
+    val escaped = transform_values(col("meta"),
+      (_, v) => when(v.startsWith(Sigil), concat(lit(TagStr), v)).otherwise(v))
+    val tagged = typedCols.map { case (c, tag) =>
+      transform_values(col(c), (_, v) => concat(lit(tag), v.cast("string")))
+    }
+    val plainMinusTyped = typedCols.map(_._1).foldLeft(escaped) { (m, c) =>
+      map_filter(m, (k, _) => !map_contains_key(col(c), k))
+    }
+    records
+      .withColumn("meta", tagged.foldLeft(plainMinusTyped)(map_concat(_, _)))
+      .drop(typedCols.map(_._1): _*)
+  }
+
+  /** Entries of the WAL map carrying `tag`, values cast to `cast`. */
+  private def taggedMap(meta: Column, tag: String, cast: String): Column =
+    map_filter(
+      transform_values(
+        map_filter(meta, (_, v) => v.startsWith(tag)),
+        (_, v) => v.substr(lit(tag.length + 1), length(v)).cast(cast)),
+      (_, v) => v.isNotNull)
+
+  /** Decode: typed maps out of the tagged entries. */
+  def decodeInt(meta: Column): Column = taggedMap(meta, TagInt, "bigint")
+  def decodeFloat(meta: Column): Column = taggedMap(meta, TagFloat, "double")
+  def decodeBool(meta: Column): Column = taggedMap(meta, TagBool, "boolean")
+
+  /** The string remainder: tagged typed entries removed, escaped strings
+    * un-escaped.
+    */
+  def decodeStr(meta: Column): Column =
+    transform_values(
+      map_filter(meta, (_, v) =>
+        !(v.startsWith(TagInt) || v.startsWith(TagFloat) || v.startsWith(TagBool))),
+      (_, v) => when(v.startsWith(TagStr), v.substr(lit(TagStr.length + 1), length(v)))
+        .otherwise(v))
+}

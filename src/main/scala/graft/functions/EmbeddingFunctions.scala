@@ -15,6 +15,14 @@ trait EmbeddingFunction {
   def dim: Int
   /** text column → ARRAY<FLOAT> embedding column */
   def embed(text: Column): Column
+  /** Whole-DataFrame embed: append `out` derived from `textCol`. The
+    * default rides [[EmbeddingFunctions.attachOnce]]; model-backed
+    * functions override it with a batched `mapPartitions` runner (the
+    * write path calls THIS, so heavy inference gets real batching while
+    * expression functions keep their codegen plans).
+    */
+  def embedDf(df: DataFrame, textCol: String, out: String): DataFrame =
+    EmbeddingFunctions.attachOnce(df, out, embed(col(textCol)))
 }
 
 /** Sparse counterpart — the reference's sparse embedding functions
@@ -167,10 +175,112 @@ object EmbeddingFunctions {
     }
   }
 
+  /** A loadable inference model: `load()` runs ONCE per partition (the
+    * expensive step — an ONNX session, a tokenizer) and returns the
+    * batch-infer closure. This is the `onnx_mini_lm_l6_v2.py` shape:
+    * session construction amortizes across the partition, texts flow
+    * through in batches.
+    */
+  trait ModelBackend extends Serializable {
+    def name: String
+    def dim: Int
+    def load(): Seq[String] => Seq[Array[Float]]
+  }
+
+  /** DETERMINISTIC FAKE backend — this container has no model runtimes
+    * (no ONNX, no network), so a seeded hash-vector model stands in.
+    * The Spark-side contract it exercises is real: per-partition `load`,
+    * batched inference, row passthrough. A real ONNX backend drops in by
+    * implementing [[ModelBackend.load]] with a session + tokenizer.
+    * Instrumented (loads/batch sizes) for the lifecycle spec.
+    */
+  final class FakeModelBackend(val dim: Int = 32, tag: String = "")
+      extends ModelBackend {
+    val name = s"fake_hash_$dim$tag"
+    def load(): Seq[String] => Seq[Array[Float]] = {
+      FakeModelBackend.loadsFor(name).incrementAndGet()
+      texts => {
+        FakeModelBackend.batchesFor(name).add(texts.size)
+        texts.map { t =>
+          val h0 = scala.util.hashing.MurmurHash3.stringHash(t, 42)
+          val v = Array.tabulate(dim) { i =>
+            val h = scala.util.hashing.MurmurHash3.productHash((h0, i))
+            (h.toFloat / Int.MaxValue.toFloat)
+          }
+          val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+          if (norm == 0f) v else v.map(_ / norm)
+        }
+      }
+    }
+  }
+  object FakeModelBackend {
+    // per-name instrumentation (static: local-mode tasks run in this JVM)
+    // so concurrent suites exercising other backends can't interfere
+    private val loads = scala.collection.concurrent
+      .TrieMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    private val batches = scala.collection.concurrent
+      .TrieMap[String, java.util.concurrent.ConcurrentLinkedQueue[Int]]()
+    def loadsFor(name: String): java.util.concurrent.atomic.AtomicInteger =
+      loads.getOrElseUpdate(name, new java.util.concurrent.atomic.AtomicInteger(0))
+    def batchesFor(name: String): java.util.concurrent.ConcurrentLinkedQueue[Int] =
+      batches.getOrElseUpdate(name, new java.util.concurrent.ConcurrentLinkedQueue[Int]())
+  }
+
+  /** Model-runner embedding function: batched `mapPartitions` inference
+    * with one model instantiation per partition and per-JVM session
+    * reuse. `embed(Column)` (the plan-composition surface) routes rows
+    * through the same cached session via a UDF — correct everywhere, but
+    * write paths should call [[embedDf]] for real batching.
+    */
+  final class ModelEmbeddingFunction(backend: ModelBackend,
+      batchSize: Int = 32) extends EmbeddingFunction {
+    val name = s"model_${backend.name}"
+    val dim: Int = backend.dim
+    def embed(text: Column): Column = {
+      val b = backend
+      val f = udf { (s: String) =>
+        if (s == null) null
+        else ModelEmbeddingFunction.session(b)(Seq(s)).head.toSeq
+      }
+      f(text)
+    }
+    override def embedDf(df: DataFrame, textCol: String, out: String): DataFrame = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      val idx = df.schema.fieldIndex(textCol)
+      val outSchema = df.schema.add(out, ArrayType(FloatType))
+      val b = backend
+      val bs = batchSize
+      df.mapPartitions { it =>
+        val infer = ModelEmbeddingFunction.session(b)
+        it.grouped(bs).flatMap { batch =>
+          val embs = infer(batch.map(r =>
+            Option(r.getString(idx)).getOrElse("")))
+          batch.iterator.zip(embs.iterator).map { case (r, e) =>
+            Row.fromSeq(r.toSeq :+ e.toSeq)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    }
+  }
+  object ModelEmbeddingFunction {
+    // one loaded session per backend per JVM: partitions on the same
+    // executor share it, fresh executors load their own. ConcurrentHashMap
+    // computeIfAbsent runs the (expensive) loader at most once even when
+    // the first partitions race — TrieMap.getOrElseUpdate may evaluate
+    // the default twice under contention.
+    private val sessions = new java.util.concurrent
+      .ConcurrentHashMap[String, Seq[String] => Seq[Array[Float]]]()
+    def session(b: ModelBackend): Seq[String] => Seq[Array[Float]] =
+      sessions.computeIfAbsent(b.name, _ => b.load())
+    private[graft] def resetSessions(): Unit = sessions.clear()
+  }
+
   val registry: Map[String, EmbeddingFunction] = Seq(
     new HashedBow(64), new HashedBow(128),
     new HashedCharNgram(64), new HashedCharNgram(128),
-    new TextStatsFeatures
+    new TextStatsFeatures,
+    new ModelEmbeddingFunction(new FakeModelBackend(32))
   ).map(f => f.name -> f).toMap
 
   val sparseRegistry: Map[String, SparseEmbeddingFunction] = Seq(

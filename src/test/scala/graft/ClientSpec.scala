@@ -32,6 +32,45 @@ class ClientSpec extends AnyFunSuite {
     assert(client.getOrCreateCollection("vecs").ref.name == "vecs")
   }
 
+  test("typed metadata round-trips for UNDECLARED keys, incl. persist/reopen") {
+    val root = freshRoot()
+    val client = new Client(spark, root)
+    val coll = client.createCollection("typed_rt") // no schema declarations
+    val sigil = ""
+    coll.add(Seq(
+      ("a", "alpha", Map("s" -> "plain", "tricky" -> s"${sigil}i${sigil}not-an-int"),
+        Map("n" -> 5L), Map("x" -> 2.5), Map("ok" -> true)),
+      ("b", "beta", Map("s" -> "other"),
+        Map("n" -> -3L), Map("x" -> -0.5), Map("ok" -> false)))
+      .toDF("id", "document", "meta", "meta_int", "meta_float", "meta_bool"))
+
+    def check(h: graft.api.CollectionHandle): Unit = {
+      val recs = h.asCollection.records
+        .select("id", "meta_str", "meta_int", "meta_float", "meta_bool")
+        .collect().map(r => r.getString(0) -> r).toMap
+      val a = recs("a"); val b = recs("b")
+      assert(a.getMap[String, Long](2) == Map("n" -> 5L))
+      assert(b.getMap[String, Long](2) == Map("n" -> -3L))
+      assert(a.getMap[String, Double](3) == Map("x" -> 2.5))
+      assert(a.getMap[String, Boolean](4) == Map("ok" -> true))
+      assert(b.getMap[String, Boolean](4) == Map("ok" -> false))
+      // plain strings untouched; a sigil-prefixed USER string survives as
+      // the exact string, not a typed value
+      assert(a.getMap[String, String](1) ==
+        Map("s" -> "plain", "tricky" -> s"${sigil}i${sigil}not-an-int"))
+      // typed predicates work without any schema declaration
+      val hit = h.get(where = Some(Where.Cmp("n", "$gt", Where.VInt(0))))
+        .select("id").collect().map(_.getString(0)).toSeq
+      assert(hit == Seq("a"), s"typed where returned $hit")
+    }
+    check(coll)
+
+    // the persist/reopen cycle must keep the typed values typed
+    coll.persist()
+    val reopened = new Client(spark, root).getCollection("typed_rt")
+    check(reopened)
+  }
+
   test("JSONL export/import round-trips the live state") {
     val client = new Client(spark, freshRoot())
     val src = client.createCollection("dump_src")

@@ -51,6 +51,49 @@ class EmbeddingFunctionsSpec extends AnyFunSuite {
     assert(two(1) > two(0) && two(1) < 10 * two(0))
   }
 
+  test("model runner: batched mapPartitions inference, one session per JVM") {
+    import EmbeddingFunctions.{FakeModelBackend, ModelEmbeddingFunction}
+    import spark.implicits._
+    // unique tag: this test owns its backend name, so parallel suites
+    // touching the registry's fake backend can't perturb the counters
+    val backend = new EmbeddingFunctions.FakeModelBackend(32, tag = "_lifecycle")
+    val fn = new ModelEmbeddingFunction(backend, batchSize = 4)
+    val df = (0 until 22).map(i => (s"id$i", s"document number $i"))
+      .toDF("id", "document").repartition(3)
+    val out = fn.embedDf(df, "document", "embedding")
+    val rows = out.collect()
+    // row passthrough + appended embedding of the right shape
+    assert(rows.length == 22)
+    assert(rows.forall(_.getSeq[Float](2).length == 32))
+    // the expensive load ran ONCE for this JVM (3 partitions shared it),
+    // and inference was batched at <= batchSize
+    assert(FakeModelBackend.loadsFor(backend.name).get() == 1,
+      s"expected one session load, got ${FakeModelBackend.loadsFor(backend.name).get()}")
+    val sizes = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(FakeModelBackend.batchesFor(backend.name)).asScala.toSeq
+    assert(sizes.nonEmpty && sizes.forall(s => s >= 1 && s <= 4),
+      s"bad batch sizes: $sizes")
+    assert(sizes.sum == 22, s"rows inferred ${sizes.sum} != 22")
+    // deterministic, and the Column surface agrees with the batched path
+    val viaCol = df.select(col("id"), fn.embed(col("document")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    val viaDf = rows.map(r => r.getString(0) -> r.getSeq[Float](2)).toMap
+    assert(viaCol == viaDf, "embed(Column) disagrees with embedDf batching")
+  }
+
+  test("schema-declared model function embeds through the client write path") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_model_ef").toString
+    val client = new graft.api.Client(spark, root)
+    val coll = client.createCollection("modeled",
+      graft.sources.Catalog.Schema(
+        embeddingFunction = Some("model_fake_hash_32")))
+    coll.add(Seq(("a", "first doc"), ("b", "second doc")).toDF("id", "document"))
+    val embs = coll.state.collect().flatMap(_.embedding)
+    assert(embs.length == 2 && embs.forall(_.length == 32),
+      "write path did not embed through the model runner")
+  }
+
   test("TextHash kernels callable from plain SQL via GraftExtensions") {
     import SparkTestSession.spark
     val r = spark.sql(

@@ -60,6 +60,51 @@ class QuotasSpec extends AnyFunSuite {
     assert(col1.count() == 2)
   }
 
+  test("size ceiling is op-aware: update/upsert of live ids pass at the cap") {
+    val tiny = Quotas.CloudDefaults.copy(maxRecordsPerCollection = 3L)
+    val c = freshClient(tiny)
+    val col1 = c.createCollection("cap")
+    col1.add(Seq(("a", "da"), ("b", "db"), ("c", "dc")).toDF("id", "document"))
+    // at the cap: updates and upserts of EXISTING ids must not be
+    // rejected (they replace, not grow)
+    col1.update(Seq(("a", "da2")).toDF("id", "document"))
+    col1.upsert(Seq(("b", "db2"), ("c", "dc2")).toDF("id", "document"))
+    assert(col1.count() == 3)
+    // a genuinely new id past the cap still trips
+    intercept[Quotas.QuotaExceeded] {
+      col1.add(Seq(("d", "dd")).toDF("id", "document"))
+    }
+    // mixed upsert (1 live + 1 fresh) exceeds: 3 + 1 new > 3
+    intercept[Quotas.QuotaExceeded] {
+      col1.upsert(Seq(("a", "da3"), ("e", "de")).toDF("id", "document"))
+    }
+  }
+
+  test("dim quota checks the batch MAX, not the first embedded row") {
+    val c = freshClient(Quotas.CloudDefaults)
+    val col1 = c.createCollection("dims")
+    intercept[Quotas.QuotaExceeded] {
+      col1.add(Seq(
+        ("ok", "d1", Seq.fill(4)(0f)),          // first row within limits
+        ("bad", "d2", Seq.fill(4097)(0f)))      // second row over
+        .toDF("id", "document", "embedding"))
+    }
+  }
+
+  test("importJsonl chunks a dump larger than maxBatchRecords") {
+    val root = java.nio.file.Files.createTempDirectory("quotas").toString
+    // the dump is produced unlimited; the IMPORT side runs under quota
+    val src = new Client(spark, root).createCollection("dump_big_src")
+    src.add(spark.range(650).select(
+      format_string("id%04d", col("id")).as("id"), lit("doc").as("document")))
+    val c = new Client(spark, root, limits = Quotas.CloudDefaults)
+    val path = java.nio.file.Files.createTempDirectory("dump").toString + "/d"
+    src.exportJsonl(path)
+    val dst = c.createCollection("dump_big_dst")
+    dst.importJsonl(path) // 650 > 300: must chunk, not throw
+    assert(dst.count() == 650)
+  }
+
   test("unlimited collections skip enforcement") {
     val c = freshClient(Quotas.Unlimited)
     val col1 = c.createCollection("u")
