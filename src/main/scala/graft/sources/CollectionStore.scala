@@ -335,6 +335,11 @@ object CollectionStore {
     def flat(b: DataFrame): DataFrame = b
       .select(col("term_id"), explode(arrays_zip(col("docs"), col("ws"))).as("p"))
       .select(col("term_id"), col("p.docs").as("doc_id"), col("p.ws").as("w"))
+    // few ranges -> the seed pass would score everything anyway; skip the
+    // threshold machinery and run the single exact pass (the small-corpus
+    // / narrow-query fast path — the count reads only block metadata)
+    if (bounds.limit(seedRanges + 1).count() <= seedRanges)
+      return (graft.operators.MaxScore.topk(flat(blocks), query, k), bounds, bounds)
     val seeds = bounds.orderBy(col("bound").desc, col("block_id"))
       .limit(seedRanges).select("block_id")
     val seedTop = graft.operators.MaxScore
