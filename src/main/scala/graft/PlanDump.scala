@@ -40,6 +40,19 @@ object PlanDump {
         "measurement — min 1.28s in r4 after the op-table cache was " +
         "guarded against CacheManager re-registration; the r3 number was " +
         "a host stall.)"),
+    "vs_ann_ivf_routed" ->
+      ("Centroid-graph routed ANN: queries walk the persisted HNSW over " +
+        "the centroid table (a blob scan + broadcast query batch — no " +
+        "centroid crossJoin anywhere in the plan), then probe only the " +
+        "routed posting partitions. Routing cost per query is the graph " +
+        "walk, independent of centroid count — the property that matters " +
+        "at the 10^5-10^6 lists a 100 TB corpus needs."),
+    "vs_quantized_rotated_served" ->
+      ("RaBitQ-style served: phase 1 scans only the persisted " +
+        "(offset_id, code, corr, vnorm) table — integer Hamming plus two " +
+        "scalar multiplies, wide embeddings untouched; the rotation is " +
+        "build-time work. Survivors broadcast into the embedding re-rank " +
+        "join, same shape as the sign-code served plan."),
     "dd_minhash_lsh" ->
       ("Bucketed text dedup: native-kernel signatures, banded bucket " +
         "self-join (candidates only from band collisions), exact-Jaccard " +

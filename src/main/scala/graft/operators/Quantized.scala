@@ -120,43 +120,58 @@ object Quantized {
     * l2 → ‖v‖² − 2‖v‖‖q‖·est asc. Phase 2 re-ranks exactly, as
     * [[search]] does.
     */
-  def searchRotated(candidates: DataFrame, queries: DataFrame, k: Int,
-      dim: Int, alpha: Int = 5, space: String = "cosine",
-      seed: Long = 42L, rounds: Int = 3): DataFrame = {
+  private def pow2(dim: Int): Int = {
     var d = 1
     while (d < dim) d <<= 1
-    val rotated = graft.functions.Rotation.fwhtRotate(col("embedding"), seed, rounds)
-    val norm = (c: Column) => sqrt(aggregate(c,
-      lit(0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    d
+  }
+
+  private def vecNorm(c: Column): Column = sqrt(aggregate(c,
+    lit(0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Rotated code rows `(… , code, corr, vnorm)` appended to the input —
+    * the persistable RaBitQ state: rotated sign code + the two scalars
+    * the estimator needs (`corr = <x̄,v̄>`, `vnorm = ‖v‖`).
+    */
+  def rotatedCodeRows(vecs: DataFrame, dim: Int, seed: Long = 42L,
+      rounds: Int = 3): DataFrame = {
+    val d = pow2(dim)
     val sumAbs = (c: Column) => aggregate(c,
       lit(0d), (acc, x) => acc + abs(x.cast("double")))
-    val coded = candidates
-      .withColumn("rot", rotated)
+    vecs
+      .withColumn("rot", graft.functions.Rotation.fwhtRotate(col("embedding"), seed, rounds))
       // corr = Σ|v_i| / (√d·‖v‖): <x̄, v̄> with x̄ = sign(v)/√d
-      .withColumn("vnorm", norm(col("rot")))
+      .withColumn("vnorm", vecNorm(col("rot")))
       .withColumn("corr",
         when(col("vnorm") === 0d, lit(1d))
           .otherwise(sumAbs(col("rot")) / (lit(math.sqrt(d)) * col("vnorm"))))
       .withColumn("code", signCode(col("rot"), d))
       .drop("rot")
-    val qcoded = queries
+  }
+
+  /** Rotated query codes `(query_id, q_embedding, qnorm, qcode)`. */
+  private def rotatedQueryRows(queries: DataFrame, d: Int, seed: Long,
+      rounds: Int): DataFrame =
+    queries
       .withColumn("qrot",
         graft.functions.Rotation.fwhtRotate(col("q_embedding"), seed, rounds))
-      .withColumn("qnorm", norm(col("qrot")))
+      .withColumn("qnorm", vecNorm(col("qrot")))
       .withColumn("qcode", signCode(col("qrot"), d))
       .drop("qrot")
+
+  /** Per-space coarse key from the RaBitQ estimate (lower = better). */
+  private def rotatedCoarseKey(d: Int, space: String): Column = {
     val est = ((lit(d) - lit(2) * hamming(col("code"), col("qcode")))
       .cast("double") / lit(d.toDouble)) / col("corr")
-    val coarseKey = space match {
+    space match {
       case "l2" => col("vnorm") * col("vnorm") -
         lit(2d) * col("vnorm") * col("qnorm") * est
       case "ip" => -(col("vnorm") * est)
       case _    => -est
     }
-    val coarse = GroupedTopK(
-      coded.crossJoin(broadcast(qcoded)).withColumn("hd", coarseKey),
-      Seq(col("query_id")), Seq(col("hd"), col("offset_id")), alpha * k)
-      .select(col("query_id"), col("offset_id"), col("embedding"), col("q_embedding"))
+  }
+
+  private def rerank(coarse: DataFrame, k: Int, space: String): DataFrame = {
     val topk = udaf(new Knn.TopKAgg(k))
     coarse
       .select(col("query_id"), col("offset_id"),
@@ -166,6 +181,45 @@ object Quantized {
       .select(col("query_id"), posexplode(col("nn")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.oid").as("offset_id"), col("col.dist").as("dist"))
+  }
+
+  def searchRotated(candidates: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, alpha: Int = 5, space: String = "cosine",
+      seed: Long = 42L, rounds: Int = 3): DataFrame = {
+    val d = pow2(dim)
+    val coded = rotatedCodeRows(candidates, dim, seed, rounds)
+    val qcoded = rotatedQueryRows(queries, d, seed, rounds)
+    val coarse = GroupedTopK(
+      coded.crossJoin(broadcast(qcoded))
+        .withColumn("hd", rotatedCoarseKey(d, space)),
+      Seq(col("query_id")), Seq(col("hd"), col("offset_id")), alpha * k)
+      .select(col("query_id"), col("offset_id"), col("embedding"), col("q_embedding"))
+    rerank(coarse, k, space)
+  }
+
+  /** Rotated two-phase KNN over the PERSISTED code table
+    * ([[graft.sources.CollectionStore.rotatedCodesServing]]): phase 1
+    * scans only `(offset_id, code, corr, vnorm)` — integer Hamming plus
+    * two scalar multiplies per row, the wide embedding column untouched —
+    * and phase 2 pulls the α·k survivors through a broadcast join, same
+    * shape as [[searchServed]].
+    */
+  def searchRotatedServed(codes: DataFrame, embeddings: DataFrame,
+      queries: DataFrame, k: Int, dim: Int, alpha: Int = 5,
+      space: String = "cosine", seed: Long = 42L,
+      rounds: Int = 3): DataFrame = {
+    val d = pow2(dim)
+    val qcoded = rotatedQueryRows(queries, d, seed, rounds)
+    val survivors = GroupedTopK(
+      codes.crossJoin(broadcast(qcoded))
+        .withColumn("hd", rotatedCoarseKey(d, space)),
+      Seq(col("query_id")), Seq(col("hd"), col("offset_id")), alpha * k)
+      .select(col("query_id"), col("offset_id"))
+    rerank(
+      embeddings
+        .join(broadcast(survivors), Seq("offset_id"))
+        .join(broadcast(queries), Seq("query_id")),
+      k, space)
   }
 
   /** Two-phase KNN over a PERSISTED code column: phase 1 scans the

@@ -184,6 +184,30 @@ object FacadePack extends QueryPack {
         include = Seq("document", "meta:lang", "meta:src"))
     },
 
+    // Attached server-side functions through the client: the schema
+    // DECLARES them (resolution fails at registration, the reference's
+    // register-by-name contract, service_based_frontend.rs:3208-3460),
+    // runAttached executes over the live read-your-writes state. Both
+    // registered families exercised — the lang histogram and the global
+    // top-10 token stats — union'd into one deterministic table.
+    "fc_attached_stats" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_attached_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("stats_docs",
+        graft.sources.Catalog.Schema(
+          attached = Seq("meta_histogram:lang", "token_stats_10")))
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("lang"), col("lang")).as("meta")))
+      val hist = coll.runAttached("meta_histogram:lang")
+        .select(lit("lang_histogram").as("stat"), col("value").as("term"),
+          col("n").as("cnt"))
+      val toks = coll.runAttached("token_stats_10")
+        .select(lit("top_tokens").as("stat"), col("term"), col("cnt"))
+      hist.unionByName(toks).orderBy(col("stat"), desc("cnt"), col("term"))
+    },
+
     // Sparse KNN through the facade: tf_bow sparse column, where-filtered
     // (filter-before-KNN), plain tf weights — integer-valued f32 sums are
     // exact, so the oracle hash-matches.
@@ -292,6 +316,18 @@ object FacadePack extends QueryPack {
         |      FROM d)
         |SELECT query_id, rank, dist, 'vec-'||vec_id AS id FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "fc_attached_stats" ->
+      """WITH tf AS (SELECT unnest(list_filter(
+        |         string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '')) AS term
+        |       FROM documents),
+        |top AS (SELECT 'top_tokens' AS stat, term, count(*) AS cnt
+        |        FROM tf GROUP BY term ORDER BY cnt DESC, term LIMIT 10),
+        |hist AS (SELECT 'lang_histogram' AS stat, lang AS term, count(*) AS cnt
+        |         FROM documents GROUP BY lang)
+        |SELECT stat, term, cnt FROM hist
+        |UNION ALL SELECT stat, term, cnt FROM top
+        |ORDER BY stat, cnt DESC, term""".stripMargin,
 
     "fc_client_e2e" ->
       """WITH live AS (

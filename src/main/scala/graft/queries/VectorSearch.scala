@@ -231,6 +231,20 @@ object VectorSearch extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Rotated codes SERVED from the persisted (offset_id, code, corr,
+    // vnorm) table — the RaBitQ state the reference keeps beside its
+    // vector segment: phase 1 scans only the code table, survivors pull
+    // wide vectors through a broadcast join. Result-identical to
+    // vs_quantized_rotated (same seed/alpha; QuantizedSpec asserts it).
+    "vs_quantized_rotated_served" -> { (s, d) =>
+      val codes = graft.sources.CollectionStore.rotatedCodesServing(
+        candidates(s, d), graft.sources.CollectionStore.indexRoot(d), dim = 64)
+      graft.operators.Quantized.searchRotatedServed(codes, candidates(s, d),
+          queryVecs(s, d), k = 10, dim = 64, alpha = 5)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // KNN similarity join: every left row (vec_id < 50) → top-3 right rows.
     "vs_similarity_join" -> { (s, d) =>
       val left = Tables.embeddings(s, d).filter(col("vec_id") < 50)

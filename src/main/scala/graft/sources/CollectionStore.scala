@@ -375,6 +375,27 @@ object CollectionStore {
     readCached(vecs.sparkSession, s"$root/codes/data")
   }
 
+  /** Serving ROTATED (RaBitQ-style) codes: the persisted row carries the
+    * rotated sign code plus the two per-vector scalars the estimator
+    * needs (`corr = <x̄,v̄>`, `vnorm`) — the reference stores exactly this
+    * beside its vector segment (`rust/index/src/quantization/mod.rs`).
+    * The coarse phase of [[graft.operators.Quantized.searchRotatedServed]]
+    * scans ONLY this table.
+    */
+  def rotatedCodesServing(vecs: DataFrame, root: String, dim: Int,
+      seed: Long = 42L, rounds: Int = 3): DataFrame = {
+    once(s"rcodes-$root-$dim-$seed-$rounds") {
+      val key = s"rcodes-$dim-$seed-$rounds-n${vecs.count()}"
+      ensureBuilt(root, "rcodes", key) {
+        graft.operators.Quantized
+          .rotatedCodeRows(vecs, dim, seed, rounds)
+          .select("offset_id", "code", "corr", "vnorm")
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/rcodes/data")
+      }
+    }
+    readCached(vecs.sparkSession, s"$root/rcodes/data")
+  }
+
   /** Optimistic conditional commit — the reference's conditional
     * transactions (`rust/types/src/conditional_transaction.rs:21-88`):
     * publish a new collection version iff the current version still equals

@@ -102,6 +102,25 @@ class QuantizedSpec extends AnyFunSuite {
     assert(rotated >= 0.9, s"rotated recall $rotated < 0.9")
   }
 
+  test("served rotated codes give the same results as the in-plan path") {
+    val root = java.nio.file.Files.createTempDirectory("rcodes").toString
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val codes = graft.sources.CollectionStore.rotatedCodesServing(vecs, root, dim = 64)
+    assert(codes.columns.toSet == Set("offset_id", "code", "corr", "vnorm"),
+      "served code table must carry only the coarse-phase columns")
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "offset_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val served = rs(Quantized.searchRotatedServed(codes, vecs, queries,
+      k = 10, dim = 64, alpha = 5))
+    val inPlan = rs(Quantized.searchRotated(vecs, queries,
+      k = 10, dim = 64, alpha = 5))
+    assert(served == inPlan, "served rotated != in-plan rotated")
+  }
+
   test("mbCode is deterministic and clamps to the level range") {
     import SparkTestSession.spark.implicits._
     val df = Seq(Seq(-5f, -0.49f, -0.1f, 0f, 0.2f, 0.49f, 5f)).toDF("embedding")
