@@ -27,8 +27,11 @@ object TypedMeta {
 
   /** Fold typed metadata columns (`meta_int`, `meta_float`, `meta_bool`,
     * if present on the batch) into the WAL string map with type tags;
-    * escape plain strings that collide with the sigil. Typed keys win
-    * over same-named plain entries.
+    * escape plain strings that collide with the sigil. A key present in
+    * several sources resolves deterministically: int > float > bool >
+    * plain string (a map value has exactly one type in the reference's
+    * union; later sources filter against earlier winners so the concat
+    * never sees a duplicate key).
     */
   def encode(records: DataFrame): DataFrame = {
     val typedCols = Seq("meta_int" -> TagInt, "meta_float" -> TagFloat,
@@ -36,8 +39,11 @@ object TypedMeta {
     if (typedCols.isEmpty) return records
     val escaped = transform_values(col("meta"),
       (_, v) => when(v.startsWith(Sigil), concat(lit(TagStr), v)).otherwise(v))
-    val tagged = typedCols.map { case (c, tag) =>
-      transform_values(col(c), (_, v) => concat(lit(tag), v.cast("string")))
+    val tagged = typedCols.zipWithIndex.map { case ((c, tag), i) =>
+      val base = transform_values(col(c), (_, v) => concat(lit(tag), v.cast("string")))
+      typedCols.take(i).map(_._1).foldLeft(base) { (m, prior) =>
+        map_filter(m, (k, _) => !map_contains_key(col(prior), k))
+      }
     }
     val plainMinusTyped = typedCols.map(_._1).foldLeft(escaped) { (m, c) =>
       map_filter(m, (k, _) => !map_contains_key(col(c), k))

@@ -125,6 +125,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_topkagg"), p.take(800))
   }
 
+  test("served rotated: coarse pass scans only the code+correction table") {
+    val p = plan("vs_quantized_rotated_served")
+    // cosine's coarse key needs code+corr only — pruning drops vnorm too
+    assert(p.contains("struct<offset_id:bigint,code:array<bigint>,corr:double>"),
+      "coarse phase must scan the persisted rotated-code table, not embeddings\n" +
+        p.take(1200))
+    assert(p.contains("BroadcastHashJoin"),
+      "survivors must broadcast into the embedding re-rank join\n" + p.take(800))
+    assert(p.contains("partial_topkagg"), p.take(800))
+  }
+
   test("sql-registered kernels: spark.sql text plans the codegen expression") {
     val p = plan("vs_sql_knn")
     // resolved through the injected FunctionRegistry entry; the planned
