@@ -66,6 +66,26 @@ object Rotation {
     new GenericArrayData(v)
   }
 
+  /** Asymmetric RaBitQ estimator kernel: `Σ_i (bit_i ? +q_i : -q_i)` —
+    * the dot of a packed sign code (one long per 64 dims, the
+    * [[graft.operators.Quantized.signCode]] layout) against a
+    * FULL-PRECISION float query. The paper scores quantized documents
+    * against the exact rotated query (only the doc side pays storage),
+    * which is strictly more informative than sign-quantizing both sides.
+    */
+  def signDotKernel(code: ArrayData, q: ArrayData): Float = {
+    val dq = q.numElements()
+    var acc = 0f
+    var i = 0
+    while (i < dq) {
+      val word = code.getLong(i >> 6)
+      val qi = q.getFloat(i)
+      acc += (if (((word >>> (i & 63)) & 1L) == 1L) qi else -qi)
+      i += 1
+    }
+    acc
+  }
+
   private val kernelClass = "graft.functions.Rotation"
 
   private case class FwhtRotate(child: Expression, seed: Long, rounds: Int)
@@ -87,9 +107,26 @@ object Rotation {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  private case class SignDot(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def prettyName: String = "sign_dot"
+    override def dataType: DataType = FloatType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(code: Any, q: Any): Any =
+      signDotKernel(code.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$kernelClass.signDotKernel($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** array<float> (any length) -> rotated array<float> of the next
     * power-of-two length.
     */
   def fwhtRotate(v: Column, seed: Long = 42L, rounds: Int = 3): Column =
     SqlBridge.column(FwhtRotate(SqlBridge.expr(v), seed, rounds))
+
+  /** packed sign code (array<long>) · float query -> Σ ±q_i. */
+  def signDot(code: Column, q: Column): Column =
+    SqlBridge.column(SignDot(SqlBridge.expr(code), SqlBridge.expr(q)))
 }

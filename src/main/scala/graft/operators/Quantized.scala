@@ -149,7 +149,10 @@ object Quantized {
       .drop("rot")
   }
 
-  /** Rotated query codes `(query_id, q_embedding, qnorm, qcode)`. */
+  /** Rotated query state `(query_id, q_embedding, qnorm, qcode, qrot)` —
+    * symmetric coarse keys use `qcode`, asymmetric ones the full-precision
+    * `qrot`.
+    */
   private def rotatedQueryRows(queries: DataFrame, d: Int, seed: Long,
       rounds: Int): DataFrame =
     queries
@@ -157,15 +160,24 @@ object Quantized {
         graft.functions.Rotation.fwhtRotate(col("q_embedding"), seed, rounds))
       .withColumn("qnorm", vecNorm(col("qrot")))
       .withColumn("qcode", signCode(col("qrot"), d))
-      .drop("qrot")
 
-  /** Per-space coarse key from the RaBitQ estimate (lower = better). */
-  private def rotatedCoarseKey(d: Int, space: String): Column = {
-    val est = ((lit(d) - lit(2) * hamming(col("code"), col("qcode")))
-      .cast("double") / lit(d.toDouble)) / col("corr")
+  /** Per-space coarse key from the RaBitQ estimate (lower = better).
+    * `asym = true` scores the packed doc code against the FULL-PRECISION
+    * rotated query (the paper's estimator — only the doc side pays
+    * storage; per-query constants cancel out of every key, including the
+    * `‖q‖` in the l2 expansion).
+    */
+  private def rotatedCoarseKey(d: Int, space: String, asym: Boolean): Column = {
+    val est =
+      if (asym)
+        graft.functions.Rotation.signDot(col("code"), col("qrot"))
+          .cast("double") / (lit(math.sqrt(d)) * col("corr"))
+      else
+        ((lit(d) - lit(2) * hamming(col("code"), col("qcode")))
+          .cast("double") / lit(d.toDouble)) / col("corr") * col("qnorm")
+    // est here is <v̄,q̄>·‖q‖ up to a per-query constant
     space match {
-      case "l2" => col("vnorm") * col("vnorm") -
-        lit(2d) * col("vnorm") * col("qnorm") * est
+      case "l2" => col("vnorm") * col("vnorm") - lit(2d) * col("vnorm") * est
       case "ip" => -(col("vnorm") * est)
       case _    => -est
     }
@@ -185,13 +197,13 @@ object Quantized {
 
   def searchRotated(candidates: DataFrame, queries: DataFrame, k: Int,
       dim: Int, alpha: Int = 5, space: String = "cosine",
-      seed: Long = 42L, rounds: Int = 3): DataFrame = {
+      seed: Long = 42L, rounds: Int = 3, asym: Boolean = true): DataFrame = {
     val d = pow2(dim)
     val coded = rotatedCodeRows(candidates, dim, seed, rounds)
     val qcoded = rotatedQueryRows(queries, d, seed, rounds)
     val coarse = GroupedTopK(
       coded.crossJoin(broadcast(qcoded))
-        .withColumn("hd", rotatedCoarseKey(d, space)),
+        .withColumn("hd", rotatedCoarseKey(d, space, asym)),
       Seq(col("query_id")), Seq(col("hd"), col("offset_id")), alpha * k)
       .select(col("query_id"), col("offset_id"), col("embedding"), col("q_embedding"))
     rerank(coarse, k, space)
@@ -207,12 +219,12 @@ object Quantized {
   def searchRotatedServed(codes: DataFrame, embeddings: DataFrame,
       queries: DataFrame, k: Int, dim: Int, alpha: Int = 5,
       space: String = "cosine", seed: Long = 42L,
-      rounds: Int = 3): DataFrame = {
+      rounds: Int = 3, asym: Boolean = true): DataFrame = {
     val d = pow2(dim)
     val qcoded = rotatedQueryRows(queries, d, seed, rounds)
     val survivors = GroupedTopK(
       codes.crossJoin(broadcast(qcoded))
-        .withColumn("hd", rotatedCoarseKey(d, space)),
+        .withColumn("hd", rotatedCoarseKey(d, space, asym)),
       Seq(col("query_id")), Seq(col("hd"), col("offset_id")), alpha * k)
       .select(col("query_id"), col("offset_id"))
     rerank(

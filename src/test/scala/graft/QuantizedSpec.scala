@@ -92,12 +92,17 @@ class QuantizedSpec extends AnyFunSuite {
     }
     val rotated = finalRecall(
       Quantized.searchRotated(vecs, queries, k, dim = 64, alpha = 5))
+    val rotatedSym = finalRecall(
+      Quantized.searchRotated(vecs, queries, k, dim = 64, alpha = 5, asym = false))
     val plain = finalRecall(
       Quantized.search(vecs, queries, k, dim = 64, alpha = 5))
     val mb2 = finalRecall(
       Quantized.searchMb(vecs, queries, k, bits = 2, alpha = 5))
-    info(s"recall@10 on 8x-anisotropic data: rotated=$rotated plain=$plain mb2=$mb2")
-    assert(rotated >= plain, s"rotated $rotated < plain 1-bit $plain")
+    info(s"recall@10 on 8x-anisotropic data: rotated-asym=$rotated " +
+      s"rotated-sym=$rotatedSym plain=$plain mb2=$mb2")
+    assert(rotated >= rotatedSym,
+      s"full-precision-query estimate $rotated < sign-sign $rotatedSym")
+    assert(rotatedSym >= plain, s"rotated-sym $rotatedSym < plain 1-bit $plain")
     assert(rotated >= mb2, s"rotated $rotated < 2-bit scalar $mb2")
     assert(rotated >= 0.9, s"rotated recall $rotated < 0.9")
   }
