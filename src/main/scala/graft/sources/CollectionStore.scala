@@ -432,4 +432,56 @@ object CollectionStore {
       max
     }
   }
+
+  /** Versions under `root` ordered ascending. */
+  def listVersions(root: String): Seq[Long] = {
+    val dir = java.nio.file.Paths.get(root, "_versions")
+    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+    else {
+      val it = java.nio.file.Files.list(dir).iterator()
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("v")) out += n.drop(1).toLong
+      }
+      out.sorted.toSeq
+    }
+  }
+
+  /** Version garbage collection — the reference runs this as its own
+    * service (`rust/garbage_collector/`): committed versions older than
+    * the newest `keepLast` retire. The marker deletes FIRST, then the
+    * data directory: markers are the source of truth, so a crash between
+    * the two leaves an unreferenced data directory (harmless, swept by a
+    * re-run) — never a registered version whose data is gone. The current
+    * version is never collected. Returns the versions removed.
+    */
+  def gcVersions(root: String, keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1, "gcVersions must keep at least the current version")
+    val versions = listVersions(root)
+    val retire = versions.dropRight(keepLast)
+    val dir = java.nio.file.Paths.get(root, "_versions")
+    retire.foreach { v =>
+      // marker first: a crash between the two deletes leaves an orphaned
+      // data dir, never a registered version whose data is gone
+      java.nio.file.Files.deleteIfExists(dir.resolve(s"v$v"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/v$v"))
+    }
+    // sweep orphans from earlier crashes: vN data dirs with no marker.
+    // Only below currentVersion — an IN-FLIGHT conditionalCommit writes
+    // its data dir (at current+1) before claiming the marker and must
+    // not be swept out from under the race.
+    val live = listVersions(root).toSet
+    val cur = currentVersion(root)
+    val rootDir = new java.io.File(root)
+    if (rootDir.isDirectory) rootDir.listFiles().foreach { f =>
+      val n = f.getName
+      if (f.isDirectory && n.matches("v\\d+")) {
+        val v = n.drop(1).toLong
+        if (!live.contains(v) && v < cur)
+          org.apache.commons.io.FileUtils.deleteQuietly(f)
+      }
+    }
+    retire
+  }
 }

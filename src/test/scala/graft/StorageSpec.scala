@@ -160,6 +160,38 @@ class StorageSpec extends AnyFunSuite {
     assert(CollectionStore.currentVersion(root) == 2)
   }
 
+  test("version GC retires old versions, keeps current, sweeps crash orphans") {
+    val root = tmp()
+    def commit(): Long = {
+      val cur = CollectionStore.currentVersion(root)
+      CollectionStore.conditionalCommit(root, cur, { dir =>
+        val d = new java.io.File(dir); d.mkdirs()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dir, "data.txt"), s"v${cur + 1}")
+      }).get
+    }
+    (1 to 5).foreach(_ => commit())
+    assert(CollectionStore.listVersions(root) == Seq(1L, 2L, 3L, 4L, 5L))
+    // simulate a GC crash that removed v1's marker but left its data
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_versions", "v1"))
+    val removed = CollectionStore.gcVersions(root, keepLast = 2)
+    assert(removed == Seq(2L, 3L), s"retired $removed")
+    assert(CollectionStore.listVersions(root) == Seq(4L, 5L))
+    assert(CollectionStore.currentVersion(root) == 5L)
+    for (v <- Seq(1, 2, 3))
+      assert(!new java.io.File(s"$root/v$v").exists(), s"v$v data survived")
+    for (v <- Seq(4, 5))
+      assert(new java.io.File(s"$root/v$v/data.txt").exists(), s"v$v data lost")
+    // a new commit still lands on top after GC
+    assert(commit() == 6L)
+    // and an in-flight-looking dir ABOVE current is never swept
+    new java.io.File(s"$root/v99").mkdirs()
+    CollectionStore.gcVersions(root, keepLast = 2)
+    assert(new java.io.File(s"$root/v99").isDirectory,
+      "swept a data dir above currentVersion (in-flight commit)")
+  }
+
   test("fork is copy-on-write: divergent WALs over a shared segment") {
     import spark.implicits._
     val segment = Seq(
