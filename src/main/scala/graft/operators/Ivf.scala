@@ -219,30 +219,75 @@ object Ivf {
     * scale Spark plans it as a broadcast/bloom semi-join under AQE when
     * the filter is selective.
     */
+  /** SPANN + quantized composition — the reference's quantized KNN
+    * orchestration (`rust/worker/src/execution/orchestration/
+    * quantized_spann_knn.rs`): route to nprobe centroids, then rank the
+    * probed candidates COARSELY on their persisted rotated codes (the
+    * probed posting scan is pruned to `(centroid_id, offset_id)` — the
+    * wide embedding column stays unread), and only the α·k coarse
+    * survivors pull embeddings for the exact re-rank. At 100 TB this is
+    * the full serving stack: partition-pruned postings × 8-byte codes ×
+    * bounded re-rank.
+    *
+    * `codes` is [[graft.sources.CollectionStore.rotatedCodesServing]]'s
+    * table keyed by the same offset_ids as the postings.
+    */
+  def searchQuantized(model: Model, codes: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, dim: Int, alpha: Int = 5,
+      space: String = "cosine", seed: Long = 42L,
+      rounds: Int = 3): DataFrame = {
+    val d = Quantized.pow2(dim)
+    val routed = route(model, queries, nprobe, space)
+    // probed candidate ids: the posting scan is pruned to
+    // (centroid_id, offset_id) — no embedding bytes move in phase 1
+    val probedIds = model.postings
+      .join(broadcast(routed.select("query_id", "centroid_id")), Seq("centroid_id"))
+      .select(col("query_id"), col("offset_id"))
+    val qcoded = Quantized.rotatedQueryRows(queries, d, seed, rounds)
+    val coarse = GroupedTopK(
+      codes.join(probedIds, Seq("offset_id"))
+        .join(broadcast(qcoded), Seq("query_id"))
+        .withColumn("hd", Quantized.rotatedCoarseKey(d, space, asym = true)),
+      Seq(col("query_id")), Seq(col("hd"), col("offset_id")), alpha * k)
+      .select(col("query_id"), col("offset_id"))
+    // exact re-rank: only α·k survivors pull the wide embedding column
+    val emb = model.postings
+      .select(col("offset_id"), col("embedding")).dropDuplicates("offset_id")
+    Quantized.rerank(
+      emb.join(broadcast(coarse), Seq("offset_id"))
+        .join(broadcast(queries.select(col("query_id"), col("q_embedding"))),
+          Seq("query_id")),
+      k, space)
+  }
+
+  /** nprobe routing shared by [[search]] and [[searchQuantized]]:
+    * centers-graph walk when the model carries a persisted centroid HNSW
+    * (cost per query independent of centroid count), exact brute-force
+    * scoring otherwise (fine to ~10^4 centroids).
+    */
+  private def route(model: Model, queries: DataFrame, nprobe: Int,
+      space: String): DataFrame = model.centroidGraphRoot match {
+    case Some(graphRoot) =>
+      Hnsw.searchSaved(queries.sparkSession, graphRoot, queries,
+          k = nprobe, efSearch = math.max(64, 2 * nprobe))
+        .select(col("query_id"), col("offset_id").cast("int").as("centroid_id"))
+        .join(broadcast(queries.select(col("query_id"), col("q_embedding"))),
+          Seq("query_id"))
+        .select(col("query_id"), col("q_embedding"), col("centroid_id"))
+    case None =>
+      val cdist = Distances.distance(space)(col("centroid"), col("q_embedding"))
+      GroupedTopK(
+        queries.crossJoin(broadcast(model.centroids))
+          .select(col("query_id"), col("q_embedding"), col("centroid_id"),
+            cdist.as("cdist")),
+        Seq(col("query_id")), Seq(col("cdist"), col("centroid_id")), nprobe)
+        .select(col("query_id"), col("q_embedding"), col("centroid_id"))
+  }
+
   def search(model: Model, queries: DataFrame, k: Int, nprobe: Int,
       space: String = "cosine",
       allowed: Option[DataFrame] = None): DataFrame = {
-    val routed = model.centroidGraphRoot match {
-      // centers-graph routing: nprobe nearest centroids via the persisted
-      // HNSW over the centroid table — cost per query is the graph walk,
-      // not nCentroids distance evals
-      case Some(graphRoot) =>
-        Hnsw.searchSaved(queries.sparkSession, graphRoot, queries,
-            k = nprobe, efSearch = math.max(64, 2 * nprobe))
-          .select(col("query_id"), col("offset_id").cast("int").as("centroid_id"))
-          .join(broadcast(queries.select(col("query_id"), col("q_embedding"))),
-            Seq("query_id"))
-          .select(col("query_id"), col("q_embedding"), col("centroid_id"))
-      // brute-force routing: fine to ~10^4 centroids, and exact
-      case None =>
-        val cdist = Distances.distance(space)(col("centroid"), col("q_embedding"))
-        GroupedTopK(
-          queries.crossJoin(broadcast(model.centroids))
-            .select(col("query_id"), col("q_embedding"), col("centroid_id"),
-              cdist.as("cdist")),
-          Seq(col("query_id")), Seq(col("cdist"), col("centroid_id")), nprobe)
-          .select(col("query_id"), col("q_embedding"), col("centroid_id"))
-    }
+    val routed = route(model, queries, nprobe, space)
 
     val topk = udaf(new Knn.TopKAgg(k))
     val dist = Distances.distance(space)(col("embedding"), col("q_embedding"))

@@ -120,7 +120,7 @@ object Quantized {
     * l2 → ‖v‖² − 2‖v‖‖q‖·est asc. Phase 2 re-ranks exactly, as
     * [[search]] does.
     */
-  private def pow2(dim: Int): Int = {
+  private[operators] def pow2(dim: Int): Int = {
     var d = 1
     while (d < dim) d <<= 1
     d
@@ -153,7 +153,7 @@ object Quantized {
     * symmetric coarse keys use `qcode`, asymmetric ones the full-precision
     * `qrot`.
     */
-  private def rotatedQueryRows(queries: DataFrame, d: Int, seed: Long,
+  private[operators] def rotatedQueryRows(queries: DataFrame, d: Int, seed: Long,
       rounds: Int): DataFrame =
     queries
       .withColumn("qrot",
@@ -167,7 +167,7 @@ object Quantized {
     * storage; per-query constants cancel out of every key, including the
     * `‖q‖` in the l2 expansion).
     */
-  private def rotatedCoarseKey(d: Int, space: String, asym: Boolean): Column = {
+  private[operators] def rotatedCoarseKey(d: Int, space: String, asym: Boolean): Column = {
     val est =
       if (asym)
         graft.functions.Rotation.signDot(col("code"), col("qrot"))
@@ -183,7 +183,7 @@ object Quantized {
     }
   }
 
-  private def rerank(coarse: DataFrame, k: Int, space: String): DataFrame = {
+  private[operators] def rerank(coarse: DataFrame, k: Int, space: String): DataFrame = {
     val topk = udaf(new Knn.TopKAgg(k))
     coarse
       .select(col("query_id"), col("offset_id"),

@@ -161,6 +161,27 @@ object VectorSearch extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // The full serving composition (quantized_spann_knn.rs): centroid
+    // routing -> partition-pruned posting probe scanning ONLY
+    // (centroid_id, offset_id) -> coarse rank on the persisted rotated
+    // codes (asymmetric RaBitQ estimate) -> exact re-rank of alpha*k
+    // survivors. Approximate → rows-only; recall gated in IvfSpec.
+    "vs_ann_ivf_quantized" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d)
+      val model = graft.sources.CollectionStore.ivfServing(
+        candidates(s, d), root, nCentroids = 16, nReplica = 4)
+      val codes = graft.sources.CollectionStore.rotatedCodesServing(
+        candidates(s, d), root, dim = 64)
+      // alpha=20 (not 5): two approximations compound here (probe recall
+      // x coarse-code recall), and near-random test embeddings are the
+      // sign-code-adversarial case — the coarse pass still only keeps
+      // alpha*k of the probed set
+      graft.operators.Ivf.searchQuantized(model, codes, queryVecs(s, d),
+          k = 10, nprobe = 8, dim = 64, alpha = 20)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Same served path over the REBALANCED index: SPANN split/merge
     // maintenance (Ivf.rebalance — split_threshold/merge_threshold knobs
     // of spann_configuration.rs) ran at build time, so every posting

@@ -136,6 +136,25 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"graph-routed IVF recall $recall < 0.95")
   }
 
+  test("quantized SPANN composition keeps the recall gate") {
+    import graft.operators.Quantized
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val model = Ivf.build(vecs, nCentroids = 16, nReplica = 4)
+    val codes = Quantized.rotatedCodeRows(vecs, dim = 64)
+      .select("offset_id", "code", "corr", "vnorm")
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "offset_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = rs(Knn.exact(vecs, queries, 10))
+    val got = rs(Ivf.searchQuantized(model, codes, queries,
+      k = 10, nprobe = 8, dim = 64, alpha = 20))
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized-SPANN recall $recall < 0.9")
+  }
+
   test("IVF build is deterministic for a fixed seed") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("offset_id"), col("embedding"))
