@@ -133,6 +133,30 @@ final class Collection(val records: DataFrame) {
       .select(proj: _*)
   }
 
+  /** ANN through the composed quantized-SPANN serving stack
+    * (`orchestration/quantized_spann_knn.rs`): centroid routing, pruned
+    * posting probe, coarse rank on the persisted rotated-code table,
+    * exact re-rank — then the same record-content join as [[queryAnn]].
+    * Approximate — recall gated in IvfSpec.
+    */
+  def queryAnnQuantized(
+      model: graft.operators.Ivf.Model,
+      codes: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      dim: Int,
+      alpha: Int = 20,
+      space: String = "cosine",
+      include: Seq[String] = Seq()): DataFrame = {
+    val nn = graft.operators.Ivf.searchQuantized(model, codes, queries,
+      k, nprobe, dim, alpha, space)
+    val proj = col("query_id") +: col("rank") +: col("dist") +:
+      col("id") +: include.map(col)
+    nn.join(records.drop("embedding"), Seq("offset_id"))
+      .select(proj: _*)
+  }
+
   /** Sparse KNN plan over a per-key sparse-vector metadata column —
     * `MetadataValue::SparseVector` (`rust/types/src/metadata.rs:39`) with a
     * per-key sparse index (`rust/types/src/collection_schema.rs:745-873`),

@@ -98,6 +98,22 @@ object EmbeddingFunctions {
     }
   }
 
+  /** Fast JL-transform embedder (Ailon & Chazelle 2006): feature-hash
+    * tokens into a WIDE space, apply the seeded FWHT rotation, keep the
+    * first `dim` coordinates. The wide hashed-BoW is sparse; the
+    * orthonormal rotation spreads its mass, so the kept coordinates
+    * approximate a dense Gaussian random projection at O(D log D) per
+    * row instead of O(D·dim) — while inner products (hence cosines) are
+    * preserved in expectation across the reduction.
+    */
+  final class FjltBow(val dim: Int = 64, wide: Int = 256) extends EmbeddingFunction {
+    val name = s"fjlt_bow_$dim"
+    def embed(text: Column): Column =
+      slice(graft.functions.Rotation.fwhtRotate(
+        graft.functions.TextHash.hashedBow(
+          graft.operators.TextStats.tokens(text), wide)), 1, dim)
+  }
+
   /** Deterministic text-statistics featurizer: 8 quality signals as a
     * dense vector — the embedding-function shape of the reference's
     * quality scoring, useful as classifier input at pipeline scale.
@@ -279,7 +295,7 @@ object EmbeddingFunctions {
   val registry: Map[String, EmbeddingFunction] = Seq(
     new HashedBow(64), new HashedBow(128),
     new HashedCharNgram(64), new HashedCharNgram(128),
-    new TextStatsFeatures,
+    new TextStatsFeatures, new FjltBow(64),
     new ModelEmbeddingFunction(new FakeModelBackend(32))
   ).map(f => f.name -> f).toMap
 

@@ -140,6 +140,27 @@ object FacadePack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // The composed quantized-SPANN stack through the user facade:
+    // routing + pruned probe + coarse rank on persisted rotated codes +
+    // exact re-rank + record-content join. Approximate → rows-only;
+    // composition recall gated in IvfSpec.
+    "fc_ann_quantized" -> { (s, d) =>
+      val vecs = graft.Tables.embeddings(s, d)
+        .select(col("vec_id").as("offset_id"), col("embedding"))
+      val root = graft.sources.CollectionStore.indexRoot(d)
+      val model = graft.sources.CollectionStore.ivfServing(
+        vecs, root, nCentroids = 16, nReplica = 4)
+      val codes = graft.sources.CollectionStore.rotatedCodesServing(
+        vecs, root, dim = 64)
+      val queries = graft.Tables.embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      vecCollection(s, d)
+        .queryAnnQuantized(model, codes, queries, k = 5, nprobe = 8, dim = 64)
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // PRE-filtered ANN through the facade (filter-first, knn_filter.rs):
     // the Where's allowed set semi-joins the probed postings before
     // scoring, so every query still returns k survivors, all satisfying
