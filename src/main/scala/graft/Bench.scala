@@ -74,13 +74,32 @@ object Bench {
       if (t1 > 1.5) name -> math.min(t1, timeOne(name, selected(name)))
       else name -> t1
     }
-    // Compact (3-decimal) values keep the whole line inside the driver's
-    // bounded output tail; millisecond resolution is below run-to-run noise.
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // Emission contract: the driver keeps only the last ~2000 chars of
+    // combined output and json-parses a line from that tail. A flat
+    // 111-query dict is ~2.6 KB and can never fit, so stdout carries
+    // exactly ONE compact line that always fits: totals, a full-name
+    // dict of the slowest queries, and every query's time as a
+    // centisecond array over the lexicographically sorted query names
+    // (self-described in "note"). The complete 3-decimal dict is
+    // written to BENCH_FULL.json in the repo root for direct reading.
+    val sorted = results.toSeq.sortBy(_._1)
+    val total = sorted.map(_._2).sum
+    val fullDict = sorted.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullDict,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    val slowest = sorted.sortBy(-_._2).take(30)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    val centis = sorted.map { case (_, v) => math.round(v * 100) }
+      .mkString("[", ",", "]")
+    val note = "queries=slowest30; cs=centisec per query, names lex-sorted; full dict in BENCH_FULL.json"
     System.out.flush()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slowest,"qn":${sorted.size},"cs":$centis,"note":"$note","sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

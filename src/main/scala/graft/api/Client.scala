@@ -97,16 +97,23 @@ final class CollectionHandle(spark: SparkSession,
     * — so near-cap update/upsert traffic isn't falsely rejected.
     */
   private def checkWriteQuotas(records: DataFrame, op: String = "Add"): Unit = {
-    if (limits.maxBatchRecords != Int.MaxValue ||
-        (limits.maxRecordsPerCollection != Long.MaxValue && op != "Update")) {
+    val sizeCheck =
+      limits.maxRecordsPerCollection != Long.MaxValue && op != "Update"
+    if (limits.maxBatchRecords != Int.MaxValue || sizeCheck) {
       val n = records.count()
       Quotas.validateBatch(n, limits)
-      if (limits.maxRecordsPerCollection != Long.MaxValue && op != "Update" &&
-          count() + n > limits.maxRecordsPerCollection) {
-        val fresh = records.select(col("id"))
-          .join(state.toDF().select(col("id")), Seq("id"), "left_anti")
-          .count()
-        Quotas.validateCollectionSize(count() + fresh, limits)
+      // count() folds the WAL — compute it once and reuse it in both the
+      // cheap over-approximation gate and the precise validation, so a
+      // capped add/upsert pays at most one state-count job (plus the
+      // left_anti job only when the gate trips).
+      if (sizeCheck) {
+        val cur = count()
+        if (cur + n > limits.maxRecordsPerCollection) {
+          val fresh = records.select(col("id"))
+            .join(state.toDF().select(col("id")), Seq("id"), "left_anti")
+            .count()
+          Quotas.validateCollectionSize(cur + fresh, limits)
+        }
       }
     }
     if (limits.maxDim != Int.MaxValue && records.columns.contains("embedding")) {
@@ -207,10 +214,12 @@ final class CollectionHandle(spark: SparkSession,
     * row numbers over (first_offset, id) — because assigning offset ids
     * to materialized records is MaterializeLogs' contract in the
     * reference (batch appends share a WAL offset base, so first_offset
-    * alone is not unique). The global window is bounded by the
-    * un-compacted working set, the same boundedness the fold state
-    * relies on; the 100-TB compacted path reads stored records whose
-    * offset_ids were assigned at compaction.
+    * alone is not unique). Assignment is DISTRIBUTED: a range
+    * repartition on the sort key plus `zipWithIndex` partition bases —
+    * no single-partition window Exchange, so an aggressive writer
+    * between compactions cannot funnel the whole tail through one task.
+    * The view is rebuilt only when the writer's mutation epoch moves;
+    * repeated reads between writes reuse the same cached plan.
     *
     * Metadata shreds by the DECLARED schema: keys typed int/float/bool
     * in the collection schema cast out of the WAL's string map into the
@@ -219,9 +228,21 @@ final class CollectionHandle(spark: SparkSession,
     * stay strings.
     */
   def asCollection: Collection = {
+    val ep = writer.epoch
+    collectionCache match {
+      case Some((e, c)) if e == ep => c
+      case _ =>
+        val c = buildCollection()
+        collectionCache = Some((ep, c))
+        c
+    }
+  }
+  private var collectionCache: Option[(Long, Collection)] = None
+
+  private def buildCollection(): Collection = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
     val none = map_from_arrays(array(), array())
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("first_offset"), col("id"))
     def declared(t: Catalog.ValueType): Seq[String] =
       ref.schema.keys.collect { case (k, c) if c.valueType == t => k }.toSeq
     def typedMap(keys: Seq[String], cast: String): org.apache.spark.sql.Column =
@@ -242,9 +263,22 @@ final class CollectionHandle(spark: SparkSession,
     def merged(decl: Seq[String], cast: String,
         tagged: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
       map_concat(typedMap(decl, cast), tagged(col("meta")))
-    new Collection(state.toDF().select(
+    // Dense offset ids without a global window: range-partition on the
+    // sort key (partitions ordered by partition index), sort within, and
+    // let zipWithIndex add per-partition bases. (first_offset, id) is a
+    // unique total order, so the ids are bit-identical to
+    // row_number().over(orderBy(first_offset, id)).
+    val sorted = state.toDF()
+      .repartitionByRange(col("first_offset"), col("id"))
+      .sortWithinPartitions(col("first_offset"), col("id"))
+    val withOffset = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1L))
+      },
+      sorted.schema.add("offset_id", LongType))
+    new Collection(withOffset.select(
       col("id"),
-      row_number().over(w).cast("long").as("offset_id"),
+      col("offset_id"),
       col("embedding"),
       col("document"),
       lit(null).cast("string").as("uri"),

@@ -37,6 +37,17 @@ object TypedMeta {
     val typedCols = Seq("meta_int" -> TagInt, "meta_float" -> TagFloat,
       "meta_bool" -> TagBool).filter { case (c, _) => records.columns.contains(c) }
     if (typedCols.isEmpty) return records
+    // Null-guard every map column first: a single NULL map (common after
+    // unionByName or Option-built batches) would otherwise propagate —
+    // transform_values(null) = null, the map_filter predicates go null
+    // and drop the OTHER maps' entries, and the final map_concat fold
+    // nulls out — silently wiping the row's entire metadata.
+    val records1 = (Seq("meta") ++ typedCols.map(_._1))
+      .filter(records.columns.contains)
+      .foldLeft(records) { (df, c) =>
+        df.withColumn(c, coalesce(col(c),
+          map_from_arrays(array(), array()).cast(df.schema(c).dataType)))
+      }
     val escaped = transform_values(col("meta"),
       (_, v) => when(v.startsWith(Sigil), concat(lit(TagStr), v)).otherwise(v))
     val tagged = typedCols.zipWithIndex.map { case ((c, tag), i) =>
@@ -48,7 +59,7 @@ object TypedMeta {
     val plainMinusTyped = typedCols.map(_._1).foldLeft(escaped) { (m, c) =>
       map_filter(m, (k, _) => !map_contains_key(col(c), k))
     }
-    records
+    records1
       .withColumn("meta", tagged.foldLeft(plainMinusTyped)(map_concat(_, _)))
       .drop(typedCols.map(_._1): _*)
   }

@@ -24,11 +24,17 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
   // New ops must sort AFTER every compacted record's assigned offset —
   // reopening a persisted collection passes max(first_offset)+1 here.
   private var nextOffset: Long = startOffset
+  // Bumped on every mutation; readers key derived caches (the facade's
+  // shredded collection view) on it — flush() does not bump because it
+  // only materializes, never changes, the logical state.
+  private var mutations: Long = 0L
+  def epoch: Long = mutations
 
   private def append(op: String, id: String, doc: Option[String],
       meta: Map[String, String], emb: Option[Seq[Float]] = None): Unit = {
     wal = wal :+ LogOp(id, nextOffset, op, doc, meta, emb)
     nextOffset += 1
+    mutations += 1
   }
 
   /** Bulk append — the client-batch ingestion path: one `op` per record
@@ -53,6 +59,7 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
       col("document").cast("string").as("document"),
       col("meta").cast("map<string,string>").as("meta"),
       emb.as("embedding")).as[LogOp]
+    mutations += 1
   }
 
   def add(id: String, doc: Option[String], meta: Map[String, String] = Map(),
@@ -99,12 +106,21 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
 
   def pendingOps: Int = wal.size + batches.size
 
-  /** Materialize WAL over the segment; returns and swaps in the new state. */
+  /** Materialize WAL over the segment; returns and swaps in the new state.
+    * The folded state is cached (memory-and-disk, bounded by the live
+    * working set — the same boundedness the fold itself relies on): a
+    * write→read→write→read sequence otherwise re-executes every prior
+    * fold's plan on each action, turning N flush epochs into O(N²) fold
+    * work. The superseded segment is unpersisted so epochs don't
+    * accumulate in the cache.
+    */
   def flush(): Dataset[Rec] = {
     if (wal.nonEmpty || batches.nonEmpty) {
       val all = (wal.toDS() +: batches).reduce(_ union _)
+      val old = segment
       segment = Materialize(spark, all,
-        Some(Materialize.segmentAsLog(spark, segment)))
+        Some(Materialize.segmentAsLog(spark, segment))).persist()
+      old.unpersist()
       wal = Vector.empty
       batches = Vector.empty
     }

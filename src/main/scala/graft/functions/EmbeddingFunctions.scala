@@ -270,10 +270,15 @@ object EmbeddingFunctions {
       df.mapPartitions { it =>
         val infer = ModelEmbeddingFunction.session(b)
         it.grouped(bs).flatMap { batch =>
-          val embs = infer(batch.map(r =>
-            Option(r.getString(idx)).getOrElse("")))
-          batch.iterator.zip(embs.iterator).map { case (r, e) =>
-            Row.fromSeq(r.toSeq :+ e.toSeq)
+          // null text -> null embedding, matching embed(Column)'s
+          // null-in/null-out UDF: a null document must not acquire a
+          // phantom empty-string embedding (and become ANN-retrievable)
+          // on the DataFrame write path only.
+          val texts = batch.map(r => Option(r.getString(idx)))
+          val embs = infer(texts.flatten)
+          val embIt = embs.iterator
+          batch.iterator.zip(texts.iterator).map { case (r, t) =>
+            Row.fromSeq(r.toSeq :+ t.map(_ => embIt.next().toSeq).orNull)
           }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -154,8 +154,16 @@ object CollectionStore {
       if (nCentroids < graphRouteThreshold) None
       else {
         val gr = s"$root/ivf/centroid_graph"
-        once(s"ivf-cgraph-$root-$nCentroids-$space") {
-          ensureBuilt(root, "ivf/centroid_graph", s"cgraph-$nCentroids-$space") {
+        // Key the graph on the *content* of the IVF's build marker (which
+        // encodes nCentroids/nReplica/seed/row-count): any refit of the
+        // centroids — new data, new seed — changes the marker and forces
+        // the graph to rebuild over the NEW centroid table, instead of
+        // silently routing through an HNSW over stale centroids.
+        val ivfKey = try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(root, "ivf", "_built")), "UTF-8")
+          catch { case _: Throwable => s"ivf-$nCentroids-$nReplica-$seed" }
+        once(s"ivf-cgraph-$root-$ivfKey-$space") {
+          ensureBuilt(root, "ivf/centroid_graph", s"cgraph-$ivfKey-$space") {
             Hnsw.buildAndSave(
               centroids.select(col("centroid_id").cast("long").as("offset_id"),
                 col("centroid").as("embedding")),
@@ -346,11 +354,16 @@ object CollectionStore {
       .topk(flat(blocks.join(broadcast(seeds), "block_id")), query, k)
       .collect()
     // τ needs k seeded docs to be a valid lower bound of the kth score;
-    // the epsilon absorbs float-rounding between the summed bound and the
-    // kernel's score (over-inclusion never costs exactness)
+    // the slack absorbs float-rounding between the double-summed bound
+    // and the float-computed kernel score. Float error is RELATIVE to
+    // magnitude, so an absolute epsilon under-covers once weights reach
+    // ~1e3 — scale the slack with |kth| (plus an absolute floor for
+    // scores near zero). Over-inclusion never costs exactness.
     val tau =
-      if (seedTop.length >= k) seedTop.map(_.getDouble(1)).min - 1e-4
-      else Double.NegativeInfinity
+      if (seedTop.length >= k) {
+        val kth = seedTop.map(_.getDouble(1)).min
+        kth - (math.abs(kth) * 1e-5 + 1e-6)
+      } else Double.NegativeInfinity
     val survivors = bounds.filter(col("bound") >= tau).select("block_id")
     val res = graft.operators.MaxScore
       .topk(flat(blocks.join(broadcast(survivors), "block_id")), query, k)

@@ -143,4 +143,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("cosine_similarity("), p.take(800))
     assert(!p.toLowerCase.contains("batchevalpython"))
   }
+
+  test("facade read: offset assignment has no single-partition Exchange") {
+    // offset_id is assigned via range-repartition + zipWithIndex partition
+    // bases — a global Window.orderBy would plan Exchange SinglePartition
+    // and funnel the whole un-compacted tail through one task.
+    val root = java.nio.file.Files.createTempDirectory("graft_plan_facade").toString
+    val client = new graft.api.Client(spark, root)
+    val coll = client.createCollection("p")
+    import spark.implicits._
+    coll.add(Seq(("a", "x"), ("b", "y")).toDF("id", "document"))
+    val p = coll.asCollection.records.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p.take(1200))
+    assert(!p.contains("Window"), "no global window in the facade read plan")
+  }
 }
