@@ -308,6 +308,114 @@ final class CollectionHandle(spark: SparkSession,
     asCollection.query(queries, k, where, space)
   }
 
+  /** Served-ANN read at the reference's DEFAULT read level —
+    * `ReadLevel::IndexAndWal` (`rust/types/src/execution/plan.rs:553-565`):
+    * the persisted IVF over the compacted segment answers in parallel
+    * with a brute-force `KnnLog` leg over the un-compacted WAL tail
+    * (`rust/worker/src/execution/orchestration/knn.rs:44-100`,
+    * `operators/knn_log.rs`), merged keeping the k best per query.
+    * Tail ids SHADOW the index leg, so an update since compaction scores
+    * on its new embedding and a delete disappears — add-then-query works
+    * with no compaction in between, exactly like the reference.
+    *
+    * A never-compacted collection has no index: the whole state is tail
+    * and the read is the exact in-plan KNN. The index itself builds once
+    * per compacted segment (`ensureBuilt` marker keyed on row count) —
+    * query time only routes and probes.
+    */
+  def queryAnn(queries: DataFrame, k: Int, nprobe: Int,
+      nCentroids: Int = 16, nReplica: Int = 4,
+      where: Option[graft.model.Where.Expr] = None,
+      space: String = "cosine"): DataFrame = {
+    where.foreach(Quotas.validateWhere(_, limits))
+    Quotas.validateResults(k, limits)
+    segmentDataRoot(ref) match {
+      case None => asCollection.query(queries, k, where, space)
+      case Some(dataRoot) =>
+        val seg = CollectionStore.loadRecords(spark, dataRoot)
+        val model = CollectionStore.ivfServing(
+          seg.select(col("offset_id"), col("embedding")),
+          dataRoot, nCentroids, nReplica, space = space,
+          keyTag = segTag(seg))
+        val (tail, stale) = tailAndStale()
+        new Collection(seg).queryAnn(model, queries, k, nprobe, where,
+          space, walTail = tail, staleIds = stale,
+          staleFetchExtra = stale.map(tailCount).getOrElse(0))
+    }
+  }
+
+  /** [[queryAnn]] through the quantized-SPANN serving stack: coarse rank
+    * on the persisted rotated-code table, exact re-rank, plus the same
+    * IndexAndWal tail leg (the log is small — it brute-forces, never
+    * quantizes, matching the reference's quantized orchestration).
+    */
+  def queryAnnQuantized(queries: DataFrame, k: Int, nprobe: Int, dim: Int,
+      alpha: Int = 20, nCentroids: Int = 16, nReplica: Int = 4,
+      space: String = "cosine"): DataFrame = {
+    Quotas.validateResults(k, limits)
+    segmentDataRoot(ref) match {
+      case None => asCollection.query(queries, k, None, space)
+      case Some(dataRoot) =>
+        val seg = CollectionStore.loadRecords(spark, dataRoot)
+        val vecs = seg.select(col("offset_id"), col("embedding"))
+        val tag = segTag(seg)
+        val model = CollectionStore.ivfServing(vecs, dataRoot, nCentroids,
+          nReplica, space = space, keyTag = tag)
+        val codes = CollectionStore.rotatedCodesServing(vecs, dataRoot, dim,
+          keyTag = tag)
+        val (tail, stale) = tailAndStale()
+        new Collection(seg).queryAnnQuantized(model, codes, queries, k,
+          nprobe, dim, alpha, space, walTail = tail, staleIds = stale,
+          staleFetchExtra = stale.map(tailCount).getOrElse(0))
+    }
+  }
+
+  /** The IndexAndWal legs' inputs: current state of every id touched
+    * since compaction (the KnnLog candidates) + the touched-id set (the
+    * index-leg shadow — includes DELETED ids, which are absent from the
+    * state frame but must still knock their stale indexed version out).
+    */
+  private def tailAndStale(): (Option[DataFrame], Option[DataFrame]) =
+    writer.tailIds match {
+      case Some(ids) =>
+        (Some(asCollection.records
+          .join(broadcast(ids), Seq("id"), "left_semi")), Some(ids))
+      case None => (None, None)
+    }
+
+  /** Content fingerprint of the compacted segment — the serving-index
+    * build-key tag. Order-independent (an XOR fold of row hashes — no
+    * overflow under ANSI, commutative), so a re-persist of identical
+    * content keys identically regardless of file layout; any changed
+    * embedding changes it, which the count-only part of the build key
+    * cannot see. One aggregate job per handle per compaction (cached
+    * here; persist() invalidates).
+    */
+  /** |distinct tail ids| — the index leg's over-fetch margin (the
+    * reference's fetch-log-size). One count job per mutation epoch, only
+    * on served reads with a live tail.
+    */
+  private var tailCountCache: Option[(Long, Long)] = None
+  private def tailCount(ids: DataFrame): Int = {
+    val ep = writer.epoch
+    tailCountCache match {
+      case Some((e, n)) if e == ep => n.toInt
+      case _ =>
+        val n = ids.count()
+        tailCountCache = Some((ep, n))
+        n.toInt
+    }
+  }
+
+  private var segTagCache: Option[String] = None
+  private def segTag(seg: DataFrame): String = segTagCache.getOrElse {
+    val r = seg.agg(bit_xor(xxhash64(col("id"), col("embedding")))
+      .cast("string")).collect()(0)
+    val tag = if (r.isNullAt(0)) "empty" else r.getString(0)
+    segTagCache = Some(tag)
+    tag
+  }
+
   /** `query_texts` — embed the query strings with the collection's
     * declared embedding function, then KNN. The texts are the client's
     * literal query payload (a handful of rows), so building the query
@@ -337,6 +445,13 @@ final class CollectionHandle(spark: SparkSession,
     if (ref.schema.keys.nonEmpty || ref.schema.embedding.isDefined)
       Catalog.validate(records, ref.schema)
     CollectionStore.saveRecords(records, ref.dataRoot)
+    // this IS the compaction point: the stored segment now covers every
+    // op, so the WAL tail resets and the per-JVM index-open memos drop —
+    // the next served read re-checks build markers against the NEW
+    // segment (stale-keyed indexes rebuild there, not here)
+    CollectionStore.invalidateRoot(ref.dataRoot)
+    writer.markCompacted()
+    segTagCache = None
   }
 
   def provision(): Unit = Catalog.provision(spark, ref)

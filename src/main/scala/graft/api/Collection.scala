@@ -115,6 +115,24 @@ final class Collection(val records: DataFrame) {
     * offset_ids semi-join the probed posting rows before scoring, so a
     * filtered query still returns k survivors from the allowed set.
     * Approximate — recall vs [[query]] is the IVF gate (IvfSpec ≥ 0.95).
+    *
+    * `walTail` is the IndexAndWal read level — the reference's DEFAULT
+    * (`rust/types/src/execution/plan.rs:553-565`): a records-shaped frame
+    * of the un-compacted WAL tail answered by a brute-force KnnLog leg
+    * (`operators/knn_log.rs`) in parallel with the index leg, merged like
+    * `KnnMerge` (`orchestration/knn.rs:44-100`). `staleIds` (default: the
+    * tail's ids) SHADOW the index leg — a log update/delete beats the
+    * stale indexed version, and deleted ids (absent from the tail frame
+    * but present in `staleIds`) disappear entirely. When a tail is given,
+    * this Collection's `records` must be the COMPACTED segment the index
+    * was built over (offset ids stable); the merge keys on `id`, so tail
+    * offset ids need not align with segment offset ids.
+    */
+  /** `staleFetchExtra`: how far the INDEX leg over-fetches beyond k when
+    * a tail shadows it — the reference adds the log size to the index
+    * leg's fetch for exactly this reason (`orchestration/knn.rs`): up to
+    * |staleIds| of the index's top hits may be shadowed away, and without
+    * the over-fetch a delete-heavy tail shrinks results below k.
     */
   def queryAnn(
       model: graft.operators.Ivf.Model,
@@ -123,21 +141,25 @@ final class Collection(val records: DataFrame) {
       nprobe: Int,
       where: Option[Where.Expr] = None,
       space: String = "cosine",
-      include: Seq[String] = Seq()): DataFrame = {
+      include: Seq[String] = Seq(),
+      walTail: Option[DataFrame] = None,
+      staleIds: Option[DataFrame] = None,
+      staleFetchExtra: Int = 0): DataFrame = {
     val allowed = where.map(w => records.filter(Where.compile(w)))
-    val nn = graft.operators.Ivf.search(model, queries, k, nprobe, space,
+    val kIndex = if (walTail.isDefined) k + staleFetchExtra else k
+    val nn = graft.operators.Ivf.search(model, queries, kIndex, nprobe, space,
       allowed = allowed)
-    val proj = col("query_id") +: col("rank") +: col("dist") +:
-      col("id") +: include.map(col)
-    nn.join(records.drop("embedding"), Seq("offset_id"))
-      .select(proj: _*)
+    servedWithTail(nn, queries, k, where, space, include, walTail, staleIds)
   }
 
   /** ANN through the composed quantized-SPANN serving stack
     * (`orchestration/quantized_spann_knn.rs`): centroid routing, pruned
     * posting probe, coarse rank on the persisted rotated-code table,
     * exact re-rank — then the same record-content join as [[queryAnn]].
-    * Approximate — recall gated in IvfSpec.
+    * Approximate — recall gated in IvfSpec. `walTail`/`staleIds` add the
+    * IndexAndWal brute-force log leg exactly as in [[queryAnn]] (the
+    * reference's quantized orchestration merges the same un-quantized
+    * KnnLog leg — the log is small, so it never pays for codes).
     */
   def queryAnnQuantized(
       model: graft.operators.Ivf.Model,
@@ -148,13 +170,54 @@ final class Collection(val records: DataFrame) {
       dim: Int,
       alpha: Int = 20,
       space: String = "cosine",
-      include: Seq[String] = Seq()): DataFrame = {
+      include: Seq[String] = Seq(),
+      walTail: Option[DataFrame] = None,
+      staleIds: Option[DataFrame] = None,
+      staleFetchExtra: Int = 0): DataFrame = {
+    val kIndex = if (walTail.isDefined) k + staleFetchExtra else k
     val nn = graft.operators.Ivf.searchQuantized(model, codes, queries,
-      k, nprobe, dim, alpha, space)
+      kIndex, nprobe, dim, alpha, space)
+    servedWithTail(nn, queries, k, None, space, include, walTail, staleIds)
+  }
+
+  /** Shared IndexAndWal merge: join the index leg's (query_id, rank,
+    * offset_id, dist) against record content; when a WAL tail rides
+    * along, shadow stale ids out of the index leg, run the exact KnnLog
+    * leg over the tail, and keep the k best per query by (dist, id) —
+    * min-dist dedup is by construction (stale ids never surface from the
+    * index leg, so an id appears in at most one leg).
+    */
+  private def servedWithTail(nn: DataFrame, queries: DataFrame, k: Int,
+      where: Option[Where.Expr], space: String, include: Seq[String],
+      walTail: Option[DataFrame], staleIds: Option[DataFrame]): DataFrame = {
     val proj = col("query_id") +: col("rank") +: col("dist") +:
       col("id") +: include.map(col)
-    nn.join(records.drop("embedding"), Seq("offset_id"))
-      .select(proj: _*)
+    walTail match {
+      case None =>
+        nn.join(records.drop("embedding"), Seq("offset_id"))
+          .select(proj: _*)
+      case Some(tail) =>
+        val shadow = staleIds.getOrElse(tail.select(col("id")))
+        // the tail is the writes since the last compaction — small by the
+        // compaction contract, so it broadcasts
+        val served = nn.join(records.drop("embedding"), Seq("offset_id"))
+          .join(broadcast(shadow.select(col("id"))), Seq("id"), "left_anti")
+        val tailAllowed = where.map(w => tail.filter(Where.compile(w)))
+          .getOrElse(tail)
+          .filter(col("embedding").isNotNull)
+        val tailNn = graft.operators.Knn.exact(
+            tailAllowed.select(col("offset_id"), col("embedding")),
+            queries, k, space)
+          .join(tail.drop("embedding"), Seq("offset_id"))
+        val legCols = Seq(col("query_id"), col("dist"), col("id")) ++
+          include.map(col)
+        val merged = served.select(legCols: _*)
+          .unionByName(tailNn.select(legCols: _*))
+        GroupedTopK(merged, Seq(col("query_id")),
+            Seq(col("dist"), col("id")), k)
+          .withColumn("rank", col("group_rank").cast("long"))
+          .select(proj: _*)
+    }
   }
 
   /** Sparse KNN plan over a per-key sparse-vector metadata column —

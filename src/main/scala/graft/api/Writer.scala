@@ -30,11 +30,45 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
   private var mutations: Long = 0L
   def epoch: Long = mutations
 
+  // Ids touched by any WAL op since the last compaction — the
+  // un-compacted tail the reference's IndexAndWal read level merges into
+  // served-index queries (`plan.rs:553-565`). flush() folds state but
+  // does NOT clear these (flushing is not compacting); markCompacted()
+  // does, once the persisted segment + its indexes cover the ops.
+  private var tailIdsLocal: Vector[String] = Vector.empty
+  private var tailIdFrames: Vector[org.apache.spark.sql.DataFrame] = Vector.empty
+
   private def append(op: String, id: String, doc: Option[String],
       meta: Map[String, String], emb: Option[Seq[Float]] = None): Unit = {
     wal = wal :+ LogOp(id, nextOffset, op, doc, meta, emb)
+    tailIdsLocal = tailIdsLocal :+ id
     nextOffset += 1
     mutations += 1
+  }
+
+  /** Distinct ids touched by WAL ops since the last compaction (None when
+    * every write is covered by the compacted segment). These ids shadow
+    * the served-index leg of an IndexAndWal read and select the
+    * brute-force tail leg's candidates.
+    */
+  def tailIds: Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    if (tailIdsLocal.isEmpty && tailIdFrames.isEmpty) None
+    else {
+      val local =
+        if (tailIdsLocal.isEmpty) Nil
+        else Seq(tailIdsLocal.distinct.toDF("id"))
+      Some((tailIdFrames.map(_.select(col("id"))) ++ local)
+        .reduce(_ union _).distinct())
+    }
+  }
+
+  /** Forget the tail — called at compaction (persist + index rebuild):
+    * the segment and its serving indexes now cover every op.
+    */
+  def markCompacted(): Unit = {
+    tailIdsLocal = Vector.empty
+    tailIdFrames = Vector.empty
   }
 
   /** Bulk append — the client-batch ingestion path: one `op` per record
@@ -59,6 +93,7 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
       col("document").cast("string").as("document"),
       col("meta").cast("map<string,string>").as("meta"),
       emb.as("embedding")).as[LogOp]
+    tailIdFrames = tailIdFrames :+ ops.select(col("id").cast("string").as("id"))
     mutations += 1
   }
 
@@ -120,6 +155,12 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
       val old = segment
       segment = Materialize(spark, all,
         Some(Materialize.segmentAsLog(spark, segment))).persist()
+      // Materialize the new epoch BEFORE dropping the old one: unpersist
+      // first and the new fold's first action finds its parent cache gone
+      // and replays the whole epoch chain — the O(N²) the cache exists to
+      // prevent. The eager pass is work the caller's next action needs
+      // anyway (flush is only called on a read or a compaction).
+      segment.foreachPartition((_: Iterator[Rec]) => ())
       old.unpersist()
       wal = Vector.empty
       batches = Vector.empty

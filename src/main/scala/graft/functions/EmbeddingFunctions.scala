@@ -275,7 +275,10 @@ object EmbeddingFunctions {
           // phantom empty-string embedding (and become ANN-retrievable)
           // on the DataFrame write path only.
           val texts = batch.map(r => Option(r.getString(idx)))
-          val embs = infer(texts.flatten)
+          // an all-null batch must not reach the backend: a real ONNX
+          // session/tokenizer may reject an empty input batch
+          val nonNull = texts.flatten
+          val embs = if (nonNull.isEmpty) Seq.empty else infer(nonNull)
           val embIt = embs.iterator
           batch.iterator.zip(texts.iterator).map { case (r, t) =>
             Row.fromSeq(r.toSeq :+ t.map(_ => embIt.next().toSeq).orNull)

@@ -181,6 +181,33 @@ object FacadePack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // IndexAndWal — the reference's DEFAULT read level
+    // (plan.rs:553-565): compact part of the corpus, build the served
+    // IVF over it, then ADD the rest through the WAL and query WITHOUT
+    // re-compacting. The served leg answers from the index, the KnnLog
+    // leg brute-forces the un-compacted tail, KnnMerge keeps the k best.
+    // nprobe == nCentroids makes the index leg exhaustive, so the merged
+    // result is EXACTLY the brute-force KNN over the full corpus —
+    // hash-checked against the oracle (the approximate-nprobe tail path
+    // is gated in ClientSpec). The query vectors are tail records: every
+    // top-1 hit is a record the index has never seen.
+    "fc_ann_tail" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d) + "/tail_client"
+      val client = new graft.api.Client(s, root)
+      val coll = client.getOrCreateCollection("vecs")
+      def recs(pred: org.apache.spark.sql.Column) =
+        Tables.embeddings(s, d).filter(pred).select(
+          concat(lit("vec-"), col("vec_id")).as("id"), col("embedding"))
+      coll.add(recs(col("vec_id") >= 100))
+      coll.persist() // compaction point: segment + (re)usable IVF marker
+      coll.add(recs(col("vec_id") < 100)) // the un-compacted tail
+      coll.queryAnn(queryVecs(s, d, 3), k = 5, nprobe = 16,
+          nCentroids = 16, nReplica = 4)
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Full client lifecycle end-to-end (chromadb.Client surface):
     // create collection -> batch add -> merge-update -> predicate delete
     // -> paginated filtered get, all through the WAL-semantics handle
@@ -336,6 +363,18 @@ object FacadePack extends QueryPack {
         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
         |      FROM d)
         |SELECT query_id, rank, dist, 'vec-'||vec_id AS id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "fc_ann_tail" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT query_id, 'vec-'||vec_id AS id,
+        |        1.0 - list_cosine_similarity(embedding, qe) AS dist
+        |      FROM embeddings, q),
+        |r AS (SELECT query_id, id, dist,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+        |      FROM d)
+        |SELECT query_id, rank, dist, id FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     "fc_attached_stats" ->

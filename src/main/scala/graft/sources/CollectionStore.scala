@@ -112,6 +112,18 @@ object CollectionStore {
     dfCache.getOrElseUpdate((System.identityHashCode(spark), path),
       spark.read.parquet(path))
 
+  /** Drop every per-JVM memo under `root` — the open-once guards and the
+    * memoized file listings. Called when a compaction rewrites the stored
+    * segment: the next serving call re-checks the build markers (and
+    * rebuilds indexes whose keyed inputs changed) instead of trusting a
+    * verification done against the previous segment.
+    */
+  def invalidateRoot(root: String): Unit = {
+    val it = verifiedRoots.iterator()
+    while (it.hasNext) if (it.next().contains(root)) it.remove()
+    dfCache.keys.filter(_._2.startsWith(root)).foreach(dfCache.remove)
+  }
+
   /** Cache `df` unless an equivalent plan is already in the CacheManager —
     * re-registering the same plan rebuilds the InMemoryRelation wrapper
     * and warns ("Asked to cache already cached data") on every repeat
@@ -136,11 +148,17 @@ object CollectionStore {
     */
   val CentroidGraphThreshold: Int = 4096
 
+  /** `keyTag`: extra discriminator folded into the build key — pass a
+    * content fingerprint when the segment can change WITHOUT changing its
+    * row count (update-in-place then re-compact), which the count-only
+    * key cannot see. The facade's [[graft.api.CollectionHandle]] does.
+    */
   def ivfServing(vecs: DataFrame, root: String, nCentroids: Int,
       nReplica: Int = 2, seed: Long = 42L, space: String = "cosine",
-      graphRouteThreshold: Int = CentroidGraphThreshold): Ivf.Model = {
-    once(s"ivf-$root-$nCentroids-$nReplica-$seed") {
-      val key = s"ivf-$nCentroids-$nReplica-$seed-n${vecs.count()}"
+      graphRouteThreshold: Int = CentroidGraphThreshold,
+      keyTag: String = ""): Ivf.Model = {
+    once(s"ivf-$root-$nCentroids-$nReplica-$seed-$keyTag") {
+      val key = s"ivf-$nCentroids-$nReplica-$seed-n${vecs.count()}-$keyTag"
       ensureBuilt(root, "ivf", key) {
         saveIvf(Ivf.build(vecs, nCentroids, nReplica, seed), root)
       }
@@ -309,10 +327,21 @@ object CollectionStore {
     * only provably-losing blocks (strict `<`, with a float-rounding
     * epsilon of slack on the survivor side).
     */
+  /** `tail`/`staleDocs`: the IndexAndWal read level for the sparse path —
+    * `tail` is a records-shaped frame of the un-compacted WAL tail (its
+    * `meta_sparse[key]` vectors join the scoring as extra posting rows,
+    * never pruned), `staleDocs` (default: the tail's doc ids) shadow the
+    * persisted postings so an updated record scores only on its new
+    * vector and a deleted one disappears. Exactness is preserved: stale
+    * filtering only removes docs, block bounds only over-estimate, and
+    * tail rows bypass the block-skip entirely.
+    */
   def sparseServedSearch(spark: SparkSession, root: String, key: String,
       query: Seq[(Long, Float)], k: Int, nBuckets: Int = 64,
-      seedRanges: Int = 8): DataFrame =
-    sparseServedImpl(spark, root, key, query, k, nBuckets, seedRanges)._1
+      seedRanges: Int = 8, tail: Option[DataFrame] = None,
+      staleDocs: Option[DataFrame] = None): DataFrame =
+    sparseServedImpl(spark, root, key, query, k, nBuckets, seedRanges,
+      tail, staleDocs)._1
 
   /** [[sparseServedSearch]] plus (surviving, total) block counts for the
     * skip gate in StorageSpec. Runs the counts as actions.
@@ -321,13 +350,15 @@ object CollectionStore {
       query: Seq[(Long, Float)], k: Int, nBuckets: Int = 64,
       seedRanges: Int = 8): (DataFrame, Long, Long) = {
     val (res, survivors, bounds) =
-      sparseServedImpl(spark, root, key, query, k, nBuckets, seedRanges)
+      sparseServedImpl(spark, root, key, query, k, nBuckets, seedRanges,
+        None, None)
     (res, survivors.count(), bounds.count())
   }
 
   private def sparseServedImpl(spark: SparkSession, root: String, key: String,
       query: Seq[(Long, Float)], k: Int, nBuckets: Int,
-      seedRanges: Int): (DataFrame, DataFrame, DataFrame) = {
+      seedRanges: Int, tail: Option[DataFrame],
+      staleDocs: Option[DataFrame]): (DataFrame, DataFrame, DataFrame) = {
     val buckets = query
       .map(q => java.lang.Math.floorMod(q._1, nBuckets.toLong).toInt).distinct
     val blocks = readCached(spark, s"$root/sparse_$key/postings")
@@ -340,9 +371,29 @@ object CollectionStore {
       .select(col("block_id"),
         (element_at(qw, col("term_id")) * col("block_max")).as("tb"))
       .groupBy("block_id").agg(sum(col("tb")).as("bound"))
-    def flat(b: DataFrame): DataFrame = b
-      .select(col("term_id"), explode(arrays_zip(col("docs"), col("ws"))).as("p"))
-      .select(col("term_id"), col("p.docs").as("doc_id"), col("p.ws").as("w"))
+    // tail leg: the un-compacted records' vectors as flat posting rows,
+    // restricted to the query's terms — small (the writes since the last
+    // compaction), appended to every scoring pass below
+    val tailFlat = tail.map { t =>
+      val sv = element_at(col("meta_sparse"), key)
+      t.filter(sv.isNotNull)
+        .select(col("offset_id").as("doc_id"),
+          sv.getField("indices").as("ti"), sv.getField("values").as("tv"))
+        .select(col("doc_id"), explode(arrays_zip(col("ti"), col("tv"))).as("p"))
+        .select(col("p.ti").as("term_id"), col("doc_id"),
+          col("p.tv").cast("float").as("w"))
+        .filter(col("term_id").isin(query.map(_._1): _*))
+    }
+    val shadow = staleDocs.orElse(tailFlat.map(_.select("doc_id").distinct()))
+    def flat(b: DataFrame): DataFrame = {
+      val served0 = b
+        .select(col("term_id"), explode(arrays_zip(col("docs"), col("ws"))).as("p"))
+        .select(col("term_id"), col("p.docs").as("doc_id"), col("p.ws").as("w"))
+      val served = shadow.map(sd => served0.join(
+        broadcast(sd.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
+        .getOrElse(served0)
+      tailFlat.map(served.unionByName(_)).getOrElse(served)
+    }
     // few ranges -> the seed pass would score everything anyway; skip the
     // threshold machinery and run the single exact pass (the small-corpus
     // / narrow-query fast path — the count reads only block metadata)
@@ -357,12 +408,14 @@ object CollectionStore {
     // the slack absorbs float-rounding between the double-summed bound
     // and the float-computed kernel score. Float error is RELATIVE to
     // magnitude, so an absolute epsilon under-covers once weights reach
-    // ~1e3 — scale the slack with |kth| (plus an absolute floor for
-    // scores near zero). Over-inclusion never costs exactness.
+    // ~1e3 — scale the slack with |kth|, and keep the absolute floor at
+    // 1e-4: MaxScore accumulates in Float32, so a doc summed over ~100+
+    // query terms can drift past a 1e-6 floor even at small magnitudes.
+    // Over-inclusion never costs exactness.
     val tau =
       if (seedTop.length >= k) {
         val kth = seedTop.map(_.getDouble(1)).min
-        kth - (math.abs(kth) * 1e-5 + 1e-6)
+        kth - (math.abs(kth) * 1e-5 + 1e-4)
       } else Double.NegativeInfinity
     val survivors = bounds.filter(col("bound") >= tau).select("block_id")
     val res = graft.operators.MaxScore
@@ -396,9 +449,9 @@ object CollectionStore {
     * scans ONLY this table.
     */
   def rotatedCodesServing(vecs: DataFrame, root: String, dim: Int,
-      seed: Long = 42L, rounds: Int = 3): DataFrame = {
-    once(s"rcodes-$root-$dim-$seed-$rounds") {
-      val key = s"rcodes-$dim-$seed-$rounds-n${vecs.count()}"
+      seed: Long = 42L, rounds: Int = 3, keyTag: String = ""): DataFrame = {
+    once(s"rcodes-$root-$dim-$seed-$rounds-$keyTag") {
+      val key = s"rcodes-$dim-$seed-$rounds-n${vecs.count()}-$keyTag"
       ensureBuilt(root, "rcodes", key) {
         graft.operators.Quantized
           .rotatedCodeRows(vecs, dim, seed, rounds)
