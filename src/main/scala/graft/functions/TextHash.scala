@@ -99,6 +99,28 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Distinct character trigrams of `s`, one linear pass — the FTS
+    * segment's tokenizer (`rust/index/src/fulltext/types.rs` trigram
+    * extraction runs a native sliding window). The SQL formulation
+    * `transform(sequence(...), i -> substring(text, i, 3))` re-seeks the
+    * UTF8String from the start for every position (substring by
+    * character index is O(i)), making extraction quadratic per document
+    * — this kernel decodes once and slides, and its UTF-16 window
+    * matches the query side's `needle.sliding(3)` exactly.
+    */
+  def trigramKernel(s: UTF8String): ArrayData = {
+    val str = s.toString
+    if (str.length < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 3 <= str.length) { seen.add(str.substring(i, i + 3)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
   private val kernelClass = "graft.functions.TextHash"
 
   private case class MinHashSig(child: Expression, perms: Int)
@@ -137,6 +159,18 @@ object TextHash {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  private case class DistinctTrigrams(child: Expression)
+      extends UnaryExpression {
+    override def prettyName: String = "distinct_trigrams"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      trigramKernel(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"$kernelClass.trigramKernel($a)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   private case class SimHash64(child: Expression) extends UnaryExpression {
     override def prettyName: String = "simhash64"
     override def dataType: DataType = LongType
@@ -158,6 +192,10 @@ object TextHash {
   def simhash64(toks: Column): Column =
     SqlBridge.column(SimHash64(SqlBridge.expr(toks)))
 
+  /** text -> array<string> of its distinct character trigrams (linear). */
+  def distinctTrigrams(text: Column): Column =
+    SqlBridge.column(DistinctTrigrams(SqlBridge.expr(text)))
+
   /** token array<string> -> L2-normalized dim-bucket hashed BoW vector. */
   def hashedBow(toks: Column, dim: Int): Column =
     SqlBridge.column(HashedBowVec(SqlBridge.expr(toks), dim))
@@ -175,5 +213,6 @@ object TextHash {
   def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_sig" -> { args => MinHashSig(args(0), litInt(args(1), "perms")) },
     "simhash64" -> { args => SimHash64(args(0)) },
-    "hashed_bow" -> { args => HashedBowVec(args(0), litInt(args(1), "dim")) })
+    "hashed_bow" -> { args => HashedBowVec(args(0), litInt(args(1), "dim")) },
+    "distinct_trigrams" -> { args => DistinctTrigrams(args(0)) })
 }

@@ -24,11 +24,14 @@ object Fts {
   val DefaultBuckets = 64
 
   /** Distinct character trigrams of `text` (rows shorter than 3 chars
-    * index nothing — they can never match a >=3-char needle).
+    * index nothing — they can never match a >=3-char needle). A native
+    * linear kernel: the SQL `transform(sequence, substring)` formulation
+    * re-seeks the string per position — quadratic per document — which
+    * dominated the posting build (see [[graft.functions.TextHash
+    * .trigramKernel]]).
     */
   private def trigramCol: org.apache.spark.sql.Column =
-    array_distinct(expr(
-      "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+    graft.functions.TextHash.distinctTrigrams(col("text"))
 
   /** Candidate lists longer than this fall back to a join instead of an
     * IN-filter pushdown (an IN of millions of literals would bloat the
@@ -62,6 +65,38 @@ object Fts {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$root/fts/postings")
+  }
+
+  /** Posting compaction — the reference rewrites posting lists at
+    * compaction (`rust/index/src/fulltext/types.rs:54,292`): streaming
+    * maintenance appends one posting row per (trigram, micro-batch), so a
+    * long-lived stream fragments a trigram's list without bound and every
+    * query pays a merge-union over the fragments. This folds the table
+    * back to ONE row per (bucket, trigram) — same layout as a cold
+    * [[buildAndSave]], so queries are indistinguishable — and swaps it in
+    * place. The fold keeps doc lists as packed arrays (flatten + sort +
+    * dedup per group, never exploded to rows): one shuffle keyed by
+    * trigram, array work local to each group. Run it on the compaction
+    * cadence, not per batch.
+    *
+    * The swap is delete-then-move on a filesystem; on an object store
+    * compact into a versioned directory via
+    * [[graft.sources.CollectionStore.conditionalCommit]] instead.
+    */
+  def compactPostings(spark: SparkSession, root: String): Unit = {
+    val dir = s"$root/fts/postings"
+    val tmp = s"$root/fts/postings_compacting"
+    spark.read.parquet(dir)
+      .groupBy("bucket", "trigram")
+      .agg(array_sort(array_distinct(flatten(collect_list(col("docs")))))
+        .as("docs"))
+      .repartition(col("bucket")) // one writer per bucket → no tiny files
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
+    val d = new java.io.File(dir)
+    org.apache.commons.io.FileUtils.deleteDirectory(d)
+    org.apache.commons.io.FileUtils.moveDirectory(new java.io.File(tmp), d)
+    // drop memoized file listings for the swapped directory
+    graft.sources.CollectionStore.invalidateRoot(dir)
   }
 
   /** Total posting entries above which the intersection runs as a

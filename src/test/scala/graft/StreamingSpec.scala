@@ -166,6 +166,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromInc == truth,
       s"incremental index diverges: only-inc=${(fromInc -- truth).take(5)} " +
         s"missing=${(truth -- fromInc).take(5)}")
+
+    // posting compaction folds the per-batch fragments back to the
+    // batch-built layout: ONE row per (bucket, trigram), same answers —
+    // the reference rewrites posting lists at compaction
+    // (rust/index/src/fulltext/types.rs:54,292)
+    Fts.compactPostings(spark, s"$base/inc")
+    val rowsPer = spark.read.parquet(s"$base/inc/fts/postings")
+      .groupBy("bucket", "trigram").count().agg(max("count")).head().getLong(0)
+    assert(rowsPer == 1L, s"compaction left $rowsPer rows for some trigram")
+    assert(got(s"$base/inc") == truth, "compacted index diverges")
   }
 
   test("incremental HNSW maintenance keeps recall >= 0.95 vs exact KNN") {
