@@ -239,6 +239,15 @@ final class CollectionHandle(spark: SparkSession,
   }
   private var collectionCache: Option[(Long, Collection)] = None
 
+  /** The offset-assignment input BEFORE the zipWithIndex RDD boundary —
+    * exposed so PlanSpec can assert no single-partition Exchange hides
+    * UPSTREAM of the boundary (the post-boundary plan cannot show it).
+    */
+  private[graft] def offsetSortedState: DataFrame =
+    state.toDF()
+      .repartitionByRange(col("first_offset"), col("id"))
+      .sortWithinPartitions(col("first_offset"), col("id"))
+
   private def buildCollection(): Collection = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
@@ -268,9 +277,7 @@ final class CollectionHandle(spark: SparkSession,
     // let zipWithIndex add per-partition bases. (first_offset, id) is a
     // unique total order, so the ids are bit-identical to
     // row_number().over(orderBy(first_offset, id)).
-    val sorted = state.toDF()
-      .repartitionByRange(col("first_offset"), col("id"))
-      .sortWithinPartitions(col("first_offset"), col("id"))
+    val sorted = offsetSortedState
     val withOffset = spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) =>
         Row.fromSeq(r.toSeq :+ (i + 1L))
@@ -509,9 +516,21 @@ final class CollectionHandle(spark: SparkSession,
       val chunks = ((n + limits.maxBatchRecords - 1) / limits.maxBatchRecords).toInt
       if (chunks <= 1) upsert(rows)
       else {
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
-        val numbered = rows.withColumn("_chunk",
-          floor((row_number().over(w) - 1) / limits.maxBatchRecords))
+        // Chunk numbering without a global window (a row_number over the
+        // whole import is a single-partition Exchange — the funnel shape
+        // the read path already deleted): range-partition on id, sort
+        // within, zipWithIndex adds per-partition bases. Chunks stay
+        // id-ordered, so offset assignment matches the windowed variant.
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.LongType
+        val sorted = rows.repartitionByRange(col("id"))
+          .sortWithinPartitions(col("id"))
+        val maxBatch = limits.maxBatchRecords.toLong
+        val numbered = spark.createDataFrame(
+          sorted.rdd.zipWithIndex.map { case (r, i) =>
+            Row.fromSeq(r.toSeq :+ (i / maxBatch))
+          },
+          sorted.schema.add("_chunk", LongType))
         for (c <- 0 until chunks)
           upsert(numbered.filter(col("_chunk") === c).drop("_chunk"))
       }

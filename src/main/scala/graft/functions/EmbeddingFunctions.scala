@@ -191,6 +191,58 @@ object EmbeddingFunctions {
     }
   }
 
+  /** SPLADE-style fitted sparse text embedding — the learned-sparse
+    * family of the reference's embedding-function suite
+    * (`chromadb/utils/embedding_functions/` SPLADE et al., which emit
+    * per-term weights from a model): here the "model" is a FITTED idf
+    * vocabulary ([[LogTfIdfSparse.fit]] — one aggregation over a corpus,
+    * top-`maxVocab` terms by document frequency), and the doc-side
+    * weight is the classic learned-sparse surrogate
+    * `w(t) = ln(1 + tf) · idf(t)`, pruned to the vocabulary. idf
+    * quantizes to 1/64 and the product to 1/1024, so the f32 sparse-dot
+    * kernel is bit-identical to a double-computing oracle (the
+    * `fc_sparse_idf` trick).
+    *
+    * The fitted vocabulary rides the plan as a map literal — right for a
+    * bounded vocab (the SPLADE lexicon is 30k terms); an unbounded vocab
+    * would apply weights via a broadcast join against the df table
+    * instead.
+    */
+  final class LogTfIdfSparse(val idf: Map[Long, Double])
+      extends SparseEmbeddingFunction {
+    val name = "logtfidf_sparse"
+    def embedSparse(text: Column): Column =
+      TextHash.logTfIdfSparse(graft.operators.TextStats.tokens(text), idf)
+  }
+
+  object LogTfIdfSparse {
+    /** Fit the idf vocabulary: document frequencies in ONE distributed
+      * aggregation, top `maxVocab` terms by (df desc, term asc) —
+      * deterministic, so an oracle can reproduce the exact vocabulary —
+      * idf = BM25-idf quantized to 1/64. The collect is bounded by
+      * `maxVocab`.
+      */
+    def fit(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
+        maxVocab: Int = 2048): LogTfIdfSparse = {
+      val n = docs.count().toDouble
+      val dfRows = docs
+        .select(explode(array_distinct(
+          graft.operators.TextStats.tokens(col(textCol)))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), col("term")).limit(maxVocab)
+        .collect()
+      val idf = dfRows.map { r =>
+        val term = r.getString(0)
+        val d = r.getLong(1).toDouble
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+        val tid = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        tid -> math.floor(math.log((n - d + 0.5) / (d + 0.5) + 1.0) * 64.0) / 64.0
+      }.toMap
+      new LogTfIdfSparse(idf)
+    }
+  }
+
   /** A loadable inference model: `load()` runs ONCE per partition (the
     * expensive step — an ONNX session, a tokenizer) and returns the
     * batch-infer closure. This is the `onnx_mini_lm_l6_v2.py` shape:

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -121,6 +122,43 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Fitted log-tf·idf sparse embedding kernel: one pass hashes tokens,
+    * counts in-vocabulary term frequencies, and emits the sorted
+    * `(indices, values)` sparse struct with
+    * `w = floor(ln(1+tf)·idf·1024)/1024` — the whole SPLADE-surrogate
+    * doc-side computation in one JVM method with O(1) vocabulary lookups
+    * (an `element_at` against a map literal scans the literal per
+    * lookup; a 2k-term vocab × 100+ terms/doc makes that quadratic).
+    */
+  def logTfIdfKernel(arr: ArrayData,
+      idf: java.util.HashMap[java.lang.Long, java.lang.Double]): InternalRow = {
+    val n = arr.numElements()
+    val tfm = new java.util.TreeMap[java.lang.Long, Array[Int]]()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      if (idf.containsKey(h)) {
+        val c = tfm.get(h)
+        if (c == null) tfm.put(h, Array(1)) else c(0) += 1
+      }
+      j += 1
+    }
+    val m = tfm.size()
+    val ids = new Array[Long](m)
+    val ws = new Array[Float](m)
+    val it = tfm.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      ids(i) = e.getKey
+      ws(i) = (math.floor(math.log(1.0 + e.getValue()(0)) *
+        idf.get(e.getKey) * 1024.0) / 1024.0).toFloat
+      i += 1
+    }
+    InternalRow(new GenericArrayData(ids), new GenericArrayData(ws))
+  }
+
   private val kernelClass = "graft.functions.TextHash"
 
   private case class MinHashSig(child: Expression, perms: Int)
@@ -171,6 +209,31 @@ object TextHash {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  private case class LogTfIdfVec(child: Expression,
+      idf: Map[Long, Double]) extends UnaryExpression {
+    override def prettyName: String = "logtfidf_sparse"
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("indices",
+          ArrayType(LongType, containsNull = false)),
+        org.apache.spark.sql.types.StructField("values",
+          ArrayType(FloatType, containsNull = false))))
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val idfMap = {
+      val m = new java.util.HashMap[java.lang.Long, java.lang.Double](idf.size * 2)
+      idf.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+    override def nullSafeEval(input: Any): Any =
+      logTfIdfKernel(input.asInstanceOf[ArrayData], idfMap)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("idfVocab", idfMap,
+        "java.util.HashMap<java.lang.Long, java.lang.Double>")
+      defineCodeGen(ctx, ev, a => s"$kernelClass.logTfIdfKernel($a, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   private case class SimHash64(child: Expression) extends UnaryExpression {
     override def prettyName: String = "simhash64"
     override def dataType: DataType = LongType
@@ -195,6 +258,12 @@ object TextHash {
   /** text -> array<string> of its distinct character trigrams (linear). */
   def distinctTrigrams(text: Column): Column =
     SqlBridge.column(DistinctTrigrams(SqlBridge.expr(text)))
+
+  /** token array<string> -> sorted sparse struct of fitted log-tf·idf
+    * weights (in-vocabulary terms only).
+    */
+  def logTfIdfSparse(toks: Column, idf: Map[Long, Double]): Column =
+    SqlBridge.column(LogTfIdfVec(SqlBridge.expr(toks), idf))
 
   /** token array<string> -> L2-normalized dim-bucket hashed BoW vector. */
   def hashedBow(toks: Column, dim: Int): Column =

@@ -334,6 +334,25 @@ object FacadePack extends QueryPack {
         .sparseSearch("tf_bow", qv, k = 20)
         .select(col("id"), col("#score").cast("float").as("score"))
     },
+    // Sparse search over a FITTED SPLADE-style embedding function
+    // (LogTfIdfSparse): the idf vocabulary fits in one corpus
+    // aggregation (top-2048 terms by df — deterministic, so the oracle
+    // reproduces the exact vocabulary), doc weights are
+    // ln(1+tf)·idf quantized to 1/1024 — f32 dot bit-identical to the
+    // double-computing oracle.
+    "fc_sparse_splade" -> { (s, d) =>
+      val ef = graft.functions.EmbeddingFunctions.LogTfIdfSparse.fit(
+        Tables.documents(s, d), "text", maxVocab = 2048)
+      val base = ChromaCore.docsCollection(s, d).records
+      val coll = new Collection(graft.functions.EmbeddingFunctions.attachOnce(
+        base, "meta_sparse", map(lit("splade"), ef.embedSparse(col("document")))))
+      val qv = s.range(1).select(
+        array_sort(array(sparseTerms.map(t => xxhash64(lit(t))): _*)).as("qi"),
+        array(sparseTerms.map(_ => lit(1.0f)): _*).as("qv"))
+      coll.sparseSearch("splade", qv, k = 20)
+        .select(col("id"), col("#score").cast("float").as("score"))
+    },
+
     // Sparse search where the record column comes from the Bm25Sparse
     // EMBEDDING FUNCTION (doc-side BM25 saturation, 1/1024-quantized →
     // f32 dot bit-identical to the double-computing oracle).
@@ -442,6 +461,28 @@ object FacadePack extends QueryPack {
         |FROM freq f JOIN idf ON f.term = idf.term
         |GROUP BY f.doc_id HAVING sum(f.tf * idf.w) > 0
         |ORDER BY score DESC, f.doc_id LIMIT 20""".stripMargin,
+
+    "fc_sparse_splade" ->
+      """WITH tf0 AS (SELECT doc_id, unnest(t) AS term FROM
+        |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |       x -> x <> '') AS t FROM documents)),
+        |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf0 GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |dfv AS (SELECT term, count(*) AS df FROM
+        |          (SELECT DISTINCT doc_id, term FROM tf0) GROUP BY term),
+        |vocab AS (SELECT term, df,
+        |            row_number() OVER (ORDER BY df DESC, term) AS rn FROM dfv),
+        |idf AS (SELECT term,
+        |          floor(ln(((SELECT n FROM n) - df + 0.5) / (df + 0.5) + 1.0)
+        |            * 64) / 64 AS idf
+        |        FROM vocab WHERE rn <= 2048),
+        |w AS (SELECT f.doc_id, f.term,
+        |        floor(ln(1.0 + f.tf) * idf.idf * 1024) / 1024 AS w
+        |      FROM freq f JOIN idf ON f.term = idf.term)
+        |SELECT 'doc-'||doc_id AS id, CAST(sum(w) AS FLOAT) AS score
+        |FROM w WHERE term IN ('query','data','filter','spark')
+        |GROUP BY doc_id HAVING sum(w) > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "fc_sparse_bm25ef" ->
       """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM

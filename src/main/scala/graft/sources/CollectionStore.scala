@@ -26,8 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object CollectionStore {
 
+  /** Parquet bloom filter on `id`: the reference bloom-filters its record
+    * segment's id lookups (`rust/segment/src/blockfile_record.rs:16-17`);
+    * here the filter lives in the parquet footer, so a get-by-ids point
+    * read drops whole row groups before touching pages. ndv sizes the
+    * filter per row group (~1M ids ≈ 1.2 MB at the default fpp).
+    */
   def saveRecords(records: DataFrame, root: String): Unit =
-    records.write.mode(SaveMode.Overwrite).parquet(s"$root/records")
+    records.write.mode(SaveMode.Overwrite)
+      .option("parquet.bloom.filter.enabled#id", "true")
+      .option("parquet.bloom.filter.expected.ndv#id", "1000000")
+      .parquet(s"$root/records")
 
   def loadRecords(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/records")

@@ -51,6 +51,34 @@ class EmbeddingFunctionsSpec extends AnyFunSuite {
     assert(two(1) > two(0) && two(1) < 10 * two(0))
   }
 
+  test("fitted SPLADE-style EF: vocab-pruned, sorted, exact ln(1+tf)*idf weights") {
+    import spark.implicits._
+    val corpus = Seq(
+      "spark spark data engine",
+      "data filter engine",
+      "spark data",
+      "rare token here").toDF("text")
+    val ef = EmbeddingFunctions.LogTfIdfSparse.fit(corpus, "text", maxVocab = 3)
+    // vocabulary = top-3 by (df desc, term asc): data(3), spark(2), engine(2)
+    assert(ef.idf.size == 3)
+    def idfOf(df: Int) =
+      math.floor(math.log((4.0 - df + 0.5) / (df + 0.5) + 1.0) * 64.0) / 64.0
+    val out = corpus.select(ef.embedSparse(col("text")).as("sv"))
+      .select(col("sv.indices"), col("sv.values")).collect()
+    val row0 = out(0) // "spark spark data engine"
+    val ids = row0.getSeq[Long](0)
+    val ws = row0.getSeq[Float](1)
+    assert(ids == ids.sorted, "indices must be sorted")
+    assert(ids.length == 3 && ws.length == 3) // all three vocab terms present
+    def w(tf: Int, df: Int): Float =
+      (math.floor(math.log(1.0 + tf) * idfOf(df) * 1024.0) / 1024.0).toFloat
+    // tf: spark=2 (df 2), data=1 (df 3), engine=1 (df 2)
+    assert(ws.toSet == Set(w(2, 2), w(1, 3), w(1, 2)))
+    // out-of-vocab document embeds to the empty sparse vector
+    val rare = out(3)
+    assert(rare.getSeq[Long](0).isEmpty && rare.getSeq[Float](1).isEmpty)
+  }
+
   test("model runner: batched mapPartitions inference, one session per JVM") {
     import EmbeddingFunctions.{FakeModelBackend, ModelEmbeddingFunction}
     import spark.implicits._

@@ -156,5 +156,11 @@ class PlanSpec extends AnyFunSuite {
     val p = coll.asCollection.records.queryExecution.executedPlan.toString
     assert(!p.contains("SinglePartition"), p.take(1200))
     assert(!p.contains("Window"), "no global window in the facade read plan")
+    // the post-zipWithIndex plan above cannot see upstream of the RDD
+    // boundary — also inspect the offset-assignment INPUT plan (the
+    // sorted frame the boundary consumes)
+    val pre = coll.offsetSortedState.queryExecution.executedPlan.toString
+    assert(!pre.contains("SinglePartition"), pre.take(1200))
+    assert(!pre.contains("Window"), "no global window upstream of the boundary")
   }
 }

@@ -192,6 +192,90 @@ class StorageSpec extends AnyFunSuite {
       "swept a data dir above currentVersion (in-flight commit)")
   }
 
+  test("record segments carry a parquet bloom filter on id; id lookups push down") {
+    val root = tmp()
+    val recs = Tables.documents(spark, sf).limit(500)
+      .select(concat(lit("doc-"), col("doc_id")).as("id"),
+        col("doc_id").as("offset_id"), col("text").as("document"))
+    CollectionStore.saveRecords(recs, root)
+    // footer check: every row group's id column owns a bloom filter —
+    // the blockfile_record.rs:16-17 analogue lives in the file format
+    val conf = spark.sparkContext.hadoopConfiguration
+    val part = new java.io.File(s"$root/records").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala
+      assert(blocks.nonEmpty)
+      blocks.foreach { rg =>
+        val idCol = rg.getColumns.asScala
+          .find(_.getPath.toDotString == "id").get
+        assert(idCol.getBloomFilterOffset > 0,
+          "id column has no bloom filter in the footer")
+        assert(reader.getBloomFilterDataReader(rg)
+          .readBloomFilter(idCol) != null, "bloom filter unreadable")
+      }
+    } finally reader.close()
+    // plan check: an id IN-lookup reaches the scan as a pushed filter, so
+    // the reader can consult row-group stats + bloom before reading pages
+    val lookup = CollectionStore.loadRecords(spark, root)
+      .filter(col("id").isin("doc-1", "doc-42", "doc-999999"))
+    val plan = lookup.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("In(id") || plan.contains("INSET")), plan.take(800))
+    assert(lookup.count() <= 2) // doc-999999 absent; result still exact
+  }
+
+  test("cross-version layouts: old-keyed index roots rebuild on reopen, never mix") {
+    import graft.sources.CollectionStore.{hnswServing, invalidateRoot, sparseServing}
+    val root = tmp()
+    val vecs = Tables.embeddings(spark, sf).limit(200)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    // current-layout build, then fabricate a PRE-hnsw-v2 root: the v1
+    // marker key (int pids, no packing) under the same directory — the
+    // test_cross_version_persist.py analogue for the serving layout
+    hnswServing(vecs, root)
+    val marker = java.nio.file.Paths.get(root, "hnsw", "_built")
+    val v2Key = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    assert(v2Key.startsWith("hnsw-v2-"), s"unexpected current key $v2Key")
+    java.nio.file.Files.write(marker,
+      v2Key.replace("hnsw-v2-", "hnsw-v1-").getBytes("UTF-8"))
+    invalidateRoot(root) // a fresh serving process re-checks markers
+    hnswServing(vecs, root) // reopen with CURRENT code
+    val rebuilt = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    assert(rebuilt == v2Key,
+      s"v1-keyed root did not rebuild to the current layout: $rebuilt")
+    // reads never mix layouts: the rebuilt graph serves correctly
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    assert(graft.operators.Hnsw.searchSaved(spark, root, queries, k = 5)
+      .count() == 15)
+
+    // same contract for the sparse-v2 blocked layout
+    import spark.implicits._
+    val recs = (0L until 50L).map { i =>
+      (i, Seq(1L, 2L + i), Seq(1.0f, 2.0f))
+    }.toDF("offset_id", "ti", "tv")
+      .select(col("offset_id"),
+        map(lit("tf"), struct(col("ti").as("indices"),
+          col("tv").as("values"))).as("meta_sparse"))
+    sparseServing(recs, "tf", root, nBuckets = 4)
+    val sMarker = java.nio.file.Paths.get(root, "sparse_tf", "_built")
+    val sV2 = new String(java.nio.file.Files.readAllBytes(sMarker), "UTF-8")
+    assert(sV2.startsWith("sparse-v2-"))
+    java.nio.file.Files.write(sMarker,
+      sV2.replace("sparse-v2-", "sparse-v1-").getBytes("UTF-8"))
+    invalidateRoot(root)
+    sparseServing(recs, "tf", root, nBuckets = 4)
+    assert(new String(java.nio.file.Files.readAllBytes(sMarker), "UTF-8") == sV2)
+    val res = CollectionStore.sparseServedSearch(spark, root, "tf",
+      Seq(1L -> 1.0f), k = 3, nBuckets = 4)
+    assert(res.count() == 3)
+  }
+
   test("fork is copy-on-write: divergent WALs over a shared segment") {
     import spark.implicits._
     val segment = Seq(
