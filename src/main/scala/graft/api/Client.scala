@@ -149,10 +149,15 @@ final class CollectionHandle(spark: SparkSession,
             .withColumnRenamed("meta_str", "meta"))
         .select(col("id"), col("document"), col("meta"),
           col("embedding"), col("offset_id").as("first_offset")).as[Rec]
-      val next = seg.agg(max(col("first_offset"))).collect()(0) match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0) + 1
-      }
+      // _segmeta (written at compaction) makes the open job-free; a
+      // segment stored without it (raw writeCollection) pays one agg
+      val next = CollectionStore.readSegMeta(dataRoot).map(_._1 + 1)
+        .getOrElse {
+          seg.agg(max(col("first_offset"))).collect()(0) match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0) + 1
+          }
+        }
       new Writer(spark, seg, next)
     case None => new Writer(spark, spark.emptyDataset[Rec])
   }
@@ -248,9 +253,11 @@ final class CollectionHandle(spark: SparkSession,
       .repartitionByRange(col("first_offset"), col("id"))
       .sortWithinPartitions(col("first_offset"), col("id"))
 
-  private def buildCollection(): Collection = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
+  /** WAL-state rows (id, document, meta, embedding [, offset_id]) →
+    * the shredded record schema, typed maps split out by the DECLARED
+    * schema + tag-encoded values (see [[asCollection]]'s doc).
+    */
+  private def shredRecords(withOffset: DataFrame): DataFrame = {
     val none = map_from_arrays(array(), array())
     def declared(t: Catalog.ValueType): Seq[String] =
       ref.schema.keys.collect { case (k, c) if c.valueType == t => k }.toSeq
@@ -272,6 +279,21 @@ final class CollectionHandle(spark: SparkSession,
     def merged(decl: Seq[String], cast: String,
         tagged: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
       map_concat(typedMap(decl, cast), tagged(col("meta")))
+    withOffset.select(
+      col("id"),
+      col("offset_id"),
+      col("embedding"),
+      col("document"),
+      lit(null).cast("string").as("uri"),
+      TypedMeta.decodeStr(strMap0).as("meta_str"),
+      merged(declared(Catalog.VInt), "bigint", TypedMeta.decodeInt).as("meta_int"),
+      merged(declared(Catalog.VFloat), "double", TypedMeta.decodeFloat).as("meta_float"),
+      merged(declared(Catalog.VBool), "boolean", TypedMeta.decodeBool).as("meta_bool"))
+  }
+
+  private def buildCollection(): Collection = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
     // Dense offset ids without a global window: range-partition on the
     // sort key (partitions ordered by partition index), sort within, and
     // let zipWithIndex add per-partition bases. (first_offset, id) is a
@@ -283,16 +305,7 @@ final class CollectionHandle(spark: SparkSession,
         Row.fromSeq(r.toSeq :+ (i + 1L))
       },
       sorted.schema.add("offset_id", LongType))
-    new Collection(withOffset.select(
-      col("id"),
-      col("offset_id"),
-      col("embedding"),
-      col("document"),
-      lit(null).cast("string").as("uri"),
-      TypedMeta.decodeStr(strMap0).as("meta_str"),
-      merged(declared(Catalog.VInt), "bigint", TypedMeta.decodeInt).as("meta_int"),
-      merged(declared(Catalog.VFloat), "double", TypedMeta.decodeFloat).as("meta_float"),
-      merged(declared(Catalog.VBool), "boolean", TypedMeta.decodeBool).as("meta_bool")))
+    new Collection(shredRecords(withOffset))
   }
 
   def count(): Long = state.count()
@@ -377,6 +390,28 @@ final class CollectionHandle(spark: SparkSession,
     }
   }
 
+  /** [[queryAnn]] served from the persisted per-partition HNSW graphs —
+    * the reference's compacted vector segment is an HNSW
+    * (`rust/segment/src/distributed_hnsw.rs`); same IndexAndWal tail
+    * merge. Graphs build once per compacted segment (content-tagged key).
+    */
+  def queryAnnHnsw(queries: DataFrame, k: Int, efSearch: Int = 64,
+      space: String = "cosine"): DataFrame = {
+    Quotas.validateResults(k, limits)
+    segmentDataRoot(ref) match {
+      case None => asCollection.query(queries, k, None, space)
+      case Some(dataRoot) =>
+        val seg = CollectionStore.loadRecords(spark, dataRoot)
+        val root = CollectionStore.hnswServing(
+          seg.select(col("offset_id"), col("embedding")), dataRoot,
+          space = space, keyTag = segTag(seg))
+        val (tail, stale) = tailAndStale()
+        new Collection(seg).queryAnnHnsw(root, queries, k, efSearch, space,
+          walTail = tail, staleIds = stale,
+          staleFetchExtra = stale.map(tailCount).getOrElse(0))
+    }
+  }
+
   /** The IndexAndWal legs' inputs: current state of every id touched
     * since compaction (the KnnLog candidates) + the touched-id set (the
     * index-leg shadow — includes DELETED ids, which are absent from the
@@ -385,8 +420,15 @@ final class CollectionHandle(spark: SparkSession,
   private def tailAndStale(): (Option[DataFrame], Option[DataFrame]) =
     writer.tailIds match {
       case Some(ids) =>
-        (Some(asCollection.records
-          .join(broadcast(ids), Seq("id"), "left_semi")), Some(ids))
+        // Writer.stateOf folds ONLY the touched ids — O(|tail|), never
+        // the full RYW materialization. Tail offset ids are leg-local
+        // (the merge keys on id), so a window over the tail suffices;
+        // it is bounded by the writes since the last compaction.
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("first_offset"), col("id"))
+        val t = writer.stateOf(ids).toDF()
+          .withColumn("offset_id", row_number().over(w).cast("long"))
+        (Some(shredRecords(t)), Some(ids))
       case None => (None, None)
     }
 
@@ -416,9 +458,14 @@ final class CollectionHandle(spark: SparkSession,
 
   private var segTagCache: Option[String] = None
   private def segTag(seg: DataFrame): String = segTagCache.getOrElse {
-    val r = seg.agg(bit_xor(xxhash64(col("id"), col("embedding")))
-      .cast("string")).collect()(0)
-    val tag = if (r.isNullAt(0)) "empty" else r.getString(0)
+    // prefer the fingerprint _segmeta recorded at compaction (zero jobs);
+    // same formula as the fallback aggregate below
+    val tag = segmentDataRoot(ref).flatMap(CollectionStore.readSegMeta)
+      .map(_._2).getOrElse {
+        val r = seg.agg(bit_xor(xxhash64(col("id"), col("embedding")))
+          .cast("string")).collect()(0)
+        if (r.isNullAt(0)) "empty" else r.getString(0)
+      }
     segTagCache = Some(tag)
     tag
   }

@@ -180,6 +180,29 @@ final class Collection(val records: DataFrame) {
     servedWithTail(nn, queries, k, None, space, include, walTail, staleIds)
   }
 
+  /** Knn served from the persisted per-partition HNSW graphs — the
+    * reference's actual compacted vector segment is an HNSW
+    * (`rust/segment/src/distributed_hnsw.rs`); SPANN/IVF is its
+    * scale-out layer. Same record-content join and the same IndexAndWal
+    * `walTail`/`staleIds` merge as [[queryAnn]]. Approximate — recall
+    * gated in HnswSpec.
+    */
+  def queryAnnHnsw(
+      root: String,
+      queries: DataFrame,
+      k: Int,
+      efSearch: Int = 64,
+      space: String = "cosine",
+      include: Seq[String] = Seq(),
+      walTail: Option[DataFrame] = None,
+      staleIds: Option[DataFrame] = None,
+      staleFetchExtra: Int = 0): DataFrame = {
+    val kIndex = if (walTail.isDefined) k + staleFetchExtra else k
+    val nn = graft.operators.Hnsw.searchSaved(records.sparkSession, root,
+      queries, kIndex, efSearch)
+    servedWithTail(nn, queries, k, None, space, include, walTail, staleIds)
+  }
+
   /** Shared IndexAndWal merge: join the index leg's (query_id, rank,
     * offset_id, dist) against record content; when a WAL tail rides
     * along, shadow stale ids out of the index leg, run the exact KnnLog

@@ -71,6 +71,24 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
     tailIdFrames = Vector.empty
   }
 
+  /** Current state RESTRICTED to `ids` — folds only those ids' segment
+    * rows + pending ops (both sides semi-joined before the fold), so the
+    * IndexAndWal tail leg costs O(|tail|), independent of segment size —
+    * the reference's materialized-log read, which never touches the
+    * compacted blockfiles. Does not flush.
+    */
+  def stateOf(ids: org.apache.spark.sql.DataFrame): Dataset[Rec] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val idCol = broadcast(ids.select(col("id")))
+    val segIds = segment.join(idCol, Seq("id"), "left_semi").as[Rec]
+    if (wal.isEmpty && batches.isEmpty) segIds
+    else {
+      val all = (wal.toDS() +: batches).reduce(_ union _)
+        .join(idCol, Seq("id"), "left_semi").as[LogOp]
+      Materialize(spark, all, Some(Materialize.segmentAsLog(spark, segIds)))
+    }
+  }
+
   /** Bulk append — the client-batch ingestion path: one `op` per record
     * of `ops` (columns `id`, `document`, `meta`), appended as a single
     * WAL batch that never routes through the driver. Ids must be unique

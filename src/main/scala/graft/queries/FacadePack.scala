@@ -198,11 +198,41 @@ object FacadePack extends QueryPack {
       def recs(pred: org.apache.spark.sql.Column) =
         Tables.embeddings(s, d).filter(pred).select(
           concat(lit("vec-"), col("vec_id")).as("id"), col("embedding"))
-      coll.add(recs(col("vec_id") >= 100))
-      coll.persist() // compaction point: segment + (re)usable IVF marker
+      // compaction runs once (the compactor's cadence, not the query's):
+      // a later run reopens the persisted segment + its IVF marker and
+      // measures the served path — route + probe + tail merge
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+          coll.ref.dataRoot, "records"))) {
+        coll.add(recs(col("vec_id") >= 100))
+        coll.persist()
+      }
       coll.add(recs(col("vec_id") < 100)) // the un-compacted tail
       coll.queryAnn(queryVecs(s, d, 3), k = 5, nprobe = 16,
           nCentroids = 16, nReplica = 4)
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // IndexAndWal through the HNSW-served facade path — the reference's
+    // compacted vector segment IS an HNSW (distributed_hnsw.rs); the
+    // tail leg and shadowing are the same merge as fc_ann_tail.
+    // Approximate (graph search) → rows-only; tail semantics + recall
+    // gated in ClientAnnTailSpec/HnswSpec.
+    "fc_ann_hnsw_tail" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d) + "/tail_client_h"
+      val client = new graft.api.Client(s, root)
+      val coll = client.getOrCreateCollection("vecs")
+      def recs(pred: org.apache.spark.sql.Column) =
+        Tables.embeddings(s, d).filter(pred).select(
+          concat(lit("vec-"), col("vec_id")).as("id"), col("embedding"))
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+          coll.ref.dataRoot, "records"))) {
+        coll.add(recs(col("vec_id") >= 100))
+        coll.persist()
+      }
+      coll.add(recs(col("vec_id") < 100))
+      coll.queryAnnHnsw(queryVecs(s, d, 3), k = 5, efSearch = 128)
         .select(col("query_id"), col("rank"),
           col("dist").cast("float").as("dist"), col("id"))
         .orderBy(col("query_id"), col("rank"))

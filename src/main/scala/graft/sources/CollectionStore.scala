@@ -31,12 +31,49 @@ object CollectionStore {
     * here the filter lives in the parquet footer, so a get-by-ids point
     * read drops whole row groups before touching pages. ndv sizes the
     * filter per row group (~1M ids ≈ 1.2 MB at the default fpp).
+    *
+    * Compaction also writes `_segmeta.json` (max offset, content
+    * fingerprint, row count — one aggregate over data it just rewrote
+    * anyway): opening a collection then costs ZERO jobs instead of one
+    * scan per statistic, the reference's collection-info-in-sysdb shape.
+    * Record frames without the serving columns (raw materializer dumps)
+    * drop any stale meta instead.
     */
-  def saveRecords(records: DataFrame, root: String): Unit =
+  def saveRecords(records: DataFrame, root: String): Unit = {
     records.write.mode(SaveMode.Overwrite)
       .option("parquet.bloom.filter.enabled#id", "true")
       .option("parquet.bloom.filter.expected.ndv#id", "1000000")
       .parquet(s"$root/records")
+    val metaPath = java.nio.file.Paths.get(root, "_segmeta.json")
+    if (Set("id", "offset_id", "embedding").subsetOf(records.columns.toSet)) {
+      val r = records.agg(
+        max(col("offset_id")).as("mo"),
+        bit_xor(xxhash64(col("id"), col("embedding"))).as("tag"),
+        count(lit(1)).as("n")).collect()(0)
+      val mo = if (r.isNullAt(0)) -1L else r.getLong(0)
+      val tag = if (r.isNullAt(1)) "empty" else r.getLong(1).toString
+      java.nio.file.Files.write(metaPath,
+        s"""{"max_offset": $mo, "tag": "$tag", "n": ${r.getLong(2)}}"""
+          .getBytes("UTF-8"))
+    } else java.nio.file.Files.deleteIfExists(metaPath)
+  }
+
+  /** (max offset, content tag, row count) from `_segmeta.json`, if the
+    * segment was written by [[saveRecords]] with serving columns.
+    */
+  def readSegMeta(root: String): Option[(Long, String, Long)] = {
+    val p = java.nio.file.Paths.get(root, "_segmeta.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else try {
+      val j = org.json4s.jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      Some((
+        (j \ "max_offset").extract[Long],
+        (j \ "tag").extract[String],
+        (j \ "n").extract[Long]))
+    } catch { case _: Throwable => None }
+  }
 
   def loadRecords(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/records")
@@ -235,10 +272,11 @@ object CollectionStore {
     * [[Hnsw.searchSaved]] against the returned root.
     */
   def hnswServing(vecs: DataFrame, root: String, m: Int = 16,
-      efConstruction: Int = 100, space: String = "cosine"): String = {
-    once(s"hnsw-$root-$m-$efConstruction-$space") {
+      efConstruction: Int = 100, space: String = "cosine",
+      keyTag: String = ""): String = {
+    once(s"hnsw-$root-$m-$efConstruction-$space-$keyTag") {
       // v2: pid column widened to long (incremental-maintenance packing)
-      val key = s"hnsw-v2-$m-$efConstruction-$space-n${vecs.count()}"
+      val key = s"hnsw-v2-$m-$efConstruction-$space-n${vecs.count()}-$keyTag"
       ensureBuilt(root, "hnsw", key) {
         Hnsw.buildAndSave(vecs, root, m, efConstruction, space)
       }

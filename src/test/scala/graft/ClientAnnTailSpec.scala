@@ -137,6 +137,22 @@ class ClientAnnTailSpec extends AnyFunSuite {
     assert(got((0L, 1L)) == "v-0" && got((5L, 1L)) == "v-5")
   }
 
+  test("hnsw served read merges the tail") {
+    val client = freshClient()
+    val coll = client.createCollection("vs_h")
+    coll.add(vecDf(20 until 100))
+    coll.persist()
+    coll.add(vecDf(0 until 20))
+    coll.delete(Seq("v-50"))
+    val got = coll.queryAnnHnsw(queriesOf(Seq(0, 5, 50)), k = 5, efSearch = 128)
+      .select("query_id", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // tail records serve; the deleted compacted record is shadowed
+    assert(got((0L, 1L)) == "v-0" && got((5L, 1L)) == "v-5")
+    assert(!got.values.toSet.contains("v-50"))
+    assert(got.keys.count(_._1 == 50L) == 5) // over-fetch keeps k results
+  }
+
   test("sparse served read merges the tail and shadows stale docs") {
     import graft.sources.CollectionStore
     val root = specRoot("sparse_tail")
