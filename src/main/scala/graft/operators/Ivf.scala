@@ -207,6 +207,27 @@ object Ivf {
     cur
   }
 
+  /** Posting-file compaction for the streaming-maintenance path: each
+    * micro-batch appends one file set per touched centroid directory
+    * ([[graft.streaming.EventStream.ivfMaintain]]), so a long-lived
+    * stream accumulates small files without bound — the manifest-listing
+    * and per-file-open costs grow even though query semantics don't
+    * change. Rewrite one writer per centroid and swap, the same
+    * compaction-cadence rewrite the reference's compactor applies to its
+    * posting blockfiles. Filesystem swap; object stores version through
+    * `CollectionStore.conditionalCommit` instead.
+    */
+  def compactPostings(spark: SparkSession, postingsDir: String): Unit = {
+    val tmp = postingsDir + "_compacting"
+    spark.read.parquet(postingsDir)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+    val d = new java.io.File(postingsDir)
+    org.apache.commons.io.FileUtils.deleteDirectory(d)
+    org.apache.commons.io.FileUtils.moveDirectory(new java.io.File(tmp), d)
+    graft.sources.CollectionStore.invalidateRoot(postingsDir)
+  }
+
   /** ANN search: route each query to its `nprobe` nearest centroids, scan
     * only those posting lists, top-k per query. Same output shape as
     * [[Knn.exact]].

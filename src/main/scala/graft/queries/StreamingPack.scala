@@ -77,7 +77,10 @@ object StreamingPack extends QueryPack {
         .repartitionByRange(3, col("part")).drop("part")
         .write.mode("overwrite").parquet(s"$base/src")
       EventStream.ivfMaintain(s, s"$base/src", centroids,
-        s"$base/postings", s"$base/ckpt", nReplica = 4)
+        s"$base/postings", s"$base/ckpt", nReplica = 4, filesPerBatch = 2)
+      // compaction cadence: fold the per-batch file fragments back to one
+      // writer per centroid before serving
+      graft.operators.Ivf.compactPostings(s, s"$base/postings")
       val model = graft.operators.Ivf.Model(
         centroids, s.read.parquet(s"$base/postings"))
       val queries = Tables.embeddings(s, d).filter(col("vec_id") < 3)
@@ -128,7 +131,8 @@ object StreamingPack extends QueryPack {
       vecs.withColumn("part", pmod(col("offset_id"), lit(3)))
         .repartitionByRange(3, col("part")).drop("part")
         .write.mode("overwrite").parquet(s"$base/src")
-      EventStream.hnswMaintain(s, s"$base/src", base, s"$base/ckpt")
+      EventStream.hnswMaintain(s, s"$base/src", base, s"$base/ckpt",
+        filesPerBatch = 2)
       val queries = Tables.embeddings(s, d).filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       graft.operators.Hnsw.searchSaved(s, base, queries, k = 10)

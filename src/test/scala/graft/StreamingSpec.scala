@@ -130,6 +130,21 @@ class StreamingSpec extends AnyFunSuite {
       s"$base/postings", s"$base/ckpt", nReplica = 2)
     assert(key(spark.read.parquet(s"$base/postings")) == batch,
       "re-run without new files must be a no-op")
+
+    // posting-file compaction: per-batch file fragments fold to one
+    // writer per centroid directory; row set identical
+    def dataFiles(dir: java.io.File): Seq[java.io.File] =
+      if (!dir.isDirectory) Nil
+      else dir.listFiles().toSeq.flatMap(f =>
+        if (f.isDirectory) dataFiles(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+    assert(dataFiles(new java.io.File(s"$base/postings")).size > 8,
+      "expected multi-batch file fragmentation before compaction")
+    Ivf.compactPostings(spark, s"$base/postings")
+    assert(key(spark.read.parquet(s"$base/postings")) == batch,
+      "compaction changed the posting row set")
+    assert(dataFiles(new java.io.File(s"$base/postings")).size <= 8,
+      "compaction left more than one file per centroid")
   }
 
   test("incremental FTS maintenance serves the same candidates as the batch build") {
