@@ -39,7 +39,22 @@ object PlanDump {
         "2.65->4.96s regression did not reproduce under repeated warm " +
         "measurement — min 1.28s in r4 after the op-table cache was " +
         "guarded against CacheManager re-registration; the r3 number was " +
-        "a host stall.)"),
+        "a host stall. r5's 2.06->4.97s likewise did not reproduce in r6: " +
+        "the same binary measures 1.59s min-of-2 in isolation and 1.36s " +
+        "in the full r6 suite, and none of r5's six touched files are on " +
+        "this query's code path — full-suite context, not this plan. The " +
+        "r5 ADVICE mechanism — flush() unpersisting the prior epoch " +
+        "before the new one materializes — was real and is fixed, but it " +
+        "sits on the Writer path, which this query does not use.)"),
+    "fc_ann_tail" ->
+      ("IndexAndWal served read (the reference's default read level): the " +
+        "index leg routes + probes the persisted IVF partitions while the " +
+        "KnnLog leg brute-forces ONLY the un-compacted tail — " +
+        "Writer.stateOf semi-joins segment and pending ops to the " +
+        "touched-id set BEFORE the fold, so no full-state materialization " +
+        "appears anywhere in the plan; legs merge by id with a per-query " +
+        "window bounded by k. Tail ids shadow the index leg (anti-join) " +
+        "and the index leg over-fetches k + |tail|."),
     "vs_ann_ivf_routed" ->
       ("Centroid-graph routed ANN: queries walk the persisted HNSW over " +
         "the centroid table (a blob scan + broadcast query batch — no " +
