@@ -129,14 +129,18 @@ final class CollectionHandle(spark: SparkSession,
     */
   private def segmentDataRoot(r: Catalog.CollectionRef,
       hops: Int = 16): Option[String] = {
-    if (java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(r.dataRoot, "records"))) Some(r.dataRoot)
+    if (CollectionStore.hasRecords(r.dataRoot)) Some(r.dataRoot)
     else r.forkedFrom match {
       case Some(src) if hops > 0 => segmentDataRoot(
         Catalog.getCollection(r.root, r.tenant, r.database, src), hops - 1)
       case _ => None
     }
   }
+
+  /** Segment version this handle opened against — the OCC expectation
+    * its next compaction commits with (`conditional_transaction.rs`).
+    */
+  private var baseVersion: Long = CollectionStore.currentVersion(ref.dataRoot)
 
   private val writer: Writer = segmentDataRoot(ref) match {
     case Some(dataRoot) =>
@@ -498,15 +502,41 @@ final class CollectionHandle(spark: SparkSession,
     // only enforces declared per-key config)
     if (ref.schema.keys.nonEmpty || ref.schema.embedding.isDefined)
       Catalog.validate(records, ref.schema)
-    CollectionStore.saveRecords(records, ref.dataRoot)
-    // this IS the compaction point: the stored segment now covers every
-    // op, so the WAL tail resets and the per-JVM index-open memos drop —
-    // the next served read re-checks build markers against the NEW
-    // segment (stale-keyed indexes rebuild there, not here)
-    CollectionStore.invalidateRoot(ref.dataRoot)
-    writer.markCompacted()
-    segTagCache = None
+    // Publish through the versioned conditional commit — the reference's
+    // compaction transaction (`conditional_transaction.rs`): the new
+    // segment lands in its own version directory and becomes visible
+    // only when the version marker claims atomically, so a crash
+    // mid-compaction leaves the previous version serving (never a
+    // half-written only-copy), and a concurrent compactor loses the race
+    // loudly instead of silently clobbering. Old versions retire via
+    // [[gcVersions]].
+    // the expected version was pinned when this handle OPENED: a handle
+    // whose base segment another writer has re-compacted must fail the
+    // commit even if it reads currentVersion fresh — its folded state is
+    // missing the other writer's records (the classic lost update)
+    CollectionStore.conditionalCommit(ref.dataRoot, baseVersion,
+        dir => CollectionStore.saveRecords(records, dir)) match {
+      case Some(next) =>
+        baseVersion = next
+        // this IS the compaction point: the stored segment now covers
+        // every op, so the WAL tail resets and the per-JVM index-open
+        // memos drop — the next served read re-checks build markers
+        // against the NEW segment (stale-keyed indexes rebuild there)
+        CollectionStore.invalidateRoot(ref.dataRoot)
+        writer.markCompacted()
+        segTagCache = None
+      case None => throw new java.util.ConcurrentModificationException(
+        s"collection ${ref.name}: a version past $baseVersion was " +
+          "committed by another writer — reopen and retry")
+    }
   }
+
+  /** Retire compacted-segment versions older than the newest `keepLast`
+    * — the reference's garbage-collection service, driven through the
+    * client. Returns the versions removed.
+    */
+  def gcVersions(keepLast: Int = 2): Seq[Long] =
+    CollectionStore.gcVersions(ref.dataRoot, keepLast)
 
   def provision(): Unit = Catalog.provision(spark, ref)
 

@@ -201,8 +201,7 @@ object FacadePack extends QueryPack {
       // compaction runs once (the compactor's cadence, not the query's):
       // a later run reopens the persisted segment + its IVF marker and
       // measures the served path — route + probe + tail merge
-      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
-          coll.ref.dataRoot, "records"))) {
+      if (!graft.sources.CollectionStore.hasRecords(coll.ref.dataRoot)) {
         coll.add(recs(col("vec_id") >= 100))
         coll.persist()
       }
@@ -226,8 +225,7 @@ object FacadePack extends QueryPack {
       def recs(pred: org.apache.spark.sql.Column) =
         Tables.embeddings(s, d).filter(pred).select(
           concat(lit("vec-"), col("vec_id")).as("id"), col("embedding"))
-      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
-          coll.ref.dataRoot, "records"))) {
+      if (!graft.sources.CollectionStore.hasRecords(coll.ref.dataRoot)) {
         coll.add(recs(col("vec_id") >= 100))
         coll.persist()
       }

@@ -62,7 +62,7 @@ object CollectionStore {
     * segment was written by [[saveRecords]] with serving columns.
     */
   def readSegMeta(root: String): Option[(Long, String, Long)] = {
-    val p = java.nio.file.Paths.get(root, "_segmeta.json")
+    val p = java.nio.file.Paths.get(recordsRoot(root), "_segmeta.json")
     if (!java.nio.file.Files.exists(p)) None
     else try {
       val j = org.json4s.jackson.JsonMethods.parse(
@@ -75,8 +75,25 @@ object CollectionStore {
     } catch { case _: Throwable => None }
   }
 
+  /** Root of the CURRENT record segment under `root`: a collection whose
+    * compactions publish through [[conditionalCommit]] resolves to its
+    * newest committed version directory; an un-versioned root (direct
+    * [[saveRecords]]) resolves to the plain layout. NOTE: once a root is
+    * versioned, plain-layout writes under it are shadowed — publish
+    * through the commit path.
+    */
+  def recordsRoot(root: String): String = {
+    val v = currentVersion(root)
+    if (v > 0) s"$root/v$v" else root
+  }
+
+  /** Does `root` hold a readable record segment (any layout)? */
+  def hasRecords(root: String): Boolean =
+    java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(recordsRoot(root), "records"))
+
   def loadRecords(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/records")
+    spark.read.parquet(s"${recordsRoot(root)}/records")
 
   /** Persist a record segment BUCKETED on the join key — the co-located
     * layout for the hot merge joins of the write path (log ⋈ segment on

@@ -244,6 +244,39 @@ class ClientSpec extends AnyFunSuite {
       Seq("record_count", "token_stats_10", "meta_histogram:lang"))
   }
 
+  test("persist publishes through versioned conditional commit; GC retires") {
+    import graft.sources.CollectionStore
+    val root = freshRoot()
+    val client = new Client(spark, root)
+    val coll = client.createCollection("vp")
+    coll.add(Seq(("a", "alpha"), ("b", "beta")).toDF("id", "document"))
+    coll.persist()
+    val dataRoot = coll.ref.dataRoot
+    assert(CollectionStore.currentVersion(dataRoot) == 1L)
+    // second compaction → v2; v1 stays on disk until GC (crash mid-write
+    // of v2 would leave v1 serving — the only-copy-overwrite hazard gone)
+    coll.add(Seq(("c", "gamma")).toDF("id", "document"))
+    coll.persist()
+    assert(CollectionStore.currentVersion(dataRoot) == 2L)
+    assert(new java.io.File(s"$dataRoot/v1/records").isDirectory)
+    // reopen resolves the NEWEST version
+    val re = client.getCollection("vp")
+    assert(re.count() == 3)
+    assert(re.get(limit = Some(10)).collect().map(_.getString(0)).sorted
+      === Array("a", "b", "c"))
+    // GC retires v1, keeps the current version serving
+    assert(re.gcVersions(keepLast = 1) == Seq(1L))
+    assert(!new java.io.File(s"$dataRoot/v1").exists)
+    assert(re.count() == 3)
+    // a stale handle (opened before v2) loses its commit race LOUDLY
+    // instead of clobbering: its cached version expectation is behind
+    val stale = client.getCollection("vp")
+    coll.add(Seq(("d", "delta")).toDF("id", "document"))
+    coll.persist() // v3 from the fresh handle
+    stale.add(Seq(("e", "epsilon")).toDF("id", "document"))
+    intercept[java.util.ConcurrentModificationException] { stale.persist() }
+  }
+
   test("fork through the client: copy-on-write, divergent WALs, parent intact") {
     val root = freshRoot()
     val client = new Client(spark, root)
@@ -254,8 +287,7 @@ class ClientSpec extends AnyFunSuite {
     val fork = client.forkCollection("par", "child")
     assert(fork.count() == 3, "fork sees the shared segment without copying")
     // no data directory of its own until it compacts
-    assert(!java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(fork.ref.dataRoot, "records")))
+    assert(!graft.sources.CollectionStore.hasRecords(fork.ref.dataRoot))
     fork.delete(Seq("b"))
     fork.upsert(Seq(("a", "one forked")).toDF("id", "document"))
     fork.add(Seq(("d", "four")).toDF("id", "document"))
@@ -269,8 +301,7 @@ class ClientSpec extends AnyFunSuite {
       Array("a", "b", "c")))
     // the fork's own compaction detaches it from the parent's files
     fork.persist()
-    assert(java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(fork.ref.dataRoot, "records")))
+    assert(graft.sources.CollectionStore.hasRecords(fork.ref.dataRoot))
     assert(client.getCollection("child").count() == 3)
   }
 
