@@ -510,6 +510,15 @@ final class CollectionHandle(spark: SparkSession,
     // half-written only-copy), and a concurrent compactor loses the race
     // loudly instead of silently clobbering. Old versions retire via
     // [[gcVersions]].
+    // the segment plan evaluates twice inside the commit (parquet write
+    // + the _segmeta aggregate) — cache it for the duration so the WAL
+    // fold and offset assignment run once
+    records.persist()
+    try persistCommit(records)
+    finally records.unpersist()
+  }
+
+  private def persistCommit(records: DataFrame): Unit = {
     // the expected version was pinned when this handle OPENED: a handle
     // whose base segment another writer has re-compacted must fail the
     // commit even if it reads currentVersion fresh — its folded state is
