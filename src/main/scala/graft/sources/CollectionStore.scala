@@ -187,6 +187,21 @@ object CollectionStore {
     dfCache.keys.filter(_._2.startsWith(root)).foreach(dfCache.remove)
   }
 
+  /** PrefetchSegment (`rust/worker/src/execution/operators/prefetch_
+    * segment.rs` — the reference warms a segment's blockfile blocks ahead
+    * of the operator pipeline): resolve the partition listing + schema
+    * once (driver metadata, memoized by [[readCached]]), register the
+    * scan in the block cache, and fault the columnar data in with a
+    * zero-output pass over InternalRows — no row conversion, no result.
+    * Subsequent operators over the returned frame read executor-cached
+    * blocks instead of cold parquet. Idempotent per (session, path).
+    */
+  def prefetchSegment(spark: SparkSession, root: String): DataFrame = {
+    val df = cacheOnce(readCached(spark, s"${recordsRoot(root)}/records"))
+    df.queryExecution.toRdd.foreachPartition(_ => ())
+    df
+  }
+
   /** Cache `df` unless an equivalent plan is already in the CacheManager —
     * re-registering the same plan rebuilds the InMemoryRelation wrapper
     * and warns ("Asked to cache already cached data") on every repeat

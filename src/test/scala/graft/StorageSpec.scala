@@ -192,6 +192,26 @@ class StorageSpec extends AnyFunSuite {
       "swept a data dir above currentVersion (in-flight commit)")
   }
 
+  test("prefetchSegment warms the block cache; reads serve from memory") {
+    val root = tmp()
+    val recs = Tables.documents(spark, sf).limit(200)
+      .select(concat(lit("doc-"), col("doc_id")).as("id"),
+        col("doc_id").as("offset_id"),
+        lit(null).cast("array<float>").as("embedding"),
+        col("text").as("document"))
+    CollectionStore.saveRecords(recs, root)
+    val df = CollectionStore.prefetchSegment(spark, root)
+    // the prefetch pass populated the registered cache eagerly
+    assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("InMemoryTableScan") ||
+      df.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      scan.take(400))
+    assert(df.count() == 200)
+    // idempotent: a second prefetch re-uses the same cached plan
+    assert(CollectionStore.prefetchSegment(spark, root).count() == 200)
+  }
+
   test("record segments carry a parquet bloom filter on id; id lookups push down") {
     val root = tmp()
     val recs = Tables.documents(spark, sf).limit(500)
