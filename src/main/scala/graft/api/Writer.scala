@@ -167,19 +167,23 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
     * work. The superseded segment is unpersisted so epochs don't
     * accumulate in the cache.
     */
+  // the epoch superseded at the LAST flush — still cached, because the
+  // current epoch's first action folds from it; retired one flush later
+  private var retiring: Option[Dataset[Rec]] = None
+
   def flush(): Dataset[Rec] = {
     if (wal.nonEmpty || batches.nonEmpty) {
       val all = (wal.toDS() +: batches).reduce(_ union _)
-      val old = segment
+      // Unpersist DEFERRED one epoch: dropping the old cache before the
+      // new epoch materializes would make its first action replay the
+      // whole fold chain — the O(N²) the cache exists to prevent. By the
+      // time epoch N+1 starts, epoch N has been evaluated (flush is only
+      // called on a read or a compaction), so N−1 can go; at most two
+      // epochs are ever cached, no eager job is spent.
+      retiring.foreach(_.unpersist())
+      retiring = Some(segment)
       segment = Materialize(spark, all,
         Some(Materialize.segmentAsLog(spark, segment))).persist()
-      // Materialize the new epoch BEFORE dropping the old one: unpersist
-      // first and the new fold's first action finds its parent cache gone
-      // and replays the whole epoch chain — the O(N²) the cache exists to
-      // prevent. The eager pass is work the caller's next action needs
-      // anyway (flush is only called on a read or a compaction).
-      segment.foreachPartition((_: Iterator[Rec]) => ())
-      old.unpersist()
       wal = Vector.empty
       batches = Vector.empty
     }
