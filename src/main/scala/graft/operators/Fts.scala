@@ -79,8 +79,13 @@ object Fts {
     * trigram, array work local to each group. Run it on the compaction
     * cadence, not per batch.
     *
-    * The swap is delete-then-move on a filesystem; on an object store
-    * compact into a versioned directory via
+    * The swap is rename-aside → rename-in → delete-old on a filesystem:
+    * the old directory stays intact (recoverable, still the only full
+    * copy — the streaming checkpoint has already consumed the source
+    * batches, so a lost postings dir could NOT be regenerated) until the
+    * compacted one is in place, and the no-live-dir window shrinks to
+    * the gap between two directory renames instead of a full recursive
+    * delete. On an object store compact into a versioned directory via
     * [[graft.sources.CollectionStore.conditionalCommit]] instead.
     */
   def compactPostings(spark: SparkSession, root: String): Unit = {
@@ -92,9 +97,7 @@ object Fts {
         .as("docs"))
       .repartition(col("bucket")) // one writer per bucket → no tiny files
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
-    val d = new java.io.File(dir)
-    org.apache.commons.io.FileUtils.deleteDirectory(d)
-    org.apache.commons.io.FileUtils.moveDirectory(new java.io.File(tmp), d)
+    graft.sources.CollectionStore.swapDirectory(dir, tmp)
     // drop memoized file listings for the swapped directory
     graft.sources.CollectionStore.invalidateRoot(dir)
   }

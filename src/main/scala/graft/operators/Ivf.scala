@@ -212,7 +212,9 @@ object Ivf {
     * ([[graft.streaming.EventStream.ivfMaintain]]), so a long-lived
     * stream accumulates small files without bound — the manifest-listing
     * and per-file-open costs grow even though query semantics don't
-    * change. Rewrite one writer per centroid and swap, the same
+    * change. Rewrite one writer per centroid and swap (rename-aside →
+    * rename-in → delete-old, `CollectionStore.swapDirectory` — the old
+    * dir survives until the new one is in place), the same
     * compaction-cadence rewrite the reference's compactor applies to its
     * posting blockfiles. Filesystem swap; object stores version through
     * `CollectionStore.conditionalCommit` instead.
@@ -222,9 +224,7 @@ object Ivf {
     spark.read.parquet(postingsDir)
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
-    val d = new java.io.File(postingsDir)
-    org.apache.commons.io.FileUtils.deleteDirectory(d)
-    org.apache.commons.io.FileUtils.moveDirectory(new java.io.File(tmp), d)
+    graft.sources.CollectionStore.swapDirectory(postingsDir, tmp)
     graft.sources.CollectionStore.invalidateRoot(postingsDir)
   }
 

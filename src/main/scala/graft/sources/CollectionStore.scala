@@ -40,22 +40,33 @@ object CollectionStore {
     * drop any stale meta instead.
     */
   def saveRecords(records: DataFrame, root: String): Unit = {
-    records.write.mode(SaveMode.Overwrite)
-      .option("parquet.bloom.filter.enabled#id", "true")
-      .option("parquet.bloom.filter.expected.ndv#id", "1000000")
-      .parquet(s"$root/records")
-    val metaPath = java.nio.file.Paths.get(root, "_segmeta.json")
-    if (Set("id", "offset_id", "embedding").subsetOf(records.columns.toSet)) {
-      val r = records.agg(
-        max(col("offset_id")).as("mo"),
-        bit_xor(xxhash64(col("id"), col("embedding"))).as("tag"),
-        count(lit(1)).as("n")).collect()(0)
-      val mo = if (r.isNullAt(0)) -1L else r.getLong(0)
-      val tag = if (r.isNullAt(1)) "empty" else r.getLong(1).toString
-      java.nio.file.Files.write(metaPath,
-        s"""{"max_offset": $mo, "tag": "$tag", "n": ${r.getLong(2)}}"""
-          .getBytes("UTF-8"))
-    } else java.nio.file.Files.deleteIfExists(metaPath)
+    val servingCols =
+      Set("id", "offset_id", "embedding").subsetOf(records.columns.toSet)
+    // the segment plan evaluates TWICE when _segmeta is written (the
+    // parquet write and the aggregate) — cache it for the duration so
+    // the upstream fold/offset-assignment runs once, unless the caller
+    // already holds it cached (persist() does)
+    val cachedHere = servingCols &&
+      records.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (cachedHere) records.persist()
+    try {
+      records.write.mode(SaveMode.Overwrite)
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.bloom.filter.expected.ndv#id", "1000000")
+        .parquet(s"$root/records")
+      val metaPath = java.nio.file.Paths.get(root, "_segmeta.json")
+      if (servingCols) {
+        val r = records.agg(
+          max(col("offset_id")).as("mo"),
+          bit_xor(xxhash64(col("id"), col("embedding"))).as("tag"),
+          count(lit(1)).as("n")).collect()(0)
+        val mo = if (r.isNullAt(0)) -1L else r.getLong(0)
+        val tag = if (r.isNullAt(1)) "empty" else r.getLong(1).toString
+        java.nio.file.Files.write(metaPath,
+          s"""{"max_offset": $mo, "tag": "$tag", "n": ${r.getLong(2)}}"""
+            .getBytes("UTF-8"))
+      } else java.nio.file.Files.deleteIfExists(metaPath)
+    } finally if (cachedHere) records.unpersist()
   }
 
   /** (max offset, content tag, row count) from `_segmeta.json`, if the
@@ -541,12 +552,48 @@ object CollectionStore {
     readCached(vecs.sparkSession, s"$root/rcodes/data")
   }
 
+  /** Replace directory `live` with freshly-written `staged`, keeping a
+    * full copy on disk at every instant: the old data renames ASIDE
+    * (fast, O(1)), the staged dir renames in, and only then does the old
+    * copy delete. A crash leaves either (a) `live` untouched +
+    * `staged` complete → re-run the swap, or (b) `live_old` +
+    * the new `live` → delete the leftover; never a state where the only
+    * copy is stranded under a temp name (the failure mode of
+    * delete-then-move, fatal when the data cannot be regenerated — e.g.
+    * posting dirs whose source stream batches are already
+    * checkpoint-consumed). Entry sweeps a leftover `_old` from a prior
+    * crash so the rename-aside never collides.
+    */
+  def swapDirectory(live: String, staged: String): Unit = {
+    val liveF = new java.io.File(live)
+    val oldF = new java.io.File(live + "_old")
+    if (oldF.exists()) org.apache.commons.io.FileUtils.deleteDirectory(oldF)
+    org.apache.commons.io.FileUtils.moveDirectory(liveF, oldF)
+    org.apache.commons.io.FileUtils.moveDirectory(new java.io.File(staged), liveF)
+    org.apache.commons.io.FileUtils.deleteDirectory(oldF)
+  }
+
   /** Optimistic conditional commit — the reference's conditional
     * transactions (`rust/types/src/conditional_transaction.rs:21-88`):
     * publish a new collection version iff the current version still equals
-    * `expectedVersion`. Atomicity via `Files.createFile` on the version
-    * marker (object-store equivalent: if-none-match put). Returns the new
-    * version, or None on a lost race / stale expectation.
+    * `expectedVersion`. Returns the new version, or None on a lost race /
+    * stale expectation.
+    *
+    * Two-phase marker, CLAIM-FIRST: the committer atomically creates
+    * `v{next}.claim` (`Files.createFile`; object-store equivalent:
+    * if-none-match put) BEFORE writing any data, so of two racers with
+    * the same expectation exactly one ever touches the shared
+    * `$root/v{next}` directory — the loser exits on the failed claim
+    * having written nothing (writing data first and claiming after opens
+    * a lost-update window where the loser's `SaveMode.Overwrite` replaces
+    * the winner's already-committed files). The version becomes VISIBLE
+    * only when the final `v{next}` marker lands after a successful write
+    * ([[currentVersion]] reads final markers only), so a crash
+    * mid-write leaves the previous version serving, never a registered
+    * version with half-written data. A failed write releases its claim
+    * and partial data; a claim orphaned by a process crash blocks that
+    * version slot until [[recoverStaleClaims]] sweeps it (the reference
+    * parks the same decision in its garbage-collection service).
     */
   def conditionalCommit(root: String, expectedVersion: Long,
       write: String => Unit): Option[Long] = {
@@ -554,32 +601,60 @@ object CollectionStore {
     java.nio.file.Files.createDirectories(dir)
     if (currentVersion(root) != expectedVersion) return None
     val next = expectedVersion + 1
+    if (java.nio.file.Files.exists(dir.resolve(s"v$next"))) return None
+    val claim = dir.resolve(s"v$next.claim")
+    try java.nio.file.Files.createFile(claim) // atomic claim, BEFORE data
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => return None // lost
+    }
     val dataDir = s"$root/v$next"
-    write(dataDir)
     try {
-      java.nio.file.Files.createFile(dir.resolve(s"v$next")) // atomic claim
+      write(dataDir)
+      java.nio.file.Files.createFile(dir.resolve(s"v$next")) // publish
+      java.nio.file.Files.deleteIfExists(claim)
       Some(next)
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException => None // lost the race
+      case e: Throwable =>
+        // release the slot so a retry can commit: claim last, so another
+        // committer never sees a free slot with partial data in place
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dataDir))
+        java.nio.file.Files.deleteIfExists(claim)
+        throw e
     }
   }
 
-  def currentVersion(root: String): Long = {
+  /** Sweep claims whose commit died before publishing (process crash
+    * between claim and final marker): deletes the claim and its partial
+    * data directory so the version slot frees up. MUST only run when no
+    * commit is in flight for `root` — a claim cannot be distinguished
+    * from a live committer mid-write by the filesystem alone (the
+    * reference makes this call in its GC service, where the sysdb knows).
+    * Returns the versions whose claims were swept.
+    */
+  def recoverStaleClaims(root: String): Seq[Long] = {
     val dir = java.nio.file.Paths.get(root, "_versions")
-    if (!java.nio.file.Files.isDirectory(dir)) 0L
-    else {
-      val vs = java.nio.file.Files.list(dir).iterator()
-      var max = 0L
-      while (vs.hasNext) {
-        val n = vs.next().getFileName.toString
-        if (n.startsWith("v")) max = math.max(max, n.drop(1).toLong)
+    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val it = java.nio.file.Files.list(dir).iterator()
+    while (it.hasNext) {
+      val n = it.next().getFileName.toString
+      if (n.matches("v\\d+\\.claim")) {
+        val v = n.stripPrefix("v").stripSuffix(".claim").toLong
+        if (!java.nio.file.Files.exists(dir.resolve(s"v$v"))) {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/v$v"))
+          java.nio.file.Files.deleteIfExists(dir.resolve(n))
+          out += v
+        } else java.nio.file.Files.deleteIfExists(dir.resolve(n)) // published, stale claim
       }
-      max
     }
+    out.toSeq
   }
 
-  /** Versions under `root` ordered ascending. */
-  def listVersions(root: String): Seq[Long] = {
+  // Final version markers only: `v\d+` exactly — claims (`v3.claim`),
+  // editor temps, or partial files in _versions must never parse (a stray
+  // `v1.tmp` would otherwise throw in every open/commit/gc for the
+  // collection) and never count as committed.
+  private def finalVersions(root: String): Seq[Long] = {
     val dir = java.nio.file.Paths.get(root, "_versions")
     if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
     else {
@@ -587,11 +662,19 @@ object CollectionStore {
       val out = scala.collection.mutable.ArrayBuffer[Long]()
       while (it.hasNext) {
         val n = it.next().getFileName.toString
-        if (n.startsWith("v")) out += n.drop(1).toLong
+        if (n.matches("v\\d+")) out += n.drop(1).toLong
       }
       out.sorted.toSeq
     }
   }
+
+  def currentVersion(root: String): Long = {
+    val vs = finalVersions(root)
+    if (vs.isEmpty) 0L else vs.last
+  }
+
+  /** Committed versions under `root` ordered ascending. */
+  def listVersions(root: String): Seq[Long] = finalVersions(root)
 
   /** Version garbage collection — the reference runs this as its own
     * service (`rust/garbage_collector/`): committed versions older than
@@ -600,6 +683,16 @@ object CollectionStore {
     * the two leaves an unreferenced data directory (harmless, swept by a
     * re-run) — never a registered version whose data is gone. The current
     * version is never collected. Returns the versions removed.
+    *
+    * READER CONTRACT: a DataFrame constructed over a retired version's
+    * path keeps reading that path — deletion under it fails the read.
+    * The reference's GC retires only versions no reader pins (via
+    * sysdb); here nothing pins, so run gcVersions ONLY when no open
+    * handle or in-flight query may still serve a version older than the
+    * newest `keepLast` (operationally: on the compaction cadence, with
+    * `keepLast` ≥ the number of versions a straggling reader can lag —
+    * 2 covers the handle-reopens-per-compaction discipline this facade
+    * enforces).
     */
   def gcVersions(root: String, keepLast: Int = 2): Seq[Long] = {
     require(keepLast >= 1, "gcVersions must keep at least the current version")
@@ -613,9 +706,10 @@ object CollectionStore {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/v$v"))
     }
     // sweep orphans from earlier crashes: vN data dirs with no marker.
-    // Only below currentVersion — an IN-FLIGHT conditionalCommit writes
-    // its data dir (at current+1) before claiming the marker and must
-    // not be swept out from under the race.
+    // Only below currentVersion — an IN-FLIGHT conditionalCommit holds
+    // its claim and writes its data dir at current+1; sweeping there
+    // would race the commit (recoverStaleClaims owns that slot, under
+    // its no-commit-in-flight contract).
     val live = listVersions(root).toSet
     val cur = currentVersion(root)
     val rootDir = new java.io.File(root)
