@@ -253,9 +253,30 @@ final class CollectionHandle(spark: SparkSession,
     * UPSTREAM of the boundary (the post-boundary plan cannot show it).
     */
   private[graft] def offsetSortedState: DataFrame =
-    state.toDF()
-      .repartitionByRange(col("first_offset"), col("id"))
+    rangeSortedByOffset(state.toDF())
+
+  private def rangeSortedByOffset(df: DataFrame): DataFrame =
+    df.repartitionByRange(col("first_offset"), col("id"))
       .sortWithinPartitions(col("first_offset"), col("id"))
+
+  /** Dense 1-based offset ids over the (first_offset, id) total order
+    * WITHOUT a global window: the input range-partitions on the sort key
+    * (partition ranges are ordered by partition index), sorts within,
+    * and zipWithIndex adds per-partition bases — bit-identical to
+    * `row_number().over(orderBy(first_offset, id))` with no
+    * single-partition Exchange. The repo standard for offset numbering,
+    * shared by the full RYW view and the IndexAndWal tail leg.
+    */
+  private def denseOffsets(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sorted = rangeSortedByOffset(df)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1L))
+      },
+      sorted.schema.add("offset_id", LongType))
+  }
 
   /** WAL-state rows (id, document, meta, embedding [, offset_id]) →
     * the shredded record schema, typed maps split out by the DECLARED
@@ -295,22 +316,8 @@ final class CollectionHandle(spark: SparkSession,
       merged(declared(Catalog.VBool), "boolean", TypedMeta.decodeBool).as("meta_bool"))
   }
 
-  private def buildCollection(): Collection = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
-    // Dense offset ids without a global window: range-partition on the
-    // sort key (partitions ordered by partition index), sort within, and
-    // let zipWithIndex add per-partition bases. (first_offset, id) is a
-    // unique total order, so the ids are bit-identical to
-    // row_number().over(orderBy(first_offset, id)).
-    val sorted = offsetSortedState
-    val withOffset = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (i + 1L))
-      },
-      sorted.schema.add("offset_id", LongType))
-    new Collection(shredRecords(withOffset))
-  }
+  private def buildCollection(): Collection =
+    new Collection(shredRecords(denseOffsets(state.toDF())))
 
   def count(): Long = state.count()
 
@@ -426,24 +433,15 @@ final class CollectionHandle(spark: SparkSession,
       case Some(ids) =>
         // Writer.stateOf folds ONLY the touched ids — O(|tail|), never
         // the full RYW materialization. Tail offset ids are leg-local
-        // (the merge keys on id), so a window over the tail suffices;
-        // it is bounded by the writes since the last compaction.
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("first_offset"), col("id"))
-        val t = writer.stateOf(ids).toDF()
-          .withColumn("offset_id", row_number().over(w).cast("long"))
-        (Some(shredRecords(t)), Some(ids))
+        // (the merge keys on id); numbering goes through the same
+        // range-repartition + zipWithIndex as the full view — a
+        // Window.orderBy here would funnel the tail through one task,
+        // which a write-heavy tenant deferring compaction would pay.
+        (Some(shredRecords(denseOffsets(writer.stateOf(ids).toDF()))),
+          Some(ids))
       case None => (None, None)
     }
 
-  /** Content fingerprint of the compacted segment — the serving-index
-    * build-key tag. Order-independent (an XOR fold of row hashes — no
-    * overflow under ANSI, commutative), so a re-persist of identical
-    * content keys identically regardless of file layout; any changed
-    * embedding changes it, which the count-only part of the build key
-    * cannot see. One aggregate job per handle per compaction (cached
-    * here; persist() invalidates).
-    */
   /** |distinct tail ids| — the index leg's over-fetch margin (the
     * reference's fetch-log-size). One count job per mutation epoch, only
     * on served reads with a live tail.
@@ -460,6 +458,14 @@ final class CollectionHandle(spark: SparkSession,
     }
   }
 
+  /** Content fingerprint of the compacted segment — the serving-index
+    * build-key tag. Order-independent (an XOR fold of row hashes — no
+    * overflow under ANSI, commutative), so a re-persist of identical
+    * content keys identically regardless of file layout; any changed
+    * embedding changes it, which the count-only part of the build key
+    * cannot see. One aggregate job per handle per compaction (cached
+    * here; persist() invalidates).
+    */
   private var segTagCache: Option[String] = None
   private def segTag(seg: DataFrame): String = segTagCache.getOrElse {
     // prefer the fingerprint _segmeta recorded at compaction (zero jobs);
