@@ -148,9 +148,9 @@ final class CollectionHandle(spark: SparkSession,
       // to WAL-record shape for the materializer. The typed maps
       // tag-encode into the wire string map (TypedMeta) so int/float/bool
       // metadata — declared or not — survives the persist/reopen cycle.
-      val seg = TypedMeta.encode(
+      val seg = TypedMeta.encodeUri(TypedMeta.encode(
           CollectionStore.loadRecords(spark, dataRoot)
-            .withColumnRenamed("meta_str", "meta"))
+            .withColumnRenamed("meta_str", "meta")))
         .select(col("id"), col("document"), col("meta"),
           col("embedding"), col("offset_id").as("first_offset")).as[Rec]
       // _segmeta (written at compaction) makes the open job-free; a
@@ -184,6 +184,9 @@ final class CollectionHandle(spark: SparkSession,
     if (!df.columns.contains("meta"))
       df = df.withColumn("meta",
         map_from_arrays(array(), array()).cast("map<string,string>"))
+    // uri (the record's blob pointer, Collection.py:96-109) rides the
+    // WAL map under a reserved key — per-key LWW merge for free
+    df = TypedMeta.encodeUri(df)
     // typed metadata columns (meta_int/meta_float/meta_bool) tag-encode
     // into the WAL string map and round-trip typed for ANY key — the
     // reference's typed UpdateMetadataValue (metadata.rs:659-683)
@@ -309,7 +312,7 @@ final class CollectionHandle(spark: SparkSession,
       col("offset_id"),
       col("embedding"),
       col("document"),
-      lit(null).cast("string").as("uri"),
+      TypedMeta.decodeUri(col("meta")).as("uri"),
       TypedMeta.decodeStr(strMap0).as("meta_str"),
       merged(declared(Catalog.VInt), "bigint", TypedMeta.decodeInt).as("meta_int"),
       merged(declared(Catalog.VFloat), "double", TypedMeta.decodeFloat).as("meta_float"),

@@ -25,6 +25,16 @@ object TypedMeta {
   val TagBool: String = Sigil + "b" + Sigil
   val TagStr: String = Sigil + "s" + Sigil
 
+  /** Reserved KEY carrying the record's `uri` field through the WAL map
+    * — the reference's blob-pointer record field
+    * (`chromadb/api/models/Collection.py:96-109` uris surface,
+    * `ProjectionRecord` `operator.rs:526-530`). Riding the map buys the
+    * materializer's per-key LWW for free: an Update carrying only a new
+    * uri replaces it and keeps document/metadata. Sigil-prefixed keys
+    * are reserved — [[decodeStr]] strips them from user metadata.
+    */
+  val UriKey: String = Sigil + "uri"
+
   /** Fold typed metadata columns (`meta_int`, `meta_float`, `meta_bool`,
     * if present on the batch) into the WAL string map with type tags;
     * escape plain strings that collide with the sigil. A key present in
@@ -77,12 +87,32 @@ object TypedMeta {
   def decodeFloat(meta: Column): Column = taggedMap(meta, TagFloat, "double")
   def decodeBool(meta: Column): Column = taggedMap(meta, TagBool, "boolean")
 
-  /** The string remainder: tagged typed entries removed, escaped strings
+  /** Fold a `uri` column (if present) into the WAL map under [[UriKey]],
+    * dropping the column; null uris add no entry (absent ≠ empty).
+    */
+  def encodeUri(records: DataFrame): DataFrame =
+    if (!records.columns.contains("uri")) records
+    else {
+      val none = map_from_arrays(array(), array()).cast("map<string,string>")
+      records
+        .withColumn("meta", map_concat(
+          map_filter(coalesce(col("meta"), none), (k, _) => k =!= UriKey),
+          when(col("uri").isNotNull, map(lit(UriKey), col("uri").cast("string")))
+            .otherwise(none)))
+        .drop("uri")
+    }
+
+  /** The record's uri out of the WAL map (null when absent). */
+  def decodeUri(meta: Column): Column = element_at(meta, UriKey)
+
+  /** The string remainder: tagged typed entries and reserved
+    * sigil-prefixed keys ([[UriKey]]) removed, escaped strings
     * un-escaped.
     */
   def decodeStr(meta: Column): Column =
     transform_values(
-      map_filter(meta, (_, v) =>
+      map_filter(meta, (k, v) =>
+        !k.startsWith(Sigil) &&
         !(v.startsWith(TagInt) || v.startsWith(TagFloat) || v.startsWith(TagBool))),
       (_, v) => when(v.startsWith(TagStr), v.substr(lit(TagStr.length + 1), length(v)))
         .otherwise(v))

@@ -260,6 +260,32 @@ object FacadePack extends QueryPack {
         include = Seq("document", "meta:lang", "meta:src"))
     },
 
+    // The record's `uri` field through the full write path — the
+    // reference's blob-pointer contract (Collection.py:96-109 uris
+    // surface): add() accepts a uri column, it rides the WAL, an Update
+    // carrying ONLY a new uri replaces it while document and metadata
+    // survive the merge, and `include=["uri"]` projects it back out.
+    "fc_uri_roundtrip" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_uri_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("uri_docs")
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        concat(lit("s3://corpus/"), col("source"), lit("/"), col("doc_id"))
+          .as("uri"),
+        map(lit("lang"), col("lang")).as("meta")))
+      // blob migration: every third record's uri moves to cold storage —
+      // document and lang must survive the uri-only update
+      coll.update(Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(
+          concat(lit("doc-"), col("doc_id")).as("id"),
+          concat(lit("s3://cold/"), col("doc_id")).as("uri")))
+      coll.get(
+        where = Some(WhereParser.parse("""{"lang": {"$eq": "en"}}""")),
+        limit = Some(100), include = Seq("document", "uri", "meta:lang"))
+    },
+
     // Attached server-side functions through the client: the schema
     // DECLARES them (resolution fails at registration, the reference's
     // register-by-name contract, service_based_frontend.rs:3208-3460),
@@ -423,6 +449,16 @@ object FacadePack extends QueryPack {
         |      FROM d)
         |SELECT query_id, rank, dist, id FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "fc_uri_roundtrip" ->
+      """WITH live AS (
+        |  SELECT 'doc-'||doc_id AS id, text AS document,
+        |    CASE WHEN doc_id % 3 = 0 THEN 's3://cold/'||doc_id
+        |         ELSE 's3://corpus/'||source||'/'||doc_id END AS uri,
+        |    lang
+        |  FROM documents)
+        |SELECT id, document, uri, lang FROM live WHERE lang = 'en'
+        |ORDER BY id LIMIT 100""".stripMargin,
 
     "fc_attached_stats" ->
       """WITH tf AS (SELECT unnest(list_filter(

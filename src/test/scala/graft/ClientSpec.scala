@@ -71,6 +71,40 @@ class ClientSpec extends AnyFunSuite {
     check(reopened)
   }
 
+  test("uri round-trips: add, uri-only update merges, persist/reopen, include") {
+    val root = freshRoot()
+    val client = new Client(spark, root)
+    val coll = client.createCollection("uri_rt")
+    coll.add(Seq(
+      ("a", "alpha", "s3://hot/a", Map("k" -> "va")),
+      ("b", "beta", "s3://hot/b", Map("k" -> "vb")),
+      ("c", "gamma", null, Map("k" -> "vc")) // no uri — stays null
+    ).toDF("id", "document", "uri", "meta"))
+
+    def uris(h: graft.api.CollectionHandle): Map[String, String] =
+      h.get(include = Seq("uri")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(uris(coll) == Map("a" -> "s3://hot/a", "b" -> "s3://hot/b",
+      "c" -> null))
+
+    // uri-only update (blob migration): document and metadata survive
+    coll.update(Seq(("a", "s3://cold/a")).toDF("id", "uri"))
+    val a = coll.get(include = Seq("document", "uri", "meta:k"))
+      .filter(col("id") === "a").collect()(0)
+    assert(a.getString(1) == "alpha" && a.getString(2) == "s3://cold/a" &&
+      a.getString(3) == "va")
+    // the reserved carrier key never leaks into user metadata
+    assert(coll.asCollection.records.filter(col("id") === "a")
+      .select("meta_str").collect()(0).getMap[String, String](0) ==
+      Map("k" -> "va"))
+
+    // compaction + reopen keeps uris (shred → parquet → re-encode)
+    coll.persist()
+    val reopened = new Client(spark, root).getCollection("uri_rt")
+    assert(uris(reopened) == Map("a" -> "s3://cold/a", "b" -> "s3://hot/b",
+      "c" -> null))
+  }
+
   test("JSONL export/import round-trips the live state") {
     val client = new Client(spark, freshRoot())
     val src = client.createCollection("dump_src")
