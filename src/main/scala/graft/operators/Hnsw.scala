@@ -116,6 +116,19 @@ object Hnsw {
 
     def search(q: Array[Float], k: Int, efSearch: Int): Seq[(Long, Float)] = {
       if (entry < 0) return Nil
+      // Degenerate-exact mode: a beam that can hold every node never
+      // evicts, so the walk IS a full scan up to reachability — score
+      // all nodes directly instead, which is both cheaper and provably
+      // exact even if the graph has unreachable components. This is the
+      // ef ≥ N end of the reference's exact/recall dual test modes
+      // (chromadb invariants: exhaustive knob ⇒ brute force), and what
+      // the *_oracle twin queries pin their hash-exactness on.
+      if (efSearch >= vecs.length) {
+        val all = new Array[(Long, Float)](vecs.length)
+        var i = 0
+        while (i < vecs.length) { all(i) = (ids(i), dist(q, vecs(i))); i += 1 }
+        return all.sortBy(t => (t._2, t._1)).take(k).toSeq
+      }
       var ep = entry
       for (l <- maxLevel until 0 by -1) {
         var changed = true

@@ -181,6 +181,61 @@ object FacadePack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ===== Exhaustive-mode oracle twins (facade paths) =====
+    // Same serving code as the fc_ann_* queries above with the
+    // approximation knob at the exhaustive end (nprobe == nCentroids,
+    // α·k ≥ N), so the result is provably the brute-force KNN and the
+    // row hash-matches the exact oracle — the fc_ann_tail trick
+    // generalized to every facade family (invariants.py:277-438's dual
+    // exact/recall modes).
+
+    "fc_ann_query_oracle" -> { (s, d) =>
+      val model = graft.sources.CollectionStore.ivfServing(
+        graft.Tables.embeddings(s, d)
+          .select(col("vec_id").as("offset_id"), col("embedding")),
+        graft.sources.CollectionStore.indexRoot(d), nCentroids = 16, nReplica = 4)
+      vecCollection(s, d)
+        .queryAnn(model, queryVecs(s, d, 3), k = 5, nprobe = 16)
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Pre-filtered ANN, exhaustive probes: the allowed-set semi-join
+    // composes with a now-exact index leg → exact filtered KNN.
+    "fc_ann_filtered_oracle" -> { (s, d) =>
+      val model = graft.sources.CollectionStore.ivfServing(
+        graft.Tables.embeddings(s, d)
+          .select(col("vec_id").as("offset_id"), col("embedding")),
+        graft.sources.CollectionStore.indexRoot(d), nCentroids = 16, nReplica = 4)
+      val where = WhereParser.parse("""{"even": {"$eq": true}}""")
+      vecCollection(s, d)
+        .queryAnn(model, queryVecs(s, d, 3), k = 5, nprobe = 16,
+          where = Some(where))
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Quantized-SPANN composition, both approximations exhausted:
+    // nprobe == nCentroids (probe everything) AND α·k ≥ N (the coarse
+    // code rank drops nobody) → the exact re-rank is brute force.
+    "fc_ann_quantized_oracle" -> { (s, d) =>
+      val vecs = graft.Tables.embeddings(s, d)
+        .select(col("vec_id").as("offset_id"), col("embedding"))
+      val root = graft.sources.CollectionStore.indexRoot(d)
+      val model = graft.sources.CollectionStore.ivfServing(
+        vecs, root, nCentroids = 16, nReplica = 4)
+      val codes = graft.sources.CollectionStore.rotatedCodesServing(
+        vecs, root, dim = 64)
+      vecCollection(s, d)
+        .queryAnnQuantized(model, codes, queryVecs(s, d, 3), k = 5,
+          nprobe = 16, dim = 64, alpha = 400)
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // IndexAndWal — the reference's DEFAULT read level
     // (plan.rs:553-565): compact part of the corpus, build the served
     // IVF over it, then ADD the rest through the WAL and query WITHOUT
@@ -231,6 +286,29 @@ object FacadePack extends QueryPack {
       }
       coll.add(recs(col("vec_id") < 100))
       coll.queryAnnHnsw(queryVecs(s, d, 3), k = 5, efSearch = 128)
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // The HNSW tail path exhausted: ef ≥ every partition graph's node
+    // count → the index leg is a degenerate-exact full scan, the tail
+    // leg is exact by construction, and the shadowed merge equals the
+    // brute-force KNN over the whole corpus — hash-exact through the
+    // same IndexAndWal code as fc_ann_hnsw_tail.
+    "fc_ann_hnsw_tail_oracle" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d) + "/tail_client_h"
+      val client = new graft.api.Client(s, root)
+      val coll = client.getOrCreateCollection("vecs")
+      def recs(pred: org.apache.spark.sql.Column) =
+        Tables.embeddings(s, d).filter(pred).select(
+          concat(lit("vec-"), col("vec_id")).as("id"), col("embedding"))
+      if (!graft.sources.CollectionStore.hasRecords(coll.ref.dataRoot)) {
+        coll.add(recs(col("vec_id") >= 100))
+        coll.persist()
+      }
+      coll.add(recs(col("vec_id") < 100))
+      coll.queryAnnHnsw(queryVecs(s, d, 3), k = 5, efSearch = 1000000)
         .select(col("query_id"), col("rank"),
           col("dist").cast("float").as("dist"), col("id"))
         .orderBy(col("query_id"), col("rank"))
@@ -423,7 +501,43 @@ object FacadePack extends QueryPack {
     },
   )
 
+  /** Brute-force cosine top-5 for the 3 facade query vectors — the
+    * shared oracle of fc_ann_tail and every facade exhaustive-mode twin
+    * (their index legs degenerate to exactly this).
+    */
+  private lazy val facadeExactK5Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 3),
+      |d AS (SELECT query_id, 'vec-'||vec_id AS id,
+      |        1.0 - list_cosine_similarity(embedding, qe) AS dist
+      |      FROM embeddings, q),
+      |r AS (SELECT query_id, id, dist,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+      |      FROM d)
+      |SELECT query_id, rank, dist, id FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "fc_ann_query_oracle" -> facadeExactK5Sql,
+    "fc_ann_quantized_oracle" -> facadeExactK5Sql,
+    "fc_ann_hnsw_tail_oracle" -> facadeExactK5Sql,
+
+    // exact filtered KNN: the even key exists iff vec_id % 3 != 0 and
+    // holds vec_id % 2 = 0 (missing-key two-valued semantics)
+    "fc_ann_filtered_oracle" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 3),
+        |cand AS (SELECT * FROM embeddings
+        |         WHERE vec_id % 3 <> 0 AND vec_id % 2 = 0),
+        |d AS (SELECT query_id, 'vec-'||vec_id AS id,
+        |        1.0 - list_cosine_similarity(embedding, qe) AS dist
+        |      FROM cand, q),
+        |r AS (SELECT query_id, id, dist,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+        |      FROM d)
+        |SELECT query_id, rank, dist, id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "fc_query_filtered" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |           FROM embeddings WHERE vec_id < 3),
@@ -438,17 +552,7 @@ object FacadePack extends QueryPack {
         |SELECT query_id, rank, dist, 'vec-'||vec_id AS id FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
-    "fc_ann_tail" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-        |           FROM embeddings WHERE vec_id < 3),
-        |d AS (SELECT query_id, 'vec-'||vec_id AS id,
-        |        1.0 - list_cosine_similarity(embedding, qe) AS dist
-        |      FROM embeddings, q),
-        |r AS (SELECT query_id, id, dist,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
-        |      FROM d)
-        |SELECT query_id, rank, dist, id FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "fc_ann_tail" -> facadeExactK5Sql,
 
     "fc_uri_roundtrip" ->
       """WITH live AS (

@@ -91,6 +91,38 @@ object StreamingPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Exhaustive-mode oracle twin of st_ivf_upsert: the SAME streaming
+    // maintenance pipeline (staged files → micro-batch appends →
+    // posting compaction), probed with nprobe == nCentroids — every
+    // stream-built posting list is scanned, so the result is the exact
+    // KNN and the hash-match PROVES the incrementally-built index
+    // contains every vector (a dropped or double-assigned row would
+    // break it). The recall-knobbed variant above stays as the
+    // realistic-path measurement.
+    "st_ivf_upsert_oracle" -> { (s, d) =>
+      import graft.Tables
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("offset_id"), col("embedding"))
+      val centroids = graft.sources.CollectionStore.ivfServing(
+        vecs, graft.sources.CollectionStore.indexRoot(d),
+        nCentroids = 16, nReplica = 4).centroids
+      val base = java.nio.file.Files.createTempDirectory("ivf_upsert_o").toString
+      vecs.withColumn("part", pmod(col("offset_id"), lit(3)))
+        .repartitionByRange(3, col("part")).drop("part")
+        .write.mode("overwrite").parquet(s"$base/src")
+      EventStream.ivfMaintain(s, s"$base/src", centroids,
+        s"$base/postings", s"$base/ckpt", nReplica = 4, filesPerBatch = 2)
+      graft.operators.Ivf.compactPostings(s, s"$base/postings")
+      val model = graft.operators.Ivf.Model(
+        centroids, s.read.parquet(s"$base/postings"))
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.operators.Ivf.search(model, queries, k = 10, nprobe = 16)
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("offset_id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Incremental FTS maintenance: the corpus streams in (3 staged files
     // → 2 micro-batches — a compactor batches the accumulated tail, so
     // the bench exercises a realistic files-per-trigger, not one job
@@ -140,9 +172,50 @@ object StreamingPack extends QueryPack {
           col("dist").cast("float").as("dist"), col("offset_id"))
         .orderBy(col("query_id"), col("rank"))
     },
+
+    // Exhaustive-mode oracle twin of st_hnsw_upsert: ef ≥ every
+    // stream-appended graph's node count → degenerate-exact scan of
+    // every per-batch partition graph, exact merge — hash-exactness
+    // proves the incremental maintenance lost no vector.
+    "st_hnsw_upsert_oracle" -> { (s, d) =>
+      import graft.Tables
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("offset_id"), col("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("hnsw_upsert_o").toString
+      vecs.withColumn("part", pmod(col("offset_id"), lit(3)))
+        .repartitionByRange(3, col("part")).drop("part")
+        .write.mode("overwrite").parquet(s"$base/src")
+      EventStream.hnswMaintain(s, s"$base/src", base, s"$base/ckpt",
+        filesPerBatch = 2)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.operators.Hnsw.searchSaved(s, base, queries, k = 10,
+          efSearch = 1000000)
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("offset_id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
   )
 
+  /** Brute-force cosine top-10 over the 3 stream-query vectors — the
+    * exhaustive-probe twins' index legs degenerate to exactly this.
+    */
+  private lazy val streamExactKnnSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 3),
+      |d AS (SELECT query_id, vec_id,
+      |        1.0 - list_cosine_similarity(embedding, qe) AS dist
+      |      FROM embeddings, q),
+      |r AS (SELECT query_id, vec_id, dist,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      |      FROM d)
+      |SELECT query_id, rank, dist, vec_id AS offset_id FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "st_ivf_upsert_oracle" -> streamExactKnnSql,
+    "st_hnsw_upsert_oracle" -> streamExactKnnSql,
+
     "st_hourly_stream" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value

@@ -266,6 +266,86 @@ object VectorSearch extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ===== Exhaustive-mode oracle twins =====
+    // The fc_ann_tail trick generalized (reference anchor: chromadb's
+    // invariants run every index in BOTH a recall mode and an exact mode,
+    // `invariants.py:277-438`): the SAME serving code path with its
+    // approximation knob at the exhaustive end is provably brute force,
+    // so the result hash-matches the exact-KNN oracle. Each approximate
+    // query above keeps its realistic knobs + ScalaTest recall gate;
+    // these twins pin the code path itself to a green CORRECTNESS row.
+
+    // IVF, nprobe == nCentroids: every posting list is probed, replica
+    // duplicates collapse in the top-k dedup → exact by construction.
+    "vs_ann_ivf_oracle" -> { (s, d) =>
+      val model = graft.sources.CollectionStore.ivfServing(
+        candidates(s, d), graft.sources.CollectionStore.indexRoot(d),
+        nCentroids = 16, nReplica = 4)
+      graft.operators.Ivf.search(model, queryVecs(s, d), k = 10, nprobe = 16)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Centroid-graph routing, exhaustive: the routing HNSW's beam covers
+    // the whole centroid set (ef ≥ |centroids| → degenerate-exact full
+    // scan per graph), so routing returns ALL centroids and the probe is
+    // exhaustive — the routed code path, hash-exact.
+    "vs_ann_ivf_routed_oracle" -> { (s, d) =>
+      val model = graft.sources.CollectionStore.ivfServing(
+        candidates(s, d), graft.sources.CollectionStore.indexRoot(d),
+        nCentroids = 16, nReplica = 4, graphRouteThreshold = 1)
+      graft.operators.Ivf.search(model, queryVecs(s, d), k = 10, nprobe = 16)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Rebalanced (split/merge) index, nprobe ≥ every possible list count
+    // after splits: all bounded lists probed → exact through the
+    // maintenance-rewritten layout.
+    "vs_ann_ivf_rebalanced_oracle" -> { (s, d) =>
+      val model = graft.sources.CollectionStore.ivfRebalancedServing(
+        candidates(s, d), graft.sources.CollectionStore.indexRoot(d),
+        nCentroids = 16, nReplica = 4, splitThreshold = 800, mergeThreshold = 20)
+      graft.operators.Ivf.search(model, queryVecs(s, d), k = 10, nprobe = 4096)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Per-partition HNSW, ef ≥ partition size: each saved graph's beam
+    // holds every node (degenerate-exact scan — connectivity can no
+    // longer lose a neighbor), merge is the exact KnnMerge → brute force
+    // through the persisted-blob serving path.
+    "vs_ann_hnsw_oracle" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.hnswServing(
+        candidates(s, d).repartition(4), graft.sources.CollectionStore.indexRoot(d))
+      graft.operators.Hnsw.searchSaved(s, root, queryVecs(s, d), k = 10,
+          efSearch = 1000000)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Rotated (RaBitQ) quantization, α·k ≥ N: the coarse pass keeps every
+    // candidate, so the exact re-rank IS brute force — the rotation's
+    // non-SQL-expressibility stops mattering because no candidate is ever
+    // dropped by the estimate. (α=200, k=10 covers N ≤ 2000 — both test
+    // SFs; a bigger corpus needs α scaled with N/k to stay exhaustive.)
+    "vs_quantized_rotated_oracle" -> { (s, d) =>
+      graft.operators.Quantized.searchRotated(candidates(s, d), queryVecs(s, d),
+          k = 10, dim = 64, alpha = 200)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Same exhaustive bound through the PERSISTED code table.
+    "vs_quantized_rotated_served_oracle" -> { (s, d) =>
+      val codes = graft.sources.CollectionStore.rotatedCodesServing(
+        candidates(s, d), graft.sources.CollectionStore.indexRoot(d), dim = 64)
+      graft.operators.Quantized.searchRotatedServed(codes, candidates(s, d),
+          queryVecs(s, d), k = 10, dim = 64, alpha = 200)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // KNN similarity join: every left row (vec_id < 50) → top-3 right rows.
     "vs_similarity_join" -> { (s, d) =>
       val left = Tables.embeddings(s, d).filter(col("vec_id") < 50)
@@ -299,17 +379,29 @@ object VectorSearch extends QueryPack {
        |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Brute-force cosine top-10 — the shared oracle of every
+    * exhaustive-mode twin (their index legs degenerate to exactly this).
+    */
+  private lazy val exactCosineSql =
+    s"""WITH $qcte,
+       |d AS (SELECT query_id, vec_id,
+       |        1.0 - list_cosine_similarity(embedding, qe) AS dist
+       |      FROM embeddings, q),
+       |r AS (SELECT query_id, vec_id, dist,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+       |      FROM d)
+       |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "vs_knn_cosine" ->
-      s"""WITH $qcte,
-         |d AS (SELECT query_id, vec_id,
-         |        1.0 - list_cosine_similarity(embedding, qe) AS dist
-         |      FROM embeddings, q),
-         |r AS (SELECT query_id, vec_id, dist,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
-         |      FROM d)
-         |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
+    "vs_ann_ivf_oracle" -> exactCosineSql,
+    "vs_ann_ivf_routed_oracle" -> exactCosineSql,
+    "vs_ann_ivf_rebalanced_oracle" -> exactCosineSql,
+    "vs_ann_hnsw_oracle" -> exactCosineSql,
+    "vs_quantized_rotated_oracle" -> exactCosineSql,
+    "vs_quantized_rotated_served_oracle" -> exactCosineSql,
+
+    "vs_knn_cosine" -> exactCosineSql,
 
     "vs_knn_ip" ->
       s"""WITH $qcte,
@@ -322,16 +414,7 @@ object VectorSearch extends QueryPack {
          |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
-    "vs_sql_knn" ->
-      s"""WITH $qcte,
-         |d AS (SELECT query_id, vec_id,
-         |        1.0 - list_cosine_similarity(embedding, qe) AS dist
-         |      FROM embeddings, q),
-         |r AS (SELECT query_id, vec_id, dist,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
-         |      FROM d)
-         |SELECT query_id, rank, vec_id, dist FROM r WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
+    "vs_sql_knn" -> exactCosineSql,
 
     "vs_knn_l2" ->
       s"""WITH $qcte,
