@@ -243,6 +243,58 @@ object EmbeddingFunctions {
     }
   }
 
+  /** Fitted DENSE tf-idf embedder — the dense sibling of
+    * [[LogTfIdfSparse]] and the classic "project onto the top-`dim`
+    * vocabulary" text featurizer (the reference's embedding-function
+    * suite spans exactly this fitted-featurizer family alongside its
+    * model backends, `chromadb/utils/embedding_functions/`): slot `i`
+    * of the vector is `ln(1+tf)·idf` of the i-th vocabulary term
+    * (fitted order: df desc, term asc), L2-normalized. Both
+    * quantization steps (idf to 1/64, weights to 1/1024) and the
+    * dyadic-exact norm make the output reproducible bit-for-bit by a
+    * SQL oracle — the only dense embedding function here that earns a
+    * hash-exact CORRECTNESS row rather than a spec gate.
+    */
+  final class VocabTfIdfDense(val slots: Map[Long, Int],
+      val idfBySlot: Seq[Double]) extends EmbeddingFunction {
+    val dim: Int = idfBySlot.size
+    val name = s"vocab_tfidf_$dim"
+    def embed(text: Column): Column =
+      TextHash.vocabTfIdfDense(
+        graft.operators.TextStats.tokens(text), slots, idfBySlot)
+  }
+
+  object VocabTfIdfDense {
+    /** Fit the vocabulary: document frequencies in ONE distributed
+      * aggregation; the top `dim` terms by (df desc, term asc) take
+      * slots 0..dim-1 in that order — deterministic, so an oracle can
+      * reproduce slot assignment — idf = BM25-idf quantized to 1/64.
+      * The collect is bounded by `dim`.
+      */
+    def fit(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
+        dim: Int = 64): VocabTfIdfDense = {
+      val n = docs.count().toDouble
+      val rows = docs
+        .select(explode(array_distinct(
+          graft.operators.TextStats.tokens(col(textCol)))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), col("term")).limit(dim)
+        .collect()
+      val slots = Map.newBuilder[Long, Int]
+      val idf = Seq.newBuilder[Double]
+      rows.zipWithIndex.foreach { case (r, slot) =>
+        val term = r.getString(0)
+        val d = r.getLong(1).toDouble
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+        val tid = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        slots += tid -> slot
+        idf += math.floor(math.log((n - d + 0.5) / (d + 0.5) + 1.0) * 64.0) / 64.0
+      }
+      new VocabTfIdfDense(slots.result(), idf.result())
+    }
+  }
+
   /** A loadable inference model: `load()` runs ONCE per partition (the
     * expensive step — an ONNX session, a tokenizer) and returns the
     * batch-infer closure. This is the `onnx_mini_lm_l6_v2.py` shape:

@@ -159,6 +159,48 @@ object TextHash {
     InternalRow(new GenericArrayData(ids), new GenericArrayData(ws))
   }
 
+  /** Fitted DENSE tf-idf embedding kernel: hash tokens, count
+    * in-vocabulary term frequencies into their fitted slots, weight
+    * `w = floor(ln(1+tf)·idf·1024)/1024`, L2-normalize. The quantized
+    * weights are dyadic rationals with 10 fractional bits, so the
+    * norm's sum of squares is EXACT in double regardless of summation
+    * order — which is what lets a SQL oracle (summing in its own
+    * order) reproduce the normalized result bit-for-bit.
+    */
+  def vocabTfIdfKernel(arr: ArrayData,
+      slots: java.util.HashMap[java.lang.Long, java.lang.Integer],
+      idf: Array[Double]): ArrayData = {
+    val dim = idf.length
+    val tf = new Array[Int](dim)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val slot = slots.get(h)
+      if (slot != null) tf(slot.intValue()) += 1
+      j += 1
+    }
+    val w = new Array[Double](dim)
+    var ss = 0.0
+    var i = 0
+    while (i < dim) {
+      if (tf(i) > 0) {
+        val x = math.floor(math.log(1.0 + tf(i)) * idf(i) * 1024.0) / 1024.0
+        w(i) = x
+        ss += x * x
+      }
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    if (ss > 0.0) {
+      val root = math.sqrt(ss)
+      i = 0
+      while (i < dim) { out(i) = (w(i) / root).toFloat; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
   private val kernelClass = "graft.functions.TextHash"
 
   private case class MinHashSig(child: Expression, perms: Int)
@@ -234,6 +276,28 @@ object TextHash {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  private case class VocabTfIdfVec(child: Expression,
+      slots: Map[Long, Int], idf: Seq[Double]) extends UnaryExpression {
+    override def prettyName: String = "vocab_tfidf_dense"
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val slotMap = {
+      val m = new java.util.HashMap[java.lang.Long, java.lang.Integer](slots.size * 2)
+      slots.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+    @transient private lazy val idfArr = idf.toArray
+    override def nullSafeEval(input: Any): Any =
+      vocabTfIdfKernel(input.asInstanceOf[ArrayData], slotMap, idfArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val sref = ctx.addReferenceObj("tfidfSlots", slotMap,
+        "java.util.HashMap<java.lang.Long, java.lang.Integer>")
+      val iref = ctx.addReferenceObj("tfidfIdf", idfArr, "double[]")
+      defineCodeGen(ctx, ev, a => s"$kernelClass.vocabTfIdfKernel($a, $sref, $iref)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   private case class SimHash64(child: Expression) extends UnaryExpression {
     override def prettyName: String = "simhash64"
     override def dataType: DataType = LongType
@@ -268,6 +332,13 @@ object TextHash {
   /** token array<string> -> L2-normalized dim-bucket hashed BoW vector. */
   def hashedBow(toks: Column, dim: Int): Column =
     SqlBridge.column(HashedBowVec(SqlBridge.expr(toks), dim))
+
+  /** token array<string> -> L2-normalized dense fitted tf-idf vector
+    * over a top-|slots| vocabulary (term-hash -> slot, idf by slot).
+    */
+  def vocabTfIdfDense(toks: Column, slots: Map[Long, Int],
+      idf: Seq[Double]): Column =
+    SqlBridge.column(VocabTfIdfVec(SqlBridge.expr(toks), slots, idf))
 
   private def litInt(e: Expression, arg: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

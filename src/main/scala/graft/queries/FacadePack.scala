@@ -499,6 +499,25 @@ object FacadePack extends QueryPack {
       coll.sparseSearch("bm25", qv, k = 20)
         .select(col("id"), col("#score").cast("float").as("score"))
     },
+
+    // DENSE fitted tf-idf embedding function end-to-end: fit the
+    // top-64 vocabulary on the corpus (df desc, term asc — slot order
+    // an oracle reproduces with row_number), embed every document, emit
+    // the nonzero (slot, weight) cells. Hash-exact because idf
+    // quantizes to 1/64, weights to 1/1024, and the L2 norm's
+    // sum-of-squares over 10-fractional-bit dyadics is EXACT in double
+    // — the only dense embedding output the DuckDB oracle can rebuild
+    // bit-for-bit.
+    "fc_dense_tfidf" -> { (s, d) =>
+      val ef = graft.functions.EmbeddingFunctions.VocabTfIdfDense.fit(
+        Tables.documents(s, d), "text", dim = 64)
+      Tables.documents(s, d)
+        .select(concat(lit("doc-"), col("doc_id")).as("id"),
+          ef.embed(col("text")).as("emb"))
+        .select(col("id"), posexplode(col("emb")).as(Seq("slot", "w")))
+        .filter(col("w") =!= 0f)
+        .orderBy(col("id"), col("slot"))
+    },
   )
 
   /** Brute-force cosine top-5 for the 3 facade query vectors — the
@@ -666,6 +685,30 @@ object FacadePack extends QueryPack {
         |FROM v WHERE term IN ('query','data','filter','spark')
         |GROUP BY doc_id HAVING sum(val) > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "fc_dense_tfidf" ->
+      """WITH tf0 AS (SELECT doc_id, unnest(t) AS term FROM
+        |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |       x -> x <> '') AS t FROM documents)),
+        |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf0 GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |dfv AS (SELECT term, count(*) AS df FROM
+        |          (SELECT DISTINCT doc_id, term FROM tf0) GROUP BY term),
+        |vocab AS (SELECT term, df,
+        |            row_number() OVER (ORDER BY df DESC, term) AS rn FROM dfv),
+        |idf AS (SELECT term, rn - 1 AS slot,
+        |          floor(ln(((SELECT n FROM n) - df + 0.5) / (df + 0.5) + 1.0)
+        |            * 64) / 64 AS idf
+        |        FROM vocab WHERE rn <= 64),
+        |w AS (SELECT f.doc_id, i.slot,
+        |        floor(ln(1.0 + f.tf) * i.idf * 1024) / 1024 AS w
+        |      FROM freq f JOIN idf i ON f.term = i.term),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY doc_id)
+        |SELECT 'doc-'||w.doc_id AS id, w.slot,
+        |       CAST(w.w / nrm.nn AS FLOAT) AS w
+        |FROM w JOIN nrm ON w.doc_id = nrm.doc_id
+        |WHERE w.w <> 0
+        |ORDER BY id, slot""".stripMargin,
 
     "fc_search_json" ->
       """WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -79,6 +79,36 @@ class EmbeddingFunctionsSpec extends AnyFunSuite {
     assert(rare.getSeq[Long](0).isEmpty && rare.getSeq[Float](1).isEmpty)
   }
 
+  test("fitted dense tf-idf EF: slot order, exact weights, unit norm, OOV zero") {
+    import spark.implicits._
+    val corpus = Seq(
+      "spark spark data engine",
+      "data filter engine",
+      "spark data",
+      "rare token here").toDF("text")
+    val ef = EmbeddingFunctions.VocabTfIdfDense.fit(corpus, "text", dim = 3)
+    // slots by (df desc, term asc): data(3)->0, engine(2)->1, spark(2)->2
+    assert(ef.dim == 3 && ef.slots.size == 3)
+    def idfOf(df: Int) =
+      math.floor(math.log((4.0 - df + 0.5) / (df + 0.5) + 1.0) * 64.0) / 64.0
+    def w(tf: Int, df: Int): Double =
+      math.floor(math.log(1.0 + tf) * idfOf(df) * 1024.0) / 1024.0
+    val out = corpus.select(ef.embed(col("text")).as("e")).collect()
+      .map(_.getSeq[Float](0))
+    assert(out.forall(_.length == 3))
+    // row 0 "spark spark data engine": tf data=1, engine=1, spark=2
+    val raw = Seq(w(1, 3), w(1, 2), w(2, 2))
+    val norm = math.sqrt(raw.map(x => x * x).sum)
+    assert(out(0) == raw.map(x => (x / norm).toFloat),
+      s"expected exact normalized weights, got ${out(0)}")
+    out.take(3).foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-6, s"norm $n != 1")
+    }
+    // out-of-vocabulary document embeds to the zero vector
+    assert(out(3).forall(_ == 0f))
+  }
+
   test("model runner: batched mapPartitions inference, one session per JVM") {
     import EmbeddingFunctions.{FakeModelBackend, ModelEmbeddingFunction}
     import spark.implicits._
