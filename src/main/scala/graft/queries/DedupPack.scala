@@ -65,6 +65,35 @@ object DedupPack extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
+    // Exhaustive-mode oracle twin of dd_emb_ann: nReplica == nCentroids
+    // assigns every vector to EVERY posting list (k-means refuses k=1,
+    // so 2 lists with 2-way replication), so co-membership holds for
+    // every pair and the bucketed candidates-then-verify code path
+    // degenerates to the exact all-pairs top-k — hash-matching the
+    // dd_emb_top_pairs oracle. Served from its own index root so the
+    // realistic 16-centroid index the ANN queries share is untouched.
+    "dd_emb_ann_oracle" -> { (s, d) =>
+      val model = graft.sources.CollectionStore.ivfServing(
+        Tables.embeddings(s, d).select(col("vec_id").as("offset_id"), col("embedding")),
+        graft.sources.CollectionStore.indexRoot(d) + "/exh1", nCentroids = 2,
+        nReplica = 2)
+      Dedup.embeddingAnnPairs(model, k = 20)
+    },
+
+    // Exhaustive twin of dd_semdedup: the all-lists replication yields
+    // the EXACT cosine-threshold graph, so the connected-components +
+    // min-id-keep pipeline must land on the recursive-CTE oracle.
+    "dd_semdedup_oracle" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("offset_id"), col("embedding"))
+      val model = graft.sources.CollectionStore.ivfServing(
+        vecs, graft.sources.CollectionStore.indexRoot(d) + "/exh1",
+        nCentroids = 2, nReplica = 2)
+      Dedup.semanticDedup(
+        Tables.embeddings(s, d), model, threshold = 0.4)
+        .orderBy(col("vec_id"))
+    },
+
     // Near-dup clusters: connected components over the exact jaccard
     // pair graph (min-label propagation), each doc tagged with its
     // cluster's canonical (min) id and cluster size — the keep-one-per-
@@ -136,6 +165,32 @@ object DedupPack extends QueryPack {
         |  list_cosine_similarity(a.embedding, b.embedding) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin,
+
+    // exhaustive-probe twin: the bucketed path IS the all-pairs top-k
+    "dd_emb_ann_oracle" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  list_cosine_similarity(a.embedding, b.embedding) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin,
+
+    // exact cosine>=0.4 threshold graph -> connected components ->
+    // min-id keep, as a recursive CTE (the dd_dup_clusters pattern)
+    "dd_semdedup_oracle" ->
+      """WITH RECURSIVE jp AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+        |und AS (SELECT va AS src, vb AS dst FROM jp
+        |        UNION ALL SELECT vb, va FROM jp),
+        |cc(node, label) AS (
+        |  SELECT DISTINCT src, src FROM und
+        |  UNION
+        |  SELECT und.src, cc.label FROM und JOIN cc ON und.dst = cc.node),
+        |lab AS (SELECT node, min(label) AS keep FROM cc GROUP BY node)
+        |SELECT e.vec_id, coalesce(lab.keep, e.vec_id) AS keep_id,
+        |       (e.vec_id <> coalesce(lab.keep, e.vec_id)) AS is_dup
+        |FROM embeddings e LEFT JOIN lab ON e.vec_id = lab.node
+        |ORDER BY vec_id""".stripMargin,
 
     "dd_dup_clusters" ->
       s"""WITH RECURSIVE $sqlShingles,

@@ -201,6 +201,27 @@ object TextAnalysis extends QueryPack {
           alphaFrac >= 0.8 && nStop >= 2).as("keep"))
         .orderBy(col("doc_id"))
     },
+
+    // Text-to-KNN end to end with NO hash opacity anywhere: documents
+    // embed through the fitted dense tf-idf function (vocabulary cut,
+    // slot weights, and L2 norm all SQL-reproducible — see
+    // fc_dense_tfidf), then exact cosine top-10 per query document.
+    // The one dense embed→search pipeline whose every stage the DuckDB
+    // oracle rebuilds bit-for-bit.
+    "ta_tfidf_knn" -> { (s, d) =>
+      val ef = graft.functions.EmbeddingFunctions.VocabTfIdfDense.fit(
+        Tables.documents(s, d), "text", dim = 64)
+      val vecs = Tables.documents(s, d)
+        .select(col("doc_id"), ef.embed(col("text")).as("embedding"))
+        .filter(exists(col("embedding"), x => x =!= 0f))
+      val corpus = vecs.select(col("doc_id").as("offset_id"), col("embedding"))
+      val queries = vecs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.operators.Knn.exact(corpus, queries, k = 10, space = "cosine")
+        .select(col("query_id"), col("rank"), col("offset_id").as("doc_id"),
+          col("dist").cast("float").as("dist"))
+        .orderBy(col("query_id"), col("rank"))
+    },
   )
 
   private def sqlToks = "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '')"
@@ -208,6 +229,45 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(t, x -> x IN (${stopwords(l).map(w => s"'$w'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    "ta_tfidf_knn" ->
+      """WITH tf0 AS (SELECT doc_id, unnest(t) AS term FROM
+        |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |       x -> x <> '') AS t FROM documents)),
+        |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf0 GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |dfv AS (SELECT term, count(*) AS df FROM
+        |          (SELECT DISTINCT doc_id, term FROM tf0) GROUP BY term),
+        |vocab AS (SELECT term, df,
+        |            row_number() OVER (ORDER BY df DESC, term) AS rn FROM dfv),
+        |idf AS (SELECT term, rn - 1 AS slot,
+        |          floor(ln(((SELECT n FROM n) - df + 0.5) / (df + 0.5) + 1.0)
+        |            * 64) / 64 AS idf
+        |        FROM vocab WHERE rn <= 64),
+        |w AS (SELECT f.doc_id, i.slot,
+        |        floor(ln(1.0 + f.tf) * i.idf * 1024) / 1024 AS w
+        |      FROM freq f JOIN idf i ON f.term = i.term),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w
+        |        GROUP BY doc_id HAVING sum(w * w) > 0),
+        |cells AS (SELECT w.doc_id, w.slot, CAST(w.w / nrm.nn AS FLOAT) AS w
+        |          FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+        |slots AS (SELECT unnest(range(64)) AS slot),
+        |vecs AS (SELECT d.doc_id,
+        |           list(coalesce(c.w, CAST(0 AS FLOAT)) ORDER BY s.slot) AS emb
+        |         FROM (SELECT DISTINCT doc_id FROM cells) d
+        |         CROSS JOIN slots s
+        |         LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.slot = s.slot
+        |         GROUP BY d.doc_id),
+        |q AS (SELECT doc_id AS query_id, emb AS qe FROM vecs WHERE doc_id < 3),
+        |dist AS (SELECT query_id, v.doc_id,
+        |           1.0 - list_cosine_similarity(v.emb, qe) AS dist
+        |         FROM vecs v, q),
+        |r AS (SELECT query_id, doc_id, dist,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rank
+        |      FROM dist)
+        |SELECT query_id, rank, doc_id, CAST(dist AS FLOAT) AS dist
+        |FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
     "ta_pii_redact" ->
       """WITH t AS (SELECT c_custkey,
         |  'contact ' || c_name || ' <user' || c_custkey || '@example.com> or +1-' ||

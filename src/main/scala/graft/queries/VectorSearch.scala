@@ -346,6 +346,22 @@ object VectorSearch extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // The full quantized-SPANN composition with BOTH approximations
+    // exhausted: nprobe == nCentroids (probe every list) and α·k ≥ N
+    // (the coarse code rank keeps every probed candidate) → the exact
+    // re-rank is brute force through the routed+quantized serving path.
+    "vs_ann_ivf_quantized_oracle" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d)
+      val model = graft.sources.CollectionStore.ivfServing(
+        candidates(s, d), root, nCentroids = 16, nReplica = 4)
+      val codes = graft.sources.CollectionStore.rotatedCodesServing(
+        candidates(s, d), root, dim = 64)
+      graft.operators.Ivf.searchQuantized(model, codes, queryVecs(s, d),
+          k = 10, nprobe = 16, dim = 64, alpha = 200)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // KNN similarity join: every left row (vec_id < 50) → top-3 right rows.
     "vs_similarity_join" -> { (s, d) =>
       val left = Tables.embeddings(s, d).filter(col("vec_id") < 50)
@@ -400,6 +416,7 @@ object VectorSearch extends QueryPack {
     "vs_ann_hnsw_oracle" -> exactCosineSql,
     "vs_quantized_rotated_oracle" -> exactCosineSql,
     "vs_quantized_rotated_served_oracle" -> exactCosineSql,
+    "vs_ann_ivf_quantized_oracle" -> exactCosineSql,
 
     "vs_knn_cosine" -> exactCosineSql,
 
