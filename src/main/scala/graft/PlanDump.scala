@@ -95,7 +95,17 @@ object PlanDump {
     "pl_mixture_weights" ->
       ("Mixture reweighting: the corpus partial-aggregates to |sources| " +
         "rows before any exchange, and the grand total is a 1-row " +
-        "broadcast — the document scan itself never shuffles."))
+        "broadcast — the document scan itself never shuffles."),
+    "ta_tfidf_knn" ->
+      ("Dense embed-to-KNN in one plan: the fitted vocabulary rides the " +
+        "codegen'd kernel as a reference object (no vocab-table join, no " +
+        "UDF — one JVM call per document with O(1) slot lookups), the " +
+        "fit itself is a single bounded aggregation (top-dim collect), " +
+        "and the search is the same broadcast + partial-TopKAgg shape as " +
+        "vs_knn_cosine. Embedding at query time here is deliberate — the " +
+        "write path materializes embeddings at compaction via embedDf; " +
+        "this exercises the inline path the reference uses for " +
+        "query-text embedding."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
