@@ -551,10 +551,18 @@ final class CollectionHandle(spark: SparkSession,
 
   /** Retire compacted-segment versions older than the newest `keepLast`
     * — the reference's garbage-collection service, driven through the
-    * client. Returns the versions removed.
+    * client. Also sweeps commit claims orphaned by a crashed committer
+    * (age-guarded: a claim younger than `staleClaimAgeMs` is presumed
+    * live and left alone — without this, a crash between claim and
+    * publish blocks the collection's next version slot forever, the
+    * decision the reference parks in its GC service). Returns the
+    * versions removed.
     */
-  def gcVersions(keepLast: Int = 2): Seq[Long] =
+  def gcVersions(keepLast: Int = 2,
+      staleClaimAgeMs: Long = 10 * 60 * 1000L): Seq[Long] = {
+    CollectionStore.recoverStaleClaims(ref.dataRoot, staleClaimAgeMs)
     CollectionStore.gcVersions(ref.dataRoot, keepLast)
+  }
 
   def provision(): Unit = Catalog.provision(spark, ref)
 

@@ -629,16 +629,23 @@ object CollectionStore {
     * commit is in flight for `root` — a claim cannot be distinguished
     * from a live committer mid-write by the filesystem alone (the
     * reference makes this call in its GC service, where the sysdb knows).
-    * Returns the versions whose claims were swept.
+    * `minAgeMs` is the defense-in-depth for that rule: a claim younger
+    * than it is presumed to belong to a live committer and is left
+    * alone, so the GC-cadence caller (gcVersions) can't reap a commit
+    * that is mid-write right now. Pass 0 only when the caller KNOWS no
+    * commit is in flight. Returns the versions whose claims were swept.
     */
-  def recoverStaleClaims(root: String): Seq[Long] = {
+  def recoverStaleClaims(root: String, minAgeMs: Long = 0L): Seq[Long] = {
     val dir = java.nio.file.Paths.get(root, "_versions")
     if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val out = scala.collection.mutable.ArrayBuffer[Long]()
     val it = java.nio.file.Files.list(dir).iterator()
     while (it.hasNext) {
-      val n = it.next().getFileName.toString
-      if (n.matches("v\\d+\\.claim")) {
+      val p = it.next()
+      val n = p.getFileName.toString
+      if (n.matches("v\\d+\\.claim") &&
+          java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff) {
         val v = n.stripPrefix("v").stripSuffix(".claim").toLong
         if (!java.nio.file.Files.exists(dir.resolve(s"v$v"))) {
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/v$v"))

@@ -117,6 +117,40 @@ class ConcurrentWriterSpec extends AnyFunSuite {
     assert(fin == Map("a" -> "base-a", "b" -> "base-b", winDoc, loseDoc))
   }
 
+  test("orphaned claim: age-guarded sweep on the GC cadence frees the slot") {
+    val root = specRoot("claimgc")
+    val client = new Client(spark, root)
+    val coll = client.createCollection("cg")
+    coll.add(df(Seq("a" -> "alpha")))
+    coll.persist() // v1
+    val dataRoot = coll.ref.dataRoot
+    // simulate a committer that crashed between claim and publish:
+    // partial data + a claim marker, no final marker
+    val dir = java.nio.file.Paths.get(dataRoot, "_versions")
+    val claim = dir.resolve("v2.claim")
+    java.nio.file.Files.createFile(claim)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dataRoot/v2"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dataRoot/v2", "partial"), "x".getBytes)
+    // a FRESH claim is presumed to be a live committer: not swept
+    coll.gcVersions(keepLast = 1, staleClaimAgeMs = 60000L)
+    assert(java.nio.file.Files.exists(claim), "fresh claim must survive GC")
+    // the same claim past the age guard is orphaned garbage: swept,
+    // partial data removed, and the slot commits again
+    java.nio.file.Files.setLastModifiedTime(claim,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    coll.gcVersions(keepLast = 1, staleClaimAgeMs = 60000L)
+    assert(!java.nio.file.Files.exists(claim), "stale claim must be swept")
+    assert(!new java.io.File(s"$dataRoot/v2").exists, "partial data removed")
+    coll.add(df(Seq("b" -> "beta")))
+    coll.persist() // v2 commits through the freed slot
+    assert(CollectionStore.currentVersion(dataRoot) == 2L)
+    val got = client.getCollection("cg").state.collect()
+      .map(r => r.id -> r.document.get).toMap
+    assert(got == Map("a" -> "alpha", "b" -> "beta"))
+  }
+
   for (seed <- Seq(11L, 37L)) {
     test(s"random racing batches serialize as winner-then-loser (seed $seed)") {
       val rng = new scala.util.Random(seed)
