@@ -549,6 +549,28 @@ final class CollectionHandle(spark: SparkSession,
     }
   }
 
+  /** Time-travel read: the collection's record segment AS OF committed
+    * `version` — the versioned store already keeps the last `keepLast`
+    * compactions on disk (the reference's sysdb tracks the same
+    * collection-version lineage for its fork/GC surface); this exposes
+    * them to readers. The returned view is immutable and ignores this
+    * handle's WAL tail: it is exactly what that compaction published,
+    * reproducible until [[gcVersions]] retires it. Fails loudly on a
+    * never-committed or already-retired version rather than serving an
+    * empty scan.
+    */
+  def atVersion(version: Long): Collection = {
+    val vs = CollectionStore.listVersions(ref.dataRoot)
+    require(vs.contains(version),
+      s"collection ${ref.name}: version $version is not on disk " +
+        s"(committed: ${vs.mkString(",")}) — never committed, or GC-retired")
+    new Collection(CollectionStore.readCached(
+      spark, s"${ref.dataRoot}/v$version/records"))
+  }
+
+  /** Committed compaction versions currently readable via [[atVersion]]. */
+  def versions: Seq[Long] = CollectionStore.listVersions(ref.dataRoot)
+
   /** Retire compacted-segment versions older than the newest `keepLast`
     * — the reference's garbage-collection service, driven through the
     * client. Also sweeps commit claims orphaned by a crashed committer

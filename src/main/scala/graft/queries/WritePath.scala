@@ -174,6 +174,38 @@ object WritePath extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // Time-travel reads over the versioned store: two compactions
+    // publish v1 and v2 through the conditional-commit path, then BOTH
+    // versions serve simultaneously via atVersion — v1 must still show
+    // the pre-upsert/pre-delete state after v2 lands (immutable
+    // snapshot), v2 the post state. The build runs once (version
+    // markers persist); re-runs measure pure versioned reads.
+    "wp_time_travel" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d) + "/travel_client"
+      val client = new graft.api.Client(s, root)
+      val coll = client.getOrCreateCollection("tt")
+      val docs = Tables.documents(s, d)
+      def recs(pred: org.apache.spark.sql.Column, doc: org.apache.spark.sql.Column) =
+        docs.filter(pred).select(
+          concat(lit("doc-"), col("doc_id")).as("id"), doc.as("document"))
+      if (graft.sources.CollectionStore.listVersions(coll.ref.dataRoot).isEmpty) {
+        coll.add(recs(col("doc_id") < 100, col("text")))
+        coll.persist() // v1
+        val h2 = client.getCollection("tt")
+        h2.upsert(recs(col("doc_id") < 100 && col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" v2"))))
+        h2.delete((0 until 100 by 7).map(i => s"doc-$i"))
+        h2.add(recs(col("doc_id").between(100, 119), col("text")))
+        h2.persist() // v2
+      }
+      val h = client.getCollection("tt")
+      val out = Seq(1L, 2L).map { v =>
+        h.atVersion(v).records
+          .select(lit(v).as("version"), col("id"), col("document"))
+      }.reduce(_ union _)
+      out.orderBy(col("version"), col("id"))
+    },
+
     // The 100-TB compaction shape: huge segment + small WAL tail merged
     // with ZERO segment-side shuffles (broadcast ops join; see
     // Materialize.compactionMerge + CompactionMergeSpec plan gates).
@@ -215,6 +247,20 @@ object WritePath extends QueryPack {
       """SELECT 'doc-'||doc_id AS id, text AS document, lang FROM documents
         |WHERE NOT (lang = 'de' OR contains(text, 'sort merge'))
         |ORDER BY id""".stripMargin,
+
+    "wp_time_travel" ->
+      """WITH v1 AS (SELECT 1 AS version, 'doc-'||doc_id AS id,
+        |             text AS document
+        |           FROM documents WHERE doc_id < 100),
+        |v2 AS (SELECT 2 AS version, 'doc-'||doc_id AS id,
+        |         CASE WHEN doc_id%3=0 THEN text||' v2' ELSE text END AS document
+        |       FROM documents WHERE doc_id < 100 AND doc_id%7<>0
+        |       UNION ALL
+        |       SELECT 2, 'doc-'||doc_id, text
+        |       FROM documents WHERE doc_id BETWEEN 100 AND 119)
+        |SELECT version, id, document
+        |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |ORDER BY version, id""".stripMargin,
 
     "wp_fork_cow" ->
       """WITH p AS (SELECT 'doc-'||doc_id AS id,

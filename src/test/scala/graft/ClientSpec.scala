@@ -311,6 +311,31 @@ class ClientSpec extends AnyFunSuite {
     intercept[java.util.ConcurrentModificationException] { stale.persist() }
   }
 
+  test("atVersion: immutable snapshots until GC retires them") {
+    import graft.sources.CollectionStore
+    val root = freshRoot()
+    val client = new Client(spark, root)
+    val coll = client.createCollection("tt")
+    coll.add(Seq(("a", "one"), ("b", "two")).toDF("id", "document"))
+    coll.persist() // v1
+    coll.upsert(Seq(("a", "one EDITED")).toDF("id", "document"))
+    coll.delete(Seq("b"))
+    coll.add(Seq(("c", "three")).toDF("id", "document"))
+    coll.persist() // v2
+    assert(coll.versions == Seq(1L, 2L))
+    def docsAt(v: Long) = coll.atVersion(v).records
+      .select("id", "document").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // v1 still serves the pre-edit state AFTER v2 committed
+    assert(docsAt(1L) == Map("a" -> "one", "b" -> "two"))
+    assert(docsAt(2L) == Map("a" -> "one EDITED", "c" -> "three"))
+    // never-committed and GC-retired versions fail loudly
+    intercept[IllegalArgumentException] { coll.atVersion(3L) }
+    coll.gcVersions(keepLast = 1)
+    intercept[IllegalArgumentException] { coll.atVersion(1L) }
+    assert(docsAt(2L) == Map("a" -> "one EDITED", "c" -> "three"))
+  }
+
   test("fork through the client: copy-on-write, divergent WALs, parent intact") {
     val root = freshRoot()
     val client = new Client(spark, root)
