@@ -2,7 +2,7 @@ package graft.api
 
 import graft.operators.Materialize
 import graft.operators.Materialize.Rec
-import graft.sources.{Catalog, CollectionStore}
+import graft.sources.{Catalog, CollectionStore, WalStore}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -164,6 +164,94 @@ final class CollectionHandle(spark: SparkSession,
         }
       new Writer(spark, seg, next)
     case None => new Writer(spark, spark.emptyDataset[Rec])
+  }
+
+  /** Durable-log prefix this handle has folded into its view: starts at
+    * the mark the current segment recorded at compaction, advances as
+    * committed entries replay ([[refreshLog]]) or this handle's own
+    * appends commit ([[commitLog]]). Always a CONTIGUOUS published
+    * prefix — the only prefix a reader may consume (WalStore's read
+    * contract).
+    */
+  private var walSeen: Long =
+    WalStore.readMark(CollectionStore.recordsRoot(ref.dataRoot))
+  refreshLog() // replay entries the current segment does not cover
+
+  /** Fold committed log entries this handle has not seen (other writers'
+    * appends, or a crash-survived tail at open) into the writer's view,
+    * stopping at the first unpublished position.
+    */
+  private def refreshLog(): Unit =
+    WalStore.publishedAfter(ref.dataRoot, walSeen).foreach { n =>
+      val maxOff = WalStore.entryMeta(ref.dataRoot, n).map(_._2).getOrElse(-1L)
+      if (maxOff >= 0) // count-0 marker = voided crashed append
+        writer.loadCommitted(WalStore.readEntry(spark, ref.dataRoot, n), maxOff)
+      walSeen = n
+    }
+
+  /** Commit every pending write to the durable log — the reference's
+    * wal3 append (`rust/wal3/README.md:1-17`: durable, linearizable,
+    * multi-writer). The pending ops claim the next log position
+    * (atomic marker create), write as one parquet entry, and publish;
+    * losing a position race folds the winner's entry and retries at the
+    * next slot, so concurrent writers' appends serialize into entry
+    * order. Ops REBASE into the won position's offset range, fixing
+    * their cross-writer LWW rank at commit time — a later entry beats an
+    * earlier one on the same id regardless of which handle opened first.
+    *
+    * After this returns, the ops survive process death: a fresh open
+    * replays every committed entry past the segment's walmark. Writes
+    * never committed here (nor compacted by [[persist]]) remain
+    * process-local and die with it — the same contract as the
+    * reference's frontend, which acks only after the log accepts.
+    * Returns the log position holding this handle's ops (or the current
+    * seen prefix when nothing was pending).
+    */
+  def commitLog(timeoutMs: Long = 30000L): Long = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    refreshLog()
+    var done = false
+    while (!done) {
+      writer.pendingForLog match {
+        case None => done = true
+        case Some((pend, offsets)) =>
+          require(offsets.size < WalStore.OffsetStride,
+            s"${offsets.size} pending ops — over the per-entry offset " +
+              s"range ${WalStore.OffsetStride}; commitLog more often")
+          val n = walSeen + 1
+          // committed offset = position base + rank in append order; the
+          // offset list is driver-known (writer counter), so the rebase
+          // is a literal-map lookup — no job, no window, order preserved
+          val rebase = offsets.zipWithIndex
+            .map { case (o, i) => o -> (n * WalStore.OffsetStride + i) }
+            .toMap
+          val rebased = pend.toDF()
+            .withColumn("log_offset",
+              element_at(typedLit(rebase), col("log_offset")))
+            .as[graft.operators.Materialize.LogOp]
+          if (WalStore.appendAt(ref.dataRoot, n, rebased)) {
+            val maxOff = WalStore.entryMeta(ref.dataRoot, n).map(_._2)
+              .getOrElse(-1L)
+            writer.replaceCommitted(
+              WalStore.readEntry(spark, ref.dataRoot, n), maxOff)
+            walSeen = n
+            done = true
+          } else {
+            // lost the slot: if the winner has not published yet the
+            // prefix cannot advance — wait briefly, then fold and retry
+            if (WalStore.publishedAfter(ref.dataRoot, walSeen).isEmpty) {
+              if (System.currentTimeMillis() > deadline)
+                throw new java.util.concurrent.TimeoutException(
+                  s"collection ${ref.name}: log position $n claimed but " +
+                    "unpublished past the wait deadline — a crashed " +
+                    "appender? run gcVersions to void stale claims")
+              Thread.sleep(50L)
+            }
+            refreshLog()
+          }
+      }
+    }
+    walSeen
   }
 
   private def embedFn: Option[graft.functions.EmbeddingFunction] =
@@ -532,8 +620,12 @@ final class CollectionHandle(spark: SparkSession,
     // whose base segment another writer has re-compacted must fail the
     // commit even if it reads currentVersion fresh — its folded state is
     // missing the other writer's records (the classic lost update)
-    CollectionStore.conditionalCommit(ref.dataRoot, baseVersion,
-        dir => CollectionStore.saveRecords(records, dir)) match {
+    CollectionStore.conditionalCommit(ref.dataRoot, baseVersion, { dir =>
+      CollectionStore.saveRecords(records, dir)
+      // the segment folded exactly the log prefix this handle has seen —
+      // record it so opens of this version replay only entries past it
+      WalStore.writeMark(dir, walSeen)
+    }) match {
       case Some(next) =>
         baseVersion = next
         // this IS the compaction point: the stored segment now covers
@@ -583,7 +675,17 @@ final class CollectionHandle(spark: SparkSession,
   def gcVersions(keepLast: Int = 2,
       staleClaimAgeMs: Long = 10 * 60 * 1000L): Seq[Long] = {
     CollectionStore.recoverStaleClaims(ref.dataRoot, staleClaimAgeMs)
-    CollectionStore.gcVersions(ref.dataRoot, keepLast)
+    val removed = CollectionStore.gcVersions(ref.dataRoot, keepLast)
+    // same cadence for the durable log: void stale append claims, then
+    // drop entries every RETAINED version's segment already covers (the
+    // oldest retained walmark is the floor — atVersion readers of any
+    // kept version still replay correctly)
+    WalStore.recoverStaleClaims(ref.dataRoot, staleClaimAgeMs)
+    val retained = CollectionStore.listVersions(ref.dataRoot)
+    if (retained.nonEmpty)
+      WalStore.gcThrough(ref.dataRoot,
+        WalStore.readMark(s"${ref.dataRoot}/v${retained.min}"))
+    removed
   }
 
   def provision(): Unit = Catalog.provision(spark, ref)

@@ -21,6 +21,13 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
 
   private var wal: Vector[LogOp] = Vector.empty
   private var batches: Vector[Dataset[LogOp]] = Vector.empty
+  // Ops not yet committed to the durable log (graft.sources.WalStore) —
+  // parallel to wal/batches but NOT cleared by flush(): folding into the
+  // in-memory segment is not durability. Cleared when a log append
+  // commits them (replaceCommitted) or a compaction covers them
+  // (markCompacted — the segment is then the durable copy).
+  private var logOps: Vector[LogOp] = Vector.empty
+  private var logBatches: Vector[Dataset[LogOp]] = Vector.empty
   // New ops must sort AFTER every compacted record's assigned offset —
   // reopening a persisted collection passes max(first_offset)+1 here.
   private var nextOffset: Long = startOffset
@@ -40,7 +47,10 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
 
   private def append(op: String, id: String, doc: Option[String],
       meta: Map[String, String], emb: Option[Seq[Float]] = None): Unit = {
-    wal = wal :+ LogOp(id, nextOffset, op, doc, meta, emb)
+    pendingOffsets = pendingOffsets :+ nextOffset
+    val rec = LogOp(id, nextOffset, op, doc, meta, emb)
+    wal = wal :+ rec
+    logOps = logOps :+ rec
     tailIdsLocal = tailIdsLocal :+ id
     nextOffset += 1
     mutations += 1
@@ -69,6 +79,67 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
   def markCompacted(): Unit = {
     tailIdsLocal = Vector.empty
     tailIdFrames = Vector.empty
+    // the persisted segment is now the durable copy of any op that never
+    // reached the log — nothing left to commit there
+    logOps = Vector.empty
+    logBatches = Vector.empty
+    pendingOffsets = Vector.empty
+  }
+
+  /** Ops awaiting durable-log commit (everything appended since the last
+    * [[replaceCommitted]]/[[markCompacted]], whether or not a flush()
+    * folded them locally), with their distinct offsets in append order —
+    * the rebase key for the log append. The offsets are DRIVER-KNOWN
+    * (they come from this writer's counter; one per single op, one per
+    * batch), so the entry rebase needs no job and no window: committed
+    * offset = position base + rank in this list. None when the log is
+    * current. NOT contiguous in general — a loadCommitted of another
+    * writer's entry jumps the counter mid-accumulation.
+    */
+  def pendingForLog: Option[(Dataset[LogOp], Seq[Long])] = {
+    if (logOps.isEmpty && logBatches.isEmpty) None
+    else {
+      val pieces = (if (logOps.isEmpty) Nil else Seq(logOps.toDS())) ++
+        logBatches
+      Some((pieces.reduce(_ union _), pendingOffsets))
+    }
+  }
+  // offsets consumed by pending-for-log ops, in append order (ascending:
+  // the counter only grows)
+  private var pendingOffsets: Vector[Long] = Vector.empty
+
+  /** The durable log committed the pending ops as one entry whose rows
+    * are `entry` (offsets REBASED into the entry's position range, max
+    * `maxOffset`): swap the in-memory pending pieces for the entry so
+    * state folds from the durable copy at its committed order. Content
+    * is identical; offsets moved monotonically (same relative order), so
+    * reads see the same records — only cross-writer LWW rank changed to
+    * the committed position, which is the linearization contract.
+    */
+  def replaceCommitted(entry: Dataset[LogOp], maxOffset: Long): Unit = {
+    // surgical: drop only the PENDING pieces (wal ⊆ logOps always — flush
+    // clears wal but not logOps; batches may hold other writers' loaded
+    // entries and earlier commits, which keep serving the view)
+    wal = Vector.empty
+    batches = batches.filterNot(b => logBatches.exists(_ eq b)) :+ entry
+    logOps = Vector.empty
+    logBatches = Vector.empty
+    pendingOffsets = Vector.empty
+    if (maxOffset >= nextOffset) nextOffset = maxOffset + 1
+    mutations += 1
+  }
+
+  /** Fold another writer's committed log entry into this writer's view
+    * (replay at open, or a refresh before an append claims its slot).
+    * The entry is already durable: it joins the batch fold and the
+    * un-compacted tail, but NOT the pending-for-log set.
+    */
+  def loadCommitted(entry: Dataset[LogOp], maxOffset: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    batches = batches :+ entry
+    tailIdFrames = tailIdFrames :+ entry.toDF().select(col("id"))
+    if (maxOffset >= nextOffset) nextOffset = maxOffset + 1
+    mutations += 1
   }
 
   /** Current state RESTRICTED to `ids` — folds only those ids' segment
@@ -99,18 +170,21 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
     */
   def addBatch(ops: org.apache.spark.sql.DataFrame, op: String = "Add"): Unit = {
     import org.apache.spark.sql.functions._
+    pendingOffsets = pendingOffsets :+ nextOffset
     val base = nextOffset
     nextOffset += 1
     val emb =
       if (ops.columns.contains("embedding")) col("embedding").cast("array<float>")
       else lit(null).cast("array<float>")
-    batches = batches :+ ops.select(
+    val batch = ops.select(
       col("id").cast("string").as("id"),
       lit(base).as("log_offset"),
       lit(op).as("op"),
       col("document").cast("string").as("document"),
       col("meta").cast("map<string,string>").as("meta"),
       emb.as("embedding")).as[LogOp]
+    batches = batches :+ batch
+    logBatches = logBatches :+ batch
     tailIdFrames = tailIdFrames :+ ops.select(col("id").cast("string").as("id"))
     mutations += 1
   }

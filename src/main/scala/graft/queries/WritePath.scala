@@ -206,6 +206,34 @@ object WritePath extends QueryPack {
       out.orderBy(col("version"), col("id"))
     },
 
+    // Durable multi-writer WAL (WalStore): writer 1 commits an add batch
+    // as log entry 1, a SECOND handle commits an upsert+delete batch as
+    // entry 2, neither compacts — the read below is pure crash
+    // recovery: a fresh handle replays the committed entries over an
+    // empty segment in entry order. Re-runs skip the build (entries
+    // persist) and measure replay + read only.
+    "wp_wal_durable" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d) + "/wal_client"
+      val client = new graft.api.Client(s, root)
+      val coll = client.getOrCreateCollection("wl")
+      val docs = Tables.documents(s, d)
+      if (graft.sources.WalStore.publishedAfter(coll.ref.dataRoot, 0L).isEmpty) {
+        coll.add(docs.filter(col("doc_id") < 80).select(
+          concat(lit("doc-"), col("doc_id")).as("id"),
+          col("text").as("document")))
+        coll.commitLog() // entry 1
+        val h2 = client.getCollection("wl")
+        h2.upsert(docs.filter(col("doc_id") < 80 && col("doc_id") % 4 === 0)
+          .select(concat(lit("doc-"), col("doc_id")).as("id"),
+            concat(col("text"), lit(" walv2")).as("document")))
+        h2.delete((0 until 80 by 9).map(i => s"doc-$i"))
+        h2.commitLog() // entry 2 (folds entry 1, claims the next slot)
+      }
+      val fresh = client.getCollection("wl") // replays entries 1-2
+      fresh.get(include = Seq("document"))
+        .select(col("id"), col("document")).orderBy(col("id"))
+    },
+
     // The 100-TB compaction shape: huge segment + small WAL tail merged
     // with ZERO segment-side shuffles (broadcast ops join; see
     // Materialize.compactionMerge + CompactionMergeSpec plan gates).
@@ -246,6 +274,14 @@ object WritePath extends QueryPack {
     "wp_delete_where" ->
       """SELECT 'doc-'||doc_id AS id, text AS document, lang FROM documents
         |WHERE NOT (lang = 'de' OR contains(text, 'sort merge'))
+        |ORDER BY id""".stripMargin,
+
+    "wp_wal_durable" ->
+      """SELECT 'doc-'||doc_id AS id,
+        |       CASE WHEN doc_id%4=0 THEN text||' walv2' ELSE text END
+        |         AS document
+        |FROM documents
+        |WHERE doc_id < 80 AND doc_id%9 <> 0
         |ORDER BY id""".stripMargin,
 
     "wp_time_travel" ->
