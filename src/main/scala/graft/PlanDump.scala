@@ -46,6 +46,17 @@ object PlanDump {
         "r5 ADVICE mechanism — flush() unpersisting the prior epoch " +
         "before the new one materializes — was real and is fixed, but it " +
         "sits on the Writer path, which this query does not use.)"),
+    "wp_wal_durable" ->
+      ("Durable-WAL crash-recovery read: a fresh handle folds the segment " +
+        "with the committed log entries replayed as plain parquet scans " +
+        "unioned into the materializer — no driver round-trip anywhere " +
+        "(appends wrote distributed parquet; only the claim markers are " +
+        "O(1) driver files). Cross-writer order needs NO sort or " +
+        "coordination in the plan: offsets were rebased into per-entry " +
+        "position ranges at commit time, so the fold's id-keyed " +
+        "aggregation and the dense offset numbering's range repartition " +
+        "are the only exchanges. Replay cost is O(un-compacted tail), " +
+        "bounded by the compaction cadence, invariant to segment size."),
     "fc_ann_tail" ->
       ("IndexAndWal served read (the reference's default read level): the " +
         "index leg routes + probes the persisted IVF partitions while the " +
