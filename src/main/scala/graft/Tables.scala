@@ -25,17 +25,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as Long and convert with integer
-    * division (`div`, exact) — float division at 1e18 ns magnitude would
-    * lose precision past 2^53. Truncation to micros matches DuckDB's
-    * behavior for all our derived values (hour buckets, epoch millis).
+  /** `events.ts` has shipped as both parquet TIMESTAMP(MICROS) (read
+    * natively) and TIMESTAMP(NANOS), which vanilla Spark rejects
+    * (PARQUET_TYPE_ILLEGAL). For the nanos layout, read nanos as Long and
+    * convert with integer division (`div`, exact) — float division at
+    * 1e18 ns magnitude would lose precision past 2^53. Truncation to
+    * micros matches DuckDB's behavior for all our derived values (hour
+    * buckets, epoch millis).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // normalize to TIMESTAMP so epoch fns (unix_micros/unix_millis)
+        // resolve; sessions run UTC, so the instant is value-identical
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

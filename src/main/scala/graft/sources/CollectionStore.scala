@@ -145,10 +145,24 @@ object CollectionStore {
 
   /** Default persisted-index root for a dataset directory (override with
     * SPARK_GRAFT_INDEX_DIR; must be shared storage on a real cluster).
+    *
+    * The root is fingerprinted with the source files' (name, size, mtime)
+    * so a REGENERATED dataset at the same path gets a fresh root: the
+    * serving-index build keys over raw datasets are count-based, which
+    * cannot see same-cardinality content changes, and /tmp outlives the
+    * data generator here. Listing ~10 file attrs is driver-side and free;
+    * on a real cluster this is the table's snapshot/version id instead.
     */
-  def indexRoot(sfDir: String): String =
+  def indexRoot(sfDir: String): String = {
+    val dir = new java.io.File(sfDir)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    val tag = files.filter(_.isFile).sortBy(_.getName)
+      .foldLeft(17L)((h, f) =>
+        h * 1000003L + f.getName.## * 31L + f.length * 7L + f.lastModified)
     sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft_index") + "/" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + java.lang.Long.toHexString(tag)
+  }
 
   /** Build `what` under `root` iff no marker with the same `key` exists —
     * the compaction-time contract: index build happens once per collection

@@ -38,12 +38,27 @@ object EventStream extends Serializable {
     stage.toString
   }
 
-  /** Streaming source over the events parquet (nanos ts → micros, exact). */
+  /** Streaming source over the events parquet. `ts` has shipped as both
+    * TIMESTAMP(NANOS) (only readable as Long via the legacy flag; exact
+    * `div 1000` to micros) and TIMESTAMP(MICROS) (reads natively as NTZ;
+    * cast to TIMESTAMP under the UTC sessions). Branch on the
+    * batch-inferred footer type — declaring LongType over a MICROS file
+    * would silently yield raw micros-as-long and collapse every event
+    * into 1970 after the nanos division.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema)
-      .parquet(stagedDir(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val staged = stagedDir(dir, "events")
+    spark.read.parquet(staged).schema("ts").dataType match {
+      case LongType =>
+        spark.readStream.schema(eventsSchema).parquet(staged)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        val sch = StructType(eventsSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+        spark.readStream.schema(sch).parquet(staged)
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   private[graft] val documentsSchema = StructType(Seq(
