@@ -81,8 +81,20 @@ object WalStore {
             org.apache.spark.sql.functions.col("log_offset"))).collect()(0)
       val cnt = r.getLong(0)
       val mo = if (r.isNullAt(1)) -1L else r.getLong(1)
-      java.nio.file.Files.write(dir.resolve(s"b$n"),
-        s"""{"count": $cnt, "max_offset": $mo}""".getBytes("UTF-8"))
+      // CAS publish: CREATE_NEW, never overwrite. If the marker already
+      // exists, [[recoverStaleClaims]] voided this slot while the data
+      // write was in flight (only possible past its age guard) — the
+      // void verdict stands; clean up and report the slot lost.
+      try java.nio.file.Files.write(dir.resolve(s"b$n"),
+        s"""{"count": $cnt, "max_offset": $mo}""".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(dataDir))
+          java.nio.file.Files.deleteIfExists(claim)
+          return false
+      }
       java.nio.file.Files.deleteIfExists(claim)
       true
     } catch {
@@ -140,12 +152,18 @@ object WalStore {
     found
   }
 
-  /** Entry `n`'s ops; empty for a voided position. */
+  /** Entry `n`'s ops; empty for a voided position. The marker is the
+    * source of truth, not the data directory: a claimant that crashed
+    * AFTER its slot was voided can leave partial files behind, and ops
+    * that were never acknowledged must not replay.
+    */
   def readEntry(spark: SparkSession, root: String,
       n: Long): Dataset[graft.operators.Materialize.LogOp] = {
     import spark.implicits._
     val data = entryDataDir(root, n)
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(data)))
+    val voided = entryMeta(root, n).exists(_._1 == 0L)
+    if (voided ||
+        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(data)))
       spark.emptyDataset[graft.operators.Materialize.LogOp]
     else spark.read.parquet(data).as[graft.operators.Materialize.LogOp]
   }
@@ -176,12 +194,24 @@ object WalStore {
         java.nio.file.Files.deleteIfExists(claim) // published; stale claim
       } else if (java.nio.file.Files.exists(claim) &&
           java.nio.file.Files.getLastModifiedTime(claim).toMillis <= cutoff) {
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(entryDataDir(root, v)))
-        java.nio.file.Files.write(dir.resolve(s"b$v"),
-          """{"count": 0, "max_offset": -1}""".getBytes("UTF-8"))
-        java.nio.file.Files.deleteIfExists(claim)
-        out += v
+        // CAS void, marker FIRST: claim the verdict before touching data,
+        // so a claimant that publishes concurrently (CREATE_NEW on its
+        // side too) either loses the CAS here — in which case its data
+        // must survive — or wins it, in which case appendAt cleans up.
+        // The old delete-data-then-mark order could destroy a just-
+        // published entry's data.
+        try {
+          java.nio.file.Files.write(dir.resolve(s"b$v"),
+            """{"count": 0, "max_offset": -1}""".getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(entryDataDir(root, v)))
+          java.nio.file.Files.deleteIfExists(claim)
+          out += v
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            java.nio.file.Files.deleteIfExists(claim) // published after all
+        }
       }
     }
     out.toSeq

@@ -142,4 +142,27 @@ class WalSpec extends AnyFunSuite {
     val fresh = new Client(spark, root).getCollection("off")
     assert(docs(fresh) == Map("a" -> "2"))
   }
+
+  test("a voided slot never replays leftover data; late publish loses the CAS") {
+    val root = freshRoot()
+    val c = new Client(spark, root)
+    val h = c.createCollection("void")
+    h.add(Seq(("a", "one")).toDF("id", "document"))
+    h.commitLog() // entry 1
+    // A claimant wrote its data at position 2 but crashed after the GC
+    // cadence voided the slot: leftover parquet under a count-0 marker.
+    val ops = Seq(graft.operators.Materialize.LogOp(
+      "zombie", 2 * WalStore.OffsetStride, "Add", Some("never-acked"),
+      Map.empty, None)).toDS()
+    ops.write.parquet(WalStore.entryDataDir(h.ref.dataRoot, 2L))
+    val markers = java.nio.file.Paths.get(h.ref.dataRoot, "_wal", "_entries")
+    java.nio.file.Files.write(markers.resolve("b2"),
+      """{"count": 0, "max_offset": -1}""".getBytes("UTF-8"))
+    // the marker is the source of truth: the zombie ops must not replay
+    assert(WalStore.readEntry(spark, h.ref.dataRoot, 2L).isEmpty)
+    val fresh = new Client(spark, root).getCollection("void")
+    assert(docs(fresh) == Map("a" -> "one"))
+    // and a late appendAt on the voided slot loses the claim CAS loudly
+    assert(!WalStore.appendAt(h.ref.dataRoot, 2L, ops))
+  }
 }
