@@ -601,13 +601,18 @@ object CollectionStore {
     * having written nothing (writing data first and claiming after opens
     * a lost-update window where the loser's `SaveMode.Overwrite` replaces
     * the winner's already-committed files). The version becomes VISIBLE
-    * only when the final `v{next}` marker lands after a successful write
-    * ([[currentVersion]] reads final markers only), so a crash
-    * mid-write leaves the previous version serving, never a registered
-    * version with half-written data. A failed write releases its claim
-    * and partial data; a claim orphaned by a process crash blocks that
-    * version slot until [[recoverStaleClaims]] sweeps it (the reference
-    * parks the same decision in its garbage-collection service).
+    * only when the claim is atomically RENAMED into the final `v{next}`
+    * marker after a successful write ([[currentVersion]] reads final
+    * markers only), so a crash mid-write leaves the previous version
+    * serving, never a registered version with half-written data. The
+    * claim file doubles as the CAS token between publish and the stale
+    * sweep: [[recoverStaleClaims]] consumes it with an atomic delete
+    * before reaping data, the publish consumes it with the rename, and
+    * whichever loses the claim backs off — a registered version can
+    * never point at swept data. A failed write releases its claim and
+    * partial data; a claim orphaned by a process crash blocks that
+    * version slot until the sweep (the reference parks the same decision
+    * in its garbage-collection service).
     */
   def conditionalCommit(root: String, expectedVersion: Long,
       write: String => Unit): Option[Long] = {
@@ -624,8 +629,20 @@ object CollectionStore {
     val dataDir = s"$root/v$next"
     try {
       write(dataDir)
-      java.nio.file.Files.createFile(dir.resolve(s"v$next")) // publish
-      java.nio.file.Files.deleteIfExists(claim)
+      // Publish by atomically RENAMING the claim into the final marker:
+      // the claim file is the CAS token, so a sweeper that voided this
+      // claim mid-write (only possible past its age guard) makes the
+      // rename throw instead of letting a registered version point at
+      // data the sweeper is deleting. Exactly one of
+      // {publish-rename, sweep-delete} consumes the claim.
+      try java.nio.file.Files.move(claim, dir.resolve(s"v$next"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(dataDir))
+          return None // claim swept while writing; slot verdict stands
+      }
       Some(next)
     } catch {
       case e: Throwable =>
@@ -662,9 +679,16 @@ object CollectionStore {
           java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff) {
         val v = n.stripPrefix("v").stripSuffix(".claim").toLong
         if (!java.nio.file.Files.exists(dir.resolve(s"v$v"))) {
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/v$v"))
-          java.nio.file.Files.deleteIfExists(dir.resolve(n))
-          out += v
+          // CAS: consume the claim FIRST — conditionalCommit publishes by
+          // renaming it away, so winning this delete proves the commit
+          // cannot publish anymore and its data is safe to reap. Deleting
+          // data before winning the claim could destroy a version that
+          // publishes concurrently.
+          if (java.nio.file.Files.deleteIfExists(dir.resolve(n))) {
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(s"$root/v$v"))
+            out += v
+          }
         } else java.nio.file.Files.deleteIfExists(dir.resolve(n)) // published, stale claim
       }
     }

@@ -160,6 +160,40 @@ class StorageSpec extends AnyFunSuite {
     assert(CollectionStore.currentVersion(root) == 2)
   }
 
+  test("conditional commit: a claim swept mid-write cannot publish") {
+    val root = tmp()
+    // the sweeper consumes the claim while the committer's write is in
+    // flight (only possible past the sweep's age guard); the publish
+    // rename must lose the CAS and leave no registered version behind
+    val res = CollectionStore.conditionalCommit(root, 0, { dir =>
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "data.txt"), "doomed")
+      assert(CollectionStore.recoverStaleClaims(root, minAgeMs = 0L)
+        == Seq(1L))
+    })
+    assert(res.isEmpty)
+    assert(CollectionStore.currentVersion(root) == 0)
+    assert(!new java.io.File(s"$root/v1").exists(), "swept data survived")
+    // the slot is free again: a retry commits cleanly
+    assert(CollectionStore.conditionalCommit(root, 0, { dir =>
+      new java.io.File(dir).mkdirs() }) == Some(1))
+  }
+
+  test("stale-claim sweep backs off when the commit publishes first") {
+    val root = tmp()
+    assert(CollectionStore.conditionalCommit(root, 0, { dir =>
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "data.txt"), "keep")
+    }) == Some(1))
+    // publish consumed the claim via rename; a sweep finds nothing to
+    // void and must not touch the registered version's data
+    assert(CollectionStore.recoverStaleClaims(root, minAgeMs = 0L).isEmpty)
+    assert(CollectionStore.currentVersion(root) == 1)
+    assert(new java.io.File(s"$root/v1/data.txt").exists())
+  }
+
   test("version GC retires old versions, keeps current, sweeps crash orphans") {
     val root = tmp()
     def commit(): Long = {
