@@ -195,6 +195,34 @@ object StreamingPack extends QueryPack {
           col("dist").cast("float").as("dist"), col("offset_id"))
         .orderBy(col("query_id"), col("rank"))
     },
+
+    // FetchLog over the DURABLE WAL as a real readStream: two committed
+    // log entries (add batch; upsert+delete batch) stream file-by-file
+    // through the staged prefix, a stateful per-id LWW fold resolves ops
+    // across micro-batches by rebased offset, and the materialized live
+    // state must equal the batch oracle exactly — the reference's
+    // wal3 → FetchLog → materialize ingest path, streamed end-to-end.
+    "st_wal_stream" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d) + "/wal_stream"
+      val client = new graft.api.Client(s, root)
+      val coll = client.getOrCreateCollection("ws")
+      val docs = graft.Tables.documents(s, d)
+      if (graft.sources.WalStore.publishedAfter(coll.ref.dataRoot, 0L).isEmpty) {
+        coll.add(docs.filter(col("doc_id") < 80).select(
+          concat(lit("doc-"), col("doc_id")).as("id"),
+          col("text").as("document")))
+        coll.commitLog() // entry 1
+        coll.upsert(docs.filter(col("doc_id") < 80 && col("doc_id") % 4 === 0)
+          .select(concat(lit("doc-"), col("doc_id")).as("id"),
+            concat(col("text"), lit(" walv2")).as("document")))
+        coll.delete((0 until 80 by 9).map(i => s"doc-$i"))
+        coll.commitLog() // entry 2
+      }
+      val ops = graft.sources.WalStore.streamEntries(s, coll.ref.dataRoot)
+      val out = EventStream.runToTable(
+        EventStream.walFold(ops).toDF(), OutputMode.Update())
+      EventStream.latestWalState(out).orderBy(col("id"))
+    },
   )
 
   /** Brute-force cosine top-10 over the 3 stream-query vectors — the
@@ -215,6 +243,16 @@ object StreamingPack extends QueryPack {
   val oracle: Map[String, String] = Map(
     "st_ivf_upsert_oracle" -> streamExactKnnSql,
     "st_hnsw_upsert_oracle" -> streamExactKnnSql,
+
+    // same op script as wp_wal_durable: adds under 80, %4 upserted,
+    // %9 deleted — the streamed fold must land on the same live state
+    "st_wal_stream" ->
+      """SELECT 'doc-'||doc_id AS id,
+        |       CASE WHEN doc_id%4=0 THEN text||' walv2' ELSE text END
+        |         AS document
+        |FROM documents
+        |WHERE doc_id < 80 AND doc_id%9 <> 0
+        |ORDER BY id""".stripMargin,
 
     "st_hourly_stream" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

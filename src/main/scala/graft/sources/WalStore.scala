@@ -238,7 +238,60 @@ object WalStore {
       java.nio.file.Files.deleteIfExists(dir.resolve(s"b$v"))
       out += v
     }
+    // prune the stream stage's links for dropped entries (a checkpointed
+    // stream has already recorded them as seen; dangling links would
+    // fail a NEW stream's first listing)
+    val stage = java.nio.file.Paths.get(walDir(root), "_stream_stage")
+    if (java.nio.file.Files.isDirectory(stage) && out.nonEmpty) {
+      val dropped = out.toSet
+      val links = java.nio.file.Files.list(stage).iterator()
+      while (links.hasNext) {
+        val l = links.next()
+        val m = "^b(\\d+)__".r.findFirstMatchIn(l.getFileName.toString)
+        if (m.exists(mm => dropped.contains(mm.group(1).toLong)))
+          java.nio.file.Files.deleteIfExists(l)
+      }
+    }
     out.toSeq
+  }
+
+  /** FetchLog as a Structured Streaming source: symlink the PUBLISHED
+    * contiguous prefix's entry files into a stable staging directory
+    * (each link uniquely prefixed with its log position) and return a
+    * `readStream` over it. Re-calling after more commits stages only the
+    * new entries, and a checkpointed stream resumes consuming exactly
+    * the delta — the reference's `FetchLog` `(collection, offset)`
+    * catch-up read (`rust/worker/src/execution/operators/fetch_log.rs`)
+    * expressed as a file stream. Only published positions ever stage, so
+    * an in-flight or voided append's data is invisible to the stream —
+    * the same read contract as [[publishedAfter]]. Ops carry their
+    * rebased `log_offset`, so downstream folds are order-independent
+    * within the staged prefix (LWW resolves by offset, not arrival).
+    */
+  def streamEntries(spark: SparkSession, root: String,
+      filesPerBatch: Int = 1): org.apache.spark.sql.DataFrame = {
+    val stage = java.nio.file.Paths.get(walDir(root), "_stream_stage")
+    java.nio.file.Files.createDirectories(stage)
+    publishedAfter(root, 0L).foreach { n =>
+      val data = java.nio.file.Paths.get(entryDataDir(root, n))
+      if (java.nio.file.Files.isDirectory(data)) {
+        val it = java.nio.file.Files.list(data).iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            val link = stage.resolve(s"b${n}__${f.getFileName}")
+            if (!java.nio.file.Files.exists(link,
+                java.nio.file.LinkOption.NOFOLLOW_LINKS))
+              java.nio.file.Files.createSymbolicLink(link, f.toAbsolutePath)
+          }
+        }
+      }
+    }
+    spark.readStream
+      .schema(org.apache.spark.sql.Encoders
+        .product[graft.operators.Materialize.LogOp].schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(stage.toString)
   }
 
   /** The log prefix a compacted segment has consumed, recorded by the

@@ -254,6 +254,46 @@ object EventStream extends Serializable {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(fn)
   }
 
+  /** One WAL op in the streamed FetchLog fold — the document-bearing
+    * subset of [[graft.operators.Materialize.LogOp]] (LWW state per id
+    * needs only the winning op).
+    */
+  case class WalRec(id: String, log_offset: Long, op: String,
+      document: Option[String])
+
+  /** Cross-batch LWW fold over a streamed WAL ([[graft.sources.WalStore
+    * .streamEntries]]): state per id carries the max-offset op seen so
+    * far; each batch emits the id's refreshed snapshot (Update mode).
+    * Offsets are already rebased into per-entry ranges at commit time,
+    * so the fold is arrival-order-independent — entries may interleave
+    * across micro-batches in any split. [[latestWalState]] materializes
+    * the sink into the live-record view (max offset per id, deletes
+    * drop).
+    */
+  def walFold(ops: DataFrame): Dataset[WalRec] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops.select(col("id"), col("log_offset"), col("op"), col("document"))
+      .as[WalRec]
+      .groupByKey(_.id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[WalRec], state: GroupState[WalRec]) =>
+          val best = (state.getOption.iterator ++ it).maxBy(_.log_offset)
+          state.update(best)
+          best
+      }
+  }
+
+  /** Final live view of the [[walFold]] Update-mode sink: the max-offset
+    * snapshot per id, minus deletes.
+    */
+  def latestWalState(out: DataFrame): DataFrame =
+    out.groupBy(col("id"))
+      .agg(max_by(struct(col("op"), col("document")), col("log_offset"))
+        .as("s"))
+      .filter(col("s.op") =!= "Delete")
+      .select(col("id"), col("s.document").as("document"))
+
   /** Materialize the Update-mode sessionize output: keep the latest
     * snapshot per (user_id, session_seq). `n_events` grows monotonically
     * for an extended tail, so max_by(n_events) IS last-write-wins.
