@@ -254,6 +254,51 @@ object EventStream extends Serializable {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(fn)
   }
 
+  /** One compaction-scheduler tick for a collection, driven by the
+    * durable WAL's FetchLog stream — the reference's scheduler/policy
+    * split (`rust/worker/src/compactor/{scheduler_policy.rs,
+    * compaction_manager.rs}`): the checkpointed stream wakes the tick
+    * only for entries no prior tick has seen (re-runs with no new
+    * commits are free no-ops, never a re-count); the policy then
+    * compares the collection's un-compacted backlog — marker arithmetic
+    * on the published prefix past the current version's walmark, ZERO
+    * Spark jobs — against `minBacklogOps`, and past it runs the
+    * fold→flush→register cycle (`CollectionHandle.persist`, an OCC
+    * conditional commit) followed by the GC cadence (version retire,
+    * consumed-WAL drop, stale-claim sweeps both stores). Returns the new
+    * committed version when this tick compacted.
+    */
+  def compactorTick(spark: SparkSession, client: graft.api.Client,
+      name: String, checkpoint: String, minBacklogOps: Long = 1L,
+      gcKeepLast: Int = 2): Option[Long] = {
+    import graft.sources.{CollectionStore, WalStore}
+    val dataRoot = client.getCollection(name).ref.dataRoot
+    // Drain newly published entries through the checkpointed FetchLog
+    // stream — the scheduler's exactly-once record of observed log
+    // growth. (A long-running scheduler would leave this stream up with
+    // a ProcessingTime trigger and tick from its batches; AvailableNow
+    // is the one-shot form.)
+    val q = WalStore.streamEntries(spark, dataRoot)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // Policy runs on marker arithmetic EVERY tick (zero Spark jobs), not
+    // only on growth: a backlog a prior tick declined — or failed to
+    // compact — must still compact once it crosses the threshold.
+    val mark = WalStore.readMark(CollectionStore.recordsRoot(dataRoot))
+    val backlog = WalStore.publishedAfter(dataRoot, mark)
+      .flatMap(n => WalStore.entryMeta(dataRoot, n).map(_._1)).sum
+    if (backlog < minBacklogOps) None
+    else {
+      val h = client.getCollection(name) // replays the backlog, pins OCC
+      h.persist()
+      h.gcVersions(keepLast = gcKeepLast)
+      Some(CollectionStore.currentVersion(dataRoot))
+    }
+  }
+
   /** One WAL op in the streamed FetchLog fold — the document-bearing
     * subset of [[graft.operators.Materialize.LogOp]] (LWW state per id
     * needs only the winning op).

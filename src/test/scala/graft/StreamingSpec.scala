@@ -283,4 +283,42 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(!sawB4, "unpublished entry leaked into the stream stage")
   }
+
+  test("stream-driven compactor: policy threshold, growth wake, GC cadence") {
+    import SparkTestSession.spark.implicits._
+    import graft.sources.{CollectionStore, WalStore}
+    val root = java.nio.file.Files.createTempDirectory("compactor").toString
+    val client = new graft.api.Client(spark, root)
+    val h = client.createCollection("cmp")
+    h.add(Seq(("a", "one"), ("b", "two")).toDF("id", "document"))
+    h.commitLog() // entry 1: backlog 2 ops
+    val dataRoot = h.ref.dataRoot
+    val ckpt = s"$root/cmp_ckpt"
+    // policy declines below the threshold
+    assert(EventStream.compactorTick(spark, client, "cmp", ckpt,
+      minBacklogOps = 5).isEmpty)
+    assert(CollectionStore.currentVersion(dataRoot) == 0L)
+    // the SAME backlog crosses a lowered threshold with no new entries —
+    // a declined backlog must not be lost to the growth signal
+    assert(EventStream.compactorTick(spark, client, "cmp", ckpt,
+      minBacklogOps = 2) == Some(1L))
+    // compacted: the walmark resets the backlog; the next tick no-ops
+    assert(EventStream.compactorTick(spark, client, "cmp", ckpt,
+      minBacklogOps = 1).isEmpty)
+    // growth wakes the next tick into another version
+    val h2 = client.getCollection("cmp")
+    h2.upsert(Seq(("b", "two-v2")).toDF("id", "document"))
+    h2.commitLog() // entry 2
+    assert(EventStream.compactorTick(spark, client, "cmp", ckpt,
+      minBacklogOps = 1) == Some(2L))
+    // GC cadence ran inside the tick: entry 1 is behind every retained
+    // version's walmark and dropped; entry 2 (v1 has not seen it) stays
+    assert(WalStore.entryMeta(dataRoot, 1L).isEmpty, "consumed entry kept")
+    assert(WalStore.entryMeta(dataRoot, 2L).nonEmpty, "live entry dropped")
+    // a cold reader over the compacted collection sees the folded state
+    val reader = new graft.api.Client(spark, root).getCollection("cmp")
+    val docs = reader.get(include = Seq("document")).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("document")).toMap
+    assert(docs == Map("a" -> "one", "b" -> "two-v2"))
+  }
 }
