@@ -72,7 +72,11 @@ object WalStore {
     }
     val dataDir = entryDataDir(root, n)
     try {
-      ops.write.mode(SaveMode.Overwrite).parquet(dataDir)
+      // an entry is ONE log batch (bounded by the per-entry offset range
+      // and the client batch quota) — write it as a handful of files, not
+      // one per shuffle partition: entry file count is what a streamed
+      // consumer pays per position (maxFilesPerTrigger batches)
+      ops.coalesce(4).write.mode(SaveMode.Overwrite).parquet(dataDir)
       // marker carries the entry's shape so opens replay with ZERO jobs
       val r = ops.sparkSession.read.parquet(dataDir)
         .agg(org.apache.spark.sql.functions.count(
@@ -269,7 +273,7 @@ object WalStore {
     * within the staged prefix (LWW resolves by offset, not arrival).
     */
   def streamEntries(spark: SparkSession, root: String,
-      filesPerBatch: Int = 1): org.apache.spark.sql.DataFrame = {
+      filesPerBatch: Int = 4): org.apache.spark.sql.DataFrame = {
     val stage = java.nio.file.Paths.get(walDir(root), "_stream_stage")
     java.nio.file.Files.createDirectories(stage)
     publishedAfter(root, 0L).foreach { n =>
