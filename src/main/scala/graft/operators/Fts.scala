@@ -91,6 +91,7 @@ object Fts {
   def compactPostings(spark: SparkSession, root: String): Unit = {
     val dir = s"$root/fts/postings"
     val tmp = s"$root/fts/postings_compacting"
+    graft.sources.CollectionStore.healSwap(dir) // crashed prior swap
     spark.read.parquet(dir)
       .groupBy("bucket", "trigram")
       .agg(array_sort(array_distinct(flatten(collect_list(col("docs")))))

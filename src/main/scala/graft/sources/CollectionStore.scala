@@ -579,12 +579,27 @@ object CollectionStore {
     * crash so the rename-aside never collides.
     */
   def swapDirectory(live: String, staged: String): Unit = {
+    healSwap(live)
     val liveF = new java.io.File(live)
     val oldF = new java.io.File(live + "_old")
     if (oldF.exists()) org.apache.commons.io.FileUtils.deleteDirectory(oldF)
     org.apache.commons.io.FileUtils.moveDirectory(liveF, oldF)
     org.apache.commons.io.FileUtils.moveDirectory(new java.io.File(staged), liveF)
     org.apache.commons.io.FileUtils.deleteDirectory(oldF)
+  }
+
+  /** Recover [[swapDirectory]]'s one crash window — rename-aside done,
+    * move-in not: `live` missing with `live_old` present. The pre-swap
+    * copy under `_old` is the authoritative live data (the staged
+    * compaction is a re-derivable transform of it), so restore it.
+    * Compaction re-runs call this before reading the live dir; the swap
+    * itself calls it on entry.
+    */
+  def healSwap(live: String): Unit = {
+    val liveF = new java.io.File(live)
+    val oldF = new java.io.File(live + "_old")
+    if (!liveF.exists() && oldF.exists())
+      org.apache.commons.io.FileUtils.moveDirectory(oldF, liveF)
   }
 
   /** Optimistic conditional commit — the reference's conditional

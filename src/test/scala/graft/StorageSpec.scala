@@ -180,6 +180,34 @@ class StorageSpec extends AnyFunSuite {
       new java.io.File(dir).mkdirs() }) == Some(1))
   }
 
+  test("a swap crashed between its two renames heals on the next touch") {
+    val root = tmp()
+    val live = s"$root/postings"
+    new java.io.File(live).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(live, "data.txt"), "the only copy")
+    // crash window: rename-aside happened, move-in did not
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(live), new java.io.File(live + "_old"))
+    assert(!new java.io.File(live).exists())
+    CollectionStore.healSwap(live)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(live, "data.txt")) == "the only copy")
+    assert(!new java.io.File(live + "_old").exists())
+    // and a full swap from the SAME crash state also recovers, then lands
+    // the staged data
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(live), new java.io.File(live + "_old"))
+    val staged = s"$root/postings_compacting"
+    new java.io.File(staged).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(staged, "data.txt"), "compacted")
+    CollectionStore.swapDirectory(live, staged)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(live, "data.txt")) == "compacted")
+    assert(!new java.io.File(live + "_old").exists())
+  }
+
   test("stale-claim sweep backs off when the commit publishes first") {
     val root = tmp()
     assert(CollectionStore.conditionalCommit(root, 0, { dir =>
