@@ -306,14 +306,19 @@ object EventStream extends Serializable {
   case class WalRec(id: String, log_offset: Long, op: String,
       document: Option[String])
 
-  /** Cross-batch LWW fold over a streamed WAL ([[graft.sources.WalStore
-    * .streamEntries]]): state per id carries the max-offset op seen so
-    * far; each batch emits the id's refreshed snapshot (Update mode).
-    * Offsets are already rebased into per-entry ranges at commit time,
-    * so the fold is arrival-order-independent — entries may interleave
-    * across micro-batches in any split. [[latestWalState]] materializes
-    * the sink into the live-record view (max offset per id, deletes
-    * drop).
+  /** Cross-batch fold over a streamed WAL ([[graft.sources.WalStore
+    * .streamEntries]]): state per id carries the ops seen so far; each
+    * batch re-folds them IN OFFSET ORDER through the materialize state
+    * machine at document level (Add only from dead, Upsert always,
+    * Update only on live, Delete kills — plain max-offset LWW would let
+    * a late-ignored Add overwrite a live record) and emits the id's
+    * refreshed snapshot (`op` = Live/Delete, Update mode). Offsets are
+    * rebased into per-entry ranges at commit time, so the fold is
+    * arrival-order-independent — entries may interleave across
+    * micro-batches in any split. State holds the id's ops within the
+    * streamed window, which the WAL's GC bounds by the compaction
+    * cadence. [[latestWalState]] materializes the sink into the
+    * live-record view (max offset per id, deletes drop).
     */
   def walFold(ops: DataFrame): Dataset[WalRec] = {
     val spark = ops.sparkSession
@@ -322,10 +327,22 @@ object EventStream extends Serializable {
       .as[WalRec]
       .groupByKey(_.id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (_: String, it: Iterator[WalRec], state: GroupState[WalRec]) =>
-          val best = (state.getOption.iterator ++ it).maxBy(_.log_offset)
-          state.update(best)
-          best
+        (id: String, it: Iterator[WalRec], state: GroupState[Seq[WalRec]]) =>
+          val all = (state.getOption.getOrElse(Seq.empty) ++ it)
+            .groupBy(_.log_offset).map(_._2.head).toSeq.sortBy(_.log_offset)
+          state.update(all)
+          var live = false
+          var doc: Option[String] = None
+          all.foreach { r =>
+            r.op match {
+              case "Add" => if (!live) { live = true; doc = r.document }
+              case "Upsert" => live = true; doc = r.document
+              case "Update" => if (live && r.document.nonEmpty) doc = r.document
+              case "Delete" => live = false; doc = None
+              case _ => ()
+            }
+          }
+          WalRec(id, all.last.log_offset, if (live) "Live" else "Delete", doc)
       }
   }
 

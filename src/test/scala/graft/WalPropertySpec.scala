@@ -102,4 +102,85 @@ class WalPropertySpec extends AnyFunSuite {
       assert(stateOf(h2) == oracle, "h2 converged")
     }
   }
+
+  /** The streamed FetchLog fold ([[graft.streaming.EventStream.walFold]])
+    * against the same commit-order oracle: random op batches commit as
+    * log entries; after every commit the CHECKPOINTED stream resumes,
+    * consumes only the new entries, and the union of everything it has
+    * ever emitted must materialize to the oracle state — catch-up
+    * semantics under random Add/Upsert/Update/Delete interleavings,
+    * including Add-on-live (which plain max-offset LWW would get wrong).
+    */
+  for (seed <- Seq(7L, 23L)) {
+    test(s"streamed fold equals the commit-order oracle (seed $seed)") {
+      import graft.streaming.EventStream
+      import graft.sources.WalStore
+      val rng = new scala.util.Random(seed)
+      val root =
+        java.nio.file.Files.createTempDirectory(s"graft_walstr_$seed").toString
+      val client = new Client(spark, root)
+      client.createCollection(s"ws_$seed")
+      def open() = new Client(spark, root).getCollection(s"ws_$seed")
+
+      var oracle = Map.empty[String, String]
+      val ckpt = s"$root/stream_ckpt"
+      val emitted = scala.collection.mutable.ArrayBuffer[
+        (String, Long, String, Option[String])]()
+      def drain(dataRoot: String): Unit = {
+        val q = EventStream.walFold(WalStore.streamEntries(spark, dataRoot))
+          .toDF().writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            emitted.synchronized {
+              emitted ++= df.collect().map(r => (r.getString(0), r.getLong(1),
+                r.getString(2), Option(r.getString(3))))
+            }; ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def materialized: Map[String, String] = emitted.synchronized {
+        emitted.groupBy(_._1).map { case (id, rows) => id -> rows.maxBy(_._2) }
+          .collect { case (id, (_, _, "Live", doc)) => id -> doc.getOrElse("") }
+          .toMap
+      }
+
+      for (round <- 0 until 4) {
+        val h = open()
+        var buf = Vector.empty[(String, String, String)]
+        for (_ <- 0 until (1 + rng.nextInt(5))) {
+          val id = s"k-${rng.nextInt(10)}"
+          val op = rng.nextInt(4) match {
+            case 0 => ("Add", id, s"add-${rng.nextInt(1000)}")
+            case 1 => ("Upsert", id, s"ups-${rng.nextInt(1000)}")
+            case 2 => ("Update", id, s"upd-${rng.nextInt(1000)}")
+            case 3 => ("Delete", id, "")
+          }
+          op._1 match {
+            case "Add" => h.add(df(Seq(op._2 -> op._3)))
+            case "Upsert" => h.upsert(df(Seq(op._2 -> op._3)))
+            case "Update" => h.update(df(Seq(op._2 -> op._3)))
+            case "Delete" => h.delete(Seq(op._2))
+          }
+          buf :+= op
+        }
+        h.commitLog()
+        oracle = buf.foldLeft(oracle) { (st, o) =>
+          o match {
+            case ("Add", id, d) => if (st.contains(id)) st else st + (id -> d)
+            case ("Upsert", id, d) => st + (id -> d)
+            case ("Update", id, d) => if (st.contains(id)) st + (id -> d) else st
+            case ("Delete", id, _) => st - id
+            case _ => st
+          }
+        }
+        drain(h.ref.dataRoot)
+        assert(materialized == oracle, s"round $round diverged " +
+          s"(missing=${(oracle.toSet -- materialized.toSet).take(3)} " +
+          s"extra=${(materialized.toSet -- oracle.toSet).take(3)})")
+      }
+    }
+  }
 }
