@@ -276,7 +276,21 @@ object WalStore {
       filesPerBatch: Int = 4): org.apache.spark.sql.DataFrame = {
     val stage = java.nio.file.Paths.get(walDir(root), "_stream_stage")
     java.nio.file.Files.createDirectories(stage)
-    publishedAfter(root, 0L).foreach { n =>
+    // stage from the first RETAINED position: GC deletes consumed
+    // entries' markers, so walking from 0 would stop at the hole where
+    // entry 1 used to be and never stage anything again
+    val mdir = markersDir(root)
+    var firstRetained = Long.MaxValue
+    if (java.nio.file.Files.isDirectory(mdir)) {
+      val it = java.nio.file.Files.list(mdir).iterator()
+      while (it.hasNext) {
+        val nme = it.next().getFileName.toString
+        if (nme.matches("b\\d+")) firstRetained =
+          math.min(firstRetained, nme.drop(1).toLong)
+      }
+    }
+    val from = if (firstRetained == Long.MaxValue) 0L else firstRetained - 1
+    publishedAfter(root, from).foreach { n =>
       val data = java.nio.file.Paths.get(entryDataDir(root, n))
       if (java.nio.file.Files.isDirectory(data)) {
         val it = java.nio.file.Files.list(data).iterator()

@@ -315,6 +315,16 @@ class StreamingSpec extends AnyFunSuite {
     // version's walmark and dropped; entry 2 (v1 has not seen it) stays
     assert(WalStore.entryMeta(dataRoot, 1L).isEmpty, "consumed entry kept")
     assert(WalStore.entryMeta(dataRoot, 2L).nonEmpty, "live entry dropped")
+    // staging survives the GC hole at position 1: a re-stage walks from
+    // the first RETAINED entry, not from 0
+    WalStore.streamEntries(spark, dataRoot)
+    val stageLs = java.nio.file.Files.list(java.nio.file.Paths.get(
+      dataRoot, "_wal", "_stream_stage")).iterator()
+    var sawB2 = false
+    while (stageLs.hasNext) {
+      if (stageLs.next().getFileName.toString.startsWith("b2__")) sawB2 = true
+    }
+    assert(sawB2, "retained entry not staged after GC dropped the prefix")
     // a cold reader over the compacted collection sees the folded state
     val reader = new graft.api.Client(spark, root).getCollection("cmp")
     val docs = reader.get(include = Seq("document")).collect()
