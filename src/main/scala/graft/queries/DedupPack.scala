@@ -34,6 +34,38 @@ object DedupPack extends QueryPack {
         .orderBy(col("da"), col("db"))
     },
 
+    // Exhaustive-mode oracle twin of dd_minhash_lsh: at threshold 1.0 the
+    // LSH pipeline is PROVABLY exact through the identical code path. A
+    // pair passes the verify filter iff its distinct-shingle sets are
+    // equal (inter == na == nb), and equal sets give equal MinHash
+    // signatures, which collide in EVERY band — so no qualifying pair can
+    // be missed by candidate generation. The corpus is unioned with an
+    // id-shifted replica of itself (the standard planted-duplicate
+    // composition) so the J=1.0 pair set is non-empty; the oracle finds
+    // the same pairs via a sorted-set join key, catching replica pairs
+    // AND any cross-document set equality alike — a two-sided gate.
+    "dd_minhash_oracle" -> { (s, d) =>
+      Dedup.minhashLsh(doubled(Tables.documents(s, d)), threshold = 1.0)
+        .orderBy(col("da"), col("db"))
+    },
+
+    // Oracle twin of dd_simhash_pairs over the same planted-duplicate
+    // corpus: at maxDist 0 a surviving pair has EQUAL 64-bit signatures,
+    // and equal signatures agree on all four 16-bit chunks — banding is
+    // guaranteed to produce the candidate. Restricted to the replica
+    // pairing (db == da + ReplicaShift), the output is provably exactly
+    // one row per non-null document: equal token multisets force equal
+    // signatures, so no replica pair can be missed (a completeness
+    // certificate through the full kernel→band→verify path; false-positive
+    // quality is DedupSpec's recall/subset gate on the realistic knobs —
+    // distinct near-dup multisets CAN legitimately collide at Hamming 0,
+    // which no SQL oracle can predict).
+    "dd_simhash_oracle" -> { (s, d) =>
+      Dedup.simhashPairs(doubled(Tables.documents(s, d)), maxDist = 0)
+        .filter(col("db") === col("da") + ReplicaShift)
+        .orderBy(col("da"), col("db"))
+    },
+
     "dd_emb_top_pairs" -> { (s, d) =>
       Dedup.embeddingTopPairs(Tables.embeddings(s, d), k = 20)
     },
@@ -126,6 +158,21 @@ object DedupPack extends QueryPack {
     },
   )
 
+  /** Offset separating the planted replica's doc_ids from the originals
+    * in the `*_oracle` twin corpora (far above any real doc_id at test
+    * SFs).
+    */
+  val ReplicaShift: Long = 1000000L
+
+  /** The corpus unioned with an id-shifted copy of itself — plants one
+    * known exact duplicate per document for the dedup oracle twins.
+    */
+  private def doubled(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.unionAll(base.select((col("doc_id") + ReplicaShift).as("doc_id"),
+      col("text")))
+  }
+
   private val sqlShingles =
     """toks AS (SELECT doc_id,
       |    list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS t
@@ -159,6 +206,35 @@ object DedupPack extends QueryPack {
          |FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
          |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
          |ORDER BY da, db""".stripMargin,
+
+    // threshold-1.0 LSH over the planted-duplicate corpus == identical
+    // distinct-shingle sets (see the query's proof sketch); '|' never
+    // occurs in [a-z0-9 ] shingles so the sorted join key is injective
+    "dd_minhash_oracle" ->
+      """WITH docs2 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM docs2),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(t)-1),
+        |                i -> array_to_string(t[i:i+2], ' ')))
+        |         ELSE [] END AS s
+        |  FROM toks),
+        |keys AS (SELECT doc_id, array_to_string(list_sort(s), '|') AS k
+        |         FROM sh WHERE len(s) > 0)
+        |SELECT a.doc_id AS da, b.doc_id AS db, 1.0::DOUBLE AS jaccard
+        |FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
+        |ORDER BY da, db""".stripMargin,
+
+    // replica pairs: provably present at Hamming 0 (equal token
+    // multisets force equal signatures), provably nothing else under the
+    // db == da + shift restriction
+    "dd_simhash_oracle" ->
+      """SELECT doc_id AS da, doc_id + 1000000 AS db, 0::INT AS hamming
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY da""".stripMargin,
 
     "dd_emb_top_pairs" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
