@@ -196,6 +196,58 @@ object StreamingPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Incremental quantized-code maintenance — the 4th index family's
+    // streaming face: vectors stream in (3 staged files → 2 micro-
+    // batches), each batch appends its rotated RaBitQ-style code rows to
+    // the served code table; the query then runs the two-phase coarse+
+    // re-rank search over the incrementally-built codes. Approximate at
+    // realistic alpha (no SQL oracle) — stream-built == batch-built code
+    // rows and recall are gated in StreamingSpec.
+    "st_quantized_upsert" -> { (s, d) =>
+      import graft.Tables
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("offset_id"), col("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("q_upsert").toString
+      vecs.withColumn("part", pmod(col("offset_id"), lit(3)))
+        .repartitionByRange(3, col("part")).drop("part")
+        .write.mode("overwrite").parquet(s"$base/src")
+      EventStream.quantizedMaintain(s, s"$base/src", s"$base/codes",
+        s"$base/ckpt", dim = 64, filesPerBatch = 2)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.operators.Quantized.searchRotatedServed(
+          s.read.parquet(s"$base/codes"), vecs, queries, k = 10, dim = 64,
+          alpha = 5)
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("offset_id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Exhaustive-mode oracle twin of st_quantized_upsert: α·k ≥ N keeps
+    // every coded vector through the coarse phase, so the exact re-rank
+    // is brute force — the hash-match proves the incrementally-appended
+    // code table lost no vector (a dropped or doubled row would push a
+    // true neighbor out of the survivor set or duplicate a rank).
+    "st_quantized_upsert_oracle" -> { (s, d) =>
+      import graft.Tables
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("offset_id"), col("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("q_upsert_o").toString
+      vecs.withColumn("part", pmod(col("offset_id"), lit(3)))
+        .repartitionByRange(3, col("part")).drop("part")
+        .write.mode("overwrite").parquet(s"$base/src")
+      EventStream.quantizedMaintain(s, s"$base/src", s"$base/codes",
+        s"$base/ckpt", dim = 64, filesPerBatch = 2)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.operators.Quantized.searchRotatedServed(
+          s.read.parquet(s"$base/codes"), vecs, queries, k = 10, dim = 64,
+          alpha = 200)
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("offset_id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // FetchLog over the DURABLE WAL as a real readStream: two committed
     // log entries (add batch; upsert+delete batch) stream file-by-file
     // through the staged prefix, a stateful per-id LWW fold resolves ops
@@ -243,6 +295,7 @@ object StreamingPack extends QueryPack {
   val oracle: Map[String, String] = Map(
     "st_ivf_upsert_oracle" -> streamExactKnnSql,
     "st_hnsw_upsert_oracle" -> streamExactKnnSql,
+    "st_quantized_upsert_oracle" -> streamExactKnnSql,
 
     // same op script as wp_wal_durable: adds under 80, %4 upserted,
     // %9 deleted — the streamed fold must land on the same live state

@@ -177,6 +177,43 @@ object EventStream extends Serializable {
     q.awaitTermination()
   }
 
+  /** Incremental quantized-code maintenance — the fourth index family's
+    * streaming face (IVF/FTS/HNSW above): each arriving vector
+    * micro-batch is encoded to its rotated RaBitQ-style code row
+    * ([[graft.operators.Quantized.rotatedCodeRows]] — per-vector
+    * independent, so the appended table is row-identical to a batch
+    * build) and appended to the served `(offset_id, code, corr, vnorm)`
+    * table that [[graft.operators.Quantized.searchRotatedServed]] scans
+    * in its coarse phase. The reference writes these codes beside the
+    * vector segment at compaction (`rust/index/src/quantization/`);
+    * streaming the append keeps the code table fresh with the WAL tail
+    * instead of waiting for the next full compaction.
+    */
+  def quantizedMaintain(spark: SparkSession, srcDir: String, codesDir: String,
+      checkpoint: String, dim: Int, seed: Long = 42L, rounds: Int = 3,
+      filesPerBatch: Int = 1): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("offset_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Quantized.rotatedCodeRows(batch, dim, seed, rounds)
+          .select("offset_id", "code", "corr", "vnorm")
+          .coalesce(1) // one entry-sized file per micro-batch
+          .write.mode("append").parquet(codesDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink, return
     * the materialized result.
     */

@@ -219,6 +219,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"stream-built HNSW recall $recall < 0.95")
   }
 
+  test("incremental quantized-code maintenance == batch code rows; serving parity") {
+    import graft.operators.Quantized
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("q_maint_spec").toString
+    vecs.withColumn("part", pmod(col("offset_id"), lit(3)))
+      .repartitionByRange(3, col("part")).drop("part")
+      .write.parquet(s"$base/src")
+    EventStream.quantizedMaintain(spark, s"$base/src", s"$base/codes",
+      s"$base/ckpt", dim = 64)
+
+    // codes are a per-vector map, so the streamed appends must be
+    // ROW-IDENTICAL to a batch build — not merely recall-equivalent
+    def codeKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("offset_id", "code", "corr", "vnorm").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toVector,
+          r.getDouble(2), r.getDouble(3))).toSet
+    val inc = codeKey(spark.read.parquet(s"$base/codes"))
+    val batchRows = Quantized.rotatedCodeRows(vecs, dim = 64)
+      .select("offset_id", "code", "corr", "vnorm")
+    val batch = codeKey(batchRows)
+    assert(inc == batch,
+      s"stream-built codes != batch: only-inc=${(inc -- batch).take(2)} " +
+        s"only-batch=${(batch -- inc).take(2)}")
+
+    // a second run with NO new files appends nothing (checkpoint holds)
+    EventStream.quantizedMaintain(spark, s"$base/src", s"$base/codes",
+      s"$base/ckpt", dim = 64)
+    assert(codeKey(spark.read.parquet(s"$base/codes")) == batch,
+      "re-run without new files must be a no-op")
+
+    // serving parity through the coarse+re-rank search at a realistic α
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    def res(codes: org.apache.spark.sql.DataFrame) =
+      Quantized.searchRotatedServed(codes, vecs, queries, k = 10, dim = 64,
+          alpha = 5)
+        .select("query_id", "rank", "offset_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res(spark.read.parquet(s"$base/codes")) == res(batchRows),
+      "stream-built codes serve different results than batch-built")
+  }
+
   test("WAL stream catches up incrementally across checkpointed runs") {
     import SparkTestSession.spark.implicits._
     import graft.sources.WalStore
