@@ -197,13 +197,68 @@ object Dedup {
       .select(col("node").as("doc_id"), col("label").as("cluster"), col("csize"))
   }
 
-  /** Min-label propagation over an undirected pair graph `(da, db)` →
-    * `(node, label)` where `label` is the component's min node id. One
-    * shuffle join per iteration, converging in graph-diameter rounds;
-    * lineage truncated per round via localCheckpoint (a reliable
-    * checkpoint dir on a real cluster). Only paired nodes appear.
+  /** Pair-count bound under which [[connectedComponents]] solves the
+    * fixpoint driver-side: ~16 B/pair → ~80 MB of driver heap at the
+    * cap, the same bounded-collect envelope as the FTS driver intersect
+    * (`Fts.scala`). Above it the distributed propagation runs.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  val DriverCcMaxPairs: Int = 5000000
+
+  /** Connected components over an undirected pair graph `(da, db)` →
+    * `(node, label)` where `label` is the component's min node id. Only
+    * paired nodes appear.
+    *
+    * Size-adaptive: a dedup pair graph is sparse (|pairs| << |docs| —
+    * pairs only exist between near-duplicates), so when it fits the
+    * bounded driver buffer a single collect + union-find replaces
+    * diameter-many shuffle rounds (each a full Spark job): one action
+    * total instead of 3-4 per iteration. Past [[DriverCcMaxPairs]] the
+    * min-label propagation below handles arbitrary scale — one shuffle
+    * join per iteration, lineage truncated per round via localCheckpoint
+    * (a reliable checkpoint dir on a real cluster).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
+      driverMaxPairs: Int = DriverCcMaxPairs): DataFrame = {
+    val p = pairs.toDF("da", "db")
+    val probe = p.limit(driverMaxPairs + 1).collect()
+    if (probe.length <= driverMaxPairs) {
+      // union-find, larger root linked beneath smaller: every node enters
+      // as its own root, so a component's final root IS its min node id
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      probe.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val nodes = scala.collection.mutable.LongMap[Unit]()
+      probe.foreach { r =>
+        nodes.update(r.getLong(0), ()); nodes.update(r.getLong(1), ())
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return spark.createDataset(
+        nodes.keys.map(n => (n, find(n))).toSeq).toDF("node", "label")
+    }
+    distributedComponents(p, maxIters)
+  }
+
+  /** The distributed fixpoint leg of [[connectedComponents]]: min-label
+    * propagation, one shuffle join per iteration, converging in
+    * graph-diameter rounds (near-dup clusters are near-cliques, so 2-4
+    * rounds in practice, with `maxIters` bounding adversarial chains).
+    */
+  private[graft] def distributedComponents(pairs: DataFrame,
+      maxIters: Int): DataFrame = {
     val p = pairs.toDF("da", "db")
     val edges = p.union(p.select(col("db"), col("da")))
       .toDF("src", "dst").localCheckpoint(true)

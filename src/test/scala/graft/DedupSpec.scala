@@ -126,6 +126,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed label propagation == driver union-find leg") {
+    val pairs = Dedup.jaccardPairs(docs, 0.5).select("da", "db")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // default path (driver union-find at test scale) vs the forced
+    // distributed fixpoint — identical (node, min-label) sets
+    val viaDriver = key(Dedup.connectedComponents(pairs))
+    val viaDist = key(Dedup.connectedComponents(pairs, driverMaxPairs = 0))
+    assert(viaDriver.nonEmpty, "no pairs in test data?")
+    assert(viaDriver == viaDist,
+      s"legs diverge: only-driver=${(viaDriver -- viaDist).take(5)} " +
+        s"only-dist=${(viaDist -- viaDriver).take(5)}")
+  }
+
   test("pii redaction removes every counted pattern occurrence") {
     import spark.implicits._
     val rows = Seq(
