@@ -31,6 +31,13 @@ final class Client(spark: SparkSession, root: String,
     new CollectionHandle(spark,
       Catalog.getCollection(root, tenant, database, name), limits)
 
+  /** The collection's catalog descriptor alone — no handle, no segment
+    * load, no WAL replay. The cheap form for schedulers/policies that
+    * need paths or schema without opening the collection.
+    */
+  def describeCollection(name: String): Catalog.CollectionRef =
+    Catalog.getCollection(root, tenant, database, name)
+
   def getOrCreateCollection(name: String,
       schema: Catalog.Schema = Catalog.Schema()): CollectionHandle =
     if (listCollections().contains(name)) getCollection(name)
@@ -233,20 +240,23 @@ final class CollectionHandle(spark: SparkSession,
             val maxOff = WalStore.entryMeta(ref.dataRoot, n).map(_._2)
               .getOrElse(-1L)
             writer.replaceCommitted(
-              WalStore.readEntry(spark, ref.dataRoot, n), maxOff)
+              WalStore.readEntry(spark, ref.dataRoot, n), maxOff, rebase)
             walSeen = n
             done = true
           } else {
-            // lost the slot: if the winner has not published yet the
-            // prefix cannot advance — wait briefly, then fold and retry
-            if (WalStore.publishedAfter(ref.dataRoot, walSeen).isEmpty) {
-              if (System.currentTimeMillis() > deadline)
-                throw new java.util.concurrent.TimeoutException(
-                  s"collection ${ref.name}: log position $n claimed but " +
-                    "unpublished past the wait deadline — a crashed " +
-                    "appender? run gcVersions to void stale claims")
+            // lost the slot: enforce the deadline on EVERY retry — under
+            // sustained contention each loss is to a published winner, so
+            // a gap-only check would let the loop starve past timeoutMs
+            if (System.currentTimeMillis() > deadline)
+              throw new java.util.concurrent.TimeoutException(
+                s"collection ${ref.name}: could not win a log position " +
+                  s"within ${timeoutMs} ms (last tried $n) — sustained " +
+                  "writer contention, or a crashed appender holding a " +
+                  "claim? run gcVersions to void stale claims")
+            // if the winner has not published yet the prefix cannot
+            // advance — wait briefly, then fold and retry
+            if (WalStore.publishedAfter(ref.dataRoot, walSeen).isEmpty)
               Thread.sleep(50L)
-            }
             refreshLog()
           }
       }

@@ -84,6 +84,7 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
     logOps = Vector.empty
     logBatches = Vector.empty
     pendingOffsets = Vector.empty
+    foldedPending = false
   }
 
   /** Ops awaiting durable-log commit (everything appended since the last
@@ -108,15 +109,33 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
   // the counter only grows)
   private var pendingOffsets: Vector[Long] = Vector.empty
 
+  // Set when a flush() folds still-pending-for-log ops into the segment:
+  // those records then carry PRE-rebase first_offsets that
+  // [[replaceCommitted]] must remap, or the live handle's offset order
+  // diverges from a cold reopen's (which only ever sees rebased offsets).
+  private var foldedPending: Boolean = false
+
   /** The durable log committed the pending ops as one entry whose rows
-    * are `entry` (offsets REBASED into the entry's position range, max
-    * `maxOffset`): swap the in-memory pending pieces for the entry so
-    * state folds from the durable copy at its committed order. Content
-    * is identical; offsets moved monotonically (same relative order), so
-    * reads see the same records — only cross-writer LWW rank changed to
-    * the committed position, which is the linearization contract.
+    * are `entry` (offsets REBASED into the entry's position range via
+    * `rebase`, max `maxOffset`): swap the in-memory pending pieces for
+    * the entry so state folds from the durable copy at its committed
+    * order. Content is identical and offsets moved monotonically (same
+    * relative order); records a flush already folded into the segment at
+    * pre-rebase offsets are remapped through `rebase`, so offset_id
+    * order (get pagination) is identical between this live handle and a
+    * cold reopen replaying the log.
     */
-  def replaceCommitted(entry: Dataset[LogOp], maxOffset: Long): Unit = {
+  def replaceCommitted(entry: Dataset[LogOp], maxOffset: Long,
+      rebase: Map[Long, Long] = Map.empty): Unit = {
+    if (foldedPending && rebase.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, col, element_at, typedLit}
+      segment = segment.toDF()
+        .withColumn("first_offset",
+          coalesce(element_at(typedLit(rebase), col("first_offset")),
+            col("first_offset")))
+        .as[Rec]
+    }
+    foldedPending = false
     // surgical: drop only the PENDING pieces (wal ⊆ logOps always — flush
     // clears wal but not logOps; batches may hold other writers' loaded
     // entries and earlier commits, which keep serving the view)
@@ -247,6 +266,7 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
 
   def flush(): Dataset[Rec] = {
     if (wal.nonEmpty || batches.nonEmpty) {
+      if (logOps.nonEmpty || logBatches.nonEmpty) foldedPending = true
       val all = (wal.toDS() +: batches).reduce(_ union _)
       // Unpersist DEFERRED one epoch: dropping the old cache before the
       // new epoch materializes would make its first action replay the

@@ -198,11 +198,16 @@ object Dedup {
   }
 
   /** Pair-count bound under which [[connectedComponents]] solves the
-    * fixpoint driver-side: ~16 B/pair → ~80 MB of driver heap at the
-    * cap, the same bounded-collect envelope as the FTS driver intersect
-    * (`Fts.scala`). Above it the distributed propagation runs.
+    * fixpoint driver-side. Sized for REAL JVM overhead, not raw bytes: a
+    * collected Row with two boxed longs is ~100 B and the union-find map
+    * adds ~50 B per node, so the cap costs ~150-250 MB of driver heap —
+    * safe on any practically-sized driver, same envelope as the FTS
+    * driver intersect (`Fts.scala`). Above it the distributed
+    * propagation runs (the probe's bounded collect is then wasted work,
+    * accepted: one early-terminating pass against saving
+    * diameter-many shuffle jobs in the common sparse case).
     */
-  val DriverCcMaxPairs: Int = 5000000
+  val DriverCcMaxPairs: Int = 1000000
 
   /** Connected components over an undirected pair graph `(da, db)` →
     * `(node, label)` where `label` is the component's min node id. Only

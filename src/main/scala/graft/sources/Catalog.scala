@@ -224,32 +224,17 @@ object Catalog {
     java.nio.file.Files.deleteIfExists(sysdbPath(root, tenant, db))
   }
 
-  private def listDirs(p: java.nio.file.Path): Seq[String] = {
-    if (!java.nio.file.Files.isDirectory(p)) Nil
-    else {
-      val it = java.nio.file.Files.list(p).iterator()
-      val out = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val e = it.next()
-        if (java.nio.file.Files.isDirectory(e)) out += e.getFileName.toString
-      }
-      out.result().sorted
-    }
-  }
+  private def listDirs(p: java.nio.file.Path): Seq[String] =
+    CollectionStore.listDir(p)
+      .collect { case e if java.nio.file.Files.isDirectory(e) =>
+        e.getFileName.toString }
+      .sorted
 
-  def listCollections(root: String, tenant: String, db: String): Seq[String] = {
-    val dir = sysdbPath(root, tenant, db)
-    if (!java.nio.file.Files.isDirectory(dir)) Nil
-    else {
-      val it = java.nio.file.Files.list(dir).iterator()
-      val out = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val n = it.next().getFileName.toString
-        if (n.endsWith(".json")) out += n.stripSuffix(".json")
-      }
-      out.result().sorted
-    }
-  }
+  def listCollections(root: String, tenant: String, db: String): Seq[String] =
+    CollectionStore.listDir(sysdbPath(root, tenant, db))
+      .map(_.getFileName.toString)
+      .collect { case n if n.endsWith(".json") => n.stripSuffix(".json") }
+      .sorted
 
   private def ref(root: String, tenant: String, db: String, name: String,
       schema: Schema, forkedFrom: Option[String] = None,

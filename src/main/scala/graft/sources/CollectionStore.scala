@@ -602,6 +602,22 @@ object CollectionStore {
       org.apache.commons.io.FileUtils.moveDirectory(oldF, liveF)
   }
 
+  /** Eagerly-materialized directory listing with the underlying stream
+    * CLOSED — `Files.list` holds an open directory handle until closed,
+    * and these listings run on scheduler/GC cadences where leaked fds
+    * accumulate into "Too many open files" in unrelated reads.
+    */
+  private[graft] def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+    val s = java.nio.file.Files.list(dir)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      val it = s.iterator()
+      while (it.hasNext) out += it.next()
+      out.toSeq
+    } finally s.close()
+  }
+
   /** Optimistic conditional commit — the reference's conditional
     * transactions (`rust/types/src/conditional_transaction.rs:21-88`):
     * publish a new collection version iff the current version still equals
@@ -641,6 +657,16 @@ object CollectionStore {
     catch {
       case _: java.nio.file.FileAlreadyExistsException => return None // lost
     }
+    // Re-check the final marker AFTER winning the claim: the winner
+    // publishes by RENAMING the claim into the marker, which frees the
+    // claim path — a loser whose exists() check raced the publish wins
+    // the freed claim here, and without this check would Overwrite the
+    // registered version's data and then delete it when its own rename
+    // fails. Marker visible ⇒ lose cleanly, having touched nothing.
+    if (java.nio.file.Files.exists(dir.resolve(s"v$next"))) {
+      java.nio.file.Files.deleteIfExists(claim)
+      return None
+    }
     val dataDir = s"$root/v$next"
     try {
       write(dataDir)
@@ -662,8 +688,13 @@ object CollectionStore {
     } catch {
       case e: Throwable =>
         // release the slot so a retry can commit: claim last, so another
-        // committer never sees a free slot with partial data in place
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dataDir))
+        // committer never sees a free slot with partial data in place.
+        // Defense in depth: never reap data under a REGISTERED marker
+        // (unreachable after the post-claim re-check, but a delete here
+        // would destroy a committed version — fail safe).
+        if (!java.nio.file.Files.exists(dir.resolve(s"v$next")))
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(dataDir))
         java.nio.file.Files.deleteIfExists(claim)
         throw e
     }
@@ -686,9 +717,7 @@ object CollectionStore {
     if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - minAgeMs
     val out = scala.collection.mutable.ArrayBuffer[Long]()
-    val it = java.nio.file.Files.list(dir).iterator()
-    while (it.hasNext) {
-      val p = it.next()
+    listDir(dir).foreach { p =>
       val n = p.getFileName.toString
       if (n.matches("v\\d+\\.claim") &&
           java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff) {
@@ -716,16 +745,9 @@ object CollectionStore {
   // collection) and never count as committed.
   private def finalVersions(root: String): Seq[Long] = {
     val dir = java.nio.file.Paths.get(root, "_versions")
-    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
-    else {
-      val it = java.nio.file.Files.list(dir).iterator()
-      val out = scala.collection.mutable.ArrayBuffer[Long]()
-      while (it.hasNext) {
-        val n = it.next().getFileName.toString
-        if (n.matches("v\\d+")) out += n.drop(1).toLong
-      }
-      out.sorted.toSeq
-    }
+    listDir(dir).map(_.getFileName.toString)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .sorted
   }
 
   def currentVersion(root: String): Long = {

@@ -70,6 +70,17 @@ object WalStore {
     catch {
       case _: java.nio.file.FileAlreadyExistsException => return false
     }
+    // Re-check the final marker AFTER winning the claim: the winner's
+    // publish deletes its claim only after its marker lands, so a loser
+    // whose exists() check raced the publish can win the freed claim
+    // here — without this check it would Overwrite the published entry's
+    // data and then delete it on its own CAS failure (lost acknowledged
+    // writes). At this point the marker is either visible (lose cleanly,
+    // touching nothing) or the slot is genuinely ours.
+    if (java.nio.file.Files.exists(dir.resolve(s"b$n"))) {
+      java.nio.file.Files.deleteIfExists(claim)
+      return false
+    }
     val dataDir = entryDataDir(root, n)
     try {
       // an entry is ONE log batch (bounded by the per-entry offset range
@@ -94,8 +105,12 @@ object WalStore {
         java.nio.file.StandardOpenOption.CREATE_NEW)
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          org.apache.commons.io.FileUtils.deleteQuietly(
-            new java.io.File(dataDir))
+          // post-claim re-check makes a PUBLISHED marker unreachable
+          // here; defense in depth: only reap the data when the marker
+          // is a void (count 0) — never delete under a published entry
+          if (entryMeta(root, n).forall(_._1 == 0L))
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(dataDir))
           java.nio.file.Files.deleteIfExists(claim)
           return false
       }
@@ -137,25 +152,6 @@ object WalStore {
     out.toSeq
   }
 
-  /** Is any position ≥ `from` claimed but unpublished (an append in
-    * flight, or a crashed claimant)?
-    */
-  def pendingClaimAt(root: String, from: Long): Option[Long] = {
-    val dir = markersDir(root)
-    if (!java.nio.file.Files.isDirectory(dir)) return None
-    val it = java.nio.file.Files.list(dir).iterator()
-    var found: Option[Long] = None
-    while (it.hasNext) {
-      val nme = it.next().getFileName.toString
-      if (nme.matches("b\\d+\\.claim")) {
-        val v = nme.stripPrefix("b").stripSuffix(".claim").toLong
-        if (v >= from && !java.nio.file.Files.exists(dir.resolve(s"b$v")) &&
-            found.forall(v < _)) found = Some(v)
-      }
-    }
-    found
-  }
-
   /** Entry `n`'s ops; empty for a voided position. The marker is the
     * source of truth, not the data directory: a claimant that crashed
     * AFTER its slot was voided can leave partial files behind, and ops
@@ -185,13 +181,9 @@ object WalStore {
     if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - minAgeMs
     val out = scala.collection.mutable.ArrayBuffer[Long]()
-    val it = java.nio.file.Files.list(dir).iterator()
-    val claims = scala.collection.mutable.ArrayBuffer[Long]()
-    while (it.hasNext) {
-      val nme = it.next().getFileName.toString
-      if (nme.matches("b\\d+\\.claim")) claims += nme.stripPrefix("b")
-        .stripSuffix(".claim").toLong
-    }
+    val claims = CollectionStore.listDir(dir).map(_.getFileName.toString)
+      .collect { case nme if nme.matches("b\\d+\\.claim") =>
+        nme.stripPrefix("b").stripSuffix(".claim").toLong }
     claims.foreach { v =>
       val claim = dir.resolve(s"b$v.claim")
       if (java.nio.file.Files.exists(dir.resolve(s"b$v"))) {
@@ -230,12 +222,8 @@ object WalStore {
     val dir = markersDir(root)
     if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer[Long]()
-    val it = java.nio.file.Files.list(dir).iterator()
-    val published = scala.collection.mutable.ArrayBuffer[Long]()
-    while (it.hasNext) {
-      val nme = it.next().getFileName.toString
-      if (nme.matches("b\\d+")) published += nme.drop(1).toLong
-    }
+    val published = CollectionStore.listDir(dir).map(_.getFileName.toString)
+      .collect { case nme if nme.matches("b\\d+") => nme.drop(1).toLong }
     published.filter(_ <= through).sorted.foreach { v =>
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(entryDataDir(root, v)))
@@ -246,11 +234,9 @@ object WalStore {
     // stream has already recorded them as seen; dangling links would
     // fail a NEW stream's first listing)
     val stage = java.nio.file.Paths.get(walDir(root), "_stream_stage")
-    if (java.nio.file.Files.isDirectory(stage) && out.nonEmpty) {
+    if (out.nonEmpty) {
       val dropped = out.toSet
-      val links = java.nio.file.Files.list(stage).iterator()
-      while (links.hasNext) {
-        val l = links.next()
+      CollectionStore.listDir(stage).foreach { l =>
         val m = "^b(\\d+)__".r.findFirstMatchIn(l.getFileName.toString)
         if (m.exists(mm => dropped.contains(mm.group(1).toLong)))
           java.nio.file.Files.deleteIfExists(l)
@@ -281,27 +267,20 @@ object WalStore {
     // entry 1 used to be and never stage anything again
     val mdir = markersDir(root)
     var firstRetained = Long.MaxValue
-    if (java.nio.file.Files.isDirectory(mdir)) {
-      val it = java.nio.file.Files.list(mdir).iterator()
-      while (it.hasNext) {
-        val nme = it.next().getFileName.toString
-        if (nme.matches("b\\d+")) firstRetained =
-          math.min(firstRetained, nme.drop(1).toLong)
-      }
+    CollectionStore.listDir(mdir).foreach { p =>
+      val nme = p.getFileName.toString
+      if (nme.matches("b\\d+")) firstRetained =
+        math.min(firstRetained, nme.drop(1).toLong)
     }
     val from = if (firstRetained == Long.MaxValue) 0L else firstRetained - 1
     publishedAfter(root, from).foreach { n =>
       val data = java.nio.file.Paths.get(entryDataDir(root, n))
-      if (java.nio.file.Files.isDirectory(data)) {
-        val it = java.nio.file.Files.list(data).iterator()
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getFileName.toString.endsWith(".parquet")) {
-            val link = stage.resolve(s"b${n}__${f.getFileName}")
-            if (!java.nio.file.Files.exists(link,
-                java.nio.file.LinkOption.NOFOLLOW_LINKS))
-              java.nio.file.Files.createSymbolicLink(link, f.toAbsolutePath)
-          }
+      CollectionStore.listDir(data).foreach { f =>
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          val link = stage.resolve(s"b${n}__${f.getFileName}")
+          if (!java.nio.file.Files.exists(link,
+              java.nio.file.LinkOption.NOFOLLOW_LINKS))
+            java.nio.file.Files.createSymbolicLink(link, f.toAbsolutePath)
         }
       }
     }

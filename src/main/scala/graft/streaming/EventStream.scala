@@ -309,7 +309,9 @@ object EventStream extends Serializable {
       name: String, checkpoint: String, minBacklogOps: Long = 1L,
       gcKeepLast: Int = 2): Option[Long] = {
     import graft.sources.{CollectionStore, WalStore}
-    val dataRoot = client.getCollection(name).ref.dataRoot
+    // descriptor only — a full handle open would replay the WAL tail
+    // twice per tick (once here, once below when the policy fires)
+    val dataRoot = client.describeCollection(name).dataRoot
     // Drain newly published entries through the checkpointed FetchLog
     // stream — the scheduler's exactly-once record of observed log
     // growth. (A long-running scheduler would leave this stream up with

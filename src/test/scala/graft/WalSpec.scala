@@ -143,6 +143,26 @@ class WalSpec extends AnyFunSuite {
     assert(docs(fresh) == Map("a" -> "2"))
   }
 
+  test("offset order converges between a flushed live handle and a cold reopen") {
+    val root = freshRoot()
+    val c = new Client(spark, root)
+    val h1 = c.createCollection("ord")
+    h1.add(Seq(("x", "docx")).toDF("id", "document"))
+    assert(h1.count() == 1) // the read flushes x into the segment at its
+    // PRE-rebase offset — the committed entry must supersede that copy
+    val h2 = new Client(spark, root).getCollection("ord")
+    h2.add(Seq(("y", "docy")).toDF("id", "document"))
+    h2.commitLog() // entry 1: y commits FIRST
+    h1.commitLog() // entry 2: x rebases AFTER y
+    def order(h: graft.api.CollectionHandle): Seq[String] =
+      h.get(limit = Some(10)).collect().map(_.getAs[String]("id")).toSeq
+    val cold = order(new Client(spark, root).getCollection("ord"))
+    assert(cold == Seq("y", "x"), s"cold order $cold")
+    // pre-fix the live handle kept x at its pre-rebase offset and paged
+    // it BEFORE y — commit order must win on both views
+    assert(order(h1) == cold, s"live ${order(h1)} != cold $cold")
+  }
+
   test("a voided slot never replays leftover data; late publish loses the CAS") {
     val root = freshRoot()
     val c = new Client(spark, root)
