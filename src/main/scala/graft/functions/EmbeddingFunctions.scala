@@ -73,6 +73,29 @@ object EmbeddingFunctions {
         graft.operators.TextStats.tokens(text), dim)
   }
 
+  /** Hashed word-bigram embedder: adjacent token pairs feature-hashed
+    * into `dim` buckets (multiset — repeated bigrams count), histogram
+    * L2-normalized by the same native kernel as [[HashedBow]]. Captures
+    * local word ORDER that unigram BoW is blind to ("new york times" vs
+    * "times new york" embed apart); the standard cheap step up the
+    * n-gram ladder before model-based functions.
+    */
+  final class HashedBigram(val dim: Int = 64) extends EmbeddingFunction {
+    val name = s"hashed_bigram_$dim"
+    def embed(text: Column): Column = {
+      // bind the token array through a lambda slot: a direct reference
+      // inside sequence/slice would re-tokenize per bigram (the
+      // HashedCharNgram O(len²) trap)
+      val bigrams = element_at(transform(
+        array(graft.operators.TextStats.tokens(text)), t =>
+          when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1),
+              i => concat_ws(" ", slice(t, i, lit(2)))))
+            .otherwise(array().cast("array<string>"))), 1)
+      graft.functions.TextHash.hashedBow(bigrams, dim)
+    }
+  }
+
   /** Hashed character-n-gram embedder (subword features a la fastText):
     * char n-grams of the lowercased text feature-hashed into `dim`
     * buckets, histogram L2-normalized. Robust to tokenization-hostile
@@ -406,6 +429,7 @@ object EmbeddingFunctions {
 
   val registry: Map[String, EmbeddingFunction] = Seq(
     new HashedBow(64), new HashedBow(128),
+    new HashedBigram(64),
     new HashedCharNgram(64), new HashedCharNgram(128),
     new TextStatsFeatures, new FjltBow(64),
     new ModelEmbeddingFunction(new FakeModelBackend(32))

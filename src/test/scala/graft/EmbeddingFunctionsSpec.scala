@@ -32,6 +32,24 @@ class EmbeddingFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram EF is order-sensitive where unigram BoW is order-blind") {
+    import spark.implicits._
+    val pair = Seq("new york times daily", "times new york daily").toDF("text")
+    def vecs(name: String): Seq[Seq[Float]] =
+      pair.select(EmbeddingFunctions.registry(name).embed(col("text")).as("e"))
+        .collect().map(_.getSeq[Float](0)).toSeq
+    val uni = vecs("hashed_bow_64")
+    assert(uni.head == uni(1), "unigram BoW should be permutation-invariant")
+    val bi = vecs("hashed_bigram_64")
+    assert(bi.head != bi(1), "bigram embedding must separate reorderings")
+    // fewer than 2 tokens -> zero vector (no bigrams), not a crash
+    val short = Seq("word", "").toDF("text")
+      .select(EmbeddingFunctions.registry("hashed_bigram_64")
+        .embed(col("text")).as("e"))
+      .collect().map(_.getSeq[Float](0))
+    assert(short.forall(_.forall(_ == 0f)))
+  }
+
   test("bm25 sparse EF: sorted indices, aligned values, saturating in tf") {
     val ef = new EmbeddingFunctions.Bm25Sparse()
     val out = docs.select(ef.embedSparse(col("text")).as("sv"))
