@@ -140,8 +140,11 @@ object Fts {
     * posting lists too big to merge on the driver.
     */
   def candidateIds(spark: SparkSession, root: String, needle: String,
-      nBuckets: Int = DefaultBuckets): DataFrame = {
-    val tgs = needleTrigrams(needle)
+      nBuckets: Int = DefaultBuckets): DataFrame =
+    candidateIdsTg(spark, root, needleTrigrams(needle), nBuckets)
+
+  private def candidateIdsTg(spark: SparkSession, root: String,
+      tgs: Seq[String], nBuckets: Int): DataFrame = {
     postingRows(spark, root, tgs, nBuckets)
       .select(col("trigram"), explode(col("docs")).as("doc_id"))
       // distinct trigrams per doc == intersect-all (robust to a trigram's
@@ -205,15 +208,32 @@ object Fts {
     * a join against the distributed intersect.
     */
   private def verified(docs: DataFrame, root: String, litStr: String,
-      nBuckets: Int, verify: org.apache.spark.sql.Column): DataFrame = {
+      nBuckets: Int, verify: org.apache.spark.sql.Column): DataFrame =
+    verifiedDnf(docs, root, Seq(Seq(litStr)), nBuckets, verify)
+
+  /** Stages 1-3 for a literal DNF (OR of AND-of-literals — the shape
+    * [[graft.plans.RegexPrefilter.literalDnf]] derives from a regex,
+    * mirroring the reference's literal expression over its trigram index,
+    * `rust/types/src/regex/literal_expr.rs`): one conjunction's candidate
+    * set intersects the combined trigram set of ALL its literals (a doc
+    * must carry every trigram of every required literal), alternatives
+    * union. Driver fast path when every conjunction's posting lists are
+    * bounded; distributed union-of-intersections otherwise.
+    */
+  private def verifiedDnf(docs: DataFrame, root: String,
+      dnf: Seq[Seq[String]], nBuckets: Int,
+      verify: org.apache.spark.sql.Column): DataFrame = {
     val spark = docs.sparkSession
-    val tgs = needleTrigrams(litStr)
-    candidateIdsLocal(spark, root, tgs, nBuckets) match {
-      case Some(ids) if ids.length <= MaxIdPushdown =>
-        docs.filter(col("doc_id").isin(ids.toSeq: _*) && verify)
-      case _ =>
-        docs.join(candidateIds(spark, root, litStr, nBuckets), "doc_id").filter(verify)
+    val tgSets = dnf.map(_.flatMap(needleTrigrams).distinct)
+    val local = tgSets.map(candidateIdsLocal(spark, root, _, nBuckets))
+    if (local.forall(_.isDefined)) {
+      val ids = local.map(_.get).reduce(mergeUnion)
+      if (ids.length <= MaxIdPushdown)
+        return docs.filter(col("doc_id").isin(ids.toSeq: _*) && verify)
     }
+    val cand = tgSets.map(candidateIdsTg(spark, root, _, nBuckets))
+      .reduce(_ union _).distinct()
+    docs.join(cand, "doc_id").filter(verify)
   }
 
   /** Exact `contains` search through the index (stage 3 verifies). */
@@ -222,15 +242,17 @@ object Fts {
     verified(docs, root, needle, nBuckets, col("text").contains(needle))
 
   /** Exact regex search: candidates come from the pattern's mandatory
-    * literal when one exists (same conservative extraction as the
-    * [[graft.plans.RegexPrefilter]] optimizer rule); otherwise fall back
-    * to the full scan. Verify always runs the real regex.
+    * literal DNF (alternation-aware, same analysis as the
+    * [[graft.plans.RegexPrefilter]] optimizer rule — `(foo|bar)baz`
+    * answers as (ids(foo,baz) ∪ ids(bar,baz)) from the index); patterns
+    * the analysis can't constrain fall back to the full scan. Verify
+    * always runs the real regex.
     */
   def regexSearch(docs: DataFrame, root: String, pattern: String,
       nBuckets: Int = DefaultBuckets): DataFrame =
-    graft.plans.RegexPrefilter.mandatoryLiteral(pattern) match {
-      case Some(litStr) =>
-        verified(docs, root, litStr, nBuckets, col("text").rlike(pattern))
+    graft.plans.RegexPrefilter.literalDnf(pattern) match {
+      case Some(dnf) =>
+        verifiedDnf(docs, root, dnf, nBuckets, col("text").rlike(pattern))
       case None => docs.filter(col("text").rlike(pattern))
     }
 }

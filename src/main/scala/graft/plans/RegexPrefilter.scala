@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{And, Contains, Expression, Literal, RLike}
+import org.apache.spark.sql.catalyst.expressions.{And, Contains, Expression, Literal, Or, RLike}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -26,49 +26,170 @@ import org.apache.spark.unsafe.types.UTF8String
 object RegexPrefilter extends Rule[LogicalPlan] {
 
   private val rewritten = TreeNodeTag[Boolean]("graft.regexPrefilter")
-  private val meta = ".*+?()[]{}|\\^$".toSet
 
-  /** Longest literal run that every match must contain. Conservative: a
-    * char adjacent to any metacharacter is dropped (quantifiers make the
-    * preceding char optional), and any pattern containing alternation,
-    * escapes, groups, or character classes bails out entirely — a group
-    * may be optional (`(abc)?xyz`) and a class (`ab[x-z]cd`) is not a
-    * literal, so runs inside or adjacent to them are NOT mandatory.
+  // ---- regex → mandatory-literal analysis -------------------------------
+  // The reference converts a regex HIR into a literal EXPRESSION — an
+  // and/or tree of required substrings — and answers it from the trigram
+  // index (`rust/types/src/regex/literal_expr.rs:23-60`). Same analysis
+  // here: parse the validated subset into a tiny AST, derive a bounded
+  // DNF of literal runs every match must contain. Conservative at every
+  // unknown (classes, dot, anchors, zero-min quantifiers → True), so the
+  // result is always a sound NECESSARY condition of the regex.
+
+  private sealed trait RNode
+  private case class RChr(c: Char) extends RNode
+  private case class RRun(s: String) extends RNode
+  private case class RCat(elems: Seq[RNode]) extends RNode
+  private case class RAlt(parts: Seq[RNode]) extends RNode
+  // required at least once, but literals inside must not merge with
+  // neighbors (a group/`+` boundary breaks runs: `ab+c` requires a, b, c
+  // but NOT the contiguous "abc")
+  private case class RBarrier(inner: RNode) extends RNode
+  private case object ROpaque extends RNode
+
+  /** Alternatives cap: the Cat cross-product can blow up a DNF
+    * (`(a|b)(c|d)(e|f)…`); past this the analysis bails to a full scan.
     */
-  private[graft] def mandatoryLiteral(pattern: String): Option[String] = {
-    if (pattern.exists(c => c == '|' || c == '\\' || c == '(' || c == '['))
-      return None // alternation/escapes/groups/classes: bail
-    val runs = scala.collection.mutable.ArrayBuffer[String]()
-    val cur = new StringBuilder
-    val chars = pattern.toCharArray
+  private val MaxAlts = 16
+
+  private def parse(pattern: String): Option[RNode] = {
+    if (pattern.contains('\\')) return None // escapes: bail (subset rule)
+    val cs = pattern.toCharArray
     var i = 0
-    while (i < chars.length) {
-      val c = chars(i)
-      if (c == '{') {
-        // counted quantifier: its digits/comma are syntax, not pattern
-        // literals — flush and skip to the closing brace
-        if (cur.nonEmpty) { runs += cur.toString; cur.clear() }
-        while (i < chars.length && chars(i) != '}') i += 1
-      } else {
-        val nextIsQuant = i + 1 < chars.length && "*+?{".contains(chars(i + 1))
-        if (!meta.contains(c) && !nextIsQuant) cur.append(c)
-        else { if (cur.nonEmpty) { runs += cur.toString; cur.clear() } }
+    def parseAlt(): RNode = {
+      val first = parseCat()
+      if (first == null) return null
+      val parts = scala.collection.mutable.ArrayBuffer[RNode](first)
+      while (i < cs.length && cs(i) == '|') {
+        i += 1
+        val p = parseCat()
+        if (p == null) return null
+        parts += p
       }
-      i += 1
+      if (parts.size == 1) parts.head else RAlt(parts.toSeq)
     }
-    if (cur.nonEmpty) runs += cur.toString
-    runs.filter(_.length >= 3).sortBy(-_.length).headOption
+    def parseCat(): RNode = {
+      val elems = scala.collection.mutable.ArrayBuffer[RNode]()
+      while (i < cs.length && cs(i) != '|' && cs(i) != ')') {
+        var e: RNode = cs(i) match {
+          case '(' =>
+            i += 1
+            if (i + 1 < cs.length && cs(i) == '?' && cs(i + 1) == ':') i += 2
+            else if (i < cs.length && cs(i) == '?')
+              return null // inline flags/lookaround: not in the subset
+            val inner = parseAlt()
+            if (inner == null) return null
+            if (i >= cs.length || cs(i) != ')') return null // unbalanced
+            i += 1
+            RBarrier(inner)
+          case '[' =>
+            i += 1
+            if (i < cs.length && cs(i) == ']') i += 1 // leading ] is literal
+            while (i < cs.length && cs(i) != ']') i += 1
+            if (i >= cs.length) return null
+            i += 1
+            ROpaque
+          case '.' | '^' | '$' => i += 1; ROpaque
+          case '*' | '+' | '?' | '{' | '}' => i += 1; ROpaque // stray meta
+          case c => i += 1; RChr(c)
+        }
+        // quantifier suffix on the element just parsed
+        if (i < cs.length) cs(i) match {
+          case '*' | '?' => e = ROpaque; i += 1
+          case '+' => e = RBarrier(e); i += 1
+          case '{' =>
+            i += 1
+            val sb = new StringBuilder
+            while (i < cs.length && cs(i) != '}') { sb.append(cs(i)); i += 1 }
+            if (i >= cs.length) return null
+            i += 1
+            val min = sb.toString.takeWhile(_.isDigit)
+            e = if (min.nonEmpty && min.toLong >= 1) RBarrier(e) else ROpaque
+          case _ => ()
+        }
+        // lazy/possessive modifier after a quantifier (`a*?`, `a++`)
+        if (i < cs.length && (cs(i) == '?' || cs(i) == '+') &&
+            (e == ROpaque || e.isInstanceOf[RBarrier])) i += 1
+        elems += e
+      }
+      RCat(elems.toSeq)
+    }
+    val n = parseAlt()
+    if (n == null || i < cs.length) None else Some(n)
   }
+
+  private def dnfOf(n: RNode): Option[Seq[Seq[String]]] = n match {
+    case RChr(c) => Some(Seq(Seq(c.toString)))
+    case RRun(s) => Some(Seq(Seq(s)))
+    case ROpaque => Some(Seq(Seq.empty)) // True: one empty conjunction
+    case RBarrier(inner) => dnfOf(inner)
+    case RAlt(parts) =>
+      val ds = parts.map(dnfOf)
+      if (ds.exists(_.isEmpty)) None
+      else {
+        val all = ds.flatMap(_.get)
+        if (all.size > MaxAlts) None else Some(all)
+      }
+    case RCat(elems) =>
+      // merge ADJACENT plain chars into contiguous literal runs first —
+      // barriers (groups, `+`) intentionally break the merge
+      val merged = scala.collection.mutable.ArrayBuffer[RNode]()
+      val run = new StringBuilder
+      def flushRun(): Unit =
+        if (run.nonEmpty) { merged += RRun(run.toString); run.clear() }
+      elems.foreach {
+        case RChr(c) => run.append(c)
+        case e => flushRun(); merged += e
+      }
+      flushRun()
+      merged.foldLeft(Option(Seq(Seq.empty[String]))) { (accO, e) =>
+        for {
+          acc <- accO
+          d <- dnfOf(e)
+          if acc.size * d.size <= MaxAlts
+        } yield for { a <- acc; b <- d } yield a ++ b
+      }
+  }
+
+  /** The pattern's mandatory literals as a bounded DNF: a match MUST
+    * contain, for at least one alternative, EVERY literal of that
+    * alternative (each ≥ 3 chars — the trigram floor). None when the
+    * analysis can't certify any constraint (opaque pattern, an
+    * unconstrained alternative, DNF blowup) — callers fall back to the
+    * plain regex scan.
+    */
+  private[graft] def literalDnf(pattern: String): Option[Seq[Seq[String]]] =
+    parse(pattern).flatMap(dnfOf).flatMap { dnf =>
+      val cleaned = dnf.map(_.filter(_.length >= 3).distinct)
+      if (cleaned.isEmpty || cleaned.exists(_.isEmpty)) None
+      else Some(cleaned)
+    }
+
+  /** Single strongest literal for scan pushdown: defined only when the
+    * DNF has exactly one alternative (no OR — a data-source
+    * `StringContains` filter can't express disjunction).
+    */
+  private[graft] def mandatoryLiteral(pattern: String): Option[String] =
+    literalDnf(pattern).collect {
+      case Seq(conj) if conj.nonEmpty => conj.maxBy(_.length)
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val newCond = cond.transformUp {
         case r @ RLike(e, Literal(p: UTF8String, StringType))
             if r.getTagValue(rewritten).isEmpty =>
-          mandatoryLiteral(p.toString) match {
-            case Some(lit) =>
+          literalDnf(p.toString) match {
+            case Some(dnf) =>
               r.setTagValue(rewritten, true)
-              And(Contains(e, Literal(UTF8String.fromString(lit), StringType)), r)
+              // one alternative → AND of Contains, each a pushable
+              // StringContains; several → Or-of-Ands, a row-level
+              // prefilter that short-circuits the expensive regex
+              val lits = dnf.map(conj => conj.map(l =>
+                  Contains(e, Literal(UTF8String.fromString(l), StringType))
+                    : Expression)
+                .reduce(And(_, _)))
+              And(lits.reduce(Or(_, _)), r)
             case None =>
               r.setTagValue(rewritten, true)
               r

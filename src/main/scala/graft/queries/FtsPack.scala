@@ -21,6 +21,9 @@ object FtsPack extends QueryPack {
 
   private val needle = "sort merge"
   private val pattern = "sort merge.*scan"
+  // alternation-bearing pattern: candidates come from the literal DNF
+  // ((sort merge ∧ join) ∪ (hash join)) answered from the trigram index
+  private val altPattern = "(sort merge|hash) join"
 
   private def served(s: SparkSession, d: String): String =
     CollectionStore.ftsServing(Tables.documents(s, d), CollectionStore.indexRoot(d))
@@ -44,6 +47,16 @@ object FtsPack extends QueryPack {
     // with the real rlike.
     "ft_regex_indexed" -> { (s, d) =>
       Fts.regexSearch(Tables.documents(s, d), served(s, d), pattern)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Alternation regex through the index: the literal-DNF analysis
+    // (RegexPrefilter.literalDnf, the reference's literal_expr.rs) turns
+    // the pattern into (sort merge ∧ join) ∪ (hash ∧ join) candidate
+    // sets from the SAME trigram postings, then the real rlike verifies.
+    "ft_regex_alt_indexed" -> { (s, d) =>
+      Fts.regexSearch(Tables.documents(s, d), served(s, d), altPattern)
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
@@ -80,6 +93,10 @@ object FtsPack extends QueryPack {
     "ft_regex_indexed" ->
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE regexp_matches(text, '$pattern') ORDER BY doc_id""".stripMargin,
+
+    "ft_regex_alt_indexed" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE regexp_matches(text, '$altPattern') ORDER BY doc_id""".stripMargin,
 
     "ft_knn_hybrid" ->
       s"""WITH cand AS (SELECT doc_id FROM documents WHERE contains(text, '$needle')),

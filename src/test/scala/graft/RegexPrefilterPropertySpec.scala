@@ -81,11 +81,18 @@ class RegexPrefilterPropertySpec extends AnyFunSuite {
         assert(text.contains(lit),
           s"UNSOUND: /$pattern/ matched '$text' but prefilter literal '$lit' absent")
       }
+      // DNF soundness: some alternative must have ALL its literals present
+      RegexPrefilter.literalDnf(pattern).foreach { dnf =>
+        assert(dnf.exists(conj => conj.forall(text.contains)),
+          s"UNSOUND DNF: /$pattern/ matched '$text' but no alternative " +
+            s"holds: $dnf")
+      }
     }
   }
 
-  test("known shapes: optional groups and classes never donate literals") {
-    assert(RegexPrefilter.mandatoryLiteral("(abc)?xyz").isEmpty)
+  test("known shapes: only mandatory runs donate literals") {
+    // optional group is True; its mandatory neighbor still extracts
+    assert(RegexPrefilter.mandatoryLiteral("(abc)?xyz") == Some("xyz"))
     assert(RegexPrefilter.mandatoryLiteral("ab[x-z]cd").isEmpty)
     assert(RegexPrefilter.mandatoryLiteral("abc|def").isEmpty)
     assert(RegexPrefilter.mandatoryLiteral("abc\\d").isEmpty)

@@ -8,16 +8,34 @@ class RegexPrefilterSpec extends AnyFunSuite {
   import SparkTestSession._
 
   test("mandatory literal extraction") {
-    assert(RegexPrefilter.mandatoryLiteral("sort (merge|scan)").isEmpty) // alternation → bail
-    assert(RegexPrefilter.mandatoryLiteral("hello.*world") == Some("hello")) // equal lengths → stable sort keeps first
+    // alternation → no SINGLE pushable literal (the DNF carries it)
+    assert(RegexPrefilter.mandatoryLiteral("sort (merge|scan)").isEmpty)
+    assert(RegexPrefilter.mandatoryLiteral("hello.*world") == Some("hello")) // first of the equal-length maxima
     assert(RegexPrefilter.mandatoryLiteral("ab") == None) // too short
     assert(RegexPrefilter.mandatoryLiteral("a+bcdef") == Some("bcdef")) // char before quantifier dropped
-    // Groups and classes bail out: '(abc)?xyz' matches "xyz" (no 'abc'),
-    // 'ab[x-z]cd' never contains the literal 'x-z' — a run inside/near
-    // either is not mandatory, so the rule must not inject Contains.
-    assert(RegexPrefilter.mandatoryLiteral("(abc)?xyz").isEmpty)
+    // An OPTIONAL group is True but its neighbors stay mandatory: every
+    // match of '(abc)?xyz' contains "xyz". A class is opaque and its
+    // short neighbors ("ab", "cd") fall below the trigram floor.
+    assert(RegexPrefilter.mandatoryLiteral("(abc)?xyz") == Some("xyz"))
     assert(RegexPrefilter.mandatoryLiteral("ab[x-z]cd").isEmpty)
-    assert(RegexPrefilter.mandatoryLiteral("filter[0-9]+stream").isEmpty)
+    assert(RegexPrefilter.mandatoryLiteral("filter[0-9]+stream") == Some("filter"))
+  }
+
+  test("literal DNF: alternation-aware extraction (literal_expr.rs shape)") {
+    import RegexPrefilter.literalDnf
+    assert(literalDnf("(foo|bar)baz") ==
+      Some(Seq(Seq("foo", "baz"), Seq("bar", "baz"))))
+    assert(literalDnf("abc|defg") == Some(Seq(Seq("abc"), Seq("defg"))))
+    // one unconstrained alternative poisons the whole disjunction
+    assert(literalDnf("abc|de").isEmpty)
+    assert(literalDnf("(sort|hash) (merge|join)") ==
+      Some(Seq(Seq("sort", "merge"), Seq("sort", "join"),
+        Seq("hash", "merge"), Seq("hash", "join"))))
+    // cross-product blowup past MaxAlts bails to the full scan
+    assert(literalDnf(
+      "(aaa|bbb)(ccc|ddd)(eee|fff)(ggg|hhh)(iii|jjj)").isEmpty)
+    // `+` keeps its element mandatory but breaks the run
+    assert(literalDnf("abcd+efgh") == Some(Seq(Seq("abc", "efgh"))))
   }
 
   test("regex filter gains a pushed StringContains prefilter") {
