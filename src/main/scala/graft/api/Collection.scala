@@ -62,11 +62,12 @@ final class Collection(val records: DataFrame) {
     sliced.select(cols: _*)
   }
 
-  /** Get plan with a served trigram-FTS index: mandatory where_document
-    * contains-needles ([[Where.mandatoryContains]]) prune the scan to
-    * candidate offset_ids BEFORE the full predicate verifies — the
-    * reference's where_document path through its FTS segment. Falls back
-    * to the plain [[get]] scan when the predicate has no mandatory needle.
+  /** Get plan with a served trigram-FTS index: the predicate's mandatory
+    * contains-needle DNF ([[Where.containsDnf]], alternation-aware like
+    * the reference's literal expression over its FTS segment) prunes the
+    * scan to candidate offset_ids BEFORE the full predicate verifies —
+    * `$or(contains(a), contains(b))` serves as ids(a) ∪ ids(b). Falls
+    * back to the plain [[get]] scan when no constraint survives.
     * Semantics are identical to [[get]] (candidates are a superset of
     * matches; the full Where still runs).
     */
@@ -76,13 +77,13 @@ final class Collection(val records: DataFrame) {
       limit: Option[Int] = None,
       offset: Int = 0,
       include: Seq[String] = Seq("document")): DataFrame = {
-    val needles = Where.mandatoryContains(where)
     val spark = records.sparkSession
-    val pruned = needles.foldLeft(records) { (df, needle) =>
-      val cand = graft.operators.Fts
-        .candidateIds(spark, ftsRoot, needle)
-        .select(col("doc_id").as("offset_id"))
-      df.join(cand, Seq("offset_id"), "left_semi")
+    val pruned = Where.containsDnf(where) match {
+      case Some(dnf) =>
+        val cand = graft.operators.Fts.candidateIdsDnf(spark, ftsRoot, dnf)
+          .select(col("doc_id").as("offset_id"))
+        records.join(cand, Seq("offset_id"), "left_semi")
+      case None => records
     }
     new Collection(pruned).get(Some(where), limit, offset, include)
   }

@@ -69,6 +69,46 @@ object Where {
     case _ => Seq.empty
   }
 
+  /** Alternatives cap for [[containsDnf]] — past it the analysis bails
+    * to a full scan (the And cross-product can blow up on nested Ors).
+    */
+  private val MaxContainsAlts = 16
+
+  /** The predicate's mandatory contains-needles as a bounded DNF — the
+    * alternation-aware upgrade of [[mandatoryContains]], mirroring
+    * [[graft.plans.RegexPrefilter.literalDnf]]: a matching record must,
+    * for at least one alternative, contain EVERY needle of that
+    * alternative, so `$or(contains(a), contains(b))` serves from the FTS
+    * index as ids(a) ∪ ids(b) instead of falling back to the scan.
+    * Non-document leaves, negations, and short needles are True
+    * (conservative); None when no constraint survives — callers scan.
+    */
+  def containsDnf(e: Expr): Option[Seq[Seq[String]]] = {
+    def go(e: Expr): Option[Seq[Seq[String]]] = e match {
+      case DocContains(n, false) if n.length >= 3 => Some(Seq(Seq(n)))
+      case And(cs) =>
+        cs.foldLeft(Option(Seq(Seq.empty[String]))) { (accO, c) =>
+          for {
+            acc <- accO
+            d <- go(c)
+            if acc.size * d.size <= MaxContainsAlts
+          } yield for { a <- acc; b <- d } yield a ++ b
+        }
+      case Or(cs) if cs.nonEmpty =>
+        val ds = cs.map(go)
+        if (ds.exists(_.isEmpty)) None
+        else {
+          val all = ds.flatMap(_.get)
+          if (all.size > MaxContainsAlts) None else Some(all)
+        }
+      case _ => Some(Seq(Seq.empty)) // True: no constraint from this leaf
+    }
+    go(e).flatMap { dnf =>
+      val cleaned = dnf.map(_.distinct)
+      if (cleaned.isEmpty || cleaned.exists(_.isEmpty)) None else Some(cleaned)
+    }
+  }
+
   /** Typed lookup of `key` in the shredded metadata maps. */
   private def lookup(key: String, v: Value): Column = v match {
     case VStr(_)   => element_at(col("meta_str"), key)

@@ -143,6 +143,16 @@ object Fts {
       nBuckets: Int = DefaultBuckets): DataFrame =
     candidateIdsTg(spark, root, needleTrigrams(needle), nBuckets)
 
+  /** Candidate doc_ids for a literal DNF (OR of AND-of-needles — see
+    * [[graft.model.Where.containsDnf]]): union over alternatives of the
+    * intersect over each alternative's combined trigram set.
+    */
+  def candidateIdsDnf(spark: SparkSession, root: String,
+      dnf: Seq[Seq[String]], nBuckets: Int = DefaultBuckets): DataFrame =
+    dnf.map(conj => candidateIdsTg(spark, root,
+        conj.flatMap(needleTrigrams).distinct, nBuckets))
+      .reduce(_ union _).distinct()
+
   private def candidateIdsTg(spark: SparkSession, root: String,
       tgs: Seq[String], nBuckets: Int): DataFrame = {
     postingRows(spark, root, tgs, nBuckets)

@@ -116,6 +116,23 @@ object ChromaCore extends QueryPack {
         include = Seq("document"))
     },
 
+    // $or of document $contains served from the SAME index: the needle
+    // DNF (Where.containsDnf) answers the disjunction as
+    // ids('sort merge') ∪ ids('hash join') before the full predicate
+    // (incl. the metadata leaf) verifies — the alternation case the old
+    // single-needle prefilter had to full-scan.
+    "cc_get_indexed_or" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.ftsServing(
+        graft.Tables.documents(s, d), graft.sources.CollectionStore.indexRoot(d))
+      docsCollection(s, d).getIndexed(
+        root,
+        where = And(Seq(
+          Or(Seq(DocContains("sort merge", negated = false),
+            DocContains("hash join", negated = false))),
+          Cmp("par", "$lte", VInt(8)))),
+        include = Seq("document"))
+    },
+
     // Get: negated document $regex + positive $contains + negated array
     // $contains — the negation surface (metadata.rs:1775-1781) under the
     // same two-valued semantics.
@@ -185,6 +202,12 @@ object ChromaCore extends QueryPack {
     "cc_get_indexed" ->
       """SELECT 'doc-'||doc_id AS id, text AS document FROM documents
         |WHERE contains(text, 'sort merge') AND doc_id%10 <= 6
+        |ORDER BY doc_id""".stripMargin,
+
+    "cc_get_indexed_or" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document FROM documents
+        |WHERE (contains(text, 'sort merge') OR contains(text, 'hash join'))
+        |  AND doc_id%10 <= 8
         |ORDER BY doc_id""".stripMargin,
 
     "cc_projection_multi" ->

@@ -111,4 +111,24 @@ class WhereUnitSpec extends AnyFunSuite {
     // short needles can't hit a trigram index
     assert(mandatoryContains(DocContains("ab", negated = false)).isEmpty)
   }
+
+  test("containsDnf: Or alternates, And cross-products, unconstrained branches poison") {
+    import Where._
+    val c1 = DocContains("alpha", negated = false)
+    val c2 = DocContains("betaX", negated = false)
+    val c3 = DocContains("delta", negated = false)
+    val cmp = Cmp("k", "$eq", VStr("v"))
+    assert(containsDnf(Or(Seq(c1, c2))) ==
+      Some(Seq(Seq("alpha"), Seq("betaX"))))
+    assert(containsDnf(And(Seq(Or(Seq(c1, c2)), c3))) ==
+      Some(Seq(Seq("alpha", "delta"), Seq("betaX", "delta"))))
+    // a metadata-only Or branch is unconstrained → whole Or is True
+    assert(containsDnf(Or(Seq(c1, cmp))).isEmpty)
+    // but an And keeps pruning from its constrained side
+    assert(containsDnf(And(Seq(c1, cmp))) == Some(Seq(Seq("alpha"))))
+    // negation never donates
+    assert(containsDnf(DocContains("gamma", negated = true)).isEmpty)
+    // single-conjunction case agrees with mandatoryContains
+    assert(containsDnf(And(Seq(c1, c2))) == Some(Seq(Seq("alpha", "betaX"))))
+  }
 }
