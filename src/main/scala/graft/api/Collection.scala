@@ -366,12 +366,24 @@ final class Collection(val records: DataFrame) {
     * drives grouped top-k, `select` keys project. One Catalyst plan, same
     * as the programmatic [[search]].
     */
-  def searchPayload(json: String, space: String = "cosine"): DataFrame = {
+  def searchPayload(json: String, space: String = "cosine",
+      ftsRoot: Option[String] = None): DataFrame = {
     import graft.model.SearchParser.{KnnLeafDense, KnnLeafSparse}
     val req = graft.model.SearchParser.parse(json)
     val spark = records.sparkSession
+    // where_document routed through the FTS segment when one is attached
+    // (the reference's filter.rs FTS candidate path): the filter's needle
+    // DNF prunes the KNN candidate scan before the full predicate runs
+    val base = (for {
+      w <- req.filter
+      root <- ftsRoot
+      dnf <- Where.containsDnf(w)
+    } yield records.join(
+      graft.operators.Fts.candidateIdsDnf(spark, root, dnf)
+        .select(col("doc_id").as("offset_id")),
+      Seq("offset_id"), "left_semi")).getOrElse(records)
     val filtered = req.filter
-      .map(w => records.filter(Where.compile(w))).getOrElse(records)
+      .map(w => base.filter(Where.compile(w))).getOrElse(base)
     // lazy: a sparse-only payload may run on a collection with no dense
     // embedding column at all
     lazy val cands = filtered.select(col("offset_id"), col("embedding"))

@@ -420,6 +420,27 @@ object FacadePack extends QueryPack {
         .orderBy(desc("score"), col("id"))
     },
 
+    // Search payload with a where_document filter routed through the FTS
+    // segment (filter.rs's contains→FTS candidate path): the $contains
+    // needle prunes the sparse-KNN candidate scan to index candidates
+    // BEFORE the predicate verifies — same result as the scan, served.
+    "fc_search_doc_filtered" -> { (s, d) =>
+      val ftsRoot = graft.sources.CollectionStore.ftsServing(
+        graft.Tables.documents(s, d), graft.sources.CollectionStore.indexRoot(d))
+      val qIds = s.range(1)
+        .select(sparseTerms.map(t => xxhash64(lit(t))): _*).collect()(0)
+      val idsJson = sparseTerms.indices.map(qIds.getLong).mkString(", ")
+      val valsJson = sparseTerms.map(_ => "1.0").mkString(", ")
+      val payload =
+        s"""{"filter": {"$$document": {"$$contains": "sort merge"}},
+           |"rank": {"$$knn": {"query": {"indices": [$idsJson],
+           |  "values": [$valsJson]}, "key": "tf_bow", "limit": 20}},
+           |"limit": {"limit": 20}}""".stripMargin
+      docsSparseCollection(s, d).searchPayload(payload, ftsRoot = Some(ftsRoot))
+        .select(col("id"), (-col("#score")).cast("float").as("score"))
+        .orderBy(desc("score"), col("id"))
+    },
+
     // Sparse KNN SERVED from the persisted per-key posting index (the
     // reference's sparse_vector_index at compaction): explode once at
     // build, query-time reads prune to the terms' bucket directories and
@@ -618,6 +639,17 @@ object FacadePack extends QueryPack {
       """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM
         |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
         |       x -> x <> '') AS t FROM documents)),
+        |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2)
+        |SELECT 'doc-'||doc_id AS id, CAST(sum(tf) AS FLOAT) AS score
+        |FROM freq WHERE term IN ('query','data','filter','spark')
+        |GROUP BY doc_id HAVING sum(tf) > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "fc_search_doc_filtered" ->
+      """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM
+        |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |       x -> x <> '') AS t FROM documents
+        |     WHERE contains(text, 'sort merge'))),
         |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2)
         |SELECT 'doc-'||doc_id AS id, CAST(sum(tf) AS FLOAT) AS score
         |FROM freq WHERE term IN ('query','data','filter','spark')
