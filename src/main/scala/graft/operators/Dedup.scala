@@ -287,6 +287,11 @@ object Dedup {
       labels = next.select("node", "label")
       it += 1
     }
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup").warn(
+        s"connectedComponents: not converged after $maxIters rounds — " +
+          "labels for components with diameter past the bound are split; " +
+          "raise maxIters for chain-shaped graphs")
     labels
   }
 

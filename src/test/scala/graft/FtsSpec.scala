@@ -26,7 +26,9 @@ class FtsSpec extends AnyFunSuite {
       assert(ids(Fts.containsSearch(docs, root, needle)) ==
         ids(docs.filter(col("text").contains(needle))), s"needle '$needle'")
     }
-    for (p <- Seq("sort merge.*scan", "filter[0-9]? stream")) {
+    for (p <- Seq("sort merge.*scan", "filter[0-9]? stream",
+        // alternation patterns ride the literal-DNF candidate path
+        "(sort merge|hash) join", "sort (merge|scan)", "partition|stream")) {
       assert(ids(Fts.regexSearch(docs, root, p)) ==
         ids(docs.filter(col("text").rlike(p))), s"pattern '$p'")
     }
