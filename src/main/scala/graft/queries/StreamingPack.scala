@@ -150,6 +150,36 @@ object StreamingPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Incremental sparse-index maintenance — the 5th index family's
+    // streaming face (FTS/IVF/HNSW/quantized elsewhere in this pack):
+    // records carrying a meta_sparse vector stream in (3 staged files →
+    // 2 micro-batches), each batch appends its blocked posting rows in
+    // the batch build's layout, a posting compaction folds the
+    // per-batch fragments back to one row per (term, block), and the
+    // query answers a Block-Max sparse top-k from the stream-built
+    // index. EXACT — hash-matches the plain tf-sum oracle, proving
+    // stream-built + compacted == batch-built.
+    "st_sparse_upsert" -> { (s, d) =>
+      val records = FacadePack.docsSparseCollection(s, d).records
+        .select(col("offset_id"), col("meta_sparse"))
+      val base = java.nio.file.Files.createTempDirectory("sparse_upsert").toString
+      records.withColumn("part", pmod(col("offset_id"), lit(3)))
+        .repartitionByRange(3, col("part")).drop("part")
+        .write.mode("overwrite").parquet(s"$base/src")
+      EventStream.sparseMaintain(s, s"$base/src", base, "tf_bow",
+        s"$base/ckpt", nBuckets = 16, filesPerBatch = 2)
+      graft.sources.CollectionStore.compactSparsePostings(s, base, "tf_bow")
+      val terms = Seq("query", "data", "filter", "spark")
+      val qIds = s.range(1)
+        .select(terms.map(t => xxhash64(lit(t))): _*).collect()(0)
+      val q = terms.indices.map(i => qIds.getLong(i) -> 1.0f)
+      graft.sources.CollectionStore
+        .sparseServedSearch(s, base, "tf_bow", q, k = 20, nBuckets = 16)
+        .select(col("doc_id"), concat(lit("doc-"), col("doc_id")).as("id"),
+          col("score").cast("float").as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+    },
+
     // Incremental HNSW maintenance: vectors stream in (3 staged files →
     // 3 micro-batches), each batch appends its own per-partition graphs;
     // the query searches the stream-built index through the same
@@ -296,6 +326,18 @@ object StreamingPack extends QueryPack {
     "st_ivf_upsert_oracle" -> streamExactKnnSql,
     "st_hnsw_upsert_oracle" -> streamExactKnnSql,
     "st_quantized_upsert_oracle" -> streamExactKnnSql,
+
+    // the fc_sparse_served oracle verbatim — the stream-built + compacted
+    // index must serve the identical exact top-k the batch build serves
+    "st_sparse_upsert" ->
+      """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM
+        |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |       x -> x <> '') AS t FROM documents)),
+        |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2)
+        |SELECT doc_id, 'doc-'||doc_id AS id, CAST(sum(tf) AS FLOAT) AS score
+        |FROM freq WHERE term IN ('query','data','filter','spark')
+        |GROUP BY doc_id HAVING sum(tf) > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // same op script as wp_wal_durable: adds under 80, %4 upserted,
     // %9 deleted — the streamed fold must land on the same live state

@@ -386,27 +386,72 @@ object CollectionStore {
     once(s"sparse-$root-$key-$nBuckets-$blockSpan") {
       val buildKey = s"sparse-v2-$key-$nBuckets-$blockSpan-n${records.count()}"
       ensureBuilt(root, s"sparse_$key", buildKey) {
-        val sv = element_at(col("meta_sparse"), key)
-        records.filter(sv.isNotNull)
-          .select(col("offset_id").as("doc_id"),
-            sv.getField("indices").as("ti"), sv.getField("values").as("tv"))
-          .select(col("doc_id"), explode(arrays_zip(col("ti"), col("tv"))).as("p"))
-          .select(col("doc_id"), col("p.ti").as("term_id"),
-            col("p.tv").cast("float").as("w"))
-          .withColumn("block_id", floor(col("doc_id") / blockSpan).cast("long"))
-          .groupBy(col("term_id"), col("block_id"))
-          .agg(sort_array(collect_list(struct(col("doc_id"), col("w")))).as("blk"))
-          .select(col("term_id"), col("block_id"),
-            array_max(expr("transform(blk, x -> x.w)")).as("block_max"),
-            expr("transform(blk, x -> x.doc_id)").as("docs"),
-            expr("transform(blk, x -> x.w)").as("ws"))
-          .withColumn("bucket", pmod(col("term_id"), lit(nBuckets)).cast("int"))
+        sparsePostingRows(records, key, nBuckets, blockSpan)
           .repartition(col("bucket")) // one writer per bucket
           .write.mode(SaveMode.Overwrite).partitionBy("bucket")
           .parquet(s"$root/sparse_$key/postings")
       }
     }
     root
+  }
+
+  /** The sparse index's posting-block rows for one record batch —
+    * shared by the compaction-time batch build ([[sparseServing]]) and
+    * the streaming maintenance path
+    * ([[graft.streaming.EventStream.sparseMaintain]]), so stream-built
+    * and batch-built indexes have the identical layout and serve through
+    * one reader. A (term_id, block_id) pair may own one row PER BATCH
+    * under streaming appends; the reader's bound pass sums fragment
+    * maxima (still a valid upper bound) and the scorer explodes all
+    * fragments, so fragmentation costs skipping efficiency, never
+    * correctness — [[compactSparsePostings]] folds fragments back on the
+    * compaction cadence.
+    */
+  def sparsePostingRows(records: DataFrame, key: String,
+      nBuckets: Int = 64, blockSpan: Long = SparseBlockSpan): DataFrame = {
+    val sv = element_at(col("meta_sparse"), key)
+    records.filter(sv.isNotNull)
+      .select(col("offset_id").as("doc_id"),
+        sv.getField("indices").as("ti"), sv.getField("values").as("tv"))
+      .select(col("doc_id"), explode(arrays_zip(col("ti"), col("tv"))).as("p"))
+      .select(col("doc_id"), col("p.ti").as("term_id"),
+        col("p.tv").cast("float").as("w"))
+      .withColumn("block_id", floor(col("doc_id") / blockSpan).cast("long"))
+      .groupBy(col("term_id"), col("block_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("w")))).as("blk"))
+      .select(col("term_id"), col("block_id"),
+        array_max(expr("transform(blk, x -> x.w)")).as("block_max"),
+        expr("transform(blk, x -> x.doc_id)").as("docs"),
+        expr("transform(blk, x -> x.w)").as("ws"))
+      .withColumn("bucket", pmod(col("term_id"), lit(nBuckets)).cast("int"))
+  }
+
+  /** Fold per-batch sparse posting fragments back to one row per
+    * (term_id, block_id), recomputing the block maximum — the sparse
+    * twin of [[graft.operators.Fts.compactPostings]], same crash-safe
+    * rename-aside swap (the old directory is the only full copy once the
+    * streaming checkpoint has consumed its source batches).
+    */
+  def compactSparsePostings(spark: SparkSession, root: String,
+      key: String): Unit = {
+    val dir = s"$root/sparse_$key/postings"
+    val tmp = s"$root/sparse_$key/postings_compacting"
+    healSwap(dir) // recover a crashed prior swap before touching the dir
+    spark.read.parquet(dir)
+      .select(col("bucket"), col("term_id"), col("block_id"),
+        explode(arrays_zip(col("docs"), col("ws"))).as("p"))
+      .select(col("bucket"), col("term_id"), col("block_id"),
+        col("p.docs").as("doc_id"), col("p.ws").as("w"))
+      .groupBy("bucket", "term_id", "block_id")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("w")))).as("blk"))
+      .select(col("term_id"), col("block_id"),
+        array_max(expr("transform(blk, x -> x.w)")).as("block_max"),
+        expr("transform(blk, x -> x.doc_id)").as("docs"),
+        expr("transform(blk, x -> x.w)").as("ws"), col("bucket"))
+      .repartition(col("bucket")) // one writer per bucket → no tiny files
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
+    swapDirectory(dir, tmp)
+    invalidateRoot(dir)
   }
 
   /** Query-time sparse top-k over the served postings: the query's terms

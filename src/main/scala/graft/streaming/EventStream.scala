@@ -214,6 +214,43 @@ object EventStream extends Serializable {
     q.awaitTermination()
   }
 
+  /** Incremental sparse-index maintenance — the fifth index family's
+    * streaming face (IVF/FTS/HNSW/quantized above): each arriving record
+    * micro-batch explodes its `meta_sparse[key]` vector into the SAME
+    * blocked posting layout the compaction-time build writes
+    * ([[graft.sources.CollectionStore.sparsePostingRows]]) and appends
+    * it to the served table, so
+    * [[graft.sources.CollectionStore.sparseServedSearch]] reads
+    * stream-built and batch-built indexes through one code path. A
+    * (term, block) pair owns one fragment row per batch until
+    * [[graft.sources.CollectionStore.compactSparsePostings]] folds them
+    * on the compaction cadence — fragments cost block-skip efficiency,
+    * never correctness. The source schema is read from the staged
+    * parquet itself (the WAL tail's record shape, including the
+    * `meta_sparse` map type, is collection-specific).
+    */
+  def sparseMaintain(spark: SparkSession, srcDir: String, root: String,
+      key: String, checkpoint: String, nBuckets: Int = 64,
+      blockSpan: Long = graft.sources.CollectionStore.SparseBlockSpan,
+      filesPerBatch: Int = 1): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.CollectionStore
+          .sparsePostingRows(batch, key, nBuckets, blockSpan)
+          .repartition(col("bucket")) // one writer per touched bucket
+          .write.mode("append").partitionBy("bucket")
+          .parquet(s"$root/sparse_$key/postings")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink, return
     * the materialized result.
     */

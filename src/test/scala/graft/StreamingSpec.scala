@@ -219,6 +219,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"stream-built HNSW recall $recall < 0.95")
   }
 
+  test("incremental sparse maintenance serves the batch answers; compaction folds fragments") {
+    import graft.sources.CollectionStore
+    val records = graft.queries.FacadePack.docsSparseCollection(spark, sf)
+      .records.select(col("offset_id"), col("meta_sparse"))
+    val base = java.nio.file.Files.createTempDirectory("sparse_maint_spec").toString
+
+    // batch-built twin
+    CollectionStore.sparseServing(records, "tf_bow", s"$base/batch")
+
+    // stream-built: 3 staged files → 3 append micro-batches
+    records.withColumn("part", pmod(col("offset_id"), lit(3)))
+      .repartitionByRange(3, col("part")).drop("part")
+      .write.parquet(s"$base/src")
+    EventStream.sparseMaintain(spark, s"$base/src", s"$base/inc", "tf_bow",
+      s"$base/ckpt")
+
+    // the split actually exercised the multi-fragment-per-block layout
+    val fragments = spark.read.parquet(s"$base/inc/sparse_tf_bow/postings")
+      .groupBy("term_id", "block_id").count().agg(max("count")).head().getLong(0)
+    assert(fragments > 1, "expected some (term, block) split across batches")
+
+    val terms = Seq("query", "data", "filter", "spark")
+    val qIds = spark.range(1)
+      .select(terms.map(t => xxhash64(lit(t))): _*).collect()(0)
+    val q = terms.indices.map(i => qIds.getLong(i) -> 1.0f)
+    def got(root: String) = CollectionStore
+      .sparseServedSearch(spark, root, "tf_bow", q, k = 20)
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // brute-force truth straight off the record column
+    val sv = element_at(col("meta_sparse"), "tf_bow")
+    val truth = records.filter(sv.isNotNull)
+      .select(col("offset_id").as("doc_id"),
+        explode(arrays_zip(sv.getField("indices").as("ti"),
+          sv.getField("values").as("tv"))).as("p"))
+      .select(col("doc_id"), col("p.ti").as("term_id"),
+        col("p.tv").cast("double").as("w"))
+      .filter(col("term_id").isin(q.map(_._1): _*))
+      .groupBy("doc_id").agg(sum("w").as("score"))
+      .orderBy(desc("score"), col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got(s"$base/batch") == truth, "batch sparse index wrong")
+    assert(got(s"$base/inc") == truth, "incremental sparse index diverges")
+
+    // posting compaction folds the per-batch fragments back to the
+    // batch-built layout: ONE row per (term, block), same answers
+    CollectionStore.compactSparsePostings(spark, s"$base/inc", "tf_bow")
+    val rowsPer = spark.read.parquet(s"$base/inc/sparse_tf_bow/postings")
+      .groupBy("term_id", "block_id").count().agg(max("count")).head().getLong(0)
+    assert(rowsPer == 1L, s"compaction left $rowsPer rows for some block")
+    assert(got(s"$base/inc") == truth, "compacted sparse index diverges")
+  }
+
   test("incremental quantized-code maintenance == batch code rows; serving parity") {
     import graft.operators.Quantized
     val vecs = Tables.embeddings(spark, sf)
