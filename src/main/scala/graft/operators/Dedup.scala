@@ -368,4 +368,38 @@ object Dedup {
       .orderBy(col("sim").desc, col("va"), col("vb"))
       .limit(k)
   }
+
+  /** C4-style exact span dedup (the line-dedup of Raffel et al.'s C4
+    * pipeline, arXiv:1910.10683 §2.2, over aligned spans — the corpus
+    * has no newlines, so "lines" are consecutive `span`-word segments;
+    * cf. the exact-substring dedup of Lee et al., arXiv:2107.06499):
+    * every segment keeps only its FIRST corpus occurrence (smallest
+    * (doc_id, seg_idx)); later occurrences — boilerplate, mirrored
+    * chunks — are cut from their documents, and survivors rejoin in
+    * order.
+    *
+    * Scale: two inherent shuffles — one on the segment value for the
+    * first-occurrence window (the corpus moves once, AQE splits skewed
+    * hot segments), one on doc_id for reconstruction. No driver state,
+    * no iteration.
+    */
+  def spanDedup(docs: DataFrame, span: Int = 8): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("wi", "word")))
+    val segs = words
+      .withColumn("seg_idx", floor(col("wi") / span))
+      .groupBy("doc_id", "seg_idx")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(wi, word))), x -> x.word)"),
+        " ").as("seg"))
+    val firsts = segs.withColumn("rn",
+      row_number().over(Window.partitionBy(col("seg"))
+        .orderBy(col("doc_id"), col("seg_idx"))))
+    firsts.groupBy("doc_id").agg(
+      array_join(expr(
+        "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(seg_idx, seg) END)), x -> x.seg)"),
+        " ").as("kept_text"),
+      sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("rn") =!= 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
 }

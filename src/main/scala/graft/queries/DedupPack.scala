@@ -24,6 +24,13 @@ object DedupPack extends QueryPack {
         .orderBy(col("da"), col("db"))
     },
 
+    // C4-style exact span dedup: consecutive 8-word segments, first
+    // corpus occurrence kept, later occurrences cut, docs reconstructed.
+    "dd_span_dedup" -> { (s, d) =>
+      Dedup.spanDedup(Tables.documents(s, d), span = 8)
+        .orderBy(col("doc_id"))
+    },
+
     "dd_minhash_lsh" -> { (s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), threshold = 0.5)
         .orderBy(col("da"), col("db"))
@@ -190,6 +197,26 @@ object DedupPack extends QueryPack {
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd_span_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, generate_subscripts(w, 1) - 1 AS wi, unnest(w) AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |segs AS (
+        |  SELECT doc_id, wi // 8 AS seg_idx,
+        |         string_agg(word, ' ' ORDER BY wi) AS seg
+        |  FROM words GROUP BY 1, 2),
+        |firsts AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |         row_number() OVER (PARTITION BY seg
+        |                            ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs)
+        |SELECT doc_id,
+        |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+        |             FILTER (WHERE rn = 1), '') AS kept_text,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dd_ngram_jaccard" ->
       s"""WITH $sqlShingles,
