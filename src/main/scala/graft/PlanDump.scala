@@ -107,6 +107,13 @@ object PlanDump {
       ("Mixture reweighting: the corpus partial-aggregates to |sources| " +
         "rows before any exchange, and the grand total is a 1-row " +
         "broadcast — the document scan itself never shuffles."),
+    "dd_span_dedup" ->
+      ("Exact span dedup (C4 line-dedup over aligned 8-word segments): " +
+        "exactly two exchanges move the corpus — a segment-value hash for " +
+        "the first-occurrence window and doc_id for document " +
+        "reconstruction. No iteration, no driver state; the skew exposure " +
+        "is a segment's duplicate count (the thing being removed), the " +
+        "same bounded-df shape the jaccard pack documents."),
     "ta_tfidf_knn" ->
       ("Dense embed-to-KNN in one plan: the fitted vocabulary rides the " +
         "codegen'd kernel as a reference object (no vocab-table join, no " +
