@@ -39,6 +39,29 @@ object MultimodalPack extends QueryPack {
       Multimodal.resize(blobs, stride = 4).orderBy(col("doc_id"))
     },
 
+    // Exhaustive-mode oracle twin of mm_embed_knn — the embed-at-write →
+    // KNN composition with the SQL-expressible fitted tf-idf embedding
+    // in place of the hashed-BoW one (xxhash64 has no DuckDB twin):
+    // materializing the embedded collection once (embedDf + cacheOnce,
+    // the write-path shape) must serve the same exact KNN as inline
+    // embedding and as the DuckDB oracle. Closes the one approximate
+    // family that had no hash-exact twin.
+    "mm_embed_knn_oracle" -> { (s, d) =>
+      val ef = graft.functions.EmbeddingFunctions.VocabTfIdfDense.fit(
+        Tables.documents(s, d), "text", dim = 64)
+      val docsVec = graft.sources.CollectionStore.cacheOnce(
+        ef.embedDf(Tables.documents(s, d), "text", "embedding")
+          .select(col("doc_id").as("offset_id"), col("embedding"))
+          .filter(exists(col("embedding"), x => x =!= 0f)))
+      val queries = docsVec.filter(col("offset_id") < 3)
+        .select(col("offset_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      graft.operators.Knn.exact(docsVec, queries, k = 10, space = "cosine")
+        .select(col("query_id"), col("rank"), col("offset_id").as("doc_id"),
+          col("dist").cast("float").as("dist"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     "mm_embed_knn" -> { (s, d) =>
       val ef = EmbeddingFunctions.registry("hashed_bow_64")
       // embed-at-write: materialize the embedded table once (in production
@@ -54,6 +77,8 @@ object MultimodalPack extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // the ta_tfidf_knn oracle verbatim: identical embedding, queries, k
+    "mm_embed_knn_oracle" -> TextAnalysis.oracle("ta_tfidf_knn"),
     "mm_decode_features" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,
