@@ -369,6 +369,35 @@ object Dedup {
       .limit(k)
   }
 
+  /** Leakage-safe train/validation split: near-duplicate documents must
+    * never straddle the split (a val doc with a train near-twin leaks
+    * the evaluation), so the split key is the document's near-dup
+    * CLUSTER (connected components of the Jaccard pair graph;
+    * singletons are their own cluster), not the document. Assignment is
+    * a pure deterministic hash of the cluster id — md5's first two hex
+    * chars give 256 uniform buckets, and the cut point is a plain
+    * string compare, so the same expression is portable to the DuckDB
+    * oracle verbatim. valBuckets/256 is the validation fraction.
+    *
+    * Scale: the cluster labels come from [[dupClusters]] (bucketed
+    * candidates → verify → size-adaptive components); the assignment
+    * itself adds one broadcast-sized join of the label table ONLY for
+    * paired docs — unpaired docs (the overwhelming majority of a real
+    * corpus) take the coalesce path with zero extra movement.
+    */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.5,
+      valBuckets: Int = 26): DataFrame = {
+    val labels = dupClusters(docs, threshold)
+      .select(col("doc_id"), col("cluster"))
+    val cut = f"$valBuckets%02x"
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("split",
+        when(substring(md5(col("cluster").cast("string")), 1, 2) < cut,
+          lit("val")).otherwise(lit("train")))
+  }
+
   /** C4-style exact span dedup (the line-dedup of Raffel et al.'s C4
     * pipeline, arXiv:1910.10683 §2.2, over aligned spans — the corpus
     * has no newlines, so "lines" are consecutive `span`-word segments;

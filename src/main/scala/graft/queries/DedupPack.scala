@@ -24,6 +24,13 @@ object DedupPack extends QueryPack {
         .orderBy(col("da"), col("db"))
     },
 
+    // Leakage-safe split: near-dup clusters (not documents) are the
+    // split unit — no val doc can have a train near-twin.
+    "dd_leakage_split" -> { (s, d) =>
+      Dedup.leakageSafeSplit(Tables.documents(s, d), threshold = 0.5)
+        .orderBy(col("doc_id"))
+    },
+
     // C4-style exact span dedup: consecutive 8-word segments, first
     // corpus occurrence kept, later occurrences cut, docs reconstructed.
     "dd_span_dedup" -> { (s, d) =>
@@ -294,6 +301,34 @@ object DedupPack extends QueryPack {
         |       (e.vec_id <> coalesce(lab.keep, e.vec_id)) AS is_dup
         |FROM embeddings e LEFT JOIN lab ON e.vec_id = lab.node
         |ORDER BY vec_id""".stripMargin,
+
+    "dd_leakage_split" ->
+      s"""WITH RECURSIVE $sqlShingles,
+         |ex0 AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         |dfreq AS (SELECT sg FROM ex0 GROUP BY sg
+         |          HAVING count(*) <= ${graft.operators.Dedup.DefaultMaxDf}),
+         |ex AS (SELECT ex0.doc_id, ex0.sg FROM ex0 JOIN dfreq USING (sg)),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         |jp AS (SELECT da, db FROM pairs
+         |       JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |       WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+         |und AS (SELECT da AS src, db AS dst FROM jp
+         |        UNION ALL SELECT db, da FROM jp),
+         |cc(node, label) AS (
+         |  SELECT DISTINCT src, src FROM und
+         |  UNION
+         |  SELECT und.src, cc.label FROM und JOIN cc ON und.dst = cc.node),
+         |lab AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node)
+         |SELECT d.doc_id,
+         |  coalesce(lab.cluster, d.doc_id) AS cluster,
+         |  CASE WHEN substring(md5(CAST(coalesce(lab.cluster, d.doc_id)
+         |                               AS VARCHAR)), 1, 2) < '1a'
+         |       THEN 'val' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dd_dup_clusters" ->
       s"""WITH RECURSIVE $sqlShingles,

@@ -175,4 +175,39 @@ class DedupSpec extends AnyFunSuite {
     val distinctTexts = docs.select(countDistinct(col("text"))).collect()(0).getLong(0)
     assert(out.length - dups == distinctTexts)
   }
+
+  test("span dedup: kept segments across the corpus = each distinct segment exactly once") {
+    val span = 5
+    val out = Dedup.spanDedup(docs, span)
+    // every distinct corpus segment survives exactly once, so the kept
+    // texts re-split into spans are a permutation of the distinct segments
+    val keptSegs = out.filter(length(col("kept_text")) > 0)
+      .select(posexplode(split(col("kept_text"), " ")).as(Seq("wi", "word")),
+        col("doc_id"))
+      .withColumn("seg_idx", floor(col("wi") / span))
+      .groupBy("doc_id", "seg_idx")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(wi, word))), x -> x.word)"),
+        " ").as("seg"))
+      .groupBy("seg").count()
+    assert(keptSegs.filter(col("count") =!= 1).count() == 0,
+      "some segment kept more than once")
+    val distinctSegs = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wi", "word")))
+      .withColumn("seg_idx", floor(col("wi") / span))
+      .groupBy("doc_id", "seg_idx")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(wi, word))), x -> x.word)"),
+        " ").as("seg"))
+      .select("seg").distinct().count()
+    assert(keptSegs.count() == distinctSegs,
+      "kept segment set != distinct corpus segments")
+    // counts reconcile: kept + dropped per doc == that doc's segment count
+    val bad = out.join(
+      docs.select(col("doc_id"),
+        (floor((size(split(col("text"), " ")) - 1) / span) + 1).as("n_segs")),
+      "doc_id")
+      .filter(col("n_kept") + col("n_dropped") =!= col("n_segs"))
+    assert(bad.count() == 0, "kept+dropped != segment count for some doc")
+  }
 }
