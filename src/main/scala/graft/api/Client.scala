@@ -593,8 +593,11 @@ final class CollectionHandle(spark: SparkSession,
       s"collection ${ref.name} declares no embedding_function"))
     val q = texts.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("query_id", "text")
+    // queries embed through the protocol's query-side override
+    // (embedQuery falls back to embed for symmetric functions), the
+    // reference's embed_query contract
     query(graft.functions.EmbeddingFunctions
-      .attachOnce(q, "q_embedding", fn.embed(col("text"))).drop("text"),
+      .attachOnce(q, "q_embedding", fn.embedQuery(col("text"))).drop("text"),
       k, where, space)
   }
 

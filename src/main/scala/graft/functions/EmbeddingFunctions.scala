@@ -15,6 +15,14 @@ trait EmbeddingFunction {
   def dim: Int
   /** text column → ARRAY<FLOAT> embedding column */
   def embed(text: Column): Column
+  /** Query-side embedding — defaults to [[embed]], exactly the
+    * reference protocol (`chromadb/api/types.py:854`: `embed_query`
+    * falls back to `__call__`). Asymmetric models (E5/instructor-style
+    * "passage:"/"query:" prefixes) override it; the read path
+    * ([[graft.api.CollectionHandle.queryText]]) always embeds queries
+    * through THIS, never through [[embed]].
+    */
+  def embedQuery(text: Column): Column = embed(text)
   /** Whole-DataFrame embed: append `out` derived from `textCol`. The
     * default rides [[EmbeddingFunctions.attachOnce]]; model-backed
     * functions override it with a batched `mapPartitions` runner (the
@@ -36,6 +44,10 @@ trait SparseEmbeddingFunction {
   def name: String
   /** text column → sparse vector struct column */
   def embedSparse(text: Column): Column
+  /** Query-side sparse embedding, defaulting to [[embedSparse]] — the
+    * sparse half of the reference protocol (`chromadb/api/types.py:1512`).
+    */
+  def embedSparseQuery(text: Column): Column = embedSparse(text)
 }
 
 object EmbeddingFunctions {
@@ -164,6 +176,26 @@ object EmbeddingFunctions {
         len / greatest(nToks, lit(1.0))                        // avg token span
       ).map(_.cast("float")): _*)
     }
+  }
+
+  /** Asymmetric document/query embedding via instruction prefixes — the
+    * E5 / instructor-model convention ("passage: " on the write path,
+    * "query: " at search time) expressed as a wrapper over ANY dense
+    * function, exercising the protocol's `embed_query` override point
+    * (`chromadb/api/types.py:854`). Deterministic end-to-end: the
+    * prefixes change the hashed token stream, so document and query
+    * embeddings of the same text genuinely differ, exactly like the
+    * models this surface exists for.
+    */
+  final class PrefixedEmbedding(base: EmbeddingFunction,
+      docPrefix: String = "passage: ", queryPrefix: String = "query: ")
+      extends EmbeddingFunction {
+    val name = s"prefixed_${base.name}"
+    val dim: Int = base.dim
+    def embed(text: Column): Column =
+      base.embed(concat(lit(docPrefix), text))
+    override def embedQuery(text: Column): Column =
+      base.embed(concat(lit(queryPrefix), text))
   }
 
   /** BM25 sparse embedding function — the doc-side BM25 term saturation of
@@ -432,6 +464,7 @@ object EmbeddingFunctions {
     new HashedBigram(64),
     new HashedCharNgram(64), new HashedCharNgram(128),
     new TextStatsFeatures, new FjltBow(64),
+    new PrefixedEmbedding(new HashedBow(64)),
     new ModelEmbeddingFunction(new FakeModelBackend(32))
   ).map(f => f.name -> f).toMap
 

@@ -127,6 +127,24 @@ class EmbeddingFunctionsSpec extends AnyFunSuite {
     assert(out(3).forall(_ == 0f))
   }
 
+  test("prefixed EF: asymmetric doc/query embeddings through the embedQuery override") {
+    val base = EmbeddingFunctions.registry("hashed_bow_64")
+    val pref = EmbeddingFunctions.registry("prefixed_hashed_bow_64")
+    val one = docs.limit(1).select(
+      pref.embed(col("text")).as("d"),
+      pref.embedQuery(col("text")).as("q"),
+      base.embed(concat(lit("passage: "), col("text"))).as("dExp"),
+      base.embed(concat(lit("query: "), col("text"))).as("qExp"),
+      base.embedQuery(col("text")).as("baseQ"),
+      base.embed(col("text")).as("baseD")).collect()(0)
+    def v(i: Int) = one.getSeq[Float](i)
+    assert(v(0) == v(2), "doc side must be base embed of 'passage: '+text")
+    assert(v(1) == v(3), "query side must be base embed of 'query: '+text")
+    assert(v(0) != v(1), "asymmetric function must embed doc and query differently")
+    // the protocol default: symmetric functions answer embedQuery with embed
+    assert(v(4) == v(5), "embedQuery must fall back to embed when not overridden")
+  }
+
   test("model runner: batched mapPartitions inference, one session per JVM") {
     import EmbeddingFunctions.{FakeModelBackend, ModelEmbeddingFunction}
     import spark.implicits._
