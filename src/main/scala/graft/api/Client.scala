@@ -601,6 +601,15 @@ final class CollectionHandle(spark: SparkSession,
       k, where, space)
   }
 
+  /** Hybrid Search from the WIRE payload over the live read-your-writes
+    * state — `collection.search(...)` at the handle: raw-text `$knn`
+    * leaves embed server-side with the collection's declared embedding
+    * function (query side of the protocol), exactly the reference's
+    * `Knn(query="...")` path (`operator.py:1060`).
+    */
+  def search(json: String, space: String = "cosine"): DataFrame =
+    asCollection.searchPayload(json, space, embed = embedFn)
+
   /** Compact: validate against the declared schema, persist the live
     * state as the collection's record segment (shredded serving schema),
     * build declared serving indexes with [[provision]]. The next open

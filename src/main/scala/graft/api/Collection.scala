@@ -367,8 +367,9 @@ final class Collection(val records: DataFrame) {
     * as the programmatic [[search]].
     */
   def searchPayload(json: String, space: String = "cosine",
-      ftsRoot: Option[String] = None): DataFrame = {
-    import graft.model.SearchParser.{KnnLeafDense, KnnLeafSparse}
+      ftsRoot: Option[String] = None,
+      embed: Option[graft.functions.EmbeddingFunction] = None): DataFrame = {
+    import graft.model.SearchParser.{KnnLeafDense, KnnLeafSparse, KnnLeafText}
     val req = graft.model.SearchParser.parse(json)
     val spark = records.sparkSession
     // where_document routed through the FTS segment when one is attached
@@ -395,6 +396,17 @@ final class Collection(val records: DataFrame) {
           lim, space).drop("query_id")
       case KnnLeafSparse(key, qi, qv, lim) =>
         sparseLeafFrame(filtered, key, qi, qv, lim)
+      case KnnLeafText(t, lim) =>
+        // server-side embedding of a raw-text leaf, through the
+        // protocol's QUERY side (operator.py:1060 "Will use collection's
+        // embedding function")
+        val ef = embed.getOrElse(throw new IllegalArgumentException(
+          "payload has a text $knn leaf but the collection declares no " +
+            "embedding function"))
+        Knn.exact(cands,
+          spark.range(1).select(lit(0L).as("query_id"),
+            ef.embedQuery(lit(t)).as("q_embedding")),
+          lim, space).drop("query_id")
     }
     val include: Seq[Column] = req.select.filterNot(_ == "#score").flatMap {
       case "#document" => Seq(col("document"))

@@ -39,6 +39,12 @@ object SearchParser {
   final case class KnnLeafDense(query: Seq[Float], limit: Int) extends KnnLeaf
   final case class KnnLeafSparse(key: String, indices: Seq[Long],
       values: Seq[Float], limit: Int) extends KnnLeaf
+  /** A raw-text query leaf — the reference's `Knn(query="hello world")`
+    * (`chromadb/execution/expression/operator.py:1043-1110`): the server
+    * embeds it with the collection's declared embedding function, on the
+    * QUERY side of the protocol (`embedQuery`).
+    */
+  final case class KnnLeafText(text: String, limit: Int) extends KnnLeaf
 
   /** Grouped top-k: group keys (metadata field names), orderings from
     * `$min_k`/`$max_k` over `#score`, and per-group k.
@@ -102,6 +108,7 @@ object SearchParser {
                   "sparse $knn needs a key (the per-key sparse index)")
               }
               KnnLeafSparse(key, idx, vals, lim)
+            case JString(t) => KnnLeafText(t, lim)
             case o => throw new IllegalArgumentException(s"bad $$knn query $o")
           }
           val default = m.get("default") match {

@@ -224,6 +224,41 @@ class ClientSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { plain.queryText(Seq("doc"), 1) }
   }
 
+  test("search payload: raw-text $knn leaf embeds server-side, == pre-embedded twin") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("textsearch", Catalog.Schema(
+      embedding = Some(Catalog.VDenseVector(64, "cosine")),
+      embeddingFunction = Some("hashed_bow_64")))
+    coll.add(Seq(
+      ("a", "spark shuffles the partitions"),
+      ("b", "ducks swim on the pond"),
+      ("c", "completely different words entirely")).toDF("id", "document"))
+    val text = "ducks on a pond"
+    val viaText = coll.search(
+      s"""{"rank": {"$$knn": {"query": "$text", "limit": 3}},
+         |  "select": {"keys": ["#score"]}}""".stripMargin)
+      .select(col("id"), col("#score")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    // the same payload with the vector pre-embedded client-side (the
+    // reference's equivalent forms, operator.py:1060-1065)
+    val vec = spark.range(1).select(graft.functions.EmbeddingFunctions
+        .registry("hashed_bow_64").embedQuery(lit(text)).as("e"))
+      .collect()(0).getSeq[Float](0)
+    val viaVec = coll.search(
+      s"""{"rank": {"$$knn": {"query": [${vec.mkString(",")}], "limit": 3}},
+         |  "select": {"keys": ["#score"]}}""".stripMargin)
+      .select(col("id"), col("#score")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(viaText.toSeq == viaVec.toSeq)
+    assert(viaText.head._1 == "b", "nearest doc should be the pond one")
+    // a text leaf without a declared function fails loudly
+    val plain = client.createCollection("plain2")
+    plain.add(Seq(("x", "doc")).toDF("id", "document"))
+    intercept[IllegalArgumentException] {
+      plain.search("""{"rank": {"$knn": {"query": "doc"}}}""").collect()
+    }
+  }
+
   test("declared schema keys shred typed: numeric/bool Where works via client") {
     val client = new Client(spark, freshRoot())
     val coll = client.createCollection("t", Catalog.Schema(keys = Map(

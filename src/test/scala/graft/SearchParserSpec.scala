@@ -58,6 +58,12 @@ class SearchParserSpec extends AnyFunSuite {
     }
   }
 
+  test("text $knn leaf: string query parses to a server-embedded leaf") {
+    val r = SearchParser.parse(
+      """{"rank": {"$knn": {"query": "hello world", "limit": 9}}}""")
+    assert(r.leaves == Seq(SearchParser.KnnLeafText("hello world", 9)))
+  }
+
   test("defaults: no filter/group/limit/select; $knn default limit and no-default fill") {
     val r = SearchParser.parse("""{"rank": {"$knn": {"query": [1.5]}}}""")
     assert(r.filter.isEmpty && r.groupBy.isEmpty && r.limit.isEmpty
