@@ -94,6 +94,30 @@ object FacadePack extends QueryPack {
           element_at(col("meta_int"), "label").as("label"))
         .orderBy(col("score"), col("id"))
     },
+    // Search payload with a RAW-TEXT $knn leaf — the reference's
+    // Knn(query="...") form: the engine embeds the string server-side
+    // with the collection's embedding function (query side of the
+    // protocol). The fitted tf-idf function makes the whole path —
+    // vocabulary fit, doc embed-at-write, query embed, cosine KNN,
+    // score slice — SQL-expressible, so this is hash-exact.
+    "fc_search_text" -> { (s, d) =>
+      val ef = graft.functions.EmbeddingFunctions.VocabTfIdfDense.fit(
+        Tables.documents(s, d), "text", dim = 64)
+      val recs = graft.sources.CollectionStore.cacheOnce(
+        ef.embedDf(Tables.documents(s, d), "text", "embedding")
+          .filter(exists(col("embedding"), x => x =!= 0f))
+          .select(col("doc_id").as("offset_id"),
+            concat(lit("doc-"), col("doc_id")).as("id"),
+            col("text").as("document"), col("embedding")))
+      new Collection(recs).searchPayload(
+        """{"rank": {"$knn": {"query": "spark data query", "limit": 10}},
+          |  "limit": {"limit": 10},
+          |  "select": {"keys": ["#score"]}}""".stripMargin,
+        embed = Some(ef))
+        .select(col("id"), col("#score").cast("float").as("score"))
+        .orderBy(col("score"), col("id"))
+    },
+
     // Search plan arriving as the reference's WIRE JSON payload
     // (SearchPayload: filter + $knn rank algebra + group_by + limit +
     // select), built exactly as a client would — query embeddings
@@ -558,6 +582,23 @@ object FacadePack extends QueryPack {
       |ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the tf-idf vec CTE verbatim + a query vector built in SQL from the
+    // literal text the payload carries (tf=1 per term, same 1/1024
+    // quantization and double normalization as the kernel)
+    "fc_search_text" ->
+      s"""WITH ${TextAnalysis.tfidfVecsCte},
+         |qw AS (SELECT i.slot, floor(ln(2.0) * i.idf * 1024) / 1024 AS w
+         |       FROM idf i WHERE i.term IN ('spark', 'data', 'query')),
+         |qn AS (SELECT sqrt(sum(w * w)) AS nn FROM qw),
+         |qvec AS (SELECT list(coalesce(CAST(qw.w / (SELECT nn FROM qn) AS FLOAT),
+         |                     CAST(0 AS FLOAT)) ORDER BY s.slot) AS qe
+         |         FROM slots s LEFT JOIN qw ON qw.slot = s.slot)
+         |SELECT 'doc-'||v.doc_id AS id,
+         |  CAST(1.0 - list_cosine_similarity(v.emb, (SELECT qe FROM qvec))
+         |    AS FLOAT) AS score
+         |FROM vecs v
+         |ORDER BY score, v.doc_id LIMIT 10""".stripMargin,
+
     "fc_ann_query_oracle" -> facadeExactK5Sql,
     "fc_ann_quantized_oracle" -> facadeExactK5Sql,
     "fc_ann_hnsw_tail_oracle" -> facadeExactK5Sql,

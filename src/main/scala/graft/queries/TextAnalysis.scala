@@ -228,35 +228,46 @@ object TextAnalysis extends QueryPack {
   private def sqlHits(l: String) =
     s"len(list_filter(t, x -> x IN (${stopwords(l).map(w => s"'$w'").mkString(",")})))"
 
+  /** Shared DuckDB CTE chain reproducing `VocabTfIdfDense.fit` + `embed`
+    * over the documents table bit-for-bit (df-ranked 64-slot vocabulary,
+    * 1/64-quantized BM25 idf, 1/1024-quantized ln(1+tf)·idf weights,
+    * double-normalized, f32 cells) — through `vecs(doc_id, emb)`, with
+    * `idf(term, slot, idf)` and `slots(slot)` available to callers for
+    * building query-side vectors. Reused by `ta_tfidf_knn`,
+    * `mm_embed_knn_oracle`, and `fc_search_text`.
+    */
+  val tfidfVecsCte: String =
+    """tf0 AS (SELECT doc_id, unnest(t) AS term FROM
+      |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+      |       x -> x <> '') AS t FROM documents)),
+      |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf0 GROUP BY 1, 2),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |dfv AS (SELECT term, count(*) AS df FROM
+      |          (SELECT DISTINCT doc_id, term FROM tf0) GROUP BY term),
+      |vocab AS (SELECT term, df,
+      |            row_number() OVER (ORDER BY df DESC, term) AS rn FROM dfv),
+      |idf AS (SELECT term, rn - 1 AS slot,
+      |          floor(ln(((SELECT n FROM n) - df + 0.5) / (df + 0.5) + 1.0)
+      |            * 64) / 64 AS idf
+      |        FROM vocab WHERE rn <= 64),
+      |w AS (SELECT f.doc_id, i.slot,
+      |        floor(ln(1.0 + f.tf) * i.idf * 1024) / 1024 AS w
+      |      FROM freq f JOIN idf i ON f.term = i.term),
+      |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w
+      |        GROUP BY doc_id HAVING sum(w * w) > 0),
+      |cells AS (SELECT w.doc_id, w.slot, CAST(w.w / nrm.nn AS FLOAT) AS w
+      |          FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+      |slots AS (SELECT unnest(range(64)) AS slot),
+      |vecs AS (SELECT d.doc_id,
+      |           list(coalesce(c.w, CAST(0 AS FLOAT)) ORDER BY s.slot) AS emb
+      |         FROM (SELECT DISTINCT doc_id FROM cells) d
+      |         CROSS JOIN slots s
+      |         LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.slot = s.slot
+      |         GROUP BY d.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "ta_tfidf_knn" ->
-      """WITH tf0 AS (SELECT doc_id, unnest(t) AS term FROM
-        |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
-        |       x -> x <> '') AS t FROM documents)),
-        |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf0 GROUP BY 1, 2),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |dfv AS (SELECT term, count(*) AS df FROM
-        |          (SELECT DISTINCT doc_id, term FROM tf0) GROUP BY term),
-        |vocab AS (SELECT term, df,
-        |            row_number() OVER (ORDER BY df DESC, term) AS rn FROM dfv),
-        |idf AS (SELECT term, rn - 1 AS slot,
-        |          floor(ln(((SELECT n FROM n) - df + 0.5) / (df + 0.5) + 1.0)
-        |            * 64) / 64 AS idf
-        |        FROM vocab WHERE rn <= 64),
-        |w AS (SELECT f.doc_id, i.slot,
-        |        floor(ln(1.0 + f.tf) * i.idf * 1024) / 1024 AS w
-        |      FROM freq f JOIN idf i ON f.term = i.term),
-        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w
-        |        GROUP BY doc_id HAVING sum(w * w) > 0),
-        |cells AS (SELECT w.doc_id, w.slot, CAST(w.w / nrm.nn AS FLOAT) AS w
-        |          FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
-        |slots AS (SELECT unnest(range(64)) AS slot),
-        |vecs AS (SELECT d.doc_id,
-        |           list(coalesce(c.w, CAST(0 AS FLOAT)) ORDER BY s.slot) AS emb
-        |         FROM (SELECT DISTINCT doc_id FROM cells) d
-        |         CROSS JOIN slots s
-        |         LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.slot = s.slot
-        |         GROUP BY d.doc_id),
+      s"""WITH $tfidfVecsCte,
         |q AS (SELECT doc_id AS query_id, emb AS qe FROM vecs WHERE doc_id < 3),
         |dist AS (SELECT query_id, v.doc_id,
         |           1.0 - list_cosine_similarity(v.emb, qe) AS dist
