@@ -308,13 +308,17 @@ final class Collection(val records: DataFrame) {
       limit: Option[Int],
       offset: Int,
       include: Seq[Column],
-      groupDesc: Boolean): DataFrame = {
+      groupDesc: Boolean,
+      groupSort: Seq[Column] = Seq()): DataFrame = {
     val scored = Rank.evaluate(leafResults, rank)
       .join(records.drop("embedding"), Seq("offset_id"))
     val grouped = groupBy match {
       case Some((keys, k)) =>
+        // explicit multi-key aggregate ordering (already directed) wins;
+        // default = the score, MinK asc / MaxK desc; offset_id tiebreak
         val sort =
-          if (groupDesc) Seq(col("score").desc, col("offset_id"))
+          if (groupSort.nonEmpty) groupSort :+ col("offset_id")
+          else if (groupDesc) Seq(col("score").desc, col("offset_id"))
           else Seq(col("score"), col("offset_id"))
         GroupedTopK(scored, keys, sort, k)
       case None => scored
@@ -415,9 +419,35 @@ final class Collection(val records: DataFrame) {
         col("meta_float"), col("meta_bool"))
       case k => Seq(metaValue(k).as(k))
     }
+    // the aggregate's multi-key ordering: #score and/or metadata fields,
+    // all ascending for $min_k / descending for $max_k
+    // (Aggregate::MinK{keys}, operator.rs:2306-2323). Typed numeric
+    // fields sort on their typed value (string casts would order "10"
+    // before "9"); mixed-typed keys fall back to the string view.
+    val groupSort: Seq[Column] = req.groupBy
+      .map(_.sortKeys.map {
+        case "#score" => col("score")
+        case k => metaSortValue(k)
+      }.map(c => if (req.groupBy.exists(_.descending)) c.desc else c))
+      .getOrElse(Seq())
     searchEvaluated(leafResults, req.rank,
       req.groupBy.map(g => (g.keys.map(metaValue), g.k)),
       req.limit, req.offset, include,
-      groupDesc = req.groupBy.exists(_.descending))
+      groupDesc = req.groupBy.exists(_.descending),
+      groupSort = if (req.groupBy.exists(_.sortKeys != Seq("#score")))
+        groupSort else Seq())
   }
+
+  /** Sort view of a metadata key for aggregate orderings: a (numeric,
+    * string) struct so a single-typed key orders correctly by its type
+    * (ints/floats/bools numerically — a string cast would put "10"
+    * before "9" — strings lexicographically); for a mixed-typed key the
+    * numeric records order before the string ones (struct comparison,
+    * nulls first), deterministically.
+    */
+  private def metaSortValue(k: String): Column = struct(
+    coalesce(element_at(col("meta_int"), k).cast("double"),
+      element_at(col("meta_float"), k),
+      element_at(col("meta_bool"), k).cast("double")).as("n"),
+    element_at(col("meta_str"), k).as("s"))
 }

@@ -46,10 +46,14 @@ object SearchParser {
     */
   final case class KnnLeafText(text: String, limit: Int) extends KnnLeaf
 
-  /** Grouped top-k: group keys (metadata field names), orderings from
-    * `$min_k`/`$max_k` over `#score`, and per-group k.
+  /** Grouped top-k: group keys (metadata field names), the aggregate's
+    * multi-key ordering (`$min_k`/`$max_k` over `sortKeys` — `#score`
+    * and/or metadata fields, `operator.rs:2306-2323` `Aggregate::MinK
+    * {keys: Vec<Key>}`), and per-group k. MinK keeps the k smallest by
+    * the key tuple ascending, MaxK the k largest (all keys descending).
     */
-  final case class Group(keys: Seq[String], k: Int, descending: Boolean)
+  final case class Group(keys: Seq[String], k: Int, descending: Boolean,
+      sortKeys: Seq[String] = Seq("#score"))
 
   final case class Request(
       filter: Option[Where.Expr],
@@ -167,7 +171,12 @@ object SearchParser {
               case "$max_k" => true
               case o => throw new IllegalArgumentException(s"bad aggregate $o")
             }
-            Some(Group(keys, k, desc))
+            val sortKeys = (body \ "keys") match {
+              case JArray(ks) if ks.nonEmpty =>
+                ks.collect { case JString(s) => s }
+              case _ => Seq("#score")
+            }
+            Some(Group(keys, k, desc, sortKeys))
           case _ => None
         }
     }

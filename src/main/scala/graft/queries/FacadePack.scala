@@ -94,6 +94,27 @@ object FacadePack extends QueryPack {
           element_at(col("meta_int"), "label").as("label"))
         .orderBy(col("score"), col("id"))
     },
+    // Aggregate MULTI-KEY ordering (Aggregate::MaxK{keys:
+    // [field, Score]}, operator.rs:2306-2323): per even-group keep the
+    // top-2 by (label desc, score desc) — the aggregate's own sort keys,
+    // not the score default. Missing `even` forms the Null group.
+    "fc_search_grouped_keys" -> { (s, d) =>
+      val v = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      val payload =
+        s"""{
+           |  "rank": {"$$knn": {"query": [${v.mkString(",")}], "limit": 50}},
+           |  "group_by": {"keys": ["even"],
+           |    "aggregate": {"$$max_k": {"keys": ["label", "#score"], "k": 2}}},
+           |  "limit": {"limit": 10},
+           |  "select": {"keys": ["label", "even"]}
+           |}""".stripMargin
+      vecCollection(s, d).searchPayload(payload)
+        .select(col("id"), col("#score").cast("float").as("score"),
+          col("label"), col("even"))
+        .orderBy(col("score"), col("id"))
+    },
+
     // Search payload with a RAW-TEXT $knn leaf — the reference's
     // Knn(query="...") form: the engine embeds the string server-side
     // with the collection's embedding function (query side of the
@@ -804,6 +825,23 @@ object FacadePack extends QueryPack {
         |        row_number() OVER (PARTITION BY label ORDER BY score, vec_id) AS rn
         |      FROM j)
         |SELECT 'vec-'||vec_id AS id, score, label FROM g WHERE rn = 1
+        |ORDER BY score, id LIMIT 10""".stripMargin,
+
+    "fc_search_grouped_keys" ->
+      """WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |l0 AS (SELECT vec_id, dist FROM
+        |        (SELECT vec_id, 1.0 - list_cosine_similarity(embedding, q0.qe) AS dist,
+        |           row_number() OVER (ORDER BY (1.0 - list_cosine_similarity(embedding, q0.qe)), vec_id) AS rn
+        |         FROM embeddings, q0) WHERE rn <= 50),
+        |j AS (SELECT l0.vec_id, l0.dist::DOUBLE AS score, e.label::BIGINT AS label,
+        |        CASE WHEN e.vec_id % 3 <> 0 THEN (e.vec_id % 2 = 0) END AS even
+        |      FROM l0 JOIN embeddings e ON l0.vec_id = e.vec_id),
+        |g AS (SELECT vec_id, score, label, even,
+        |        row_number() OVER (PARTITION BY even
+        |          ORDER BY label DESC, score DESC, vec_id) AS rn FROM j)
+        |SELECT 'vec-'||vec_id AS id, CAST(score AS FLOAT) AS score,
+        |  CAST(label AS VARCHAR) AS label, CAST(even AS VARCHAR) AS even
+        |FROM g WHERE rn <= 2
         |ORDER BY score, id LIMIT 10""".stripMargin,
 
     "fc_search_grouped" ->
