@@ -608,7 +608,11 @@ final class CollectionHandle(spark: SparkSession,
     * `Knn(query="...")` path (`operator.py:1060`).
     */
   def search(json: String, space: String = "cosine"): DataFrame =
-    asCollection.searchPayload(json, space, embed = embedFn)
+    asCollection.searchPayload(json, space, embed = embedFn,
+      sparseEmbed = ref.schema.keys.collect {
+        case (k, Catalog.KeyConfig(Catalog.VSparseVector, _, Some(n))) =>
+          k -> graft.functions.EmbeddingFunctions.sparseRegistry(n)
+      })
 
   /** Compact: validate against the declared schema, persist the live
     * state as the collection's record segment (shredded serving schema),

@@ -372,7 +372,9 @@ final class Collection(val records: DataFrame) {
     */
   def searchPayload(json: String, space: String = "cosine",
       ftsRoot: Option[String] = None,
-      embed: Option[graft.functions.EmbeddingFunction] = None): DataFrame = {
+      embed: Option[graft.functions.EmbeddingFunction] = None,
+      sparseEmbed: Map[String, graft.functions.SparseEmbeddingFunction] =
+        Map.empty): DataFrame = {
     import graft.model.SearchParser.{KnnLeafDense, KnnLeafSparse, KnnLeafText}
     val req = graft.model.SearchParser.parse(json)
     val spark = records.sparkSession
@@ -400,7 +402,7 @@ final class Collection(val records: DataFrame) {
           lim, space).drop("query_id")
       case KnnLeafSparse(key, qi, qv, lim) =>
         sparseLeafFrame(filtered, key, qi, qv, lim)
-      case KnnLeafText(t, lim) =>
+      case KnnLeafText(t, lim, None) =>
         // server-side embedding of a raw-text leaf, through the
         // protocol's QUERY side (operator.py:1060 "Will use collection's
         // embedding function")
@@ -411,6 +413,19 @@ final class Collection(val records: DataFrame) {
           spark.range(1).select(lit(0L).as("query_id"),
             ef.embedQuery(lit(t)).as("q_embedding")),
           lim, space).drop("query_id")
+      case KnnLeafText(t, lim, Some(key)) =>
+        // text against a sparse key: embed with the SCHEMA's sparse
+        // function for the key (operator.py:1068 "Will use schema's
+        // embedding function"), query side. The 1-row evaluation is
+        // client-edge query construction, same as a payload literal.
+        val fn = sparseEmbed.getOrElse(key, throw new IllegalArgumentException(
+          s"payload has a text $$knn leaf against key '$key' but the " +
+            "schema declares no sparse embedding function for it"))
+        val sv = spark.range(1)
+          .select(fn.embedSparseQuery(lit(t)).as("sv"))
+          .select(col("sv.indices"), col("sv.values")).collect()(0)
+        sparseLeafFrame(filtered, key,
+          sv.getSeq[Long](0), sv.getSeq[Float](1), lim)
     }
     val include: Seq[Column] = req.select.filterNot(_ == "#score").flatMap {
       case "#document" => Seq(col("document"))

@@ -42,9 +42,13 @@ object SearchParser {
   /** A raw-text query leaf — the reference's `Knn(query="hello world")`
     * (`chromadb/execution/expression/operator.py:1043-1110`): the server
     * embeds it with the collection's declared embedding function, on the
-    * QUERY side of the protocol (`embedQuery`).
+    * QUERY side of the protocol (`embedQuery`). With a `key` other than
+    * `#embedding` (`Knn(query="...", key="custom_embedding")`,
+    * operator.py:1068) the text embeds with the SCHEMA's sparse function
+    * for that key and searches its sparse index.
     */
-  final case class KnnLeafText(text: String, limit: Int) extends KnnLeaf
+  final case class KnnLeafText(text: String, limit: Int,
+      key: Option[String] = None) extends KnnLeaf
 
   /** Grouped top-k: group keys (metadata field names), the aggregate's
     * multi-key ordering (`$min_k`/`$max_k` over `sortKeys` — `#score`
@@ -112,7 +116,13 @@ object SearchParser {
                   "sparse $knn needs a key (the per-key sparse index)")
               }
               KnnLeafSparse(key, idx, vals, lim)
-            case JString(t) => KnnLeafText(t, lim)
+            case JString(t) =>
+              val key = m.get("key") match {
+                case Some(JString(s)) if s != "#embedding" &&
+                  s != "EMBEDDING" => Some(s)
+                case _ => None
+              }
+              KnnLeafText(t, lim, key)
             case o => throw new IllegalArgumentException(s"bad $$knn query $o")
           }
           val default = m.get("default") match {

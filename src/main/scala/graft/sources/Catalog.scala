@@ -49,8 +49,14 @@ object Catalog {
     }
   }
 
-  /** Per-key config: type + whether a serving index is provisioned. */
-  final case class KeyConfig(valueType: ValueType, indexed: Boolean = false)
+  /** Per-key config: type + whether a serving index is provisioned +
+    * (sparse keys) the embedding function producing the key's vectors —
+    * the reference's per-key `sparse_vector_index { embedding_function }`
+    * (`rust/types/src/collection_schema.rs:745-873`): a raw-text `$knn`
+    * leaf against the key embeds server-side with THIS function.
+    */
+  final case class KeyConfig(valueType: ValueType, indexed: Boolean = false,
+      embeddingFunction: Option[String] = None)
 
   /** Collection schema: embedding config + document FTS flag + typed
     * metadata keys + attached server-side functions (names resolved
@@ -109,6 +115,14 @@ object Catalog {
       require(graft.functions.EmbeddingFunctions.registry.contains(n),
         s"unknown embedding function $n")
     }
+    schema.keys.foreach { case (k, c) =>
+      c.embeddingFunction.foreach { n =>
+        require(c.valueType == VSparseVector,
+          s"key $k: embedding_function is only valid on sparse_vector keys")
+        require(graft.functions.EmbeddingFunctions.sparseRegistry.contains(n),
+          s"key $k: unknown sparse embedding function $n")
+      }
+    }
     writeDescriptor(dir.resolve(s"$name.json"), schema,
       forkedFrom = None, dataDir = None, metadata = metadata,
       createNew = true)
@@ -123,7 +137,9 @@ object Catalog {
       "embedding" -> schema.embedding.map(_.name),
       "document_fts" -> schema.documentFts,
       "keys" -> schema.keys.map { case (k, c) =>
-        k -> Map("type" -> c.valueType.name, "indexed" -> c.indexed) },
+        k -> (Map[String, Any]("type" -> c.valueType.name,
+          "indexed" -> c.indexed) ++
+          c.embeddingFunction.map("embedding_function" -> _)) },
       "attached" -> schema.attached,
       "metadata" -> metadata) ++
       schema.embeddingFunction.map("embedding_function" -> _) ++
@@ -179,7 +195,11 @@ object Catalog {
         val t = (v \ "type") match { case JString(s) => ValueType.parse(s)
           case o => throw new IllegalArgumentException(s"bad type $o") }
         val idx = (v \ "indexed") match { case JBool(b) => b; case _ => false }
-        k -> KeyConfig(t, idx)
+        val kef = (v \ "embedding_function") match {
+          case JString(s) => Some(s)
+          case _ => None
+        }
+        k -> KeyConfig(t, idx, kef)
       }.toMap
       case _ => Map.empty[String, KeyConfig]
     }

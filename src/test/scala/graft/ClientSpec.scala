@@ -259,6 +259,59 @@ class ClientSpec extends AnyFunSuite {
     }
   }
 
+  test("search payload: text $knn against a sparse key embeds with the key's sparse fn") {
+    val fn = graft.functions.EmbeddingFunctions.sparseRegistry("bm25_sparse")
+    val recs = Seq(
+      (0L, "vec-0", "spark shuffles the partitions"),
+      (1L, "vec-1", "ducks swim on the pond"),
+      (2L, "vec-2", "pond ducks quack"))
+      .toDF("offset_id", "id", "document")
+      .withColumn("meta_sparse", map(lit("bm"), fn.embedSparse(col("document"))))
+    val coll = new graft.api.Collection(recs)
+    def run(payload: String) = coll.searchPayload(payload,
+      sparseEmbed = Map("bm" -> fn))
+      .select(col("id"), col("#score")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaText = run(
+      """{"rank": {"$knn": {"query": "ducks pond", "key": "bm", "limit": 3}},
+        |  "select": {"keys": []}}""".stripMargin)
+    // the equivalent explicit-vector payload (client-side embedding)
+    val sv = spark.range(1)
+      .select(fn.embedSparseQuery(lit("ducks pond")).as("s"))
+      .select(col("s.indices"), col("s.values")).collect()(0)
+    val idx = sv.getSeq[Long](0); val vals = sv.getSeq[Float](1)
+    val viaVec = run(
+      s"""{"rank": {"$$knn": {"query": {"indices": [${idx.mkString(",")}],
+         |  "values": [${vals.mkString(",")}]}, "key": "bm", "limit": 3}},
+         |  "select": {"keys": []}}""".stripMargin)
+    assert(viaText == viaVec)
+    assert(viaText.nonEmpty && Set("vec-1", "vec-2").contains(viaText.head._1))
+    // an undeclared key fails loudly
+    intercept[IllegalArgumentException] {
+      coll.searchPayload("""{"rank": {"$knn": {"query": "x", "key": "nope"}}}""",
+        sparseEmbed = Map("bm" -> fn))
+    }
+    // schema validation: a sparse-key EF must name a registered sparse fn,
+    // and only sparse keys may carry one
+    val client = new Client(spark, freshRoot())
+    intercept[Exception] {
+      client.createCollection("bad1", Catalog.Schema(keys = Map(
+        "bm" -> Catalog.KeyConfig(Catalog.VSparseVector,
+          embeddingFunction = Some("no_such_sparse")))))
+    }
+    intercept[Exception] {
+      client.createCollection("bad2", Catalog.Schema(keys = Map(
+        "s" -> Catalog.KeyConfig(Catalog.VString,
+          embeddingFunction = Some("bm25_sparse")))))
+    }
+    // a valid declaration round-trips through the descriptor
+    client.createCollection("ok", Catalog.Schema(keys = Map(
+      "bm" -> Catalog.KeyConfig(Catalog.VSparseVector, indexed = false,
+        embeddingFunction = Some("bm25_sparse")))))
+    assert(client.getCollection("ok").ref.schema.keys("bm")
+      .embeddingFunction.contains("bm25_sparse"))
+  }
+
   test("declared schema keys shred typed: numeric/bool Where works via client") {
     val client = new Client(spark, freshRoot())
     val coll = client.createCollection("t", Catalog.Schema(keys = Map(
