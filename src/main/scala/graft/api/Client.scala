@@ -155,9 +155,9 @@ final class CollectionHandle(spark: SparkSession,
       // to WAL-record shape for the materializer. The typed maps
       // tag-encode into the wire string map (TypedMeta) so int/float/bool
       // metadata — declared or not — survives the persist/reopen cycle.
-      val seg = TypedMeta.encodeUri(TypedMeta.encode(
+      val seg = TypedMeta.encodeSparse(TypedMeta.encodeUri(TypedMeta.encode(
           CollectionStore.loadRecords(spark, dataRoot)
-            .withColumnRenamed("meta_str", "meta")))
+            .withColumnRenamed("meta_str", "meta"))))
         .select(col("id"), col("document"), col("meta"),
           col("embedding"), col("offset_id").as("first_offset")).as[Rec]
       // _segmeta (written at compaction) makes the open job-free; a
@@ -285,6 +285,9 @@ final class CollectionHandle(spark: SparkSession,
     // uri (the record's blob pointer, Collection.py:96-109) rides the
     // WAL map under a reserved key — per-key LWW merge for free
     df = TypedMeta.encodeUri(df)
+    // sparse-vector metadata (MetadataValue::SparseVector) rides the
+    // map tag-encoded; compaction shreds it back to the typed column
+    df = TypedMeta.encodeSparse(df)
     // typed metadata columns (meta_int/meta_float/meta_bool) tag-encode
     // into the WAL string map and round-trip typed for ANY key — the
     // reference's typed UpdateMetadataValue (metadata.rs:659-683)
@@ -414,7 +417,8 @@ final class CollectionHandle(spark: SparkSession,
       TypedMeta.decodeStr(strMap0).as("meta_str"),
       merged(declared(Catalog.VInt), "bigint", TypedMeta.decodeInt).as("meta_int"),
       merged(declared(Catalog.VFloat), "double", TypedMeta.decodeFloat).as("meta_float"),
-      merged(declared(Catalog.VBool), "boolean", TypedMeta.decodeBool).as("meta_bool"))
+      merged(declared(Catalog.VBool), "boolean", TypedMeta.decodeBool).as("meta_bool"),
+      TypedMeta.decodeSparse(col("meta")).as("meta_sparse"))
   }
 
   private def buildCollection(): Collection =

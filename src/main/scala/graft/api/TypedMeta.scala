@@ -87,6 +87,54 @@ object TypedMeta {
   def decodeFloat(meta: Column): Column = taggedMap(meta, TagFloat, "double")
   def decodeBool(meta: Column): Column = taggedMap(meta, TagBool, "boolean")
 
+  /** Sparse-vector metadata values — the reference's
+    * `MetadataValue::SparseVector` (`rust/types/src/metadata.rs:39,659-683`)
+    * — ride the WAL string map too: a `meta_sparse`
+    * `map<string, struct<indices array<bigint>, values array<float>>>`
+    * column encodes each entry as `TagSparse + "i1,i2|v1,v2"` (longs and
+    * Float.toString shortest-reprs — both round-trip bit-exact through
+    * string), so sparse metadata gets the materializer's per-key LWW and
+    * the persist/reopen cycle for free, exactly like int/float/bool.
+    * Compaction shreds it back to the typed serving column
+    * ([[decodeSparse]] in `shredRecords`), mirroring the reference's
+    * row-WAL → typed-segment split.
+    */
+  val TagSparse: String = Sigil + "v" + Sigil
+
+  /** Fold a `meta_sparse` column (if present) into the WAL map. */
+  def encodeSparse(records: DataFrame): DataFrame =
+    if (!records.columns.contains("meta_sparse")) records
+    else {
+      val none = map_from_arrays(array(), array()).cast("map<string,string>")
+      val sv = coalesce(col("meta_sparse"),
+        map_from_arrays(array(), array())
+          .cast(records.schema("meta_sparse").dataType))
+      val encoded = transform_values(sv, (_, v) => concat(lit(TagSparse),
+        array_join(transform(v.getField("indices"), _.cast("string")), ","),
+        lit("|"),
+        array_join(transform(v.getField("values"), _.cast("string")), ",")))
+      records
+        .withColumn("meta", map_concat(
+          map_filter(coalesce(col("meta"), none),
+            (k, _) => !map_contains_key(encoded, k)),
+          encoded))
+        .drop("meta_sparse")
+    }
+
+  /** The sparse map back out of the tagged entries. */
+  def decodeSparse(meta: Column): Column =
+    transform_values(
+      map_filter(meta, (_, v) => v.startsWith(TagSparse)),
+      (_, v) => {
+        val payload = v.substr(lit(TagSparse.length + 1), length(v))
+        val parts = split(payload, "\\|", 2)
+        struct(
+          transform(filter(split(element_at(parts, 1), ","), e => e =!= ""),
+            _.cast("bigint")).as("indices"),
+          transform(filter(split(element_at(parts, 2), ","), e => e =!= ""),
+            _.cast("float")).as("values"))
+      })
+
   /** Fold a `uri` column (if present) into the WAL map under [[UriKey]],
     * dropping the column; null uris add no entry (absent ≠ empty).
     */
@@ -113,7 +161,8 @@ object TypedMeta {
     transform_values(
       map_filter(meta, (k, v) =>
         !k.startsWith(Sigil) &&
-        !(v.startsWith(TagInt) || v.startsWith(TagFloat) || v.startsWith(TagBool))),
+        !(v.startsWith(TagInt) || v.startsWith(TagFloat) ||
+          v.startsWith(TagBool) || v.startsWith(TagSparse))),
       (_, v) => when(v.startsWith(TagStr), v.substr(lit(TagStr.length + 1), length(v)))
         .otherwise(v))
 }

@@ -312,6 +312,40 @@ class ClientSpec extends AnyFunSuite {
       .embeddingFunction.contains("bm25_sparse"))
   }
 
+  test("sparse METADATA rides the WAL: add -> live text search -> persist/reopen") {
+    val fn = graft.functions.EmbeddingFunctions.sparseRegistry("bm25_sparse")
+    val root = freshRoot()
+    val client = new Client(spark, root)
+    val h = client.createCollection("sparsewal", Catalog.Schema(keys = Map(
+      "bm" -> Catalog.KeyConfig(Catalog.VSparseVector,
+        embeddingFunction = Some("bm25_sparse")))))
+    h.add(Seq(
+      ("a", "spark shuffles the partitions"),
+      ("b", "ducks swim on the pond"),
+      ("c", "pond ducks quack")).toDF("id", "document")
+      .withColumn("meta_sparse", map(lit("bm"), fn.embedSparse(col("document")))))
+    def hits(hh: graft.api.CollectionHandle) = hh.search(
+      """{"rank": {"$knn": {"query": "ducks pond", "key": "bm", "limit": 3}},
+        |  "select": {"keys": []}}""".stripMargin)
+      .select(col("id"), col("#score")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val live = hits(h)
+    assert(live.nonEmpty && live.map(_._1).toSet.subsetOf(Set("b", "c")),
+      s"unexpected sparse hits $live")
+    // the tag-encoded entries never leak into user string metadata
+    assert(h.asCollection.records.select("meta_str").collect()
+      .forall(_.getMap[String, String](0).isEmpty))
+    // updating one record's sparse vector replaces it per-key (LWW)
+    h.update(Seq(("c", "quiet library reading room")).toDF("id", "document")
+      .withColumn("meta_sparse", map(lit("bm"), fn.embedSparse(col("document")))))
+    val after = hits(h)
+    assert(!after.map(_._1).contains("c"), s"updated c still matches: $after")
+    // compaction shreds to the typed serving column; reopen serves it
+    h.persist()
+    val reopened = new Client(spark, root).getCollection("sparsewal")
+    assert(hits(reopened) == after, "sparse metadata lost in persist/reopen")
+  }
+
   test("declared schema keys shred typed: numeric/bool Where works via client") {
     val client = new Client(spark, freshRoot())
     val coll = client.createCollection("t", Catalog.Schema(keys = Map(
