@@ -285,6 +285,21 @@ final class CollectionHandle(spark: SparkSession,
     // uri (the record's blob pointer, Collection.py:96-109) rides the
     // WAL map under a reserved key — per-key LWW merge for free
     df = TypedMeta.encodeUri(df)
+    // server-side sparse embedding at write: schema sparse keys with a
+    // declared function compute from the document when the batch brings
+    // no meta_sparse of its own — the sparse twin of the dense
+    // embed-on-add below ("writes carrying documents but no embeddings
+    // embed server-side")
+    val sparseKeys = ref.schema.keys.toSeq.collect {
+      case (k, Catalog.KeyConfig(Catalog.VSparseVector, _, Some(n))) =>
+        k -> graft.functions.EmbeddingFunctions.sparseRegistry(n)
+    }
+    if (sparseKeys.nonEmpty && !df.columns.contains("meta_sparse") &&
+        df.columns.contains("document"))
+      df = df.withColumn("meta_sparse",
+        when(col("document").isNotNull,
+          map(sparseKeys.flatMap { case (k, fn) =>
+            Seq(lit(k), fn.embedSparse(col("document"))) }: _*)))
     // sparse-vector metadata (MetadataValue::SparseVector) rides the
     // map tag-encoded; compaction shreds it back to the typed column
     df = TypedMeta.encodeSparse(df)
@@ -613,10 +628,21 @@ final class CollectionHandle(spark: SparkSession,
     */
   def search(json: String, space: String = "cosine"): DataFrame =
     asCollection.searchPayload(json, space, embed = embedFn,
-      sparseEmbed = ref.schema.keys.collect {
-        case (k, Catalog.KeyConfig(Catalog.VSparseVector, _, Some(n))) =>
-          k -> graft.functions.EmbeddingFunctions.sparseRegistry(n)
-      })
+      sparseEmbed = schemaSparseFns)
+
+  /** Multi-payload Search (`{"payloads": [...]}`): one result per
+    * payload, in order — `fan_out_search` at the handle.
+    */
+  def searchAll(json: String, space: String = "cosine"): Seq[DataFrame] =
+    asCollection.searchPayloads(json, space, embed = embedFn,
+      sparseEmbed = schemaSparseFns)
+
+  private def schemaSparseFns
+      : Map[String, graft.functions.SparseEmbeddingFunction] =
+    ref.schema.keys.collect {
+      case (k, Catalog.KeyConfig(Catalog.VSparseVector, _, Some(n))) =>
+        k -> graft.functions.EmbeddingFunctions.sparseRegistry(n)
+    }
 
   /** Compact: validate against the declared schema, persist the live
     * state as the collection's record segment (shredded serving schema),

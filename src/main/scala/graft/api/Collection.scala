@@ -374,9 +374,31 @@ final class Collection(val records: DataFrame) {
       ftsRoot: Option[String] = None,
       embed: Option[graft.functions.EmbeddingFunction] = None,
       sparseEmbed: Map[String, graft.functions.SparseEmbeddingFunction] =
-        Map.empty): DataFrame = {
+        Map.empty): DataFrame =
+    searchRequest(graft.model.SearchParser.parse(json), space, ftsRoot,
+      embed, sparseEmbed)
+
+  /** A multi-payload Search request (`Search{payloads: Vec<SearchPayload>}`,
+    * `plan.rs:588-592`): `{"payloads": [...]}` runs each payload's plan
+    * and returns one result per payload, in order — the reference
+    * fans payloads out and answers each (`fan_out_search`). A plain
+    * single-payload body returns a one-element seq.
+    */
+  def searchPayloads(json: String, space: String = "cosine",
+      ftsRoot: Option[String] = None,
+      embed: Option[graft.functions.EmbeddingFunction] = None,
+      sparseEmbed: Map[String, graft.functions.SparseEmbeddingFunction] =
+        Map.empty): Seq[DataFrame] =
+    graft.model.SearchParser.parseMany(json)
+      .map(searchRequest(_, space, ftsRoot, embed, sparseEmbed))
+
+  private def searchRequest(req: graft.model.SearchParser.Request,
+      space: String,
+      ftsRoot: Option[String],
+      embed: Option[graft.functions.EmbeddingFunction],
+      sparseEmbed: Map[String, graft.functions.SparseEmbeddingFunction])
+      : DataFrame = {
     import graft.model.SearchParser.{KnnLeafDense, KnnLeafSparse, KnnLeafText}
-    val req = graft.model.SearchParser.parse(json)
     val spark = records.sparkSession
     // where_document routed through the FTS segment when one is attached
     // (the reference's filter.rs FTS candidate path): the filter's needle

@@ -70,6 +70,21 @@ object SearchParser {
 
   private val NoDefault: Double = Float.MaxValue.toDouble
 
+  /** Parse a request that may carry SEVERAL payloads
+    * (`Search{payloads: Vec<SearchPayload>}`, `plan.rs:588-592`):
+    * `{"payloads": [p1, p2, …]}` → one [[Request]] per payload in order;
+    * anything else parses as a single payload.
+    */
+  def parseMany(json: String): Seq[Request] = {
+    JsonMethods.parse(json) \ "payloads" match {
+      case JArray(ps) =>
+        if (ps.isEmpty)
+          throw new IllegalArgumentException("payloads must be non-empty")
+        ps.map(p => parse(JsonMethods.compact(JsonMethods.render(p))))
+      case _ => Seq(parse(json))
+    }
+  }
+
   def parse(json: String): Request = {
     val j = JsonMethods.parse(json)
     val leaves = scala.collection.mutable.ArrayBuffer[KnnLeaf]()

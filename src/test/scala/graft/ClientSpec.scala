@@ -251,6 +251,17 @@ class ClientSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(1)))
     assert(viaText.toSeq == viaVec.toSeq)
     assert(viaText.head._1 == "b", "nearest doc should be the pond one")
+    // multi-payload fan-out (Search{payloads}): one result per payload
+    val both = coll.searchAll(
+      s"""{"payloads": [
+         |  {"rank": {"$$knn": {"query": "$text", "limit": 3}},
+         |   "select": {"keys": ["#score"]}},
+         |  {"rank": {"$$knn": {"query": [${vec.mkString(",")}], "limit": 3}},
+         |   "select": {"keys": ["#score"]}}]}""".stripMargin)
+    assert(both.size == 2)
+    val perPayload = both.map(_.select(col("id"), col("#score")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    assert(perPayload(0) == viaText.toSeq && perPayload(1) == viaVec.toSeq)
     // a text leaf without a declared function fails loudly
     val plain = client.createCollection("plain2")
     plain.add(Seq(("x", "doc")).toDF("id", "document"))
@@ -344,6 +355,18 @@ class ClientSpec extends AnyFunSuite {
     h.persist()
     val reopened = new Client(spark, root).getCollection("sparsewal")
     assert(hits(reopened) == after, "sparse metadata lost in persist/reopen")
+
+    // writes carrying documents but NO meta_sparse embed server-side
+    // with the key's declared function — identical results to the
+    // explicit client-side embedding above
+    val h2 = new Client(spark, freshRoot()).createCollection("sparseauto",
+      Catalog.Schema(keys = Map("bm" -> Catalog.KeyConfig(
+        Catalog.VSparseVector, embeddingFunction = Some("bm25_sparse")))))
+    h2.add(Seq(
+      ("a", "spark shuffles the partitions"),
+      ("b", "ducks swim on the pond"),
+      ("c", "pond ducks quack")).toDF("id", "document"))
+    assert(hits(h2) == live, "server-side sparse embed differs from explicit")
   }
 
   test("declared schema keys shred typed: numeric/bool Where works via client") {

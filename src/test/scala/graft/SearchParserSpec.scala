@@ -62,6 +62,25 @@ class SearchParserSpec extends AnyFunSuite {
     val r = SearchParser.parse(
       """{"rank": {"$knn": {"query": "hello world", "limit": 9}}}""")
     assert(r.leaves == Seq(SearchParser.KnnLeafText("hello world", 9)))
+    // a key other than #embedding marks the leaf sparse-by-schema
+    val rk = SearchParser.parse(
+      """{"rank": {"$knn": {"query": "hi", "key": "bm", "limit": 4}}}""")
+    assert(rk.leaves == Seq(SearchParser.KnnLeafText("hi", 4, Some("bm"))))
+  }
+
+  test("multi-payload request: payloads array parses in order; single body unchanged") {
+    val many = SearchParser.parseMany(
+      """{"payloads": [
+        |  {"rank": {"$knn": {"query": [1.0, 0.0], "limit": 5}}},
+        |  {"rank": {"$val": 2.5}, "limit": {"limit": 3}}]}""".stripMargin)
+    assert(many.size == 2)
+    assert(many(0).leaves == Seq(SearchParser.KnnLeafDense(Seq(1.0f, 0.0f), 5)))
+    assert(many(1).limit.contains(3))
+    val one = SearchParser.parseMany("""{"rank": {"$val": 1.0}}""")
+    assert(one.size == 1)
+    intercept[IllegalArgumentException] {
+      SearchParser.parseMany("""{"payloads": []}""")
+    }
   }
 
   test("defaults: no filter/group/limit/select; $knn default limit and no-default fill") {
