@@ -127,27 +127,68 @@ object Dedup {
     val sh = withShingles(docs, n)
     val sig = graft.sources.CollectionStore.cacheOnce(
       minhashSignatures(sh, bands * rows))
-    val banded = sig.select(col("doc_id"),
+    lshVerify(bucketCandidates(bandRowsOf(sig, bands, rows)), sh, threshold)
+  }
+
+  /** Banded bucket rows `(doc_id, band, bkey)` from a signature table —
+    * each band's `rows`-wide signature slice hashes to one bucket key.
+    */
+  private def bandRowsOf(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+
+  /** The MinHash index's SERVING layout — per-document banded bucket rows
+    * `(doc_id, band, bkey)`. Signature and banding are per-document
+    * independent, so a table built by appending per-batch outputs of this
+    * function is ROW-IDENTICAL to one batch build over the union — the
+    * property the streaming maintenance face
+    * ([[graft.streaming.EventStream.minhashMaintain]]) relies on, same
+    * contract as IVF assignment and quantized code rows.
+    */
+  def bandedRows(docs: DataFrame, n: Int = 3, bands: Int = 16,
+      rows: Int = 4): DataFrame =
+    bandRowsOf(minhashSignatures(withShingles(docs, n), bands * rows),
+      bands, rows)
+
+  /** Candidate pairs from (band, bucket-key) collisions in a banded
+    * bucket table.
+    */
+  private def bucketCandidates(banded: DataFrame): DataFrame = {
     val a = banded.as("a"); val b = banded.as("b")
-    val candidates = a.join(b,
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    // verify candidates with true Jaccard on the shingle sets
-    val withSets = candidates
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the corpus's
+    * shingle sets — LSH precision is exact because every emitted pair
+    * re-checks true Jaccard here.
+    */
+  private def lshVerify(candidates: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
       .join(sh.select(col("doc_id").as("da"), col("shingles").as("sa")), "da")
       .join(sh.select(col("doc_id").as("db"), col("shingles").as("sb")), "db")
-    withSets
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
-  }
+
+  /** LSH near-dup pairs served from a PERSISTED banded bucket table
+    * (stream-appended or batch-built): candidates come from (band, bkey)
+    * collisions in the table — partition-pruned to the bands, never
+    * re-hashing the corpus — and verification re-checks exact Jaccard
+    * against the documents. Semantically identical to [[minhashLsh]]
+    * whenever `banded` holds [[bandedRows]] of the same corpus.
+    */
+  def minhashLshServed(docs: DataFrame, banded: DataFrame,
+      threshold: Double, n: Int = 3): DataFrame =
+    lshVerify(bucketCandidates(banded), withShingles(docs, n), threshold)
 
   /** 64-bit SimHash over tokens: per-bit vote of seeded token hashes,
     * via the native [[graft.functions.TextHash.simhash64]] kernel (one

@@ -181,7 +181,7 @@ object DedupPack extends QueryPack {
   /** The corpus unioned with an id-shifted copy of itself — plants one
     * known exact duplicate per document for the dedup oracle twins.
     */
-  private def doubled(docs: DataFrame): DataFrame = {
+  private[queries] def doubled(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     base.unionAll(base.select((col("doc_id") + ReplicaShift).as("doc_id"),
       col("text")))

@@ -278,6 +278,52 @@ object StreamingPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Incremental MinHash-LSH maintenance — the dedup index's streaming
+    // face (6th maintained family): documents stream in (3 staged files
+    // → 2 micro-batches), each batch appends its banded signature rows
+    // (per-document independent ⇒ the stream-built bucket table is
+    // row-identical to a batch build) to the served table partitioned by
+    // band; the query then finds near-dup pairs from the stream-built
+    // buckets with exact-Jaccard verification. Approximate (banding
+    // recall) → rows-only; stream-built == batch-built table and pair
+    // parity are gated in StreamingSpec.
+    "st_minhash_upsert" -> { (s, d) =>
+      import graft.Tables
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("mh_upsert").toString
+      docs.withColumn("part", pmod(col("doc_id"), lit(3)))
+        .repartitionByRange(3, col("part")).drop("part")
+        .write.mode("overwrite").parquet(s"$base/src")
+      EventStream.minhashMaintain(s, s"$base/src", s"$base/banded",
+        s"$base/ckpt", filesPerBatch = 2)
+      graft.operators.Dedup.minhashLshServed(docs,
+          s.read.parquet(s"$base/banded"), threshold = 0.5)
+        .orderBy(col("da"), col("db"))
+    },
+
+    // Exhaustive-mode oracle twin of st_minhash_upsert: the SAME
+    // streaming maintenance pipeline over the planted-duplicate corpus
+    // at threshold 1.0 — a qualifying pair has equal distinct-shingle
+    // sets, equal sets give equal MinHash signatures, and equal
+    // signatures collide in EVERY band, so no J=1.0 pair can be missed
+    // by the stream-built buckets. Hash-matching the DuckDB
+    // sorted-set-key oracle (dd_minhash_oracle's SQL verbatim) proves
+    // the incremental maintenance lost no signature row — a dropped
+    // band row could silently drop a duplicate pair.
+    "st_minhash_upsert_oracle" -> { (s, d) =>
+      import graft.Tables
+      val docs = DedupPack.doubled(Tables.documents(s, d))
+      val base = java.nio.file.Files.createTempDirectory("mh_upsert_o").toString
+      docs.withColumn("part", pmod(col("doc_id"), lit(3)))
+        .repartitionByRange(3, col("part")).drop("part")
+        .write.mode("overwrite").parquet(s"$base/src")
+      EventStream.minhashMaintain(s, s"$base/src", s"$base/banded",
+        s"$base/ckpt", filesPerBatch = 2)
+      graft.operators.Dedup.minhashLshServed(docs,
+          s.read.parquet(s"$base/banded"), threshold = 1.0)
+        .orderBy(col("da"), col("db"))
+    },
+
     // FetchLog over the DURABLE WAL as a real readStream: two committed
     // log entries (add batch; upsert+delete batch) stream file-by-file
     // through the staged prefix, a stateful per-id LWW fold resolves ops
@@ -323,6 +369,10 @@ object StreamingPack extends QueryPack {
       |ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the dd_minhash_oracle SQL verbatim — the stream-built bucket table
+    // must yield the identical J=1.0 pair set the batch build yields
+    "st_minhash_upsert_oracle" -> DedupPack.oracle("dd_minhash_oracle"),
+
     "st_ivf_upsert_oracle" -> streamExactKnnSql,
     "st_hnsw_upsert_oracle" -> streamExactKnnSql,
     "st_quantized_upsert_oracle" -> streamExactKnnSql,

@@ -214,6 +214,38 @@ object EventStream extends Serializable {
     q.awaitTermination()
   }
 
+  /** Incremental MinHash-LSH maintenance — the dedup index's streaming
+    * face (the sixth maintained family: IVF/FTS/HNSW/quantized/sparse
+    * above): each arriving document micro-batch computes its banded
+    * signature rows ([[graft.operators.Dedup.bandedRows]] — per-document
+    * independent, so the appended table is row-identical to a batch
+    * build) and appends them to the served bucket table partitioned by
+    * band. Near-dup detection then runs incrementally on the ingest
+    * cadence ([[graft.operators.Dedup.minhashLshServed]]) instead of
+    * re-hashing the corpus per run — at 100 TB the signature pass is the
+    * dominant dedup cost, and this amortizes it to once per document.
+    */
+  def minhashMaintain(spark: SparkSession, srcDir: String, bandedDir: String,
+      checkpoint: String, n: Int = 3, bands: Int = 16, rows: Int = 4,
+      filesPerBatch: Int = 1): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.bandedRows(batch, n, bands, rows)
+          .repartition(col("band")) // one writer per touched band
+          .write.mode("append").partitionBy("band")
+          .parquet(bandedDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Incremental sparse-index maintenance — the fifth index family's
     * streaming face (IVF/FTS/HNSW/quantized above): each arriving record
     * micro-batch explodes its `meta_sparse[key]` vector into the SAME

@@ -315,6 +315,46 @@ class StreamingSpec extends AnyFunSuite {
       "stream-built codes serve different results than batch-built")
   }
 
+  test("incremental MinHash-LSH maintenance == batch banded rows; pair parity") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("mh_maint_spec").toString
+    docs.withColumn("part", pmod(col("doc_id"), lit(3)))
+      .repartitionByRange(3, col("part")).drop("part")
+      .write.parquet(s"$base/src")
+    EventStream.minhashMaintain(spark, s"$base/src", s"$base/banded",
+      s"$base/ckpt")
+
+    // signatures/banding are a per-document map, so the stream-appended
+    // bucket table must be ROW-IDENTICAL to a batch build
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "band", "bkey").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val inc = key(spark.read.parquet(s"$base/banded"))
+    val batch = key(Dedup.bandedRows(docs))
+    assert(inc == batch,
+      s"stream-built buckets != batch: only-inc=${(inc -- batch).take(3)} " +
+        s"only-batch=${(batch -- inc).take(3)}")
+
+    // a second run with NO new files appends nothing (checkpoint holds)
+    EventStream.minhashMaintain(spark, s"$base/src", s"$base/banded",
+      s"$base/ckpt")
+    assert(key(spark.read.parquet(s"$base/banded")) == batch,
+      "re-run without new files must be a no-op")
+
+    // serving parity: the stream-built table yields the same verified
+    // near-dup pairs as the end-to-end batch pipeline
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = pairs(Dedup.minhashLshServed(docs,
+      spark.read.parquet(s"$base/banded"), threshold = 0.5))
+    val batchPairs = pairs(Dedup.minhashLsh(docs, threshold = 0.5))
+    assert(served == batchPairs,
+      s"served pairs != batch pairs: only-served=${(served -- batchPairs).take(3)} " +
+        s"only-batch=${(batchPairs -- served).take(3)}")
+  }
+
   test("WAL stream catches up incrementally across checkpointed runs") {
     import SparkTestSession.spark.implicits._
     import graft.sources.WalStore
