@@ -83,6 +83,13 @@ object PlanDump {
       ("Bucketed text dedup: native-kernel signatures, banded bucket " +
         "self-join (candidates only from band collisions), exact-Jaccard " +
         "verify over candidates. No all-pairs anything."),
+    "st_minhash_upsert" ->
+      ("Stream-maintained LSH dedup: the serving query reads the banded " +
+        "bucket table the micro-batches appended (band-partitioned, " +
+        "never re-hashing the corpus), self-joins on (band, bkey) for " +
+        "candidates, and re-checks exact Jaccard only on collisions. The " +
+        "signature pass — the dominant dedup cost at corpus scale — is " +
+        "amortized to once per document at ingest."),
     "fc_client_e2e" ->
       ("Client lifecycle read: the WAL batches union and fold in one " +
         "aggregation (single shuffle on id), the Where predicate filters the " +
