@@ -190,6 +190,33 @@ object Dedup {
       threshold: Double, n: Int = 3): DataFrame =
     lshVerify(bucketCandidates(banded), withShingles(docs, n), threshold)
 
+  /** Ingest-time near-dup PROBE: pairs touching a NEW batch only. The
+    * batch's banded rows join the persisted bucket table — cost scales
+    * with |batch| × collisions, never corpus² — so the per-ingest
+    * question "which arriving documents near-duplicate anything already
+    * stored (or each other)?" runs on the ingest cadence at 100 TB
+    * without re-pairing the corpus. `docs` must cover both sides'
+    * texts for the exact-Jaccard verify (the corpus including the
+    * batch); `banded` is the maintained table including the batch's
+    * rows ([[graft.streaming.EventStream.minhashMaintain]] appends
+    * them). Output pairs are exactly [[minhashLshServed]]'s restricted
+    * to those with at least one side in the batch (same collision
+    * criterion, probe-side narrowed) — DedupSpec gates the equality.
+    */
+  def minhashLshProbe(batch: DataFrame, docs: DataFrame, banded: DataFrame,
+      threshold: Double, n: Int = 3, bands: Int = 16,
+      rows: Int = 4): DataFrame = {
+    val probe = bandedRows(batch, n, bands, rows)
+    val candidates = banded.as("a")
+      .join(probe.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .distinct()
+    lshVerify(candidates, withShingles(docs, n), threshold)
+  }
+
   /** 64-bit SimHash over tokens: per-bit vote of seeded token hashes,
     * via the native [[graft.functions.TextHash.simhash64]] kernel (one
     * JVM loop per row instead of a 64-wide interpreted fold per token).

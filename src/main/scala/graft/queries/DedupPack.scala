@@ -48,6 +48,35 @@ object DedupPack extends QueryPack {
         .orderBy(col("da"), col("db"))
     },
 
+    // Ingest-time probe: near-dup pairs touching an ARRIVING batch only
+    // (here every 7th document), found by joining the batch's banded
+    // rows against the maintained bucket table — |batch|-scaled, never
+    // corpus². Approximate (banding recall) → rows-only; equality with
+    // the full pipeline restricted to batch-touching pairs is gated in
+    // DedupSpec.
+    "dd_minhash_probe" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+      Dedup.minhashLshProbe(batch, docs, Dedup.bandedRows(docs),
+          threshold = 0.5)
+        .orderBy(col("da"), col("db"))
+    },
+
+    // Exhaustive-mode oracle twin of dd_minhash_probe: the planted
+    // replica half IS the arriving batch, probed at threshold 1.0
+    // against the doubled corpus's bucket table. Every J=1.0 pair
+    // touching a replica collides in every band (equal shingle sets ⇒
+    // equal signatures), so the probe provably finds the oracle's pair
+    // set restricted to db in the batch — hash-exact, proving the
+    // probe-side narrowing loses no batch-touching pair.
+    "dd_minhash_probe_oracle" -> { (s, d) =>
+      val all = doubled(Tables.documents(s, d))
+      val batch = all.filter(col("doc_id") >= ReplicaShift)
+      Dedup.minhashLshProbe(batch, all, Dedup.bandedRows(all),
+          threshold = 1.0)
+        .orderBy(col("da"), col("db"))
+    },
+
     // Exhaustive-mode oracle twin of dd_minhash_lsh: at threshold 1.0 the
     // LSH pipeline is PROVABLY exact through the identical code path. A
     // pair passes the verify filter iff its distinct-shingle sets are
@@ -260,6 +289,27 @@ object DedupPack extends QueryPack {
         |         FROM sh WHERE len(s) > 0)
         |SELECT a.doc_id AS da, b.doc_id AS db, 1.0::DOUBLE AS jaccard
         |FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
+        |ORDER BY da, db""".stripMargin,
+
+    // dd_minhash_oracle restricted to pairs touching the replica batch:
+    // da < db, so "at least one side >= shift" reduces to db >= shift
+    "dd_minhash_probe_oracle" ->
+      """WITH docs2 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM docs2),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(t)-1),
+        |                i -> array_to_string(t[i:i+2], ' ')))
+        |         ELSE [] END AS s
+        |  FROM toks),
+        |keys AS (SELECT doc_id, array_to_string(list_sort(s), '|') AS k
+        |         FROM sh WHERE len(s) > 0)
+        |SELECT a.doc_id AS da, b.doc_id AS db, 1.0::DOUBLE AS jaccard
+        |FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
+        |WHERE b.doc_id >= 1000000
         |ORDER BY da, db""".stripMargin,
 
     // replica pairs: provably present at Hamming 0 (equal token

@@ -25,6 +25,24 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (${lsh.size}/${exact.size})")
   }
 
+  test("LSH probe == full pipeline restricted to batch-touching pairs") {
+    // same collision criterion, probe-side narrowed — the probe must find
+    // EXACTLY the full run's pairs that touch the arriving batch
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val probe = Dedup.minhashLshProbe(batch, docs, Dedup.bandedRows(docs),
+        threshold = 0.5)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashLsh(docs, threshold = 0.5)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(probe == full,
+      s"probe != restricted full: only-probe=${(probe -- full).take(3)} " +
+        s"only-full=${(full -- probe).take(3)}")
+  }
+
   test("simhash is deterministic and near-dups are closer than random pairs") {
     val s1 = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val s2 = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
