@@ -379,6 +379,32 @@ object Dedup {
       .dropDuplicates("va", "vb")
   }
 
+  /** Ingest-time embedding near-dup PROBE — [[minhashLshProbe]]'s dense
+    * twin: an arriving vector batch assigns to its nReplica nearest
+    * centroids (the same deterministic map that built the maintained
+    * posting table, so probe rows reproduce exactly the batch's posting
+    * rows) and joins ONLY those centroids' posting lists for exact-cosine
+    * verification — |batch| × Σ|probed list| work, never corpus². Output:
+    * pairs touching the batch with sim >= threshold, exactly
+    * [[embeddingThresholdPairs]] restricted to batch-touching pairs
+    * (DedupSpec gates the equality).
+    */
+  def embeddingProbePairs(batch: DataFrame, model: Ivf.Model,
+      threshold: Double, nReplica: Int = 2): DataFrame = {
+    val probe = Ivf.assign(batch, model.centroids, nReplica)
+    val p = model.postings
+      .select(col("centroid_id"), col("offset_id"), col("embedding"))
+    p.as("a").join(probe.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.offset_id") =!= col("b.offset_id"))
+      .select(least(col("a.offset_id"), col("b.offset_id")).as("va"),
+        greatest(col("a.offset_id"), col("b.offset_id")).as("vb"),
+        Distances.cosineSimilarity(col("a.embedding"), col("b.embedding"))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("va", "vb")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * connected components over the cosine-threshold near-dup graph, keep
     * one representative (min id) per component. Candidate pairs come from

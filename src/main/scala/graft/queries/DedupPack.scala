@@ -62,6 +62,44 @@ object DedupPack extends QueryPack {
         .orderBy(col("da"), col("db"))
     },
 
+    // Ingest-time embedding probe — dd_minhash_probe's dense twin: an
+    // arriving vector batch (every 7th vector) assigns to its replica
+    // centroids and joins only those posting lists of the SAME served
+    // index the ANN queries use; exact-cosine verify at the semdedup
+    // threshold. Approximate (cluster-boundary pairs) → rows-only;
+    // equality with the full threshold-pair graph restricted to
+    // batch-touching pairs is gated in DedupSpec.
+    "dd_emb_probe" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("offset_id"), col("embedding"))
+      val model = graft.sources.CollectionStore.ivfServing(
+        vecs, graft.sources.CollectionStore.indexRoot(d),
+        nCentroids = 16, nReplica = 4)
+      Dedup.embeddingProbePairs(
+          vecs.filter(col("offset_id") % 7 === 0), model,
+          threshold = 0.4, nReplica = 4)
+        .select(col("va"), col("vb"), col("sim").cast("float").as("sim"))
+        .orderBy(col("va"), col("vb"))
+    },
+
+    // Exhaustive-mode oracle twin of dd_emb_probe: over the 2-centroid /
+    // 2-replica serving model (the dd_emb_ann_oracle root) every vector
+    // is in BOTH posting lists, so probe co-membership degenerates to
+    // batch × corpus — the result is provably the exact cosine-threshold
+    // pair set touching the batch, and DuckDB reproduces it directly.
+    "dd_emb_probe_oracle" -> { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("offset_id"), col("embedding"))
+      val model = graft.sources.CollectionStore.ivfServing(
+        vecs, graft.sources.CollectionStore.indexRoot(d) + "/exh1",
+        nCentroids = 2, nReplica = 2)
+      Dedup.embeddingProbePairs(
+          vecs.filter(col("offset_id") % 7 === 0), model,
+          threshold = 0.4, nReplica = 2)
+        .select(col("va"), col("vb"), col("sim").cast("float").as("sim"))
+        .orderBy(col("va"), col("vb"))
+    },
+
     // Exhaustive-mode oracle twin of dd_minhash_probe: the planted
     // replica half IS the arriving batch, probed at threshold 1.0
     // against the doubled corpus's bucket table. Every J=1.0 pair
@@ -290,6 +328,16 @@ object DedupPack extends QueryPack {
         |SELECT a.doc_id AS da, b.doc_id AS db, 1.0::DOUBLE AS jaccard
         |FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
         |ORDER BY da, db""".stripMargin,
+
+    // exhaustive probe == exact cosine-threshold pairs touching the batch
+    "dd_emb_probe_oracle" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  CAST(list_cosine_similarity(a.embedding, b.embedding) AS FLOAT) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id
+        |  AND (a.vec_id % 7 = 0 OR b.vec_id % 7 = 0)
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY va, vb""".stripMargin,
 
     // dd_minhash_oracle restricted to pairs touching the replica batch:
     // da < db, so "at least one side >= shift" reduces to db >= shift

@@ -43,6 +43,28 @@ class DedupSpec extends AnyFunSuite {
         s"only-full=${(full -- probe).take(3)}")
   }
 
+  test("embedding probe == threshold-pair graph restricted to batch-touching pairs") {
+    import graft.operators.Ivf
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val model = Ivf.build(vecs, nCentroids = 8, nReplica = 2)
+    model.centroids.cache().count()
+    val batchIds = vecs.filter(col("offset_id") % 5 === 0)
+      .select("offset_id").collect().map(_.getLong(0)).toSet
+    val probe = Dedup.embeddingProbePairs(
+        vecs.filter(col("offset_id") % 5 === 0), model,
+        threshold = 0.4, nReplica = 2)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.embeddingThresholdPairs(model, 0.4)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(probe == full,
+      s"probe != restricted graph: only-probe=${(probe -- full).take(3)} " +
+        s"only-full=${(full -- probe).take(3)}")
+  }
+
   test("simhash is deterministic and near-dups are closer than random pairs") {
     val s1 = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val s2 = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
