@@ -507,22 +507,34 @@ object Dedup {
     * no iteration.
     */
   def spanDedup(docs: DataFrame, span: Int = 8): DataFrame = {
-    val words = docs.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("wi", "word")))
-    val segs = words
+    val marked = segmentRows(docs, span).withColumn("is_first",
+      row_number().over(Window.partitionBy(col("seg"))
+        .orderBy(col("doc_id"), col("seg_idx"))) === 1)
+    spanReconstruct(marked)
+  }
+
+  /** `(doc_id, seg_idx, seg)` — every document cut into consecutive
+    * `span`-word segments (shared by the batch [[spanDedup]] and the
+    * streaming face [[graft.streaming.EventStream.spanDedupMaintain]]).
+    */
+  def segmentRows(docs: DataFrame, span: Int = 8): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("wi", "word")))
       .withColumn("seg_idx", floor(col("wi") / span))
       .groupBy("doc_id", "seg_idx")
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(wi, word))), x -> x.word)"),
         " ").as("seg"))
-    val firsts = segs.withColumn("rn",
-      row_number().over(Window.partitionBy(col("seg"))
-        .orderBy(col("doc_id"), col("seg_idx"))))
-    firsts.groupBy("doc_id").agg(
+
+  /** Rebuild each document from its surviving segments, in order, with
+    * kept/dropped counts. Input: segment rows carrying an `is_first`
+    * keep flag.
+    */
+  def spanReconstruct(marked: DataFrame): DataFrame =
+    marked.groupBy("doc_id").agg(
       array_join(expr(
-        "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(seg_idx, seg) END)), x -> x.seg)"),
+        "transform(array_sort(collect_list(CASE WHEN is_first THEN struct(seg_idx, seg) END)), x -> x.seg)"),
         " ").as("kept_text"),
-      sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-      sum(when(col("rn") =!= 1, 1L).otherwise(0L)).as("n_dropped"))
-  }
+      sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(!col("is_first"), 1L).otherwise(0L)).as("n_dropped"))
 }

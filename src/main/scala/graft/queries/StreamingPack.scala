@@ -324,6 +324,35 @@ object StreamingPack extends QueryPack {
         .orderBy(col("da"), col("db"))
     },
 
+    // Incremental C4-style span dedup: documents stream in ASCENDING
+    // doc_id ranges (three sequentially-staged files → three
+    // micro-batches, a WAL replay's order), each batch keeps only
+    // segments unseen in earlier batches and first within itself, and
+    // appends its reconstructed survivors. Because the arrival order
+    // matches the batch rule's tie-break, the accumulated output is
+    // EXACT — hash-matches the dd_span_dedup oracle verbatim, proving
+    // ingest-time span dedup == corpus-wide batch dedup.
+    "st_span_dedup" -> { (s, d) =>
+      import graft.Tables
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("span_upsert").toString
+      val cuts = docs.stat.approxQuantile("doc_id", Array(0.34, 0.67), 0.001)
+      val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
+      // stage ranges SEQUENTIALLY — ascending mtimes give the file
+      // stream the ascending doc_id batch order the exactness needs
+      Seq(col("doc_id") <= c1,
+          col("doc_id") > c1 && col("doc_id") <= c2,
+          col("doc_id") > c2)
+        .foreach { p =>
+          docs.filter(p).coalesce(1).write.mode("append")
+            .parquet(s"$base/src")
+          Thread.sleep(100) // distinct ms mtimes order the file stream
+        }
+      EventStream.spanDedupMaintain(s, s"$base/src", s"$base/span",
+        s"$base/ckpt")
+      s.read.parquet(s"$base/span/out").orderBy(col("doc_id"))
+    },
+
     // FetchLog over the DURABLE WAL as a real readStream: two committed
     // log entries (add batch; upsert+delete batch) stream file-by-file
     // through the staged prefix, a stateful per-id LWW fold resolves ops
@@ -372,6 +401,10 @@ object StreamingPack extends QueryPack {
     // the dd_minhash_oracle SQL verbatim — the stream-built bucket table
     // must yield the identical J=1.0 pair set the batch build yields
     "st_minhash_upsert_oracle" -> DedupPack.oracle("dd_minhash_oracle"),
+
+    // the dd_span_dedup SQL verbatim — ordered ingest-time span dedup
+    // must equal the corpus-wide batch dedup exactly
+    "st_span_dedup" -> DedupPack.oracle("dd_span_dedup"),
 
     "st_ivf_upsert_oracle" -> streamExactKnnSql,
     "st_hnsw_upsert_oracle" -> streamExactKnnSql,

@@ -283,6 +283,65 @@ object EventStream extends Serializable {
     q.awaitTermination()
   }
 
+  /** Incremental C4-style span dedup — the exact-dedup pipeline's
+    * streaming face: each arriving document micro-batch cuts into
+    * `span`-word segments ([[graft.operators.Dedup.segmentRows]]), keeps
+    * a segment iff it is the batch's first occurrence AND absent from
+    * the accumulated seen-segments table (earlier batches' firsts), then
+    * appends the batch's reconstructed survivor documents to `out/` and
+    * its newly-seen segment values to `seen/`. When batches arrive in
+    * ascending doc_id order (a WAL replay — the reference's
+    * `completion_offset` contract), "first in an earlier batch OR first
+    * within this batch" IS the global first-occurrence rule, so the
+    * accumulated output is row-identical to the batch [[graft.operators
+    * .Dedup.spanDedup]] — hash-exact against the same oracle. Scale:
+    * per batch, one segment-value shuffle over |batch| + an anti-join
+    * against `seen` (hash-partitioned on the segment value, the same
+    * key — at 100 TB `seen` is the persisted dedup state and the batch
+    * side is ingest-sized).
+    */
+  def spanDedupMaintain(spark: SparkSession, srcDir: String, root: String,
+      checkpoint: String, span: Int = 8, filesPerBatch: Int = 1): Unit = {
+    val q = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val seenDir = s"$root/seen"
+        val segs = graft.operators.Dedup.segmentRows(batch, span)
+        import org.apache.spark.sql.expressions.Window
+        val rn = org.apache.spark.sql.functions.row_number()
+          .over(Window.partitionBy(col("seg"))
+            .orderBy(col("doc_id"), col("seg_idx")))
+        val withRn = segs.withColumn("rn", rn)
+        val seenExists =
+          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(seenDir))
+        // anti-join the accumulated seen set; both sides hash on `seg`
+        val marked0 =
+          if (!seenExists) withRn.withColumn("seen_before", lit(false))
+          else withRn.join(
+              spark.read.parquet(seenDir).withColumn("sb", lit(true)),
+              Seq("seg"), "left")
+            .withColumn("seen_before", coalesce(col("sb"), lit(false)))
+            .drop("sb")
+        val marked = marked0
+          .withColumn("is_first", col("rn") === 1 && !col("seen_before"))
+          .persist() // referenced twice: survivor docs + new seen values
+        try {
+          graft.operators.Dedup
+            .spanReconstruct(marked.select("doc_id", "seg_idx", "seg", "is_first"))
+            .write.mode("append").parquet(s"$root/out")
+          marked.filter(col("is_first")).select("seg")
+            .write.mode("append").parquet(seenDir)
+        } finally marked.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink, return
     * the materialized result.
     */

@@ -355,6 +355,38 @@ class StreamingSpec extends AnyFunSuite {
         s"only-batch=${(batchPairs -- served).take(3)}")
   }
 
+  test("incremental span dedup over ordered batches == corpus-wide batch dedup") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("span_maint_spec").toString
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    Seq(col("doc_id") <= maxId / 3,
+        col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3,
+        col("doc_id") > 2 * maxId / 3)
+      .foreach { p =>
+        docs.filter(p).coalesce(1).write.mode("append").parquet(s"$base/src")
+        Thread.sleep(100)
+      }
+    EventStream.spanDedupMaintain(spark, s"$base/src", s"$base/span",
+      s"$base/ckpt")
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "kept_text", "n_kept", "n_dropped").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val streamed = key(spark.read.parquet(s"$base/span/out"))
+    val batch = key(Dedup.spanDedup(docs))
+    assert(streamed == batch,
+      s"streamed != batch: only-streamed=${(streamed -- batch).take(2)} " +
+        s"only-batch=${(batch -- streamed).take(2)}")
+
+    // a second run with NO new files appends nothing (checkpoint holds)
+    EventStream.spanDedupMaintain(spark, s"$base/src", s"$base/span",
+      s"$base/ckpt")
+    assert(key(spark.read.parquet(s"$base/span/out")) == batch,
+      "re-run without new files must be a no-op")
+  }
+
   test("WAL stream catches up incrementally across checkpointed runs") {
     import SparkTestSession.spark.implicits._
     import graft.sources.WalStore
