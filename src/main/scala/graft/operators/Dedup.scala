@@ -217,6 +217,49 @@ object Dedup {
     lshVerify(candidates, withShingles(docs, n), threshold)
   }
 
+  /** The per-ingest CLEANING pipeline over an arriving batch, composed
+    * from the ingest-time dedup faces — what a training-data pipeline
+    * actually runs on each WAL batch at 100 TB:
+    *
+    *   1. exact-dup cut: a batch document drops if its text digest
+    *      already exists in the corpus, or earlier (smaller doc_id)
+    *      within the batch — digest anti-join, batch-sized;
+    *   2. span dedup with CORPUS PRIORITY: surviving documents cut every
+    *      `span`-word segment present anywhere in the stored corpus or
+    *      earlier within the batch, then rebuild ([[segmentRows]] /
+    *      [[spanReconstruct]] — the stored side would be the maintained
+    *      seen-segments table of
+    *      [[graft.streaming.EventStream.spanDedupMaintain]]);
+    *   3. quality floor: documents whose surviving text falls under
+    *      `minWords` words (Gopher-style minimum length over what
+    *      REMAINS, not the raw input) drop entirely.
+    *
+    * Every step is exact — the whole pipeline is oracle-checkable.
+    * Scale: two segment-value shuffles (batch segs ⋈ corpus segs,
+    * hash-partitioned on the value) and one digest anti-join; the
+    * corpus side streams through as build input, never re-pairs.
+    */
+  def ingestClean(batch: DataFrame, corpus: DataFrame, span: Int = 8,
+      minWords: Int = 24): DataFrame = {
+    val wBatch = Window.partitionBy("digest").orderBy("doc_id")
+    val uniq = batch.select(col("doc_id"), col("text"),
+        md5(col("text")).as("digest"))
+      .withColumn("rn", row_number().over(wBatch))
+      .filter(col("rn") === 1)
+      .join(corpus.select(md5(col("text")).as("digest")).distinct(),
+        Seq("digest"), "left_anti")
+      .select("doc_id", "text")
+    val corpusSegs = segmentRows(corpus, span).select("seg").distinct()
+    val w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    val marked = segmentRows(uniq, span)
+      .withColumn("rn", row_number().over(w))
+      .join(corpusSegs.withColumn("in_corpus", lit(true)), Seq("seg"), "left")
+      .withColumn("is_first", col("rn") === 1 && col("in_corpus").isNull)
+    spanReconstruct(marked.select("doc_id", "seg_idx", "seg", "is_first"))
+      .filter(col("n_kept") > 0 &&
+        size(split(col("kept_text"), " ")) >= minWords)
+  }
+
   /** 64-bit SimHash over tokens: per-bit vote of seeded token hashes,
     * via the native [[graft.functions.TextHash.simhash64]] kernel (one
     * JVM loop per row instead of a 64-wide interpreted fold per token).

@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
 object PipelinePack extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The per-INGEST cleaning pipeline: an arriving batch (every 7th
+    // document) cleans against the stored corpus — exact-dup cut, span
+    // dedup with corpus priority, minimum-surviving-length floor — in
+    // one composed exact operator (graft.operators.Dedup.ingestClean).
+    "pl_ingest_clean" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Dedup.ingestClean(
+          batch = docs.filter(col("doc_id") % 7 === 0),
+          corpus = docs.filter(col("doc_id") % 7 =!= 0))
+        .orderBy(col("doc_id"))
+    },
+
     "pl_training_prep" -> { (s, d) =>
       val t = TextStats.tokens(col("text"))
       val nTok = size(t)
@@ -180,6 +192,46 @@ object PipelinePack extends QueryPack {
     s"len(list_filter(t, x -> x IN (${stopwords(l).map(w => s"'$w'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    "pl_ingest_clean" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |bfirst AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM batch) WHERE rn = 1),
+        |uniq AS (
+        |  SELECT doc_id, text FROM bfirst
+        |  WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+        |cwords AS (
+        |  SELECT doc_id, generate_subscripts(w, 1) - 1 AS wi, unnest(w) AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)),
+        |csegs AS (
+        |  SELECT DISTINCT string_agg(word, ' ' ORDER BY wi) AS seg
+        |  FROM cwords GROUP BY doc_id, wi // 8),
+        |words AS (
+        |  SELECT doc_id, generate_subscripts(w, 1) - 1 AS wi, unnest(w) AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM uniq)),
+        |segs AS (
+        |  SELECT doc_id, wi // 8 AS seg_idx,
+        |         string_agg(word, ' ' ORDER BY wi) AS seg
+        |  FROM words GROUP BY 1, 2),
+        |marked AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1
+        |      AND seg NOT IN (SELECT seg FROM csegs) AS is_first
+        |  FROM segs),
+        |rebuilt AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+        |               FILTER (WHERE is_first), '') AS kept_text,
+        |    CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |  FROM marked GROUP BY doc_id)
+        |SELECT doc_id, kept_text, n_kept, n_dropped FROM rebuilt
+        |WHERE n_kept > 0 AND len(string_split(kept_text, ' ')) >= 24
+        |ORDER BY doc_id""".stripMargin,
+
     "pl_training_prep" ->
       s"""WITH base AS (SELECT doc_id, text, $sqlToks AS t FROM documents),
          |m AS (SELECT doc_id, text, len(t) AS n_tok,

@@ -65,6 +65,39 @@ class DedupSpec extends AnyFunSuite {
         s"only-full=${(full -- probe).take(3)}")
   }
 
+  test("ingest clean: survivors are batch docs; fully-unique long docs pass intact") {
+    val all = docs.select(col("doc_id"), col("text"))
+    val batch = all.filter(col("doc_id") % 5 === 0)
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val out = Dedup.ingestClean(batch, corpus).cache()
+    val outRows = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outRows.keySet.subsetOf(batchIds), "survivor outside the batch")
+
+    // a batch doc is untouchable iff its digest is unique and every one
+    // of its segments occurs exactly once corpus-wide — it must survive
+    // verbatim (given it meets the length floor)
+    val segAll = Dedup.segmentRows(all, 8)
+    val dupDocs = segAll.join(
+        segAll.groupBy("seg").count().filter(col("count") > 1).select("seg"),
+        "seg").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val dupDigest = all.withColumn("dg", md5(col("text")))
+      .groupBy("dg").agg(count(lit(1)).as("c"), collect_list("doc_id").as("ids"))
+      .filter(col("c") > 1).select(explode(col("ids")).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val untouched = batch
+      .filter(size(split(col("text"), " ")) >= 24)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .filter { case (id, _) => !dupDocs(id) && !dupDigest(id) }
+    assert(untouched.nonEmpty, "spec vacuous: no fully-unique batch doc")
+    untouched.foreach { case (id, text) =>
+      assert(outRows.get(id).contains(text),
+        s"unique doc $id did not pass through intact")
+    }
+    out.unpersist()
+  }
+
   test("simhash is deterministic and near-dups are closer than random pairs") {
     val s1 = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val s2 = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
