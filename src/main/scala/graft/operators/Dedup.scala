@@ -308,6 +308,58 @@ object Dedup {
       .select(col("node").as("doc_id"), col("label").as("cluster"), col("csize"))
   }
 
+  /** Incremental cluster maintenance — attach an arriving batch to the
+    * EXISTING near-dup clusters from batch-touching pairs alone (the
+    * probe output: [[minhashLshProbe]] / a batch-restricted
+    * [[jaccardPairs]]), never re-clustering the corpus. Corpus endpoints
+    * enter the component solve as their stored cluster LABEL (the
+    * cluster minimum), so a component's resolved minimum is exactly the
+    * full fixpoint's label for every batch document — restricted to the
+    * batch, incremental attach EQUALS a corpus-wide re-cluster, with no
+    * ordering assumption on ids (DedupSpec gates it): the only edges a
+    * batch adds are batch-touching, so any pre-existing corpus cluster
+    * reachable from the batch contributes its whole membership through
+    * its label.
+    *
+    * Output: `(doc_id, cluster, merged_from)` for every batch document —
+    * singletons self-cluster, `merged_from` lists the RETIRED corpus
+    * labels when this document's component fused ≥2 existing clusters
+    * (the full fixpoint would relabel their members; emitting the
+    * retirement set and relabeling on the compaction cadence is the
+    * attach-now/fix-later split of streaming index maintenance).
+    */
+  def assignToClusters(batch: DataFrame, pairs: DataFrame,
+      labels: DataFrame, maxIters: Int = 25): DataFrame = {
+    val lab = labels.select(col("doc_id").as("n"), col("cluster").as("l"))
+    def anchored(side: String): Column = coalesce(col("l"), col(side))
+    val e0 = pairs.select(col("da"), col("db"))
+      .join(lab.withColumnRenamed("n", "da"), Seq("da"), "left")
+      .withColumn("ea", anchored("da")).drop("l")
+      .join(lab.withColumnRenamed("n", "db"), Seq("db"), "left")
+      .withColumn("eb", anchored("db")).drop("l")
+    val comp = connectedComponents(
+      e0.select(col("ea"), col("eb")), maxIters)
+    // a batch doc resolves through its own (possibly anchored) node id;
+    // corpus-anchored batch docs are not in `comp` under their raw id,
+    // so re-join through the anchor node
+    val batchNodes = batch.select(col("doc_id"))
+      .join(lab.withColumnRenamed("n", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("l"), col("doc_id")).as("node"))
+    val assigned = batchNodes
+      .join(comp, Seq("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("node")).as("cluster"))
+    // retired labels: distinct corpus labels whose component resolved to
+    // a smaller label — attach them to every batch doc in that component
+    val retired = comp.join(lab.select(col("l").as("node")).distinct(), "node")
+      .filter(col("node") =!= col("label"))
+      .groupBy("label").agg(sort_array(collect_set(col("node"))).as("mf"))
+    assigned.join(retired.withColumnRenamed("label", "cluster"),
+        Seq("cluster"), "left")
+      .select(col("doc_id"), col("cluster"),
+        coalesce(col("mf"), array().cast("array<long>")).as("merged_from"))
+  }
+
   /** Pair-count bound under which [[connectedComponents]] solves the
     * fixpoint driver-side. Sized for REAL JVM overhead, not raw bytes: a
     * collected Row with two boxed longs is ~100 B and the union-find map

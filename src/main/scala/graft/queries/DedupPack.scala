@@ -217,6 +217,26 @@ object DedupPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Incremental cluster maintenance: the arriving batch (every 7th
+    // document) attaches to the corpus's EXISTING near-dup clusters from
+    // batch-touching pairs alone — the full fixpoint never re-runs, yet
+    // restricted to the batch the assignment is provably identical to a
+    // corpus-wide re-cluster (corpus endpoints anchor as their stored
+    // label = cluster minimum). Hash-exact vs the recursive-CTE oracle
+    // over ALL documents filtered to the batch.
+    "dd_cluster_attach" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val isBatch = col("doc_id") % 7 === 0
+      val labels = Dedup.dupClusters(docs.filter(!isBatch), threshold = 0.5)
+        .select(col("doc_id"), col("cluster"))
+      val pairs = Dedup.jaccardPairs(docs, threshold = 0.5)
+        .select(col("da"), col("db"))
+        .filter(col("da") % 7 === 0 || col("db") % 7 === 0)
+      Dedup.assignToClusters(docs.filter(isBatch), pairs, labels)
+        .select(col("doc_id"), col("cluster"))
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark-contamination check: train docs sharing any word-4-gram
     // with the eval split (doc_id % 20 == 0 stands in for a benchmark
     // set). Eval shingle sets are small by construction (benchmarks are
@@ -452,6 +472,33 @@ object DedupPack extends QueryPack {
          |SELECT lab.node AS doc_id, lab.cluster, sz.csize
          |FROM lab JOIN sz USING (cluster)
          |ORDER BY doc_id""".stripMargin,
+
+    // the full-corpus fixpoint restricted to the batch — incremental
+    // attach must land every batch doc on the same label
+    "dd_cluster_attach" ->
+      s"""WITH RECURSIVE $sqlShingles,
+         |ex0 AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         |dfreq AS (SELECT sg FROM ex0 GROUP BY sg
+         |          HAVING count(*) <= ${graft.operators.Dedup.DefaultMaxDf}),
+         |ex AS (SELECT ex0.doc_id, ex0.sg FROM ex0 JOIN dfreq USING (sg)),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         |jp AS (SELECT da, db FROM pairs
+         |       JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |       WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+         |und AS (SELECT da AS src, db AS dst FROM jp
+         |        UNION ALL SELECT db, da FROM jp),
+         |cc(node, label) AS (
+         |  SELECT DISTINCT src, src FROM und
+         |  UNION
+         |  SELECT und.src, cc.label FROM und JOIN cc ON und.dst = cc.node),
+         |lab AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node)
+         |SELECT d.doc_id, coalesce(lab.cluster, d.doc_id) AS cluster
+         |FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+         |WHERE d.doc_id % 7 = 0
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dd_contamination" ->
       """WITH toks AS (SELECT doc_id,

@@ -98,6 +98,40 @@ class DedupSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("cluster attach == full re-cluster restricted to batch; merges name retired labels") {
+    val all = docs.select(col("doc_id"), col("text"))
+    val isBatch = col("doc_id") % 5 === 0
+    val labels = Dedup.dupClusters(all.filter(!isBatch), threshold = 0.5)
+      .select(col("doc_id"), col("cluster")).cache()
+    val pairs = Dedup.jaccardPairs(all, threshold = 0.5)
+      .select(col("da"), col("db"))
+      .filter(col("da") % 5 === 0 || col("db") % 5 === 0)
+    val attach = Dedup.assignToClusters(all.filter(isBatch), pairs, labels)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSet))
+    val full = Dedup.dupClusters(all, threshold = 0.5)
+      .select("doc_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    attach.foreach { case (id, cl, _) =>
+      assert(full.getOrElse(id, id) == cl,
+        s"doc $id: attach=$cl full=${full.getOrElse(id, id)}")
+    }
+    // every retired label is an existing corpus label whose members the
+    // full fixpoint relabeled to the attach's kept cluster
+    val stored = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    attach.foreach { case (_, cl, mf) =>
+      mf.foreach { retiredLabel =>
+        val members = stored.filter(_._2 == retiredLabel).keys
+        assert(members.nonEmpty, s"retired $retiredLabel is not a stored label")
+        members.foreach { m =>
+          assert(full(m) == cl,
+            s"member $m of retired $retiredLabel not relabeled to $cl")
+        }
+      }
+    }
+    labels.unpersist()
+  }
+
   test("simhash is deterministic and near-dups are closer than random pairs") {
     val s1 = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val s2 = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
