@@ -101,6 +101,44 @@ object Dedup {
         col("nb").cast("long").as("nb"), col("jaccard"))
   }
 
+  /** EXACT Jaccard pairs touching an arriving batch — [[jaccardPairs]]
+    * with one side of the inverted-index join restricted to the batch's
+    * posting rows: |batch postings| × df work instead of df², the exact
+    * twin of the approximate [[minhashLshProbe]]. Document frequencies
+    * and set sizes come from the FULL corpus (batch included), so the
+    * output is row-identical to `jaccardPairs(docs, …)` filtered to
+    * batch-touching pairs.
+    */
+  def jaccardProbePairs(batchIds: DataFrame, docs: DataFrame,
+      threshold: Double, n: Int = 3, maxDf: Long = DefaultMaxDf): DataFrame = {
+    val sh = withShingles(docs, n)
+    val ex0 = graft.sources.CollectionStore.cacheOnce(
+      sh.select(col("doc_id"), explode(col("shingles")).as("sg0"))
+        .select(col("doc_id"), xxhash64(col("sg0")).as("sg")))
+    val sizes = ex0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = ex0.groupBy("sg").agg(count(lit(1)).as("df"))
+    val rare = dfreq.filter(col("df") <= maxDf && col("df") >= 2).select("sg")
+    val ex = ex0.join(rare.hint("shuffle_hash"), Seq("sg"), "left_semi")
+    val exBatch = ex.join(broadcast(batchIds.select(col("doc_id"))),
+      Seq("doc_id"), "left_semi")
+    val inter = ex.as("a").join(exBatch.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      // a batch-batch pair is counted from BOTH sides of the asymmetric
+      // join — de-duplicate shingle hits, not just halve, because
+      // corpus-batch pairs are hit once
+      .agg(countDistinct(col("a.sg")).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("inter"), col("na").cast("long").as("na"),
+        col("nb").cast("long").as("nb"), col("jaccard"))
+  }
+
   /** MinHash signatures: `perms` permutations over shingles
     * (shingle -> minhash -> band -> bucket join), via the native
     * [[graft.functions.TextHash.minhashSig]] kernel — two string hashes

