@@ -90,6 +90,21 @@ object PlanDump {
         "candidates, and re-checks exact Jaccard only on collisions. The " +
         "signature pass — the dominant dedup cost at corpus scale — is " +
         "amortized to once per document at ingest."),
+    "pl_ingest_clean" ->
+      ("Per-ingest cleaning pipeline: the batch's digest anti-join, the " +
+        "corpus-priority span dedup (two segment-value hash joins, the " +
+        "corpus side aggregated to DISTINCT segments before the join), " +
+        "and the surviving-length floor compose into one plan — the " +
+        "corpus streams through as build input exactly once and the " +
+        "batch side stays ingest-sized at every exchange."),
+    "dd_cluster_attach" ->
+      ("Incremental cluster attach: corpus labels read from the " +
+        "persisted cluster table (compaction-built, like the ANN " +
+        "indexes), batch-touching pairs from the probe-sided inverted-" +
+        "index join (|batch postings| x df, one side broadcast-semi-" +
+        "joined to the batch ids), and the component solve runs over " +
+        "the batch-induced graph only — the corpus-wide fixpoint never " +
+        "re-runs."),
     "fc_client_e2e" ->
       ("Client lifecycle read: the WAL batches union and fold in one " +
         "aggregation (single shuffle on id), the Where predicate filters the " +
