@@ -398,6 +398,60 @@ object Dedup {
         coalesce(col("mf"), array().cast("array<long>")).as("merged_from"))
   }
 
+  /** One step of INCREMENTAL cluster maintenance: fold a batch's
+    * touching pairs into the persisted label table, returning the
+    * UPDATED table — the mutation twin of the read-only
+    * [[assignToClusters]]. Three label movements per step, each a plain
+    * DataFrame op:
+    *
+    *   1. components solve over the batch-induced graph with corpus
+    *      endpoints anchored as their stored label (exactly
+    *      [[assignToClusters]]'s solve);
+    *   2. every raw endpoint of this batch's pairs — batch docs AND
+    *      corpus docs, paired before or not — lands on its component's
+    *      resolved label (storing only batch docs would strand a
+    *      previously-unpaired corpus doc on its raw id and mis-anchor
+    *      the NEXT batch);
+    *   3. stored rows whose cluster label was retired by a merge
+    *      relabel to the surviving minimum (the attach-now/fix-later
+    *      retirement applied immediately — table-sized, not
+    *      corpus-sized).
+    *
+    * Applied batch-by-batch this reproduces the corpus-wide fixpoint
+    * exactly (StreamingSpec gates the multi-batch equality): components
+    * only ever grow, labels are component minima, and every edge the
+    * full solve sees is folded by the step that introduced it.
+    */
+  def foldClusterStep(pairs: DataFrame, labels: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val lab0 = labels.select(col("doc_id"), col("cluster").as("l"))
+    val lab = lab0.select(col("doc_id").as("n"), col("l"))
+    val e0 = pairs.select(col("da"), col("db"))
+      .join(lab.withColumnRenamed("n", "da"), Seq("da"), "left")
+      .withColumn("ea", coalesce(col("l"), col("da"))).drop("l")
+      .join(lab.withColumnRenamed("n", "db"), Seq("db"), "left")
+      .withColumn("eb", coalesce(col("l"), col("db"))).drop("l")
+    val comp = connectedComponents(
+        e0.select(col("ea"), col("eb")), maxIters)
+      .select(col("node"), col("label"))
+    // every raw endpoint resolves through its anchor node
+    val endpoints = pairs.select(explode(array(col("da"), col("db"))).as("doc_id"))
+      .distinct()
+      .join(lab.withColumnRenamed("n", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("node", coalesce(col("l"), col("doc_id"))).drop("l")
+      .join(comp, Seq("node"))
+      .select(col("doc_id"), col("label").as("cluster"))
+    // stored rows whose label moved relabel to the surviving minimum
+    val moved = comp.filter(col("node") =!= col("label"))
+      .select(col("node").as("old_l"), col("label").as("new_l"))
+    val untouched = lab0.join(
+      endpoints.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val relabeled = untouched
+      .join(moved.withColumnRenamed("old_l", "l"), Seq("l"), "left")
+      .select(col("doc_id"), coalesce(col("new_l"), col("l")).as("cluster"))
+    relabeled.unionByName(endpoints)
+  }
+
   /** Pair-count bound under which [[connectedComponents]] solves the
     * fixpoint driver-side. Sized for REAL JVM overhead, not raw bytes: a
     * collected Row with two boxed longs is ~100 B and the union-find map

@@ -283,6 +283,10 @@ object DedupPack extends QueryPack {
       col("text")))
   }
 
+  /** The shingle CTE shared with StreamingPack's cluster-maintenance
+    * oracle. */
+  private[queries] def sqlShinglesCte: String = sqlShingles
+
   private val sqlShingles =
     """toks AS (SELECT doc_id,
       |    list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS t

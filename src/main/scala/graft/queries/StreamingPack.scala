@@ -353,6 +353,30 @@ object StreamingPack extends QueryPack {
       s.read.parquet(s"$base/span/out").orderBy(col("doc_id"))
     },
 
+    // Incremental near-dup cluster maintenance: documents stream in
+    // (3 staged files → 3 micro-batches), each batch probes the
+    // accumulated corpus for its touching pairs (|batch|-scaled exact
+    // inverted-index join) and folds them into the persisted label
+    // table — merge retirements relabel table-sized state, the
+    // corpus-wide fixpoint never re-runs. EXACT and arrival-order-free
+    // (labels are component minima): the final table hash-matches the
+    // full recursive-CTE oracle over the whole corpus.
+    "st_cluster_maintain" -> { (s, d) =>
+      import graft.Tables
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("cc_maint").toString
+      docs.withColumn("part", pmod(col("doc_id"), lit(3)))
+        .repartitionByRange(3, col("part")).drop("part")
+        .write.mode("overwrite").parquet(s"$base/src")
+      EventStream.clusterMaintain(s, s"$base/src", s"$base/cc",
+        s"$base/ckpt")
+      docs.select(col("doc_id"))
+        .join(s.read.parquet(s"$base/cc/labels"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .orderBy(col("doc_id"))
+    },
+
     // FetchLog over the DURABLE WAL as a real readStream: two committed
     // log entries (add batch; upsert+delete batch) stream file-by-file
     // through the staged prefix, a stateful per-id LWW fold resolves ops
@@ -405,6 +429,32 @@ object StreamingPack extends QueryPack {
     // the dd_span_dedup SQL verbatim — ordered ingest-time span dedup
     // must equal the corpus-wide batch dedup exactly
     "st_span_dedup" -> DedupPack.oracle("dd_span_dedup"),
+
+    // the full-corpus fixpoint over every document (singletons
+    // self-clustered) — incremental maintenance must reproduce it
+    "st_cluster_maintain" ->
+      s"""WITH RECURSIVE ${DedupPack.sqlShinglesCte},
+         |ex0 AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         |dfreq AS (SELECT sg FROM ex0 GROUP BY sg
+         |          HAVING count(*) <= ${graft.operators.Dedup.DefaultMaxDf}),
+         |ex AS (SELECT ex0.doc_id, ex0.sg FROM ex0 JOIN dfreq USING (sg)),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         |jp AS (SELECT da, db FROM pairs
+         |       JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |       WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5),
+         |und AS (SELECT da AS src, db AS dst FROM jp
+         |        UNION ALL SELECT db, da FROM jp),
+         |cc(node, label) AS (
+         |  SELECT DISTINCT src, src FROM und
+         |  UNION
+         |  SELECT und.src, cc.label FROM und JOIN cc ON und.dst = cc.node),
+         |lab AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node)
+         |SELECT d.doc_id, coalesce(lab.cluster, d.doc_id) AS cluster
+         |FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+         |ORDER BY d.doc_id""".stripMargin,
 
     "st_ivf_upsert_oracle" -> streamExactKnnSql,
     "st_hnsw_upsert_oracle" -> streamExactKnnSql,

@@ -342,6 +342,58 @@ object EventStream extends Serializable {
     q.awaitTermination()
   }
 
+  /** Incremental near-dup CLUSTER maintenance — the streaming face of
+    * `dupClusters`: each arriving document micro-batch finds its
+    * batch-touching pairs against the accumulated corpus (the exact
+    * probe-sided inverted-index join,
+    * [[graft.operators.Dedup.jaccardProbePairs]] — |batch postings| × df,
+    * never corpus²) and folds them into the persisted label table
+    * ([[graft.operators.Dedup.foldClusterStep]]: components solve over
+    * the batch-induced graph only, merge retirements relabel
+    * table-sized state). The corpus-wide fixpoint NEVER re-runs, yet
+    * after every batch the table equals a from-scratch re-cluster of
+    * everything seen (StreamingSpec gates it; `st_cluster_maintain`
+    * hash-matches the full recursive-CTE oracle). State on disk:
+    * `root/docs` (accumulated corpus, append-only) and `root/labels`
+    * (crash-safe rename-aside swap per batch).
+    */
+  def clusterMaintain(spark: SparkSession, srcDir: String, root: String,
+      checkpoint: String, threshold: Double = 0.5,
+      filesPerBatch: Int = 1): Unit = {
+    val q = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docsDir = s"$root/docs"
+        val labDir = s"$root/labels"
+        batch.write.mode("append").parquet(docsDir)
+        val docsSoFar = spark.read.parquet(docsDir)
+        val labels =
+          if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(labDir)))
+            spark.read.parquet(labDir)
+          else spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField("doc_id", LongType),
+              StructField("cluster", LongType))))
+        val pairs = graft.operators.Dedup.jaccardProbePairs(
+            batch.select("doc_id"), docsSoFar, threshold)
+          .select("da", "db")
+        val updated = graft.operators.Dedup.foldClusterStep(pairs, labels)
+        updated.write.mode("overwrite").parquet(s"${labDir}_staged")
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(labDir)))
+          graft.sources.CollectionStore.swapDirectory(labDir, s"${labDir}_staged")
+        else org.apache.commons.io.FileUtils.moveDirectory(
+          new java.io.File(s"${labDir}_staged"), new java.io.File(labDir))
+        graft.sources.CollectionStore.invalidateRoot(labDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink, return
     * the materialized result.
     */

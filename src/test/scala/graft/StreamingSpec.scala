@@ -387,6 +387,40 @@ class StreamingSpec extends AnyFunSuite {
       "re-run without new files must be a no-op")
   }
 
+  test("incremental cluster maintenance == from-scratch clustering after every fold") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("cc_maint_spec").toString
+    docs.withColumn("part", pmod(col("doc_id"), lit(3)))
+      .repartitionByRange(3, col("part")).drop("part")
+      .write.parquet(s"$base/src")
+    EventStream.clusterMaintain(spark, s"$base/src", s"$base/cc",
+      s"$base/ckpt")
+
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = labelMap(spark.read.parquet(s"$base/cc/labels"))
+    val full = labelMap(Dedup.dupClusters(docs, threshold = 0.5))
+    // every paired doc must land on the full fixpoint's label; the
+    // streamed table may additionally hold candidate-only docs that the
+    // full run never pairs — those must self-label
+    full.foreach { case (id, cl) =>
+      assert(streamed.getOrElse(id, id) == cl,
+        s"doc $id: streamed=${streamed.getOrElse(id, id)} full=$cl")
+    }
+    streamed.foreach { case (id, cl) =>
+      assert(full.getOrElse(id, id) == cl,
+        s"doc $id: streamed=$cl but full=${full.getOrElse(id, id)}")
+    }
+
+    // a second run with NO new files changes nothing (checkpoint holds)
+    EventStream.clusterMaintain(spark, s"$base/src", s"$base/cc",
+      s"$base/ckpt")
+    assert(labelMap(spark.read.parquet(s"$base/cc/labels")) == streamed,
+      "re-run without new files must be a no-op")
+  }
+
   test("WAL stream catches up incrementally across checkpointed runs") {
     import SparkTestSession.spark.implicits._
     import graft.sources.WalStore
