@@ -139,6 +139,51 @@ object Dedup {
         col("nb").cast("long").as("nb"), col("jaccard"))
   }
 
+  /** The hashed shingle posting rows `(doc_id, sg)` of a document set —
+    * the inverted index the Jaccard family joins on, as a persistable
+    * table (shingles are distinct per document, so postings are too).
+    * Per-document independent: append per-batch outputs and the table
+    * is row-identical to one batch build — the property
+    * [[graft.streaming.EventStream.clusterMaintain]] relies on to
+    * tokenize each document exactly once.
+    */
+  def shinglePostings(docs: DataFrame, n: Int = 3): DataFrame =
+    withShingles(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sg0"))
+      .select(col("doc_id"), xxhash64(col("sg0")).as("sg"))
+
+  /** [[jaccardProbePairs]] over an already-materialized posting table —
+    * the ingest-cadence form: the text was tokenized once when its
+    * batch arrived, so the probe re-scans two-long posting rows, never
+    * documents. Caveat shared with every capped form here: document
+    * frequencies are over the postings AS OF NOW, so a shingle that
+    * crosses `maxDf` only later in the stream can contribute
+    * early-found pairs a from-scratch run would cap away — at the
+    * default cap this requires a 10k-dup shingle and is the df-cap
+    * trade, not an ordering bug.
+    */
+  def jaccardPairsFromPostings(batchIds: DataFrame, postings: DataFrame,
+      threshold: Double, maxDf: Long = DefaultMaxDf): DataFrame = {
+    val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = postings.groupBy("sg").agg(count(lit(1)).as("df"))
+    val rare = dfreq.filter(col("df") <= maxDf && col("df") >= 2).select("sg")
+    val ex = postings.join(rare.hint("shuffle_hash"), Seq("sg"), "left_semi")
+    val exBatch = ex.join(broadcast(batchIds.select(col("doc_id"))),
+      Seq("doc_id"), "left_semi")
+    val inter = ex.as("a").join(exBatch.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .agg(countDistinct(col("a.sg")).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
   /** MinHash signatures: `perms` permutations over shingles
     * (shingle -> minhash -> band -> bucket join), via the native
     * [[graft.functions.TextHash.minhashSig]] kernel — two string hashes

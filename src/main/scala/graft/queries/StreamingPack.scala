@@ -369,7 +369,7 @@ object StreamingPack extends QueryPack {
         .repartitionByRange(3, col("part")).drop("part")
         .write.mode("overwrite").parquet(s"$base/src")
       EventStream.clusterMaintain(s, s"$base/src", s"$base/cc",
-        s"$base/ckpt")
+        s"$base/ckpt", filesPerBatch = 2)
       docs.select(col("doc_id"))
         .join(s.read.parquet(s"$base/cc/labels"), Seq("doc_id"), "left")
         .select(col("doc_id"),

@@ -354,8 +354,9 @@ object EventStream extends Serializable {
     * after every batch the table equals a from-scratch re-cluster of
     * everything seen (StreamingSpec gates it; `st_cluster_maintain`
     * hash-matches the full recursive-CTE oracle). State on disk:
-    * `root/docs` (accumulated corpus, append-only) and `root/labels`
-    * (crash-safe rename-aside swap per batch).
+    * `root/postings` (the accumulated shingle inverted index,
+    * append-only — each document tokenizes exactly once, on arrival)
+    * and `root/labels` (crash-safe rename-aside swap per batch).
     */
   def clusterMaintain(spark: SparkSession, srcDir: String, root: String,
       checkpoint: String, threshold: Double = 0.5,
@@ -368,10 +369,12 @@ object EventStream extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val docsDir = s"$root/docs"
+        val postDir = s"$root/postings"
         val labDir = s"$root/labels"
-        batch.write.mode("append").parquet(docsDir)
-        val docsSoFar = spark.read.parquet(docsDir)
+        // tokenize each document exactly ONCE, on arrival — the probe
+        // below re-scans two-long posting rows, never text
+        graft.operators.Dedup.shinglePostings(batch)
+          .write.mode("append").parquet(postDir)
         val labels =
           if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(labDir)))
             spark.read.parquet(labDir)
@@ -379,8 +382,8 @@ object EventStream extends Serializable {
             new java.util.ArrayList[org.apache.spark.sql.Row](),
             StructType(Seq(StructField("doc_id", LongType),
               StructField("cluster", LongType))))
-        val pairs = graft.operators.Dedup.jaccardProbePairs(
-            batch.select("doc_id"), docsSoFar, threshold)
+        val pairs = graft.operators.Dedup.jaccardPairsFromPostings(
+            batch.select("doc_id"), spark.read.parquet(postDir), threshold)
           .select("da", "db")
         val updated = graft.operators.Dedup.foldClusterStep(pairs, labels)
         updated.write.mode("overwrite").parquet(s"${labDir}_staged")
