@@ -351,6 +351,18 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.functions.TextHash.simhash64(TextStats.tokens(col("text"))).as("simhash"))
 
+  /** 4×16-bit banded rows `(doc_id, simhash, band, chunk)` of a
+    * signature table — the SimHash index's serving layout, per-document
+    * independent (appendable per batch, same contract as
+    * [[bandedRows]]).
+    */
+  def simhashBandRows(docs: DataFrame): DataFrame =
+    simhash(docs).select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("pos").as("band"), col("col").as("chunk"))
+
   /** Hamming-distance pairs <= maxDist via 4x16-bit banded candidates. */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
     val sig = graft.sources.CollectionStore.cacheOnce(simhash(docs))
@@ -369,6 +381,31 @@ object Dedup {
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxDist)
       .select(col("da"), col("db"), col("hamming"))
+  }
+
+  /** Ingest-time SimHash probe — [[minhashLshProbe]]'s Hamming twin:
+    * the arriving batch's banded signature rows join a maintained
+    * banded table (batch- or stream-built [[simhashBandRows]]) on
+    * (band, chunk); collisions verify exact Hamming distance. Output
+    * pairs are exactly [[simhashPairs]]'s restricted to those touching
+    * the batch (same collision criterion, probe-side narrowed —
+    * DedupSpec gates it).
+    */
+  def simhashProbePairs(batch: DataFrame, banded: DataFrame,
+      maxDist: Int): DataFrame = {
+    val probe = simhashBandRows(batch)
+    val cand = banded.as("a").join(probe.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("da"), col("db"), col("hamming"))
+      .distinct()
   }
 
   /** Connected components over the near-duplicate pair graph — the

@@ -62,6 +62,32 @@ object DedupPack extends QueryPack {
         .orderBy(col("da"), col("db"))
     },
 
+    // Ingest-time SimHash probe — dd_minhash_probe's Hamming twin: the
+    // arriving batch's banded signature rows join the maintained banded
+    // table; exact Hamming verify on collisions. Approximate → rows-only;
+    // equality with the full pipeline restricted to batch-touching pairs
+    // is gated in DedupSpec.
+    "dd_simhash_probe" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.simhashProbePairs(docs.filter(col("doc_id") % 7 === 0),
+          Dedup.simhashBandRows(docs), maxDist = 6)
+        .orderBy(col("da"), col("db"))
+    },
+
+    // Exhaustive-mode oracle twin: the planted replica half probes the
+    // doubled corpus's banded table at Hamming 0 — equal token multisets
+    // force equal signatures, which agree on all four chunks, so the
+    // replica pairing is provably found; restricted to it, the output is
+    // exactly one row per document (dd_simhash_oracle's certificate
+    // through the probe-sided join).
+    "dd_simhash_probe_oracle" -> { (s, d) =>
+      val all = doubled(Tables.documents(s, d))
+      Dedup.simhashProbePairs(all.filter(col("doc_id") >= ReplicaShift),
+          Dedup.simhashBandRows(all), maxDist = 0)
+        .filter(col("db") === col("da") + ReplicaShift)
+        .orderBy(col("da"), col("db"))
+    },
+
     // Ingest-time embedding probe — dd_minhash_probe's dense twin: an
     // arriving vector batch (every 7th vector) assigns to its replica
     // centroids and joins only those posting lists of the SAME served
@@ -397,6 +423,11 @@ object DedupPack extends QueryPack {
     // multisets force equal signatures), provably nothing else under the
     // db == da + shift restriction
     "dd_simhash_oracle" ->
+      """SELECT doc_id AS da, doc_id + 1000000 AS db, 0::INT AS hamming
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY da""".stripMargin,
+
+    "dd_simhash_probe_oracle" ->
       """SELECT doc_id AS da, doc_id + 1000000 AS db, 0::INT AS hamming
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY da""".stripMargin,

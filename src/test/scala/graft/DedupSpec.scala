@@ -148,6 +148,23 @@ class DedupSpec extends AnyFunSuite {
     labels.unpersist()
   }
 
+  test("simhash probe == full pairs restricted to batch-touching") {
+    val all = docs.select(col("doc_id"), col("text"))
+    val batchIds = all.filter(col("doc_id") % 5 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val probe = Dedup.simhashProbePairs(all.filter(col("doc_id") % 5 === 0),
+        Dedup.simhashBandRows(all), maxDist = 6)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.simhashPairs(all, maxDist = 6)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(probe == full,
+      s"probe != restricted full: only-probe=${(probe -- full).take(3)} " +
+        s"only-full=${(full -- probe).take(3)}")
+  }
+
   test("simhash is deterministic and near-dups are closer than random pairs") {
     val s1 = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val s2 = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
