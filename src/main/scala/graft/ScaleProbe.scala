@@ -34,7 +34,8 @@ object ScaleProbe {
     "vs_ann_ivf",          // served ANN, fixed 16 lists: linear in list size
     "ft_contains_indexed", // trigram FTS: candidate-bound (constant output)
     "dd_exact",            // hash-shuffle dedup: linear
-    "dd_minhash_lsh",      // banded LSH: linear while density constant
+    "dd_minhash_lsh",      // banded LSH pair LISTING: output-quadratic in cluster size
+    "dd_minhash_clusters", // LSH cluster LABELS: output-proportional scale path
     "dd_span_dedup")       // two-shuffle span dedup: linear
 
   private def stage(spark: SparkSession, srcDir: String, outDir: String,

@@ -235,6 +235,37 @@ object Dedup {
     bandRowsOf(minhashSignatures(withShingles(docs, n), bands * rows),
       bands, rows)
 
+  /** Persist the LSH build parameters beside a banded bucket table as
+    * `_lsh_params.json` (the `_` prefix keeps parquet readers away). A
+    * probe recomputes the batch's banded rows with its OWN (n, bands,
+    * rows) and joins them against the table — a parameter mismatch loses
+    * every candidate silently, so the maintainers write this sidecar and
+    * [[minhashLshProbe]] cross-checks what the table itself reveals.
+    */
+  def writeLshParams(dir: String, n: Int, bands: Int, rows: Int): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("_lsh_params.json"),
+      s"""{"n": $n, "bands": $bands, "rows": $rows}""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Read back [[writeLshParams]]'s sidecar: `Some((n, bands, rows))`
+    * when present.
+    */
+  def readLshParams(dir: String): Option[(Int, Int, Int)] = {
+    val f = java.nio.file.Paths.get(dir, "_lsh_params.json")
+    if (!java.nio.file.Files.isRegularFile(f)) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)
+      def field(k: String) =
+        s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      for (n <- field("n"); b <- field("bands"); r <- field("rows"))
+        yield (n, b, r)
+    }
+  }
+
   /** Candidate pairs from (band, bucket-key) collisions in a banded
     * bucket table.
     */
@@ -261,6 +292,55 @@ object Dedup {
         (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
+
+  /** Star-shaped candidate edges from a banded bucket table: each
+    * (band, bkey) bucket emits `(bucket min doc_id, member)` edges —
+    * O(|bucket|) rows where the all-pairs form emits O(|bucket|²). One
+    * window shuffle on the bucket key, NO self-join. For cluster
+    * labeling this is the output-proportional 100 TB path: a cluster of
+    * m duplicates costs m label rows, never m²/2 pair rows; the star
+    * keeps every bucket connected, and the 16 bands give 16 independent
+    * bucket-min anchors per near-dup group, so a single anchor failing
+    * the Jaccard verify rarely disconnects anything (DedupSpec gates
+    * the cluster recall).
+    */
+  def bucketStarEdges(banded: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("bkey"))
+    banded.withColumn("bmin", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("da"), col("doc_id").as("db"))
+      .distinct()
+  }
+
+  /** Near-dup CLUSTER LABELS straight from the banded buckets — the
+    * output-proportional form of LSH dedup (the scale path where
+    * [[minhashLsh]]'s full pair list is inherently quadratic in cluster
+    * size): candidates are per-bucket STAR edges ([[bucketStarEdges]]),
+    * each verified against true Jaccard, then connected components label
+    * every document with its component minimum (singletons
+    * self-cluster). `exhaustive = true` switches candidate generation to
+    * the all-pairs bucket join — at threshold 1.0 that end is PROVABLY
+    * exact (equal shingle sets collide in every band and set equality is
+    * transitive, so components are exactly the equal-set groups), which
+    * is what the hash-exact `dd_minhash_clusters_oracle` twin pins.
+    */
+  def minhashLshClusters(docs: DataFrame, threshold: Double, n: Int = 3,
+      bands: Int = 16, rows: Int = 4, exhaustive: Boolean = false,
+      maxIters: Int = 25): DataFrame = {
+    val sh = withShingles(docs, n)
+    val sig = graft.sources.CollectionStore.cacheOnce(
+      minhashSignatures(sh, bands * rows))
+    val banded = bandRowsOf(sig, bands, rows)
+    val cand = if (exhaustive) bucketCandidates(banded)
+               else bucketStarEdges(banded)
+    val verified = lshVerify(cand, sh, threshold).select(col("da"), col("db"))
+    val labels = connectedComponents(verified, maxIters)
+      .withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+  }
 
   /** LSH near-dup pairs served from a PERSISTED banded bucket table
     * (stream-appended or batch-built): candidates come from (band, bkey)
@@ -289,6 +369,15 @@ object Dedup {
   def minhashLshProbe(batch: DataFrame, docs: DataFrame, banded: DataFrame,
       threshold: Double, n: Int = 3, bands: Int = 16,
       rows: Int = 4): DataFrame = {
+    // a table built with different (bands, rows, n) would join to zero
+    // candidates SILENTLY — fail loudly on the one mismatch the table
+    // itself reveals (band count); (rows, n) mismatches are caught by the
+    // `_lsh_params.json` sidecar [[writeLshParams]] persists at build time
+    val tblMaxBand = banded.agg(max(col("band"))).head()
+    require(tblMaxBand.isNullAt(0) || tblMaxBand.getInt(0) == bands - 1,
+      s"minhashLshProbe: probe uses $bands bands but the banded table's max " +
+        s"band is ${tblMaxBand.get(0)} — probe and table must be built with " +
+        "identical (bands, rows, n); see the table's _lsh_params.json")
     val probe = bandedRows(batch, n, bands, rows)
     val candidates = banded.as("a")
       .join(probe.as("b"),
@@ -442,11 +531,14 @@ object Dedup {
     * its label.
     *
     * Output: `(doc_id, cluster, merged_from)` for every batch document —
-    * singletons self-cluster, `merged_from` lists the RETIRED corpus
-    * labels when this document's component fused ≥2 existing clusters
-    * (the full fixpoint would relabel their members; emitting the
-    * retirement set and relabeling on the compaction cadence is the
-    * attach-now/fix-later split of streaming index maintenance).
+    * singletons self-cluster, `merged_from` lists every stored corpus
+    * label superseded by the component's resolved minimum: the ≥2-label
+    * fusion case AND the single-cluster relabel (a batch doc with a
+    * smaller id joining exactly one existing cluster retires that
+    * cluster's old label too — the full fixpoint would relabel its
+    * members; emitting the retirement set and relabeling on the
+    * compaction cadence is the attach-now/fix-later split of streaming
+    * index maintenance).
     */
   def assignToClusters(batch: DataFrame, pairs: DataFrame,
       labels: DataFrame, maxIters: Int = 25): DataFrame = {

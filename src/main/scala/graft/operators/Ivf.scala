@@ -222,7 +222,7 @@ object Ivf {
   def compactPostings(spark: SparkSession, postingsDir: String): Unit = {
     val tmp = postingsDir + "_compacting"
     graft.sources.CollectionStore.healSwap(postingsDir) // crashed prior swap
-    spark.read.parquet(postingsDir)
+    graft.streaming.EventStream.dropBatch(spark.read.parquet(postingsDir))
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
     graft.sources.CollectionStore.swapDirectory(postingsDir, tmp)

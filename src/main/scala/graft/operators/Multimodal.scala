@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,21 +13,26 @@ import org.apache.spark.sql.types._
   *
   * The reference models media as `uri` pointers on records
   * (`chromadb/api/models/Collection.py:96-109`) with pluggable data loaders
-  * / embedding functions. At 100 TB the Spark-native shape is: bytes or
-  * uris in the table, decode/feature-extract as `mapPartitions` batches so
-  * per-executor model/codec state is initialized once per partition, not
-  * per row.
+  * / embedding functions (`chromadb/utils/data_loaders.py:1` ImageLoader).
+  * At 100 TB the Spark-native shape is: bytes or uris in the table,
+  * decode/feature-extract as `mapPartitions` batches so per-executor
+  * model/codec state is initialized once per partition, not per row.
   *
-  * The actual image/audio codecs are NOT in this container, so
-  * [[decodeStub]] is a clearly-marked deterministic fake; everything
-  * around it — schema, batching, partitioning, output contract — is the
-  * real plumbing a codec would drop into.
+  * IMAGES decode for real: `javax.imageio` ships in every JDK, so the
+  * PNG/BMP paths ([[decodeImage]], [[resizeImage]]) run a true codec —
+  * zlib inflate, raster access, nearest-neighbor resampling — and are
+  * oracle-checked on dimensions + a pixel digest. Video/audio codecs are
+  * NOT in the JDK or this container, so the frame-sampling DECODER stays
+  * a clearly-marked deterministic stub ([[decodeStub]]); the sampling
+  * loop, batching, and output contract around it are the real plumbing
+  * ffmpeg would drop into.
   */
 object Multimodal {
 
-  /** Deterministic fake "decode": parses a fake header from the bytes.
-    * STUB — replace with a real codec (e.g. javax.imageio / ffmpeg JNI)
-    * when available; the signature and batching stay the same.
+  /** Deterministic fake frame "decode": parses a fake header from the
+    * bytes. STUB for VIDEO/AUDIO only (no JDK codec exists) — images go
+    * through the real [[decodeImage]]. Replace with ffmpeg JNI when
+    * available; the signature and batching stay the same.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
     val n = bytes.length
@@ -34,10 +43,154 @@ object Multimodal {
     (width, height, digest)
   }
 
-  private val outSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("n_bytes", LongType),
-    StructField("width", IntegerType), StructField("height", IntegerType),
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Row-major gray-value digest of a decoded raster: md5 over the
+    * comma-joined `rgb & 0xff` values. Text-valued (not raw-byte) so the
+    * SAME digest is computable in ANSI SQL from the pixel formula — the
+    * trick that lets a DuckDB oracle verify a real binary codec path.
+    */
+  def rasterDigest(img: BufferedImage): String = {
+    val sb = new java.lang.StringBuilder(img.getWidth * img.getHeight * 4)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        if (x > 0 || y > 0) sb.append(',')
+        sb.append(img.getRGB(x, y) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    md5Hex(sb.toString)
+  }
+
+  /** Deterministic synthetic grayscale image for a document id: dims
+    * `(id % 13 + 4) × (id % 11 + 3)`, pixel `v(x,y) = (7x + 13y + id)
+    * mod 128` — every property an oracle needs is a closed-form function
+    * of the id, while the bytes themselves go through a REAL PNG encode
+    * (deflate, filters), so the decode path is exercised end-to-end.
+    */
+  def syntheticImage(docId: Long): BufferedImage = {
+    val w = (docId % 13 + 4).toInt
+    val h = (docId % 11 + 3).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 7L + y * 13L + docId) % 128L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** [[syntheticImage]] encoded to real PNG (or BMP) bytes. */
+  def syntheticImageBytes(docId: Long, format: String = "png"): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(syntheticImage(docId), format, bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via the JDK codec: format auto-detected from the
+    * magic bytes (PNG, BMP, GIF, JPEG — whatever `javax.imageio`
+    * registers), returns true raster dimensions + the pixel digest.
+    */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, String) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "decodeImage: undecodable image bytes")
+    (img.getWidth, img.getHeight, rasterDigest(img))
+  }
+
+  /** REAL nearest-neighbor downscale on the decoded raster: output pixel
+    * `(x, y)` samples input `(x·stride, y·stride)`; output dims are
+    * `ceil(in/stride)`. Deterministic by construction (no interpolation
+    * rounding), so the resized raster digest is SQL-computable.
+    */
+  def resizeImage(img: BufferedImage, stride: Int): BufferedImage = {
+    val wo = (img.getWidth + stride - 1) / stride
+    val ho = (img.getHeight + stride - 1) / stride
+    val out = new BufferedImage(wo, ho, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < ho) {
+      var x = 0
+      while (x < wo) {
+        out.setRGB(x, y, img.getRGB(x * stride, y * stride))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** `(doc_id, blob BINARY)` of real PNG bytes per document — the
+    * synthetic media table the image queries decode. Map-only; the blob
+    * column is genuine binary (a corrupted byte fails the zlib inflate).
+    */
+  def synthPngBlobs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col("doc_id")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticImageBytes(id))
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType))))
+  }
+
+  private val imageSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("width", IntegerType),
+    StructField("height", IntegerType), StructField("sig", StringType)))
+
+  /** Batched REAL image decode over `(doc_id, blob BINARY)` rows: one
+    * codec init per partition, rows streamed through `ImageIO`. Output
+    * `(doc_id, width, height, sig)` with `sig` the raster digest —
+    * oracle-checkable when the blobs are [[synthPngBlobs]].
+    */
+  def decodeImageFeatures(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      ImageIO.setUseCache(false) // per-partition codec init, no disk cache
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h, sig) = decodeImage(r.getAs[Array[Byte]](1))
+        Row(id, w, h, sig)
+      }
+    }
+    spark.createDataFrame(rdd, imageSchema)
+  }
+
+  private val resizeImgSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("w_in", IntegerType), StructField("h_in", IntegerType),
+    StructField("w_out", IntegerType), StructField("h_out", IntegerType),
     StructField("sig", StringType)))
+
+  /** Batched REAL decode → nearest-neighbor resize over image blobs:
+    * output carries both dims and the RESIZED raster's digest. Map-only,
+    * no shuffle.
+    */
+  def resizeImages(blobs: DataFrame, stride: Int = 2): DataFrame = {
+    val spark = blobs.sparkSession
+    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val out = resizeImage(img, stride)
+        Row(id, img.getWidth, img.getHeight, out.getWidth, out.getHeight,
+          rasterDigest(out))
+      }
+    }
+    spark.createDataFrame(rdd, resizeImgSchema)
+  }
 
   private val frameSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("frame_idx", LongType),
@@ -73,47 +226,4 @@ object Multimodal {
     spark.createDataFrame(rdd, frameSchema)
   }
 
-  private val resizeSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("n_in", LongType),
-    StructField("n_out", LongType), StructField("sig", StringType)))
-
-  /** "Resize": deterministic stride-downsample of the blob (every
-    * `stride`-th byte). STUB for a real resampler — the size contract
-    * (ceil(n/stride)), batching, and digest verification are the real
-    * plumbing; swap the inner loop for an image scaler when codecs
-    * exist. Map-only, no shuffle.
-    */
-  def resize(blobs: DataFrame, stride: Int = 4): DataFrame = {
-    val spark = blobs.sparkSession
-    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
-      val digest = java.security.MessageDigest.getInstance("MD5")
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val out = bytes.indices.by(stride).map(bytes(_)).toArray
-        digest.reset()
-        val sig = digest.digest(out).map("%02x".format(_)).mkString
-        Row(id, bytes.length.toLong, out.length.toLong, sig)
-      }
-    }
-    spark.createDataFrame(rdd, resizeSchema)
-  }
-
-  /** Batched decode/feature-extract over (doc_id, blob BINARY) rows —
-    * the `mapInPandas` shape in Scala: one worker init per partition,
-    * rows streamed through it.
-    */
-  def decodeFeatures(blobs: DataFrame): DataFrame = {
-    val spark = blobs.sparkSession
-    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
-      // per-partition init happens here (codec/model handle)
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val (w, h, sig) = decodeStub(bytes)
-        Row(id, bytes.length.toLong, w, h, sig)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
 }

@@ -48,6 +48,31 @@ object DedupPack extends QueryPack {
         .orderBy(col("da"), col("db"))
     },
 
+    // Output-proportional LSH dedup — the 100 TB form: cluster labels
+    // straight from the banded buckets (per-bucket STAR candidates →
+    // exact-Jaccard verify → components), so a cluster of m duplicates
+    // costs m label rows where the pair listing costs m²/2. Approximate
+    // → rows-only; verified star edges are a subset of the exact
+    // threshold graph (precision 1 provably), cluster recall vs the
+    // full pair-graph components gated in DedupSpec.
+    "dd_minhash_clusters" -> { (s, d) =>
+      Dedup.minhashLshClusters(Tables.documents(s, d), threshold = 0.5)
+        .orderBy(col("doc_id"))
+    },
+
+    // Exhaustive twin of dd_minhash_clusters at threshold 1.0 over the
+    // planted-duplicate corpus: all-pairs bucket candidates find every
+    // equal-shingle-set pair (equal sets give equal signatures, which
+    // collide in EVERY band), and set equality is transitive — so the
+    // components are PROVABLY the equal-set groups, hash-exact vs the
+    // sorted-set-key grouping oracle. Pins the bucket→component→label
+    // machinery the star path reuses.
+    "dd_minhash_clusters_oracle" -> { (s, d) =>
+      Dedup.minhashLshClusters(doubled(Tables.documents(s, d)),
+          threshold = 1.0, exhaustive = true)
+        .orderBy(col("doc_id"))
+    },
+
     // Ingest-time probe: near-dup pairs touching an ARRIVING batch only
     // (here every 7th document), found by joining the batch's banded
     // rows against the maintained bucket table — |batch|-scaled, never
@@ -387,6 +412,29 @@ object DedupPack extends QueryPack {
         |SELECT a.doc_id AS da, b.doc_id AS db, 1.0::DOUBLE AS jaccard
         |FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
         |ORDER BY da, db""".stripMargin,
+
+    // equal-set groups labeled by their min doc_id; docs with no (or a
+    // unique) shingle set self-cluster — exactly the exhaustive
+    // threshold-1.0 component structure (set equality is transitive)
+    "dd_minhash_clusters_oracle" ->
+      """WITH docs2 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM docs2),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(t)-1),
+        |                i -> array_to_string(t[i:i+2], ' ')))
+        |         ELSE [] END AS s
+        |  FROM toks),
+        |keys AS (SELECT doc_id, array_to_string(list_sort(s), '|') AS k
+        |         FROM sh WHERE len(s) > 0),
+        |lab AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS cluster
+        |        FROM keys)
+        |SELECT d.doc_id, coalesce(lab.cluster, d.doc_id) AS cluster
+        |FROM docs2 d LEFT JOIN lab USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // exhaustive probe == exact cosine-threshold pairs touching the batch
     "dd_emb_probe_oracle" ->

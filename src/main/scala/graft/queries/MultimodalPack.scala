@@ -6,20 +6,24 @@ import graft.operators.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal + embedding-function surface. `mm_decode_features` routes
-  * real bytes through the batched mapPartitions decode path (stubbed
-  * codec, real plumbing) and is oracle-checked on the deterministic
-  * outputs. `mm_embed_knn` embeds text with the hashed-BoW embedding
+/** Multimodal + embedding-function surface. `mm_decode_features` and
+  * `mm_resize` run the REAL JDK image codec (`javax.imageio`): synthetic
+  * PNG blobs — dims and pixels a closed-form function of doc_id — are
+  * PNG-encoded, decoded back through zlib/ImageIO, and verified by a
+  * DuckDB oracle computing the same dimensions and raster digest from
+  * the formula. `mm_embed_knn` embeds text with the hashed-BoW embedding
   * function and runs KNN over the result (rows-only; determinism and
   * unit-norm gated in MultimodalSpec).
   */
 object MultimodalPack extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // real PNG decode: encode per-doc synthetic images to actual PNG
+    // bytes, decode through ImageIO, emit true dims + raster digest
     "mm_decode_features" -> { (s, d) =>
-      val blobs = Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      Multimodal.decodeFeatures(blobs).orderBy(col("doc_id"))
+      val blobs = Multimodal.synthPngBlobs(
+        Tables.documents(s, d).select(col("doc_id")))
+      Multimodal.decodeImageFeatures(blobs).orderBy(col("doc_id"))
     },
 
     // Frame sampling over "video" blobs: every 3rd 100-byte frame with
@@ -32,11 +36,11 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
-    // Stride-downsample "resize" over the blob, digest-verified.
+    // real decode → nearest-neighbor ×2 downscale, resized-raster digest
     "mm_resize" -> { (s, d) =>
-      val blobs = Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      Multimodal.resize(blobs, stride = 4).orderBy(col("doc_id"))
+      val blobs = Multimodal.synthPngBlobs(
+        Tables.documents(s, d).select(col("doc_id")))
+      Multimodal.resizeImages(blobs, stride = 2).orderBy(col("doc_id"))
     },
 
     // Exhaustive-mode oracle twin of mm_embed_knn — the embed-at-write →
@@ -79,22 +83,29 @@ object MultimodalPack extends QueryPack {
   val oracle: Map[String, String] = Map(
     // the ta_tfidf_knn oracle verbatim: identical embedding, queries, k
     "mm_embed_knn_oracle" -> TextAnalysis.oracle("ta_tfidf_knn"),
+    // the synthetic image's dims and every pixel are closed-form in
+    // doc_id, so the REAL codec's output (true raster dims + row-major
+    // gray-value digest) is SQL-computable — any decode fault breaks it
     "mm_decode_features" ->
       """SELECT doc_id,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
-        |  CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS height,
-        |  md5(text) AS sig
+        |  CAST(doc_id % 13 + 4 AS INT) AS width,
+        |  CAST(doc_id % 11 + 3 AS INT) AS height,
+        |  md5(array_to_string(flatten(list_transform(range(0, doc_id % 11 + 3), y ->
+        |    list_transform(range(0, doc_id % 13 + 4), x ->
+        |      CAST((x*7 + y*13 + doc_id) % 128 AS VARCHAR)))), ',')) AS sig
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // ASCII corpus: every-4th-char of the VARCHAR == every-4th-byte
+    // nearest-neighbor ×2: out pixel (x,y) samples in-pixel (2x,2y);
+    // out dims are ceil(in/2) — the resized raster digest from the
+    // same closed form
     "mm_resize" ->
       """SELECT doc_id,
-        |  octet_length(encode(text)) AS n_in,
-        |  (octet_length(encode(text)) + 3) // 4 AS n_out,
-        |  md5(array_to_string(
-        |    list_transform(range(1, length(text) + 1, 4),
-        |      i -> substring(text, CAST(i AS INT), 1)), '')) AS sig
+        |  CAST(doc_id % 13 + 4 AS INT) AS w_in, CAST(doc_id % 11 + 3 AS INT) AS h_in,
+        |  CAST((doc_id % 13 + 5) // 2 AS INT) AS w_out,
+        |  CAST((doc_id % 11 + 4) // 2 AS INT) AS h_out,
+        |  md5(array_to_string(flatten(list_transform(range(0, (doc_id % 11 + 4) // 2), y ->
+        |    list_transform(range(0, (doc_id % 13 + 5) // 2), x ->
+        |      CAST((2*x*7 + 2*y*13 + doc_id) % 128 AS VARCHAR)))), ',')) AS sig
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // documents are pure ASCII (octet_length == length holds corpus-wide),

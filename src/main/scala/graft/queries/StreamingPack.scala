@@ -350,7 +350,10 @@ object StreamingPack extends QueryPack {
         }
       EventStream.spanDedupMaintain(s, s"$base/src", s"$base/span",
         s"$base/ckpt")
-      s.read.parquet(s"$base/span/out").orderBy(col("doc_id"))
+      // drop the batch partition column the idempotent appends introduce
+      s.read.parquet(s"$base/span/out")
+        .select("doc_id", "kept_text", "n_kept", "n_dropped")
+        .orderBy(col("doc_id"))
     },
 
     // Incremental near-dup cluster maintenance: documents stream in
@@ -359,8 +362,13 @@ object StreamingPack extends QueryPack {
     // inverted-index join) and folds them into the persisted label
     // table — merge retirements relabel table-sized state, the
     // corpus-wide fixpoint never re-runs. EXACT and arrival-order-free
-    // (labels are component minima): the final table hash-matches the
-    // full recursive-CTE oracle over the whole corpus.
+    // (labels are component minima) whenever no shingle crosses the
+    // maxDf cap mid-stream: document frequencies are over postings
+    // as-of-each-batch, so a shingle that only later exceeds the cap
+    // can contribute early pairs a from-scratch run would cap away —
+    // the df-cap trade (jaccardPairsFromPostings's caveat), absent at
+    // this corpus's df range. The final table hash-matches the full
+    // recursive-CTE oracle over the whole corpus.
     "st_cluster_maintain" -> { (s, d) =>
       import graft.Tables
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))

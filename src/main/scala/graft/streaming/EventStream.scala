@@ -73,6 +73,31 @@ object EventStream extends Serializable {
     spark.readStream.schema(documentsSchema)
       .parquet(stagedDir(dir, "documents"))
 
+  /** foreachBatch delivery is AT-LEAST-ONCE: a crash after the batch's
+    * writes but before the checkpoint commit replays the micro-batch, so
+    * a plain `mode("append")` would duplicate the batch's rows in the
+    * maintained table — silently (doubled postings skew every later df
+    * count; doubled code/graph rows duplicate candidates). Every
+    * maintainer here therefore writes each batch's output under a
+    * `batch=<id>` partition subdirectory with OVERWRITE: the replay
+    * rewrites the same leaf instead of appending a second copy, making
+    * the append idempotent per batch. Readers discover `batch` as a
+    * partition column; the serving paths all select their columns
+    * explicitly, and the compactors fold it away.
+    */
+  private def idempotentAppend(df: DataFrame, dir: String, batchId: Long,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$dir/batch=$batchId")
+  }
+
+  /** Strip the `batch` partition column [[idempotentAppend]] introduces
+    * when handing a maintained table to a schema-sensitive consumer.
+    */
+  def dropBatch(df: DataFrame): DataFrame =
+    if (df.columns.contains("batch")) df.drop("batch") else df
+
   /** Incremental ANN index maintenance — the reference's compaction loop
     * (WAL tail → vector-segment index writer,
     * `rust/worker/src/compactor/compaction_manager.rs`) as Structured
@@ -104,11 +129,11 @@ object EventStream extends Serializable {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Ivf.assign(batch, centroids, nReplica)
-          .repartition(col("centroid_id")) // one writer per touched list
-          .write.mode("append").partitionBy("centroid_id")
-          .parquet(postingsDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentAppend(
+          graft.operators.Ivf.assign(batch, centroids, nReplica)
+            .repartition(col("centroid_id")), // one writer per touched list
+          postingsDir, batchId, Seq("centroid_id"))
       }
       .start()
     q.awaitTermination()
@@ -135,11 +160,11 @@ object EventStream extends Serializable {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Fts.postings(batch, nBuckets)
-          .repartition(col("bucket")) // one writer per touched bucket
-          .write.mode("append").partitionBy("bucket")
-          .parquet(postingsDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentAppend(
+          graft.operators.Fts.postings(batch, nBuckets)
+            .repartition(col("bucket")), // one writer per touched bucket
+          postingsDir, batchId, Seq("bucket"))
       }
       .start()
     q.awaitTermination()
@@ -169,9 +194,10 @@ object EventStream extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Hnsw.graphRows(batch, m, efConstruction, space,
-          pidOffset = batchId * 65536L)
-          .write.mode("append").parquet(s"$root/hnsw/graphs")
+        idempotentAppend(
+          graft.operators.Hnsw.graphRows(batch, m, efConstruction, space,
+            pidOffset = batchId * 65536L),
+          s"$root/hnsw/graphs", batchId)
       }
       .start()
     q.awaitTermination()
@@ -204,11 +230,12 @@ object EventStream extends Serializable {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Quantized.rotatedCodeRows(batch, dim, seed, rounds)
-          .select("offset_id", "code", "corr", "vnorm")
-          .coalesce(1) // one entry-sized file per micro-batch
-          .write.mode("append").parquet(codesDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentAppend(
+          graft.operators.Quantized.rotatedCodeRows(batch, dim, seed, rounds)
+            .select("offset_id", "code", "corr", "vnorm")
+            .coalesce(1), // one entry-sized file per micro-batch
+          codesDir, batchId)
       }
       .start()
     q.awaitTermination()
@@ -236,11 +263,15 @@ object EventStream extends Serializable {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup.bandedRows(batch, n, bands, rows)
-          .repartition(col("band")) // one writer per touched band
-          .write.mode("append").partitionBy("band")
-          .parquet(bandedDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentAppend(
+          graft.operators.Dedup.bandedRows(batch, n, bands, rows)
+            .repartition(col("band")), // one writer per touched band
+          bandedDir, batchId, Seq("band"))
+        // parameter sidecar: a probe built with different (n, bands,
+        // rows) would silently miss candidates — persist the build
+        // parameters beside the table so probes can validate
+        graft.operators.Dedup.writeLshParams(bandedDir, n, bands, rows)
       }
       .start()
     q.awaitTermination()
@@ -272,12 +303,12 @@ object EventStream extends Serializable {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.CollectionStore
-          .sparsePostingRows(batch, key, nBuckets, blockSpan)
-          .repartition(col("bucket")) // one writer per touched bucket
-          .write.mode("append").partitionBy("bucket")
-          .parquet(s"$root/sparse_$key/postings")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentAppend(
+          graft.sources.CollectionStore
+            .sparsePostingRows(batch, key, nBuckets, blockSpan)
+            .repartition(col("bucket")), // one writer per touched bucket
+          s"$root/sparse_$key/postings", batchId, Seq("bucket"))
       }
       .start()
     q.awaitTermination()
@@ -309,8 +340,12 @@ object EventStream extends Serializable {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val seenDir = s"$root/seen"
+        // ascending-doc_id arrival is the exactness precondition —
+        // ENFORCE it (file-mtime ordering can silently collapse on
+        // coarse-granularity filesystems), don't assume it
+        enforceAscendingBatches(batch, root, batchId, "spanDedupMaintain")
         val segs = graft.operators.Dedup.segmentRows(batch, span)
         import org.apache.spark.sql.expressions.Window
         val rn = org.apache.spark.sql.functions.row_number()
@@ -319,11 +354,14 @@ object EventStream extends Serializable {
         val withRn = segs.withColumn("rn", rn)
         val seenExists =
           java.nio.file.Files.isDirectory(java.nio.file.Paths.get(seenDir))
-        // anti-join the accumulated seen set; both sides hash on `seg`
+        // anti-join the accumulated seen set; both sides hash on `seg`.
+        // EARLIER batches only (`batch < batchId`): a replayed batch must
+        // not see its own crashed write's segments as "seen before".
         val marked0 =
           if (!seenExists) withRn.withColumn("seen_before", lit(false))
           else withRn.join(
-              spark.read.parquet(seenDir).withColumn("sb", lit(true)),
+              spark.read.parquet(seenDir).filter(col("batch") < batchId)
+                .select(col("seg")).withColumn("sb", lit(true)),
               Seq("seg"), "left")
             .withColumn("seen_before", coalesce(col("sb"), lit(false)))
             .drop("sb")
@@ -331,15 +369,57 @@ object EventStream extends Serializable {
           .withColumn("is_first", col("rn") === 1 && !col("seen_before"))
           .persist() // referenced twice: survivor docs + new seen values
         try {
-          graft.operators.Dedup
-            .spanReconstruct(marked.select("doc_id", "seg_idx", "seg", "is_first"))
-            .write.mode("append").parquet(s"$root/out")
-          marked.filter(col("is_first")).select("seg")
-            .write.mode("append").parquet(seenDir)
+          // batchId-keyed overwrite ([[idempotentAppend]]): a replayed
+          // batch recomputes against exactly the pre-batch seen state and
+          // rewrites identical rows instead of appending duplicates
+          idempotentAppend(graft.operators.Dedup
+            .spanReconstruct(marked.select("doc_id", "seg_idx", "seg", "is_first")),
+            s"$root/out", batchId)
+          idempotentAppend(marked.filter(col("is_first")).select("seg"),
+            seenDir, batchId)
         } finally marked.unpersist()
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** Runtime guard for the maintainers whose exactness claim needs
+    * ascending-doc_id batch arrival: record each batch's max doc_id in a
+    * tiny `root/_order/batch-<id>` marker (overwritten on replay) and
+    * fail fast when a batch's min doc_id does not exceed every EARLIER
+    * batch's recorded max. File-source ordering rides on file mtimes,
+    * which coarse-granularity filesystems can collapse — without this
+    * check a reordered batch would silently break the "row-identical to
+    * the batch run" guarantee.
+    */
+  private def enforceAscendingBatches(batch: DataFrame, root: String,
+      batchId: Long, who: String): Unit = {
+    val stats = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (stats.isNullAt(0)) return // empty batch
+    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+    val ordDir = java.nio.file.Paths.get(root, "_order")
+    java.nio.file.Files.createDirectories(ordDir)
+    val prevMax = {
+      val it = java.nio.file.Files.list(ordDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.flatMap { p =>
+          val nm = p.getFileName.toString
+          if (!nm.startsWith("batch-")) None
+          else scala.util.Try((nm.stripPrefix("batch-").toLong,
+            new String(java.nio.file.Files.readAllBytes(p)).trim.toLong)).toOption
+        }.filter(_._1 < batchId).map(_._2).maxOption
+      } finally it.close()
+    }
+    prevMax.filter(_ >= mn).foreach { pm =>
+      throw new IllegalStateException(
+        s"$who: batch $batchId contains doc_id $mn <= max doc_id $pm of an " +
+          "earlier batch — ascending doc_id arrival is the exactness " +
+          "precondition (stage source files sequentially, or run the " +
+          "batch-mode operator over the full corpus instead)")
+    }
+    java.nio.file.Files.write(ordDir.resolve(s"batch-$batchId"),
+      mx.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Incremental near-dup CLUSTER maintenance — the streaming face of
@@ -357,6 +437,14 @@ object EventStream extends Serializable {
     * `root/postings` (the accumulated shingle inverted index,
     * append-only — each document tokenizes exactly once, on arrival)
     * and `root/labels` (crash-safe rename-aside swap per batch).
+    *
+    * Idempotent under foreachBatch replay end-to-end: the posting append
+    * is batchId-keyed ([[idempotentAppend]] — a replay rewrites the same
+    * leaf, never doubling n_sh/df), and the label fold is a fixpoint
+    * step ([[graft.operators.Dedup.foldClusterStep]] applied to pairs it
+    * has already folded resolves every component to the same minima and
+    * returns the table unchanged), so a replayed batch converges to the
+    * identical on-disk state.
     */
   def clusterMaintain(spark: SparkSession, srcDir: String, root: String,
       checkpoint: String, threshold: Double = 0.5,
@@ -368,13 +456,13 @@ object EventStream extends Serializable {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val postDir = s"$root/postings"
         val labDir = s"$root/labels"
         // tokenize each document exactly ONCE, on arrival — the probe
         // below re-scans two-long posting rows, never text
-        graft.operators.Dedup.shinglePostings(batch)
-          .write.mode("append").parquet(postDir)
+        idempotentAppend(graft.operators.Dedup.shinglePostings(batch),
+          postDir, batchId)
         val labels =
           if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(labDir)))
             spark.read.parquet(labDir)
@@ -383,7 +471,8 @@ object EventStream extends Serializable {
             StructType(Seq(StructField("doc_id", LongType),
               StructField("cluster", LongType))))
         val pairs = graft.operators.Dedup.jaccardPairsFromPostings(
-            batch.select("doc_id"), spark.read.parquet(postDir), threshold)
+            batch.select("doc_id"),
+            dropBatch(spark.read.parquet(postDir)), threshold)
           .select("da", "db")
         val updated = graft.operators.Dedup.foldClusterStep(pairs, labels)
         updated.write.mode("overwrite").parquet(s"${labDir}_staged")

@@ -43,6 +43,48 @@ class DedupSpec extends AnyFunSuite {
         s"only-full=${(full -- probe).take(3)}")
   }
 
+  test("LSH star-edge clusters: precision 1 (refinement) and pair recall >= 0.95") {
+    // star candidates verify true Jaccard, so star edges are a SUBSET of
+    // the exact threshold graph — star components can only refine the
+    // full components (no over-merge), and must recover >= 95% of the
+    // full co-cluster pairs
+    def coPairs(labels: Map[Long, Long]): Set[(Long, Long)] =
+      labels.groupBy(_._2).values.flatMap { g =>
+        val ids = g.keys.toSeq.sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    val star = Dedup.minhashLshClusters(docs, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.dupClusters(docs, threshold = 0.5)
+      .select("doc_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .withDefault(identity) // singletons self-cluster
+    val fullAll = star.keys.map(id => id -> full(id)).toMap
+    val (sp, fp) = (coPairs(star), coPairs(fullAll))
+    assert((sp -- fp).isEmpty,
+      s"star over-merged: ${(sp -- fp).take(3)}") // precision 1
+    val recall = if (fp.isEmpty) 1.0 else (sp & fp).size.toDouble / fp.size
+    assert(recall >= 0.95, s"star cluster pair recall $recall < 0.95")
+  }
+
+  test("LSH probe rejects a banded table built with a different band count") {
+    // a probe whose (bands, rows) disagree with the table's build would
+    // silently join to zero candidates — the band-count mismatch the
+    // table itself reveals must fail loudly instead
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val table = Dedup.bandedRows(docs, bands = 8, rows = 8) // 8-band build
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLshProbe(batch, docs, table, threshold = 0.5) // 16-band probe
+    }
+    assert(e.getMessage.contains("bands"), e.getMessage)
+    // and the params sidecar round-trips for the (rows, n) dimensions the
+    // table alone cannot reveal
+    val dir = java.nio.file.Files.createTempDirectory("lsh_params").toString
+    Dedup.writeLshParams(dir, n = 5, bands = 8, rows = 8)
+    assert(Dedup.readLshParams(dir).contains((5, 8, 8)))
+  }
+
   test("embedding probe == threshold-pair graph restricted to batch-touching pairs") {
     import graft.operators.Ivf
     val vecs = Tables.embeddings(spark, sf)

@@ -22,11 +22,61 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("decode stub is pure and batch path matches direct call") {
+  test("video-frame decode stub is pure and deterministic") {
     val bytes = "hello world".getBytes("UTF-8")
     val (w, h, sig) = graft.operators.Multimodal.decodeStub(bytes)
     assert((w, h) == (bytes.length % 64 + 1, bytes.length / 64 + 1))
     assert(sig == java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString)
+  }
+
+  test("real PNG/BMP decode round-trips dims and every pixel") {
+    import graft.operators.Multimodal
+    for (id <- Seq(0L, 1L, 7L, 42L, 143L)) {
+      val img = Multimodal.syntheticImage(id)
+      val (ew, eh) = ((id % 13 + 4).toInt, (id % 11 + 3).toInt)
+      assert((img.getWidth, img.getHeight) == (ew, eh))
+      for (fmt <- Seq("png", "bmp")) {
+        // genuine encode → genuine decode: deflate/filters (PNG) or
+        // DIB rows (BMP) through javax.imageio, not a byte echo
+        val bytes = Multimodal.syntheticImageBytes(id, fmt)
+        val (w, h, sig) = Multimodal.decodeImage(bytes)
+        assert((w, h) == (ew, eh), s"$fmt dims for id=$id")
+        assert(sig == Multimodal.rasterDigest(img), s"$fmt digest for id=$id")
+        // decoded pixels equal the generator formula exactly
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        for (y <- 0 until eh; x <- 0 until ew)
+          assert((back.getRGB(x, y) & 0xff) == ((x * 7 + y * 13 + id) % 128),
+            s"$fmt pixel ($x,$y) id=$id")
+      }
+    }
+    // corrupted bytes fail the real codec, not silently decode
+    val broken = Multimodal.syntheticImageBytes(7L).take(20)
+    intercept[Exception] { Multimodal.decodeImage(broken) }
+  }
+
+  test("nearest-neighbor resize samples (x*stride, y*stride) exactly") {
+    import graft.operators.Multimodal
+    val id = 42L
+    val img = Multimodal.syntheticImage(id)
+    val out = Multimodal.resizeImage(img, 2)
+    assert(out.getWidth == (img.getWidth + 1) / 2)
+    assert(out.getHeight == (img.getHeight + 1) / 2)
+    for (y <- 0 until out.getHeight; x <- 0 until out.getWidth)
+      assert(out.getRGB(x, y) == img.getRGB(x * 2, y * 2))
+  }
+
+  test("distributed decode over blob column matches driver-side codec") {
+    import graft.operators.Multimodal
+    val ids = Tables.documents(spark, sf).select(col("doc_id")).limit(20)
+    val got = Multimodal.decodeImageFeatures(Multimodal.synthPngBlobs(ids))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toMap
+    got.foreach { case (id, (w, h, sig)) =>
+      val (ew, eh, esig) = Multimodal.decodeImage(
+        Multimodal.syntheticImageBytes(id))
+      assert((w, h, sig) == (ew, eh, esig), s"id=$id")
+    }
   }
 }

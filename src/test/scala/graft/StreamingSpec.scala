@@ -533,4 +533,91 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("id") -> r.getAs[String]("document")).toMap
     assert(docs == Map("a" -> "one", "b" -> "two-v2"))
   }
+
+  test("maintainers are idempotent under micro-batch replay (lost checkpoint)") {
+    // foreachBatch is at-least-once: simulate the worst replay — the
+    // whole checkpoint lost after every batch's writes landed — by
+    // deleting it and re-running the SAME source. Every batch replays
+    // with its original batchId; the batchId-keyed overwrite writes must
+    // leave each maintained table exactly as a single run left it.
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("replay_spec").toString
+    docs.withColumn("part", pmod(col("doc_id"), lit(3)))
+      .repartitionByRange(3, col("part")).drop("part")
+      .write.parquet(s"$base/src")
+
+    // MinHash banding (append-partitioned) — the posting-table shape
+    EventStream.minhashMaintain(spark, s"$base/src", s"$base/banded",
+      s"$base/ckpt_mh")
+    def bandKey() = spark.read.parquet(s"$base/banded")
+      .select("doc_id", "band", "bkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val once = bandKey()
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$base/ckpt_mh"))
+    EventStream.minhashMaintain(spark, s"$base/src", s"$base/banded",
+      s"$base/ckpt_mh")
+    assert(bandKey() == once,
+      "replayed minhash maintenance duplicated banded rows")
+    // the parameter sidecar landed beside the table
+    assert(graft.operators.Dedup.readLshParams(s"$base/banded")
+      .contains((3, 16, 4)))
+
+    // cluster maintenance: postings must not double (df/n_sh skew) and
+    // the label table must be unchanged by a full replay
+    EventStream.clusterMaintain(spark, s"$base/src", s"$base/cc",
+      s"$base/ckpt_cc")
+    def postCount() = spark.read.parquet(s"$base/cc/postings").count()
+    def labels() = spark.read.parquet(s"$base/cc/labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (pc1, lab1) = (postCount(), labels())
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$base/ckpt_cc"))
+    EventStream.clusterMaintain(spark, s"$base/src", s"$base/cc",
+      s"$base/ckpt_cc")
+    assert(postCount() == pc1, "replayed cluster maintenance doubled postings")
+    assert(labels() == lab1, "replayed cluster fold changed the label table")
+
+    // span dedup: out/ and seen/ must be row-identical after replay
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    Seq(col("doc_id") <= maxId / 2, col("doc_id") > maxId / 2).foreach { p =>
+      docs.filter(p).coalesce(1).write.mode("append").parquet(s"$base/ssrc")
+      Thread.sleep(100)
+    }
+    EventStream.spanDedupMaintain(spark, s"$base/ssrc", s"$base/span",
+      s"$base/ckpt_sp")
+    def outKey() = spark.read.parquet(s"$base/span/out")
+      .select("doc_id", "kept_text", "n_kept", "n_dropped").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def seenCount() = spark.read.parquet(s"$base/span/seen").count()
+    val (o1, s1) = (outKey(), seenCount())
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$base/ckpt_sp"))
+    EventStream.spanDedupMaintain(spark, s"$base/ssrc", s"$base/span",
+      s"$base/ckpt_sp")
+    assert(outKey() == o1, "replayed span dedup changed the output")
+    assert(seenCount() == s1, "replayed span dedup duplicated seen segments")
+  }
+
+  test("span dedup fails fast when batches arrive out of doc_id order") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("order_spec").toString
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    // stage the HIGH range first, then the low range — mtime order makes
+    // the file stream deliver descending doc_id batches
+    Seq(col("doc_id") > maxId / 2, col("doc_id") <= maxId / 2).foreach { p =>
+      docs.filter(p).coalesce(1).write.mode("append").parquet(s"$base/src")
+      Thread.sleep(100)
+    }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStream.spanDedupMaintain(spark, s"$base/src", s"$base/span",
+        s"$base/ckpt")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("ascending doc_id arrival")),
+      s"expected the ordering guard to fire, got $e")
+  }
 }
