@@ -218,6 +218,74 @@ object Hnsw {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/hnsw/graphs")
 
+  /** Input-partition count past which
+    * [[graft.sources.CollectionStore.hnswServing]] switches from the flat
+    * layout (EVERY graph scanned per query batch) to the centroid-ROUTED
+    * one — the reference's SPANN centers-search
+    * (`orchestration/spann_knn.rs:36`): one graph per k-means centroid,
+    * the graph table partitioned by `centroid_id`, and each query probing
+    * only its `nprobe` nearest centroids' graphs. Flat fan-out is fine to
+    * a handful of graphs; past that, every added partition is query-time
+    * deserialize+walk work with no recall gain, while the routed read
+    * stays O(nprobe) graphs per query batch at ANY partition count.
+    */
+  val RoutePartitionThreshold: Int = 8
+
+  /** Centroid-routed index build: k-means centroids, nReplica
+    * multi-assignment (SPANN closure assignment — boundary vectors live
+    * in several graphs, which is what keeps routed recall high), one HNSW
+    * graph per centroid's posting list. The graph table is PARTITIONED BY
+    * `centroid_id`, so a routed query batch's scan partition-prunes to
+    * its probed centroids' directories; centroids persist beside it and
+    * their presence is what flips [[searchSaved]] into routed mode.
+    */
+  def buildRoutedAndSave(candidates: DataFrame, root: String,
+      nCentroids: Int, nReplica: Int = 2, m: Int = 16,
+      efConstruction: Int = 100, space: String = "cosine",
+      seed: Long = 42L): Unit = {
+    val spark = candidates.sparkSession
+    val model = Ivf.build(candidates, nCentroids, nReplica, seed)
+    val rows = model.postings
+      .repartition(col("centroid_id"))
+      .select(col("centroid_id"), col("offset_id"), col("embedding")).rdd
+      .mapPartitions { it =>
+        // a hash partition may hold several centroids' lists — one graph
+        // per centroid regardless
+        it.toArray.groupBy(_.getInt(0)).iterator.map { case (cid, rs) =>
+          val dim = rs.head.getSeq[Float](2).length
+          val g = new Graph(dim, m, efConstruction, seed = seed + cid, space)
+          rs.foreach(r => g.insert(r.getLong(1), r.getSeq[Float](2).toArray))
+          Row(cid, g.serialize())
+        }
+      }
+    val schema = StructType(Seq(StructField("centroid_id", IntegerType),
+      StructField("blob", BinaryType)))
+    spark.createDataFrame(rows, schema)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("centroid_id").parquet(s"$root/hnsw/graphs")
+    model.centroids.select(col("centroid_id"), col("centroid"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/hnsw/centroids")
+  }
+
+  /** Driver-side query→centroid routing (queries are a bounded client
+    * batch; centroids are the index's routing table — thousands of rows):
+    * each query's `nprobe` nearest centroids by L2, the same metric
+    * [[Ivf.assign]] used to place the vectors. Returns centroid →
+    * routed queries.
+    */
+  private[graft] def routeQueries(cents: Array[(Int, Array[Float])],
+      queries: Array[(Long, Array[Float])],
+      nprobe: Int): Map[Int, Array[(Long, Array[Float])]] =
+    queries.flatMap { case (qid, q) =>
+      cents.map { case (cid, c) =>
+          (graft.functions.Distances.scalar.l2Sq(q, c), cid) }
+        .sortBy(t => (t._1, t._2))
+        .take(math.min(nprobe, cents.length))
+        .map { case (_, cid) => cid -> ((qid, q)) }
+    }.groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2) }
+
   /** Query-time search over the persisted graphs: the query batch (bounded
     * by the client batch quota — hundreds of rows, kilobytes) ships to
     * executors ONCE as a broadcast variable; the graphs scan maps
@@ -227,7 +295,13 @@ object Hnsw {
     * Returns (query_id, rank, offset_id, dist).
     */
   def searchSaved(spark: org.apache.spark.sql.SparkSession, root: String,
-      queries: DataFrame, k: Int, efSearch: Int = 64): DataFrame = {
+      queries: DataFrame, k: Int, efSearch: Int = 64,
+      nprobe: Int = 8): DataFrame = {
+    // a persisted centroid table marks the routed layout — serve through
+    // centers-search instead of the all-graphs fan-out
+    if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(root, "hnsw", "centroids")))
+      return searchRoutedSaved(spark, root, queries, k, nprobe, efSearch)
     val graphs = graft.sources.CollectionStore.readCached(spark, s"$root/hnsw/graphs")
     val qArr = queries.select(col("query_id"), col("q_embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -243,10 +317,59 @@ object Hnsw {
         }
       }
     }
+    mergeTopK(spark, perPart, k)
+  }
+
+  /** Query-time search over the centroid-ROUTED layout: route the query
+    * batch driver-side ([[routeQueries]]), scan ONLY the probed
+    * centroids' graph partitions (`centroid_id` is a partition column —
+    * the `.isin` filter prunes unprobed directories at the parquet
+    * scan), run each graph against just the queries routed to it, exact
+    * top-k merge (TopKAgg dedups replica-assigned vectors appearing in
+    * several probed graphs). `nprobe >= nCentroids` with `efSearch >= N`
+    * is the exhaustive end: every graph is scanned degenerate-exact and
+    * the union of posting lists covers every vector — what the
+    * `vs_ann_hnsw_routed_oracle` twin pins hash-exactly.
+    */
+  def searchRoutedSaved(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, k: Int, nprobe: Int = 8,
+      efSearch: Int = 64): DataFrame = {
+    val cents = spark.read.parquet(s"$root/hnsw/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val qArr = queries.select(col("query_id"), col("q_embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val routed = routeQueries(cents, qArr, nprobe)
+    val needed = routed.keys.toSeq
+    val bq = spark.sparkContext.broadcast(routed)
+    val graphs = graft.sources.CollectionStore
+      .readCached(spark, s"$root/hnsw/graphs")
+      .filter(col("centroid_id").isin(needed: _*))
+    val perPart = graphs.select(col("centroid_id"), col("blob")).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val qs = bq.value.getOrElse(r.getInt(0),
+            Array.empty[(Long, Array[Float])])
+          if (qs.isEmpty) Iterator.empty
+          else {
+            val g = Graph.deserialize(r.getAs[Array[Byte]](1))
+            qs.iterator.flatMap { case (qid, q) =>
+              g.search(q, k, math.max(efSearch, k))
+                .map { case (id, d) => Row(qid, id, d.toDouble) }
+            }
+          }
+        }
+      }
+    mergeTopK(spark, perPart, k)
+  }
+
+  /** Global exact merge of per-graph partial results — the same bounded
+    * top-k as KnnMerge, dedup by offset_id.
+    */
+  private def mergeTopK(spark: org.apache.spark.sql.SparkSession,
+      perPart: org.apache.spark.rdd.RDD[Row], k: Int): DataFrame = {
     val schema = StructType(Seq(StructField("query_id", LongType),
       StructField("offset_id", LongType), StructField("dist", DoubleType)))
     val local = spark.createDataFrame(perPart, schema)
-    // global merge: same bounded top-k as KnnMerge
     val topk = udaf(new Knn.TopKAgg(k))
     local.groupBy(col("query_id"))
       .agg(topk(col("offset_id"), col("dist")).as("nn"))

@@ -207,6 +207,39 @@ object VectorSearch extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Centroid-ROUTED HNSW — the high-partition-count serving default
+    // (SPANN centers-search): 32 input partitions cross the routing
+    // threshold, so hnswServing builds one graph per k-means centroid
+    // (table partitioned by centroid_id) and each query probes only its
+    // 8 nearest centroids' graphs — the scan partition-prunes to the
+    // probed directories instead of fanning out to all 32. Approximate
+    // → rows-only; recall + fan-out < full gated in HnswSpec.
+    "vs_ann_hnsw_routed" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.hnswServing(
+        candidates(s, d).repartition(32),
+        graft.sources.CollectionStore.indexRoot(d) + "/routed32")
+      graft.operators.Hnsw.searchSaved(s, root, queryVecs(s, d), k = 10,
+          nprobe = 8)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Exhaustive twin of vs_ann_hnsw_routed through the SAME routed
+    // index: nprobe ≥ nCentroids probes every graph, ef ≥ N makes each
+    // walk degenerate-exact, replica dedup in the merge — the union of
+    // posting lists covers every vector, so the result is provably the
+    // exact KNN (hash-matches the brute-force oracle), pinning the
+    // route→prune→merge machinery itself.
+    "vs_ann_hnsw_routed_oracle" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.hnswServing(
+        candidates(s, d).repartition(32),
+        graft.sources.CollectionStore.indexRoot(d) + "/routed32")
+      graft.operators.Hnsw.searchSaved(s, root, queryVecs(s, d), k = 10,
+          efSearch = 1000000, nprobe = Int.MaxValue)
+        .select(outCols: _*)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // RaBitQ-style two-phase KNN: 1-bit sign codes + Hamming coarse pass,
     // exact re-rank of alpha*k survivors. Deterministic → oracle-checked.
     "vs_quantized_knn" -> { (s, d) =>
@@ -414,6 +447,7 @@ object VectorSearch extends QueryPack {
     "vs_ann_ivf_routed_oracle" -> exactCosineSql,
     "vs_ann_ivf_rebalanced_oracle" -> exactCosineSql,
     "vs_ann_hnsw_oracle" -> exactCosineSql,
+    "vs_ann_hnsw_routed_oracle" -> exactCosineSql,
     "vs_quantized_rotated_oracle" -> exactCosineSql,
     "vs_quantized_rotated_served_oracle" -> exactCosineSql,
     "vs_ann_ivf_quantized_oracle" -> exactCosineSql,

@@ -331,11 +331,24 @@ object CollectionStore {
   def hnswServing(vecs: DataFrame, root: String, m: Int = 16,
       efConstruction: Int = 100, space: String = "cosine",
       keyTag: String = ""): String = {
+    // past the flat fan-out threshold, default to the centroid-routed
+    // layout (SPANN centers-search): one graph per k-means centroid,
+    // partition-pruned probes — searchSaved detects the persisted
+    // centroids and routes automatically
+    val nParts = vecs.rdd.getNumPartitions
+    val routed = nParts > Hnsw.RoutePartitionThreshold
     once(s"hnsw-$root-$m-$efConstruction-$space-$keyTag") {
-      // v2: pid column widened to long (incremental-maintenance packing)
-      val key = s"hnsw-v2-$m-$efConstruction-$space-n${vecs.count()}-$keyTag"
+      // v3: centroid-routed layout past the partition threshold
+      // (nReplica 4 — same closure-assignment density the IVF serving
+      // defaults use; recall at nprobe 8/32 is gated in HnswSpec)
+      val key =
+        s"hnsw-v3-$m-$efConstruction-$space-n${vecs.count()}-p$nParts-r4-$keyTag"
       ensureBuilt(root, "hnsw", key) {
-        Hnsw.buildAndSave(vecs, root, m, efConstruction, space)
+        if (routed)
+          Hnsw.buildRoutedAndSave(vecs, root, nCentroids = nParts,
+            nReplica = 4, m = m, efConstruction = efConstruction,
+            space = space)
+        else Hnsw.buildAndSave(vecs, root, m, efConstruction, space)
       }
     }
     root
