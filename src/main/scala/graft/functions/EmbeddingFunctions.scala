@@ -459,6 +459,126 @@ object EmbeddingFunctions {
     private[graft] def resetSessions(): Unit = sessions.clear()
   }
 
+  /** Greedy longest-match-first WordPiece tokenization (the
+    * MiniLM/BERT scheme the reference's default embedding function uses,
+    * `onnx_mini_lm_l6_v2.py:1`): lowercase, split on non-alphanumerics,
+    * then per word the longest vocab prefix, continuations prefixed
+    * `##`, unknown pieces → `[UNK]`. Pure JVM — testable without the
+    * runtime; [[OnnxModelBackend]] feeds its ids to the ORT session.
+    */
+  final class WordPiece(vocab: Map[String, Int], maxLen: Int = 256)
+      extends Serializable {
+    private val unk = vocab.getOrElse("[UNK]", 100)
+    private val cls = vocab.getOrElse("[CLS]", 101)
+    private val sep = vocab.getOrElse("[SEP]", 102)
+    def encode(text: String): Array[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer[Long](cls.toLong)
+      val words = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      var wi = 0
+      while (wi < words.length && out.length < maxLen - 1) {
+        val w = words(wi)
+        var start = 0
+        var bad = false
+        while (start < w.length && !bad && out.length < maxLen - 1) {
+          var end = w.length
+          var pieceId = -1
+          while (end > start && pieceId < 0) {
+            val piece = (if (start > 0) "##" else "") + w.substring(start, end)
+            pieceId = vocab.getOrElse(piece, -1)
+            if (pieceId < 0) end -= 1
+          }
+          if (pieceId < 0) { bad = true } // no prefix matched → whole word UNK
+          else { out += pieceId.toLong; start = end }
+        }
+        if (bad) out += unk.toLong
+        wi += 1
+      }
+      out += sep.toLong
+      out.toArray
+    }
+  }
+
+  object WordPiece {
+    /** Standard one-token-per-line `vocab.txt` (row index = id). */
+    def fromVocabFile(path: String): WordPiece = {
+      import scala.jdk.CollectionConverters._
+      val lines = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(path)).asScala
+      new WordPiece(lines.zipWithIndex.map { case (t, i) => t -> i }.toMap)
+    }
+  }
+
+  /** REAL ONNX backend: MiniLM-style session (input_ids/attention_mask/
+    * token_type_ids → last_hidden_state), mean-pooled over the attention
+    * mask and L2-normalized — the reference's default embedding function
+    * (`onnx_mini_lm_l6_v2.py:1`) re-expressed on the JVM. The
+    * `ai.onnxruntime` classes are reached by REFLECTION so this file
+    * compiles (and everything else runs) in the zero-egress container,
+    * where the onnxruntime jar cannot resolve (dependency attempt
+    * 2026-08-14: no coursier/maven cache entry, offline mode — see
+    * COVERAGE.md). [[available]] gates the spec: with an ORT jar on the
+    * classpath and a model + vocab on shared storage, `load()` runs true
+    * inference with zero code changes.
+    */
+  final class OnnxModelBackend(modelPath: String, vocabPath: String,
+      val dim: Int = 384, maxLen: Int = 256) extends ModelBackend {
+    val name = s"onnx_${new java.io.File(modelPath).getName}_$dim"
+    def load(): Seq[String] => Seq[Array[Float]] = {
+      val cl = getClass.getClassLoader
+      val envCls = Class.forName("ai.onnxruntime.OrtEnvironment", true, cl)
+      val env = envCls.getMethod("getEnvironment").invoke(null)
+      val session = envCls
+        .getMethod("createSession", classOf[String])
+        .invoke(env, modelPath)
+      val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor", true, cl)
+      val create = tensorCls.getMethod("createTensor",
+        envCls, classOf[Object])
+      val runM = session.getClass.getMethod("run", classOf[java.util.Map[_, _]])
+      val tokenizer = WordPiece.fromVocabFile(vocabPath)
+      texts => {
+        val ids = texts.map(t => tokenizer.encode(t).take(maxLen)).toArray
+        val width = ids.map(_.length).max
+        val padded = ids.map(a => a ++ Array.fill(width - a.length)(0L))
+        val mask = ids.map(a =>
+          Array.fill(a.length)(1L) ++ Array.fill(width - a.length)(0L))
+        val zeros = Array.fill(ids.length)(Array.fill(width)(0L))
+        val inputs = new java.util.HashMap[String, Object]()
+        inputs.put("input_ids", create.invoke(null, env, padded))
+        inputs.put("attention_mask", create.invoke(null, env, mask))
+        inputs.put("token_type_ids", create.invoke(null, env, zeros))
+        val result = runM.invoke(session, inputs)
+        val value = result.getClass.getMethod("get", classOf[Int])
+          .invoke(result, Integer.valueOf(0))
+        val hidden = value.getClass.getMethod("getValue").invoke(value)
+          .asInstanceOf[Array[Array[Array[Float]]]] // [batch][tok][dim]
+        hidden.zip(mask).map { case (toks, m) =>
+          val pooled = new Array[Float](toks(0).length)
+          var n = 0
+          toks.indices.foreach { t =>
+            if (m(t) == 1L) {
+              n += 1
+              var i = 0
+              while (i < pooled.length) { pooled(i) += toks(t)(i); i += 1 }
+            }
+          }
+          var i = 0
+          while (i < pooled.length) { pooled(i) /= math.max(n, 1); i += 1 }
+          val norm = math.sqrt(pooled.map(x => x.toDouble * x).sum).toFloat
+          if (norm == 0f) pooled else pooled.map(_ / norm)
+        }.toSeq
+      }
+    }
+  }
+
+  object OnnxModelBackend {
+    /** True when an ONNX Runtime jar is on the classpath — gates the
+      * real-inference spec (canceled in the zero-egress container).
+      */
+    def available: Boolean =
+      try { Class.forName("ai.onnxruntime.OrtEnvironment"); true }
+      catch { case _: ClassNotFoundException => false }
+  }
+
   val registry: Map[String, EmbeddingFunction] = Seq(
     new HashedBow(64), new HashedBow(128),
     new HashedBigram(64),

@@ -206,4 +206,40 @@ class EmbeddingFunctionsSpec extends AnyFunSuite {
         array(lit("alpha"), lit("beta")))).collect()(0).getLong(0)
     assert(viaSql == viaDsl)
   }
+
+  test("WordPiece: greedy longest-match, ## continuations, UNK, CLS/SEP framing") {
+    import graft.functions.EmbeddingFunctions.WordPiece
+    val vocab = Map("[UNK]" -> 0, "[CLS]" -> 1, "[SEP]" -> 2,
+      "un" -> 3, "##aff" -> 4, "##able" -> 5, "##affable" -> 6,
+      "spark" -> 7, "query" -> 8)
+    val wp = new WordPiece(vocab)
+    // greedy longest-first: "unaffable" -> un + ##affable (not ##aff ##able)
+    assert(wp.encode("unaffable").toSeq == Seq(1L, 3L, 6L, 2L))
+    assert(wp.encode("Spark QUERY").toSeq == Seq(1L, 7L, 8L, 2L))
+    // word with no matchable prefix -> single UNK
+    assert(wp.encode("zzz").toSeq == Seq(1L, 0L, 2L))
+    // punctuation splits, empty input still framed
+    assert(wp.encode("spark,query!").toSeq == Seq(1L, 7L, 8L, 2L))
+    assert(wp.encode("").toSeq == Seq(1L, 2L))
+  }
+
+  test("ONNX backend runs real inference when an ORT jar is present") {
+    import graft.functions.EmbeddingFunctions.{OnnxModelBackend, ModelEmbeddingFunction}
+    // the zero-egress container has no onnxruntime jar (resolution
+    // attempt documented in COVERAGE.md) — this cancels here and runs
+    // real inference wherever the jar + model exist
+    assume(OnnxModelBackend.available, "ai.onnxruntime not on classpath")
+    val model = sys.env.getOrElse("GRAFT_ONNX_MODEL", "/models/minilm.onnx")
+    val vocab = sys.env.getOrElse("GRAFT_ONNX_VOCAB", "/models/vocab.txt")
+    assume(new java.io.File(model).exists() && new java.io.File(vocab).exists())
+    val ef = new ModelEmbeddingFunction(new OnnxModelBackend(model, vocab))
+    val out = ef.embedDf(
+      Tables.documents(spark, sf).limit(8), "text", "embedding")
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    assert(out.forall(_.length == 384))
+    out.foreach { v =>
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-4)
+    }
+  }
 }
