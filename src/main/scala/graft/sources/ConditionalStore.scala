@@ -1,0 +1,115 @@
+package graft.sources
+
+/** The minimal conditional-write storage contract the durable WAL's
+  * claim/publish/void CAS rides on ([[WalStore]]) — six primitives, each
+  * with a direct object-store mapping, so swapping the local-FS
+  * implementation for an S3/GCS/ABS one changes NO WAL logic (the
+  * reference's wal3 makes the same cut: log correctness lives in
+  * CAS-on-position, storage supplies only the conditional put,
+  * `rust/wal3/README.md:1-17`).
+  *
+  * Per-operation object-store mapping (documented here and exercised by
+  * `ConditionalStoreContractSpec`):
+  *
+  *   - [[putIfAbsent]] → S3 `PutObject` with `If-None-Match: *`
+  *     (conditional writes, GA Aug 2024); GCS `x-goog-if-generation-match:
+  *     0`; Azure Blob `If-None-Match: *`. EXACTLY ONE of N concurrent
+  *     callers may succeed — this is the whole linearization point.
+  *   - [[exists]] → `HeadObject` (404 ⇒ false).
+  *   - [[read]] → `GetObject` (404 ⇒ None). Markers are tiny (< 100 B).
+  *   - [[delete]] → `DeleteObject` — idempotent, deleting a missing key
+  *     succeeds.
+  *   - [[list]] → `ListObjectsV2` with `prefix` + `/` delimiter,
+  *     returning immediate child names.
+  *   - [[lastModifiedMs]] → `HeadObject` `Last-Modified`. Only used as
+  *     an AGE GUARD for stale-claim voiding; coarse clock skew shifts
+  *     the guard window, never correctness (the void itself is a
+  *     [[putIfAbsent]] CAS).
+  *
+  * Entry DATA does not route through this interface: it is parquet
+  * written/read by Spark, already object-store-native via the Hadoop
+  * filesystem connectors. Only the O(1)-sized markers — the
+  * linearization state — need conditional semantics.
+  */
+trait ConditionalStore {
+  /** Atomically create `path` with `bytes` iff it does not exist; true
+    * when THIS caller created it. Of N concurrent callers exactly one
+    * returns true — the WAL's append order and publish/void verdicts
+    * both hang on this.
+    */
+  def putIfAbsent(path: String, bytes: Array[Byte]): Boolean
+  def exists(path: String): Boolean
+  def read(path: String): Option[Array[Byte]]
+  /** Idempotent: deleting a missing path is a no-op. */
+  def delete(path: String): Unit
+  /** Immediate child names (not paths) under the directory/prefix; empty
+    * when it does not exist.
+    */
+  def list(prefix: String): Seq[String]
+  def lastModifiedMs(path: String): Option[Long]
+}
+
+/** POSIX-filesystem implementation: `putIfAbsent` is `CREATE_NEW` (an
+  * atomic `open(O_CREAT|O_EXCL)` — also atomic on NFS v3+ for the
+  * single-shared-dir layout the WAL uses).
+  */
+object LocalFsConditionalStore extends ConditionalStore {
+  private def p(path: String) = java.nio.file.Paths.get(path)
+  def putIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
+    val pp = p(path)
+    if (pp.getParent != null) java.nio.file.Files.createDirectories(pp.getParent)
+    try {
+      java.nio.file.Files.write(pp, bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+  def exists(path: String): Boolean = java.nio.file.Files.exists(p(path))
+  def read(path: String): Option[Array[Byte]] =
+    if (!java.nio.file.Files.isRegularFile(p(path))) None
+    else Some(java.nio.file.Files.readAllBytes(p(path)))
+  def delete(path: String): Unit =
+    java.nio.file.Files.deleteIfExists(p(path))
+  def list(prefix: String): Seq[String] = {
+    val dir = p(prefix)
+    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq
+      } finally s.close()
+    }
+  }
+  def lastModifiedMs(path: String): Option[Long] =
+    if (!java.nio.file.Files.exists(p(path))) None
+    else Some(java.nio.file.Files.getLastModifiedTime(p(path)).toMillis)
+}
+
+/** In-memory implementation — proves [[WalStore]]'s CAS logic depends on
+  * NOTHING but this interface (WalSpec runs the full claim/publish/void
+  * protocol against it), and doubles as the contract-spec second
+  * subject. Thread-safe via a single concurrent map, mirroring an
+  * object store's per-key atomicity.
+  */
+final class InMemoryConditionalStore extends ConditionalStore {
+  private val m = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Byte], Long)]()
+  def putIfAbsent(path: String, bytes: Array[Byte]): Boolean =
+    m.putIfAbsent(path, (bytes, System.currentTimeMillis())) == null
+  def exists(path: String): Boolean = m.containsKey(path)
+  def read(path: String): Option[Array[Byte]] = Option(m.get(path)).map(_._1)
+  def delete(path: String): Unit = m.remove(path)
+  def list(prefix: String): Seq[String] = {
+    val pre = if (prefix.endsWith("/")) prefix else prefix + "/"
+    import scala.jdk.CollectionConverters._
+    m.keySet().asScala.toSeq.collect {
+      case k if k.startsWith(pre) && !k.stripPrefix(pre).contains("/") =>
+        k.stripPrefix(pre)
+    }
+  }
+  def lastModifiedMs(path: String): Option[Long] = Option(m.get(path)).map(_._2)
+  /** Test hook: age a key backwards so stale-claim guards can fire. */
+  def backdate(path: String, ms: Long): Unit =
+    Option(m.get(path)).foreach { case (b, t) => m.put(path, (b, t - ms)) }
+}

@@ -49,9 +49,23 @@ object WalStore {
     */
   val OffsetStride: Long = 1L << 20
 
+  /** The conditional-write backend EVERY marker/claim operation routes
+    * through — the only storage primitive the CAS protocol needs
+    * ([[ConditionalStore]] documents the per-op S3/GCS mapping). Local
+    * POSIX by default; swap for an object-store implementation at
+    * deployment (entry DATA is Spark parquet and already rides the
+    * Hadoop connectors). WalSpec runs the full protocol against
+    * [[InMemoryConditionalStore]] to pin that no WAL logic reaches
+    * around this interface.
+    */
+  @volatile var conditional: ConditionalStore = LocalFsConditionalStore
+  private def cs: ConditionalStore = conditional
+
   private def walDir(root: String) = s"$root/_wal"
-  private def markersDir(root: String) =
-    java.nio.file.Paths.get(walDir(root), "_entries")
+  private def markersDir(root: String) = s"${walDir(root)}/_entries"
+  private def markerPath(root: String, n: Long) = s"${markersDir(root)}/b$n"
+  private def claimPath(root: String, n: Long) =
+    s"${markersDir(root)}/b$n.claim"
   def entryDataDir(root: String, n: Long): String = s"${walDir(root)}/b$n"
 
   /** Append `ops` at log position `n` (claim-first). Returns true when
@@ -62,14 +76,9 @@ object WalStore {
     */
   def appendAt(root: String, n: Long,
       ops: Dataset[graft.operators.Materialize.LogOp]): Boolean = {
-    val dir = markersDir(root)
-    java.nio.file.Files.createDirectories(dir)
-    if (java.nio.file.Files.exists(dir.resolve(s"b$n"))) return false
-    val claim = dir.resolve(s"b$n.claim")
-    try java.nio.file.Files.createFile(claim) // atomic claim, BEFORE data
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException => return false
-    }
+    if (cs.exists(markerPath(root, n))) return false
+    // atomic claim, BEFORE data (S3: If-None-Match put)
+    if (!cs.putIfAbsent(claimPath(root, n), Array.emptyByteArray)) return false
     // Re-check the final marker AFTER winning the claim: the winner's
     // publish deletes its claim only after its marker lands, so a loser
     // whose exists() check raced the publish can win the freed claim
@@ -77,8 +86,8 @@ object WalStore {
     // data and then delete it on its own CAS failure (lost acknowledged
     // writes). At this point the marker is either visible (lose cleanly,
     // touching nothing) or the slot is genuinely ours.
-    if (java.nio.file.Files.exists(dir.resolve(s"b$n"))) {
-      java.nio.file.Files.deleteIfExists(claim)
+    if (cs.exists(markerPath(root, n))) {
+      cs.delete(claimPath(root, n))
       return false
     }
     val dataDir = entryDataDir(root, n)
@@ -96,30 +105,27 @@ object WalStore {
             org.apache.spark.sql.functions.col("log_offset"))).collect()(0)
       val cnt = r.getLong(0)
       val mo = if (r.isNullAt(1)) -1L else r.getLong(1)
-      // CAS publish: CREATE_NEW, never overwrite. If the marker already
+      // CAS publish: putIfAbsent, never overwrite. If the marker already
       // exists, [[recoverStaleClaims]] voided this slot while the data
       // write was in flight (only possible past its age guard) — the
       // void verdict stands; clean up and report the slot lost.
-      try java.nio.file.Files.write(dir.resolve(s"b$n"),
-        s"""{"count": $cnt, "max_offset": $mo}""".getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // post-claim re-check makes a PUBLISHED marker unreachable
-          // here; defense in depth: only reap the data when the marker
-          // is a void (count 0) — never delete under a published entry
-          if (entryMeta(root, n).forall(_._1 == 0L))
-            org.apache.commons.io.FileUtils.deleteQuietly(
-              new java.io.File(dataDir))
-          java.nio.file.Files.deleteIfExists(claim)
-          return false
+      if (!cs.putIfAbsent(markerPath(root, n),
+          s"""{"count": $cnt, "max_offset": $mo}""".getBytes("UTF-8"))) {
+        // post-claim re-check makes a PUBLISHED marker unreachable
+        // here; defense in depth: only reap the data when the marker
+        // is a void (count 0) — never delete under a published entry
+        if (entryMeta(root, n).forall(_._1 == 0L))
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(dataDir))
+        cs.delete(claimPath(root, n))
+        return false
       }
-      java.nio.file.Files.deleteIfExists(claim)
+      cs.delete(claimPath(root, n))
       true
     } catch {
       case e: Throwable =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dataDir))
-        java.nio.file.Files.deleteIfExists(claim)
+        cs.delete(claimPath(root, n))
         throw e
     }
   }
@@ -127,16 +133,15 @@ object WalStore {
   /** `(count, max_offset)` from a published entry's marker; None when the
     * position is unpublished.
     */
-  def entryMeta(root: String, n: Long): Option[(Long, Long)] = {
-    val p = markersDir(root).resolve(s"b$n")
-    if (!java.nio.file.Files.exists(p)) None
-    else try {
-      val j = org.json4s.jackson.JsonMethods.parse(
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-      Some(((j \ "count").extract[Long], (j \ "max_offset").extract[Long]))
-    } catch { case _: Throwable => None }
-  }
+  def entryMeta(root: String, n: Long): Option[(Long, Long)] =
+    cs.read(markerPath(root, n)).flatMap { bytes =>
+      try {
+        val j = org.json4s.jackson.JsonMethods.parse(
+          new String(bytes, "UTF-8"))
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        Some(((j \ "count").extract[Long], (j \ "max_offset").extract[Long]))
+      } catch { case _: Throwable => None }
+    }
 
   /** Published positions `after+1, after+2, …` up to (not through) the
     * first unpublished one — the contiguous prefix a reader may consume.
@@ -144,11 +149,9 @@ object WalStore {
     * the claim is voided by [[recoverStaleClaims]]).
     */
   def publishedAfter(root: String, after: Long): Seq[Long] = {
-    val dir = markersDir(root)
-    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer[Long]()
     var n = after + 1
-    while (java.nio.file.Files.exists(dir.resolve(s"b$n"))) { out += n; n += 1 }
+    while (cs.exists(markerPath(root, n))) { out += n; n += 1 }
     out.toSeq
   }
 
@@ -177,36 +180,30 @@ object WalStore {
     * claim is presumed live and left alone. Returns voided positions.
     */
   def recoverStaleClaims(root: String, minAgeMs: Long = 0L): Seq[Long] = {
-    val dir = markersDir(root)
-    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - minAgeMs
     val out = scala.collection.mutable.ArrayBuffer[Long]()
-    val claims = CollectionStore.listDir(dir).map(_.getFileName.toString)
+    val claims = cs.list(markersDir(root))
       .collect { case nme if nme.matches("b\\d+\\.claim") =>
         nme.stripPrefix("b").stripSuffix(".claim").toLong }
     claims.foreach { v =>
-      val claim = dir.resolve(s"b$v.claim")
-      if (java.nio.file.Files.exists(dir.resolve(s"b$v"))) {
-        java.nio.file.Files.deleteIfExists(claim) // published; stale claim
-      } else if (java.nio.file.Files.exists(claim) &&
-          java.nio.file.Files.getLastModifiedTime(claim).toMillis <= cutoff) {
+      val claim = claimPath(root, v)
+      if (cs.exists(markerPath(root, v))) {
+        cs.delete(claim) // published; stale claim
+      } else if (cs.lastModifiedMs(claim).exists(_ <= cutoff)) {
         // CAS void, marker FIRST: claim the verdict before touching data,
-        // so a claimant that publishes concurrently (CREATE_NEW on its
+        // so a claimant that publishes concurrently (putIfAbsent on its
         // side too) either loses the CAS here — in which case its data
         // must survive — or wins it, in which case appendAt cleans up.
         // The old delete-data-then-mark order could destroy a just-
         // published entry's data.
-        try {
-          java.nio.file.Files.write(dir.resolve(s"b$v"),
-            """{"count": 0, "max_offset": -1}""".getBytes("UTF-8"),
-            java.nio.file.StandardOpenOption.CREATE_NEW)
+        if (cs.putIfAbsent(markerPath(root, v),
+            """{"count": 0, "max_offset": -1}""".getBytes("UTF-8"))) {
           org.apache.commons.io.FileUtils.deleteQuietly(
             new java.io.File(entryDataDir(root, v)))
-          java.nio.file.Files.deleteIfExists(claim)
+          cs.delete(claim)
           out += v
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            java.nio.file.Files.deleteIfExists(claim) // published after all
+        } else {
+          cs.delete(claim) // published after all
         }
       }
     }
@@ -219,15 +216,13 @@ object WalStore {
     * crash never leaves a marker-less data dir counted as a gap.
     */
   def gcThrough(root: String, through: Long): Seq[Long] = {
-    val dir = markersDir(root)
-    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer[Long]()
-    val published = CollectionStore.listDir(dir).map(_.getFileName.toString)
+    val published = cs.list(markersDir(root))
       .collect { case nme if nme.matches("b\\d+") => nme.drop(1).toLong }
     published.filter(_ <= through).sorted.foreach { v =>
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(entryDataDir(root, v)))
-      java.nio.file.Files.deleteIfExists(dir.resolve(s"b$v"))
+      cs.delete(markerPath(root, v))
       out += v
     }
     // prune the stream stage's links for dropped entries (a checkpointed
@@ -265,10 +260,8 @@ object WalStore {
     // stage from the first RETAINED position: GC deletes consumed
     // entries' markers, so walking from 0 would stop at the hole where
     // entry 1 used to be and never stage anything again
-    val mdir = markersDir(root)
     var firstRetained = Long.MaxValue
-    CollectionStore.listDir(mdir).foreach { p =>
-      val nme = p.getFileName.toString
+    cs.list(markersDir(root)).foreach { nme =>
       if (nme.matches("b\\d+")) firstRetained =
         math.min(firstRetained, nme.drop(1).toLong)
     }

@@ -185,4 +185,40 @@ class WalSpec extends AnyFunSuite {
     // and a late appendAt on the voided slot loses the claim CAS loudly
     assert(!WalStore.appendAt(h.ref.dataRoot, 2L, ops))
   }
+
+  test("full WAL protocol runs against a swapped ConditionalStore (in-memory)") {
+    // pins that NO claim/publish/void/GC logic reaches around the
+    // ConditionalStore interface: markers live purely in memory here,
+    // so any direct filesystem access to _entries would break this
+    val mem = new graft.sources.InMemoryConditionalStore
+    val prev = WalStore.conditional
+    WalStore.conditional = mem
+    try {
+      val root = freshRoot() + "/coll"
+      def op(id: String, n: Long) = Seq(graft.operators.Materialize.LogOp(
+        id, n * WalStore.OffsetStride, "Add", Some(s"doc-$id"), Map())).toDS()
+      assert(WalStore.appendAt(root, 1L, op("a", 1)))
+      assert(!WalStore.appendAt(root, 1L, op("b", 1))) // CAS in memory
+      assert(WalStore.appendAt(root, 2L, op("b", 2)))
+      assert(WalStore.publishedAfter(root, 0L) == Seq(1L, 2L))
+      assert(WalStore.entryMeta(root, 1L).map(_._1).contains(1L))
+      // no marker files on disk — everything went through the interface
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "_wal", "_entries")))
+      // crashed claim at 3 gaps the prefix until the void CAS fires
+      assert(mem.putIfAbsent(s"$root/_wal/_entries/b3.claim",
+        Array.emptyByteArray))
+      assert(WalStore.appendAt(root, 3L, op("c", 3)) == false)
+      mem.backdate(s"$root/_wal/_entries/b3.claim", 60000L)
+      assert(WalStore.recoverStaleClaims(root, minAgeMs = 1000L) == Seq(3L))
+      assert(WalStore.entryMeta(root, 3L).map(_._1).contains(0L)) // voided
+      assert(WalStore.appendAt(root, 4L, op("c", 4)))
+      // ops replay correctly through the streamed/metered reads
+      assert(WalStore.readEntry(spark, root, 1L).collect().head.id == "a")
+      assert(WalStore.readEntry(spark, root, 3L).isEmpty)
+      // GC drops consumed markers through the interface too
+      assert(WalStore.gcThrough(root, 2L) == Seq(1L, 2L))
+      assert(WalStore.publishedAfter(root, 2L) == Seq(3L, 4L))
+    } finally WalStore.conditional = prev
+  }
 }
