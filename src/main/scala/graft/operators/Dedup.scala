@@ -152,32 +152,52 @@ object Dedup {
       .select(col("doc_id"), explode(col("shingles")).as("sg0"))
       .select(col("doc_id"), xxhash64(col("sg0")).as("sg"))
 
-  /** [[jaccardProbePairs]] over an already-materialized posting table —
-    * the ingest-cadence form: the text was tokenized once when its
-    * batch arrived, so the probe re-scans two-long posting rows, never
-    * documents. Caveat shared with every capped form here: document
-    * frequencies are over the postings AS OF NOW, so a shingle that
-    * crosses `maxDf` only later in the stream can contribute
-    * early-found pairs a from-scratch run would cap away — at the
-    * default cap this requires a 10k-dup shingle and is the df-cap
-    * trade, not an ordering bug.
+  /** [[shinglePostings]] with the document's distinct-shingle count
+    * carried on EVERY row (`size(shingles)` inline — zero extra shuffle):
+    * any posting row of a document then knows its set size, so the
+    * ingest-cadence probe needs no per-doc size aggregation or side
+    * table at all.
     */
-  def jaccardPairsFromPostings(batchIds: DataFrame, postings: DataFrame,
+  def shinglePostingsSized(docs: DataFrame, n: Int = 3): DataFrame =
+    withShingles(docs, n)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
+        explode(col("shingles")).as("sg0"))
+      .select(col("doc_id"), xxhash64(col("sg0")).as("sg"), col("n_sh"))
+
+
+  /** [[jaccardProbePairs]] over a posting table, with the batch's posting rows IN HAND
+    * over a SIZED posting table ([[shinglePostingsSized]]) — the
+    * ingest-cadence form [[graft.streaming.EventStream.clusterMaintain]]
+    * runs per micro-batch. Row-identical output, a fraction of the
+    * work: the corpus side is semi-joined on the batch's shingle set
+    * FIRST (shuffle semi — AQE upgrades to broadcast when the batch is
+    * small), so the accumulated posting table is touched by one pruning
+    * scan per batch; document frequencies for the batch's shingles are
+    * still counted over every row carrying them (global df, the same
+    * cap semantics); and set sizes ride the posting rows themselves, so
+    * no corpus-wide aggregation and no size joins run at all.
+    */
+  def jaccardBatchProbe(batchPostings: DataFrame, postings: DataFrame,
       threshold: Double, maxDf: Long = DefaultMaxDf): DataFrame = {
-    val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val dfreq = postings.groupBy("sg").agg(count(lit(1)).as("df"))
+    val batchSg = batchPostings.select("sg").distinct()
+    val hits = postings.join(batchSg.hint("shuffle_hash"), Seq("sg"), "left_semi")
+    // global df for the batch's shingles: counted over ALL posting rows
+    // carrying them — identical to the full-table dfreq restricted here
+    val dfreq = hits.groupBy("sg").agg(count(lit(1)).as("df"))
     val rare = dfreq.filter(col("df") <= maxDf && col("df") >= 2).select("sg")
-    val ex = postings.join(rare.hint("shuffle_hash"), Seq("sg"), "left_semi")
-    val exBatch = ex.join(broadcast(batchIds.select(col("doc_id"))),
-      Seq("doc_id"), "left_semi")
-    val inter = ex.as("a").join(exBatch.as("b"),
+    val ex = hits.join(rare.hint("shuffle_hash"), Seq("sg"), "left_semi")
+    val exBatch = batchPostings.join(rare.hint("shuffle_hash"), Seq("sg"), "left_semi")
+    // sizes ride the rows: whichever side is the smaller doc_id supplies
+    // na (constant per doc, so max() just picks the carried value)
+    ex.as("a").join(exBatch.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("da"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
-      .agg(countDistinct(col("a.sg")).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
+      .agg(countDistinct(col("a.sg")).as("inter"),
+        max(when(col("a.doc_id") < col("b.doc_id"), col("a.n_sh"))
+          .otherwise(col("b.n_sh"))).as("na"),
+        max(when(col("a.doc_id") < col("b.doc_id"), col("b.n_sh"))
+          .otherwise(col("a.n_sh"))).as("nb"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -366,7 +366,7 @@ object StreamingPack extends QueryPack {
     // maxDf cap mid-stream: document frequencies are over postings
     // as-of-each-batch, so a shingle that only later exceeds the cap
     // can contribute early pairs a from-scratch run would cap away —
-    // the df-cap trade (jaccardPairsFromPostings's caveat), absent at
+    // the df-cap trade (jaccardBatchProbe's caveat), absent at
     // this corpus's df range. The final table hash-matches the full
     // recursive-CTE oracle over the whole corpus.
     "st_cluster_maintain" -> { (s, d) =>

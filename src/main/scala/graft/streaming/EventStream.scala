@@ -459,28 +459,44 @@ object EventStream extends Serializable {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val postDir = s"$root/postings"
         val labDir = s"$root/labels"
-        // tokenize each document exactly ONCE, on arrival — the probe
-        // below re-scans two-long posting rows, never text
-        idempotentAppend(graft.operators.Dedup.shinglePostings(batch),
-          postDir, batchId)
-        val labels =
+        // tokenize each document exactly ONCE, on arrival; the batch's
+        // posting rows stay cached so the append and the probe reuse one
+        // tokenize pass. Rows carry n_sh (set size) inline, so no
+        // per-doc size aggregation or side table ever runs.
+        val batchPost =
+          graft.operators.Dedup.shinglePostingsSized(batch).persist()
+        try {
+          idempotentAppend(batchPost, postDir, batchId)
+          val labels =
+            if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(labDir)))
+              spark.read.parquet(labDir)
+            else spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(Seq(StructField("doc_id", LongType),
+                StructField("cluster", LongType))))
+          // one pruning scan of the accumulated postings per batch: the
+          // corpus side semi-joins the batch's broadcast shingle set
+          // before anything else ([[graft.operators.Dedup.jaccardBatchProbe]])
+          // persist the (tiny) pair set: foldClusterStep references it
+          // twice — the component solve's collect and the label write —
+          // and without the cache the whole probe plan evaluates twice
+          // per batch
+          val pairs = graft.operators.Dedup.jaccardBatchProbe(
+              batchPost, dropBatch(spark.read.parquet(postDir)), threshold)
+            .select("da", "db").persist()
+          try {
+            val updated = graft.operators.Dedup.foldClusterStep(pairs, labels)
+            // label table is |paired docs|-sized — a handful of files,
+            // not one per shuffle partition
+            updated.coalesce(4).write.mode("overwrite")
+              .parquet(s"${labDir}_staged")
+          } finally pairs.unpersist()
           if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(labDir)))
-            spark.read.parquet(labDir)
-          else spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](),
-            StructType(Seq(StructField("doc_id", LongType),
-              StructField("cluster", LongType))))
-        val pairs = graft.operators.Dedup.jaccardPairsFromPostings(
-            batch.select("doc_id"),
-            dropBatch(spark.read.parquet(postDir)), threshold)
-          .select("da", "db")
-        val updated = graft.operators.Dedup.foldClusterStep(pairs, labels)
-        updated.write.mode("overwrite").parquet(s"${labDir}_staged")
-        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(labDir)))
-          graft.sources.CollectionStore.swapDirectory(labDir, s"${labDir}_staged")
-        else org.apache.commons.io.FileUtils.moveDirectory(
-          new java.io.File(s"${labDir}_staged"), new java.io.File(labDir))
-        graft.sources.CollectionStore.invalidateRoot(labDir)
+            graft.sources.CollectionStore.swapDirectory(labDir, s"${labDir}_staged")
+          else org.apache.commons.io.FileUtils.moveDirectory(
+            new java.io.File(s"${labDir}_staged"), new java.io.File(labDir))
+          graft.sources.CollectionStore.invalidateRoot(labDir)
+        } finally batchPost.unpersist()
       }
       .start()
     q.awaitTermination()
