@@ -27,6 +27,31 @@ object StreamingPack extends QueryPack {
         .orderBy(col("user_id"), col("session_seq"))
     },
 
+    // Retro-merging sessionizer under ADVERSARIAL arrival order: events
+    // split across two micro-batches by event_id parity, so most users'
+    // sessions receive late events older than sessions already emitted.
+    // The retro fold re-splits state ∪ arrivals per batch and the
+    // max-revision materialization retires seq numbers merges consumed —
+    // the final view must STILL hash-match the batch sessionization
+    // oracle, proving arrival-order independence (the known-gap the
+    // plain sessionizer documents away).
+    "st_sessionize_retro" -> { (s, d) =>
+      val raw = graft.Tables.events(s, d)
+      val base = java.nio.file.Files.createTempDirectory("retro_sess").toString
+      Seq(0, 1).foreach { p =>
+        raw.filter(pmod(col("event_id"), lit(2)) === p)
+          .coalesce(1).write.mode("append").parquet(s"$base/src")
+        Thread.sleep(100)
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$base/src").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      val out = EventStream.runToTable(
+        EventStream.sessionizeRetro(stream).toDF(), OutputMode.Update())
+      EventStream.latestSessionsRetro(out)
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+
     // Built-in session windows (SURVEY §2.9 "expose session_window
     // natively") — the declarative twin of the stateful sessionizer:
     // Spark merges per-event [ts, ts+gap) windows itself; a session
@@ -524,6 +549,25 @@ object StreamingPack extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value),2) AS sum_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // out-of-order arrival must converge to the same batch fixpoint
+    "st_sessionize_retro" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 30*60*1000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, value, ms,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(ms) - min(ms) AS duration_ms, round(sum(value),2) AS sum_value
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "st_sessionize_stateful" ->
       """WITH flagged AS (

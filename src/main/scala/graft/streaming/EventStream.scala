@@ -579,6 +579,96 @@ object EventStream extends Serializable {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(fn)
   }
 
+  case class SessionV(user_id: Long, session_seq: Long, n_events: Long,
+      duration_ms: Long, sum_value: Double, rev: Long, frozen: Boolean)
+
+  /** OPT-IN retro-merging sessionizer — closes the [[sessionize]]
+    * known-gap: a late event older than an already-emitted session
+    * re-splits and re-emits, the reference's completion-offset catch-up
+    * (`orchestration/attached_function_orchestrator.rs`) cadence applied
+    * to session state. State per user carries every OPEN run's events
+    * plus a revision counter; each batch re-sorts state ∪ arrivals,
+    * re-splits into gap-separated runs, and emits EVERY open run's
+    * current snapshot stamped with the new revision — so a bridging
+    * late event merges two previously-separate sessions and the
+    * materialization ([[latestSessionsRetro]]: per-user max-revision
+    * rows) retires the seq numbers the merge consumed, which plain
+    * last-write-wins cannot do.
+    *
+    * `retentionMs` is the retro-merge horizon (the watermark): runs
+    * whose last event has fallen `retentionMs` + gap behind the user's
+    * max seen timestamp FREEZE — emitted once as final (`frozen=true`,
+    * always kept by the materialization) and dropped from state, so
+    * state is bounded by the horizon, exactly a watermark's contract.
+    * Events at or before the frozen boundary are too late and are
+    * dropped (the same discard a watermark applies).
+    */
+  def sessionizeRetro(events: DataFrame, retentionMs: Long = Long.MaxValue,
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionV] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val evs = events.select(col("event_id"), col("user_id"),
+      unix_millis(col("ts")).as("tsMs"), col("value")).as[Ev]
+
+    // state: (rev, frozenCount, frozenBoundaryTs, open events)
+    def fn(userId: Long, it: Iterator[Ev],
+        state: GroupState[(Long, Long, Long, Seq[Ev])]): Iterator[SessionV] = {
+      val (rev0, nFrozen0, boundary0, open0) =
+        state.getOption.getOrElse((0L, 0L, Long.MinValue, Seq.empty[Ev]))
+      val incoming = it.filter(_.tsMs > boundary0).toVector
+      if (incoming.isEmpty) Iterator.empty
+      else {
+        val all = (open0 ++ incoming).sortBy(e => (e.tsMs, e.event_id))
+        val runs = all.tail.foldLeft(Vector(Vector(all.head))) { (acc, e) =>
+          if (e.tsMs - acc.last.last.tsMs > gapMs) acc :+ Vector(e)
+          else acc.init :+ (acc.last :+ e)
+        }
+        val maxTs = all.last.tsMs
+        val cutoff =
+          if (retentionMs == Long.MaxValue) Long.MinValue
+          else maxTs - retentionMs
+        // a run freezes when no acceptable future event could extend or
+        // re-bridge it: its last event is a full gap behind the horizon
+        val (toFreeze, open) = runs.span(r => r.last.tsMs + gapMs < cutoff)
+        val rev = rev0 + 1
+        def snap(r: Vector[Ev], seq: Long, frozen: Boolean): SessionV =
+          SessionV(userId, seq, r.length, r.last.tsMs - r.head.tsMs,
+            round2(r.map(_.value).sum), rev, frozen)
+        val frozenOut = toFreeze.zipWithIndex.map { case (r, i) =>
+          snap(r, nFrozen0 + i + 1, frozen = true) }
+        val openOut = open.zipWithIndex.map { case (r, i) =>
+          snap(r, nFrozen0 + toFreeze.length + i + 1, frozen = false) }
+        // anything within one gap of the frozen run's last event would
+        // have merged into it — the whole window is too late
+        val boundary =
+          if (toFreeze.nonEmpty) toFreeze.last.last.tsMs + gapMs else boundary0
+        state.update(
+          (rev, nFrozen0 + toFreeze.length, boundary, open.flatten))
+        (frozenOut ++ openOut).iterator
+      }
+    }
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** Materialize the [[sessionizeRetro]] Update-mode sink: frozen rows
+    * are final (kept unconditionally); open rows are valid only at the
+    * user's LATEST revision — earlier revisions' seq numbers may have
+    * been retired by a retro-merge, which is exactly what max-revision
+    * filtering (not per-seq last-write-wins) handles.
+    */
+  def latestSessionsRetro(out: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    out.withColumn("max_rev", max(when(!col("frozen"), col("rev"))).over(w))
+      .filter(col("frozen") || col("rev") === col("max_rev"))
+      // a frozen row emitted at rev r, then re-read: keep one row per seq
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(max_by(struct(col("n_events"), col("duration_ms"), col("sum_value")),
+        col("rev")).as("s"))
+      .select(col("user_id"), col("session_seq"),
+        col("s.n_events"), col("s.duration_ms"), col("s.sum_value"))
+  }
+
   /** One compaction-scheduler tick for a collection, driven by the
     * durable WAL's FetchLog stream — the reference's scheduler/policy
     * split (`rust/worker/src/compactor/{scheduler_policy.rs,

@@ -534,6 +534,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(docs == Map("a" -> "one", "b" -> "two-v2"))
   }
 
+  test("retro-merge sessionizer: a late event bridges previously-closed sessions") {
+    import SparkTestSession.spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val min = 60L * 1000
+    // batch 1: two sessions 50 min apart -> seqs 1 and 2 both emitted
+    val b1 = Seq((1L, 0L * min, 1.0), (2L, 50L * min, 2.0))
+    // batch 2: a LATE event lands between them (25 min from each side,
+    // both within the 30-min gap) -> the two sessions must MERGE into
+    // seq 1 and seq 2 must be retired from the materialized view
+    val b2 = Seq((3L, 25L * min, 4.0))
+    val stage = specRoot("retro_sessions")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    def evDf(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("event_id", "tsMs", "value")
+        .select(col("event_id"), (col("tsMs") * 1000000L).as("ts"),
+          lit(7L).as("user_id"), lit("click").as("event_type"), col("value"),
+          lit("{}").as("props"))
+        .select(EventStream.eventsSchema.fieldNames.map(col): _*)
+    evDf(b1).coalesce(1).write.mode("append").parquet(stage)
+    Thread.sleep(100)
+    evDf(b2).coalesce(1).write.mode("append").parquet(stage)
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1000000L + i * 60000L) }
+
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = EventStream.runToTable(
+      EventStream.sessionizeRetro(stream).toDF(), OutputMode.Update())
+    // both revisions were emitted (seq 2 existed at rev 1)
+    assert(out.filter(col("rev") === 1 && col("session_seq") === 2)
+      .count() == 1, "first revision should have emitted session 2")
+    val got = EventStream.latestSessionsRetro(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // ONE merged session with all 3 events spanning 50 min; seq 2 retired
+    assert(got == Set((7L, 1L, 3L, 50L * min, 7.0)), s"got $got")
+  }
+
+  test("retro-merge horizon: runs freeze past retention and too-late events drop") {
+    import SparkTestSession.spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val min = 60L * 1000
+    val b1 = Seq((1L, 0L * min, 1.0))            // session A
+    val b2 = Seq((2L, 300L * min, 2.0))          // 5h later: A freezes
+    val b3 = Seq((3L, 10L * min, 9.0))           // too late: <= frozen boundary
+    val stage = specRoot("retro_freeze")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    def evDf(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("event_id", "tsMs", "value")
+        .select(col("event_id"), (col("tsMs") * 1000000L).as("ts"),
+          lit(9L).as("user_id"), lit("click").as("event_type"), col("value"),
+          lit("{}").as("props"))
+        .select(EventStream.eventsSchema.fieldNames.map(col): _*)
+    Seq(b1, b2, b3).foreach { b =>
+      evDf(b).coalesce(1).write.mode("append").parquet(stage)
+      Thread.sleep(100)
+    }
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1000000L + i * 60000L) }
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = EventStream.runToTable(
+      EventStream.sessionizeRetro(stream, retentionMs = 60L * min).toDF(),
+      OutputMode.Update())
+    // session A was emitted as FROZEN once it fell past the horizon
+    assert(out.filter(col("frozen") && col("session_seq") === 1).count() >= 1)
+    val got = EventStream.latestSessionsRetro(out)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // the too-late event neither re-opened A nor formed a session
+    assert(got == Set((1L, 1L), (2L, 1L)), s"got $got")
+  }
+
   test("maintainers are idempotent under micro-batch replay (lost checkpoint)") {
     // foreachBatch is at-least-once: simulate the worst replay — the
     // whole checkpoint lost after every batch's writes landed — by
