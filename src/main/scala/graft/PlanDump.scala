@@ -83,6 +83,13 @@ object PlanDump {
       ("Bucketed text dedup: native-kernel signatures, banded bucket " +
         "self-join (candidates only from band collisions), exact-Jaccard " +
         "verify over candidates. No all-pairs anything."),
+    "dd_minhash_clusters" ->
+      ("Output-proportional LSH dedup (the 100 TB form): per-bucket STAR " +
+        "edges via a window min over (band, bkey) — ONE exchange, no " +
+        "self-join anywhere in the plan — then exact-Jaccard verify and " +
+        "component labels. A cluster of m duplicates costs m label rows " +
+        "where the pair listing's bucket self-join pays m^2/2; " +
+        "SCALE_PROBE measures the two curves side by side."),
     "st_minhash_upsert" ->
       ("Stream-maintained LSH dedup: the serving query reads the banded " +
         "bucket table the micro-batches appended (band-partitioned, " +

@@ -173,6 +173,76 @@ object Multimodal {
     StructField("w_out", IntegerType), StructField("h_out", IntegerType),
     StructField("sig", StringType)))
 
+  /** URI-based media loader — the reference's DataLoader protocol
+    * (`chromadb/utils/data_loaders.py:1` ImageLoader: records carry
+    * `uri` pointers, a loader fetches bytes when media is needed):
+    * resolves each `(doc_id, uri)` row to its bytes executor-side, one
+    * loader init per partition. The `file://` leg uses java.nio; an
+    * object-store client drops into the same mapPartitions slot — the
+    * media bytes never route through the driver.
+    */
+  def loadUris(uris: DataFrame): DataFrame = {
+    val spark = uris.sparkSession
+    val rdd = uris.select(col("doc_id"), col("uri")).rdd.mapPartitions { it =>
+      // per-partition loader init slot (an S3/HTTP client would live here)
+      it.map { r =>
+        val u = java.net.URI.create(r.getString(1))
+        Row(r.getLong(0),
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(u)))
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType))))
+  }
+
+  /** 8-dim moment feature vector of a decoded grayscale raster —
+    * `[w, h, Σv, Σv², Σv·x, Σv·y, max v, min v]` — the
+    * feature-extraction leg of an image-similarity pipeline. Every
+    * component is integer-exact arithmetic over the pixels, so for
+    * [[syntheticImage]] blobs the identical vector is computable in
+    * ANSI SQL from the pixel formula: the decode→featurize→KNN
+    * composition gets a hash-exact oracle THROUGH the real codec.
+    */
+  def imageMoments(img: BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sv = 0L; var sv2 = 0L; var svx = 0L; var svy = 0L
+    var mx = Int.MinValue; var mn = Int.MaxValue
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = img.getRGB(x, y) & 0xff
+        sv += v; sv2 += v.toLong * v; svx += v.toLong * x; svy += v.toLong * y
+        if (v > mx) mx = v
+        if (v < mn) mn = v
+        x += 1
+      }
+      y += 1
+    }
+    Array(w.toFloat, h.toFloat, sv.toFloat, sv2.toFloat, svx.toFloat,
+      svy.toFloat, mx.toFloat, mn.toFloat)
+  }
+
+  private val momentSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Batched REAL decode → [[imageMoments]] featurize over image blobs —
+    * the image "embedding function": map-only, codec init per partition,
+    * output ready for the KNN operators.
+    */
+  def imageMomentFeatures(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        Row(r.getLong(0), imageMoments(img).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, momentSchema)
+  }
+
   /** Batched REAL decode → nearest-neighbor resize over image blobs:
     * output carries both dims and the RESIZED raster's digest. Map-only,
     * no shuffle.

@@ -36,11 +36,70 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // URI data-loader leg (the reference's ImageLoader): PNG files are
+    // staged EXECUTOR-SIDE once per collection (foreachPartition to
+    // shared storage, ensureBuilt-keyed), records carry file:// uris,
+    // and the loader fetches + decodes bytes in the executors — same
+    // oracle as mm_decode_features, proving uri → bytes → codec lands
+    // on identical rasters.
+    "mm_uri_decode" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d)
+      val mediaDir = s"$root/media_png"
+      graft.sources.CollectionStore.ensureBuilt(root, "media_png", "v1") {
+        val dir = mediaDir
+        Tables.documents(s, d).select(col("doc_id")).foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(dir))
+            it.foreach { r =>
+              val id = r.getLong(0)
+              val p = java.nio.file.Paths.get(dir, s"$id.png")
+              if (!java.nio.file.Files.exists(p))
+                java.nio.file.Files.write(p, Multimodal.syntheticImageBytes(id))
+            }
+        }
+      }
+      val uris = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit(s"file://$mediaDir/"), col("doc_id"), lit(".png"))
+          .as("uri"))
+      Multimodal.decodeImageFeatures(Multimodal.loadUris(uris))
+        .orderBy(col("doc_id"))
+    },
+
     // real decode → nearest-neighbor ×2 downscale, resized-raster digest
     "mm_resize" -> { (s, d) =>
       val blobs = Multimodal.synthPngBlobs(
         Tables.documents(s, d).select(col("doc_id")))
       Multimodal.resizeImages(blobs, stride = 2).orderBy(col("doc_id"))
+    },
+
+    // Image-similarity pipeline THROUGH the real codec: synthetic PNGs →
+    // javax.imageio decode → 8-dim integer moment features (w, h, Σv,
+    // Σv², Σvx, Σvy, max, min — Multimodal.imageMoments) → exact
+    // squared-L2 KNN. Every moment is an integer < 2^24 (exact in
+    // float32 AND double) so the distance arithmetic is EXACT on both
+    // sides — the whole decode→featurize→KNN composition hash-matches
+    // the closed-form DuckDB oracle with no float ambiguity.
+    "mm_image_knn" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val blobs = Multimodal.synthPngBlobs(
+        Tables.documents(s, d).select(col("doc_id")))
+      val feats = graft.sources.CollectionStore.cacheOnce(
+        Multimodal.imageMomentFeatures(blobs))
+      val q = feats.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("embedding").as("qe"))
+      val dist = aggregate(
+        zip_with(col("embedding").cast("array<double>"),
+          col("qe").cast("array<double>"), (x, y) => (x - y) * (x - y)),
+        lit(0d), (acc, z) => acc + z)
+      feats.crossJoin(broadcast(q))
+        .select(col("query_id"), col("doc_id"), dist.as("dist"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("dist"), col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("dist"))
+        .orderBy(col("query_id"), col("rank"))
     },
 
     // Exhaustive-mode oracle twin of mm_embed_knn — the embed-at-write →
@@ -80,20 +139,54 @@ object MultimodalPack extends QueryPack {
     },
   )
 
+  /** Real-codec decode oracle: true raster dims + row-major gray-value
+    * digest from the closed pixel form — shared by the blob and uri
+    * decode legs (identical expected rasters).
+    */
+  private val decodeOracleSql =
+    """SELECT doc_id,
+      |  CAST(doc_id % 13 + 4 AS INT) AS width,
+      |  CAST(doc_id % 11 + 3 AS INT) AS height,
+      |  md5(array_to_string(flatten(list_transform(range(0, doc_id % 11 + 3), y ->
+      |    list_transform(range(0, doc_id % 13 + 4), x ->
+      |      CAST((x*7 + y*13 + doc_id) % 128 AS VARCHAR)))), ',')) AS sig
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the ta_tfidf_knn oracle verbatim: identical embedding, queries, k
     "mm_embed_knn_oracle" -> TextAnalysis.oracle("ta_tfidf_knn"),
+    // uri → bytes → codec must land on the same rasters as inline blobs
+    "mm_uri_decode" -> decodeOracleSql,
+
+    // pixel moments from the closed form; integer-exact arithmetic both
+    // sides makes the squared-L2 distances bit-identical
+    "mm_image_knn" ->
+      """WITH ys AS (SELECT doc_id, unnest(range(0, doc_id % 11 + 3)) AS y
+        |           FROM documents),
+        |pxy AS (SELECT doc_id, y, unnest(range(0, doc_id % 13 + 4)) AS x FROM ys),
+        |pv AS (SELECT doc_id, x, y, (x*7 + y*13 + doc_id) % 128 AS v FROM pxy),
+        |vecs AS (SELECT doc_id, [
+        |    CAST(doc_id % 13 + 4 AS DOUBLE), CAST(doc_id % 11 + 3 AS DOUBLE),
+        |    CAST(sum(v) AS DOUBLE), CAST(sum(v*v) AS DOUBLE),
+        |    CAST(sum(v*x) AS DOUBLE), CAST(sum(v*y) AS DOUBLE),
+        |    CAST(max(v) AS DOUBLE), CAST(min(v) AS DOUBLE)] AS emb
+        |  FROM pv GROUP BY doc_id),
+        |q AS (SELECT doc_id AS query_id, emb AS qe FROM vecs WHERE doc_id < 3),
+        |d AS (SELECT query_id, v.doc_id,
+        |        list_sum(list_transform(range(1, 9),
+        |          i -> (v.emb[i]-qe[i])*(v.emb[i]-qe[i]))) AS dist
+        |      FROM vecs v, q),
+        |r AS (SELECT query_id, doc_id, dist,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY dist, doc_id) AS rank
+        |      FROM d)
+        |SELECT query_id, rank, doc_id, dist
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     // the synthetic image's dims and every pixel are closed-form in
     // doc_id, so the REAL codec's output (true raster dims + row-major
     // gray-value digest) is SQL-computable — any decode fault breaks it
-    "mm_decode_features" ->
-      """SELECT doc_id,
-        |  CAST(doc_id % 13 + 4 AS INT) AS width,
-        |  CAST(doc_id % 11 + 3 AS INT) AS height,
-        |  md5(array_to_string(flatten(list_transform(range(0, doc_id % 11 + 3), y ->
-        |    list_transform(range(0, doc_id % 13 + 4), x ->
-        |      CAST((x*7 + y*13 + doc_id) % 128 AS VARCHAR)))), ',')) AS sig
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode_features" -> decodeOracleSql,
 
     // nearest-neighbor ×2: out pixel (x,y) samples in-pixel (2x,2y);
     // out dims are ceil(in/2) — the resized raster digest from the

@@ -67,6 +67,45 @@ class MultimodalSpec extends AnyFunSuite {
       assert(out.getRGB(x, y) == img.getRGB(x * 2, y * 2))
   }
 
+  test("image moments are integer-exact and match a direct pixel computation") {
+    import graft.operators.Multimodal
+    val id = 42L
+    val img = Multimodal.syntheticImage(id)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = for (y <- 0 until h; x <- 0 until w)
+      yield (x, y, ((x * 7 + y * 13 + id) % 128).toInt)
+    val expect = Array[Float](w, h, px.map(_._3).sum,
+      px.map(p => p._3 * p._3).sum, px.map(p => p._3 * p._1).sum,
+      px.map(p => p._3 * p._2).sum, px.map(_._3).max, px.map(_._3).min)
+    assert(Multimodal.imageMoments(img).toSeq == expect.toSeq)
+    // through the real codec too
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.syntheticImageBytes(id)))
+    assert(Multimodal.imageMoments(back).toSeq == expect.toSeq)
+  }
+
+  test("uri loader fetches executor-side bytes identical to inline blobs") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("mm_uris")
+    val ids = Seq(3L, 17L, 99L)
+    ids.foreach { id =>
+      java.nio.file.Files.write(dir.resolve(s"$id.png"),
+        Multimodal.syntheticImageBytes(id))
+    }
+    import SparkTestSession.spark.implicits._
+    val uris = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        concat(lit(s"file://$dir/"), col("doc_id"), lit(".png")).as("uri"))
+    val got = Multimodal.decodeImageFeatures(Multimodal.loadUris(uris))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toMap
+    ids.foreach { id =>
+      val (w, h, sig) = Multimodal.decodeImage(Multimodal.syntheticImageBytes(id))
+      assert(got(id) == ((w, h, sig)), s"id=$id")
+    }
+  }
+
   test("distributed decode over blob column matches driver-side codec") {
     import graft.operators.Multimodal
     val ids = Tables.documents(spark, sf).select(col("doc_id")).limit(20)

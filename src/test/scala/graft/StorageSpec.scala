@@ -316,20 +316,21 @@ class StorageSpec extends AnyFunSuite {
     val root = tmp()
     val vecs = Tables.embeddings(spark, sf).limit(200)
       .select(col("vec_id").as("offset_id"), col("embedding"))
-    // current-layout build, then fabricate a PRE-hnsw-v2 root: the v1
-    // marker key (int pids, no packing) under the same directory — the
-    // test_cross_version_persist.py analogue for the serving layout
+    // current-layout build, then fabricate a PRE-hnsw-v3 root: the v2
+    // marker key (flat-only, no centroid routing) under the same
+    // directory — the test_cross_version_persist.py analogue for the
+    // serving layout
     hnswServing(vecs, root)
     val marker = java.nio.file.Paths.get(root, "hnsw", "_built")
-    val v2Key = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
-    assert(v2Key.startsWith("hnsw-v2-"), s"unexpected current key $v2Key")
+    val v3Key = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    assert(v3Key.startsWith("hnsw-v3-"), s"unexpected current key $v3Key")
     java.nio.file.Files.write(marker,
-      v2Key.replace("hnsw-v2-", "hnsw-v1-").getBytes("UTF-8"))
+      v3Key.replace("hnsw-v3-", "hnsw-v2-").getBytes("UTF-8"))
     invalidateRoot(root) // a fresh serving process re-checks markers
     hnswServing(vecs, root) // reopen with CURRENT code
     val rebuilt = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
-    assert(rebuilt == v2Key,
-      s"v1-keyed root did not rebuild to the current layout: $rebuilt")
+    assert(rebuilt == v3Key,
+      s"v2-keyed root did not rebuild to the current layout: $rebuilt")
     // reads never mix layouts: the rebuilt graph serves correctly
     val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
