@@ -85,11 +85,15 @@ object PlanDump {
         "verify over candidates. No all-pairs anything."),
     "dd_minhash_clusters" ->
       ("Output-proportional LSH dedup (the 100 TB form): per-bucket STAR " +
-        "edges via a window min over (band, bkey) — ONE exchange, no " +
-        "self-join anywhere in the plan — then exact-Jaccard verify and " +
-        "component labels. A cluster of m duplicates costs m label rows " +
-        "where the pair listing's bucket self-join pays m^2/2; " +
-        "SCALE_PROBE measures the two curves side by side."),
+        "edges via a window min over (band, bkey) — one exchange, no " +
+        "bucket self-join — then exact-Jaccard verify and component " +
+        "labels. The dumped plan shows only the final label join: the " +
+        "sparse verified-edge set collected into the driver union-find " +
+        "(size-adaptive components) and returns as a LocalTableScan — " +
+        "the star-edge window plan executed upstream. A cluster of m " +
+        "duplicates costs m label rows where the pair listing's bucket " +
+        "self-join pays m^2/2; SCALE_PROBE measures the two curves side " +
+        "by side (11x/decade vs 4.7x/decade at x100)."),
     "st_minhash_upsert" ->
       ("Stream-maintained LSH dedup: the serving query reads the banded " +
         "bucket table the micro-batches appended (band-partitioned, " +

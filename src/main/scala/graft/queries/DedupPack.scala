@@ -82,7 +82,11 @@ object DedupPack extends QueryPack {
     "dd_minhash_probe" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val batch = docs.filter(col("doc_id") % 7 === 0)
-      Dedup.minhashLshProbe(batch, docs, Dedup.bandedRows(docs),
+      // cache the banded table: the probe's parameter-validation scan
+      // and the candidate join share one signature pass (on the serving
+      // path this table is the persisted index — already materialized)
+      Dedup.minhashLshProbe(batch, docs,
+          graft.sources.CollectionStore.cacheOnce(Dedup.bandedRows(docs)),
           threshold = 0.5)
         .orderBy(col("da"), col("db"))
     },
@@ -161,7 +165,8 @@ object DedupPack extends QueryPack {
     "dd_minhash_probe_oracle" -> { (s, d) =>
       val all = doubled(Tables.documents(s, d))
       val batch = all.filter(col("doc_id") >= ReplicaShift)
-      Dedup.minhashLshProbe(batch, all, Dedup.bandedRows(all),
+      Dedup.minhashLshProbe(batch, all,
+          graft.sources.CollectionStore.cacheOnce(Dedup.bandedRows(all)),
           threshold = 1.0)
         .orderBy(col("da"), col("db"))
     },
