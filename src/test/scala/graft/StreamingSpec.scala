@@ -612,6 +612,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L), (2L, 1L)), s"got $got")
   }
 
+  test("retro-merge sessionizer equals batch sessionization under random batch splits") {
+    import SparkTestSession.spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val min = 60L * 1000
+    for (seed <- Seq(11, 42, 77)) {
+      val rnd = new scala.util.Random(seed)
+      // ~60 events across 5 users, timestamps dense enough to form real
+      // multi-event sessions with gaps
+      val events = (1 to 60).map { i =>
+        (i.toLong, rnd.nextInt(5) + 1L,
+          rnd.nextInt(48) * 11L * min, (rnd.nextInt(100) + 1) / 10.0)
+      }
+      // reference: per-user sort + 30-min gap split, computed directly
+      val expected = events.groupBy(_._2).flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._3, e._1))
+        val runs = sorted.tail.foldLeft(Vector(Vector(sorted.head))) {
+          (acc, e) =>
+            if (e._3 - acc.last.last._3 > 30 * min) acc :+ Vector(e)
+            else acc.init :+ (acc.last :+ e)
+        }
+        runs.zipWithIndex.map { case (r, i) =>
+          (u, i + 1L, r.length.toLong, r.last._3 - r.head._3,
+            BigDecimal(r.map(_._4).sum).setScale(2,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.toSet
+      // adversarial arrival: random 3-way split, staged sequentially
+      val stage = specRoot(s"retro_prop_$seed")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+      val parts = events.groupBy(_ => rnd.nextInt(3)).toSeq.sortBy(_._1)
+      parts.foreach { case (_, evs) =>
+        evs.toDF("event_id", "user_id", "tsMs", "value")
+          .select(col("event_id"), (col("tsMs") * 1000000L).as("ts"),
+            col("user_id"), lit("e").as("event_type"), col("value"),
+            lit("{}").as("props"))
+          .select(EventStream.eventsSchema.fieldNames.map(col): _*)
+          .coalesce(1).write.mode("append").parquet(stage)
+      }
+      val files = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000L + i * 60000L) }
+      val stream = spark.readStream.schema(EventStream.eventsSchema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val out = EventStream.runToTable(
+        EventStream.sessionizeRetro(stream).toDF(), OutputMode.Update())
+      val got = EventStream.latestSessionsRetro(out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got == expected,
+        s"seed $seed: only-streamed=${(got -- expected).take(3)} " +
+          s"only-batch=${(expected -- got).take(3)}")
+    }
+  }
+
   test("maintainers are idempotent under micro-batch replay (lost checkpoint)") {
     // foreachBatch is at-least-once: simulate the worst replay — the
     // whole checkpoint lost after every batch's writes landed — by
