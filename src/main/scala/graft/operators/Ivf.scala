@@ -47,9 +47,27 @@ object Ivf {
     * recall high on weakly-clustered data at the cost of nReplica×
     * posting storage.
     */
+  /** Rows past which the k-means FIT runs on a seeded sample instead of
+    * the full corpus: the fit is maxIter (20) full passes, so at 100 TB
+    * an unsampled fit costs 20 corpus scans for centroids that a
+    * million-row sample estimates just as well (centroid quality needs
+    * cluster-proportional coverage, not every member — the standard
+    * large-scale k-means practice). ASSIGNMENT always covers every
+    * vector; only the fit samples.
+    */
+  val FitSampleMax: Long = 1000000L
+
   def build(vecs: DataFrame, nCentroids: Int, nReplica: Int = 2,
-      seed: Long = 42L, maxIter: Int = 20): Model = {
-    val feats = vecs.select(col("offset_id"), col("embedding"),
+      seed: Long = 42L, maxIter: Int = 20,
+      fitSampleMax: Long = FitSampleMax): Model = {
+    val n = vecs.count()
+    val fitInput =
+      if (n <= fitSampleMax) vecs
+      // 5% oversample so the realized (binomial) sample lands near the
+      // cap; seeded → deterministic build for a fixed input
+      else vecs.sample(withReplacement = false,
+        math.min(1.0, fitSampleMax.toDouble * 1.05 / n), seed)
+    val feats = fitInput.select(col("offset_id"), col("embedding"),
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
     val model = km.fit(feats)

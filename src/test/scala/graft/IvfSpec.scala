@@ -31,6 +31,37 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"IVF recall $recall < 0.95")
   }
 
+  test("sampled k-means fit (the 100 TB build path) keeps the recall gate") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    // force the sampled-fit leg: cap far below the corpus — centroids
+    // estimate from ~1/6 of the vectors, assignment still covers all
+    val n = vecs.count()
+    val model = Ivf.build(vecs, nCentroids = 16, nReplica = 4,
+      fitSampleMax = n / 6)
+    assert(model.centroids.count() == 16)
+    // every vector is assigned (the fit samples, the assignment doesn't)
+    assert(model.postings.select("offset_id").distinct().count() == n)
+    val k = 10
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "offset_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(Knn.exact(vecs, queries, k))
+    val approx = resultSet(Ivf.search(model, queries, k, nprobe = 8))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.95, s"sampled-fit IVF recall $recall < 0.95")
+    // deterministic: same seed + cap → identical centroids
+    val again = Ivf.build(vecs, nCentroids = 16, nReplica = 4,
+      fitSampleMax = n / 6)
+    val c1 = model.centroids.collect().map(r =>
+      r.getInt(0) -> r.getSeq[Float](1)).toMap
+    val c2 = again.centroids.collect().map(r =>
+      r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(c1 == c2, "sampled fit is not deterministic")
+  }
+
   test("pre-filtered search: k survivors, all allowed, recall vs filtered exact") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("offset_id"), col("embedding"))
