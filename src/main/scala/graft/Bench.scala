@@ -130,10 +130,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullDict,"restamped":$restamped,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => }
+    // only full runs own the committed artifact — a SPARK_GRAFT_ONLY
+    // subset must not clobber the 160+-query dict with its handful
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => }
+    }
     // Full (un-subsetted) runs refresh this SF's comparison baseline as a
     // downward ratchet — per-query min of the old reference and this
     // run's official value. The reference thus tracks "the code's best
