@@ -342,10 +342,6 @@ object EventStream extends Serializable {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val seenDir = s"$root/seen"
-        // ascending-doc_id arrival is the exactness precondition —
-        // ENFORCE it (file-mtime ordering can silently collapse on
-        // coarse-granularity filesystems), don't assume it
-        enforceAscendingBatches(batch, root, batchId, "spanDedupMaintain")
         val segs = graft.operators.Dedup.segmentRows(batch, span)
         import org.apache.spark.sql.expressions.Window
         val rn = org.apache.spark.sql.functions.row_number()
@@ -369,6 +365,13 @@ object EventStream extends Serializable {
           .withColumn("is_first", col("rn") === 1 && !col("seen_before"))
           .persist() // referenced twice: survivor docs + new seen values
         try {
+          // ascending-doc_id arrival is the exactness precondition —
+          // ENFORCE it (file-mtime ordering can silently collapse on
+          // coarse-granularity filesystems), don't assume it. The guard's
+          // agg doubles as the cache materialization, so it costs no
+          // extra pass; it runs BEFORE any write, so a reordered batch
+          // fails without touching state.
+          enforceAscendingBatches(marked, root, batchId, "spanDedupMaintain")
           // batchId-keyed overwrite ([[idempotentAppend]]): a replayed
           // batch recomputes against exactly the pre-batch seen state and
           // rewrites identical rows instead of appending duplicates
