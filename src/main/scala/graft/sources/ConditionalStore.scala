@@ -30,6 +30,19 @@ package graft.sources
   * written/read by Spark, already object-store-native via the Hadoop
   * filesystem connectors. Only the O(1)-sized markers — the
   * linearization state — need conditional semantics.
+  *
+  * NOT covered (deliberately): [[CollectionStore.conditionalCommit]]'s
+  * version publish consumes its claim token with an atomic RENAME —
+  * correct on POSIX/HDFS, but object stores have no atomic rename, and
+  * emulating it (read src → putIfAbsent dst → delete src) opens a
+  * sweeper race where a registered marker can point at reaped data. The
+  * object-store translation is the WAL's own void-marker protocol (the
+  * sweeper CASes the MARKER with a void verdict via [[putIfAbsent]], the
+  * committer's marker putIfAbsent then loses loudly — exactly
+  * [[WalStore.recoverStaleClaims]]'s shape, with void slots skipped in
+  * the version chain). That is a protocol change, not a storage shim, so
+  * it stays documented here rather than hidden behind a pseudo-atomic
+  * rename primitive.
   */
 trait ConditionalStore {
   /** Atomically create `path` with `bytes` iff it does not exist; true
