@@ -477,9 +477,14 @@ object EmbeddingFunctions {
       var wi = 0
       while (wi < words.length && out.length < maxLen - 1) {
         val w = words(wi)
+        // pieces buffer per word: BERT WordPiece replaces the ENTIRE
+        // word with one [UNK] when any position fails to match — emitting
+        // matched prefixes followed by [UNK] would diverge from the
+        // reference tokenizer's ids for every OOV-tailed word
+        val pieces = scala.collection.mutable.ArrayBuffer[Long]()
         var start = 0
         var bad = false
-        while (start < w.length && !bad && out.length < maxLen - 1) {
+        while (start < w.length && !bad) {
           var end = w.length
           var pieceId = -1
           while (end > start && pieceId < 0) {
@@ -487,10 +492,11 @@ object EmbeddingFunctions {
             pieceId = vocab.getOrElse(piece, -1)
             if (pieceId < 0) end -= 1
           }
-          if (pieceId < 0) { bad = true } // no prefix matched → whole word UNK
-          else { out += pieceId.toLong; start = end }
+          if (pieceId < 0) bad = true
+          else { pieces += pieceId.toLong; start = end }
         }
-        if (bad) out += unk.toLong
+        val emit = if (bad) Seq(unk.toLong) else pieces.toSeq
+        emit.iterator.takeWhile(_ => out.length < maxLen - 1).foreach(out += _)
         wi += 1
       }
       out += sep.toLong

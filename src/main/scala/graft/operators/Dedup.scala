@@ -391,13 +391,46 @@ object Dedup {
       rows: Int = 4): DataFrame = {
     // a table built with different (bands, rows, n) would join to zero
     // candidates SILENTLY — fail loudly on the one mismatch the table
-    // itself reveals (band count); (rows, n) mismatches are caught by the
-    // `_lsh_params.json` sidecar [[writeLshParams]] persists at build time
+    // itself reveals (band count, a scan). The SERVED form
+    // ([[minhashLshProbeServed]]) validates all three parameters from
+    // the `_lsh_params.json` sidecar at metadata cost instead.
     val tblMaxBand = banded.agg(max(col("band"))).head()
     require(tblMaxBand.isNullAt(0) || tblMaxBand.getInt(0) == bands - 1,
       s"minhashLshProbe: probe uses $bands bands but the banded table's max " +
         s"band is ${tblMaxBand.get(0)} — probe and table must be built with " +
         "identical (bands, rows, n); see the table's _lsh_params.json")
+    probeVerified(batch, docs, banded, threshold, n, bands, rows)
+  }
+
+  /** [[minhashLshProbe]] over a PERSISTED banded table directory — the
+    * serving form the ingest cadence should call: build parameters
+    * validate against the `_lsh_params.json` sidecar the maintainers
+    * persist ([[writeLshParams]]) at METADATA cost, covering all three
+    * of (n, bands, rows) where the DataFrame variant can only scan for
+    * the band count. Absent a sidecar (a pre-r8 table) it falls back to
+    * the scan check.
+    */
+  def minhashLshProbeServed(batch: DataFrame, docs: DataFrame,
+      bandedDir: String, threshold: Double, n: Int = 3, bands: Int = 16,
+      rows: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val banded = spark.read.parquet(bandedDir).select("doc_id", "band", "bkey")
+    readLshParams(bandedDir) match {
+      case Some((tn, tb, tr)) =>
+        require(tn == n && tb == bands && tr == rows,
+          s"minhashLshProbeServed: table $bandedDir was built with " +
+            s"(n=$tn, bands=$tb, rows=$tr) but the probe uses " +
+            s"(n=$n, bands=$bands, rows=$rows) — a mismatch would lose " +
+            "every candidate silently")
+        probeVerified(batch, docs, banded, threshold, n, bands, rows)
+      case None =>
+        minhashLshProbe(batch, docs, banded, threshold, n, bands, rows)
+    }
+  }
+
+  private def probeVerified(batch: DataFrame, docs: DataFrame,
+      banded: DataFrame, threshold: Double, n: Int, bands: Int,
+      rows: Int): DataFrame = {
     val probe = bandedRows(batch, n, bands, rows)
     val candidates = banded.as("a")
       .join(probe.as("b"),

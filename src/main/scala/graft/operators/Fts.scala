@@ -92,12 +92,16 @@ object Fts {
     val dir = s"$root/fts/postings"
     val tmp = s"$root/fts/postings_compacting"
     graft.sources.CollectionStore.healSwap(dir) // crashed prior swap
-    spark.read.parquet(dir)
-      .groupBy("bucket", "trigram")
+    val df = spark.read.parquet(dir)
+    // maintained dirs carry a batch=<id> partition level (idempotent
+    // appends) — compacted rows keep it as a synthetic batch=-1 so the
+    // next append's partition discovery stays conflict-free
+    val sub = if (df.columns.contains("batch")) "/batch=-1" else ""
+    df.groupBy("bucket", "trigram")
       .agg(array_sort(array_distinct(flatten(collect_list(col("docs")))))
         .as("docs"))
       .repartition(col("bucket")) // one writer per bucket → no tiny files
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp + sub)
     graft.sources.CollectionStore.swapDirectory(dir, tmp)
     // drop memoized file listings for the swapped directory
     graft.sources.CollectionStore.invalidateRoot(dir)

@@ -213,10 +213,19 @@ object Hnsw {
   }
 
   def buildAndSave(candidates: DataFrame, root: String,
-      m: Int = 16, efConstruction: Int = 100, space: String = "cosine"): Unit =
+      m: Int = 16, efConstruction: Int = 100, space: String = "cosine"): Unit = {
+    // a flat rebuild over a previously-ROUTED root must retire the stale
+    // centroid table — its mere presence flips searchSaved into routed
+    // mode, which would misroute against the flat (pid, blob) graphs.
+    // Retire BEFORE writing: a crash in between leaves old routed graphs
+    // with no centroids, which the flat path still scans correctly
+    // (un-routed), never the reverse (flat graphs + stale centroids).
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$root/hnsw/centroids"))
     graphRows(candidates, m, efConstruction, space)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/hnsw/graphs")
+  }
 
   /** Input-partition count past which
     * [[graft.sources.CollectionStore.hnswServing]] switches from the flat
@@ -242,9 +251,10 @@ object Hnsw {
   def buildRoutedAndSave(candidates: DataFrame, root: String,
       nCentroids: Int, nReplica: Int = 2, m: Int = 16,
       efConstruction: Int = 100, space: String = "cosine",
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L, knownCount: Option[Long] = None): Unit = {
     val spark = candidates.sparkSession
-    val model = Ivf.build(candidates, nCentroids, nReplica, seed)
+    val model = Ivf.build(candidates, nCentroids, nReplica, seed,
+      knownCount = knownCount)
     val rows = model.postings
       .repartition(col("centroid_id"))
       .select(col("centroid_id"), col("offset_id"), col("embedding")).rdd

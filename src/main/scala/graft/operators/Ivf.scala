@@ -59,8 +59,11 @@ object Ivf {
 
   def build(vecs: DataFrame, nCentroids: Int, nReplica: Int = 2,
       seed: Long = 42L, maxIter: Int = 20,
-      fitSampleMax: Long = FitSampleMax): Model = {
-    val n = vecs.count()
+      fitSampleMax: Long = FitSampleMax,
+      knownCount: Option[Long] = None): Model = {
+    // serving wrappers already counted for their build keys — reuse it
+    // instead of a second full pass over the candidate plan
+    val n = knownCount.getOrElse(vecs.count())
     val fitInput =
       if (n <= fitSampleMax) vecs
       // 5% oversample so the realized (binomial) sample lands near the
@@ -240,9 +243,17 @@ object Ivf {
   def compactPostings(spark: SparkSession, postingsDir: String): Unit = {
     val tmp = postingsDir + "_compacting"
     graft.sources.CollectionStore.healSwap(postingsDir) // crashed prior swap
-    graft.streaming.EventStream.dropBatch(spark.read.parquet(postingsDir))
+    // maintained dirs carry a batch=<id> partition level (idempotent
+    // appends) — compacted rows keep it as a synthetic batch=-1 so the
+    // NEXT append's partition discovery stays conflict-free (a flat
+    // rewrite would mix directory depths and fail every later read);
+    // batch-built flat dirs compact flat, unchanged
+    val df0 = spark.read.parquet(postingsDir)
+    val sub = if (df0.columns.contains("batch")) "/batch=-1" else ""
+    graft.streaming.EventStream.dropBatch(df0)
       .repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(tmp + sub)
     graft.sources.CollectionStore.swapDirectory(postingsDir, tmp)
     graft.sources.CollectionStore.invalidateRoot(postingsDir)
   }

@@ -98,13 +98,24 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Decode or fail LOUDLY: `ImageIO.read` returns null (not an
+    * exception) for unrecognized bytes, and a bare executor NPE from a
+    * null raster gives no hint which blob was corrupt.
+    */
+  private def readImage(bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null,
+      s"undecodable image bytes (${bytes.length} bytes, " +
+        s"magic ${bytes.take(4).map("%02x".format(_)).mkString})")
+    img
+  }
+
   /** REAL image decode via the JDK codec: format auto-detected from the
     * magic bytes (PNG, BMP, GIF, JPEG — whatever `javax.imageio`
     * registers), returns true raster dimensions + the pixel digest.
     */
   def decodeImage(bytes: Array[Byte]): (Int, Int, String) = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    require(img != null, "decodeImage: undecodable image bytes")
+    val img = readImage(bytes)
     (img.getWidth, img.getHeight, rasterDigest(img))
   }
 
@@ -236,8 +247,7 @@ object Multimodal {
     val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
       ImageIO.setUseCache(false)
       it.map { r =>
-        val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        Row(r.getLong(0), imageMoments(img).toSeq)
+        Row(r.getLong(0), imageMoments(readImage(r.getAs[Array[Byte]](1))).toSeq)
       }
     }
     spark.createDataFrame(rdd, momentSchema)
@@ -253,7 +263,7 @@ object Multimodal {
       ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(0)
-        val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val img = readImage(r.getAs[Array[Byte]](1))
         val out = resizeImage(img, stride)
         Row(id, img.getWidth, img.getHeight, out.getWidth, out.getHeight,
           rasterDigest(out))

@@ -47,7 +47,7 @@ object StreamingPack extends QueryPack {
         .schema(s.read.parquet(s"$base/src").schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
       val out = EventStream.runToTable(
-        EventStream.sessionizeRetro(stream).toDF(), OutputMode.Update())
+        EventStream.sessionizeRetro(stream, retentionMs = Long.MaxValue).toDF(), OutputMode.Update())
       EventStream.latestSessionsRetro(out)
         .orderBy(col("user_id"), col("session_seq"))
     },

@@ -261,9 +261,11 @@ object CollectionStore {
       graphRouteThreshold: Int = CentroidGraphThreshold,
       keyTag: String = ""): Ivf.Model = {
     once(s"ivf-$root-$nCentroids-$nReplica-$seed-$keyTag") {
-      val key = s"ivf-$nCentroids-$nReplica-$seed-n${vecs.count()}-$keyTag"
+      val n = vecs.count()
+      val key = s"ivf-$nCentroids-$nReplica-$seed-n$n-$keyTag"
       ensureBuilt(root, "ivf", key) {
-        saveIvf(Ivf.build(vecs, nCentroids, nReplica, seed), root)
+        saveIvf(Ivf.build(vecs, nCentroids, nReplica, seed,
+          knownCount = Some(n)), root)
       }
     }
     val spark = vecs.sparkSession
@@ -341,13 +343,14 @@ object CollectionStore {
       // v3: centroid-routed layout past the partition threshold
       // (nReplica 4 — same closure-assignment density the IVF serving
       // defaults use; recall at nprobe 8/32 is gated in HnswSpec)
+      val n = vecs.count()
       val key =
-        s"hnsw-v3-$m-$efConstruction-$space-n${vecs.count()}-p$nParts-r4-$keyTag"
+        s"hnsw-v3-$m-$efConstruction-$space-n$n-p$nParts-r4-$keyTag"
       ensureBuilt(root, "hnsw", key) {
         if (routed)
           Hnsw.buildRoutedAndSave(vecs, root, nCentroids = nParts,
             nReplica = 4, m = m, efConstruction = efConstruction,
-            space = space)
+            space = space, knownCount = Some(n))
         else Hnsw.buildAndSave(vecs, root, m, efConstruction, space)
       }
     }
@@ -450,7 +453,12 @@ object CollectionStore {
     val dir = s"$root/sparse_$key/postings"
     val tmp = s"$root/sparse_$key/postings_compacting"
     healSwap(dir) // recover a crashed prior swap before touching the dir
-    spark.read.parquet(dir)
+    val df0 = spark.read.parquet(dir)
+    // maintained dirs carry a batch=<id> partition level (idempotent
+    // appends) — compacted rows keep it as a synthetic batch=-1 so the
+    // next append's partition discovery stays conflict-free
+    val sub = if (df0.columns.contains("batch")) "/batch=-1" else ""
+    df0
       .select(col("bucket"), col("term_id"), col("block_id"),
         explode(arrays_zip(col("docs"), col("ws"))).as("p"))
       .select(col("bucket"), col("term_id"), col("block_id"),
@@ -462,7 +470,7 @@ object CollectionStore {
         expr("transform(blk, x -> x.doc_id)").as("docs"),
         expr("transform(blk, x -> x.w)").as("ws"), col("bucket"))
       .repartition(col("bucket")) // one writer per bucket → no tiny files
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp + sub)
     swapDirectory(dir, tmp)
     invalidateRoot(dir)
   }

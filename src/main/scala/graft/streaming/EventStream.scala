@@ -598,15 +598,20 @@ object EventStream extends Serializable {
     * rows) retires the seq numbers the merge consumed, which plain
     * last-write-wins cannot do.
     *
-    * `retentionMs` is the retro-merge horizon (the watermark): runs
-    * whose last event has fallen `retentionMs` + gap behind the user's
-    * max seen timestamp FREEZE — emitted once as final (`frozen=true`,
-    * always kept by the materialization) and dropped from state, so
-    * state is bounded by the horizon, exactly a watermark's contract.
-    * Events at or before the frozen boundary are too late and are
-    * dropped (the same discard a watermark applies).
+    * `retentionMs` is the retro-merge horizon (the watermark) and is a
+    * REQUIRED choice: runs whose last event has fallen `retentionMs` +
+    * gap behind the user's max seen timestamp FREEZE — emitted once as
+    * final (`frozen=true`, always kept by the materialization) and
+    * dropped from state, so state is bounded by the horizon, exactly a
+    * watermark's contract. Events at or before the frozen boundary are
+    * too late and are dropped (the same discard a watermark applies).
+    * `Long.MaxValue` means NOTHING ever freezes — exact under any
+    * arrival order, right for bounded backfills/analysis, but per-user
+    * state then grows with event count and each batch re-sorts the full
+    * history: a long-running production ingest MUST pick a finite
+    * horizon (which is why there is no default).
     */
-  def sessionizeRetro(events: DataFrame, retentionMs: Long = Long.MaxValue,
+  def sessionizeRetro(events: DataFrame, retentionMs: Long,
       gapMs: Long = 30L * 60 * 1000): Dataset[SessionV] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -85,6 +85,31 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.readLshParams(dir).contains((5, 8, 8)))
   }
 
+  test("served probe validates ALL build params from the sidecar, then matches") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_served").toString
+    Dedup.bandedRows(docs).repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(dir)
+    Dedup.writeLshParams(dir, n = 3, bands = 16, rows = 4)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    // metadata-cost validation passes and the result equals the
+    // DataFrame-variant probe over the same table
+    val served = Dedup.minhashLshProbeServed(batch, docs, dir, threshold = 0.5)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.minhashLshProbe(batch, docs,
+        spark.read.parquet(dir).select("doc_id", "band", "bkey"),
+        threshold = 0.5)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == direct)
+    // a (rows, n) mismatch the band count CANNOT reveal fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLshProbeServed(batch, docs, dir, threshold = 0.5,
+        n = 5, bands = 16, rows = 4)
+    }
+    assert(e.getMessage.contains("built with"), e.getMessage)
+  }
+
   test("embedding probe == threshold-pair graph restricted to batch-touching pairs") {
     import graft.operators.Ivf
     val vecs = Tables.embeddings(spark, sf)

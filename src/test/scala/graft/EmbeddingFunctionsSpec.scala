@@ -218,6 +218,10 @@ class EmbeddingFunctionsSpec extends AnyFunSuite {
     assert(wp.encode("Spark QUERY").toSeq == Seq(1L, 7L, 8L, 2L))
     // word with no matchable prefix -> single UNK
     assert(wp.encode("zzz").toSeq == Seq(1L, 0L, 2L))
+    // OOV TAIL also collapses the WHOLE word to one UNK (BERT WordPiece
+    // semantics: matched prefixes must not leak when any position fails)
+    assert(wp.encode("unzzz").toSeq == Seq(1L, 0L, 2L))
+    assert(wp.encode("unzzz spark").toSeq == Seq(1L, 0L, 7L, 2L))
     // punctuation splits, empty input still framed
     assert(wp.encode("spark,query!").toSeq == Seq(1L, 7L, 8L, 2L))
     assert(wp.encode("").toSeq == Seq(1L, 2L))

@@ -149,6 +149,41 @@ class StreamingSpec extends AnyFunSuite {
       "compaction left more than one file per centroid")
   }
 
+  test("maintain -> compact -> maintain keeps a readable uniform layout") {
+    // compaction folds a maintained table's batch=<id> leaves; a LATER
+    // micro-batch append must not reintroduce a conflicting directory
+    // depth (compacted rows live under a synthetic batch=-1 leaf)
+    import graft.operators.Ivf
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val centroids = Ivf.build(vecs, nCentroids = 8, nReplica = 2)
+      .centroids.cache()
+    val base = java.nio.file.Files.createTempDirectory("maint_cadence").toString
+    val half1 = vecs.filter(col("offset_id") % 2 === 0)
+    val half2 = vecs.filter(col("offset_id") % 2 =!= 0)
+    half1.coalesce(1).write.parquet(s"$base/src")
+    EventStream.ivfMaintain(spark, s"$base/src", centroids,
+      s"$base/postings", s"$base/ckpt", nReplica = 2)
+    Ivf.compactPostings(spark, s"$base/postings")
+    // second wave of WAL files arrives AFTER the compaction
+    half2.coalesce(1).write.mode("append").parquet(s"$base/src")
+    EventStream.ivfMaintain(spark, s"$base/src", centroids,
+      s"$base/postings", s"$base/ckpt", nReplica = 2)
+    // the mixed (compacted + freshly-appended) table must read cleanly
+    // and hold exactly the full assignment's row set
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("centroid_id", "offset_id")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val got = key(spark.read.parquet(s"$base/postings"))
+    val expect = key(Ivf.assign(vecs, centroids, 2))
+    assert(got == expect,
+      s"post-cadence table diverged: only-got=${(got -- expect).take(3)} " +
+        s"missing=${(expect -- got).take(3)}")
+    // and a second compaction over the mixed layout still works
+    Ivf.compactPostings(spark, s"$base/postings")
+    assert(key(spark.read.parquet(s"$base/postings")) == expect)
+  }
+
   test("incremental FTS maintenance serves the same candidates as the batch build") {
     import graft.operators.Fts
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"),
@@ -564,7 +599,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1).parquet(stage)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val out = EventStream.runToTable(
-      EventStream.sessionizeRetro(stream).toDF(), OutputMode.Update())
+      EventStream.sessionizeRetro(stream, retentionMs = Long.MaxValue).toDF(), OutputMode.Update())
     // both revisions were emitted (seq 2 existed at rev 1)
     assert(out.filter(col("rev") === 1 && col("session_seq") === 2)
       .count() == 1, "first revision should have emitted session 2")
@@ -658,7 +693,7 @@ class StreamingSpec extends AnyFunSuite {
         .option("maxFilesPerTrigger", 1).parquet(stage)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val out = EventStream.runToTable(
-        EventStream.sessionizeRetro(stream).toDF(), OutputMode.Update())
+        EventStream.sessionizeRetro(stream, retentionMs = Long.MaxValue).toDF(), OutputMode.Update())
       val got = EventStream.latestSessionsRetro(out)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getDouble(4))).toSet
