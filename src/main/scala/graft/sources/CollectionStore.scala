@@ -336,7 +336,10 @@ object CollectionStore {
     // past the flat fan-out threshold, default to the centroid-routed
     // layout (SPANN centers-search): one graph per k-means centroid,
     // partition-pruned probes — searchSaved detects the persisted
-    // centroids and routes automatically
+    // centroids and routes automatically. The partition count IS the
+    // layout knob (flat mode builds one graph per partition too) — pin
+    // it upstream with repartition(n) so the build key stays stable;
+    // incidental partitioning drift otherwise re-keys the build.
     val nParts = vecs.rdd.getNumPartitions
     val routed = nParts > Hnsw.RoutePartitionThreshold
     once(s"hnsw-$root-$m-$efConstruction-$space-$keyTag") {
