@@ -43,27 +43,45 @@ object SparsePack extends QueryPack {
     },
 
     // BM25 ranking of documents for a fixed term query (k1=1.2, b=0.75).
+    // Shuffle-free formulation: the query's term set is tiny and known, so
+    // per-doc tf for each query term is array algebra over the token array
+    // (codegen'd higher-order filter) — no corpus-wide explode/groupBy.
+    // Every corpus scalar the formula needs (N, avgdl, per-term df) folds
+    // into ONE single-row aggregate, broadcast into the scoring scan; the
+    // top-20 is a TakeOrdered. Two narrow scans total, zero wide shuffles,
+    // zero driver actions — at 100 TB the only costs are the scans
+    // themselves (persist `perDoc` to make it one).
     "sp_bm25_rank" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val n = docs.count()
-      val tf = termFreqs(s, d)
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      // corpus scalar as a broadcast single-row join — no driver collect
-      val avgdl = dl.agg(avg("dl").as("avgdl"))
-      val df = tf.filter(col("term").isin(queryTerms: _*))
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      val idf = df.withColumn("idf",
-        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      val toks = docs
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")))
+      val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+        size(filter(col("toks"), x => x === t)).as(s"tf$i")
+      }
+      val perDoc = toks.select(col("doc_id") +: col("dl") +: tfCols: _*)
+      // avgdl over docs with >=1 token only, matching the oracle's dl table
+      // (derived from freq, which has no rows for empty docs).
+      val statAggs = count(lit(1)).as("n") +:
+        avg(when(col("dl") > 0, col("dl"))).as("avgdl") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
       val k1 = 1.2; val b = 0.75
-      tf.filter(col("term").isin(queryTerms: _*))
-        .join(broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(avgdl))
-        .withColumn("contrib",
-          col("idf") * (col("tf") * lit(k1 + 1)) /
-            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-        .groupBy("doc_id")
-        .agg(round(sum("contrib"), 6).as("bm25"), count(lit(1)).as("n_terms"))
+      val contribs = queryTerms.indices.map { i =>
+        val idf = log(
+          (col("n").cast("double") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+        when(col(s"tf$i") > 0,
+          idf * (col(s"tf$i") * lit(k1 + 1)) /
+            (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .otherwise(lit(0.0))
+      }
+      val hits = queryTerms.indices.map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L))
+      perDoc.crossJoin(broadcast(stats))
+        .withColumn("n_terms", hits.reduce(_ + _))
+        .filter(col("n_terms") > 0)
+        .select(col("doc_id"),
+          round(contribs.reduce(_ + _), 6).as("bm25"), col("n_terms"))
         .orderBy(desc("bm25"), col("doc_id"))
         .limit(20)
     },
