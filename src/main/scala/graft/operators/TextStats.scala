@@ -70,6 +70,50 @@ object TextStats {
   def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  /** CCNet-style n-gram LM quality scoring: fit an add-`alpha`-smoothed
+    * bigram LM on the corpus itself and score every document by its
+    * per-transition cross-entropy (nats) and perplexity — the classic
+    * perplexity filter of an LLM-pretraining pipeline (reference's
+    * quality-signal role: `chromadb`'s pipelines delegate this to outside
+    * tooling; CCNet/KenLM is the published shape).
+    *
+    * Input: (`doc_id`, `text`); output: (`doc_id`, `n_trans`, `nll`, `ppl`)
+    * for every doc with >= 2 tokens, `nll` rounded to 6 places, `ppl` to 2.
+    *
+    * Scale shape: transitions are built per row with an indexed `transform`
+    * over the token array (no positional self-join); the LM tables are
+    * vocabulary-sized aggregations, NOT broadcastable at corpus scale, so
+    * the scoring joins shuffle on (prev,w)/(prev) and the per-doc reduce
+    * is one more keyed shuffle — everything vocab- or output-bounded.
+    */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame,
+      alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val tk = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val t = col("t")
+    // slice element i (0-based) is t[i+2] (1-based), so its predecessor is
+    // element_at(t, i+1): pairs (prev=t[j], w=t[j+1]) for all j.
+    val trans = tk.select(col("doc_id"),
+      explode(transform(slice(t, lit(2), size(t) - 1),
+        (w, i) => struct(element_at(t, i + 1).as("prev"), w.as("w")))).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w"))
+    val dtf = trans.groupBy("doc_id", "prev", "w").agg(count(lit(1)).as("c"))
+    val bigC = trans.groupBy("prev", "w").agg(count(lit(1)).as("cbw"))
+    val prevC = trans.groupBy("prev").agg(count(lit(1)).as("cp"))
+    val voc = tk.select(explode(t).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    val logp = col("c") * log(
+      (col("cbw") + alpha) / (col("cp") + lit(alpha) * col("v")))
+    dtf.join(bigC, Seq("prev", "w"))
+      .join(prevC, Seq("prev"))
+      .crossJoin(broadcast(voc))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_trans"), (-sum(logp) / sum("c")).as("h"))
+      .select(col("doc_id"), col("n_trans"),
+        round(col("h"), 6).as("nll"), round(exp(col("h")), 2).as("ppl"))
+  }
+
   /** Small per-language stopword profiles for the language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),

@@ -202,6 +202,17 @@ object TextAnalysis extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet-style n-gram LM quality scoring (the perplexity filter of
+    // the classic LLM-pretraining pipeline): an add-0.5-smoothed bigram
+    // LM is fitted on the corpus itself, and every document is scored by
+    // its per-transition cross-entropy (nats) and perplexity. See
+    // TextStats.bigramLmScore for the plan shape (per-row transition
+    // build, vocab-sized shuffle-joined LM tables).
+    "ta_perplexity" -> { (s, d) =>
+      TextStats.bigramLmScore(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    },
+
     // Text-to-KNN end to end with NO hash opacity anywhere: documents
     // embed through the fitted dense tf-idf function (vocabulary cut,
     // slot weights, and L2 norm all SQL-reproducible — see
@@ -266,6 +277,24 @@ object TextAnalysis extends QueryPack {
       |         GROUP BY d.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ta_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |tr AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS w
+        |       FROM tk WHERE len(t) >= 2),
+        |bigc AS (SELECT prev, w, count(*) AS cbw FROM tr GROUP BY 1, 2),
+        |prevc AS (SELECT prev, count(*) AS cp FROM tr GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT term) AS v
+        |        FROM (SELECT unnest(t) AS term FROM tk WHERE len(t) >= 2)),
+        |dtf AS (SELECT doc_id, prev, w, count(*) AS c FROM tr GROUP BY 1, 2, 3)
+        |SELECT d.doc_id, sum(d.c)::BIGINT AS n_trans,
+        |  round(-sum(d.c * ln((b.cbw + 0.5) / (p.cp + 0.5 * (SELECT v FROM voc))))
+        |    / sum(d.c), 6) AS nll,
+        |  round(exp(-sum(d.c * ln((b.cbw + 0.5) / (p.cp + 0.5 * (SELECT v FROM voc))))
+        |    / sum(d.c)), 2) AS ppl
+        |FROM dtf d JOIN bigc b ON d.prev = b.prev AND d.w = b.w
+        |JOIN prevc p ON d.prev = p.prev
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
     "ta_tfidf_knn" ->
       s"""WITH $tfidfVecsCte,
         |q AS (SELECT doc_id AS query_id, emb AS qe FROM vecs WHERE doc_id < 3),

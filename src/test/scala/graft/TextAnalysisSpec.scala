@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.TextStats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value-level gates for the text-analysis operators whose formulas are
+  * hand-computable on tiny fixtures (the corpus-scale path is gated by the
+  * DuckDB oracle — ta_* rows in CORRECTNESS).
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("bigramLmScore matches the hand-computed add-0.5 bigram LM") {
+    // tokens: d1=[a,b,a,b]  d2=[a,b,c]
+    // transitions: d1 (a,b)x2 (b,a)x1; d2 (a,b) (b,c)
+    // corpus: c(a,b)=3 c(b,a)=1 c(b,c)=1; c(a·)=3 c(b·)=2; V=3
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextStats.bigramLmScore(docs)
+      .orderBy("doc_id").collect()
+    val pAB = 3.5 / 4.5; val pBA = 1.5 / 3.5; val pBC = 1.5 / 3.5
+    val h1 = -(2 * math.log(pAB) + math.log(pBA)) / 3
+    val h2 = -(math.log(pAB) + math.log(pBC)) / 2
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 2L))
+    assert(got(0).getDouble(2) == math.rint(h1 * 1e6) / 1e6 ||
+      math.abs(got(0).getDouble(2) - h1) < 1e-6)
+    assert(math.abs(got(1).getDouble(2) - h2) < 1e-6)
+    assert(math.abs(got(0).getDouble(3) - math.exp(h1)) < 5e-3)
+    assert(math.abs(got(1).getDouble(3) - math.exp(h2)) < 5e-3)
+  }
+
+  test("bigramLmScore drops sub-2-token docs and scores dupes identically") {
+    val docs = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextStats.bigramLmScore(docs).orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got(0).getDouble(2) == got(1).getDouble(2))
+    assert(got(0).getDouble(3) == got(1).getDouble(3))
+  }
+
+  test("a repeated in-distribution doc scores lower nll than a shuffled one") {
+    // the LM is fitted on the corpus: a document whose transitions dominate
+    // the corpus must be more predictable than one made of rare transitions
+    val common = Seq.fill(8)((0L, "the cat sat on the mat"))
+    val docs = (common :+ (100L -> "mat the on sat cat the"))
+      .zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = TextStats.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows(0L) < rows(8L))
+  }
+}
