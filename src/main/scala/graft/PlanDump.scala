@@ -156,7 +156,25 @@ object PlanDump {
         "vs_knn_cosine. Embedding at query time here is deliberate — the " +
         "write path materializes embeddings at compaction via embedDf; " +
         "this exercises the inline path the reference uses for " +
-        "query-text embedding."))
+        "query-text embedding."),
+    "sp_bm25_rank" ->
+      ("BM25 with zero wide shuffles: the query's term set is tiny and " +
+        "known, so per-term tf is per-row array algebra (codegen'd " +
+        "higher-order filter over the token array — no corpus-wide " +
+        "explode/groupBy), every corpus scalar the formula needs (N, " +
+        "avgdl, per-term df) folds into ONE single-row aggregate that " +
+        "broadcast-joins the scoring scan, and the top-20 is a " +
+        "TakeOrdered. Two narrow scans total; at 100 TB the only cost is " +
+        "the scans themselves."),
+    "ta_perplexity" ->
+      ("CCNet-style bigram-LM perplexity: transitions build per row with " +
+        "an indexed transform (no positional self-join), and the LM " +
+        "tables (bigram/prev counts) are vocabulary-sized aggregations " +
+        "joined by SHUFFLE on (prev,w)/(prev) — deliberately not " +
+        "broadcast, the vocabulary is unbounded at corpus scale. The " +
+        "single-row vocab cardinality is the only broadcast. Per-doc " +
+        "reduce is one keyed shuffle; every exchange is vocab- or " +
+        "output-bounded."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
