@@ -40,6 +40,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(0).getDouble(3) == got(1).getDouble(3))
   }
 
+  test("bigramLmScore equals a pure-Scala LM on random corpora") {
+    // independent reference implementation: same add-0.5 bigram LM, built
+    // with plain Scala collections, compared at the rounded precision.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val words = Vector("a", "b", "c", "dd", "ee")
+    val genDoc = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(words)).map(_.mkString(" ")))
+    val genCorpus = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, genDoc))
+    (1 to 25).foreach { it =>
+      val corpus = genCorpus(Gen.Parameters.default, Seed(it.toLong)).get
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val toks = corpus.map { case (id, t) =>
+        id -> t.split("[^a-z0-9]+").filter(_.nonEmpty).toVector
+      }.filter(_._2.size >= 2)
+      val trans = toks.flatMap { case (id, ts) =>
+        ts.zip(ts.tail).map { case (p, w) => (id, p, w) } }
+      val expected =
+        if (trans.isEmpty) Map.empty[Long, (Long, Double, Double)]
+        else {
+          val bigC = trans.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+          val prevC = trans.groupBy(_._2).view.mapValues(_.size).toMap
+          val v = toks.flatMap(_._2).distinct.size
+          toks.map { case (id, ts) =>
+            val pairs = ts.zip(ts.tail)
+            val h = -pairs.map { case (p, w) =>
+              math.log((bigC((p, w)) + 0.5) / (prevC(p) + 0.5 * v))
+            }.sum / pairs.size
+            id -> ((pairs.size.toLong, h, math.exp(h)))
+          }.toMap
+        }
+      val got = TextStats.bigramLmScore(corpus.toDF("doc_id", "text"))
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(got.keySet == expected.keySet, s"iter $it")
+      got.foreach { case (id, (n, nll, ppl)) =>
+        val (en, eh, ep) = expected(id)
+        assert(n == en, s"iter $it doc $id n_trans")
+        assert(math.abs(nll - eh) < 1e-6, s"iter $it doc $id nll $nll vs $eh")
+        assert(math.abs(ppl - ep) < 5e-3 + 1e-9 * ep, s"iter $it doc $id ppl")
+      }
+    }
+  }
+
   test("a repeated in-distribution doc scores lower nll than a shuffled one") {
     // the LM is fitted on the corpus: a document whose transitions dominate
     // the corpus must be more predictable than one made of rare transitions
