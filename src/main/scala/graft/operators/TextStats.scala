@@ -88,20 +88,53 @@ object TextStats {
     */
   def bigramLmScore(docs: org.apache.spark.sql.DataFrame,
       alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val trans = bigramTransitions(docs)
+    scoreWithLm(trans, bigramLmCounts(trans), alpha)
+  }
+
+  /** Per-doc bigram transitions (`doc_id`, `prev`, `w`) of every doc with
+    * >= 2 tokens, built per row with an indexed `transform` over the token
+    * array — no positional self-join, the one explode is output-sized.
+    */
+  def bigramTransitions(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val tk = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
     val t = col("t")
     // slice element i (0-based) is t[i+2] (1-based), so its predecessor is
     // element_at(t, i+1): pairs (prev=t[j], w=t[j+1]) for all j.
-    val trans = tk.select(col("doc_id"),
+    tk.select(col("doc_id"),
       explode(transform(slice(t, lit(2), size(t) - 1),
         (w, i) => struct(element_at(t, i + 1).as("prev"), w.as("w")))).as("p"))
       .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w"))
+  }
+
+  /** The LM's ENTIRE state: corpus bigram counts (`prev`, `w`, `cbw`).
+    * Context counts and the vocabulary both derive from this table —
+    * `cp(prev) = Σ_w cbw` by definition, and every token of a >= 2-token
+    * doc occurs in at least one of its transitions (the first as `prev`,
+    * the last as `w`, interior ones as both), so
+    * `vocab = distinct(prev ∪ w)`. Additive in the corpus → maintainable
+    * incrementally by summing per-batch counts
+    * ([[graft.streaming.EventStream.lmMaintain]]).
+    */
+  def bigramLmCounts(trans: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    trans.groupBy("prev", "w").agg(count(lit(1)).as("cbw"))
+
+  /** Score documents' transitions against a (possibly incrementally
+    * maintained) bigram-count LM: per-doc add-`alpha`-smoothed
+    * cross-entropy (nats) + perplexity. Scoring joins shuffle on
+    * (prev,w)/(prev) — LM tables are vocab-sized, never broadcast; the
+    * vocab cardinality is the single broadcast row.
+    */
+  def scoreWithLm(trans: org.apache.spark.sql.DataFrame,
+      bigC: org.apache.spark.sql.DataFrame,
+      alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
     val dtf = trans.groupBy("doc_id", "prev", "w").agg(count(lit(1)).as("c"))
-    val bigC = trans.groupBy("prev", "w").agg(count(lit(1)).as("cbw"))
-    val prevC = trans.groupBy("prev").agg(count(lit(1)).as("cp"))
-    val voc = tk.select(explode(t).as("term"))
+    val prevC = bigC.groupBy("prev").agg(sum("cbw").as("cp"))
+    val voc = bigC.select(explode(array(col("prev"), col("w"))).as("term"))
       .agg(count_distinct(col("term")).as("v"))
     val logp = col("c") * log(
       (col("cbw") + alpha) / (col("cp") + lit(alpha) * col("v")))

@@ -84,6 +84,27 @@ object StreamingPack extends QueryPack {
       out.orderBy(col("keep_id"))
     },
 
+    // Incremental bigram-LM maintenance — ta_perplexity's ingest-time
+    // face: the corpus streams in (3 staged files → micro-batches) and
+    // each batch appends its bigram counts to the maintained LM table;
+    // counts are additive, so the folded table equals the batch-fitted
+    // LM for ANY arrival order or batching, and scoring the corpus
+    // against it is hash-exact vs ta_perplexity's own DuckDB oracle.
+    "st_perplexity" -> { (s, d) =>
+      import graft.Tables
+      import graft.operators.TextStats
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("lm_upsert").toString
+      docs.withColumn("part", pmod(col("doc_id"), lit(3)))
+        .repartitionByRange(3, col("part")).drop("part")
+        .write.mode("overwrite").parquet(s"$base/src")
+      EventStream.lmMaintain(s, s"$base/src", s"$base/counts",
+        s"$base/ckpt", filesPerBatch = 2)
+      val lm = EventStream.foldLmCounts(s.read.parquet(s"$base/counts"))
+      TextStats.scoreWithLm(TextStats.bigramTransitions(docs), lm)
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental IVF maintenance: vectors stream in (3 staged files →
     // 3 micro-batches), each batch appends to the served posting table
     // against fixed centroids; the query then SEARCHES the
@@ -462,6 +483,11 @@ object StreamingPack extends QueryPack {
     // the dd_span_dedup SQL verbatim — ordered ingest-time span dedup
     // must equal the corpus-wide batch dedup exactly
     "st_span_dedup" -> DedupPack.oracle("dd_span_dedup"),
+
+    // the ta_perplexity SQL verbatim — the stream-maintained LM folded
+    // and used for scoring must equal the batch-fitted LM exactly
+    // (bigram counts are additive in the corpus)
+    "st_perplexity" -> TextAnalysis.oracle("ta_perplexity"),
 
     // the full-corpus fixpoint over every document (singletons
     // self-clustered) — incremental maintenance must reproduce it

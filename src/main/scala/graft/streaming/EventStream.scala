@@ -277,6 +277,46 @@ object EventStream extends Serializable {
     q.awaitTermination()
   }
 
+  /** Incremental n-gram-LM maintenance — the perplexity filter's
+    * ingest-time face: each arriving document micro-batch folds its
+    * bigram transitions into per-batch count rows appended to the
+    * maintained LM table. The LM's ENTIRE state is the bigram count
+    * table ([[graft.operators.TextStats.bigramLmCounts]] — context
+    * counts and vocabulary both derive from it), and counts are ADDITIVE
+    * in the corpus, so the maintained table folded by sum is identical
+    * to the batch-fitted LM regardless of arrival order or batching —
+    * no ordering precondition (unlike [[spanDedupMaintain]]). Scale:
+    * per batch one |batch|-transition shuffle; state grows with the
+    * corpus bigram vocabulary, folded on the compaction cadence
+    * ([[foldLmCounts]] at read time, or rewrite the table).
+    */
+  def lmMaintain(spark: SparkSession, srcDir: String, countsDir: String,
+      checkpoint: String, filesPerBatch: Int = 1): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentAppend(
+          graft.operators.TextStats.bigramLmCounts(
+            graft.operators.TextStats.bigramTransitions(batch)),
+          countsDir, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Fold a [[lmMaintain]]-maintained per-batch count table to the final
+    * corpus LM counts (sum over batches — the read-time compaction).
+    */
+  def foldLmCounts(maintained: DataFrame): DataFrame =
+    dropBatch(maintained).groupBy("prev", "w")
+      .agg(sum("cbw").as("cbw"))
+
   /** Incremental sparse-index maintenance — the fifth index family's
     * streaming face (IVF/FTS/HNSW/quantized above): each arriving record
     * micro-batch explodes its `meta_sparse[key]` vector into the SAME

@@ -390,6 +390,40 @@ class StreamingSpec extends AnyFunSuite {
         s"only-batch=${(batchPairs -- served).take(3)}")
   }
 
+  test("incremental LM maintenance folds to the batch bigram counts") {
+    import graft.operators.TextStats
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("lm_maint_spec").toString
+    docs.withColumn("part", pmod(col("doc_id"), lit(3)))
+      .repartitionByRange(3, col("part")).drop("part")
+      .write.parquet(s"$base/src")
+    EventStream.lmMaintain(spark, s"$base/src", s"$base/counts", s"$base/ckpt")
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("prev", "w", "cbw").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batchCounts = key(
+      TextStats.bigramLmCounts(TextStats.bigramTransitions(docs)))
+    // counts are additive: the folded maintained table must be
+    // row-identical to the batch-fitted LM regardless of batching
+    assert(key(EventStream.foldLmCounts(
+      spark.read.parquet(s"$base/counts"))) == batchCounts)
+
+    // a second run with NO new files appends nothing (checkpoint holds)
+    EventStream.lmMaintain(spark, s"$base/src", s"$base/counts", s"$base/ckpt")
+    assert(key(EventStream.foldLmCounts(
+      spark.read.parquet(s"$base/counts"))) == batchCounts)
+
+    // scoring parity end to end: maintained-LM scores == batch scores
+    val trans = TextStats.bigramTransitions(docs)
+    val got = TextStats.scoreWithLm(trans,
+      EventStream.foldLmCounts(spark.read.parquet(s"$base/counts")))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val exp = TextStats.bigramLmScore(docs)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == exp)
+  }
+
   test("incremental span dedup over ordered batches == corpus-wide batch dedup") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
@@ -746,6 +780,17 @@ class StreamingSpec extends AnyFunSuite {
       s"$base/ckpt_cc")
     assert(postCount() == pc1, "replayed cluster maintenance doubled postings")
     assert(labels() == lab1, "replayed cluster fold changed the label table")
+
+    // LM counts: a full replay must not double any bigram count
+    EventStream.lmMaintain(spark, s"$base/src", s"$base/lm", s"$base/ckpt_lm")
+    def lmKey() = EventStream.foldLmCounts(spark.read.parquet(s"$base/lm"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    val lm1 = lmKey()
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$base/ckpt_lm"))
+    EventStream.lmMaintain(spark, s"$base/src", s"$base/lm", s"$base/ckpt_lm")
+    assert(lmKey() == lm1, "replayed LM maintenance doubled bigram counts")
 
     // span dedup: out/ and seen/ must be row-identical after replay
     val maxId = docs.agg(max("doc_id")).head().getLong(0)
