@@ -93,7 +93,7 @@ object PlanDump {
         "the star-edge window plan executed upstream. A cluster of m " +
         "duplicates costs m label rows where the pair listing's bucket " +
         "self-join pays m^2/2; SCALE_PROBE measures the two curves side " +
-        "by side (11x/decade vs 4.7x/decade at x100)."),
+        "by side (~11-19x/decade vs ~5.6x/decade at x100)."),
     "st_minhash_upsert" ->
       ("Stream-maintained LSH dedup: the serving query reads the banded " +
         "bucket table the micro-batches appended (band-partitioned, " +

@@ -36,7 +36,8 @@ object ScaleProbe {
     "dd_exact",            // hash-shuffle dedup: linear
     "dd_minhash_lsh",      // banded LSH pair LISTING: output-quadratic in cluster size
     "dd_minhash_clusters", // LSH cluster LABELS: output-proportional scale path
-    "dd_span_dedup")       // two-shuffle span dedup: linear
+    "dd_span_dedup",       // two-shuffle span dedup: linear
+    "ta_perplexity")       // bigram-LM fit+score: vocab-bounded shuffles, ~linear
 
   private def stage(spark: SparkSession, srcDir: String, outDir: String,
       m: Int): Unit = {

@@ -46,6 +46,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: single one-row broadcast agg, TakeOrdered top-k, no wide shuffle") {
+    val p = plan("sp_bm25_rank")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "corpus stats must broadcast as a single row")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "BM25 must not shuffle-join the corpus:\n" + p.take(800))
+    // the only Exchange allowed is the single-row stats aggregate's
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(800))
+  }
+
+  test("perplexity: no forced broadcast of the LM tables; partial per-doc agg") {
+    // at sf0.001 Catalyst rightly broadcasts the tiny LM tables by its
+    // size estimate — what must NOT happen is a broadcast() HINT forcing
+    // that choice at corpus scale, where the vocab-sized tables would OOM
+    // the driver. The only hinted broadcast is the one-row vocab count.
+    val df = SparkEntry.queries("ta_perplexity")(spark, sf)
+    val hints = "ResolvedHint".r
+      .findAllIn(df.queryExecution.analyzed.toString).size
+    assert(hints == 1,
+      s"expected exactly the one-row vocab broadcast hint, found $hints")
+    val p = plan("ta_perplexity")
+    assert(p.contains("partial_sum"), "per-doc reduce must map-side combine")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the vocab cardinality joins as a single broadcast row")
+  }
+
   test("similarity join: left/query side broadcasts (no candidate shuffle)") {
     val p = plan("vs_similarity_join")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
