@@ -101,6 +101,31 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet's head/middle/tail corpus split: per-language perplexity
+    // terciles from the corpus-fitted bigram LM route each document to a
+    // quality bucket (head = most in-distribution third) — the published
+    // CCNet pipeline's final stage, composed from TextStats.bigramLmScore.
+    // Tercile cuts are exact percentiles ROUNDED to 6 places on both
+    // engines before the bucket comparison (ppl is 2-decimal, so a
+    // sub-ulp interpolation difference can never flip a bucket); the cut
+    // table is |languages| rows, broadcast — the corpus scan never
+    // shuffles for bucketing, matching pl_quality_cut's scale shape.
+    "pl_ccnet_buckets" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = TextStats
+        .bigramLmScore(docs.select(col("doc_id"), col("text")))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val cuts = scored.groupBy("lang").agg(
+        round(expr("percentile(ppl, 0.3333333333333333)"), 6).as("t1"),
+        round(expr("percentile(ppl, 0.6666666666666666)"), 6).as("t2"))
+      scored.join(broadcast(cuts), "lang")
+        .select(col("doc_id"), col("lang"), col("ppl"), col("t1"), col("t2"),
+          when(col("ppl") <= col("t1"), "head")
+            .when(col("ppl") <= col("t2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     // Sequence packing (concat-and-chunk): deterministically order each
     // (lang, shard) stream by doc-id hash, run a token cumsum, and cut
     // fixed 512-token training sequences at exclusive-cumsum boundaries —
@@ -275,6 +300,20 @@ object PipelinePack extends QueryPack {
          |SELECT t.doc_id, t.lang, CAST(t.n_tok AS BIGINT) AS n_tok, c.cut
          |FROM t JOIN c USING (lang) WHERE t.n_tok >= c.cut
          |ORDER BY t.doc_id""".stripMargin,
+
+    "pl_ccnet_buckets" ->
+      s"""WITH ${TextAnalysis.sqlPerplexityCte},
+         |lp AS (SELECT p.doc_id, d.lang, p.ppl
+         |       FROM pplt p JOIN documents d USING (doc_id)),
+         |c AS (SELECT lang,
+         |        round(quantile_cont(ppl, 0.3333333333333333), 6) AS t1,
+         |        round(quantile_cont(ppl, 0.6666666666666666), 6) AS t2
+         |      FROM lp GROUP BY lang)
+         |SELECT lp.doc_id, lp.lang, lp.ppl, c.t1, c.t2,
+         |  CASE WHEN lp.ppl <= c.t1 THEN 'head'
+         |       WHEN lp.ppl <= c.t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM lp JOIN c USING (lang) ORDER BY lp.doc_id""".stripMargin,
 
     "pl_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,

@@ -276,24 +276,33 @@ object TextAnalysis extends QueryPack {
       |         LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.slot = s.slot
       |         GROUP BY d.doc_id)""".stripMargin
 
+  /** Shared CTE chain ending in `pplt(doc_id, n_trans, nll, ppl)` — the
+    * DuckDB rebuild of [[graft.operators.TextStats.bigramLmScore]], used
+    * by ta_perplexity's oracle and by downstream pipeline oracles
+    * (PipelinePack's CCNet bucketing, StreamingPack's st_perplexity).
+    */
+  def sqlPerplexityCte: String =
+    s"""tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+      |tr AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS w
+      |       FROM tk WHERE len(t) >= 2),
+      |bigc AS (SELECT prev, w, count(*) AS cbw FROM tr GROUP BY 1, 2),
+      |prevc AS (SELECT prev, count(*) AS cp FROM tr GROUP BY 1),
+      |voc AS (SELECT count(DISTINCT term) AS v
+      |        FROM (SELECT unnest(t) AS term FROM tk WHERE len(t) >= 2)),
+      |dtf AS (SELECT doc_id, prev, w, count(*) AS c FROM tr GROUP BY 1, 2, 3),
+      |pplt AS (SELECT d.doc_id, sum(d.c)::BIGINT AS n_trans,
+      |  round(-sum(d.c * ln((b.cbw + 0.5) / (p.cp + 0.5 * (SELECT v FROM voc))))
+      |    / sum(d.c), 6) AS nll,
+      |  round(exp(-sum(d.c * ln((b.cbw + 0.5) / (p.cp + 0.5 * (SELECT v FROM voc))))
+      |    / sum(d.c)), 2) AS ppl
+      |FROM dtf d JOIN bigc b ON d.prev = b.prev AND d.w = b.w
+      |JOIN prevc p ON d.prev = p.prev
+      |GROUP BY d.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "ta_perplexity" ->
-      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
-        |tr AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS w
-        |       FROM tk WHERE len(t) >= 2),
-        |bigc AS (SELECT prev, w, count(*) AS cbw FROM tr GROUP BY 1, 2),
-        |prevc AS (SELECT prev, count(*) AS cp FROM tr GROUP BY 1),
-        |voc AS (SELECT count(DISTINCT term) AS v
-        |        FROM (SELECT unnest(t) AS term FROM tk WHERE len(t) >= 2)),
-        |dtf AS (SELECT doc_id, prev, w, count(*) AS c FROM tr GROUP BY 1, 2, 3)
-        |SELECT d.doc_id, sum(d.c)::BIGINT AS n_trans,
-        |  round(-sum(d.c * ln((b.cbw + 0.5) / (p.cp + 0.5 * (SELECT v FROM voc))))
-        |    / sum(d.c), 6) AS nll,
-        |  round(exp(-sum(d.c * ln((b.cbw + 0.5) / (p.cp + 0.5 * (SELECT v FROM voc))))
-        |    / sum(d.c)), 2) AS ppl
-        |FROM dtf d JOIN bigc b ON d.prev = b.prev AND d.w = b.w
-        |JOIN prevc p ON d.prev = p.prev
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $sqlPerplexityCte
+        |SELECT doc_id, n_trans, nll, ppl FROM pplt ORDER BY doc_id""".stripMargin,
 
     "ta_tfidf_knn" ->
       s"""WITH $tfidfVecsCte,
