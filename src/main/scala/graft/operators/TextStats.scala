@@ -128,6 +128,14 @@ object TextStats {
     * cross-entropy (nats) + perplexity. Scoring joins shuffle on
     * (prev,w)/(prev) — LM tables are vocab-sized, never broadcast; the
     * vocab cardinality is the single broadcast row.
+    *
+    * The LM joins are LEFT joins with zero-count fallback: a transition
+    * the LM has never seen scores at the smoothing floor
+    * `alpha / (cp + alpha·V)` (cp = 0 for an unseen context) instead of
+    * silently dropping out of the doc's average — so scoring
+    * out-of-corpus documents (the ingest-probe use: gate an arriving
+    * batch against the LM-so-far) is well-defined. For corpus-fitted
+    * scoring every transition is present and the fallback never fires.
     */
   def scoreWithLm(trans: org.apache.spark.sql.DataFrame,
       bigC: org.apache.spark.sql.DataFrame,
@@ -137,9 +145,10 @@ object TextStats {
     val voc = bigC.select(explode(array(col("prev"), col("w"))).as("term"))
       .agg(count_distinct(col("term")).as("v"))
     val logp = col("c") * log(
-      (col("cbw") + alpha) / (col("cp") + lit(alpha) * col("v")))
-    dtf.join(bigC, Seq("prev", "w"))
-      .join(prevC, Seq("prev"))
+      (coalesce(col("cbw"), lit(0L)) + alpha) /
+        (coalesce(col("cp"), lit(0L)) + lit(alpha) * col("v")))
+    dtf.join(bigC, Seq("prev", "w"), "left")
+      .join(prevC, Seq("prev"), "left")
       .crossJoin(broadcast(voc))
       .groupBy("doc_id")
       .agg(sum("c").as("n_trans"), (-sum(logp) / sum("c")).as("h"))

@@ -84,6 +84,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreWithLm scores unseen transitions at the smoothing floor") {
+    // LM fitted on corpus {a b}: c(a,b)=1, cp(a)=1, V=2. An incoming doc
+    // "c d" has an unseen context: P = 0.5 / (0 + 0.5*2) = 0.5; "a b"
+    // scores (1+0.5)/(1+0.5*2) = 0.75. Nothing drops out of the average.
+    val lm = TextStats.bigramLmCounts(
+      TextStats.bigramTransitions(Seq((1L, "a b")).toDF("doc_id", "text")))
+    val got = TextStats.scoreWithLm(
+      TextStats.bigramTransitions(
+        Seq((10L, "c d"), (11L, "a b")).toDF("doc_id", "text")), lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(10L)._1 == 1L)
+    assert(math.abs(got(10L)._2 - (-math.log(0.5))) < 1e-6)
+    assert(math.abs(got(11L)._2 - (-math.log(0.75))) < 1e-6)
+  }
+
   test("a repeated in-distribution doc scores lower nll than a shuffled one") {
     // the LM is fitted on the corpus: a document whose transitions dominate
     // the corpus must be more predictable than one made of rare transitions
