@@ -126,6 +126,22 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Perplexity INGEST PROBE — the batch-scaled face of the CCNet
+    // filter: the LM is fitted on the stored corpus only, and an
+    // arriving batch (every 7th document) scores against it at ingest
+    // time. Batch bigrams the corpus never produced hit the smoothing
+    // floor instead of dropping out (scoreWithLm's left-join fallback,
+    // oracle-exercised here). Cost scales with |batch| transitions plus
+    // the corpus-proportional LM tables — never corpus × batch.
+    "pl_perplexity_probe" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val lm = TextStats.bigramLmCounts(TextStats.bigramTransitions(
+        docs.filter(col("doc_id") % 7 =!= 0)))
+      TextStats.scoreWithLm(TextStats.bigramTransitions(
+          docs.filter(col("doc_id") % 7 === 0)), lm)
+        .orderBy(col("doc_id"))
+    },
+
     // Sequence packing (concat-and-chunk): deterministically order each
     // (lang, shard) stream by doc-id hash, run a token cumsum, and cut
     // fixed 512-token training sequences at exclusive-cumsum boundaries —
@@ -314,6 +330,26 @@ object PipelinePack extends QueryPack {
          |       WHEN lp.ppl <= c.t2 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM lp JOIN c USING (lang) ORDER BY lp.doc_id""".stripMargin,
+
+    "pl_perplexity_probe" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |ctr AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS w
+         |        FROM tk WHERE len(t) >= 2 AND doc_id % 7 <> 0),
+         |btr AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS w
+         |        FROM tk WHERE len(t) >= 2 AND doc_id % 7 = 0),
+         |bigc AS (SELECT prev, w, count(*) AS cbw FROM ctr GROUP BY 1, 2),
+         |prevc AS (SELECT prev, sum(cbw) AS cp FROM bigc GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT term) AS v
+         |        FROM (SELECT unnest([prev, w]) AS term FROM bigc)),
+         |dtf AS (SELECT doc_id, prev, w, count(*) AS c FROM btr GROUP BY 1, 2, 3)
+         |SELECT d.doc_id, sum(d.c)::BIGINT AS n_trans,
+         |  round(-sum(d.c * ln((coalesce(b.cbw, 0) + 0.5)
+         |    / (coalesce(p.cp, 0) + 0.5 * (SELECT v FROM voc)))) / sum(d.c), 6) AS nll,
+         |  round(exp(-sum(d.c * ln((coalesce(b.cbw, 0) + 0.5)
+         |    / (coalesce(p.cp, 0) + 0.5 * (SELECT v FROM voc)))) / sum(d.c)), 2) AS ppl
+         |FROM dtf d LEFT JOIN bigc b ON d.prev = b.prev AND d.w = b.w
+         |LEFT JOIN prevc p ON d.prev = p.prev
+         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
 
     "pl_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
