@@ -136,17 +136,30 @@ object TextStats {
     * out-of-corpus documents (the ingest-probe use: gate an arriving
     * batch against the LM-so-far) is well-defined. For corpus-fitted
     * scoring every transition is present and the fallback never fires.
+    *
+    * An EMPTY LM (v = 0 — e.g. a maintained counts table before any
+    * micro-batch landed) scores every document as null nll/ppl, not as
+    * perfect: with v = 0 the smoothing denominator is 0 and the naive
+    * formula would emit nll = -∞ / ppl = 0.00, silently admitting every
+    * document through a low-perplexity gate. Null fails safe — a
+    * `ppl <= cut` gate admits nothing.
+    *
+    * The LM table is `persist()`ed here: the scoring join, the context
+    * aggregation, and the vocab count each traverse it, and without the
+    * cache every reference re-derives the whole fit lineage (at corpus
+    * scale the LM tables are exactly the state a serving tier keeps hot).
     */
   def scoreWithLm(trans: org.apache.spark.sql.DataFrame,
-      bigC: org.apache.spark.sql.DataFrame,
+      bigC0: org.apache.spark.sql.DataFrame,
       alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val bigC = bigC0.persist()
     val dtf = trans.groupBy("doc_id", "prev", "w").agg(count(lit(1)).as("c"))
     val prevC = bigC.groupBy("prev").agg(sum("cbw").as("cp"))
     val voc = bigC.select(explode(array(col("prev"), col("w"))).as("term"))
       .agg(count_distinct(col("term")).as("v"))
-    val logp = col("c") * log(
+    val logp = when(col("v") > 0, col("c") * log(
       (coalesce(col("cbw"), lit(0L)) + alpha) /
-        (coalesce(col("cp"), lit(0L)) + lit(alpha) * col("v")))
+        (coalesce(col("cp"), lit(0L)) + lit(alpha) * col("v"))))
     dtf.join(bigC, Seq("prev", "w"), "left")
       .join(prevC, Seq("prev"), "left")
       .crossJoin(broadcast(voc))

@@ -112,9 +112,13 @@ object PipelinePack extends QueryPack {
     // shuffles for bucketing, matching pl_quality_cut's scale shape.
     "pl_ccnet_buckets" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // persisted: the scored table feeds both the tercile aggregate and
+      // the final bucketing scan — without the cache the whole LM
+      // fit+score lineage would run twice
       val scored = TextStats
         .bigramLmScore(docs.select(col("doc_id"), col("text")))
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .persist()
       val cuts = scored.groupBy("lang").agg(
         round(expr("percentile(ppl, 0.3333333333333333)"), 6).as("t1"),
         round(expr("percentile(ppl, 0.6666666666666666)"), 6).as("t2"))

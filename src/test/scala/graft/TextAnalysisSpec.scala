@@ -22,13 +22,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     val pAB = 3.5 / 4.5; val pBA = 1.5 / 3.5; val pBC = 1.5 / 3.5
     val h1 = -(2 * math.log(pAB) + math.log(pBA)) / 3
     val h2 = -(math.log(pAB) + math.log(pBC)) / 2
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round2(x: Double): Double =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(got.map(_.getLong(1)).toSeq == Seq(3L, 2L))
-    assert(got(0).getDouble(2) == math.rint(h1 * 1e6) / 1e6 ||
-      math.abs(got(0).getDouble(2) - h1) < 1e-6)
-    assert(math.abs(got(1).getDouble(2) - h2) < 1e-6)
-    assert(math.abs(got(0).getDouble(3) - math.exp(h1)) < 5e-3)
-    assert(math.abs(got(1).getDouble(3) - math.exp(h2)) < 5e-3)
+    assert(got(0).getDouble(2) == round6(h1))
+    assert(got(1).getDouble(2) == round6(h2))
+    assert(got(0).getDouble(3) == round2(math.exp(h1)))
+    assert(got(1).getDouble(3) == round2(math.exp(h2)))
   }
 
   test("bigramLmScore drops sub-2-token docs and scores dupes identically") {
@@ -97,6 +100,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(10L)._1 == 1L)
     assert(math.abs(got(10L)._2 - (-math.log(0.5))) < 1e-6)
     assert(math.abs(got(11L)._2 - (-math.log(0.75))) < 1e-6)
+  }
+
+  test("scoreWithLm against an EMPTY LM yields null scores, not perfect ones") {
+    // v = 0 would make the naive formula emit nll = -inf / ppl = 0.00 —
+    // every doc sails through a low-perplexity gate. Null fails safe.
+    val emptyLm = TextStats.bigramLmCounts(
+      TextStats.bigramTransitions(Seq.empty[(Long, String)].toDF("doc_id", "text")))
+    val got = TextStats.scoreWithLm(
+      TextStats.bigramTransitions(Seq((1L, "a b c")).toDF("doc_id", "text")),
+      emptyLm).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 2L)
+    assert(got(0).isNullAt(2) && got(0).isNullAt(3))
   }
 
   test("a repeated in-distribution doc scores lower nll than a shuffled one") {
