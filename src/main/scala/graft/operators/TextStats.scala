@@ -169,6 +169,87 @@ object TextStats {
         round(col("h"), 6).as("nll"), round(exp(col("h")), 2).as("ppl"))
   }
 
+  /** Per-doc trigram transitions (`doc_id`, `p2`, `p1`, `w`) of every doc
+    * with >= 3 tokens — the indexed-transform build, no positional
+    * self-join (see [[bigramTransitions]]).
+    */
+  def trigramTransitions(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tk = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+    val t = col("t")
+    // slice element i (0-based) is t[i+3] (1-based): context (t[i+1], t[i+2])
+    tk.select(col("doc_id"),
+      explode(transform(slice(t, lit(3), size(t) - 2),
+        (w, i) => struct(element_at(t, i + 1).as("p2"),
+          element_at(t, i + 2).as("p1"), w.as("w")))).as("p"))
+      .select(col("doc_id"), col("p.p2").as("p2"),
+        col("p.p1").as("p1"), col("p.w").as("w"))
+  }
+
+  /** Stupid Backoff trigram scoring — the canonical DISTRIBUTED LM
+    * scheme (Brants et al. 2007, "Large Language Models in Machine
+    * Translation": plain count ratios with a fixed 0.4 backoff penalty,
+    * designed to need no normalization pass precisely so it scales to
+    * MapReduce-sized corpora — the same property that makes it additive
+    * and Spark-friendly here). The model fits on `corpus` and scores
+    * `batch` (the ingest-gate split; self-scoring a corpus never backs
+    * off, every trigram being its own evidence):
+    *
+    *   S(w|p2,p1) = c3(p2,p1,w)/c3(p2,p1,·)         if the trigram is known
+    *              = 0.4 · c2(p1,w)/c2(p1,·)          else if the bigram is
+    *              = 0.4² · max(c1(w),1)/N            else (count-1 OOV floor —
+    *                                                  raw SBO scores OOV 0,
+    *                                                  which has no log)
+    *
+    * Context denominators are PREFIX sums over the count tables
+    * (`c3(p2,p1,·) = Σ_w c3`), so the whole model is three additive
+    * count tables — maintainable incrementally exactly like
+    * [[bigramLmCounts]]. All joins are vocab-sized keyed shuffles;
+    * output is per-doc (`doc_id`, `n_trans`, `nll`, `ppl`) over batch
+    * docs with >= 3 tokens, nll in nats rounded to 6, ppl to 2.
+    */
+  def stupidBackoffScore(corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      lambda: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    val ctr = trigramTransitions(corpus)
+    val tri = ctr.groupBy("p2", "p1", "w").agg(count(lit(1)).as("c3")).persist()
+    val ctx3 = tri.groupBy("p2", "p1").agg(sum("c3").as("n3"))
+    val cbr = bigramTransitions(corpus).withColumnRenamed("prev", "p1")
+    val bi = cbr.groupBy("p1", "w").agg(count(lit(1)).as("c2")).persist()
+    val ctx2 = bi.groupBy("p1").agg(sum("c2").as("n2"))
+    val uni = corpus
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")).persist()
+    val nTot = uni.agg(sum("c1").as("n_corpus"))
+    val dtf = trigramTransitions(batch)
+      .groupBy("doc_id", "p2", "p1", "w").agg(count(lit(1)).as("c"))
+    val s = when(col("c3").isNotNull,
+        col("c3").cast("double") / col("n3"))
+      .when(col("c2").isNotNull,
+        lit(lambda) * col("c2").cast("double") / col("n2"))
+      .otherwise(lit(lambda * lambda) *
+        greatest(coalesce(col("c1"), lit(0L)), lit(1L)).cast("double") /
+        col("n_corpus"))
+    dtf.join(tri, Seq("p2", "p1", "w"), "left")
+      .join(ctx3, Seq("p2", "p1"), "left")
+      .join(bi.withColumnRenamed("w", "w2")
+        .withColumnRenamed("p1", "p0"),
+        col("p1") === col("p0") && col("w") === col("w2"), "left")
+      .drop("p0", "w2")
+      .join(ctx2, Seq("p1"), "left")
+      .join(uni.withColumnRenamed("w", "w1"),
+        col("w") === col("w1"), "left")
+      .drop("w1")
+      .crossJoin(broadcast(nTot))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_trans"),
+        (-sum(col("c") * log(s)) / sum("c")).as("h"))
+      .select(col("doc_id"), col("n_trans"),
+        round(col("h"), 6).as("nll"), round(exp(col("h")), 2).as("ppl"))
+  }
+
   /** Small per-language stopword profiles for the language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),

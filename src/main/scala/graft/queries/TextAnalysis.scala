@@ -213,6 +213,20 @@ object TextAnalysis extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Stupid Backoff trigram scoring (Brants 2007) — the canonical
+    // DISTRIBUTED LM scheme: plain count ratios with a fixed 0.4 backoff
+    // penalty, no normalization pass, three additive count tables. Fitted
+    // on the stored corpus, scoring the arriving batch (every 7th doc) so
+    // all three branches — trigram hit, bigram backoff, OOV floor — carry
+    // real weight through the oracle.
+    "ta_stupid_backoff" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      TextStats.stupidBackoffScore(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0))
+        .orderBy(col("doc_id"))
+    },
+
     // Text-to-KNN end to end with NO hash opacity anywhere: documents
     // embed through the fitted dense tf-idf function (vocabulary cut,
     // slot weights, and L2 norm all SQL-reproducible — see
@@ -300,6 +314,41 @@ object TextAnalysis extends QueryPack {
       |GROUP BY d.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ta_stupid_backoff" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |ctr AS (SELECT unnest(t[1:len(t)-2]) AS p2, unnest(t[2:len(t)-1]) AS p1,
+        |               unnest(t[3:len(t)]) AS w
+        |        FROM tk WHERE len(t) >= 3 AND doc_id % 7 <> 0),
+        |tri AS (SELECT p2, p1, w, count(*) AS c3 FROM ctr GROUP BY 1, 2, 3),
+        |ctx3 AS (SELECT p2, p1, sum(c3) AS n3 FROM tri GROUP BY 1, 2),
+        |cbr AS (SELECT unnest(t[1:len(t)-1]) AS p1, unnest(t[2:len(t)]) AS w
+        |        FROM tk WHERE len(t) >= 2 AND doc_id % 7 <> 0),
+        |bi AS (SELECT p1, w, count(*) AS c2 FROM cbr GROUP BY 1, 2),
+        |ctx2 AS (SELECT p1, sum(c2) AS n2 FROM bi GROUP BY 1),
+        |uni AS (SELECT w, count(*) AS c1
+        |        FROM (SELECT unnest(t) AS w FROM tk WHERE doc_id % 7 <> 0)
+        |        GROUP BY 1),
+        |ntot AS (SELECT sum(c1) AS n FROM uni),
+        |btr AS (SELECT doc_id, unnest(t[1:len(t)-2]) AS p2,
+        |               unnest(t[2:len(t)-1]) AS p1, unnest(t[3:len(t)]) AS w
+        |        FROM tk WHERE len(t) >= 3 AND doc_id % 7 = 0),
+        |dtf AS (SELECT doc_id, p2, p1, w, count(*) AS c FROM btr GROUP BY 1, 2, 3, 4),
+        |sc AS (SELECT d.doc_id, d.c,
+        |  CASE WHEN tri.c3 IS NOT NULL THEN tri.c3::DOUBLE / ctx3.n3
+        |       WHEN bi.c2 IS NOT NULL THEN 0.4 * bi.c2::DOUBLE / ctx2.n2
+        |       ELSE 0.4 * 0.4 * greatest(coalesce(uni.c1, 0), 1)::DOUBLE
+        |            / (SELECT n FROM ntot) END AS s
+        |  FROM dtf d
+        |  LEFT JOIN tri ON d.p2 = tri.p2 AND d.p1 = tri.p1 AND d.w = tri.w
+        |  LEFT JOIN ctx3 ON d.p2 = ctx3.p2 AND d.p1 = ctx3.p1
+        |  LEFT JOIN bi ON d.p1 = bi.p1 AND d.w = bi.w
+        |  LEFT JOIN ctx2 ON d.p1 = ctx2.p1
+        |  LEFT JOIN uni ON d.w = uni.w)
+        |SELECT doc_id, sum(c)::BIGINT AS n_trans,
+        |  round(-sum(c * ln(s)) / sum(c), 6) AS nll,
+        |  round(exp(-sum(c * ln(s)) / sum(c)), 2) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "ta_perplexity" ->
       s"""WITH $sqlPerplexityCte
         |SELECT doc_id, n_trans, nll, ppl FROM pplt ORDER BY doc_id""".stripMargin,

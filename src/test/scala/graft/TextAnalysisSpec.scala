@@ -114,6 +114,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(0).isNullAt(2) && got(0).isNullAt(3))
   }
 
+  test("stupidBackoffScore hits every branch on a hand-computed fixture") {
+    // corpus "a b c a b c" + "x y": tri (a,b,c):2 (b,c,a):1 (c,a,b):1;
+    // ctx3 (a,b):2 (b,c):1 (c,a):1; bi (a,b):2 (b,c):2 (c,a):1 (x,y):1;
+    // ctx2 a:2 b:2 c:1 x:1; uni a2 b2 c2 x1 y1, N=8.
+    val corpus = Seq((1L, "a b c a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> "a b c", // trigram hit: S = 2/2 = 1
+      11L -> "x a b", // bigram backoff: S = 0.4 * c2(a,b)/ctx2(a) = 0.4
+      12L -> "b c x", // unigram backoff: S = 0.16 * c1(x)/N = 0.16/8
+      13L -> "a b q"  // OOV floor: S = 0.16 * max(0,1)/N = 0.16/8
+    ).toDF("doc_id", "text")
+    val got = TextStats.stupidBackoffScore(corpus, batch)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def nll(s: Double) = -math.log(s)
+    assert(math.abs(got(10L) - 0.0) < 1e-9)
+    assert(math.abs(got(11L) - nll(0.4)) < 1e-6)
+    assert(math.abs(got(12L) - nll(0.16 / 8)) < 1e-6)
+    assert(got(12L) == got(13L), "OOV floor must equal the count-1 unigram")
+  }
+
   test("a repeated in-distribution doc scores lower nll than a shuffled one") {
     // the LM is fitted on the corpus: a document whose transitions dominate
     // the corpus must be more predictable than one made of rare transitions
