@@ -174,7 +174,18 @@ object PlanDump {
         "broadcast, the vocabulary is unbounded at corpus scale. The " +
         "single-row vocab cardinality is the only broadcast. Per-doc " +
         "reduce is one keyed shuffle; every exchange is vocab- or " +
-        "output-bounded."))
+        "output-bounded."),
+    "ta_stupid_backoff" ->
+      ("Stupid Backoff trigram scoring (the distributed-LM scheme of " +
+        "Brants 2007 — count ratios, no normalization pass): the model " +
+        "is three additive count tables (trigram/bigram/unigram) with " +
+        "prefix-sum context denominators, all n-gram-vocabulary-sized " +
+        "and joined to the batch's transitions by SHUFFLE — never " +
+        "broadcast. The single-row corpus size N is the only broadcast. " +
+        "Fit cost is corpus-proportional aggregation; scoring cost is " +
+        "|batch|-transition-proportional joins — the ingest-gate split " +
+        "(score arriving batches against stored state) keeps the " +
+        "steady-state cost off the corpus."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -37,7 +37,10 @@ object ScaleProbe {
     "dd_minhash_lsh",      // banded LSH pair LISTING: output-quadratic in cluster size
     "dd_minhash_clusters", // LSH cluster LABELS: output-proportional scale path
     "dd_span_dedup",       // two-shuffle span dedup: linear
-    "ta_perplexity")       // bigram-LM fit+score: vocab-bounded shuffles, ~linear
+    "ta_perplexity",       // bigram-LM fit+score: vocab-bounded shuffles, ~linear
+    "ta_stupid_backoff")   // trigram SBO fit+score: worst case for LM-table
+                           // growth (disjoint per-rep vocab grows all three
+                           // count tables the full m-fold)
 
   private def stage(spark: SparkSession, srcDir: String, outDir: String,
       m: Int): Unit = {

@@ -213,15 +213,53 @@ object TextStats {
   def stupidBackoffScore(corpus: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame,
       lambda: Double = 0.4): org.apache.spark.sql.DataFrame = {
-    val ctr = trigramTransitions(corpus)
-    val tri = ctr.groupBy("p2", "p1", "w").agg(count(lit(1)).as("c3")).persist()
-    val ctx3 = tri.groupBy("p2", "p1").agg(sum("c3").as("n3"))
-    val cbr = bigramTransitions(corpus).withColumnRenamed("prev", "p1")
-    val bi = cbr.groupBy("p1", "w").agg(count(lit(1)).as("c2")).persist()
-    val ctx2 = bi.groupBy("p1").agg(sum("c2").as("n2"))
+    val t = sboTables(corpus)
+    scoreWithSbo(batch, t.tri, t.bi, t.uni, lambda)
+  }
+
+  /** The Stupid Backoff model's ENTIRE state: three corpus count tables
+    * (trigram `p2,p1,w,c3`; bigram `p1,w,c2`; unigram `w,c1`). Context
+    * denominators and the corpus size are prefix sums over them
+    * (`c3(p2,p1,·)`, `c2(p1,·)`, `N = Σc1`), so — like
+    * [[bigramLmCounts]] — each table is ADDITIVE in the corpus and
+    * maintainable incrementally by summing per-batch counts
+    * ([[graft.streaming.EventStream.sboMaintain]]). The bigram table is
+    * NOT derivable from the trigram table (2-token docs contribute no
+    * trigram; interior bigrams would double-count), hence three tables.
+    */
+  case class SboTables(tri: org.apache.spark.sql.DataFrame,
+      bi: org.apache.spark.sql.DataFrame,
+      uni: org.apache.spark.sql.DataFrame)
+
+  def sboTables(corpus: org.apache.spark.sql.DataFrame): SboTables = {
+    val tri = trigramTransitions(corpus)
+      .groupBy("p2", "p1", "w").agg(count(lit(1)).as("c3"))
+    val bi = bigramTransitions(corpus).withColumnRenamed("prev", "p1")
+      .groupBy("p1", "w").agg(count(lit(1)).as("c2"))
     val uni = corpus
       .select(explode(tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1")).persist()
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    SboTables(tri, bi, uni)
+  }
+
+  /** Score `batch` docs against (possibly incrementally maintained)
+    * Stupid Backoff count tables — see [[stupidBackoffScore]] for the
+    * scheme. EMPTY tables fail safe by construction: `N = Σc1` over an
+    * empty unigram table is null, so every score (all branches fall to
+    * the OOV floor, whose denominator is N) and thus every doc's
+    * nll/ppl is null — a `ppl <= cut` gate admits nothing, mirroring
+    * [[scoreWithLm]]'s empty-LM contract without a special case.
+    */
+  def scoreWithSbo(batch: org.apache.spark.sql.DataFrame,
+      tri0: org.apache.spark.sql.DataFrame,
+      bi0: org.apache.spark.sql.DataFrame,
+      uni0: org.apache.spark.sql.DataFrame,
+      lambda: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    val tri = tri0.persist()
+    val ctx3 = tri.groupBy("p2", "p1").agg(sum("c3").as("n3"))
+    val bi = bi0.persist()
+    val ctx2 = bi.groupBy("p1").agg(sum("c2").as("n2"))
+    val uni = uni0.persist()
     val nTot = uni.agg(sum("c1").as("n_corpus"))
     val dtf = trigramTransitions(batch)
       .groupBy("doc_id", "p2", "p1", "w").agg(count(lit(1)).as("c"))

@@ -105,6 +105,30 @@ object StreamingPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Incremental Stupid Backoff maintenance — ta_stupid_backoff's
+    // ingest-time face: the stored corpus (every doc_id % 7 != 0)
+    // streams in and each micro-batch appends its trigram/bigram/
+    // unigram counts to the three maintained tables; all three are
+    // additive, so the folded model equals the batch fit for ANY
+    // arrival order, and gating the arriving batch (doc_id % 7 == 0)
+    // against it is hash-exact vs ta_stupid_backoff's own oracle.
+    "st_stupid_backoff" -> { (s, d) =>
+      import graft.Tables
+      import graft.operators.TextStats
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("sbo_upsert").toString
+      docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("part", pmod(col("doc_id"), lit(3)))
+        .repartitionByRange(3, col("part")).drop("part")
+        .write.mode("overwrite").parquet(s"$base/src")
+      EventStream.sboMaintain(s, s"$base/src", s"$base/counts",
+        s"$base/ckpt", filesPerBatch = 2)
+      val t = EventStream.foldSboCounts(s, s"$base/counts")
+      TextStats.scoreWithSbo(docs.filter(col("doc_id") % 7 === 0),
+          t.tri, t.bi, t.uni)
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental IVF maintenance: vectors stream in (3 staged files →
     // 3 micro-batches), each batch appends to the served posting table
     // against fixed centroids; the query then SEARCHES the
@@ -488,6 +512,11 @@ object StreamingPack extends QueryPack {
     // and used for scoring must equal the batch-fitted LM exactly
     // (bigram counts are additive in the corpus)
     "st_perplexity" -> TextAnalysis.oracle("ta_perplexity"),
+
+    // the ta_stupid_backoff SQL verbatim — the three stream-maintained
+    // count tables folded and used for scoring must equal the
+    // batch-fitted model exactly (all three tables are additive)
+    "st_stupid_backoff" -> TextAnalysis.oracle("ta_stupid_backoff"),
 
     // the full-corpus fixpoint over every document (singletons
     // self-clustered) — incremental maintenance must reproduce it

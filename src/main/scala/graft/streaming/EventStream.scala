@@ -317,6 +317,50 @@ object EventStream extends Serializable {
     dropBatch(maintained).groupBy("prev", "w")
       .agg(sum("cbw").as("cbw"))
 
+  /** Incremental Stupid Backoff maintenance — [[lmMaintain]]'s trigram
+    * sibling: each arriving document micro-batch appends its trigram/
+    * bigram/unigram count rows to the three maintained tables
+    * ([[graft.operators.TextStats.sboTables]] — the model's entire
+    * state; context denominators and N are prefix sums over them). All
+    * three are ADDITIVE in the corpus, so the folded tables are
+    * identical to the batch-fitted model for ANY arrival order or
+    * batching. Scale: per batch one |batch|-transition shuffle per
+    * table; state grows with the corpus n-gram vocabulary, folded on
+    * the compaction cadence ([[foldSboCounts]]).
+    */
+  def sboMaintain(spark: SparkSession, srcDir: String, countsDir: String,
+      checkpoint: String, filesPerBatch: Int = 1): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t = graft.operators.TextStats.sboTables(batch)
+        idempotentAppend(t.tri, s"$countsDir/tri", batchId)
+        idempotentAppend(t.bi, s"$countsDir/bi", batchId)
+        idempotentAppend(t.uni, s"$countsDir/uni", batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Fold [[sboMaintain]]-maintained per-batch count tables to the final
+    * corpus model (sum over batches — the read-time compaction).
+    */
+  def foldSboCounts(spark: SparkSession, countsDir: String)
+      : graft.operators.TextStats.SboTables =
+    graft.operators.TextStats.SboTables(
+      dropBatch(spark.read.parquet(s"$countsDir/tri"))
+        .groupBy("p2", "p1", "w").agg(sum("c3").as("c3")),
+      dropBatch(spark.read.parquet(s"$countsDir/bi"))
+        .groupBy("p1", "w").agg(sum("c2").as("c2")),
+      dropBatch(spark.read.parquet(s"$countsDir/uni"))
+        .groupBy("w").agg(sum("c1").as("c1")))
+
   /** Incremental sparse-index maintenance — the fifth index family's
     * streaming face (IVF/FTS/HNSW/quantized above): each arriving record
     * micro-batch explodes its `meta_sparse[key]` vector into the SAME

@@ -73,6 +73,22 @@ class PlanSpec extends AnyFunSuite {
       "the vocab cardinality joins as a single broadcast row")
   }
 
+  test("stupid backoff: no forced broadcast of the count tables; partial per-doc agg") {
+    // same contract as ta_perplexity: the three count tables are
+    // n-gram-vocabulary-sized and must reach the scoring joins unhinted
+    // (Catalyst may still size-estimate-broadcast them at tiny SF); the
+    // only hinted broadcast is the one-row corpus-size aggregate.
+    val df = SparkEntry.queries("ta_stupid_backoff")(spark, sf)
+    val hints = "ResolvedHint".r
+      .findAllIn(df.queryExecution.analyzed.toString).size
+    assert(hints == 1,
+      s"expected exactly the one-row corpus-size broadcast hint, found $hints")
+    val p = plan("ta_stupid_backoff")
+    assert(p.contains("partial_sum"), "per-doc reduce must map-side combine")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the corpus size joins as a single broadcast row")
+  }
+
   test("similarity join: left/query side broadcasts (no candidate shuffle)") {
     val p = plan("vs_similarity_join")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))

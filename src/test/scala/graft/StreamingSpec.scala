@@ -424,6 +424,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("incremental Stupid Backoff maintenance folds to the batch count tables") {
+    import graft.operators.TextStats
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val base = java.nio.file.Files.createTempDirectory("sbo_maint_spec").toString
+    corpus.withColumn("part", pmod(col("doc_id"), lit(3)))
+      .repartitionByRange(3, col("part")).drop("part")
+      .write.parquet(s"$base/src")
+    EventStream.sboMaintain(spark, s"$base/src", s"$base/counts", s"$base/ckpt")
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val exp = TextStats.sboTables(corpus)
+    // all three count tables are additive: fold == batch fit,
+    // row-identical, for this batching and after an idempotent rerun
+    def check(): Unit = {
+      val got = EventStream.foldSboCounts(spark, s"$base/counts")
+      assert(key(got.tri) == key(exp.tri))
+      assert(key(got.bi) == key(exp.bi))
+      assert(key(got.uni) == key(exp.uni))
+    }
+    check()
+    EventStream.sboMaintain(spark, s"$base/src", s"$base/counts", s"$base/ckpt")
+    check()
+
+    // scoring parity end to end: maintained-model scores == batch scores
+    val t = EventStream.foldSboCounts(spark, s"$base/counts")
+    val got = TextStats.scoreWithSbo(batch, t.tri, t.bi, t.uni)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val expScores = TextStats.stupidBackoffScore(corpus, batch)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == expScores)
+  }
+
   test("incremental span dedup over ordered batches == corpus-wide batch dedup") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))

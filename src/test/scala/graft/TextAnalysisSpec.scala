@@ -134,6 +134,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(12L) == got(13L), "OOV floor must equal the count-1 unigram")
   }
 
+  test("scoreWithSbo against EMPTY tables yields null scores, not perfect ones") {
+    // N = sum over an empty unigram table is null, so every branch's
+    // score is null and nll/ppl are null — a ppl <= cut gate admits
+    // nothing (mirrors the scoreWithLm empty-LM contract).
+    val empty = TextStats.sboTables(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val got = TextStats.scoreWithSbo(
+        Seq((1L, "a b c")).toDF("doc_id", "text"),
+        empty.tri, empty.bi, empty.uni)
+      .collect()
+    assert(got.length == 1 && got(0).isNullAt(2) && got(0).isNullAt(3))
+  }
+
   test("a repeated in-distribution doc scores lower nll than a shuffled one") {
     // the LM is fitted on the corpus: a document whose transitions dominate
     // the corpus must be more predictable than one made of rare transitions
