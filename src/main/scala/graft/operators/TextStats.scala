@@ -288,6 +288,75 @@ object TextStats {
         round(col("h"), 6).as("nll"), round(exp(col("h")), 2).as("ppl"))
   }
 
+  /** Collocation mining by pointwise mutual information over the corpus
+    * bigram transitions (the word2phrase/collocation-detection staple):
+    * `PMI(w1,w2) = ln( p(w1,w2) / (p(w1) p(w2)) ) = ln( c·N / (cl·cr) )`
+    * with the marginals taken over transition slots (cl = w1's count as
+    * a left word, cr = w2's as a right word) so the three tables and N
+    * all derive from ONE transition build. The row set is cut by the
+    * exact integer `minCount` (never by the float score — a rounded-PMI
+    * threshold would make the row set engine-dependent at ties). Output
+    * (`w1`, `w2`, `c`, `pmi`), pmi in nats rounded to 6.
+    *
+    * Scale shape: transition build is per-row array algebra; the three
+    * count aggregations and the scoring joins are n-gram-vocab-keyed
+    * shuffles; the single broadcast is the one-row N.
+    */
+  def collocations(docs: org.apache.spark.sql.DataFrame,
+      minCount: Long = 5): org.apache.spark.sql.DataFrame = {
+    val tr = bigramTransitions(docs)
+      .select(col("prev").as("w1"), col("w").as("w2")).persist()
+    val big = tr.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val left = tr.groupBy("w1").agg(count(lit(1)).as("cl"))
+    val right = tr.groupBy("w2").agg(count(lit(1)).as("cr"))
+    val n = tr.agg(count(lit(1)).as("n_trans"))
+    big.filter(col("c") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c"),
+        round(log(col("c").cast("double") * col("n_trans") /
+          (col("cl") * col("cr"))), 6).as("pmi"))
+  }
+
+  /** Per-source distribution drift vs the whole corpus: Jensen–Shannon
+    * divergence between each source's unigram distribution p and the
+    * corpus distribution q (the mixture-monitoring staple — 0 when a
+    * source looks like the corpus, ln 2 when disjoint). The q-side KL
+    * sum ranges over the WHOLE vocabulary, which naively needs a
+    * |sources| × |vocab| dense cross join; for every w the source lacks,
+    * m = q/2 makes the term exactly `q·ln 2`, so that tail telescopes to
+    * `ln 2 · (1 − Σ_{w∈source} q(w))` and the whole computation stays on
+    * the SPARSE (source, w) support:
+    *
+    *   JSD(p,q) = ½ Σ_{w∈s} p·ln(p/m) + ½ [ Σ_{w∈s} q·ln(q/m)
+    *              + ln 2 · (1 − Σ_{w∈s} q) ],   m = (p+q)/2
+    *
+    * Output (`source`, `n_tokens`, `jsd`), jsd in nats rounded to 6.
+    * Scale shape: one explode, vocab-keyed count shuffles, the scoring
+    * join on (w) — everything support-sized; the one-row corpus total is
+    * the only broadcast.
+    */
+  def domainDrift(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sw = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("csw")).persist()
+    val srcTot = sw.groupBy("source").agg(sum("csw").as("ns"))
+    val cw = sw.groupBy("w").agg(sum("csw").as("cw"))
+    val nTot = cw.agg(sum("cw").as("n"))
+    val p = col("csw").cast("double") / col("ns")
+    val q = col("cw").cast("double") / col("n")
+    val m = (p + q) / 2
+    sw.join(srcTot, Seq("source"))
+      .join(cw, Seq("w"))
+      .crossJoin(broadcast(nTot))
+      .groupBy("source")
+      .agg(max("ns").as("n_tokens"),
+        round((sum(p * log(p / m)) + sum(q * log(q / m)) +
+          log(lit(2.0)) * (lit(1.0) - sum(q))) / 2, 6).as("jsd"))
+  }
+
   /** Small per-language stopword profiles for the language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),

@@ -227,6 +227,27 @@ object TextAnalysis extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Collocation mining: corpus bigram PMI with an exact integer
+    // min-count row cut (a float-score cut would make the row set
+    // engine-dependent at ties). The word2phrase/phrase-detection
+    // staple over the documents table.
+    "ta_collocations" -> { (s, d) =>
+      TextStats.collocations(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          minCount = 5)
+        .orderBy(col("w1"), col("w2"))
+    },
+
+    // Per-source distribution drift: Jensen–Shannon divergence between
+    // each source's unigram distribution and the corpus mixture —
+    // sparse-support evaluation (the missing-vocab KL tail telescopes
+    // to a closed form; see TextStats.domainDrift).
+    "ta_domain_drift" -> { (s, d) =>
+      TextStats.domainDrift(
+          Tables.documents(s, d).select(col("source"), col("text")))
+        .orderBy(col("source"))
+    },
+
     // Text-to-KNN end to end with NO hash opacity anywhere: documents
     // embed through the fitted dense tf-idf function (vocabulary cut,
     // slot weights, and L2 norm all SQL-reproducible — see
@@ -314,6 +335,34 @@ object TextAnalysis extends QueryPack {
       |GROUP BY d.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ta_collocations" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |tr AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |       FROM tk WHERE len(t) >= 2),
+        |big AS (SELECT w1, w2, count(*) AS c FROM tr GROUP BY 1, 2),
+        |l AS (SELECT w1, count(*) AS cl FROM tr GROUP BY 1),
+        |r AS (SELECT w2, count(*) AS cr FROM tr GROUP BY 1),
+        |n AS (SELECT count(*) AS n_trans FROM tr)
+        |SELECT b.w1, b.w2, b.c,
+        |  round(ln(b.c::DOUBLE * (SELECT n_trans FROM n) / (l.cl * r.cr)), 6) AS pmi
+        |FROM big b JOIN l USING (w1) JOIN r USING (w2)
+        |WHERE b.c >= 5 ORDER BY w1, w2""".stripMargin,
+
+    "ta_domain_drift" ->
+      s"""WITH tok AS (SELECT source, unnest($sqlToks) AS w FROM documents),
+        |sw AS (SELECT source, w, count(*) AS csw FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, sum(csw) AS ns FROM sw GROUP BY 1),
+        |cw AS (SELECT w, sum(csw) AS cw FROM sw GROUP BY 1),
+        |nt AS (SELECT sum(cw) AS n FROM cw),
+        |j AS (SELECT sw.source, st.ns,
+        |        sw.csw::DOUBLE / st.ns AS p,
+        |        cw.cw::DOUBLE / (SELECT n FROM nt) AS q
+        |      FROM sw JOIN st USING (source) JOIN cw USING (w))
+        |SELECT source, max(ns)::BIGINT AS n_tokens,
+        |  round((sum(p * ln(p / ((p + q) / 2))) + sum(q * ln(q / ((p + q) / 2)))
+        |         + ln(2) * (1 - sum(q))) / 2, 6) AS jsd
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
     "ta_stupid_backoff" ->
       s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
         |ctr AS (SELECT unnest(t[1:len(t)-2]) AS p2, unnest(t[2:len(t)-1]) AS p1,

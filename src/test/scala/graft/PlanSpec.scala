@@ -89,6 +89,18 @@ class PlanSpec extends AnyFunSuite {
       "the corpus size joins as a single broadcast row")
   }
 
+  test("collocations / domain drift: only the one-row total is hint-broadcast") {
+    // the count tables are vocab-/support-sized and must reach their
+    // joins unhinted, same contract as the LM scorers
+    for (q <- Seq("ta_collocations", "ta_domain_drift")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val hints = "ResolvedHint".r
+        .findAllIn(df.queryExecution.analyzed.toString).size
+      assert(hints == 1,
+        s"$q: expected exactly the one-row total broadcast hint, found $hints")
+    }
+  }
+
   test("similarity join: left/query side broadcasts (no candidate shuffle)") {
     val p = plan("vs_similarity_join")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))

@@ -134,6 +134,99 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(12L) == got(13L), "OOV floor must equal the count-1 unigram")
   }
 
+  test("stupidBackoffScore equals a pure-Scala SBO on random corpus/batch splits") {
+    // independent reference implementation with plain Scala collections:
+    // same trigram→bigram→count-1-floored-unigram backoff, compared at
+    // the rounded precision. The tiny vocab + short docs force all three
+    // branches (and the OOV floor via the 'zz' batch-only word).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val words = Vector("a", "b", "c", "dd")
+    val genDoc = Gen.chooseNum(0, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(words :+ "zz")).map(_.mkString(" ")))
+    val genSplit = for {
+      nc <- Gen.chooseNum(1, 10)
+      corpus <- Gen.listOfN(nc, Gen.listOfN(7, Gen.oneOf(words))
+        .map(_.mkString(" ")))
+      nb <- Gen.chooseNum(1, 6)
+      batch <- Gen.listOfN(nb, genDoc)
+    } yield (corpus, batch)
+    (1 to 25).foreach { it =>
+      val (corpusT, batchT) = genSplit(Gen.Parameters.default, Seed(it.toLong)).get
+      val corpus = corpusT.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val batch = batchT.zipWithIndex.map { case (t, i) => (100L + i, t) }
+      def toks(t: String) = t.split("[^a-z0-9]+").filter(_.nonEmpty).toVector
+      val ct = corpus.map(_._2).map(toks)
+      val tri = ct.filter(_.size >= 3)
+        .flatMap(ts => ts.sliding(3).map(s => (s(0), s(1), s(2))))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val ctx3 = tri.groupBy { case ((p2, p1, _), _) => (p2, p1) }
+        .view.mapValues(_.values.sum).toMap
+      val bi = ct.filter(_.size >= 2)
+        .flatMap(ts => ts.sliding(2).map(s => (s(0), s(1))))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val ctx2 = bi.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val uni = ct.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val n = ct.map(_.size).sum
+      def s(p2: String, p1: String, w: String): Double =
+        tri.get((p2, p1, w)) match {
+          case Some(c3) => c3.toDouble / ctx3((p2, p1))
+          case None => bi.get((p1, w)) match {
+            case Some(c2) => 0.4 * c2 / ctx2(p1)
+            case None => 0.16 * math.max(uni.getOrElse(w, 0), 1).toDouble / n
+          }
+        }
+      val expected = batch.map { case (id, t) => id -> toks(t) }
+        .filter(_._2.size >= 3).map { case (id, ts) =>
+          val trs = ts.sliding(3).map(x => (x(0), x(1), x(2))).toVector
+          val h = -trs.map { case (p2, p1, w) => math.log(s(p2, p1, w)) }
+            .sum / trs.size
+          id -> ((trs.size.toLong, h, math.exp(h)))
+        }.toMap
+      val got = TextStats.stupidBackoffScore(
+          corpus.toDF("doc_id", "text"), batch.toDF("doc_id", "text"))
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(got.keySet == expected.keySet, s"iter $it")
+      got.foreach { case (id, (nt, nll, ppl)) =>
+        val (en, eh, ep) = expected(id)
+        assert(nt == en, s"iter $it doc $id n_trans")
+        assert(math.abs(nll - eh) < 1e-6, s"iter $it doc $id nll $nll vs $eh")
+        assert(math.abs(ppl - ep) < 5e-3 + 1e-9 * ep, s"iter $it doc $id ppl")
+      }
+    }
+  }
+
+  test("collocations matches hand-computed PMI over transition marginals") {
+    // "a b a b": transitions (a,b),(b,a),(a,b) → N=3; big (a,b):2 (b,a):1;
+    // cl a:2 b:1; cr b:2 a:1. PMI(a,b)=ln(2·3/(2·2)); PMI(b,a)=ln(1·3/(1·1)).
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val got = TextStats.collocations(docs, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("a", "b")) == (2L, math.round(math.log(1.5) * 1e6) / 1e6))
+    assert(got(("b", "a")) == (1L, math.round(math.log(3.0) * 1e6) / 1e6))
+    // the min-count cut is on the exact integer count
+    assert(TextStats.collocations(docs, minCount = 2).count() == 1)
+  }
+
+  test("domainDrift: identical sources score 0, disjoint sources match the closed form") {
+    val same = Seq(("s1", "a b"), ("s2", "a b")).toDF("source", "text")
+    val gotSame = TextStats.domainDrift(same)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(gotSame("s1") == 0.0 && gotSame("s2") == 0.0)
+
+    // s1 = all "a", s2 = all "b", q = {a:.5, b:.5}: each source's JSD is
+    // ½·1·ln(1/.75) + ½·[.5·ln(.5/.75) + ln2·(1−.5)] — compute directly.
+    val disj = Seq(("s1", "a a"), ("s2", "b b")).toDF("source", "text")
+    val exp = (math.log(1 / 0.75) +
+      (0.5 * math.log(0.5 / 0.75) + math.log(2) * 0.5)) / 2
+    val gotDisj = TextStats.domainDrift(disj)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(gotDisj("s1") - exp) < 1e-6)
+    assert(math.abs(gotDisj("s2") - exp) < 1e-6)
+  }
+
   test("scoreWithSbo against EMPTY tables yields null scores, not perfect ones") {
     // N = sum over an empty unigram table is null, so every branch's
     // score is null and nll/ppl are null — a ppl <= cut gate admits
