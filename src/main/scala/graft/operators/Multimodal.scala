@@ -21,17 +21,22 @@ import org.apache.spark.sql.types._
   * IMAGES decode for real: `javax.imageio` ships in every JDK, so the
   * PNG/BMP paths ([[decodeImage]], [[resizeImage]]) run a true codec —
   * zlib inflate, raster access, nearest-neighbor resampling — and are
-  * oracle-checked on dimensions + a pixel digest. Video/audio codecs are
-  * NOT in the JDK or this container, so the frame-sampling DECODER stays
-  * a clearly-marked deterministic stub ([[decodeStub]]); the sampling
-  * loop, batching, and output contract around it are the real plumbing
-  * ffmpeg would drop into.
+  * oracle-checked on dimensions + a pixel digest. AUDIO (WAV/PCM)
+  * decodes for real too: `javax.sound.sampled` is likewise JDK-resident,
+  * so [[decodeWav]] runs a true RIFF parse + PCM frame read,
+  * oracle-checked on integer-exact clip features. Only VIDEO and
+  * compressed-audio codecs (H.264/MP3/AAC) are absent from the JDK and
+  * this container, so the frame-sampling DECODER stays a clearly-marked
+  * deterministic stub ([[decodeStub]]); the sampling loop, batching, and
+  * output contract around it are the real plumbing ffmpeg would drop
+  * into.
   */
 object Multimodal {
 
   /** Deterministic fake frame "decode": parses a fake header from the
-    * bytes. STUB for VIDEO/AUDIO only (no JDK codec exists) — images go
-    * through the real [[decodeImage]]. Replace with ffmpeg JNI when
+    * bytes. STUB for VIDEO / compressed audio only (no JDK codec
+    * exists) — images go through the real [[decodeImage]], WAV audio
+    * through the real [[decodeWav]]. Replace with ffmpeg JNI when
     * available; the signature and batching stay the same.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
@@ -270,6 +275,115 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, resizeImgSchema)
+  }
+
+  /** Deterministic synthetic PCM16 clip for a document id:
+    * `n = id % 50 + 20` samples at 8 kHz mono,
+    * `sample(i) = ((i·31 + id·7) mod 2003) − 1001` — every audio feature
+    * is a closed-form function of the id, while the bytes go through a
+    * REAL WAV encode/decode (RIFF container + PCM codec via
+    * `javax.sound.sampled`, which ships in every JDK — the same
+    * no-external-dependency argument as the image path).
+    */
+  def syntheticWavSamples(docId: Long): Array[Short] = {
+    val n = (docId % 50 + 20).toInt
+    Array.tabulate(n)(i =>
+      (((i.toLong * 31 + docId * 7) % 2003) - 1001).toShort)
+  }
+
+  /** [[syntheticWavSamples]] encoded to real WAV bytes (RIFF header +
+    * 16-bit little-endian PCM) through the JDK audio writer.
+    */
+  def syntheticWavBytes(docId: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = syntheticWavSamples(docId)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(bb.array), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV decode via the JDK codec: RIFF parse + PCM frames through
+    * `AudioSystem`, then integer-exact clip features —
+    * `(sample_rate, channels, n_samples, Σv, Σv², zero-crossings, max,
+    * min)` — so for [[syntheticWavSamples]] blobs the identical row is
+    * computable in ANSI SQL from the sample formula. Fails LOUDLY on
+    * undecodable bytes or a non-PCM16 format rather than mis-reading
+    * frames.
+    */
+  def decodeWav(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long, Int, Int) = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case e: javax.sound.sampled.UnsupportedAudioFileException =>
+        throw new IllegalArgumentException(
+          s"undecodable audio bytes (${bytes.length} bytes, " +
+            s"magic ${bytes.take(4).map("%02x".format(_)).mkString})", e)
+      }
+    val fmt = ais.getFormat
+    require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"expected 16-bit little-endian signed PCM, got $fmt")
+    val raw = ais.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(raw)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var n = 0L; var sv = 0L; var sv2 = 0L; var zc = 0L
+    var mx = Int.MinValue; var mn = Int.MaxValue
+    var prevNeg = false
+    while (bb.remaining() >= 2) {
+      val v: Int = bb.getShort()
+      val neg = v < 0
+      if (n > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      sv += v; sv2 += v.toLong * v
+      if (v > mx) mx = v
+      if (v < mn) mn = v
+      n += 1
+    }
+    (fmt.getSampleRate.toInt, fmt.getChannels, n, sv, sv2, zc, mx, mn)
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("sum_v", LongType), StructField("sum_sq", LongType),
+    StructField("n_zero_cross", LongType),
+    StructField("v_max", IntegerType), StructField("v_min", IntegerType)))
+
+  /** `(doc_id, blob BINARY)` of real WAV bytes per document. */
+  def synthWavBlobs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col("doc_id")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticWavBytes(id))
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType))))
+  }
+
+  /** Batched REAL WAV decode over `(doc_id, blob BINARY)` rows — the
+    * audio sibling of [[decodeImageFeatures]]: map-only, codec init per
+    * partition, integer-exact features out.
+    */
+  def decodeAudioFeatures(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (rate, ch, n, sv, sv2, zc, mx, mn) =
+          decodeWav(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), rate, ch, n, sv, sv2, zc, mx, mn)
+      }
+    }
+    spark.createDataFrame(rdd, audioSchema)
   }
 
   private val frameSchema = StructType(Seq(

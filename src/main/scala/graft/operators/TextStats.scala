@@ -288,6 +288,57 @@ object TextStats {
         round(col("h"), 6).as("nll"), round(exp(col("h")), 2).as("ppl"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per-doc
+    * `log w(x) = Σ_trans [ln p_target(trans) − ln p_raw(trans)]` where
+    * both are add-`alpha`-smoothed bigram LMs ([[bigramLmCounts]]) — the
+    * target LM fitted on the `target` slice (the domain you want more
+    * of), the raw LM on all of `docs`. Resampling by these weights
+    * shifts the corpus mixture toward the target domain; the heavy
+    * machinery is exactly the perplexity filter's, run twice in one
+    * plan. Transitions the target LM never saw score at its smoothing
+    * floor (left-join + zero-count fallback); raw-LM rows always exist
+    * (the raw fit covers every scored doc). An EMPTY target slice
+    * yields null logw for every doc (fail-safe, mirroring
+    * [[scoreWithLm]]). Output (`doc_id`, `n_trans`, `logw`) for docs
+    * with >= 2 tokens, logw in nats rounded to 6 — the TOTAL log-ratio,
+    * not a per-transition average (DSIR resamples whole documents).
+    *
+    * Scale shape: both LM tables are vocab-sized keyed shuffles (never
+    * broadcast); the two one-row vocab cardinalities are the only
+    * broadcasts. Selection on the weights belongs in TakeOrdered
+    * (orderBy+limit), NOT a global window.
+    */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame,
+      alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val tr = bigramTransitions(docs).persist()
+    val tC = bigramLmCounts(bigramTransitions(target)).persist()
+    val tP = tC.groupBy("prev").agg(sum("cbw").as("cp_t"))
+    val tV = tC.select(explode(array(col("prev"), col("w"))).as("term"))
+      .agg(count_distinct(col("term")).as("v_t"))
+    val rC = bigramLmCounts(tr).persist()
+    val rP = rC.groupBy("prev").agg(sum("cbw").as("cp_r"))
+    val rV = rC.select(explode(array(col("prev"), col("w"))).as("term"))
+      .agg(count_distinct(col("term")).as("v_r"))
+    val dtf = tr.groupBy("doc_id", "prev", "w").agg(count(lit(1)).as("c"))
+    val lpT = log((coalesce(col("cbw_t"), lit(0L)) + alpha) /
+      (coalesce(col("cp_t"), lit(0L)) + lit(alpha) * col("v_t")))
+    val lpR = log((col("cbw_r") + alpha) / (col("cp_r") + lit(alpha) * col("v_r")))
+    dtf.join(tC.withColumnRenamed("cbw", "cbw_t"), Seq("prev", "w"), "left")
+      .join(tP, Seq("prev"), "left")
+      .join(rC.withColumnRenamed("cbw", "cbw_r"), Seq("prev", "w"))
+      .join(rP, Seq("prev"))
+      .crossJoin(broadcast(tV)).crossJoin(broadcast(rV))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_trans"),
+        // per-row lazy guard: with v_t = 0 the smoothing denominator is
+        // 0 and ANSI division would throw before any aggregate-level
+        // filter could discard it — the when() must wrap the row term
+        round(sum(when(col("v_t") > 0,
+          col("c") * (lpT - lpR))), 6).as("logw"))
+  }
+
   /** Collocation mining by pointwise mutual information over the corpus
     * bigram transitions (the word2phrase/collocation-detection staple):
     * `PMI(w1,w2) = ln( p(w1,w2) / (p(w1) p(w2)) ) = ln( c·N / (cl·cr) )`

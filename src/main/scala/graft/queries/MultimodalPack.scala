@@ -26,6 +26,16 @@ object MultimodalPack extends QueryPack {
       Multimodal.decodeImageFeatures(blobs).orderBy(col("doc_id"))
     },
 
+    // real WAV decode: per-doc synthetic PCM16 clips encode to actual
+    // RIFF/WAV bytes, decode back through javax.sound.sampled, and emit
+    // integer-exact clip features (rate, channels, n, Σv, Σv², zero
+    // crossings, max, min) the oracle recomputes from the sample formula
+    "mm_audio_features" -> { (s, d) =>
+      val blobs = Multimodal.synthWavBlobs(
+        Tables.documents(s, d).select(col("doc_id")))
+      Multimodal.decodeAudioFeatures(blobs).orderBy(col("doc_id"))
+    },
+
     // Frame sampling over "video" blobs: every 3rd 100-byte frame with
     // its offset + digest — the one-to-many media explode, oracle-checked
     // on the deterministic sampling geometry.
@@ -157,6 +167,23 @@ object MultimodalPack extends QueryPack {
     "mm_embed_knn_oracle" -> TextAnalysis.oracle("ta_tfidf_knn"),
     // uri → bytes → codec must land on the same rasters as inline blobs
     "mm_uri_decode" -> decodeOracleSql,
+
+    // the synthetic clip's every sample is closed-form in the id; the
+    // features are integer sums, so the REAL RIFF/PCM decode path must
+    // land on exactly these rows
+    "mm_audio_features" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 50 + 20 AS n FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, n)) AS i FROM ids),
+        |v AS (SELECT doc_id, i, ((i*31 + doc_id*7) % 2003) - 1001 AS v FROM s),
+        |z AS (SELECT doc_id, v, CASE WHEN (lag(v) OVER
+        |        (PARTITION BY doc_id ORDER BY i) < 0) <> (v < 0)
+        |      THEN 1 ELSE 0 END AS zc FROM v)
+        |SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+        |  count(*)::BIGINT AS n_samples,
+        |  sum(v)::BIGINT AS sum_v, sum(v*v)::BIGINT AS sum_sq,
+        |  sum(zc)::BIGINT AS n_zero_cross,
+        |  max(v)::INT AS v_max, min(v)::INT AS v_min
+        |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // pixel moments from the closed form; integer-exact arithmetic both
     // sides makes the squared-L2 distances bit-identical

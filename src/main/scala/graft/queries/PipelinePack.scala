@@ -146,6 +146,34 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // DSIR importance weights: per-doc total log-likelihood-ratio
+    // between a bigram LM fitted on the TARGET slice (lang = 'en')
+    // and one fitted on the raw corpus — resampling by these weights
+    // shifts the mixture toward the target domain (Xie et al. 2023).
+    // Full weight table, deterministic by doc_id.
+    "pl_dsir_weights" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      TextStats.dsirWeights(docs.select(col("doc_id"), col("text")),
+          docs.filter(col("lang") === "en")
+            .select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    },
+
+    // The resample itself: top-100 docs by importance weight. orderBy +
+    // limit plans TakeOrderedAndProject (per-partition top-k, no global
+    // window funnel); ties on the rounded weight break by doc_id so the
+    // selected set is engine-deterministic.
+    "pl_dsir_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      TextStats.dsirWeights(docs.select(col("doc_id"), col("text")),
+          docs.filter(col("lang") === "en")
+            .select(col("doc_id"), col("text")))
+        .orderBy(col("logw").desc, col("doc_id"))
+        .limit(100)
+    },
+
     // Sequence packing (concat-and-chunk): deterministically order each
     // (lang, shard) stream by doc-id hash, run a token cumsum, and cut
     // fixed 512-token training sequences at exclusive-cumsum boundaries —
@@ -236,7 +264,44 @@ object PipelinePack extends QueryPack {
   private def sqlHits(l: String) =
     s"len(list_filter(t, x -> x IN (${stopwords(l).map(w => s"'$w'").mkString(",")})))"
 
+  private def sqlDsirWeightsCte: String =
+    s"""tk AS (SELECT doc_id, lang, $sqlToks AS t FROM documents),
+      |tr AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS w
+      |       FROM tk WHERE len(t) >= 2),
+      |ttr AS (SELECT tr.* FROM tr JOIN tk USING (doc_id) WHERE tk.lang = 'en'),
+      |tc AS (SELECT prev, w, count(*) AS cbw_t FROM ttr GROUP BY 1, 2),
+      |tp AS (SELECT prev, count(*) AS cp_t FROM ttr GROUP BY 1),
+      |tv AS (SELECT count(DISTINCT term) AS v_t
+      |       FROM (SELECT unnest(t) AS term FROM tk
+      |             WHERE len(t) >= 2 AND lang = 'en')),
+      |rc AS (SELECT prev, w, count(*) AS cbw_r FROM tr GROUP BY 1, 2),
+      |rp AS (SELECT prev, count(*) AS cp_r FROM tr GROUP BY 1),
+      |rv AS (SELECT count(DISTINCT term) AS v_r
+      |       FROM (SELECT unnest(t) AS term FROM tk WHERE len(t) >= 2)),
+      |dtf AS (SELECT doc_id, prev, w, count(*) AS c FROM tr GROUP BY 1, 2, 3),
+      |wt AS (SELECT d.doc_id, sum(d.c)::BIGINT AS n_trans,
+      |  round(sum(d.c * (
+      |      ln((coalesce(tc.cbw_t, 0) + 0.5)
+      |         / (coalesce(tp.cp_t, 0) + 0.5 * (SELECT v_t FROM tv)))
+      |    - ln((rc.cbw_r + 0.5)
+      |         / (rp.cp_r + 0.5 * (SELECT v_r FROM rv))))), 6) AS logw
+      |  FROM dtf d
+      |  LEFT JOIN tc ON d.prev = tc.prev AND d.w = tc.w
+      |  LEFT JOIN tp ON d.prev = tp.prev
+      |  JOIN rc ON d.prev = rc.prev AND d.w = rc.w
+      |  JOIN rp ON d.prev = rp.prev
+      |  GROUP BY d.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "pl_dsir_weights" ->
+      s"""WITH $sqlDsirWeightsCte
+        |SELECT doc_id, n_trans, logw FROM wt ORDER BY doc_id""".stripMargin,
+
+    "pl_dsir_sample" ->
+      s"""WITH $sqlDsirWeightsCte
+        |SELECT doc_id, n_trans, logw FROM wt
+        |ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin,
+
     "pl_ingest_clean" ->
       """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),

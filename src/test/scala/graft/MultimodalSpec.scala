@@ -22,6 +22,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real WAV decode round-trips format and every sample's statistics") {
+    import graft.operators.Multimodal
+    for (id <- Seq(0L, 7L, 49L, 123L)) {
+      val bytes = Multimodal.syntheticWavBytes(id)
+      // the blob is a genuine RIFF container, not raw samples
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      val (rate, ch, n, sv, sv2, zc, mx, mn) = Multimodal.decodeWav(bytes)
+      val s = Multimodal.syntheticWavSamples(id).map(_.toInt)
+      assert(rate == 8000 && ch == 1 && n == s.length)
+      assert(sv == s.map(_.toLong).sum && sv2 == s.map(v => v.toLong * v).sum)
+      assert(zc == s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+      assert(mx == s.max && mn == s.min)
+    }
+    // undecodable bytes fail loudly, naming the blob's shape
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodeWav(Array[Byte](1, 2, 3, 4, 5)))
+    assert(e.getMessage.contains("undecodable audio"))
+  }
+
   test("video-frame decode stub is pure and deterministic") {
     val bytes = "hello world".getBytes("UTF-8")
     val (w, h, sig) = graft.operators.Multimodal.decodeStub(bytes)

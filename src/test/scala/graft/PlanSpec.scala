@@ -101,6 +101,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir: two one-row vocab broadcasts only; sample is TakeOrdered, not a window") {
+    val df = SparkEntry.queries("pl_dsir_weights")(spark, sf)
+    val hints = "ResolvedHint".r
+      .findAllIn(df.queryExecution.analyzed.toString).size
+    assert(hints == 2,
+      s"expected exactly the two one-row vocab broadcast hints, found $hints")
+    val p = plan("pl_dsir_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the weight resample must be a distributed top-k, not a global window\n" +
+        p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
   test("similarity join: left/query side broadcasts (no candidate shuffle)") {
     val p = plan("vs_similarity_join")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))

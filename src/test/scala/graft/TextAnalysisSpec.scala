@@ -197,6 +197,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirWeights matches the hand-computed target/raw LM log-ratio") {
+    // raw corpus {"a b", "b c"}, target {"a b"}:
+    //   target LM: cbw(a,b)=1, cp(a)=1, v_t=2; raw: cbw=1 each, cp=1, v_r=3
+    //   doc1 "a b": ln(1.5/2) − ln(1.5/2.5) = ln 1.25
+    //   doc2 "b c": target floor ln(0.5/1) − raw ln(0.6) = ln(5/6)
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val target = Seq((1L, "a b")).toDF("doc_id", "text")
+    val got = TextStats.dsirWeights(docs, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got(1L) - math.log(1.25)) < 1e-6)
+    assert(math.abs(got(2L) - math.log(5.0 / 6)) < 1e-6)
+    // an EMPTY target slice fails safe: null weights, not +inf ones
+    val empty = TextStats.dsirWeights(docs,
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).collect()
+    assert(empty.length == 2 && empty.forall(_.isNullAt(2)))
+  }
+
   test("collocations matches hand-computed PMI over transition marginals") {
     // "a b a b": transitions (a,b),(b,a),(a,b) → N=3; big (a,b):2 (b,a):1;
     // cl a:2 b:1; cr b:2 a:1. PMI(a,b)=ln(2·3/(2·2)); PMI(b,a)=ln(1·3/(1·1)).
