@@ -101,6 +101,35 @@ object Dedup {
         col("nb").cast("long").as("nb"), col("jaccard"))
   }
 
+  /** Edit-distance verification of near-dup candidates — the
+    * ORDER-SENSITIVE complement to Jaccard: shingle-set overlap treats a
+    * document and its token-level paraphrase alike, while Levenshtein
+    * similarity `1 − lev(a,b)/max(|a|,|b|)` penalizes reorderings and
+    * rewrites, so a low-Jaccard-threshold candidate pass re-verified by
+    * edit similarity separates true byte-level near-dups from
+    * same-vocabulary documents. Candidates come from the df-capped
+    * inverted index ([[jaccardPairs]] at `candidateThreshold`) — the
+    * O(len²)-per-pair Levenshtein only ever runs on candidate pairs,
+    * never corpus²; the two text joins are keyed shuffles on the pair
+    * endpoints. Output (`da`, `db`, `jaccard`, `lev`, `edit_sim`) for
+    * pairs with `edit_sim >= simThreshold`.
+    */
+  def editSimilarityVerify(docs: DataFrame, candidateThreshold: Double = 0.05,
+      simThreshold: Double = 0.8, n: Int = 3,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
+    val txt = docs.select(col("doc_id"), col("text"))
+    jaccardPairs(docs, candidateThreshold, n, maxDf)
+      .select(col("da"), col("db"), col("jaccard"))
+      .join(txt.select(col("doc_id").as("da"), col("text").as("ta")), Seq("da"))
+      .join(txt.select(col("doc_id").as("db"), col("text").as("tb")), Seq("db"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+      .withColumn("edit_sim", lit(1.0) -
+        col("lev").cast("double") / greatest(length(col("ta")), length(col("tb"))))
+      .filter(col("edit_sim") >= simThreshold)
+      .select(col("da"), col("db"), col("jaccard"), col("lev").cast("long").as("lev"),
+        col("edit_sim"))
+  }
+
   /** EXACT Jaccard pairs touching an arriving batch — [[jaccardPairs]]
     * with one side of the inverted-index join restricted to the batch's
     * posting rows: |batch postings| × df work instead of df², the exact

@@ -408,6 +408,137 @@ object TextStats {
           log(lit(2.0)) * (lit(1.0) - sum(q))) / 2, 6).as("jsd"))
   }
 
+  /** Sliding token-window document chunking — the standard pre-embedding
+    * ingestion step of a vector-store pipeline (the reference's client
+    * ecosystem chunks documents before `add()`; fixed-size token windows
+    * with overlap are the canonical splitter). Whitespace tokens; chunks
+    * start every `chunkSize - overlap` tokens and the LAST chunk is the
+    * first one reaching the document's end (no trailing chunk fully
+    * contained in its predecessor — `nChunks = 1 + ceil(max(0, n -
+    * chunkSize) / stride)`). Output per non-empty doc: (`doc_id`,
+    * `chunk_idx`, `n_tok`, `chunk`).
+    *
+    * Scale shape: pure per-row array algebra inside WholeStageCodegen —
+    * zero shuffle, output-sized explode; chunk ids stay (doc_id,
+    * chunk_idx) pairs so downstream writes partition like any id column.
+    */
+  def chunkWindows(docs: org.apache.spark.sql.DataFrame,
+      chunkSize: Int = 64, overlap: Int = 16)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"chunkWindows: need 0 <= overlap < chunkSize, got ($chunkSize, $overlap)")
+    val stride = chunkSize - overlap
+    val t = col("t")
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), x => x =!= "").as("t"))
+      .filter(size(t) > 0)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0),
+          floor((greatest(size(t) - chunkSize, lit(0)) + lit(stride - 1))
+            / lit(stride)).cast("int")),
+        i => struct(i.as("chunk_idx"),
+          least(lit(chunkSize), size(t) - i * stride).as("n_tok"),
+          concat_ws(" ", slice(t, i * stride + 1, lit(chunkSize))).as("chunk"))))
+        .as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_tok").as("n_tok"), col("c.chunk").as("chunk"))
+  }
+
+  /** GPT-3-style corpus quality classifier (Brown et al. 2020, appendix A:
+    * a linear classifier trained to tell a curated high-quality slice from
+    * the raw corpus, then every raw document scored by it and kept by a
+    * Pareto-noise threshold) — here the multinomial Naive Bayes
+    * instantiation, chosen because its FIT is pure aggregation: the
+    * model's entire state is the per-class word-count table plus the
+    * per-class doc counts, both ADDITIVE in the corpus (incrementally
+    * maintainable exactly like [[bigramLmCounts]] —
+    * [[graft.streaming.EventStream.nbMaintain]]) and SQL-reproducible,
+    * where logistic regression's iterative fit has no exact oracle form.
+    *
+    * Scoring: per-doc log-odds of the target class with add-`alpha`
+    * smoothing over the SHARED vocabulary V (distinct words across both
+    * classes),
+    *
+    *   logodds(d) = ln(d_pos/d_neg)
+    *     + Σ_w c_w(d)·[ ln((c_pos(w)+α)/(N_pos+αV)) −
+    *                    ln((c_neg(w)+α)/(N_neg+αV)) ]
+    *
+    * Unseen words hit both smoothing floors (left join + zero-count
+    * fallback), so scoring out-of-corpus documents — the ingest-gate
+    * use — is well-defined. Fail-safes mirror [[scoreWithLm]]: an empty
+    * model (V = 0) or a missing class (d_pos·d_neg = 0) yields null
+    * logodds/pred, so a `pred` gate admits nothing.
+    *
+    * Output per batch doc with >= 1 token: (`doc_id`, `n_toks`,
+    * `logodds` nats rounded 6, `pred` = logodds > 0).
+    *
+    * Scale shape: the fit tables are vocab-sized keyed shuffles (never
+    * broadcast); scoring is ONE vocab-keyed left join (the class pivot
+    * collapses both classes into one row per word) plus two one-row
+    * broadcasts (token totals + doc priors). Per-row smoothing terms are
+    * lazily guarded on V > 0 — ANSI division would throw on the empty
+    * model before any aggregate-level filter could discard it.
+    */
+  def scoreWithNb(batch: org.apache.spark.sql.DataFrame,
+      wc0: org.apache.spark.sql.DataFrame,
+      dc: org.apache.spark.sql.DataFrame,
+      alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    val wc = wc0.persist() // pivot + totals + vocab each traverse it
+    val piv = wc.groupBy("w").agg(
+      sum(when(col("is_target"), col("cw"))).as("cpos"),
+      sum(when(!col("is_target"), col("cw"))).as("cneg"))
+    val tot = wc.agg(
+      coalesce(sum(when(col("is_target"), col("cw"))), lit(0L)).as("npos"),
+      coalesce(sum(when(!col("is_target"), col("cw"))), lit(0L)).as("nneg"),
+      count_distinct(col("w")).as("v"))
+    val pri = dc.agg(
+      coalesce(sum(when(col("is_target"), col("n_docs"))), lit(0L)).as("dpos"),
+      coalesce(sum(when(!col("is_target"), col("n_docs"))), lit(0L)).as("dneg"))
+    val dtf = batch
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val lterm = when(col("v") > 0,
+      col("c") * (log((coalesce(col("cpos"), lit(0L)) + alpha) /
+          (col("npos") + lit(alpha) * col("v"))) -
+        log((coalesce(col("cneg"), lit(0L)) + alpha) /
+          (col("nneg") + lit(alpha) * col("v")))))
+    dtf.join(piv, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_toks"), sum(lterm).as("llr"))
+      .crossJoin(broadcast(pri))
+      .select(col("doc_id"), col("n_toks"),
+        round(when(col("dpos") > 0 && col("dneg") > 0,
+          log(col("dpos").cast("double") / col("dneg")) + col("llr")), 6)
+          .as("logodds"))
+      .withColumn("pred", col("logodds") > 0)
+  }
+
+  /** The NB model's word-count half: (`is_target`, `w`, `cw`) over docs
+    * carrying a boolean `is_target` label column. Additive in the corpus.
+    */
+  def nbWordCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("is_target"), explode(tokens(col("text"))).as("w"))
+      .groupBy("is_target", "w").agg(count(lit(1)).as("cw"))
+
+  /** The NB model's prior half: (`is_target`, `n_docs`). Counts EVERY
+    * doc in the class, token-less ones included — priors are over
+    * documents, not tokens. Additive in the corpus.
+    */
+  def nbDocCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.groupBy("is_target").agg(count(lit(1)).as("n_docs"))
+
+  /** Fit on `corpus` (`doc_id`, `text`, `is_target`), score `batch`
+    * (`doc_id`, `text`) — see [[scoreWithNb]].
+    */
+  def nbQualityScore(corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      alpha: Double = 1.0): org.apache.spark.sql.DataFrame =
+    scoreWithNb(batch, nbWordCounts(corpus), nbDocCounts(corpus), alpha)
+
   /** Small per-language stopword profiles for the language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),

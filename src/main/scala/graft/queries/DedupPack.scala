@@ -24,6 +24,17 @@ object DedupPack extends QueryPack {
         .orderBy(col("da"), col("db"))
     },
 
+    // Edit-distance verification — the order-sensitive complement to
+    // Jaccard: a LOW-threshold candidate pass (jaccard >= 0.05 widens
+    // past the near-dup floor) re-verified by Levenshtein similarity
+    // >= 0.8, separating byte-level near-dups from same-vocabulary
+    // docs. Levenshtein runs on candidate pairs only, never corpus².
+    "dd_editdist_verify" -> { (s, d) =>
+      Dedup.editSimilarityVerify(Tables.documents(s, d),
+          candidateThreshold = 0.05, simThreshold = 0.8)
+        .orderBy(col("da"), col("db"))
+    },
+
     // Leakage-safe split: near-dup clusters (not documents) are the
     // split unit — no val doc can have a train near-twin.
     "dd_leakage_split" -> { (s, d) =>
@@ -396,6 +407,29 @@ object DedupPack extends QueryPack {
          |FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
          |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
          |ORDER BY da, db""".stripMargin,
+
+    "dd_editdist_verify" ->
+      s"""WITH $sqlShingles,
+         |ex0 AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         |dfreq AS (SELECT sg FROM ex0 GROUP BY sg
+         |          HAVING count(*) <= ${graft.operators.Dedup.DefaultMaxDf}),
+         |ex AS (SELECT ex0.doc_id, ex0.sg FROM ex0 JOIN dfreq USING (sg)),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         |j AS (SELECT da, db, inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+         |      FROM pairs JOIN sizes sa ON da = sa.doc_id
+         |      JOIN sizes sb ON db = sb.doc_id
+         |      WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.05),
+         |ed AS (SELECT da, db, jaccard,
+         |         levenshtein(a.text, b.text)::BIGINT AS lev,
+         |         1.0 - levenshtein(a.text, b.text)::DOUBLE
+         |           / greatest(length(a.text), length(b.text)) AS edit_sim
+         |       FROM j JOIN documents a ON da = a.doc_id
+         |       JOIN documents b ON db = b.doc_id)
+         |SELECT da, db, jaccard, lev, edit_sim FROM ed
+         |WHERE edit_sim >= 0.8 ORDER BY da, db""".stripMargin,
 
     // threshold-1.0 LSH over the planted-duplicate corpus == identical
     // distinct-shingle sets (see the query's proof sketch); '|' never

@@ -146,6 +146,42 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Sliding token-window chunking — the pre-embedding ingestion step
+    // of every vector-store pipeline: 64-token windows starting every 48
+    // tokens (16 overlap), last chunk = first to reach the doc's end.
+    // Zero-shuffle per-row array algebra (see TextStats.chunkWindows).
+    "pl_chunk_windows" -> { (s, d) =>
+      TextStats.chunkWindows(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          chunkSize = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // The GPT-3 acceptance rule (Brown 2020 App.A): every corpus doc
+    // scores through the NB quality classifier (fitted corpus-wide,
+    // "curated" = even-digit sources) and is KEPT iff its quality
+    // probability beats a per-doc Pareto(9)-noise threshold
+    // `1 - pareto(u)` — low-quality docs still enter the corpus with
+    // small probability, preserving tail diversity. The noise is
+    // deterministic (Knuth multiplicative hash of doc_id → uniform →
+    // inverse-CDF Pareto), so the kept set is reproducible and
+    // oracle-checkable; everything stays scan-shaped (the score join
+    // is vocab-keyed, the threshold per-row math).
+    "pl_nb_pareto_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        substring(col("source"), -1, 1)
+          .isin("0", "2", "4", "6", "8").as("is_target"))
+      val scored = TextStats.nbQualityScore(docs, docs.select("doc_id", "text"))
+      val u = (col("doc_id") * lit(2654435761L) % lit(4294967296L))
+        .cast("double") / lit(4294967296.0)
+      val pareto = pow(lit(1.0) - u, lit(-1.0 / 9.0)) - lit(1.0)
+      scored.select(col("doc_id"), col("n_toks"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("logodds"))), 6).as("prob"),
+          round(lit(1.0) - pareto, 6).as("cut"))
+        .filter(col("prob") > col("cut"))
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR importance weights: per-doc total log-likelihood-ratio
     // between a bigram LM fitted on the TARGET slice (lang = 'en')
     // and one fitted on the raw corpus — resampling by these weights
@@ -419,6 +455,53 @@ object PipelinePack extends QueryPack {
          |FROM dtf d LEFT JOIN bigc b ON d.prev = b.prev AND d.w = b.w
          |LEFT JOIN prevc p ON d.prev = p.prev
          |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
+
+    "pl_chunk_windows" ->
+      """WITH tk AS (SELECT doc_id,
+        |              list_filter(string_split_regex(text, '\s+'),
+        |                          x -> x <> '') AS t
+        |            FROM documents),
+        |nn AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
+        |idx AS (SELECT doc_id, t, n,
+        |          unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) AS i
+        |        FROM nn)
+        |SELECT doc_id, i AS chunk_idx,
+        |  least(64, n - i * 48) AS n_tok,
+        |  array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "pl_nb_pareto_sample" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |              right(source, 1) IN ('0','2','4','6','8') AS pos,
+         |              $sqlToks AS t FROM documents),
+         |wc AS (SELECT pos, w, count(*) AS cw
+         |       FROM (SELECT pos, unnest(t) AS w FROM tk) GROUP BY 1, 2),
+         |piv AS (SELECT w, sum(CASE WHEN pos THEN cw END) AS cpos,
+         |               sum(CASE WHEN NOT pos THEN cw END) AS cneg
+         |        FROM wc GROUP BY w),
+         |tot AS (SELECT coalesce(sum(CASE WHEN pos THEN cw END), 0) AS npos,
+         |               coalesce(sum(CASE WHEN NOT pos THEN cw END), 0) AS nneg,
+         |               count(DISTINCT w) AS v FROM wc),
+         |pri AS (SELECT coalesce(sum(CASE WHEN pos THEN 1 END), 0) AS dpos,
+         |               coalesce(sum(CASE WHEN NOT pos THEN 1 END), 0) AS dneg
+         |        FROM tk),
+         |dtf AS (SELECT doc_id, w, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY 1, 2),
+         |sc AS (SELECT d.doc_id, d.c,
+         |         d.c * (ln((coalesce(p.cpos, 0) + 1.0) / (t.npos + 1.0 * t.v))
+         |              - ln((coalesce(p.cneg, 0) + 1.0) / (t.nneg + 1.0 * t.v))) AS term
+         |       FROM dtf d LEFT JOIN piv p ON d.w = p.w CROSS JOIN tot t),
+         |agg AS (SELECT doc_id, sum(c)::BIGINT AS n_toks,
+         |          round(ln((SELECT dpos FROM pri)::DOUBLE / (SELECT dneg FROM pri))
+         |            + sum(term), 6) AS logodds
+         |        FROM sc GROUP BY doc_id),
+         |fin AS (SELECT doc_id, n_toks,
+         |          round(1.0 / (1.0 + exp(-logodds)), 6) AS prob,
+         |          round(1.0 - (pow(1.0 - ((doc_id * 2654435761) % 4294967296)
+         |            / 4294967296.0, -1.0 / 9.0) - 1.0), 6) AS cut
+         |        FROM agg)
+         |SELECT doc_id, n_toks, prob, cut FROM fin
+         |WHERE prob > cut ORDER BY doc_id""".stripMargin,
 
     "pl_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,

@@ -129,6 +129,33 @@ object StreamingPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Incremental NB quality-classifier maintenance — ta_nb_quality's
+    // ingest-time face: the labeled stored corpus (doc_id % 7 != 0)
+    // streams in and each micro-batch appends its per-class word/doc
+    // counts to the two maintained tables; both are additive, so the
+    // folded model equals the batch fit for ANY arrival order, and
+    // gating the arriving batch (doc_id % 7 == 0) against it is
+    // hash-exact vs ta_nb_quality's own oracle.
+    "st_nb_quality" -> { (s, d) =>
+      import graft.Tables
+      import graft.operators.TextStats
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        substring(col("source"), -1, 1)
+          .isin("0", "2", "4", "6", "8").as("is_target"))
+      val base = java.nio.file.Files.createTempDirectory("nb_upsert").toString
+      docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("part", pmod(col("doc_id"), lit(3)))
+        .repartitionByRange(3, col("part")).drop("part")
+        .write.mode("overwrite").parquet(s"$base/src")
+      EventStream.nbMaintain(s, s"$base/src", s"$base/counts",
+        s"$base/ckpt", filesPerBatch = 2)
+      val (wc, dc) = EventStream.foldNbCounts(s, s"$base/counts")
+      TextStats.scoreWithNb(
+          docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text"),
+          wc, dc)
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental IVF maintenance: vectors stream in (3 staged files →
     // 3 micro-batches), each batch appends to the served posting table
     // against fixed centroids; the query then SEARCHES the
@@ -517,6 +544,10 @@ object StreamingPack extends QueryPack {
     // count tables folded and used for scoring must equal the
     // batch-fitted model exactly (all three tables are additive)
     "st_stupid_backoff" -> TextAnalysis.oracle("ta_stupid_backoff"),
+
+    // the ta_nb_quality SQL verbatim — the stream-maintained NB count
+    // tables folded by sum equal the batch fit (additive counts)
+    "st_nb_quality" -> TextAnalysis.oracle("ta_nb_quality"),
 
     // the full-corpus fixpoint over every document (singletons
     // self-clustered) — incremental maintenance must reproduce it

@@ -227,6 +227,23 @@ object TextAnalysis extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // GPT-3-style quality classifier (Brown 2020 App.A): multinomial
+    // Naive Bayes fitted on the stored corpus to tell the "curated"
+    // sources (even-digit suffix) from the rest, scoring the arriving
+    // batch (every 7th doc) by target-class log-odds — unseen batch
+    // words exercise the smoothing floors through the oracle. See
+    // TextStats.scoreWithNb for the plan shape (one vocab-keyed join,
+    // two one-row broadcasts).
+    "ta_nb_quality" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        substring(col("source"), -1, 1)
+          .isin("0", "2", "4", "6", "8").as("is_target"))
+      TextStats.nbQualityScore(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text"))
+        .orderBy(col("doc_id"))
+    },
+
     // Collocation mining: corpus bigram PMI with an exact integer
     // min-count row cut (a float-score cut would make the row set
     // engine-dependent at ties). The word2phrase/phrase-detection
@@ -334,6 +351,40 @@ object TextAnalysis extends QueryPack {
       |JOIN prevc p ON d.prev = p.prev
       |GROUP BY d.doc_id)""".stripMargin
 
+  /** DuckDB rebuild of the ta_nb_quality fit+score (scoreWithNb over the
+    * stored/arriving split) — also st_nb_quality's oracle verbatim (the
+    * stream-maintained count tables fold to the batch fit).
+    */
+  val sqlNbQuality: String =
+    s"""WITH tk AS (SELECT doc_id,
+      |              right(source, 1) IN ('0','2','4','6','8') AS pos,
+      |              $sqlToks AS t FROM documents),
+      |corp AS (SELECT * FROM tk WHERE doc_id % 7 <> 0),
+      |wc AS (SELECT pos, w, count(*) AS cw
+      |       FROM (SELECT pos, unnest(t) AS w FROM corp) GROUP BY 1, 2),
+      |piv AS (SELECT w, sum(CASE WHEN pos THEN cw END) AS cpos,
+      |               sum(CASE WHEN NOT pos THEN cw END) AS cneg
+      |        FROM wc GROUP BY w),
+      |tot AS (SELECT coalesce(sum(CASE WHEN pos THEN cw END), 0) AS npos,
+      |               coalesce(sum(CASE WHEN NOT pos THEN cw END), 0) AS nneg,
+      |               count(DISTINCT w) AS v FROM wc),
+      |pri AS (SELECT coalesce(sum(CASE WHEN pos THEN 1 END), 0) AS dpos,
+      |               coalesce(sum(CASE WHEN NOT pos THEN 1 END), 0) AS dneg
+      |        FROM corp),
+      |dtf AS (SELECT doc_id, w, count(*) AS c
+      |        FROM (SELECT doc_id, unnest(t) AS w FROM tk WHERE doc_id % 7 = 0)
+      |        GROUP BY 1, 2),
+      |sc AS (SELECT d.doc_id, d.c,
+      |         d.c * (ln((coalesce(p.cpos, 0) + 1.0) / (t.npos + 1.0 * t.v))
+      |              - ln((coalesce(p.cneg, 0) + 1.0) / (t.nneg + 1.0 * t.v))) AS term
+      |       FROM dtf d LEFT JOIN piv p ON d.w = p.w CROSS JOIN tot t),
+      |agg AS (SELECT doc_id, sum(c)::BIGINT AS n_toks,
+      |          round(ln((SELECT dpos FROM pri)::DOUBLE / (SELECT dneg FROM pri))
+      |            + sum(term), 6) AS logodds
+      |        FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_toks, logodds, logodds > 0 AS pred
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "ta_collocations" ->
       s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
@@ -401,6 +452,8 @@ object TextAnalysis extends QueryPack {
     "ta_perplexity" ->
       s"""WITH $sqlPerplexityCte
         |SELECT doc_id, n_trans, nll, ppl FROM pplt ORDER BY doc_id""".stripMargin,
+
+    "ta_nb_quality" -> sqlNbQuality,
 
     "ta_tfidf_knn" ->
       s"""WITH $tfidfVecsCte,

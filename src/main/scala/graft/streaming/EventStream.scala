@@ -361,6 +361,48 @@ object EventStream extends Serializable {
       dropBatch(spark.read.parquet(s"$countsDir/uni"))
         .groupBy("w").agg(sum("c1").as("c1")))
 
+  /** Incremental quality-classifier maintenance — [[lmMaintain]]'s
+    * Naive-Bayes sibling (the GPT-3 quality gate's ingest-time face):
+    * each arriving labeled micro-batch (`doc_id`, `text`, `is_target`)
+    * appends its per-class word counts and doc counts to the two
+    * maintained tables ([[graft.operators.TextStats.scoreWithNb]]'s
+    * ENTIRE state — totals, vocabulary, and priors are all prefix sums
+    * over them). Both are ADDITIVE in the corpus, so the folded model
+    * equals the batch fit for ANY arrival order or batching. Scale: per
+    * batch one |batch|-token shuffle; state grows with the corpus
+    * vocabulary, folded on the compaction cadence ([[foldNbCounts]]).
+    */
+  def nbMaintain(spark: SparkSession, srcDir: String, countsDir: String,
+      checkpoint: String, filesPerBatch: Int = 1): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("is_target", BooleanType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentAppend(graft.operators.TextStats.nbWordCounts(batch),
+          s"$countsDir/wc", batchId)
+        idempotentAppend(graft.operators.TextStats.nbDocCounts(batch),
+          s"$countsDir/dc", batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Fold [[nbMaintain]]-maintained per-batch count tables to the final
+    * corpus model (sum over batches): (word counts, doc counts).
+    */
+  def foldNbCounts(spark: SparkSession, countsDir: String)
+      : (DataFrame, DataFrame) =
+    (dropBatch(spark.read.parquet(s"$countsDir/wc"))
+       .groupBy("is_target", "w").agg(sum("cw").as("cw")),
+     dropBatch(spark.read.parquet(s"$countsDir/dc"))
+       .groupBy("is_target").agg(sum("n_docs").as("n_docs")))
+
   /** Incremental sparse-index maintenance — the fifth index family's
     * streaming face (IVF/FTS/HNSW/quantized above): each arriving record
     * micro-batch explodes its `meta_sparse[key]` vector into the SAME

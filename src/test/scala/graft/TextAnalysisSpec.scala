@@ -257,6 +257,65 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).isNullAt(2) && got(0).isNullAt(3))
   }
 
+  test("chunkWindows cuts sliding windows with the last-chunk-reaches-end rule") {
+    // chunkSize=4, overlap=2 -> stride=2
+    val docs = Seq(
+      (1L, "a b c"),            // n=3 <= 4: one chunk
+      (2L, "a b c d"),          // n=4: exactly one chunk
+      (3L, "a b c d e"),        // n=5: starts 0,2 (chunk 1 reaches end)
+      (4L, "a b c d e f g h"),  // n=8: starts 0,2,4 (4..8 reaches end)
+      (5L, "")                  // empty: no chunks
+    ).toDF("doc_id", "text")
+    val got = TextStats.chunkWindows(docs, chunkSize = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 3, "a b c"),
+      (2L, 0, 4, "a b c d"),
+      (3L, 0, 4, "a b c d"), (3L, 1, 3, "c d e"),
+      (4L, 0, 4, "a b c d"), (4L, 1, 4, "c d e f"), (4L, 2, 4, "e f g h")))
+    // no chunk is ever fully contained in its predecessor
+    intercept[IllegalArgumentException] {
+      TextStats.chunkWindows(docs, chunkSize = 4, overlap = 4)
+    }
+  }
+
+  test("scoreWithNb matches the hand-computed add-1 Naive Bayes log-odds") {
+    // corpus: d1 target "a a b"  d2 non-target "a c"
+    // cpos: a=2 b=1 (npos=3); cneg: a=1 c=1 (nneg=2); V={a,b,c}=3
+    // priors: dpos=dneg=1 -> ln(1)=0
+    // batch "a b d" (d unseen -> both smoothing floors):
+    //   a: ln(3/6)-ln(2/5)  b: ln(2/6)-ln(1/5)  d: ln(1/6)-ln(1/5)
+    val corpus = Seq((1L, "a a b", true), (2L, "a c", false))
+      .toDF("doc_id", "text", "is_target")
+    val batch = Seq((10L, "a b d")).toDF("doc_id", "text")
+    val got = TextStats.nbQualityScore(corpus, batch).collect()
+    val exp = (math.log(3.0 / 6) - math.log(2.0 / 5)) +
+      (math.log(2.0 / 6) - math.log(1.0 / 5)) +
+      (math.log(1.0 / 6) - math.log(1.0 / 5))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 10L && got(0).getLong(1) == 3L)
+    assert(got(0).getDouble(2) == round6(exp))
+    assert(got(0).getBoolean(3) == (exp > 0))
+  }
+
+  test("scoreWithNb fails safe on a missing class and on an empty model") {
+    // one-class corpus: dneg = 0 -> null logodds/pred, a pred gate
+    // admits nothing (mirrors the scoreWithLm empty-LM contract)
+    val oneClass = Seq((1L, "a b", true)).toDF("doc_id", "text", "is_target")
+    val batch = Seq((10L, "a b")).toDF("doc_id", "text")
+    val g1 = TextStats.nbQualityScore(oneClass, batch).collect()
+    assert(g1.length == 1 && g1(0).isNullAt(2) && g1(0).isNullAt(3))
+    // empty model: V = 0 — the per-row lazy guard must keep ANSI
+    // division from throwing, and scores must be null
+    val empty = Seq.empty[(Long, String, Boolean)]
+      .toDF("doc_id", "text", "is_target")
+    val g2 = TextStats.nbQualityScore(empty, batch).collect()
+    assert(g2.length == 1 && g2(0).isNullAt(2) && g2(0).isNullAt(3))
+  }
+
   test("a repeated in-distribution doc scores lower nll than a shuffled one") {
     // the LM is fitted on the corpus: a document whose transitions dominate
     // the corpus must be more predictable than one made of rare transitions
