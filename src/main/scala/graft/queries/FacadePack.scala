@@ -383,6 +383,31 @@ object FacadePack extends QueryPack {
         include = Seq("document", "meta:lang", "meta:src"))
     },
 
+    // Chunked ingestion end-to-end — the pre-embedding splitter feeding
+    // the store (the reference ecosystem's chunk-then-add contract):
+    // documents cut into 64-token windows (TextStats.chunkWindows),
+    // each chunk added as its own record with parent/idx/n_tok
+    // metadata, then a where_document-filtered get projects chunks
+    // back with their lineage.
+    "fc_chunk_ingest" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_chunk_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("chunks")
+      val chunks = graft.operators.TextStats.chunkWindows(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        chunkSize = 64, overlap = 16)
+      coll.add(chunks.select(
+        concat(lit("doc-"), col("doc_id"), lit("#"), col("chunk_idx")).as("id"),
+        col("chunk").as("document"),
+        map(lit("parent"), col("doc_id").cast("string"),
+          lit("idx"), col("chunk_idx").cast("string"),
+          lit("n_tok"), col("n_tok").cast("string")).as("meta")))
+      coll.get(
+        where = Some(graft.model.Where.DocContains("merge", negated = false)),
+        limit = Some(100),
+        include = Seq("document", "meta:parent", "meta:idx"))
+    },
+
     // The record's `uri` field through the full write path — the
     // reference's blob-pointer contract (Collection.py:96-109 uris
     // surface): add() accepts a uri column, it rides the WAL, an Update
@@ -686,6 +711,23 @@ object FacadePack extends QueryPack {
         |SELECT id, document, lang, src FROM live
         |WHERE contains(document, 'data')
         |ORDER BY id LIMIT 200 OFFSET 10""".stripMargin,
+
+    "fc_chunk_ingest" ->
+      """WITH tk AS (SELECT doc_id,
+        |              list_filter(string_split_regex(text, '\s+'),
+        |                          x -> x <> '') AS t
+        |            FROM documents),
+        |nn AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
+        |idx AS (SELECT doc_id, t, n,
+        |          unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) AS i
+        |        FROM nn),
+        |ch AS (SELECT 'doc-'||doc_id||'#'||i AS id,
+        |         array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ') AS document,
+        |         doc_id::VARCHAR AS parent, i::VARCHAR AS idx
+        |       FROM idx)
+        |SELECT id, document, parent, idx FROM ch
+        |WHERE contains(document, 'merge')
+        |ORDER BY id LIMIT 100""".stripMargin,
 
     "fc_sparse_search" ->
       """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM

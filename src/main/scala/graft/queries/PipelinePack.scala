@@ -273,6 +273,33 @@ object PipelinePack extends QueryPack {
         .orderBy(col("source"))
     },
 
+    // Temperature-based mixture resampling (XLM-R / mBERT exponential
+    // smoothing, Conneau 2020 §3.1): per-language sampling share
+    // q_l ∝ p_l^α with α = 0.3 — low-resource languages upsample, the
+    // head flattens. The per-language upsample factor q_l/p_l is what a
+    // sampler multiplies each language's draw rate by. |languages|-row
+    // aggregates + a one-row broadcast total; the corpus scan is the
+    // only data-sized work.
+    "pl_temperature_mix" -> { (s, d) =>
+      val alpha = 0.3
+      val nTok = size(TextStats.tokens(col("text"))).cast("long")
+      val byLang = Tables.documents(s, d)
+        .select(col("lang"), nTok.as("n_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok"))
+      val t1 = byLang.agg(sum(col("tok")).as("total_tok"))
+      val total = byLang.crossJoin(broadcast(t1))
+        .agg(max(col("total_tok")).as("total_tok"),
+          sum(pow(col("tok").cast("double") / col("total_tok"), alpha)).as("z"))
+      byLang.crossJoin(broadcast(total))
+        .withColumn("p", col("tok").cast("double") / col("total_tok"))
+        .withColumn("q", pow(col("p"), alpha) / col("z"))
+        .select(col("lang"), col("n_docs"), col("tok"),
+          round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+          round(col("q") / col("p"), 6).as("upsample"))
+        .orderBy(col("lang"))
+    },
+
     // Deterministic training-order shuffle: route every document to a
     // hash shard and assign its position within the shard by hash order —
     // the global-shuffle step before sequence packing, decomposed so no
@@ -455,6 +482,21 @@ object PipelinePack extends QueryPack {
          |FROM dtf d LEFT JOIN bigc b ON d.prev = b.prev AND d.w = b.w
          |LEFT JOIN prevc p ON d.prev = p.prev
          |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
+
+    "pl_temperature_mix" ->
+      s"""WITH bl AS (SELECT lang, count(*) AS n_docs,
+         |              sum(len($sqlToks))::BIGINT AS tok
+         |            FROM documents GROUP BY lang),
+         |t1 AS (SELECT sum(tok) AS total_tok FROM bl),
+         |tz AS (SELECT (SELECT total_tok FROM t1) AS total_tok,
+         |         sum(pow(tok::DOUBLE / (SELECT total_tok FROM t1), 0.3)) AS z
+         |       FROM bl)
+         |SELECT lang, n_docs, tok,
+         |  round(tok::DOUBLE / tz.total_tok, 6) AS p,
+         |  round(pow(tok::DOUBLE / tz.total_tok, 0.3) / tz.z, 6) AS q,
+         |  round((pow(tok::DOUBLE / tz.total_tok, 0.3) / tz.z)
+         |    / (tok::DOUBLE / tz.total_tok), 6) AS upsample
+         |FROM bl CROSS JOIN tz ORDER BY lang""".stripMargin,
 
     "pl_chunk_windows" ->
       """WITH tk AS (SELECT doc_id,

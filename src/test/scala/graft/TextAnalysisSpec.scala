@@ -316,6 +316,66 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(g2.length == 1 && g2(0).isNullAt(2) && g2(0).isNullAt(3))
   }
 
+  test("scoreWithNb equals a pure-Scala Naive Bayes on random labeled corpora") {
+    // independent reference implementation with plain Scala collections;
+    // random labels also exercise the missing-class fail-safe, and the
+    // batch-only 'zz' word the smoothing floors.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val words = Vector("a", "b", "c", "dd")
+    val genCase = for {
+      nc <- Gen.chooseNum(2, 12)
+      corpus <- Gen.listOfN(nc, for {
+        n <- Gen.chooseNum(1, 7)
+        ws <- Gen.listOfN(n, Gen.oneOf(words))
+        l <- Gen.oneOf(true, false)
+      } yield (ws.mkString(" "), l))
+      nb <- Gen.chooseNum(1, 6)
+      batch <- Gen.listOfN(nb, Gen.chooseNum(1, 7).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(words :+ "zz")).map(_.mkString(" "))))
+    } yield (corpus, batch)
+    (1 to 25).foreach { it =>
+      val (corpusT, batchT) =
+        genCase(Gen.Parameters.default, Seed(it.toLong)).get
+      val corpus = corpusT.zipWithIndex
+        .map { case ((t, l), i) => (i.toLong, t, l) }
+      val batch = batchT.zipWithIndex.map { case (t, i) => (100L + i, t) }
+      def toks(t: String) = t.split("[^a-z0-9]+").filter(_.nonEmpty).toVector
+      def counts(sel: Boolean) = corpus.filter(_._3 == sel)
+        .flatMap(c => toks(c._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val cpos = counts(true); val cneg = counts(false)
+      val npos = cpos.values.sum; val nneg = cneg.values.sum
+      val v = (cpos.keySet ++ cneg.keySet).size
+      val dpos = corpus.count(_._3); val dneg = corpus.count(!_._3)
+      val expected = batch.map { case (id, t) => id -> toks(t) }
+        .filter(_._2.nonEmpty).map { case (id, ts) =>
+          val lo = if (v == 0 || dpos == 0 || dneg == 0) None
+            else Some(math.log(dpos.toDouble / dneg) + ts.map(w =>
+              math.log((cpos.getOrElse(w, 0L) + 1.0) / (npos + v)) -
+              math.log((cneg.getOrElse(w, 0L) + 1.0) / (nneg + v))).sum)
+          id -> ((ts.size.toLong, lo))
+        }.toMap
+      val got = TextStats.nbQualityScore(
+          corpus.toDF("doc_id", "text", "is_target"),
+          batch.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap
+      assert(got.keySet == expected.keySet, s"iter $it")
+      got.foreach { case (id, (nt, lo)) =>
+        val (en, el) = expected(id)
+        assert(nt == en, s"iter $it doc $id n_toks")
+        (lo, el) match {
+          case (Some(g), Some(e)) =>
+            assert(math.abs(g - e) < 1e-6, s"iter $it doc $id logodds $g vs $e")
+          case (None, None) =>
+          case _ => fail(s"iter $it doc $id null mismatch: $lo vs $el")
+        }
+      }
+    }
+  }
+
   test("a repeated in-distribution doc scores lower nll than a shuffled one") {
     // the LM is fitted on the corpus: a document whose transitions dominate
     // the corpus must be more predictable than one made of rare transitions
