@@ -130,6 +130,31 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // The 100-TB face of the bucketing cut: `percentile()` exact terciles
+    // need a per-group full sort of every score — fine per language at
+    // sf0.1, a sort of the corpus at scale. `approx_percentile` is the
+    // one-pass mergeable sketch (map-side partial aggregation, bounded
+    // state) whose rank error is the accuracy knob; bucket agreement vs
+    // the exact cuts is gated >= 0.95 in PipelineSpec (sketches differ
+    // across engines, so no SQL oracle — rows-only here, the exact
+    // pl_ccnet_buckets IS this query's oracle-checked twin).
+    "pl_ccnet_buckets_approx" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = TextStats
+        .bigramLmScore(docs.select(col("doc_id"), col("text")))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .persist()
+      val cuts = scored.groupBy("lang").agg(
+        round(expr("approx_percentile(ppl, 0.3333333333333333, 10000)"), 6).as("t1"),
+        round(expr("approx_percentile(ppl, 0.6666666666666666, 10000)"), 6).as("t2"))
+      scored.join(broadcast(cuts), "lang")
+        .select(col("doc_id"), col("lang"), col("ppl"), col("t1"), col("t2"),
+          when(col("ppl") <= col("t1"), "head")
+            .when(col("ppl") <= col("t2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     // Perplexity INGEST PROBE — the batch-scaled face of the CCNet
     // filter: the LM is fitted on the stored corpus only, and an
     // arriving batch (every 7th document) scores against it at ingest

@@ -32,6 +32,30 @@ object VectorSearch extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // KnnBatch, cosine space: 5 queries × top-10, exact.
+    // Per-label embedding drift — the dense complement of the text-side
+    // JSD monitor (ta_domain_drift): each label's mean embedding compared
+    // to the corpus mean by cosine and L2. The posexplode is map-side
+    // only; partial aggregation collapses (label, dim) cells before the
+    // one tiny shuffle (labels × dims rows per partition), so the plan
+    // is scan-bounded at any corpus size.
+    "vs_embedding_drift" -> { (s, d) =>
+      val cell = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      val lp = cell.groupBy("label", "pos")
+        .agg(sum(col("v").cast("double")).as("sl"), count(lit(1)).as("nl"))
+      val cp = lp.groupBy("pos").agg(sum("sl").as("sc"), sum("nl").as("nc"))
+      val j = lp.join(cp, "pos")
+        .select(col("label"), col("nl"),
+          (col("sl") / col("nl")).as("ml"), (col("sc") / col("nc")).as("mc"))
+      j.groupBy("label")
+        .agg(max("nl").as("n_vecs"),
+          round(sum(col("ml") * col("mc")) /
+            (sqrt(sum(col("ml") * col("ml"))) * sqrt(sum(col("mc") * col("mc")))),
+            6).as("cos_to_corpus"),
+          round(sqrt(sum(pow(col("ml") - col("mc"), lit(2)))), 6).as("l2_to_corpus"))
+        .orderBy(col("label"))
+    },
+
     "vs_knn_cosine" -> { (s, d) =>
       Knn.exact(candidates(s, d), queryVecs(s, d), k = 10, space = "cosine")
         .select(outCols: _*)
@@ -451,6 +475,22 @@ object VectorSearch extends QueryPack {
     "vs_quantized_rotated_oracle" -> exactCosineSql,
     "vs_quantized_rotated_served_oracle" -> exactCosineSql,
     "vs_ann_ivf_quantized_oracle" -> exactCosineSql,
+
+    "vs_embedding_drift" ->
+      """WITH cell AS (SELECT label, s.slot AS pos,
+        |                embedding[s.slot + 1]::DOUBLE AS v
+        |              FROM embeddings
+        |              CROSS JOIN (SELECT unnest(range(64)) AS slot) s),
+        |lp AS (SELECT label, pos, sum(v) AS sl, count(*) AS nl
+        |       FROM cell GROUP BY 1, 2),
+        |cp AS (SELECT pos, sum(sl) AS sc, sum(nl) AS nc FROM lp GROUP BY 1),
+        |j AS (SELECT label, nl, sl / nl AS ml, sc / nc AS mc
+        |      FROM lp JOIN cp USING (pos))
+        |SELECT label, max(nl)::BIGINT AS n_vecs,
+        |  round(sum(ml * mc) / (sqrt(sum(ml * ml)) * sqrt(sum(mc * mc))), 6)
+        |    AS cos_to_corpus,
+        |  round(sqrt(sum((ml - mc) * (ml - mc))), 6) AS l2_to_corpus
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
 
     "vs_knn_cosine" -> exactCosineSql,
 
