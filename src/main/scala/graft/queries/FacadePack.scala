@@ -713,20 +713,10 @@ object FacadePack extends QueryPack {
         |ORDER BY id LIMIT 200 OFFSET 10""".stripMargin,
 
     "fc_chunk_ingest" ->
-      """WITH tk AS (SELECT doc_id,
-        |              list_filter(string_split_regex(text, '\s+'),
-        |                          x -> x <> '') AS t
-        |            FROM documents),
-        |nn AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
-        |idx AS (SELECT doc_id, t, n,
-        |          unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) AS i
-        |        FROM nn),
-        |ch AS (SELECT 'doc-'||doc_id||'#'||i AS id,
-        |         array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ') AS document,
-        |         doc_id::VARCHAR AS parent, i::VARCHAR AS idx
-        |       FROM idx)
-        |SELECT id, document, parent, idx FROM ch
-        |WHERE contains(document, 'merge')
+      s"""WITH ${PipelinePack.sqlChunkCte}
+        |SELECT 'doc-'||doc_id||'#'||i AS id, chunk AS document,
+        |  doc_id::VARCHAR AS parent, i::VARCHAR AS idx
+        |FROM ch WHERE contains(chunk, 'merge')
         |ORDER BY id LIMIT 100""".stripMargin,
 
     "fc_sparse_search" ->

@@ -15,6 +15,51 @@ import org.apache.spark.sql.functions._
   */
 object PipelinePack extends QueryPack {
 
+  /** CCNet bucketing with the tercile aggregate injected — pl_ccnet_buckets
+    * (exact `percentile`) and pl_ccnet_buckets_approx (one-pass
+    * `approx_percentile` sketch, the 100-TB cut path) are THIS body with
+    * different `cut` expressions, so the exact/approx twin relationship is
+    * code, not copy. The scored table is persisted: it feeds both the
+    * tercile aggregate and the final bucketing scan — without the cache
+    * the whole LM fit+score lineage would run twice.
+    */
+  private def ccnetBucketsWith(s: SparkSession, d: String,
+      cut: Double => Column): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = TextStats
+      .bigramLmScore(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .persist()
+    val cuts = scored.groupBy("lang").agg(
+      round(cut(1.0 / 3), 6).as("t1"),
+      round(cut(2.0 / 3), 6).as("t2"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("ppl"), col("t1"), col("t2"),
+        when(col("ppl") <= col("t1"), "head")
+          .when(col("ppl") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared DuckDB CTE chain rebuilding [[graft.operators.TextStats
+    * .chunkWindows]] (64-token windows, stride 48, last chunk = first to
+    * reach the doc's end) through `ch(doc_id, i, n_tok, chunk)` — one
+    * definition serves pl_chunk_windows and FacadePack's fc_chunk_ingest
+    * so the window constants live in exactly one SQL block.
+    */
+  val sqlChunkCte: String =
+    """tk AS (SELECT doc_id,
+      |          list_filter(string_split_regex(text, '\s+'),
+      |                      x -> x <> '') AS t
+      |        FROM documents),
+      |nn AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
+      |idx AS (SELECT doc_id, t, n,
+      |          unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) AS i
+      |        FROM nn),
+      |ch AS (SELECT doc_id, i, least(64, n - i * 48) AS n_tok,
+      |         array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
+      |       FROM idx)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The per-INGEST cleaning pipeline: an arriving batch (every 7th
     // document) cleans against the stored corpus — exact-dup cut, span
@@ -111,23 +156,7 @@ object PipelinePack extends QueryPack {
     // table is |languages| rows, broadcast — the corpus scan never
     // shuffles for bucketing, matching pl_quality_cut's scale shape.
     "pl_ccnet_buckets" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      // persisted: the scored table feeds both the tercile aggregate and
-      // the final bucketing scan — without the cache the whole LM
-      // fit+score lineage would run twice
-      val scored = TextStats
-        .bigramLmScore(docs.select(col("doc_id"), col("text")))
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-        .persist()
-      val cuts = scored.groupBy("lang").agg(
-        round(expr("percentile(ppl, 0.3333333333333333)"), 6).as("t1"),
-        round(expr("percentile(ppl, 0.6666666666666666)"), 6).as("t2"))
-      scored.join(broadcast(cuts), "lang")
-        .select(col("doc_id"), col("lang"), col("ppl"), col("t1"), col("t2"),
-          when(col("ppl") <= col("t1"), "head")
-            .when(col("ppl") <= col("t2"), "middle")
-            .otherwise("tail").as("bucket"))
-        .orderBy(col("doc_id"))
+      ccnetBucketsWith(s, d, q => expr(s"percentile(ppl, $q)"))
     },
 
     // The 100-TB face of the bucketing cut: `percentile()` exact terciles
@@ -139,20 +168,7 @@ object PipelinePack extends QueryPack {
     // across engines, so no SQL oracle — rows-only here, the exact
     // pl_ccnet_buckets IS this query's oracle-checked twin).
     "pl_ccnet_buckets_approx" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val scored = TextStats
-        .bigramLmScore(docs.select(col("doc_id"), col("text")))
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-        .persist()
-      val cuts = scored.groupBy("lang").agg(
-        round(expr("approx_percentile(ppl, 0.3333333333333333, 10000)"), 6).as("t1"),
-        round(expr("approx_percentile(ppl, 0.6666666666666666, 10000)"), 6).as("t2"))
-      scored.join(broadcast(cuts), "lang")
-        .select(col("doc_id"), col("lang"), col("ppl"), col("t1"), col("t2"),
-          when(col("ppl") <= col("t1"), "head")
-            .when(col("ppl") <= col("t2"), "middle")
-            .otherwise("tail").as("bucket"))
-        .orderBy(col("doc_id"))
+      ccnetBucketsWith(s, d, q => expr(s"approx_percentile(ppl, $q, 10000)"))
     },
 
     // Perplexity INGEST PROBE — the batch-scaled face of the CCNet
@@ -197,8 +213,13 @@ object PipelinePack extends QueryPack {
         substring(col("source"), -1, 1)
           .isin("0", "2", "4", "6", "8").as("is_target"))
       val scored = TextStats.nbQualityScore(docs, docs.select("doc_id", "text"))
-      val u = (col("doc_id") * lit(2654435761L) % lit(4294967296L))
-        .cast("double") / lit(4294967296.0)
+      // Knuth multiplicative hash → uniform in [0,1). The id folds to 31
+      // bits BEFORE the multiply: (2^31−1)·2654435761 stays inside Long,
+      // where a raw billions-scale doc_id · 2654435761 would overflow —
+      // and Spark 4's ANSI mode (and DuckDB) throw on Long overflow
+      // rather than wrap.
+      val u = (col("doc_id") % lit(2147483647L) * lit(2654435761L)
+        % lit(4294967296L)).cast("double") / lit(4294967296.0)
       val pareto = pow(lit(1.0) - u, lit(-1.0 / 9.0)) - lit(1.0)
       scored.select(col("doc_id"), col("n_toks"),
           round(lit(1.0) / (lit(1.0) + exp(-col("logodds"))), 6).as("prob"),
@@ -308,10 +329,14 @@ object PipelinePack extends QueryPack {
     "pl_temperature_mix" -> { (s, d) =>
       val alpha = 0.3
       val nTok = size(TextStats.tokens(col("text"))).cast("long")
+      // persisted: the |languages|-row aggregate feeds three legs (total,
+      // normalizer, final projection) — without the cache the corpus
+      // scan + tokenize lineage would run three times
       val byLang = Tables.documents(s, d)
         .select(col("lang"), nTok.as("n_tok"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok"))
+        .persist()
       val t1 = byLang.agg(sum(col("tok")).as("total_tok"))
       val total = byLang.crossJoin(broadcast(t1))
         .agg(max(col("total_tok")).as("total_tok"),
@@ -524,48 +549,16 @@ object PipelinePack extends QueryPack {
          |FROM bl CROSS JOIN tz ORDER BY lang""".stripMargin,
 
     "pl_chunk_windows" ->
-      """WITH tk AS (SELECT doc_id,
-        |              list_filter(string_split_regex(text, '\s+'),
-        |                          x -> x <> '') AS t
-        |            FROM documents),
-        |nn AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
-        |idx AS (SELECT doc_id, t, n,
-        |          unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) AS i
-        |        FROM nn)
-        |SELECT doc_id, i AS chunk_idx,
-        |  least(64, n - i * 48) AS n_tok,
-        |  array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
-        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+      s"""WITH $sqlChunkCte
+        |SELECT doc_id, i AS chunk_idx, n_tok, chunk
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "pl_nb_pareto_sample" ->
-      s"""WITH tk AS (SELECT doc_id,
-         |              right(source, 1) IN ('0','2','4','6','8') AS pos,
-         |              $sqlToks AS t FROM documents),
-         |wc AS (SELECT pos, w, count(*) AS cw
-         |       FROM (SELECT pos, unnest(t) AS w FROM tk) GROUP BY 1, 2),
-         |piv AS (SELECT w, sum(CASE WHEN pos THEN cw END) AS cpos,
-         |               sum(CASE WHEN NOT pos THEN cw END) AS cneg
-         |        FROM wc GROUP BY w),
-         |tot AS (SELECT coalesce(sum(CASE WHEN pos THEN cw END), 0) AS npos,
-         |               coalesce(sum(CASE WHEN NOT pos THEN cw END), 0) AS nneg,
-         |               count(DISTINCT w) AS v FROM wc),
-         |pri AS (SELECT coalesce(sum(CASE WHEN pos THEN 1 END), 0) AS dpos,
-         |               coalesce(sum(CASE WHEN NOT pos THEN 1 END), 0) AS dneg
-         |        FROM tk),
-         |dtf AS (SELECT doc_id, w, count(*) AS c
-         |        FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY 1, 2),
-         |sc AS (SELECT d.doc_id, d.c,
-         |         d.c * (ln((coalesce(p.cpos, 0) + 1.0) / (t.npos + 1.0 * t.v))
-         |              - ln((coalesce(p.cneg, 0) + 1.0) / (t.nneg + 1.0 * t.v))) AS term
-         |       FROM dtf d LEFT JOIN piv p ON d.w = p.w CROSS JOIN tot t),
-         |agg AS (SELECT doc_id, sum(c)::BIGINT AS n_toks,
-         |          round(ln((SELECT dpos FROM pri)::DOUBLE / (SELECT dneg FROM pri))
-         |            + sum(term), 6) AS logodds
-         |        FROM sc GROUP BY doc_id),
+      s"""WITH ${TextAnalysis.sqlNbCte("TRUE", "TRUE")},
          |fin AS (SELECT doc_id, n_toks,
          |          round(1.0 / (1.0 + exp(-logodds)), 6) AS prob,
-         |          round(1.0 - (pow(1.0 - ((doc_id * 2654435761) % 4294967296)
-         |            / 4294967296.0, -1.0 / 9.0) - 1.0), 6) AS cut
+         |          round(1.0 - (pow(1.0 - (doc_id % 2147483647 * 2654435761
+         |            % 4294967296) / 4294967296.0, -1.0 / 9.0) - 1.0), 6) AS cut
          |        FROM agg)
          |SELECT doc_id, n_toks, prob, cut FROM fin
          |WHERE prob > cut ORDER BY doc_id""".stripMargin,

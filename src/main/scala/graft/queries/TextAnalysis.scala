@@ -351,15 +351,18 @@ object TextAnalysis extends QueryPack {
       |JOIN prevc p ON d.prev = p.prev
       |GROUP BY d.doc_id)""".stripMargin
 
-  /** DuckDB rebuild of the ta_nb_quality fit+score (scoreWithNb over the
-    * stored/arriving split) — also st_nb_quality's oracle verbatim (the
-    * stream-maintained count tables fold to the batch fit).
+  /** Shared DuckDB CTE chain rebuilding [[graft.operators.TextStats
+    * .scoreWithNb]] — fit on `corpusFilter` docs, score `batchFilter`
+    * docs — through `agg(doc_id, n_toks, logodds)`. One definition
+    * serves ta_nb_quality / st_nb_quality (stored/arriving split) and
+    * PipelinePack's pl_nb_pareto_sample (corpus-wide self-score): a
+    * scoring-formula change edits exactly one SQL block.
     */
-  val sqlNbQuality: String =
-    s"""WITH tk AS (SELECT doc_id,
-      |              right(source, 1) IN ('0','2','4','6','8') AS pos,
-      |              $sqlToks AS t FROM documents),
-      |corp AS (SELECT * FROM tk WHERE doc_id % 7 <> 0),
+  def sqlNbCte(corpusFilter: String, batchFilter: String): String =
+    s"""tk AS (SELECT doc_id,
+      |          right(source, 1) IN ('0','2','4','6','8') AS pos,
+      |          $sqlToks AS t FROM documents),
+      |corp AS (SELECT * FROM tk WHERE $corpusFilter),
       |wc AS (SELECT pos, w, count(*) AS cw
       |       FROM (SELECT pos, unnest(t) AS w FROM corp) GROUP BY 1, 2),
       |piv AS (SELECT w, sum(CASE WHEN pos THEN cw END) AS cpos,
@@ -372,7 +375,7 @@ object TextAnalysis extends QueryPack {
       |               coalesce(sum(CASE WHEN NOT pos THEN 1 END), 0) AS dneg
       |        FROM corp),
       |dtf AS (SELECT doc_id, w, count(*) AS c
-      |        FROM (SELECT doc_id, unnest(t) AS w FROM tk WHERE doc_id % 7 = 0)
+      |        FROM (SELECT doc_id, unnest(t) AS w FROM tk WHERE $batchFilter)
       |        GROUP BY 1, 2),
       |sc AS (SELECT d.doc_id, d.c,
       |         d.c * (ln((coalesce(p.cpos, 0) + 1.0) / (t.npos + 1.0 * t.v))
@@ -381,7 +384,14 @@ object TextAnalysis extends QueryPack {
       |agg AS (SELECT doc_id, sum(c)::BIGINT AS n_toks,
       |          round(ln((SELECT dpos FROM pri)::DOUBLE / (SELECT dneg FROM pri))
       |            + sum(term), 6) AS logodds
-      |        FROM sc GROUP BY doc_id)
+      |        FROM sc GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB rebuild of the ta_nb_quality fit+score (scoreWithNb over the
+    * stored/arriving split) — also st_nb_quality's oracle verbatim (the
+    * stream-maintained count tables fold to the batch fit).
+    */
+  val sqlNbQuality: String =
+    s"""WITH ${sqlNbCte("doc_id % 7 <> 0", "doc_id % 7 = 0")}
       |SELECT doc_id, n_toks, logodds, logodds > 0 AS pred
       |FROM agg ORDER BY doc_id""".stripMargin
 
