@@ -89,6 +89,40 @@ class PlanSpec extends AnyFunSuite {
       "the corpus size joins as a single broadcast row")
   }
 
+  test("nb classifier: only the two one-row aggs are hint-broadcast; partial per-doc agg") {
+    // same contract as the LMs: the class-pivot word table is vocab-sized
+    // and must reach the scoring join unhinted; the hinted broadcasts are
+    // exactly the one-row token-totals and doc-priors aggregates.
+    val df = SparkEntry.queries("ta_nb_quality")(spark, sf)
+    val hints = "ResolvedHint".r
+      .findAllIn(df.queryExecution.analyzed.toString).size
+    assert(hints == 2,
+      s"expected the totals + priors one-row broadcast hints, found $hints")
+    val p = plan("ta_nb_quality")
+    assert(p.contains("partial_sum"), "per-doc reduce must map-side combine")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the one-row aggregates join as broadcast rows")
+  }
+
+  test("chunking: one output-sort exchange; the window explode is map-side") {
+    val p = plan("pl_chunk_windows")
+    assert(p.contains("Generate explode"), p.take(800))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"chunking must shuffle only for the output ORDER BY, found $exchanges\n" +
+        p.take(800))
+    assert(p.contains("rangepartitioning"),
+      "the single exchange is the output sort")
+  }
+
+  test("embedding drift: cell aggregation map-side combines before the shuffle") {
+    val p = plan("vs_embedding_drift")
+    assert(p.contains("partial_sum"),
+      "the (label, dim) cell agg must partial-aggregate — the shuffle is " +
+        "labels×dims per partition, never rows×dims\n" + p.take(800))
+    assert(!p.contains("Window"), "no global window anywhere in the drift plan")
+  }
+
   test("collocations / domain drift: only the one-row total is hint-broadcast") {
     // the count tables are vocab-/support-sized and must reach their
     // joins unhinted, same contract as the LM scorers
