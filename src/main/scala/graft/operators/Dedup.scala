@@ -116,9 +116,30 @@ object Dedup {
     */
   def editSimilarityVerify(docs: DataFrame, candidateThreshold: Double = 0.05,
       simThreshold: Double = 0.8, n: Int = 3,
-      maxDf: Long = DefaultMaxDf): DataFrame = {
+      maxDf: Long = DefaultMaxDf): DataFrame =
+    levVerify(jaccardPairs(docs, candidateThreshold, n, maxDf),
+      docs, simThreshold)
+
+  /** [[editSimilarityVerify]]'s ingest-time face: candidates from
+    * [[jaccardProbePairs]] (|batch postings| × df work, never corpus²),
+    * the same Levenshtein re-verification. Row-identical to the
+    * corpus-wide form restricted to batch-touching pairs, because the
+    * probe's pair set is.
+    */
+  def editSimilarityProbe(batchIds: DataFrame, docs: DataFrame,
+      candidateThreshold: Double = 0.05, simThreshold: Double = 0.8,
+      n: Int = 3, maxDf: Long = DefaultMaxDf): DataFrame =
+    levVerify(jaccardProbePairs(batchIds, docs, candidateThreshold, n, maxDf),
+      docs, simThreshold)
+
+  /** Shared Levenshtein re-verification tail of the edit-similarity
+    * family: join pair endpoints to their text, keep pairs with
+    * `1 − lev/max(len) >= simThreshold`.
+    */
+  private def levVerify(pairs: DataFrame, docs: DataFrame,
+      simThreshold: Double): DataFrame = {
     val txt = docs.select(col("doc_id"), col("text"))
-    jaccardPairs(docs, candidateThreshold, n, maxDf)
+    pairs
       .select(col("da"), col("db"), col("jaccard"))
       .join(txt.select(col("doc_id").as("da"), col("text").as("ta")), Seq("da"))
       .join(txt.select(col("doc_id").as("db"), col("text").as("tb")), Seq("db"))

@@ -35,6 +35,18 @@ object DedupPack extends QueryPack {
         .orderBy(col("da"), col("db"))
     },
 
+    // The edit-distance verifier's ingest-time face: candidates from the
+    // exact Jaccard probe (|batch postings| x df, never corpus²), the
+    // same Levenshtein re-verification — row-identical to
+    // dd_editdist_verify restricted to batch-touching pairs.
+    "dd_editdist_probe" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.editSimilarityProbe(
+          docs.filter(col("doc_id") % 7 === 0).select("doc_id"), docs,
+          candidateThreshold = 0.05, simThreshold = 0.8)
+        .orderBy(col("da"), col("db"))
+    },
+
     // Leakage-safe split: near-dup clusters (not documents) are the
     // split unit — no val doc can have a train near-twin.
     "dd_leakage_split" -> { (s, d) =>
@@ -365,6 +377,36 @@ object DedupPack extends QueryPack {
       |         ELSE [] END AS s
       |  FROM toks)""".stripMargin
 
+  /** DuckDB rebuild of the edit-similarity family (df-capped Jaccard
+    * candidates at 0.05, Levenshtein keep at 0.8) with the pair
+    * restriction injected — `TRUE` is the corpus-wide verifier,
+    * a batch predicate the ingest probe's contract (the probe's pair
+    * set IS the corpus-wide set restricted to batch-touching pairs).
+    */
+  private def sqlEditDist(pairFilter: String): String =
+    s"""WITH $sqlShingles,
+       |ex0 AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |dfreq AS (SELECT sg FROM ex0 GROUP BY sg
+       |          HAVING count(*) <= ${graft.operators.Dedup.DefaultMaxDf}),
+       |ex AS (SELECT ex0.doc_id, ex0.sg FROM ex0 JOIN dfreq USING (sg)),
+       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       |j AS (SELECT da, db, inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+       |      FROM pairs JOIN sizes sa ON da = sa.doc_id
+       |      JOIN sizes sb ON db = sb.doc_id
+       |      WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.05
+       |        AND $pairFilter),
+       |ed AS (SELECT da, db, jaccard,
+       |         levenshtein(a.text, b.text)::BIGINT AS lev,
+       |         1.0 - levenshtein(a.text, b.text)::DOUBLE
+       |           / greatest(length(a.text), length(b.text)) AS edit_sim
+       |       FROM j JOIN documents a ON da = a.doc_id
+       |       JOIN documents b ON db = b.doc_id)
+       |SELECT da, db, jaccard, lev, edit_sim FROM ed
+       |WHERE edit_sim >= 0.8 ORDER BY da, db""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT doc_id,
@@ -408,28 +450,11 @@ object DedupPack extends QueryPack {
          |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
          |ORDER BY da, db""".stripMargin,
 
-    "dd_editdist_verify" ->
-      s"""WITH $sqlShingles,
-         |ex0 AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-         |dfreq AS (SELECT sg FROM ex0 GROUP BY sg
-         |          HAVING count(*) <= ${graft.operators.Dedup.DefaultMaxDf}),
-         |ex AS (SELECT ex0.doc_id, ex0.sg FROM ex0 JOIN dfreq USING (sg)),
-         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-         |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-         |j AS (SELECT da, db, inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
-         |      FROM pairs JOIN sizes sa ON da = sa.doc_id
-         |      JOIN sizes sb ON db = sb.doc_id
-         |      WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.05),
-         |ed AS (SELECT da, db, jaccard,
-         |         levenshtein(a.text, b.text)::BIGINT AS lev,
-         |         1.0 - levenshtein(a.text, b.text)::DOUBLE
-         |           / greatest(length(a.text), length(b.text)) AS edit_sim
-         |       FROM j JOIN documents a ON da = a.doc_id
-         |       JOIN documents b ON db = b.doc_id)
-         |SELECT da, db, jaccard, lev, edit_sim FROM ed
-         |WHERE edit_sim >= 0.8 ORDER BY da, db""".stripMargin,
+    "dd_editdist_verify" -> sqlEditDist("TRUE"),
+
+    // the corpus-wide SQL restricted to batch-touching pairs — the
+    // probe's provable contract
+    "dd_editdist_probe" -> sqlEditDist("(da % 7 = 0 OR db % 7 = 0)"),
 
     // threshold-1.0 LSH over the planted-duplicate corpus == identical
     // distinct-shingle sets (see the query's proof sketch); '|' never
