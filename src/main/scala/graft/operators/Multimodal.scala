@@ -24,12 +24,16 @@ import org.apache.spark.sql.types._
   * oracle-checked on dimensions + a pixel digest. AUDIO (WAV/PCM)
   * decodes for real too: `javax.sound.sampled` is likewise JDK-resident,
   * so [[decodeWav]] runs a true RIFF parse + PCM frame read,
-  * oracle-checked on integer-exact clip features. Only VIDEO and
+  * oracle-checked on integer-exact clip features. MULTI-FRAME media
+  * decodes for real on the one animation container the JDK ships a
+  * codec for: [[decodeGifFrames]] reads every frame of an animated GIF
+  * through the sequence reader, each raster oracle-checked bit-exact
+  * (GIF is lossless at <= 256 colors). Only modern VIDEO and
   * compressed-audio codecs (H.264/MP3/AAC) are absent from the JDK and
-  * this container, so the frame-sampling DECODER stays a clearly-marked
-  * deterministic stub ([[decodeStub]]); the sampling loop, batching, and
-  * output contract around it are the real plumbing ffmpeg would drop
-  * into.
+  * this container, so the generic frame-sampling DECODER stays a
+  * clearly-marked deterministic stub ([[decodeStub]]); the sampling
+  * loop, batching, and output contract around it are the real plumbing
+  * ffmpeg would drop into.
   */
 object Multimodal {
 
@@ -384,6 +388,130 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, audioSchema)
+  }
+
+  /** Deterministic synthetic multi-frame media: frame `f` of doc `id`
+    * has [[syntheticImage]]'s dims and pixel `v(x,y,f) = (7x + 13y + id
+    * + 31f) mod 128` — closed-form for the oracle, while the bytes go
+    * through a REAL animated-GIF encode. Frames are TYPE_BYTE_INDEXED on
+    * an exact 256-gray palette: GIF is lossless for <= 256 colors, so
+    * decode must reproduce every pixel bit-for-bit.
+    */
+  def syntheticGifFrame(docId: Long, f: Int): BufferedImage = {
+    val w = (docId % 13 + 4).toInt
+    val h = (docId % 11 + 3).toInt
+    val cmap = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+    val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0,
+          ((x * 7L + y * 13L + docId + 31L * f) % 128L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** `docId % 5 + 2` [[syntheticGifFrame]]s through the JDK's REAL
+    * animated-GIF sequence writer.
+    */
+  def syntheticGifBytes(docId: Long): Array[Byte] = {
+    val nFrames = (docId % 5 + 2).toInt
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { f =>
+        val img = syntheticGifFrame(docId, f)
+        // the JDK writer's DEFAULT image metadata both interlaces (and
+        // mis-rows small interlaced frames) and carries a web-cube
+        // LocalColorTable instead of the image's own palette — pin the
+        // interlaceFlag off and substitute the exact 256-gray table
+        val md = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
+        val fmt = md.getNativeMetadataFormatName
+        val tree = md.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val kids = tree.getChildNodes
+        (0 until kids.getLength).foreach { i =>
+          val n = kids.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          if (n.getNodeName == "ImageDescriptor")
+            n.setAttribute("interlaceFlag", "FALSE")
+          if (n.getNodeName == "LocalColorTable") {
+            while (n.hasChildNodes) n.removeChild(n.getFirstChild)
+            (0 until 256).foreach { c =>
+              val e = new javax.imageio.metadata.IIOMetadataNode("ColorTableEntry")
+              e.setAttribute("index", c.toString)
+              e.setAttribute("red", c.toString)
+              e.setAttribute("green", c.toString)
+              e.setAttribute("blue", c.toString)
+              n.appendChild(e)
+            }
+          }
+        }
+        md.setFromTree(fmt, tree)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** `(doc_id, blob BINARY)` of real animated-GIF bytes per document. */
+  def synthGifBlobs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col("doc_id")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticGifBytes(id))
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType))))
+  }
+
+  private val gifFrameSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("frame_idx", IntegerType),
+    StructField("n_frames", IntegerType), StructField("width", IntegerType),
+    StructField("height", IntegerType), StructField("sig", StringType)))
+
+  /** REAL multi-frame decode: every frame of an animated GIF through the
+    * JDK's sequence reader — the true-codec replacement for the
+    * byte-window [[frameSample]] stub path on a container format the JVM
+    * can actually decode. One reader init per partition, frames stream
+    * per row; output `(doc_id, frame_idx, n_frames, width, height, sig)`
+    * with `sig` the raster digest — oracle-checkable when the blobs are
+    * [[synthGifBlobs]] (lossless palette round-trip). Scales map-only.
+    */
+  def decodeGifFrames(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        reader.setInput(ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)), false, true)
+        val n = reader.getNumImages(true)
+        if (n <= 0)
+          throw new IllegalArgumentException(
+            s"decodeGifFrames: no frames in blob for doc $id (${bytes.length} bytes)")
+        (0 until n).map { f =>
+          val img = reader.read(f)
+          Row(id, f, n, img.getWidth, img.getHeight, rasterDigest(img))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, gifFrameSchema)
   }
 
   private val frameSchema = StructType(Seq(

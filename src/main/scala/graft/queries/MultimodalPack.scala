@@ -39,6 +39,16 @@ object MultimodalPack extends QueryPack {
     // Frame sampling over "video" blobs: every 3rd 100-byte frame with
     // its offset + digest — the one-to-many media explode, oracle-checked
     // on the deterministic sampling geometry.
+    // REAL multi-frame decode: per-doc animated GIFs (docId%5+2 frames,
+    // lossless 256-gray palette) through the JDK sequence reader — every
+    // frame's raster digest matches the closed-form pixel formula, so
+    // the oracle proves true codec round-trips, not byte plumbing.
+    "mm_gif_frames" -> { (s, d) =>
+      Multimodal.decodeGifFrames(
+          Multimodal.synthGifBlobs(Tables.documents(s, d).select(col("doc_id"))))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     "mm_frame_sample" -> { (s, d) =>
       val blobs = Tables.documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
@@ -227,6 +237,21 @@ object MultimodalPack extends QueryPack {
         |    list_transform(range(0, (doc_id % 13 + 5) // 2), x ->
         |      CAST((2*x*7 + 2*y*13 + doc_id) % 128 AS VARCHAR)))), ',')) AS sig
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // each decoded frame must reproduce the closed-form raster exactly
+    // (GIF is lossless at <= 256 colors)
+    "mm_gif_frames" ->
+      """WITH fr AS (SELECT doc_id,
+        |        unnest(range(0, doc_id % 5 + 2)) AS frame_idx
+        |      FROM documents)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(doc_id % 5 + 2 AS INT) AS n_frames,
+        |  CAST(doc_id % 13 + 4 AS INT) AS width,
+        |  CAST(doc_id % 11 + 3 AS INT) AS height,
+        |  md5(array_to_string(flatten(list_transform(range(0, doc_id % 11 + 3), y ->
+        |    list_transform(range(0, doc_id % 13 + 4), x ->
+        |      CAST((x*7 + y*13 + doc_id + 31*frame_idx) % 128 AS VARCHAR)))), ',')) AS sig
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
 
     // documents are pure ASCII (octet_length == length holds corpus-wide),
     // so VARCHAR slicing equals byte slicing and md5(substr) == md5(frame)

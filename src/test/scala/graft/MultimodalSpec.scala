@@ -49,6 +49,26 @@ class MultimodalSpec extends AnyFunSuite {
       .digest(bytes).map("%02x".format(_)).mkString)
   }
 
+  test("real animated-GIF decode round-trips every frame's pixels") {
+    import graft.operators.Multimodal
+    // GIF is lossless at <= 256 colors, so each decoded frame must
+    // reproduce its source raster exactly — including the metadata
+    // pins (interlace off, exact gray LocalColorTable) the writer needs
+    for (id <- Seq(0L, 1L, 7L, 42L, 143L)) {
+      val bytes = Multimodal.syntheticGifBytes(id)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)), false, true)
+      val n = reader.getNumImages(true)
+      assert(n == (id % 5 + 2).toInt, s"id=$id frame count")
+      (0 until n).foreach { f =>
+        assert(Multimodal.rasterDigest(reader.read(f)) ==
+          Multimodal.rasterDigest(Multimodal.syntheticGifFrame(id, f)),
+          s"id=$id frame=$f raster")
+      }
+    }
+  }
+
   test("real PNG/BMP decode round-trips dims and every pixel") {
     import graft.operators.Multimodal
     for (id <- Seq(0L, 1L, 7L, 42L, 143L)) {
