@@ -50,14 +50,40 @@ object AttachedFunctions {
         .orderBy(col("value"))
   }
 
-  /** Resolve a registered function by name; `meta_histogram:<key>` is a
-    * parameterized family.
+  /** NB quality scoring bound to the collection (the GPT-3 quality gate
+    * as a server-side function): the target class is records whose
+    * `meta_str[key] == value` (absent key = raw class — curated vs
+    * everything else), the model fits on the LIVE records and scores
+    * every record ([[graft.operators.TextStats.scoreWithNb]] self-score
+    * shape). Output per record: (doc_id = record id, n_toks, logodds,
+    * pred).
+    */
+  final class NbQuality(key: String, value: String) extends AttachedFunction {
+    val name = s"nb_quality:$key=$value"
+    def apply(records: DataFrame): DataFrame = {
+      val docs = records.select(col("id").as("doc_id"),
+        col("document").as("text"),
+        coalesce(element_at(col("meta_str"), key) === value, lit(false))
+          .as("is_target"))
+      graft.operators.TextStats.scoreWithNb(
+        docs.select(col("doc_id"), col("text")),
+        graft.operators.TextStats.nbWordCounts(docs),
+        graft.operators.TextStats.nbDocCounts(docs))
+    }
+  }
+
+  /** Resolve a registered function by name; `meta_histogram:<key>` and
+    * `nb_quality:<key>=<value>` are parameterized families.
     */
   def resolve(name: String): AttachedFunction = name match {
     case RecordCount.name => RecordCount
     case TokenStats10.name => TokenStats10
     case h if h.startsWith("meta_histogram:") =>
       new MetaHistogram(h.stripPrefix("meta_histogram:"))
+    case nb if nb.startsWith("nb_quality:") && nb.contains("=") =>
+      val body = nb.stripPrefix("nb_quality:")
+      val Array(k, v) = body.split("=", 2)
+      new NbQuality(k, v)
     case other =>
       throw new IllegalArgumentException(s"unknown attached function '$other'")
   }

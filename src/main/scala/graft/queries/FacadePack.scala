@@ -458,6 +458,22 @@ object FacadePack extends QueryPack {
       hist.unionByName(toks).orderBy(col("stat"), desc("cnt"), col("term"))
     },
 
+    // The NB quality classifier bound to a collection as a server-side
+    // attached function (the register-by-name contract): the schema
+    // declares nb_quality:lang=en, the executor fits on the LIVE records
+    // (curated = lang:en metadata) and scores every record.
+    "fc_nb_attached" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_nbatt_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("nb_docs",
+        graft.sources.Catalog.Schema(attached = Seq("nb_quality:lang=en")))
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("lang"), col("lang")).as("meta")))
+      coll.runAttached("nb_quality:lang=en").orderBy(col("doc_id"))
+    },
+
     // Sparse KNN through the facade: tf_bow sparse column, where-filtered
     // (filter-before-KNN), plain tf weights — integer-valued f32 sums are
     // exact, so the oracle hash-matches.
@@ -718,6 +734,11 @@ object FacadePack extends QueryPack {
         |  doc_id::VARCHAR AS parent, i::VARCHAR AS idx
         |FROM ch WHERE contains(chunk, 'merge')
         |ORDER BY id LIMIT 100""".stripMargin,
+
+    "fc_nb_attached" ->
+      s"""WITH ${TextAnalysis.sqlNbCte("TRUE", "TRUE", "lang = 'en'")}
+        |SELECT 'doc-'||doc_id AS doc_id, n_toks, logodds, logodds > 0 AS pred
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "fc_sparse_search" ->
       """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM

@@ -358,9 +358,10 @@ object TextAnalysis extends QueryPack {
     * PipelinePack's pl_nb_pareto_sample (corpus-wide self-score): a
     * scoring-formula change edits exactly one SQL block.
     */
-  def sqlNbCte(corpusFilter: String, batchFilter: String): String =
+  def sqlNbCte(corpusFilter: String, batchFilter: String,
+      posExpr: String = "right(source, 1) IN ('0','2','4','6','8')"): String =
     s"""tk AS (SELECT doc_id,
-      |          right(source, 1) IN ('0','2','4','6','8') AS pos,
+      |          $posExpr AS pos,
       |          $sqlToks AS t FROM documents),
       |corp AS (SELECT * FROM tk WHERE $corpusFilter),
       |wc AS (SELECT pos, w, count(*) AS cw
