@@ -185,7 +185,29 @@ object PlanDump {
         "Fit cost is corpus-proportional aggregation; scoring cost is " +
         "|batch|-transition-proportional joins — the ingest-gate split " +
         "(score arriving batches against stored state) keeps the " +
-        "steady-state cost off the corpus."))
+        "steady-state cost off the corpus."),
+    "ta_nb_quality" ->
+      ("GPT-3-style NB quality classifier: the fit is two additive " +
+        "count aggregations (per-class word counts, doc priors), the " +
+        "class pivot folds both classes into ONE vocab-keyed table that " +
+        "joins the batch's term frequencies by SHUFFLE — never " +
+        "broadcast, the vocabulary is unbounded at corpus scale. The " +
+        "two single-row aggregates (token totals + doc priors) are the " +
+        "only hinted broadcasts. Same discipline as the LMs; PlanSpec " +
+        "pins the hint count."),
+    "pl_chunk_windows" ->
+      ("Sliding token-window chunking: the whole operator is one " +
+        "Generate(explode) inside WholeStageCodegen over the scan — " +
+        "ZERO shuffles except the output ORDER BY's range exchange. " +
+        "At 100 TB the chunker costs exactly the scan plus the rows it " +
+        "emits; PlanSpec pins the single-exchange shape."),
+    "vs_embedding_drift" ->
+      ("Per-label embedding drift: posexplode to (label, dim, v) cells " +
+        "is map-side; partial aggregation collapses cells to " +
+        "labels×dims rows per partition BEFORE the one shuffle, so " +
+        "shuffle volume is partitions×labels×dims — independent of row " +
+        "count. The label-mean ⋈ corpus-mean join is dims-sized. No " +
+        "window, no broadcast hints needed."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
