@@ -418,60 +418,84 @@ object Multimodal {
     img
   }
 
-  /** `docId % 5 + 2` [[syntheticGifFrame]]s through the JDK's REAL
-    * animated-GIF sequence writer.
+  /** Pinned GIF frame metadata for `writer`: the JDK writer's DEFAULT
+    * image metadata both interlaces (and mis-rows small interlaced
+    * frames) and carries a web-cube LocalColorTable instead of the
+    * image's own palette — pin the interlaceFlag off and substitute the
+    * exact 256-gray table. The descriptor's dims are placeholders (the
+    * writer stamps the actual raster size), so ONE metadata instance
+    * serves every frame of every doc — the 256-entry DOM build happens
+    * once per writer, not once per frame.
     */
-  def syntheticGifBytes(docId: Long): Array[Byte] = {
+  private def gifFrameMetadata(writer: javax.imageio.ImageWriter)
+      : javax.imageio.metadata.IIOMetadata = {
+    val md = writer.getDefaultImageMetadata(
+      javax.imageio.ImageTypeSpecifier.createFromRenderedImage(
+        syntheticGifFrame(0L, 0)), null)
+    val fmt = md.getNativeMetadataFormatName
+    val tree = md.getAsTree(fmt)
+      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val kids = tree.getChildNodes
+    (0 until kids.getLength).foreach { i =>
+      val n = kids.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      if (n.getNodeName == "ImageDescriptor")
+        n.setAttribute("interlaceFlag", "FALSE")
+      if (n.getNodeName == "LocalColorTable") {
+        while (n.hasChildNodes) n.removeChild(n.getFirstChild)
+        (0 until 256).foreach { c =>
+          val e = new javax.imageio.metadata.IIOMetadataNode("ColorTableEntry")
+          e.setAttribute("index", c.toString)
+          e.setAttribute("red", c.toString)
+          e.setAttribute("green", c.toString)
+          e.setAttribute("blue", c.toString)
+          n.appendChild(e)
+        }
+      }
+    }
+    md.setFromTree(fmt, tree)
+    md
+  }
+
+  private def encodeGif(docId: Long, writer: javax.imageio.ImageWriter,
+      md: javax.imageio.metadata.IIOMetadata): Array[Byte] = {
     val nFrames = (docId % 5 + 2).toInt
     val bos = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
-    val writer = ImageIO.getImageWritersByFormatName("gif").next()
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
       (0 until nFrames).foreach { f =>
-        val img = syntheticGifFrame(docId, f)
-        // the JDK writer's DEFAULT image metadata both interlaces (and
-        // mis-rows small interlaced frames) and carries a web-cube
-        // LocalColorTable instead of the image's own palette — pin the
-        // interlaceFlag off and substitute the exact 256-gray table
-        val md = writer.getDefaultImageMetadata(
-          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
-        val fmt = md.getNativeMetadataFormatName
-        val tree = md.getAsTree(fmt)
-          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-        val kids = tree.getChildNodes
-        (0 until kids.getLength).foreach { i =>
-          val n = kids.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-          if (n.getNodeName == "ImageDescriptor")
-            n.setAttribute("interlaceFlag", "FALSE")
-          if (n.getNodeName == "LocalColorTable") {
-            while (n.hasChildNodes) n.removeChild(n.getFirstChild)
-            (0 until 256).foreach { c =>
-              val e = new javax.imageio.metadata.IIOMetadataNode("ColorTableEntry")
-              e.setAttribute("index", c.toString)
-              e.setAttribute("red", c.toString)
-              e.setAttribute("green", c.toString)
-              e.setAttribute("blue", c.toString)
-              n.appendChild(e)
-            }
-          }
-        }
-        md.setFromTree(fmt, tree)
-        writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(syntheticGifFrame(docId, f), null, md),
+          null)
       }
       writer.endWriteSequence()
-    } finally { writer.dispose(); ios.close() }
+    } finally ios.close()
     bos.toByteArray
   }
 
-  /** `(doc_id, blob BINARY)` of real animated-GIF bytes per document. */
+  /** `docId % 5 + 2` [[syntheticGifFrame]]s through the JDK's REAL
+    * animated-GIF sequence writer.
+    */
+  def syntheticGifBytes(docId: Long): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try encodeGif(docId, writer, gifFrameMetadata(writer))
+    finally writer.dispose()
+  }
+
+  /** `(doc_id, blob BINARY)` of real animated-GIF bytes per document.
+    * One writer + one pinned metadata instance per PARTITION — codec
+    * init and the palette DOM amortize across every blob.
+    */
   def synthGifBlobs(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
     val rdd = ids.select(col("doc_id")).rdd.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val md = gifFrameMetadata(writer)
       it.map { r =>
         val id = r.getLong(0)
-        Row(id, syntheticGifBytes(id))
+        Row(id, encodeGif(id, writer, md))
       }
     }
     spark.createDataFrame(rdd, StructType(Seq(
