@@ -38,7 +38,10 @@ object ScaleProbe {
     "dd_minhash_clusters", // LSH cluster LABELS: output-proportional scale path
     "dd_span_dedup",       // two-shuffle span dedup: linear
     "ta_perplexity",       // bigram-LM fit+score: vocab-bounded shuffles, ~linear
-    "ta_stupid_backoff")   // trigram SBO fit+score: worst case for LM-table
+    "ta_stupid_backoff",   // trigram SBO fit+score: worst case for LM-table
+    "ta_nb_quality")       // NB classifier fit+score: same additive-count
+                           // discipline as the LMs (disjoint per-rep vocab
+                           // grows the class word table the full m-fold)
                            // growth (disjoint per-rep vocab grows all three
                            // count tables the full m-fold)
 

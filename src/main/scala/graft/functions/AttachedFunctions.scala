@@ -65,10 +65,8 @@ object AttachedFunctions {
         col("document").as("text"),
         coalesce(element_at(col("meta_str"), key) === value, lit(false))
           .as("is_target"))
-      graft.operators.TextStats.scoreWithNb(
-        docs.select(col("doc_id"), col("text")),
-        graft.operators.TextStats.nbWordCounts(docs),
-        graft.operators.TextStats.nbDocCounts(docs))
+      graft.operators.TextStats.nbQualityScore(docs,
+        docs.select(col("doc_id"), col("text")))
     }
   }
 

@@ -523,16 +523,27 @@ object Multimodal {
       it.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        reader.setInput(ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes)), false, true)
-        val n = reader.getNumImages(true)
-        if (n <= 0)
-          throw new IllegalArgumentException(
-            s"decodeGifFrames: no frames in blob for doc $id (${bytes.length} bytes)")
-        (0 until n).map { f =>
-          val img = reader.read(f)
-          Row(id, f, n, img.getWidth, img.getHeight, rasterDigest(img))
-        }
+        // fail LOUDLY with blob context (the readImage/decodeWav
+        // convention): the reader throws bare IIOExceptions on corrupt
+        // bytes, which name no document on a thousand-task run
+        val ios = ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(ios, false, true)
+          val n = reader.getNumImages(true)
+          if (n <= 0)
+            throw new IllegalArgumentException(
+              s"decodeGifFrames: no frames in blob for doc $id (${bytes.length} bytes)")
+          (0 until n).map { f =>
+            val img = reader.read(f)
+            Row(id, f, n, img.getWidth, img.getHeight, rasterDigest(img))
+          }
+        } catch {
+          case e: java.io.IOException =>
+            throw new IllegalArgumentException(
+              s"decodeGifFrames: undecodable GIF blob for doc $id " +
+                s"(${bytes.length} bytes): ${e.getMessage}", e)
+        } finally ios.close() // the map above is strict — frames are read
       }
     }
     spark.createDataFrame(rdd, gifFrameSchema)

@@ -36,9 +36,6 @@ object MultimodalPack extends QueryPack {
       Multimodal.decodeAudioFeatures(blobs).orderBy(col("doc_id"))
     },
 
-    // Frame sampling over "video" blobs: every 3rd 100-byte frame with
-    // its offset + digest — the one-to-many media explode, oracle-checked
-    // on the deterministic sampling geometry.
     // REAL multi-frame decode: per-doc animated GIFs (docId%5+2 frames,
     // lossless 256-gray palette) through the JDK sequence reader — every
     // frame's raster digest matches the closed-form pixel formula, so
@@ -49,6 +46,9 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // Frame sampling over "video" blobs: every 3rd 100-byte frame with
+    // its offset + digest — the one-to-many media explode, oracle-checked
+    // on the deterministic sampling geometry.
     "mm_frame_sample" -> { (s, d) =>
       val blobs = Tables.documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
