@@ -539,6 +539,49 @@ object TextStats {
       alpha: Double = 1.0): org.apache.spark.sql.DataFrame =
     scoreWithNb(batch, nbWordCounts(corpus), nbDocCounts(corpus), alpha)
 
+  /** Zipf rank-frequency diagnostics: least-squares slope and R² of
+    * ln(freq) vs ln(rank) over the corpus's `topK` most frequent words —
+    * natural text tracks slope ≈ −1 (Zipf's law); strong deviation or a
+    * poor fit flags boilerplate/template corpora before training. The
+    * top-K cut is TakeOrdered (per-partition top-k, no vocab-wide
+    * window); the rank window then runs on the K-row bounded set, and
+    * `regr_slope`/`regr_r2` are single-pass aggregates. Output one row:
+    * (`n_terms`, `zipf_slope`, `zipf_r2`).
+    */
+  def zipfStats(docs: org.apache.spark.sql.DataFrame,
+      topK: Int = 1000): org.apache.spark.sql.DataFrame = {
+    val freq = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val top = freq.orderBy(desc("c"), col("w")).limit(topK)
+    val ranked = top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(desc("c"), col("w"))))
+    ranked.agg(
+      count(lit(1)).as("n_terms"),
+      round(expr("regr_slope(ln(c), ln(rank))"), 6).as("zipf_slope"),
+      round(expr("regr_r2(ln(c), ln(rank))"), 6).as("zipf_r2"))
+  }
+
+  /** Per-doc n-gram novelty: the fraction of a document's distinct
+    * `n`-gram shingles that occur NOWHERE else in the corpus (df = 1).
+    * High novelty is the signature of natural text; low novelty flags
+    * boilerplate/template documents — the complement of the dedup
+    * signals, consumed as a quality column. One explode + a vocab-keyed
+    * df join (shuffle, never broadcast); output
+    * (`doc_id`, `n_shingles`, `n_unique`, `novelty`).
+    */
+  def noveltyRate(docs: org.apache.spark.sql.DataFrame,
+      n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(shingles(tokens(col("text")), n)).as("sg"))
+    val dfv = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+    ex.join(dfv, Seq("sg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        round(avg(when(col("df") === 1, 1.0).otherwise(0.0)), 6).as("novelty"))
+  }
+
   /** Small per-language stopword profiles for the language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),

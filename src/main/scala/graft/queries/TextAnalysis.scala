@@ -244,6 +244,25 @@ object TextAnalysis extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Zipf rank-frequency diagnostics: ln(freq)-vs-ln(rank) slope + R²
+    // over the top-1000 words — natural text tracks slope ≈ −1; strong
+    // deviation flags boilerplate corpora. TakeOrdered top-K, bounded
+    // rank window, single-pass regression aggregates.
+    "ta_zipf" -> { (s, d) =>
+      TextStats.zipfStats(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+    },
+
+    // Per-doc trigram novelty: fraction of a doc's distinct shingles
+    // occurring nowhere else (df = 1) — the boilerplate detector that
+    // complements the dedup signals. Vocab-keyed df join, never
+    // broadcast.
+    "ta_novelty" -> { (s, d) =>
+      TextStats.noveltyRate(
+          Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    },
+
     // Collocation mining: corpus bigram PMI with an exact integer
     // min-count row cut (a float-score cut would make the row set
     // engine-dependent at ties). The word2phrase/phrase-detection
@@ -465,6 +484,31 @@ object TextAnalysis extends QueryPack {
         |SELECT doc_id, n_trans, nll, ppl FROM pplt ORDER BY doc_id""".stripMargin,
 
     "ta_nb_quality" -> sqlNbQuality,
+
+    "ta_zipf" ->
+      s"""WITH freq AS (SELECT w, count(*) AS c
+        |             FROM (SELECT unnest($sqlToks) AS w FROM documents)
+        |             GROUP BY w),
+        |top AS (SELECT w, c FROM freq ORDER BY c DESC, w LIMIT 1000),
+        |ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank
+        |           FROM top)
+        |SELECT count(*)::BIGINT AS n_terms,
+        |  round(regr_slope(ln(c), ln(rank)), 6) AS zipf_slope,
+        |  round(regr_r2(ln(c), ln(rank)), 6) AS zipf_r2
+        |FROM ranked""".stripMargin,
+
+    "ta_novelty" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+        |                               for i in range(1, len(t) - 1)])) AS sg
+        |       FROM tk WHERE len(t) >= 3),
+        |dfv AS (SELECT sg, count(*) AS df FROM sh GROUP BY sg)
+        |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+        |  round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+        |FROM sh JOIN dfv USING (sg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ta_tfidf_knn" ->
       s"""WITH $tfidfVecsCte,

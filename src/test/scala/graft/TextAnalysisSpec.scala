@@ -280,6 +280,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkWindows covers every token and matches the count formula on random docs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genDocs = Gen.listOfN(12, Gen.chooseNum(0, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" "))))
+    for (((chunkSize, overlap), it) <-
+        Seq((8, 0), (8, 4), (5, 2), (4, 3)).zipWithIndex) {
+      val stride = chunkSize - overlap
+      val texts = genDocs(Gen.Parameters.default, Seed(it.toLong + 1)).get
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextStats.chunkWindows(docs, chunkSize, overlap)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3)))
+        .toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        val n = toks.length
+        val expChunks =
+          if (n == 0) 0 else 1 + math.ceil(math.max(0, n - chunkSize).toDouble / stride).toInt
+        val mine = got.keys.filter(_._1 == i.toLong)
+        assert(mine.size == expChunks, s"case $it doc $i chunk count")
+        (0 until expChunks).foreach { c =>
+          val start = c * stride
+          val exp = toks.slice(start, start + chunkSize)
+          val (nTok, text) = got((i.toLong, c))
+          assert(nTok == exp.length && text == exp.mkString(" "),
+            s"case $it doc $i chunk $c content")
+        }
+        // every token position is inside some chunk's window
+        if (n > 0) {
+          val covered = (0 until expChunks)
+            .flatMap(c => c * stride until math.min(c * stride + chunkSize, n)).toSet
+          assert(covered == (0 until n).toSet, s"case $it doc $i coverage")
+        }
+      }
+    }
+  }
+
   test("scoreWithNb matches the hand-computed add-1 Naive Bayes log-odds") {
     // corpus: d1 target "a a b"  d2 non-target "a c"
     // cpos: a=2 b=1 (npos=3); cneg: a=1 c=1 (nneg=2); V={a,b,c}=3
