@@ -582,6 +582,27 @@ object TextStats {
         round(avg(when(col("df") === 1, 1.0).otherwise(0.0)), 6).as("novelty"))
   }
 
+  /** [[noveltyRate]]'s ingest-time face: the arriving batch's shingles
+    * score against document frequencies over corpus ∪ batch, restricted
+    * to batch documents — row-identical to the corpus-wide form filtered
+    * to the batch (df is computed over everything seen, exactly like the
+    * corpus-wide call on the union). |batch| explode + one vocab-keyed
+    * join against the accumulated shingle table.
+    */
+  def noveltyProbe(batch: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame,
+      n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(shingles(tokens(col("text")), n)).as("sg"))
+    val dfv = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+    ex.join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .join(dfv, Seq("sg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        round(avg(when(col("df") === 1, 1.0).otherwise(0.0)), 6).as("novelty"))
+  }
+
   /** Small per-language stopword profiles for the language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),

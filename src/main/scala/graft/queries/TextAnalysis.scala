@@ -263,6 +263,15 @@ object TextAnalysis extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // The novelty detector's ingest face: arriving batch (every 7th
+    // doc) scores against df over everything seen — row-identical to
+    // ta_novelty restricted to the batch, |batch|-scaled scoring work.
+    "ta_novelty_probe" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      TextStats.noveltyProbe(docs.filter(col("doc_id") % 7 === 0), docs)
+        .orderBy(col("doc_id"))
+    },
+
     // Collocation mining: corpus bigram PMI with an exact integer
     // min-count row cut (a float-score cut would make the row set
     // engine-dependent at ties). The word2phrase/phrase-detection
@@ -496,6 +505,22 @@ object TextAnalysis extends QueryPack {
         |  round(regr_slope(ln(c), ln(rank)), 6) AS zipf_slope,
         |  round(regr_r2(ln(c), ln(rank)), 6) AS zipf_r2
         |FROM ranked""".stripMargin,
+
+    // the corpus-wide novelty SQL restricted to batch docs — the
+    // probe's provable contract (df stays corpus-wide)
+    "ta_novelty_probe" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+        |                               for i in range(1, len(t) - 1)])) AS sg
+        |       FROM tk WHERE len(t) >= 3),
+        |dfv AS (SELECT sg, count(*) AS df FROM sh GROUP BY sg)
+        |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+        |  round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+        |FROM sh JOIN dfv USING (sg)
+        |WHERE doc_id % 7 = 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ta_novelty" ->
       s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
