@@ -319,6 +319,30 @@ object PipelinePack extends QueryPack {
         .orderBy(col("source"))
     },
 
+    // Dataset-card summary — the one-row corpus report a training-data
+    // release ships (docs/tokens, language/source spread, exact-dup
+    // rate, length distribution): every column is a single-pass
+    // aggregate over one scan plus the digest distinct; the exact
+    // median is the one per-corpus sort (approx_percentile at the
+    // 100-TB scale, same trade as pl_ccnet_buckets_approx).
+    "pl_dataset_card" -> { (s, d) =>
+      val nTok = size(TextStats.tokens(col("text"))).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          nTok.as("n_tok"), md5(col("text")).as("digest"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          count_distinct(col("lang")).as("n_langs"),
+          count_distinct(col("source")).as("n_sources"),
+          round(lit(1.0) - count_distinct(col("digest")).cast("double")
+            / count(lit(1)), 6).as("dup_rate"),
+          round(avg(col("n_tok")), 6).as("mean_tok"),
+          round(expr("percentile(n_tok, 0.5)"), 6).as("median_tok"),
+          min(col("n_tok")).as("min_tok"),
+          max(col("n_tok")).as("max_tok"))
+    },
+
     // Temperature-based mixture resampling (XLM-R / mBERT exponential
     // smoothing, Conneau 2020 §3.1): per-language sampling share
     // q_l ∝ p_l^α with α = 0.3 — low-resource languages upsample, the
@@ -532,6 +556,21 @@ object PipelinePack extends QueryPack {
          |FROM dtf d LEFT JOIN bigc b ON d.prev = b.prev AND d.w = b.w
          |LEFT JOIN prevc p ON d.prev = p.prev
          |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
+
+    "pl_dataset_card" ->
+      s"""WITH t AS (SELECT doc_id, lang, source,
+         |             len($sqlToks)::BIGINT AS n_tok,
+         |             md5(text) AS digest
+         |           FROM documents)
+         |SELECT count(*)::BIGINT AS n_docs,
+         |  sum(n_tok)::BIGINT AS n_tokens,
+         |  count(DISTINCT lang)::BIGINT AS n_langs,
+         |  count(DISTINCT source)::BIGINT AS n_sources,
+         |  round(1.0 - count(DISTINCT digest)::DOUBLE / count(*), 6) AS dup_rate,
+         |  round(avg(n_tok), 6) AS mean_tok,
+         |  round(quantile_cont(n_tok, 0.5), 6) AS median_tok,
+         |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
+         |FROM t""".stripMargin,
 
     "pl_temperature_mix" ->
       s"""WITH bl AS (SELECT lang, count(*) AS n_docs,
