@@ -592,7 +592,13 @@ object TextStats {
   def noveltyProbe(batch: org.apache.spark.sql.DataFrame,
       docs: org.apache.spark.sql.DataFrame,
       n: Int = 3): org.apache.spark.sql.DataFrame = {
-    val ex = docs.select(col("doc_id"),
+    // df over everything seen: stored corpus (minus any copy of the batch
+    // already in it — callers may pass the full corpus including the
+    // batch, or a disjoint stored set) ∪ the arriving batch.
+    val all = docs.select(col("doc_id"), col("text"))
+      .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .unionByName(batch.select(col("doc_id"), col("text")))
+    val ex = all.select(col("doc_id"),
       explode(shingles(tokens(col("text")), n)).as("sg"))
     val dfv = ex.groupBy("sg").agg(count(lit(1)).as("df"))
     ex.join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi")

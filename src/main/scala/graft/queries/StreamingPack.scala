@@ -20,11 +20,38 @@ object StreamingPack extends QueryPack {
     * cached directory preserves its files' mtime order, so
     * sequentially-staged (arrival-ordered) sources keep their order.
     */
-  private def stagedSrc(s: SparkSession, d: String, name: String)
+  private def stagedSrc(d: String, name: String, key: String)
       (build: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = graft.sources.CollectionStore.indexRoot(d)
-    graft.sources.CollectionStore.ensureBuilt(root, name, "v1") {
-      build(s"$root/$name")
+    val dest = Paths.get(root, name)
+    graft.sources.CollectionStore.ensureBuilt(root, name, key) {
+      // Build into a fresh temp sibling, then rename into place: the
+      // sequential append-mode stagings are not idempotent (a retried
+      // build would re-append over a crashed one's partial files), and
+      // another JVM can race the same staging — with the swap, a crashed
+      // or losing build leaves only its own discarded temp dir, never a
+      // partial or doubled source. rename(2) preserves file mtimes, so
+      // arrival-ordered stagings keep their order.
+      Files.createDirectories(Paths.get(root))
+      val tmp = Paths.get(root, s".$name-tmp-${java.util.UUID.randomUUID}")
+      build(tmp.toString)
+      try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // dest exists: either a concurrent build won the rename (its
+          // completed dir is equivalent — discard ours) or a stale
+          // partial/mismatched-key dir is in the way (swap it aside).
+          val done = Files.exists(dest.resolve("_built")) &&
+            new String(Files.readAllBytes(dest.resolve("_built")), "UTF-8") == key
+          if (done) org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+          else {
+            val aside = Paths.get(root, s".$name-old-${java.util.UUID.randomUUID}")
+            Files.move(dest, aside)
+            Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+            org.apache.commons.io.FileUtils.deleteDirectory(aside.toFile)
+          }
+      }
     }
     s"$root/$name"
   }
@@ -64,7 +91,7 @@ object StreamingPack extends QueryPack {
     // plain sessionizer documents away).
     "st_sessionize_retro" -> { (s, d) =>
       val raw = graft.Tables.events(s, d)
-      val src = stagedSrc(s, d, "retro_sess_src") { path =>
+      val src = stagedSrc(d, "retro_sess_src", "parity2-seq") { path =>
         Seq(0, 1).foreach { p =>
           raw.filter(pmod(col("event_id"), lit(2)) === p)
             .coalesce(1).write.mode("append").parquet(path)
@@ -122,7 +149,7 @@ object StreamingPack extends QueryPack {
       import graft.Tables
       import graft.operators.TextStats
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val src = stagedSrc(s, d, "lm_upsert_src") { p =>
+      val src = stagedSrc(d, "lm_upsert_src", "parts3") { p =>
         stageParts(docs, "doc_id", 3, p) }
       val base = java.nio.file.Files.createTempDirectory("lm_upsert").toString
       EventStream.lmMaintain(s, src, s"$base/counts",
@@ -143,7 +170,7 @@ object StreamingPack extends QueryPack {
       import graft.Tables
       import graft.operators.TextStats
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val src = stagedSrc(s, d, "sbo_upsert_src") { p =>
+      val src = stagedSrc(d, "sbo_upsert_src", "parts3-mod7") { p =>
         stageParts(docs.filter(col("doc_id") % 7 =!= 0), "doc_id", 3, p) }
       val base = java.nio.file.Files.createTempDirectory("sbo_upsert").toString
       EventStream.sboMaintain(s, src, s"$base/counts",
@@ -167,7 +194,7 @@ object StreamingPack extends QueryPack {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
         substring(col("source"), -1, 1)
           .isin("0", "2", "4", "6", "8").as("is_target"))
-      val src = stagedSrc(s, d, "nb_upsert_src") { p =>
+      val src = stagedSrc(d, "nb_upsert_src", "parts3-mod7") { p =>
         stageParts(docs.filter(col("doc_id") % 7 =!= 0), "doc_id", 3, p) }
       val base = java.nio.file.Files.createTempDirectory("nb_upsert").toString
       EventStream.nbMaintain(s, src, s"$base/counts",
@@ -192,7 +219,7 @@ object StreamingPack extends QueryPack {
         vecs, graft.sources.CollectionStore.indexRoot(d),
         nCentroids = 16, nReplica = 4).centroids
       // stage the "arriving WAL tail" as 3 parquet files (once per sf)
-      val src = stagedSrc(s, d, "ivf_upsert_src") { p =>
+      val src = stagedSrc(d, "ivf_upsert_src", "parts3") { p =>
         stageParts(vecs, "offset_id", 3, p) }
       val base = java.nio.file.Files.createTempDirectory("ivf_upsert").toString
       EventStream.ivfMaintain(s, src, centroids,
@@ -225,7 +252,7 @@ object StreamingPack extends QueryPack {
       val centroids = graft.sources.CollectionStore.ivfServing(
         vecs, graft.sources.CollectionStore.indexRoot(d),
         nCentroids = 16, nReplica = 4).centroids
-      val src = stagedSrc(s, d, "ivf_upsert_src") { p =>
+      val src = stagedSrc(d, "ivf_upsert_src", "parts3") { p =>
         stageParts(vecs, "offset_id", 3, p) }
       val base = java.nio.file.Files.createTempDirectory("ivf_upsert_o").toString
       EventStream.ivfMaintain(s, src, centroids,
@@ -254,7 +281,7 @@ object StreamingPack extends QueryPack {
     "st_fts_upsert" -> { (s, d) =>
       import graft.Tables
       val docs = Tables.documents(s, d)
-      val src = stagedSrc(s, d, "fts_upsert_src") { p =>
+      val src = stagedSrc(d, "fts_upsert_src", "parts3") { p =>
         stageParts(docs.select(col("doc_id"), col("text")), "doc_id", 3, p) }
       val base = java.nio.file.Files.createTempDirectory("fts_upsert").toString
       EventStream.ftsMaintain(s, src, s"$base/fts/postings",
@@ -278,7 +305,7 @@ object StreamingPack extends QueryPack {
     "st_sparse_upsert" -> { (s, d) =>
       val records = FacadePack.docsSparseCollection(s, d).records
         .select(col("offset_id"), col("meta_sparse"))
-      val src = stagedSrc(s, d, "sparse_upsert_src") { p =>
+      val src = stagedSrc(d, "sparse_upsert_src", "parts3") { p =>
         stageParts(records, "offset_id", 3, p) }
       val base = java.nio.file.Files.createTempDirectory("sparse_upsert").toString
       EventStream.sparseMaintain(s, src, base, "tf_bow",
@@ -304,7 +331,7 @@ object StreamingPack extends QueryPack {
       import graft.Tables
       val vecs = Tables.embeddings(s, d)
         .select(col("vec_id").as("offset_id"), col("embedding"))
-      val src = stagedSrc(s, d, "hnsw_upsert_src") { p =>
+      val src = stagedSrc(d, "hnsw_upsert_src", "parts3") { p =>
         stageParts(vecs, "offset_id", 3, p) }
       val base = java.nio.file.Files.createTempDirectory("hnsw_upsert").toString
       EventStream.hnswMaintain(s, src, base, s"$base/ckpt",
@@ -325,7 +352,7 @@ object StreamingPack extends QueryPack {
       import graft.Tables
       val vecs = Tables.embeddings(s, d)
         .select(col("vec_id").as("offset_id"), col("embedding"))
-      val src = stagedSrc(s, d, "hnsw_upsert_src") { p =>
+      val src = stagedSrc(d, "hnsw_upsert_src", "parts3") { p =>
         stageParts(vecs, "offset_id", 3, p) }
       val base = java.nio.file.Files.createTempDirectory("hnsw_upsert_o").toString
       EventStream.hnswMaintain(s, src, base, s"$base/ckpt",
@@ -350,7 +377,7 @@ object StreamingPack extends QueryPack {
       import graft.Tables
       val vecs = Tables.embeddings(s, d)
         .select(col("vec_id").as("offset_id"), col("embedding"))
-      val src = stagedSrc(s, d, "q_upsert_src") { p =>
+      val src = stagedSrc(d, "q_upsert_src", "parts3") { p =>
         stageParts(vecs, "offset_id", 3, p) }
       val base = java.nio.file.Files.createTempDirectory("q_upsert").toString
       EventStream.quantizedMaintain(s, src, s"$base/codes",
@@ -374,7 +401,7 @@ object StreamingPack extends QueryPack {
       import graft.Tables
       val vecs = Tables.embeddings(s, d)
         .select(col("vec_id").as("offset_id"), col("embedding"))
-      val src = stagedSrc(s, d, "q_upsert_src") { p =>
+      val src = stagedSrc(d, "q_upsert_src", "parts3") { p =>
         stageParts(vecs, "offset_id", 3, p) }
       val base = java.nio.file.Files.createTempDirectory("q_upsert_o").toString
       EventStream.quantizedMaintain(s, src, s"$base/codes",
@@ -401,7 +428,7 @@ object StreamingPack extends QueryPack {
     "st_minhash_upsert" -> { (s, d) =>
       import graft.Tables
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val src = stagedSrc(s, d, "mh_upsert_src") { p =>
+      val src = stagedSrc(d, "mh_upsert_src", "parts3") { p =>
         stageParts(docs, "doc_id", 3, p) }
       val base = java.nio.file.Files.createTempDirectory("mh_upsert").toString
       EventStream.minhashMaintain(s, src, s"$base/banded",
@@ -423,7 +450,7 @@ object StreamingPack extends QueryPack {
     "st_minhash_upsert_oracle" -> { (s, d) =>
       import graft.Tables
       val docs = DedupPack.doubled(Tables.documents(s, d))
-      val src = stagedSrc(s, d, "mh_upsert_o_src") { p =>
+      val src = stagedSrc(d, "mh_upsert_o_src", "parts3") { p =>
         stageParts(docs, "doc_id", 3, p) }
       val base = java.nio.file.Files.createTempDirectory("mh_upsert_o").toString
       EventStream.minhashMaintain(s, src, s"$base/banded",
@@ -444,7 +471,7 @@ object StreamingPack extends QueryPack {
     "st_span_dedup" -> { (s, d) =>
       import graft.Tables
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val src = stagedSrc(s, d, "span_upsert_src") { path =>
+      val src = stagedSrc(d, "span_upsert_src", "q34q67-seq") { path =>
         val cuts = docs.stat.approxQuantile("doc_id", Array(0.34, 0.67), 0.001)
         val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
         // stage ranges SEQUENTIALLY — ascending mtimes give the file
@@ -483,7 +510,7 @@ object StreamingPack extends QueryPack {
     "st_cluster_maintain" -> { (s, d) =>
       import graft.Tables
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val src = stagedSrc(s, d, "cc_maint_src") { p =>
+      val src = stagedSrc(d, "cc_maint_src", "parts3") { p =>
         stageParts(docs, "doc_id", 3, p) }
       val base = java.nio.file.Files.createTempDirectory("cc_maint").toString
       EventStream.clusterMaintain(s, src, s"$base/cc",

@@ -291,10 +291,12 @@ class TextAnalysisSpec extends AnyFunSuite {
       val texts = genDocs(Gen.Parameters.default, Seed(it.toLong + 1)).get
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
-      val got = TextStats.chunkWindows(docs, chunkSize, overlap)
+      val rows = TextStats.chunkWindows(docs, chunkSize, overlap)
         .collect()
         .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3)))
-        .toMap
+      val got = rows.toMap
+      // keyed map must not hide duplicated output rows
+      assert(rows.length == got.size, s"case $it duplicate (doc, chunk) rows")
       texts.zipWithIndex.foreach { case (t, i) =>
         val toks = t.split("\\s+").filter(_.nonEmpty)
         val n = toks.length
