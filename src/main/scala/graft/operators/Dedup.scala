@@ -1001,4 +1001,67 @@ object Dedup {
         " ").as("kept_text"),
       sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
       sum(when(!col("is_first"), 1L).otherwise(0L)).as("n_dropped"))
+
+  /** Exact repeated-SUBSTRING dedup (Lee et al., arXiv:2107.06499 —
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * SLIDING `k`-word window that occurs more than once in the corpus
+    * keeps only its first occurrence (smallest (doc_id, start)); all
+    * other occurrences' word positions are removed from their documents
+    * and the survivors rejoin in order. Unlike [[spanDedup]]'s ALIGNED
+    * segments (the C4 line rule), sliding windows catch duplicated
+    * passages at ANY offset — the boilerplate that segment alignment
+    * misses — at the cost of a k× window blowup.
+    *
+    * Output per document: (`doc_id`, `n_toks`, `n_removed`, `n_spans`,
+    * `kept_text`) — `n_spans` counts the maximal contiguous removed
+    * runs (merged overlapping duplicate windows).
+    *
+    * Scale (100 TB): the reference algorithm builds a corpus suffix
+    * array; the distributed re-expression is this window-join — three
+    * inherent keyed shuffles, no iteration, no driver state: (1) window
+    * values shuffle for the first-occurrence window function (the k×
+    * blowup moves once; AQE splits skewed hot windows — at extreme
+    * scale, pre-shard by a window-hash prefix), (2) removed positions
+    * shuffle on doc_id for span merging, (3) the word-level rebuild
+    * shuffles on doc_id. Covered-position explode is bounded by
+    * k × (duplicate windows), i.e. output-proportional.
+    */
+  def substringDedup(docs: DataFrame, k: Int = 10): DataFrame = {
+    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val wins = tk.filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("t")) - k),
+        i => struct(i.as("start"),
+          array_join(slice(col("t"), i + 1, lit(k)), " ").as("win")))).as("p"))
+      .select(col("doc_id"), col("p.start").as("start"), col("p.win").as("win"))
+    val dup = wins.withColumn("rn",
+        row_number().over(Window.partitionBy(col("win"))
+          .orderBy(col("doc_id"), col("start"))))
+      .filter(col("rn") > 1)
+    val covered = dup
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + k - 1)).as("wi"))
+      .distinct()
+    val spans = covered
+      .withColumn("prev", lag(col("wi"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("wi"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_removed"),
+        sum(when(col("prev").isNull || col("wi") - col("prev") > 1, 1L)
+          .otherwise(0L)).as("n_spans"))
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("wi", "word")))
+      .join(covered.withColumn("cov", lit(true)), Seq("doc_id", "wi"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN cov IS NULL THEN struct(wi, word) END)), x -> x.word)"),
+          " ").as("kept_text"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        col("kept_text"))
+  }
 }

@@ -169,6 +169,70 @@ object TextStats {
         round(col("h"), 6).as("nll"), round(exp(col("h")), 2).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring — the KenLM-standard
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.25), i.e.
+    * the scheme the published CCNet perplexity filter actually runs
+    * (its KenLM models are interpolated modified-KN; this is the
+    * single-discount bigram form):
+    *
+    *   P(w|p) = (max(c(p,w) − D, 0) + D · N1+(p,·) · Pcont(w)) / c(p,·)
+    *   Pcont(w) = N1+(·,w) / B
+    *
+    * where `N1+(p,·)` counts p's distinct continuations, `N1+(·,w)`
+    * counts w's distinct left-contexts, and `B` is the number of
+    * distinct bigram TYPES — the continuation distribution that makes
+    * KN famously better than add-α on "Francisco"-style words (high
+    * token count, few contexts). Fixed discount `D = 0.75`.
+    *
+    * Every term derives from the SAME additive bigram count table as
+    * [[scoreWithLm]] ([[bigramLmCounts]]): `c(p,·)` and `N1+(p,·)` are
+    * per-prev aggregates, `N1+(·,w)` a per-w aggregate, `B` its sum —
+    * so the incrementally maintained LM table
+    * ([[graft.streaming.EventStream.lmMaintain]]) serves add-α and KN
+    * scoring alike with no extra state. Scale shape matches
+    * [[scoreWithLm]]: vocab-sized keyed shuffles, one broadcast
+    * one-row `B`. Output (`doc_id`, `n_trans`, `nll`, `ppl`) for docs
+    * with >= 2 tokens.
+    *
+    * Self-scoring the fitted corpus keeps every factor positive (each
+    * scored bigram was observed, so `cbw >= 1 > D` and all three count
+    * tables hit). An EMPTY count table fails safe exactly like
+    * [[scoreWithLm]]: `B = 0` nulls every score, a `ppl <= cut` gate
+    * admits nothing.
+    */
+  def kneserNeyScore(docs: org.apache.spark.sql.DataFrame,
+      discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val trans = bigramTransitions(docs)
+    scoreWithKn(trans, bigramLmCounts(trans), discount)
+  }
+
+  /** Score documents' transitions against a (possibly incrementally
+    * maintained) bigram-count LM with interpolated Kneser–Ney — see
+    * [[kneserNeyScore]] for the scheme and fail-safes.
+    */
+  def scoreWithKn(trans: org.apache.spark.sql.DataFrame,
+      bigC0: org.apache.spark.sql.DataFrame,
+      discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val bigC = bigC0.persist()
+    val dtf = trans.groupBy("doc_id", "prev", "w").agg(count(lit(1)).as("c"))
+    val prevC = bigC.groupBy("prev")
+      .agg(sum("cbw").as("cp"), count(lit(1)).as("n1fw"))
+    val contC = bigC.groupBy("w").agg(count(lit(1)).as("n1bw"))
+    val btot = bigC.agg(count(lit(1)).as("b"))
+    val d = lit(discount)
+    val pkn = when(col("b") > 0,
+      (greatest(col("cbw") - d, lit(0.0)) +
+        d * col("n1fw") * col("n1bw") / col("b")) / col("cp"))
+    dtf.join(bigC, Seq("prev", "w"), "left")
+      .join(prevC, Seq("prev"), "left")
+      .join(contC, Seq("w"), "left")
+      .crossJoin(broadcast(btot))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_trans"), (-sum(col("c") * log(pkn)) / sum("c")).as("h"))
+      .select(col("doc_id"), col("n_trans"),
+        round(col("h"), 6).as("nll"), round(exp(col("h")), 2).as("ppl"))
+  }
+
   /** Per-doc trigram transitions (`doc_id`, `p2`, `p1`, `w`) of every doc
     * with >= 3 tokens — the indexed-transform build, no positional
     * self-join (see [[bigramTransitions]]).

@@ -61,6 +61,15 @@ object DedupPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Lee et al. exact substring dedup: SLIDING 10-word windows (any
+    // offset, unlike dd_span_dedup's aligned segments), first corpus
+    // occurrence kept, every later occurrence's positions removed,
+    // survivors rejoin in order.
+    "dd_substring_dedup" -> { (s, d) =>
+      Dedup.substringDedup(Tables.documents(s, d), k = 10)
+        .orderBy(col("doc_id"))
+    },
+
     "dd_minhash_lsh" -> { (s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), threshold = 0.5)
         .orderBy(col("da"), col("db"))
@@ -433,6 +442,42 @@ object DedupPack extends QueryPack {
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dd_substring_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS start, array_to_string(t[i:i+9], ' ') AS win
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i
+        |        FROM tk WHERE len(t) >= 10)),
+        |dup AS (
+        |  SELECT doc_id, start FROM (
+        |    SELECT doc_id, start,
+        |           row_number() OVER (PARTITION BY win
+        |                              ORDER BY doc_id, start) AS rn
+        |    FROM wins) WHERE rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, start + unnest(range(0, 10)) AS wi
+        |        FROM dup),
+        |sp AS (SELECT doc_id, wi,
+        |         lag(wi) OVER (PARTITION BY doc_id ORDER BY wi) AS prev
+        |       FROM cov),
+        |agg AS (SELECT doc_id, count(*) AS n_removed,
+        |          sum(CASE WHEN prev IS NULL OR wi - prev > 1
+        |              THEN 1 ELSE 0 END) AS n_spans
+        |        FROM sp GROUP BY doc_id),
+        |words AS (
+        |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS wi, unnest(t) AS word
+        |  FROM tk),
+        |kept AS (
+        |  SELECT w.doc_id, count(*) AS n_toks,
+        |    coalesce(string_agg(w.word, ' ' ORDER BY w.wi)
+        |               FILTER (WHERE c.wi IS NULL), '') AS kept_text
+        |  FROM words w LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.wi = c.wi
+        |  GROUP BY w.doc_id)
+        |SELECT k.doc_id, k.n_toks::BIGINT AS n_toks,
+        |  coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+        |  coalesce(a.n_spans, 0)::BIGINT AS n_spans, k.kept_text
+        |FROM kept k LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "dd_ngram_jaccard" ->
       s"""WITH $sqlShingles,

@@ -159,6 +159,26 @@ object StreamingPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // The SAME maintained bigram count table, scored with interpolated
+    // Kneser–Ney instead of add-α — one incrementally maintained state
+    // serves both smoothing schemes (every KN term — c(p,·), N1+(p,·),
+    // N1+(·,w), B — derives from the folded counts), so the streamed
+    // score is hash-exact vs ta_kneser_ney's batch oracle with zero
+    // extra streaming machinery.
+    "st_kneser_ney" -> { (s, d) =>
+      import graft.Tables
+      import graft.operators.TextStats
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val src = stagedSrc(d, "lm_upsert_src", "parts3") { p =>
+        stageParts(docs, "doc_id", 3, p) }
+      val base = java.nio.file.Files.createTempDirectory("kn_upsert").toString
+      EventStream.lmMaintain(s, src, s"$base/counts",
+        s"$base/ckpt", filesPerBatch = 2)
+      val lm = EventStream.foldLmCounts(s.read.parquet(s"$base/counts"))
+      TextStats.scoreWithKn(TextStats.bigramTransitions(docs), lm)
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental Stupid Backoff maintenance — ta_stupid_backoff's
     // ingest-time face: the stored corpus (every doc_id % 7 != 0)
     // streams in and each micro-batch appends its trigram/bigram/
@@ -579,6 +599,7 @@ object StreamingPack extends QueryPack {
     // and used for scoring must equal the batch-fitted LM exactly
     // (bigram counts are additive in the corpus)
     "st_perplexity" -> TextAnalysis.oracle("ta_perplexity"),
+    "st_kneser_ney" -> TextAnalysis.oracle("ta_kneser_ney"),
 
     // the ta_stupid_backoff SQL verbatim — the three stream-maintained
     // count tables folded and used for scoring must equal the

@@ -213,6 +213,17 @@ object TextAnalysis extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Interpolated Kneser–Ney bigram scoring (the KenLM-standard
+    // smoothing CCNet's published filter actually runs): discounted
+    // observed mass plus the continuation distribution N1+(·,w)/B,
+    // fitted on the corpus and self-scored. Same additive count table
+    // as ta_perplexity — only the smoothing differs. See
+    // TextStats.kneserNeyScore.
+    "ta_kneser_ney" -> { (s, d) =>
+      TextStats.kneserNeyScore(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    },
+
     // Stupid Backoff trigram scoring (Brants 2007) — the canonical
     // DISTRIBUTED LM scheme: plain count ratios with a fixed 0.4 backoff
     // penalty, no normalization pass, three additive count tables. Fitted
@@ -379,6 +390,33 @@ object TextAnalysis extends QueryPack {
       |JOIN prevc p ON d.prev = p.prev
       |GROUP BY d.doc_id)""".stripMargin
 
+  /** Shared CTE chain ending in `knt(doc_id, n_trans, nll, ppl)` — the
+    * DuckDB rebuild of [[graft.operators.TextStats.kneserNeyScore]]
+    * (interpolated KN, D = 0.75), used by ta_kneser_ney's oracle and by
+    * st_kneser_ney (the maintained count table folds to the batch fit,
+    * so the streamed score is the same formula over the same counts).
+    */
+  def sqlKneserNeyCte: String =
+    s"""tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+      |tr AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS w
+      |       FROM tk WHERE len(t) >= 2),
+      |bigc AS (SELECT prev, w, count(*) AS cbw FROM tr GROUP BY 1, 2),
+      |prevc AS (SELECT prev, sum(cbw) AS cp, count(*) AS n1fw FROM bigc GROUP BY 1),
+      |contc AS (SELECT w, count(*) AS n1bw FROM bigc GROUP BY 1),
+      |btot AS (SELECT count(*) AS b FROM bigc),
+      |dtf AS (SELECT doc_id, prev, w, count(*) AS c FROM tr GROUP BY 1, 2, 3),
+      |knt AS (SELECT d.doc_id, sum(d.c)::BIGINT AS n_trans,
+      |  round(-sum(d.c * ln((greatest(b.cbw - 0.75, 0)
+      |      + 0.75 * p.n1fw * cc.n1bw / (SELECT b FROM btot)) / p.cp))
+      |    / sum(d.c), 6) AS nll,
+      |  round(exp(-sum(d.c * ln((greatest(b.cbw - 0.75, 0)
+      |      + 0.75 * p.n1fw * cc.n1bw / (SELECT b FROM btot)) / p.cp))
+      |    / sum(d.c)), 2) AS ppl
+      |FROM dtf d JOIN bigc b ON d.prev = b.prev AND d.w = b.w
+      |JOIN prevc p ON d.prev = p.prev
+      |JOIN contc cc ON d.w = cc.w
+      |GROUP BY d.doc_id)""".stripMargin
+
   /** Shared DuckDB CTE chain rebuilding [[graft.operators.TextStats
     * .scoreWithNb]] — fit on `corpusFilter` docs, score `batchFilter`
     * docs — through `agg(doc_id, n_toks, logodds)`. One definition
@@ -491,6 +529,10 @@ object TextAnalysis extends QueryPack {
     "ta_perplexity" ->
       s"""WITH $sqlPerplexityCte
         |SELECT doc_id, n_trans, nll, ppl FROM pplt ORDER BY doc_id""".stripMargin,
+
+    "ta_kneser_ney" ->
+      s"""WITH $sqlKneserNeyCte
+        |SELECT doc_id, n_trans, nll, ppl FROM knt ORDER BY doc_id""".stripMargin,
 
     "ta_nb_quality" -> sqlNbQuality,
 

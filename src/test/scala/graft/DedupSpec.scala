@@ -383,6 +383,36 @@ class DedupSpec extends AnyFunSuite {
     assert(out.length - dups == distinctTexts)
   }
 
+  test("substring dedup: planted passage removed at any offset, first kept") {
+    import spark.implicits._
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val fixture = Seq(
+      // first corpus occurrence of the passage — must survive intact
+      (1L, s"u1 u2 $passage u3"),
+      // same passage at a DIFFERENT offset (prefix of 5 words) — the
+      // aligned-segment rule misses this; sliding windows must cut
+      // exactly the 10 passage words and nothing else
+      (2L, s"v1 v2 v3 v4 v5 $passage v6 v7"),
+      // two distinct removed runs -> n_spans = 2
+      (3L, s"$passage w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 $passage"),
+      // shorter than k -> untouched, no windows
+      (4L, "short doc only")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(fixture, k = 10)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // doc 1: earliest (doc_id, start) occurrence -> nothing removed
+    assert(out(0).getLong(2) == 0L && out(0).getString(4) == s"u1 u2 $passage u3")
+    // doc 2: exactly the 10 passage words removed, one contiguous span
+    assert(out(1).getLong(2) == 10L && out(1).getLong(3) == 1L)
+    assert(out(1).getString(4) == "v1 v2 v3 v4 v5 v6 v7")
+    // doc 3: its FIRST copy is also a corpus duplicate (doc 1 came
+    // first), so both copies go -> 20 removed in 2 spans
+    assert(out(2).getLong(2) == 20L && out(2).getLong(3) == 2L)
+    assert(out(2).getString(4) == (1 to 10).map(i => s"w$i").mkString(" "))
+    // doc 4: below k, untouched
+    assert(out(3).getLong(2) == 0L && out(3).getString(4) == "short doc only")
+  }
+
   test("span dedup: kept segments across the corpus = each distinct segment exactly once") {
     val span = 5
     val out = Dedup.spanDedup(docs, span)

@@ -321,6 +321,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("kneserNeyScore matches the hand-computed interpolated KN bigram") {
+    // tokens: d1=[a,b,a,b]  d2=[b,a]
+    // transitions: d1 (a,b)x2 (b,a)x1; d2 (b,a)x1
+    // bigc: c(a,b)=2 c(b,a)=2; prevc: a(cp=2,n1fw=1) b(cp=2,n1fw=1)
+    // contc: n1bw(b)=1 n1bw(a)=1; B=2 bigram types
+    // P(b|a) = (2-0.75 + 0.75*1*(1/2)) / 2 = 1.625/2 = 0.8125 = P(a|b)
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val got = TextStats.kneserNeyScore(docs).orderBy("doc_id").collect()
+    val h = -math.log(0.8125)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round2(x: Double): Double =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 1L))
+    assert(got.forall(_.getDouble(2) == round6(h)))
+    assert(got.forall(_.getDouble(3) == round2(math.exp(h))))
+  }
+
+  test("scoreWithKn nulls every score on an empty count table") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val empty = Seq.empty[(String, String, Long)].toDF("prev", "w", "cbw")
+    val got = TextStats.scoreWithKn(
+      TextStats.bigramTransitions(docs), empty).collect()
+    assert(got.length == 1 && got(0).isNullAt(2) && got(0).isNullAt(3))
+  }
+
   test("scoreWithNb matches the hand-computed add-1 Naive Bayes log-odds") {
     // corpus: d1 target "a a b"  d2 non-target "a c"
     // cpos: a=2 b=1 (npos=3); cneg: a=1 c=1 (nneg=2); V={a,b,c}=3
