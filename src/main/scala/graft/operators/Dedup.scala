@@ -1026,6 +1026,69 @@ object Dedup {
     * shuffles on doc_id. Covered-position explode is bounded by
     * k × (duplicate windows), i.e. output-proportional.
     */
+  /** [[substringDedup]]'s ingest-time face: cut an arriving batch
+    * against the stored corpus without re-deduping the corpus. A batch
+    * window's positions are removed iff the window occurs ANYWHERE in
+    * the corpus (the stored side is immutable — its occurrences were
+    * already served) or at an earlier (doc_id, start) within the batch
+    * itself. Output: batch documents only, same shape as
+    * [[substringDedup]] — row-identical to the corpus ∪ batch run
+    * under corpus-first priority restricted to batch docs (the oracle
+    * states exactly that).
+    *
+    * Scale: the within-batch first-occurrence window runs over |batch|
+    * windows only; the corpus side contributes one left-semi join of
+    * batch windows against the corpus window set — with a served
+    * window table bucketed on the window value (the seen-table shape
+    * of [[graft.streaming.EventStream.spanDedupMaintain]]) that join
+    * co-locates, and nothing corpus-sized is ever windowed per probe.
+    */
+  def substringProbe(batch: DataFrame, corpus: DataFrame,
+      k: Int = 10): DataFrame = {
+    def winsOf(docs: DataFrame): DataFrame = {
+      val tk = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      tk.filter(size(col("t")) >= k)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("t")) - k),
+          i => struct(i.as("start"),
+            array_join(slice(col("t"), i + 1, lit(k)), " ").as("win")))).as("p"))
+        .select(col("doc_id"), col("p.start").as("start"), col("p.win").as("win"))
+    }
+    val bw = winsOf(batch)
+    val inCorpus = bw.join(winsOf(corpus).select("win").distinct(),
+        Seq("win"), "left_semi")
+      .select(col("doc_id"), col("start"))
+    val laterInBatch = bw.withColumn("rn",
+        row_number().over(Window.partitionBy(col("win"))
+          .orderBy(col("doc_id"), col("start"))))
+      .filter(col("rn") > 1).select(col("doc_id"), col("start"))
+    val covered = inCorpus.union(laterInBatch)
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + k - 1)).as("wi"))
+      .distinct()
+    val spans = covered
+      .withColumn("prev", lag(col("wi"), 1)
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("wi"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_removed"),
+        sum(when(col("prev").isNull || col("wi") - col("prev") > 1, 1L)
+          .otherwise(0L)).as("n_spans"))
+    batch
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("wi", "word")))
+      .join(covered.withColumn("cov", lit(true)), Seq("doc_id", "wi"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN cov IS NULL THEN struct(wi, word) END)), x -> x.word)"),
+          " ").as("kept_text"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        col("kept_text"))
+  }
+
   def substringDedup(docs: DataFrame, k: Int = 10): DataFrame = {
     val tk = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
     val wins = tk.filter(size(col("t")) >= k)

@@ -70,6 +70,19 @@ object DedupPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Substring dedup's ingest face: the arriving batch (every 7th doc)
+    // is cut against the STORED corpus' windows (corpus immutable,
+    // corpus-first priority) plus earlier-in-batch occurrences — the
+    // row-identical restriction of the corpus-first full run to batch
+    // docs, with only a batch-windows × served-window-set semi-join.
+    "dd_substring_probe" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      Dedup.substringProbe(
+          docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0), k = 10)
+        .orderBy(col("doc_id"))
+    },
+
     "dd_minhash_lsh" -> { (s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), threshold = 0.5)
         .orderBy(col("da"), col("db"))
@@ -467,6 +480,47 @@ object DedupPack extends QueryPack {
         |words AS (
         |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS wi, unnest(t) AS word
         |  FROM tk),
+        |kept AS (
+        |  SELECT w.doc_id, count(*) AS n_toks,
+        |    coalesce(string_agg(w.word, ' ' ORDER BY w.wi)
+        |               FILTER (WHERE c.wi IS NULL), '') AS kept_text
+        |  FROM words w LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.wi = c.wi
+        |  GROUP BY w.doc_id)
+        |SELECT k.doc_id, k.n_toks::BIGINT AS n_toks,
+        |  coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+        |  coalesce(a.n_spans, 0)::BIGINT AS n_spans, k.kept_text
+        |FROM kept k LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the corpus ∪ batch run under corpus-first priority, restricted to
+    // batch docs — the probe's provable contract (ORDER BY in_batch puts
+    // every stored occurrence ahead of any batch occurrence)
+    "dd_substring_probe" ->
+      """WITH tk AS (SELECT doc_id, doc_id % 7 = 0 AS in_batch,
+        |                   string_split(text, ' ') AS t FROM documents),
+        |wins AS (
+        |  SELECT doc_id, in_batch, i - 1 AS start,
+        |         array_to_string(t[i:i+9], ' ') AS win
+        |  FROM (SELECT doc_id, in_batch, t, unnest(range(1, len(t) - 8)) AS i
+        |        FROM tk WHERE len(t) >= 10)),
+        |dup AS (
+        |  SELECT doc_id, start FROM (
+        |    SELECT doc_id, in_batch, start,
+        |           row_number() OVER (PARTITION BY win
+        |                              ORDER BY in_batch, doc_id, start) AS rn
+        |    FROM wins) WHERE rn > 1 AND in_batch),
+        |cov AS (SELECT DISTINCT doc_id, start + unnest(range(0, 10)) AS wi
+        |        FROM dup),
+        |sp AS (SELECT doc_id, wi,
+        |         lag(wi) OVER (PARTITION BY doc_id ORDER BY wi) AS prev
+        |       FROM cov),
+        |agg AS (SELECT doc_id, count(*) AS n_removed,
+        |          sum(CASE WHEN prev IS NULL OR wi - prev > 1
+        |              THEN 1 ELSE 0 END) AS n_spans
+        |        FROM sp GROUP BY doc_id),
+        |words AS (
+        |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS wi, unnest(t) AS word
+        |  FROM tk WHERE in_batch),
         |kept AS (
         |  SELECT w.doc_id, count(*) AS n_toks,
         |    coalesce(string_agg(w.word, ' ' ORDER BY w.wi)

@@ -413,6 +413,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3).getLong(2) == 0L && out(3).getString(4) == "short doc only")
   }
 
+  test("substring probe: corpus-first priority, within-batch order, corpus untouched") {
+    import spark.implicits._
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val other = (1 to 10).map(i => s"q$i").mkString(" ")
+    // corpus doc ids are HIGHER than batch ids — corpus-first priority
+    // must still win (it's a served-state rule, not a doc_id rule)
+    val corpus = Seq((100L, s"c1 $passage c2")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"b1 b2 $passage"), // dup'd vs corpus -> cut
+      (2L, other), // first batch occurrence of `other` -> kept
+      (3L, s"x1 $other")) // later batch occurrence -> cut
+      .toDF("doc_id", "text")
+    val out = Dedup.substringProbe(batch, corpus, k = 10)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      "output is batch docs only")
+    assert(out(0).getLong(2) == 10L && out(0).getString(4) == "b1 b2")
+    assert(out(1).getLong(2) == 0L && out(1).getString(4) == other)
+    assert(out(2).getLong(2) == 10L && out(2).getString(4) == "x1")
+  }
+
   test("span dedup: kept segments across the corpus = each distinct segment exactly once") {
     val span = 5
     val out = Dedup.spanDedup(docs, span)
