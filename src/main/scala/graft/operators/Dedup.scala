@@ -1045,66 +1045,57 @@ object Dedup {
     */
   def substringProbe(batch: DataFrame, corpus: DataFrame,
       k: Int = 10): DataFrame = {
-    def winsOf(docs: DataFrame): DataFrame = {
-      val tk = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      tk.filter(size(col("t")) >= k)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), size(col("t")) - k),
-          i => struct(i.as("start"),
-            array_join(slice(col("t"), i + 1, lit(k)), " ").as("win")))).as("p"))
-        .select(col("doc_id"), col("p.start").as("start"), col("p.win").as("win"))
-    }
-    val bw = winsOf(batch)
-    val inCorpus = bw.join(winsOf(corpus).select("win").distinct(),
+    val bw = windowRows(batch, k)
+    val inCorpus = bw.join(windowRows(corpus, k).select("win").distinct(),
         Seq("win"), "left_semi")
       .select(col("doc_id"), col("start"))
     val laterInBatch = bw.withColumn("rn",
         row_number().over(Window.partitionBy(col("win"))
           .orderBy(col("doc_id"), col("start"))))
       .filter(col("rn") > 1).select(col("doc_id"), col("start"))
-    val covered = inCorpus.union(laterInBatch)
-      .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + k - 1)).as("wi"))
-      .distinct()
-    val spans = covered
-      .withColumn("prev", lag(col("wi"), 1)
-        .over(Window.partitionBy(col("doc_id")).orderBy(col("wi"))))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_removed"),
-        sum(when(col("prev").isNull || col("wi") - col("prev") > 1, 1L)
-          .otherwise(0L)).as("n_spans"))
-    batch
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("wi", "word")))
-      .join(covered.withColumn("cov", lit(true)), Seq("doc_id", "wi"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"),
-        array_join(expr(
-          "transform(array_sort(collect_list(CASE WHEN cov IS NULL THEN struct(wi, word) END)), x -> x.word)"),
-          " ").as("kept_text"))
-      .join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_toks"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        col("kept_text"))
+    substringReconstruct(batch,
+      coveredPositions(inCorpus.union(laterInBatch), k))
   }
 
   def substringDedup(docs: DataFrame, k: Int = 10): DataFrame = {
-    val tk = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val wins = tk.filter(size(col("t")) >= k)
+    val dup = windowRows(docs, k).withColumn("rn",
+        row_number().over(Window.partitionBy(col("win"))
+          .orderBy(col("doc_id"), col("start"))))
+      .filter(col("rn") > 1)
+    substringReconstruct(docs, coveredPositions(dup, k))
+  }
+
+  /** Sliding `k`-word windows of every document with >= k words:
+    * (`doc_id`, `start`, `win`) with `start` 0-based and `win` the
+    * space-joined window value — [[substringDedup]]'s unit of exactness,
+    * built per row with an indexed `transform` (no positional
+    * self-join; the k× blowup is the algorithm's inherent cost).
+    */
+  def windowRows(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= k)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("t")) - k),
         i => struct(i.as("start"),
           array_join(slice(col("t"), i + 1, lit(k)), " ").as("win")))).as("p"))
       .select(col("doc_id"), col("p.start").as("start"), col("p.win").as("win"))
-    val dup = wins.withColumn("rn",
-        row_number().over(Window.partitionBy(col("win"))
-          .orderBy(col("doc_id"), col("start"))))
-      .filter(col("rn") > 1)
-    val covered = dup
-      .select(col("doc_id"),
+
+  /** Expand removed window occurrences (`doc_id`, `start`) to their
+    * distinct covered word positions (`doc_id`, `wi`) — bounded by
+    * k × |removed windows|, i.e. output-proportional.
+    */
+  def coveredPositions(removed: DataFrame, k: Int): DataFrame =
+    removed.select(col("doc_id"),
         explode(sequence(col("start"), col("start") + k - 1)).as("wi"))
       .distinct()
+
+  /** Rebuild documents minus their covered positions, with removed-run
+    * accounting: (`doc_id`, `n_toks`, `n_removed`, `n_spans`,
+    * `kept_text`) — `n_spans` counts maximal contiguous removed runs.
+    * Shared tail of [[substringDedup]], [[substringProbe]], and the
+    * streaming maintainer.
+    */
+  def substringReconstruct(docs: DataFrame, covered: DataFrame): DataFrame = {
     val spans = covered
       .withColumn("prev", lag(col("wi"), 1)
         .over(Window.partitionBy(col("doc_id")).orderBy(col("wi"))))

@@ -514,6 +514,33 @@ object StreamingPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Incremental substring dedup — st_span_dedup's sliding-window
+    // sibling over the SAME staged doc_id-ordered source: each batch
+    // cuts windows seen in earlier batches (or earlier in-batch) and
+    // appends survivors; the accumulated output hash-matches the
+    // dd_substring_dedup oracle verbatim, proving ingest-time
+    // substring dedup == corpus-wide batch dedup.
+    "st_substring_dedup" -> { (s, d) =>
+      import graft.Tables
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val src = stagedSrc(d, "span_upsert_src", "q34q67-seq") { path =>
+        val cuts = docs.stat.approxQuantile("doc_id", Array(0.34, 0.67), 0.001)
+        val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2)
+          .foreach { p =>
+            docs.filter(p).coalesce(1).write.mode("append").parquet(path)
+            Thread.sleep(100)
+          }
+      }
+      val base = java.nio.file.Files.createTempDirectory("sub_upsert").toString
+      EventStream.substringMaintain(s, src, s"$base/sub", s"$base/ckpt")
+      s.read.parquet(s"$base/sub/out")
+        .select("doc_id", "n_toks", "n_removed", "n_spans", "kept_text")
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental near-dup cluster maintenance: documents stream in
     // (3 staged files → 3 micro-batches), each batch probes the
     // accumulated corpus for its touching pairs (|batch|-scaled exact
@@ -594,6 +621,7 @@ object StreamingPack extends QueryPack {
     // the dd_span_dedup SQL verbatim — ordered ingest-time span dedup
     // must equal the corpus-wide batch dedup exactly
     "st_span_dedup" -> DedupPack.oracle("dd_span_dedup"),
+    "st_substring_dedup" -> DedupPack.oracle("dd_substring_dedup"),
 
     // the ta_perplexity SQL verbatim — the stream-maintained LM folded
     // and used for scoring must equal the batch-fitted LM exactly

@@ -440,6 +440,72 @@ object EventStream extends Serializable {
     q.awaitTermination()
   }
 
+  /** Incremental Lee-et-al substring dedup — [[spanDedupMaintain]]'s
+    * sliding-window sibling: each arriving micro-batch builds its
+    * `k`-word windows ([[graft.operators.Dedup.windowRows]]), removes
+    * the positions of every window already in the accumulated
+    * seen-window table (earlier batches) or occurring earlier within
+    * the batch, appends the reconstructed documents to `out/` and the
+    * batch's first-occurrence window values to `seen/`. With
+    * ascending-doc_id batches (enforced, not assumed), "seen in an
+    * earlier batch OR earlier in this batch" IS the global
+    * first-occurrence rule, so the accumulated output is row-identical
+    * to batch [[graft.operators.Dedup.substringDedup]] — hash-exact
+    * against the same oracle. Cut occurrences need no seen-append: an
+    * identical window value is already in `seen` via its first
+    * occurrence. Scale: one window-value shuffle over the batch's k×
+    * windows + a seen-table semi-join on the same key; `seen` is the
+    * persisted dedup state, the batch side is ingest-sized.
+    */
+  def substringMaintain(spark: SparkSession, srcDir: String, root: String,
+      checkpoint: String, k: Int = 10, filesPerBatch: Int = 1): Unit = {
+    val q = spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val seenDir = s"$root/seen"
+        import org.apache.spark.sql.expressions.Window
+        val wins = graft.operators.Dedup.windowRows(batch, k)
+          .withColumn("rn", org.apache.spark.sql.functions.row_number()
+            .over(Window.partitionBy(col("win"))
+              .orderBy(col("doc_id"), col("start"))))
+        val seenExists =
+          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(seenDir))
+        // EARLIER batches only (`batch < batchId`): a replayed batch must
+        // not see its own crashed write's windows as "seen before"
+        val marked0 =
+          if (!seenExists) wins.withColumn("seen_before", lit(false))
+          else wins.join(
+              spark.read.parquet(seenDir).filter(col("batch") < batchId)
+                .select(col("win")).withColumn("sb", lit(true)),
+              Seq("win"), "left")
+            .withColumn("seen_before", coalesce(col("sb"), lit(false)))
+            .drop("sb")
+        val marked = marked0
+          .withColumn("removed", col("rn") > 1 || col("seen_before"))
+          .persist() // referenced twice: covered positions + new seen values
+        try {
+          val batchDocs = batch.persist()
+          enforceAscendingBatches(batchDocs, root, batchId, "substringMaintain")
+          idempotentAppend(graft.operators.Dedup.substringReconstruct(
+              batchDocs,
+              graft.operators.Dedup.coveredPositions(
+                marked.filter(col("removed")).select("doc_id", "start"), k)),
+            s"$root/out", batchId)
+          idempotentAppend(marked.filter(!col("removed")).select("win"),
+            seenDir, batchId)
+          batchDocs.unpersist()
+          ()
+        } finally marked.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Incremental C4-style span dedup — the exact-dedup pipeline's
     * streaming face: each arriving document micro-batch cuts into
     * `span`-word segments ([[graft.operators.Dedup.segmentRows]]), keeps

@@ -491,6 +491,40 @@ class StreamingSpec extends AnyFunSuite {
       "re-run without new files must be a no-op")
   }
 
+  test("incremental substring dedup over ordered batches == corpus-wide batch dedup") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("sub_maint_spec").toString
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    Seq(col("doc_id") <= maxId / 3,
+        col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3,
+        col("doc_id") > 2 * maxId / 3)
+      .foreach { p =>
+        docs.filter(p).coalesce(1).write.mode("append").parquet(s"$base/src")
+        Thread.sleep(100)
+      }
+    EventStream.substringMaintain(spark, s"$base/src", s"$base/sub",
+      s"$base/ckpt")
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_toks", "n_removed", "n_spans", "kept_text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+        .toSet
+    val streamed = key(spark.read.parquet(s"$base/sub/out"))
+    val batch = key(Dedup.substringDedup(docs))
+    assert(streamed == batch,
+      s"streamed != batch: only-streamed=${(streamed -- batch).take(2)} " +
+        s"only-batch=${(batch -- streamed).take(2)}")
+
+    // a second run with NO new files appends nothing (checkpoint holds)
+    EventStream.substringMaintain(spark, s"$base/src", s"$base/sub",
+      s"$base/ckpt")
+    assert(key(spark.read.parquet(s"$base/sub/out")) == batch,
+      "re-run without new files must be a no-op")
+  }
+
   test("incremental cluster maintenance == from-scratch clustering after every fold") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
