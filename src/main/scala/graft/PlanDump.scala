@@ -147,6 +147,25 @@ object PlanDump {
         "reconstruction. No iteration, no driver state; the skew exposure " +
         "is a segment's duplicate count (the thing being removed), the " +
         "same bounded-df shape the jaccard pack documents."),
+    "dd_substring_dedup" ->
+      ("Lee-et-al exact substring dedup (sliding 10-word windows): the " +
+        "suffix array of the reference algorithm is re-expressed as " +
+        "three keyed exchanges — window values hash once for the " +
+        "first-occurrence window (the kx window blowup moves exactly " +
+        "once; AQE splits hot windows), removed positions and the " +
+        "word-level rebuild shuffle on doc_id. The covered-position " +
+        "explode is k x duplicate-windows, i.e. output-proportional; " +
+        "no iteration, no driver state, and window values never " +
+        "broadcast (the window vocabulary is corpus-sized)."),
+    "ta_kneser_ney" ->
+      ("Interpolated Kneser-Ney over the SAME additive bigram count " +
+        "table as ta_perplexity: the two continuation aggregates " +
+        "(distinct-continuation and distinct-context counts) are " +
+        "vocab-sized groupBys over the persisted count table, joined " +
+        "to the doc transitions by SHUFFLE like the add-alpha path — " +
+        "the single-row bigram-type total B is the only broadcast. " +
+        "Scoring adds exactly two vocab-keyed exchanges over " +
+        "ta_perplexity's plan and nothing corpus-sized."),
     "ta_tfidf_knn" ->
       ("Dense embed-to-KNN in one plan: the fitted vocabulary rides the " +
         "codegen'd kernel as a reference object (no vocab-table join, no " +

@@ -37,13 +37,17 @@ object ScaleProbe {
     "dd_minhash_lsh",      // banded LSH pair LISTING: output-quadratic in cluster size
     "dd_minhash_clusters", // LSH cluster LABELS: output-proportional scale path
     "dd_span_dedup",       // two-shuffle span dedup: linear
+    "dd_substring_dedup",  // sliding-window dedup: linear with a kx constant
+                           // (window blowup moves once; covered-position
+                           // explode is output-proportional)
     "ta_perplexity",       // bigram-LM fit+score: vocab-bounded shuffles, ~linear
+    "ta_kneser_ney",       // KN over the same count table: the continuation
+                           // aggregates add two more vocab-keyed shuffles
     "ta_stupid_backoff",   // trigram SBO fit+score: worst case for LM-table
-    "ta_nb_quality")       // NB classifier fit+score: same additive-count
-                           // discipline as the LMs (disjoint per-rep vocab
-                           // grows the class word table the full m-fold)
                            // growth (disjoint per-rep vocab grows all three
                            // count tables the full m-fold)
+    "ta_nb_quality")       // NB classifier fit+score: same additive-count
+                           // discipline as the LMs
 
   private def stage(spark: SparkSession, srcDir: String, outDir: String,
       m: Int): Unit = {

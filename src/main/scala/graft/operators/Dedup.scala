@@ -1096,26 +1096,28 @@ object Dedup {
     * streaming maintainer.
     */
   def substringReconstruct(docs: DataFrame, covered: DataFrame): DataFrame = {
-    val spans = covered
-      .withColumn("prev", lag(col("wi"), 1)
-        .over(Window.partitionBy(col("doc_id")).orderBy(col("wi"))))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_removed"),
-        sum(when(col("prev").isNull || col("wi") - col("prev") > 1, 1L)
-          .otherwise(0L)).as("n_spans"))
+    // ONE pass over the joined word stream: word positions are
+    // contiguous per doc, so a removed RUN starts exactly where a
+    // covered position follows an uncovered (or absent) one — the
+    // span accounting rides the same doc_id window the rebuild needs
+    // anyway, and the expensive `covered` lineage is consumed once
+    // instead of feeding a separate spans branch.
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("wi"))
     docs
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("wi", "word")))
       .join(covered.withColumn("cov", lit(true)), Seq("doc_id", "wi"), "left")
+      .withColumn("span_start",
+        col("cov").isNotNull &&
+          !coalesce(lag(col("cov"), 1).over(w), lit(false)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("cov").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("span_start"), 1L).otherwise(0L)).as("n_spans"),
         array_join(expr(
           "transform(array_sort(collect_list(CASE WHEN cov IS NULL THEN struct(wi, word) END)), x -> x.word)"),
           " ").as("kept_text"))
-      .join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_toks"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        col("kept_text"))
+      .select(col("doc_id"), col("n_toks"), col("n_removed"),
+        col("n_spans"), col("kept_text"))
   }
 }
