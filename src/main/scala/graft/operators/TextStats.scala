@@ -673,6 +673,44 @@ object TextStats {
         round(avg(when(col("df") === 1, 1.0).otherwise(0.0)), 6).as("novelty"))
   }
 
+  /** Per-source distinct-n diversity + vocabulary stats (distinct-1 /
+    * distinct-2 of Li et al. 2016, applied corpus-side): token count,
+    * exact distinct unigrams and bigrams, and their ratios — low
+    * distinct-n flags template/boilerplate-dominated sources before
+    * training. Two source+gram-keyed aggregations; the bigram leg
+    * reuses the per-row indexed-transform build (no positional
+    * self-join). `approx = true` swaps exact `count_distinct` for
+    * HyperLogLog++ `approx_count_distinct(rsd)` — the 100 TB path: the
+    * sketch partial-aggregates map-side (fixed-size state per source,
+    * no gram-keyed shuffle of the full vocabulary), while the exact
+    * form must move every distinct gram once. The exact form is the
+    * DuckDB-checked twin; the approx form is spec-gated on relative
+    * error against it (cross-engine sketches differ by construction).
+    */
+  def sourceVocab(docs: org.apache.spark.sql.DataFrame,
+      approx: Boolean = false,
+      rsd: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    def dct(c: org.apache.spark.sql.Column) =
+      if (approx) approx_count_distinct(c, rsd) else count_distinct(c)
+    val uni = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), dct(col("w")).as("d_uni"))
+    val t = col("t")
+    val bi = docs.select(col("source"), tokens(col("text")).as("t"))
+      .filter(size(t) >= 2)
+      .select(col("source"),
+        explode(transform(slice(t, lit(2), size(t) - 1),
+          (w, i) => concat(element_at(t, i + 1), lit(" "), w))).as("bg"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"), dct(col("bg")).as("d_bi"))
+    uni.join(bi, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("d_uni"),
+        round(col("d_uni").cast("double") / col("n_tokens"), 6).as("distinct1"),
+        col("n_bigrams"), col("d_bi"),
+        round(col("d_bi").cast("double") / col("n_bigrams"), 6).as("distinct2"))
+  }
+
   /** Small per-language stopword profiles for the language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),

@@ -283,6 +283,29 @@ object TextAnalysis extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Per-source distinct-n diversity (Li et al. distinct-1/distinct-2
+    // corpus-side) + vocabulary stats — the boilerplate-source detector.
+    // Exact count_distinct form: the DuckDB-checked twin of the HLL
+    // scale path below.
+    "ta_source_vocab" -> { (s, d) =>
+      TextStats.sourceVocab(
+          Tables.documents(s, d).select(col("source"), col("text")))
+        .orderBy(col("source"))
+    },
+
+    // The 100 TB form of the same diagnostic: HyperLogLog++ sketches
+    // partial-aggregate map-side (fixed-size state per source — no
+    // gram-keyed shuffle of the full vocabulary). Rows-only in
+    // CORRECTNESS (cross-engine sketches differ by construction);
+    // TextAnalysisSpec gates relative error <= 3*rsd against the exact
+    // twin, mirroring pl_ccnet_buckets_approx's pattern.
+    "ta_source_vocab_approx" -> { (s, d) =>
+      TextStats.sourceVocab(
+          Tables.documents(s, d).select(col("source"), col("text")),
+          approx = true)
+        .orderBy(col("source"))
+    },
+
     // Collocation mining: corpus bigram PMI with an exact integer
     // min-count row cut (a float-score cut would make the row set
     // engine-dependent at ties). The word2phrase/phrase-detection
@@ -533,6 +556,24 @@ object TextAnalysis extends QueryPack {
     "ta_kneser_ney" ->
       s"""WITH $sqlKneserNeyCte
         |SELECT doc_id, n_trans, nll, ppl FROM knt ORDER BY doc_id""".stripMargin,
+
+    "ta_source_vocab" ->
+      s"""WITH tk AS (SELECT source, $sqlToks AS t FROM documents),
+        |uni AS (SELECT source, count(*) AS n_tokens,
+        |          count(DISTINCT w) AS d_uni
+        |        FROM (SELECT source, unnest(t) AS w FROM tk)
+        |        GROUP BY source),
+        |bi AS (SELECT source, count(*) AS n_bigrams,
+        |         count(DISTINCT prev || ' ' || w) AS d_bi
+        |       FROM (SELECT source, unnest(t[1:len(t)-1]) AS prev,
+        |                    unnest(t[2:len(t)]) AS w
+        |             FROM tk WHERE len(t) >= 2)
+        |       GROUP BY source)
+        |SELECT source, n_tokens::BIGINT AS n_tokens, d_uni::BIGINT AS d_uni,
+        |  round(d_uni::DOUBLE / n_tokens, 6) AS distinct1,
+        |  n_bigrams::BIGINT AS n_bigrams, d_bi::BIGINT AS d_bi,
+        |  round(d_bi::DOUBLE / n_bigrams, 6) AS distinct2
+        |FROM uni JOIN bi USING (source) ORDER BY source""".stripMargin,
 
     "ta_nb_quality" -> sqlNbQuality,
 

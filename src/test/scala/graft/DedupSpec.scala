@@ -413,6 +413,44 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3).getLong(2) == 0L && out(3).getString(4) == "short doc only")
   }
 
+  test("substring dedup equals a brute-force oracle on random duplicate-rich docs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val k = 4
+    // tiny vocabulary + short docs => sliding windows collide constantly
+    val genDocs = Gen.listOfN(15, Gen.chooseNum(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    for (it <- 0 until 3) {
+      val texts = genDocs(Gen.Parameters.default, Seed(42L + it)).get
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // brute force: windows -> global first by (doc_id, start) -> covered
+      val wins = for {
+        (id, t) <- docs
+        toks = t.split(" ", -1) // split("x","") == [""] like Spark's
+        if toks.length >= k
+        s <- 0 to toks.length - k
+      } yield (id, s, toks.slice(s, s + k).mkString(" "))
+      val firsts = wins.groupBy(_._3).map { case (_, occ) => occ.minBy(o => (o._1, o._2)) }.toSet
+      val covered = wins.filterNot(firsts).flatMap { case (id, s, _) =>
+        (s until s + k).map(id -> _) }.toSet
+      val exp = docs.map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        val keptIdx = toks.indices.filterNot(i => covered(id -> i))
+        val nSpans = toks.indices.count(i =>
+          covered(id -> i) && !covered(id -> (i - 1)))
+        (id, toks.length.toLong, (toks.length - keptIdx.length).toLong,
+          nSpans.toLong, keptIdx.map(toks).mkString(" "))
+      }.toSet
+      val got = Dedup.substringDedup(docs.toDF("doc_id", "text"), k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      assert(got == exp, s"case $it: only-got=${(got -- exp).take(3)} " +
+        s"only-exp=${(exp -- got).take(3)}")
+    }
+  }
+
   test("substring probe: corpus-first priority, within-batch order, corpus untouched") {
     import spark.implicits._
     val passage = (1 to 10).map(i => s"p$i").mkString(" ")

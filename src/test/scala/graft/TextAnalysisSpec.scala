@@ -348,6 +348,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).isNullAt(2) && got(0).isNullAt(3))
   }
 
+  test("sourceVocab: exact on a hand fixture; HLL within 3*rsd of exact at sf") {
+    // hand fixture: src A = "a b a", "a b" -> 5 tokens, {a,b}=2 distinct;
+    // bigrams: (a b),(b a),(a b) -> 3 rows, {a b, b a}=2 distinct
+    val docs = Seq(("A", "a b a"), ("A", "a b"), ("B", "x y"))
+      .toDF("source", "text")
+    val got = TextStats.sourceVocab(docs).orderBy("source").collect()
+    assert(got(0).getLong(1) == 5L && got(0).getLong(2) == 2L &&
+      got(0).getLong(4) == 3L && got(0).getLong(5) == 2L)
+    assert(got(1).getLong(1) == 2L && got(1).getLong(4) == 1L)
+    // the HLL scale path stays within 3*rsd of exact per source
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables.documents(spark, sf).select(col("source"), col("text"))
+    val exact = TextStats.sourceVocab(corpus).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(5))).toMap
+    val rsd = 0.01
+    TextStats.sourceVocab(corpus, approx = true, rsd = rsd).collect()
+      .foreach { r =>
+        val (eu, eb) = exact(r.getString(0))
+        assert(math.abs(r.getLong(2) - eu) <= math.max(3 * rsd * eu, 1.0),
+          s"${r.getString(0)} d_uni ${r.getLong(2)} vs exact $eu")
+        assert(math.abs(r.getLong(5) - eb) <= math.max(3 * rsd * eb, 1.0),
+          s"${r.getString(0)} d_bi ${r.getLong(5)} vs exact $eb")
+      }
+  }
+
   test("scoreWithNb matches the hand-computed add-1 Naive Bayes log-odds") {
     // corpus: d1 target "a a b"  d2 non-target "a c"
     // cpos: a=2 b=1 (npos=3); cneg: a=1 c=1 (nneg=2); V={a,b,c}=3
