@@ -209,6 +209,16 @@ object TextStats {
   /** Score documents' transitions against a (possibly incrementally
     * maintained) bigram-count LM with interpolated Kneser–Ney — see
     * [[kneserNeyScore]] for the scheme and fail-safes.
+    *
+    * LM-unseen transitions (the ingest-probe use) score at explicit
+    * fallbacks instead of silently dropping out of the doc's average
+    * (the [[scoreWithLm]] contract): an unseen continuation takes the
+    * count-1 floor `max(N1+(·,w), 1)/B` (the [[scoreWithSbo]] OOV
+    * precedent — raw Pcont of an unseen word is 0, which has no log),
+    * and an unseen CONTEXT backs off to the floored continuation
+    * distribution outright (zero observed mass, all weight to Pcont —
+    * the natural KN backoff). Self-scoring a fitted corpus never hits
+    * either branch, so the exact-oracle row is unaffected.
     */
   def scoreWithKn(trans: org.apache.spark.sql.DataFrame,
       bigC0: org.apache.spark.sql.DataFrame,
@@ -220,9 +230,12 @@ object TextStats {
     val contC = bigC.groupBy("w").agg(count(lit(1)).as("n1bw"))
     val btot = bigC.agg(count(lit(1)).as("b"))
     val d = lit(discount)
+    val pcontF = greatest(coalesce(col("n1bw"), lit(0L)), lit(1L))
+      .cast("double") / col("b")
     val pkn = when(col("b") > 0,
-      (greatest(col("cbw") - d, lit(0.0)) +
-        d * col("n1fw") * col("n1bw") / col("b")) / col("cp"))
+      when(col("cp").isNull, pcontF).otherwise(
+        (greatest(coalesce(col("cbw"), lit(0L)) - d, lit(0.0)) +
+          d * col("n1fw") * pcontF) / col("cp")))
     dtf.join(bigC, Seq("prev", "w"), "left")
       .join(prevC, Seq("prev"), "left")
       .join(contC, Seq("w"), "left")
@@ -704,11 +717,17 @@ object TextStats {
           (w, i) => concat(element_at(t, i + 1), lit(" "), w))).as("bg"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_bigrams"), dct(col("bg")).as("d_bi"))
-    uni.join(bi, Seq("source"))
+    // LEFT join: a source whose docs are all <2 tokens has no bigram row
+    // but is the most degenerate case this detector exists to flag — it
+    // must surface (0 bigrams, null distinct2), not vanish.
+    uni.join(bi, Seq("source"), "left")
       .select(col("source"), col("n_tokens"), col("d_uni"),
         round(col("d_uni").cast("double") / col("n_tokens"), 6).as("distinct1"),
-        col("n_bigrams"), col("d_bi"),
-        round(col("d_bi").cast("double") / col("n_bigrams"), 6).as("distinct2"))
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("d_bi"), lit(0L)).as("d_bi"),
+        when(col("n_bigrams") > 0,
+          round(col("d_bi").cast("double") / col("n_bigrams"), 6))
+          .as("distinct2"))
   }
 
   /** Small per-language stopword profiles for the language-ID heuristic. */

@@ -65,6 +65,44 @@ object StreamingPack extends QueryPack {
       .repartitionByRange(parts, col("part")).drop("part")
       .write.mode("overwrite").parquet(path)
 
+  /** The doc_id-ORDERED staging (three sequential quantile-cut files,
+    * ascending mtimes = ascending doc_id batches) shared by every
+    * maintainer whose exactness needs ordered arrival (span + substring
+    * dedup). ONE definition: the two queries share the staged fixture's
+    * cache key, so a drifted copy would silently serve whichever built
+    * first.
+    */
+  private def stagedSeqByQuantile(d: String, docs: DataFrame): String =
+    stagedSrc(d, "span_upsert_src", "q34q67-seq") { path =>
+      val cuts = docs.stat.approxQuantile("doc_id", Array(0.34, 0.67), 0.001)
+      val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
+      // stage ranges SEQUENTIALLY — ascending mtimes give the file
+      // stream the ascending doc_id batch order the exactness needs
+      // (a cached directory preserves its files' mtime order)
+      Seq(col("doc_id") <= c1,
+          col("doc_id") > c1 && col("doc_id") <= c2,
+          col("doc_id") > c2)
+        .foreach { p =>
+          docs.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(100) // distinct ms mtimes order the file stream
+        }
+    }
+
+  /** Stage the corpus (3 pmod files), run the streaming bigram-LM
+    * maintainer over it, and fold the per-batch counts — the ONE
+    * maintained state that both LM smoothing queries (st_perplexity
+    * add-α, st_kneser_ney KN) score against.
+    */
+  private def maintainedLmCounts(s: SparkSession, d: String,
+      docs: DataFrame): DataFrame = {
+    val src = stagedSrc(d, "lm_upsert_src", "parts3") { p =>
+      stageParts(docs, "doc_id", 3, p) }
+    val base = java.nio.file.Files.createTempDirectory("lm_upsert").toString
+    EventStream.lmMaintain(s, src, s"$base/counts",
+      s"$base/ckpt", filesPerBatch = 2)
+    EventStream.foldLmCounts(s.read.parquet(s"$base/counts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_hourly_stream" -> { (s, d) =>
       val out = EventStream.runToTable(
@@ -149,13 +187,8 @@ object StreamingPack extends QueryPack {
       import graft.Tables
       import graft.operators.TextStats
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val src = stagedSrc(d, "lm_upsert_src", "parts3") { p =>
-        stageParts(docs, "doc_id", 3, p) }
-      val base = java.nio.file.Files.createTempDirectory("lm_upsert").toString
-      EventStream.lmMaintain(s, src, s"$base/counts",
-        s"$base/ckpt", filesPerBatch = 2)
-      val lm = EventStream.foldLmCounts(s.read.parquet(s"$base/counts"))
-      TextStats.scoreWithLm(TextStats.bigramTransitions(docs), lm)
+      TextStats.scoreWithLm(TextStats.bigramTransitions(docs),
+          maintainedLmCounts(s, d, docs))
         .orderBy(col("doc_id"))
     },
 
@@ -169,13 +202,8 @@ object StreamingPack extends QueryPack {
       import graft.Tables
       import graft.operators.TextStats
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val src = stagedSrc(d, "lm_upsert_src", "parts3") { p =>
-        stageParts(docs, "doc_id", 3, p) }
-      val base = java.nio.file.Files.createTempDirectory("kn_upsert").toString
-      EventStream.lmMaintain(s, src, s"$base/counts",
-        s"$base/ckpt", filesPerBatch = 2)
-      val lm = EventStream.foldLmCounts(s.read.parquet(s"$base/counts"))
-      TextStats.scoreWithKn(TextStats.bigramTransitions(docs), lm)
+      TextStats.scoreWithKn(TextStats.bigramTransitions(docs),
+          maintainedLmCounts(s, d, docs))
         .orderBy(col("doc_id"))
     },
 
@@ -491,20 +519,7 @@ object StreamingPack extends QueryPack {
     "st_span_dedup" -> { (s, d) =>
       import graft.Tables
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val src = stagedSrc(d, "span_upsert_src", "q34q67-seq") { path =>
-        val cuts = docs.stat.approxQuantile("doc_id", Array(0.34, 0.67), 0.001)
-        val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
-        // stage ranges SEQUENTIALLY — ascending mtimes give the file
-        // stream the ascending doc_id batch order the exactness needs
-        // (a cached directory preserves its files' mtime order)
-        Seq(col("doc_id") <= c1,
-            col("doc_id") > c1 && col("doc_id") <= c2,
-            col("doc_id") > c2)
-          .foreach { p =>
-            docs.filter(p).coalesce(1).write.mode("append").parquet(path)
-            Thread.sleep(100) // distinct ms mtimes order the file stream
-          }
-      }
+      val src = stagedSeqByQuantile(d, docs)
       val base = java.nio.file.Files.createTempDirectory("span_upsert").toString
       EventStream.spanDedupMaintain(s, src, s"$base/span",
         s"$base/ckpt")
@@ -523,17 +538,7 @@ object StreamingPack extends QueryPack {
     "st_substring_dedup" -> { (s, d) =>
       import graft.Tables
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val src = stagedSrc(d, "span_upsert_src", "q34q67-seq") { path =>
-        val cuts = docs.stat.approxQuantile("doc_id", Array(0.34, 0.67), 0.001)
-        val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
-        Seq(col("doc_id") <= c1,
-            col("doc_id") > c1 && col("doc_id") <= c2,
-            col("doc_id") > c2)
-          .foreach { p =>
-            docs.filter(p).coalesce(1).write.mode("append").parquet(path)
-            Thread.sleep(100)
-          }
-      }
+      val src = stagedSeqByQuantile(d, docs)
       val base = java.nio.file.Files.createTempDirectory("sub_upsert").toString
       EventStream.substringMaintain(s, src, s"$base/sub", s"$base/ckpt")
       s.read.parquet(s"$base/sub/out")

@@ -571,9 +571,11 @@ object TextAnalysis extends QueryPack {
         |       GROUP BY source)
         |SELECT source, n_tokens::BIGINT AS n_tokens, d_uni::BIGINT AS d_uni,
         |  round(d_uni::DOUBLE / n_tokens, 6) AS distinct1,
-        |  n_bigrams::BIGINT AS n_bigrams, d_bi::BIGINT AS d_bi,
-        |  round(d_bi::DOUBLE / n_bigrams, 6) AS distinct2
-        |FROM uni JOIN bi USING (source) ORDER BY source""".stripMargin,
+        |  coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  coalesce(d_bi, 0)::BIGINT AS d_bi,
+        |  CASE WHEN n_bigrams > 0
+        |       THEN round(d_bi::DOUBLE / n_bigrams, 6) END AS distinct2
+        |FROM uni LEFT JOIN bi USING (source) ORDER BY source""".stripMargin,
 
     "ta_nb_quality" -> sqlNbQuality,
 

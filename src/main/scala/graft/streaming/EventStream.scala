@@ -488,8 +488,8 @@ object EventStream extends Serializable {
         val marked = marked0
           .withColumn("removed", col("rn") > 1 || col("seen_before"))
           .persist() // referenced twice: covered positions + new seen values
+        val batchDocs = batch.persist()
         try {
-          val batchDocs = batch.persist()
           enforceAscendingBatches(batchDocs, root, batchId, "substringMaintain")
           idempotentAppend(graft.operators.Dedup.substringReconstruct(
               batchDocs,
@@ -498,9 +498,7 @@ object EventStream extends Serializable {
             s"$root/out", batchId)
           idempotentAppend(marked.filter(!col("removed")).select("win"),
             seenDir, batchId)
-          batchDocs.unpersist()
-          ()
-        } finally marked.unpersist()
+        } finally { marked.unpersist(); batchDocs.unpersist(); () }
       }
       .start()
     q.awaitTermination()

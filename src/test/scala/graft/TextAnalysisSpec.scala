@@ -340,6 +340,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.forall(_.getDouble(3) == round2(math.exp(h))))
   }
 
+  test("scoreWithKn probe fallbacks: unseen continuation and unseen context hit the floors") {
+    // corpus "a b c a b d": bigc (a,b)=2 (b,c)=1 (c,a)=1 (b,d)=1 -> B=4
+    // prevc: a(cp=2,n1fw=1) b(2,2) c(1,1); contc: b=1 c=1 a=1 d=1
+    // batch "a b z q": (a,b) seen; (b,z) unseen continuation -> count-1
+    // floor Pcont(z)=1/4; (z,q) unseen context -> pure Pcont(q)=1/4
+    val corpus = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b z q")).toDF("doc_id", "text")
+    val got = TextStats.scoreWithKn(
+      TextStats.bigramTransitions(batch),
+      TextStats.bigramLmCounts(TextStats.bigramTransitions(corpus))).collect()
+    val p1 = (2 - 0.75 + 0.75 * 1 * 0.25) / 2
+    val p2 = (0.75 * 2 * 0.25) / 2
+    val p3 = 0.25
+    val h = -(math.log(p1) + math.log(p2) + math.log(p3)) / 3
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.length == 1 && got(0).getLong(1) == 3L)
+    assert(got(0).getDouble(2) == round6(h),
+      s"all three transitions must count: got ${got(0).getDouble(2)}, exp ${round6(h)}")
+  }
+
+  test("sourceVocab keeps a source whose docs are all below two tokens") {
+    val docs = Seq(("A", "solo"), ("A", ""), ("B", "x y z"))
+      .toDF("source", "text")
+    val got = TextStats.sourceVocab(docs).orderBy("source").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("A", "B"),
+      "degenerate source A must surface, not vanish in the bigram join")
+    assert(got(0).getLong(4) == 0L && got(0).isNullAt(6))
+  }
+
   test("scoreWithKn nulls every score on an empty count table") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val empty = Seq.empty[(String, String, Long)].toDF("prev", "w", "cbw")
