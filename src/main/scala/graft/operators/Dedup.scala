@@ -516,20 +516,20 @@ object Dedup {
     */
   def ingestClean(batch: DataFrame, corpus: DataFrame, span: Int = 8,
       minWords: Int = 24): DataFrame = {
-    val wBatch = Window.partitionBy("digest").orderBy("doc_id")
-    val uniq = batch.select(col("doc_id"), col("text"),
-        md5(col("text")).as("digest"))
-      .withColumn("rn", row_number().over(wBatch))
-      .filter(col("rn") === 1)
+    // keep-min per digest as an aggregate, not a window — the same
+    // skew-safe shape as [[markFirstSegments]] (doc_id is unique, so
+    // min(struct(doc_id, text)) picks exactly the smallest-id copy)
+    val uniq = batch.select(md5(col("text")).as("digest"),
+        struct(col("doc_id"), col("text")).as("r"))
+      .groupBy("digest").agg(min(col("r")).as("r"))
       .join(corpus.select(md5(col("text")).as("digest")).distinct(),
         Seq("digest"), "left_anti")
-      .select("doc_id", "text")
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
     val corpusSegs = segmentRows(corpus, span).select("seg").distinct()
-    val w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
-    val marked = segmentRows(uniq, span)
-      .withColumn("rn", row_number().over(w))
+    val marked = markFirstSegments(segmentRows(uniq, span))
+      .withColumnRenamed("is_first", "first_in_batch")
       .join(corpusSegs.withColumn("in_corpus", lit(true)), Seq("seg"), "left")
-      .withColumn("is_first", col("rn") === 1 && col("in_corpus").isNull)
+      .withColumn("is_first", col("first_in_batch") && col("in_corpus").isNull)
     spanReconstruct(marked.select("doc_id", "seg_idx", "seg", "is_first"))
       .filter(col("n_kept") > 0 &&
         size(split(col("kept_text"), " ")) >= minWords)
@@ -970,12 +970,8 @@ object Dedup {
     * hot segments), one on doc_id for reconstruction. No driver state,
     * no iteration.
     */
-  def spanDedup(docs: DataFrame, span: Int = 8): DataFrame = {
-    val marked = segmentRows(docs, span).withColumn("is_first",
-      row_number().over(Window.partitionBy(col("seg"))
-        .orderBy(col("doc_id"), col("seg_idx"))) === 1)
-    spanReconstruct(marked)
-  }
+  def spanDedup(docs: DataFrame, span: Int = 8): DataFrame =
+    spanReconstruct(markFirstSegments(segmentRows(docs, span)))
 
   /** `(doc_id, seg_idx, seg)` — every document cut into consecutive
     * `span`-word segments (shared by the batch [[spanDedup]] and the
@@ -1049,21 +1045,55 @@ object Dedup {
     val inCorpus = bw.join(windowRows(corpus, k).select("win").distinct(),
         Seq("win"), "left_semi")
       .select(col("doc_id"), col("start"))
-    val laterInBatch = bw.withColumn("rn",
-        row_number().over(Window.partitionBy(col("win"))
-          .orderBy(col("doc_id"), col("start"))))
-      .filter(col("rn") > 1).select(col("doc_id"), col("start"))
     substringReconstruct(batch,
-      coveredPositions(inCorpus.union(laterInBatch), k))
+      coveredPositions(inCorpus.union(laterOccurrences(bw)), k))
   }
 
   def substringDedup(docs: DataFrame, k: Int = 10): DataFrame = {
-    val dup = windowRows(docs, k).withColumn("rn",
-        row_number().over(Window.partitionBy(col("win"))
-          .orderBy(col("doc_id"), col("start"))))
-      .filter(col("rn") > 1)
+    val dup = laterOccurrences(windowRows(docs, k))
     substringReconstruct(docs, coveredPositions(dup, k))
   }
+
+  /** Flag each window occurrence with `is_first` = it is its window
+    * value's corpus-first (smallest (doc_id, start)).
+    *
+    * Deliberately an aggregate+join, not a `row_number` window: the
+    * min-struct aggregate partial-combines map-side (one surviving row
+    * per window value per partition BEFORE the shuffle) and the
+    * re-join is AQE-skew-splittable, so a boilerplate window value with
+    * millions of corpus occurrences costs a split join instead of
+    * serializing one window-function task — a window over a hot key
+    * cannot be skew-split. Price: the window explode evaluates twice
+    * (agg side is partial-combined, join side is the full stream).
+    */
+  def markFirstWindows(wins: DataFrame): DataFrame =
+    wins.join(
+        wins.groupBy("win")
+          .agg(min(struct(col("doc_id"), col("start"))).as("first")),
+        Seq("win"))
+      .withColumn("is_first",
+        struct(col("doc_id"), col("start")) === col("first"))
+      .drop("first")
+
+  /** The removal set of [[substringDedup]]: every occurrence that is
+    * not its window value's corpus-first.
+    */
+  private def laterOccurrences(wins: DataFrame): DataFrame =
+    markFirstWindows(wins).filter(!col("is_first"))
+      .select(col("doc_id"), col("start"))
+
+  /** [[markFirstWindows]] for aligned segments: flag each segment row
+    * with `is_first` = smallest (doc_id, seg_idx) for its value — the
+    * same skew-safe aggregate+join shape.
+    */
+  def markFirstSegments(segs: DataFrame): DataFrame =
+    segs.join(
+        segs.groupBy("seg")
+          .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first")),
+        Seq("seg"))
+      .withColumn("is_first",
+        struct(col("doc_id"), col("seg_idx")) === col("first"))
+      .drop("first")
 
   /** Sliding `k`-word windows of every document with >= k words:
     * (`doc_id`, `start`, `win`) with `start` 0-based and `win` the

@@ -468,11 +468,9 @@ object EventStream extends Serializable {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val seenDir = s"$root/seen"
-        import org.apache.spark.sql.expressions.Window
-        val wins = graft.operators.Dedup.windowRows(batch, k)
-          .withColumn("rn", org.apache.spark.sql.functions.row_number()
-            .over(Window.partitionBy(col("win"))
-              .orderBy(col("doc_id"), col("start"))))
+        // skew-safe first-occurrence flag (aggregate+join, no window fn)
+        val wins = graft.operators.Dedup.markFirstWindows(
+          graft.operators.Dedup.windowRows(batch, k))
         val seenExists =
           java.nio.file.Files.isDirectory(java.nio.file.Paths.get(seenDir))
         // EARLIER batches only (`batch < batchId`): a replayed batch must
@@ -486,7 +484,7 @@ object EventStream extends Serializable {
             .withColumn("seen_before", coalesce(col("sb"), lit(false)))
             .drop("sb")
         val marked = marked0
-          .withColumn("removed", col("rn") > 1 || col("seen_before"))
+          .withColumn("removed", !col("is_first") || col("seen_before"))
           .persist() // referenced twice: covered positions + new seen values
         val batchDocs = batch.persist()
         try {
@@ -532,27 +530,25 @@ object EventStream extends Serializable {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val seenDir = s"$root/seen"
-        val segs = graft.operators.Dedup.segmentRows(batch, span)
-        import org.apache.spark.sql.expressions.Window
-        val rn = org.apache.spark.sql.functions.row_number()
-          .over(Window.partitionBy(col("seg"))
-            .orderBy(col("doc_id"), col("seg_idx")))
-        val withRn = segs.withColumn("rn", rn)
+        // skew-safe batch-first flag (aggregate+join, no window fn)
+        val withFirst = graft.operators.Dedup.markFirstSegments(
+            graft.operators.Dedup.segmentRows(batch, span))
+          .withColumnRenamed("is_first", "first_in_batch")
         val seenExists =
           java.nio.file.Files.isDirectory(java.nio.file.Paths.get(seenDir))
         // anti-join the accumulated seen set; both sides hash on `seg`.
         // EARLIER batches only (`batch < batchId`): a replayed batch must
         // not see its own crashed write's segments as "seen before".
         val marked0 =
-          if (!seenExists) withRn.withColumn("seen_before", lit(false))
-          else withRn.join(
+          if (!seenExists) withFirst.withColumn("seen_before", lit(false))
+          else withFirst.join(
               spark.read.parquet(seenDir).filter(col("batch") < batchId)
                 .select(col("seg")).withColumn("sb", lit(true)),
               Seq("seg"), "left")
             .withColumn("seen_before", coalesce(col("sb"), lit(false)))
             .drop("sb")
         val marked = marked0
-          .withColumn("is_first", col("rn") === 1 && !col("seen_before"))
+          .withColumn("is_first", col("first_in_batch") && !col("seen_before"))
           .persist() // referenced twice: survivor docs + new seen values
         try {
           // ascending-doc_id arrival is the exactness precondition —
