@@ -142,17 +142,22 @@ object PlanDump {
         "broadcast — the document scan itself never shuffles."),
     "dd_span_dedup" ->
       ("Exact span dedup (C4 line-dedup over aligned 8-word segments): " +
-        "exactly two exchanges move the corpus — a segment-value hash for " +
-        "the first-occurrence window and doc_id for document " +
-        "reconstruction. No iteration, no driver state; the skew exposure " +
-        "is a segment's duplicate count (the thing being removed), the " +
-        "same bounded-df shape the jaccard pack documents."),
+        "the corpus moves through a segment-value hash for the " +
+        "first-occurrence mark and a doc_id shuffle for reconstruction. " +
+        "First-occurrence is a min-struct AGGREGATE re-joined to the " +
+        "segment stream, not a row_number window (r8): the aggregate " +
+        "partial-combines map-side and the join is AQE-skew-splittable, " +
+        "so a boilerplate segment with millions of occurrences costs a " +
+        "split join instead of serializing one window task. No " +
+        "iteration, no driver state."),
     "dd_substring_dedup" ->
       ("Lee-et-al exact substring dedup (sliding 10-word windows): the " +
         "suffix array of the reference algorithm is re-expressed as " +
-        "three keyed exchanges — window values hash once for the " +
-        "first-occurrence window (the kx window blowup moves exactly " +
-        "once; AQE splits hot windows), removed positions and the " +
+        "keyed exchanges — window values hash for the first-occurrence " +
+        "mark (a min-struct AGGREGATE re-joined to the occurrence " +
+        "stream, not a row_number window: partial-combined map-side, " +
+        "AQE-skew-splittable join, so hot boilerplate windows split " +
+        "instead of serializing one task), removed positions and the " +
         "word-level rebuild shuffle on doc_id. The covered-position " +
         "explode is k x duplicate-windows, i.e. output-proportional; " +
         "no iteration, no driver state, and window values never " +
