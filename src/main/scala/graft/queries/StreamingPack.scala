@@ -20,7 +20,7 @@ object StreamingPack extends QueryPack {
     * cached directory preserves its files' mtime order, so
     * sequentially-staged (arrival-ordered) sources keep their order.
     */
-  private def stagedSrc(d: String, name: String, key: String)
+  private[graft] def stagedSrc(d: String, name: String, key: String)
       (build: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = graft.sources.CollectionStore.indexRoot(d)

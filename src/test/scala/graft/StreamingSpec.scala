@@ -14,6 +14,41 @@ class StreamingSpec extends AnyFunSuite {
   import SparkTestSession.{spark, specRoot}
   private val sf = "/root/testdata/sf0.001"
 
+  test("stagedSrc: concurrent racing builders yield ONE intact staging; key change restages") {
+    val d = java.nio.file.Files.createTempDirectory("staged_race").toString
+    def build(owner: Int)(path: String): Unit = {
+      // slow, multi-file, sequential build — the non-idempotent
+      // append-mode shape the swap exists to protect
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      (1 to 3).foreach { j =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, s"part-$j"), s"$owner".getBytes)
+        Thread.sleep(25)
+      }
+    }
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => results.add(
+        graft.queries.StreamingPack.stagedSrc(d, "race_src", "k1")(build(i))))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSet.size == 1)
+    val dir = new java.io.File(results.peek())
+    def owners(): Set[String] = dir.listFiles()
+      .filter(_.getName.startsWith("part-")).map(f =>
+        new String(java.nio.file.Files.readAllBytes(f.toPath))).toSet
+    assert(dir.listFiles().count(_.getName.startsWith("part-")) == 3,
+      "staging must be ONE complete build, never a partial or a merge")
+    assert(owners().size == 1, s"mixed builders in one staging: ${owners()}")
+    // same key: cached, build must NOT run again
+    graft.queries.StreamingPack.stagedSrc(d, "race_src", "k1") { _ =>
+      fail("cached staging rebuilt despite matching key") }
+    // changed key (stageParts params drift): restage, old content replaced
+    graft.queries.StreamingPack.stagedSrc(d, "race_src", "k2")(build(9))
+    assert(owners() == Set("9"), "key change must swap in a fresh staging")
+  }
+
   test("sessionize stitches sessions across micro-batch boundaries") {
     // stage with ts as explicit NANOS longs (the eventsSchema stream
     // layout) regardless of which timestamp type the source file ships —
