@@ -1063,16 +1063,24 @@ object Dedup {
     * re-join is AQE-skew-splittable, so a boilerplate window value with
     * millions of corpus occurrences costs a split join instead of
     * serializing one window-function task — a window over a hot key
-    * cannot be skew-split. Price: the window explode evaluates twice
-    * (agg side is partial-combined, join side is the full stream).
+    * cannot be skew-split. The firsts table keeps only DUPLICATED
+    * values (a unique value is trivially its own first), so the join's
+    * build side is duplicate-proportional — on a mostly-unique corpus
+    * AQE broadcasts it and the mark costs ~one aggregation. Price: the
+    * window explode evaluates twice (agg side is partial-combined,
+    * join side is the full stream).
     */
   def markFirstWindows(wins: DataFrame): DataFrame =
     wins.join(
         wins.groupBy("win")
-          .agg(min(struct(col("doc_id"), col("start"))).as("first")),
-        Seq("win"))
+          .agg(min(struct(col("doc_id"), col("start"))).as("first"),
+            count(lit(1)).as("n_occ"))
+          .filter(col("n_occ") > 1) // unique values are trivially first
+          .select("win", "first"),
+        Seq("win"), "left")
       .withColumn("is_first",
-        struct(col("doc_id"), col("start")) === col("first"))
+        col("first").isNull ||
+          struct(col("doc_id"), col("start")) === col("first"))
       .drop("first")
 
   /** The removal set of [[substringDedup]]: every occurrence that is
@@ -1089,10 +1097,14 @@ object Dedup {
   def markFirstSegments(segs: DataFrame): DataFrame =
     segs.join(
         segs.groupBy("seg")
-          .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first")),
-        Seq("seg"))
+          .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"),
+            count(lit(1)).as("n_occ"))
+          .filter(col("n_occ") > 1) // unique values are trivially first
+          .select("seg", "first"),
+        Seq("seg"), "left")
       .withColumn("is_first",
-        struct(col("doc_id"), col("seg_idx")) === col("first"))
+        col("first").isNull ||
+          struct(col("doc_id"), col("seg_idx")) === col("first"))
       .drop("first")
 
   /** Sliding `k`-word windows of every document with >= k words:
