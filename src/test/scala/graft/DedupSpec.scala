@@ -451,6 +451,45 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("substring probe equals corpus-first full run restricted to batch, on random docs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val k = 4
+    val genDocs = Gen.listOfN(18, Gen.chooseNum(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    for (it <- 0 until 2) {
+      val texts = genDocs(Gen.Parameters.default, Seed(7L + it)).get
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (batch, corpus) = docs.partition(_._1 % 3 == 0)
+      // brute-force oracle: corpus occurrences rank ahead of any batch
+      // occurrence regardless of doc_id; batch rows removed if not first
+      val wins = for {
+        ((id, t), inBatch) <- docs.map(d => d -> (d._1 % 3 == 0))
+        toks = t.split(" ", -1)
+        if toks.length >= k
+        s <- 0 to toks.length - k
+      } yield (inBatch, id, s, toks.slice(s, s + k).mkString(" "))
+      val firsts = wins.groupBy(_._4)
+        .map { case (_, occ) => occ.minBy(o => (o._1, o._2, o._3)) }.toSet
+      val covered = wins.filter(w => w._1 && !firsts(w))
+        .flatMap { case (_, id, s, _) => (s until s + k).map(id -> _) }.toSet
+      val exp = batch.map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        val keptIdx = toks.indices.filterNot(i => covered(id -> i))
+        (id, toks.length.toLong, (toks.length - keptIdx.length).toLong,
+          keptIdx.map(toks).mkString(" "))
+      }.toSet
+      val got = Dedup.substringProbe(batch.toDF("doc_id", "text"),
+          corpus.toDF("doc_id", "text"), k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+        .toSet
+      assert(got == exp, s"case $it: only-got=${(got -- exp).take(3)} " +
+        s"only-exp=${(exp -- got).take(3)}")
+    }
+  }
+
   test("substring probe: corpus-first priority, within-batch order, corpus untouched") {
     import spark.implicits._
     val passage = (1 to 10).map(i => s"p$i").mkString(" ")
