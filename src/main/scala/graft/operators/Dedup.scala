@@ -1071,17 +1071,7 @@ object Dedup {
     * join side is the full stream).
     */
   def markFirstWindows(wins: DataFrame): DataFrame =
-    wins.join(
-        wins.groupBy("win")
-          .agg(min(struct(col("doc_id"), col("start"))).as("first"),
-            count(lit(1)).as("n_occ"))
-          .filter(col("n_occ") > 1) // unique values are trivially first
-          .select("win", "first"),
-        Seq("win"), "left")
-      .withColumn("is_first",
-        col("first").isNull ||
-          struct(col("doc_id"), col("start")) === col("first"))
-      .drop("first")
+    markFirst(wins, "win", "start")
 
   /** The removal set of [[substringDedup]]: every occurrence that is
     * not its window value's corpus-first.
@@ -1095,17 +1085,26 @@ object Dedup {
     * same skew-safe aggregate+join shape.
     */
   def markFirstSegments(segs: DataFrame): DataFrame =
-    segs.join(
-        segs.groupBy("seg")
-          .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"),
-            count(lit(1)).as("n_occ"))
+    markFirst(segs, "seg", "seg_idx")
+
+  /** The shared shape behind [[markFirstWindows]]/[[markFirstSegments]]:
+    * occurrences of `valueCol` flagged with `is_first` = smallest
+    * (doc_id, `posCol`). See [[markFirstWindows]] for why this is an
+    * aggregate+join and why the firsts table keeps only duplicated
+    * values.
+    */
+  private def markFirst(occ: DataFrame, valueCol: String,
+      posCol: String): DataFrame = {
+    val pos = struct(col("doc_id"), col(posCol))
+    occ.join(
+        occ.groupBy(valueCol)
+          .agg(min(pos).as("first"), count(lit(1)).as("n_occ"))
           .filter(col("n_occ") > 1) // unique values are trivially first
-          .select("seg", "first"),
-        Seq("seg"), "left")
-      .withColumn("is_first",
-        col("first").isNull ||
-          struct(col("doc_id"), col("seg_idx")) === col("first"))
+          .select(valueCol, "first"),
+        Seq(valueCol), "left")
+      .withColumn("is_first", col("first").isNull || pos === col("first"))
       .drop("first")
+  }
 
   /** Sliding `k`-word windows of every document with >= k words:
     * (`doc_id`, `start`, `win`) with `start` 0-based and `win` the

@@ -25,36 +25,63 @@ object StreamingPack extends QueryPack {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = graft.sources.CollectionStore.indexRoot(d)
     val dest = Paths.get(root, name)
-    graft.sources.CollectionStore.ensureBuilt(root, name, key) {
-      // Build into a fresh temp sibling, then rename into place: the
-      // sequential append-mode stagings are not idempotent (a retried
-      // build would re-append over a crashed one's partial files), and
-      // another JVM can race the same staging — with the swap, a crashed
-      // or losing build leaves only its own discarded temp dir, never a
-      // partial or doubled source. rename(2) preserves file mtimes, so
-      // arrival-ordered stagings keep their order.
-      Files.createDirectories(Paths.get(root))
-      val tmp = Paths.get(root, s".$name-tmp-${java.util.UUID.randomUUID}")
-      build(tmp.toString)
-      try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileSystemException =>
-          // dest exists: either a concurrent build won the rename (its
-          // completed dir is equivalent — discard ours) or a stale
-          // partial/mismatched-key dir is in the way (swap it aside).
-          val done = Files.exists(dest.resolve("_built")) &&
-            new String(Files.readAllBytes(dest.resolve("_built")), "UTF-8") == key
-          if (done) org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-          else {
-            val aside = Paths.get(root, s".$name-old-${java.util.UUID.randomUUID}")
-            Files.move(dest, aside)
-            Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-            org.apache.commons.io.FileUtils.deleteDirectory(aside.toFile)
-          }
+    // A staging is complete iff a key-matching `_built` sits INSIDE it —
+    // the marker ships in the same atomic rename as the data (written
+    // into the temp dir BEFORE the move), so no post-hoc marker write
+    // can ever race a swap and bless an empty or partial directory.
+    // The read tolerates a concurrent JVM swapping dest aside mid-check.
+    def done(): Boolean = {
+      val m = dest.resolve("_built")
+      try Files.exists(m) &&
+        new String(Files.readAllBytes(m), "UTF-8") == key
+      catch { case _: java.io.IOException => false }
+    }
+    if (done()) return s"$root/$name"
+    // Serialize same-JVM racers per staging (the sbt-test/bench clash);
+    // cross-JVM racers are handled by the atomic renames below.
+    val lock = stageLocks.computeIfAbsent(dest.toString, _ => new Object)
+    lock.synchronized {
+      if (!done()) {
+        // Build into a fresh temp sibling, then rename into place: the
+        // sequential append-mode stagings are not idempotent (a retried
+        // build would re-append over a crashed one's partial files) — a
+        // crashed or losing build leaves only its own discarded temp
+        // dir, never a partial or doubled source. rename(2) preserves
+        // file mtimes, so arrival-ordered stagings keep their order.
+        Files.createDirectories(Paths.get(root))
+        val tmp = Paths.get(root, s".$name-tmp-${java.util.UUID.randomUUID}")
+        build(tmp.toString)
+        Files.write(tmp.resolve("_built"), key.getBytes("UTF-8"))
+        try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            // dest exists: a concurrent JVM's complete build (discard
+            // ours) or a stale partial/mismatched-key dir (swap aside,
+            // tolerating another JVM having already moved it).
+            if (done()) org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+            else {
+              val aside = Paths.get(root, s".$name-old-${java.util.UUID.randomUUID}")
+              try Files.move(dest, aside)
+              catch { case _: java.io.IOException => () }
+              try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+              catch {
+                case _: java.nio.file.FileSystemException =>
+                  if (done())
+                    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+                  else throw new IllegalStateException(
+                    s"staging swap for $dest lost to an incomplete directory")
+              }
+              if (Files.exists(aside))
+                org.apache.commons.io.FileUtils.deleteDirectory(aside.toFile)
+            }
+        }
       }
     }
     s"$root/$name"
   }
+
+  private val stageLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** The standard arriving-tail staging: `parts` range-partitioned
     * parquet files keyed on `pmod(idCol, parts)`.
