@@ -265,4 +265,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!pre.contains("SinglePartition"), pre.take(1200))
     assert(!pre.contains("Window"), "no global window upstream of the boundary")
   }
+
+  test("span/substring dedup: first-occurrence mark plans NO window operator") {
+    // the skew-safe contract (Dedup.markFirst): a window function over a
+    // hot segment/window value cannot be AQE-skew-split, so the mark must
+    // stay an aggregate+join — this pins any regression back to windows.
+    // (substringReconstruct's per-doc span window is fine: doc_id keys.)
+    for (q <- Seq("dd_span_dedup", "dd_substring_dedup")) {
+      val p = plan(q)
+      val winPartitions = "windowspecdefinition\\(([a-z_]+)#".r
+        .findAllMatchIn(p.toLowerCase).map(_.group(1)).toSet
+      assert(winPartitions.subsetOf(Set("doc_id")),
+        s"$q marks firsts with a window over ${winPartitions -- Set("doc_id")}")
+    }
+  }
 }
