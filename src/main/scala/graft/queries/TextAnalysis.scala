@@ -224,6 +224,25 @@ object TextAnalysis extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Kneser–Ney's ingest face at the moment fallbacks matter: EARLY in
+    // ingest the maintained LM has seen only a sliver of the corpus
+    // (here a ~1% stored sample, doc_id % 101 == 1), and an arriving
+    // batch is mostly novel — 3051 of the batch's 4215 transitions at
+    // sf0.01 score through the unseen-continuation count-1 floor, so
+    // the fallback formula is oracle-proven, not just fixture-gated.
+    // (The unseen-CONTEXT backoff cannot fire on this corpus — its
+    // vocabulary is dense enough that every word is some bigram's
+    // context even in a 1% sample — so that branch stays pinned by the
+    // hand-computed TextAnalysisSpec fixture.)
+    "ta_kn_probe" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      TextStats.scoreWithKn(
+          TextStats.bigramTransitions(docs.filter(col("doc_id") % 7 === 0)),
+          TextStats.bigramLmCounts(TextStats.bigramTransitions(
+            docs.filter(col("doc_id") % 101 === 1))))
+        .orderBy(col("doc_id"))
+    },
+
     // Stupid Backoff trigram scoring (Brants 2007) — the canonical
     // DISTRIBUTED LM scheme: plain count ratios with a fixed 0.4 backoff
     // penalty, no normalization pass, three additive count tables. Fitted
@@ -556,6 +575,34 @@ object TextAnalysis extends QueryPack {
     "ta_kneser_ney" ->
       s"""WITH $sqlKneserNeyCte
         |SELECT doc_id, n_trans, nll, ppl FROM knt ORDER BY doc_id""".stripMargin,
+
+    // the full KN formula with LEFT joins + both fallback floors — the
+    // probe's provable contract (fit on stored docs, score the batch)
+    "ta_kn_probe" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |tr AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS w
+        |       FROM tk WHERE len(t) >= 2 AND doc_id % 101 = 1),
+        |bigc AS (SELECT prev, w, count(*) AS cbw FROM tr GROUP BY 1, 2),
+        |prevc AS (SELECT prev, sum(cbw) AS cp, count(*) AS n1fw FROM bigc GROUP BY 1),
+        |contc AS (SELECT w, count(*) AS n1bw FROM bigc GROUP BY 1),
+        |btot AS (SELECT count(*) AS b FROM bigc),
+        |btr AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS w
+        |        FROM tk WHERE len(t) >= 2 AND doc_id % 7 = 0),
+        |dtf AS (SELECT doc_id, prev, w, count(*) AS c FROM btr GROUP BY 1, 2, 3),
+        |sc AS (SELECT d.doc_id, d.c,
+        |  CASE WHEN p.cp IS NULL
+        |       THEN greatest(coalesce(cc.n1bw, 0), 1)::DOUBLE / (SELECT b FROM btot)
+        |       ELSE (greatest(coalesce(b.cbw, 0) - 0.75, 0)
+        |             + 0.75 * p.n1fw * greatest(coalesce(cc.n1bw, 0), 1)::DOUBLE
+        |               / (SELECT b FROM btot)) / p.cp END AS s
+        |  FROM dtf d
+        |  LEFT JOIN bigc b ON d.prev = b.prev AND d.w = b.w
+        |  LEFT JOIN prevc p ON d.prev = p.prev
+        |  LEFT JOIN contc cc ON d.w = cc.w)
+        |SELECT doc_id, sum(c)::BIGINT AS n_trans,
+        |  round(-sum(c * ln(s)) / sum(c), 6) AS nll,
+        |  round(exp(-sum(c * ln(s)) / sum(c)), 2) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ta_source_vocab" ->
       s"""WITH tk AS (SELECT source, $sqlToks AS t FROM documents),
