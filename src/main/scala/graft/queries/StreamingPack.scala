@@ -61,15 +61,27 @@ object StreamingPack extends QueryPack {
             if (done()) org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
             else {
               val aside = Paths.get(root, s".$name-old-${java.util.UUID.randomUUID}")
-              try Files.move(dest, aside)
-              catch { case _: java.io.IOException => () }
+              // a racer may have moved dest already — keep the error in
+              // case dest is actually stuck (EBUSY/EACCES), so a real
+              // I/O failure isn't mis-diagnosed as a race below
+              val asideErr =
+                try { Files.move(dest, aside); None }
+                catch { case e: java.io.IOException => Some(e) }
               try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
               catch {
-                case _: java.nio.file.FileSystemException =>
+                case e: java.nio.file.FileSystemException =>
                   if (done())
                     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-                  else throw new IllegalStateException(
-                    s"staging swap for $dest lost to an incomplete directory")
+                  else {
+                    // never leak the built staging on the failure path
+                    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+                    val ex = new IllegalStateException(
+                      s"staging swap for $dest failed: destination still " +
+                        "present and incomplete")
+                    asideErr.foreach(ex.addSuppressed)
+                    ex.addSuppressed(e)
+                    throw ex
+                  }
               }
               if (Files.exists(aside))
                 org.apache.commons.io.FileUtils.deleteDirectory(aside.toFile)

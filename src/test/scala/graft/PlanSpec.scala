@@ -271,12 +271,19 @@ class PlanSpec extends AnyFunSuite {
     // hot segment/window value cannot be AQE-skew-split, so the mark must
     // stay an aggregate+join — this pins any regression back to windows.
     // (substringReconstruct's per-doc span window is fine: doc_id keys.)
-    for (q <- Seq("dd_span_dedup", "dd_substring_dedup")) {
+    val prev = spark.conf.get("spark.sql.maxToStringFields", "25")
+    spark.conf.set("spark.sql.maxToStringFields", "10000") // no elided text
+    try for (q <- Seq("dd_span_dedup", "dd_substring_dedup")) {
       val p = plan(q)
-      val winPartitions = "windowspecdefinition\\(([a-z_]+)#".r
+      val winPartitions = "windowspecdefinition\\(([a-z0-9_]+)#".r
         .findAllMatchIn(p.toLowerCase).map(_.group(1)).toSet
+      // a Window operator whose spec the regex failed to parse is a bug
+      // in this test, not a pass
+      assert(!p.toLowerCase.contains("windowspecdefinition") ||
+        winPartitions.nonEmpty,
+        s"$q plan has a window the gate could not parse:\n${p.take(1500)}")
       assert(winPartitions.subsetOf(Set("doc_id")),
         s"$q marks firsts with a window over ${winPartitions -- Set("doc_id")}")
-    }
+    } finally spark.conf.set("spark.sql.maxToStringFields", prev)
   }
 }

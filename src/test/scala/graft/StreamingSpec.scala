@@ -918,17 +918,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(seenCount() == s1, "replayed span dedup duplicated seen segments")
   }
 
-  test("substring dedup fails fast when batches arrive out of doc_id order") {
+  // One guard contract for every ordered-arrival maintainer: stage the
+  // HIGH doc_id range first, then the low one — mtime order makes the
+  // file stream deliver descending doc_id batches — and require the
+  // ascending-arrival guard to fire before any state write.
+  private def assertOrderGuardFires(tag: String)
+      (run: (String, String, String) => Unit): Unit = {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
-    val base = java.nio.file.Files.createTempDirectory("sub_order_spec").toString
+    val base = java.nio.file.Files.createTempDirectory(tag).toString
     val maxId = docs.agg(max("doc_id")).head().getLong(0)
     Seq(col("doc_id") > maxId / 2, col("doc_id") <= maxId / 2).foreach { p =>
       docs.filter(p).coalesce(1).write.mode("append").parquet(s"$base/src")
       Thread.sleep(100)
     }
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      EventStream.substringMaintain(spark, s"$base/src", s"$base/sub",
-        s"$base/ckpt")
+      run(s"$base/src", s"$base/state", s"$base/ckpt")
     }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
@@ -937,24 +941,13 @@ class StreamingSpec extends AnyFunSuite {
       s"expected the ordering guard to fire, got $e")
   }
 
+  test("substring dedup fails fast when batches arrive out of doc_id order") {
+    assertOrderGuardFires("sub_order_spec")(
+      EventStream.substringMaintain(spark, _, _, _))
+  }
+
   test("span dedup fails fast when batches arrive out of doc_id order") {
-    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
-    val base = java.nio.file.Files.createTempDirectory("order_spec").toString
-    val maxId = docs.agg(max("doc_id")).head().getLong(0)
-    // stage the HIGH range first, then the low range — mtime order makes
-    // the file stream deliver descending doc_id batches
-    Seq(col("doc_id") > maxId / 2, col("doc_id") <= maxId / 2).foreach { p =>
-      docs.filter(p).coalesce(1).write.mode("append").parquet(s"$base/src")
-      Thread.sleep(100)
-    }
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      EventStream.spanDedupMaintain(spark, s"$base/src", s"$base/span",
-        s"$base/ckpt")
-    }
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: causes(t.getCause)
-    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
-        c.getMessage.contains("ascending doc_id arrival")),
-      s"expected the ordering guard to fire, got $e")
+    assertOrderGuardFires("order_spec")(
+      EventStream.spanDedupMaintain(spark, _, _, _))
   }
 }
