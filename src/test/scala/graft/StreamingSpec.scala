@@ -14,6 +14,28 @@ class StreamingSpec extends AnyFunSuite {
   import SparkTestSession.{spark, specRoot}
   private val sf = "/root/testdata/sf0.001"
 
+  test("stagedSrc: a crashed build leaves no destination and the retry builds clean") {
+    val d = java.nio.file.Files.createTempDirectory("staged_crash").toString
+    val dest = new java.io.File(
+      graft.sources.CollectionStore.indexRoot(d), "crash_src")
+    intercept[RuntimeException] {
+      graft.queries.StreamingPack.stagedSrc(d, "crash_src", "k1") { path =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, "part-1"), "partial".getBytes)
+        throw new RuntimeException("build crashed mid-staging")
+      }
+    }
+    assert(!dest.exists(), "a crashed build must never become visible")
+    graft.queries.StreamingPack.stagedSrc(d, "crash_src", "k1") { path =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      (1 to 2).foreach(j => java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, s"part-$j"), "good".getBytes))
+    }
+    assert(dest.listFiles().count(_.getName.startsWith("part-")) == 2,
+      "the retry must serve a complete fresh staging, not the crash's partial")
+  }
+
   test("stagedSrc: concurrent racing builders yield ONE intact staging; key change restages") {
     val d = java.nio.file.Files.createTempDirectory("staged_race").toString
     def build(owner: Int)(path: String): Unit = {
