@@ -527,8 +527,12 @@ object EmbeddingFunctions {
     * inference with zero code changes.
     */
   final class OnnxModelBackend(modelPath: String, vocabPath: String,
-      val dim: Int = 384, maxLen: Int = 256) extends ModelBackend {
+      val dim: Int = 384, maxLen: Int = 256)
+      extends ModelBackend with AutoCloseable {
     val name = s"onnx_${new java.io.File(modelPath).getName}_$dim"
+    // the OrtSession holds native memory beyond the JVM heap — kept so
+    // [[close]] can release it (reflection: `session.close()`)
+    @volatile private var sessionRef: Object = null
     def load(): Seq[String] => Seq[Array[Float]] = {
       val cl = getClass.getClassLoader
       val envCls = Class.forName("ai.onnxruntime.OrtEnvironment", true, cl)
@@ -536,10 +540,13 @@ object EmbeddingFunctions {
       val session = envCls
         .getMethod("createSession", classOf[String])
         .invoke(env, modelPath)
+      sessionRef = session.asInstanceOf[Object]
       val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor", true, cl)
       val create = tensorCls.getMethod("createTensor",
         envCls, classOf[Object])
       val runM = session.getClass.getMethod("run", classOf[java.util.Map[_, _]])
+      def closeOf(o: Object): Unit =
+        o.getClass.getMethod("close").invoke(o)
       val tokenizer = WordPiece.fromVocabFile(vocabPath)
       texts => {
         val ids = texts.map(t => tokenizer.encode(t).take(maxLen)).toArray
@@ -548,30 +555,47 @@ object EmbeddingFunctions {
         val mask = ids.map(a =>
           Array.fill(a.length)(1L) ++ Array.fill(width - a.length)(0L))
         val zeros = Array.fill(ids.length)(Array.fill(width)(0L))
+        // OnnxTensor and OrtSession.Result hold NATIVE buffers — each
+        // embed call must release them or the process leaks off-heap
+        // memory at ingest cadence
         val inputs = new java.util.HashMap[String, Object]()
-        inputs.put("input_ids", create.invoke(null, env, padded))
-        inputs.put("attention_mask", create.invoke(null, env, mask))
-        inputs.put("token_type_ids", create.invoke(null, env, zeros))
-        val result = runM.invoke(session, inputs)
-        val value = result.getClass.getMethod("get", classOf[Int])
-          .invoke(result, Integer.valueOf(0))
-        val hidden = value.getClass.getMethod("getValue").invoke(value)
-          .asInstanceOf[Array[Array[Array[Float]]]] // [batch][tok][dim]
-        hidden.zip(mask).map { case (toks, m) =>
-          val pooled = new Array[Float](toks(0).length)
-          var n = 0
-          toks.indices.foreach { t =>
-            if (m(t) == 1L) {
-              n += 1
-              var i = 0
-              while (i < pooled.length) { pooled(i) += toks(t)(i); i += 1 }
+        try {
+          inputs.put("input_ids", create.invoke(null, env, padded))
+          inputs.put("attention_mask", create.invoke(null, env, mask))
+          inputs.put("token_type_ids", create.invoke(null, env, zeros))
+          val result = runM.invoke(session, inputs)
+          val hidden = try {
+            val value = result.getClass.getMethod("get", classOf[Int])
+              .invoke(result, Integer.valueOf(0))
+            value.getClass.getMethod("getValue").invoke(value)
+              .asInstanceOf[Array[Array[Array[Float]]]] // [batch][tok][dim]
+          } finally closeOf(result)
+          hidden.zip(mask).map { case (toks, m) =>
+            val pooled = new Array[Float](toks(0).length)
+            var n = 0
+            toks.indices.foreach { t =>
+              if (m(t) == 1L) {
+                n += 1
+                var i = 0
+                while (i < pooled.length) { pooled(i) += toks(t)(i); i += 1 }
+              }
             }
-          }
-          var i = 0
-          while (i < pooled.length) { pooled(i) /= math.max(n, 1); i += 1 }
-          val norm = math.sqrt(pooled.map(x => x.toDouble * x).sum).toFloat
-          if (norm == 0f) pooled else pooled.map(_ / norm)
-        }.toSeq
+            var i = 0
+            while (i < pooled.length) { pooled(i) /= math.max(n, 1); i += 1 }
+            val norm = math.sqrt(pooled.map(x => x.toDouble * x).sum).toFloat
+            if (norm == 0f) pooled else pooled.map(_ / norm)
+          }.toSeq
+        } finally {
+          inputs.values().forEach(t => if (t != null) closeOf(t))
+        }
+      }
+    }
+    /** Release the native OrtSession (idempotent; no-op before load). */
+    def close(): Unit = {
+      val s = sessionRef
+      if (s != null) {
+        sessionRef = null
+        s.getClass.getMethod("close").invoke(s)
       }
     }
   }

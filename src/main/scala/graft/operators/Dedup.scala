@@ -438,17 +438,22 @@ object Dedup {
     */
   def minhashLshProbe(batch: DataFrame, docs: DataFrame, banded: DataFrame,
       threshold: Double, n: Int = 3, bands: Int = 16,
-      rows: Int = 4): DataFrame = {
+      rows: Int = 4, validate: Boolean = true): DataFrame = {
     // a table built with different (bands, rows, n) would join to zero
     // candidates SILENTLY — fail loudly on the one mismatch the table
-    // itself reveals (band count, a scan). The SERVED form
-    // ([[minhashLshProbeServed]]) validates all three parameters from
-    // the `_lsh_params.json` sidecar at metadata cost instead.
-    val tblMaxBand = banded.agg(max(col("band"))).head()
-    require(tblMaxBand.isNullAt(0) || tblMaxBand.getInt(0) == bands - 1,
-      s"minhashLshProbe: probe uses $bands bands but the banded table's max " +
-        s"band is ${tblMaxBand.get(0)} — probe and table must be built with " +
-        "identical (bands, rows, n); see the table's _lsh_params.json")
+    // itself reveals (band count). The check is a full Spark action over
+    // `banded`'s lineage, so it is OPT-OUT (`validate = false`) for hot
+    // ingest paths that probe repeatedly against an uncached DataFrame;
+    // the SERVED form ([[minhashLshProbeServed]]) is the right call on
+    // serving paths — it validates all three parameters from the
+    // `_lsh_params.json` sidecar at metadata cost instead.
+    if (validate) {
+      val tblMaxBand = banded.agg(max(col("band"))).head()
+      require(tblMaxBand.isNullAt(0) || tblMaxBand.getInt(0) == bands - 1,
+        s"minhashLshProbe: probe uses $bands bands but the banded table's " +
+          s"max band is ${tblMaxBand.get(0)} — probe and table must be " +
+          "built with identical (bands, rows, n); see _lsh_params.json")
+    }
     probeVerified(batch, docs, banded, threshold, n, bands, rows)
   }
 

@@ -102,6 +102,8 @@ object Fts {
         .as("docs"))
       .repartition(col("bucket")) // one writer per bucket → no tiny files
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp + sub)
+    // max-folded-batch marker rides the atomic swap (replay-dup guard)
+    graft.streaming.EventStream.recordFoldedMaxBatch(dir, tmp)
     graft.sources.CollectionStore.swapDirectory(dir, tmp)
     // drop memoized file listings for the swapped directory
     graft.sources.CollectionStore.invalidateRoot(dir)

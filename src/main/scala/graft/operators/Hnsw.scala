@@ -219,9 +219,13 @@ object Hnsw {
     // mode, which would misroute against the flat (pid, blob) graphs.
     // Retire BEFORE writing: a crash in between leaves old routed graphs
     // with no centroids, which the flat path still scans correctly
-    // (un-routed), never the reverse (flat graphs + stale centroids).
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(s"$root/hnsw/centroids"))
+    // (un-routed), never the reverse (flat graphs + stale centroids). A
+    // FAILED delete must abort the rebuild loudly — a surviving centroid
+    // table would flip searchSaved into routed mode against the new flat
+    // (pid, blob) graphs.
+    val staleCentroids = new java.io.File(s"$root/hnsw/centroids")
+    if (staleCentroids.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(staleCentroids)
     graphRows(candidates, m, efConstruction, space)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/hnsw/graphs")

@@ -254,6 +254,9 @@ object Ivf {
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(tmp + sub)
+    // record the max folded batch id INSIDE the swap so a crashed
+    // micro-batch replaying after the fold is dropped, not duplicated
+    graft.streaming.EventStream.recordFoldedMaxBatch(postingsDir, tmp)
     graft.sources.CollectionStore.swapDirectory(postingsDir, tmp)
     graft.sources.CollectionStore.invalidateRoot(postingsDir)
   }

@@ -474,6 +474,8 @@ object CollectionStore {
         expr("transform(blk, x -> x.w)").as("ws"), col("bucket"))
       .repartition(col("bucket")) // one writer per bucket → no tiny files
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp + sub)
+    // max-folded-batch marker rides the atomic swap (replay-dup guard)
+    graft.streaming.EventStream.recordFoldedMaxBatch(dir, tmp)
     swapDirectory(dir, tmp)
     invalidateRoot(dir)
   }

@@ -87,9 +87,50 @@ object EventStream extends Serializable {
     */
   private def idempotentAppend(df: DataFrame, dir: String, batchId: Long,
       partitionCols: Seq[String] = Nil): Unit = {
+    // compaction folds batch=<id> leaves into batch=-1; a micro-batch
+    // that crashed AFTER its write but BEFORE checkpoint commit replays
+    // after the fold, and its rewrite of batch=N would duplicate the
+    // already-folded rows. The compactors record the max folded id in a
+    // `_compacted_max_batch` sidecar (inside the atomic swap) — a replay
+    // of a folded batch is a no-op here.
+    if (foldedMaxBatch(dir).exists(batchId <= _)) return
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$dir/batch=$batchId")
+  }
+
+  /** Sidecar the posting compactors leave behind: the largest `batch=<id>`
+    * leaf folded into the synthetic `batch=-1` partition. Underscore
+    * prefix keeps it invisible to Spark's partition discovery.
+    */
+  val FoldedMarker = "_compacted_max_batch"
+
+  def foldedMaxBatch(dir: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(
+      dir.stripPrefix("file:"), FoldedMarker)
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p)).trim.toLong)
+  }
+
+  /** Called by the compactors BEFORE their swap: compute the max real
+    * `batch=<id>` leaf in `dir` (carrying forward any previous fold's
+    * marker) and write it INSIDE `tmp`, so the marker rides the atomic
+    * rename with the folded rows — a post-swap marker write could crash
+    * away and silently re-open the replay-duplication window.
+    */
+  def recordFoldedMaxBatch(dir: String, tmp: String): Unit = {
+    val d = new java.io.File(dir.stripPrefix("file:"))
+    val leaves = Option(d.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => scala.util.Try(
+        f.getName.stripPrefix("batch=").toLong).toOption)
+      .filter(_ >= 0)
+    val prior = foldedMaxBatch(dir)
+    (leaves ++ prior).maxOption.foreach { mx =>
+      val t = java.nio.file.Paths.get(tmp.stripPrefix("file:"))
+      java.nio.file.Files.createDirectories(t)
+      java.nio.file.Files.write(t.resolve(FoldedMarker),
+        mx.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 
   /** Strip the `batch` partition column [[idempotentAppend]] introduces
@@ -596,7 +637,16 @@ object EventStream extends Serializable {
           val nm = p.getFileName.toString
           if (!nm.startsWith("batch-")) None
           else scala.util.Try((nm.stripPrefix("batch-").toLong,
-            new String(java.nio.file.Files.readAllBytes(p)).trim.toLong)).toOption
+            new String(java.nio.file.Files.readAllBytes(p)).trim.toLong))
+            .fold(
+              // a truncated/corrupt marker must FAIL, not silently drop
+              // that batch's max from prevMax — dropping it is exactly
+              // the silent-reorder hazard this guard exists to prevent
+              e => throw new IllegalStateException(
+                s"$who: unreadable order marker $p — the ascending-arrival " +
+                  "guard cannot be evaluated; repair or remove the marker " +
+                  s"directory $ordDir and re-verify the table", e),
+              Some(_))
         }.filter(_._1 < batchId).map(_._2).maxOption
       } finally it.close()
     }

@@ -241,6 +241,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(key(spark.read.parquet(s"$base/postings")) == expect)
   }
 
+  test("a batch replayed AFTER compaction folded it is dropped, not duplicated") {
+    // crash window: the maintainer wrote batch=N, the checkpoint commit
+    // did not land, and the compactor ran before the stream resumed. The
+    // replayed batch=N would sit alongside its already-folded copy in
+    // batch=-1 — the _compacted_max_batch marker (written INSIDE the
+    // compaction swap) makes the replay a no-op instead.
+    import graft.operators.Ivf
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val centroids = Ivf.build(vecs, nCentroids = 8, nReplica = 2)
+      .centroids.cache()
+    val base = java.nio.file.Files.createTempDirectory("replay_fold").toString
+    vecs.withColumn("part", pmod(col("offset_id"), lit(3)))
+      .repartitionByRange(3, col("part")).drop("part")
+      .write.parquet(s"$base/src")
+    EventStream.ivfMaintain(spark, s"$base/src", centroids,
+      s"$base/postings", s"$base/ckpt", nReplica = 2)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("centroid_id", "offset_id")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val expect = key(spark.read.parquet(s"$base/postings"))
+
+    // simulate the crash: retract the LAST batch's checkpoint commit (its
+    // posting write already landed), then compact — the fold swallows the
+    // uncommitted batch's rows and records the marker
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val lastBatch = commits.last.getName.toLong
+    assert(commits.last.delete(), "could not retract the last commit")
+    // the local checksum FS keeps a .N.crc sibling that would block the
+    // re-commit's rename — remove it with the commit file
+    new java.io.File(s"$base/ckpt/commits/.$lastBatch.crc").delete()
+    Ivf.compactPostings(spark, s"$base/postings")
+    assert(EventStream.foldedMaxBatch(s"$base/postings").contains(lastBatch),
+      "compactor must record the max folded batch id")
+
+    // resume: Structured Streaming replays the uncommitted batch; the
+    // guard must drop the rewrite (batchId <= foldedMax)
+    EventStream.ivfMaintain(spark, s"$base/src", centroids,
+      s"$base/postings", s"$base/ckpt", nReplica = 2)
+    val got = key(spark.read.parquet(s"$base/postings"))
+    assert(got == expect,
+      s"replayed-after-fold batch changed the table: extra=" +
+        s"${(got -- expect).take(3)} missing=${(expect -- got).take(3)}")
+    assert(!new java.io.File(s"$base/postings/batch=$lastBatch").exists(),
+      "the replayed batch's leaf must not be rewritten next to its folded copy")
+  }
+
   test("incremental FTS maintenance serves the same candidates as the batch build") {
     import graft.operators.Fts
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"),
