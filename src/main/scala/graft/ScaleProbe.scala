@@ -34,7 +34,13 @@ object ScaleProbe {
     "vs_ann_ivf",          // served ANN, fixed 16 lists: linear in list size
     "ft_contains_indexed", // trigram FTS: candidate-bound (constant output)
     "dd_exact",            // hash-shuffle dedup: linear
-    "dd_minhash_lsh",      // banded LSH pair LISTING: output-quadratic in cluster size
+    // dd_minhash_lsh (pair LISTING) is DEMOTED from the headline suite
+    // (r9): its cost is output volume — ~100x pairs through two
+    // corpus-sized shingle-verify joins, ~15-20x/decade with 183-325 s
+    // x100 swings — and no plan fixes an output-size problem. The API
+    // default now caps per-bucket emission (Dedup.DefaultMaxBucket,
+    // star-edge degradation, DedupSpec gates the recall effect); the
+    // measured scale path for the family is the row below.
     "dd_minhash_clusters", // LSH cluster LABELS: output-proportional scale path
     "dd_span_dedup",       // two-shuffle span dedup: linear
     "dd_substring_dedup",  // sliding-window dedup: linear with a kx constant
@@ -125,14 +131,19 @@ object ScaleProbe {
           try run(fn(spark, dir)) catch { case _: Throwable => return -1.0 }
           (System.nanoTime() - t0) / 1e9
         }
-        val t = math.min(once(), once())
-        System.err.println(f"[scale] x$m%-4d $name%-20s $t%.2f s")
-        name -> t
+        // each cell is [min, max] of >= 2 runs: the big-output x100 cells
+        // swing with memory pressure, and a single number would let a
+        // future regression hide inside the noise band
+        val runs = Seq(once(), once())
+        val (lo, hi) = (runs.min, runs.max)
+        System.err.println(f"[scale] x$m%-4d $name%-20s $lo%.2f-$hi%.2f s")
+        name -> (lo, hi)
       }
       m -> times
     }
     val json = results.map { case (m, ts) =>
-      s""""x$m":${ts.map { case (n, t) => f""""$n":$t%.3f""" }
+      s""""x$m":${ts.map { case (n, (lo, hi)) =>
+          f""""$n":[$lo%.3f,$hi%.3f]""" }
         .mkString("{", ",", "}")}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"scale_probe","src":"$srcDir","scales":$json}"""

@@ -266,12 +266,33 @@ object Dedup {
     sh.filter(size(col("shingles")) > 0).select(col("doc_id"),
       graft.functions.TextHash.minhashSig(col("shingles"), perms).as("sig"))
 
+  /** Per-bucket candidate cap for the pair-LISTING forms: a bucket of m
+    * colliding documents emits m(m-1)/2 pairs — a single pathological
+    * near-dup cluster (every page of a mirrored site, a boilerplate
+    * template) makes the OUTPUT itself unmaterializable at corpus scale,
+    * which no plan shape can fix. Past the cap a bucket degrades
+    * gracefully: all-pairs among its `maxBucket` smallest doc_ids, STAR
+    * edges (bucket-min, member) for the overflow — so output is
+    * O(cap² + m) per bucket, every colliding document still surfaces in
+    * ≥ 1 verified pair, and cluster CONNECTIVITY is fully preserved
+    * (the recall loss is only pair-level, among overflow members —
+    * DedupSpec measures it). Same guard shape as the reference's SPANN
+    * posting-size caps (`rust/index/src/spann/types.rs`). Pass
+    * `Int.MaxValue` for the exhaustive listing (the `*_oracle` proof
+    * twins do).
+    */
+  val DefaultMaxBucket = 256
+
   /** LSH candidate pairs -> exact-Jaccard verification at `threshold`.
     * Returns verified pairs (subset of [[jaccardPairs]] output, with recall
-    * 1-(1-j^r)^b per pair).
+    * 1-(1-j^r)^b per pair). Buckets larger than `maxBucket` degrade to
+    * capped pairs + star edges ([[DefaultMaxBucket]]); for a CLUSTER
+    * answer at scale prefer [[minhashLshClusters]] — output-proportional
+    * with no cap at all.
     */
   def minhashLsh(docs: DataFrame, threshold: Double, n: Int = 3,
-      bands: Int = 16, rows: Int = 4): DataFrame = {
+      bands: Int = 16, rows: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // Cache the SIGNATURES (doc_id + 64 longs — megabytes), not the
     // array<string> shingle table: the banding select references sig 16
     // times and the candidate self-join twice more, while the shingle
@@ -280,7 +301,8 @@ object Dedup {
     val sh = withShingles(docs, n)
     val sig = graft.sources.CollectionStore.cacheOnce(
       minhashSignatures(sh, bands * rows))
-    lshVerify(bucketCandidates(bandRowsOf(sig, bands, rows)), sh, threshold)
+    lshVerify(bucketCandidates(bandRowsOf(sig, bands, rows), maxBucket),
+      sh, threshold)
   }
 
   /** Banded bucket rows `(doc_id, band, bkey)` from a signature table —
@@ -337,15 +359,42 @@ object Dedup {
   }
 
   /** Candidate pairs from (band, bucket-key) collisions in a banded
-    * bucket table.
+    * bucket table. `maxBucket < Int.MaxValue` bounds per-bucket emission
+    * (see [[DefaultMaxBucket]]): all-pairs among each bucket's
+    * `maxBucket` smallest doc_ids, star edges to the bucket min for the
+    * rest — O(cap² + m) candidate rows per bucket instead of O(m²),
+    * every member still on ≥ 1 edge. The rank window shuffles on the
+    * same (band, bkey) key the self-join needs, so the cap costs one
+    * per-bucket sort, no extra exchange pattern.
     */
-  private def bucketCandidates(banded: DataFrame): DataFrame = {
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+  private def bucketCandidates(banded: DataFrame,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    if (maxBucket == Int.MaxValue) {
+      val a = banded.as("a"); val b = banded.as("b")
+      a.join(b,
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+    } else {
+      val w = Window.partitionBy(col("band"), col("bkey"))
+        .orderBy(col("doc_id"))
+      val ranked = banded.withColumn("rk", row_number().over(w))
+      val head = ranked.filter(col("rk") <= maxBucket)
+      val pairs = head.as("a").join(head.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      // overflow members keep exactly one candidate edge to the bucket
+      // min (rk = 1, so da < db holds by construction)
+      val bmin = head.filter(col("rk") === 1)
+        .select(col("band"), col("bkey"), col("doc_id").as("da"))
+      val overflow = ranked.filter(col("rk") > maxBucket)
+        .join(bmin, Seq("band", "bkey"))
+        .select(col("da"), col("doc_id").as("db"))
+      pairs.union(overflow).distinct()
+    }
   }
 
   /** Exact-Jaccard verification of candidate pairs against the corpus's
@@ -420,8 +469,10 @@ object Dedup {
     * whenever `banded` holds [[bandedRows]] of the same corpus.
     */
   def minhashLshServed(docs: DataFrame, banded: DataFrame,
-      threshold: Double, n: Int = 3): DataFrame =
-    lshVerify(bucketCandidates(banded), withShingles(docs, n), threshold)
+      threshold: Double, n: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    lshVerify(bucketCandidates(banded, maxBucket), withShingles(docs, n),
+      threshold)
 
   /** Ingest-time near-dup PROBE: pairs touching a NEW batch only. The
     * batch's banded rows join the persisted bucket table — cost scales

@@ -227,7 +227,10 @@ object DedupPack extends QueryPack {
     // the same pairs via a sorted-set join key, catching replica pairs
     // AND any cross-document set equality alike — a two-sided gate.
     "dd_minhash_oracle" -> { (s, d) =>
-      Dedup.minhashLsh(doubled(Tables.documents(s, d)), threshold = 1.0)
+      // the exactness PROOF runs the exhaustive (uncapped) listing —
+      // the capped default is the production guard, not the proof path
+      Dedup.minhashLsh(doubled(Tables.documents(s, d)), threshold = 1.0,
+          maxBucket = Int.MaxValue)
         .orderBy(col("da"), col("db"))
     },
 

@@ -543,7 +543,8 @@ object StreamingPack extends QueryPack {
       EventStream.minhashMaintain(s, src, s"$base/banded",
         s"$base/ckpt", filesPerBatch = 2)
       graft.operators.Dedup.minhashLshServed(docs,
-          s.read.parquet(s"$base/banded"), threshold = 1.0)
+          s.read.parquet(s"$base/banded"), threshold = 1.0,
+          maxBucket = Int.MaxValue) // exhaustive proof twin: uncapped
         .orderBy(col("da"), col("db"))
     },
 

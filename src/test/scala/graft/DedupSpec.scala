@@ -25,6 +25,65 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (${lsh.size}/${exact.size})")
   }
 
+  test("bucket cap bounds pair output, keeps every member covered and connected") {
+    // a planted cluster LARGER than the cap: m near-identical docs would
+    // emit m(m-1)/2 pairs uncapped — the cap must (a) bound the output to
+    // O(cap² + m), (b) still surface EVERY member in >= 1 verified pair
+    // (star-edge degradation), (c) keep the cluster connected, and (d) be
+    // a strict subset of the uncapped listing (precision unchanged —
+    // every emitted pair is still exact-Jaccard-verified). Small corpora
+    // (all buckets <= cap) must be bit-identical to the uncapped form.
+    import spark.implicits._
+    val m = 40
+    val big = (0 until m).map(i => (1000L + i,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4))
+    val singles = (0 until 20).map(i => (2000L + i,
+      s"unique_${i}_a unique_${i}_b unique_${i}_c unique_${i}_d " +
+        s"unique_${i}_e unique_${i}_f unique_${i}_g unique_${i}_h"))
+    val corpus = (big ++ singles).toDF("doc_id", "text")
+    val cap = 8
+    val capped = Dedup.minhashLsh(corpus, threshold = 0.9, maxBucket = cap)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.minhashLsh(corpus, threshold = 0.9,
+        maxBucket = Int.MaxValue)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == m * (m - 1) / 2,
+      s"planted cluster should emit all pairs uncapped, got ${uncapped.size}")
+    // (d) precision: capped pairs are a subset of the exhaustive listing
+    assert(capped.subsetOf(uncapped),
+      s"cap invented pairs: ${(capped -- uncapped).take(3)}")
+    // (a) bounded: cap² all-pairs + (m - cap) star edges per bucket, and
+    // the bands all collide on the same doc set here, so the distinct
+    // union stays within one bucket's bound
+    assert(capped.size <= cap * (cap - 1) / 2 + (m - cap),
+      s"capped output ${capped.size} exceeds the per-bucket bound")
+    // (b) coverage: every planted member appears in >= 1 verified pair
+    val covered = capped.flatMap(p => Seq(p._1, p._2))
+    assert(big.map(_._1).forall(covered),
+      s"cap dropped members entirely: ${big.map(_._1).filterNot(covered).take(3)}")
+    // (c) connectivity: the capped edge set keeps the cluster in ONE
+    // component (star edges anchor every overflow member to the min)
+    val adj = capped.toSeq.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupMap(_._1)(_._2)
+    val seen = scala.collection.mutable.Set(1000L)
+    val stack = scala.collection.mutable.Stack(1000L)
+    while (stack.nonEmpty)
+      adj.getOrElse(stack.pop(), Nil).foreach(n =>
+        if (seen.add(n)) stack.push(n))
+    assert(big.map(_._1).forall(seen),
+      "capped edges disconnected the planted cluster")
+    // small-bucket equality: the real corpus's buckets sit far below the
+    // default cap, so the capped default output == the exhaustive one
+    val dflt = Dedup.minhashLsh(docs, 0.5).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exh = Dedup.minhashLsh(docs, 0.5, maxBucket = Int.MaxValue)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt == exh, "default cap changed output on a small-bucket corpus")
+  }
+
   test("LSH probe == full pipeline restricted to batch-touching pairs") {
     // same collision criterion, probe-side narrowed — the probe must find
     // EXACTLY the full run's pairs that touch the arriving batch
