@@ -19,13 +19,21 @@ final class Client(spark: SparkSession, root: String,
     val database: String = "default_database",
     val limits: Quotas.Limits = Quotas.Unlimited) {
 
+  Quotas.validateName(database, "database", limits)
   Catalog.createTenant(root, tenant)
   Catalog.createDatabase(root, tenant, database)
 
   def createCollection(name: String,
-      schema: Catalog.Schema = Catalog.Schema()): CollectionHandle =
+      schema: Catalog.Schema = Catalog.Schema(),
+      metadata: Map[String, String] = Map.empty): CollectionHandle = {
+    Quotas.validateName(name, "collection", limits)
+    Quotas.validateCollectionMeta(metadata, limits)
+    if (limits.maxCollections != Long.MaxValue)
+      Quotas.validateCollectionCount(countCollections() + 1, limits)
     new CollectionHandle(spark,
-      Catalog.createCollection(root, tenant, database, name, schema), limits)
+      Catalog.createCollection(root, tenant, database, name, schema, metadata),
+      limits)
+  }
 
   def getCollection(name: String): CollectionHandle =
     new CollectionHandle(spark,
@@ -56,21 +64,48 @@ final class Client(spark: SparkSession, root: String,
   }
 
   /** Fork `src` into `dst` — copy-on-write: dst reads src's persisted
-    * segment (no data copied) and diverges through its own WAL.
+    * segment (no data copied) and diverges through its own WAL. Under
+    * quota, the fork TREE hanging off src's root collection may hold at
+    * most `maxForkEdges` forks (quotas-limits.mdx:33 — each fork is one
+    * edge from the root's tree, wherever in the chain it forked from).
     */
-  def forkCollection(src: String, dst: String): CollectionHandle =
+  def forkCollection(src: String, dst: String): CollectionHandle = {
+    Quotas.validateName(dst, "collection", limits)
+    if (limits.maxForkEdges != Int.MaxValue)
+      Quotas.validateForkEdges(forkEdgeCount(forkRootOf(src)) + 1, limits)
     new CollectionHandle(spark,
       Catalog.forkCollection(root, tenant, database, src, dst), limits)
+  }
+
+  /** Root of a collection's fork chain (self when never forked). */
+  private def forkRootOf(name: String, hops: Int = 1000): String = {
+    val r = Catalog.getCollection(root, tenant, database, name)
+    r.forkedFrom match {
+      case Some(src) if hops > 0 => forkRootOf(src, hops - 1)
+      case _ => name
+    }
+  }
+
+  /** Edges in the fork tree rooted at `rootName` = collections whose
+    * chain reaches it, excluding the root itself. Metadata-only walk
+    * over the catalog — never touches data.
+    */
+  private def forkEdgeCount(rootName: String): Long =
+    listCollections().count(n =>
+      n != rootName && forkRootOf(n) == rootName).toLong
 
   /** The reference's `collection.modify(name=…, metadata=…)`: rename
     * and/or replace collection metadata. Renames move only the catalog
     * descriptor — the stored segment stays where it is.
     */
   def modifyCollection(name: String, newName: Option[String] = None,
-      metadata: Option[Map[String, String]] = None): CollectionHandle =
+      metadata: Option[Map[String, String]] = None): CollectionHandle = {
+    newName.foreach(Quotas.validateName(_, "collection", limits))
+    metadata.foreach(Quotas.validateCollectionMeta(_, limits))
     new CollectionHandle(spark,
       Catalog.modifyCollection(root, tenant, database, name, newName, metadata),
       limits)
+  }
 }
 
 /** One collection through the client: WAL-semantics writes (add is
@@ -316,22 +351,23 @@ final class CollectionHandle(spark: SparkSession,
     }
   }
 
-  def add(records: DataFrame): Unit = {
-    val r = withDefaults(records); checkWriteQuotas(r, "Add")
-    writer.addBatch(r, op = "Add")
-  }
-  def upsert(records: DataFrame): Unit = {
-    val r = withDefaults(records); checkWriteQuotas(r, "Upsert")
-    writer.addBatch(r, op = "Upsert")
-  }
-  def update(records: DataFrame): Unit = {
-    val r = withDefaults(records); checkWriteQuotas(r, "Update")
-    writer.addBatch(r, op = "Update")
-  }
-  def delete(ids: Seq[String]): Unit = ids.foreach(writer.delete)
+  // record-shape quotas validate the RAW user batch (withDefaults'
+  // reserved-key/typed-tag encodes would inflate the user-visible sizes
+  // the reference checks); the concurrency gate admits the whole write
+  private def write(records: DataFrame, op: String): Unit =
+    Quotas.Gates.withWrite(ref.dataRoot, limits) {
+      Quotas.validateRecordShapes(records, limits)
+      val r = withDefaults(records); checkWriteQuotas(r, op)
+      writer.addBatch(r, op = op)
+    }
+  def add(records: DataFrame): Unit = write(records, "Add")
+  def upsert(records: DataFrame): Unit = write(records, "Upsert")
+  def update(records: DataFrame): Unit = write(records, "Update")
+  def delete(ids: Seq[String]): Unit =
+    Quotas.Gates.withWrite(ref.dataRoot, limits) { ids.foreach(writer.delete) }
   def deleteWhere(where: graft.model.Where.Expr): Long = {
     Quotas.validateWhere(where, limits)
-    writer.deleteWhere(where)
+    Quotas.Gates.withWrite(ref.dataRoot, limits) { writer.deleteWhere(where) }
   }
 
   /** Read-your-writes live state (pending WAL folded over the segment). */
@@ -439,25 +475,31 @@ final class CollectionHandle(spark: SparkSession,
   private def buildCollection(): Collection =
     new Collection(shredRecords(denseOffsets(state.toDF())))
 
-  def count(): Long = state.count()
+  def count(): Long =
+    Quotas.Gates.withRead(ref.dataRoot, limits) { state.count() }
 
+  // the read gates admit REQUESTS (plan construction + validation), the
+  // in-process analog of the reference's per-collection concurrent-read
+  // quota — Spark's own scheduler pools govern executor-side concurrency
   def get(where: Option[graft.model.Where.Expr] = None,
       limit: Option[Int] = None, offset: Int = 0,
-      include: Seq[String] = Seq("document")): DataFrame = {
-    where.foreach(Quotas.validateWhere(_, limits))
-    limit.foreach(Quotas.validateResults(_, limits))
-    asCollection.get(where, limit, offset, include)
-  }
+      include: Seq[String] = Seq("document")): DataFrame =
+    Quotas.Gates.withRead(ref.dataRoot, limits) {
+      where.foreach(Quotas.validateWhere(_, limits))
+      limit.foreach(Quotas.validateResults(_, limits))
+      asCollection.get(where, limit, offset, include)
+    }
 
   def peek(n: Int = 10): DataFrame = get(limit = Some(n))
 
   def query(queries: DataFrame, k: Int,
       where: Option[graft.model.Where.Expr] = None,
-      space: String = "cosine"): DataFrame = {
-    where.foreach(Quotas.validateWhere(_, limits))
-    Quotas.validateResults(k, limits)
-    asCollection.query(queries, k, where, space)
-  }
+      space: String = "cosine"): DataFrame =
+    Quotas.Gates.withRead(ref.dataRoot, limits) {
+      where.foreach(Quotas.validateWhere(_, limits))
+      Quotas.validateResults(k, limits)
+      asCollection.query(queries, k, where, space)
+    }
 
   /** Served-ANN read at the reference's DEFAULT read level —
     * `ReadLevel::IndexAndWal` (`rust/types/src/execution/plan.rs:553-565`):

@@ -1,19 +1,22 @@
 package graft.api
 
 import graft.model.Where
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** The reference's published quota envelope, enforced at the API edge —
-  * `docs/mintlify/cloud/quotas-limits.mdx` is the whole table:
-  * max embedding dimensions 4,096 (`:15`), max where predicates per
-  * query 8 (`:26`), max FTS/regex query bytes 256 (`:27`), max results
-  * returned per query 300 (`:28`), max records per collection 5,000,000
-  * (`:32`), max records per write batch 300 (`:34`).
+  * `docs/mintlify/cloud/quotas-limits.mdx:13-35` is the whole table, one
+  * [[Limits]] field per published row (the `UsageType` enum in
+  * `rust/frontend/src/quota/mod.rs:247-271` is the same inventory), with
+  * per-record shape rules from `rust/types/src/validators.rs`.
   *
   * Validation is driver-side metadata math (an AST walk, a length check)
-  * — it never touches the data plane, so enforcement cost is zero at any
-  * corpus size. Collections default to [[Quotas.Unlimited]] (the
-  * single-node reference enforces nothing); pass [[Quotas.CloudDefaults]]
-  * to a [[CollectionHandle]] to run under the published envelope.
+  * or ONE aggregate over an arriving write batch (which quota already
+  * bounds to 300 records) — it never scans the collection, so
+  * enforcement cost is constant at any corpus size. Collections default
+  * to [[Quotas.Unlimited]] (the single-node reference enforces nothing);
+  * pass [[Quotas.CloudDefaults]] to a [[CollectionHandle]] to run under
+  * the published envelope.
   */
 object Quotas {
 
@@ -23,16 +26,51 @@ object Quotas {
       maxWherePredicates: Int,
       maxRegexBytes: Int,
       maxResults: Int,
-      maxRecordsPerCollection: Long)
+      maxRecordsPerCollection: Long,
+      maxDocumentBytes: Int = Int.MaxValue,
+      maxUriBytes: Int = Int.MaxValue,
+      maxIdBytes: Int = Int.MaxValue,
+      maxNameBytes: Int = Int.MaxValue,
+      maxMetaKeyBytes: Int = Int.MaxValue,
+      maxRecordMetaValueBytes: Int = Int.MaxValue,
+      maxCollectionMetaValueBytes: Int = Int.MaxValue,
+      maxRecordMetaKeys: Int = Int.MaxValue,
+      maxCollectionMetaKeys: Int = Int.MaxValue,
+      maxConcurrentReads: Int = Int.MaxValue,
+      maxConcurrentWrites: Int = Int.MaxValue,
+      maxCollections: Long = Long.MaxValue,
+      maxForkEdges: Int = Int.MaxValue) {
+    /** Any per-record shape rule active → the write path pays one batch
+      * aggregate; all unlimited → job-free.
+      */
+    def recordShapesLimited: Boolean =
+      maxDocumentBytes != Int.MaxValue || maxUriBytes != Int.MaxValue ||
+        maxIdBytes != Int.MaxValue || maxMetaKeyBytes != Int.MaxValue ||
+        maxRecordMetaValueBytes != Int.MaxValue ||
+        maxRecordMetaKeys != Int.MaxValue
+  }
 
-  /** quotas-limits.mdx values. */
+  /** quotas-limits.mdx:13-35 values, row by row. */
   val CloudDefaults: Limits = Limits(
-    maxDim = 4096,
-    maxBatchRecords = 300,
-    maxWherePredicates = 8,
-    maxRegexBytes = 256,
-    maxResults = 300,
-    maxRecordsPerCollection = 5000000L)
+    maxDim = 4096,                        // Maximum embedding dimensions
+    maxBatchRecords = 300,                // Maximum records per write
+    maxWherePredicates = 8,               // Maximum where predicates
+    maxRegexBytes = 256,                  // Maximum FTS/regex search size
+    maxResults = 300,                     // Maximum results returned
+    maxRecordsPerCollection = 5000000L,   // Maximum records per collection
+    maxDocumentBytes = 16384,             // Maximum document bytes
+    maxUriBytes = 256,                    // Maximum URI bytes
+    maxIdBytes = 128,                     // Maximum ID size bytes
+    maxNameBytes = 128,                   // Maximum database/collection name bytes
+    maxMetaKeyBytes = 36,                 // Maximum metadata key size bytes
+    maxRecordMetaValueBytes = 8182,       // Maximum record metadata value bytes
+    maxCollectionMetaValueBytes = 256,    // Maximum collection metadata value bytes
+    maxRecordMetaKeys = 32,               // Maximum record metadata keys
+    maxCollectionMetaKeys = 32,           // Maximum collection metadata keys
+    maxConcurrentReads = 10,              // Maximum concurrent reads per collection
+    maxConcurrentWrites = 10,             // Maximum concurrent writes per collection
+    maxCollections = 1000000L,            // Maximum collections
+    maxForkEdges = 256)                   // Maximum fork edges from root
 
   val Unlimited: Limits = Limits(Int.MaxValue, Int.MaxValue, Int.MaxValue,
     Int.MaxValue, Int.MaxValue, Long.MaxValue)
@@ -80,4 +118,112 @@ object Quotas {
 
   def validateCollectionSize(nRecords: Long, limits: Limits): Unit =
     check("records per collection", nRecords, limits.maxRecordsPerCollection)
+
+  /** Per-record shape rules over an arriving write batch — ONE aggregate
+    * (the batch is already quota-bounded to `maxBatchRecords`), computing
+    * the batch maxima of every limited dimension at once: id bytes,
+    * document bytes, uri bytes, metadata key count, metadata key bytes,
+    * metadata value bytes. Runs on the RAW user batch (before the
+    * facade's reserved-key/typed-tag encodes, which would inflate the
+    * user-visible sizes the reference validates).
+    */
+  def validateRecordShapes(records: DataFrame, limits: Limits): Unit = {
+    if (!limits.recordShapesLimited) return
+    def has(c: String) = records.columns.contains(c)
+    val zero = lit(0)
+    val metrics = Seq(
+      "ID size bytes" ->
+        (if (has("id")) max(octet_length(col("id").cast("string"))) else max(zero)),
+      "document bytes" ->
+        (if (has("document")) max(octet_length(col("document"))) else max(zero)),
+      "URI bytes" ->
+        (if (has("uri")) max(octet_length(col("uri"))) else max(zero)),
+      "record metadata keys" ->
+        (if (has("meta")) max(size(map_keys(col("meta")))) else max(zero)),
+      "metadata key size bytes" ->
+        (if (has("meta"))
+          max(array_max(transform(map_keys(col("meta")), k => octet_length(k))))
+        else max(zero)),
+      "record metadata value size bytes" ->
+        (if (has("meta"))
+          max(array_max(transform(map_values(col("meta")), v => octet_length(v))))
+        else max(zero)))
+    val row = records.agg(metrics.head._2, metrics.tail.map(_._2): _*).head()
+    def got(i: Int): Long = if (row.isNullAt(i)) 0L else row.getInt(i).toLong
+    check(metrics(0)._1, got(0), limits.maxIdBytes.toLong)
+    check(metrics(1)._1, got(1), limits.maxDocumentBytes.toLong)
+    check(metrics(2)._1, got(2), limits.maxUriBytes.toLong)
+    check(metrics(3)._1, got(3), limits.maxRecordMetaKeys.toLong)
+    check(metrics(4)._1, got(4), limits.maxMetaKeyBytes.toLong)
+    check(metrics(5)._1, got(5), limits.maxRecordMetaValueBytes.toLong)
+  }
+
+  /** Database/collection name rules under quota — the byte cap is the
+    * published 128 (`quotas-limits.mdx:19-20`); the SHAPE rules are the
+    * reference frontend's `validate_name` (`rust/types/src/
+    * validators.rs:44-100`): 3..512 chars, `[A-Za-z0-9._-]` with
+    * alphanumeric first/last, no `..`, and not an IP address (names are
+    * DNS-adjacent in the reference's routing). Unlimited collections keep
+    * the catalog's relaxed structural check only.
+    */
+  def validateName(name: String, what: String, limits: Limits): Unit = {
+    if (limits.maxNameBytes == Int.MaxValue) return
+    check(s"$what name bytes", name.getBytes("UTF-8").length.toLong,
+      limits.maxNameBytes.toLong)
+    def bad(msg: String) = throw new QuotaExceeded(
+      s"$what name '$name' invalid: $msg", name.length.toLong, 0L)
+    if (name.length < 3 || name.length > 512)
+      bad("expected 3-512 characters")
+    if (!name.matches("[a-zA-Z0-9][a-zA-Z0-9._-]*[a-zA-Z0-9]"))
+      bad("must be [a-zA-Z0-9._-] with alphanumeric first/last characters")
+    if (name.contains("..")) bad("must not contain '..'")
+    val ipv4 = name.matches("\\d{1,3}(\\.\\d{1,3}){3}")
+    if (ipv4) bad("must not be an IP address")
+  }
+
+  def validateCollectionMeta(meta: Map[String, String],
+      limits: Limits): Unit = {
+    check("collection metadata keys", meta.size.toLong,
+      limits.maxCollectionMetaKeys.toLong)
+    meta.keys.foreach(k => check("metadata key size bytes",
+      k.getBytes("UTF-8").length.toLong, limits.maxMetaKeyBytes.toLong))
+    meta.values.foreach(v => check("collection metadata value size bytes",
+      v.getBytes("UTF-8").length.toLong,
+      limits.maxCollectionMetaValueBytes.toLong))
+  }
+
+  def validateCollectionCount(n: Long, limits: Limits): Unit =
+    check("collections", n, limits.maxCollections)
+
+  def validateForkEdges(n: Long, limits: Limits): Unit =
+    check("fork edges from root", n, limits.maxForkEdges.toLong)
+
+  /** Per-collection concurrent-operation admission — the published
+    * "maximum concurrent reads/writes per collection" rows. The reference
+    * enforces these service-side per collection; the in-process analog is
+    * a JVM-wide permit table keyed by the collection's data root. A
+    * request past the cap REJECTS (the reference returns a quota error,
+    * it does not queue).
+    */
+  object Gates {
+    private val permits =
+      new java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.Semaphore]()
+    private def gate(key: String, n: Int) =
+      permits.computeIfAbsent(key,
+        _ => new java.util.concurrent.Semaphore(n, true))
+
+    def withPermit[T](key: String, kind: String, cap: Int)(f: => T): T = {
+      if (cap == Int.MaxValue) return f
+      val g = gate(s"$kind:$key", cap)
+      if (!g.tryAcquire())
+        throw new QuotaExceeded(s"concurrent ${kind}s per collection",
+          cap.toLong + 1, cap.toLong)
+      try f finally g.release()
+    }
+    def withRead[T](key: String, limits: Limits)(f: => T): T =
+      withPermit(key, "read", limits.maxConcurrentReads)(f)
+    def withWrite[T](key: String, limits: Limits)(f: => T): T =
+      withPermit(key, "write", limits.maxConcurrentWrites)(f)
+  }
 }

@@ -32,7 +32,7 @@ class QuotasSpec extends AnyFunSuite {
 
   test("cloud limits reject over-envelope queries and writes") {
     val c = freshClient(Quotas.CloudDefaults)
-    val col1 = c.createCollection("q")
+    val col1 = c.createCollection("qcol")
     col1.add(Seq(("a", "doc a"), ("b", "doc b")).toDF("id", "document"))
 
     // 9 predicates > 8
@@ -103,6 +103,159 @@ class QuotasSpec extends AnyFunSuite {
     val dst = c.createCollection("dump_big_dst")
     dst.importJsonl(path) // 650 > 300: must chunk, not throw
     assert(dst.count() == 650)
+  }
+
+  test("published quota table parity: CloudDefaults carries every quotas-limits.mdx row") {
+    // quotas-limits.mdx:13-35, row by row, in table order — a drifted
+    // constant fails here by name
+    val L = Quotas.CloudDefaults
+    val parity: Seq[(String, Long, Long)] = Seq(
+      ("Maximum embedding dimensions", L.maxDim, 4096L),
+      ("Maximum document bytes", L.maxDocumentBytes, 16384L),
+      ("Maximum URI bytes", L.maxUriBytes, 256L),
+      ("Maximum ID size bytes", L.maxIdBytes, 128L),
+      ("Maximum database name size bytes", L.maxNameBytes, 128L),
+      ("Maximum collection name size bytes", L.maxNameBytes, 128L),
+      ("Maximum record metadata value size bytes",
+        L.maxRecordMetaValueBytes, 8182L),
+      ("Maximum collection metadata value size bytes",
+        L.maxCollectionMetaValueBytes, 256L),
+      ("Maximum metadata key size bytes", L.maxMetaKeyBytes, 36L),
+      ("Maximum number of record metadata keys", L.maxRecordMetaKeys, 32L),
+      ("Maximum number of collection metadata keys",
+        L.maxCollectionMetaKeys, 32L),
+      ("Maximum number of where predicates", L.maxWherePredicates, 8L),
+      ("Maximum size of full text search or regex search",
+        L.maxRegexBytes, 256L),
+      ("Maximum number of results returned", L.maxResults, 300L),
+      ("Maximum number of concurrent reads per collection",
+        L.maxConcurrentReads, 10L),
+      ("Maximum number of concurrent writes per collection",
+        L.maxConcurrentWrites, 10L),
+      ("Maximum number of collections", L.maxCollections, 1000000L),
+      ("Maximum number of records per collection",
+        L.maxRecordsPerCollection, 5000000L),
+      ("Maximum fork edges from root", L.maxForkEdges, 256L),
+      ("Maximum number of records per write", L.maxBatchRecords, 300L))
+    parity.foreach { case (row, got, want) =>
+      assert(got == want, s"'$row': Limits carries $got, published $want")
+    }
+  }
+
+  test("table-driven rejection: each record-shape limit trips at limit+1, passes at limit") {
+    val c = freshClient(Quotas.CloudDefaults)
+    val col1 = c.createCollection("shapes")
+    def rec(id: String = "ok1", doc: String = "d",
+        meta: Map[String, String] = Map("k" -> "v")) =
+      Seq((id, doc, meta)).toDF("id", "document", "meta")
+    // (published row, over-limit batch, at-limit batch)
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)] = Seq(
+      ("ID size bytes", rec(id = "x" * 129), rec(id = "x" * 128)),
+      ("document bytes", rec(doc = "x" * 16385), rec(doc = "x" * 16384)),
+      ("metadata key size bytes",
+        rec(meta = Map("k" * 37 -> "v")), rec(meta = Map("k" * 36 -> "v"))),
+      ("record metadata value size bytes",
+        rec(meta = Map("k" -> "v" * 8183)), rec(meta = Map("k" -> "v" * 8182))),
+      ("record metadata keys",
+        rec(meta = (1 to 33).map(i => s"k$i" -> "v").toMap),
+        rec(meta = (1 to 32).map(i => s"k$i" -> "v").toMap)))
+    cases.foreach { case (row, over, at) =>
+      val e = intercept[Quotas.QuotaExceeded](col1.add(over))
+      assert(e.getMessage.toLowerCase.contains(
+        row.split(" ").head.toLowerCase), s"'$row': wrong error $e")
+      col1.add(at) // the at-limit twin must flow
+    }
+    // URI bytes ride a dedicated column pre-encode
+    intercept[Quotas.QuotaExceeded] {
+      col1.add(Seq(("uok", "d", "u" * 257)).toDF("id", "document", "uri"))
+    }
+    col1.add(Seq(("uok", "d", "u" * 256)).toDF("id", "document", "uri"))
+  }
+
+  test("name rules: byte cap plus the reference's shape validation under quota") {
+    val c = freshClient(Quotas.CloudDefaults)
+    // over 128 bytes
+    intercept[Quotas.QuotaExceeded] { c.createCollection("x" * 129) }
+    // reference validate_name shapes: 3-char minimum, charset,
+    // alphanumeric ends, no '..', not an IP
+    intercept[Quotas.QuotaExceeded] { c.createCollection("ab") }
+    intercept[Quotas.QuotaExceeded] { c.createCollection("_abc") }
+    intercept[Quotas.QuotaExceeded] { c.createCollection("a..b") }
+    intercept[Quotas.QuotaExceeded] { c.createCollection("10.2.3.4") }
+    c.createCollection("A-valid.name_0") // in-envelope
+    // database name rides the same rule
+    intercept[Quotas.QuotaExceeded] {
+      new Client(spark,
+        java.nio.file.Files.createTempDirectory("qdb").toString,
+        database = "db has spaces", limits = Quotas.CloudDefaults)
+    }
+    // unlimited clients keep the relaxed catalog-structural check only
+    freshClient(Quotas.Unlimited).createCollection("ab")
+  }
+
+  test("collection metadata limits: key count, key bytes, value bytes") {
+    val c = freshClient(Quotas.CloudDefaults)
+    intercept[Quotas.QuotaExceeded] {
+      c.createCollection("md1", metadata = (1 to 33).map(i => s"k$i" -> "v").toMap)
+    }
+    intercept[Quotas.QuotaExceeded] {
+      c.createCollection("md2", metadata = Map("k" -> "v" * 257))
+    }
+    intercept[Quotas.QuotaExceeded] {
+      c.createCollection("md3", metadata = Map("k" * 37 -> "v"))
+    }
+    val ok = c.createCollection("md4",
+      metadata = Map("k" * 36 -> "v" * 256)) // at-limit passes
+    // modify re-validates
+    intercept[Quotas.QuotaExceeded] {
+      c.modifyCollection("md4", metadata = Some(Map("k" -> "v" * 257)))
+    }
+  }
+
+  test("collection count and fork edges from root") {
+    val lim = Quotas.CloudDefaults.copy(maxCollections = 2L, maxForkEdges = 2)
+    val c = freshClient(lim)
+    c.createCollection("col1")
+    c.createCollection("col2")
+    intercept[Quotas.QuotaExceeded] { c.createCollection("col3") }
+
+    val cf = freshClient(Quotas.CloudDefaults.copy(maxForkEdges = 2))
+    val src = cf.createCollection("root0")
+    src.add(Seq(("id1", "doc")).toDF("id", "document"))
+    cf.forkCollection("root0", "fork1")
+    cf.forkCollection("fork1", "fork2") // a fork OF a fork still hangs off root0
+    // 2 edges from root0 — a third fork anywhere in the tree trips
+    intercept[Quotas.QuotaExceeded] { cf.forkCollection("root0", "fork3") }
+    intercept[Quotas.QuotaExceeded] { cf.forkCollection("fork2", "fork4") }
+  }
+
+  test("concurrent read/write admission rejects past the per-collection cap") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val lim = Quotas.CloudDefaults
+    val key = java.util.UUID.randomUUID().toString
+    val hold = new CountDownLatch(1)
+    val inGate = new CountDownLatch(10)
+    val pool = Executors.newFixedThreadPool(10)
+    try {
+      (1 to 10).foreach { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = Quotas.Gates.withRead(key, lim) {
+            inGate.countDown(); hold.await()
+          }
+        })
+      }
+      assert(inGate.await(10, TimeUnit.SECONDS), "10 readers admitted")
+      // the 11th concurrent read REJECTS (the reference errors, not queues)
+      intercept[Quotas.QuotaExceeded] {
+        Quotas.Gates.withRead(key, lim) { () }
+      }
+      // writes are tracked independently per collection
+      Quotas.Gates.withWrite(key, lim) { () }
+    } finally { hold.countDown(); pool.shutdown() }
+    // permits release: after drain, reads flow again
+    assert(pool.awaitTermination(10, TimeUnit.SECONDS))
+    Quotas.Gates.withRead(key, lim) { () }
   }
 
   test("unlimited collections skip enforcement") {
