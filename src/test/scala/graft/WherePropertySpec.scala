@@ -125,6 +125,82 @@ class WherePropertySpec extends AnyFunSuite {
     StructField("meta_float", MapType(StringType, DoubleType)),
     StructField("meta_bool", MapType(StringType, BooleanType))))
 
+  test("mixed-type key collisions survive the facade write -> filter -> project round-trip") {
+    // SURVEY §7.4's hard part: the SAME metadata key holds an int in one
+    // record, a string in another, a float or bool elsewhere. Through
+    // the FULL facade round-trip (TypedMeta tag-encode into the WAL
+    // string map -> materializer fold -> typed shred on read) the
+    // compiled Where must still match the two-valued missing-key oracle
+    // record by record, and single-key projection must render each
+    // record's OWN typed value — nothing may bleed across records.
+    import graft.api.Client
+    import spark.implicits._
+    // one type per (record, key), chosen independently PER RECORD — the
+    // cross-record collision generator
+    val floats = Seq(-1.5, -0.5, 0.5, 2.5) // exact halves: stable rendering
+    val genTyped: Gen[(Int, Any)] = Gen.oneOf(
+      Gen.oneOf(words).map(0 -> _),
+      Gen.chooseNum(-5L, 5L).map(1 -> _),
+      Gen.oneOf(floats).map(2 -> _),
+      Gen.oneOf(true, false).map(3 -> _))
+    val genMixedRec: Gen[Rec] = for {
+      doc <- Gen.option(Gen.listOfN(4, Gen.oneOf(words)).map(_.mkString(" ")))
+      kvs <- Gen.sequence[List[Option[(String, (Int, Any))]], Option[(String, (Int, Any))]](
+        keys.map(k => Gen.option(genTyped.map(k -> _))).toList)
+    } yield {
+      val present = kvs.flatten
+      Rec("", doc,
+        present.collect { case (k, (0, v: String)) => k -> v }.toMap,
+        present.collect { case (k, (1, v: Long)) => k -> v }.toMap,
+        present.collect { case (k, (2, v: Double)) => k -> v }.toMap,
+        present.collect { case (k, (3, v: Boolean)) => k -> v }.toMap)
+    }
+    val params = Gen.Parameters.default
+    for (caseIdx <- 0 until 4) {
+      val seed = Seed(caseIdx.toLong * 104729 + 7)
+      val recs = Gen.listOfN(30, genMixedRec).pureApply(params, seed)
+        .zipWithIndex.map { case (r, i) => r.copy(id = f"r$i%03d") }
+      // the generator must actually produce cross-record collisions
+      val collided = keys.filter { k =>
+        Seq(recs.exists(_.mStr.contains(k)), recs.exists(_.mInt.contains(k)),
+          recs.exists(_.mFloat.contains(k)), recs.exists(_.mBool.contains(k)))
+          .count(identity) >= 2
+      }
+      assert(collided.nonEmpty, s"case $caseIdx generated no type collision")
+
+      val root = java.nio.file.Files.createTempDirectory("mixmeta").toString
+      val coll = new Client(spark, root).createCollection(s"mix$caseIdx")
+      coll.add(recs.map(r =>
+          (r.id, r.document, r.mStr, r.mInt, r.mFloat, r.mBool))
+        .toDF("id", "document", "meta", "meta_int", "meta_float", "meta_bool"))
+
+      val exprs = Gen.listOfN(8, genExpr(2)).pureApply(params, seed.next)
+      for (expr <- exprs) {
+        val got = coll.get(where = Some(expr)).select("id")
+          .collect().map(_.getString(0)).toSet
+        val expected = recs.filter(oracle(expr, _)).map(_.id).toSet
+        assert(got == expected,
+          s"case $caseIdx expr=$expr\n missing=${expected -- got}\n " +
+            s"extra=${got -- expected}")
+      }
+
+      // single-key projection renders each record's own typed value
+      for (k <- collided.take(1)) {
+        val proj = coll.get(include = Seq(s"meta:$k")).collect()
+          .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+        for (r <- recs) {
+          val want: Option[String] = r.mStr.get(k)
+            .orElse(r.mInt.get(k).map(_.toString))
+            .orElse(r.mFloat.get(k).map(_.toString))
+            .orElse(r.mBool.get(k).map(_.toString))
+          assert(proj(r.id) == want,
+            s"case $caseIdx key=$k rec=${r.id}: projected ${proj(r.id)}, " +
+              s"expected $want")
+        }
+      }
+    }
+  }
+
   test("compiled Where == oracle over 30 random (recordset, expr) cases") {
     var params = Gen.Parameters.default
     for (caseIdx <- 0 until 30) {
