@@ -609,13 +609,96 @@ object EmbeddingFunctions {
       catch { case _: ClassNotFoundException => false }
   }
 
+  /** Pure-JVM mini-inference backend — the MiniLM GRAPH SHAPE
+    * (WordPiece tokenize → token-embedding gather → hidden GEMM +
+    * activation → mean-pool → L2-normalize, `onnx_mini_lm_l6_v2.py:1`)
+    * run by plain JVM matmul over hand-vendored int8 weight tensors with
+    * float32 dequantization scales (the reference's default model ships
+    * int8-quantized weights the same way). The weights are a fixed
+    * seeded lattice, not trained — but the inference is REAL matrix
+    * math: embeddings respond to token CONTENT (texts sharing WordPiece
+    * tokens share pooled embedding mass through the same GEMM), unlike
+    * [[FakeModelBackend]] where a one-character edit decorrelates the
+    * whole vector. This proves the tokenize → infer → pool → normalize
+    * path end-to-end in a container with no model runtime;
+    * [[OnnxModelBackend]] swaps in trained MiniLM wherever an ORT jar +
+    * model file exist, with zero changes above [[ModelBackend]].
+    */
+  final class MiniGemmBackend(val dim: Int = 32, hidden: Int = 48,
+      maxLen: Int = 64, seed: Long = 42L) extends ModelBackend {
+    val name = s"mini_gemm_$dim"
+    def load(): Seq[String] => Seq[Array[Float]] = {
+      val tok = new WordPiece(MiniGemmBackend.Vocab, maxLen)
+      val v = MiniGemmBackend.Vocab.size
+      // int8 weights, deterministic per seed; dequant = q * scale
+      val rnd = new java.util.Random(seed)
+      def int8(n: Int): Array[Byte] = {
+        val a = new Array[Byte](n); rnd.nextBytes(a); a
+      }
+      val embQ = int8(v * hidden)
+      val embScale = 1f / 64f
+      val w1Q = int8(hidden * dim)
+      val w1Scale = 1f / (8f * hidden)
+      val b1 = Array.tabulate(dim)(j => (((j * 37 + 11) % 97) - 48) / 970f)
+      texts => texts.map { t =>
+        val ids = tok.encode(t)
+        val pool = new Array[Float](dim)
+        val x = new Array[Float](hidden)
+        ids.foreach { idL =>
+          val id = idL.toInt
+          var i = 0
+          while (i < hidden) { // gather + dequantize the token embedding
+            x(i) = embQ(id * hidden + i) * embScale; i += 1
+          }
+          var j = 0
+          while (j < dim) { // h = tanh(W1ᵀ x + b1); pool accumulates
+            var acc = b1(j)
+            var i2 = 0
+            while (i2 < hidden) {
+              acc += x(i2) * (w1Q(i2 * dim + j) * w1Scale); i2 += 1
+            }
+            pool(j) += math.tanh(acc).toFloat
+            j += 1
+          }
+        }
+        var j = 0
+        while (j < dim) { pool(j) /= math.max(ids.length, 1); j += 1 }
+        val norm = math.sqrt(pool.map(p => p.toDouble * p).sum).toFloat
+        if (norm == 0f) pool else pool.map(_ / norm)
+      }
+    }
+  }
+
+  object MiniGemmBackend {
+    /** Hand-vendored tiny WordPiece vocabulary: the BERT specials, a
+      * band of common English words and suffix pieces (longest-match
+      * engages on these), and single-character pieces with their `##`
+      * continuations as the universal fallback — every word tokenizes,
+      * none collapses to [UNK].
+      */
+    val Vocab: Map[String, Int] = {
+      val specials = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]")
+      val words = Seq("the", "of", "and", "to", "in", "is", "on", "for",
+        "with", "that", "this", "from", "are", "was", "have", "not",
+        "data", "query", "index", "vector", "search", "spark", "text",
+        "doc", "table", "count", "filter", "join", "scan", "sort", "hash",
+        "quick", "brown", "fox", "jump", "over", "lazy", "dog")
+      val pieces = Seq("##ing", "##ed", "##er", "##ion", "##s", "##ly",
+        "##es", "##est", "##able")
+      val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+      (specials ++ words ++ pieces ++ chars ++ chars.map("##" + _))
+        .zipWithIndex.toMap
+    }
+  }
+
   val registry: Map[String, EmbeddingFunction] = Seq(
     new HashedBow(64), new HashedBow(128),
     new HashedBigram(64),
     new HashedCharNgram(64), new HashedCharNgram(128),
     new TextStatsFeatures, new FjltBow(64),
     new PrefixedEmbedding(new HashedBow(64)),
-    new ModelEmbeddingFunction(new FakeModelBackend(32))
+    new ModelEmbeddingFunction(new FakeModelBackend(32)),
+    new ModelEmbeddingFunction(new MiniGemmBackend(32))
   ).map(f => f.name -> f).toMap
 
   val sparseRegistry: Map[String, SparseEmbeddingFunction] = Seq(

@@ -227,6 +227,61 @@ class EmbeddingFunctionsSpec extends AnyFunSuite {
     assert(wp.encode("").toSeq == Seq(1L, 2L))
   }
 
+  test("mini-GEMM backend: real matrix inference, token overlap drives similarity") {
+    import graft.functions.EmbeddingFunctions.MiniGemmBackend
+    val infer = new MiniGemmBackend(32).load()
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val Seq(base, nearDup, unrelated) = infer(Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox leaps over the lazy dog",
+      "zzz yyy xxx www vvv uuu ttt sss")).map(_.clone)
+    // unit-norm, right width, deterministic across session reloads
+    Seq(base, nearDup, unrelated).foreach { v =>
+      assert(v.length == 32)
+      assert(math.abs(math.sqrt(v.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+    }
+    val again = new MiniGemmBackend(32).load()(
+      Seq("the quick brown fox jumps over the lazy dog")).head
+    assert(base.sameElements(again), "weights must be seed-deterministic")
+    // REAL inference semantics: shared tokens flow through the same GEMM
+    // into shared pooled mass — the seeded-hash fake fails exactly this
+    assert(cos(base, nearDup) > 0.8,
+      s"near-dup cosine ${cos(base, nearDup)} too low for a one-token edit")
+    assert(cos(base, nearDup) > cos(base, unrelated) + 0.3,
+      s"token overlap must dominate: near=${cos(base, nearDup)} " +
+        s"far=${cos(base, unrelated)}")
+    // int8/float32 quantized weights, not the hash fake: a one-CHAR edit
+    // perturbs, not decorrelates (the typo re-tokenizes "browm" into char
+    // pieces, so several token positions move — hence the looser bound)
+    val oneChar = infer(Seq("the quick browm fox jumps over the lazy dog")).head
+    assert(cos(base, oneChar) > 0.6, "a one-char edit must stay close")
+  }
+
+  test("mini-GEMM embeddings round-trip add -> query with sane KNN neighbors") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gemm_ef").toString
+    val client = new graft.api.Client(spark, root)
+    val coll = client.createCollection("gemmed",
+      graft.sources.Catalog.Schema(
+        embeddingFunction = Some("model_mini_gemm_32")))
+    coll.add(Seq(
+      ("fox", "the quick brown fox jumps over the lazy dog"),
+      ("sql", "query the index table with a filter and a sort"),
+      ("vec", "vector search over the data with a hash index"),
+      ("alpha", "zzz yyy xxx www vvv uuu"))
+      .toDF("id", "document"))
+    // embeddings came from the model (right width, unit norm, non-fake)
+    val embs = coll.state.collect().flatMap(_.embedding)
+    assert(embs.length == 4 && embs.forall(_.length == 32))
+    // a query phrased like each doc retrieves THAT doc first
+    def top1(q: String): String =
+      coll.queryText(Seq(q), k = 1).select("id").collect().head.getString(0)
+    assert(top1("quick brown fox leaps over a lazy dog") == "fox")
+    assert(top1("filter and sort a query on the index table") == "sql")
+    assert(top1("hash index for vector search on data") == "vec")
+  }
+
   test("ONNX backend runs real inference when an ORT jar is present") {
     import graft.functions.EmbeddingFunctions.{OnnxModelBackend, ModelEmbeddingFunction}
     // the zero-egress container has no onnxruntime jar (resolution
