@@ -60,4 +60,12 @@ class ConditionalStoreContractSpec extends AnyFunSuite {
     (LocalFsConditionalStore,
       java.nio.file.Files.createTempDirectory("cs_contract").toString))
   contract("in-memory", () => (new InMemoryConditionalStore, "/mem"))
+
+  // the S3-semantics impl over a REAL HTTP boundary: conditional PUT via
+  // If-None-Match, HEAD/GET/DELETE, ListObjectsV2 — same cases, same CAS
+  // race, exercised through an in-process object-store fake
+  private lazy val fake = new ObjectStoreHttpFake
+  contract("http-s3", () =>
+    (new graft.sources.HttpConditionalStore(fake.endpoint),
+      "cs-" + java.util.UUID.randomUUID().toString.take(8)))
 }

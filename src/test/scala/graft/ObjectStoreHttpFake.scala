@@ -1,0 +1,126 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.util.concurrent.ConcurrentHashMap
+
+/** In-process HTTP object-store fake with S3 semantics — the test double
+  * [[graft.sources.HttpConditionalStore]] runs against:
+  *
+  *   - `PUT` with `If-None-Match: *` is ATOMIC create-once (backed by a
+  *     ConcurrentHashMap putIfAbsent — the per-key atomicity a real
+  *     object store provides); a loser gets `412 Precondition Failed`.
+  *   - `HEAD`/`GET` 404 absent keys; `HEAD` carries RFC-1123
+  *     `Last-Modified`.
+  *   - `DELETE` is idempotent (`204` either way).
+  *   - `GET /?list-type=2&prefix=&delimiter=/` answers ListObjectsV2
+  *     XML: immediate keys as `<Contents><Key>`, deeper keys grouped
+  *     into `<CommonPrefixes><Prefix>`.
+  *   - Listing is READ-AFTER-WRITE consistent (S3 guarantees this since
+  *     Dec 2020): a key acknowledged by PUT appears in the next LIST.
+  */
+final class ObjectStoreHttpFake {
+  private val objects = new ConcurrentHashMap[String, (Array[Byte], Long)]()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+
+  def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  /** Test hook mirroring InMemoryConditionalStore: age a key backwards
+    * so stale-claim guards can fire without waiting.
+    */
+  def backdate(key: String, ms: Long): Unit =
+    Option(objects.get(key.stripPrefix("/"))).foreach { case (b, t) =>
+      objects.put(key.stripPrefix("/"), (b, t - ms))
+    }
+
+  private def httpDate(ms: Long): String =
+    java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+      java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneId.of("GMT")))
+
+  private def respond(ex: HttpExchange, code: Int,
+      body: Array[Byte] = Array.emptyByteArray): Unit = {
+    if (ex.getRequestMethod == "HEAD" || body.isEmpty)
+      ex.sendResponseHeaders(code, -1)
+    else {
+      ex.sendResponseHeaders(code, body.length.toLong)
+      ex.getResponseBody.write(body)
+    }
+    ex.close()
+  }
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split("&").flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toMap).getOrElse(Map.empty)
+
+  private def listXml(prefix: String): String = {
+    import scala.jdk.CollectionConverters._
+    val keys = objects.keySet().asScala.toSeq.sorted
+      .filter(_.startsWith(prefix))
+    val (files, dirs) = keys.partition(k =>
+      !k.stripPrefix(prefix).contains("/"))
+    val common = dirs.map(k =>
+      prefix + k.stripPrefix(prefix).takeWhile(_ != '/') + "/").distinct
+    "<?xml version=\"1.0\"?><ListBucketResult>" +
+      s"<Prefix>$prefix</Prefix>" +
+      files.map(k => s"<Contents><Key>$k</Key></Contents>").mkString +
+      common.map(p => s"<CommonPrefixes><Prefix>$p</Prefix></CommonPrefixes>")
+        .mkString +
+      "</ListBucketResult>"
+  }
+
+  server.createContext("/", (ex: HttpExchange) => {
+    try {
+      val key = java.net.URLDecoder.decode(
+        ex.getRequestURI.getPath.stripPrefix("/"), "UTF-8")
+      ex.getRequestMethod match {
+        case "PUT" =>
+          val bytes = ex.getRequestBody.readAllBytes()
+          val conditional = Option(
+            ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")
+          if (conditional) {
+            // the linearization point: per-key atomic create-once
+            val won = objects.putIfAbsent(key,
+              (bytes, System.currentTimeMillis())) == null
+            respond(ex, if (won) 200 else 412)
+          } else {
+            objects.put(key, (bytes, System.currentTimeMillis()))
+            respond(ex, 200)
+          }
+        case "HEAD" =>
+          Option(objects.get(key)) match {
+            case Some((_, t)) =>
+              ex.getResponseHeaders.set("Last-Modified", httpDate(t))
+              respond(ex, 200)
+            case None => respond(ex, 404)
+          }
+        case "GET" if key.isEmpty && query(ex).contains("prefix") =>
+          val xml = listXml(query(ex)("prefix")).getBytes("UTF-8")
+          respond(ex, 200, xml)
+        case "GET" =>
+          Option(objects.get(key)) match {
+            case Some((b, t)) =>
+              ex.getResponseHeaders.set("Last-Modified", httpDate(t))
+              respond(ex, 200, b)
+            case None => respond(ex, 404)
+          }
+        case "DELETE" =>
+          objects.remove(key)
+          respond(ex, 204)
+        case _ => respond(ex, 405)
+      }
+    } catch {
+      case t: Throwable =>
+        try respond(ex, 500) catch { case _: Throwable => () }
+        throw t
+    }
+  })
+  server.start()
+
+  def stop(): Unit = server.stop(0)
+}

@@ -221,4 +221,40 @@ class WalSpec extends AnyFunSuite {
       assert(WalStore.publishedAfter(root, 2L) == Seq(3L, 4L))
     } finally WalStore.conditional = prev
   }
+
+  test("full WAL protocol runs over the HTTP object-store boundary") {
+    // the wal3 mapping end-to-end across a REAL HTTP boundary: markers
+    // CAS through S3-semantics conditional PUTs against an in-process
+    // object-store fake; entry parquet stays on the data plane (the
+    // Hadoop connectors' job, by design)
+    val fake = new ObjectStoreHttpFake
+    val http = new graft.sources.HttpConditionalStore(fake.endpoint)
+    val prev = WalStore.conditional
+    WalStore.conditional = http
+    try {
+      val root = freshRoot() + "/coll"
+      def op(id: String, n: Long) = Seq(graft.operators.Materialize.LogOp(
+        id, n * WalStore.OffsetStride, "Add", Some(s"doc-$id"), Map())).toDS()
+      assert(WalStore.appendAt(root, 1L, op("a", 1)))
+      assert(!WalStore.appendAt(root, 1L, op("b", 1))) // CAS over HTTP
+      assert(WalStore.appendAt(root, 2L, op("b", 2)))
+      assert(WalStore.publishedAfter(root, 0L) == Seq(1L, 2L))
+      // no marker files on disk — they live behind the HTTP endpoint
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "_wal", "_entries")))
+      // crashed claim at 3 gaps the prefix until the void CAS fires
+      assert(http.putIfAbsent(s"$root/_wal/_entries/b3.claim",
+        Array.emptyByteArray))
+      assert(!WalStore.appendAt(root, 3L, op("c", 3)))
+      fake.backdate(s"$root/_wal/_entries/b3.claim", 60000L)
+      assert(WalStore.recoverStaleClaims(root, minAgeMs = 1000L) == Seq(3L))
+      assert(WalStore.appendAt(root, 4L, op("c", 4)))
+      assert(WalStore.readEntry(spark, root, 1L).collect().head.id == "a")
+      assert(WalStore.gcThrough(root, 2L) == Seq(1L, 2L))
+      assert(WalStore.publishedAfter(root, 2L) == Seq(3L, 4L))
+    } finally {
+      WalStore.conditional = prev
+      fake.stop()
+    }
+  }
 }
