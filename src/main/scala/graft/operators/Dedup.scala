@@ -228,9 +228,25 @@ object Dedup {
     * no corpus-wide aggregation and no size joins run at all.
     */
   def jaccardBatchProbe(batchPostings: DataFrame, postings: DataFrame,
-      threshold: Double, maxDf: Long = DefaultMaxDf): DataFrame = {
+      threshold: Double, maxDf: Long = DefaultMaxDf): DataFrame =
+    jaccardBatchProbeFromHits(batchPostings,
+      batchProbeHits(batchPostings, postings), threshold, maxDf)
+
+  /** The probe's pruning scan alone: corpus posting rows carrying any of
+    * the batch's shingles — the ONE subplan [[jaccardBatchProbeFromHits]]
+    * references twice (df count + pair join). Split out so a caller on
+    * the ingest cadence can `persist()` it for the batch's lifetime and
+    * halve the corpus scans per micro-batch
+    * ([[graft.streaming.EventStream.clusterMaintain]] does).
+    */
+  def batchProbeHits(batchPostings: DataFrame,
+      postings: DataFrame): DataFrame = {
     val batchSg = batchPostings.select("sg").distinct()
-    val hits = postings.join(batchSg.hint("shuffle_hash"), Seq("sg"), "left_semi")
+    postings.join(batchSg.hint("shuffle_hash"), Seq("sg"), "left_semi")
+  }
+
+  def jaccardBatchProbeFromHits(batchPostings: DataFrame, hits: DataFrame,
+      threshold: Double, maxDf: Long = DefaultMaxDf): DataFrame = {
     // global df for the batch's shingles: counted over ALL posting rows
     // carrying them — identical to the full-table dfreq restricted here
     val dfreq = hits.groupBy("sg").agg(count(lit(1)).as("df"))

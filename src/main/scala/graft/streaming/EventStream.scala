@@ -687,7 +687,7 @@ object EventStream extends Serializable {
     */
   def clusterMaintain(spark: SparkSession, srcDir: String, root: String,
       checkpoint: String, threshold: Double = 0.5,
-      filesPerBatch: Int = 1): Unit = {
+      filesPerBatch: Int = 1, shufflePartitions: Int = 8): Unit = {
     val q = spark.readStream.schema(StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType))))
       .option("maxFilesPerTrigger", filesPerBatch)
@@ -696,6 +696,17 @@ object EventStream extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // every shuffle in the per-batch chain moves BATCH-sized (probe
+        // hits) or PAIR-sized (near-dup graph) data, never the corpus —
+        // at the session's corpus-sized shuffle width the wall-clock is
+        // mostly empty-task launch overhead, and AQE partition coalescing
+        // is unavailable inside a streaming foreachBatch. Pin the width
+        // to the micro-batch for the fold, restore after; size it to the
+        // ingest cadence's batch volume on a real cluster.
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          shufflePartitions.toString)
+        try {
         val postDir = s"$root/postings"
         val labDir = s"$root/labels"
         // tokenize each document exactly ONCE, on arrival; the batch's
@@ -720,8 +731,13 @@ object EventStream extends Serializable {
           // twice — the component solve's collect and the label write —
           // and without the cache the whole probe plan evaluates twice
           // per batch
-          val pairs = graft.operators.Dedup.jaccardBatchProbe(
-              batchPost, dropBatch(spark.read.parquet(postDir)), threshold)
+          // the probe's pruning scan is referenced twice (df count +
+          // pair join) — persist it for the batch's lifetime so the
+          // accumulated posting table is scanned ONCE per micro-batch
+          val hits = graft.operators.Dedup.batchProbeHits(
+            batchPost, dropBatch(spark.read.parquet(postDir))).persist()
+          val pairs = graft.operators.Dedup.jaccardBatchProbeFromHits(
+              batchPost, hits, threshold)
             .select("da", "db").persist()
           try {
             val updated = graft.operators.Dedup.foldClusterStep(pairs, labels)
@@ -729,13 +745,14 @@ object EventStream extends Serializable {
             // not one per shuffle partition
             updated.coalesce(4).write.mode("overwrite")
               .parquet(s"${labDir}_staged")
-          } finally pairs.unpersist()
+          } finally { pairs.unpersist(); hits.unpersist() }
           if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(labDir)))
             graft.sources.CollectionStore.swapDirectory(labDir, s"${labDir}_staged")
           else org.apache.commons.io.FileUtils.moveDirectory(
             new java.io.File(s"${labDir}_staged"), new java.io.File(labDir))
           graft.sources.CollectionStore.invalidateRoot(labDir)
         } finally batchPost.unpersist()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       .start()
     q.awaitTermination()
