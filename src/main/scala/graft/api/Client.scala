@@ -71,28 +71,50 @@ final class Client(spark: SparkSession, root: String,
     */
   def forkCollection(src: String, dst: String): CollectionHandle = {
     Quotas.validateName(dst, "collection", limits)
+    // a fork mints a catalog entry like create does — it counts against
+    // the collection quota too, or forking would bypass the cap
+    if (limits.maxCollections != Long.MaxValue)
+      Quotas.validateCollectionCount(countCollections() + 1, limits)
     if (limits.maxForkEdges != Int.MaxValue)
       Quotas.validateForkEdges(forkEdgeCount(forkRootOf(src)) + 1, limits)
     new CollectionHandle(spark,
       Catalog.forkCollection(root, tenant, database, src, dst), limits)
   }
 
-  /** Root of a collection's fork chain (self when never forked). */
+  /** Root of a collection's fork chain (self when never forked). A chain
+    * deeper than the guard FAILS rather than silently reporting an
+    * intermediate node as the root (which would undercount fork edges).
+    */
   private def forkRootOf(name: String, hops: Int = 1000): String = {
     val r = Catalog.getCollection(root, tenant, database, name)
     r.forkedFrom match {
       case Some(src) if hops > 0 => forkRootOf(src, hops - 1)
-      case _ => name
+      case Some(_) => throw new IllegalStateException(
+        s"fork chain above '$name' exceeds 1000 hops — refusing to " +
+          "guess its root for quota accounting")
+      case None => name
     }
   }
 
   /** Edges in the fork tree rooted at `rootName` = collections whose
-    * chain reaches it, excluding the root itself. Metadata-only walk
-    * over the catalog — never touches data.
+    * chain reaches it, excluding the root itself. A walk over catalog
+    * DESCRIPTORS only (no data-plane IO), memoizing each visited node's
+    * root within the call so shared chain prefixes resolve once.
     */
-  private def forkEdgeCount(rootName: String): Long =
-    listCollections().count(n =>
-      n != rootName && forkRootOf(n) == rootName).toLong
+  private def forkEdgeCount(rootName: String): Long = {
+    val memo = scala.collection.mutable.Map[String, String]()
+    def rootOf(name: String, hops: Int = 1000): String =
+      memo.getOrElseUpdate(name, {
+        val r = Catalog.getCollection(root, tenant, database, name)
+        r.forkedFrom match {
+          case Some(src) if hops > 0 => rootOf(src, hops - 1)
+          case Some(_) => throw new IllegalStateException(
+            s"fork chain above '$name' exceeds 1000 hops")
+          case None => name
+        }
+      })
+    listCollections().count(n => n != rootName && rootOf(n) == rootName).toLong
+  }
 
   /** The reference's `collection.modify(name=…, metadata=…)`: rename
     * and/or replace collection metadata. Renames move only the catalog
@@ -149,7 +171,10 @@ final class CollectionHandle(spark: SparkSession,
       // capped add/upsert pays at most one state-count job (plus the
       // left_anti job only when the gate trips).
       if (sizeCheck) {
-        val cur = count()
+        // NOT the public count(): that takes a READ permit, and this
+        // runs inside the write gate — a saturated read side would
+        // reject the WRITE with a concurrent-reads error
+        val cur = state.count()
         if (cur + n > limits.maxRecordsPerCollection) {
           val fresh = records.select(col("id"))
             .join(state.toDF().select(col("id")), Seq("id"), "left_anti")

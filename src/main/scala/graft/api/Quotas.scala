@@ -125,12 +125,27 @@ object Quotas {
     * document bytes, uri bytes, metadata key count, metadata key bytes,
     * metadata value bytes. Runs on the RAW user batch (before the
     * facade's reserved-key/typed-tag encodes, which would inflate the
-    * user-visible sizes the reference validates).
+    * user-visible sizes the reference validates). Metadata key count and
+    * key size cover the TYPED maps too (`meta_int`/`meta_float`/
+    * `meta_bool` — a record's keys are one dictionary in the reference,
+    * however they are typed); value size applies to string values (the
+    * typed scalars have fixed width).
     */
   def validateRecordShapes(records: DataFrame, limits: Limits): Unit = {
     if (!limits.recordShapesLimited) return
+    val metaCols = Seq("meta", "meta_int", "meta_float", "meta_bool")
+      .filter(records.columns.contains)
     def has(c: String) = records.columns.contains(c)
     val zero = lit(0)
+    def keyCount: org.apache.spark.sql.Column =
+      if (metaCols.isEmpty) zero
+      else metaCols.map(c => coalesce(size(map_keys(col(c))), lit(0)))
+        .reduce(_ + _)
+    def maxKeyBytes: org.apache.spark.sql.Column =
+      if (metaCols.isEmpty) zero
+      else greatest(lit(0) +: metaCols.map(c =>
+        coalesce(array_max(transform(map_keys(col(c)),
+          k => octet_length(k))), lit(0))): _*)
     val metrics = Seq(
       "ID size bytes" ->
         (if (has("id")) max(octet_length(col("id").cast("string"))) else max(zero)),
@@ -138,12 +153,8 @@ object Quotas {
         (if (has("document")) max(octet_length(col("document"))) else max(zero)),
       "URI bytes" ->
         (if (has("uri")) max(octet_length(col("uri"))) else max(zero)),
-      "record metadata keys" ->
-        (if (has("meta")) max(size(map_keys(col("meta")))) else max(zero)),
-      "metadata key size bytes" ->
-        (if (has("meta"))
-          max(array_max(transform(map_keys(col("meta")), k => octet_length(k))))
-        else max(zero)),
+      "record metadata keys" -> max(keyCount),
+      "metadata key size bytes" -> max(maxKeyBytes),
       "record metadata value size bytes" ->
         (if (has("meta"))
           max(array_max(transform(map_values(col("meta")), v => octet_length(v))))

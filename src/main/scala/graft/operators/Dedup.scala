@@ -288,14 +288,19 @@ object Dedup {
     * template) makes the OUTPUT itself unmaterializable at corpus scale,
     * which no plan shape can fix. Past the cap a bucket degrades
     * gracefully: all-pairs among its `maxBucket` smallest doc_ids, STAR
-    * edges (bucket-min, member) for the overflow — so output is
-    * O(cap² + m) per bucket, every colliding document still surfaces in
-    * ≥ 1 verified pair, and cluster CONNECTIVITY is fully preserved
-    * (the recall loss is only pair-level, among overflow members —
-    * DedupSpec measures it). Same guard shape as the reference's SPANN
-    * posting-size caps (`rust/index/src/spann/types.rs`). Pass
-    * `Int.MaxValue` for the exhaustive listing (the `*_oracle` proof
-    * twins do).
+    * edges (bucket-min, member) for the overflow — output is
+    * O(cap² + m) CANDIDATE rows per bucket. Every colliding document
+    * keeps ≥ 1 candidate edge, but the star anchor is the bucket MIN:
+    * an overflow member whose true Jaccard clears the threshold against
+    * some capped member yet not against the min loses its pairs at the
+    * verify step. In practice the 16 bands each contribute an
+    * independent bucket-min anchor, and for the pathological case the
+    * cap exists for (a giant near-IDENTICAL cluster) min-anchored
+    * verification succeeds — DedupSpec gates bound, coverage,
+    * connectivity and precision on exactly that case. Same guard shape
+    * as the reference's SPANN posting-size caps
+    * (`rust/index/src/spann/types.rs`). Pass `Int.MaxValue` for the
+    * exhaustive listing (the `*_oracle` proof twins do).
     */
   val DefaultMaxBucket = 256
 

@@ -43,15 +43,32 @@ final class HttpConditionalStore(endpoint: String) extends ConditionalStore {
       h: HttpResponse.BodyHandler[T]): HttpResponse[T] = http.send(req, h)
 
   def putIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
-    val r = send(HttpRequest.newBuilder(uri(path))
-        .header("If-None-Match", "*")
-        .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build(),
-      HttpResponse.BodyHandlers.discarding())
-    r.statusCode() match {
-      case 200 | 201 => true
-      case 412 | 409 => false // lost the conditional write
-      case c => throw new java.io.IOException(s"PUT $path: HTTP $c")
+    // 412 Precondition Failed is a DEFINITIVE loss (the object exists).
+    // 409 ConcurrentModification is NOT: S3 returns it while a competing
+    // conditional write is in flight, and that competitor may itself
+    // fail — so 409 retries, and only an observed object decides the
+    // verdict once retries run out.
+    var attempt = 0
+    while (true) {
+      val r = send(HttpRequest.newBuilder(uri(path))
+          .header("If-None-Match", "*")
+          .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build(),
+        HttpResponse.BodyHandlers.discarding())
+      r.statusCode() match {
+        case 200 | 201 => return true
+        case 412 => return false
+        case 409 if attempt < 8 =>
+          attempt += 1
+          Thread.sleep(5L << math.min(attempt, 5))
+        case 409 =>
+          if (exists(path)) return false
+          throw new java.io.IOException(
+            s"PUT $path: still 409 after $attempt retries with no object " +
+              "present — cannot decide the CAS")
+        case c => throw new java.io.IOException(s"PUT $path: HTTP $c")
+      }
     }
+    false // unreachable
   }
 
   def exists(path: String): Boolean =
@@ -82,19 +99,34 @@ final class HttpConditionalStore(endpoint: String) extends ConditionalStore {
   }
 
   def list(prefix: String): Seq[String] = {
+    // ListObjectsV2 pages at the server's max-keys (1000 on S3): follow
+    // NextContinuationToken until IsTruncated clears — a single-page
+    // read would silently truncate a WAL with >1000 markers
     val pre = prefix.stripPrefix("/").stripSuffix("/") + "/"
-    val q = base + "/?list-type=2&prefix=" +
-      java.net.URLEncoder.encode(pre, "UTF-8") + "&delimiter=%2F"
-    val r = send(HttpRequest.newBuilder(URI.create(q)).GET().build(),
-      HttpResponse.BodyHandlers.ofString())
-    if (r.statusCode() != 200)
-      throw new java.io.IOException(s"LIST $prefix: HTTP ${r.statusCode()}")
-    val keys = "<Key>([^<]*)</Key>".r.findAllMatchIn(r.body())
-      .map(_.group(1)).toSeq
-    val dirs = "<Prefix>([^<]*)</Prefix>".r.findAllMatchIn(r.body())
-      .map(_.group(1)).filter(_ != pre).toSeq // the echoed request prefix
-    (keys.map(_.stripPrefix(pre)) ++
-      dirs.map(_.stripPrefix(pre).stripSuffix("/"))).filter(_.nonEmpty)
+    val out = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val q = base + "/?list-type=2&prefix=" +
+        java.net.URLEncoder.encode(pre, "UTF-8") + "&delimiter=%2F" +
+        token.map(t => "&continuation-token=" +
+          java.net.URLEncoder.encode(t, "UTF-8")).getOrElse("")
+      val r = send(HttpRequest.newBuilder(URI.create(q)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (r.statusCode() != 200)
+        throw new java.io.IOException(s"LIST $prefix: HTTP ${r.statusCode()}")
+      val body = r.body()
+      val keys = "<Key>([^<]*)</Key>".r.findAllMatchIn(body)
+        .map(_.group(1)).toSeq
+      val dirs = "<Prefix>([^<]*)</Prefix>".r.findAllMatchIn(body)
+        .map(_.group(1)).filter(_ != pre).toSeq // the echoed request prefix
+      out ++= (keys.map(_.stripPrefix(pre)) ++
+        dirs.map(_.stripPrefix(pre).stripSuffix("/"))).filter(_.nonEmpty)
+      token = "<NextContinuationToken>([^<]*)</NextContinuationToken>".r
+        .findFirstMatchIn(body).map(_.group(1))
+      more = token.isDefined
+    }
+    out.result()
   }
 
   def lastModifiedMs(path: String): Option[Long] = {

@@ -91,9 +91,21 @@ object EventStream extends Serializable {
     // that crashed AFTER its write but BEFORE checkpoint commit replays
     // after the fold, and its rewrite of batch=N would duplicate the
     // already-folded rows. The compactors record the max folded id in a
-    // `_compacted_max_batch` sidecar (inside the atomic swap) — a replay
-    // of a folded batch is a no-op here.
-    if (foldedMaxBatch(dir).exists(batchId <= _)) return
+    // `_compacted_max_batch` sidecar (inside the atomic swap). Exactly
+    // ONE batch can legitimately replay — the last (the stream never
+    // advances past an uncommitted batch) — so batchId == foldedMax is
+    // the replay no-op, while batchId < foldedMax can only mean the
+    // checkpoint does NOT belong to this directory (lost/recreated): a
+    // silent skip there would DESTROY the new data the fresh stream is
+    // delivering, so it fails loudly instead.
+    foldedMaxBatch(dir).foreach { fm =>
+      if (batchId == fm) return
+      if (batchId < fm) throw new IllegalStateException(
+        s"maintained table $dir was compacted through batch $fm but the " +
+          s"stream is delivering batch $batchId — this checkpoint does " +
+          "not belong to this directory (checkpoint and maintained dir " +
+          "must travel together); refusing to silently drop or duplicate")
+    }
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$dir/batch=$batchId")
@@ -687,7 +699,7 @@ object EventStream extends Serializable {
     */
   def clusterMaintain(spark: SparkSession, srcDir: String, root: String,
       checkpoint: String, threshold: Double = 0.5,
-      filesPerBatch: Int = 1, shufflePartitions: Int = 8): Unit = {
+      filesPerBatch: Int = 1): Unit = {
     val q = spark.readStream.schema(StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType))))
       .option("maxFilesPerTrigger", filesPerBatch)
@@ -696,17 +708,6 @@ object EventStream extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // every shuffle in the per-batch chain moves BATCH-sized (probe
-        // hits) or PAIR-sized (near-dup graph) data, never the corpus —
-        // at the session's corpus-sized shuffle width the wall-clock is
-        // mostly empty-task launch overhead, and AQE partition coalescing
-        // is unavailable inside a streaming foreachBatch. Pin the width
-        // to the micro-batch for the fold, restore after; size it to the
-        // ingest cadence's batch volume on a real cluster.
-        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions",
-          shufflePartitions.toString)
-        try {
         val postDir = s"$root/postings"
         val labDir = s"$root/labels"
         // tokenize each document exactly ONCE, on arrival; the batch's
@@ -752,7 +753,6 @@ object EventStream extends Serializable {
             new java.io.File(s"${labDir}_staged"), new java.io.File(labDir))
           graft.sources.CollectionStore.invalidateRoot(labDir)
         } finally batchPost.unpersist()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       .start()
     q.awaitTermination()

@@ -68,4 +68,19 @@ class ConditionalStoreContractSpec extends AnyFunSuite {
   contract("http-s3", () =>
     (new graft.sources.HttpConditionalStore(fake.endpoint),
       "cs-" + java.util.UUID.randomUUID().toString.take(8)))
+
+  test("http-s3: list follows ListObjectsV2 pagination across server pages") {
+    // S3 pages at max-keys (1000): a single-page client would silently
+    // truncate a WAL with more markers than one page — the fake pages at
+    // 3 here so the continuation-token loop is actually exercised
+    val paged = new ObjectStoreHttpFake(pageSize = 3)
+    try {
+      val s = new graft.sources.HttpConditionalStore(paged.endpoint)
+      val names = (0 until 10).map(i => f"b$i%02d.claim")
+      names.foreach(n =>
+        assert(s.putIfAbsent(s"pg/dir/$n", Array.emptyByteArray)))
+      assert(s.list("pg/dir").sorted == names.sorted,
+        "every page's entries must surface, in any order")
+    } finally paged.stop()
+  }
 }

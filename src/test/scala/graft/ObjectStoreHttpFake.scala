@@ -19,7 +19,7 @@ import java.util.concurrent.ConcurrentHashMap
   *   - Listing is READ-AFTER-WRITE consistent (S3 guarantees this since
   *     Dec 2020): a key acknowledged by PUT appears in the next LIST.
   */
-final class ObjectStoreHttpFake {
+final class ObjectStoreHttpFake(pageSize: Int = 1000) {
   private val objects = new ConcurrentHashMap[String, (Array[Byte], Long)]()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
@@ -58,7 +58,12 @@ final class ObjectStoreHttpFake {
       }
     }.toMap).getOrElse(Map.empty)
 
-  private def listXml(prefix: String): String = {
+  /** ListObjectsV2 with PAGINATION like S3's (max-keys, here the fake's
+    * `pageSize`): entries sort lexicographically, a page past the limit
+    * sets IsTruncated + NextContinuationToken (the last emitted entry;
+    * the next request resumes strictly after it).
+    */
+  private def listXml(prefix: String, token: Option[String]): String = {
     import scala.jdk.CollectionConverters._
     val keys = objects.keySet().asScala.toSeq.sorted
       .filter(_.startsWith(prefix))
@@ -66,11 +71,21 @@ final class ObjectStoreHttpFake {
       !k.stripPrefix(prefix).contains("/"))
     val common = dirs.map(k =>
       prefix + k.stripPrefix(prefix).takeWhile(_ != '/') + "/").distinct
+    val entries = (files.map(_ -> true) ++ common.map(_ -> false))
+      .sortBy(_._1)
+      .dropWhile { case (e, _) => token.exists(e <= _) }
+    val page = entries.take(pageSize)
+    val truncated = entries.length > pageSize
     "<?xml version=\"1.0\"?><ListBucketResult>" +
       s"<Prefix>$prefix</Prefix>" +
-      files.map(k => s"<Contents><Key>$k</Key></Contents>").mkString +
-      common.map(p => s"<CommonPrefixes><Prefix>$p</Prefix></CommonPrefixes>")
-        .mkString +
+      page.map {
+        case (k, true) => s"<Contents><Key>$k</Key></Contents>"
+        case (p, false) => s"<CommonPrefixes><Prefix>$p</Prefix></CommonPrefixes>"
+      }.mkString +
+      (if (truncated)
+        "<IsTruncated>true</IsTruncated>" +
+          s"<NextContinuationToken>${page.last._1}</NextContinuationToken>"
+      else "<IsTruncated>false</IsTruncated>") +
       "</ListBucketResult>"
   }
 
@@ -100,7 +115,9 @@ final class ObjectStoreHttpFake {
             case None => respond(ex, 404)
           }
         case "GET" if key.isEmpty && query(ex).contains("prefix") =>
-          val xml = listXml(query(ex)("prefix")).getBytes("UTF-8")
+          val q = query(ex)
+          val xml = listXml(q("prefix"), q.get("continuation-token"))
+            .getBytes("UTF-8")
           respond(ex, 200, xml)
         case "GET" =>
           Option(objects.get(key)) match {

@@ -213,12 +213,38 @@ class QuotasSpec extends AnyFunSuite {
     }
   }
 
+  test("typed metadata columns count against the key quotas too") {
+    // a record's metadata keys are ONE dictionary in the reference,
+    // however they are typed — keys split across the string map and the
+    // typed maps must not slip past the count or key-size caps
+    val c = freshClient(Quotas.CloudDefaults)
+    val col1 = c.createCollection("typedq")
+    intercept[Quotas.QuotaExceeded] { // 20 str + 13 int keys = 33 > 32
+      col1.add(Seq(("t1", "d",
+        (1 to 20).map(i => s"s$i" -> "v").toMap,
+        (1 to 13).map(i => s"i$i" -> i.toLong).toMap))
+        .toDF("id", "document", "meta", "meta_int"))
+    }
+    intercept[Quotas.QuotaExceeded] { // 37-byte key inside meta_int
+      col1.add(Seq(("t2", "d", Map("k" * 37 -> 1L)))
+        .toDF("id", "document", "meta_int"))
+    }
+    // at-limit twin flows: 20 + 12 = 32 keys, 36-byte typed key
+    col1.add(Seq(("t3", "d",
+      (1 to 20).map(i => s"s$i" -> "v").toMap,
+      (1 to 11).map(i => s"i$i" -> i.toLong).toMap + ("k" * 36 -> 1L)))
+      .toDF("id", "document", "meta", "meta_int"))
+  }
+
   test("collection count and fork edges from root") {
     val lim = Quotas.CloudDefaults.copy(maxCollections = 2L, maxForkEdges = 2)
     val c = freshClient(lim)
-    c.createCollection("col1")
+    val base1 = c.createCollection("col1")
+    base1.add(Seq(("a", "d")).toDF("id", "document"))
     c.createCollection("col2")
     intercept[Quotas.QuotaExceeded] { c.createCollection("col3") }
+    // a fork mints a catalog entry too — it must not bypass the cap
+    intercept[Quotas.QuotaExceeded] { c.forkCollection("col1", "col3f") }
 
     val cf = freshClient(Quotas.CloudDefaults.copy(maxForkEdges = 2))
     val src = cf.createCollection("root0")

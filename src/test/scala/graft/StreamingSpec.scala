@@ -287,6 +287,19 @@ class StreamingSpec extends AnyFunSuite {
         s"${(got -- expect).take(3)} missing=${(expect -- got).take(3)}")
     assert(!new java.io.File(s"$base/postings/batch=$lastBatch").exists(),
       "the replayed batch's leaf must not be rewritten next to its folded copy")
+
+    // only the LAST batch may silently no-op as a replay; a LOST/fresh
+    // checkpoint restarts batch ids at 0 < foldedMax and must fail
+    // loudly — a silent skip would destroy the fresh stream's data
+    val e = intercept[Throwable] {
+      EventStream.ivfMaintain(spark, s"$base/src", centroids,
+        s"$base/postings", s"$base/ckpt_fresh", nReplica = 2)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("does not belong"))),
+      s"expected the checkpoint-mismatch error, got $e")
   }
 
   test("incremental FTS maintenance serves the same candidates as the batch build") {
