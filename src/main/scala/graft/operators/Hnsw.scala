@@ -255,10 +255,11 @@ object Hnsw {
   def buildRoutedAndSave(candidates: DataFrame, root: String,
       nCentroids: Int, nReplica: Int = 2, m: Int = 16,
       efConstruction: Int = 100, space: String = "cosine",
-      seed: Long = 42L, knownCount: Option[Long] = None): Unit = {
+      seed: Long = 42L, knownCount: Option[Long] = None,
+      fitSampleMax: Long = Ivf.FitSampleMax): Unit = {
     val spark = candidates.sparkSession
     val model = Ivf.build(candidates, nCentroids, nReplica, seed,
-      knownCount = knownCount)
+      fitSampleMax = fitSampleMax, knownCount = knownCount)
     val rows = model.postings
       .repartition(col("centroid_id"))
       .select(col("centroid_id"), col("offset_id"), col("embedding")).rdd

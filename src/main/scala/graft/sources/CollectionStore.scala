@@ -259,13 +259,17 @@ object CollectionStore {
   def ivfServing(vecs: DataFrame, root: String, nCentroids: Int,
       nReplica: Int = 2, seed: Long = 42L, space: String = "cosine",
       graphRouteThreshold: Int = CentroidGraphThreshold,
-      keyTag: String = ""): Ivf.Model = {
-    once(s"ivf-$root-$nCentroids-$nReplica-$seed-$keyTag") {
+      keyTag: String = "",
+      fitSampleMax: Long = Ivf.FitSampleMax): Ivf.Model = {
+    // a non-default fit sample re-keys the build; the default keeps the
+    // pre-existing key (and every already-built index) stable
+    val fs = if (fitSampleMax == Ivf.FitSampleMax) "" else s"-fs$fitSampleMax"
+    once(s"ivf-$root-$nCentroids-$nReplica-$seed-$keyTag$fs") {
       val n = vecs.count()
-      val key = s"ivf-$nCentroids-$nReplica-$seed-n$n-$keyTag"
+      val key = s"ivf-$nCentroids-$nReplica-$seed-n$n-$keyTag$fs"
       ensureBuilt(root, "ivf", key) {
         saveIvf(Ivf.build(vecs, nCentroids, nReplica, seed,
-          knownCount = Some(n)), root)
+          fitSampleMax = fitSampleMax, knownCount = Some(n)), root)
       }
     }
     val spark = vecs.sparkSession
