@@ -128,6 +128,18 @@ final class Client(spark: SparkSession, root: String,
       Catalog.modifyCollection(root, tenant, database, name, newName, metadata),
       limits)
   }
+
+  /** Restricted vector-index config update — only the reference's
+    * updatable fields exist on the update types (query-time knobs);
+    * build parameters are immutable after create
+    * (`collection_configuration.rs:222-268`).
+    */
+  def updateCollectionConfig(name: String,
+      hnsw: Option[Catalog.HnswConfigUpdate] = None,
+      spann: Option[Catalog.SpannConfigUpdate] = None): CollectionHandle =
+    new CollectionHandle(spark,
+      Catalog.updateCollectionConfig(root, tenant, database, name, hnsw, spann),
+      limits)
 }
 
 /** One collection through the client: WAL-semantics writes (add is
@@ -541,23 +553,44 @@ final class CollectionHandle(spark: SparkSession,
     * per compacted segment (`ensureBuilt` marker keyed on row count) —
     * query time only routes and probes.
     */
-  def queryAnn(queries: DataFrame, k: Int, nprobe: Int,
-      nCentroids: Int = 16, nReplica: Int = 4,
+  /** The collection's declared vector-index config (explicit schema
+    * config, else the legacy `hnsw:*` metadata parse) — query knobs left
+    * at their sentinel defaults resolve from it; a collection with NO
+    * declared config keeps the historical serving defaults, so existing
+    * callers see identical plans.
+    */
+  private lazy val indexConfig: Option[Catalog.VectorIndexConfig] =
+    Catalog.effectiveVectorIndex(ref.schema, ref.metadata)
+
+  private def cfgSpace(arg: String): String =
+    if (arg.nonEmpty) arg else indexConfig.map(_.space).getOrElse("cosine")
+
+  def queryAnn(queries: DataFrame, k: Int, nprobe: Int = -1,
+      nCentroids: Int = 16, nReplica: Int = -1,
       where: Option[graft.model.Where.Expr] = None,
-      space: String = "cosine"): DataFrame = {
+      space: String = ""): DataFrame = {
     where.foreach(Quotas.validateWhere(_, limits))
     Quotas.validateResults(k, limits)
+    // SPANN config supplies search_nprobe / nreplica_count when the call
+    // leaves them at the sentinel (spann_configuration.rs defaults)
+    val spannCfg = indexConfig.collect { case s: Catalog.SpannIndexConfig => s }
+    val np = if (nprobe > 0) nprobe
+      else spannCfg.map(_.searchNprobe).getOrElse(throw new
+        IllegalArgumentException("queryAnn: pass nprobe or declare a " +
+          "spann vector-index config on the collection"))
+    val nr = if (nReplica > 0) nReplica else spannCfg.map(_.nReplica).getOrElse(4)
+    val sp = cfgSpace(space)
     segmentDataRoot(ref) match {
-      case None => asCollection.query(queries, k, where, space)
+      case None => asCollection.query(queries, k, where, sp)
       case Some(dataRoot) =>
         val seg = CollectionStore.loadRecords(spark, dataRoot)
         val model = CollectionStore.ivfServing(
           seg.select(col("offset_id"), col("embedding")),
-          dataRoot, nCentroids, nReplica, space = space,
+          dataRoot, nCentroids, nr, space = sp,
           keyTag = segTag(seg))
         val (tail, stale) = tailAndStale()
-        new Collection(seg).queryAnn(model, queries, k, nprobe, where,
-          space, walTail = tail, staleIds = stale,
+        new Collection(seg).queryAnn(model, queries, k, np, where,
+          sp, walTail = tail, staleIds = stale,
           staleFetchExtra = stale.map(tailCount).getOrElse(0))
     }
   }
@@ -593,18 +626,31 @@ final class CollectionHandle(spark: SparkSession,
     * (`rust/segment/src/distributed_hnsw.rs`); same IndexAndWal tail
     * merge. Graphs build once per compacted segment (content-tagged key).
     */
-  def queryAnnHnsw(queries: DataFrame, k: Int, efSearch: Int = 64,
-      space: String = "cosine"): DataFrame = {
+  def queryAnnHnsw(queries: DataFrame, k: Int, efSearch: Int = -1,
+      space: String = ""): DataFrame = {
     Quotas.validateResults(k, limits)
+    // the declared config supplies the query-time ef_search and the
+    // build-time M / ef_construction (hnsw_configuration.rs defaults);
+    // no config keeps the historical defaults (ef 64, cosine, M 16)
+    val ef = if (efSearch > 0) efSearch
+      else indexConfig.map {
+        case h: Catalog.HnswIndexConfig => h.efSearch
+        case s: Catalog.SpannIndexConfig => s.efSearch
+      }.getOrElse(64)
+    val sp = cfgSpace(space)
+    val (m, efc) = indexConfig.map {
+      case h: Catalog.HnswIndexConfig => (h.maxNeighbors, h.efConstruction)
+      case s: Catalog.SpannIndexConfig => (s.maxNeighbors, s.efConstruction)
+    }.getOrElse((16, 100))
     segmentDataRoot(ref) match {
-      case None => asCollection.query(queries, k, None, space)
+      case None => asCollection.query(queries, k, None, sp)
       case Some(dataRoot) =>
         val seg = CollectionStore.loadRecords(spark, dataRoot)
         val root = CollectionStore.hnswServing(
           seg.select(col("offset_id"), col("embedding")), dataRoot,
-          space = space, keyTag = segTag(seg))
+          m = m, efConstruction = efc, space = sp, keyTag = segTag(seg))
         val (tail, stale) = tailAndStale()
-        new Collection(seg).queryAnnHnsw(root, queries, k, efSearch, space,
+        new Collection(seg).queryAnnHnsw(root, queries, k, ef, sp,
           walTail = tail, staleIds = stale,
           staleFetchExtra = stale.map(tailCount).getOrElse(0))
     }

@@ -58,6 +58,79 @@ object Catalog {
   final case class KeyConfig(valueType: ValueType, indexed: Boolean = false,
       embeddingFunction: Option[String] = None)
 
+  /** Per-collection VECTOR INDEX configuration — the reference's
+    * `InternalCollectionConfiguration.vector_index`
+    * (`rust/types/src/collection_configuration.rs:108-180`): an HNSW or
+    * a SPANN variant, each with the reference's published defaults
+    * (`hnsw_configuration.rs:42-74`, `spann_configuration.rs:7-68`).
+    * The serving calls read their knobs from here when the caller does
+    * not override (query-time ef_search/nprobe/space; build-time
+    * ef_construction/M/replica). `numThreads`/`batchSize`/
+    * `syncThreshold`/`resizeFactor` are single-process hnswlib knobs
+    * with no Spark analogue (the scheduler owns parallelism, the
+    * maintainers own batching) — carried for config parity and update
+    * semantics, not consulted by plans.
+    */
+  sealed trait VectorIndexConfig { def space: String; def kind: String }
+  final case class HnswIndexConfig(
+      space: String = "l2",         // default_space (hnsw_configuration.rs:72)
+      efConstruction: Int = 100,    // default_construction_ef
+      efSearch: Int = 100,          // default_search_ef
+      maxNeighbors: Int = 16,       // default_m
+      numThreads: Int = 16,         // default_num_threads (host-dependent)
+      resizeFactor: Double = 1.2,   // default_resize_factor
+      syncThreshold: Int = 1000,    // default_sync_threshold
+      batchSize: Int = 100          // default_batch_size
+  ) extends VectorIndexConfig { val kind = "hnsw" }
+  final case class SpannIndexConfig(
+      space: String = "l2",
+      searchNprobe: Int = 64,       // default_search_nprobe
+      writeNprobe: Int = 32,        // default_write_nprobe
+      nReplica: Int = 8,            // default_nreplica_count
+      splitThreshold: Int = 50,     // default_split_threshold
+      mergeThreshold: Int = 25,     // default_merge_threshold
+      efConstruction: Int = 200,    // default_construction_ef_spann
+      efSearch: Int = 200,          // default_search_ef_spann
+      maxNeighbors: Int = 64        // default_m_spann
+  ) extends VectorIndexConfig { val kind = "spann" }
+
+  object VectorIndexConfig {
+    /** The reference's LEGACY metadata fallback
+      * (`hnsw_configuration.rs:207-222`): collections configured the old
+      * way carry `hnsw:*` keys in collection metadata; they parse into
+      * an HNSW config with per-field defaults.
+      */
+    def fromLegacyMetadata(md: Map[String, String]): Option[HnswIndexConfig] =
+      if (!md.keys.exists(_.startsWith("hnsw:"))) None
+      else Some(HnswIndexConfig(
+        space = md.getOrElse("hnsw:space", "l2"),
+        efConstruction = md.get("hnsw:construction_ef").map(_.toInt)
+          .getOrElse(100),
+        efSearch = md.get("hnsw:search_ef").map(_.toInt).getOrElse(100),
+        maxNeighbors = md.get("hnsw:M").map(_.toInt).getOrElse(16),
+        numThreads = md.get("hnsw:num_threads").map(_.toInt).getOrElse(16),
+        resizeFactor = md.get("hnsw:resize_factor").map(_.toDouble)
+          .getOrElse(1.2),
+        syncThreshold = md.get("hnsw:sync_threshold").map(_.toInt)
+          .getOrElse(1000),
+        batchSize = md.get("hnsw:batch_size").map(_.toInt).getOrElse(100)))
+  }
+
+  /** The UPDATABLE subset of each config — exactly the fields the
+    * reference's update types expose (`UpdateHnswConfiguration` /
+    * `UpdateSpannConfiguration`, applied in
+    * `collection_configuration.rs:222-262`): build-time parameters
+    * (space, ef_construction, M/replica/split/merge on SPANN) are
+    * IMMUTABLE after create, so they are not representable here — the
+    * type is the guard, matching the reference's.
+    */
+  final case class HnswConfigUpdate(
+      efSearch: Option[Int] = None, maxNeighbors: Option[Int] = None,
+      numThreads: Option[Int] = None, resizeFactor: Option[Double] = None,
+      syncThreshold: Option[Int] = None, batchSize: Option[Int] = None)
+  final case class SpannConfigUpdate(
+      searchNprobe: Option[Int] = None, efSearch: Option[Int] = None)
+
   /** Collection schema: embedding config + document FTS flag + typed
     * metadata keys + attached server-side functions (names resolved
     * against [[graft.functions.AttachedFunctions]]) + optional embedding
@@ -73,7 +146,18 @@ object Catalog {
       documentFts: Boolean = false,
       keys: Map[String, KeyConfig] = Map.empty,
       attached: Seq[String] = Seq.empty,
-      embeddingFunction: Option[String] = None)
+      embeddingFunction: Option[String] = None,
+      vectorIndex: Option[VectorIndexConfig] = None)
+
+  /** The collection's EFFECTIVE vector-index config: an explicitly
+    * declared one wins, else the legacy `hnsw:*` metadata parse, else
+    * none (the serving calls then keep their own defaults) — the
+    * resolution order of
+    * `InternalCollectionConfiguration.get_hnsw_config_with_legacy_fallback`.
+    */
+  def effectiveVectorIndex(schema: Schema,
+      metadata: Map[String, String]): Option[VectorIndexConfig] =
+    schema.vectorIndex.orElse(VectorIndexConfig.fromLegacyMetadata(metadata))
 
   final case class CollectionRef(tenant: String, database: String,
       name: String, schema: Schema, root: String, dataRoot: String,
@@ -143,6 +227,22 @@ object Catalog {
       "attached" -> schema.attached,
       "metadata" -> metadata) ++
       schema.embeddingFunction.map("embedding_function" -> _) ++
+      schema.vectorIndex.map {
+        case h: HnswIndexConfig => "vector_index" -> Map[String, Any](
+          "type" -> "hnsw", "space" -> h.space,
+          "construction_ef" -> h.efConstruction, "search_ef" -> h.efSearch,
+          "M" -> h.maxNeighbors, "num_threads" -> h.numThreads,
+          "resize_factor" -> h.resizeFactor,
+          "sync_threshold" -> h.syncThreshold, "batch_size" -> h.batchSize)
+        case s: SpannIndexConfig => "vector_index" -> Map[String, Any](
+          "type" -> "spann", "space" -> s.space,
+          "search_nprobe" -> s.searchNprobe, "write_nprobe" -> s.writeNprobe,
+          "nreplica_count" -> s.nReplica,
+          "split_threshold" -> s.splitThreshold,
+          "merge_threshold" -> s.mergeThreshold,
+          "construction_ef" -> s.efConstruction, "search_ef" -> s.efSearch,
+          "M" -> s.maxNeighbors)
+      } ++
       forkedFrom.map("forked_from" -> _) ++
       dataDir.map("data_dir" -> _)
     val json = Serialization.write(base)
@@ -223,8 +323,82 @@ object Catalog {
       case JString(s) => Some(s)
       case _ => None
     }
-    ref(root, tenant, db, name, Schema(emb, fts, keys, attached, ef), forked,
-      md, dataDir)
+    val vi = (j \ "vector_index") match {
+      case o: JObject =>
+        def i(k: String, d: Int) =
+          (o \ k) match { case JInt(v) => v.toInt; case _ => d }
+        def dbl(k: String, d: Double) = (o \ k) match {
+          case JDouble(v) => v; case JInt(v) => v.toDouble; case _ => d
+        }
+        def s(k: String, d: String) =
+          (o \ k) match { case JString(v) => v; case _ => d }
+        s("type", "hnsw") match {
+          case "spann" => Some(SpannIndexConfig(
+            space = s("space", "l2"),
+            searchNprobe = i("search_nprobe", 64),
+            writeNprobe = i("write_nprobe", 32),
+            nReplica = i("nreplica_count", 8),
+            splitThreshold = i("split_threshold", 50),
+            mergeThreshold = i("merge_threshold", 25),
+            efConstruction = i("construction_ef", 200),
+            efSearch = i("search_ef", 200),
+            maxNeighbors = i("M", 64)))
+          case _ => Some(HnswIndexConfig(
+            space = s("space", "l2"),
+            efConstruction = i("construction_ef", 100),
+            efSearch = i("search_ef", 100),
+            maxNeighbors = i("M", 16),
+            numThreads = i("num_threads", 16),
+            resizeFactor = dbl("resize_factor", 1.2),
+            syncThreshold = i("sync_threshold", 1000),
+            batchSize = i("batch_size", 100)))
+        }
+      case _ => None
+    }
+    ref(root, tenant, db, name, Schema(emb, fts, keys, attached, ef, vi),
+      forked, md, dataDir)
+  }
+
+  /** Apply a restricted config update — the reference's
+    * `InternalCollectionConfiguration.update`
+    * (`collection_configuration.rs:222-268`): the update variant only
+    * applies when it matches the collection's index variant (a
+    * mismatched variant is a documented NO-OP, like the reference's
+    * `if let` fall-through), and only the reference's updatable fields
+    * exist on the update types. A collection with no declared config
+    * updates against the variant's defaults (declaring it in passing).
+    */
+  def updateCollectionConfig(root: String, tenant: String, db: String,
+      name: String, hnsw: Option[HnswConfigUpdate] = None,
+      spann: Option[SpannConfigUpdate] = None): CollectionRef = {
+    val cur = getCollection(root, tenant, db, name)
+    val base = effectiveVectorIndex(cur.schema, cur.metadata)
+      .getOrElse(HnswIndexConfig())
+    val next = base match {
+      case h: HnswIndexConfig => hnsw match {
+        case Some(u) => h.copy(
+          efSearch = u.efSearch.getOrElse(h.efSearch),
+          maxNeighbors = u.maxNeighbors.getOrElse(h.maxNeighbors),
+          numThreads = u.numThreads.getOrElse(h.numThreads),
+          resizeFactor = u.resizeFactor.getOrElse(h.resizeFactor),
+          syncThreshold = u.syncThreshold.getOrElse(h.syncThreshold),
+          batchSize = u.batchSize.getOrElse(h.batchSize))
+        case None => h
+      }
+      case s: SpannIndexConfig => spann match {
+        case Some(u) => s.copy(
+          searchNprobe = u.searchNprobe.getOrElse(s.searchNprobe),
+          efSearch = u.efSearch.getOrElse(s.efSearch))
+        case None => s
+      }
+    }
+    val schema2 = cur.schema.copy(vectorIndex = Some(next))
+    val dir = sysdbPath(root, tenant, db)
+    val dataDir = cur.dataRoot.split('/').last
+    writeDescriptor(dir.resolve(s"$name.json"), schema2,
+      cur.forkedFrom, Some(dataDir), cur.metadata, createNew = false)
+    CollectionRef(tenant, db, name, schema2, root, cur.dataRoot,
+      cur.forkedFrom, cur.metadata)
   }
 
   def listTenants(root: String): Seq[String] = listDirs(

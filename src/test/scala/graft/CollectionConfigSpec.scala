@@ -1,0 +1,142 @@
+package graft
+
+import graft.api.Client
+import graft.sources.Catalog
+import graft.sources.Catalog.{HnswConfigUpdate, HnswIndexConfig, SpannConfigUpdate, SpannIndexConfig}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-collection vector-index configuration — the reference's
+  * `InternalCollectionConfiguration` (`collection_configuration.rs`):
+  * HNSW/SPANN variants with the published defaults, the legacy `hnsw:*`
+  * metadata fallback, descriptor persistence, the RESTRICTED update
+  * surface (query-time knobs only — build parameters are immutable by
+  * type), and the serving calls reading their knobs from the declared
+  * config.
+  */
+class CollectionConfigSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshClient() = new Client(spark,
+    java.nio.file.Files.createTempDirectory("cfg").toString)
+
+  test("defaults parity: every config field carries the reference's default") {
+    // hnsw_configuration.rs:42-74 / spann_configuration.rs:7-68 — a
+    // drifted constant fails here by name
+    val h = HnswIndexConfig()
+    val hnswParity = Seq[(String, Any, Any)](
+      ("space", h.space, "l2"),
+      ("construction_ef", h.efConstruction, 100),
+      ("search_ef", h.efSearch, 100),
+      ("M", h.maxNeighbors, 16),
+      ("resize_factor", h.resizeFactor, 1.2),
+      ("sync_threshold", h.syncThreshold, 1000),
+      ("batch_size", h.batchSize, 100))
+    val s = SpannIndexConfig()
+    val spannParity = Seq[(String, Any, Any)](
+      ("space", s.space, "l2"),
+      ("search_nprobe", s.searchNprobe, 64),
+      ("write_nprobe", s.writeNprobe, 32),
+      ("nreplica_count", s.nReplica, 8),
+      ("split_threshold", s.splitThreshold, 50),
+      ("merge_threshold", s.mergeThreshold, 25),
+      ("construction_ef", s.efConstruction, 200),
+      ("search_ef", s.efSearch, 200),
+      ("M", s.maxNeighbors, 64))
+    (hnswParity.map(("hnsw", _)) ++ spannParity.map(("spann", _))).foreach {
+      case (kind, (field, got, want)) =>
+        assert(got == want, s"$kind $field: $got != reference default $want")
+    }
+  }
+
+  test("legacy hnsw:* metadata parses into the config with per-field defaults") {
+    val md = Map("hnsw:space" -> "cosine", "hnsw:search_ef" -> "250",
+      "hnsw:M" -> "32", "other" -> "x")
+    val cfg = Catalog.VectorIndexConfig.fromLegacyMetadata(md).get
+    assert(cfg.space == "cosine" && cfg.efSearch == 250 &&
+      cfg.maxNeighbors == 32)
+    assert(cfg.efConstruction == 100, "absent legacy keys take defaults")
+    assert(Catalog.VectorIndexConfig.fromLegacyMetadata(
+      Map("other" -> "x")).isEmpty, "no hnsw:* keys -> no legacy config")
+    // resolution order: explicit schema config beats legacy metadata
+    val explicit = HnswIndexConfig(space = "ip")
+    assert(Catalog.effectiveVectorIndex(
+      Catalog.Schema(vectorIndex = Some(explicit)), md).contains(explicit))
+    assert(Catalog.effectiveVectorIndex(Catalog.Schema(), md).contains(cfg))
+  }
+
+  test("config persists through the descriptor and a reopen") {
+    val c = freshClient()
+    val declared = SpannIndexConfig(space = "cosine", searchNprobe = 12,
+      splitThreshold = 80)
+    c.createCollection("cfg_rt",
+      Catalog.Schema(vectorIndex = Some(declared)))
+    val reopened = c.getCollection("cfg_rt")
+    assert(reopened.ref.schema.vectorIndex.contains(declared),
+      s"descriptor round-trip lost the config: ${reopened.ref.schema.vectorIndex}")
+    val h = HnswIndexConfig(space = "ip", efSearch = 321, resizeFactor = 1.5)
+    c.createCollection("cfg_rt2", Catalog.Schema(vectorIndex = Some(h)))
+    assert(c.getCollection("cfg_rt2").ref.schema.vectorIndex.contains(h))
+  }
+
+  test("update surface is the reference's: query knobs apply, variants don't cross") {
+    val c = freshClient()
+    c.createCollection("cfg_up", Catalog.Schema(
+      vectorIndex = Some(SpannIndexConfig())))
+    // spann update applies ONLY search_nprobe / ef_search
+    val updated = c.updateCollectionConfig("cfg_up",
+      spann = Some(SpannConfigUpdate(searchNprobe = Some(9),
+        efSearch = Some(99))))
+    updated.ref.schema.vectorIndex match {
+      case Some(s: SpannIndexConfig) =>
+        assert(s.searchNprobe == 9 && s.efSearch == 99)
+        assert(s.splitThreshold == 50 && s.space == "l2",
+          "non-updatable fields must be untouched")
+      case other => fail(s"expected spann config, got $other")
+    }
+    // a mismatched-variant update is a no-op (the reference's if-let
+    // fall-through), never a crossgrade
+    val noop = c.updateCollectionConfig("cfg_up",
+      hnsw = Some(HnswConfigUpdate(efSearch = Some(1))))
+    noop.ref.schema.vectorIndex match {
+      case Some(s: SpannIndexConfig) => assert(s.efSearch == 99)
+      case other => fail(s"hnsw update crossgraded a spann config: $other")
+    }
+    // an undeclared collection updates against the HNSW defaults
+    c.createCollection("cfg_up2")
+    val fromDefault = c.updateCollectionConfig("cfg_up2",
+      hnsw = Some(HnswConfigUpdate(efSearch = Some(222))))
+    fromDefault.ref.schema.vectorIndex match {
+      case Some(h: HnswIndexConfig) =>
+        assert(h.efSearch == 222 && h.efConstruction == 100)
+      case other => fail(s"expected hnsw config, got $other")
+    }
+  }
+
+  test("serving reads the declared config: space drives HNSW neighbor order") {
+    // q=[1,0]: under inner-product the LONG OFF-ANGLE vector [8,6] wins
+    // (ip = 8); under cosine the near-parallel unit vector wins — the
+    // ONLY difference between the two collections is the declared
+    // config's space
+    val c = freshClient()
+    def mk(name: String, space: String) = {
+      val coll = c.createCollection(name, Catalog.Schema(
+        vectorIndex = Some(HnswIndexConfig(space = space, efSearch = 50))))
+      coll.add(Seq(
+        ("long", "d", Seq(8f, 6f)),
+        ("aligned", "d", Seq(1f, 0.001f)),
+        ("off", "d", Seq(0.1f, 0.99f)))
+        .toDF("id", "document", "embedding"))
+      coll.persist()
+      c.getCollection(name)
+    }
+    val qs = Seq((0L, Seq(1f, 0f))).toDF("query_id", "q_embedding")
+    val ipTop = mk("cfg_ip", "ip").queryAnnHnsw(qs, k = 1)
+      .select("id").collect().head.getString(0)
+    val cosTop = mk("cfg_cos", "cosine").queryAnnHnsw(qs, k = 1)
+      .select("id").collect().head.getString(0)
+    assert(ipTop == "long", s"ip-config collection returned $ipTop")
+    assert(cosTop == "aligned", s"cosine-config collection returned $cosTop")
+  }
+}
