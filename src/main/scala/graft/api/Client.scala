@@ -584,10 +584,20 @@ final class CollectionHandle(spark: SparkSession,
       case None => asCollection.query(queries, k, where, sp)
       case Some(dataRoot) =>
         val seg = CollectionStore.loadRecords(spark, dataRoot)
-        val model = CollectionStore.ivfServing(
-          seg.select(col("offset_id"), col("embedding")),
-          dataRoot, nCentroids, nr, space = sp,
-          keyTag = segTag(seg))
+        val vecs = seg.select(col("offset_id"), col("embedding"))
+        // a DECLARED spann config serves through the split/merge-
+        // maintained index — its split/merge thresholds are exactly the
+        // compactor's list-size maintenance knobs
+        // (spann_configuration.rs split_threshold/merge_threshold)
+        val model = spannCfg match {
+          case Some(sc) => CollectionStore.ivfRebalancedServing(
+            vecs, dataRoot, nCentroids, nr,
+            splitThreshold = sc.splitThreshold,
+            mergeThreshold = sc.mergeThreshold, keyTag = segTag(seg))
+          case None => CollectionStore.ivfServing(
+            vecs, dataRoot, nCentroids, nr, space = sp,
+            keyTag = segTag(seg))
+        }
         val (tail, stale) = tailAndStale()
         new Collection(seg).queryAnn(model, queries, k, np, where,
           sp, walTail = tail, staleIds = stale,

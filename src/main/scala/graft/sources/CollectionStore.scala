@@ -312,10 +312,11 @@ object CollectionStore {
     */
   def ivfRebalancedServing(vecs: DataFrame, root: String, nCentroids: Int,
       nReplica: Int = 2, splitThreshold: Int = 1000, mergeThreshold: Int = 0,
-      seed: Long = 42L): Ivf.Model = {
-    once(s"ivf2-$root-$nCentroids-$nReplica-$splitThreshold-$mergeThreshold-$seed") {
+      seed: Long = 42L, keyTag: String = ""): Ivf.Model = {
+    once(s"ivf2-$root-$nCentroids-$nReplica-$splitThreshold-$mergeThreshold-" +
+        s"$seed-$keyTag") {
       val key = s"ivf2-$nCentroids-$nReplica-$splitThreshold-$mergeThreshold-" +
-        s"$seed-n${vecs.count()}"
+        s"$seed-n${vecs.count()}-$keyTag"
       ensureBuilt(root, "ivf2", key) {
         val m = Ivf.rebalance(Ivf.build(vecs, nCentroids, nReplica, seed),
           splitThreshold, mergeThreshold)

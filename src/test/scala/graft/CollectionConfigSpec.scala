@@ -114,6 +114,34 @@ class CollectionConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("a spann-config collection serves queryAnn from its config, rebalanced") {
+    // no nprobe passed: the declared config's search_nprobe (64, the
+    // reference default) exceeds the centroid count, so the served
+    // answer is exhaustive and must equal brute force exactly; the
+    // serving index is the split/merge-maintained one (the config's
+    // split/merge thresholds are the compactor's knobs)
+    val c = freshClient()
+    val coll = c.createCollection("cfg_spann", Catalog.Schema(
+      vectorIndex = Some(SpannIndexConfig(space = "cosine"))))
+    val vecs = (0 until 64).map(i =>
+      (s"v$i", "d", Seq(math.sin(i * 0.7).toFloat, math.cos(i * 1.3).toFloat,
+        math.sin(i * 2.1 + 1).toFloat)))
+    coll.add(vecs.toDF("id", "document", "embedding"))
+    coll.persist()
+    val h = c.getCollection("cfg_spann")
+    val qs = Seq((0L, Seq(0.5f, -0.2f, 0.8f))).toDF("query_id", "q_embedding")
+    val served = h.queryAnn(qs, k = 5) // nprobe/replica/space from config
+      .select("id").collect().map(_.getString(0)).toSeq
+    val exact = h.query(qs, 5, space = "cosine")
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(served == exact,
+      s"config-driven exhaustive queryAnn diverged: $served vs $exact")
+    // without a spann config and without nprobe, the call fails loudly
+    val plain = c.createCollection("cfg_plain")
+    plain.add(vecs.take(4).toDF("id", "document", "embedding"))
+    intercept[IllegalArgumentException] { plain.queryAnn(qs, k = 2) }
+  }
+
   test("serving reads the declared config: space drives HNSW neighbor order") {
     // q=[1,0]: under inner-product the LONG OFF-ANGLE vector [8,6] wins
     // (ip = 8); under cosine the near-parallel unit vector wins — the
