@@ -291,6 +291,33 @@ object FacadePack extends QueryPack {
     // hash-checked against the oracle (the approximate-nprobe tail path
     // is gated in ClientSpec). The query vectors are tail records: every
     // top-1 hit is a record the index has never seen.
+    // CONFIG-DRIVEN served ANN (r9): the collection DECLARES a SPANN
+    // vector-index config (collection_configuration.rs) and queryAnn
+    // passes no knobs at all — search_nprobe / replica / space resolve
+    // from the descriptor, and the serving index is the split/merge-
+    // maintained one with the config's thresholds. The declared
+    // search_nprobe (the reference's default 64) exceeds the list
+    // count, so the served answer is provably exhaustive and the row
+    // hash-matches the exact oracle.
+    "fc_ann_config" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d) + "/cfg_client"
+      val client = new graft.api.Client(s, root)
+      val coll = client.getOrCreateCollection("vecs",
+        graft.sources.Catalog.Schema(vectorIndex = Some(
+          graft.sources.Catalog.SpannIndexConfig(space = "cosine",
+            nReplica = 4, splitThreshold = 2000))))
+      if (!graft.sources.CollectionStore.hasRecords(coll.ref.dataRoot)) {
+        coll.add(Tables.embeddings(s, d).select(
+          concat(lit("vec-"), col("vec_id")).as("id"), col("embedding")))
+        coll.persist()
+      }
+      client.getCollection("vecs")
+        .queryAnn(queryVecs(s, d, 3), k = 5) // every knob from the config
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     "fc_ann_tail" -> { (s, d) =>
       val root = graft.sources.CollectionStore.indexRoot(d) + "/tail_client"
       val client = new graft.api.Client(s, root)
@@ -696,6 +723,7 @@ object FacadePack extends QueryPack {
         |ORDER BY query_id, rank""".stripMargin,
 
     "fc_ann_tail" -> facadeExactK5Sql,
+    "fc_ann_config" -> facadeExactK5Sql,
 
     "fc_uri_roundtrip" ->
       """WITH live AS (
