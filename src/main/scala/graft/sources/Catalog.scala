@@ -91,7 +91,19 @@ object Catalog {
       mergeThreshold: Int = 25,     // default_merge_threshold
       efConstruction: Int = 200,    // default_construction_ef_spann
       efSearch: Int = 200,          // default_search_ef_spann
-      maxNeighbors: Int = 64        // default_m_spann
+      maxNeighbors: Int = 64,       // default_m_spann
+      // the RNG/assignment tuning block — carried for config parity
+      // (the reference's centers-RNG query refinement and incremental
+      // reassignment have no analogue in the batch rebalance; the
+      // closest consulted knobs are nReplica and the thresholds above)
+      searchRngFactor: Double = 1.0,     // default_search_rng_factor
+      searchRngEpsilon: Double = 10.0,   // default_search_rng_epsilon
+      writeRngFactor: Double = 1.0,      // default_write_rng_factor
+      writeRngEpsilon: Double = 5.0,     // default_write_rng_epsilon
+      numSamplesKmeans: Int = 1000,      // default_num_samples_kmeans
+      initialLambda: Double = 100.0,     // default_initial_lambda
+      reassignNeighborCount: Int = 64,   // default_reassign_neighbor_count
+      numCentersToMergeTo: Int = 8       // default_num_centers_to_merge_to
   ) extends VectorIndexConfig { val kind = "spann" }
 
   object VectorIndexConfig {
@@ -241,7 +253,15 @@ object Catalog {
           "split_threshold" -> s.splitThreshold,
           "merge_threshold" -> s.mergeThreshold,
           "construction_ef" -> s.efConstruction, "search_ef" -> s.efSearch,
-          "M" -> s.maxNeighbors)
+          "M" -> s.maxNeighbors,
+          "search_rng_factor" -> s.searchRngFactor,
+          "search_rng_epsilon" -> s.searchRngEpsilon,
+          "write_rng_factor" -> s.writeRngFactor,
+          "write_rng_epsilon" -> s.writeRngEpsilon,
+          "num_samples_kmeans" -> s.numSamplesKmeans,
+          "initial_lambda" -> s.initialLambda,
+          "reassign_neighbor_count" -> s.reassignNeighborCount,
+          "num_centers_to_merge_to" -> s.numCentersToMergeTo)
       } ++
       forkedFrom.map("forked_from" -> _) ++
       dataDir.map("data_dir" -> _)
@@ -342,7 +362,15 @@ object Catalog {
             mergeThreshold = i("merge_threshold", 25),
             efConstruction = i("construction_ef", 200),
             efSearch = i("search_ef", 200),
-            maxNeighbors = i("M", 64)))
+            maxNeighbors = i("M", 64),
+            searchRngFactor = dbl("search_rng_factor", 1.0),
+            searchRngEpsilon = dbl("search_rng_epsilon", 10.0),
+            writeRngFactor = dbl("write_rng_factor", 1.0),
+            writeRngEpsilon = dbl("write_rng_epsilon", 5.0),
+            numSamplesKmeans = i("num_samples_kmeans", 1000),
+            initialLambda = dbl("initial_lambda", 100.0),
+            reassignNeighborCount = i("reassign_neighbor_count", 64),
+            numCentersToMergeTo = i("num_centers_to_merge_to", 8)))
           case _ => Some(HnswIndexConfig(
             space = s("space", "l2"),
             efConstruction = i("construction_ef", 100),

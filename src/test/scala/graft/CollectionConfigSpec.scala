@@ -43,7 +43,15 @@ class CollectionConfigSpec extends AnyFunSuite {
       ("merge_threshold", s.mergeThreshold, 25),
       ("construction_ef", s.efConstruction, 200),
       ("search_ef", s.efSearch, 200),
-      ("M", s.maxNeighbors, 64))
+      ("M", s.maxNeighbors, 64),
+      ("search_rng_factor", s.searchRngFactor, 1.0),
+      ("search_rng_epsilon", s.searchRngEpsilon, 10.0),
+      ("write_rng_factor", s.writeRngFactor, 1.0),
+      ("write_rng_epsilon", s.writeRngEpsilon, 5.0),
+      ("num_samples_kmeans", s.numSamplesKmeans, 1000),
+      ("initial_lambda", s.initialLambda, 100.0),
+      ("reassign_neighbor_count", s.reassignNeighborCount, 64),
+      ("num_centers_to_merge_to", s.numCentersToMergeTo, 8))
     (hnswParity.map(("hnsw", _)) ++ spannParity.map(("spann", _))).foreach {
       case (kind, (field, got, want)) =>
         assert(got == want, s"$kind $field: $got != reference default $want")

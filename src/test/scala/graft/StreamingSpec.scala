@@ -346,6 +346,10 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("bucket", "trigram").count().agg(max("count")).head().getLong(0)
     assert(rowsPer == 1L, s"compaction left $rowsPer rows for some trigram")
     assert(got(s"$base/inc") == truth, "compacted index diverges")
+    // the replay-dup guard marker rode the swap (same guard the IVF
+    // compactor's crash-sim test proves end-to-end)
+    assert(EventStream.foldedMaxBatch(s"$base/inc/fts/postings").exists(_ >= 0),
+      "FTS compactor must record the max folded batch id")
   }
 
   test("incremental HNSW maintenance keeps recall >= 0.95 vs exact KNN") {
@@ -423,6 +427,9 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("term_id", "block_id").count().agg(max("count")).head().getLong(0)
     assert(rowsPer == 1L, s"compaction left $rowsPer rows for some block")
     assert(got(s"$base/inc") == truth, "compacted sparse index diverges")
+    assert(EventStream.foldedMaxBatch(
+        s"$base/inc/sparse_tf_bow/postings").exists(_ >= 0),
+      "sparse compactor must record the max folded batch id")
   }
 
   test("incremental quantized-code maintenance == batch code rows; serving parity") {
