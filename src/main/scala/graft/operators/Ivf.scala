@@ -291,10 +291,10 @@ object Ivf {
       space: String = "cosine", seed: Long = 42L,
       rounds: Int = 3): DataFrame = {
     val d = Quantized.pow2(dim)
-    val routed = route(model, queries, nprobe, space)
+    val (routed, probedCents) = routeLocal(model, queries, nprobe, space)
     // probed candidate ids: the posting scan is pruned to
     // (centroid_id, offset_id) — no embedding bytes move in phase 1
-    val probedIds = model.postings
+    val probedIds = prunedPostings(model, probedCents)
       .join(broadcast(routed.select("query_id", "centroid_id")), Seq("centroid_id"))
       .select(col("query_id"), col("offset_id"))
     val qcoded = Quantized.rotatedQueryRows(queries, d, seed, rounds)
@@ -305,7 +305,8 @@ object Ivf {
       Seq(col("query_id")), Seq(col("hd"), col("offset_id")), alpha * k)
       .select(col("query_id"), col("offset_id"))
     // exact re-rank: only α·k survivors pull the wide embedding column
-    val emb = model.postings
+    // (survivors come from probed lists, so the pruned scan is complete)
+    val emb = prunedPostings(model, probedCents)
       .select(col("offset_id"), col("embedding")).dropDuplicates("offset_id")
     Quantized.rerank(
       emb.join(broadcast(coarse), Seq("offset_id"))
@@ -313,6 +314,34 @@ object Ivf {
           Seq("query_id")),
       k, space)
   }
+
+  /** [[route]] MATERIALIZED driver-side: the probe set is
+    * |query batch| × nprobe rows — driver-bounded by the same quota that
+    * bounds query batches (and exactly the collect the routed-HNSW
+    * serving already does). The rows broadcast back as a LOCAL relation,
+    * and the distinct probed centroid ids become a STATIC `IN` filter on
+    * the posting scan — `PartitionFilters` at PLAN time, deterministic,
+    * instead of hoping runtime dynamic partition pruning fires through
+    * the broadcast join. On a posting table partitioned by centroid_id
+    * the difference at 100 TB is reading nprobe list directories versus
+    * scanning the corpus (PlanSpec gates the filter's presence).
+    */
+  private def routeLocal(model: Model, queries: DataFrame, nprobe: Int,
+      space: String): (DataFrame, Seq[Int]) = {
+    val spark = queries.sparkSession
+    val routed = route(model, queries, nprobe, space)
+    val rows = routed.collect()
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), routed.schema)
+    (local, rows.map(_.getAs[Int]("centroid_id")).distinct.toSeq)
+  }
+
+  /** The posting scan restricted to the probed lists — a static filter
+    * on the partition column, prunable at plan time.
+    */
+  private def prunedPostings(model: Model, probed: Seq[Int]): DataFrame =
+    model.postings.filter(col("centroid_id")
+      .isin(probed.map(Int.box): _*))
 
   /** nprobe routing shared by [[search]] and [[searchQuantized]]:
     * centers-graph walk when the model carries a persisted centroid HNSW
@@ -341,11 +370,12 @@ object Ivf {
   def search(model: Model, queries: DataFrame, k: Int, nprobe: Int,
       space: String = "cosine",
       allowed: Option[DataFrame] = None): DataFrame = {
-    val routed = route(model, queries, nprobe, space)
+    val (routed, probedCents) = routeLocal(model, queries, nprobe, space)
 
     val topk = udaf(new Knn.TopKAgg(k))
     val dist = Distances.distance(space)(col("embedding"), col("q_embedding"))
-    val probed = model.postings.join(broadcast(routed), Seq("centroid_id"))
+    val probed = prunedPostings(model, probedCents)
+      .join(broadcast(routed), Seq("centroid_id"))
     val candidates = allowed match {
       case Some(ids) => probed.join(ids.select("offset_id"), Seq("offset_id"),
         "left_semi")

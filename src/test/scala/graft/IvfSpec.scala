@@ -108,6 +108,18 @@ class IvfSpec extends AnyFunSuite {
       java.nio.file.Paths.get(root, "ivf", "centroids")) == mtime,
       "second serving call refit the index")
     assert(rs(Ivf.search(model2, queries, 10, nprobe = 8)) == served)
+
+    // the probe is STATICALLY partition-pruned: routing materializes
+    // driver-side (query-batch-sized) and the probed centroid ids land
+    // as an IN filter the parquet scan prunes at PLAN time — at scale
+    // this is reading nprobe list directories vs scanning the corpus,
+    // and unlike dynamic pruning it is assertable deterministically
+    val narrow = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val plan = Ivf.search(model2, narrow, 10, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"expected a static centroid_id partition filter in:\n${plan.take(2000)}")
   }
 
   test("centroid-graph routing at 4096 centroids matches brute-force routing") {
