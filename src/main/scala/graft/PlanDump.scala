@@ -21,11 +21,13 @@ object PlanDump {
         "partitions x queries x k, independent of corpus size. No window, " +
         "no global sort."),
     "vs_ann_ivf" ->
-      ("Served ANN: queries route to nprobe centroids (tiny broadcast), then " +
-        "join ONLY the probed posting-list partitions of the persisted index " +
-        "— the scan reads nprobe/nCentroids of the data (PartitionFilters " +
-        "on centroid_id). No KMeans fit appears anywhere in the plan: build " +
-        "happened at compaction time."),
+      ("Served ANN: routing materializes driver-side (query-batch-sized, " +
+        "the same rows the broadcast needed anyway) and the probed " +
+        "centroid ids land as a STATIC IN filter — PartitionFilters on " +
+        "centroid_id at plan time (r9), deterministic where dynamic " +
+        "pruning through the broadcast join was best-effort. The scan " +
+        "reads nprobe/nCentroids of the data; no KMeans fit appears " +
+        "anywhere in the plan: build happened at compaction time."),
     "ft_contains_indexed" ->
       ("Trigram-FTS contains: the needle's trigrams resolve to bucket-pruned " +
         "posting partitions; candidate doc_ids push into the record scan as " +
@@ -82,7 +84,10 @@ object PlanDump {
     "dd_minhash_lsh" ->
       ("Bucketed text dedup: native-kernel signatures, banded bucket " +
         "self-join (candidates only from band collisions), exact-Jaccard " +
-        "verify over candidates. No all-pairs anything."),
+        "verify over candidates. No all-pairs anything. Since r9 the " +
+        "default caps per-bucket emission (DefaultMaxBucket, star-edge " +
+        "degradation past it) so one pathological cluster cannot make " +
+        "the OUTPUT unmaterializable; small buckets plan identically."),
     "dd_minhash_clusters" ->
       ("Output-proportional LSH dedup (the 100 TB form): per-bucket STAR " +
         "edges via a window min over (band, bkey) — one exchange, no " +
