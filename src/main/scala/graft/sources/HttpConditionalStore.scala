@@ -39,8 +39,38 @@ final class HttpConditionalStore(endpoint: String) extends ConditionalStore {
         path.stripPrefix("/"), "UTF-8")
       .replace("%2F", "/").replace("+", "%20"))
 
+  /** Send with bounded retries on TRANSIENT failures — 500/502/503 (S3
+    * InternalError / Bad Gateway / SlowDown) and dropped connections —
+    * exactly what every S3 SDK does. Request bodies are byte-array
+    * publishers, so a retry re-streams identically. One hazard is
+    * inherent and TOLERATED BY THE PROTOCOL rather than hidden: if a
+    * conditional PUT is APPLIED server-side but its response is lost,
+    * the retry sees 412 and the caller reports a loss it actually won.
+    * The WAL treats that as its own crashed-claim case — the claimed
+    * slot ages out and [[WalStore.recoverStaleClaims]] voids it — a
+    * liveness hiccup, never a correctness break.
+    */
   private def send[T](req: HttpRequest,
-      h: HttpResponse.BodyHandler[T]): HttpResponse[T] = http.send(req, h)
+      h: HttpResponse.BodyHandler[T]): HttpResponse[T] = {
+    var attempt = 0
+    while (true) {
+      val resp =
+        try Some(http.send(req, h))
+        catch {
+          case e: java.io.IOException =>
+            if (attempt >= 5) throw e
+            None // dropped connection: retry
+        }
+      resp match {
+        case Some(r) if !(Set(500, 502, 503)(r.statusCode()) && attempt < 5) =>
+          return r
+        case _ => ()
+      }
+      attempt += 1
+      Thread.sleep(5L << math.min(attempt, 5))
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   def putIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
     // 412 Precondition Failed is a DEFINITIVE loss (the object exists).

@@ -69,6 +69,14 @@ class ConditionalStoreContractSpec extends AnyFunSuite {
     (new graft.sources.HttpConditionalStore(fake.endpoint),
       "cs-" + java.util.UUID.randomUUID().toString.take(8)))
 
+  // a THROTTLING endpoint (503 on every 3rd request, before applying —
+  // the S3 SlowDown shape): the client's bounded retries must make the
+  // ENTIRE contract pass unchanged, including the 16-thread CAS race
+  private lazy val flaky = new ObjectStoreHttpFake(failEveryN = 3)
+  contract("http-s3-throttled", () =>
+    (new graft.sources.HttpConditionalStore(flaky.endpoint),
+      "cs-" + java.util.UUID.randomUUID().toString.take(8)))
+
   test("http-s3: list follows ListObjectsV2 pagination across server pages") {
     // S3 pages at max-keys (1000): a single-page client would silently
     // truncate a WAL with more markers than one page — the fake pages at

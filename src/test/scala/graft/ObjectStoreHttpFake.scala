@@ -19,8 +19,13 @@ import java.util.concurrent.ConcurrentHashMap
   *   - Listing is READ-AFTER-WRITE consistent (S3 guarantees this since
   *     Dec 2020): a key acknowledged by PUT appears in the next LIST.
   */
-final class ObjectStoreHttpFake(pageSize: Int = 1000) {
+/** `failEveryN > 0` injects a `503 Slow Down` on every Nth request
+  * BEFORE applying it (the S3 throttling shape) — the client's retry
+  * loop must make every operation succeed anyway.
+  */
+final class ObjectStoreHttpFake(pageSize: Int = 1000, failEveryN: Int = 0) {
   private val objects = new ConcurrentHashMap[String, (Array[Byte], Long)]()
+  private val reqCount = new java.util.concurrent.atomic.AtomicLong(0)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
 
@@ -91,6 +96,18 @@ final class ObjectStoreHttpFake(pageSize: Int = 1000) {
 
   server.createContext("/", (ex: HttpExchange) => {
     try {
+      if (failEveryN > 0 && reqCount.incrementAndGet() % failEveryN == 0)
+        respond(ex, 503) // throttled BEFORE applying — client must retry
+      else handle(ex)
+    } catch {
+      case t: Throwable =>
+        try respond(ex, 500) catch { case _: Throwable => () }
+        throw t
+    }
+  })
+
+  private def handle(ex: HttpExchange): Unit = {
+    {
       val key = java.net.URLDecoder.decode(
         ex.getRequestURI.getPath.stripPrefix("/"), "UTF-8")
       ex.getRequestMethod match {
@@ -131,12 +148,8 @@ final class ObjectStoreHttpFake(pageSize: Int = 1000) {
           respond(ex, 204)
         case _ => respond(ex, 405)
       }
-    } catch {
-      case t: Throwable =>
-        try respond(ex, 500) catch { case _: Throwable => () }
-        throw t
     }
-  })
+  }
   server.start()
 
   def stop(): Unit = server.stop(0)
