@@ -531,11 +531,11 @@ final class CollectionHandle(spark: SparkSession,
 
   def query(queries: DataFrame, k: Int,
       where: Option[graft.model.Where.Expr] = None,
-      space: String = "cosine"): DataFrame =
+      space: String = ""): DataFrame =
     Quotas.Gates.withRead(ref.dataRoot, limits) {
       where.foreach(Quotas.validateWhere(_, limits))
       Quotas.validateResults(k, limits)
-      asCollection.query(queries, k, where, space)
+      asCollection.query(queries, k, where, cfgSpace(space))
     }
 
   /** Served-ANN read at the reference's DEFAULT read level —
@@ -555,9 +555,12 @@ final class CollectionHandle(spark: SparkSession,
     */
   /** The collection's declared vector-index config (explicit schema
     * config, else the legacy `hnsw:*` metadata parse) — query knobs left
-    * at their sentinel defaults resolve from it; a collection with NO
-    * declared config keeps the historical serving defaults, so existing
-    * callers see identical plans.
+    * at their sentinel defaults resolve from it. A collection with NO
+    * config declared either way keeps the historical serving defaults
+    * (identical plans for existing callers); a collection that always
+    * carried `hnsw:*` metadata now gets the semantics that metadata
+    * DECLARED all along (the reference's legacy fallback) — including
+    * its space — where this engine previously ignored it.
     */
   private lazy val indexConfig: Option[Catalog.VectorIndexConfig] =
     Catalog.effectiveVectorIndex(ref.schema, ref.metadata)
@@ -610,23 +613,36 @@ final class CollectionHandle(spark: SparkSession,
     * IndexAndWal tail leg (the log is small — it brute-forces, never
     * quantizes, matching the reference's quantized orchestration).
     */
-  def queryAnnQuantized(queries: DataFrame, k: Int, nprobe: Int, dim: Int,
-      alpha: Int = 20, nCentroids: Int = 16, nReplica: Int = 4,
-      space: String = "cosine"): DataFrame = {
+  def queryAnnQuantized(queries: DataFrame, k: Int, nprobe: Int = -1,
+      dim: Int = -1, alpha: Int = 20, nCentroids: Int = 16,
+      nReplica: Int = -1, space: String = ""): DataFrame = {
     Quotas.validateResults(k, limits)
+    // same config resolution as queryAnn: one declared metric serves
+    // every read API on the collection, never a per-API default drift
+    val spannCfg = indexConfig.collect { case s: Catalog.SpannIndexConfig => s }
+    val np = if (nprobe > 0) nprobe
+      else spannCfg.map(_.searchNprobe).getOrElse(throw new
+        IllegalArgumentException("queryAnnQuantized: pass nprobe or " +
+          "declare a spann vector-index config on the collection"))
+    val nr = if (nReplica > 0) nReplica else spannCfg.map(_.nReplica).getOrElse(4)
+    val dm = if (dim > 0) dim
+      else ref.schema.embedding.map(_.dim).getOrElse(throw new
+        IllegalArgumentException("queryAnnQuantized: pass dim or declare " +
+          "the collection's dense embedding schema"))
+    val sp = cfgSpace(space)
     segmentDataRoot(ref) match {
-      case None => asCollection.query(queries, k, None, space)
+      case None => asCollection.query(queries, k, None, sp)
       case Some(dataRoot) =>
         val seg = CollectionStore.loadRecords(spark, dataRoot)
         val vecs = seg.select(col("offset_id"), col("embedding"))
         val tag = segTag(seg)
         val model = CollectionStore.ivfServing(vecs, dataRoot, nCentroids,
-          nReplica, space = space, keyTag = tag)
-        val codes = CollectionStore.rotatedCodesServing(vecs, dataRoot, dim,
+          nr, space = sp, keyTag = tag)
+        val codes = CollectionStore.rotatedCodesServing(vecs, dataRoot, dm,
           keyTag = tag)
         val (tail, stale) = tailAndStale()
         new Collection(seg).queryAnnQuantized(model, codes, queries, k,
-          nprobe, dim, alpha, space, walTail = tail, staleIds = stale,
+          np, dm, alpha, sp, walTail = tail, staleIds = stale,
           staleFetchExtra = stale.map(tailCount).getOrElse(0))
     }
   }
@@ -730,7 +746,7 @@ final class CollectionHandle(spark: SparkSession,
     */
   def queryText(texts: Seq[String], k: Int,
       where: Option[graft.model.Where.Expr] = None,
-      space: String = "cosine"): DataFrame = {
+      space: String = ""): DataFrame = {
     val fn = embedFn.getOrElse(throw new IllegalArgumentException(
       s"collection ${ref.name} declares no embedding_function"))
     val q = texts.zipWithIndex

@@ -112,20 +112,32 @@ object Catalog {
       * way carry `hnsw:*` keys in collection metadata; they parse into
       * an HNSW config with per-field defaults.
       */
-    def fromLegacyMetadata(md: Map[String, String]): Option[HnswIndexConfig] =
+    def fromLegacyMetadata(md: Map[String, String]): Option[HnswIndexConfig] = {
+      // metadata values are arbitrary user strings — a malformed number
+      // must fail NAMING THE KEY (the reference's
+      // HnswParametersFromSegmentError), not as a bare NumberFormat
+      // surprise on the first query
+      def num[T](k: String, d: T)(parse: String => T): T =
+        md.get(k).map { v =>
+          try parse(v) catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"legacy metadata key '$k' holds non-numeric value '$v'")
+          }
+        }.getOrElse(d)
       if (!md.keys.exists(_.startsWith("hnsw:"))) None
-      else Some(HnswIndexConfig(
-        space = md.getOrElse("hnsw:space", "l2"),
-        efConstruction = md.get("hnsw:construction_ef").map(_.toInt)
-          .getOrElse(100),
-        efSearch = md.get("hnsw:search_ef").map(_.toInt).getOrElse(100),
-        maxNeighbors = md.get("hnsw:M").map(_.toInt).getOrElse(16),
-        numThreads = md.get("hnsw:num_threads").map(_.toInt).getOrElse(16),
-        resizeFactor = md.get("hnsw:resize_factor").map(_.toDouble)
-          .getOrElse(1.2),
-        syncThreshold = md.get("hnsw:sync_threshold").map(_.toInt)
-          .getOrElse(1000),
-        batchSize = md.get("hnsw:batch_size").map(_.toInt).getOrElse(100)))
+      else {
+        val d = HnswIndexConfig()
+        Some(HnswIndexConfig(
+          space = md.getOrElse("hnsw:space", d.space),
+          efConstruction = num("hnsw:construction_ef", d.efConstruction)(_.toInt),
+          efSearch = num("hnsw:search_ef", d.efSearch)(_.toInt),
+          maxNeighbors = num("hnsw:M", d.maxNeighbors)(_.toInt),
+          numThreads = num("hnsw:num_threads", d.numThreads)(_.toInt),
+          resizeFactor = num("hnsw:resize_factor", d.resizeFactor)(_.toDouble),
+          syncThreshold = num("hnsw:sync_threshold", d.syncThreshold)(_.toInt),
+          batchSize = num("hnsw:batch_size", d.batchSize)(_.toInt)))
+      }
+    }
   }
 
   /** The UPDATABLE subset of each config — exactly the fields the
@@ -352,34 +364,46 @@ object Catalog {
         }
         def s(k: String, d: String) =
           (o \ k) match { case JString(v) => v; case _ => d }
+        // defaults single-sourced from the case classes (a future
+        // default change cannot drift between writer and reader), and an
+        // UNKNOWN variant fails like the keys parser does — degrading a
+        // future variant to HNSW defaults would serve with wrong knobs
         s("type", "hnsw") match {
-          case "spann" => Some(SpannIndexConfig(
-            space = s("space", "l2"),
-            searchNprobe = i("search_nprobe", 64),
-            writeNprobe = i("write_nprobe", 32),
-            nReplica = i("nreplica_count", 8),
-            splitThreshold = i("split_threshold", 50),
-            mergeThreshold = i("merge_threshold", 25),
-            efConstruction = i("construction_ef", 200),
-            efSearch = i("search_ef", 200),
-            maxNeighbors = i("M", 64),
-            searchRngFactor = dbl("search_rng_factor", 1.0),
-            searchRngEpsilon = dbl("search_rng_epsilon", 10.0),
-            writeRngFactor = dbl("write_rng_factor", 1.0),
-            writeRngEpsilon = dbl("write_rng_epsilon", 5.0),
-            numSamplesKmeans = i("num_samples_kmeans", 1000),
-            initialLambda = dbl("initial_lambda", 100.0),
-            reassignNeighborCount = i("reassign_neighbor_count", 64),
-            numCentersToMergeTo = i("num_centers_to_merge_to", 8)))
-          case _ => Some(HnswIndexConfig(
-            space = s("space", "l2"),
-            efConstruction = i("construction_ef", 100),
-            efSearch = i("search_ef", 100),
-            maxNeighbors = i("M", 16),
-            numThreads = i("num_threads", 16),
-            resizeFactor = dbl("resize_factor", 1.2),
-            syncThreshold = i("sync_threshold", 1000),
-            batchSize = i("batch_size", 100)))
+          case "spann" =>
+            val d = SpannIndexConfig()
+            Some(SpannIndexConfig(
+              space = s("space", d.space),
+              searchNprobe = i("search_nprobe", d.searchNprobe),
+              writeNprobe = i("write_nprobe", d.writeNprobe),
+              nReplica = i("nreplica_count", d.nReplica),
+              splitThreshold = i("split_threshold", d.splitThreshold),
+              mergeThreshold = i("merge_threshold", d.mergeThreshold),
+              efConstruction = i("construction_ef", d.efConstruction),
+              efSearch = i("search_ef", d.efSearch),
+              maxNeighbors = i("M", d.maxNeighbors),
+              searchRngFactor = dbl("search_rng_factor", d.searchRngFactor),
+              searchRngEpsilon = dbl("search_rng_epsilon", d.searchRngEpsilon),
+              writeRngFactor = dbl("write_rng_factor", d.writeRngFactor),
+              writeRngEpsilon = dbl("write_rng_epsilon", d.writeRngEpsilon),
+              numSamplesKmeans = i("num_samples_kmeans", d.numSamplesKmeans),
+              initialLambda = dbl("initial_lambda", d.initialLambda),
+              reassignNeighborCount =
+                i("reassign_neighbor_count", d.reassignNeighborCount),
+              numCentersToMergeTo =
+                i("num_centers_to_merge_to", d.numCentersToMergeTo)))
+          case "hnsw" =>
+            val d = HnswIndexConfig()
+            Some(HnswIndexConfig(
+              space = s("space", d.space),
+              efConstruction = i("construction_ef", d.efConstruction),
+              efSearch = i("search_ef", d.efSearch),
+              maxNeighbors = i("M", d.maxNeighbors),
+              numThreads = i("num_threads", d.numThreads),
+              resizeFactor = dbl("resize_factor", d.resizeFactor),
+              syncThreshold = i("sync_threshold", d.syncThreshold),
+              batchSize = i("batch_size", d.batchSize)))
+          case other => throw new IllegalArgumentException(
+            s"unknown vector_index type '$other' in collection descriptor")
         }
       case _ => None
     }
@@ -399,6 +423,14 @@ object Catalog {
   def updateCollectionConfig(root: String, tenant: String, db: String,
       name: String, hnsw: Option[HnswConfigUpdate] = None,
       spann: Option[SpannConfigUpdate] = None): CollectionRef = {
+    // read-modify-write on the descriptor: serialize same-JVM updaters
+    // per descriptor path and re-check existence before the overwrite so
+    // a concurrent rename-away is not resurrected (cross-process updates
+    // of the SAME collection need the sysdb transaction the reference's
+    // service tier provides; this facade documents that boundary)
+    val lockKey = sysdbPath(root, tenant, db).resolve(s"$name.json").toString
+    val lock = updateLocks.computeIfAbsent(lockKey, _ => new Object)
+    lock.synchronized {
     val cur = getCollection(root, tenant, db, name)
     val base = effectiveVectorIndex(cur.schema, cur.metadata)
       .getOrElse(HnswIndexConfig())
@@ -423,11 +455,17 @@ object Catalog {
     val schema2 = cur.schema.copy(vectorIndex = Some(next))
     val dir = sysdbPath(root, tenant, db)
     val dataDir = cur.dataRoot.split('/').last
+    require(java.nio.file.Files.exists(dir.resolve(s"$name.json")),
+      s"collection $name was renamed or deleted during the config update")
     writeDescriptor(dir.resolve(s"$name.json"), schema2,
       cur.forkedFrom, Some(dataDir), cur.metadata, createNew = false)
     CollectionRef(tenant, db, name, schema2, root, cur.dataRoot,
       cur.forkedFrom, cur.metadata)
+    }
   }
+
+  private val updateLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def listTenants(root: String): Seq[String] = listDirs(
     java.nio.file.Paths.get(root, "_sysdb"))

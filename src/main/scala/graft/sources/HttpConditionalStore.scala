@@ -42,13 +42,17 @@ final class HttpConditionalStore(endpoint: String) extends ConditionalStore {
   /** Send with bounded retries on TRANSIENT failures — 500/502/503 (S3
     * InternalError / Bad Gateway / SlowDown) and dropped connections —
     * exactly what every S3 SDK does. Request bodies are byte-array
-    * publishers, so a retry re-streams identically. One hazard is
-    * inherent and TOLERATED BY THE PROTOCOL rather than hidden: if a
-    * conditional PUT is APPLIED server-side but its response is lost,
-    * the retry sees 412 and the caller reports a loss it actually won.
-    * The WAL treats that as its own crashed-claim case — the claimed
-    * slot ages out and [[WalStore.recoverStaleClaims]] voids it — a
-    * liveness hiccup, never a correctness break.
+    * publishers, so a retry re-streams identically. One ambiguity is
+    * inherent: a conditional PUT APPLIED server-side whose response was
+    * lost reads as 412 on retry — a win reported as a loss. The WAL
+    * handles each of its two conditional writes explicitly: a
+    * mis-reported CLAIM is abandoned and ages into
+    * [[WalStore.recoverStaleClaims]]'s void (liveness hiccup only),
+    * and a mis-reported PUBLISH is detected by
+    * [[WalStore.appendAt]]'s byte-compare of the surviving marker
+    * against what it tried to write (sound there: only the claim
+    * holder publishes), so the publish stands instead of the batch
+    * re-appending at the next slot.
     */
   private def send[T](req: HttpRequest,
       h: HttpResponse.BodyHandler[T]): HttpResponse[T] = {

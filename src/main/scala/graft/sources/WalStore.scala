@@ -106,11 +106,24 @@ object WalStore {
       val cnt = r.getLong(0)
       val mo = if (r.isNullAt(1)) -1L else r.getLong(1)
       // CAS publish: putIfAbsent, never overwrite. If the marker already
-      // exists, [[recoverStaleClaims]] voided this slot while the data
-      // write was in flight (only possible past its age guard) — the
-      // void verdict stands; clean up and report the slot lost.
-      if (!cs.putIfAbsent(markerPath(root, n),
-          s"""{"count": $cnt, "max_offset": $mo}""".getBytes("UTF-8"))) {
+      // exists, either [[recoverStaleClaims]] voided this slot while the
+      // data write was in flight (only possible past its age guard), or
+      // a RETRYING conditional backend mis-reported our own APPLIED
+      // publish as a loss (HttpConditionalStore documents the
+      // lost-response ambiguity). Disambiguation is sound HERE because
+      // only the claim HOLDER (us) publishes a real marker and only the
+      // voider CASes a void: byte-equality with what we tried to write
+      // identifies the marker as ours, and the publish STANDS — without
+      // this check the writer would re-append the same batch at the next
+      // slot and every reader would replay it twice.
+      val markerBytes =
+        s"""{"count": $cnt, "max_offset": $mo}""".getBytes("UTF-8")
+      if (!cs.putIfAbsent(markerPath(root, n), markerBytes)) {
+        if (cs.read(markerPath(root, n)).exists(
+            java.util.Arrays.equals(_, markerBytes))) {
+          cs.delete(claimPath(root, n))
+          return true
+        }
         // post-claim re-check makes a PUBLISHED marker unreachable
         // here; defense in depth: only reap the data when the marker
         // is a void (count 0) — never delete under a published entry

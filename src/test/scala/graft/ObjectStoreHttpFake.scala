@@ -18,14 +18,20 @@ import java.util.concurrent.ConcurrentHashMap
   *     into `<CommonPrefixes><Prefix>`.
   *   - Listing is READ-AFTER-WRITE consistent (S3 guarantees this since
   *     Dec 2020): a key acknowledged by PUT appears in the next LIST.
-  */
-/** `failEveryN > 0` injects a `503 Slow Down` on every Nth request
+  *
+  * `failEveryN > 0` injects a `503 Slow Down` on every Nth request
   * BEFORE applying it (the S3 throttling shape) — the client's retry
-  * loop must make every operation succeed anyway.
+  * loop must make every operation succeed anyway. Each (method, path)
+  * pair is throttled at most twice, keeping the injection well inside
+  * the client's bounded retries: the test stays deterministic-green
+  * while every operation still exercises the retry path under the
+  * 16-thread race (unbounded injection could, with small probability,
+  * throttle all of one thread's attempts and flake the suite).
   */
 final class ObjectStoreHttpFake(pageSize: Int = 1000, failEveryN: Int = 0) {
   private val objects = new ConcurrentHashMap[String, (Array[Byte], Long)]()
   private val reqCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val failed = new ConcurrentHashMap[String, Integer]()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
 
@@ -96,7 +102,9 @@ final class ObjectStoreHttpFake(pageSize: Int = 1000, failEveryN: Int = 0) {
 
   server.createContext("/", (ex: HttpExchange) => {
     try {
-      if (failEveryN > 0 && reqCount.incrementAndGet() % failEveryN == 0)
+      val throttleKey = ex.getRequestMethod + " " + ex.getRequestURI.getPath
+      if (failEveryN > 0 && reqCount.incrementAndGet() % failEveryN == 0 &&
+          failed.merge(throttleKey, 1, (a, b) => a + b) <= 2)
         respond(ex, 503) // throttled BEFORE applying — client must retry
       else handle(ex)
     } catch {

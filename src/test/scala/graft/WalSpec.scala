@@ -222,6 +222,49 @@ class WalSpec extends AnyFunSuite {
     } finally WalStore.conditional = prev
   }
 
+  test("a publish APPLIED but mis-reported as lost does not duplicate the batch") {
+    // the lost-response ambiguity a retrying HTTP backend cannot avoid:
+    // the conditional put lands server-side, the response drops, the
+    // retry sees the object and reports a loss. For the PUBLISH marker
+    // appendAt must recognize the surviving marker as its own (byte
+    // compare under claim ownership) and report the append WON — else
+    // the writer re-appends the same ops at the next slot and readers
+    // replay the batch twice.
+    val inner = new graft.sources.InMemoryConditionalStore
+    val liar = new graft.sources.ConditionalStore {
+      // applies the write, then lies ONCE about a chosen marker path
+      @volatile var lieAbout: String = ""
+      def putIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
+        val won = inner.putIfAbsent(path, bytes)
+        if (won && path == lieAbout) { lieAbout = ""; false } else won
+      }
+      def exists(p: String): Boolean = inner.exists(p)
+      def read(p: String): Option[Array[Byte]] = inner.read(p)
+      def delete(p: String): Unit = inner.delete(p)
+      def list(p: String): Seq[String] = inner.list(p)
+      def lastModifiedMs(p: String): Option[Long] = inner.lastModifiedMs(p)
+    }
+    val prev = WalStore.conditional
+    WalStore.conditional = liar
+    try {
+      val root = freshRoot() + "/coll"
+      def op(id: String, n: Long) = Seq(graft.operators.Materialize.LogOp(
+        id, n * WalStore.OffsetStride, "Add", Some(s"doc-$id"), Map())).toDS()
+      liar.lieAbout = s"$root/_wal/_entries/b1"
+      assert(WalStore.appendAt(root, 1L, op("a", 1)),
+        "an applied publish mis-reported as lost must still count as a win")
+      assert(liar.lieAbout.isEmpty, "the lie was never exercised")
+      assert(WalStore.publishedAfter(root, 0L) == Seq(1L))
+      assert(WalStore.entryMeta(root, 1L).map(_._1).contains(1L))
+      assert(!liar.exists(s"$root/_wal/_entries/b1.claim"),
+        "the claim must be released after the recognized publish")
+      // the slot is NOT re-appendable (no duplicate batch possible)
+      assert(!WalStore.appendAt(root, 1L, op("dup", 1)))
+      assert(WalStore.readEntry(spark, root, 1L).collect().map(_.id).toSeq
+        == Seq("a"))
+    } finally WalStore.conditional = prev
+  }
+
   test("full WAL protocol runs over the HTTP object-store boundary") {
     // the wal3 mapping end-to-end across a REAL HTTP boundary: markers
     // CAS through S3-semantics conditional PUTs against an in-process
