@@ -350,6 +350,79 @@ object EmbeddingFunctions {
     }
   }
 
+  /** TRAINED dense embedder — Latent Semantic Analysis (Deerwester et
+    * al. 1990, the original learned text embedding): the corpus's
+    * tf-idf document-term matrix decomposes by DISTRIBUTED SVD
+    * (`mllib.linalg.distributed.RowMatrix.computeSVD` — the fit is a
+    * Spark job over every document, not a closed-form formula), and
+    * documents/queries embed by projecting their term vector onto the
+    * top-`dim` right singular vectors. The one embedding function here
+    * whose weights are LEARNED from data in-container, giving
+    * second-order semantics no fitted featurizer has: two texts sharing
+    * ZERO terms embed close when their terms CO-OCCUR elsewhere in the
+    * corpus (spec-gated — plain tf-idf scores that pair exactly 0).
+    * Singular-vector signs are canonicalized (largest-magnitude
+    * component positive) so a fit is reproducible.
+    */
+  final class LsaDense(vocab: VocabTfIdfDense,
+      projection: Array[Array[Double]]) extends EmbeddingFunction {
+    val dim: Int = projection.headOption.map(_.length).getOrElse(0)
+    val name = s"lsa_$dim"
+    def embed(text: Column): Column = {
+      val p = projection
+      val k = dim
+      val project = udf { (v: Seq[Float]) =>
+        if (v == null) null
+        else {
+          val out = new Array[Float](k)
+          var i = 0
+          while (i < v.length) {
+            val x = v(i)
+            if (x != 0f) {
+              var j = 0
+              while (j < k) { out(j) += (x * p(i)(j)).toFloat; j += 1 }
+            }
+            i += 1
+          }
+          val n = math.sqrt(out.map(x => x.toDouble * x).sum).toFloat
+          (if (n == 0f) out else out.map(_ / n)).toSeq
+        }
+      }
+      project(vocab.embed(text))
+    }
+  }
+
+  object LsaDense {
+    /** Fit: tf-idf featurize every document (the fitted vocabulary is
+      * [[VocabTfIdfDense]]'s, deterministic), stack into a distributed
+      * RowMatrix, take the top-`dim` right singular vectors. At corpus
+      * scale this is the standard tall-skinny SVD — the Gramian reduces
+      * tree-style across executors, only the vocab×vocab (or ARPACK
+      * Lanczos) step runs on the driver; no document row ever leaves
+      * its partition un-aggregated.
+      */
+    def fit(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
+        dim: Int = 32, vocabDim: Int = 256): LsaDense = {
+      val vocab = VocabTfIdfDense.fit(docs, textCol, vocabDim)
+      val rows = docs.select(vocab.embed(col(textCol)).as("v"))
+        .rdd.map(r => org.apache.spark.mllib.linalg.Vectors.dense(
+          r.getSeq[Float](0).map(_.toDouble).toArray))
+      val k = math.min(dim, vocab.dim)
+      val svd = new org.apache.spark.mllib.linalg.distributed.RowMatrix(rows)
+        .computeSVD(k, computeU = false)
+      val v = svd.V // vocabDim × k, column j = j-th right singular vector
+      val proj = Array.tabulate(vocab.dim, k)((i, j) => v(i, j))
+      // canonical signs: flip each column so its largest-|x| entry is
+      // positive — SVD is sign-indeterminate, embeddings must not be
+      (0 until k).foreach { j =>
+        val m = (0 until vocab.dim).maxBy(i => math.abs(proj(i)(j)))
+        if (proj(m)(j) < 0)
+          (0 until vocab.dim).foreach(i => proj(i)(j) = -proj(i)(j))
+      }
+      new LsaDense(vocab, proj)
+    }
+  }
+
   /** A loadable inference model: `load()` runs ONCE per partition (the
     * expensive step — an ONNX session, a tokenizer) and returns the
     * batch-infer closure. This is the `onnx_mini_lm_l6_v2.py` shape:

@@ -227,6 +227,53 @@ class EmbeddingFunctionsSpec extends AnyFunSuite {
     assert(wp.encode("").toSeq == Seq(1L, 2L))
   }
 
+  test("LSA: learned co-occurrence semantics that tf-idf provably lacks") {
+    import graft.functions.EmbeddingFunctions.{LsaDense, VocabTfIdfDense}
+    import spark.implicits._
+    // two topics; "car" and "wheel" NEVER co-occur in one document but
+    // both co-occur with "engine"/"road" — LSA must place them in the
+    // same latent direction, where tf-idf scores the pair exactly 0
+    // topic blocks are ASYMMETRIC (7 vs 4 docs) so the top-2 singular
+    // values are well separated — a symmetric corpus makes sigma1 ~
+    // sigma2 and the fitted basis can rotate inside the degenerate
+    // subspace between runs, which is an SVD property, not a bug
+    val corpus = (Seq(
+      "car engine road", "engine road drive", "wheel engine drive",
+      "car road drive", "wheel road engine", "car engine drive",
+      "wheel car road",
+      "banana fruit sweet", "fruit sweet ripe", "mango fruit ripe",
+      "banana sweet fruit") ++
+      (0 until 10).map(i => s"filler$i padding$i noise$i"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val lsa = LsaDense.fit(corpus, "text", dim = 2)
+    def emb(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        t: String): Array[Float] =
+      Seq(t).toDF("text").select(f(col("text"))).collect()
+        .head.getSeq[Float](0).toArray
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val car = emb(lsa.embed, "car")
+    val wheel = emb(lsa.embed, "wheel")
+    val fruit = emb(lsa.embed, "banana")
+    assert(car.length == 2)
+    assert(math.abs(math.sqrt(car.map(x => x.toDouble * x).sum) - 1) < 1e-5)
+    // the learned structure: never-co-occurring same-topic terms align
+    assert(cos(car, wheel) > 0.6,
+      f"LSA cos(car, wheel) = ${cos(car, wheel)}%.3f — no learned co-occurrence")
+    assert(cos(car, wheel) > cos(car, fruit) + 0.5,
+      f"topics not separated: same=${cos(car, wheel)}%.3f cross=${cos(car, fruit)}%.3f")
+    // tf-idf provably cannot: disjoint term sets -> exactly 0
+    val tfidf = VocabTfIdfDense.fit(corpus, "text", dim = 32)
+    assert(cos(emb(tfidf.embed, "car"), emb(tfidf.embed, "wheel")) == 0.0,
+      "tf-idf must score disjoint-term texts exactly 0 — the LSA contrast")
+    // refit reproducibility (signs canonicalized): same latent geometry
+    val lsa2 = LsaDense.fit(corpus, "text", dim = 2)
+    val again = emb(lsa2.embed, "car")
+    assert(car.zip(again).forall { case (a, b) => math.abs(a - b) < 1e-5 },
+      "refit on the same corpus must reproduce the embedding")
+  }
+
   test("mini-GEMM backend: real matrix inference, token overlap drives similarity") {
     import graft.functions.EmbeddingFunctions.MiniGemmBackend
     val infer = new MiniGemmBackend(32).load()
