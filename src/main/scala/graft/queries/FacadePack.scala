@@ -318,6 +318,28 @@ object FacadePack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // the HNSW-config sibling of fc_ann_config: the DECLARED config
+    // carries ef_search >= N (exhaustive graph walk) and the space, the
+    // call passes nothing — provably exact, hash-matches the oracle.
+    "fc_ann_config_hnsw" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d) + "/cfg_client_h"
+      val client = new graft.api.Client(s, root)
+      val coll = client.getOrCreateCollection("vecs",
+        graft.sources.Catalog.Schema(vectorIndex = Some(
+          graft.sources.Catalog.HnswIndexConfig(space = "cosine",
+            efSearch = 1000000))))
+      if (!graft.sources.CollectionStore.hasRecords(coll.ref.dataRoot)) {
+        coll.add(Tables.embeddings(s, d).select(
+          concat(lit("vec-"), col("vec_id")).as("id"), col("embedding")))
+        coll.persist()
+      }
+      client.getCollection("vecs")
+        .queryAnnHnsw(queryVecs(s, d, 3), k = 5) // ef + space from config
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     "fc_ann_tail" -> { (s, d) =>
       val root = graft.sources.CollectionStore.indexRoot(d) + "/tail_client"
       val client = new graft.api.Client(s, root)
@@ -724,6 +746,7 @@ object FacadePack extends QueryPack {
 
     "fc_ann_tail" -> facadeExactK5Sql,
     "fc_ann_config" -> facadeExactK5Sql,
+    "fc_ann_config_hnsw" -> facadeExactK5Sql,
 
     "fc_uri_roundtrip" ->
       """WITH live AS (
