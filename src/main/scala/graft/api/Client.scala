@@ -618,14 +618,16 @@ final class CollectionHandle(spark: SparkSession,
       nReplica: Int = -1, space: String = ""): DataFrame = {
     Quotas.validateResults(k, limits)
     // same config resolution as queryAnn: one declared metric serves
-    // every read API on the collection, never a per-API default drift
+    // every read API on the collection, never a per-API default drift.
+    // nprobe/dim resolve LAZILY — the never-compacted fallback is an
+    // exact brute-force read that needs neither and must not fail
     val spannCfg = indexConfig.collect { case s: Catalog.SpannIndexConfig => s }
-    val np = if (nprobe > 0) nprobe
+    def np = if (nprobe > 0) nprobe
       else spannCfg.map(_.searchNprobe).getOrElse(throw new
         IllegalArgumentException("queryAnnQuantized: pass nprobe or " +
           "declare a spann vector-index config on the collection"))
     val nr = if (nReplica > 0) nReplica else spannCfg.map(_.nReplica).getOrElse(4)
-    val dm = if (dim > 0) dim
+    def dm = if (dim > 0) dim
       else ref.schema.embedding.map(_.dim).getOrElse(throw new
         IllegalArgumentException("queryAnnQuantized: pass dim or declare " +
           "the collection's dense embedding schema"))
@@ -765,15 +767,15 @@ final class CollectionHandle(spark: SparkSession,
     * function (query side of the protocol), exactly the reference's
     * `Knn(query="...")` path (`operator.py:1060`).
     */
-  def search(json: String, space: String = "cosine"): DataFrame =
-    asCollection.searchPayload(json, space, embed = embedFn,
+  def search(json: String, space: String = ""): DataFrame =
+    asCollection.searchPayload(json, cfgSpace(space), embed = embedFn,
       sparseEmbed = schemaSparseFns)
 
   /** Multi-payload Search (`{"payloads": [...]}`): one result per
     * payload, in order — `fan_out_search` at the handle.
     */
-  def searchAll(json: String, space: String = "cosine"): Seq[DataFrame] =
-    asCollection.searchPayloads(json, space, embed = embedFn,
+  def searchAll(json: String, space: String = ""): Seq[DataFrame] =
+    asCollection.searchPayloads(json, cfgSpace(space), embed = embedFn,
       sparseEmbed = schemaSparseFns)
 
   private def schemaSparseFns

@@ -404,13 +404,19 @@ object EmbeddingFunctions {
     def fit(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
         dim: Int = 32, vocabDim: Int = 256): LsaDense = {
       val vocab = VocabTfIdfDense.fit(docs, textCol, vocabDim)
-      val rows = docs.select(vocab.embed(col(textCol)).as("v"))
+      // null texts embed to null (the protocol) — the SVD input drops
+      // them, same as the vocabulary fit's explode did
+      val rows = docs.filter(col(textCol).isNotNull)
+        .select(vocab.embed(col(textCol)).as("v"))
         .rdd.map(r => org.apache.spark.mllib.linalg.Vectors.dense(
           r.getSeq[Float](0).map(_.toDouble).toArray))
-      val k = math.min(dim, vocab.dim)
       val svd = new org.apache.spark.mllib.linalg.distributed.RowMatrix(rows)
-        .computeSVD(k, computeU = false)
+        .computeSVD(math.min(dim, vocab.dim), computeU = false)
       val v = svd.V // vocabDim × k, column j = j-th right singular vector
+      // computeSVD may return FEWER columns than asked (rank-deficient
+      // corpus: components under rCond·sigma0 are dropped) — the fitted
+      // embedder is rank-limited, never an index crash
+      val k = v.numCols
       val proj = Array.tabulate(vocab.dim, k)((i, j) => v(i, j))
       // canonical signs: flip each column so its largest-|x| entry is
       // positive — SVD is sign-indeterminate, embeddings must not be
