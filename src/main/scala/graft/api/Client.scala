@@ -84,17 +84,32 @@ final class Client(spark: SparkSession, root: String,
   /** Root of a collection's fork chain (self when never forked). A chain
     * deeper than the guard FAILS rather than silently reporting an
     * intermediate node as the root (which would undercount fork edges).
+    *
+    * A `forkedFrom` target that no longer resolves (the parent was
+    * RENAMED — `modifyCollection` moves only the descriptor, children's
+    * `forkedFrom` still hold the old name — or deleted) terminates the
+    * chain at the CHILD: the child becomes its own accounting root.
+    * Failing here instead would brick every future fork in the database
+    * once any fork parent is renamed; treating the orphan as a root
+    * keeps quota accounting conservative-per-subtree (each orphaned
+    * subtree gets its own edge budget, never more total edges than one
+    * shared budget would allow... per subtree).
     */
   private def forkRootOf(name: String, hops: Int = 1000): String = {
     val r = Catalog.getCollection(root, tenant, database, name)
     r.forkedFrom match {
-      case Some(src) if hops > 0 => forkRootOf(src, hops - 1)
+      case Some(src) if hops > 0 =>
+        if (collectionExists(src)) forkRootOf(src, hops - 1) else name
       case Some(_) => throw new IllegalStateException(
         s"fork chain above '$name' exceeds 1000 hops — refusing to " +
           "guess its root for quota accounting")
       case None => name
     }
   }
+
+  /** Descriptor existence probe — a metadata `Files.exists`, no parse. */
+  private def collectionExists(name: String): Boolean =
+    Catalog.collectionExists(root, tenant, database, name)
 
   /** Edges in the fork tree rooted at `rootName` = collections whose
     * chain reaches it, excluding the root itself. A walk over catalog
@@ -107,12 +122,17 @@ final class Client(spark: SparkSession, root: String,
       memo.getOrElseUpdate(name, {
         val r = Catalog.getCollection(root, tenant, database, name)
         r.forkedFrom match {
-          case Some(src) if hops > 0 => rootOf(src, hops - 1)
+          // a renamed/deleted parent orphans the subtree — same
+          // chain-termination rule as forkRootOf
+          case Some(src) if hops > 0 =>
+            if (collectionExists(src)) rootOf(src, hops - 1) else name
           case Some(_) => throw new IllegalStateException(
             s"fork chain above '$name' exceeds 1000 hops")
           case None => name
         }
       })
+    // one descriptor read per collection total (memoized by name), the
+    // full-catalog scan the reference's sysdb does with one SQL query
     listCollections().count(n => n != rootName && rootOf(n) == rootName).toLong
   }
 
@@ -571,7 +591,8 @@ final class CollectionHandle(spark: SparkSession,
   def queryAnn(queries: DataFrame, k: Int, nprobe: Int = -1,
       nCentroids: Int = 16, nReplica: Int = -1,
       where: Option[graft.model.Where.Expr] = None,
-      space: String = ""): DataFrame = {
+      space: String = ""): DataFrame =
+      Quotas.Gates.withRead(ref.dataRoot, limits) {
     where.foreach(Quotas.validateWhere(_, limits))
     Quotas.validateResults(k, limits)
     // SPANN config supplies search_nprobe / nreplica_count when the call
@@ -615,7 +636,8 @@ final class CollectionHandle(spark: SparkSession,
     */
   def queryAnnQuantized(queries: DataFrame, k: Int, nprobe: Int = -1,
       dim: Int = -1, alpha: Int = 20, nCentroids: Int = 16,
-      nReplica: Int = -1, space: String = ""): DataFrame = {
+      nReplica: Int = -1, space: String = ""): DataFrame =
+      Quotas.Gates.withRead(ref.dataRoot, limits) {
     Quotas.validateResults(k, limits)
     // same config resolution as queryAnn: one declared metric serves
     // every read API on the collection, never a per-API default drift.
@@ -655,7 +677,8 @@ final class CollectionHandle(spark: SparkSession,
     * merge. Graphs build once per compacted segment (content-tagged key).
     */
   def queryAnnHnsw(queries: DataFrame, k: Int, efSearch: Int = -1,
-      space: String = ""): DataFrame = {
+      space: String = ""): DataFrame =
+      Quotas.Gates.withRead(ref.dataRoot, limits) {
     Quotas.validateResults(k, limits)
     // the declared config supplies the query-time ef_search and the
     // build-time M / ef_construction (hnsw_configuration.rs defaults);
@@ -768,15 +791,19 @@ final class CollectionHandle(spark: SparkSession,
     * `Knn(query="...")` path (`operator.py:1060`).
     */
   def search(json: String, space: String = ""): DataFrame =
-    asCollection.searchPayload(json, cfgSpace(space), embed = embedFn,
-      sparseEmbed = schemaSparseFns)
+    Quotas.Gates.withRead(ref.dataRoot, limits) {
+      asCollection.searchPayload(json, cfgSpace(space), embed = embedFn,
+        sparseEmbed = schemaSparseFns)
+    }
 
   /** Multi-payload Search (`{"payloads": [...]}`): one result per
     * payload, in order — `fan_out_search` at the handle.
     */
   def searchAll(json: String, space: String = ""): Seq[DataFrame] =
-    asCollection.searchPayloads(json, cfgSpace(space), embed = embedFn,
-      sparseEmbed = schemaSparseFns)
+    Quotas.Gates.withRead(ref.dataRoot, limits) {
+      asCollection.searchPayloads(json, cfgSpace(space), embed = embedFn,
+        sparseEmbed = schemaSparseFns)
+    }
 
   private def schemaSparseFns
       : Map[String, graft.functions.SparseEmbeddingFunction] =

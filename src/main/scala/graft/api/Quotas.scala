@@ -183,6 +183,24 @@ object Quotas {
       limits.maxNameBytes.toLong)
     def bad(msg: String) = throw new QuotaExceeded(
       s"$what name '$name' invalid: $msg", name.length.toLong, 0L)
+    // the reference accepts `topology+name` (a single '+' splitting two
+    // independently-valid names, combined length still <= 512 —
+    // `validators.rs:44-71` recurses after rejecting a second '+')
+    val plus = name.indexOf('+')
+    if (plus >= 0) {
+      if (name.length > 512) bad("expected 3-512 characters")
+      val (topo, rest) = (name.substring(0, plus), name.substring(plus + 1))
+      if (rest.contains('+'))
+        bad("expected at most one topology: got two '+' characters")
+      validateShape(topo, bad)
+      validateShape(rest, bad)
+      return
+    }
+    validateShape(name, bad)
+  }
+
+  private def validateShape(name: String,
+      bad: String => Nothing): Unit = {
     if (name.length < 3 || name.length > 512)
       bad("expected 3-512 characters")
     if (!name.matches("[a-zA-Z0-9][a-zA-Z0-9._-]*[a-zA-Z0-9]"))
@@ -224,13 +242,23 @@ object Quotas {
       permits.computeIfAbsent(key,
         _ => new java.util.concurrent.Semaphore(n, true))
 
+    // REENTRANT per thread: one logical read that composes gated
+    // entry points (search → query, queryText → query) counts as ONE
+    // admitted request, never two permits — nesting under a full gate
+    // must not self-reject
+    private val held = ThreadLocal.withInitial(
+      () => scala.collection.mutable.Set[String]())
+
     def withPermit[T](key: String, kind: String, cap: Int)(f: => T): T = {
       if (cap == Int.MaxValue) return f
-      val g = gate(s"$kind:$key", cap)
+      val gk = s"$kind:$key"
+      if (held.get.contains(gk)) return f
+      val g = gate(gk, cap)
       if (!g.tryAcquire())
         throw new QuotaExceeded(s"concurrent ${kind}s per collection",
           cap.toLong + 1, cap.toLong)
-      try f finally g.release()
+      held.get += gk
+      try f finally { held.get -= gk; g.release() }
     }
     def withRead[T](key: String, limits: Limits)(f: => T): T =
       withPermit(key, "read", limits.maxConcurrentReads)(f)

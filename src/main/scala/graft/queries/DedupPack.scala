@@ -84,7 +84,10 @@ object DedupPack extends QueryPack {
     },
 
     "dd_minhash_lsh" -> { (s, d) =>
-      Dedup.minhashLsh(Tables.documents(s, d), threshold = 0.5)
+      // the SERVING form opts into the per-bucket cap explicitly (the
+      // public API default stays exhaustive — no silent recall change)
+      Dedup.minhashLsh(Tables.documents(s, d), threshold = 0.5,
+          maxBucket = Dedup.DefaultMaxBucket)
         .orderBy(col("da"), col("db"))
     },
 

@@ -521,7 +521,8 @@ object StreamingPack extends QueryPack {
       EventStream.minhashMaintain(s, src, s"$base/banded",
         s"$base/ckpt", filesPerBatch = 2)
       graft.operators.Dedup.minhashLshServed(docs,
-          s.read.parquet(s"$base/banded"), threshold = 0.5)
+          s.read.parquet(s"$base/banded"), threshold = 0.5,
+          maxBucket = graft.operators.Dedup.DefaultMaxBucket)
         .orderBy(col("da"), col("db"))
     },
 

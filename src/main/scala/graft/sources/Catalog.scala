@@ -126,6 +126,17 @@ object Catalog {
         }.getOrElse(d)
       if (!md.keys.exists(_.startsWith("hnsw:"))) None
       else {
+        // the reference's serde parse is deny_unknown_fields over the
+        // collected `hnsw:*` entries (`hnsw_configuration.rs:205-231`) —
+        // a typo'd key (`hnsw:ef_search`) must reject, not silently
+        // serve under defaults
+        val known = Set("hnsw:space", "hnsw:construction_ef",
+          "hnsw:search_ef", "hnsw:M", "hnsw:num_threads",
+          "hnsw:resize_factor", "hnsw:sync_threshold", "hnsw:batch_size")
+        val unknown = md.keys.filter(k => k.startsWith("hnsw:") && !known(k))
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"unknown legacy hnsw metadata key(s): ${unknown.toSeq.sorted
+            .mkString(", ")} — expected one of ${known.toSeq.sorted.mkString(", ")}")
         val d = HnswIndexConfig()
         Some(HnswIndexConfig(
           space = md.getOrElse("hnsw:space", d.space),
@@ -192,7 +203,9 @@ object Catalog {
     java.nio.file.Paths.get(root, "_sysdb", tenant, db)
 
   private def validName(s: String): Unit =
-    require(s.matches("[A-Za-z0-9._-]{1,128}"), s"invalid catalog name: '$s'")
+    // '+' admits the reference's `topology+name` form (validators.rs:44);
+    // the quota layer enforces the stricter published shape rules
+    require(s.matches("[A-Za-z0-9._+-]{1,128}"), s"invalid catalog name: '$s'")
 
   def createTenant(root: String, tenant: String): Unit = {
     validName(tenant)
@@ -307,7 +320,25 @@ object Catalog {
     writeDescriptor(dir.resolve(s"$nm.json"), cur.schema,
       cur.forkedFrom, Some(dataDir), md,
       createNew = nm != name) // rename loses a concurrent race atomically
-    if (nm != name) java.nio.file.Files.delete(dir.resolve(s"$name.json"))
+    if (nm != name) {
+      // a rename must not orphan the fork tree: children reference this
+      // node BY NAME (`forkedFrom`), and both quota accounting
+      // (fork-edges-from-root) and copy-on-write segment resolution walk
+      // that edge — rewrite every direct child's descriptor old→new
+      // while BOTH names still resolve (the new descriptor is already
+      // written, the old one is deleted last, so a crash at any point
+      // leaves every child resolvable). Rename is an admin-plane op; the
+      // O(#collections) descriptor sweep is the reference sysdb's
+      // single-UPDATE equivalent.
+      listCollections(root, tenant, db).foreach { child =>
+        val cr = getCollection(root, tenant, db, child)
+        if (cr.forkedFrom.contains(name))
+          writeDescriptor(dir.resolve(s"$child.json"), cr.schema,
+            Some(nm), Some(cr.dataRoot.split('/').last), cr.metadata,
+            createNew = false)
+      }
+      java.nio.file.Files.delete(dir.resolve(s"$name.json"))
+    }
     CollectionRef(tenant, db, nm, cur.schema, root, cur.dataRoot,
       cur.forkedFrom, md)
   }
@@ -432,8 +463,15 @@ object Catalog {
     val lock = updateLocks.computeIfAbsent(lockKey, _ => new Object)
     lock.synchronized {
     val cur = getCollection(root, tenant, db, name)
+    // an unconfigured collection has been SERVING under the engine's
+    // historical defaults (space 'cosine', ef_search 64 — see
+    // CollectionHandle.cfgSpace/queryAnnHnsw); the in-passing declaration
+    // must seed from those, not HnswIndexConfig()'s reference defaults,
+    // or a config update that only touches e.g. efSearch would silently
+    // flip the collection's effective metric to 'l2' and change every
+    // subsequent query's results
     val base = effectiveVectorIndex(cur.schema, cur.metadata)
-      .getOrElse(HnswIndexConfig())
+      .getOrElse(HnswIndexConfig(space = "cosine", efSearch = 64))
     val next = base match {
       case h: HnswIndexConfig => hnsw match {
         case Some(u) => h.copy(
@@ -489,6 +527,12 @@ object Catalog {
       .collect { case e if java.nio.file.Files.isDirectory(e) =>
         e.getFileName.toString }
       .sorted
+
+  /** Descriptor existence — a metadata probe, no parse. */
+  def collectionExists(root: String, tenant: String, db: String,
+      name: String): Boolean =
+    java.nio.file.Files.exists(
+      sysdbPath(root, tenant, db).resolve(s"$name.json"))
 
   def listCollections(root: String, tenant: String, db: String): Seq[String] =
     CollectionStore.listDir(sysdbPath(root, tenant, db))

@@ -111,15 +111,38 @@ class CollectionConfigSpec extends AnyFunSuite {
       case Some(s: SpannIndexConfig) => assert(s.efSearch == 99)
       case other => fail(s"hnsw update crossgraded a spann config: $other")
     }
-    // an undeclared collection updates against the HNSW defaults
+    // an undeclared collection updates against the engine's HISTORICAL
+    // serving defaults (space 'cosine', ef 64) — NOT HnswIndexConfig()'s
+    // 'l2': the collection has been serving cosine all along, and an
+    // efSearch-only update must not silently flip its metric
     c.createCollection("cfg_up2")
     val fromDefault = c.updateCollectionConfig("cfg_up2",
-      hnsw = Some(HnswConfigUpdate(efSearch = Some(222))))
+      hnsw = Some(HnswConfigUpdate(maxNeighbors = Some(24))))
     fromDefault.ref.schema.vectorIndex match {
       case Some(h: HnswIndexConfig) =>
-        assert(h.efSearch == 222 && h.efConstruction == 100)
+        assert(h.maxNeighbors == 24 && h.efConstruction == 100)
+        assert(h.space == "cosine",
+          s"in-passing declaration flipped the serving metric to ${h.space}")
+        assert(h.efSearch == 64,
+          s"in-passing declaration changed the serving ef to ${h.efSearch}")
       case other => fail(s"expected hnsw config, got $other")
     }
+  }
+
+  test("unknown legacy hnsw:* metadata keys reject by name") {
+    // the reference's deny_unknown_fields parse
+    // (hnsw_configuration.rs:205-231): a typo'd key must fail loudly,
+    // not serve under defaults
+    val e = intercept[IllegalArgumentException] {
+      Catalog.VectorIndexConfig.fromLegacyMetadata(
+        Map("hnsw:ef_search" -> "10", "hnsw:space" -> "cosine"))
+    }
+    assert(e.getMessage.contains("hnsw:ef_search"),
+      s"rejection must name the offending key: ${e.getMessage}")
+    // known keys alone still parse
+    val ok = Catalog.VectorIndexConfig.fromLegacyMetadata(
+      Map("hnsw:search_ef" -> "10", "hnsw:space" -> "cosine"))
+    assert(ok.exists(h => h.efSearch == 10 && h.space == "cosine"))
   }
 
   test("a spann-config collection serves queryAnn from its config, rebalanced") {

@@ -75,13 +75,14 @@ class DedupSpec extends AnyFunSuite {
     assert(big.map(_._1).forall(seen),
       "capped edges disconnected the planted cluster")
     // small-bucket equality: the real corpus's buckets sit far below the
-    // default cap, so the capped default output == the exhaustive one
-    val dflt = Dedup.minhashLsh(docs, 0.5).select("da", "db")
+    // serving cap, so the opted-in capped output == the exhaustive
+    // default (the public API default is uncapped — no silent change)
+    val srv = Dedup.minhashLsh(docs, 0.5, maxBucket = Dedup.DefaultMaxBucket)
+      .select("da", "db")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exh = Dedup.minhashLsh(docs, 0.5, maxBucket = Int.MaxValue)
-      .select("da", "db").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(dflt == exh, "default cap changed output on a small-bucket corpus")
+    val exh = Dedup.minhashLsh(docs, 0.5).select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(srv == exh, "serving cap changed output on a small-bucket corpus")
   }
 
   test("LSH probe == full pipeline restricted to batch-touching pairs") {

@@ -184,6 +184,12 @@ class QuotasSpec extends AnyFunSuite {
     intercept[Quotas.QuotaExceeded] { c.createCollection("a..b") }
     intercept[Quotas.QuotaExceeded] { c.createCollection("10.2.3.4") }
     c.createCollection("A-valid.name_0") // in-envelope
+    // the reference's topology form (validators.rs:44-71): ONE '+'
+    // splits two independently-valid names
+    c.createCollection("topo-a+db.name")
+    intercept[Quotas.QuotaExceeded] { c.createCollection("a+b+c") }
+    intercept[Quotas.QuotaExceeded] { c.createCollection("topo+a..b") }
+    intercept[Quotas.QuotaExceeded] { c.createCollection("ab+okname") }
     // database name rides the same rule
     intercept[Quotas.QuotaExceeded] {
       new Client(spark,
@@ -249,11 +255,31 @@ class QuotasSpec extends AnyFunSuite {
     val cf = freshClient(Quotas.CloudDefaults.copy(maxForkEdges = 2))
     val src = cf.createCollection("root0")
     src.add(Seq(("id1", "doc")).toDF("id", "document"))
+    src.persist() // forks copy-on-write read this segment
     cf.forkCollection("root0", "fork1")
     cf.forkCollection("fork1", "fork2") // a fork OF a fork still hangs off root0
     // 2 edges from root0 — a third fork anywhere in the tree trips
     intercept[Quotas.QuotaExceeded] { cf.forkCollection("root0", "fork3") }
     intercept[Quotas.QuotaExceeded] { cf.forkCollection("fork2", "fork4") }
+
+    // renaming a fork PARENT must not brick future forks or reset the
+    // edge budget: the rename rewrites children's forkedFrom old→new,
+    // so the tree stays intact under the new name
+    cf.modifyCollection("root0", newName = Some("root0renamed"))
+    assert(cf.getCollection("fork1").ref.forkedFrom
+        .contains("root0renamed"),
+      "rename must rewrite the child's forkedFrom")
+    // the 2 existing edges still hang off the (renamed) root: another
+    // fork anywhere in the tree still trips — and RESOLVES (no
+    // 'no such collection root0' crash), both through the renamed root
+    // and through a grandchild whose chain crosses the renamed node
+    intercept[Quotas.QuotaExceeded] {
+      cf.forkCollection("root0renamed", "fork5")
+    }
+    intercept[Quotas.QuotaExceeded] { cf.forkCollection("fork2", "fork6") }
+    // a fork of the renamed tree still reads the shared segment through
+    // the rewritten chain (copy-on-write resolution survives the rename)
+    assert(cf.getCollection("fork2").count() == 1)
   }
 
   test("concurrent read/write admission rejects past the per-collection cap") {
@@ -281,6 +307,31 @@ class QuotasSpec extends AnyFunSuite {
     } finally { hold.countDown(); pool.shutdown() }
     // permits release: after drain, reads flow again
     assert(pool.awaitTermination(10, TimeUnit.SECONDS))
+    Quotas.Gates.withRead(key, lim) { () }
+  }
+
+  test("read gate is reentrant per thread: composed reads count once") {
+    // one logical read that composes gated entry points (search → query,
+    // queryText → query) must admit as ONE request — a nested acquire
+    // under a cap-1 gate must not self-reject, and the permit must
+    // survive the inner exit
+    val lim = Quotas.CloudDefaults.copy(maxConcurrentReads = 1)
+    val key = java.util.UUID.randomUUID().toString
+    val out = Quotas.Gates.withRead(key, lim) {
+      val inner = Quotas.Gates.withRead(key, lim) { 41 }
+      // the inner exit must NOT have released this thread's permit: a
+      // second thread is still rejected here
+      val t = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val th = new Thread(() => {
+        try Quotas.Gates.withRead(key, lim) { () }
+        catch { case _: Quotas.QuotaExceeded => t.set(true) }
+      })
+      th.start(); th.join()
+      assert(t.get, "outer permit vanished after the nested exit")
+      inner + 1
+    }
+    assert(out == 42)
+    // fully exited: the permit is back
     Quotas.Gates.withRead(key, lim) { () }
   }
 
