@@ -540,23 +540,62 @@ final class CollectionHandle(spark: SparkSession,
   // quota — Spark's own scheduler pools govern executor-side concurrency
   def get(where: Option[graft.model.Where.Expr] = None,
       limit: Option[Int] = None, offset: Int = 0,
-      include: Seq[String] = Seq("document")): DataFrame =
+      include: Seq[String] = Seq("document"),
+      readLevel: ReadLevel = ReadLevel.IndexAndWal): DataFrame =
     Quotas.Gates.withRead(ref.dataRoot, limits) {
       where.foreach(Quotas.validateWhere(_, limits))
       limit.foreach(Quotas.validateResults(_, limits))
-      asCollection.get(where, limit, offset, include)
+      readView(readLevel).get(where, limit, offset, include)
     }
 
   def peek(n: Int = 10): DataFrame = get(limit = Some(n))
 
   def query(queries: DataFrame, k: Int,
       where: Option[graft.model.Where.Expr] = None,
-      space: String = ""): DataFrame =
+      space: String = "",
+      readLevel: ReadLevel = ReadLevel.IndexAndWal): DataFrame =
     Quotas.Gates.withRead(ref.dataRoot, limits) {
       where.foreach(Quotas.validateWhere(_, limits))
       Quotas.validateResults(k, limits)
-      asCollection.query(queries, k, where, cfgSpace(space))
+      readView(readLevel).query(queries, k, where, cfgSpace(space))
     }
+
+  /** The read view at `readLevel` (`plan.rs:550-565`): the RYW state
+    * (default), the persisted segment alone, or segment + a consistent
+    * WAL prefix — all in the identical shredded serving schema, so
+    * results at different levels union cleanly.
+    */
+  private def readView(level: ReadLevel): Collection = level match {
+    case ReadLevel.IndexAndWal => asCollection
+    case ReadLevel.IndexOnly => indexView(None)
+    case ReadLevel.IndexAndBoundedWal(n) => indexView(Some(n))
+  }
+
+  private def indexView(bound: Option[Int]): Collection = {
+    val segRecs = persistedRecs()
+    val st = bound.flatMap(n => writer.tailPrefix(n)) match {
+      case Some((ops, _)) => Materialize(spark, ops,
+        Some(Materialize.segmentAsLog(spark, segRecs)))
+      case None => segRecs
+    }
+    new Collection(shredRecords(denseOffsets(st.toDF())))
+  }
+
+  /** The PERSISTED compacted segment in WAL-record shape, straight from
+    * disk — unlike the writer's in-memory segment, never contaminated by
+    * flushed post-compaction ops (which IndexOnly/bounded reads must not
+    * see). Empty for a never-compacted collection: its whole state is
+    * tail, so the index leg is empty, exactly the reference's.
+    */
+  private def persistedRecs(): Dataset[Rec] = segmentDataRoot(ref) match {
+    case Some(dataRoot) =>
+      TypedMeta.encodeSparse(TypedMeta.encodeUri(TypedMeta.encode(
+          CollectionStore.loadRecords(spark, dataRoot)
+            .withColumnRenamed("meta_str", "meta"))))
+        .select(col("id"), col("document"), col("meta"),
+          col("embedding"), col("offset_id").as("first_offset")).as[Rec]
+    case None => spark.emptyDataset[Rec]
+  }
 
   /** Served-ANN read at the reference's DEFAULT read level —
     * `ReadLevel::IndexAndWal` (`rust/types/src/execution/plan.rs:553-565`):
@@ -591,7 +630,8 @@ final class CollectionHandle(spark: SparkSession,
   def queryAnn(queries: DataFrame, k: Int, nprobe: Int = -1,
       nCentroids: Int = 16, nReplica: Int = -1,
       where: Option[graft.model.Where.Expr] = None,
-      space: String = ""): DataFrame =
+      space: String = "",
+      readLevel: ReadLevel = ReadLevel.IndexAndWal): DataFrame =
       Quotas.Gates.withRead(ref.dataRoot, limits) {
     where.foreach(Quotas.validateWhere(_, limits))
     Quotas.validateResults(k, limits)
@@ -605,7 +645,7 @@ final class CollectionHandle(spark: SparkSession,
     val nr = if (nReplica > 0) nReplica else spannCfg.map(_.nReplica).getOrElse(4)
     val sp = cfgSpace(space)
     segmentDataRoot(ref) match {
-      case None => asCollection.query(queries, k, where, sp)
+      case None => readView(readLevel).query(queries, k, where, sp)
       case Some(dataRoot) =>
         val seg = CollectionStore.loadRecords(spark, dataRoot)
         val vecs = seg.select(col("offset_id"), col("embedding"))
@@ -622,7 +662,7 @@ final class CollectionHandle(spark: SparkSession,
             vecs, dataRoot, nCentroids, nr, space = sp,
             keyTag = segTag(seg))
         }
-        val (tail, stale) = tailAndStale()
+        val (tail, stale) = tailAndStale(readLevel)
         new Collection(seg).queryAnn(model, queries, k, np, where,
           sp, walTail = tail, staleIds = stale,
           staleFetchExtra = stale.map(tailCount).getOrElse(0))
@@ -636,7 +676,8 @@ final class CollectionHandle(spark: SparkSession,
     */
   def queryAnnQuantized(queries: DataFrame, k: Int, nprobe: Int = -1,
       dim: Int = -1, alpha: Int = 20, nCentroids: Int = 16,
-      nReplica: Int = -1, space: String = ""): DataFrame =
+      nReplica: Int = -1, space: String = "",
+      readLevel: ReadLevel = ReadLevel.IndexAndWal): DataFrame =
       Quotas.Gates.withRead(ref.dataRoot, limits) {
     Quotas.validateResults(k, limits)
     // same config resolution as queryAnn: one declared metric serves
@@ -655,7 +696,7 @@ final class CollectionHandle(spark: SparkSession,
           "the collection's dense embedding schema"))
     val sp = cfgSpace(space)
     segmentDataRoot(ref) match {
-      case None => asCollection.query(queries, k, None, sp)
+      case None => readView(readLevel).query(queries, k, None, sp)
       case Some(dataRoot) =>
         val seg = CollectionStore.loadRecords(spark, dataRoot)
         val vecs = seg.select(col("offset_id"), col("embedding"))
@@ -664,7 +705,7 @@ final class CollectionHandle(spark: SparkSession,
           nr, space = sp, keyTag = tag)
         val codes = CollectionStore.rotatedCodesServing(vecs, dataRoot, dm,
           keyTag = tag)
-        val (tail, stale) = tailAndStale()
+        val (tail, stale) = tailAndStale(readLevel)
         new Collection(seg).queryAnnQuantized(model, codes, queries, k,
           np, dm, alpha, sp, walTail = tail, staleIds = stale,
           staleFetchExtra = stale.map(tailCount).getOrElse(0))
@@ -677,7 +718,8 @@ final class CollectionHandle(spark: SparkSession,
     * merge. Graphs build once per compacted segment (content-tagged key).
     */
   def queryAnnHnsw(queries: DataFrame, k: Int, efSearch: Int = -1,
-      space: String = ""): DataFrame =
+      space: String = "",
+      readLevel: ReadLevel = ReadLevel.IndexAndWal): DataFrame =
       Quotas.Gates.withRead(ref.dataRoot, limits) {
     Quotas.validateResults(k, limits)
     // the declared config supplies the query-time ef_search and the
@@ -694,13 +736,13 @@ final class CollectionHandle(spark: SparkSession,
       case s: Catalog.SpannIndexConfig => (s.maxNeighbors, s.efConstruction)
     }.getOrElse((16, 100))
     segmentDataRoot(ref) match {
-      case None => asCollection.query(queries, k, None, sp)
+      case None => readView(readLevel).query(queries, k, None, sp)
       case Some(dataRoot) =>
         val seg = CollectionStore.loadRecords(spark, dataRoot)
         val root = CollectionStore.hnswServing(
           seg.select(col("offset_id"), col("embedding")), dataRoot,
           m = m, efConstruction = efc, space = sp, keyTag = segTag(seg))
-        val (tail, stale) = tailAndStale()
+        val (tail, stale) = tailAndStale(readLevel)
         new Collection(seg).queryAnnHnsw(root, queries, k, ef, sp,
           walTail = tail, staleIds = stale,
           staleFetchExtra = stale.map(tailCount).getOrElse(0))
@@ -712,8 +754,25 @@ final class CollectionHandle(spark: SparkSession,
     * index-leg shadow — includes DELETED ids, which are absent from the
     * state frame but must still knock their stale indexed version out).
     */
-  private def tailAndStale(): (Option[DataFrame], Option[DataFrame]) =
-    writer.tailIds match {
+  private def tailAndStale(level: ReadLevel = ReadLevel.IndexAndWal)
+      : (Option[DataFrame], Option[DataFrame]) = level match {
+    case ReadLevel.IndexOnly =>
+      // skip the WAL leg entirely — the served index answers alone
+      (None, None)
+    case ReadLevel.IndexAndBoundedWal(n) =>
+      writer.tailPrefix(n) match {
+        case Some((ops, ids)) =>
+          // fold the PREFIX over the persisted segment restricted to the
+          // prefix ids — writer.stateOf would fold later entries' ops
+          // too, violating the consistent-prefix contract
+          val base = persistedRecs().join(broadcast(ids), Seq("id"),
+            "left_semi").as[Rec]
+          val st = Materialize(spark, ops,
+            Some(Materialize.segmentAsLog(spark, base)))
+          (Some(shredRecords(denseOffsets(st.toDF()))), Some(ids))
+        case None => (None, None)
+      }
+    case ReadLevel.IndexAndWal => writer.tailIds match {
       case Some(ids) =>
         // Writer.stateOf folds ONLY the touched ids — O(|tail|), never
         // the full RYW materialization. Tail offset ids are leg-local
@@ -725,6 +784,7 @@ final class CollectionHandle(spark: SparkSession,
           Some(ids))
       case None => (None, None)
     }
+  }
 
   /** |distinct tail ids| — the index leg's over-fetch margin (the
     * reference's fetch-log-size). One count job per mutation epoch, only
@@ -771,7 +831,8 @@ final class CollectionHandle(spark: SparkSession,
     */
   def queryText(texts: Seq[String], k: Int,
       where: Option[graft.model.Where.Expr] = None,
-      space: String = ""): DataFrame = {
+      space: String = "",
+      readLevel: ReadLevel = ReadLevel.IndexAndWal): DataFrame = {
     val fn = embedFn.getOrElse(throw new IllegalArgumentException(
       s"collection ${ref.name} declares no embedding_function"))
     val q = texts.zipWithIndex
@@ -781,7 +842,7 @@ final class CollectionHandle(spark: SparkSession,
     // reference's embed_query contract
     query(graft.functions.EmbeddingFunctions
       .attachOnce(q, "q_embedding", fn.embedQuery(col("text"))).drop("text"),
-      k, where, space)
+      k, where, space, readLevel)
   }
 
   /** Hybrid Search from the WIRE payload over the live read-your-writes
@@ -790,19 +851,21 @@ final class CollectionHandle(spark: SparkSession,
     * function (query side of the protocol), exactly the reference's
     * `Knn(query="...")` path (`operator.py:1060`).
     */
-  def search(json: String, space: String = ""): DataFrame =
+  def search(json: String, space: String = "",
+      readLevel: ReadLevel = ReadLevel.IndexAndWal): DataFrame =
     Quotas.Gates.withRead(ref.dataRoot, limits) {
-      asCollection.searchPayload(json, cfgSpace(space), embed = embedFn,
-        sparseEmbed = schemaSparseFns)
+      readView(readLevel).searchPayload(json, cfgSpace(space),
+        embed = embedFn, sparseEmbed = schemaSparseFns)
     }
 
   /** Multi-payload Search (`{"payloads": [...]}`): one result per
     * payload, in order — `fan_out_search` at the handle.
     */
-  def searchAll(json: String, space: String = ""): Seq[DataFrame] =
+  def searchAll(json: String, space: String = "",
+      readLevel: ReadLevel = ReadLevel.IndexAndWal): Seq[DataFrame] =
     Quotas.Gates.withRead(ref.dataRoot, limits) {
-      asCollection.searchPayloads(json, cfgSpace(space), embed = embedFn,
-        sparseEmbed = schemaSparseFns)
+      readView(readLevel).searchPayloads(json, cfgSpace(space),
+        embed = embedFn, sparseEmbed = schemaSparseFns)
     }
 
   private def schemaSparseFns

@@ -45,6 +45,17 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
   private var tailIdsLocal: Vector[String] = Vector.empty
   private var tailIdFrames: Vector[org.apache.spark.sql.DataFrame] = Vector.empty
 
+  // WAL ENTRIES since the last compaction, anchored by a driver-known
+  // offset within each entry's (disjoint) offset range — the consistent
+  // prefix `ReadLevel::IndexAndBoundedWal` folds (`plan.rs:553-565`).
+  // Granularity follows the durable log: one element per single-record
+  // op or batch; replaceCommitted swaps the pending elements for the
+  // committed entry (the log committed them as ONE entry). Cleared only
+  // at compaction — flush() folds state but entries must stay readable
+  // as a prefix.
+  private var tailEntries:
+    Vector[(Long, Either[LogOp, Dataset[LogOp]])] = Vector.empty
+
   private def append(op: String, id: String, doc: Option[String],
       meta: Map[String, String], emb: Option[Seq[Float]] = None): Unit = {
     pendingOffsets = pendingOffsets :+ nextOffset
@@ -52,8 +63,34 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
     wal = wal :+ rec
     logOps = logOps :+ rec
     tailIdsLocal = tailIdsLocal :+ id
+    tailEntries = tailEntries :+ (nextOffset, Left(rec))
     nextOffset += 1
     mutations += 1
+  }
+
+  /** Number of WAL entries since the last compaction — what an
+    * IndexAndBoundedWal bound is measured against.
+    */
+  def tailEntryCount: Int = tailEntries.size
+
+  /** The first `n` WAL entries since the last compaction, in log order,
+    * as one op dataset plus their distinct ids — the
+    * `ReadLevel::IndexAndBoundedWal` consistent prefix: ops in later
+    * entries are invisible EVEN ON IDS the prefix touches. None when the
+    * tail is empty or `n <= 0` (that end is IndexOnly).
+    */
+  def tailPrefix(n: Int)
+      : Option[(Dataset[LogOp], org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.functions.col
+    val prefix = tailEntries.sortBy(_._1).take(math.max(n, 0))
+    if (prefix.isEmpty) None
+    else {
+      val singles = prefix.collect { case (_, Left(op)) => op }
+      val pieces = (if (singles.isEmpty) Nil else Seq(singles.toDS())) ++
+        prefix.collect { case (_, Right(ds)) => ds }
+      val ops = pieces.reduce(_ union _)
+      Some((ops, ops.toDF().select(col("id")).distinct()))
+    }
   }
 
   /** Distinct ids touched by WAL ops since the last compaction (None when
@@ -79,6 +116,7 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
   def markCompacted(): Unit = {
     tailIdsLocal = Vector.empty
     tailIdFrames = Vector.empty
+    tailEntries = Vector.empty
     // the persisted segment is now the durable copy of any op that never
     // reached the log — nothing left to commit there
     logOps = Vector.empty
@@ -141,6 +179,15 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
     // entries and earlier commits, which keep serving the view)
     wal = Vector.empty
     batches = batches.filterNot(b => logBatches.exists(_ eq b)) :+ entry
+    // the pending elements committed as ONE durable entry — swap them
+    // (pending Lefts carry offsets in pendingOffsets; pending Rights are
+    // the logBatches pieces) for the rebased entry, keeping entry
+    // granularity aligned with the log
+    val pendingOffs = pendingOffsets.toSet
+    tailEntries = tailEntries.filterNot {
+      case (_, Left(op)) => pendingOffs.contains(op.log_offset)
+      case (_, Right(ds)) => logBatches.exists(_ eq ds)
+    } :+ ((maxOffset, Right(entry)))
     logOps = Vector.empty
     logBatches = Vector.empty
     pendingOffsets = Vector.empty
@@ -157,6 +204,7 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
     import org.apache.spark.sql.functions.col
     batches = batches :+ entry
     tailIdFrames = tailIdFrames :+ entry.toDF().select(col("id"))
+    tailEntries = tailEntries :+ ((maxOffset, Right(entry)))
     if (maxOffset >= nextOffset) nextOffset = maxOffset + 1
     mutations += 1
   }
@@ -205,6 +253,7 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
     batches = batches :+ batch
     logBatches = logBatches :+ batch
     tailIdFrames = tailIdFrames :+ ops.select(col("id").cast("string").as("id"))
+    tailEntries = tailEntries :+ ((base, Right(batch)))
     mutations += 1
   }
 

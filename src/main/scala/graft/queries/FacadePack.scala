@@ -457,6 +457,34 @@ object FacadePack extends QueryPack {
         include = Seq("document", "meta:parent", "meta:idx"))
     },
 
+    // ReadLevel surface parity (`plan.rs:550-565`): the same collection
+    // read at IndexOnly (compacted segment alone — the un-compacted
+    // tail invisible), IndexAndBoundedWal(1) (segment + exactly the
+    // first tail entry), and IndexAndWal (full read-your-writes). Evens
+    // compact; odds arrive as tail entry 1; an EDITED update to every
+    // doc_id%4 lands as entry 2 — visible only at IndexAndWal.
+    "fc_read_levels" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_rl_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("rl")
+      val docs = Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"), col("doc_id"))
+      coll.add(docs.filter(col("doc_id") % 2 === 0).select("id", "document"))
+      coll.persist()
+      coll.add(docs.filter(col("doc_id") % 2 === 1).select("id", "document"))
+      coll.update(docs.filter(col("doc_id") % 4 === 0)
+        .select(col("id"), lit("EDITED").as("document")))
+      Seq(
+        ("index_only", graft.api.ReadLevel.IndexOnly),
+        ("bounded_1", graft.api.ReadLevel.IndexAndBoundedWal(1)),
+        ("index_and_wal", graft.api.ReadLevel.IndexAndWal))
+        .map { case (nm, lvl) => coll.get(readLevel = lvl)
+          .select(lit(nm).as("level"), col("id"), col("document")) }
+        .reduce(_ unionAll _)
+        .orderBy(col("level"), col("id"))
+    },
+
     // The record's `uri` field through the full write path — the
     // reference's blob-pointer contract (Collection.py:96-109 uris
     // surface): add() accepts a uri column, it rides the WAL, an Update
@@ -769,6 +797,27 @@ object FacadePack extends QueryPack {
         |SELECT stat, term, cnt FROM hist
         |UNION ALL SELECT stat, term, cnt FROM top
         |ORDER BY stat, cnt DESC, term""".stripMargin,
+
+    "fc_read_levels" ->
+      """WITH evens AS (
+        |  SELECT 'doc-'||doc_id AS id, text AS document, doc_id
+        |  FROM documents WHERE doc_id%2=0),
+        |odds AS (
+        |  SELECT 'doc-'||doc_id AS id, text AS document, doc_id
+        |  FROM documents WHERE doc_id%2=1)
+        |SELECT level, id, document FROM (
+        |  SELECT 'index_only' AS level, id, document FROM evens
+        |  UNION ALL
+        |  SELECT 'bounded_1' AS level, id, document FROM evens
+        |  UNION ALL
+        |  SELECT 'bounded_1' AS level, id, document FROM odds
+        |  UNION ALL
+        |  SELECT 'index_and_wal' AS level, id,
+        |    CASE WHEN doc_id%4=0 THEN 'EDITED' ELSE document END AS document
+        |  FROM evens
+        |  UNION ALL
+        |  SELECT 'index_and_wal' AS level, id, document FROM odds)
+        |ORDER BY level, id""".stripMargin,
 
     "fc_client_e2e" ->
       """WITH live AS (
