@@ -383,7 +383,7 @@ final class CollectionHandle(spark: SparkSession,
     // embed-on-add below ("writes carrying documents but no embeddings
     // embed server-side")
     val sparseKeys = ref.schema.keys.toSeq.collect {
-      case (k, Catalog.KeyConfig(Catalog.VSparseVector, _, Some(n))) =>
+      case (k, Catalog.KeyConfig(Catalog.VSparseVector, _, Some(n), _, _)) =>
         k -> graft.functions.EmbeddingFunctions.sparseRegistry(n)
     }
     if (sparseKeys.nonEmpty && !df.columns.contains("meta_sparse") &&
@@ -503,7 +503,10 @@ final class CollectionHandle(spark: SparkSession,
       else map_filter(
         transform_values(
           map_filter(col("meta"), (k, _) => k.isin(keys: _*)),
-          (_, v) => v.cast(cast)),
+          // try_cast, NOT cast: a tag-encoded entry ("i3" from a typed-
+          // map add) must fall through to the tagged path as null here —
+          // under ANSI a plain cast would throw instead
+          (_, v) => v.try_cast(cast)),
         (_, v) => v.isNotNull)
     val typedKeys = declared(Catalog.VInt) ++ declared(Catalog.VFloat) ++
       declared(Catalog.VBool)
@@ -545,8 +548,110 @@ final class CollectionHandle(spark: SparkSession,
     Quotas.Gates.withRead(ref.dataRoot, limits) {
       where.foreach(Quotas.validateWhere(_, limits))
       limit.foreach(Quotas.validateResults(_, limits))
-      readView(readLevel).get(where, limit, offset, include)
+      val view = readView(readLevel)
+      indexAllowedIds(where, readLevel) match {
+        case Some(allowed) =>
+          new Collection(view.records.join(allowed, Seq("id"), "left_semi"))
+            .get(where, limit, offset, include)
+        case None => view.get(where, limit, offset, include)
+      }
     }
+
+  /** Allowed-id PREFILTER for [[get]], served from the per-key metadata
+    * posting tables and/or the `#document` trigram FTS index — the
+    * planner leg of the reference's per-key `ValueTypes` index config
+    * (`collection_schema.rs:696-873`): an equality/`$in` leaf at the
+    * predicate's top-level conjunction on a DECLARED key whose inverted
+    * index is schema-enabled probes its posting table (bucket-pruned at
+    * plan time); mandatory `$contains` needles probe FTS when
+    * `documentFts` is enabled. A key with the index DISABLED contributes
+    * no route — the read takes the scan path (plan-gated in
+    * CollectionConfigSpec). The prefilter only narrows: the full
+    * predicate always verifies on the joined view, so routing can never
+    * change results. None ⇒ scan.
+    *
+    * Index legs cover the compacted segment; at IndexAndWal every
+    * tail-touched id joins the allowed set unconditionally (its current
+    * value lives in the RYW view, not the posting table). Bounded-prefix
+    * reads scan — the posting tables answer for the full segment, not a
+    * prefix.
+    */
+  private def indexAllowedIds(where: Option[graft.model.Where.Expr],
+      level: ReadLevel): Option[DataFrame] = {
+    import graft.model.Where
+    val w = where.getOrElse(return None)
+    val dataRoot = segmentDataRoot(ref).getOrElse(return None)
+    level match {
+      case ReadLevel.IndexAndBoundedWal(_) => return None
+      case _ => ()
+    }
+    lazy val seg = CollectionStore.loadRecords(spark, dataRoot)
+    def toIds(cand: DataFrame): DataFrame =
+      seg.select(col("offset_id"), col("id"))
+        .join(cand, Seq("offset_id")).select("id")
+    val eqRoute: Option[DataFrame] = indexableEqLeaf(w).map {
+      case (k, cfg, vs) =>
+        CollectionStore.metaInvertedServing(seg, dataRoot, k, cfg.valueType)
+        toIds(graft.operators.MetaInverted.candidateIds(spark, dataRoot, k,
+          vs.map(graft.operators.MetaInverted.renderValue)))
+    }
+    val ftsRoute: Option[DataFrame] =
+      if (!ref.schema.documentFts) None
+      else Where.containsDnf(w).map { dnf =>
+        CollectionStore.ftsServing(
+          seg.select(col("offset_id").as("doc_id"),
+            col("document").as("text")), dataRoot)
+        toIds(graft.operators.Fts.candidateIdsDnf(spark, dataRoot, dnf)
+          .select(col("doc_id").as("offset_id")))
+      }
+    val segAllowed = (eqRoute, ftsRoute) match {
+      case (Some(a), Some(b)) => Some(a.join(b, Seq("id"), "left_semi"))
+      case (a, b) => a.orElse(b)
+    }
+    segAllowed.map { ids =>
+      if (level == ReadLevel.IndexAndWal)
+        writer.tailIds.map(t => ids.union(t.select(col("id"))).distinct())
+          .getOrElse(ids)
+      else ids
+    }
+  }
+
+  /** First equality/`$in` leaf at the top-level conjunction whose key is
+    * declared with an effective-ENABLED inverted index of the matching
+    * type — the posting-table probe candidate. One leaf prefilters; the
+    * rest of the predicate verifies on the joined view.
+    */
+  private def indexableEqLeaf(e: graft.model.Where.Expr): Option[
+      (String, Catalog.KeyConfig, Seq[graft.model.Where.Value])] = {
+    import graft.model.Where
+    def leaf(x: Where.Expr): Option[(String, Seq[Where.Value])] = x match {
+      case Where.Cmp(k, "$eq", v) => Some((k, Seq(v)))
+      case Where.SetIn(k, vs, false) if vs.nonEmpty => Some((k, vs))
+      case _ => None
+    }
+    val leaves = e match {
+      case Where.And(cs) => cs.flatMap(leaf(_))
+      case other => leaf(other).toSeq
+    }
+    leaves.flatMap { case (k, vs) =>
+      ref.schema.keys.get(k).collect {
+        case c if Catalog.invertedEnabled(c) &&
+            typesAlign(c.valueType, vs) => (k, c, vs)
+      }
+    }.headOption
+  }
+
+  private def typesAlign(t: Catalog.ValueType,
+      vs: Seq[graft.model.Where.Value]): Boolean = {
+    import graft.model.Where._
+    vs.forall { v => (t, v) match {
+      case (Catalog.VString, VStr(_)) => true
+      case (Catalog.VBool, VBool(_)) => true
+      case (Catalog.VInt, VInt(_) | VFloat(_)) => true
+      case (Catalog.VFloat, VInt(_) | VFloat(_)) => true
+      case _ => false
+    } }
+  }
 
   def peek(n: Int = 10): DataFrame = get(limit = Some(n))
 
@@ -871,7 +976,7 @@ final class CollectionHandle(spark: SparkSession,
   private def schemaSparseFns
       : Map[String, graft.functions.SparseEmbeddingFunction] =
     ref.schema.keys.collect {
-      case (k, Catalog.KeyConfig(Catalog.VSparseVector, _, Some(n))) =>
+      case (k, Catalog.KeyConfig(Catalog.VSparseVector, _, Some(n), _, _)) =>
         k -> graft.functions.EmbeddingFunctions.sparseRegistry(n)
     }
 

@@ -457,6 +457,27 @@ object FacadePack extends QueryPack {
         include = Seq("document", "meta:parent", "meta:idx"))
     },
 
+    // Per-key inverted-index serving (`collection_schema.rs:696-873`):
+    // the collection declares `par` int with its inverted index enabled;
+    // the equality get routes through the bucket-partitioned posting
+    // table (plan-pruned to the probe's bucket — gated in
+    // CollectionConfigSpec) and the full predicate verifies on the view.
+    "fc_key_inverted" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_ki_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("ki", graft.sources.Catalog.Schema(
+        keys = Map("par" -> graft.sources.Catalog.KeyConfig(
+          graft.sources.Catalog.VInt, invertedIndex = Some(true)))))
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("par"), col("doc_id") % 10).as("meta_int")))
+      coll.persist()
+      coll.get(where = Some(graft.model.Where.Cmp("par", "$eq",
+          graft.model.Where.VInt(3))))
+        .orderBy(col("id"))
+    },
+
     // ReadLevel surface parity (`plan.rs:550-565`): the same collection
     // read at IndexOnly (compacted segment alone — the un-compacted
     // tail invisible), IndexAndBoundedWal(1) (segment + exactly the
@@ -797,6 +818,10 @@ object FacadePack extends QueryPack {
         |SELECT stat, term, cnt FROM hist
         |UNION ALL SELECT stat, term, cnt FROM top
         |ORDER BY stat, cnt DESC, term""".stripMargin,
+
+    "fc_key_inverted" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document FROM documents
+        |WHERE doc_id%10 = 3 ORDER BY id""".stripMargin,
 
     "fc_read_levels" ->
       """WITH evens AS (

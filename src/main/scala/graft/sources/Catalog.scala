@@ -54,9 +54,37 @@ object Catalog {
     * the reference's per-key `sparse_vector_index { embedding_function }`
     * (`rust/types/src/collection_schema.rs:745-873`): a raw-text `$knn`
     * leaf against the key embeds server-side with THIS function.
+    *
+    * `invertedIndex` is the reference's per-key ValueTypes toggle —
+    * `string_inverted_index` / `int_inverted_index` /
+    * `float_inverted_index` / `bool_inverted_index` enabled flags
+    * (`collection_schema.rs:696-873`). None inherits the schema DEFAULT
+    * (enabled for string/int/float/bool — `collection_schema.rs:918-965`,
+    * see [[invertedEnabled]]); Some overrides per key. The planner routes
+    * an equality filter on an enabled key through the served posting
+    * table ([[graft.operators.MetaInverted]]); a disabled key takes the
+    * scan path.
+    *
+    * `ftsIndex` mirrors the reference's per-key `fts_index` field —
+    * carried for config parity, but the reference restricts enabling FTS
+    * to the `#document` key (SchemaError, `collection_schema.rs:96`),
+    * which this schema models as [[Schema.documentFts]]; enabling it on a
+    * metadata key rejects at create with the reference's rule.
     */
   final case class KeyConfig(valueType: ValueType, indexed: Boolean = false,
-      embeddingFunction: Option[String] = None)
+      embeddingFunction: Option[String] = None,
+      invertedIndex: Option[Boolean] = None,
+      ftsIndex: Option[Boolean] = None)
+
+  /** Effective per-key inverted-index enablement: the key override, else
+    * the reference's schema default (enabled for the four inverted-
+    * indexable types, nonexistent otherwise).
+    */
+  def invertedEnabled(c: KeyConfig): Boolean = c.invertedIndex.getOrElse(
+    c.valueType match {
+      case VString | VInt | VFloat | VBool => true
+      case _ => false
+    })
 
   /** Per-collection VECTOR INDEX configuration — the reference's
     * `InternalCollectionConfiguration.vector_index`
@@ -243,6 +271,16 @@ object Catalog {
         require(graft.functions.EmbeddingFunctions.sparseRegistry.contains(n),
           s"key $k: unknown sparse embedding function $n")
       }
+      // the reference's per-key index rules (`collection_schema.rs:96`):
+      // FTS only ever on #document (Schema.documentFts here); inverted
+      // toggles exist only for the four inverted-indexable types
+      require(!c.ftsIndex.contains(true),
+        s"key $k: FTS index can only be enabled on the document — " +
+          "use Schema(documentFts = true)")
+      c.invertedIndex.foreach { _ =>
+        require(Set[ValueType](VString, VInt, VFloat, VBool)(c.valueType),
+          s"key $k: no inverted index exists for type ${c.valueType.name}")
+      }
     }
     writeDescriptor(dir.resolve(s"$name.json"), schema,
       forkedFrom = None, dataDir = None, metadata = metadata,
@@ -260,7 +298,9 @@ object Catalog {
       "keys" -> schema.keys.map { case (k, c) =>
         k -> (Map[String, Any]("type" -> c.valueType.name,
           "indexed" -> c.indexed) ++
-          c.embeddingFunction.map("embedding_function" -> _)) },
+          c.embeddingFunction.map("embedding_function" -> _) ++
+          c.invertedIndex.map("inverted_index" -> _) ++
+          c.ftsIndex.map("fts_index" -> _)) },
       "attached" -> schema.attached,
       "metadata" -> metadata) ++
       schema.embeddingFunction.map("embedding_function" -> _) ++
@@ -362,7 +402,15 @@ object Catalog {
           case JString(s) => Some(s)
           case _ => None
         }
-        k -> KeyConfig(t, idx, kef)
+        val inv = (v \ "inverted_index") match {
+          case JBool(b) => Some(b)
+          case _ => None
+        }
+        val kfts = (v \ "fts_index") match {
+          case JBool(b) => Some(b)
+          case _ => None
+        }
+        k -> KeyConfig(t, idx, kef, inv, kfts)
       }.toMap
       case _ => Map.empty[String, KeyConfig]
     }

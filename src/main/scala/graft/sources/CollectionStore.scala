@@ -380,6 +380,26 @@ object CollectionStore {
     root
   }
 
+  /** Served per-key metadata inverted index ([[graft.operators
+    * .MetaInverted]]) — built once per (segment version, key) under the
+    * same marker protocol as FTS; queries only read. `metaKey` is the
+    * schema key whose (schema-enabled) inverted index this is.
+    */
+  def metaInvertedServing(records: DataFrame, root: String,
+      metaKey: String, vtype: Catalog.ValueType,
+      nBuckets: Int = graft.operators.MetaInverted.DefaultBuckets)
+      : String = {
+    val enc = java.net.URLEncoder.encode(metaKey, "UTF-8")
+    once(s"metainv-$root-$enc-$nBuckets") {
+      val key = s"metainv-$enc-$nBuckets-n${records.count()}"
+      ensureBuilt(root, s"meta_inverted_$enc", key) {
+        graft.operators.MetaInverted.buildAndSave(
+          records, root, metaKey, vtype, nBuckets)
+      }
+    }
+    root
+  }
+
   /** Served sparse posting index for one `meta_sparse` key — the
     * reference's per-key `sparse_vector_index`
     * (`rust/types/src/collection_schema.rs:745-873`, posting shards in

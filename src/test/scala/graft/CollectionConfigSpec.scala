@@ -198,4 +198,124 @@ class CollectionConfigSpec extends AnyFunSuite {
     assert(ipTop == "long", s"ip-config collection returned $ipTop")
     assert(cosTop == "aligned", s"cosine-config collection returned $cosTop")
   }
+
+  test("per-key inverted index config: key-type × enabled/disabled/default routing table") {
+    // the reference's per-key ValueTypes toggles
+    // (collection_schema.rs:696-873; defaults :918-965 — inverted
+    // indexes default-ENABLED for string/int/float/bool): an equality
+    // filter on an enabled key serves from the bucket-partitioned
+    // posting table (plan shows the meta_inverted scan, partition-pruned
+    // at PLAN time); a disabled key takes the scan path (no posting scan
+    // in the plan). Results are identical either way — the index only
+    // narrows, the predicate always verifies.
+    import graft.model.Where
+    import graft.sources.Catalog.{KeyConfig, VBool, VFloat, VInt, VString}
+    val c = freshClient()
+    val cases = Seq[(String, graft.sources.Catalog.ValueType,
+        Int => org.apache.spark.sql.DataFrame, Where.Expr, Set[Int])](
+      ("str", VString,
+        n => (0 until n).map(i => (s"r$i", s"doc $i",
+          Map("tag" -> s"v${i % 3}"))).toDF("id", "document", "meta"),
+        Where.Cmp("tag", "$eq", Where.VStr("v1")),
+        (0 until 12).filter(_ % 3 == 1).toSet),
+      ("int", VInt,
+        n => (0 until n).map(i => (s"r$i", s"doc $i",
+          Map("tag" -> (i % 3).toLong))).toDF("id", "document", "meta_int"),
+        Where.Cmp("tag", "$eq", Where.VInt(1)),
+        (0 until 12).filter(_ % 3 == 1).toSet),
+      ("float", VFloat,
+        n => (0 until n).map(i => (s"r$i", s"doc $i",
+          Map("tag" -> (i % 3 + 0.5)))).toDF("id", "document", "meta_float"),
+        Where.Cmp("tag", "$eq", Where.VFloat(1.5)),
+        (0 until 12).filter(_ % 3 == 1).toSet),
+      ("bool", VBool,
+        n => (0 until n).map(i => (s"r$i", s"doc $i",
+          Map("tag" -> (i % 2 == 0)))).toDF("id", "document", "meta_bool"),
+        Where.Cmp("tag", "$eq", Where.VBool(true)),
+        (0 until 12).filter(_ % 2 == 0).toSet))
+    for ((tn, vt, mk, pred, expect) <- cases;
+         (en, enabled) <- Seq(("on", Some(true)), ("off", Some(false)),
+           ("default", None))) {
+      val coll = c.createCollection(s"ki_${tn}_$en", graft.sources.Catalog
+        .Schema(keys = Map("tag" -> KeyConfig(vt, invertedIndex = enabled))))
+      coll.add(mk(12))
+      coll.persist()
+      val df = coll.get(where = Some(pred))
+      val plan = df.queryExecution.executedPlan.toString
+      val expectIndexed = enabled.getOrElse(true) // reference default: on
+      assert(df.inputFiles.exists(_.contains("meta_inverted"))
+          == expectIndexed,
+        s"$tn/$en: expected indexed=$expectIndexed; inputs: " +
+          df.inputFiles.mkString(", "))
+      if (expectIndexed)
+        assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket.*"),
+          s"$tn/$en: posting scan not partition-pruned at plan time\n" +
+            plan.take(1500))
+      val got = df.select("id").collect().map(_.getString(0)).toSet
+      assert(got == expect.map(i => s"r$i"),
+        s"$tn/$en: wrong rows through the ${if (expectIndexed) "indexed"
+          else "scan"} path: $got")
+    }
+    // IndexAndWal with a live tail: a post-compaction write matching the
+    // predicate must appear (tail ids join the allowed set), and an
+    // update swinging a SEGMENT record's value must be honored over the
+    // stale posting entry
+    val coll = c.getCollection("ki_str_on")
+    coll.add(Seq(("tail1", "tail doc", Map("tag" -> "v1")))
+      .toDF("id", "document", "meta"))
+    coll.update(Seq(("r1", "doc 1", Map("tag" -> "v2")))
+      .toDF("id", "document", "meta"))
+    val got2 = coll.get(where = Some(Where.Cmp("tag", "$eq",
+      Where.VStr("v1")))).select("id").collect().map(_.getString(0)).toSet
+    assert(got2 == Set("r4", "r7", "r10", "tail1"),
+      s"tail merge through the indexed get is wrong: $got2")
+  }
+
+  test("document FTS toggle routes $contains: enabled → trigram index, disabled → scan") {
+    import graft.model.Where
+    val c = freshClient()
+    def mk(name: String, fts: Boolean) = {
+      val coll = c.createCollection(name,
+        graft.sources.Catalog.Schema(documentFts = fts))
+      coll.add((0 until 20).map(i => (s"d$i",
+        if (i % 4 == 0) s"needle in haystack $i" else s"plain text $i"))
+        .toDF("id", "document"))
+      coll.persist()
+      coll
+    }
+    val on = mk("fts_on", fts = true)
+    val off = mk("fts_off", fts = false)
+    val pred = Some(Where.DocContains("needle in", negated = false))
+    val dfOn = on.get(where = pred)
+    val dfOff = off.get(where = pred)
+    assert(dfOn.queryExecution.executedPlan.toString.contains("fts"),
+      "fts-enabled collection must serve $contains from the trigram index")
+    assert(!dfOff.queryExecution.executedPlan.toString.contains("fts/postings"),
+      "fts-disabled collection must take the scan path")
+    val expect = (0 until 20).filter(_ % 4 == 0).map(i => s"d$i").toSet
+    assert(dfOn.select("id").collect().map(_.getString(0)).toSet == expect)
+    assert(dfOff.select("id").collect().map(_.getString(0)).toSet == expect)
+  }
+
+  test("per-key index config: descriptor round-trip and the reference's rules") {
+    import graft.sources.Catalog.{KeyConfig, VInt, VSparseVector, VString}
+    val c = freshClient()
+    c.createCollection("ki_rt", graft.sources.Catalog.Schema(keys = Map(
+      "a" -> KeyConfig(VString, invertedIndex = Some(false)),
+      "b" -> KeyConfig(VInt))))
+    val re = c.getCollection("ki_rt").ref.schema.keys
+    assert(re("a").invertedIndex.contains(false) &&
+      re("b").invertedIndex.isEmpty,
+      s"per-key config lost in the descriptor round-trip: $re")
+    // FTS enables only on #document (collection_schema.rs:96)
+    intercept[IllegalArgumentException] {
+      c.createCollection("ki_bad1", graft.sources.Catalog.Schema(keys = Map(
+        "a" -> KeyConfig(VString, ftsIndex = Some(true)))))
+    }
+    // no inverted index exists for sparse keys
+    intercept[IllegalArgumentException] {
+      c.createCollection("ki_bad2", graft.sources.Catalog.Schema(keys = Map(
+        "s" -> KeyConfig(VSparseVector, invertedIndex = Some(true)))))
+    }
+  }
 }
