@@ -196,6 +196,197 @@ object AnnGauntlet {
     }.toMap
   }
 
+  // ------------------------------------------------------------------
+  // HARD cell: ground truth that CROSSES posting lists.
+  // ------------------------------------------------------------------
+
+  /** Noise amplitude of the hard corpus (±0.4/component vs the planted
+    * cell's ±0.05): cluster members drift ~0.3 rad off their direction,
+    * so adjacent clusters overlap and a midway query's true top-k draws
+    * from SEVERAL lists — nprobe/ef genuinely trade recall for latency
+    * here, unlike the planted cell where recall ≈ routing accuracy
+    * (mirroring what `invariants.py:277-438` exercises on unstructured
+    * hypothesis data and `rust/worker/benches/spann.rs:169-270` on real
+    * SIFT1M). One vector in five is a uniform ±1 noise-slab distractor
+    * with no cluster direction at all.
+    */
+  private def hardEmbExpr(idCol: String, nClusters: Int): String = {
+    val c = s"pmod($idCol, $nClusters)"
+    val slab = s"pmod(xxhash64($idCol, 555), 5) = 0"
+    s"transform(sequence(0, ${Dim - 1}), i -> CAST(CASE WHEN $slab " +
+      s"THEN pmod(xxhash64($idCol, i + 31), 2001) / 1000.0 - 1.0 " +
+      s"ELSE sin(($c + 1) * (i + 3) * 0.7) " +
+      s"+ (pmod(xxhash64($idCol, i), 1001) / 1000.0 - 0.5) * 0.8 " +
+      "END AS FLOAT))"
+  }
+
+  def hardCorpus(spark: SparkSession, n: Long, parts: Int): DataFrame =
+    spark.range(n).toDF("offset_id").repartition(parts)
+      .select(col("offset_id"),
+        expr(hardEmbExpr("offset_id", clustersFor(n))).as("embedding"))
+
+  /** Hard queries, 70/30 mix: MIDWAY queries sit between two cluster
+    * directions (true neighbors = members of both parents that drifted
+    * toward the midpoint — cross-list by construction), and UNIFORM
+    * queries are pure noise vectors whose true neighbors are the
+    * weakly-aligned slab points scattered over many cells — the
+    * unstructured regime `invariants.py`'s hypothesis data exercises,
+    * where nprobe genuinely buys recall.
+    */
+  def hardQueries(spark: SparkSession, n: Long): DataFrame = {
+    val nC = clustersFor(n)
+    spark.range(NQueries).toDF("query_id")
+      .select(col("query_id"), expr(
+        s"transform(sequence(0, ${Dim - 1}), i -> CAST(" +
+          "CASE WHEN pmod(query_id, 10) < 7 THEN (" +
+          s"sin((pmod(query_id * 17 + 3, $nC) + 1) * (i + 3) * 0.7) + " +
+          s"sin((pmod(query_id * 29 + 11, $nC) + 1) * (i + 3) * 0.7)" +
+          s") / 2.0 + (pmod(xxhash64(query_id, i + 4242), 1001) / 1000.0 " +
+          "- 0.5) * 0.10 " +
+          "ELSE pmod(xxhash64(query_id, i + 91), 2001) / 1000.0 - 1.0 " +
+          "END AS FLOAT))").as("q_embedding"))
+  }
+
+  final case class HardResult(path: String, setting: String,
+      secMin: Double, secMax: Double, recall: Double)
+
+  /** How much of the truth mass sits OUTSIDE each query's single best
+    * planted cluster (slab members count toward their nominal cluster —
+    * a conservative underestimate of crossness). ~0 would mean the cell
+    * degenerated back into the planted case.
+    */
+  def crossMass(truth: Map[Long, Set[Long]], nClusters: Int): Double = {
+    val per = truth.values.map { t =>
+      if (t.isEmpty) 0.0
+      else 1.0 - t.groupBy(id => id % nClusters).values.map(_.size).max
+        .toDouble / t.size
+    }
+    per.sum / per.size
+  }
+
+  /** The hard cell: one corpus, exact ground truth, each served path at
+    * an nprobe/ef LADDER — the recall-vs-probe curve the planted cell
+    * cannot produce. Recall ≥ 0.95 must be reachable at some setting
+    * (gated in AnnGauntletSpec at 20k, reported at 1M in the artifact).
+    */
+  def runHardCell(spark: SparkSession, root: String, n: Long,
+      timedRuns: Int = 2): (Seq[HardResult], Double) = {
+    import graft.operators.{Hnsw, Ivf, Knn}
+    import graft.sources.CollectionStore
+    val parts = 32
+    val vecs = hardCorpus(spark, n, parts)
+    val qs = hardQueries(spark, n).cache()
+    qs.count()
+    val nCentroids = clustersFor(n)
+    val fitSample = math.min(n, 50000L)
+
+    val ivfModel = CollectionStore.ivfServing(vecs, root,
+      nCentroids = nCentroids, nReplica = 2, keyTag = s"gauntletH$n",
+      fitSampleMax = fitSample)
+    val codes = CollectionStore.rotatedCodesServing(vecs, root, dim = Dim,
+      keyTag = s"gauntletH$n")
+    val hnswRoot = s"$root/hnsw_routed"
+    val hnswKey = s"hnsw-gauntletH-n$n-c$nCentroids-r2"
+    val marker = java.nio.file.Paths.get(hnswRoot, "_gauntlet_built")
+    val built = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == hnswKey
+    if (!built) {
+      Hnsw.buildRoutedAndSave(vecs, hnswRoot, nCentroids = nCentroids,
+        nReplica = 2, space = "cosine", knownCount = Some(n),
+        fitSampleMax = fitSample)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, hnswKey.getBytes("UTF-8"))
+    }
+
+    def ids(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("offset_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet
+        }
+    val truth = ids(Knn.exact(vecs, qs, K))
+    val cross = crossMass(truth, nCentroids)
+
+    // rerank window: same tie-mass rule as the planted cell — overlap
+    // makes codes MORE separable (noise flips signs), so this is an
+    // upper bound on the needed window
+    val clusterSize = (n / nCentroids).toInt
+    val alpha = math.max(10, 2 * clusterSize * 2 / K + 1)
+
+    // probe ladder as FRACTIONS of the list count, so the top rung
+    // (~half the lists, ×2 replica ≈ full coverage) reaches 0.95 at any
+    // scale while the bottom rung genuinely under-covers the uniform
+    // queries' scattered truth
+    val nps = Seq(math.max(2, nCentroids / 25), math.max(8, nCentroids / 8),
+      math.max(32, nCentroids / 2))
+    val ladder = Seq[(String, String, () => DataFrame)](
+      ("exact", "-", () => Knn.exact(vecs, qs, K))) ++
+      nps.map(np => ("ivf_routed", s"nprobe=$np",
+        () => Ivf.search(ivfModel, qs, K, np))) ++
+      nps.zip(Seq(100, 200, 400)).map { case (np, ef) =>
+        ("hnsw_routed", s"nprobe=$np,ef=$ef",
+          () => Hnsw.searchSaved(spark, hnswRoot, qs, K,
+            efSearch = ef, nprobe = np))
+      } ++
+      // the quantized path's recall knob is the exact-rerank WINDOW as
+      // much as the probe count: on uniform queries the sign codes
+      // barely order weakly-aligned noise points, so the ladder rises
+      // on both (the budget trade a real quantized deployment tunes)
+      nps.zip(Seq(alpha, alpha * 4, alpha * 16)).map { case (np, a) =>
+        ("quantized", s"nprobe=$np,alpha=$a",
+          () => Ivf.searchQuantized(ivfModel, codes, qs, K, np, Dim,
+            alpha = a))
+      }
+
+    val results = ladder.map { case (path, setting, plan) =>
+      plan().count() // warm
+      var got: Map[Long, Set[Long]] = Map.empty
+      val times = (1 to timedRuns).map { _ =>
+        val t0 = System.nanoTime()
+        got = ids(plan())
+        (System.nanoTime() - t0) / 1e9
+      }
+      val recall = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).count(t).toDouble / t.size
+      }.sum / truth.size
+      System.err.println(f"[gauntlet-hard] n=$n%-8d $path%-14s " +
+        f"$setting%-18s ${times.min}%.2f-${times.max}%.2f s " +
+        f"recall@$K=$recall%.4f")
+      HardResult(path, setting, times.min, times.max, recall)
+    }
+    (results, cross)
+  }
+
+  /** Downward-only latency ratchet over the gauntlet cells —
+    * `ann_ref.json`, same protocol as `bench_ref_sf0.1.json`: each
+    * (cell, path[, setting]) keeps its best-ever min-seconds; a fresh
+    * run folds its minima in (never up) and FLAGS any row whose new min
+    * exceeds 2× the ratchet, so a routed-latency regression at 1M trips
+    * a visible gate instead of drifting silently.
+    */
+  def foldRatchet(rows: Map[String, Double]): (Map[String, Double],
+      Seq[String]) = {
+    val path = java.nio.file.Paths.get("ann_ref.json")
+    val old: Map[String, Double] =
+      if (java.nio.file.Files.exists(path))
+        """"([^"]+)":([0-9.]+)""".r
+          .findAllMatchIn(new String(
+            java.nio.file.Files.readAllBytes(path), "UTF-8"))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      else Map.empty
+    val flagged = rows.collect {
+      case (k, v) if old.get(k).exists(r => v > r * 2) =>
+        f"$k: $v%.3f s > 2x ratchet ${old(k)}%.3f s"
+    }.toSeq.sorted
+    val merged = (old.keySet ++ rows.keySet).map { k =>
+      k -> math.min(old.getOrElse(k, Double.MaxValue),
+        rows.getOrElse(k, Double.MaxValue))
+    }.toMap
+    val body = merged.toSeq.sorted.map { case (k, v) =>
+      f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(path, (body + "\n").getBytes("UTF-8"))
+    (merged, flagged)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -212,13 +403,30 @@ object AnnGauntlet {
     val results = cells.map { case (cell, n) =>
       cell -> runCell(spark, s"$base/$cell", n)
     }
+    val (hard, hardCross) = runHardCell(spark, s"$base/hard_x1m", 1000000L)
     val json = results.map { case (cell, rs) =>
       s""""$cell":${rs.toSeq.sortBy(_._1).map { case (p, r) =>
           f""""$p":{"sec":[${r.secMin}%.3f,${r.secMax}%.3f],"recall":${r.recall}%.4f}"""
         }.mkString("{", ",", "}")}"""
     }.mkString("{", ",", "}")
+    // the hard cell's recall-vs-probe CURVE: one entry per
+    // (path, setting), ordered as run (ladder order = rising probes)
+    val hardJson = hard.map { r =>
+      f""""${r.path}[${r.setting}]":{"sec":[${r.secMin}%.3f,""" +
+        f"""${r.secMax}%.3f],"recall":${r.recall}%.4f}"""
+    }.mkString("{", ",", "}")
+    // downward-only 2x latency ratchet over every measured row
+    val ratchetRows =
+      results.flatMap { case (cell, rs) =>
+        rs.map { case (p, r) => s"$cell/$p" -> r.secMin } }.toMap ++
+      hard.map(r => s"hard_x1m/${r.path}[${r.setting}]" -> r.secMin).toMap
+    val (_, flagged) = foldRatchet(ratchetRows)
+    flagged.foreach(f => System.err.println(s"[gauntlet] RATCHET-FLAG $f"))
     val line = s"""{"metric":"ann_gauntlet","dim":$Dim,"k":$K,""" +
-      s""""nq":$NQueries,"cells":$json}"""
+      s""""nq":$NQueries,"cells":$json,""" +
+      f""""hard_x1m":{"cross_mass":$hardCross%.4f,"paths":$hardJson},""" +
+      s""""ratchet_flags":${flagged.map(f => s""""$f"""")
+        .mkString("[", ",", "]")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("ANN_GAUNTLET.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)

@@ -25,4 +25,30 @@ class AnnGauntletSpec extends AnyFunSuite {
         f"$name recall@100 ${r.recall}%.4f < 0.95 at 20k vectors")
     }
   }
+
+  test("hard cell at 20k: truth crosses lists, probes trade recall, 0.95 reachable") {
+    val root = java.nio.file.Files.createTempDirectory("ann_hard").toString
+    val (results, cross) = AnnGauntlet.runHardCell(spark, root, 20000L,
+      timedRuns = 1)
+    // the cell is actually HARD: a real share of every truth set lives
+    // outside the query's single best planted cluster (midway queries +
+    // overlap + noise slab) — the planted cell measures ~0 here
+    assert(cross >= 0.2,
+      f"cross_mass $cross%.3f < 0.2 — the hard corpus degenerated " +
+        "into the planted case (recall would equal routing accuracy)")
+    assert(results.find(_.path == "exact").get.recall == 1.0)
+    // recall ≥ 0.95 is reachable at SOME setting on every served path
+    for (path <- Seq("ivf_routed", "hnsw_routed", "quantized")) {
+      val ladder = results.filter(_.path == path)
+      assert(ladder.map(_.recall).max >= 0.95,
+        f"$path never reaches recall 0.95: " +
+          ladder.map(r => f"${r.setting}=${r.recall}%.3f").mkString(", "))
+      // and the ladder genuinely trades: the smallest probe setting must
+      // sit BELOW the largest (a flat curve means the knob is dead and
+      // the cell is not exercising it)
+      assert(ladder.head.recall < ladder.last.recall,
+        f"$path recall curve is flat: " +
+          ladder.map(r => f"${r.setting}=${r.recall}%.3f").mkString(", "))
+    }
+  }
 }
