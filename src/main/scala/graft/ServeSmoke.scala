@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * this main MEASURES the serving behavior that quota implies: 10
   * threads drive `queryAnn` batches against ONE served collection
   * (declared SPANN config, compacted segment, persisted IVF), recording
-  * per-batch latency p50/p95 and asserting zero spurious admissions
-  * rejections at exactly the cap (a violation = a thread inside the cap
-  * rejected, or more than `maxConcurrentReads` observed in flight at
-  * once, tracked with an in-flight high-water counter around each gated
-  * call).
+  * per-batch latency p50/p95. The admission contract under test: at
+  * EXACTLY the cap, zero rejections across every sequential batch —
+  * this is a live check (a permit LEAK anywhere in the gated read paths
+  * would exhaust the semaphore and reject later batches; the
+  * reentrancy seam would double-count and reject immediately). A
+  * second over-cap stress phase (2× threads, simultaneous) records how
+  * many requests the gate turns away — rejections there are expected
+  * and must be clean QuotaExceeded, never a hang or another error.
   *
   * Run: `sbt "runMain graft.ServeSmoke"` → one JSON line +
   * SERVE_SMOKE.json. Indexes persist under the bench index root and
@@ -73,58 +76,65 @@ object ServeSmoke {
     // warm untimed: lazy IVF build + file listings + codegen
     handle.queryAnn(batchOf(0, 0), K).count()
 
-    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
-    val highWater = new java.util.concurrent.atomic.AtomicInteger(0)
-    val rejected = new java.util.concurrent.atomic.AtomicInteger(0)
-    val latencies =
-      java.util.Collections.synchronizedList(
+    def phase(nThreads: Int): (Seq[Double], Int, Int, Double) = {
+      val rejected = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+      val latencies = java.util.Collections.synchronizedList(
         new java.util.ArrayList[Double]())
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(Threads)
-    val start = new java.util.concurrent.CountDownLatch(1)
-    val done = new java.util.concurrent.CountDownLatch(Threads)
-    for (t <- 0 until Threads) pool.submit(new Runnable {
-      def run(): Unit = {
-        start.await()
-        try {
-          for (b <- 0 until BatchesPerThread) {
-            val q = batchOf(t, b)
-            val t0 = System.nanoTime()
-            try {
-              val n = inFlight.incrementAndGet()
-              highWater.getAndUpdate(h => math.max(h, n))
-              try handle.queryAnn(q, K).count()
-              finally inFlight.decrementAndGet()
-            } catch {
-              case _: graft.api.Quotas.QuotaExceeded =>
-                rejected.incrementAndGet()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val done = new java.util.concurrent.CountDownLatch(nThreads)
+      for (t <- 0 until nThreads) pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try {
+            for (b <- 0 until BatchesPerThread) {
+              val q = batchOf(t, b)
+              val t0 = System.nanoTime()
+              try {
+                handle.queryAnn(q, K).count()
+                latencies.add((System.nanoTime() - t0) / 1e9)
+              } catch {
+                case _: graft.api.Quotas.QuotaExceeded =>
+                  rejected.incrementAndGet()
+                case _: Throwable => errors.incrementAndGet()
+              }
             }
-            latencies.add((System.nanoTime() - t0) / 1e9)
-          }
-        } finally done.countDown()
-      }
-    })
-    val wall0 = System.nanoTime()
-    start.countDown()
-    done.await()
-    val wall = (System.nanoTime() - wall0) / 1e9
-    pool.shutdown()
-
-    val ls = {
+          } finally done.countDown()
+        }
+      })
+      val wall0 = System.nanoTime()
+      start.countDown()
+      done.await()
+      val wall = (System.nanoTime() - wall0) / 1e9
+      pool.shutdown()
       import scala.jdk.CollectionConverters._
-      latencies.asScala.toSeq.sorted
+      (latencies.asScala.toSeq.sorted, rejected.get, errors.get, wall)
     }
-    def pct(p: Double): Double = ls((p * (ls.size - 1)).round.toInt)
-    // ADMISSION CONTRACT: exactly-at-cap load sees zero rejections (the
-    // cap is 10 and 10 threads never exceed it), and the observed
-    // concurrency never exceeded the cap
-    val violation = rejected.get > 0 || highWater.get > Threads
+
+    // phase 1 — AT the cap: the published 10 concurrent reads must all
+    // admit, every batch, start to finish
+    val (ls, rejectedAtCap, errAtCap, wall) = phase(Threads)
+    // phase 2 — OVER the cap (2x threads): the gate may turn requests
+    // away; every turn-away must be a clean QuotaExceeded
+    val (ls2, rejectedOver, errOver, _) = phase(Threads * 2)
+    def pct(xs: Seq[Double], p: Double): Double =
+      if (xs.isEmpty) -1.0 else xs((p * (xs.size - 1)).round.toInt)
+    // ADMISSION CONTRACT: zero rejections at cap (this is live — a
+    // permit leak in any gated read would reject later batches; the
+    // reentrancy seam failing would reject instantly), zero non-quota
+    // errors anywhere
+    val violation = rejectedAtCap > 0 || errAtCap > 0 || errOver > 0
     val line =
       f"""{"metric":"serve_smoke","sf":"$sfDir","threads":$Threads,""" +
       f""""batches_per_thread":$BatchesPerThread,""" +
       f""""queries_per_batch":$QueriesPerBatch,"k":$K,""" +
-      f""""p50_sec":${pct(0.5)}%.3f,"p95_sec":${pct(0.95)}%.3f,""" +
+      f""""p50_sec":${pct(ls, 0.5)}%.3f,"p95_sec":${pct(ls, 0.95)}%.3f,""" +
       f""""max_sec":${ls.last}%.3f,"wall_sec":$wall%.3f,""" +
-      f""""rejected":${rejected.get},"max_in_flight":${highWater.get},""" +
+      f""""rejected_at_cap":$rejectedAtCap,""" +
+      f""""overload_threads":${Threads * 2},""" +
+      f""""overload_rejected":$rejectedOver,""" +
+      f""""overload_p50_sec":${pct(ls2, 0.5)}%.3f,""" +
       f""""admission_violation":$violation}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SERVE_SMOKE.json"),
       (line + "\n").getBytes("UTF-8"))

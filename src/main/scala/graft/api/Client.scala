@@ -85,15 +85,14 @@ final class Client(spark: SparkSession, root: String,
     * deeper than the guard FAILS rather than silently reporting an
     * intermediate node as the root (which would undercount fork edges).
     *
-    * A `forkedFrom` target that no longer resolves (the parent was
-    * RENAMED — `modifyCollection` moves only the descriptor, children's
-    * `forkedFrom` still hold the old name — or deleted) terminates the
+    * A `forkedFrom` target that no longer resolves terminates the
     * chain at the CHILD: the child becomes its own accounting root.
-    * Failing here instead would brick every future fork in the database
-    * once any fork parent is renamed; treating the orphan as a root
-    * keeps quota accounting conservative-per-subtree (each orphaned
-    * subtree gets its own edge budget, never more total edges than one
-    * shared budget would allow... per subtree).
+    * Renames no longer orphan chains (Catalog.modifyCollection rewrites
+    * children's `forkedFrom` in the same operation) — this fallback
+    * covers descriptors written before that rewrite existed and any
+    * future delete path, so a dangling parent degrades to a
+    * per-subtree edge budget instead of bricking every fork in the
+    * database.
     */
   private def forkRootOf(name: String, hops: Int = 1000): String = {
     val r = Catalog.getCollection(root, tenant, database, name)
@@ -589,9 +588,13 @@ final class CollectionHandle(spark: SparkSession,
     def toIds(cand: DataFrame): DataFrame =
       seg.select(col("offset_id"), col("id"))
         .join(cand, Seq("offset_id")).select("id")
+    // builds key on the segment CONTENT fingerprint: a re-compaction
+    // that changes values but keeps the row count must rebuild, or the
+    // prefilter would serve stale postings and drop matching rows
     val eqRoute: Option[DataFrame] = indexableEqLeaf(w).map {
       case (k, cfg, vs) =>
-        CollectionStore.metaInvertedServing(seg, dataRoot, k, cfg.valueType)
+        CollectionStore.metaInvertedServing(seg, dataRoot, k, cfg.valueType,
+          keyTag = segMetaTag(seg))
         toIds(graft.operators.MetaInverted.candidateIds(spark, dataRoot, k,
           vs.map(graft.operators.MetaInverted.renderValue)))
     }
@@ -600,7 +603,7 @@ final class CollectionHandle(spark: SparkSession,
       else Where.containsDnf(w).map { dnf =>
         CollectionStore.ftsServing(
           seg.select(col("offset_id").as("doc_id"),
-            col("document").as("text")), dataRoot)
+            col("document").as("text")), dataRoot, keyTag = segMetaTag(seg))
         toIds(graft.operators.Fts.candidateIdsDnf(spark, dataRoot, dnf)
           .select(col("doc_id").as("offset_id")))
       }
@@ -677,14 +680,23 @@ final class CollectionHandle(spark: SparkSession,
   }
 
   private def indexView(bound: Option[Int]): Collection = {
-    val segRecs = persistedRecs()
-    val st = bound.flatMap(n => writer.tailPrefix(n)) match {
-      case Some((ops, _)) => Materialize(spark, ops,
-        Some(Materialize.segmentAsLog(spark, segRecs)))
-      case None => segRecs
+    // memoized per (writer epoch, bound) like asCollection's cache —
+    // repeated IndexOnly/bounded reads between writes reuse one plan
+    // instead of re-running the fold + offset-assignment chain
+    val key = (writer.epoch, bound)
+    indexViewCache.get(key).getOrElse {
+      val segRecs = persistedRecs()
+      val st = bound.flatMap(n => writer.tailPrefix(n)) match {
+        case Some((ops, _)) => Materialize(spark, ops,
+          Some(Materialize.segmentAsLog(spark, segRecs)))
+        case None => segRecs
+      }
+      val c = new Collection(shredRecords(denseOffsets(st.toDF())))
+      indexViewCache = Map(key -> c) // keep only the live epoch
+      c
     }
-    new Collection(shredRecords(denseOffsets(st.toDF())))
   }
+  private var indexViewCache: Map[(Long, Option[Int]), Collection] = Map.empty
 
   /** The PERSISTED compacted segment in WAL-record shape, straight from
     * disk — unlike the writer's in-memory segment, never contaminated by
@@ -767,10 +779,9 @@ final class CollectionHandle(spark: SparkSession,
             vecs, dataRoot, nCentroids, nr, space = sp,
             keyTag = segTag(seg))
         }
-        val (tail, stale) = tailAndStale(readLevel)
+        val (tail, stale, extra) = tailAndStale(readLevel)
         new Collection(seg).queryAnn(model, queries, k, np, where,
-          sp, walTail = tail, staleIds = stale,
-          staleFetchExtra = stale.map(tailCount).getOrElse(0))
+          sp, walTail = tail, staleIds = stale, staleFetchExtra = extra)
     }
   }
 
@@ -810,10 +821,10 @@ final class CollectionHandle(spark: SparkSession,
           nr, space = sp, keyTag = tag)
         val codes = CollectionStore.rotatedCodesServing(vecs, dataRoot, dm,
           keyTag = tag)
-        val (tail, stale) = tailAndStale(readLevel)
+        val (tail, stale, extra) = tailAndStale(readLevel)
         new Collection(seg).queryAnnQuantized(model, codes, queries, k,
           np, dm, alpha, sp, walTail = tail, staleIds = stale,
-          staleFetchExtra = stale.map(tailCount).getOrElse(0))
+          staleFetchExtra = extra)
     }
   }
 
@@ -847,10 +858,9 @@ final class CollectionHandle(spark: SparkSession,
         val root = CollectionStore.hnswServing(
           seg.select(col("offset_id"), col("embedding")), dataRoot,
           m = m, efConstruction = efc, space = sp, keyTag = segTag(seg))
-        val (tail, stale) = tailAndStale(readLevel)
+        val (tail, stale, extra) = tailAndStale(readLevel)
         new Collection(seg).queryAnnHnsw(root, queries, k, ef, sp,
-          walTail = tail, staleIds = stale,
-          staleFetchExtra = stale.map(tailCount).getOrElse(0))
+          walTail = tail, staleIds = stale, staleFetchExtra = extra)
     }
   }
 
@@ -859,11 +869,18 @@ final class CollectionHandle(spark: SparkSession,
     * index-leg shadow — includes DELETED ids, which are absent from the
     * state frame but must still knock their stale indexed version out).
     */
+  /** (tail leg, stale-id shadow, index-leg over-fetch margin) at
+    * `level`. The margin comes from the level's OWN id frame — the
+    * epoch-keyed [[tailCount]] cache serves only the full-tail level, a
+    * bounded prefix counts its (small) frame directly, so a bounded
+    * read can never poison the margin of a following full read in the
+    * same epoch.
+    */
   private def tailAndStale(level: ReadLevel = ReadLevel.IndexAndWal)
-      : (Option[DataFrame], Option[DataFrame]) = level match {
+      : (Option[DataFrame], Option[DataFrame], Int) = level match {
     case ReadLevel.IndexOnly =>
       // skip the WAL leg entirely — the served index answers alone
-      (None, None)
+      (None, None, 0)
     case ReadLevel.IndexAndBoundedWal(n) =>
       writer.tailPrefix(n) match {
         case Some((ops, ids)) =>
@@ -874,8 +891,9 @@ final class CollectionHandle(spark: SparkSession,
             "left_semi").as[Rec]
           val st = Materialize(spark, ops,
             Some(Materialize.segmentAsLog(spark, base)))
-          (Some(shredRecords(denseOffsets(st.toDF()))), Some(ids))
-        case None => (None, None)
+          (Some(shredRecords(denseOffsets(st.toDF()))), Some(ids),
+            ids.count().toInt)
+        case None => (None, None, 0)
       }
     case ReadLevel.IndexAndWal => writer.tailIds match {
       case Some(ids) =>
@@ -886,8 +904,8 @@ final class CollectionHandle(spark: SparkSession,
         // Window.orderBy here would funnel the tail through one task,
         // which a write-heavy tenant deferring compaction would pay.
         (Some(shredRecords(denseOffsets(writer.stateOf(ids).toDF()))),
-          Some(ids))
-      case None => (None, None)
+          Some(ids), tailCount(ids))
+      case None => (None, None, 0)
     }
   }
 
@@ -928,6 +946,26 @@ final class CollectionHandle(spark: SparkSession,
     segTagCache = Some(tag)
     tag
   }
+
+  /** FULL-content fingerprint (id+embedding+document+uri+metadata) — the
+    * build key for indexes over document/metadata content (FTS, per-key
+    * inverted postings), which the id+embedding [[segTag]] cannot
+    * re-key when a re-compaction only moves a metadata value. Prefers
+    * the `_segmeta` mtag (zero jobs); pre-mtag segments pay one
+    * aggregate per handle. persist() invalidates with segTagCache.
+    */
+  private var segMetaTagCache: Option[String] = None
+  private def segMetaTag(seg: DataFrame): String =
+    segMetaTagCache.getOrElse {
+      val tag = segmentDataRoot(ref)
+        .flatMap(CollectionStore.readSegMetaTag).getOrElse {
+          val r = seg.agg(bit_xor(CollectionStore.contentTagExpr(seg))
+            .cast("string")).collect()(0)
+          if (r.isNullAt(0)) "empty" else r.getString(0)
+        }
+      segMetaTagCache = Some(tag)
+      tag
+    }
 
   /** `query_texts` — embed the query strings with the collection's
     * declared embedding function, then KNN. The texts are the client's
@@ -1027,6 +1065,7 @@ final class CollectionHandle(spark: SparkSession,
         CollectionStore.invalidateRoot(ref.dataRoot)
         writer.markCompacted()
         segTagCache = None
+        segMetaTagCache = None
       case None => throw new java.util.ConcurrentModificationException(
         s"collection ${ref.name}: a version past $baseVersion was " +
           "committed by another writer — reopen and retry")

@@ -256,6 +256,10 @@ object Catalog {
       name: String, schema: Schema,
       metadata: Map[String, String] = Map.empty): CollectionRef = {
     validName(name)
+    // the reference's deny_unknown_fields legacy parse rejects AT CREATE
+    // (hnsw_configuration.rs) — failing lazily on the first query would
+    // leave a created-but-unreadable collection
+    VectorIndexConfig.fromLegacyMetadata(metadata)
     val dir = sysdbPath(root, tenant, db)
     require(java.nio.file.Files.isDirectory(dir), s"no such database $tenant/$db")
     // fail at registration, not first run, if an attached name is unknown
@@ -353,6 +357,8 @@ object Catalog {
     val dir = sysdbPath(root, tenant, db)
     val nm = newName.getOrElse(name)
     newName.foreach(validName)
+    // same create-time legacy-metadata rule on replacement metadata
+    metadata.foreach(VectorIndexConfig.fromLegacyMetadata)
     val md = metadata.getOrElse(cur.metadata)
     // keep the existing data dir across renames (derive it from the
     // current ref — it already resolves any prior data_dir indirection)

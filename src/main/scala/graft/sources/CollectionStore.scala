@@ -59,18 +59,40 @@ object CollectionStore {
         val r = records.agg(
           max(col("offset_id")).as("mo"),
           bit_xor(xxhash64(col("id"), col("embedding"))).as("tag"),
+          bit_xor(contentTagExpr(records)).as("mtag"),
           count(lit(1)).as("n")).collect()(0)
         val mo = if (r.isNullAt(0)) -1L else r.getLong(0)
         val tag = if (r.isNullAt(1)) "empty" else r.getLong(1).toString
+        val mtag = if (r.isNullAt(2)) "empty" else r.getLong(2).toString
         java.nio.file.Files.write(metaPath,
-          s"""{"max_offset": $mo, "tag": "$tag", "n": ${r.getLong(2)}}"""
-            .getBytes("UTF-8"))
+          (s"""{"max_offset": $mo, "tag": "$tag", "mtag": "$mtag", """ +
+            s""""n": ${r.getLong(3)}}""").getBytes("UTF-8"))
       } else java.nio.file.Files.deleteIfExists(metaPath)
     } finally if (cachedHere) records.unpersist()
   }
 
-  /** (max offset, content tag, row count) from `_segmeta.json`, if the
-    * segment was written by [[saveRecords]] with serving columns.
+  /** Per-row FULL-content hash: id + embedding + document + uri + every
+    * metadata map present, maps hashed as key-sorted entry arrays (the
+    * only deterministic rendering — raw map entry order is a build
+    * artifact). This is the fingerprint for indexes whose CONTENT is
+    * document/metadata (FTS, per-key inverted postings): the
+    * id+embedding `tag` cannot see a re-compaction that only moves a
+    * metadata value, which must still re-key those builds.
+    */
+  def contentTagExpr(records: DataFrame): org.apache.spark.sql.Column = {
+    val metaCols = Seq("meta_str", "meta_int", "meta_float", "meta_bool",
+      "meta_str_arr", "meta_int_arr", "meta_float_arr", "meta_bool_arr",
+      "meta_sparse").filter(records.columns.contains)
+      .map(c => to_json(array_sort(map_entries(col(c)))))
+    val scalarCols = Seq("id", "embedding", "document", "uri")
+      .filter(records.columns.contains).map(col)
+    xxhash64(scalarCols ++ metaCols: _*)
+  }
+
+  /** (max offset, content tag, row count[, full-content mtag]) from
+    * `_segmeta.json`, if the segment was written by [[saveRecords]] with
+    * serving columns. [[readSegMetaTag]] surfaces the mtag — absent in
+    * pre-mtag segments, whose readers fall back to the aggregate.
     */
   def readSegMeta(root: String): Option[(Long, String, Long)] = {
     val p = java.nio.file.Paths.get(recordsRoot(root), "_segmeta.json")
@@ -83,6 +105,18 @@ object CollectionStore {
         (j \ "max_offset").extract[Long],
         (j \ "tag").extract[String],
         (j \ "n").extract[Long]))
+    } catch { case _: Throwable => None }
+  }
+
+  /** The stored full-content mtag, when the segment carries one. */
+  def readSegMetaTag(root: String): Option[String] = {
+    val p = java.nio.file.Paths.get(recordsRoot(root), "_segmeta.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else try {
+      val j = org.json4s.jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      (j \ "mtag").extractOpt[String]
     } catch { case _: Throwable => None }
   }
 
@@ -370,9 +404,13 @@ object CollectionStore {
     * [[Fts.containsSearch]]/[[Fts.regexSearch]] against the returned root.
     */
   def ftsServing(docs: DataFrame, root: String,
-      nBuckets: Int = Fts.DefaultBuckets): String = {
-    once(s"fts-$root-$nBuckets") {
-      val key = s"fts-$nBuckets-n${docs.count()}"
+      nBuckets: Int = Fts.DefaultBuckets, keyTag: String = ""): String = {
+    // a CONTENT keyTag (the facade's segment fingerprint) re-keys the
+    // build across re-compactions that keep the row count — same
+    // contract as ivfServing; count-keying alone is only safe for
+    // immutable corpora (the bench tables)
+    once(s"fts-$root-$nBuckets-$keyTag") {
+      val key = s"fts-$nBuckets-$keyTag-n${docs.count()}"
       ensureBuilt(root, "fts", key) {
         Fts.buildAndSave(docs, root, nBuckets)
       }
@@ -387,11 +425,15 @@ object CollectionStore {
     */
   def metaInvertedServing(records: DataFrame, root: String,
       metaKey: String, vtype: Catalog.ValueType,
-      nBuckets: Int = graft.operators.MetaInverted.DefaultBuckets)
-      : String = {
+      nBuckets: Int = graft.operators.MetaInverted.DefaultBuckets,
+      keyTag: String = ""): String = {
+    // keyTag = the segment CONTENT fingerprint (CollectionHandle.segTag):
+    // a re-compaction that changes values but not the row count must
+    // re-key this build, or the get() prefilter would serve stale
+    // postings and silently drop matching rows
     val enc = java.net.URLEncoder.encode(metaKey, "UTF-8")
-    once(s"metainv-$root-$enc-$nBuckets") {
-      val key = s"metainv-$enc-$nBuckets-n${records.count()}"
+    once(s"metainv-$root-$enc-$nBuckets-$keyTag") {
+      val key = s"metainv-$enc-$nBuckets-$keyTag-n${records.count()}"
       ensureBuilt(root, s"meta_inverted_$enc", key) {
         graft.operators.MetaInverted.buildAndSave(
           records, root, metaKey, vtype, nBuckets)

@@ -297,6 +297,51 @@ class CollectionConfigSpec extends AnyFunSuite {
     assert(dfOff.select("id").collect().map(_.getString(0)).toSet == expect)
   }
 
+  test("re-compaction at constant row count rebuilds the posting table (content keying)") {
+    // the build key carries the segment CONTENT fingerprint: an update
+    // that swings a value without changing the row count must re-key the
+    // posting build, or the indexed get would serve stale postings and
+    // silently drop the moved row
+    import graft.model.Where
+    import graft.sources.Catalog.{KeyConfig, VString}
+    val c = freshClient()
+    val coll = c.createCollection("ki_recompact", graft.sources.Catalog
+      .Schema(keys = Map("tag" -> KeyConfig(VString))))
+    coll.add((0 until 12).map(i => (s"r$i", s"doc $i",
+      Map("tag" -> s"v${i % 3}"))).toDF("id", "document", "meta"))
+    coll.persist()
+    val pred = Some(Where.Cmp("tag", "$eq", Where.VStr("v1")))
+    def ids(h: graft.api.CollectionHandle) =
+      h.get(where = pred).select("id").collect().map(_.getString(0)).toSet
+    assert(ids(coll) == Set("r1", "r4", "r7", "r10"))
+    // swing r2 v2→v1 and RE-COMPACT: count unchanged, content changed
+    coll.update(Seq(("r2", "doc 2", Map("tag" -> "v1")))
+      .toDF("id", "document", "meta"))
+    coll.persist()
+    val reopened = c.getCollection("ki_recompact")
+    val got = ids(reopened)
+    assert(got == Set("r1", "r2", "r4", "r7", "r10"),
+      s"stale posting table survived a same-count re-compaction: $got")
+    // and the route is still the indexed one, not a silent scan fallback
+    assert(reopened.get(where = pred).inputFiles
+        .exists(_.contains("meta_inverted")),
+      "re-compacted read fell back to the scan path")
+  }
+
+  test("unknown legacy hnsw:* metadata rejects at CREATE, not first query") {
+    val c = freshClient()
+    intercept[IllegalArgumentException] {
+      c.createCollection("legacy_bad",
+        metadata = Map("hnsw:ef_search" -> "10"))
+    }
+    // and on metadata replacement
+    c.createCollection("legacy_ok", metadata = Map("hnsw:space" -> "cosine"))
+    intercept[IllegalArgumentException] {
+      c.modifyCollection("legacy_ok",
+        metadata = Some(Map("hnsw:bad_key" -> "1")))
+    }
+  }
+
   test("per-key index config: descriptor round-trip and the reference's rules") {
     import graft.sources.Catalog.{KeyConfig, VInt, VSparseVector, VString}
     val c = freshClient()
