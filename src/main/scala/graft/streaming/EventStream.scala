@@ -739,8 +739,15 @@ object EventStream extends Serializable {
           // the append synchronously (it is the no-op / loud-failure
           // branch of idempotentAppend) and probes the table as stored
           val foldedReplay = foldedMaxBatch(postDir).exists(batchId <= _)
+          // a REPLAY rewrites the existing batch=<id> leaf in place —
+          // that overwrite must not run concurrently with the prior
+          // read's planning over the same directory tree, so replays
+          // append synchronously; only a first-attempt append (a brand
+          // new leaf, no reader ever selects it) overlaps
+          val leafExists = java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(postDir, s"batch=$batchId"))
           val appendDone =
-            if (foldedReplay) {
+            if (foldedReplay || leafExists) {
               idempotentAppend(batchPost, postDir, batchId)
               java.util.concurrent.CompletableFuture
                 .completedFuture(null: Void)
@@ -749,8 +756,13 @@ object EventStream extends Serializable {
           val corpus =
             if (foldedReplay) dropBatch(spark.read.parquet(postDir))
             else {
+              // explicit schema: no plan-time footer reads, so planning
+              // never touches files of a leaf being written
+              val priorSchema = StructType(batchPost.schema.fields :+
+                StructField("batch", LongType))
               val prior =
-                if (hadPrior) dropBatch(spark.read.parquet(postDir)
+                if (hadPrior) dropBatch(spark.read.schema(priorSchema)
+                  .parquet(postDir)
                   .filter(col("batch") =!= batchId))
                 else batchPost.limit(0)
               prior.unionByName(batchPost)
