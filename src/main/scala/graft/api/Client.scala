@@ -997,8 +997,19 @@ final class CollectionHandle(spark: SparkSession,
   def search(json: String, space: String = "",
       readLevel: ReadLevel = ReadLevel.IndexAndWal): DataFrame =
     Quotas.Gates.withRead(ref.dataRoot, limits) {
-      readView(readLevel).searchPayload(json, cfgSpace(space),
-        embed = embedFn, sparseEmbed = schemaSparseFns)
+      readView(wireReadLevel(json, readLevel))
+        .searchPayload(json, cfgSpace(space),
+          embed = embedFn, sparseEmbed = schemaSparseFns)
+    }
+
+  /** The Search envelope's own `read_level` field wins over the
+    * programmatic default — it is the request's plan field
+    * (`Search{scan, payloads, read_level}`, `plan.rs:588-592`).
+    */
+  private def wireReadLevel(json: String, dflt: ReadLevel): ReadLevel =
+    org.json4s.jackson.JsonMethods.parse(json) \ "read_level" match {
+      case org.json4s.JString(s) => ReadLevel.fromWire(s)
+      case _ => dflt
     }
 
   /** Multi-payload Search (`{"payloads": [...]}`): one result per
@@ -1007,8 +1018,9 @@ final class CollectionHandle(spark: SparkSession,
   def searchAll(json: String, space: String = "",
       readLevel: ReadLevel = ReadLevel.IndexAndWal): Seq[DataFrame] =
     Quotas.Gates.withRead(ref.dataRoot, limits) {
-      readView(readLevel).searchPayloads(json, cfgSpace(space),
-        embed = embedFn, sparseEmbed = schemaSparseFns)
+      readView(wireReadLevel(json, readLevel))
+        .searchPayloads(json, cfgSpace(space),
+          embed = embedFn, sparseEmbed = schemaSparseFns)
     }
 
   private def schemaSparseFns

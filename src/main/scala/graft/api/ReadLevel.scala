@@ -20,4 +20,24 @@ object ReadLevel {
   case object IndexAndWal extends ReadLevel
   case object IndexOnly extends ReadLevel
   final case class IndexAndBoundedWal(maxEntries: Int) extends ReadLevel
+
+  /** WAL-entry bound for a WIRE-requested bounded read — the
+    * reference's bound is SERVER-configured (`plan.rs:561-564` "up to a
+    * server-configured number of write-ahead log entries"), so the wire
+    * form carries no number; this is that server knob.
+    */
+  val DefaultWalBound = 1024
+
+  /** The Search envelope's `read_level` field (`plan.rs:588-592`,
+    * serde snake_case).
+    */
+  def fromWire(s: String, bound: Int = DefaultWalBound): ReadLevel =
+    s match {
+      case "index_and_wal" => IndexAndWal
+      case "index_only" => IndexOnly
+      case "index_and_bounded_wal" => IndexAndBoundedWal(bound)
+      case other => throw new IllegalArgumentException(
+        s"unknown read_level '$other' — expected index_and_wal | " +
+          "index_only | index_and_bounded_wal")
+    }
 }

@@ -59,6 +59,36 @@ class ReadLevelSpec extends AnyFunSuite {
     assert(docsOf(coll.get(readLevel = ReadLevel.IndexAndBoundedWal(1))) == all)
   }
 
+  test("search WIRE envelope carries read_level (plan.rs:588-592)") {
+    val c = freshClient()
+    val coll = c.createCollection("rl4")
+    coll.add(Seq(("s1", "alpha doc", Seq(1.0f, 0.0f)))
+      .toDF("id", "document", "embedding"))
+    coll.persist()
+    coll.add(Seq(("s2", "alpha tail", Seq(0.9f, 0.1f)))
+      .toDF("id", "document", "embedding"))
+    def ids(payload: String): Set[String] =
+      coll.search(payload).select("id").collect().map(_.getString(0)).toSet
+    val base = """"filter": {"$document": {"$contains": "alpha"}},
+      |"rank": {"$knn": {"query": [1.0, 0.0], "limit": 10}},
+      |"select": {"keys": []}""".stripMargin
+    assert(ids(s"""{"read_level": "index_and_wal", $base}""") ==
+      Set("s1", "s2"))
+    assert(ids(s"""{"read_level": "index_only", $base}""") == Set("s1"),
+      "wire index_only must exclude the un-compacted tail record")
+    assert(ids(s"""{$base}""") == Set("s1", "s2"),
+      "no wire field keeps the programmatic default (IndexAndWal)")
+    // the wire field WINS over the programmatic default
+    assert(coll.search(s"""{"read_level": "index_only", $base}""",
+        readLevel = graft.api.ReadLevel.IndexAndWal)
+      .select("id").collect().map(_.getString(0)).toSet == Set("s1"))
+    assert(ids(s"""{"read_level": "index_and_bounded_wal", $base}""") ==
+      Set("s1", "s2"), "bounded uses the server-configured entry bound")
+    intercept[IllegalArgumentException] {
+      ids(s"""{"read_level": "both_please", $base}""")
+    }
+  }
+
   test("never-compacted collection: IndexOnly is empty, bounded folds from empty") {
     val c = freshClient()
     val coll = c.createCollection("rl2")
