@@ -120,17 +120,21 @@ object ServeSmoke {
     val (ls2, rejectedOver, errOver, _) = phase(Threads * 2)
     def pct(xs: Seq[Double], p: Double): Double =
       if (xs.isEmpty) -1.0 else xs((p * (xs.size - 1)).round.toInt)
-    // ADMISSION CONTRACT: zero rejections at cap (this is live — a
+    // ADMISSION CONTRACT, all live checks: zero rejections at cap (a
     // permit leak in any gated read would reject later batches; the
-    // reentrancy seam failing would reject instantly), zero non-quota
-    // errors anywhere
-    val violation = rejectedAtCap > 0 || errAtCap > 0 || errOver > 0
+    // reentrancy seam failing would reject instantly); the 2x-overload
+    // phase MUST turn some requests away (20 simultaneous latched
+    // threads against a cap of 10 — a gate that admits everything is
+    // exactly the regression this smoke exists to catch); zero
+    // non-quota errors anywhere
+    val violation = rejectedAtCap > 0 || errAtCap > 0 || errOver > 0 ||
+      rejectedOver == 0
     val line =
       f"""{"metric":"serve_smoke","sf":"$sfDir","threads":$Threads,""" +
       f""""batches_per_thread":$BatchesPerThread,""" +
       f""""queries_per_batch":$QueriesPerBatch,"k":$K,""" +
       f""""p50_sec":${pct(ls, 0.5)}%.3f,"p95_sec":${pct(ls, 0.95)}%.3f,""" +
-      f""""max_sec":${ls.last}%.3f,"wall_sec":$wall%.3f,""" +
+      f""""max_sec":${pct(ls, 1.0)}%.3f,"wall_sec":$wall%.3f,""" +
       f""""rejected_at_cap":$rejectedAtCap,""" +
       f""""overload_threads":${Threads * 2},""" +
       f""""overload_rejected":$rejectedOver,""" +

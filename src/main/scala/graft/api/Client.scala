@@ -1009,7 +1009,12 @@ final class CollectionHandle(spark: SparkSession,
   private def wireReadLevel(json: String, dflt: ReadLevel): ReadLevel =
     org.json4s.jackson.JsonMethods.parse(json) \ "read_level" match {
       case org.json4s.JString(s) => ReadLevel.fromWire(s)
-      case _ => dflt
+      case org.json4s.JNothing => dflt
+      // a mistyped field must reject like an unknown string — falling
+      // back silently would hand out full-RYW reads the caller did not
+      // ask for (the reference's serde parse rejects type mismatches)
+      case other => throw new IllegalArgumentException(
+        s"read_level must be a string, got $other")
     }
 
   /** Multi-payload Search (`{"payloads": [...]}`): one result per
@@ -1078,6 +1083,10 @@ final class CollectionHandle(spark: SparkSession,
         writer.markCompacted()
         segTagCache = None
         segMetaTagCache = None
+        // the index-only/bounded view caches key on the writer EPOCH,
+        // which compaction does not bump — drop them here or a post-
+        // compaction IndexOnly read would serve the retired segment
+        indexViewCache = Map.empty
       case None => throw new java.util.ConcurrentModificationException(
         s"collection ${ref.name}: a version past $baseVersion was " +
           "committed by another writer — reopen and retry")

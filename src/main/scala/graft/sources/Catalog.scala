@@ -658,15 +658,25 @@ object Catalog {
       nCentroids: Int = 16, nReplica: Int = 4): Unit = {
     import org.apache.spark.sql.functions._
     val records = CollectionStore.loadRecords(spark, ref.dataRoot)
+    // builds key on the segment's content fingerprints (count-only keys
+    // are only safe for immutable corpora): vector indexes on the
+    // id+embedding tag, the FTS index on the full-content mtag — so a
+    // same-count re-write re-keys, and a provision-built index is
+    // key-identical to what the serving handle would build lazily
+    val tag = CollectionStore.readSegMeta(ref.dataRoot)
+      .map(_._2).getOrElse("")
+    val mtag = CollectionStore.readSegMetaTag(ref.dataRoot).getOrElse("")
     ref.schema.embedding.foreach { e =>
       val vecs = records.select(col("offset_id"), col("embedding"))
-      CollectionStore.ivfServing(vecs, ref.dataRoot, nCentroids, nReplica)
-      CollectionStore.hnswServing(vecs, ref.dataRoot, space = e.space)
+      CollectionStore.ivfServing(vecs, ref.dataRoot, nCentroids, nReplica,
+        keyTag = tag)
+      CollectionStore.hnswServing(vecs, ref.dataRoot, space = e.space,
+        keyTag = tag)
     }
     if (ref.schema.documentFts)
       CollectionStore.ftsServing(
         records.select(col("offset_id").as("doc_id"), col("document").as("text")),
-        ref.dataRoot)
+        ref.dataRoot, keyTag = mtag)
   }
 
   /** Write records (validated) + provision declared indexes + open. */

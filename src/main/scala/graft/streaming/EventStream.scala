@@ -782,22 +782,32 @@ object EventStream extends Serializable {
           // accumulated posting table is scanned ONCE per micro-batch.
           // The (tiny) pair set is persisted too: foldClusterStep
           // references it twice (component solve + label write).
-          val hits = graft.operators.Dedup.batchProbeHits(
-            batchPost, corpus).persist()
-          val pairs = graft.operators.Dedup.jaccardBatchProbeFromHits(
-              batchPost, hits, threshold)
-            .select("da", "db").persist()
           try {
-            val updated = graft.operators.Dedup.foldClusterStep(pairs, labels)
-            // label table is |paired docs|-sized — a handful of files,
-            // not one per shuffle partition
-            updated.coalesce(4).write.mode("overwrite")
-              .parquet(s"${labDir}_staged")
-          } finally { pairs.unpersist(); hits.unpersist() }
-          // postings must be durable before the labels that summarize
-          // them publish (either order replays idempotently, but this
-          // order keeps the table pair always-consistent for readers)
-          appendDone.join()
+            val hits = graft.operators.Dedup.batchProbeHits(
+              batchPost, corpus).persist()
+            val pairs = graft.operators.Dedup.jaccardBatchProbeFromHits(
+                batchPost, hits, threshold)
+              .select("da", "db").persist()
+            try {
+              val updated = graft.operators.Dedup.foldClusterStep(pairs, labels)
+              // label table is |paired docs|-sized — a handful of files,
+              // not one per shuffle partition
+              updated.coalesce(4).write.mode("overwrite")
+                .parquet(s"${labDir}_staged")
+            } finally { pairs.unpersist(); hits.unpersist() }
+            // postings must be durable before the labels that summarize
+            // them publish (either order replays idempotently, but this
+            // order keeps the table pair always-consistent for readers)
+            appendDone.join()
+          } finally {
+            // the FAILURE path must not leave an orphan append writer
+            // racing a replay's synchronous overwrite of the same leaf —
+            // await it best-effort (a failed append already fails the
+            // success path via the join above; here the primary
+            // exception stays primary)
+            if (!appendDone.isDone)
+              try appendDone.join() catch { case _: Throwable => () }
+          }
           if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(labDir)))
             graft.sources.CollectionStore.swapDirectory(labDir, s"${labDir}_staged")
           else org.apache.commons.io.FileUtils.moveDirectory(
