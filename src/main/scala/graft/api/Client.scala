@@ -534,8 +534,16 @@ final class CollectionHandle(spark: SparkSession,
   private def buildCollection(): Collection =
     new Collection(shredRecords(denseOffsets(state.toDF())))
 
-  def count(): Long =
-    Quotas.Gates.withRead(ref.dataRoot, limits) { state.count() }
+  def count(readLevel: ReadLevel = ReadLevel.IndexAndWal): Long =
+    Quotas.Gates.withRead(ref.dataRoot, limits) {
+      readLevel match {
+        case ReadLevel.IndexAndWal => state.count()
+        // the Count plan carries read_level like every Scan
+        // (`plan.rs:30-40`) — the index-only/bounded views count the
+        // same frames get() reads
+        case other => readView(other).records.count()
+      }
+    }
 
   // the read gates admit REQUESTS (plan construction + validation), the
   // in-process analog of the reference's per-collection concurrent-read

@@ -52,11 +52,16 @@ class ReadLevelSpec extends AnyFunSuite {
     assert(docsOf(coll.get(readLevel = ReadLevel.IndexAndBoundedWal(1)))
         .get("c").contains("three"),
       "an op in a later entry must not leak into the prefix read")
+    // count carries the level too (the reference's Count plan Scan)
+    assert(coll.count() == 2)
+    assert(coll.count(readLevel = ReadLevel.IndexOnly) == 2) // a, b
+    assert(coll.count(readLevel = ReadLevel.IndexAndBoundedWal(1)) == 3)
     // after compaction the tail is empty: every level agrees
     coll.persist()
     val all = docsOf(coll.get())
     assert(docsOf(coll.get(readLevel = ReadLevel.IndexOnly)) == all)
     assert(docsOf(coll.get(readLevel = ReadLevel.IndexAndBoundedWal(1))) == all)
+    assert(coll.count(readLevel = ReadLevel.IndexOnly) == coll.count())
   }
 
   test("search WIRE envelope carries read_level (plan.rs:588-592)") {
