@@ -28,18 +28,28 @@ object MetaInverted {
   val DefaultBuckets = 32
 
   /** The canonical string rendering of `key`'s value in a shredded
-    * record frame, per declared type — the indexed TERM.
+    * record frame, per declared type — the indexed TERM. Column-aware:
+    * a streaming maintenance source carries only its key's typed map,
+    * so the numeric promotion coalesces over the maps PRESENT.
     */
-  def valueCol(key: String, vtype: graft.sources.Catalog.ValueType)
+  def valueCol(records: DataFrame, key: String,
+      vtype: graft.sources.Catalog.ValueType)
       : org.apache.spark.sql.Column = {
     import graft.sources.Catalog._
     vtype match {
       case VString => element_at(col("meta_str"), key)
       case VBool => element_at(col("meta_bool"), key).cast("string")
       // numeric: the Where compiler's promoted-double semantics
-      case VInt | VFloat => coalesce(
-        element_at(col("meta_int"), key).cast("double"),
-        element_at(col("meta_float"), key)).cast("string")
+      case VInt | VFloat =>
+        val pieces = Seq(
+          "meta_int" -> ((c: org.apache.spark.sql.Column) =>
+            c.cast("double")),
+          "meta_float" -> ((c: org.apache.spark.sql.Column) => c))
+          .filter { case (n, _) => records.columns.contains(n) }
+          .map { case (n, f) => f(element_at(col(n), key)) }
+        require(pieces.nonEmpty,
+          s"no numeric metadata column present for key '$key'")
+        coalesce(pieces: _*).cast("string")
       case other => throw new IllegalArgumentException(
         s"no inverted index for value type ${other.name}")
     }
@@ -60,7 +70,7 @@ object MetaInverted {
   def postings(records: DataFrame, key: String,
       vtype: graft.sources.Catalog.ValueType,
       nBuckets: Int = DefaultBuckets): DataFrame =
-    records.select(col("offset_id"), valueCol(key, vtype).as("value"))
+    records.select(col("offset_id"), valueCol(records, key, vtype).as("value"))
       .filter(col("value").isNotNull)
       .withColumn("bucket",
         pmod(xxhash64(col("value")), lit(nBuckets)).cast("int"))
@@ -98,9 +108,20 @@ object MetaInverted {
     * directories at plan time.
     */
   def candidateIds(spark: SparkSession, root: String, key: String,
-      values: Seq[String], nBuckets: Int = DefaultBuckets): DataFrame = {
+      values: Seq[String], nBuckets: Int = DefaultBuckets): DataFrame =
+    candidatesFromTable(
+      graft.sources.CollectionStore.readCached(spark, tableDir(root, key)),
+      values, nBuckets)
+
+  /** Same probe against any posting TABLE frame (compaction-built or
+    * stream-appended `batch=`-leaved — a value's doc lists may be split
+    * across per-batch rows; the explode+distinct merges them, the same
+    * robustness contract as the FTS posting read).
+    */
+  def candidatesFromTable(table: DataFrame, values: Seq[String],
+      nBuckets: Int = DefaultBuckets): DataFrame = {
     val buckets = values.map(bucketOf(_, nBuckets)).distinct
-    graft.sources.CollectionStore.readCached(spark, tableDir(root, key))
+    table
       .filter(col("bucket").isin(buckets: _*) &&
         col("value").isin(values: _*))
       .select(explode(col("docs")).as("offset_id"))

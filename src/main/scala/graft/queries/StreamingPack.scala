@@ -512,6 +512,30 @@ object StreamingPack extends QueryPack {
     // buckets with exact-Jaccard verification. Approximate (banding
     // recall) → rows-only; stream-built == batch-built table and pair
     // parity are gated in StreamingSpec.
+    // Incremental per-key metadata-inverted-index maintenance (the
+    // seventh maintained family): record micro-batches append posting
+    // rows bucket-partitioned; the served equality probe reads the
+    // stream-built table — EXACT (posting rows are per-record
+    // independent), so the stream-served answer hash-matches the plain
+    // relational oracle.
+    "st_meta_inverted_upsert" -> { (s, d) =>
+      import graft.Tables
+      val recs = Tables.documents(s, d).select(
+        col("doc_id").as("offset_id"),
+        map(lit("lang"), col("lang"),
+          lit("source"), col("source")).as("meta_str"))
+      val src = stagedSrc(d, "mi_upsert_src", "parts3") { p =>
+        stageParts(recs, "offset_id", 3, p) }
+      val base = java.nio.file.Files.createTempDirectory("mi_upsert").toString
+      EventStream.metaInvertedMaintain(s, src, s"$base/postings",
+        s"$base/ckpt", key = "lang", graft.sources.Catalog.VString,
+        filesPerBatch = 2)
+      graft.operators.MetaInverted.candidatesFromTable(
+          s.read.parquet(s"$base/postings"), Seq("en"))
+        .select(col("offset_id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     "st_minhash_upsert" -> { (s, d) =>
       import graft.Tables
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -660,6 +684,11 @@ object StreamingPack extends QueryPack {
       |ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the stream-maintained per-key posting table serves the equality
+    // probe EXACTLY — the plain relational answer is its oracle
+    "st_meta_inverted_upsert" ->
+      "SELECT doc_id FROM documents WHERE lang = 'en' ORDER BY doc_id",
+
     // the dd_minhash_oracle SQL verbatim — the stream-built bucket table
     // must yield the identical J=1.0 pair set the batch build yields
     "st_minhash_upsert_oracle" -> DedupPack.oracle("dd_minhash_oracle"),

@@ -330,6 +330,60 @@ object EventStream extends Serializable {
     q.awaitTermination()
   }
 
+  /** Incremental per-key METADATA-INVERTED-index maintenance — the
+    * streaming face of [[graft.operators.MetaInverted]] (the seventh
+    * maintained family: IVF/FTS/HNSW/quantized/sparse/MinHash above):
+    * each arriving record micro-batch computes its posting rows
+    * `(bucket, value, docs)` — per-record independent, so the appended
+    * table holds exactly a batch build's rows with per-value doc lists
+    * split across batch leaves, which the candidate read's
+    * explode+distinct merges back ([[graft.operators.MetaInverted
+    * .candidatesFromTable]], same robustness contract as the FTS
+    * posting read) — and appends them partitioned by `bucket`, so an
+    * equality probe stays plan-time-pruned to its value's bucket
+    * directory while the index grows on the ingest cadence. The
+    * reference's metadata writer does the same per-compaction
+    * (`blockfile_metadata.rs:1508-1559`, consulting the schema's
+    * per-key enabled flags).
+    *
+    * `srcDir` holds parquet files in the shredded record shape for the
+    * key's declared type (offset_id + the typed meta map).
+    */
+  def metaInvertedMaintain(spark: SparkSession, srcDir: String,
+      tableDir: String, checkpoint: String, key: String,
+      vtype: graft.sources.Catalog.ValueType,
+      nBuckets: Int = graft.operators.MetaInverted.DefaultBuckets,
+      filesPerBatch: Int = 1): Unit = {
+    val metaCol = vtype match {
+      case graft.sources.Catalog.VString => StructField("meta_str",
+        MapType(StringType, StringType))
+      case graft.sources.Catalog.VInt => StructField("meta_int",
+        MapType(StringType, LongType))
+      case graft.sources.Catalog.VFloat => StructField("meta_float",
+        MapType(StringType, DoubleType))
+      case graft.sources.Catalog.VBool => StructField("meta_bool",
+        MapType(StringType, BooleanType))
+      case other => throw new IllegalArgumentException(
+        s"no inverted index for value type ${other.name}")
+    }
+    val schema = StructType(Seq(
+      StructField("offset_id", LongType), metaCol))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentAppend(
+          graft.operators.MetaInverted.postings(batch, key, vtype, nBuckets)
+            .repartition(col("bucket")), // one writer per touched bucket
+          tableDir, batchId, Seq("bucket"))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Incremental n-gram-LM maintenance — the perplexity filter's
     * ingest-time face: each arriving document micro-batch folds its
     * bigram transitions into per-batch count rows appended to the

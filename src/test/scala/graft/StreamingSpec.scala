@@ -975,6 +975,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(postCount() == pc1, "replayed cluster maintenance doubled postings")
     assert(labels() == lab1, "replayed cluster fold changed the label table")
 
+    // per-key metadata inverted index: the stream-appended posting
+    // table must answer equality probes exactly like a batch build,
+    // and a full replay must not double any doc list
+    import graft.operators.MetaInverted
+    import graft.sources.Catalog
+    val miRecs = Tables.documents(spark, sf).select(
+      col("doc_id").as("offset_id"),
+      map(lit("lang"), col("lang")).as("meta_str"))
+    miRecs.withColumn("part", pmod(col("offset_id"), lit(3)))
+      .repartitionByRange(3, col("part")).drop("part")
+      .write.parquet(s"$base/misrc")
+    EventStream.metaInvertedMaintain(spark, s"$base/misrc", s"$base/mi",
+      s"$base/ckpt_mi", "lang", Catalog.VString)
+    def miCand(v: String): Set[Long] =
+      MetaInverted.candidatesFromTable(
+          spark.read.parquet(s"$base/mi"), Seq(v))
+        .collect().map(_.getLong(0)).toSet
+    def batchCand(v: String): Set[Long] =
+      MetaInverted.candidatesFromTable(
+          MetaInverted.postings(miRecs, "lang", Catalog.VString), Seq(v))
+        .collect().map(_.getLong(0)).toSet
+    for (v <- Seq("en", "de"))
+      assert(miCand(v) == batchCand(v),
+        s"stream-built posting table diverged from the batch build on '$v'")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$base/ckpt_mi"))
+    EventStream.metaInvertedMaintain(spark, s"$base/misrc", s"$base/mi",
+      s"$base/ckpt_mi", "lang", Catalog.VString)
+    assert(miCand("en") == batchCand("en"),
+      "replayed meta-inverted maintenance duplicated posting rows")
+
     // LM counts: a full replay must not double any bigram count
     EventStream.lmMaintain(spark, s"$base/src", s"$base/lm", s"$base/ckpt_lm")
     def lmKey() = EventStream.foldLmCounts(spark.read.parquet(s"$base/lm"))
