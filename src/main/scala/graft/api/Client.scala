@@ -673,7 +673,17 @@ final class CollectionHandle(spark: SparkSession,
     Quotas.Gates.withRead(ref.dataRoot, limits) {
       where.foreach(Quotas.validateWhere(_, limits))
       Quotas.validateResults(k, limits)
-      readView(readLevel).query(queries, k, where, cfgSpace(space))
+      // the reference's Filter operator serves from the metadata/FTS
+      // indexes on EVERY read plan, not just Get — the same posting
+      // prefilter narrows the KNN's candidate records (pre-filtered
+      // exact KNN: the full predicate still verifies inside the plan)
+      val view = readView(readLevel)
+      val base = indexAllowedIds(where, readLevel) match {
+        case Some(allowed) =>
+          new Collection(view.records.join(allowed, Seq("id"), "left_semi"))
+        case None => view
+      }
+      base.query(queries, k, where, cfgSpace(space))
     }
 
   /** The read view at `readLevel` (`plan.rs:550-565`): the RYW state

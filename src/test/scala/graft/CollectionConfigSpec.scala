@@ -256,6 +256,25 @@ class CollectionConfigSpec extends AnyFunSuite {
         s"$tn/$en: wrong rows through the ${if (expectIndexed) "indexed"
           else "scan"} path: $got")
     }
+    // the KNN plan routes its filter through the same posting prefilter
+    // (the reference's Filter operator serves every read plan): query()
+    // on an enabled key reads the posting table, a disabled key scans
+    {
+      import spark.implicits._
+      val qOn = c.getCollection("ki_str_on")
+      val qs = Seq((0L, Seq(1.0f))).toDF("query_id", "q_embedding")
+      // records carry no embeddings — the filter leg still shapes the
+      // plan; assert routing only (an empty KNN is fine)
+      val df = qOn.query(qs, k = 2, where = Some(
+        graft.model.Where.Cmp("tag", "$eq", graft.model.Where.VStr("v1"))))
+      assert(df.inputFiles.exists(_.contains("meta_inverted")),
+        "query() with an enabled-key filter must route through postings")
+      val dfOff = c.getCollection("ki_str_off").query(qs, k = 2, where = Some(
+        graft.model.Where.Cmp("tag", "$eq", graft.model.Where.VStr("v1"))))
+      assert(!dfOff.inputFiles.exists(_.contains("meta_inverted")),
+        "query() on a disabled key must take the scan path")
+    }
+
     // IndexAndWal with a live tail: a post-compaction write matching the
     // predicate must appear (tail ids join the allowed set), and an
     // update swinging a SEGMENT record's value must be honored over the
