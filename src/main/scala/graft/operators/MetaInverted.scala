@@ -113,6 +113,30 @@ object MetaInverted {
       graft.sources.CollectionStore.readCached(spark, tableDir(root, key)),
       values, nBuckets)
 
+  /** Posting compaction for a STREAM-MAINTAINED table (`tableDir` from
+    * [[graft.streaming.EventStream.metaInvertedMaintain]]): incremental
+    * appends leave one row per (value, micro-batch), fragmenting a
+    * value's doc list without bound — fold back to ONE row per
+    * (bucket, value), swapped in atomically with the max-folded-batch
+    * marker riding the rename (the replay-duplication guard), the same
+    * protocol as [[Fts.compactPostings]]. Run on the compaction
+    * cadence, not per batch.
+    */
+  def compactTable(spark: SparkSession, dir: String): Unit = {
+    val tmp = s"${dir}_compacting"
+    graft.sources.CollectionStore.healSwap(dir) // crashed prior swap
+    val df = spark.read.parquet(dir)
+    val sub = if (df.columns.contains("batch")) "/batch=-1" else ""
+    df.groupBy("bucket", "value")
+      .agg(array_sort(array_distinct(flatten(collect_list(col("docs")))))
+        .as("docs"))
+      .repartition(col("bucket")) // one writer per bucket → no tiny files
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp + sub)
+    graft.streaming.EventStream.recordFoldedMaxBatch(dir, tmp)
+    graft.sources.CollectionStore.swapDirectory(dir, tmp)
+    graft.sources.CollectionStore.invalidateRoot(dir)
+  }
+
   /** Same probe against any posting TABLE frame (compaction-built or
     * stream-appended `batch=`-leaved — a value's doc lists may be split
     * across per-batch rows; the explode+distinct merges them, the same

@@ -1005,6 +1005,30 @@ class StreamingSpec extends AnyFunSuite {
       s"$base/ckpt_mi", "lang", Catalog.VString)
     assert(miCand("en") == batchCand("en"),
       "replayed meta-inverted maintenance duplicated posting rows")
+    // compaction folds the per-batch rows to one per (bucket, value),
+    // answers unchanged, and the folded-batch marker guards the NEXT
+    // replay (a post-compaction replay of the last batch must no-op)
+    MetaInverted.compactTable(spark, s"$base/mi")
+    val folded = spark.read.parquet(s"$base/mi")
+    assert(folded.groupBy("bucket", "value").count()
+        .filter(col("count") > 1).count() == 0,
+      "compaction left split posting rows")
+    assert(miCand("en") == batchCand("en") && miCand("de") == batchCand("de"),
+      "compaction changed the served answer")
+    // a FULL checkpoint loss after compaction replays batches the fold
+    // already covers — that must FAIL LOUDLY (silently skipping would
+    // destroy data a genuinely-new stream delivers; silently appending
+    // would duplicate the folded rows), the idempotentAppend guard
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$base/ckpt_mi"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStream.metaInvertedMaintain(spark, s"$base/misrc", s"$base/mi",
+        s"$base/ckpt_mi", "lang", Catalog.VString)
+    }
+    assert(e.getMessage.contains("compacted through batch"),
+      s"expected the replay-past-compaction guard, got: ${e.getMessage}")
+    assert(miCand("en") == batchCand("en"),
+      "the refused replay must leave the folded table untouched")
 
     // LM counts: a full replay must not double any bigram count
     EventStream.lmMaintain(spark, s"$base/src", s"$base/lm", s"$base/ckpt_lm")
