@@ -316,6 +316,57 @@ class CollectionConfigSpec extends AnyFunSuite {
     assert(dfOff.select("id").collect().map(_.getString(0)).toSet == expect)
   }
 
+  test("driver-side renderValue == Spark-side valueCol, bit for bit") {
+    // the posting probe compares the DRIVER rendering of the query
+    // literal against the SPARK rendering of stored values — any
+    // formatting drift (double shortest-repr, int promotion, bool case)
+    // silently empties the candidate set, so pin equality over awkward
+    // values: extremes, precision-losing longs, subnormals, negzero
+    import graft.model.Where._
+    import graft.operators.MetaInverted
+    import graft.sources.Catalog
+    val rnd = new scala.util.Random(7)
+    val ints: Seq[Long] = Seq(0L, 1L, -1L, 42L, Long.MaxValue,
+      Long.MinValue, (1L << 53) + 1) ++ Seq.fill(24)(rnd.nextLong())
+    val floats: Seq[Double] = Seq(0.0, -0.0, 1.5, 0.1, 1e-300, 1e300,
+      math.Pi, Double.MinPositiveValue, 2.2250738585072014e-308) ++
+      Seq.fill(24)(rnd.nextDouble() * math.pow(10, rnd.nextInt(21) - 10))
+    def sparkRender(rows: Seq[(Long, Map[String, Any])],
+        vtype: Catalog.ValueType): Seq[String] = {
+      val df = vtype match {
+        case Catalog.VInt => rows.map { case (i, m) =>
+          (i, m.view.mapValues(_.asInstanceOf[Long]).toMap) }
+          .toDF("offset_id", "meta_int")
+        case Catalog.VFloat => rows.map { case (i, m) =>
+          (i, m.view.mapValues(_.asInstanceOf[Double]).toMap) }
+          .toDF("offset_id", "meta_float")
+        case Catalog.VBool => rows.map { case (i, m) =>
+          (i, m.view.mapValues(_.asInstanceOf[Boolean]).toMap) }
+          .toDF("offset_id", "meta_bool")
+        case _ => fail("unexpected type")
+      }
+      df.select(col("offset_id"),
+          MetaInverted.valueCol(df, "k", vtype).as("v"))
+        .orderBy("offset_id").collect().map(_.getString(1)).toSeq
+    }
+    val gotInt = sparkRender(
+      ints.zipWithIndex.map { case (v, i) => (i.toLong, Map("k" -> v)) },
+      Catalog.VInt)
+    for ((v, g) <- ints.zip(gotInt))
+      assert(g == MetaInverted.renderValue(VInt(v)),
+        s"int $v: spark '$g' != driver '${MetaInverted.renderValue(VInt(v))}'")
+    val gotF = sparkRender(
+      floats.zipWithIndex.map { case (v, i) => (i.toLong, Map("k" -> v)) },
+      Catalog.VFloat)
+    for ((v, g) <- floats.zip(gotF))
+      assert(g == MetaInverted.renderValue(VFloat(v)),
+        s"float $v: spark '$g' != driver '${MetaInverted.renderValue(VFloat(v))}'")
+    val gotB = sparkRender(Seq((0L, Map("k" -> true)),
+      (1L, Map("k" -> false))), Catalog.VBool)
+    assert(gotB == Seq(MetaInverted.renderValue(VBool(true)),
+      MetaInverted.renderValue(VBool(false))))
+  }
+
   test("re-compaction at constant row count rebuilds the posting table (content keying)") {
     // the build key carries the segment CONTENT fingerprint: an update
     // that swings a value without changing the row count must re-key the
