@@ -478,6 +478,28 @@ object FacadePack extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // $in through the same per-key posting table: each value probes its
+    // own bucket (multi-literal static pruning), candidates union, the
+    // full predicate verifies — here the string-typed sibling of
+    // fc_key_inverted's int path.
+    "fc_key_inverted_in" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_kin_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("kin", graft.sources.Catalog.Schema(
+        keys = Map("lang" -> graft.sources.Catalog.KeyConfig(
+          graft.sources.Catalog.VString, invertedIndex = Some(true)))))
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("lang"), col("lang")).as("meta")))
+      coll.persist()
+      coll.get(where = Some(graft.model.Where.SetIn("lang",
+          Seq(graft.model.Where.VStr("en"), graft.model.Where.VStr("fr")),
+          negated = false)),
+        include = Seq("document", "meta:lang"))
+        .orderBy(col("id"))
+    },
+
     // ReadLevel surface parity (`plan.rs:550-565`): the same collection
     // read at IndexOnly (compacted segment alone — the un-compacted
     // tail invisible), IndexAndBoundedWal(1) (segment + exactly the
@@ -822,6 +844,10 @@ object FacadePack extends QueryPack {
     "fc_key_inverted" ->
       """SELECT 'doc-'||doc_id AS id, text AS document FROM documents
         |WHERE doc_id%10 = 3 ORDER BY id""".stripMargin,
+
+    "fc_key_inverted_in" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document, lang FROM documents
+        |WHERE lang IN ('en','fr') ORDER BY id""".stripMargin,
 
     "fc_read_levels" ->
       """WITH evens AS (
