@@ -457,7 +457,7 @@ final class CollectionHandle(spark: SparkSession,
         c
     }
   }
-  private var collectionCache: Option[(Long, Collection)] = None
+  @volatile private var collectionCache: Option[(Long, Collection)] = None
 
   /** The offset-assignment input BEFORE the zipWithIndex RDD boundary —
     * exposed so PlanSpec can assert no single-partition Exchange hides
@@ -714,7 +714,7 @@ final class CollectionHandle(spark: SparkSession,
       c
     }
   }
-  private var indexViewCache: Map[(Long, Option[Int]), Collection] = Map.empty
+  @volatile private var indexViewCache: Map[(Long, Option[Int]), Collection] = Map.empty
 
   /** The PERSISTED compacted segment in WAL-record shape, straight from
     * disk — unlike the writer's in-memory segment, never contaminated by
@@ -931,7 +931,7 @@ final class CollectionHandle(spark: SparkSession,
     * reference's fetch-log-size). One count job per mutation epoch, only
     * on served reads with a live tail.
     */
-  private var tailCountCache: Option[(Long, Long)] = None
+  @volatile private var tailCountCache: Option[(Long, Long)] = None
   private def tailCount(ids: DataFrame): Int = {
     val ep = writer.epoch
     tailCountCache match {
@@ -951,7 +951,7 @@ final class CollectionHandle(spark: SparkSession,
     * cannot see. One aggregate job per handle per compaction (cached
     * here; persist() invalidates).
     */
-  private var segTagCache: Option[String] = None
+  @volatile private var segTagCache: Option[String] = None
   private def segTag(seg: DataFrame): String = segTagCache.getOrElse {
     // prefer the fingerprint _segmeta recorded at compaction (zero jobs);
     // same formula as the fallback aggregate below
@@ -972,7 +972,7 @@ final class CollectionHandle(spark: SparkSession,
     * the `_segmeta` mtag (zero jobs); pre-mtag segments pay one
     * aggregate per handle. persist() invalidates with segTagCache.
     */
-  private var segMetaTagCache: Option[String] = None
+  @volatile private var segMetaTagCache: Option[String] = None
   private def segMetaTag(seg: DataFrame): String =
     segMetaTagCache.getOrElse {
       val tag = segmentDataRoot(ref)
@@ -1015,10 +1015,26 @@ final class CollectionHandle(spark: SparkSession,
   def search(json: String, space: String = "",
       readLevel: ReadLevel = ReadLevel.IndexAndWal): DataFrame =
     Quotas.Gates.withRead(ref.dataRoot, limits) {
-      readView(wireReadLevel(json, readLevel))
+      val lvl = wireReadLevel(json, readLevel)
+      searchBase(graft.model.SearchParser.parse(json).filter, lvl)
         .searchPayload(json, cfgSpace(space),
           embed = embedFn, sparseEmbed = schemaSparseFns)
     }
+
+  /** The Search plan's scan, with its filter routed through the SAME
+    * posting/FTS prefilter get()/query() use — the reference's Filter
+    * operator serves every read plan from the metadata indexes; the
+    * wire surface must not be the one path paying a full scan.
+    */
+  private def searchBase(filter: Option[graft.model.Where.Expr],
+      level: ReadLevel): Collection = {
+    val view = readView(level)
+    indexAllowedIds(filter, level) match {
+      case Some(allowed) =>
+        new Collection(view.records.join(allowed, Seq("id"), "left_semi"))
+      case None => view
+    }
+  }
 
   /** The Search envelope's own `read_level` field wins over the
     * programmatic default — it is the request's plan field
@@ -1027,7 +1043,9 @@ final class CollectionHandle(spark: SparkSession,
   private def wireReadLevel(json: String, dflt: ReadLevel): ReadLevel =
     org.json4s.jackson.JsonMethods.parse(json) \ "read_level" match {
       case org.json4s.JString(s) => ReadLevel.fromWire(s)
-      case org.json4s.JNothing => dflt
+      // absent OR explicit null = unset (serializers commonly render an
+      // unset Option as null; the reference's serde Option accepts it)
+      case org.json4s.JNothing | org.json4s.JNull => dflt
       // a mistyped field must reject like an unknown string — falling
       // back silently would hand out full-RYW reads the caller did not
       // ask for (the reference's serde parse rejects type mismatches)
@@ -1041,9 +1059,12 @@ final class CollectionHandle(spark: SparkSession,
   def searchAll(json: String, space: String = "",
       readLevel: ReadLevel = ReadLevel.IndexAndWal): Seq[DataFrame] =
     Quotas.Gates.withRead(ref.dataRoot, limits) {
-      readView(wireReadLevel(json, readLevel))
-        .searchPayloads(json, cfgSpace(space),
-          embed = embedFn, sparseEmbed = schemaSparseFns)
+      val lvl = wireReadLevel(json, readLevel)
+      // per-payload filters differ — each payload gets its own prefilter
+      graft.model.SearchParser.parseMany(json).map { req =>
+        searchBase(req.filter, lvl).searchRequest(req, cfgSpace(space),
+          None, embedFn, schemaSparseFns)
+      }
     }
 
   private def schemaSparseFns

@@ -392,7 +392,7 @@ final class Collection(val records: DataFrame) {
     graft.model.SearchParser.parseMany(json)
       .map(searchRequest(_, space, ftsRoot, embed, sparseEmbed))
 
-  private def searchRequest(req: graft.model.SearchParser.Request,
+  private[graft] def searchRequest(req: graft.model.SearchParser.Request,
       space: String,
       ftsRoot: Option[String],
       embed: Option[graft.functions.EmbeddingFunction],

@@ -88,26 +88,8 @@ object Fts {
     * delete. On an object store compact into a versioned directory via
     * [[graft.sources.CollectionStore.conditionalCommit]] instead.
     */
-  def compactPostings(spark: SparkSession, root: String): Unit = {
-    val dir = s"$root/fts/postings"
-    val tmp = s"$root/fts/postings_compacting"
-    graft.sources.CollectionStore.healSwap(dir) // crashed prior swap
-    val df = spark.read.parquet(dir)
-    // maintained dirs carry a batch=<id> partition level (idempotent
-    // appends) — compacted rows keep it as a synthetic batch=-1 so the
-    // next append's partition discovery stays conflict-free
-    val sub = if (df.columns.contains("batch")) "/batch=-1" else ""
-    df.groupBy("bucket", "trigram")
-      .agg(array_sort(array_distinct(flatten(collect_list(col("docs")))))
-        .as("docs"))
-      .repartition(col("bucket")) // one writer per bucket → no tiny files
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp + sub)
-    // max-folded-batch marker rides the atomic swap (replay-dup guard)
-    graft.streaming.EventStream.recordFoldedMaxBatch(dir, tmp)
-    graft.sources.CollectionStore.swapDirectory(dir, tmp)
-    // drop memoized file listings for the swapped directory
-    graft.sources.CollectionStore.invalidateRoot(dir)
-  }
+  def compactPostings(spark: SparkSession, root: String): Unit =
+    PostingTables.compact(spark, s"$root/fts/postings", "trigram")
 
   /** Total posting entries above which the intersection runs as a
     * distributed plan instead of a driver merge — bounds driver memory

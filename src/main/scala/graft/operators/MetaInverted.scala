@@ -122,20 +122,8 @@ object MetaInverted {
     * protocol as [[Fts.compactPostings]]. Run on the compaction
     * cadence, not per batch.
     */
-  def compactTable(spark: SparkSession, dir: String): Unit = {
-    val tmp = s"${dir}_compacting"
-    graft.sources.CollectionStore.healSwap(dir) // crashed prior swap
-    val df = spark.read.parquet(dir)
-    val sub = if (df.columns.contains("batch")) "/batch=-1" else ""
-    df.groupBy("bucket", "value")
-      .agg(array_sort(array_distinct(flatten(collect_list(col("docs")))))
-        .as("docs"))
-      .repartition(col("bucket")) // one writer per bucket → no tiny files
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp + sub)
-    graft.streaming.EventStream.recordFoldedMaxBatch(dir, tmp)
-    graft.sources.CollectionStore.swapDirectory(dir, tmp)
-    graft.sources.CollectionStore.invalidateRoot(dir)
-  }
+  def compactTable(spark: SparkSession, dir: String): Unit =
+    PostingTables.compact(spark, dir, "value")
 
   /** Same probe against any posting TABLE frame (compaction-built or
     * stream-appended `batch=`-leaved — a value's doc lists may be split

@@ -663,9 +663,20 @@ object Catalog {
     // id+embedding tag, the FTS index on the full-content mtag — so a
     // same-count re-write re-keys, and a provision-built index is
     // key-identical to what the serving handle would build lazily
-    val tag = CollectionStore.readSegMeta(ref.dataRoot)
-      .map(_._2).getOrElse("")
-    val mtag = CollectionStore.readSegMetaTag(ref.dataRoot).getOrElse("")
+    // fallbacks compute the SAME aggregates the serving handle computes
+    // (segTag/segMetaTag) — a "" fallback would build under a key the
+    // handle never matches, wasting the provision-time build
+    lazy val tag = CollectionStore.readSegMeta(ref.dataRoot)
+      .map(_._2).getOrElse {
+        val r = records.agg(bit_xor(xxhash64(col("id"), col("embedding")))
+          .cast("string")).collect()(0)
+        if (r.isNullAt(0)) "empty" else r.getString(0)
+      }
+    lazy val mtag = CollectionStore.readSegMetaTag(ref.dataRoot).getOrElse {
+      val r = records.agg(bit_xor(CollectionStore.contentTagExpr(records))
+        .cast("string")).collect()(0)
+      if (r.isNullAt(0)) "empty" else r.getString(0)
+    }
     ref.schema.embedding.foreach { e =>
       val vecs = records.select(col("offset_id"), col("embedding"))
       CollectionStore.ivfServing(vecs, ref.dataRoot, nCentroids, nReplica,

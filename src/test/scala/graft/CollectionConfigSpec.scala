@@ -275,6 +275,28 @@ class CollectionConfigSpec extends AnyFunSuite {
         "query() on a disabled key must take the scan path")
     }
 
+    // the wire Search plan routes its filter through the prefilter too
+    // (the reference's Filter operator serves EVERY read plan) — needs
+    // an embedding for the rank leaf, so a dedicated tiny collection
+    {
+      import spark.implicits._
+      val sColl = c.createCollection("ki_search", graft.sources.Catalog
+        .Schema(keys = Map("tag" -> graft.sources.Catalog.KeyConfig(
+          graft.sources.Catalog.VString))))
+      sColl.add((0 until 8).map(i => (s"s$i", s"d $i",
+          Map("tag" -> s"v${i % 2}"), Seq(i.toFloat, 1.0f)))
+        .toDF("id", "document", "meta", "embedding"))
+      sColl.persist()
+      val payload = """{"filter": {"tag": {"$eq": "v1"}},
+        |"rank": {"$knn": {"query": [1.0, 1.0], "limit": 8}},
+        |"select": {"keys": []}}""".stripMargin
+      val sdf = c.getCollection("ki_search").search(payload)
+      assert(sdf.inputFiles.exists(_.contains("meta_inverted")),
+        "search() with an enabled-key filter must route through postings")
+      assert(sdf.select("id").collect().map(_.getString(0)).toSet ==
+        Set("s1", "s3", "s5", "s7"))
+    }
+
     // IndexAndWal with a live tail: a post-compaction write matching the
     // predicate must appear (tail ids join the allowed set), and an
     // update swinging a SEGMENT record's value must be honored over the
