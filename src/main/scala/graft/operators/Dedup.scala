@@ -306,16 +306,18 @@ object Dedup {
 
   /** LSH candidate pairs -> exact-Jaccard verification at `threshold`.
     * Returns verified pairs (subset of [[jaccardPairs]] output, with recall
-    * 1-(1-j^r)^b per pair). The PUBLIC default is the exhaustive listing
-    * (no silent recall degradation for existing callers); ingest/serving
-    * call sites opt into the [[DefaultMaxBucket]] cap explicitly — past
-    * it a bucket degrades to capped pairs + star edges. For a CLUSTER
-    * answer at scale prefer [[minhashLshClusters]] — output-proportional
-    * with no cap at all.
+    * 1-(1-j^r)^b per pair). The PUBLIC default is the [[DefaultMaxBucket]]
+    * cap — one adversarial bucket must degrade to capped pairs + star
+    * edges (bounded output, cluster still covered and connected — gated
+    * in DedupSpec), never O(|bucket|²) candidate rows blowing up an
+    * executor. Exhaustive proof paths (the `*_oracle` twins) opt into
+    * `maxBucket = Int.MaxValue` explicitly. For a CLUSTER answer at scale
+    * prefer [[minhashLshClusters]] — output-proportional with no cap at
+    * all.
     */
   def minhashLsh(docs: DataFrame, threshold: Double, n: Int = 3,
       bands: Int = 16, rows: Int = 4,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // Cache the SIGNATURES (doc_id + 64 longs — megabytes), not the
     // array<string> shingle table: the banding select references sig 16
     // times and the candidate self-join twice more, while the shingle
@@ -493,7 +495,7 @@ object Dedup {
     */
   def minhashLshServed(docs: DataFrame, banded: DataFrame,
       threshold: Double, n: Int = 3,
-      maxBucket: Int = Int.MaxValue): DataFrame =
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
     lshVerify(bucketCandidates(banded, maxBucket), withShingles(docs, n),
       threshold)
 

@@ -140,7 +140,17 @@ object Catalog {
       * way carry `hnsw:*` keys in collection metadata; they parse into
       * an HNSW config with per-field defaults.
       */
-    def fromLegacyMetadata(md: Map[String, String]): Option[HnswIndexConfig] = {
+    /** `strict` gates the deny-unknown-fields rule: TRUE (the default)
+      * on the create/modify write paths — a typo'd `hnsw:*` key rejects
+      * before the descriptor persists, the reference's serde contract —
+      * FALSE on the READ path ([[effectiveVectorIndex]]), where a
+      * descriptor written before this rule existed must keep serving
+      * (unknown keys log a warning and are ignored); throwing there
+      * would brick a created collection the create-time gate was meant
+      * to protect.
+      */
+    def fromLegacyMetadata(md: Map[String, String],
+        strict: Boolean = true): Option[HnswIndexConfig] = {
       // metadata values are arbitrary user strings — a malformed number
       // must fail NAMING THE KEY (the reference's
       // HnswParametersFromSegmentError), not as a bare NumberFormat
@@ -162,9 +172,15 @@ object Catalog {
           "hnsw:search_ef", "hnsw:M", "hnsw:num_threads",
           "hnsw:resize_factor", "hnsw:sync_threshold", "hnsw:batch_size")
         val unknown = md.keys.filter(k => k.startsWith("hnsw:") && !known(k))
-        if (unknown.nonEmpty) throw new IllegalArgumentException(
-          s"unknown legacy hnsw metadata key(s): ${unknown.toSeq.sorted
-            .mkString(", ")} — expected one of ${known.toSeq.sorted.mkString(", ")}")
+        if (unknown.nonEmpty) {
+          val msg = s"unknown legacy hnsw metadata key(s): ${unknown.toSeq
+            .sorted.mkString(", ")} — expected one of ${known.toSeq.sorted
+            .mkString(", ")}"
+          if (strict) throw new IllegalArgumentException(msg)
+          else org.slf4j.LoggerFactory.getLogger("graft.sources.Catalog")
+            .warn(s"$msg (read path: ignoring; clean the descriptor with " +
+              "modifyCollection to silence this)")
+        }
         val d = HnswIndexConfig()
         Some(HnswIndexConfig(
           space = md.getOrElse("hnsw:space", d.space),
@@ -220,7 +236,10 @@ object Catalog {
     */
   def effectiveVectorIndex(schema: Schema,
       metadata: Map[String, String]): Option[VectorIndexConfig] =
-    schema.vectorIndex.orElse(VectorIndexConfig.fromLegacyMetadata(metadata))
+    // non-strict: this is the QUERY path — a pre-rule descriptor with a
+    // typo'd hnsw:* key keeps serving under the parsed knowns + defaults
+    schema.vectorIndex.orElse(
+      VectorIndexConfig.fromLegacyMetadata(metadata, strict = false))
 
   final case class CollectionRef(tenant: String, database: String,
       name: String, schema: Schema, root: String, dataRoot: String,
@@ -353,12 +372,16 @@ object Catalog {
   def modifyCollection(root: String, tenant: String, db: String,
       name: String, newName: Option[String] = None,
       metadata: Option[Map[String, String]] = None): CollectionRef = {
-    val cur = getCollection(root, tenant, db, name)
     val dir = sysdbPath(root, tenant, db)
+    // same per-descriptor lock updateCollectionConfig holds: the
+    // get-then-write below is a read-modify-write of this descriptor
+    val selfKey = dir.resolve(s"$name.json").toString
+    updateLocks.computeIfAbsent(selfKey, _ => new Object).synchronized {
+    val cur = getCollection(root, tenant, db, name)
     val nm = newName.getOrElse(name)
     newName.foreach(validName)
     // same create-time legacy-metadata rule on replacement metadata
-    metadata.foreach(VectorIndexConfig.fromLegacyMetadata)
+    metadata.foreach(VectorIndexConfig.fromLegacyMetadata(_))
     val md = metadata.getOrElse(cur.metadata)
     // keep the existing data dir across renames (derive it from the
     // current ref — it already resolves any prior data_dir indirection)
@@ -377,16 +400,32 @@ object Catalog {
       // O(#collections) descriptor sweep is the reference sysdb's
       // single-UPDATE equivalent.
       listCollections(root, tenant, db).foreach { child =>
-        val cr = getCollection(root, tenant, db, child)
-        if (cr.forkedFrom.contains(name))
-          writeDescriptor(dir.resolve(s"$child.json"), cr.schema,
-            Some(nm), Some(cr.dataRoot.split('/').last), cr.metadata,
-            createNew = false)
+        // each child rewrite is a read-modify-write racing any
+        // concurrent modifyCollection/updateCollectionConfig on that
+        // child — take the same per-descriptor lock
+        // updateCollectionConfig holds, or the sweep silently clobbers
+        // a concurrent update (lost write) across an O(#collections)
+        // window
+        // unlocked pre-check keeps lock acquisition to ACTUAL fork
+        // children — fork edges form a DAG (a child exists only after
+        // its parent), so holding the parent lock while taking child
+        // locks cannot cycle; locking every listed collection first
+        // could (two concurrent renames sweeping each other)
+        val childKey = dir.resolve(s"$child.json").toString
+        if (getCollection(root, tenant, db, child).forkedFrom.contains(name))
+          updateLocks.computeIfAbsent(childKey, _ => new Object).synchronized {
+          val cr = getCollection(root, tenant, db, child)
+          if (cr.forkedFrom.contains(name))
+            writeDescriptor(dir.resolve(s"$child.json"), cr.schema,
+              Some(nm), Some(cr.dataRoot.split('/').last), cr.metadata,
+              createNew = false)
+        }
       }
       java.nio.file.Files.delete(dir.resolve(s"$name.json"))
     }
     CollectionRef(tenant, db, nm, cur.schema, root, cur.dataRoot,
       cur.forkedFrom, md)
+    } // selfKey lock
   }
 
   def getCollection(root: String, tenant: String, db: String,

@@ -143,6 +143,15 @@ class CollectionConfigSpec extends AnyFunSuite {
     val ok = Catalog.VectorIndexConfig.fromLegacyMetadata(
       Map("hnsw:search_ef" -> "10", "hnsw:space" -> "cosine"))
     assert(ok.exists(h => h.efSearch == 10 && h.space == "cosine"))
+    // the READ path must NOT brick a descriptor written before the
+    // deny-unknown rule existed: effectiveVectorIndex parses non-strict —
+    // unknown keys warn and are ignored, the knowns still serve
+    val read = Catalog.effectiveVectorIndex(graft.sources.Catalog.Schema(),
+      Map("hnsw:ef_search" -> "10", "hnsw:space" -> "cosine"))
+    assert(read.exists(h => h.space == "cosine" &&
+        h.asInstanceOf[Catalog.HnswIndexConfig].efSearch ==
+          Catalog.HnswIndexConfig().efSearch),
+      s"read-path parse should serve knowns + defaults, got $read")
   }
 
   test("a spann-config collection serves queryAnn from its config, rebalanced") {

@@ -75,12 +75,13 @@ class DedupSpec extends AnyFunSuite {
     assert(big.map(_._1).forall(seen),
       "capped edges disconnected the planted cluster")
     // small-bucket equality: the real corpus's buckets sit far below the
-    // serving cap, so the opted-in capped output == the exhaustive
-    // default (the public API default is uncapped — no silent change)
+    // serving cap, so the capped default == the explicit exhaustive
+    // listing (the cap only bites on adversarial buckets)
     val srv = Dedup.minhashLsh(docs, 0.5, maxBucket = Dedup.DefaultMaxBucket)
       .select("da", "db")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exh = Dedup.minhashLsh(docs, 0.5).select("da", "db")
+    val exh = Dedup.minhashLsh(docs, 0.5, maxBucket = Int.MaxValue)
+      .select("da", "db")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(srv == exh, "serving cap changed output on a small-bucket corpus")
   }
@@ -94,7 +95,10 @@ class DedupSpec extends AnyFunSuite {
         threshold = 0.5)
       .select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val full = Dedup.minhashLsh(docs, threshold = 0.5)
+    // the probe's batch×table join is inherently uncapped — compare
+    // against the exhaustive listing, not the capped serving default
+    val full = Dedup.minhashLsh(docs, threshold = 0.5,
+        maxBucket = Int.MaxValue)
       .select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
       .filter(p => batchIds(p._1) || batchIds(p._2))
