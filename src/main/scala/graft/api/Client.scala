@@ -606,6 +606,18 @@ final class CollectionHandle(spark: SparkSession,
         toIds(graft.operators.MetaInverted.candidateIds(spark, dataRoot, k,
           vs.map(graft.operators.MetaInverted.renderValue)))
     }
+    // range leaves ($gt/$gte/$lt/$lte) serve from the VALUE-ORDERED
+    // posting layout — the reference's sorted typed keys range-scan
+    // (`rust/index/src/metadata/types.rs:580-676`); the hash-bucketed
+    // eq postings cannot. All of one key's conjunctive range leaves
+    // fold into a single bounds-pruned probe.
+    val rangeRoute: Option[DataFrame] = indexableRangeLeaves(w).map {
+      case (k, cfg, leaves) =>
+        CollectionStore.metaRangeServing(seg, dataRoot, k, cfg.valueType,
+          keyTag = segMetaTag(seg))
+        toIds(graft.operators.MetaRange.candidateIds(spark, dataRoot, k,
+          leaves))
+    }
     val ftsRoute: Option[DataFrame] =
       if (!ref.schema.documentFts) None
       else Where.containsDnf(w).map { dnf =>
@@ -615,10 +627,8 @@ final class CollectionHandle(spark: SparkSession,
         toIds(graft.operators.Fts.candidateIdsDnf(spark, dataRoot, dnf)
           .select(col("doc_id").as("offset_id")))
       }
-    val segAllowed = (eqRoute, ftsRoute) match {
-      case (Some(a), Some(b)) => Some(a.join(b, Seq("id"), "left_semi"))
-      case (a, b) => a.orElse(b)
-    }
+    val segAllowed = Seq(eqRoute, rangeRoute, ftsRoute).flatten
+      .reduceOption((a, b) => a.join(b, Seq("id"), "left_semi"))
     segAllowed.map { ids =>
       if (level == ReadLevel.IndexAndWal)
         writer.tailIds.map(t => ids.union(t.select(col("id"))).distinct())
@@ -648,6 +658,46 @@ final class CollectionHandle(spark: SparkSession,
       ref.schema.keys.get(k).collect {
         case c if Catalog.invertedEnabled(c) &&
             typesAlign(c.valueType, vs) => (k, c, vs)
+      }
+    }.headOption
+  }
+
+  /** All range leaves (`$gt/$gte/$lt/$lte`) at the top-level conjunction
+    * for ONE key declared with an effective-ENABLED inverted index of an
+    * orderable type (string/int/float) — the value-ordered posting probe
+    * candidate. Every range leaf of the chosen key folds into the probe
+    * (the bucket keep-set intersects per leaf); the rest of the
+    * predicate verifies on the joined view. Bool keys and `$ne` never
+    * route (scan — complement semantics need the absent-key rows the
+    * posting table cannot hold).
+    */
+  private def indexableRangeLeaves(e: graft.model.Where.Expr): Option[
+      (String, Catalog.KeyConfig, Seq[graft.operators.MetaRange.Leaf])] = {
+    import graft.model.Where
+    val RangeOps = Set("$gt", "$gte", "$lt", "$lte")
+    def leaf(x: Where.Expr): Option[(String, String, Where.Value)] = x match {
+      case Where.Cmp(k, op, v) if RangeOps(op) => Some((k, op, v))
+      case _ => None
+    }
+    val leaves = (e match {
+      case Where.And(cs) => cs.flatMap(leaf(_))
+      case other => leaf(other).toSeq
+    }).groupBy(_._1)
+    def render(t: Catalog.ValueType, v: Where.Value): Any = (t, v) match {
+      case (Catalog.VString, Where.VStr(s)) => s
+      case (_, Where.VInt(i)) => java.lang.Double.valueOf(i.toDouble)
+      case (_, Where.VFloat(f)) => java.lang.Double.valueOf(f)
+      case other => throw new IllegalStateException(s"unroutable $other")
+    }
+    leaves.toSeq.sortBy(_._1).flatMap { case (k, ls) =>
+      ref.schema.keys.get(k).collect {
+        case c if Catalog.invertedEnabled(c) &&
+            (c.valueType match {
+              case Catalog.VString | Catalog.VInt | Catalog.VFloat => true
+              case _ => false
+            }) && typesAlign(c.valueType, ls.map(_._3)) =>
+          (k, c, ls.map { case (_, op, v) =>
+            graft.operators.MetaRange.Leaf(op, render(c.valueType, v)) })
       }
     }.headOption
   }

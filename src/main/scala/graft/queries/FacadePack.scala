@@ -500,6 +500,51 @@ object FacadePack extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // Range predicates served from the VALUE-ORDERED posting layout
+    // (the reference's sorted typed keys range-scan,
+    // `rust/index/src/metadata/types.rs:580-676`): both conjunctive
+    // leaves of the int key fold into one bounds-pruned probe (the plan
+    // reads only the range's rbucket directories — gated in
+    // CollectionConfigSpec); the full predicate verifies on the view.
+    "fc_key_range" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_kr_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("kr", graft.sources.Catalog.Schema(
+        keys = Map("par" -> graft.sources.Catalog.KeyConfig(
+          graft.sources.Catalog.VInt, invertedIndex = Some(true)))))
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("par"), col("doc_id") % 100).as("meta_int")))
+      coll.persist()
+      coll.get(where = Some(graft.model.Where.And(Seq(
+          graft.model.Where.Cmp("par", "$gte", graft.model.Where.VInt(17)),
+          graft.model.Where.Cmp("par", "$lt", graft.model.Where.VInt(42))))))
+        .orderBy(col("id"))
+    },
+
+    // The string sibling: lexicographic range over a declared string key
+    // through the same value-ordered postings (bucket bounds compare
+    // UTF-8 bytes — Spark's string order — so pruning can never disagree
+    // with the scan predicate).
+    "fc_key_range_str" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_krs_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("krs", graft.sources.Catalog.Schema(
+        keys = Map("lang" -> graft.sources.Catalog.KeyConfig(
+          graft.sources.Catalog.VString, invertedIndex = Some(true)))))
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("lang"), col("lang")).as("meta")))
+      coll.persist()
+      coll.get(where = Some(graft.model.Where.And(Seq(
+          graft.model.Where.Cmp("lang", "$gte", graft.model.Where.VStr("en")),
+          graft.model.Where.Cmp("lang", "$lte", graft.model.Where.VStr("fr")))))
+        , include = Seq("document", "meta:lang"))
+        .orderBy(col("id"))
+    },
+
     // ReadLevel surface parity (`plan.rs:550-565`): the same collection
     // read at IndexOnly (compacted segment alone — the un-compacted
     // tail invisible), IndexAndBoundedWal(1) (segment + exactly the
@@ -848,6 +893,14 @@ object FacadePack extends QueryPack {
     "fc_key_inverted_in" ->
       """SELECT 'doc-'||doc_id AS id, text AS document, lang FROM documents
         |WHERE lang IN ('en','fr') ORDER BY id""".stripMargin,
+
+    "fc_key_range" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document FROM documents
+        |WHERE doc_id%100 >= 17 AND doc_id%100 < 42 ORDER BY id""".stripMargin,
+
+    "fc_key_range_str" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document, lang FROM documents
+        |WHERE lang >= 'en' AND lang <= 'fr' ORDER BY id""".stripMargin,
 
     "fc_read_levels" ->
       """WITH evens AS (

@@ -442,6 +442,28 @@ object CollectionStore {
     root
   }
 
+  /** Served per-key VALUE-ORDERED postings ([[graft.operators.MetaRange]])
+    * — the range-predicate leg of the same per-key index config, built
+    * once per (segment version, key) under the identical marker protocol
+    * as [[metaInvertedServing]] (content-fingerprint keyTag: a
+    * re-compaction that changes values must re-key or the range
+    * prefilter would drop matching rows).
+    */
+  def metaRangeServing(records: DataFrame, root: String,
+      metaKey: String, vtype: Catalog.ValueType,
+      nBuckets: Int = graft.operators.MetaRange.DefaultBuckets,
+      keyTag: String = ""): String = {
+    val enc = java.net.URLEncoder.encode(metaKey, "UTF-8")
+    once(s"metarange-$root-$enc-$nBuckets-$keyTag") {
+      val key = s"metarange-$enc-$nBuckets-$keyTag-n${records.count()}"
+      ensureBuilt(root, s"meta_range_$enc", key) {
+        graft.operators.MetaRange.buildAndSave(
+          records, root, metaKey, vtype, nBuckets)
+      }
+    }
+    root
+  }
+
   /** Served sparse posting index for one `meta_sparse` key — the
     * reference's per-key `sparse_vector_index`
     * (`rust/types/src/collection_schema.rs:745-873`, posting shards in

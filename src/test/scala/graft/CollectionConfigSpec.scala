@@ -321,6 +321,55 @@ class CollectionConfigSpec extends AnyFunSuite {
       s"tail merge through the indexed get is wrong: $got2")
   }
 
+  test("range predicates route through the value-ordered postings, bucket-pruned; disabled keys scan") {
+    // the range-scan leg of the per-key index config — the reference
+    // serves $gt/$gte/$lt/$lte from sorted typed keys
+    // (rust/index/src/metadata/types.rs:580-676); here the VALUE-ORDERED
+    // posting layout (MetaRange) with driver-read bounds → literal
+    // rbucket IN → static partition pruning. Disabled keys take the
+    // scan path; results are identical either way (prefilter-then-verify).
+    import graft.model.Where
+    import graft.sources.Catalog.{KeyConfig, VInt}
+    import spark.implicits._
+    val c = freshClient()
+    def mk(name: String, enabled: Option[Boolean]) = {
+      val coll = c.createCollection(name, graft.sources.Catalog.Schema(
+        keys = Map("par" -> KeyConfig(VInt, invertedIndex = enabled))))
+      coll.add((0 until 64).map(i => (s"r$i", s"doc $i",
+        Map("par" -> i.toLong))).toDF("id", "document", "meta_int"))
+      coll.persist()
+      coll
+    }
+    val pred = Some(Where.And(Seq(
+      Where.Cmp("par", "$gte", Where.VInt(10)),
+      Where.Cmp("par", "$lt", Where.VInt(20)))))
+    val expect = (10 until 20).map(i => s"r$i").toSet
+    val dfOn = mk("kr_on", Some(true)).get(where = pred)
+    assert(dfOn.inputFiles.exists(_.contains("meta_range")),
+      "enabled key must route ranges through the value-ordered postings")
+    val plan = dfOn.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*rbucket.*"),
+      s"range probe not partition-pruned at plan time\n${plan.take(1500)}")
+    assert(dfOn.select("id").collect().map(_.getString(0)).toSet == expect)
+    val dfOff = mk("kr_off", Some(false)).get(where = pred)
+    assert(!dfOff.inputFiles.exists(_.contains("meta_range")),
+      "disabled key must take the scan path")
+    assert(dfOff.select("id").collect().map(_.getString(0)).toSet == expect)
+
+    // IndexAndWal with a live tail: a post-compaction write inside the
+    // range must appear (tail ids join the allowed set unconditionally),
+    // an update swinging a segment value OUT of the range must vanish
+    val coll = c.getCollection("kr_on")
+    coll.add(Seq(("tail1", "tail doc", Map("par" -> 15L)))
+      .toDF("id", "document", "meta_int"))
+    coll.update(Seq(("r12", "doc 12", Map("par" -> 99L)))
+      .toDF("id", "document", "meta_int"))
+    val got2 = coll.get(where = pred).select("id")
+      .collect().map(_.getString(0)).toSet
+    assert(got2 == expect - "r12" + "tail1",
+      s"tail merge through the range-indexed get is wrong: $got2")
+  }
+
   test("document FTS toggle routes $contains: enabled → trigram index, disabled → scan") {
     import graft.model.Where
     val c = freshClient()
