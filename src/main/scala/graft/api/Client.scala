@@ -246,9 +246,10 @@ final class CollectionHandle(spark: SparkSession,
       // to WAL-record shape for the materializer. The typed maps
       // tag-encode into the wire string map (TypedMeta) so int/float/bool
       // metadata — declared or not — survives the persist/reopen cycle.
-      val seg = TypedMeta.encodeSparse(TypedMeta.encodeUri(TypedMeta.encode(
+      val seg = TypedMeta.encodeArrStr(TypedMeta.encodeSparse(
+          TypedMeta.encodeUri(TypedMeta.encode(
           CollectionStore.loadRecords(spark, dataRoot)
-            .withColumnRenamed("meta_str", "meta"))))
+            .withColumnRenamed("meta_str", "meta")))))
         .select(col("id"), col("document"), col("meta"),
           col("embedding"), col("offset_id").as("first_offset")).as[Rec]
       // _segmeta (written at compaction) makes the open job-free; a
@@ -373,6 +374,12 @@ final class CollectionHandle(spark: SparkSession,
     if (!df.columns.contains("meta"))
       df = df.withColumn("meta",
         map_from_arrays(array(), array()).cast("map<string,string>"))
+    // typed metadata columns (meta_int/meta_float/meta_bool) tag-encode
+    // into the WAL string map and round-trip typed for ANY key — the
+    // reference's typed UpdateMetadataValue (metadata.rs:659-683).
+    // MUST run first: it also sigil-escapes plain user strings, which
+    // is only sound while the map holds no folded tag entries yet
+    df = TypedMeta.encode(df)
     // uri (the record's blob pointer, Collection.py:96-109) rides the
     // WAL map under a reserved key — per-key LWW merge for free
     df = TypedMeta.encodeUri(df)
@@ -394,10 +401,9 @@ final class CollectionHandle(spark: SparkSession,
     // sparse-vector metadata (MetadataValue::SparseVector) rides the
     // map tag-encoded; compaction shreds it back to the typed column
     df = TypedMeta.encodeSparse(df)
-    // typed metadata columns (meta_int/meta_float/meta_bool) tag-encode
-    // into the WAL string map and round-trip typed for ANY key — the
-    // reference's typed UpdateMetadataValue (metadata.rs:659-683)
-    df = TypedMeta.encode(df)
+    // array-of-string metadata (list MetadataValue) rides the map as
+    // tagged JSON; compaction shreds it back for $contains serving
+    df = TypedMeta.encodeArrStr(df)
     embedFn match {
       case Some(fn) if !df.columns.contains("embedding") =>
         // embedDf: expression functions attach once (codegen plan),
@@ -528,7 +534,14 @@ final class CollectionHandle(spark: SparkSession,
       merged(declared(Catalog.VInt), "bigint", TypedMeta.decodeInt).as("meta_int"),
       merged(declared(Catalog.VFloat), "double", TypedMeta.decodeFloat).as("meta_float"),
       merged(declared(Catalog.VBool), "boolean", TypedMeta.decodeBool).as("meta_bool"),
-      TypedMeta.decodeSparse(col("meta")).as("meta_sparse"))
+      TypedMeta.decodeSparse(col("meta")).as("meta_sparse"),
+      // string arrays round-trip tagged for any key; the other array
+      // types have no facade write surface yet — empty typed maps keep
+      // ArrContains compilable (absent-key semantics) on every record
+      TypedMeta.decodeArrStr(col("meta")).as("meta_str_arr"),
+      none.cast("map<string,array<bigint>>").as("meta_int_arr"),
+      none.cast("map<string,array<double>>").as("meta_float_arr"),
+      none.cast("map<string,array<boolean>>").as("meta_bool_arr"))
   }
 
   private def buildCollection(): Collection =
@@ -637,27 +650,38 @@ final class CollectionHandle(spark: SparkSession,
     }
   }
 
-  /** First equality/`$in` leaf at the top-level conjunction whose key is
-    * declared with an effective-ENABLED inverted index of the matching
-    * type — the posting-table probe candidate. One leaf prefilters; the
-    * rest of the predicate verifies on the joined view.
+  /** First equality/`$in`/array-`$contains` leaf at the top-level
+    * conjunction whose key is declared with an effective-ENABLED
+    * inverted index of the matching type — the posting-table probe
+    * candidate. Array `$contains` routes because the posting table
+    * indexes one row per ELEMENT value (the reference's
+    * `ContainsOperator` through the same inverted lists,
+    * `rust/types/src/metadata.rs:2169`). One leaf prefilters; the rest
+    * of the predicate verifies on the joined view. Negated forms never
+    * route (complement semantics need the absent-key rows the posting
+    * table cannot hold).
     */
   private def indexableEqLeaf(e: graft.model.Where.Expr): Option[
       (String, Catalog.KeyConfig, Seq[graft.model.Where.Value])] = {
     import graft.model.Where
-    def leaf(x: Where.Expr): Option[(String, Seq[Where.Value])] = x match {
-      case Where.Cmp(k, "$eq", v) => Some((k, Seq(v)))
-      case Where.SetIn(k, vs, false) if vs.nonEmpty => Some((k, vs))
+    def leaf(x: Where.Expr)
+        : Option[(String, Seq[Where.Value], Boolean)] = x match {
+      case Where.Cmp(k, "$eq", v) => Some((k, Seq(v), false))
+      case Where.SetIn(k, vs, false) if vs.nonEmpty => Some((k, vs, false))
+      case Where.ArrContains(k, v, false) => Some((k, Seq(v), true))
       case _ => None
     }
     val leaves = e match {
       case Where.And(cs) => cs.flatMap(leaf(_))
       case other => leaf(other).toSeq
     }
-    leaves.flatMap { case (k, vs) =>
+    leaves.flatMap { case (k, vs, isArr) =>
       ref.schema.keys.get(k).collect {
-        case c if Catalog.invertedEnabled(c) &&
-            typesAlign(c.valueType, vs) => (k, c, vs)
+        case c if Catalog.invertedEnabled(c) && (
+            if (isArr)
+              c.valueType == Catalog.VStringArray &&
+                vs.forall(_.isInstanceOf[Where.VStr])
+            else typesAlign(c.valueType, vs)) => (k, c, vs)
       }
     }.headOption
   }
@@ -774,9 +798,10 @@ final class CollectionHandle(spark: SparkSession,
     */
   private def persistedRecs(): Dataset[Rec] = segmentDataRoot(ref) match {
     case Some(dataRoot) =>
-      TypedMeta.encodeSparse(TypedMeta.encodeUri(TypedMeta.encode(
+      TypedMeta.encodeArrStr(TypedMeta.encodeSparse(
+          TypedMeta.encodeUri(TypedMeta.encode(
           CollectionStore.loadRecords(spark, dataRoot)
-            .withColumnRenamed("meta_str", "meta"))))
+            .withColumnRenamed("meta_str", "meta")))))
         .select(col("id"), col("document"), col("meta"),
           col("embedding"), col("offset_id").as("first_offset")).as[Rec]
     case None => spark.emptyDataset[Rec]

@@ -46,7 +46,21 @@ object TypedMeta {
   def encode(records: DataFrame): DataFrame = {
     val typedCols = Seq("meta_int" -> TagInt, "meta_float" -> TagFloat,
       "meta_bool" -> TagBool).filter { case (c, _) => records.columns.contains(c) }
-    if (typedCols.isEmpty) return records
+    // ALWAYS escape plain strings, even with no typed columns in the
+    // batch — and therefore encode() must run FIRST in any encode chain
+    // (before encodeUri/encodeSparse/encodeArrStr): escaping can only
+    // distinguish user strings from our tags while the map holds ONLY
+    // user strings. Run last, it would TagStr-wrap the sparse/array
+    // entries the earlier stages just folded in, silently unlinking
+    // them from their decoders.
+    if (typedCols.isEmpty) {
+      if (!records.columns.contains("meta")) return records
+      return records.withColumn("meta", transform_values(
+        coalesce(col("meta"),
+          map_from_arrays(array(), array()).cast("map<string,string>")),
+        (_, v) => when(v.startsWith(Sigil), concat(lit(TagStr), v))
+          .otherwise(v)))
+    }
     // Null-guard every map column first: a single NULL map (common after
     // unionByName or Option-built batches) would otherwise propagate —
     // transform_values(null) = null, the map_filter predicates go null
@@ -135,6 +149,42 @@ object TypedMeta {
             _.cast("float")).as("values"))
       })
 
+  /** Array-of-string metadata values — the reference's list metadata
+    * (`rust/types/src/metadata.rs:2169` `ContainsOperator` over array
+    * values) — ride the WAL string map as `TagArr + to_json(array)`:
+    * JSON round-trips ANY element string exactly (separator-free), both
+    * directions are codegen'd map expressions, and the per-key LWW fold
+    * replaces whole arrays, the reference's update semantics.
+    */
+  val TagArr: String = Sigil + "l" + Sigil
+
+  /** Fold a `meta_str_arr` column (if present) into the WAL map. */
+  def encodeArrStr(records: DataFrame): DataFrame =
+    if (!records.columns.contains("meta_str_arr")) records
+    else {
+      val none = map_from_arrays(array(), array()).cast("map<string,string>")
+      val av = coalesce(col("meta_str_arr"),
+        map_from_arrays(array(), array())
+          .cast(records.schema("meta_str_arr").dataType))
+      val encoded = transform_values(av,
+        (_, v) => concat(lit(TagArr), to_json(v)))
+      records
+        .withColumn("meta", map_concat(
+          map_filter(coalesce(col("meta"), none),
+            (k, _) => !map_contains_key(encoded, k)),
+          encoded))
+        .drop("meta_str_arr")
+    }
+
+  /** The string-array map back out of the tagged entries. */
+  def decodeArrStr(meta: Column): Column =
+    transform_values(
+      map_filter(meta, (_, v) => v.startsWith(TagArr)),
+      (_, v) => from_json(
+        v.substr(lit(TagArr.length + 1), length(v)),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+
   /** Fold a `uri` column (if present) into the WAL map under [[UriKey]],
     * dropping the column; null uris add no entry (absent ≠ empty).
     */
@@ -162,7 +212,8 @@ object TypedMeta {
       map_filter(meta, (k, v) =>
         !k.startsWith(Sigil) &&
         !(v.startsWith(TagInt) || v.startsWith(TagFloat) ||
-          v.startsWith(TagBool) || v.startsWith(TagSparse))),
+          v.startsWith(TagBool) || v.startsWith(TagSparse) ||
+          v.startsWith(TagArr))),
       (_, v) => when(v.startsWith(TagStr), v.substr(lit(TagStr.length + 1), length(v)))
         .otherwise(v))
 }

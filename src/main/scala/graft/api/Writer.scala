@@ -281,12 +281,18 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
     import org.apache.spark.sql.functions._
     val state = flush().toDF()
     val none = map_from_arrays(array(), array())
+    // decode the WAL map's tagged typed entries so a predicate on
+    // int/float/bool/array metadata matches the values the user wrote —
+    // raw `meta` would hide them behind their type tags
     val view = state.select(col("id"), col("document"),
-      col("meta").as("meta_str"),
-      none.cast("map<string,bigint>").as("meta_int"),
-      none.cast("map<string,double>").as("meta_float"),
-      none.cast("map<string,boolean>").as("meta_bool"),
-      none.cast("map<string,array<string>>").as("meta_str_arr"))
+      TypedMeta.decodeStr(col("meta")).as("meta_str"),
+      TypedMeta.decodeInt(col("meta")).as("meta_int"),
+      TypedMeta.decodeFloat(col("meta")).as("meta_float"),
+      TypedMeta.decodeBool(col("meta")).as("meta_bool"),
+      TypedMeta.decodeArrStr(col("meta")).as("meta_str_arr"),
+      none.cast("map<string,array<bigint>>").as("meta_int_arr"),
+      none.cast("map<string,array<double>>").as("meta_float_arr"),
+      none.cast("map<string,array<boolean>>").as("meta_bool_arr"))
     // The matched id set stays distributed: the Delete ops append as a
     // WAL batch (no driver round-trip — at corpus scale the match list
     // does not fit a driver). Only the COUNT is an action, mirroring the

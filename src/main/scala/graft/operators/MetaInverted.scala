@@ -66,12 +66,30 @@ object MetaInverted {
     case graft.model.Where.VFloat(f) => f.toString
   }
 
+  /** `(offset_id, value)` index-term rows of one key: scalar keys one
+    * row per record, array keys one row per ELEMENT — the reference
+    * writes each array element into the same posting lists
+    * (`rust/index/src/metadata/types.rs:51-121`; `ContainsOperator`
+    * membership, `rust/types/src/metadata.rs:2169`), which is what lets
+    * `$contains` serve index-first like `$eq`.
+    */
+  def valueRows(records: DataFrame, key: String,
+      vtype: graft.sources.Catalog.ValueType): DataFrame = vtype match {
+    case graft.sources.Catalog.VStringArray =>
+      records.select(col("offset_id"),
+        explode(element_at(col("meta_str_arr"), key)).as("value"))
+        .filter(col("value").isNotNull)
+    case _ =>
+      records.select(col("offset_id"),
+        valueCol(records, key, vtype).as("value"))
+        .filter(col("value").isNotNull)
+  }
+
   /** Posting rows of one key over a shredded record frame. */
   def postings(records: DataFrame, key: String,
       vtype: graft.sources.Catalog.ValueType,
       nBuckets: Int = DefaultBuckets): DataFrame =
-    records.select(col("offset_id"), valueCol(records, key, vtype).as("value"))
-      .filter(col("value").isNotNull)
+    valueRows(records, key, vtype)
       .withColumn("bucket",
         pmod(xxhash64(col("value")), lit(nBuckets)).cast("int"))
       .groupBy("bucket", "value")

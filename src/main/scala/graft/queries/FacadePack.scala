@@ -500,6 +500,29 @@ object FacadePack extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // Array metadata $contains served from the SAME per-key posting
+    // family (the reference's ContainsOperator through the inverted
+    // lists, `rust/types/src/metadata.rs:2169`): the declared string[]
+    // key indexes one posting row per ELEMENT value, the membership
+    // probe prunes to its bucket, the full predicate verifies on the
+    // view. Arrays ride the WAL map as tagged JSON (TypedMeta.TagArr).
+    "fc_key_arr_contains" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_kac_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("kac", graft.sources.Catalog.Schema(
+        keys = Map("tags" -> graft.sources.Catalog.KeyConfig(
+          graft.sources.Catalog.VStringArray, invertedIndex = Some(true)))))
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("tags"), array(col("lang"), col("source"),
+          concat(lit("tag"), col("doc_id") % 7))).as("meta_str_arr")))
+      coll.persist()
+      coll.get(where = Some(graft.model.Where.ArrContains("tags",
+          graft.model.Where.VStr("tag3"), negated = false)))
+        .orderBy(col("id"))
+    },
+
     // Range predicates served from the VALUE-ORDERED posting layout
     // (the reference's sorted typed keys range-scan,
     // `rust/index/src/metadata/types.rs:580-676`): both conjunctive
@@ -893,6 +916,11 @@ object FacadePack extends QueryPack {
     "fc_key_inverted_in" ->
       """SELECT 'doc-'||doc_id AS id, text AS document, lang FROM documents
         |WHERE lang IN ('en','fr') ORDER BY id""".stripMargin,
+
+    "fc_key_arr_contains" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document FROM documents
+        |WHERE list_contains([lang, source, 'tag'||(doc_id%7)], 'tag3')
+        |ORDER BY id""".stripMargin,
 
     "fc_key_range" ->
       """SELECT 'doc-'||doc_id AS id, text AS document FROM documents

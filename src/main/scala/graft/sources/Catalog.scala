@@ -31,6 +31,14 @@ object Catalog {
   case object VInt extends ValueType { val name = "int" }
   case object VFloat extends ValueType { val name = "float" }
   case object VBool extends ValueType { val name = "bool" }
+  /** Array-of-string metadata values — the reference's list metadata
+    * (`MetadataValue` arrays; `ContainsOperator` membership checks,
+    * `rust/types/src/metadata.rs:2169`). Element values index into the
+    * SAME per-key posting lists as scalar strings
+    * (`rust/index/src/metadata/types.rs:51-121` — one posting row per
+    * element value), so `$contains` serves index-first like `$eq`.
+    */
+  case object VStringArray extends ValueType { val name = "string[]" }
   case object VSparseVector extends ValueType { val name = "sparse_vector" }
   final case class VDenseVector(dim: Int, space: String) extends ValueType {
     val name = s"dense_vector($dim,$space)"
@@ -41,6 +49,7 @@ object Catalog {
       case "int" => VInt
       case "float" => VFloat
       case "bool" => VBool
+      case "string[]" => VStringArray
       case "sparse_vector" => VSparseVector
       case v if v.startsWith("dense_vector(") =>
         val parts = v.stripPrefix("dense_vector(").stripSuffix(")").split(",")
@@ -82,7 +91,7 @@ object Catalog {
     */
   def invertedEnabled(c: KeyConfig): Boolean = c.invertedIndex.getOrElse(
     c.valueType match {
-      case VString | VInt | VFloat | VBool => true
+      case VString | VInt | VFloat | VBool | VStringArray => true
       case _ => false
     })
 
@@ -301,7 +310,9 @@ object Catalog {
         s"key $k: FTS index can only be enabled on the document — " +
           "use Schema(documentFts = true)")
       c.invertedIndex.foreach { _ =>
-        require(Set[ValueType](VString, VInt, VFloat, VBool)(c.valueType),
+        require(
+          Set[ValueType](VString, VInt, VFloat, VBool, VStringArray)(
+            c.valueType),
           s"key $k: no inverted index exists for type ${c.valueType.name}")
       }
     }
@@ -669,7 +680,8 @@ object Catalog {
     val checks = Seq(
       "meta_str" -> declared(VString), "meta_int" -> declared(VInt),
       "meta_float" -> declared(VFloat), "meta_bool" -> declared(VBool),
-      "meta_sparse" -> declared(VSparseVector)
+      "meta_sparse" -> declared(VSparseVector),
+      "meta_str_arr" -> declared(VStringArray)
     ).filter { case (c, _) => records.columns.contains(c) }
     if (checks.isEmpty) return
     val badPerCol = checks.map { case (colName, keys) =>

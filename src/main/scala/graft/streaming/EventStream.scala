@@ -363,6 +363,8 @@ object EventStream extends Serializable {
         MapType(StringType, DoubleType))
       case graft.sources.Catalog.VBool => StructField("meta_bool",
         MapType(StringType, BooleanType))
+      case graft.sources.Catalog.VStringArray => StructField("meta_str_arr",
+        MapType(StringType, ArrayType(StringType)))
       case other => throw new IllegalArgumentException(
         s"no inverted index for value type ${other.name}")
     }

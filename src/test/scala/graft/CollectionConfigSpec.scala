@@ -241,7 +241,17 @@ class CollectionConfigSpec extends AnyFunSuite {
         n => (0 until n).map(i => (s"r$i", s"doc $i",
           Map("tag" -> (i % 2 == 0)))).toDF("id", "document", "meta_bool"),
         Where.Cmp("tag", "$eq", Where.VBool(true)),
-        (0 until 12).filter(_ % 2 == 0).toSet))
+        (0 until 12).filter(_ % 2 == 0).toSet),
+      // array $contains through the same posting family: one posting
+      // row per ELEMENT value (ContainsOperator, metadata.rs:2169) —
+      // the shared "common" element proves per-element indexing (its
+      // posting row holds every doc, yet the v1 probe stays selective)
+      ("arr", graft.sources.Catalog.VStringArray,
+        n => (0 until n).map(i => (s"r$i", s"doc $i",
+          Map("tag" -> Seq(s"v${i % 3}", "common"))))
+          .toDF("id", "document", "meta_str_arr"),
+        Where.ArrContains("tag", Where.VStr("v1"), negated = false),
+        (0 until 12).filter(_ % 3 == 1).toSet))
     for ((tn, vt, mk, pred, expect) <- cases;
          (en, enabled) <- Seq(("on", Some(true)), ("off", Some(false)),
            ("default", None))) {

@@ -65,4 +65,45 @@ class TypedMetaPropertySpec extends AnyFunSuite {
       assert(r.getMap[String, Boolean](4) == expectBool, s"row $i bools")
     }
   }
+
+  test("array encode -> decode is identity; JSON specials and sigils survive") {
+    // elements that stress the JSON payload: quotes, backslashes,
+    // commas, newlines, our own wire sigil/tags, unicode incl. a
+    // surrogate pair, and the empty string; plus the empty array
+    val nasty = Seq("plain", "with \"quotes\"", "back\\slash", "a,b|c",
+      "line\nbreak", sigil, s"${sigil}l${sigil}[\"x\"]", "émoji 😀",
+      "")
+    val arrGen = Gen.listOf(Gen.oneOf(nasty)).map(_.take(5))
+    val cases = Gen.listOfN(40,
+        Gen.zip(genMap(arrGen.map(_.toSeq)), genMap(genStr),
+          genMap(Gen.chooseNum(-1000L, 1000L))))
+      .apply(Gen.Parameters.default, Seed(20260815L)).get
+    val df = cases.zipWithIndex
+      .map { case ((arrs, strs, ints), i) => (i.toLong, strs, ints, arrs) }
+      .toDF("row_id", "meta", "meta_int", "meta_str_arr")
+    // the client's chain order: encode() FIRST (escapes adversarial
+    // sigil-prefixed user strings + folds typed scalars), tag-folding
+    // stages after — run LAST, encode's escape would TagStr-wrap the
+    // array entries and unlink them from decodeArrStr (the regression
+    // the meta_int column here guards)
+    val encoded = TypedMeta.encodeArrStr(TypedMeta.encode(df))
+    assert(encoded.columns.toSet == Set("row_id", "meta"))
+    val decoded = encoded.select(col("row_id"),
+        TypedMeta.decodeArrStr(col("meta")).as("a"),
+        TypedMeta.decodeStr(col("meta")).as("s"),
+        TypedMeta.decodeInt(col("meta")).as("i"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (((arrs, strs, ints), i) <- cases.zipWithIndex) {
+      val r = decoded(i.toLong)
+      val gotArr = r.getMap[String, scala.collection.Seq[String]](1)
+        .map { case (k, v) => k -> v.toSeq }.toMap
+      // one type per key: the LAST fold stage (arrays) wins collisions
+      assert(gotArr == arrs, s"row $i arrays: got $gotArr want $arrs")
+      assert(r.getMap[String, Long](3) == (ints -- arrs.keySet),
+        s"row $i ints")
+      assert(r.getMap[String, String](2)
+          == (strs -- arrs.keySet -- ints.keySet),
+        s"row $i strings")
+    }
+  }
 }
