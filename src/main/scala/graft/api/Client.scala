@@ -957,6 +957,60 @@ final class CollectionHandle(spark: SparkSession,
     }
   }
 
+  /** Sparse KNN at the handle, config-gated like the scalar inverted
+    * indexes: a declared sparse key with `indexed = true` serves from
+    * the persisted Block-Max posting index — the reference's per-key
+    * `sparse_vector_index` (`rust/types/src/collection_schema.rs:745-873`,
+    * readers in `rust/index/src/sparse/`) — with the same IndexAndWal
+    * tail contract as the dense paths (tail vectors score as extra
+    * posting rows, tail-touched segment docs are shadowed, ReadLevel
+    * bounds the leg). `indexed = false`, or no compacted segment, scans
+    * the `meta_sparse` column in-plan. Both paths are EXACT (MaxScore
+    * prunes only provably-losing blocks), so the toggle trades build
+    * cost for read cost, never results — gated in CollectionConfigSpec.
+    */
+  def sparseSearch(key: String, query0: Seq[(Long, Float)], k: Int,
+      readLevel: ReadLevel = ReadLevel.IndexAndWal): DataFrame =
+      Quotas.Gates.withRead(ref.dataRoot, limits) {
+    Quotas.validateResults(k, limits)
+    // the in-plan sparse dot is a sorted-merge — record vectors store
+    // index-sorted, the query must arrive the same way (MaxScore is
+    // order-insensitive, but both paths must score identically)
+    val query = query0.sortBy(_._1)
+    val served = ref.schema.keys.get(key).exists(c =>
+      c.valueType == Catalog.VSparseVector && c.indexed)
+    segmentDataRoot(ref) match {
+      case Some(dataRoot) if served && CollectionStore
+          .loadRecords(spark, dataRoot).columns.contains("meta_sparse") =>
+        val seg = CollectionStore.loadRecords(spark, dataRoot)
+        CollectionStore.sparseServing(seg, key, dataRoot,
+          keyTag = segMetaTag(seg))
+        val (tail, stale, _) = tailAndStale(readLevel)
+        // tail offsets are leg-local — shift them clear of the segment
+        // doc-id space so the merged scoring can never alias two records
+        val shift = 1L << 40
+        val tailShift = tail.map(_.withColumn("offset_id",
+          col("offset_id") + shift))
+        val staleSeg = stale.map(ids => seg.join(ids, Seq("id"), "left_semi")
+          .select(col("offset_id").as("doc_id")))
+        val top = CollectionStore.sparseServedSearch(spark, dataRoot, key,
+          query, k, tail = tailShift, staleDocs = staleSeg)
+        val segNames = seg.select(col("offset_id"), col("id"))
+        val names = tailShift
+          .map(t => segNames.unionByName(t.select(col("offset_id"), col("id"))))
+          .getOrElse(segNames)
+        top.join(names, top("doc_id") === names("offset_id"))
+          .select(col("id"), col("score").cast("double").as("#score"))
+          .orderBy(desc("#score"), col("id"))
+      case _ =>
+        import spark.implicits._
+        val qv = Seq((query.map(_._1), query.map(_._2))).toDF("qi", "qv")
+        readView(readLevel).sparseSearch(key, qv, k)
+          .select(col("id"), col("#score").cast("double").as("#score"))
+          .orderBy(desc("#score"), col("id"))
+    }
+  }
+
   /** The IndexAndWal legs' inputs: current state of every id touched
     * since compaction (the KnnLog candidates) + the touched-id set (the
     * index-leg shadow — includes DELETED ids, which are absent from the

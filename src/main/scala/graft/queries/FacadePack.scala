@@ -66,6 +66,37 @@ object FacadePack extends QueryPack {
         .withColumn("meta_sparse", map(lit("tf_bow"), col("sv"))).drop("sv"))
   }
 
+  private def sparseTermIds(s: SparkSession): Seq[Long] = {
+    val r = s.range(1)
+      .select(sparseTerms.map(t => xxhash64(lit(t))): _*).collect()(0)
+    sparseTerms.indices.map(r.getLong)
+  }
+
+  /** Documents as a CLIENT collection with a declared `tf_bow` sparse key
+    * (per-key `indexed` toggles the served Block-Max posting index vs
+    * the in-plan scan). Ids zero-pad so offset order == numeric doc_id
+    * order (deterministic k-boundary ties against the oracle).
+    */
+  private def sparseClientCollection(s: SparkSession, d: String,
+      name: String, indexed: Boolean): graft.api.CollectionHandle = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_${name}_q").toString
+    val client = new graft.api.Client(s, root)
+    val coll = client.createCollection(name, graft.sources.Catalog.Schema(
+      keys = Map("tf_bow" -> graft.sources.Catalog.KeyConfig(
+        graft.sources.Catalog.VSparseVector, indexed = indexed))))
+    val sv = docsTf(s, d).groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("term_id"), col("tf")))).as("p"))
+      .select(col("doc_id"),
+        struct(col("p.term_id").as("indices"),
+          col("p.tf").cast("array<float>").as("values")).as("sv"))
+    coll.add(Tables.documents(s, d).join(sv, Seq("doc_id"), "left").select(
+      format_string("doc-%08d", col("doc_id")).as("id"),
+      col("text").as("document"),
+      when(col("sv").isNotNull, map(lit("tf_bow"), col("sv"))).as("meta_sparse")))
+    coll.persist()
+    coll
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Knn plan with a JSON-DSL pre-filter (filter-before-KNN order).
     "fc_query_filtered" -> { (s, d) =>
@@ -675,6 +706,31 @@ object FacadePack extends QueryPack {
         .select(col("id"), col("#score").cast("float").as("score"))
     },
 
+    // Per-key sparse index config at the CLIENT handle: the declared
+    // sparse key with `indexed = true` serves this search from the
+    // persisted Block-Max posting index (sparse_vector_index,
+    // collection_schema.rs:745-873) — bucket-pruned posting read +
+    // MaxScore, exact. Ids zero-pad so the engine's offset-order tie
+    // break at the k boundary equals the oracle's numeric doc_id order.
+    "fc_sparse_cfg_served" -> { (s, d) =>
+      sparseClientCollection(s, d, "scs", indexed = true)
+        .sparseSearch("tf_bow",
+          sparseTermIds(s).map(_ -> 1.0f), k = 20)
+        .select(col("id"), col("#score").cast("float").as("score"))
+        .orderBy(desc("score"), col("id"))
+    },
+
+    // The scan twin: `indexed = false` takes the in-plan meta_sparse
+    // scan — identical results (both paths are exact), different plan
+    // (no posting read — plan-gated in CollectionConfigSpec).
+    "fc_sparse_cfg_scan" -> { (s, d) =>
+      sparseClientCollection(s, d, "scn", indexed = false)
+        .sparseSearch("tf_bow",
+          sparseTermIds(s).map(_ -> 1.0f), k = 20)
+        .select(col("id"), col("#score").cast("float").as("score"))
+        .orderBy(desc("score"), col("id"))
+    },
+
     // Sparse $knn leaf through the WIRE payload (QueryVector::Sparse +
     // Key::field, operator.rs:843-866): the JSON object query routes to
     // the per-key meta_sparse column, scored by the codegen'd sparse dot,
@@ -981,6 +1037,28 @@ object FacadePack extends QueryPack {
         |FROM freq WHERE term IN ('query','data','filter','spark')
         |GROUP BY doc_id HAVING sum(tf) > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "fc_sparse_cfg_served" ->
+      """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM
+        |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |       x -> x <> '') AS t FROM documents)),
+        |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2)
+        |SELECT 'doc-'||lpad(doc_id::VARCHAR, 8, '0') AS id,
+        |  CAST(sum(tf) AS FLOAT) AS score
+        |FROM freq WHERE term IN ('query','data','filter','spark')
+        |GROUP BY doc_id HAVING sum(tf) > 0
+        |ORDER BY score DESC, id LIMIT 20""".stripMargin,
+
+    "fc_sparse_cfg_scan" ->
+      """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM
+        |    (SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |       x -> x <> '') AS t FROM documents)),
+        |freq AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2)
+        |SELECT 'doc-'||lpad(doc_id::VARCHAR, 8, '0') AS id,
+        |  CAST(sum(tf) AS FLOAT) AS score
+        |FROM freq WHERE term IN ('query','data','filter','spark')
+        |GROUP BY doc_id HAVING sum(tf) > 0
+        |ORDER BY score DESC, id LIMIT 20""".stripMargin,
 
     "fc_search_sparse_json" ->
       """WITH tf AS (SELECT doc_id, unnest(t) AS term FROM

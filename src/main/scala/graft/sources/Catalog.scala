@@ -702,8 +702,9 @@ object Catalog {
 
   /** Compaction-time provisioning: build every serving index the schema
     * asks for over the stored records. Vector config → IVF postings +
-    * per-partition HNSW blobs; document_fts → trigram postings. Sparse
-    * keys are stored columns — searched directly, nothing to build.
+    * per-partition HNSW blobs; document_fts → trigram postings; sparse
+    * keys with `indexed = true` → Block-Max sparse postings (scan-only
+    * stored columns otherwise).
     */
   def provision(spark: SparkSession, ref: CollectionRef,
       nCentroids: Int = 16, nReplica: Int = 4): Unit = {
@@ -734,6 +735,17 @@ object Catalog {
         keyTag = tag)
       CollectionStore.hnswServing(vecs, ref.dataRoot, space = e.space,
         keyTag = tag)
+    }
+    // sparse keys with indexed=true get their Block-Max posting index at
+    // compaction (the reference's per-key sparse_vector_index build);
+    // indexed=false keys stay scan-only stored columns
+    ref.schema.keys.foreach {
+      case (k, c) if c.valueType == VSparseVector && c.indexed &&
+          records.columns.contains("meta_sparse") =>
+        // a segment stored without the column carries no sparse values —
+        // nothing to index (raw writeCollection with scalar-only records)
+        CollectionStore.sparseServing(records, k, ref.dataRoot, keyTag = mtag)
+      case _ => ()
     }
     if (ref.schema.documentFts)
       CollectionStore.ftsServing(

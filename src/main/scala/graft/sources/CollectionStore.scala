@@ -490,9 +490,14 @@ object CollectionStore {
     * beside the posting blocks for the same reason).
     */
   def sparseServing(records: DataFrame, key: String, root: String,
-      nBuckets: Int = 64, blockSpan: Long = SparseBlockSpan): String = {
-    once(s"sparse-$root-$key-$nBuckets-$blockSpan") {
-      val buildKey = s"sparse-v2-$key-$nBuckets-$blockSpan-n${records.count()}"
+      nBuckets: Int = 64, blockSpan: Long = SparseBlockSpan,
+      keyTag: String = ""): String = {
+    // keyTag = the segment CONTENT fingerprint on facade collections
+    // (same contract as metaInvertedServing); count-only keying is only
+    // safe for immutable corpora (the bench tables)
+    once(s"sparse-$root-$key-$nBuckets-$blockSpan-$keyTag") {
+      val buildKey =
+        s"sparse-v2-$key-$nBuckets-$blockSpan-$keyTag-n${records.count()}"
       ensureBuilt(root, s"sparse_$key", buildKey) {
         sparsePostingRows(records, key, nBuckets, blockSpan)
           .repartition(col("bucket")) // one writer per bucket

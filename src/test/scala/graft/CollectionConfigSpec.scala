@@ -331,6 +331,65 @@ class CollectionConfigSpec extends AnyFunSuite {
       s"tail merge through the indexed get is wrong: $got2")
   }
 
+  test("indexed-eq ∧ $ne conjunctions: the composed route preserves two-valued semantics") {
+    // the $ne leaf never routes (complement needs absent-key rows the
+    // posting table cannot hold) — but an eq leaf on the SAME key still
+    // prefilters, and the verify pass must then apply the $ne with the
+    // reference's two-valued missing-key semantics (TRUE on absent).
+    // Exhaustive (x, y) enumeration over present/absent keys, indexed
+    // route vs scan route vs a driver-computed oracle.
+    import graft.model.Where
+    import graft.sources.Catalog.{KeyConfig, VString}
+    import spark.implicits._
+    val c = freshClient()
+    // tag absent on i%4==3; j present only on evens
+    val recs = (0 until 24).map { i =>
+      val tag = if (i % 4 == 3) Map.empty[String, String]
+        else Map("tag" -> s"v${i % 3}")
+      val j = if (i % 2 == 0) Map("j" -> s"w${i % 2}") else Map.empty
+      (s"r$i", s"doc $i", tag ++ j)
+    }
+    def mk(name: String, enabled: Boolean) = {
+      val coll = c.createCollection(name, graft.sources.Catalog.Schema(
+        keys = Map(
+          "tag" -> KeyConfig(VString, invertedIndex = Some(enabled)),
+          "j" -> KeyConfig(VString, invertedIndex = Some(false)))))
+      coll.add(recs.toDF("id", "document", "meta"))
+      coll.persist()
+      coll
+    }
+    val on = mk("ne_on", enabled = true)
+    val off = mk("ne_off", enabled = false)
+    def oracle(p: ((Option[String], Option[String])) => Boolean): Set[String] =
+      recs.collect { case (id, _, m)
+        if p((m.get("tag"), m.get("j"))) => id }.toSet
+    for (x <- Seq("v0", "v1", "v2"); y <- Seq("v0", "v1", "v2", "zz")) {
+      val pred = Some(Where.And(Seq(
+        Where.Cmp("tag", "$eq", Where.VStr(x)),
+        Where.Cmp("tag", "$ne", Where.VStr(y)))))
+      val want = oracle { case (t, _) => t.contains(x) && !t.contains(y) }
+      val dfOn = on.get(where = pred)
+      assert(dfOn.inputFiles.exists(_.contains("meta_inverted")),
+        s"($x,$y): eq leaf must still route with a same-key \\$$ne beside it")
+      val gotOn = dfOn.select("id").collect().map(_.getString(0)).toSet
+      val gotOff = off.get(where = pred).select("id")
+        .collect().map(_.getString(0)).toSet
+      assert(gotOn == want, s"($x,$y) indexed: got $gotOn want $want")
+      assert(gotOff == want, s"($x,$y) scan: got $gotOff want $want")
+    }
+    // cross-key: $ne on a DIFFERENT (unindexed) key — rows with j ABSENT
+    // must SURVIVE the verify pass (TRUE on absent), through the indexed
+    // prefilter on tag
+    val predJ = Some(Where.And(Seq(
+      Where.Cmp("tag", "$eq", Where.VStr("v1")),
+      Where.Cmp("j", "$ne", Where.VStr("w0")))))
+    val wantJ = oracle { case (t, j) => t.contains("v1") && !j.contains("w0") }
+    val gotJ = on.get(where = predJ).select("id")
+      .collect().map(_.getString(0)).toSet
+    assert(gotJ == wantJ && wantJ.nonEmpty,
+      s"cross-key \\$$ne through the indexed route: got $gotJ want $wantJ")
+  }
+
   test("range predicates route through the value-ordered postings, bucket-pruned; disabled keys scan") {
     // the range-scan leg of the per-key index config — the reference
     // serves $gt/$gte/$lt/$lte from sorted typed keys
@@ -378,6 +437,82 @@ class CollectionConfigSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(got2 == expect - "r12" + "tail1",
       s"tail merge through the range-indexed get is wrong: $got2")
+  }
+
+  test("sparse per-key config: indexed=true serves the posting index, false scans; RYW parity") {
+    // the sparse sibling of the scalar inverted-index gating
+    // (sparse_vector_index, collection_schema.rs:745-873): both paths
+    // are EXACT, so enabled vs disabled twins must return identical
+    // (id, score) rows at every read level — only the plan differs.
+    import graft.sources.Catalog.{KeyConfig, VSparseVector}
+    import spark.implicits._
+    val c = freshClient()
+    def vecOf(terms: Seq[(Long, Float)]) = terms.sortBy(_._1)
+    val docs = Seq(
+      ("a", Seq(1L -> 3f, 2L -> 1f)), ("b", Seq(2L -> 2f, 5L -> 4f)),
+      ("c", Seq(1L -> 1f, 5L -> 1f)), ("d", Seq(7L -> 9f)))
+    def mk(name: String, indexed: Boolean) = {
+      val coll = c.createCollection(name, graft.sources.Catalog.Schema(
+        keys = Map("s" -> KeyConfig(VSparseVector, indexed = indexed))))
+      coll.add(docs.map { case (id, t) =>
+          val v = vecOf(t)
+          (id, s"doc $id", v.map(_._1), v.map(_._2))
+        }.toDF("id", "document", "idx", "vals")
+        .select(col("id"), col("document"), map(lit("s"),
+          struct(col("idx").as("indices"), col("vals").as("values")))
+          .as("meta_sparse")))
+      coll.persist()
+      coll
+    }
+    val on = mk("sp_on", indexed = true)
+    val off = mk("sp_off", indexed = false)
+    val q = Seq(1L -> 1f, 5L -> 1f)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), math.round(
+        r.getDouble(1) * 100))).toSeq.sortBy(identity[(String, Long)])
+    val dfOn = on.sparseSearch("s", q, k = 3)
+    val dfOff = off.sparseSearch("s", q, k = 3)
+    // the served result crosses MaxScore's RDD boundary (inputFiles
+    // cannot see through it) — gate on the posting-index artifact: the
+    // enabled key builds/serves `sparse_s`, the disabled key never does
+    def hasSparseDir(root: String): Boolean = {
+      val base = java.nio.file.Paths.get(root)
+      java.nio.file.Files.walk(base).anyMatch(p =>
+        p.getFileName != null && p.getFileName.toString == "sparse_s")
+    }
+    assert(hasSparseDir(on.ref.dataRoot),
+      "indexed=true must build + serve the persisted sparse posting index")
+    assert(!hasSparseDir(off.ref.dataRoot),
+      "indexed=false must take the meta_sparse scan path (no index built)")
+    assert(rows(dfOn) == rows(dfOff), s"${rows(dfOn)} != ${rows(dfOff)}")
+    assert(rows(dfOn).map(_._1).toSet == Set("a", "b", "c"))
+
+    // RYW through the served path: a tail add scores (extra posting
+    // rows), a tail update shadows its stale indexed vector, a delete
+    // disappears — and the scan twin (same ops) agrees exactly
+    for (coll <- Seq(on, off)) {
+      coll.add(Seq(("e", "doc e")).toDF("id", "document")
+        .select(col("id"), col("document"), map(lit("s"),
+          struct(array(lit(1L)).as("indices"),
+            array(lit(10f)).as("values"))).as("meta_sparse")))
+      coll.update(Seq(("a", "doc a")).toDF("id", "document")
+        .select(col("id"), col("document"), map(lit("s"),
+          struct(array(lit(5L)).as("indices"),
+            array(lit(7f)).as("values"))).as("meta_sparse")))
+      coll.delete(Seq("b"))
+    }
+    val tOn = rows(on.sparseSearch("s", q, k = 4))
+    val tOff = rows(off.sparseSearch("s", q, k = 4))
+    assert(tOn == tOff, s"RYW served $tOn != scan $tOff")
+    assert(tOn.map(_._1).toSet == Set("a", "c", "e"),
+      s"tail add/update/delete not honored: $tOn")
+    // IndexOnly skips the tail on both paths
+    val iOn = rows(on.sparseSearch("s", q, k = 4,
+      readLevel = graft.api.ReadLevel.IndexOnly))
+    val iOff = rows(off.sparseSearch("s", q, k = 4,
+      readLevel = graft.api.ReadLevel.IndexOnly))
+    assert(iOn == iOff && iOn.map(_._1).toSet == Set("a", "b", "c"),
+      s"IndexOnly sparse read drifted: $iOn vs $iOff")
   }
 
   test("document FTS toggle routes $contains: enabled → trigram index, disabled → scan") {
