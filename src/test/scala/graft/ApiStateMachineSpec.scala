@@ -24,7 +24,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * existing ids; upsert freely mixes); persistence cycles through a cold
   * `getCollection` reopen so the machine crosses the WAL → segment →
   * replay boundary repeatedly, and forks copy-on-write mid-sequence
-  * exactly like `test_embeddings.py`'s fork rule.
+  * exactly like `test_embeddings.py`'s fork rule. A dedicated CRASH op
+  * (`chromadb/test/property/test_persist.py`'s kill/reopen; wal3's
+  * orphaned-claim recovery) dies between the compaction's
+  * conditional-store publish and the version swap — orphaning the commit
+  * claim, partial segment data, and a WAL append claim — then reopens
+  * cold and must satisfy the same invariants, unblock via the GC sweep,
+  * and compact successfully.
   */
 class ApiStateMachineSpec extends AnyFunSuite {
   import SparkTestSession.spark
@@ -154,7 +160,7 @@ class ApiStateMachineSpec extends AnyFunSuite {
       val steps = 12 + rnd.nextInt(6)
       for (step <- 0 until steps) {
         val ctx = s"seq $si (seed $seed) step $step"
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
           case 0 | 1 | 2 => // add new ids
             val recs = mkRecs(freshIds(1 + rnd.nextInt(4)))
             h.add(recDf(recs))
@@ -193,6 +199,41 @@ class ApiStateMachineSpec extends AnyFunSuite {
             val dst = s"$name-f$step"
             h = client.forkCollection(name, dst)
             name = dst
+            persisted = true
+          case 10 =>
+            // CRASH MID-COMPACTION (test_persist.py's kill/reopen, wal3
+            // orphan recovery): durable-publish the acked writes, then a
+            // compactor claims the next version slot and writes its
+            // segment but DIES before the claim→marker swap — and a WAL
+            // appender dies holding the next log position's claim. A
+            // cold reopen must serve the PREVIOUS version + full log
+            // replay; the orphaned commit claim blocks the slot LOUDLY
+            // until the GC sweep voids it (claim + partial data +
+            // stale append claim), after which compaction succeeds.
+            h.commitLog() // the crash kills only un-acked writes
+            val dataRoot = h.ref.dataRoot
+            val vdir = java.nio.file.Paths.get(dataRoot, "_versions")
+            java.nio.file.Files.createDirectories(vdir)
+            val next = graft.sources.CollectionStore.currentVersion(dataRoot) + 1
+            java.nio.file.Files.createFile(vdir.resolve(s"v$next.claim"))
+            val partial = java.nio.file.Paths.get(dataRoot, s"v$next", "records")
+            java.nio.file.Files.createDirectories(partial)
+            java.nio.file.Files.write(partial.resolve("part-half.parquet"),
+              Array[Byte](0x50, 0x41, 0x52)) // truncated mid-write
+            val walMarkers = java.nio.file.Paths.get(dataRoot, "_wal", "_entries")
+            java.nio.file.Files.createDirectories(walMarkers)
+            val nextLog = (graft.sources.CollectionStore.listDir(walMarkers)
+              .map(_.getFileName.toString)
+              .collect { case s if s.matches("b\\d+") => s.drop(1).toLong } :+ -1L)
+              .max + 1
+            java.nio.file.Files.createFile(walMarkers.resolve(s"b$nextLog.claim"))
+            // drop the in-memory client entirely: a NEW process opens cold
+            h = new Client(spark, root).getCollection(name)
+            checkRoundTrip(h, model, s"$ctx (post-crash reopen)")
+            // the orphaned claim blocks the version slot — loudly
+            intercept[java.util.ConcurrentModificationException] { h.persist() }
+            h.gcVersions(keepLast = 2, staleClaimAgeMs = 0) // the sweep
+            h.persist() // slot freed: compaction completes
             persisted = true
         }
         checkRoundTrip(h, model, ctx)
