@@ -86,7 +86,39 @@ object AnnGauntlet {
           s"+ (pmod(xxhash64(query_id, i + 7777), 1001) / 1000.0 - 0.5) " +
           "* 0.10 AS FLOAT))").as("q_embedding"))
 
-  final case class PathResult(secMin: Double, secMax: Double, recall: Double)
+  final case class PathResult(secMin: Double, secMax: Double, recall: Double,
+      restamp: Option[(Double, Double)] = None)
+
+  /** The bench's drift protocol for the gauntlet (r10 finding: the old
+    * 2× flag let `ivf_routed[nprobe=64]` drift 1.43× silently): a row
+    * whose fresh min exceeds 1.3× its ratchet re-measures once in
+    * isolation after a calm gap; BOTH values land in the artifact as a
+    * restamp pair (suite-vs-isolated separates host stall from real
+    * regression) and the kept value is the min of the two.
+    */
+  val RatchetBand = 1.3
+
+  private def restampIfDrifted(key: String, ratchet: Map[String, Double],
+      first: Double, runOnce: () => Double): (Double, Option[(Double, Double)]) =
+    ratchet.get(key) match {
+      case Some(r) if first > r * RatchetBand =>
+        Thread.sleep(500)
+        val iso = runOnce()
+        System.err.println(f"[gauntlet] RESTAMP $key suite=$first%.2f s " +
+          f"isolated=$iso%.2f s (ratchet ${r}%.3f)")
+        (math.min(first, iso), Some((first, iso)))
+      case _ => (first, None)
+    }
+
+  /** Current `ann_ref.json` contents (empty when absent). */
+  def readRatchet(): Map[String, Double] = {
+    val path = java.nio.file.Paths.get("ann_ref.json")
+    if (!java.nio.file.Files.exists(path)) Map.empty
+    else """"([^"]+)":([0-9.]+)""".r
+      .findAllMatchIn(new String(
+        java.nio.file.Files.readAllBytes(path), "UTF-8"))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
 
   /** All four serving paths over one corpus size. Builds persist under
     * `root` (untimed); each path's timed runs collect the full result
@@ -94,7 +126,8 @@ object AnnGauntlet {
     * path → (latency band, recall@k).
     */
   def runCell(spark: SparkSession, root: String, n: Long,
-      timedRuns: Int = 2): Map[String, PathResult] = {
+      timedRuns: Int = 2, ratchet: Map[String, Double] = Map.empty,
+      keyPrefix: String = ""): Map[String, PathResult] = {
     import graft.operators.{Hnsw, Ivf, Knn}
     import graft.sources.CollectionStore
     val parts = 32
@@ -189,7 +222,10 @@ object AnnGauntlet {
         nprobe, Dim, alpha = alpha), truth))
     paths.map { case (name, plan, want) =>
       plan().count() // warm: JIT + file listings + broadcast reuse
-      val (res, _) = measure(plan, want)
+      val (res0, _) = measure(plan, want)
+      val (kept, pair) = restampIfDrifted(s"$keyPrefix$name", ratchet,
+        res0.secMin, () => measure(plan, want)._1.secMin)
+      val res = res0.copy(secMin = kept, restamp = pair)
       System.err.println(
         f"[gauntlet] n=$n%-8d $name%-20s ${res.secMin}%.2f-${res.secMax}%.2f s recall@$K=${res.recall}%.4f")
       name -> res
@@ -248,7 +284,18 @@ object AnnGauntlet {
   }
 
   final case class HardResult(path: String, setting: String,
-      secMin: Double, secMax: Double, recall: Double)
+      secMin: Double, secMax: Double, recall: Double,
+      restamp: Option[(Double, Double)] = None)
+
+  /** Multi-bit clamp range for the hard corpus: cluster members reach
+    * sin(·)±0.4 ≈ ±1.4, slab points ±1.0 — [-1.5, 1.5) covers the value
+    * mass so the 4-bit levels (0.1875 wide) resolve where the 1-bit sign
+    * codes cannot (the r10 finding: sign codes carry no resolution on
+    * cross-cluster mass, so the α·k re-rank outgrows a plain scan).
+    */
+  val MbBits = 4
+  val MbLo = -1.5
+  val MbHi = 1.5
 
   /** How much of the truth mass sits OUTSIDE each query's single best
     * planted cluster (slab members count toward their nominal cluster —
@@ -270,7 +317,8 @@ object AnnGauntlet {
     * (gated in AnnGauntletSpec at 20k, reported at 1M in the artifact).
     */
   def runHardCell(spark: SparkSession, root: String, n: Long,
-      timedRuns: Int = 2): (Seq[HardResult], Double) = {
+      timedRuns: Int = 2, ratchet: Map[String, Double] = Map.empty,
+      keyPrefix: String = ""): (Seq[HardResult], Double) = {
     import graft.operators.{Hnsw, Ivf, Knn}
     import graft.sources.CollectionStore
     val parts = 32
@@ -285,6 +333,8 @@ object AnnGauntlet {
       fitSampleMax = fitSample)
     val codes = CollectionStore.rotatedCodesServing(vecs, root, dim = Dim,
       keyTag = s"gauntletH$n")
+    val mbCodes = CollectionStore.mbCodesServing(vecs, root, MbBits,
+      MbLo, MbHi, keyTag = s"gauntletH$n")
     val hnswRoot = s"$root/hnsw_routed"
     val hnswKey = s"hnsw-gauntletH-n$n-c$nCentroids-r2"
     val marker = java.nio.file.Paths.get(hnswRoot, "_gauntlet_built")
@@ -337,52 +387,63 @@ object AnnGauntlet {
         ("quantized", s"nprobe=$np,alpha=$a",
           () => Ivf.searchQuantized(ivfModel, codes, qs, K, np, Dim,
             alpha = a))
+      } ++
+      // multi-bit (4-bit) quantized: the served path for the regime
+      // where 1-bit sign codes invert vs brute force (the coarse rank
+      // actually resolves cross-cluster mass, so a SMALL α reaches 0.95
+      // while phase 1 scans byte codes, not floats) — mirrors
+      // `rust/index/src/quantization/multi_bit.rs`
+      nps.zip(Seq(2, 4, 8)).map { case (np, a) =>
+        ("quantized_mb", s"nprobe=$np,bits=$MbBits,alpha=$a",
+          () => Ivf.searchQuantizedMb(ivfModel, mbCodes, qs, K, np,
+            bits = MbBits, alpha = a, lo = MbLo, hi = MbHi))
       }
 
     val results = ladder.map { case (path, setting, plan) =>
       plan().count() // warm
+      def once(): (Double, Map[Long, Set[Long]]) = {
+        val t0 = System.nanoTime()
+        val got = ids(plan())
+        ((System.nanoTime() - t0) / 1e9, got)
+      }
       var got: Map[Long, Set[Long]] = Map.empty
       val times = (1 to timedRuns).map { _ =>
-        val t0 = System.nanoTime()
-        got = ids(plan())
-        (System.nanoTime() - t0) / 1e9
+        val (t, g) = once(); got = g; t
       }
       val recall = truth.map { case (q, t) =>
         got.getOrElse(q, Set.empty).count(t).toDouble / t.size
       }.sum / truth.size
+      val (kept, pair) = restampIfDrifted(s"$keyPrefix$path[$setting]",
+        ratchet, times.min, () => once()._1)
       System.err.println(f"[gauntlet-hard] n=$n%-8d $path%-14s " +
-        f"$setting%-18s ${times.min}%.2f-${times.max}%.2f s " +
+        f"$setting%-18s ${kept}%.2f-${times.max}%.2f s " +
         f"recall@$K=$recall%.4f")
-      HardResult(path, setting, times.min, times.max, recall)
+      HardResult(path, setting, kept, times.max, recall, pair)
     }
     (results, cross)
   }
 
   /** Downward-only latency ratchet over the gauntlet cells —
-    * `ann_ref.json`, same protocol as `bench_ref_sf0.1.json`: each
-    * (cell, path[, setting]) keeps its best-ever min-seconds; a fresh
-    * run folds its minima in (never up) and FLAGS any row whose new min
-    * exceeds 2× the ratchet, so a routed-latency regression at 1M trips
-    * a visible gate instead of drifting silently.
+    * `ann_ref.json`, NOW the bench's exact protocol (r10 asks #3 and
+    * ADVICE): rows restamp in isolation at [[RatchetBand]] (1.3×) inside
+    * the runs, a row still past the band after its restamp FLAGS, and
+    * the written ratchet keeps ONLY keys the current run produced —
+    * a superseded ladder setting (e.g. `ef=400` → `ef=800`) is pruned
+    * instead of accreting as a dead entry that can never flag.
     */
   def foldRatchet(rows: Map[String, Double]): (Map[String, Double],
       Seq[String]) = {
     val path = java.nio.file.Paths.get("ann_ref.json")
-    val old: Map[String, Double] =
-      if (java.nio.file.Files.exists(path))
-        """"([^"]+)":([0-9.]+)""".r
-          .findAllMatchIn(new String(
-            java.nio.file.Files.readAllBytes(path), "UTF-8"))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      else Map.empty
+    val old = readRatchet()
     val flagged = rows.collect {
-      case (k, v) if old.get(k).exists(r => v > r * 2) =>
-        f"$k: $v%.3f s > 2x ratchet ${old(k)}%.3f s"
+      case (k, v) if old.get(k).exists(r => v > r * RatchetBand) =>
+        f"$k: $v%.3f s > ${RatchetBand}x ratchet ${old(k)}%.3f s"
     }.toSeq.sorted
-    val merged = (old.keySet ++ rows.keySet).map { k =>
-      k -> math.min(old.getOrElse(k, Double.MaxValue),
-        rows.getOrElse(k, Double.MaxValue))
-    }.toMap
+    // fold down where the key survives; DROP keys the run no longer
+    // measures (stable ladder membership is the run's responsibility)
+    val merged = rows.map { case (k, v) =>
+      k -> math.min(old.getOrElse(k, Double.MaxValue), v)
+    }
     val body = merged.toSeq.sorted.map { case (k, v) =>
       f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     java.nio.file.Files.write(path, (body + "\n").getBytes("UTF-8"))
@@ -401,22 +462,40 @@ object AnnGauntlet {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = sys.env.getOrElse("SPARK_GRAFT_ANN_DIR", "/tmp/graft_ann")
+    val ratchet = readRatchet()
     val cells = Seq("x200k" -> 200000L, "x1m" -> 1000000L)
     val results = cells.map { case (cell, n) =>
-      cell -> runCell(spark, s"$base/$cell", n)
+      cell -> runCell(spark, s"$base/$cell", n, ratchet = ratchet,
+        keyPrefix = s"$cell/")
     }
-    val (hard, hardCross) = runHardCell(spark, s"$base/hard_x1m", 1000000L)
+    val (hard, hardCross) = runHardCell(spark, s"$base/hard_x1m", 1000000L,
+      ratchet = ratchet, keyPrefix = "hard_x1m/")
+    def restampJson(p: Option[(Double, Double)]): String =
+      p.map { case (a, b) => f""","restamp":[$a%.3f,$b%.3f]""" }.getOrElse("")
     val json = results.map { case (cell, rs) =>
       s""""$cell":${rs.toSeq.sortBy(_._1).map { case (p, r) =>
-          f""""$p":{"sec":[${r.secMin}%.3f,${r.secMax}%.3f],"recall":${r.recall}%.4f}"""
+          f""""$p":{"sec":[${r.secMin}%.3f,${r.secMax}%.3f],""" +
+            f""""recall":${r.recall}%.4f${restampJson(r.restamp)}}"""
         }.mkString("{", ",", "}")}"""
     }.mkString("{", ",", "}")
     // the hard cell's recall-vs-probe CURVE: one entry per
     // (path, setting), ordered as run (ladder order = rising probes)
     val hardJson = hard.map { r =>
       f""""${r.path}[${r.setting}]":{"sec":[${r.secMin}%.3f,""" +
-        f"""${r.secMax}%.3f],"recall":${r.recall}%.4f}"""
+        f"""${r.secMax}%.3f],"recall":${r.recall}%.4f""" +
+        s"""${restampJson(r.restamp)}}"""
     }.mkString("{", ",", "}")
+    // the operating-point note the r10 verdict asked for: where each
+    // quantized variant is the right (or wrong) choice on this corpus
+    val exactMin = hard.find(_.path == "exact").map(_.secMin).getOrElse(0.0)
+    val mbBest = hard.filter(r => r.path == "quantized_mb" && r.recall >= 0.95)
+      .sortBy(_.secMin).headOption
+    val note = "1-bit sign codes carry no resolution on cross-cluster " +
+      "mass: at recall>=0.95 their alpha*k re-rank costs more than the " +
+      "exact scan (a user should take exact or quantized_mb there); " +
+      mbBest.map(r => f"quantized_mb reaches recall ${r.recall}%.3f at " +
+        f"${r.secMin}%.2f s vs exact ${exactMin}%.2f s").getOrElse(
+        "quantized_mb did not reach 0.95 this run")
     // downward-only 2x latency ratchet over every measured row
     val ratchetRows =
       results.flatMap { case (cell, rs) =>
@@ -426,7 +505,8 @@ object AnnGauntlet {
     flagged.foreach(f => System.err.println(s"[gauntlet] RATCHET-FLAG $f"))
     val line = s"""{"metric":"ann_gauntlet","dim":$Dim,"k":$K,""" +
       s""""nq":$NQueries,"cells":$json,""" +
-      f""""hard_x1m":{"cross_mass":$hardCross%.4f,"paths":$hardJson},""" +
+      f""""hard_x1m":{"cross_mass":$hardCross%.4f,"paths":$hardJson,""" +
+      s""""note":"$note"},""" +
       s""""ratchet_flags":${flagged.map(f => s""""$f"""")
         .mkString("[", ",", "]")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("ANN_GAUNTLET.json"),

@@ -114,12 +114,40 @@ object ServeSmoke {
 
     // phase 1 — AT the cap: the published 10 concurrent reads must all
     // admit, every batch, start to finish
-    val (ls, rejectedAtCap, errAtCap, wall) = phase(Threads)
+    def pct(xs: Seq[Double], p: Double): Double =
+      if (xs.isEmpty) -1.0 else xs((p * (xs.size - 1)).round.toInt)
+    var (ls, rejectedAtCap, errAtCap, wall) = phase(Threads)
+    // downward-only p95 ratchet with the bench's 1.3× restamp protocol
+    // (r10 ask #8: a concurrent-serving p95 regression must not pass
+    // unnoticed): past the band, re-run the at-cap phase once after a
+    // calm gap — both values land in the artifact as a restamp pair
+    // (suite-vs-isolated separates host stall from real regression),
+    // the kept stats are the faster pass's, and the flag fires only if
+    // the KEPT p95 still exceeds the band
+    val refPath = java.nio.file.Paths.get("serve_ref.json")
+    val refP95: Option[Double] =
+      if (java.nio.file.Files.exists(refPath))
+        """"p95_sec":([0-9.]+)""".r.findFirstMatchIn(new String(
+          java.nio.file.Files.readAllBytes(refPath), "UTF-8"))
+          .map(_.group(1).toDouble)
+      else None
+    var restamp: Option[(Double, Double)] = None
+    if (refP95.exists(r => pct(ls, 0.95) > r * 1.3)) {
+      Thread.sleep(2000)
+      val (ls1, rej1, err1, wall1) = phase(Threads)
+      restamp = Some((pct(ls, 0.95), pct(ls1, 0.95)))
+      // admission violations from EITHER pass count; latency keeps the min
+      rejectedAtCap += rej1; errAtCap += err1
+      if (pct(ls1, 0.95) < pct(ls, 0.95)) { ls = ls1; wall = wall1 }
+    }
+    val p95 = pct(ls, 0.95)
+    val ratchetFlag = refP95.exists(r => p95 > r * 1.3)
+    val newRef = math.min(refP95.getOrElse(Double.MaxValue), p95)
+    java.nio.file.Files.write(refPath,
+      f"""{"p95_sec":$newRef%.3f}%n""".getBytes("UTF-8"))
     // phase 2 — OVER the cap (2x threads): the gate may turn requests
     // away; every turn-away must be a clean QuotaExceeded
     val (ls2, rejectedOver, errOver, _) = phase(Threads * 2)
-    def pct(xs: Seq[Double], p: Double): Double =
-      if (xs.isEmpty) -1.0 else xs((p * (xs.size - 1)).round.toInt)
     // ADMISSION CONTRACT, all live checks: zero rejections at cap (a
     // permit leak in any gated read would reject later batches; the
     // reentrancy seam failing would reject instantly); the 2x-overload
@@ -139,6 +167,10 @@ object ServeSmoke {
       f""""overload_threads":${Threads * 2},""" +
       f""""overload_rejected":$rejectedOver,""" +
       f""""overload_p50_sec":${pct(ls2, 0.5)}%.3f,""" +
+      f""""p95_ratchet":$newRef%.3f,""" +
+      restamp.map { case (a, b) =>
+        f""""p95_restamp":[$a%.3f,$b%.3f],""" }.getOrElse("") +
+      f""""p95_ratchet_flag":$ratchetFlag,""" +
       f""""admission_violation":$violation}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SERVE_SMOKE.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -315,6 +315,47 @@ object Ivf {
       k, space)
   }
 
+  /** [[searchQuantized]]'s MULTI-BIT sibling
+    * (`rust/index/src/quantization/multi_bit.rs`): identical plan shape —
+    * route to nprobe lists, coarse-rank the probed candidates on their
+    * persisted dequantized codes ([[graft.sources.CollectionStore
+    * .mbCodesServing]]: `2^bits` distinct floats, dictionary-encoded to
+    * ~bits/dim on disk), exact-rerank only the α·k survivors. The coarse
+    * phase runs the codegen'd space kernel on the quantized column, so
+    * with `2^bits` levels it ORDERS candidates 1-bit sign codes cannot
+    * (cross-cluster mass, where the sign-code α·k window otherwise
+    * outgrows a plain scan — the r10 gauntlet finding).
+    */
+  def searchQuantizedMb(model: Model, codes: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, bits: Int, alpha: Int = 5,
+      space: String = "cosine", lo: Double = -0.5,
+      hi: Double = 0.5): DataFrame = {
+    val (routed, probedCents) = routeLocal(model, queries, nprobe, space)
+    val probedIds = prunedPostings(model, probedCents)
+      .join(broadcast(routed.select("query_id", "centroid_id")),
+        Seq("centroid_id"))
+      .select(col("query_id"), col("offset_id"))
+    val qcoded = queries.select(col("query_id"),
+      Quantized.mbDequantized(col("q_embedding"), bits, lo, hi).as("qcode"))
+    val coarse = GroupedTopK(
+      codes.join(probedIds, Seq("offset_id"))
+        .join(broadcast(qcoded), Seq("query_id"))
+        // dequantized floats → the coarse rank uses the SAME codegen'd
+        // space kernel as the exact re-rank (space-consistent, unlike an
+        // integer Σ(la−lb)² which misranks cosine truth as norms vary)
+        .withColumn("hd", graft.functions.Distances.distance(space)(
+          col("code"), col("qcode"))),
+      Seq(col("query_id")), Seq(col("hd"), col("offset_id")), alpha * k)
+      .select(col("query_id"), col("offset_id"))
+    val emb = prunedPostings(model, probedCents)
+      .select(col("offset_id"), col("embedding")).dropDuplicates("offset_id")
+    Quantized.rerank(
+      emb.join(broadcast(coarse), Seq("offset_id"))
+        .join(broadcast(queries.select(col("query_id"), col("q_embedding"))),
+          Seq("query_id")),
+      k, space)
+  }
+
   /** [[route]] MATERIALIZED driver-side: the probe set is
     * |query batch| × nprobe rows — driver-bounded by the same quota that
     * bounds query batches (and exactly the collect the routed-HNSW

@@ -54,6 +54,24 @@ object Quantized {
         lit(levels.toDouble)).cast("int"))
   }
 
+  /** Dequantized multi-bit representation: each component snapped to its
+    * level MIDPOINT (`lo + (level+0.5)/scale`) as a float. The
+    * Spark-first answer to the reference's bit-packed multi-bit codes
+    * (`rust/index/src/quantization/multi_bit.rs`): a column holding only
+    * `2^bits` distinct values parquet DICTIONARY-encodes to ~bits/dim on
+    * disk (the columnar encoder does the packing), while the coarse
+    * phase scans it with the same CODEGEN'd distance kernels as exact
+    * search (the codegen does the SIMD) — so the coarse rank is
+    * space-consistent for cosine/ip/l2 alike, which integer Σ(la−lb)²
+    * is not (it misranks cosine truth when norms vary).
+    */
+  def mbDequantized(embedding: Column, bits: Int, lo: Double = -0.5,
+      hi: Double = 0.5): Column = {
+    val scale = (1 << bits) / (hi - lo)
+    transform(mbCode(embedding, bits, lo, hi),
+      l => (lit(lo) + (l.cast("double") + 0.5) / lit(scale)).cast("float"))
+  }
+
   /** Coarse distance on multi-bit codes: Σ (la−lb)². Integer math, and —
     * because dequantized values are `lo + (level+0.5)/scale` — it equals
     * the squared-L2 of the dequantized (corrected) vectors up to the

@@ -731,6 +731,32 @@ object CollectionStore {
     readCached(vecs.sparkSession, s"$root/rcodes/data")
   }
 
+  /** Persisted MULTI-BIT code table `(offset_id, code array<float>)` —
+    * the reference's multi-bit scalar quantization
+    * (`rust/index/src/quantization/multi_bit.rs`), the served coarse
+    * phase for corpora where 1-bit sign codes carry no resolution
+    * (cross-cluster truth mass). Stored DEQUANTIZED
+    * ([[graft.operators.Quantized.mbDequantized]]): `2^bits` distinct
+    * values dictionary-encode to ~bits/dim in parquet while the coarse
+    * scan runs the same codegen'd kernels as exact search —
+    * [[graft.operators.Ivf.searchQuantizedMb]] reads ONLY this table
+    * until the α·k exact re-rank.
+    */
+  def mbCodesServing(vecs: DataFrame, root: String, bits: Int,
+      lo: Double, hi: Double, keyTag: String = ""): DataFrame = {
+    require(bits >= 1 && bits <= 8, s"mb code bits must be 1..8, got $bits")
+    once(s"mbcodes-$root-$bits-$lo-$hi-$keyTag") {
+      val key = s"mbcodes-v2-$bits-$lo-$hi-$keyTag-n${vecs.count()}"
+      ensureBuilt(root, "mbcodes", key) {
+        vecs.select(col("offset_id"),
+          graft.operators.Quantized.mbDequantized(
+            col("embedding"), bits, lo, hi).as("code"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/mbcodes/data")
+      }
+    }
+    readCached(vecs.sparkSession, s"$root/mbcodes/data")
+  }
+
   /** Replace directory `live` with freshly-written `staged`, keeping a
     * full copy on disk at every instant: the old data renames ASIDE
     * (fast, O(1)), the staged dir renames in, and only then does the old

@@ -38,7 +38,8 @@ class AnnGauntletSpec extends AnyFunSuite {
         "into the planted case (recall would equal routing accuracy)")
     assert(results.find(_.path == "exact").get.recall == 1.0)
     // recall ≥ 0.95 is reachable at SOME setting on every served path
-    for (path <- Seq("ivf_routed", "hnsw_routed", "quantized")) {
+    for (path <- Seq("ivf_routed", "hnsw_routed", "quantized",
+        "quantized_mb")) {
       val ladder = results.filter(_.path == path)
       assert(ladder.map(_.recall).max >= 0.95,
         f"$path never reaches recall 0.95: " +
@@ -49,6 +50,18 @@ class AnnGauntletSpec extends AnyFunSuite {
       assert(ladder.head.recall < ladder.last.recall,
         f"$path recall curve is flat: " +
           ladder.map(r => f"${r.setting}=${r.recall}%.3f").mkString(", "))
+    }
+    // the multi-bit coarse codes RESOLVE what sign codes cannot: at
+    // every rung the 4-bit path must match the 1-bit path's recall
+    // (same nprobe) while its ladder carries a 5-20× SMALLER α·k
+    // re-rank window — the operating point the r10 verdict flagged
+    // (1-bit's window outgrew a plain scan at recall ≥ 0.95)
+    val mb = results.filter(_.path == "quantized_mb")
+    val sb = results.filter(_.path == "quantized")
+    for ((m, s) <- mb.zip(sb)) {
+      assert(m.recall >= s.recall - 0.015,
+        f"4-bit [${m.setting}] recall ${m.recall}%.3f fell below " +
+          f"1-bit [${s.setting}] ${s.recall}%.3f despite the finer codes")
     }
   }
 }

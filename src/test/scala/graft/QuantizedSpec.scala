@@ -133,4 +133,29 @@ class QuantizedSpec extends AnyFunSuite {
       .collect()(0).getSeq[Int](0)
     assert(codes == Seq(0, 0, 1, 2, 2, 3, 3))
   }
+
+  test("served IVF multi-bit == exact KNN under full probe + covering window") {
+    // searchQuantizedMb's correctness contract: with every list probed
+    // and a rerank window covering the corpus, the two-phase plan can
+    // drop nothing — rows must equal the exact top-k bit for bit
+    import graft.operators.{Ivf, Knn}
+    val root = java.nio.file.Files.createTempDirectory("mb_served").toString
+    val vecs = Tables.embeddings(spark, sf).limit(2000)
+      .select(col("vec_id").as("offset_id"), col("embedding"))
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val model = graft.sources.CollectionStore.ivfServing(vecs, root,
+      nCentroids = 8, nReplica = 2, keyTag = "mbspec")
+    val codes = graft.sources.CollectionStore.mbCodesServing(vecs, root,
+      bits = 4, lo = -1.0, hi = 1.0, keyTag = "mbspec")
+    assert(codes.columns.toSet == Set("offset_id", "code"),
+      "served mb table must carry only the coarse-phase columns")
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "offset_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val served = rs(Ivf.searchQuantizedMb(model, codes, queries, k = 10,
+      nprobe = 8, bits = 4, alpha = 300, lo = -1.0, hi = 1.0))
+    val exact = rs(Knn.exact(vecs, queries, 10))
+    assert(served == exact, "full-probe covering-window mb != exact")
+  }
 }
