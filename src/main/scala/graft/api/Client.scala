@@ -356,6 +356,144 @@ final class CollectionHandle(spark: SparkSession,
     walSeen
   }
 
+  private[api] def sparkSession: SparkSession = spark
+
+  /** Begin an optimistic id-scoped transaction — the reference's
+    * conditional commit (`service_based_frontend.rs:1859-1990`).
+    * `observedLogOffset = None` scouts the current committed tail
+    * (`conditional_commit_observed_offset`, the `scout_logs` path);
+    * passing a position pins the window start explicitly (a client that
+    * read earlier and wants its whole read horizon validated).
+    */
+  def beginTransaction(observedLogOffset: Option[Long] = None): Transaction = {
+    refreshLog()
+    observedLogOffset.foreach(o => require(o >= 0,
+      "observed_log_offset must be non-negative"))
+    new Transaction(this, observedLogOffset.getOrElse(walSeen))
+  }
+
+  /** Validate + prepare one buffered transaction batch exactly like the
+    * unconditional write path (shape quotas, schema-declared embedding,
+    * typed-metadata encode), returning the prepared frame plus its
+    * driver-known distinct ids — the reference materializes the same id
+    * set per request (`write_id_admission_metadata`,
+    * `rust/log-service/src/lib.rs:174-185`); batch quotas keep it
+    * driver-sized.
+    */
+  private[api] def prepareTxBatch(records: DataFrame,
+      op: String): (DataFrame, Seq[String]) = {
+    Quotas.validateRecordShapes(records, limits)
+    val prepared = withDefaults(records)
+    val ids = prepared.select(col("id").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    Quotas.validateBatch(ids.size.toLong, limits)
+    (prepared, ids)
+  }
+
+  /** Commit a [[Transaction]]'s buffered writes as one conditional log
+    * entry. The window `(observed, tail]` validates for entries touching
+    * `read_ids ∪ write_ids` (`rust/log-service/src/lib.rs:144-260`), then
+    * the entry claims position `tail+1` — winning the claim proves no
+    * entry can serialize between the validated window and the commit, the
+    * atomicity the reference's log service gets from its enqueue-time
+    * admission predicate. A lost claim re-validates only the newly
+    * published suffix and retries (the reference's bounded
+    * retry-on-backoff). Read-only transactions publish an EMPTY fence
+    * entry (count-0 marker — the voided-slot shape every reader already
+    * skips) whose position certifies the reads.
+    */
+  private[api] def commitConditional(tx: Transaction,
+      timeoutMs: Long): Either[CommitConflict, Long] =
+    Quotas.Gates.withWrite(ref.dataRoot, limits) {
+      import spark.implicits._
+      val deadline = System.currentTimeMillis() + timeoutMs
+      val conflictIds = tx.conflictIds
+      refreshLog()
+      require(tx.observedLogOffset <= walSeen,
+        s"observed_log_offset ${tx.observedLogOffset} is beyond the " +
+          s"current log tail $walSeen")
+      require(tx.buffered.size < WalStore.OffsetStride,
+        s"${tx.buffered.size} buffered batches — over the per-entry " +
+          s"offset range ${WalStore.OffsetStride}")
+      tx.buffered.foreach { case (op, prepared, _) =>
+        checkWriteQuotas(prepared, op)
+      }
+      var validatedThrough = tx.observedLogOffset
+      var out: Option[Either[CommitConflict, Long]] = None
+      while (out.isEmpty) {
+        val hits = conflictsIn(validatedThrough + 1, walSeen, conflictIds)
+        if (hits.nonEmpty) out = Some(Left(CommitConflict(walSeen, hits)))
+        else {
+          validatedThrough = walSeen
+          val n = walSeen + 1
+          // one offset rank per buffered batch (ids are unique within a
+          // batch — the per-request duplicate rejection); LWW across
+          // batches follows buffer order, fixed at commit time
+          val entry: Dataset[graft.operators.Materialize.LogOp] =
+            if (tx.buffered.isEmpty)
+              spark.emptyDataset[graft.operators.Materialize.LogOp]
+            else tx.buffered.zipWithIndex.map { case ((op, df, _), i) =>
+              val emb =
+                if (df.columns.contains("embedding"))
+                  col("embedding").cast("array<float>")
+                else lit(null).cast("array<float>")
+              df.select(
+                col("id").cast("string").as("id"),
+                lit(n * WalStore.OffsetStride + i).as("log_offset"),
+                lit(op).as("op"),
+                col("document").cast("string").as("document"),
+                col("meta").cast("map<string,string>").as("meta"),
+                emb.as("embedding"))
+                .as[graft.operators.Materialize.LogOp]
+            }.reduce(_ union _)
+          if (WalStore.appendAt(ref.dataRoot, n, entry)) {
+            refreshLog() // folds our own entry into the handle's view
+            out = Some(Right(n))
+          } else {
+            if (System.currentTimeMillis() > deadline)
+              throw new java.util.concurrent.TimeoutException(
+                s"collection ${ref.name}: conditional commit could not " +
+                  s"win a log position within ${timeoutMs} ms (last " +
+                  s"tried $n) — sustained writer contention, or a " +
+                  "crashed appender holding a claim? run gcVersions to " +
+                  "void stale claims")
+            if (WalStore.publishedAfter(ref.dataRoot, walSeen).isEmpty)
+              Thread.sleep(50L)
+            refreshLog()
+          }
+        }
+      }
+      out.get
+    }
+
+  /** Conflicting ids among `ids` in published entries `[from, to]` —
+    * sorted, bounded sample for the rejection message. Every position in
+    * the window must still be readable: a GC'd entry means the observed
+    * offset predates the readable lower bound
+    * (`validate_conditional_log_bounds`,
+    * `rust/log-service/src/lib.rs:229-260`) and validation CANNOT be
+    * sound, so it throws rather than guesses. Voided slots (count-0
+    * markers) carry no ops and validate clean.
+    */
+  private def conflictsIn(from: Long, to: Long,
+      ids: Set[String]): Seq[String] = {
+    if (from > to || ids.isEmpty) return Nil
+    val entries = (from to to).map { m =>
+      if (WalStore.entryMeta(ref.dataRoot, m).isEmpty)
+        throw new IllegalArgumentException(
+          s"conditional window entry $m is not readable — " +
+            "observed_log_offset is before the readable log lower bound")
+      m
+    }.filter(m => WalStore.entryMeta(ref.dataRoot, m).exists(_._1 > 0L))
+    if (entries.isEmpty) return Nil
+    entries.map(m => WalStore.readEntry(spark, ref.dataRoot, m).toDF())
+      .reduce(_ union _)
+      .select(col("id"))
+      .filter(col("id").isin(ids.toSeq: _*))
+      .distinct().orderBy(col("id")).limit(20)
+      .collect().map(_.getString(0)).toSeq
+  }
+
   private def embedFn: Option[graft.functions.EmbeddingFunction] =
     ref.schema.embeddingFunction
       .map(graft.functions.EmbeddingFunctions.registry(_))

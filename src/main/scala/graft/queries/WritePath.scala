@@ -234,6 +234,48 @@ object WritePath extends QueryPack {
         .select(col("id"), col("document")).orderBy(col("id"))
     },
 
+    // Conditional commit — the reference's optimistic id-scoped
+    // transactions (`service_based_frontend.rs:1859-1990`): a
+    // transaction whose read or write ids were touched after its
+    // observed offset REJECTS (tx1, stomped on a read id), a clean one
+    // commits (tx2). The oracle spells out the final state: tx1's
+    // buffered updates must be absent, tx2's present — including on the
+    // overlap id where tx2's later entry LWW-beats the interloper.
+    "wp_conditional_commit" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d) + "/tx_client"
+      val client = new graft.api.Client(s, root)
+      val coll = client.getOrCreateCollection("txc")
+      val docs = Tables.documents(s, d)
+      if (graft.sources.WalStore.publishedAfter(coll.ref.dataRoot, 0L).isEmpty) {
+        coll.add(docs.filter(col("doc_id") < 60).select(
+          concat(lit("doc-"), col("doc_id")).as("id"),
+          col("text").as("document")))
+        coll.commitLog() // entry 1
+        val tx1 = coll.beginTransaction()
+        tx1.get((0 until 60 by 5).map(i => s"doc-$i")) // reads incl. doc-5
+        tx1.update(docs.filter(col("doc_id") < 60 && col("doc_id") % 5 === 0)
+          .select(concat(lit("doc-"), col("doc_id")).as("id"),
+            concat(col("text"), lit(" tx1")).as("document")))
+        // interloper touches a read id and serializes first — entry 2
+        val h2 = client.getCollection("txc")
+        h2.upsert(docs.filter(col("doc_id") === 5)
+          .select(concat(lit("doc-"), col("doc_id")).as("id"),
+            concat(col("text"), lit(" stomped")).as("document")))
+        h2.commitLog()
+        require(tx1.commit().isLeft,
+          "tx1 read doc-5 — the stomp must reject it")
+        // tx2 observes entry 2, so its window is clean — entry 3
+        val tx2 = coll.beginTransaction()
+        tx2.update(docs.filter(col("doc_id") < 60 && col("doc_id") % 7 === 3)
+          .select(concat(lit("doc-"), col("doc_id")).as("id"),
+            concat(col("text"), lit(" tx2")).as("document")))
+        require(tx2.commit().isRight, "tx2's window is clean — must commit")
+      }
+      val fresh = client.getCollection("txc") // replays entries 1-3
+      fresh.get(include = Seq("document"))
+        .select(col("id"), col("document")).orderBy(col("id"))
+    },
+
     // The 100-TB compaction shape: huge segment + small WAL tail merged
     // with ZERO segment-side shuffles (broadcast ops join; see
     // Materialize.compactionMerge + CompactionMergeSpec plan gates).
@@ -282,6 +324,18 @@ object WritePath extends QueryPack {
         |         AS document
         |FROM documents
         |WHERE doc_id < 80 AND doc_id%9 <> 0
+        |ORDER BY id""".stripMargin,
+
+    // tx1 (ids %5, ' tx1') rejected — absent everywhere. The
+    // interloper's doc-5 stomp (entry 2) survives; tx2 (ids %7=3,
+    // ' tx2') committed as entry 3.
+    "wp_conditional_commit" ->
+      """SELECT 'doc-'||doc_id AS id,
+        |       CASE WHEN doc_id%7=3 THEN text||' tx2'
+        |            WHEN doc_id=5 THEN text||' stomped'
+        |            ELSE text END AS document
+        |FROM documents
+        |WHERE doc_id < 60
         |ORDER BY id""".stripMargin,
 
     "wp_time_travel" ->
