@@ -358,6 +358,25 @@ final class CollectionHandle(spark: SparkSession,
 
   private[api] def sparkSession: SparkSession = spark
 
+  /** Indexing progress over the durable log — the reference's
+    * `indexing_status` endpoint (`service_based_frontend.rs:2738-2772`;
+    * response shape `IndexStatusResponse`, `api_types.rs:1101-1106`):
+    * indexed = ops in the log prefix the current compacted segment
+    * covers (its walmark), total = ops scouted in the whole retained
+    * log. The walmark reads BEFORE the tail scout — the reference's
+    * collection-then-scout order, keeping the unindexed estimate
+    * strictly conservative under concurrent appends. Ops buffered on a
+    * handle but never log-committed do not count (the reference counts
+    * only what its log service accepted).
+    */
+  def indexingStatus(): IndexingStatus = {
+    val mark = WalStore.readMark(CollectionStore.recordsRoot(ref.dataRoot))
+    val (indexed, pending) = WalStore.opCounts(ref.dataRoot, mark)
+    val total = indexed + pending
+    val progress = if (total == 0L) 1.0 else indexed.toDouble / total
+    IndexingStatus(progress, pending, indexed, total)
+  }
+
   /** Begin an optimistic id-scoped transaction — the reference's
     * conditional commit (`service_based_frontend.rs:1859-1990`).
     * `observedLogOffset = None` scouts the current committed tail

@@ -11,6 +11,13 @@ import org.apache.spark.sql.DataFrame
   */
 final case class CommitConflict(validatedThrough: Long, ids: Seq[String])
 
+/** `indexing_status` response — op-count split of the durable log at
+  * the current compacted segment's walmark (`IndexStatusResponse`,
+  * `rust/types/src/api_types.rs:1101-1106`).
+  */
+final case class IndexingStatus(opIndexingProgress: Double,
+    numUnindexedOps: Long, numIndexedOps: Long, totalOps: Long)
+
 /** Optimistic id-scoped transaction — the reference's conditional
   * commit (`service_based_frontend.rs:1859-1990` `conditional_commit_
   * append`): writes buffer client-side and commit to the durable log as

@@ -599,6 +599,32 @@ object FacadePack extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // indexing_status (`service_based_frontend.rs:2738-2772`,
+    // `IndexStatusResponse` api_types.rs:1101): doc_id<50 compacts
+    // (indexed), 50..74 commits to the log after the compaction
+    // (unindexed) — the op-count split reads from the O(1) entry
+    // markers alone.
+    "fc_indexing_status" -> { (s, d) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_ixs_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("ixs")
+      val docs = Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"), col("doc_id"))
+      coll.add(docs.filter(col("doc_id") < 50).select("id", "document"))
+      coll.commitLog() // entry 1
+      coll.persist()   // walmark covers entry 1
+      coll.add(docs.filter(col("doc_id") >= 50 && col("doc_id") < 75)
+        .select("id", "document"))
+      coll.commitLog() // entry 2 — past the mark
+      val st = coll.indexingStatus()
+      Seq((BigDecimal(st.opIndexingProgress).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble,
+          st.numUnindexedOps, st.numIndexedOps, st.totalOps))
+        .toDF("progress", "unindexed_ops", "indexed_ops", "total_ops")
+    },
+
     // ReadLevel surface parity (`plan.rs:550-565`): the same collection
     // read at IndexOnly (compacted segment alone — the un-compacted
     // tail invisible), IndexAndBoundedWal(1) (segment + exactly the
@@ -985,6 +1011,14 @@ object FacadePack extends QueryPack {
     "fc_key_range_str" ->
       """SELECT 'doc-'||doc_id AS id, text AS document, lang FROM documents
         |WHERE lang >= 'en' AND lang <= 'fr' ORDER BY id""".stripMargin,
+
+    "fc_indexing_status" ->
+      """SELECT round(CAST(a.c AS DOUBLE)/(a.c+b.c), 4) AS progress,
+        |       b.c AS unindexed_ops, a.c AS indexed_ops,
+        |       a.c+b.c AS total_ops
+        |FROM (SELECT count(*) AS c FROM documents WHERE doc_id < 50) a,
+        |     (SELECT count(*) AS c FROM documents
+        |      WHERE doc_id >= 50 AND doc_id < 75) b""".stripMargin,
 
     "fc_read_levels" ->
       """WITH evens AS (

@@ -156,6 +156,29 @@ object WalStore {
       } catch { case _: Throwable => None }
     }
 
+  /** Op counts over RETAINED published entries split at `mark`
+    * (indexed = entry position ≤ mark): the two numbers
+    * `indexing_status` reports (`service_based_frontend.rs:2738-2772`).
+    * Read from the O(1) markers only — no entry data touched. Entries
+    * GC'd below the retained floor are covered by every retained
+    * segment version by construction, so excluding them from BOTH sides
+    * only lowers the reported progress — strictly conservative, the
+    * reference's stated contract for this endpoint.
+    */
+  def opCounts(root: String, mark: Long): (Long, Long) = {
+    var indexed = 0L
+    var pending = 0L
+    cs.list(markersDir(root)).foreach { nme =>
+      if (nme.matches("b\\d+")) {
+        val n = nme.drop(1).toLong
+        entryMeta(root, n).foreach { case (cnt, _) =>
+          if (n <= mark) indexed += cnt else pending += cnt
+        }
+      }
+    }
+    (indexed, pending)
+  }
+
   /** Published positions `after+1, after+2, …` up to (not through) the
     * first unpublished one — the contiguous prefix a reader may consume.
     * An in-flight claim is a gap like any other: consumption waits (or

@@ -32,6 +32,28 @@ class ClientSpec extends AnyFunSuite {
     assert(client.getOrCreateCollection("vecs").ref.name == "vecs")
   }
 
+  test("indexingStatus: op-count split follows commitLog and persist") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("ixs")
+    // empty log: vacuous progress 1.0 (the reference's total_ops==0 arm)
+    assert(coll.indexingStatus() ==
+      graft.api.IndexingStatus(1.0, 0L, 0L, 0L))
+    coll.add(Seq(("a", "alpha"), ("b", "beta")).toDF("id", "document"))
+    // buffered but not log-committed: invisible (the reference counts
+    // only ops its log service accepted)
+    assert(coll.indexingStatus().totalOps == 0L)
+    coll.commitLog()
+    assert(coll.indexingStatus() ==
+      graft.api.IndexingStatus(0.0, 2L, 0L, 2L))
+    coll.persist() // walmark now covers entry 1
+    assert(coll.indexingStatus() ==
+      graft.api.IndexingStatus(1.0, 0L, 2L, 2L))
+    coll.add(Seq(("c", "gamma")).toDF("id", "document"))
+    coll.commitLog()
+    val st = coll.indexingStatus()
+    assert(st == graft.api.IndexingStatus(2.0 / 3.0, 1L, 2L, 3L), st)
+  }
+
   test("typed metadata round-trips for UNDECLARED keys, incl. persist/reopen") {
     val root = freshRoot()
     val client = new Client(spark, root)
