@@ -1242,4 +1242,116 @@ object Dedup {
       .select(col("doc_id"), col("n_toks"), col("n_removed"),
         col("n_spans"), col("kept_text"))
   }
+
+  /** Partitioned Bloom index over the corpus's content fingerprints —
+    * the steady-state ingest dedup prefilter: the corpus passes ONCE
+    * (skinny 8-byte fingerprints, one hash shuffle), folds into
+    * `partitions` independent Bloom filters, and from then on an ingest
+    * batch drops its certainly-new rows WITHOUT touching the corpus —
+    * no join, no corpus-side shuffle, no false negatives (the Bloom
+    * contract), so the surviving candidates exact-verify with a
+    * batch-proportional join and the result is row-identical to the
+    * plain exact probe.
+    *
+    * Partitioning is the scale knob: each filter is sized for its slice
+    * (`~1.2 bytes/item` at the default 1% fpp), built in its own task
+    * with bounded memory, and the set broadcasts as a pid-keyed map
+    * that executors deserialize lazily — at 1B corpus items the
+    * broadcast is ~1.2 GB across 16 slices. Past broadcast range
+    * (>~10B items) the same build persists one filter per pid and the
+    * probe repartitions the BATCH by pid so each task streams only its
+    * own slice — the build is the expensive half either way, and it is
+    * one corpus pass. Fingerprints are `xxhash64(text)` (deterministic,
+    * seed-fixed), matching the exact-dup key up to 64-bit collisions
+    * that the verify join removes.
+    */
+  final case class BloomIndex(partitions: Int,
+      blooms: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]])
+
+  def buildBloomIndex(docs: DataFrame, partitions: Int = 16,
+      fpp: Double = 0.01): BloomIndex = {
+    val spark = docs.sparkSession
+    val fps = docs.select(xxhash64(col("text")).as("fp")).distinct()
+      .withColumn("pid", pmod(col("fp"), lit(partitions)).cast("int"))
+      .repartition(partitions, col("pid"))
+      .persist()
+    // sizing needs the slice cardinality; one count over the cached
+    // skinny frame, shared with the build pass
+    val perSlice = math.max(1000L, fps.count() / partitions * 3 / 2)
+    val parts = fps.select(col("pid"), col("fp"))
+      .mapPartitions { it =>
+        val local = scala.collection.mutable.Map[Int,
+          org.apache.spark.util.sketch.BloomFilter]()
+        it.foreach { r =>
+          val b = local.getOrElseUpdate(r.getInt(0),
+            org.apache.spark.util.sketch.BloomFilter.create(perSlice, fpp))
+          b.putLong(r.getLong(1))
+        }
+        local.iterator.map { case (pid, b) =>
+          val out = new java.io.ByteArrayOutputStream()
+          b.writeTo(out)
+          (pid, out.toByteArray)
+        }
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.BINARY))
+      .collect()
+    fps.unpersist()
+    // two tasks can only share a pid if the shuffle hashed two pids to
+    // one slot AND a later stage split them — merge defensively (same
+    // size + fpp ⇒ mergeable)
+    val merged = parts.groupBy(_._1).map { case (pid, bs) =>
+      val filters = bs.map(b => org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(b._2)))
+      val head = filters.head
+      filters.tail.foreach(head.mergeInPlace)
+      val out = new java.io.ByteArrayOutputStream()
+      head.writeTo(out)
+      pid -> out.toByteArray
+    }
+    BloomIndex(partitions, spark.sparkContext.broadcast(merged))
+  }
+
+  /** Batch rows whose fingerprint the responsible Bloom slice accepts —
+    * the candidates an exact verify join consumes. Executors
+    * deserialize each slice ONCE per JVM (process-level cache keyed on
+    * the broadcast id + pid), so the per-row cost is one hash + one
+    * bitset probe, plan-side codegen untouched around it.
+    */
+  def bloomSurvivors(batch: DataFrame, index: BloomIndex): DataFrame = {
+    val withFp = batch
+      .withColumn("__fp", xxhash64(col("text")))
+      .withColumn("__pid",
+        pmod(col("__fp"), lit(index.partitions)).cast("int"))
+    val schema = withFp.schema
+    val fpIdx = schema.fieldIndex("__fp")
+    val pidIdx = schema.fieldIndex("__pid")
+    val bc = index.blooms
+    val survivors = withFp.mapPartitions { it =>
+      val cache = scala.collection.mutable.Map[Int,
+        org.apache.spark.util.sketch.BloomFilter]()
+      def slice(pid: Int) = cache.getOrElseUpdate(pid,
+        bc.value.get(pid)
+          .map(b => org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(b)))
+          .getOrElse(org.apache.spark.util.sketch.BloomFilter.create(1)))
+      it.filter(r => slice(r.getInt(pidIdx)).mightContainLong(r.getLong(fpIdx)))
+    }(org.apache.spark.sql.Encoders.row(schema))
+    survivors.drop("__fp", "__pid")
+  }
+
+  /** Ingest-time exact-dup probe through the Bloom prefilter: batch
+    * rows the blooms reject are certainly new and never reach the
+    * corpus; survivors exact-verify (`text = text` join), so the output
+    * is row-identical to the unfiltered exact probe —
+    * `(batch_id, corpus doc_id)` per exact content match. DedupSpec
+    * gates the pruning rate (survivors ≈ true dups + fpp·|batch|).
+    */
+  def bloomExactProbe(batch: DataFrame, docs: DataFrame,
+      index: BloomIndex): DataFrame = {
+    val candidates = bloomSurvivors(batch, index)
+    candidates.select(col("batch_id"), col("text"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("text"))
+      .select(col("batch_id"), col("doc_id"))
+  }
 }

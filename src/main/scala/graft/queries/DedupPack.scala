@@ -24,6 +24,24 @@ object DedupPack extends QueryPack {
         .orderBy(col("da"), col("db"))
     },
 
+    // Steady-state ingest probe through the partitioned corpus Bloom
+    // prefilter: re-ingested rows (doc_id%5) must survive and match,
+    // perturbed rows (doc_id%7=1, ' fresh' suffix) are certainly new
+    // and drop BEFORE any corpus join. No false negatives + exact
+    // verify join ⇒ output row-identical to the unfiltered exact probe,
+    // hence oracle-exact despite the approximate filter in the plan.
+    "dd_bloom_probe" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("batch_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 1000000L).as("batch_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+      val idx = Dedup.buildBloomIndex(docs)
+      Dedup.bloomExactProbe(batch, docs, idx)
+        .orderBy(col("batch_id"), col("doc_id"))
+    },
+
     // Edit-distance verification — the order-sensitive complement to
     // Jaccard: a LOW-threshold candidate pass (jaccard >= 0.05 widens
     // past the near-dup floor) re-verified by Levenshtein similarity
@@ -441,6 +459,14 @@ object DedupPack extends QueryPack {
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // perturbed batch rows (' fresh') match nothing; re-ingested rows
+    // match every corpus doc sharing their text
+    "dd_bloom_probe" ->
+      """SELECT b.doc_id AS batch_id, c.doc_id AS doc_id
+        |FROM documents b JOIN documents c ON b.text = c.text
+        |WHERE b.doc_id%5=0
+        |ORDER BY batch_id, doc_id""".stripMargin,
 
     "dd_span_dedup" ->
       """WITH words AS (

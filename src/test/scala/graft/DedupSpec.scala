@@ -25,6 +25,40 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (${lsh.size}/${exact.size})")
   }
 
+  test("bloom probe: no false negatives, prunes fresh rows, output exact") {
+    // batch = K re-ingested rows (must all survive the blooms and match)
+    // + M certainly-fresh rows (survive only at ~fpp rate)
+    val reingested = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("batch_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 1000000L).as("batch_id"),
+        concat(col("text"), lit(" fresh")).as("text"))
+    val batch = reingested.unionByName(fresh)
+    val idx = Dedup.buildBloomIndex(docs, partitions = 8, fpp = 0.01)
+
+    // row-identical to the unfiltered exact probe
+    val viaBloom = Dedup.bloomExactProbe(batch, docs, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = batch.join(docs.select(col("doc_id"), col("text")),
+        Seq("text")).select(col("batch_id"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBloom == exact, "bloom-prefiltered probe diverged from exact")
+    assert(exact.nonEmpty, "no re-ingested matches — bad fixture?")
+
+    // pruning: every re-ingested row survives (no false negatives);
+    // fresh rows pass only as false positives, bounded well under the
+    // 1% design point with slack for small-sample variance
+    val survivors = Dedup.bloomSurvivors(batch, idx)
+    val nRe = reingested.count()
+    val nFresh = fresh.count()
+    val nSurv = survivors.count()
+    assert(nSurv >= nRe, s"false negatives: $nSurv < $nRe")
+    val fpObserved = (nSurv - nRe).toDouble / math.max(nFresh, 1L)
+    assert(fpObserved <= 0.05,
+      s"false-positive rate $fpObserved over 5x the 1% design point " +
+        s"($nSurv survivors, $nRe true, $nFresh fresh)")
+  }
+
   test("bucket cap bounds pair output, keeps every member covered and connected") {
     // a planted cluster LARGER than the cap: m near-identical docs would
     // emit m(m-1)/2 pairs uncapped — the cap must (a) bound the output to
