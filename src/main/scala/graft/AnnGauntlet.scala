@@ -311,6 +311,23 @@ object AnnGauntlet {
     per.sum / per.size
   }
 
+  /** Cheapest measured operating point per recall target — the
+    * artifact's actionable face (r10 verdict: "presents a served path a
+    * user should never pick at that operating point"): for each target,
+    * the ladder row with `recall >= target` minimizing measured
+    * latency; None when no setting reaches the target. Pure over the
+    * measured rows, so the advice always reflects THIS host and THIS
+    * corpus, never a hardcoded preference — on the hard cell it
+    * recommends exact or multi-bit over 1-bit sign codes at high
+    * targets because the measurements say so.
+    */
+  def advise(rows: Seq[HardResult],
+      targets: Seq[Double] = Seq(0.90, 0.95, 0.99))
+      : Seq[(Double, Option[HardResult])] =
+    targets.map(t =>
+      t -> rows.filter(_.recall >= t).sortBy(r => (r.secMin, r.path))
+        .headOption)
+
   /** The hard cell: one corpus, exact ground truth, each served path at
     * an nprobe/ef LADDER — the recall-vs-probe curve the planted cell
     * cannot produce. Recall ≥ 0.95 must be reachable at some setting
@@ -496,6 +513,13 @@ object AnnGauntlet {
       mbBest.map(r => f"quantized_mb reaches recall ${r.recall}%.3f at " +
         f"${r.secMin}%.2f s vs exact ${exactMin}%.2f s").getOrElse(
         "quantized_mb did not reach 0.95 this run")
+    // per-target cheapest measured operating point on the hard corpus
+    val advisorJson = advise(hard).map { case (t, pick) =>
+      f""""$t%.2f":""" + pick.map(r =>
+        f"""{"path":"${r.path}","setting":"${r.setting}",""" +
+          f""""sec":${r.secMin}%.3f,"recall":${r.recall}%.4f}""")
+        .getOrElse("null")
+    }.mkString("{", ",", "}")
     // downward-only 2x latency ratchet over every measured row
     val ratchetRows =
       results.flatMap { case (cell, rs) =>
@@ -506,7 +530,7 @@ object AnnGauntlet {
     val line = s"""{"metric":"ann_gauntlet","dim":$Dim,"k":$K,""" +
       s""""nq":$NQueries,"cells":$json,""" +
       f""""hard_x1m":{"cross_mass":$hardCross%.4f,"paths":$hardJson,""" +
-      s""""note":"$note"},""" +
+      s""""advisor":$advisorJson,"note":"$note"},""" +
       s""""ratchet_flags":${flagged.map(f => s""""$f"""")
         .mkString("[", ",", "]")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("ANN_GAUNTLET.json"),

@@ -63,5 +63,31 @@ class AnnGauntletSpec extends AnyFunSuite {
         f"4-bit [${m.setting}] recall ${m.recall}%.3f fell below " +
           f"1-bit [${s.setting}] ${s.recall}%.3f despite the finer codes")
     }
+
+    // the advisor picks the cheapest measured row meeting each target
+    // over the REAL ladder: advice must satisfy its target, be minimal
+    // among qualifying rows, and exact (recall 1.0) must make every
+    // target reachable
+    for ((t, pick) <- AnnGauntlet.advise(results)) {
+      assert(pick.nonEmpty, f"target $t%.2f unreachable despite exact rows")
+      val p = pick.get
+      assert(p.recall >= t)
+      val qualifying = results.filter(_.recall >= t)
+      assert(qualifying.forall(_.secMin >= p.secMin),
+        f"advisor pick ${p.path}[${p.setting}] ${p.secMin}%.3f s is not " +
+          "the cheapest qualifying row")
+    }
+  }
+
+  test("advise: minimal qualifying row per target, null when unreachable") {
+    def row(path: String, sec: Double, recall: Double) =
+      AnnGauntlet.HardResult(path, "s", sec, sec, recall)
+    val rows = Seq(row("cheap_low", 1.0, 0.80), row("mid", 2.0, 0.96),
+      row("fast_mid", 1.5, 0.95), row("exactish", 4.0, 0.999))
+    val out = AnnGauntlet.advise(rows, Seq(0.5, 0.95, 0.99, 0.9999)).toMap
+    assert(out(0.5).get.path == "cheap_low")
+    assert(out(0.95).get.path == "fast_mid") // cheapest of the two >= 0.95
+    assert(out(0.99).get.path == "exactish")
+    assert(out(0.9999).isEmpty) // honest null, never a below-target pick
   }
 }
