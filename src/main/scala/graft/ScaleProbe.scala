@@ -42,6 +42,11 @@ object ScaleProbe {
     // star-edge degradation, DedupSpec gates the recall effect); the
     // measured scale path for the family is the row below.
     "dd_minhash_clusters", // LSH cluster LABELS: output-proportional scale path
+    "dd_bloom_probe",      // bloom BUILD (one corpus pass of 8-byte fps)
+                           // + batch probe; the timed row is
+                           // build-dominated and ~linear — steady-state
+                           // ingest amortizes the build and pays only
+                           // the batch-proportional probe + verify
     "dd_span_dedup",       // two-shuffle span dedup: linear
     "dd_substring_dedup",  // sliding-window dedup: linear with a kx constant
                            // (window blowup moves once; covered-position

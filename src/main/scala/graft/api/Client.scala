@@ -63,6 +63,24 @@ final class Client(spark: SparkSession, root: String,
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ref.dataRoot))
   }
 
+  /** Wipe the entire deployment under `root` — every tenant, database,
+    * collection, segment, WAL, and served index — the reference's
+    * `reset()` (`chromadb/api/__init__.py:480`), which is gated by the
+    * `ALLOW_RESET` setting and rejects by default: destroying a
+    * deployment must be a two-step intent, never a method call that
+    * autocompleted. Re-bootstraps this client's tenant/database so the
+    * handle stays usable, and returns true like the reference.
+    */
+  def reset(allowReset: Boolean = false): Boolean = {
+    require(allowReset,
+      "reset() is disabled by default — pass allowReset=true " +
+        "(the reference's ALLOW_RESET gate)")
+    org.apache.commons.io.FileUtils.cleanDirectory(new java.io.File(root))
+    Catalog.createTenant(root, tenant)
+    Catalog.createDatabase(root, tenant, database)
+    true
+  }
+
   /** Fork `src` into `dst` — copy-on-write: dst reads src's persisted
     * segment (no data copied) and diverges through its own WAL. Under
     * quota, the fork TREE hanging off src's root collection may hold at

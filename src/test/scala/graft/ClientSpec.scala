@@ -32,6 +32,18 @@ class ClientSpec extends AnyFunSuite {
     assert(client.getOrCreateCollection("vecs").ref.name == "vecs")
   }
 
+  test("reset: rejected by default, wipes the deployment, re-bootstraps") {
+    val client = new Client(spark, freshRoot())
+    client.createCollection("keepme").add(
+      Seq(("a", "alpha")).toDF("id", "document"))
+    intercept[IllegalArgumentException] { client.reset() }
+    assert(client.listCollections() == Seq("keepme"), "gate must not wipe")
+    assert(client.reset(allowReset = true))
+    assert(client.listCollections().isEmpty)
+    client.createCollection("after") // the client stays usable
+    assert(client.listCollections() == Seq("after"))
+  }
+
   test("indexingStatus: op-count split follows commitLog and persist") {
     val client = new Client(spark, freshRoot())
     val coll = client.createCollection("ixs")
