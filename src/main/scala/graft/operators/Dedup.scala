@@ -1268,15 +1268,17 @@ object Dedup {
   final case class BloomIndex(partitions: Int,
       blooms: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]])
 
-  def buildBloomIndex(docs: DataFrame, partitions: Int = 16,
-      fpp: Double = 0.01): BloomIndex = {
-    val spark = docs.sparkSession
+  private def buildSlices(docs: DataFrame, partitions: Int,
+      fpp: Double): (Map[Int, Array[Byte]], Long) = {
     val fps = docs.select(xxhash64(col("text")).as("fp")).distinct()
       .withColumn("pid", pmod(col("fp"), lit(partitions)).cast("int"))
       .repartition(partitions, col("pid"))
       .persist()
     // sizing needs the slice cardinality; one count over the cached
-    // skinny frame, shared with the build pass
+    // skinny frame, shared with the build pass. The 1.5x headroom is
+    // the delta budget: stream-appended fingerprints ride the same
+    // slices until a compaction-time rebuild resizes, the same
+    // re-compaction contract as every served index family.
     val perSlice = math.max(1000L, fps.count() / partitions * 3 / 2)
     val parts = fps.select(col("pid"), col("fp"))
       .mapPartitions { it =>
@@ -1309,7 +1311,150 @@ object Dedup {
       head.writeTo(out)
       pid -> out.toByteArray
     }
-    BloomIndex(partitions, spark.sparkContext.broadcast(merged))
+    (merged, perSlice)
+  }
+
+  def buildBloomIndex(docs: DataFrame, partitions: Int = 16,
+      fpp: Double = 0.01): BloomIndex = {
+    val (merged, _) = buildSlices(docs, partitions, fpp)
+    BloomIndex(partitions, docs.sparkSession.sparkContext.broadcast(merged))
+  }
+
+  /** Delta fingerprint rows for a doc micro-batch — what
+    * [[graft.streaming.EventStream.bloomMaintain]] appends. Raw
+    * `(pid, fp)` longs, NOT serialized filters: deltas stay tiny and
+    * mergeable regardless of slice sizing, and re-applying one (replay,
+    * crashed compaction) is idempotent because a Bloom put sets the
+    * same bits it set the first time.
+    */
+  def bloomDeltaFps(batch: DataFrame, partitions: Int): DataFrame =
+    batch.select(xxhash64(col("text")).as("fp")).distinct()
+      .withColumn("pid", pmod(col("fp"), lit(partitions)).cast("int"))
+      .select(col("pid"), col("fp"))
+
+  private def bloomBaseDir(root: String) = s"$root/base"
+  def bloomDeltasDir(root: String) = s"$root/deltas"
+  private def bloomMetaPath(root: String) =
+    java.nio.file.Paths.get(root, "_meta.json")
+
+  /** Persist the corpus Bloom slices under `root` — the compaction-time
+    * build the streaming deltas ride on. Layout:
+    * {{{
+    *   <root>/_meta.json       {partitions, fpp, per_slice}
+    *   <root>/base             parquet (pid INT, bloom BINARY)
+    *   <root>/deltas/batch=N   parquet (pid INT, fp LONG)  [streamed]
+    * }}}
+    */
+  def saveBloomIndex(docs: DataFrame, root: String, partitions: Int = 16,
+      fpp: Double = 0.01): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merged, perSlice) = buildSlices(docs, partitions, fpp)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    merged.toSeq.toDF("pid", "bloom").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(bloomBaseDir(root))
+    java.nio.file.Files.write(bloomMetaPath(root),
+      s"""{"partitions": $partitions, "fpp": $fpp, "per_slice": $perSlice}"""
+        .getBytes("UTF-8"))
+  }
+
+  private[graft] def bloomMeta(root: String): (Int, Double, Long) = {
+    val j = org.json4s.jackson.JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(bloomMetaPath(root)), "UTF-8"))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    ((j \ "partitions").extract[Int], (j \ "fpp").extract[Double],
+      (j \ "per_slice").extract[Long])
+  }
+
+  private def bloomNextDir(root: String) = s"$root/base_next"
+  // a compaction's folded base is valid iff its job committed
+  private def committedNext(root: String): Boolean =
+    new java.io.File(s"${bloomNextDir(root)}/_SUCCESS").exists()
+
+  /** Load the persisted slices with every streamed delta folded in —
+    * the serving read. Delta volume is bounded by write rate ×
+    * compaction cadence (the WAL-tail contract), applied driver-side as
+    * plain puts into the deserialized slices before the broadcast. A
+    * COMMITTED `base_next` (a compaction that crashed before its
+    * finish) is preferred over `base`: it already folded the deltas,
+    * and re-applying any deltas still on disk is a no-op.
+    */
+  def loadBloomIndex(spark: SparkSession, root: String): BloomIndex = {
+    val (partitions, fpp, perSlice) = bloomMeta(root)
+    val baseDir = if (committedNext(root)) bloomNextDir(root)
+      else bloomBaseDir(root)
+    val slices = scala.collection.mutable.Map[Int,
+      org.apache.spark.util.sketch.BloomFilter]()
+    spark.read.parquet(baseDir).collect().foreach { r =>
+      slices(r.getInt(0)) = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+    }
+    val dDir = new java.io.File(bloomDeltasDir(root))
+    if (dDir.isDirectory && dDir.list().nonEmpty) {
+      // explicit schema: an empty or mid-write delta dir must read as
+      // zero rows, never an infer-schema failure
+      spark.read.schema("pid INT, fp BIGINT")
+        .parquet(bloomDeltasDir(root))
+        .select(col("pid"), col("fp")).collect().foreach { r =>
+          slices.getOrElseUpdate(r.getInt(0),
+            org.apache.spark.util.sketch.BloomFilter.create(perSlice, fpp))
+            .putLong(r.getLong(1))
+        }
+    }
+    val bytes = slices.map { case (pid, b) =>
+      val out = new java.io.ByteArrayOutputStream()
+      b.writeTo(out)
+      pid -> out.toByteArray
+    }.toMap
+    BloomIndex(partitions, spark.sparkContext.broadcast(bytes))
+  }
+
+  /** Fold the streamed deltas into the persisted base and drop them —
+    * the family's posting compaction. Every crash window re-loads to
+    * the same filter: the folded base lands as a COMMITTED `base_next`
+    * before anything is removed ([[loadBloomIndex]] prefers it), a
+    * delta surviving past its fold re-applies as a no-op (idempotent
+    * puts), and the finish (drop deltas, swap next over base) is
+    * re-runnable — never an in-place overwrite of the only base copy.
+    */
+  def compactBloom(spark: SparkSession, root: String): Unit = {
+    import spark.implicits._
+    // finish a predecessor that crashed after retiring base: the
+    // committed next IS the current filter — swap it in before anything
+    // below deletes it
+    if (!new java.io.File(bloomBaseDir(root)).exists() &&
+        committedNext(root))
+      org.apache.commons.io.FileUtils.moveDirectory(
+        new java.io.File(bloomNextDir(root)),
+        new java.io.File(bloomBaseDir(root)))
+    // snapshot the delta batches BEFORE loading: a delta landing while
+    // the fold runs may or may not be folded (either is fine — a folded
+    // survivor re-applies as a no-op) but must NOT be deleted unfolded
+    val dDir = new java.io.File(bloomDeltasDir(root))
+    val snapshot = Option(dDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    // fold in memory (load prefers a committed next and applies any
+    // deltas), then write to a staging dir NO reader consults — a
+    // crash mid-write can never damage a copy load would use
+    val idx = loadBloomIndex(spark, root)
+    val tmp = s"$root/base_tmp"
+    idx.blooms.value.toSeq.toDF("pid", "bloom").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp)
+    // enter the preference chain in one directory move (the _SUCCESS
+    // commit marker travels with it); only then retire the snapshotted
+    // deltas and the old base
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(bloomNextDir(root)))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(tmp), new java.io.File(bloomNextDir(root)))
+    snapshot.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(bloomBaseDir(root)))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(bloomNextDir(root)),
+      new java.io.File(bloomBaseDir(root)))
   }
 
   /** Batch rows whose fingerprint the responsible Bloom slice accepts —

@@ -536,6 +536,34 @@ object StreamingPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Incremental Bloom prefilter — the EIGHTH stream-kept family: the
+    // base builds from doc_id%3!=0, the %3==0 remainder streams in as
+    // delta batches, and the probe must catch re-ingested rows from
+    // BOTH halves — a lost delta row would drop a doc_id%15==0 batch
+    // row from the (exact, verify-joined) output, so the hash match
+    // against dd_bloom_probe's oracle proves no delta was lost.
+    "st_bloom_maintain" -> { (s, d) =>
+      import graft.Tables
+      val docs = Tables.documents(s, d)
+      val neu = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val src = stagedSrc(d, "bloom_maintain_src", "parts3") { p =>
+        stageParts(neu, "doc_id", 3, p) }
+      val root = java.nio.file.Files.createTempDirectory("bloom_m").toString
+      graft.operators.Dedup.saveBloomIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), root, partitions = 8)
+      EventStream.bloomMaintain(s, src, root, s"$root/ckpt",
+        filesPerBatch = 2)
+      val idx = graft.operators.Dedup.loadBloomIndex(s, root)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("batch_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 1000000L).as("batch_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+      graft.operators.Dedup.bloomExactProbe(batch, docs, idx)
+        .orderBy(col("batch_id"), col("doc_id"))
+    },
+
     "st_minhash_upsert" -> { (s, d) =>
       import graft.Tables
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -692,6 +720,10 @@ object StreamingPack extends QueryPack {
     // the dd_minhash_oracle SQL verbatim — the stream-built bucket table
     // must yield the identical J=1.0 pair set the batch build yields
     "st_minhash_upsert_oracle" -> DedupPack.oracle("dd_minhash_oracle"),
+
+    // dd_bloom_probe's SQL verbatim: the stream-maintained blooms must
+    // catch exactly what a fresh batch build catches
+    "st_bloom_maintain" -> DedupPack.oracle("dd_bloom_probe"),
 
     // the dd_span_dedup SQL verbatim — ordered ingest-time span dedup
     // must equal the corpus-wide batch dedup exactly

@@ -192,6 +192,46 @@ object EventStream extends Serializable {
     q.awaitTermination()
   }
 
+  /** Incremental Bloom-prefilter maintenance — the EIGHTH stream-kept
+    * family: each arriving doc micro-batch appends its `(pid, fp)`
+    * fingerprint rows under `deltasDir`
+    * ([[graft.operators.Dedup.bloomDeltaFps]]), and
+    * [[graft.operators.Dedup.loadBloomIndex]] folds base + deltas at
+    * serve time; [[graft.operators.Dedup.compactBloom]] retires the
+    * deltas on the compaction cadence. Replay-safe TWICE over: the
+    * batchId-keyed append is idempotent like every family's, and a
+    * delta that somehow applied twice sets the same Bloom bits it set
+    * the first time — exactness is purely "no delta row lost", gated
+    * in StreamingSpec by the fresh-rebuild probe twin.
+    */
+  def bloomMaintain(spark: SparkSession, srcDir: String, bloomRoot: String,
+      checkpoint: String, filesPerBatch: Int = 1): Unit = {
+    // slice routing comes from the PERSISTED meta — a caller-supplied
+    // partition count could silently route deltas to the wrong slice
+    // (a false NEGATIVE, the one error class the family must never make)
+    val (partitions, _, _) = graft.operators.Dedup.bloomMeta(bloomRoot)
+    val deltasDir = graft.operators.Dedup.bloomDeltasDir(bloomRoot)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        idempotentAppend(
+          graft.operators.Dedup.bloomDeltaFps(batch, partitions)
+            .coalesce(1), // a delta is a tiny long-pair table
+          deltasDir, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Incremental trigram-FTS maintenance: documents stream in and each
     * micro-batch appends its posting rows to the served table (same
     * layout [[graft.operators.Fts.buildAndSave]] writes, so queries read

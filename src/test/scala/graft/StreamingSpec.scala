@@ -1086,6 +1086,59 @@ class StreamingSpec extends AnyFunSuite {
       s"expected the ordering guard to fire, got $e")
   }
 
+  test("bloom maintenance: deltas serve, compaction folds, crash heals") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = (0L until 60L).map(i => (i, s"base doc $i words w$i"))
+    val streamed = (100L until 130L).map(i => (i, s"streamed doc $i w$i"))
+    val corpus = (base ++ streamed).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("bloom_fam").toString
+
+    Dedup.saveBloomIndex(base.toDF("doc_id", "text"), root, partitions = 4)
+    val src = s"$root/src"
+    streamed.toDF("doc_id", "text")
+      .withColumn("part", pmod(col("doc_id"), lit(2)))
+      .repartitionByRange(2, col("part")).drop("part")
+      .write.parquet(src)
+    EventStream.bloomMaintain(spark, src, root, s"$root/ckpt")
+
+    def probeSet(): Set[(Long, Long)] = {
+      val batch = corpus.select(col("doc_id").as("batch_id"), col("text"))
+      Dedup.bloomExactProbe(batch, corpus,
+          Dedup.loadBloomIndex(spark, root))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val expect = (base ++ streamed).map(r => (r._1, r._1)).toSet
+    assert(probeSet() == expect,
+      "maintained index must catch base AND streamed docs exactly")
+
+    // keep a delta copy to re-apply post-compaction (replay simulation)
+    val deltas = new java.io.File(Dedup.bloomDeltasDir(root))
+    val stash = new java.io.File(s"$root/stash")
+    org.apache.commons.io.FileUtils.copyDirectory(deltas, stash)
+
+    Dedup.compactBloom(spark, root)
+    assert(!deltas.exists() || deltas.list().isEmpty,
+      "compaction must retire the folded deltas")
+    assert(probeSet() == expect, "compaction changed the served filter")
+
+    // a replayed delta over a base that folded it is a no-op
+    org.apache.commons.io.FileUtils.copyDirectory(stash, deltas)
+    assert(probeSet() == expect, "replayed delta must be idempotent")
+    Dedup.compactBloom(spark, root)
+
+    // crash window: predecessor died after retiring base (only a
+    // committed next remains) — load serves, the next compact heals
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(s"$root/base"), new java.io.File(s"$root/base_next"))
+    assert(probeSet() == expect, "committed next must serve when base is gone")
+    Dedup.compactBloom(spark, root)
+    assert(new java.io.File(s"$root/base").exists() &&
+      !new java.io.File(s"$root/base_next").exists(),
+      "compaction must finish the crashed predecessor's swap")
+    assert(probeSet() == expect)
+  }
+
   test("substring dedup fails fast when batches arrive out of doc_id order") {
     assertOrderGuardFires("sub_order_spec")(
       EventStream.substringMaintain(spark, _, _, _))
