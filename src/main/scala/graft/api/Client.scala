@@ -264,7 +264,7 @@ final class CollectionHandle(spark: SparkSession,
       // to WAL-record shape for the materializer. The typed maps
       // tag-encode into the wire string map (TypedMeta) so int/float/bool
       // metadata — declared or not — survives the persist/reopen cycle.
-      val seg = TypedMeta.encodeArrStr(TypedMeta.encodeSparse(
+      val seg = TypedMeta.encodeArrays(TypedMeta.encodeSparse(
           TypedMeta.encodeUri(TypedMeta.encode(
           CollectionStore.loadRecords(spark, dataRoot)
             .withColumnRenamed("meta_str", "meta")))))
@@ -576,9 +576,9 @@ final class CollectionHandle(spark: SparkSession,
     // sparse-vector metadata (MetadataValue::SparseVector) rides the
     // map tag-encoded; compaction shreds it back to the typed column
     df = TypedMeta.encodeSparse(df)
-    // array-of-string metadata (list MetadataValue) rides the map as
-    // tagged JSON; compaction shreds it back for $contains serving
-    df = TypedMeta.encodeArrStr(df)
+    // array metadata (list MetadataValue, all four element types) rides
+    // the map as tagged JSON; compaction shreds it back for $contains
+    df = TypedMeta.encodeArrays(df)
     embedFn match {
       case Some(fn) if !df.columns.contains("embedding") =>
         // embedDf: expression functions attach once (codegen plan),
@@ -710,13 +710,12 @@ final class CollectionHandle(spark: SparkSession,
       merged(declared(Catalog.VFloat), "double", TypedMeta.decodeFloat).as("meta_float"),
       merged(declared(Catalog.VBool), "boolean", TypedMeta.decodeBool).as("meta_bool"),
       TypedMeta.decodeSparse(col("meta")).as("meta_sparse"),
-      // string arrays round-trip tagged for any key; the other array
-      // types have no facade write surface yet — empty typed maps keep
-      // ArrContains compilable (absent-key semantics) on every record
+      // all four array types round-trip tagged for any key, declared
+      // or not (the WAL tag carries the element type)
       TypedMeta.decodeArrStr(col("meta")).as("meta_str_arr"),
-      none.cast("map<string,array<bigint>>").as("meta_int_arr"),
-      none.cast("map<string,array<double>>").as("meta_float_arr"),
-      none.cast("map<string,array<boolean>>").as("meta_bool_arr"))
+      TypedMeta.decodeArrInt(col("meta")).as("meta_int_arr"),
+      TypedMeta.decodeArrFloat(col("meta")).as("meta_float_arr"),
+      TypedMeta.decodeArrBool(col("meta")).as("meta_bool_arr"))
   }
 
   private def buildCollection(): Collection =
@@ -853,12 +852,26 @@ final class CollectionHandle(spark: SparkSession,
     leaves.flatMap { case (k, vs, isArr) =>
       ref.schema.keys.get(k).collect {
         case c if Catalog.invertedEnabled(c) && (
-            if (isArr)
-              c.valueType == Catalog.VStringArray &&
-                vs.forall(_.isInstanceOf[Where.VStr])
+            if (isArr) arrTypesAlign(c.valueType, vs)
             else typesAlign(c.valueType, vs)) => (k, c, vs)
       }
     }.headOption
+  }
+
+  /** Element-type alignment for array `$contains` routing — the same
+    * promoted-double numeric semantics the scan predicate applies
+    * (`Where.arrLookup` casts int/float arrays to array&lt;double&gt;).
+    */
+  private def arrTypesAlign(t: Catalog.ValueType,
+      vs: Seq[graft.model.Where.Value]): Boolean = {
+    import graft.model.Where._
+    vs.forall { v => (t, v) match {
+      case (Catalog.VStringArray, VStr(_)) => true
+      case (Catalog.VBoolArray, VBool(_)) => true
+      case (Catalog.VIntArray, VInt(_) | VFloat(_)) => true
+      case (Catalog.VFloatArray, VInt(_) | VFloat(_)) => true
+      case _ => false
+    } }
   }
 
   /** All range leaves (`$gt/$gte/$lt/$lte`) at the top-level conjunction
@@ -973,7 +986,7 @@ final class CollectionHandle(spark: SparkSession,
     */
   private def persistedRecs(): Dataset[Rec] = segmentDataRoot(ref) match {
     case Some(dataRoot) =>
-      TypedMeta.encodeArrStr(TypedMeta.encodeSparse(
+      TypedMeta.encodeArrays(TypedMeta.encodeSparse(
           TypedMeta.encodeUri(TypedMeta.encode(
           CollectionStore.loadRecords(spark, dataRoot)
             .withColumnRenamed("meta_str", "meta")))))

@@ -157,33 +157,73 @@ object TypedMeta {
     * replaces whole arrays, the reference's update semantics.
     */
   val TagArr: String = Sigil + "l" + Sigil
+  /** The other three primitive-array tags
+    * (`MetadataValue::{IntArray,FloatArray,BoolArray}`,
+    * `rust/types/src/metadata.rs:346-352`) — uppercase of the scalar
+    * tag letters. JSON payloads round-trip each element type exactly
+    * (longs and doubles print shortest-repr; from_json parses back
+    * bit-identical).
+    */
+  val TagArrInt: String = Sigil + "I" + Sigil
+  val TagArrFloat: String = Sigil + "F" + Sigil
+  val TagArrBool: String = Sigil + "B" + Sigil
 
-  /** Fold a `meta_str_arr` column (if present) into the WAL map. */
-  def encodeArrStr(records: DataFrame): DataFrame =
-    if (!records.columns.contains("meta_str_arr")) records
+  private val ArrCols: Seq[(String, String, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Seq(
+      ("meta_str_arr", TagArr, StringType),
+      ("meta_int_arr", TagArrInt, LongType),
+      ("meta_float_arr", TagArrFloat, DoubleType),
+      ("meta_bool_arr", TagArrBool, BooleanType))
+  }
+
+  private def encodeArrCol(records: DataFrame, colName: String,
+      tag: String): DataFrame =
+    if (!records.columns.contains(colName)) records
     else {
       val none = map_from_arrays(array(), array()).cast("map<string,string>")
-      val av = coalesce(col("meta_str_arr"),
+      val av = coalesce(col(colName),
         map_from_arrays(array(), array())
-          .cast(records.schema("meta_str_arr").dataType))
+          .cast(records.schema(colName).dataType))
       val encoded = transform_values(av,
-        (_, v) => concat(lit(TagArr), to_json(v)))
+        (_, v) => concat(lit(tag), to_json(v)))
       records
         .withColumn("meta", map_concat(
           map_filter(coalesce(col("meta"), none),
             (k, _) => !map_contains_key(encoded, k)),
           encoded))
-        .drop("meta_str_arr")
+        .drop(colName)
     }
+
+  /** Fold a `meta_str_arr` column (if present) into the WAL map. */
+  def encodeArrStr(records: DataFrame): DataFrame =
+    encodeArrCol(records, "meta_str_arr", TagArr)
+
+  /** Fold every typed-array metadata column present into the WAL map —
+    * the four-way generalization of [[encodeArrStr]].
+    */
+  def encodeArrays(records: DataFrame): DataFrame =
+    ArrCols.foldLeft(records) { case (df, (c, tag, _)) =>
+      encodeArrCol(df, c, tag)
+    }
+
+  private def decodeArrCol(meta: Column, tag: String,
+      elem: org.apache.spark.sql.types.DataType): Column =
+    transform_values(
+      map_filter(meta, (_, v) => v.startsWith(tag)),
+      (_, v) => from_json(
+        v.substr(lit(tag.length + 1), length(v)),
+        org.apache.spark.sql.types.ArrayType(elem)))
 
   /** The string-array map back out of the tagged entries. */
   def decodeArrStr(meta: Column): Column =
-    transform_values(
-      map_filter(meta, (_, v) => v.startsWith(TagArr)),
-      (_, v) => from_json(
-        v.substr(lit(TagArr.length + 1), length(v)),
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.StringType)))
+    decodeArrCol(meta, TagArr, org.apache.spark.sql.types.StringType)
+  def decodeArrInt(meta: Column): Column =
+    decodeArrCol(meta, TagArrInt, org.apache.spark.sql.types.LongType)
+  def decodeArrFloat(meta: Column): Column =
+    decodeArrCol(meta, TagArrFloat, org.apache.spark.sql.types.DoubleType)
+  def decodeArrBool(meta: Column): Column =
+    decodeArrCol(meta, TagArrBool, org.apache.spark.sql.types.BooleanType)
 
   /** Fold a `uri` column (if present) into the WAL map under [[UriKey]],
     * dropping the column; null uris add no entry (absent ≠ empty).
@@ -213,7 +253,8 @@ object TypedMeta {
         !k.startsWith(Sigil) &&
         !(v.startsWith(TagInt) || v.startsWith(TagFloat) ||
           v.startsWith(TagBool) || v.startsWith(TagSparse) ||
-          v.startsWith(TagArr))),
+          v.startsWith(TagArr) || v.startsWith(TagArrInt) ||
+          v.startsWith(TagArrFloat) || v.startsWith(TagArrBool))),
       (_, v) => when(v.startsWith(TagStr), v.substr(lit(TagStr.length + 1), length(v)))
         .otherwise(v))
 }

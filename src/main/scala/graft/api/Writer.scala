@@ -290,9 +290,9 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
       TypedMeta.decodeFloat(col("meta")).as("meta_float"),
       TypedMeta.decodeBool(col("meta")).as("meta_bool"),
       TypedMeta.decodeArrStr(col("meta")).as("meta_str_arr"),
-      none.cast("map<string,array<bigint>>").as("meta_int_arr"),
-      none.cast("map<string,array<double>>").as("meta_float_arr"),
-      none.cast("map<string,array<boolean>>").as("meta_bool_arr"))
+      TypedMeta.decodeArrInt(col("meta")).as("meta_int_arr"),
+      TypedMeta.decodeArrFloat(col("meta")).as("meta_float_arr"),
+      TypedMeta.decodeArrBool(col("meta")).as("meta_bool_arr"))
     // The matched id set stays distributed: the Delete ops append as a
     // WAL batch (no driver round-trip — at corpus scale the match list
     // does not fit a driver). Only the COUNT is an action, mirroring the

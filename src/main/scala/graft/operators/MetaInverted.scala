@@ -74,15 +74,29 @@ object MetaInverted {
     * `$contains` serve index-first like `$eq`.
     */
   def valueRows(records: DataFrame, key: String,
-      vtype: graft.sources.Catalog.ValueType): DataFrame = vtype match {
-    case graft.sources.Catalog.VStringArray =>
+      vtype: graft.sources.Catalog.ValueType): DataFrame = {
+    import graft.sources.Catalog._
+    // array elements render through the SAME canonical term rules as
+    // scalars: strings raw, bools toString, numerics promoted to double
+    // (`Where.arrLookup` casts int/float arrays to array<double>), so
+    // index probe and scan predicate agree on representation
+    def elems(colName: String, render: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column) =
       records.select(col("offset_id"),
-        explode(element_at(col("meta_str_arr"), key)).as("value"))
+        explode(element_at(col(colName), key)).as("elem"))
+        .select(col("offset_id"), render(col("elem")).as("value"))
         .filter(col("value").isNotNull)
-    case _ =>
-      records.select(col("offset_id"),
-        valueCol(records, key, vtype).as("value"))
-        .filter(col("value").isNotNull)
+    vtype match {
+      case VStringArray => elems("meta_str_arr", identity)
+      case VIntArray => elems("meta_int_arr",
+        _.cast("double").cast("string"))
+      case VFloatArray => elems("meta_float_arr", _.cast("string"))
+      case VBoolArray => elems("meta_bool_arr", _.cast("string"))
+      case _ =>
+        records.select(col("offset_id"),
+          valueCol(records, key, vtype).as("value"))
+          .filter(col("value").isNotNull)
+    }
   }
 
   /** Posting rows of one key over a shredded record frame. */

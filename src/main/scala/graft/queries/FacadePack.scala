@@ -554,6 +554,29 @@ object FacadePack extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // The int-array sibling (`MetadataValue::IntArray`,
+    // `rust/types/src/metadata.rs:348`): elements ride the WAL as
+    // tagged JSON, shred to `meta_int_arr`, and index one posting row
+    // per element under the promoted-double canonical term — the probe
+    // for VInt(4) and the scan's array<double> contains can never
+    // disagree on representation.
+    "fc_key_arr_contains_int" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_kaci_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("kaci", graft.sources.Catalog.Schema(
+        keys = Map("nums" -> graft.sources.Catalog.KeyConfig(
+          graft.sources.Catalog.VIntArray, invertedIndex = Some(true)))))
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("nums"), array(col("doc_id") % 7, col("doc_id") % 11,
+          lit(1000L) + col("doc_id") % 3)).as("meta_int_arr")))
+      coll.persist()
+      coll.get(where = Some(graft.model.Where.ArrContains("nums",
+          graft.model.Where.VInt(4), negated = false)))
+        .orderBy(col("id"))
+    },
+
     // Range predicates served from the VALUE-ORDERED posting layout
     // (the reference's sorted typed keys range-scan,
     // `rust/index/src/metadata/types.rs:580-676`): both conjunctive
@@ -1002,6 +1025,11 @@ object FacadePack extends QueryPack {
     "fc_key_arr_contains" ->
       """SELECT 'doc-'||doc_id AS id, text AS document FROM documents
         |WHERE list_contains([lang, source, 'tag'||(doc_id%7)], 'tag3')
+        |ORDER BY id""".stripMargin,
+
+    "fc_key_arr_contains_int" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document FROM documents
+        |WHERE list_contains([doc_id%7, doc_id%11, 1000+doc_id%3], 4)
         |ORDER BY id""".stripMargin,
 
     "fc_key_range" ->

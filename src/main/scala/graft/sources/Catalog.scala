@@ -39,6 +39,16 @@ object Catalog {
     * element value), so `$contains` serves index-first like `$eq`.
     */
   case object VStringArray extends ValueType { val name = "string[]" }
+  /** The other three primitive-array types of the reference's list
+    * metadata union (`rust/types/src/metadata.rs:346-352`
+    * `MetadataValue::{BoolArray,IntArray,FloatArray}`) — same
+    * element-level posting contract as [[VStringArray]]; numeric
+    * elements index under the Where compiler's promoted-double
+    * rendering so probe and scan predicate can never disagree.
+    */
+  case object VIntArray extends ValueType { val name = "int[]" }
+  case object VFloatArray extends ValueType { val name = "float[]" }
+  case object VBoolArray extends ValueType { val name = "bool[]" }
   case object VSparseVector extends ValueType { val name = "sparse_vector" }
   final case class VDenseVector(dim: Int, space: String) extends ValueType {
     val name = s"dense_vector($dim,$space)"
@@ -50,6 +60,9 @@ object Catalog {
       case "float" => VFloat
       case "bool" => VBool
       case "string[]" => VStringArray
+      case "int[]" => VIntArray
+      case "float[]" => VFloatArray
+      case "bool[]" => VBoolArray
       case "sparse_vector" => VSparseVector
       case v if v.startsWith("dense_vector(") =>
         val parts = v.stripPrefix("dense_vector(").stripSuffix(")").split(",")
@@ -91,7 +104,8 @@ object Catalog {
     */
   def invertedEnabled(c: KeyConfig): Boolean = c.invertedIndex.getOrElse(
     c.valueType match {
-      case VString | VInt | VFloat | VBool | VStringArray => true
+      case VString | VInt | VFloat | VBool |
+           VStringArray | VIntArray | VFloatArray | VBoolArray => true
       case _ => false
     })
 
@@ -311,7 +325,8 @@ object Catalog {
           "use Schema(documentFts = true)")
       c.invertedIndex.foreach { _ =>
         require(
-          Set[ValueType](VString, VInt, VFloat, VBool, VStringArray)(
+          Set[ValueType](VString, VInt, VFloat, VBool,
+            VStringArray, VIntArray, VFloatArray, VBoolArray)(
             c.valueType),
           s"key $k: no inverted index exists for type ${c.valueType.name}")
       }
@@ -681,7 +696,10 @@ object Catalog {
       "meta_str" -> declared(VString), "meta_int" -> declared(VInt),
       "meta_float" -> declared(VFloat), "meta_bool" -> declared(VBool),
       "meta_sparse" -> declared(VSparseVector),
-      "meta_str_arr" -> declared(VStringArray)
+      "meta_str_arr" -> declared(VStringArray),
+      "meta_int_arr" -> declared(VIntArray),
+      "meta_float_arr" -> declared(VFloatArray),
+      "meta_bool_arr" -> declared(VBoolArray)
     ).filter { case (c, _) => records.columns.contains(c) }
     if (checks.isEmpty) return
     val badPerCol = checks.map { case (colName, keys) =>

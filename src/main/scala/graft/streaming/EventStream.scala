@@ -405,6 +405,12 @@ object EventStream extends Serializable {
         MapType(StringType, BooleanType))
       case graft.sources.Catalog.VStringArray => StructField("meta_str_arr",
         MapType(StringType, ArrayType(StringType)))
+      case graft.sources.Catalog.VIntArray => StructField("meta_int_arr",
+        MapType(StringType, ArrayType(LongType)))
+      case graft.sources.Catalog.VFloatArray => StructField("meta_float_arr",
+        MapType(StringType, ArrayType(DoubleType)))
+      case graft.sources.Catalog.VBoolArray => StructField("meta_bool_arr",
+        MapType(StringType, ArrayType(BooleanType)))
       case other => throw new IllegalArgumentException(
         s"no inverted index for value type ${other.name}")
     }

@@ -251,7 +251,28 @@ class CollectionConfigSpec extends AnyFunSuite {
           Map("tag" -> Seq(s"v${i % 3}", "common"))))
           .toDF("id", "document", "meta_str_arr"),
         Where.ArrContains("tag", Where.VStr("v1"), negated = false),
-        (0 until 12).filter(_ % 3 == 1).toSet))
+        (0 until 12).filter(_ % 3 == 1).toSet),
+      // the other three element types of the reference's list metadata
+      // union (MetadataValue::{Int,Float,Bool}Array, metadata.rs:346-352)
+      // — numeric probes go through the promoted-double canonical term
+      ("arr_int", graft.sources.Catalog.VIntArray,
+        n => (0 until n).map(i => (s"r$i", s"doc $i",
+          Map("tag" -> Seq((i % 3).toLong, 99L))))
+          .toDF("id", "document", "meta_int_arr"),
+        Where.ArrContains("tag", Where.VInt(1), negated = false),
+        (0 until 12).filter(_ % 3 == 1).toSet),
+      ("arr_float", graft.sources.Catalog.VFloatArray,
+        n => (0 until n).map(i => (s"r$i", s"doc $i",
+          Map("tag" -> Seq(i % 3 + 0.5, 99.0))))
+          .toDF("id", "document", "meta_float_arr"),
+        Where.ArrContains("tag", Where.VFloat(1.5), negated = false),
+        (0 until 12).filter(_ % 3 == 1).toSet),
+      ("arr_bool", graft.sources.Catalog.VBoolArray,
+        n => (0 until n).map(i => (s"r$i", s"doc $i",
+          Map("tag" -> Seq(i % 2 == 0))))
+          .toDF("id", "document", "meta_bool_arr"),
+        Where.ArrContains("tag", Where.VBool(true), negated = false),
+        (0 until 12).filter(_ % 2 == 0).toSet))
     for ((tn, vt, mk, pred, expect) <- cases;
          (en, enabled) <- Seq(("on", Some(true)), ("off", Some(false)),
            ("default", None))) {

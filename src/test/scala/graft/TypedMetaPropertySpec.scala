@@ -106,4 +106,52 @@ class TypedMetaPropertySpec extends AnyFunSuite {
         s"row $i strings")
     }
   }
+
+  test("int/float/bool array encode -> decode is identity; collisions " +
+      "resolve by fold order") {
+    // the four array folds run str -> int -> float -> bool
+    // (TypedMeta.encodeArrays); each stage replaces colliding earlier
+    // entries, so on a shared key the LATER type wins — one type per
+    // key, the reference's union semantics
+    val genIntArr = Gen.listOf(Gen.chooseNum(Long.MinValue / 2,
+      Long.MaxValue / 2)).map(_.take(4).toSeq)
+    val genFloatArr = Gen.listOf(Gen.oneOf(
+      Gen.chooseNum(-1e9, 1e9), Gen.oneOf(0.0, -0.0, 0.1,
+        1.0 / 3.0, Double.MinPositiveValue, 1.7976931348623157e308)))
+      .map(_.take(4).toSeq)
+    val genBoolArr = Gen.listOf(Gen.oneOf(true, false)).map(_.take(4).toSeq)
+    val cases = Gen.listOfN(40,
+        Gen.zip(genMap(genIntArr), genMap(genFloatArr), genMap(genBoolArr),
+          genMap(genStr)))
+      .apply(Gen.Parameters.default, Seed(20260816L)).get
+    val df = cases.zipWithIndex
+      .map { case ((is, fs, bs, ss), i) => (i.toLong, ss, is, fs, bs) }
+      .toDF("row_id", "meta", "meta_int_arr", "meta_float_arr",
+        "meta_bool_arr")
+    val encoded = TypedMeta.encodeArrays(TypedMeta.encode(df))
+    assert(encoded.columns.toSet == Set("row_id", "meta"))
+    val decoded = encoded.select(col("row_id"),
+        TypedMeta.decodeArrInt(col("meta")).as("i"),
+        TypedMeta.decodeArrFloat(col("meta")).as("f"),
+        TypedMeta.decodeArrBool(col("meta")).as("b"),
+        TypedMeta.decodeStr(col("meta")).as("s"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def seqMap[T](r: org.apache.spark.sql.Row, i: Int): Map[String, Seq[T]] =
+      r.getMap[String, scala.collection.Seq[T]](i)
+        .map { case (k, v) => k -> v.toSeq }.toMap
+    for (((is, fs, bs, ss), i) <- cases.zipWithIndex) {
+      val r = decoded(i.toLong)
+      // fold order: bool > float > int (later stage wins the key)
+      val expectF = fs -- bs.keySet
+      val expectI = is -- fs.keySet -- bs.keySet
+      assert(seqMap[Boolean](r, 3) == bs, s"row $i bool arrays")
+      // doubles round-trip bit-exact through JSON shortest-repr
+      assert(seqMap[Double](r, 2) == expectF, s"row $i float arrays: " +
+        s"got ${seqMap[Double](r, 2)} want $expectF")
+      assert(seqMap[Long](r, 1) == expectI, s"row $i int arrays")
+      assert(r.getMap[String, String](4) ==
+          (ss -- is.keySet -- fs.keySet -- bs.keySet),
+        s"row $i strings")
+    }
+  }
 }
