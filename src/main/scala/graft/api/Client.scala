@@ -786,12 +786,33 @@ final class CollectionHandle(spark: SparkSession,
     // builds key on the segment CONTENT fingerprint: a re-compaction
     // that changes values but keeps the row count must rebuild, or the
     // prefilter would serve stale postings and drop matching rows
-    val eqRoute: Option[DataFrame] = indexableEqLeaf(w).map {
-      case (k, cfg, vs) =>
-        CollectionStore.metaInvertedServing(seg, dataRoot, k, cfg.valueType,
-          keyTag = segMetaTag(seg))
-        toIds(graft.operators.MetaInverted.candidateIds(spark, dataRoot, k,
-          vs.map(graft.operators.MetaInverted.renderValue)))
+    def probe(k: String, cfg: Catalog.KeyConfig,
+        vs: Seq[graft.model.Where.Value]): DataFrame = {
+      CollectionStore.metaInvertedServing(seg, dataRoot, k, cfg.valueType,
+        keyTag = segMetaTag(seg))
+      graft.operators.MetaInverted.candidateIds(spark, dataRoot, k,
+        vs.map(graft.operators.MetaInverted.renderValue))
+    }
+    // bitmap ∧: EVERY indexable eq/$in/array-$contains leaf of the
+    // top-level conjunction probes its posting table; the candidate
+    // sets intersect before the verify pass — the reference merges
+    // per-leaf posting bitmaps with And before touching records
+    // (`rust/index/src/metadata/types.rs` bitmap intersection). Each
+    // probe is a plan-time-pruned scan of ≤|values| bucket directories,
+    // so k probes cost k point lookups, never k corpus scans; probe
+    // count is bounded by the Where-clause quota.
+    val eqRoutes: Seq[DataFrame] = indexableEqLeaves(w).map {
+      case (k, cfg, vs) => toIds(probe(k, cfg, vs))
+    }
+    // bitmap ∨: a top-level `$or` conjunct whose EVERY branch is an
+    // indexable leaf unions its branch probes (the reference's bitmap
+    // union) — the union is exactly the rows matching any branch, a
+    // superset of the Or's matches, so the narrow-only contract holds.
+    // One disabled/untyped branch makes the whole Or unroutable (its
+    // matches could live outside every posting table).
+    val orRoutes: Seq[DataFrame] = indexableOrConjuncts(w).map { legs =>
+      toIds(legs.map { case (k, cfg, vs) => probe(k, cfg, vs) }
+        .reduce(_ union _).distinct())
     }
     // range leaves ($gt/$gte/$lt/$lte) serve from the VALUE-ORDERED
     // posting layout — the reference's sorted typed keys range-scan
@@ -814,7 +835,7 @@ final class CollectionHandle(spark: SparkSession,
         toIds(graft.operators.Fts.candidateIdsDnf(spark, dataRoot, dnf)
           .select(col("doc_id").as("offset_id")))
       }
-    val segAllowed = Seq(eqRoute, rangeRoute, ftsRoute).flatten
+    val segAllowed = (eqRoutes ++ orRoutes ++ rangeRoute ++ ftsRoute)
       .reduceOption((a, b) => a.join(b, Seq("id"), "left_semi"))
     segAllowed.map { ids =>
       if (level == ReadLevel.IndexAndWal)
@@ -824,38 +845,61 @@ final class CollectionHandle(spark: SparkSession,
     }
   }
 
-  /** First equality/`$in`/array-`$contains` leaf at the top-level
-    * conjunction whose key is declared with an effective-ENABLED
-    * inverted index of the matching type — the posting-table probe
-    * candidate. Array `$contains` routes because the posting table
-    * indexes one row per ELEMENT value (the reference's
+  /** Equality/`$in`/array-`$contains` leaf routable to a posting probe:
+    * the key is declared with an effective-ENABLED inverted index of
+    * the matching type. Array `$contains` routes because the posting
+    * table indexes one row per ELEMENT value (the reference's
     * `ContainsOperator` through the same inverted lists,
-    * `rust/types/src/metadata.rs:2169`). One leaf prefilters; the rest
-    * of the predicate verifies on the joined view. Negated forms never
-    * route (complement semantics need the absent-key rows the posting
-    * table cannot hold).
+    * `rust/types/src/metadata.rs:2169`). Negated forms never route
+    * (complement semantics need the absent-key rows the posting table
+    * cannot hold).
     */
-  private def indexableEqLeaf(e: graft.model.Where.Expr): Option[
+  private def routableLeaf(x: graft.model.Where.Expr): Option[
       (String, Catalog.KeyConfig, Seq[graft.model.Where.Value])] = {
     import graft.model.Where
-    def leaf(x: Where.Expr)
-        : Option[(String, Seq[Where.Value], Boolean)] = x match {
+    val kv = x match {
       case Where.Cmp(k, "$eq", v) => Some((k, Seq(v), false))
       case Where.SetIn(k, vs, false) if vs.nonEmpty => Some((k, vs, false))
       case Where.ArrContains(k, v, false) => Some((k, Seq(v), true))
       case _ => None
     }
-    val leaves = e match {
-      case Where.And(cs) => cs.flatMap(leaf(_))
-      case other => leaf(other).toSeq
-    }
-    leaves.flatMap { case (k, vs, isArr) =>
+    kv.flatMap { case (k, vs, isArr) =>
       ref.schema.keys.get(k).collect {
         case c if Catalog.invertedEnabled(c) && (
             if (isArr) arrTypesAlign(c.valueType, vs)
             else typesAlign(c.valueType, vs)) => (k, c, vs)
       }
-    }.headOption
+    }
+  }
+
+  /** ALL routable leaves at the top-level conjunction — each becomes
+    * one posting probe; the candidate sets intersect (bitmap ∧). The
+    * rest of the predicate verifies on the joined view.
+    */
+  private def indexableEqLeaves(e: graft.model.Where.Expr): Seq[
+      (String, Catalog.KeyConfig, Seq[graft.model.Where.Value])] = {
+    import graft.model.Where
+    (e match {
+      case Where.And(cs) => cs
+      case other => Seq(other)
+    }).flatMap(routableLeaf)
+  }
+
+  /** Top-level `$or` conjuncts whose EVERY branch is a routable leaf —
+    * each yields one bitmap-∨ probe union. A single unroutable branch
+    * (negated, undeclared key, disabled index, type mismatch, nested
+    * boolean) drops the whole Or from routing.
+    */
+  private def indexableOrConjuncts(e: graft.model.Where.Expr): Seq[Seq[
+      (String, Catalog.KeyConfig, Seq[graft.model.Where.Value])]] = {
+    import graft.model.Where
+    (e match {
+      case Where.And(cs) => cs
+      case other => Seq(other)
+    }).collect { case Where.Or(bs) if bs.nonEmpty =>
+      val legs = bs.map(routableLeaf)
+      if (legs.forall(_.isDefined)) Some(legs.flatten) else None
+    }.flatten
   }
 
   /** Element-type alignment for array `$contains` routing — the same

@@ -577,6 +577,59 @@ object FacadePack extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // Bitmap ∧ through the posting family: BOTH conjunctive eq leaves
+    // probe their posting tables and the candidate sets intersect
+    // before the verify pass — the reference merges per-leaf posting
+    // bitmaps with And before touching records. Two point lookups,
+    // never a corpus scan.
+    "fc_key_inverted_and" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_kia_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("kia", graft.sources.Catalog.Schema(
+        keys = Map(
+          "lang" -> graft.sources.Catalog.KeyConfig(
+            graft.sources.Catalog.VString, invertedIndex = Some(true)),
+          "src" -> graft.sources.Catalog.KeyConfig(
+            graft.sources.Catalog.VString, invertedIndex = Some(true)))))
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("lang"), col("lang"), lit("src"), col("source")).as("meta")))
+      coll.persist()
+      coll.get(where = Some(graft.model.Where.And(Seq(
+          graft.model.Where.Cmp("lang", "$eq", graft.model.Where.VStr("en")),
+          graft.model.Where.Cmp("src", "$eq", graft.model.Where.VStr("src3"))))),
+        include = Seq("document", "meta:lang", "meta:src"))
+        .orderBy(col("id"))
+    },
+
+    // Bitmap ∨: a $or whose branches are BOTH indexable eq leaves on
+    // different keys unions the branch probes (exactly the rows
+    // matching either branch — a superset of the Or's matches, so the
+    // narrow-only contract holds); the full predicate still verifies.
+    "fc_key_inverted_cross_or" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_kio_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("kio", graft.sources.Catalog.Schema(
+        keys = Map(
+          "lang" -> graft.sources.Catalog.KeyConfig(
+            graft.sources.Catalog.VString, invertedIndex = Some(true)),
+          "src" -> graft.sources.Catalog.KeyConfig(
+            graft.sources.Catalog.VString, invertedIndex = Some(true)))))
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("lang"), col("lang"), lit("src"), col("source")).as("meta")))
+      coll.persist()
+      coll.get(where = Some(graft.model.Where.Or(Seq(
+          graft.model.Where.Cmp("lang", "$eq", graft.model.Where.VStr("fr")),
+          graft.model.Where.SetIn("src",
+            Seq(graft.model.Where.VStr("src5"), graft.model.Where.VStr("src7")),
+            negated = false)))),
+        include = Seq("document", "meta:lang", "meta:src"))
+        .orderBy(col("id"))
+    },
+
     // Range predicates served from the VALUE-ORDERED posting layout
     // (the reference's sorted typed keys range-scan,
     // `rust/index/src/metadata/types.rs:580-676`): both conjunctive
@@ -1030,6 +1083,16 @@ object FacadePack extends QueryPack {
     "fc_key_arr_contains_int" ->
       """SELECT 'doc-'||doc_id AS id, text AS document FROM documents
         |WHERE list_contains([doc_id%7, doc_id%11, 1000+doc_id%3], 4)
+        |ORDER BY id""".stripMargin,
+
+    "fc_key_inverted_and" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document, lang, source AS src
+        |FROM documents WHERE lang = 'en' AND source = 'src3'
+        |ORDER BY id""".stripMargin,
+
+    "fc_key_inverted_cross_or" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document, lang, source AS src
+        |FROM documents WHERE lang = 'fr' OR source IN ('src5','src7')
         |ORDER BY id""".stripMargin,
 
     "fc_key_range" ->

@@ -411,6 +411,76 @@ class CollectionConfigSpec extends AnyFunSuite {
       s"cross-key \\$$ne through the indexed route: got $gotJ want $wantJ")
   }
 
+  test("bitmap ∧/∨ through the postings: conjunctions intersect probes, " +
+      "$or unions branches, one unroutable branch drops the Or") {
+    import graft.model.Where
+    import graft.sources.Catalog.{KeyConfig, VString}
+    import spark.implicits._
+    val c = freshClient()
+    // a absent on i%5==4 (missing-key rows must never surface through
+    // a probe); d's index is disabled — any Or touching it must scan
+    val recs = (0 until 40).map { i =>
+      val a = if (i % 5 == 4) Map.empty[String, String]
+        else Map("a" -> s"v${i % 3}")
+      (s"r$i", s"doc $i", a ++ Map("b" -> s"w${i % 4}", "d" -> s"u${i % 2}"))
+    }
+    val coll = c.createCollection("bitmap", graft.sources.Catalog.Schema(
+      keys = Map(
+        "a" -> KeyConfig(VString, invertedIndex = Some(true)),
+        "b" -> KeyConfig(VString, invertedIndex = Some(true)),
+        "d" -> KeyConfig(VString, invertedIndex = Some(false)))))
+    coll.add(recs.toDF("id", "document", "meta"))
+    coll.persist()
+    def oracle(p: Map[String, String] => Boolean): Set[String] =
+      recs.collect { case (id, _, m) if p(m) => id }.toSet
+    def got(pred: Where.Expr): (Set[String], Seq[String]) = {
+      val df = coll.get(where = Some(pred))
+      (df.select("id").collect().map(_.getString(0)).toSet,
+        df.inputFiles.filter(_.contains("meta_inverted")).toSeq)
+    }
+    // ∧: BOTH eq leaves probe — both posting tables in the scan set
+    val (andGot, andIn) = got(Where.And(Seq(
+      Where.Cmp("a", "$eq", Where.VStr("v1")),
+      Where.Cmp("b", "$eq", Where.VStr("w2")))))
+    assert(andGot == oracle(m => m.get("a").contains("v1") &&
+      m.get("b").contains("w2")) && andGot.nonEmpty, s"and: $andGot")
+    assert(andIn.exists(_.contains("meta_inverted/a/")) &&
+      andIn.exists(_.contains("meta_inverted/b/")),
+      s"conjunction must probe BOTH posting tables, saw: $andIn")
+    // ∨ (cross-key): union of branch probes, still index-served
+    val (orGot, orIn) = got(Where.Or(Seq(
+      Where.Cmp("a", "$eq", Where.VStr("v0")),
+      Where.SetIn("b", Seq(Where.VStr("w1"), Where.VStr("w3")),
+        negated = false))))
+    assert(orGot == oracle(m => m.get("a").contains("v0") ||
+      Set("w1", "w3").exists(m.get("b").contains)) && orGot.nonEmpty,
+      s"or: $orGot")
+    assert(orIn.exists(_.contains("meta_inverted/a/")) &&
+      orIn.exists(_.contains("meta_inverted/b/")),
+      s"\\$$or must union BOTH branch probes, saw: $orIn")
+    // ∨ with a disabled-key branch: the whole Or is unroutable (its
+    // matches can live outside every posting table) — scan, same rows
+    val (badGot, badIn) = got(Where.Or(Seq(
+      Where.Cmp("a", "$eq", Where.VStr("v0")),
+      Where.Cmp("d", "$eq", Where.VStr("u1")))))
+    assert(badGot == oracle(m => m.get("a").contains("v0") ||
+      m.get("d").contains("u1")) && badGot.nonEmpty, s"or-bad: $badGot")
+    assert(badIn.isEmpty,
+      s"an Or with a disabled-key branch must take the scan path: $badIn")
+    // mixed conjunction: eq probe ∧ (all-indexable Or union)
+    val (mixGot, mixIn) = got(Where.And(Seq(
+      Where.Cmp("a", "$eq", Where.VStr("v1")),
+      Where.Or(Seq(
+        Where.Cmp("b", "$eq", Where.VStr("w1")),
+        Where.Cmp("b", "$eq", Where.VStr("w3")))))))
+    assert(mixGot == oracle(m => m.get("a").contains("v1") &&
+      Set("w1", "w3").exists(m.get("b").contains)) && mixGot.nonEmpty,
+      s"mixed: $mixGot")
+    assert(mixIn.exists(_.contains("meta_inverted/a/")) &&
+      mixIn.exists(_.contains("meta_inverted/b/")),
+      s"eq ∧ Or must route both legs, saw: $mixIn")
+  }
+
   test("range predicates route through the value-ordered postings, bucket-pruned; disabled keys scan") {
     // the range-scan leg of the per-key index config — the reference
     // serves $gt/$gte/$lt/$lte from sorted typed keys
