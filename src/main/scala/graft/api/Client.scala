@@ -751,15 +751,19 @@ final class CollectionHandle(spark: SparkSession,
       }
     }
 
-  /** Allowed-id PREFILTER for [[get]], served from the per-key metadata
-    * posting tables and/or the `#document` trigram FTS index — the
+  /** Allowed-id PREFILTER for [[get]]: the whole `Where` tree evaluates
+    * recursively as bitmap algebra over per-leaf candidate sets — the
     * planner leg of the reference's per-key `ValueTypes` index config
-    * (`collection_schema.rs:696-873`): an equality/`$in` leaf at the
-    * predicate's top-level conjunction on a DECLARED key whose inverted
-    * index is schema-enabled probes its posting table (bucket-pruned at
-    * plan time); mandatory `$contains` needles probe FTS when
-    * `documentFts` is enabled. A key with the index DISABLED contributes
-    * no route — the read takes the scan path (plan-gated in
+    * (`collection_schema.rs:696-873`) and its RoaringBitmap And/Or
+    * evaluation (`rust/index/src/metadata/types.rs`). Eq/`$in`/array
+    * `$contains` leaves on DECLARED schema-enabled keys probe the
+    * hash-bucketed postings, range leaves the value-ordered ones,
+    * positive doc `$contains`/literal-constrained `$regex` the trigram
+    * FTS (when `documentFts` is enabled), id `$in` the segment's bloomed
+    * id column; `And` intersects its routable children, `Or` unions its
+    * branches all-or-nothing. A key with the index DISABLED contributes
+    * no route — under an `And` the read narrows by the other legs, under
+    * an `Or` the whole disjunct takes the scan path (plan-gated in
     * CollectionConfigSpec). The prefilter only narrows: the full
     * predicate always verifies on the joined view, so routing can never
     * change results. None ⇒ scan.
@@ -793,51 +797,78 @@ final class CollectionHandle(spark: SparkSession,
       graft.operators.MetaInverted.candidateIds(spark, dataRoot, k,
         vs.map(graft.operators.MetaInverted.renderValue))
     }
-    // bitmap ∧: EVERY indexable eq/$in/array-$contains leaf of the
-    // top-level conjunction probes its posting table; the candidate
-    // sets intersect before the verify pass — the reference merges
-    // per-leaf posting bitmaps with And before touching records
-    // (`rust/index/src/metadata/types.rs` bitmap intersection). Each
-    // probe is a plan-time-pruned scan of ≤|values| bucket directories,
-    // so k probes cost k point lookups, never k corpus scans; probe
-    // count is bounded by the Where-clause quota.
-    val eqRoutes: Seq[DataFrame] = indexableEqLeaves(w).map {
-      case (k, cfg, vs) => toIds(probe(k, cfg, vs))
+    def rangeProbe(k: String, cfg: Catalog.KeyConfig,
+        leaves: Seq[graft.operators.MetaRange.Leaf]): DataFrame = {
+      CollectionStore.metaRangeServing(seg, dataRoot, k, cfg.valueType,
+        keyTag = segMetaTag(seg))
+      graft.operators.MetaRange.candidateIds(spark, dataRoot, k, leaves)
     }
-    // bitmap ∨: a top-level `$or` conjunct whose EVERY branch is an
-    // indexable leaf unions its branch probes (the reference's bitmap
-    // union) — the union is exactly the rows matching any branch, a
-    // superset of the Or's matches, so the narrow-only contract holds.
-    // One disabled/untyped branch makes the whole Or unroutable (its
-    // matches could live outside every posting table).
-    val orRoutes: Seq[DataFrame] = indexableOrConjuncts(w).map { legs =>
-      toIds(legs.map { case (k, cfg, vs) => probe(k, cfg, vs) }
-        .reduce(_ union _).distinct())
+    val ftsOk = ref.schema.documentFts
+    def ftsProbe(dnf: Seq[Seq[String]]): DataFrame = {
+      CollectionStore.ftsServing(
+        seg.select(col("offset_id").as("doc_id"),
+          col("document").as("text")), dataRoot, keyTag = segMetaTag(seg))
+      graft.operators.Fts.candidateIdsDnf(spark, dataRoot, dnf)
+        .select(col("doc_id").as("offset_id"))
     }
-    // range leaves ($gt/$gte/$lt/$lte) serve from the VALUE-ORDERED
-    // posting layout — the reference's sorted typed keys range-scan
-    // (`rust/index/src/metadata/types.rs:580-676`); the hash-bucketed
-    // eq postings cannot. All of one key's conjunctive range leaves
-    // fold into a single bounds-pruned probe.
-    val rangeRoute: Option[DataFrame] = indexableRangeLeaves(w).map {
-      case (k, cfg, leaves) =>
-        CollectionStore.metaRangeServing(seg, dataRoot, k, cfg.valueType,
-          keyTag = segMetaTag(seg))
-        toIds(graft.operators.MetaRange.candidateIds(spark, dataRoot, k,
-          leaves))
+    def andDocNeedle(c: Where.Expr): Boolean = c match {
+      case Where.DocContains(n, false) => ftsOk && n.length >= 3
+      case _ => false
     }
-    val ftsRoute: Option[DataFrame] =
-      if (!ref.schema.documentFts) None
-      else Where.containsDnf(w).map { dnf =>
-        CollectionStore.ftsServing(
-          seg.select(col("offset_id").as("doc_id"),
-            col("document").as("text")), dataRoot, keyTag = segMetaTag(seg))
-        toIds(graft.operators.Fts.candidateIdsDnf(spark, dataRoot, dnf)
-          .select(col("doc_id").as("offset_id")))
-      }
-    val segAllowed = (eqRoutes ++ orRoutes ++ rangeRoute ++ ftsRoute)
-      .reduceOption((a, b) => a.join(b, Seq("id"), "left_semi"))
-    segAllowed.map { ids =>
+    // Recursive bitmap algebra over candidate offset_id sets — the
+    // reference evaluates the whole boolean tree as RoaringBitmap
+    // expressions over per-leaf posting/FTS bitmaps
+    // (`rust/index/src/metadata/types.rs` And/Or evaluation) before
+    // touching records; this is the Spark rendering of the same plan.
+    // Invariant (narrow-only): route(e) ⊇ matches(e) whenever defined.
+    //  - And: intersect every routable piece (a superset of each child's
+    //    matches intersected is a superset of the And's matches); the
+    //    unroutable children just don't narrow. Same-key range leaves
+    //    fold into ONE bounds-pruned probe; conjunctive doc-contains
+    //    needles fold into ONE combined trigram intersect.
+    //  - Or: EVERY branch must route, the branch candidates union; one
+    //    unroutable branch (negated, undeclared key, disabled index,
+    //    type mismatch, short needle, opaque regex) drops the whole Or
+    //    (its matches could live outside every posting table).
+    //  - Leaves: eq/$in/array-$contains probe the hash-bucketed
+    //    postings; $gt/$gte/$lt/$lte the value-ordered ones; positive
+    //    doc-$contains and literal-constrained doc-$regex the trigram
+    //    FTS; id-$in pushes an id IN-filter down the segment scan
+    //    (parquet bloom). Every probe is plan-time bucket-pruned, so a
+    //    tree of k leaves costs k point lookups, never k corpus scans;
+    //    leaf count is bounded by the Where-clause quota.
+    def route(e: Where.Expr): Option[DataFrame] = e match {
+      case Where.And(cs) =>
+        val rangeProbes = routableRangeKeys(cs.flatMap(rangeLeaf))
+          .map { case (k, cfg, ls) => rangeProbe(k, cfg, ls) }
+        val needles = cs.collect {
+          case Where.DocContains(n, false) if ftsOk && n.length >= 3 => n
+        }.distinct
+        val docProbe =
+          if (needles.nonEmpty) Seq(ftsProbe(Seq(needles))) else Nil
+        val sub = cs.filter(c => rangeLeaf(c).isEmpty && !andDocNeedle(c))
+          .flatMap(route)
+        val all = rangeProbes ++ docProbe ++ sub
+        if (all.isEmpty) None
+        else Some(all.reduce((a, b) =>
+          a.join(b, Seq("offset_id"), "left_semi")))
+      case Where.Or(bs) if bs.nonEmpty =>
+        val legs = bs.map(route)
+        if (legs.forall(_.isDefined))
+          Some(legs.flatten.reduce(_ union _).distinct())
+        else None
+      case Where.IdIn(ids) if ids.nonEmpty =>
+        Some(seg.filter(col("id").isin(ids: _*)).select("offset_id"))
+      case Where.DocContains(n, false) if ftsOk && n.length >= 3 =>
+        Some(ftsProbe(Seq(Seq(n))))
+      case Where.DocRegex(p, false) if ftsOk =>
+        graft.plans.RegexPrefilter.literalDnf(p).map(ftsProbe)
+      case leaf =>
+        routableLeaf(leaf).map { case (k, cfg, vs) => probe(k, cfg, vs) }
+          .orElse(routableRangeKeys(rangeLeaf(leaf).toSeq).headOption
+            .map { case (k, cfg, ls) => rangeProbe(k, cfg, ls) })
+    }
+    route(w).map(toIds).map { ids =>
       if (level == ReadLevel.IndexAndWal)
         writer.tailIds.map(t => ids.union(t.select(col("id"))).distinct())
           .getOrElse(ids)
@@ -872,36 +903,6 @@ final class CollectionHandle(spark: SparkSession,
     }
   }
 
-  /** ALL routable leaves at the top-level conjunction — each becomes
-    * one posting probe; the candidate sets intersect (bitmap ∧). The
-    * rest of the predicate verifies on the joined view.
-    */
-  private def indexableEqLeaves(e: graft.model.Where.Expr): Seq[
-      (String, Catalog.KeyConfig, Seq[graft.model.Where.Value])] = {
-    import graft.model.Where
-    (e match {
-      case Where.And(cs) => cs
-      case other => Seq(other)
-    }).flatMap(routableLeaf)
-  }
-
-  /** Top-level `$or` conjuncts whose EVERY branch is a routable leaf —
-    * each yields one bitmap-∨ probe union. A single unroutable branch
-    * (negated, undeclared key, disabled index, type mismatch, nested
-    * boolean) drops the whole Or from routing.
-    */
-  private def indexableOrConjuncts(e: graft.model.Where.Expr): Seq[Seq[
-      (String, Catalog.KeyConfig, Seq[graft.model.Where.Value])]] = {
-    import graft.model.Where
-    (e match {
-      case Where.And(cs) => cs
-      case other => Seq(other)
-    }).collect { case Where.Or(bs) if bs.nonEmpty =>
-      val legs = bs.map(routableLeaf)
-      if (legs.forall(_.isDefined)) Some(legs.flatten) else None
-    }.flatten
-  }
-
   /** Element-type alignment for array `$contains` routing — the same
     * promoted-double numeric semantics the scan predicate applies
     * (`Where.arrLookup` casts int/float arrays to array&lt;double&gt;).
@@ -918,34 +919,35 @@ final class CollectionHandle(spark: SparkSession,
     } }
   }
 
-  /** All range leaves (`$gt/$gte/$lt/$lte`) at the top-level conjunction
-    * for ONE key declared with an effective-ENABLED inverted index of an
-    * orderable type (string/int/float) — the value-ordered posting probe
-    * candidate. Every range leaf of the chosen key folds into the probe
-    * (the bucket keep-set intersects per leaf); the rest of the
-    * predicate verifies on the joined view. Bool keys and `$ne` never
-    * route (scan — complement semantics need the absent-key rows the
-    * posting table cannot hold).
+  private val RangeOps = Set("$gt", "$gte", "$lt", "$lte")
+
+  /** A `$gt/$gte/$lt/$lte` comparison as a raw (key, op, value) triple —
+    * the pre-validation shape [[routableRangeKeys]] consumes.
     */
-  private def indexableRangeLeaves(e: graft.model.Where.Expr): Option[
+  private def rangeLeaf(x: graft.model.Where.Expr)
+      : Option[(String, String, graft.model.Where.Value)] = x match {
+    case graft.model.Where.Cmp(k, op, v) if RangeOps(op) => Some((k, op, v))
+    case _ => None
+  }
+
+  /** Range leaves grouped per key, kept only for keys declared with an
+    * effective-ENABLED inverted index of an orderable type
+    * (string/int/float) — each group folds into ONE value-ordered
+    * posting probe (the bucket keep-set intersects per leaf). Bool keys
+    * and `$ne` never route (scan — complement semantics need the
+    * absent-key rows the posting table cannot hold).
+    */
+  private def routableRangeKeys(
+      leaves: Seq[(String, String, graft.model.Where.Value)]): Seq[
       (String, Catalog.KeyConfig, Seq[graft.operators.MetaRange.Leaf])] = {
     import graft.model.Where
-    val RangeOps = Set("$gt", "$gte", "$lt", "$lte")
-    def leaf(x: Where.Expr): Option[(String, String, Where.Value)] = x match {
-      case Where.Cmp(k, op, v) if RangeOps(op) => Some((k, op, v))
-      case _ => None
-    }
-    val leaves = (e match {
-      case Where.And(cs) => cs.flatMap(leaf(_))
-      case other => leaf(other).toSeq
-    }).groupBy(_._1)
     def render(t: Catalog.ValueType, v: Where.Value): Any = (t, v) match {
       case (Catalog.VString, Where.VStr(s)) => s
       case (_, Where.VInt(i)) => java.lang.Double.valueOf(i.toDouble)
       case (_, Where.VFloat(f)) => java.lang.Double.valueOf(f)
       case other => throw new IllegalStateException(s"unroutable $other")
     }
-    leaves.toSeq.sortBy(_._1).flatMap { case (k, ls) =>
+    leaves.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (k, ls) =>
       ref.schema.keys.get(k).collect {
         case c if Catalog.invertedEnabled(c) &&
             (c.valueType match {
@@ -955,7 +957,7 @@ final class CollectionHandle(spark: SparkSession,
           (k, c, ls.map { case (_, op, v) =>
             graft.operators.MetaRange.Leaf(op, render(c.valueType, v)) })
       }
-    }.headOption
+    }
   }
 
   private def typesAlign(t: Catalog.ValueType,

@@ -630,6 +630,67 @@ object FacadePack extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // The FULL recursive bitmap algebra (the reference's RoaringBitmap
+    // And/Or evaluation over per-leaf posting bitmaps): a $or of two
+    // nested $ands, one carrying a RANGE leaf — every leg routes
+    // (hash-bucketed eq probes, value-ordered range probe), branch
+    // intersections union, the full predicate verifies on the view.
+    "fc_key_bool_nested" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_kbn_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("kbn", graft.sources.Catalog.Schema(
+        keys = Map(
+          "lang" -> graft.sources.Catalog.KeyConfig(
+            graft.sources.Catalog.VString, invertedIndex = Some(true)),
+          "src" -> graft.sources.Catalog.KeyConfig(
+            graft.sources.Catalog.VString, invertedIndex = Some(true)),
+          "par" -> graft.sources.Catalog.KeyConfig(
+            graft.sources.Catalog.VInt, invertedIndex = Some(true)))))
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("lang"), col("lang"), lit("src"), col("source")).as("meta"),
+        map(lit("par"), col("doc_id") % 100).as("meta_int")))
+      coll.persist()
+      coll.get(where = Some(graft.model.Where.Or(Seq(
+          graft.model.Where.And(Seq(
+            graft.model.Where.Cmp("lang", "$eq", graft.model.Where.VStr("en")),
+            graft.model.Where.Cmp("par", "$gte", graft.model.Where.VInt(80)))),
+          graft.model.Where.And(Seq(
+            graft.model.Where.Cmp("lang", "$eq", graft.model.Where.VStr("fr")),
+            graft.model.Where.SetIn("src",
+              Seq(graft.model.Where.VStr("src5"), graft.model.Where.VStr("src7")),
+              negated = false)))))),
+        include = Seq("document", "meta:lang", "meta:src"))
+        .orderBy(col("id"))
+    },
+
+    // Cross-domain bitmap ∨: a $or whose branches live in DIFFERENT
+    // index families — a doc-$contains branch served from the trigram
+    // FTS candidates, a metadata-eq branch from the key's posting table
+    // (the reference unions its FTS bitmap with metadata bitmaps in the
+    // same expression tree). Either source alone would miss rows; the
+    // union is a superset of the Or's matches and the predicate
+    // verifies.
+    "fc_key_or_doc_meta" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_kodm_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("kodm", graft.sources.Catalog.Schema(
+        documentFts = true,
+        keys = Map("lang" -> graft.sources.Catalog.KeyConfig(
+          graft.sources.Catalog.VString, invertedIndex = Some(true)))))
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("lang"), col("lang")).as("meta")))
+      coll.persist()
+      coll.get(where = Some(graft.model.Where.Or(Seq(
+          graft.model.Where.DocContains("merge", negated = false),
+          graft.model.Where.Cmp("lang", "$eq", graft.model.Where.VStr("fr"))))),
+        include = Seq("document", "meta:lang"))
+        .orderBy(col("id"))
+    },
+
     // Range predicates served from the VALUE-ORDERED posting layout
     // (the reference's sorted typed keys range-scan,
     // `rust/index/src/metadata/types.rs:580-676`): both conjunctive
@@ -1093,6 +1154,19 @@ object FacadePack extends QueryPack {
     "fc_key_inverted_cross_or" ->
       """SELECT 'doc-'||doc_id AS id, text AS document, lang, source AS src
         |FROM documents WHERE lang = 'fr' OR source IN ('src5','src7')
+        |ORDER BY id""".stripMargin,
+
+    "fc_key_bool_nested" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document, lang, source AS src
+        |FROM documents
+        |WHERE (lang = 'en' AND doc_id%100 >= 80)
+        |   OR (lang = 'fr' AND source IN ('src5','src7'))
+        |ORDER BY id""".stripMargin,
+
+    "fc_key_or_doc_meta" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document, lang
+        |FROM documents
+        |WHERE contains(text, 'merge') OR lang = 'fr'
         |ORDER BY id""".stripMargin,
 
     "fc_key_range" ->

@@ -481,6 +481,73 @@ class CollectionConfigSpec extends AnyFunSuite {
       s"eq ∧ Or must route both legs, saw: $mixIn")
   }
 
+  test("recursive bitmap algebra: nested and/or routes every leg incl. " +
+      "range and FTS probes; an Or branch with no routable piece scans") {
+    import graft.model.Where
+    import graft.sources.Catalog.{KeyConfig, VString, VInt}
+    import spark.implicits._
+    val c = freshClient()
+    val recs = (0 until 60).map { i =>
+      (s"r$i", s"doc $i ${if (i % 7 == 0) "needleval" else "plain"}",
+        Map("a" -> s"v${i % 3}", "d" -> s"u${i % 2}"),
+        Map("n" -> (i % 50).toLong))
+    }
+    val coll = c.createCollection("recursive", graft.sources.Catalog.Schema(
+      documentFts = true,
+      keys = Map(
+        "a" -> KeyConfig(VString, invertedIndex = Some(true)),
+        "n" -> KeyConfig(VInt, invertedIndex = Some(true)),
+        "d" -> KeyConfig(VString, invertedIndex = Some(false)))))
+    coll.add(recs.toDF("id", "document", "meta", "meta_int"))
+    coll.persist()
+    def oracle(p: ((String, String, Map[String, String], Map[String, Long]))
+        => Boolean): Set[String] =
+      recs.collect { case r if p(r) => r._1 }.toSet
+    def got(pred: Where.Expr): (Set[String], Seq[String]) = {
+      val df = coll.get(where = Some(pred))
+      (df.select("id").collect().map(_.getString(0)).toSet,
+        df.inputFiles.filter(f => f.contains("meta_inverted") ||
+          f.contains("meta_range") || f.contains("fts/")).toSeq)
+    }
+    // nested Or-of-Ands spanning all three index families: eq postings,
+    // value-ordered range postings, trigram FTS — every leg must probe
+    val (nGot, nIn) = got(Where.Or(Seq(
+      Where.And(Seq(Where.Cmp("a", "$eq", Where.VStr("v0")),
+        Where.Cmp("n", "$gte", Where.VInt(30)))),
+      Where.And(Seq(Where.Cmp("a", "$eq", Where.VStr("v1")),
+        Where.DocContains("needleval", negated = false))))))
+    assert(nGot == oracle { case (_, doc, m, mi) =>
+      (m("a") == "v0" && mi("n") >= 30) ||
+        (m("a") == "v1" && doc.contains("needleval")) } && nGot.nonEmpty,
+      s"nested: $nGot")
+    assert(nIn.exists(_.contains("meta_inverted/a/")) &&
+      nIn.exists(_.contains("meta_range/n/")) &&
+      nIn.exists(_.contains("fts/")),
+      s"all three families must probe, saw: $nIn")
+    // an Or branch whose And has NO routable piece (disabled key + a
+    // negation) cannot narrow — the whole read takes the scan path
+    val (sGot, sIn) = got(Where.Or(Seq(
+      Where.Cmp("a", "$eq", Where.VStr("v0")),
+      Where.And(Seq(Where.Cmp("d", "$eq", Where.VStr("u0")),
+        Where.Cmp("d", "$ne", Where.VStr("u1")))))))
+    assert(sGot == oracle { case (_, _, m, _) =>
+      m("a") == "v0" || (m("d") == "u0" && m("d") != "u1") } && sGot.nonEmpty,
+      s"scan-fallback: $sGot")
+    assert(sIn.isEmpty,
+      s"an Or branch with no routable piece must force the scan: $sIn")
+    // an Or branch And with a disabled leg but one routable leg still
+    // routes — the routable leg's candidates are a superset of the And
+    val (pGot, pIn) = got(Where.Or(Seq(
+      Where.Cmp("a", "$eq", Where.VStr("v2")),
+      Where.And(Seq(Where.Cmp("a", "$eq", Where.VStr("v1")),
+        Where.Cmp("d", "$eq", Where.VStr("u0")))))))
+    assert(pGot == oracle { case (_, _, m, _) =>
+      m("a") == "v2" || (m("a") == "v1" && m("d") == "u0") } && pGot.nonEmpty,
+      s"partial-and: $pGot")
+    assert(pIn.exists(_.contains("meta_inverted/a/")),
+      s"partially-routable And branch must still probe: $pIn")
+  }
+
   test("range predicates route through the value-ordered postings, bucket-pruned; disabled keys scan") {
     // the range-scan leg of the per-key index config — the reference
     // serves $gt/$gte/$lt/$lte from sorted typed keys
