@@ -52,9 +52,18 @@ object MetaRange {
     import graft.sources.Catalog._
     vtype match {
       case VString => element_at(col("meta_str"), key)
-      case VInt | VFloat => coalesce(
-        element_at(col("meta_int"), key).cast("double"),
-        element_at(col("meta_float"), key))
+      // numeric: the Where compiler's promoted-double semantics; only
+      // the typed columns actually present contribute (a maintenance
+      // stream's shredded batch carries just the key's declared column)
+      case VInt | VFloat =>
+        val pieces = Seq(
+          "meta_int" -> ((c: Column) => c.cast("double")),
+          "meta_float" -> ((c: Column) => c))
+          .filter { case (n, _) => records.columns.contains(n) }
+          .map { case (n, f) => f(element_at(col(n), key)) }
+        require(pieces.nonEmpty,
+          s"no numeric metadata column present for key '$key'")
+        coalesce(pieces: _*)
       case other => throw new IllegalArgumentException(
         s"no range index for value type ${other.name}")
     }
@@ -66,6 +75,18 @@ object MetaRange {
   def boundsDir(root: String, key: String): String =
     s"$root/meta_range/" +
       java.net.URLEncoder.encode(key, "UTF-8") + "/bounds"
+  /** Stream-maintained sibling dirs ([[graft.streaming.EventStream
+    * .metaRangeMaintain]]): per-batch posting rows routed into the BASE
+    * build's fixed bucket ranges, plus the per-batch bounds-widening
+    * rows the probe folds back in. Kept apart from the base table so
+    * the compaction-time served path never mixes schemas.
+    */
+  def tableDeltaDir(root: String, key: String): String =
+    s"$root/meta_range/" +
+      java.net.URLEncoder.encode(key, "UTF-8") + "/postings_delta"
+  def boundsDeltaDir(root: String, key: String): String =
+    s"$root/meta_range/" +
+      java.net.URLEncoder.encode(key, "UTF-8") + "/bounds_delta"
 
   /** Build + persist the value-ordered posting table and its bounds
     * sidecar — compaction-time, once per segment version (the
@@ -149,22 +170,16 @@ object MetaRange {
     case other => throw new IllegalArgumentException(s"bad bound $other")
   }
 
-  /** Candidate offset_ids satisfying ALL of `leaves` on `key`: bounds
-    * read driver-side → literal `rbucket IN` → plan-time partition
-    * pruning; the exact conjunction re-filters inside the kept buckets.
+  /** Prune + exact in-bucket re-filter + explode, the shared probe core:
+    * keep only buckets whose folded [lo, hi] may satisfy every leaf,
+    * then re-apply the exact conjunction row-by-row inside them.
     */
-  def candidateIds(spark: SparkSession, root: String, key: String,
-      leaves: Seq[Leaf]): DataFrame = {
+  private def probeOver(table: DataFrame,
+      bounds: Seq[(Int, Any, Any)], leaves: Seq[Leaf]): DataFrame = {
     require(leaves.nonEmpty, "range probe needs >= 1 leaf")
-    val bounds = graft.sources.CollectionStore
-      .readCached(spark, boundsDir(root, key))
-      .select(col("rbucket"), col("lo"), col("hi")).collect()
     val keep = bounds.collect {
-      case r if leaves.forall(l => mayMatch(r.get(1), r.get(2), l)) =>
-        r.getInt(0)
-    }.toSeq
-    val table = graft.sources.CollectionStore
-      .readCached(spark, tableDir(root, key))
+      case (rb, lo, hi) if leaves.forall(mayMatch(lo, hi, _)) => rb
+    }
     val pred = leaves.map { l =>
       val v = col("value")
       l.op match {
@@ -178,5 +193,154 @@ object MetaRange {
       .filter(col("rbucket").isin(keep: _*) && pred)
       .select(explode(col("docs")).as("offset_id"))
       .distinct()
+  }
+
+  private def boundsOf(rows: Array[org.apache.spark.sql.Row])
+      : Seq[(Int, Any, Any)] =
+    rows.map(r => (r.getInt(0), r.get(1), r.get(2))).toSeq
+
+  /** Candidate offset_ids satisfying ALL of `leaves` on `key`: bounds
+    * read driver-side → literal `rbucket IN` → plan-time partition
+    * pruning; the exact conjunction re-filters inside the kept buckets.
+    * The compaction-time SERVED path — base build only, no deltas.
+    */
+  def candidateIds(spark: SparkSession, root: String, key: String,
+      leaves: Seq[Leaf]): DataFrame = {
+    val bounds = boundsOf(graft.sources.CollectionStore
+      .readCached(spark, boundsDir(root, key))
+      .select(col("rbucket"), col("lo"), col("hi")).collect())
+    probeOver(
+      graft.sources.CollectionStore.readCached(spark, tableDir(root, key)),
+      bounds, leaves)
+  }
+
+  /** Route values into the FIXED base bucket ranges: the bucket with the
+    * greatest `lo <= v` (values below every lo → bucket of the smallest
+    * lo) — an LSM routing new keys into existing sorted runs. rbucket
+    * ids ascend with the value ranges (`spark_partition_id` after
+    * `repartitionByRange`), so the count-of-los-≤-v expression is the
+    * bucket rank; string comparisons use Spark's UTF-8 binary order,
+    * the same order [[cmp]] prunes by.
+    */
+  private[graft] def routeBucket(bounds: Seq[(Int, Any, Any)],
+      v: Column): Column = {
+    val ordered = bounds.sortBy(_._1)
+    // the build's ids are spark_partition_id after repartitionByRange —
+    // dense 0..n-1 ascending with the ranges, so the rank IS the id (a
+    // flat sum keeps the generated code linear; a nested when-chain
+    // trips Janino's method-size limit at 32 buckets)
+    require(ordered.map(_._1) == ordered.indices,
+      s"rbucket ids must be dense 0..n-1, got ${ordered.map(_._1)}")
+    val rank = ordered.map { case (_, lo, _) =>
+      when(v >= litOf(lo), 1).otherwise(0) }.reduce(_ + _)
+    greatest(rank - lit(1), lit(0))
+  }
+
+  /** Posting rows of a record batch routed into the base bucket ranges —
+    * the per-batch unit [[graft.streaming.EventStream.metaRangeMaintain]]
+    * appends; same (rbucket, value, chunk, docs) shape as the build, so
+    * the probe's explode+distinct is insensitive to base/delta splits.
+    */
+  def postingsInto(batch: DataFrame, key: String,
+      vtype: graft.sources.Catalog.ValueType,
+      bounds: Seq[(Int, Any, Any)],
+      chunkSpan: Long = ChunkSpan): DataFrame =
+    batch
+      .select(col("offset_id"), valueCol(batch, key, vtype).as("value"))
+      .filter(col("value").isNotNull)
+      .withColumn("rbucket", routeBucket(bounds, col("value")).cast("int"))
+      .groupBy(col("rbucket"), col("value"),
+        floor(col("offset_id") / chunkSpan).as("chunk"))
+      .agg(sort_array(collect_list(col("offset_id"))).as("docs"))
+
+  /** Base bounds read driver-side (no deltas) — the fixed routing table
+    * a maintenance stream closes over.
+    */
+  def baseBounds(spark: SparkSession, root: String, key: String)
+      : Seq[(Int, Any, Any)] =
+    boundsOf(spark.read.parquet(boundsDir(root, key))
+      .select(col("rbucket"), col("lo"), col("hi")).collect())
+
+  /** Per-bucket bounds folded across the base sidecar and every
+    * maintenance delta: lo only falls, hi only rises, so pruning over
+    * the fold stays conservative for both halves of the table.
+    */
+  def foldedBounds(spark: SparkSession, root: String, key: String)
+      : Seq[(Int, Any, Any)] = {
+    val base = baseBounds(spark, root, key)
+    val deltaP = java.nio.file.Paths.get(
+      boundsDeltaDir(root, key).stripPrefix("file:"))
+    if (!java.nio.file.Files.exists(deltaP)) return base
+    val delta = boundsOf(spark.read.parquet(boundsDeltaDir(root, key))
+      .select(col("rbucket"), col("lo"), col("hi")).collect())
+    (base ++ delta).groupBy(_._1).map { case (rb, bs) =>
+      (rb, bs.map(_._2).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+        bs.map(_._3).reduce((a, b) => if (cmp(a, b) >= 0) a else b))
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Range candidates over the base build PLUS any stream-maintained
+    * deltas: folded bounds prune, base ∪ delta postings re-filter
+    * exactly. Uncached reads — the delta table grows on the ingest
+    * cadence, and a cached frame would serve stale postings.
+    */
+  def candidateIdsMaintained(spark: SparkSession, root: String,
+      key: String, leaves: Seq[Leaf]): DataFrame = {
+    val base = spark.read.parquet(tableDir(root, key))
+    val deltaP = java.nio.file.Paths.get(
+      tableDeltaDir(root, key).stripPrefix("file:"))
+    val table =
+      if (!java.nio.file.Files.exists(deltaP)) base
+      else base.unionByName(
+        spark.read.parquet(tableDeltaDir(root, key)).drop("batch"))
+    probeOver(table, foldedBounds(spark, root, key), leaves)
+  }
+
+  /** Fold the stream-maintained deltas into the base table and retire
+    * them — the ninth family's compaction, the reference rewriting its
+    * sorted blockfile on the compaction cadence. Each delta posting row
+    * merges into its (rbucket, value, chunk) base row; bounds recompute
+    * from the WRITTEN postings; the emptied delta dirs swap in carrying
+    * the max-folded-batch marker ([[graft.streaming.EventStream
+    * .recordFoldedMaxBatch]]), so a crashed micro-batch replaying after
+    * the fold no-ops instead of duplicating. Swap order is crash-safe
+    * end to end: base swaps FIRST, so any window where delta rows exist
+    * in both tables only feeds duplicates into the probe's
+    * explode+distinct, and bounds stay conservative because the not-yet-
+    * retired delta bounds keep folding in.
+    */
+  def compactMaintained(spark: SparkSession, root: String,
+      key: String): Unit = {
+    import graft.sources.CollectionStore.{healSwap, swapDirectory, invalidateRoot}
+    val tDir = tableDir(root, key); val dDir = tableDeltaDir(root, key)
+    val bDir = boundsDir(root, key); val bdDir = boundsDeltaDir(root, key)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dDir.stripPrefix("file:")))) return
+    Seq(tDir, dDir, bDir, bdDir).foreach(healSwap)
+    val tTmp = s"${tDir}_compacting"
+    spark.read.parquet(tDir)
+      .unionByName(spark.read.parquet(dDir).drop("batch"))
+      .groupBy("rbucket", "value", "chunk")
+      .agg(array_sort(array_distinct(flatten(collect_list(col("docs")))))
+        .as("docs"))
+      .repartition(col("rbucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("rbucket").parquet(tTmp)
+    val bTmp = s"${bDir}_compacting"
+    spark.read.parquet(tTmp)
+      .groupBy(col("rbucket"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(bTmp)
+    val dTmp = s"${dDir}_compacting"; val bdTmp = s"${bdDir}_compacting"
+    spark.read.parquet(dDir).drop("batch").limit(0)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dTmp/batch=-1")
+    spark.read.parquet(bdDir).drop("batch").limit(0)
+      .write.mode(SaveMode.Overwrite).parquet(s"$bdTmp/batch=-1")
+    graft.streaming.EventStream.recordFoldedMaxBatch(dDir, dTmp)
+    graft.streaming.EventStream.recordFoldedMaxBatch(bdDir, bdTmp)
+    swapDirectory(tDir, tTmp); invalidateRoot(tDir)
+    swapDirectory(bDir, bTmp); invalidateRoot(bDir)
+    swapDirectory(dDir, dTmp); invalidateRoot(dDir)
+    swapDirectory(bdDir, bdTmp); invalidateRoot(bdDir)
   }
 }

@@ -536,6 +536,40 @@ object StreamingPack extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Incremental VALUE-ORDERED range postings — the NINTH stream-kept
+    // family: the base build (doc_id%3!=0, par=doc_id) fixes the bucket
+    // ranges; the %3==0 remainder streams in with par=doc_id+1e6 —
+    // every streamed value lands BEYOND the base hi, so the probe can
+    // only find them through the stream-appended bounds-widening rows
+    // folded back into pruning. Two probes (one per half) union; a lost
+    // delta row or an unwidened bound drops rows from the exact output,
+    // so the hash match proves both append legs survived.
+    "st_meta_range_upsert" -> { (s, d) =>
+      import graft.Tables
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 3 =!= 0).select(
+        col("doc_id").as("offset_id"),
+        map(lit("par"), col("doc_id")).as("meta_int"))
+      val neu = docs.filter(col("doc_id") % 3 === 0).select(
+        col("doc_id").as("offset_id"),
+        map(lit("par"), col("doc_id") + 1000000L).as("meta_int"))
+      val src = stagedSrc(d, "mr_upsert_src", "parts3") { p =>
+        stageParts(neu, "offset_id", 3, p) }
+      val root = java.nio.file.Files.createTempDirectory("mr_upsert").toString
+      graft.operators.MetaRange.buildAndSave(
+        base, root, "par", graft.sources.Catalog.VInt)
+      EventStream.metaRangeMaintain(s, src, root, s"$root/ckpt",
+        key = "par", graft.sources.Catalog.VInt, filesPerBatch = 2)
+      def leaf(op: String, b: Double) =
+        graft.operators.MetaRange.Leaf(op, java.lang.Double.valueOf(b))
+      graft.operators.MetaRange.candidateIdsMaintained(s, root, "par",
+          Seq(leaf("$gte", 40), leaf("$lt", 70)))
+        .unionByName(graft.operators.MetaRange.candidateIdsMaintained(
+          s, root, "par", Seq(leaf("$gte", 1000040), leaf("$lt", 1000070))))
+        .select(col("offset_id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental Bloom prefilter — the EIGHTH stream-kept family: the
     // base builds from doc_id%3!=0, the %3==0 remainder streams in as
     // delta batches, and the probe must catch re-ingested rows from
@@ -716,6 +750,11 @@ object StreamingPack extends QueryPack {
     // probe EXACTLY — the plain relational answer is its oracle
     "st_meta_inverted_upsert" ->
       "SELECT doc_id FROM documents WHERE lang = 'en' ORDER BY doc_id",
+
+    // base rows carry par=doc_id, streamed rows par=doc_id+1e6; the two
+    // range probes together select exactly doc_id ∈ [40, 70)
+    "st_meta_range_upsert" ->
+      "SELECT doc_id FROM documents WHERE doc_id >= 40 AND doc_id < 70 ORDER BY doc_id",
 
     // the dd_minhash_oracle SQL verbatim — the stream-built bucket table
     // must yield the identical J=1.0 pair set the batch build yields

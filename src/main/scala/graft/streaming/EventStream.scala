@@ -432,6 +432,68 @@ object EventStream extends Serializable {
     q.awaitTermination()
   }
 
+  /** Incremental VALUE-ORDERED range-posting maintenance — the ninth
+    * maintained family, [[metaInvertedMaintain]]'s range sibling over
+    * [[graft.operators.MetaRange]]'s layout. The base build's bucket
+    * ranges are FIXED for the stream's lifetime (read driver-side once):
+    * each arriving micro-batch routes its values into the bucket with
+    * the greatest `lo <= v` — an LSM merging new keys into existing
+    * sorted runs — and appends (a) posting rows partitioned by
+    * `rbucket`, so a range probe stays plan-time-pruned to the range's
+    * bucket directories while the index grows, and (b) a tiny per-batch
+    * bounds-widening row per touched bucket, which the probe folds back
+    * in ([[graft.operators.MetaRange.foldedBounds]]: lo only falls, hi
+    * only rises — pruning stays conservative for both halves). Bucket
+    * re-splits remain a compaction-time rebuild, exactly like the
+    * reference rewriting its sorted blockfile at compaction
+    * (`rust/index/src/metadata/types.rs` writers).
+    *
+    * `srcDir` holds parquet files in the shredded record shape for the
+    * key's declared type (offset_id + the typed meta map); the base
+    * build must exist (no bounds ⇒ nothing to route into — fail loudly).
+    */
+  def metaRangeMaintain(spark: SparkSession, srcDir: String, root: String,
+      checkpoint: String, key: String,
+      vtype: graft.sources.Catalog.ValueType,
+      filesPerBatch: Int = 1): Unit = {
+    val metaCol = vtype match {
+      case graft.sources.Catalog.VString => StructField("meta_str",
+        MapType(StringType, StringType))
+      case graft.sources.Catalog.VInt => StructField("meta_int",
+        MapType(StringType, LongType))
+      case graft.sources.Catalog.VFloat => StructField("meta_float",
+        MapType(StringType, DoubleType))
+      case other => throw new IllegalArgumentException(
+        s"no range index for value type ${other.name}")
+    }
+    val bounds = graft.operators.MetaRange.baseBounds(spark, root, key)
+    require(bounds.nonEmpty,
+      s"metaRangeMaintain($root, $key) needs a base MetaRange build " +
+        "first — there are no bucket ranges to route new values into")
+    val schema = StructType(Seq(
+      StructField("offset_id", LongType), metaCol))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = graft.operators.MetaRange
+          .postingsInto(batch, key, vtype, bounds)
+        idempotentAppend(rows.repartition(col("rbucket")),
+          graft.operators.MetaRange.tableDeltaDir(root, key), batchId,
+          Seq("rbucket"))
+        // ~nBuckets rows; a replay overwrites both batch leaves, so the
+        // two appends stay idempotent together
+        idempotentAppend(rows.groupBy(col("rbucket"))
+            .agg(min(col("value")).as("lo"), max(col("value")).as("hi")),
+          graft.operators.MetaRange.boundsDeltaDir(root, key), batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Incremental n-gram-LM maintenance — the perplexity filter's
     * ingest-time face: each arriving document micro-batch folds its
     * bigram transitions into per-batch count rows appended to the

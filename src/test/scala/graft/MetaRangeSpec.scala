@@ -88,6 +88,67 @@ class MetaRangeSpec extends AnyFunSuite {
     assert(got.contains(4L), "supplementary char must clear the PUA bound")
   }
 
+  test("stream maintenance: new values route into the base buckets, " +
+      "edge values widen bounds, the folded probe stays exact and pruned") {
+    val baseRows = (0L until 100L).map(i => (i, Some(i), None))
+    val root = java.nio.file.Files.createTempDirectory("mr_maint").toString
+    MetaRange.buildAndSave(shredded(baseRows), root, "k",
+      graft.sources.Catalog.VInt, nBuckets = 8)
+    // two delta files → two micro-batches: in-range values that must
+    // co-locate with their base buckets, plus values BEYOND both edges
+    // that only widened bounds can ever surface
+    val d1 = (100L until 130L).map(i => (i, Some(i % 100), None))
+    val d2: Seq[(Long, Option[Long], Option[String])] =
+      Seq((200L, Some(-50L), None), (201L, Some(500L), None))
+    val src = java.nio.file.Files.createTempDirectory("mr_maint_src").toString
+    shredded(d1).coalesce(1).write.mode("append").parquet(src)
+    shredded(d2).coalesce(1).write.mode("append").parquet(src)
+    graft.streaming.EventStream.metaRangeMaintain(spark, src, root,
+      s"$root/ckpt", "k", graft.sources.Catalog.VInt, filesPerBatch = 1)
+    val all = baseRows ++ d1 ++ d2
+    def expect(p: Long => Boolean): Set[Long] =
+      all.collect { case (o, Some(v), _) if p(v) => o }.toSet
+    val d = (x: Long) => java.lang.Double.valueOf(x.toDouble)
+    def got(leaves: Seq[MetaRange.Leaf]): Set[Long] =
+      MetaRange.candidateIdsMaintained(spark, root, "k", leaves)
+        .collect().map(_.getLong(0)).toSet
+    // mid-range: base and delta halves both answer
+    assert(got(Seq(MetaRange.Leaf("$gte", d(20)), MetaRange.Leaf("$lt", d(40))))
+      == expect(v => v >= 20 && v < 40))
+    // widened hi: only the streamed 500 clears the base max of 99
+    assert(got(Seq(MetaRange.Leaf("$gt", d(99)))) == Set(201L))
+    // widened lo: only the streamed -50 sits under the base min of 0
+    assert(got(Seq(MetaRange.Leaf("$lt", d(0)))) == Set(200L))
+    // pruning stays plan-time on the maintained read: a narrow slice
+    // keeps few bucket directories across base ∪ delta
+    val df = MetaRange.candidateIdsMaintained(spark, root, "k",
+      Seq(MetaRange.Leaf("$gte", d(20)), MetaRange.Leaf("$lt", d(30))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*rbucket.*"),
+      s"maintained range probe not partition-pruned\n${plan.take(1200)}")
+    val kept = "rbucket#\\d+L? IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan).map(_.group(1).split(",").length)
+    assert(kept.exists(_ <= 3), s"expected <=3 kept buckets, got: $kept")
+    // compaction folds the deltas into the base and retires them:
+    // identical answers, empty delta dirs, folded-batch marker set
+    MetaRange.compactMaintained(spark, root, "k")
+    assert(got(Seq(MetaRange.Leaf("$gte", d(20)), MetaRange.Leaf("$lt", d(40))))
+      == expect(v => v >= 20 && v < 40), "post-compaction mid-range drifted")
+    assert(got(Seq(MetaRange.Leaf("$gt", d(99)))) == Set(201L),
+      "post-compaction widened-hi row lost")
+    assert(got(Seq(MetaRange.Leaf("$lt", d(0)))) == Set(200L),
+      "post-compaction widened-lo row lost")
+    assert(spark.read.parquet(MetaRange.tableDeltaDir(root, "k")).count() == 0,
+      "delta postings must be retired into the base")
+    assert(graft.streaming.EventStream
+        .foldedMaxBatch(MetaRange.tableDeltaDir(root, "k")).contains(1L),
+      "folded-max-batch marker must ride the delta swap")
+    // a second compaction over the emptied deltas is a no-op fold
+    MetaRange.compactMaintained(spark, root, "k")
+    assert(got(Seq(MetaRange.Leaf("$gte", d(20)), MetaRange.Leaf("$lt", d(40))))
+      == expect(v => v >= 20 && v < 40), "re-compaction drifted")
+  }
+
   test("hot-value chunking splits posting rows without changing the probe") {
     // one value carried by most offsets: chunked build bounds every
     // posting row; probe output is insensitive to the split
