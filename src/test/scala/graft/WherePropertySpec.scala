@@ -201,6 +201,61 @@ class WherePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ROUTED get == oracle over random nested trees " +
+      "(indexed + disabled keys, FTS, missing keys)") {
+    // the recursive bitmap router's narrow-only invariant under fuzz:
+    // random And/Or trees over a PERSISTED collection where `a` (string)
+    // and `b` (int) carry enabled inverted indexes, `c` is declared but
+    // DISABLED, and documentFts serves $contains — whatever subset of a
+    // tree routes, the verify pass must land exactly on the two-valued
+    // oracle, record by record. Also asserts the fuzz actually exercised
+    // BOTH the routed and the scan path (a router that silently stopped
+    // routing would pass the semantics check).
+    import graft.api.Client
+    import graft.sources.Catalog
+    import spark.implicits._
+    // declared-type-honest records: a/c only ever string, b only int,
+    // each independently missing per record
+    val genTyped: Gen[Rec] = for {
+      doc <- Gen.option(Gen.listOfN(4, Gen.oneOf(words)).map(_.mkString(" ")))
+      a <- Gen.option(Gen.oneOf(words))
+      b <- Gen.option(Gen.chooseNum(-5L, 5L))
+      c <- Gen.option(Gen.oneOf(words))
+    } yield Rec("", doc,
+      Map.empty[String, String] ++ a.map("a" -> _) ++ c.map("c" -> _),
+      Map.empty[String, Long] ++ b.map("b" -> _), Map.empty, Map.empty)
+    val params = Gen.Parameters.default
+    val seed = Seed(20260816L)
+    val recs = Gen.listOfN(60, genTyped).pureApply(params, seed)
+      .zipWithIndex.map { case (r, i) => r.copy(id = f"r$i%03d") }
+    val root = java.nio.file.Files.createTempDirectory("routedfuzz").toString
+    val coll = new Client(spark, root).createCollection("routed",
+      Catalog.Schema(
+        documentFts = true,
+        keys = Map(
+          "a" -> Catalog.KeyConfig(Catalog.VString, invertedIndex = Some(true)),
+          "b" -> Catalog.KeyConfig(Catalog.VInt, invertedIndex = Some(true)),
+          "c" -> Catalog.KeyConfig(Catalog.VString, invertedIndex = Some(false)))))
+    coll.add(recs.map(r => (r.id, r.document.orNull, r.mStr, r.mInt))
+      .toDF("id", "document", "meta", "meta_int"))
+    coll.persist()
+    val exprs = Gen.listOfN(40, genExpr(2)).pureApply(params, seed.next)
+    var routed = 0; var scanned = 0
+    for (expr <- exprs) {
+      val df = coll.get(where = Some(expr))
+      val got = df.select("id").collect().map(_.getString(0)).toSet
+      val expected = recs.filter(oracle(expr, _)).map(_.id).toSet
+      assert(got == expected,
+        s"expr=$expr\n missing=${expected -- got}\n extra=${got -- expected}")
+      if (df.inputFiles.exists(f =>
+          f.contains("meta_inverted") || f.contains("meta_range") ||
+            f.contains("fts/"))) routed += 1
+      else scanned += 1
+    }
+    assert(routed > 0, "fuzz never exercised the routed path")
+    assert(scanned > 0, "fuzz never exercised the scan path")
+  }
+
   test("compiled Where == oracle over 30 random (recordset, expr) cases") {
     var params = Gen.Parameters.default
     for (caseIdx <- 0 until 30) {
