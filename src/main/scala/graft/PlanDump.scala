@@ -33,6 +33,17 @@ object PlanDump {
         "posting partitions; candidate doc_ids push into the record scan as " +
         "an id IN-filter (row-group pruning), and the contains verify runs " +
         "over candidates only — never a full-corpus scan."),
+    "fc_key_bool_nested" ->
+      ("Recursive bitmap routing (r11): the or-of-ands predicate " +
+        "compiles to a candidate-set plan — each eq/$in leaf reads its " +
+        "hash-bucket posting directory and the range leaf only the " +
+        "value-ordered buckets whose [lo,hi] intersect the query range " +
+        "(both land as PartitionFilters at PLAN time), branch " +
+        "candidates intersect via left-semi joins and union across the " +
+        "$or, and the record scan left-semi joins the final id set " +
+        "before the full predicate re-verifies. At 100 TB the index " +
+        "legs read a handful of directories; the corpus is touched " +
+        "only for candidate rows."),
     "wp_compaction_merge" ->
       ("Compaction at the 100-TB shape: the WAL tail folds into per-id op " +
         "arrays (one shuffle on the SMALL side), then the segment scan " +

@@ -1155,6 +1155,47 @@ final class CollectionHandle(spark: SparkSession,
     }
   }
 
+  /** [[queryAnnQuantized]]'s MULTI-BIT sibling through the serving
+    * stack (`rust/index/src/quantization/multi_bit.rs`): the persisted
+    * code table holds `2^bits` distinct dequantized floats per
+    * component (parquet dictionary-encoding does the bit-packing), the
+    * coarse rank runs the codegen'd space kernel over it, and only the
+    * α·k survivors pull wide vectors. Same config resolution and
+    * IndexAndWal tail leg as [[queryAnnQuantized]]. Pick this over the
+    * 1-bit path when the corpus's true neighbors cross posting lists —
+    * the gauntlet's hard cell, where sign codes invert against the
+    * exact scan at recall ≥ 0.95.
+    */
+  def queryAnnQuantizedMb(queries: DataFrame, k: Int, nprobe: Int = -1,
+      bits: Int = 4, alpha: Int = 8, lo: Double = -1.5, hi: Double = 1.5,
+      nCentroids: Int = 16, nReplica: Int = -1, space: String = "",
+      readLevel: ReadLevel = ReadLevel.IndexAndWal): DataFrame =
+      Quotas.Gates.withRead(ref.dataRoot, limits) {
+    Quotas.validateResults(k, limits)
+    val spannCfg = indexConfig.collect { case s: Catalog.SpannIndexConfig => s }
+    def np = if (nprobe > 0) nprobe
+      else spannCfg.map(_.searchNprobe).getOrElse(throw new
+        IllegalArgumentException("queryAnnQuantizedMb: pass nprobe or " +
+          "declare a spann vector-index config on the collection"))
+    val nr = if (nReplica > 0) nReplica else spannCfg.map(_.nReplica).getOrElse(4)
+    val sp = cfgSpace(space)
+    segmentDataRoot(ref) match {
+      case None => readView(readLevel).query(queries, k, None, sp)
+      case Some(dataRoot) =>
+        val seg = CollectionStore.loadRecords(spark, dataRoot)
+        val vecs = seg.select(col("offset_id"), col("embedding"))
+        val tag = segTag(seg)
+        val model = CollectionStore.ivfServing(vecs, dataRoot, nCentroids,
+          nr, space = sp, keyTag = tag)
+        val codes = CollectionStore.mbCodesServing(vecs, dataRoot, bits,
+          lo, hi, keyTag = tag)
+        val (tail, stale, extra) = tailAndStale(readLevel)
+        new Collection(seg).queryAnnQuantizedMb(model, codes, queries, k,
+          np, bits, alpha, sp, lo, hi, walTail = tail, staleIds = stale,
+          staleFetchExtra = extra)
+    }
+  }
+
   /** [[queryAnn]] served from the persisted per-partition HNSW graphs —
     * the reference's compacted vector segment is an HNSW
     * (`rust/segment/src/distributed_hnsw.rs`); same IndexAndWal tail

@@ -181,6 +181,35 @@ final class Collection(val records: DataFrame) {
     servedWithTail(nn, queries, k, None, space, include, walTail, staleIds)
   }
 
+  /** [[queryAnnQuantized]]'s MULTI-BIT sibling
+    * (`rust/index/src/quantization/multi_bit.rs`): coarse rank on the
+    * persisted `2^bits`-level dequantized code table, exact re-rank of
+    * the α·k survivors, same IndexAndWal tail merge. The operating
+    * point for cross-cluster corpora where 1-bit sign codes carry no
+    * resolution (the gauntlet's hard-cell finding: 4-bit reaches recall
+    * 0.97 under the exact scan's cost where 1-bit costs 1.5× over it).
+    */
+  def queryAnnQuantizedMb(
+      model: graft.operators.Ivf.Model,
+      codes: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      bits: Int,
+      alpha: Int = 8,
+      space: String = "cosine",
+      lo: Double = -1.5,
+      hi: Double = 1.5,
+      include: Seq[String] = Seq(),
+      walTail: Option[DataFrame] = None,
+      staleIds: Option[DataFrame] = None,
+      staleFetchExtra: Int = 0): DataFrame = {
+    val kIndex = if (walTail.isDefined) k + staleFetchExtra else k
+    val nn = graft.operators.Ivf.searchQuantizedMb(model, codes, queries,
+      kIndex, nprobe, bits, alpha, space, lo, hi)
+    servedWithTail(nn, queries, k, None, space, include, walTail, staleIds)
+  }
+
   /** Knn served from the persisted per-partition HNSW graphs — the
     * reference's actual compacted vector segment is an HNSW
     * (`rust/segment/src/distributed_hnsw.rs`); SPANN/IVF is its

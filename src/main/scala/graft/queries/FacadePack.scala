@@ -371,6 +371,34 @@ object FacadePack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // MULTI-BIT quantized serving through the client, WITH an
+    // un-compacted WAL tail (`rust/index/src/quantization/multi_bit.rs`
+    // — the operating point for cross-cluster corpora where 1-bit sign
+    // codes invert against the exact scan; the gauntlet's hard cell).
+    // nprobe covers every list and α·k the whole corpus, so the
+    // coarse-rank → exact-rerank → KnnLog tail merge is provably exact
+    // and hash-matches the brute-force oracle; realistic (non-covering)
+    // operating points are recall-gated in QuantizedSpec and measured
+    // in ANN_GAUNTLET.json.
+    "fc_ann_quantized_mb" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d) + "/mb_client"
+      val client = new graft.api.Client(s, root)
+      val coll = client.getOrCreateCollection("vecs")
+      def recs(pred: org.apache.spark.sql.Column) =
+        Tables.embeddings(s, d).filter(pred).select(
+          concat(lit("vec-"), col("vec_id")).as("id"), col("embedding"))
+      if (!graft.sources.CollectionStore.hasRecords(coll.ref.dataRoot)) {
+        coll.add(recs(col("vec_id") >= 100))
+        coll.persist()
+      }
+      coll.add(recs(col("vec_id") < 100)) // the un-compacted tail
+      coll.queryAnnQuantizedMb(queryVecs(s, d, 3), k = 5, nprobe = 16,
+          bits = 4, alpha = 400, nCentroids = 16, nReplica = 4)
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     "fc_ann_tail" -> { (s, d) =>
       val root = graft.sources.CollectionStore.indexRoot(d) + "/tail_client"
       val client = new graft.api.Client(s, root)
@@ -1070,6 +1098,7 @@ object FacadePack extends QueryPack {
 
     "fc_ann_query_oracle" -> facadeExactK5Sql,
     "fc_ann_quantized_oracle" -> facadeExactK5Sql,
+    "fc_ann_quantized_mb" -> facadeExactK5Sql,
     "fc_ann_hnsw_tail_oracle" -> facadeExactK5Sql,
 
     // exact filtered KNN: the even key exists iff vec_id % 3 != 0 and
