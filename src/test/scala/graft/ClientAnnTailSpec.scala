@@ -137,6 +137,24 @@ class ClientAnnTailSpec extends AnyFunSuite {
     assert(got((0L, 1L)) == "v-0" && got((5L, 1L)) == "v-5")
   }
 
+  test("multi-bit quantized served read merges the tail and sees deletes") {
+    val client = freshClient()
+    val coll = client.createCollection("vs_mb")
+    coll.add(vecDf(20 until 100))
+    coll.persist()
+    coll.add(vecDf(0 until 20)) // un-compacted tail
+    coll.delete(Seq("v-40"))    // delete a COMPACTED record via the tail
+    val got = coll.queryAnnQuantizedMb(queriesOf(Seq(0, 5, 40)), k = 5,
+        nprobe = 8, bits = 4, alpha = 40, nCentroids = 8)
+      .select("query_id", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // tail records the code table has never seen serve at rank 1
+    assert(got((0L, 1L)) == "v-0" && got((5L, 1L)) == "v-5")
+    // the deleted compacted record is shadowed, k results survive
+    assert(!got.values.toSet.contains("v-40"))
+    assert(got.keys.count(_._1 == 40L) == 5)
+  }
+
   test("hnsw served read merges the tail") {
     val client = freshClient()
     val coll = client.createCollection("vs_h")
