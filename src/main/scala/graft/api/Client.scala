@@ -51,8 +51,18 @@ final class Client(spark: SparkSession, root: String,
     if (listCollections().contains(name)) getCollection(name)
     else createCollection(name, schema)
 
-  def listCollections(): Seq[String] =
-    Catalog.listCollections(root, tenant, database)
+  /** Name-sorted collection listing with the reference API's optional
+    * pagination (`chromadb/api/__init__.py` `list_collections(limit,
+    * offset)` — the SQLite/sysdb listing pages the same way); the sysdb
+    * listing is already deterministic (name-sorted), so pages are
+    * stable across calls.
+    */
+  def listCollections(limit: Option[Int] = None, offset: Int = 0): Seq[String] = {
+    require(offset >= 0, s"offset must be >= 0, got $offset")
+    limit.foreach(l => require(l >= 0, s"limit must be >= 0, got $l"))
+    val page = Catalog.listCollections(root, tenant, database).drop(offset)
+    limit.map(page.take).getOrElse(page)
+  }
 
   def countCollections(): Long = listCollections().size.toLong
 

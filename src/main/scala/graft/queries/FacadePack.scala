@@ -108,6 +108,44 @@ object FacadePack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // query() with a NESTED-BOOLEAN metadata filter through the shared
+    // recursive bitmap router: the collection declares inverted indexes
+    // on both keys, so each Or branch's eq legs probe their posting
+    // tables before the exact in-plan KNN scores the survivors — the
+    // reference's filter-first KnnFilterOrchestrator over a RoaringBitmap
+    // Or(And, And) expression. Brute-force KNN ⇒ hash-exact.
+    "fc_query_bool_nested" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d) + "/qbn_client"
+      val client = new graft.api.Client(s, root)
+      val coll = client.getOrCreateCollection("qbn", graft.sources.Catalog.Schema(
+        keys = Map(
+          "label" -> graft.sources.Catalog.KeyConfig(
+            graft.sources.Catalog.VInt, invertedIndex = Some(true)),
+          "even" -> graft.sources.Catalog.KeyConfig(
+            graft.sources.Catalog.VBool, invertedIndex = Some(true)))))
+      if (!graft.sources.CollectionStore.hasRecords(coll.ref.dataRoot)) {
+        // `even` exists iff vec_id % 3 != 0 (missing-key rows must never
+        // surface through a posting probe)
+        coll.add(Tables.embeddings(s, d).select(
+          concat(lit("vec-"), col("vec_id")).as("id"), col("embedding"),
+          map(lit("label"), col("label").cast("long")).as("meta_int"),
+          when(col("vec_id") % 3 =!= 0,
+            map(lit("even"), col("vec_id") % 2 === 0))
+            .otherwise(map_from_arrays(array(), array())
+              .cast("map<string,boolean>")).as("meta_bool")))
+        coll.persist()
+      }
+      import graft.model.Where
+      coll.query(queryVecs(s, d, 3), k = 5, where = Some(Where.Or(Seq(
+          Where.And(Seq(Where.Cmp("label", "$eq", Where.VInt(1)),
+            Where.Cmp("even", "$eq", Where.VBool(true)))),
+          Where.And(Seq(Where.Cmp("label", "$eq", Where.VInt(2)),
+            Where.Cmp("even", "$eq", Where.VBool(false))))))))
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Search plan: two KNN leaves, weighted-sum rank, top-1 per label.
     "fc_search_grouped" -> { (s, d) =>
       import Rank._
@@ -1122,6 +1160,22 @@ object FacadePack extends QueryPack {
         |           FROM embeddings WHERE vec_id < 3),
         |cand AS (SELECT * FROM embeddings
         |         WHERE label <> 3 AND vec_id % 3 <> 0 AND vec_id % 2 = 0),
+        |d AS (SELECT query_id, vec_id,
+        |        1.0 - list_cosine_similarity(embedding, qe) AS dist
+        |      FROM cand, q),
+        |r AS (SELECT query_id, vec_id, dist,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+        |      FROM d)
+        |SELECT query_id, rank, dist, 'vec-'||vec_id AS id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "fc_query_bool_nested" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 3),
+        |cand AS (SELECT * FROM embeddings
+        |         WHERE vec_id % 3 <> 0 AND (
+        |           (label = 1 AND vec_id % 2 = 0) OR
+        |           (label = 2 AND vec_id % 2 <> 0))),
         |d AS (SELECT query_id, vec_id,
         |        1.0 - list_cosine_similarity(embedding, qe) AS dist
         |      FROM cand, q),

@@ -26,6 +26,11 @@ class ClientSpec extends AnyFunSuite {
     client.createCollection("vecs")
     assert(client.listCollections() == Seq("docs", "vecs"))
     assert(client.countCollections() == 2)
+    // the reference API's limit/offset pagination over the sorted listing
+    assert(client.listCollections(limit = Some(1)) == Seq("docs"))
+    assert(client.listCollections(limit = Some(5), offset = 1) == Seq("vecs"))
+    assert(client.listCollections(offset = 2).isEmpty)
+    intercept[IllegalArgumentException] { client.listCollections(offset = -1) }
     intercept[Exception] { client.createCollection("docs") }
     client.deleteCollection("docs")
     assert(client.listCollections() == Seq("vecs"))
