@@ -748,16 +748,32 @@ final class CollectionHandle(spark: SparkSession,
   def get(where: Option[graft.model.Where.Expr] = None,
       limit: Option[Int] = None, offset: Int = 0,
       include: Seq[String] = Seq("document"),
-      readLevel: ReadLevel = ReadLevel.IndexAndWal): DataFrame =
+      readLevel: ReadLevel = ReadLevel.IndexAndWal,
+      ids: Option[Seq[String]] = None,
+      whereDocument: Option[graft.model.Where.Expr] = None): DataFrame =
     Quotas.Gates.withRead(ref.dataRoot, limits) {
-      where.foreach(Quotas.validateWhere(_, limits))
+      import graft.model.Where
+      // the reference's GetRequest carries ids, where, and
+      // where_document as SEPARATE fields (`rust/types/src/api_types.rs`
+      // GetRequest; `chromadb/api/__init__.py` get(ids, where,
+      // where_document)) that conjoin at plan time; where_document
+      // admits only document leaves under $and/$or
+      whereDocument.foreach(Where.validateDocOnly)
+      val conjuncts: Seq[Where.Expr] =
+        ids.map(Where.IdIn(_)).toSeq ++ where ++ whereDocument
+      val w: Option[Where.Expr] = conjuncts match {
+        case Seq() => None
+        case Seq(one) => Some(one)
+        case many => Some(Where.And(many))
+      }
+      w.foreach(Quotas.validateWhere(_, limits))
       limit.foreach(Quotas.validateResults(_, limits))
       val view = readView(readLevel)
-      indexAllowedIds(where, readLevel) match {
+      indexAllowedIds(w, readLevel) match {
         case Some(allowed) =>
           new Collection(view.records.join(allowed, Seq("id"), "left_semi"))
-            .get(where, limit, offset, include)
-        case None => view.get(where, limit, offset, include)
+            .get(w, limit, offset, include)
+        case None => view.get(w, limit, offset, include)
       }
     }
 

@@ -174,6 +174,19 @@ object Where {
     case IdIn(ids) => col("id").isin(ids: _*)
   }
 
+  /** The reference's `where_document` admits ONLY document leaves
+    * (`$contains/$not_contains/$regex/$not_regex`) under `$and`/`$or`
+    * (`chromadb/api/types.py` WhereDocument validation); a metadata or
+    * id leaf there is a malformed request, rejected before planning.
+    */
+  private[graft] def validateDocOnly(e: Expr): Unit = e match {
+    case And(cs) => cs.foreach(validateDocOnly)
+    case Or(cs) => cs.foreach(validateDocOnly)
+    case DocContains(_, _) | DocRegex(_, _) => ()
+    case other => throw new IllegalArgumentException(
+      s"where_document admits only document leaves under $$and/$$or, got: $other")
+  }
+
   /** Reject patterns outside the Rust-regex subset the reference accepts
     * (`rust/types/src/regex/hir.rs:14-26` is the whole allowed surface —
     * the Rust regex crate has no look-around, no atomic/conditional

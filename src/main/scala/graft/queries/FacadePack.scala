@@ -643,6 +643,33 @@ object FacadePack extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // The reference GetRequest's THREE separate filter fields — ids,
+    // where, where_document (`rust/types/src/api_types.rs` GetRequest) —
+    // conjoin at plan time: the id list prefilters via the segment's
+    // bloomed id scan, the metadata eq via its posting table, and the
+    // doc-contains verifies on the joined view. where_document is
+    // validated doc-leaves-only, the reference's WhereDocument contract.
+    "fc_get_ids_doc" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_gid_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("gid", graft.sources.Catalog.Schema(
+        keys = Map("lang" -> graft.sources.Catalog.KeyConfig(
+          graft.sources.Catalog.VString, invertedIndex = Some(true)))))
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("lang"), col("lang")).as("meta")))
+      coll.persist()
+      coll.get(
+        ids = Some((0 to 400 by 3).map(i => s"doc-$i")),
+        where = Some(graft.model.Where.Cmp("lang", "$eq",
+          graft.model.Where.VStr("en"))),
+        whereDocument = Some(graft.model.Where.DocContains("data",
+          negated = false)),
+        include = Seq("document", "meta:lang"))
+        .orderBy(col("id"))
+    },
+
     // Bitmap ∧ through the posting family: BOTH conjunctive eq leaves
     // probe their posting tables and the candidate sets intersect
     // before the verify pass — the reference merges per-leaf posting
@@ -1227,6 +1254,13 @@ object FacadePack extends QueryPack {
     "fc_key_arr_contains_int" ->
       """SELECT 'doc-'||doc_id AS id, text AS document FROM documents
         |WHERE list_contains([doc_id%7, doc_id%11, 1000+doc_id%3], 4)
+        |ORDER BY id""".stripMargin,
+
+    "fc_get_ids_doc" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document, lang
+        |FROM documents
+        |WHERE doc_id % 3 = 0 AND doc_id <= 400
+        |  AND lang = 'en' AND contains(text, 'data')
         |ORDER BY id""".stripMargin,
 
     "fc_key_inverted_and" ->

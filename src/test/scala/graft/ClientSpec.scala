@@ -568,4 +568,34 @@ class ClientSpec extends AnyFunSuite {
     val page = reopened.get(limit = Some(10)).select("id").as[String].collect()
     assert(page.last == "d")
   }
+
+  test("get's ids / where / where_document fields conjoin; " +
+      "where_document rejects non-document leaves") {
+    import graft.model.Where
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("getreq")
+    coll.add((0 until 30).map(i =>
+        (s"r$i", s"doc $i ${if (i % 2 == 0) "even" else "odd"}",
+          Map("g" -> s"v${i % 3}")))
+      .toDF("id", "document", "meta"))
+    // three fields AND together: the id list ∩ metadata eq ∩ doc contains
+    val got = coll.get(
+        ids = Some((0 until 20).map(i => s"r$i")),
+        where = Some(Where.Cmp("g", "$eq", Where.VStr("v0"))),
+        whereDocument = Some(Where.DocContains("even", negated = false)))
+      .select("id").collect().map(_.getString(0)).toSet
+    val want = (0 until 20).filter(i => i % 3 == 0 && i % 2 == 0)
+      .map(i => s"r$i").toSet
+    assert(got == want && got.nonEmpty, s"got $got want $want")
+    // a metadata leaf inside where_document is a malformed request
+    intercept[IllegalArgumentException] {
+      coll.get(whereDocument =
+        Some(Where.Cmp("g", "$eq", Where.VStr("v0"))))
+    }
+    // boolean structure of doc leaves is allowed
+    assert(coll.get(whereDocument = Some(Where.Or(Seq(
+        Where.DocContains("even", negated = false),
+        Where.DocRegex("od+", negated = false)))))
+      .count() == 30)
+  }
 }
