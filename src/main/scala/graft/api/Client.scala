@@ -617,6 +617,28 @@ final class CollectionHandle(spark: SparkSession,
     Quotas.Gates.withWrite(ref.dataRoot, limits) { writer.deleteWhere(where) }
   }
 
+  /** The reference DeleteRequest's three separate filter fields —
+    * `ids`, `where`, `where_document` (`rust/types/src/api_types.rs`
+    * DeleteRequest; `Collection.delete(ids, where, where_document)`) —
+    * conjoined at plan time like [[get]]'s; an all-empty request is
+    * malformed (the reference rejects a filterless delete rather than
+    * truncating the collection). Returns the matched-row count.
+    */
+  def delete(ids: Option[Seq[String]],
+      where: Option[graft.model.Where.Expr],
+      whereDocument: Option[graft.model.Where.Expr] = None): Long = {
+    import graft.model.Where
+    whereDocument.foreach(Where.validateDocOnly)
+    val conjuncts: Seq[Where.Expr] =
+      ids.map(Where.IdIn(_)).toSeq ++ where ++ whereDocument
+    require(conjuncts.nonEmpty,
+      "delete needs at least one of ids / where / whereDocument — a " +
+        "filterless delete would truncate the collection (malformed " +
+        "request in the reference)")
+    deleteWhere(if (conjuncts.size == 1) conjuncts.head
+      else Where.And(conjuncts))
+  }
+
   /** Read-your-writes live state (pending WAL folded over the segment). */
   def state: Dataset[Rec] = writer.flush()
 

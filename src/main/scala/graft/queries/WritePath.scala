@@ -133,6 +133,30 @@ object WritePath extends QueryPack {
         .orderBy($"id")
     },
 
+    // The reference DeleteRequest's three separate filter fields —
+    // ids, where, where_document — conjoined through the client handle
+    // (`rust/types/src/api_types.rs` DeleteRequest): only records
+    // matching ALL THREE disappear; everything else survives the WAL
+    // fold untouched.
+    "wp_delete_request" -> { (s, d) =>
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_delr_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("delreq")
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), $"doc_id").as("id"),
+        $"text".as("document"),
+        map(lit("lang"), $"lang").as("meta")))
+      coll.delete(
+        ids = Some((0 to 300).map(i => s"doc-$i")),
+        where = Some(graft.model.Where.Cmp("lang", "$eq",
+          graft.model.Where.VStr("en"))),
+        whereDocument = Some(graft.model.Where.DocContains("data",
+          negated = false)))
+      coll.get(include = Seq("document", "meta:lang"), limit = Some(100000))
+        .orderBy($"id")
+    },
+
     // Collection fork (copy-on-write, `service_based_frontend.rs:
     // 1663-1787`): the compacted segment is persisted ONCE and both
     // branches read the same immutable files; parent and fork diverge
@@ -316,6 +340,11 @@ object WritePath extends QueryPack {
     "wp_delete_where" ->
       """SELECT 'doc-'||doc_id AS id, text AS document, lang FROM documents
         |WHERE NOT (lang = 'de' OR contains(text, 'sort merge'))
+        |ORDER BY id""".stripMargin,
+
+    "wp_delete_request" ->
+      """SELECT 'doc-'||doc_id AS id, text AS document, lang FROM documents
+        |WHERE NOT (doc_id <= 300 AND lang = 'en' AND contains(text, 'data'))
         |ORDER BY id""".stripMargin,
 
     "wp_wal_durable" ->

@@ -597,5 +597,15 @@ class ClientSpec extends AnyFunSuite {
         Where.DocContains("even", negated = false),
         Where.DocRegex("od+", negated = false)))))
       .count() == 30)
+    // delete composes the same three fields; a filterless delete is a
+    // malformed request (would truncate), matched count returns
+    val n = coll.delete(ids = Some(Seq("r0", "r1", "r6")),
+      where = Some(Where.Cmp("g", "$eq", Where.VStr("v0"))),
+      whereDocument = Some(Where.DocContains("even", negated = false)))
+    assert(n == 2, s"delete matched $n")  // r0, r6 (r1: g=v1, odd)
+    assert(coll.count() == 28)
+    intercept[IllegalArgumentException] {
+      coll.delete(ids = None, where = None)
+    }
   }
 }
