@@ -46,6 +46,23 @@ final class Client(spark: SparkSession, root: String,
   def describeCollection(name: String): Catalog.CollectionRef =
     Catalog.getCollection(root, tenant, database, name)
 
+  /** Open a collection by Chroma Resource Name —
+    * `<tenant>:<database>:<collection>` (`api_types.rs`
+    * GetCollectionByCrnRequest:867, `parse_and_validate_crn`:878): a
+    * deployment-global address, so the handle may cross this client's
+    * pinned tenant/database. Exactly three non-empty `:`-parts, the
+    * reference's validation.
+    */
+  def getCollectionByCrn(crn: String): CollectionHandle = {
+    val parts = crn.split(":", 4)
+    require(parts.length == 3 && parts.forall(_.nonEmpty),
+      "CRN must be in the format " +
+        "<tenant_resource_name>:<database_name>:<collection_name> " +
+        "with non-empty parts")
+    new CollectionHandle(spark,
+      Catalog.getCollection(root, parts(0), parts(1), parts(2)), limits)
+  }
+
   def getOrCreateCollection(name: String,
       schema: Catalog.Schema = Catalog.Schema()): CollectionHandle =
     if (listCollections().contains(name)) getCollection(name)
@@ -187,7 +204,153 @@ final class Client(spark: SparkSession, root: String,
     new CollectionHandle(spark,
       Catalog.updateCollectionConfig(root, tenant, database, name, hnsw, spann),
       limits)
+
+  // ─────────────────────── attached-function lifecycle ──
+
+  /** Attach a named function INSTANCE to `collection` — the reference's
+    * `attach_function` (`api_types.rs` AttachFunctionRequest:2651;
+    * `service_based_frontend.rs:3208`): validates the function id
+    * resolves, creates the dedicated OUTPUT collection, persists the
+    * instance, and backfills (first invocation) when the input already
+    * holds records. Idempotent: repeating the identical request returns
+    * `created = false`; a conflicting live instance under the same name
+    * is `AlreadyExists`, a pre-existing output collection is
+    * `OutputCollectionExists` (both IllegalStateException, the
+    * reference's error set).
+    */
+  def attachFunction(collection: String, name: String, functionId: String,
+      outputCollection: String, params: Map[String, String] = Map.empty,
+      minRecordsForInvocation: Long = 0L): AttachFunctionResult = {
+    require(Catalog.collectionExists(root, tenant, database, collection),
+      s"input collection [$collection] does not exist")
+    // resolve NOW — the reference's ensure_function_attachment_allowed
+    // rejects unknown function ids at attach, not first run
+    graft.functions.AttachedFunctions.resolve(functionId)
+    Catalog.getAttachedFunction(root, tenant, database, collection,
+        name) match {
+      case Some(ex) if ex.active =>
+        if (ex.functionId == functionId &&
+            ex.outputCollection == outputCollection)
+          AttachFunctionResult(ex, created = false)
+        else throw new IllegalStateException(
+          s"attached function [$name] already exists on [$collection]")
+      case stale => // absent, or a soft-deleted row to recreate over
+        if (collectionExists(outputCollection))
+          throw new IllegalStateException(
+            s"output collection [$outputCollection] already exists")
+        // the reference hardcodes an HNSW vector segment for the output
+        // (FinishCreateAttachedFunction) — declare the same default
+        createCollection(outputCollection, Catalog.Schema(
+          vectorIndex = Some(Catalog.HnswIndexConfig())))
+        val inst = Catalog.AttachedFunctionInstance(name, functionId,
+          Seq(collection), outputCollection, params,
+          minRecordsForInvocation, completionOffset = 0L,
+          completionSegment = 0L, active = true)
+        Catalog.writeAttachedFunction(root, tenant, database, inst,
+          createNew = stale.isEmpty)
+        // backfill between create and finish
+        // (create_attached_function_with_backfill): run the first
+        // invocation immediately — the threshold gates only STEADY-STATE
+        // runs, exactly why the reference pushes dummy backfill records
+        invokeAttachedFunction(collection, name, force = true)
+        AttachFunctionResult(
+          Catalog.getAttachedFunction(root, tenant, database, collection,
+            name).get, created = true)
+    }
+  }
+
+  def getAttachedFunction(collection: String,
+      name: String): Catalog.AttachedFunctionInstance =
+    Catalog.getAttachedFunction(root, tenant, database, collection, name)
+      .getOrElse(throw new NoSuchElementException(
+        s"attached function [$name] does not exist on [$collection]"))
+
+  def listAttachedFunctions(collection: String)
+      : Seq[Catalog.AttachedFunctionInstance] =
+    Catalog.listAttachedFunctions(root, tenant, database, collection)
+
+  /** Register another input collection on an existing instance — the
+    * reference's `add_attached_function_input`
+    * (`attached_function_ops.rs:140`). Idempotent per input; the new
+    * input's existing records count as unprocessed, so the next
+    * invocation folds them in.
+    */
+  def addAttachedFunctionInput(collection: String, name: String,
+      input: String): Catalog.AttachedFunctionInstance = {
+    require(Catalog.collectionExists(root, tenant, database, input),
+      s"input collection [$input] does not exist")
+    Catalog.updateAttachedFunction(root, tenant, database, collection,
+      name) { cur =>
+      require(cur.active, s"attached function [$name] is detached")
+      if (cur.inputCollections.contains(input)) cur
+      else cur.copy(inputCollections = cur.inputCollections :+ input)
+    }
+  }
+
+  /** Detach — the reference's soft delete
+    * (`service_based_frontend.rs:3458`): the instance row survives but
+    * admits no further runs; `deleteOutput = true` also drops the
+    * output collection (`DetachFunctionRequest.delete_output`).
+    */
+  def detachFunction(collection: String, name: String,
+      deleteOutput: Boolean = false): Boolean = {
+    val inst = Catalog.updateAttachedFunction(root, tenant, database,
+      collection, name)(_.copy(active = false))
+    if (deleteOutput && collectionExists(inst.outputCollection))
+      deleteCollection(inst.outputCollection)
+    true
+  }
+
+  /** Run one invocation of an attached instance over its inputs'
+    * DURABLE state — the executor-side run the reference triggers by
+    * log position (`attached_function_ops.rs` backfill + the
+    * `min_records_for_invocation` admission): skipped (returns false)
+    * when the instance is detached, when no new durable ops arrived
+    * past the completion offset, or when fewer than the threshold did
+    * (`force` bypasses the threshold, the backfill path). A run
+    * computes the function over the UNION of the inputs' live records,
+    * full-refreshes the output collection (upsert + tombstone of
+    * vanished ids — all distributed, no driver row set), commits the
+    * output's log, and advances the completion offset to the consumed
+    * log position.
+    */
+  def invokeAttachedFunction(collection: String, name: String,
+      force: Boolean = false): Boolean = {
+    val inst = getAttachedFunction(collection, name)
+    if (!inst.active) return false
+    val inputs = inst.inputCollections.map(getCollection)
+    val logEnd = inputs.map(_.indexingStatus().totalOps).sum
+    val segEnd = inputs.map(h =>
+      graft.sources.CollectionStore.currentVersion(h.ref.dataRoot)).sum
+    val newOps = logEnd - inst.completionOffset
+    val segAdvanced = segEnd > inst.completionSegment
+    // admission: durable-log growth gates on the threshold (the
+    // reference's min_records_for_invocation); a compacted-segment
+    // version bump is progress the log counter cannot see and always
+    // admits — it may fold arbitrarily many never-logged ops
+    if (newOps <= 0L && !segAdvanced) return false
+    if (!segAdvanced && !force && newOps < inst.minRecordsForInvocation)
+      return false
+    val fn = graft.functions.AttachedFunctions.resolve(inst.functionId)
+    val records = inputs.map(_.asCollection.records)
+      .reduce(_ unionByName _)
+    val out = graft.functions.AttachedFunctions.toRecords(fn(records))
+    val outH = getCollection(inst.outputCollection)
+    outH.upsert(out)
+    outH.retainOnly(out.select("id"))
+    outH.commitLog()
+    Catalog.updateAttachedFunction(root, tenant, database, collection,
+      name)(_.copy(completionOffset = logEnd, completionSegment = segEnd))
+    true
+  }
 }
+
+/** `attach_function` response (`api_types.rs` AttachFunctionResponse):
+  * the persisted instance plus whether this call created it (false =
+  * idempotent repeat).
+  */
+final case class AttachFunctionResult(
+    function: Catalog.AttachedFunctionInstance, created: Boolean)
 
 /** One collection through the client: WAL-semantics writes (add is
   * ignored for live ids, upsert replaces, update merges with metadata
@@ -617,6 +780,26 @@ final class CollectionHandle(spark: SparkSession,
     Quotas.Gates.withWrite(ref.dataRoot, limits) { writer.deleteWhere(where) }
   }
 
+  /** Tombstone every live id NOT present in `keep` — the output-refresh
+    * leg of attached-function invocation: vanished aggregate rows (an
+    * emptied histogram bucket, a term that left the top-k) must not
+    * linger in the output collection. One distributed left_anti against
+    * the RYW state; the Delete ops append as a WAL batch (no driver id
+    * round-trip). Returns the number tombstoned.
+    */
+  private[api] def retainOnly(keep: DataFrame): Long =
+    Quotas.Gates.withWrite(ref.dataRoot, limits) {
+      val stale = state.toDF().select(col("id"))
+        .join(keep.select(col("id")), Seq("id"), "left_anti")
+      val n = stale.count()
+      if (n > 0)
+        writer.addBatch(stale
+          .withColumn("document", lit(null).cast("string"))
+          .withColumn("meta", map_from_arrays(array(), array())
+            .cast("map<string,string>")), op = "Delete")
+      n
+    }
+
   /** The reference DeleteRequest's three separate filter fields —
     * `ids`, `where`, `where_document` (`rust/types/src/api_types.rs`
     * DeleteRequest; `Collection.delete(ids, where, where_document)`) —
@@ -780,14 +963,7 @@ final class CollectionHandle(spark: SparkSession,
       // GetRequest; `chromadb/api/__init__.py` get(ids, where,
       // where_document)) that conjoin at plan time; where_document
       // admits only document leaves under $and/$or
-      whereDocument.foreach(Where.validateDocOnly)
-      val conjuncts: Seq[Where.Expr] =
-        ids.map(Where.IdIn(_)).toSeq ++ where ++ whereDocument
-      val w: Option[Where.Expr] = conjuncts match {
-        case Seq() => None
-        case Seq(one) => Some(one)
-        case many => Some(Where.And(many))
-      }
+      val w = conjoinRequestFilters(ids, where, whereDocument)
       w.foreach(Quotas.validateWhere(_, limits))
       limit.foreach(Quotas.validateResults(_, limits))
       val view = readView(readLevel)
@@ -798,6 +974,27 @@ final class CollectionHandle(spark: SparkSession,
         case None => view.get(w, limit, offset, include)
       }
     }
+
+  /** Conjoin a read request's three separate filter fields into one
+    * `Where` tree at plan time — the reference's Get/Query requests carry
+    * `ids`, `where`, and `where_document` side by side
+    * (`rust/types/src/api_types.rs` GetRequest:1896, QueryRequest:2220;
+    * `RawWhereFields` flattens `where`/`where_document` in both
+    * payloads), and its frontend ANDs them into the plan's filter.
+    * `where_document` admits only document leaves under `$and`/`$or`.
+    */
+  private def conjoinRequestFilters(ids: Option[Seq[String]],
+      where: Option[graft.model.Where.Expr],
+      whereDocument: Option[graft.model.Where.Expr])
+      : Option[graft.model.Where.Expr] = {
+    import graft.model.Where
+    whereDocument.foreach(Where.validateDocOnly)
+    (ids.map(Where.IdIn(_)).toSeq ++ where ++ whereDocument) match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => Some(Where.And(many))
+    }
+  }
 
   /** Allowed-id PREFILTER for [[get]]: the whole `Where` tree evaluates
     * recursively as bitmap algebra over per-leaf candidate sets — the
@@ -1025,21 +1222,28 @@ final class CollectionHandle(spark: SparkSession,
   def query(queries: DataFrame, k: Int,
       where: Option[graft.model.Where.Expr] = None,
       space: String = "",
-      readLevel: ReadLevel = ReadLevel.IndexAndWal): DataFrame =
+      readLevel: ReadLevel = ReadLevel.IndexAndWal,
+      ids: Option[Seq[String]] = None,
+      whereDocument: Option[graft.model.Where.Expr] = None): DataFrame =
     Quotas.Gates.withRead(ref.dataRoot, limits) {
-      where.foreach(Quotas.validateWhere(_, limits))
+      // QueryRequest carries ids and where_document beside where
+      // (`api_types.rs` QueryRequestPayload:2207-2215) — conjoined like
+      // get()'s, so an id-restricted KNN prefilters through the same
+      // bitmap router (id `$in` probes the segment bloom)
+      val w = conjoinRequestFilters(ids, where, whereDocument)
+      w.foreach(Quotas.validateWhere(_, limits))
       Quotas.validateResults(k, limits)
       // the reference's Filter operator serves from the metadata/FTS
       // indexes on EVERY read plan, not just Get — the same posting
       // prefilter narrows the KNN's candidate records (pre-filtered
       // exact KNN: the full predicate still verifies inside the plan)
       val view = readView(readLevel)
-      val base = indexAllowedIds(where, readLevel) match {
+      val base = indexAllowedIds(w, readLevel) match {
         case Some(allowed) =>
           new Collection(view.records.join(allowed, Seq("id"), "left_semi"))
         case None => view
       }
-      base.query(queries, k, where, cfgSpace(space))
+      base.query(queries, k, w, cfgSpace(space))
     }
 
   /** The read view at `readLevel` (`plan.rs:550-565`): the RYW state

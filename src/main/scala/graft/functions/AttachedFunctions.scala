@@ -70,6 +70,52 @@ object AttachedFunctions {
     }
   }
 
+  /** Map a function's output table into collection RECORDS for the
+    * instance's output collection (the reference's attached functions
+    * write their results as records into a dedicated output collection —
+    * `attach_function`'s `output_collection`,
+    * `rust/types/src/api_types.rs:2651`): the FIRST output column
+    * renders as the record id (so it must be a key of the output —
+    * every shipped function's leading column is), every remaining
+    * column shreds by Spark type into the matching typed-metadata map
+    * (int-like → `meta_int`, float-like → `meta_float`, boolean →
+    * `meta_bool`, everything else stringifies into `meta_str`). A pure
+    * projection — no shuffle, no action; NULL cells drop from their map
+    * rather than ride as null-valued entries.
+    */
+  def toRecords(out: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idCol = out.columns.head
+    def group(p: DataType => Boolean): Seq[String] =
+      out.schema.fields.tail.collect {
+        case f if p(f.dataType) => f.name
+      }.toSeq
+    val ints = group {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val floats = group {
+      case FloatType | DoubleType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    val bools = group { case BooleanType => true; case _ => false }
+    val strs = out.schema.fields.tail.map(_.name)
+      .filterNot((ints ++ floats ++ bools).toSet).toSeq
+    def metaMap(keys: Seq[String], cast: String) =
+      if (keys.isEmpty)
+        map_from_arrays(array(), array()).cast(s"map<string,$cast>")
+      else map_filter(
+        map(keys.flatMap(k => Seq(lit(k), col(k).cast(cast))): _*),
+        (_, v) => v.isNotNull)
+    out.select(
+      coalesce(col(idCol).cast("string"), lit("null")).as("id"),
+      metaMap(ints, "long").as("meta_int"),
+      metaMap(floats, "double").as("meta_float"),
+      metaMap(bools, "boolean").as("meta_bool"),
+      metaMap(strs, "string").as("meta"))
+  }
+
   /** Resolve a registered function by name; `meta_histogram:<key>` and
     * `nb_quality:<key>=<value>` are parameterized families.
     */

@@ -146,6 +146,38 @@ object FacadePack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // query() with the QueryRequest's THREE separate filter fields —
+    // ids, where, where_document (`api_types.rs` QueryRequestPayload:
+    // 2207-2215) — conjoined at plan time exactly like get()'s: the id
+    // restriction, a metadata range, and a document substring all narrow
+    // the candidate set before the exact in-plan KNN. Brute-force KNN
+    // over the survivors ⇒ hash-exact.
+    "fc_query_request_fields" -> { (s, d) =>
+      val root = graft.sources.CollectionStore.indexRoot(d) + "/qrf_client"
+      val client = new graft.api.Client(s, root)
+      val coll = client.getOrCreateCollection("qrf")
+      if (!graft.sources.CollectionStore.hasRecords(coll.ref.dataRoot)) {
+        coll.add(Tables.documents(s, d)
+          .join(Tables.embeddings(s, d),
+            col("doc_id") === col("vec_id"))
+          .select(concat(lit("doc-"), col("doc_id")).as("id"),
+            col("text").as("document"), col("embedding"),
+            map(lit("label"), col("label").cast("long")).as("meta_int")))
+        coll.persist()
+      }
+      import graft.model.Where
+      // the explicit user-id list every SF reproduces as doc_id % 2 = 0
+      val evenIds = (0L until Tables.documents(s, d).count() by 2L)
+        .map(i => s"doc-$i")
+      coll.query(queryVecs(s, d, 3), k = 5,
+          where = Some(Where.Cmp("label", "$ne", Where.VInt(3))),
+          ids = Some(evenIds),
+          whereDocument = Some(Where.DocContains("data", negated = false)))
+        .select(col("query_id"), col("rank"),
+          col("dist").cast("float").as("dist"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Search plan: two KNN leaves, weighted-sum rank, top-1 per label.
     "fc_search_grouped" -> { (s, d) =>
       import Rank._
@@ -933,6 +965,35 @@ object FacadePack extends QueryPack {
       hist.unionByName(toks).orderBy(col("stat"), desc("cnt"), col("term"))
     },
 
+    // The FULL attach_function lifecycle through the client — the
+    // reference's AttachFunctionRequest (`api_types.rs:2651`,
+    // `service_based_frontend.rs:3208`): attach creates the instance
+    // AND its dedicated output collection, the backfill invocation
+    // populates it from the input's durable state, and a later
+    // delete + invoke refreshes it (the emptied 'fr' bucket is
+    // tombstoned, not left stale). The query reads the OUTPUT
+    // COLLECTION's records — id = histogram value, count in meta_int.
+    "fc_fn_lifecycle" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_fnlc_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("fn_docs")
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("lang"), col("lang")).as("meta")))
+      coll.persist()
+      client.attachFunction("fn_docs", "lang_hist",
+        "meta_histogram:lang", "fn_docs_hist")
+      import graft.model.Where
+      coll.deleteWhere(Where.Cmp("lang", "$eq", Where.VStr("fr")))
+      coll.commitLog()
+      client.invokeAttachedFunction("fn_docs", "lang_hist")
+      client.getCollection("fn_docs_hist").asCollection.records
+        .select(col("id").as("value"),
+          element_at(col("meta_int"), "n").as("n"))
+        .orderBy(col("value"))
+    },
+
     // The NB quality classifier bound to a collection as a server-side
     // attached function (the register-by-name contract): the schema
     // declares nb_quality:lang=en, the executor fits on the LIVE records
@@ -1212,6 +1273,22 @@ object FacadePack extends QueryPack {
         |SELECT query_id, rank, dist, 'vec-'||vec_id AS id FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    "fc_query_request_fields" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 3),
+        |cand AS (SELECT d.doc_id, e.embedding
+        |         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |         WHERE d.doc_id % 2 = 0 AND e.label <> 3
+        |           AND d.text LIKE '%data%'),
+        |dd AS (SELECT query_id, doc_id,
+        |         1.0 - list_cosine_similarity(embedding, qe) AS dist
+        |       FROM cand, q),
+        |r AS (SELECT query_id, doc_id, dist,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rank
+        |      FROM dd)
+        |SELECT query_id, rank, dist, 'doc-'||doc_id AS id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "fc_ann_tail" -> facadeExactK5Sql,
     "fc_ann_config" -> facadeExactK5Sql,
     "fc_ann_config_hnsw" -> facadeExactK5Sql,
@@ -1237,6 +1314,10 @@ object FacadePack extends QueryPack {
         |SELECT stat, term, cnt FROM hist
         |UNION ALL SELECT stat, term, cnt FROM top
         |ORDER BY stat, cnt DESC, term""".stripMargin,
+
+    "fc_fn_lifecycle" ->
+      """SELECT lang AS value, count(*) AS n FROM documents
+        |WHERE lang <> 'fr' GROUP BY lang ORDER BY value""".stripMargin,
 
     "fc_key_inverted" ->
       """SELECT 'doc-'||doc_id AS id, text AS document FROM documents

@@ -638,6 +638,11 @@ object Catalog {
   def deleteDatabase(root: String, tenant: String, db: String): Unit = {
     require(listCollections(root, tenant, db).isEmpty,
       s"database $tenant/$db still has collections")
+    // attached-function instances cannot outlive every collection they
+    // reference — cascade the registry with the database
+    val fns = sysdbPath(root, tenant, db).resolve("_functions")
+    if (java.nio.file.Files.isDirectory(fns))
+      org.apache.commons.io.FileUtils.deleteDirectory(fns.toFile)
     java.nio.file.Files.deleteIfExists(sysdbPath(root, tenant, db))
   }
 
@@ -680,6 +685,128 @@ object Catalog {
       srcRef.schema, forkedFrom = Some(src), dataDir = None,
       metadata = srcRef.metadata, createNew = true)
     ref(root, tenant, db, dst, srcRef.schema, Some(src), srcRef.metadata)
+  }
+
+  // ─────────────────────────── attached-function instances ──
+
+  /** A durable attached-function INSTANCE — the reference's sysdb row
+    * behind `attach_function` (`rust/types/src/api_types.rs`
+    * AttachFunctionRequest:2651, AttachedFunctionInfo; created by
+    * `rust/frontend-core/src/attached_function_ops.rs`
+    * create_attached_function): a named binding of a function id to one
+    * or more input collections and ONE output collection it writes into,
+    * with an invocation threshold and a completion position tracking
+    * how far into the inputs' durable state the last run has processed.
+    * The position is two-legged because durable input arrives by two
+    * routes here: `completionOffset` counts consumed DURABLE-LOG ops
+    * (the leg the reference's `min_records_for_invocation` admission
+    * gates), and `completionSegment` sums the inputs' compacted segment
+    * versions (a `persist()` can fold buffered ops straight into a new
+    * segment version without individual log entries — a version bump is
+    * progress the log counter cannot see). `active = false` is the
+    * reference's soft delete (detach): the row survives for audit but
+    * no further runs are admitted.
+    */
+  final case class AttachedFunctionInstance(
+      name: String,
+      functionId: String,
+      inputCollections: Seq[String],
+      outputCollection: String,
+      params: Map[String, String],
+      minRecordsForInvocation: Long,
+      completionOffset: Long,
+      completionSegment: Long,
+      active: Boolean)
+
+  private def functionsDir(root: String, tenant: String, db: String,
+      collection: String): java.nio.file.Path =
+    sysdbPath(root, tenant, db).resolve("_functions").resolve(collection)
+
+  /** Persist an instance descriptor — same create-new atomicity contract
+    * as collection descriptors (the loser of a concurrent attach race
+    * gets FileAlreadyExists, the sysdb unique constraint).
+    */
+  def writeAttachedFunction(root: String, tenant: String, db: String,
+      inst: AttachedFunctionInstance, createNew: Boolean): Unit = {
+    implicit val fmts: Formats = DefaultFormats
+    validName(inst.name)
+    val dir = functionsDir(root, tenant, db, inst.inputCollections.head)
+    java.nio.file.Files.createDirectories(dir)
+    val json = Serialization.write(Map(
+      "name" -> inst.name,
+      "function_id" -> inst.functionId,
+      "input_collections" -> inst.inputCollections,
+      "output_collection" -> inst.outputCollection,
+      "params" -> inst.params,
+      "min_records_for_invocation" -> inst.minRecordsForInvocation,
+      "completion_offset" -> inst.completionOffset,
+      "completion_segment" -> inst.completionSegment,
+      "active" -> inst.active))
+    val opts =
+      if (createNew) Seq(java.nio.file.StandardOpenOption.CREATE_NEW)
+      else Seq(java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    java.nio.file.Files.write(dir.resolve(s"${inst.name}.json"),
+      json.getBytes("UTF-8"), opts: _*)
+  }
+
+  def getAttachedFunction(root: String, tenant: String, db: String,
+      collection: String, name: String): Option[AttachedFunctionInstance] = {
+    val f = functionsDir(root, tenant, db, collection).resolve(s"$name.json")
+    if (!java.nio.file.Files.exists(f)) return None
+    val j = JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+    def str(k: String): String = (j \ k) match {
+      case JString(s) => s
+      case o => throw new IllegalArgumentException(s"bad $k: $o")
+    }
+    def lng(k: String): Long = (j \ k) match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case o => throw new IllegalArgumentException(s"bad $k: $o")
+    }
+    val inputs = (j \ "input_collections") match {
+      case JArray(vs) => vs.collect { case JString(s) => s }
+      case _ => Seq.empty[String]
+    }
+    val params = (j \ "params") match {
+      case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val active = (j \ "active") match { case JBool(b) => b; case _ => true }
+    Some(AttachedFunctionInstance(str("name"), str("function_id"), inputs,
+      str("output_collection"), params,
+      lng("min_records_for_invocation"), lng("completion_offset"),
+      lng("completion_segment"), active))
+  }
+
+  def listAttachedFunctions(root: String, tenant: String, db: String,
+      collection: String): Seq[AttachedFunctionInstance] =
+    CollectionStore.listDir(functionsDir(root, tenant, db, collection))
+      .map(_.getFileName.toString)
+      .collect { case n if n.endsWith(".json") => n.stripSuffix(".json") }
+      .sorted
+      .flatMap(getAttachedFunction(root, tenant, db, collection, _))
+
+  /** Read-modify-write an instance descriptor under the same
+    * per-descriptor lock discipline as [[updateCollectionConfig]] —
+    * completion-offset advances and detaches racing each other must not
+    * lose updates.
+    */
+  def updateAttachedFunction(root: String, tenant: String, db: String,
+      collection: String, name: String)(
+      f: AttachedFunctionInstance => AttachedFunctionInstance)
+      : AttachedFunctionInstance = {
+    val key = functionsDir(root, tenant, db, collection)
+      .resolve(s"$name.json").toString
+    updateLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val cur = getAttachedFunction(root, tenant, db, collection, name)
+        .getOrElse(throw new NoSuchElementException(
+          s"attached function [$name] does not exist on [$collection]"))
+      val next = f(cur)
+      writeAttachedFunction(root, tenant, db, next, createNew = false)
+      next
+    }
   }
 
   /** Validate a record DataFrame against the declared schema: the typed

@@ -1,0 +1,202 @@
+package graft
+
+import graft.api.Client
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The attach_function LIFECYCLE — the reference's dynamic
+  * attached-function surface (`rust/types/src/api_types.rs`
+  * AttachFunctionRequest:2651 / DetachFunctionRequest:2861 /
+  * AddAttachedFunctionInputRequest:2780;
+  * `rust/frontend/src/impls/service_based_frontend.rs:3208,3458`;
+  * `rust/frontend-core/src/attached_function_ops.rs`): attach creates a
+  * named instance plus its dedicated output collection and backfills,
+  * repeats are idempotent, conflicts raise the reference's error set,
+  * invocations gate on the min-records admission and refresh the output
+  * (including tombstoning vanished rows), detach soft-deletes, and the
+  * whole registry is durable across client reopen.
+  */
+class AttachedFunctionLifecycleSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_fnlc").toString
+
+  private def docs(rows: (String, String, String)*) =
+    rows.toDF("id", "document", "lang")
+      .select(col("id"), col("document"),
+        map(lit("lang"), col("lang")).as("meta"))
+
+  private def histogram(client: Client, out: String): Map[String, Long] =
+    client.getCollection(out).asCollection.records
+      .select(col("id"), element_at(col("meta_int"), "n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("attach creates instance + output collection, backfills, repeats " +
+      "idempotently") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("in")
+    coll.add(docs(("a", "x", "en"), ("b", "y", "en"), ("c", "z", "de")))
+    coll.commitLog()
+    val r1 = client.attachFunction("in", "hist", "meta_histogram:lang",
+      "in_hist")
+    assert(r1.created)
+    assert(r1.function.functionId == "meta_histogram:lang")
+    assert(client.listCollections().contains("in_hist"))
+    // backfill populated the output from the durable input
+    assert(histogram(client, "in_hist") == Map("en" -> 2L, "de" -> 1L))
+    // the identical request is idempotent — created=false, no error
+    val r2 = client.attachFunction("in", "hist", "meta_histogram:lang",
+      "in_hist")
+    assert(!r2.created)
+    assert(client.listAttachedFunctions("in").map(_.name) == Seq("hist"))
+  }
+
+  test("error set: AlreadyExists, OutputCollectionExists, " +
+      "InputCollectionNotFound, unknown function id") {
+    val client = new Client(spark, freshRoot())
+    client.createCollection("in")
+    client.createCollection("taken")
+    client.attachFunction("in", "hist", "meta_histogram:lang", "out1")
+    // same name, different binding — AlreadyExists
+    intercept[IllegalStateException] {
+      client.attachFunction("in", "hist", "record_count", "out2")
+    }
+    // output collection name already a live collection
+    intercept[IllegalStateException] {
+      client.attachFunction("in", "hist2", "record_count", "taken")
+    }
+    // input collection must exist
+    intercept[IllegalArgumentException] {
+      client.attachFunction("missing", "f", "record_count", "out3")
+    }
+    // unknown function id rejected at attach, not first run
+    intercept[IllegalArgumentException] {
+      client.attachFunction("in", "f2", "no_such_function", "out4")
+    }
+  }
+
+  test("invocation admission: below min_records skips, at/above runs, " +
+      "no-new-ops skips") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("in")
+    client.attachFunction("in", "hist", "meta_histogram:lang", "in_hist",
+      minRecordsForInvocation = 3L)
+    // empty input: backfill had nothing; a run with zero new ops skips
+    assert(!client.invokeAttachedFunction("in", "hist"))
+    coll.add(docs(("a", "x", "en"), ("b", "y", "de")))
+    coll.commitLog()
+    // 2 < 3 — below the threshold
+    assert(!client.invokeAttachedFunction("in", "hist"))
+    coll.add(docs(("c", "z", "en")))
+    coll.commitLog()
+    // 3 >= 3 — admitted
+    assert(client.invokeAttachedFunction("in", "hist"))
+    assert(histogram(client, "in_hist") == Map("en" -> 2L, "de" -> 1L))
+    // consumed up to the log end — nothing new, skip
+    assert(!client.invokeAttachedFunction("in", "hist"))
+    // force (the backfill path) still needs NEW ops to exist
+    assert(!client.invokeAttachedFunction("in", "hist", force = true))
+  }
+
+  test("refresh tombstones vanished output rows; a persist()-only input " +
+      "still admits (segment leg)") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("in")
+    coll.add(docs(("a", "x", "en"), ("b", "y", "fr")))
+    coll.commitLog()
+    client.attachFunction("in", "hist", "meta_histogram:lang", "in_hist")
+    assert(histogram(client, "in_hist") == Map("en" -> 1L, "fr" -> 1L))
+    // empty the fr bucket through a compaction WITHOUT log entries —
+    // persist() folds buffered ops straight into a new segment version
+    val coll2 = client.getCollection("in")
+    coll2.delete(Seq("b"))
+    coll2.persist()
+    assert(client.invokeAttachedFunction("in", "hist"))
+    // the emptied bucket is tombstoned, not left stale
+    assert(histogram(client, "in_hist") == Map("en" -> 1L))
+  }
+
+  test("multi-input union via add_attached_function_input") {
+    val client = new Client(spark, freshRoot())
+    val a = client.createCollection("in_a")
+    a.add(docs(("a", "x", "en")))
+    a.commitLog()
+    client.attachFunction("in_a", "hist", "meta_histogram:lang", "hist_out")
+    val b = client.createCollection("in_b")
+    b.add(docs(("b", "y", "de"), ("c", "z", "en")))
+    b.commitLog()
+    intercept[IllegalArgumentException] {
+      client.addAttachedFunctionInput("in_a", "hist", "missing")
+    }
+    val inst = client.addAttachedFunctionInput("in_a", "hist", "in_b")
+    assert(inst.inputCollections == Seq("in_a", "in_b"))
+    // idempotent per input
+    assert(client.addAttachedFunctionInput("in_a", "hist", "in_b")
+      .inputCollections == Seq("in_a", "in_b"))
+    // the new input's existing records count as unprocessed
+    assert(client.invokeAttachedFunction("in_a", "hist"))
+    assert(histogram(client, "hist_out") == Map("en" -> 2L, "de" -> 1L))
+  }
+
+  test("detach soft-deletes: no further runs; deleteOutput drops the " +
+      "output collection") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("in")
+    coll.add(docs(("a", "x", "en")))
+    coll.commitLog()
+    client.attachFunction("in", "hist", "meta_histogram:lang", "in_hist")
+    assert(client.detachFunction("in", "hist"))
+    // the row survives for audit but admits no runs
+    assert(!client.getAttachedFunction("in", "hist").active)
+    coll.add(docs(("b", "y", "de")))
+    coll.commitLog()
+    assert(!client.invokeAttachedFunction("in", "hist"))
+    assert(histogram(client, "in_hist") == Map("en" -> 1L))
+    // second instance, detached WITH its output
+    client.attachFunction("in", "hist2", "record_count", "in_count")
+    assert(client.detachFunction("in", "hist2", deleteOutput = true))
+    assert(!client.listCollections().contains("in_count"))
+  }
+
+  test("registry is durable: reopen from the same root sees the " +
+      "instance and keeps invoking") {
+    val root = freshRoot()
+    locally {
+      val client = new Client(spark, root)
+      val coll = client.createCollection("in")
+      coll.add(docs(("a", "x", "en")))
+      coll.commitLog()
+      client.attachFunction("in", "hist", "meta_histogram:lang", "in_hist")
+    }
+    val reopened = new Client(spark, root)
+    val insts = reopened.listAttachedFunctions("in")
+    assert(insts.map(i => (i.name, i.functionId, i.outputCollection)) ==
+      Seq(("hist", "meta_histogram:lang", "in_hist")))
+    assert(insts.head.active && insts.head.completionOffset > 0L)
+    val coll = reopened.getCollection("in")
+    coll.add(docs(("b", "y", "de")))
+    coll.commitLog()
+    assert(reopened.invokeAttachedFunction("in", "hist"))
+    assert(histogram(reopened, "in_hist") == Map("en" -> 1L, "de" -> 1L))
+  }
+
+  test("toRecords shreds output columns by type; first column is the id") {
+    val out = Seq((1L, 2L, 0.5, true, "s"))
+      .toDF("key", "cnt", "ratio", "flag", "note")
+    val recs = graft.functions.AttachedFunctions.toRecords(out)
+    val r = recs.collect()(0)
+    assert(r.getAs[String]("id") == "1")
+    assert(r.getAs[Map[String, Long]]("meta_int") == Map("cnt" -> 2L))
+    assert(r.getAs[Map[String, Double]]("meta_float") == Map("ratio" -> 0.5))
+    assert(r.getAs[Map[String, Boolean]]("meta_bool") == Map("flag" -> true))
+    assert(r.getAs[Map[String, String]]("meta") == Map("note" -> "s"))
+    // NULL cells drop from their map instead of riding as null entries
+    val out2 = Seq((null.asInstanceOf[String], Option.empty[Long]))
+      .toDF("key", "cnt")
+    val r2 = graft.functions.AttachedFunctions.toRecords(out2).collect()(0)
+    assert(r2.getAs[String]("id") == "null")
+    assert(r2.getAs[Map[String, Long]]("meta_int").isEmpty)
+  }
+}

@@ -37,6 +37,22 @@ class ClientSpec extends AnyFunSuite {
     assert(client.getOrCreateCollection("vecs").ref.name == "vecs")
   }
 
+  test("getCollectionByCrn: deployment-global address crosses the " +
+      "client's pinned tenant/database; malformed CRNs reject") {
+    val root = freshRoot()
+    val other = new Client(spark, root, tenant = "acme", database = "prod")
+    val ev = other.createCollection("events")
+    ev.add(Seq(("e1", "payload")).toDF("id", "document"))
+    ev.persist()
+    // a client pinned elsewhere reaches it by CRN (api_types.rs:867)
+    val client = new Client(spark, root)
+    val h = client.getCollectionByCrn("acme:prod:events")
+    assert(h.ref.tenant == "acme" && h.ref.database == "prod")
+    assert(h.count() == 1L)
+    for (bad <- Seq("acme:prod", "acme:prod:events:extra", "a::c", ""))
+      intercept[IllegalArgumentException] { client.getCollectionByCrn(bad) }
+  }
+
   test("reset: rejected by default, wipes the deployment, re-bootstraps") {
     val client = new Client(spark, freshRoot())
     client.createCollection("keepme").add(
