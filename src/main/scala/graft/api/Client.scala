@@ -301,6 +301,35 @@ final class Client(spark: SparkSession, root: String,
     true
   }
 
+  /** Continuous invocation off the durable log — the reference's
+    * executor runs attached functions BY COMPLETION OFFSET as the
+    * input's log grows (`attached_function_ops.rs`; the log service
+    * triggers runs once `min_records_for_invocation` ops accumulate),
+    * not on client command. The Spark-first face is Structured
+    * Streaming over the collection's WAL entries: each micro-batch
+    * triggers one invocation sweep of the collection's ACTIVE
+    * instances, and the admission gate (completion position) makes
+    * re-delivered batches no-ops — at-least-once delivery composes
+    * with the idempotent invoke, the same replay-safety contract as
+    * every stream-maintained index family. AvailableNow: drains what
+    * the log holds now and returns, the engine's maintenance cadence.
+    */
+  def maintainAttachedFunctions(collection: String, checkpoint: String,
+      filesPerBatch: Int = 4): Unit = {
+    val h = getCollection(collection)
+    val q = WalStore.streamEntries(spark, h.ref.dataRoot, filesPerBatch)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        listAttachedFunctions(collection).foreach { i =>
+          if (i.active) { invokeAttachedFunction(collection, i.name); () }
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run one invocation of an attached instance over its inputs'
     * DURABLE state — the executor-side run the reference triggers by
     * log position (`attached_function_ops.rs` backfill + the

@@ -728,6 +728,43 @@ object StreamingPack extends QueryPack {
         EventStream.walFold(ops).toDF(), OutputMode.Update())
       EventStream.latestWalState(out).orderBy(col("id"))
     },
+
+    // Attached functions maintained OFF THE LOG — the reference's
+    // executor invokes by completion offset as ops accumulate
+    // (`attached_function_ops.rs` min_records admission), here a
+    // Structured Streaming sweep over the durable WAL entries
+    // (`Client.maintainAttachedFunctions`): a sweep after each
+    // committed entry triggers an idempotent invocation (the
+    // completion-position gate no-ops re-deliveries and empty drains),
+    // so the output COLLECTION tracks the log — the second sweep both
+    // refreshes surviving buckets and TOMBSTONES the bucket the delete
+    // entry emptied (a first-sweep `zh` row must not linger).
+    "st_fn_maintain" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_fnm").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("sfm")
+      val docs = graft.Tables.documents(s, d)
+      // attach while empty: no backfill — the STREAM does all the work
+      client.attachFunction("sfm", "hist", "meta_histogram:lang",
+        "sfm_hist")
+      coll.add(docs.select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("lang"), col("lang")).as("meta")))
+      coll.commitLog() // entry 1: every document
+      client.maintainAttachedFunctions("sfm", s"$root/ckpt",
+        filesPerBatch = 1) // sweep 1: histogram INCLUDING zh
+      coll.delete(ids = None,
+        where = Some(graft.model.Where.Cmp("lang", "$eq",
+          graft.model.Where.VStr("zh"))))
+      coll.commitLog() // entry 2: empties the zh bucket
+      client.maintainAttachedFunctions("sfm", s"$root/ckpt",
+        filesPerBatch = 1) // sweep 2: zh row tombstoned, rest refreshed
+      client.getCollection("sfm_hist").asCollection.records
+        .select(col("id").as("value"),
+          element_at(col("meta_int"), "n").as("n"))
+        .orderBy(col("value"))
+    },
   )
 
   /** Brute-force cosine top-10 over the 3 stream-query vectors — the
@@ -835,6 +872,10 @@ object StreamingPack extends QueryPack {
         |FROM documents
         |WHERE doc_id < 80 AND doc_id%9 <> 0
         |ORDER BY id""".stripMargin,
+
+    "st_fn_maintain" ->
+      """SELECT lang AS value, count(*) AS n FROM documents
+        |WHERE lang <> 'zh' GROUP BY lang ORDER BY value""".stripMargin,
 
     "st_hourly_stream" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -182,6 +182,31 @@ class AttachedFunctionLifecycleSpec extends AnyFunSuite {
     assert(histogram(reopened, "in_hist") == Map("en" -> 1L, "de" -> 1L))
   }
 
+  test("maintainAttachedFunctions: sweeps track the log, drained " +
+      "checkpoints and detached instances are no-ops") {
+    val root = freshRoot()
+    val client = new Client(spark, root)
+    val coll = client.createCollection("in")
+    client.attachFunction("in", "hist", "meta_histogram:lang", "in_hist")
+    coll.add(docs(("a", "x", "en"), ("b", "y", "de")))
+    coll.commitLog()
+    client.maintainAttachedFunctions("in", s"$root/ckpt")
+    assert(histogram(client, "in_hist") == Map("en" -> 1L, "de" -> 1L))
+    // a re-run over the drained checkpoint must not re-invoke
+    val consumed = client.getAttachedFunction("in", "hist").completionOffset
+    client.maintainAttachedFunctions("in", s"$root/ckpt")
+    assert(client.getAttachedFunction("in", "hist")
+      .completionOffset == consumed)
+    // new entries advance it; a detached instance stays frozen
+    client.detachFunction("in", "hist")
+    coll.add(docs(("c", "z", "en")))
+    coll.commitLog()
+    client.maintainAttachedFunctions("in", s"$root/ckpt")
+    assert(client.getAttachedFunction("in", "hist")
+      .completionOffset == consumed)
+    assert(histogram(client, "in_hist") == Map("en" -> 1L, "de" -> 1L))
+  }
+
   test("toRecords shreds output columns by type; first column is the id") {
     val out = Seq((1L, 2L, 0.5, true, "s"))
       .toDF("key", "cnt", "ratio", "flag", "note")
