@@ -223,9 +223,11 @@ final class Client(spark: SparkSession, root: String,
       minRecordsForInvocation: Long = 0L): AttachFunctionResult = {
     require(Catalog.collectionExists(root, tenant, database, collection),
       s"input collection [$collection] does not exist")
-    // resolve NOW — the reference's ensure_function_attachment_allowed
-    // rejects unknown function ids at attach, not first run
-    graft.functions.AttachedFunctions.resolve(functionId)
+    // resolve NOW, params included — the reference's
+    // ensure_function_attachment_allowed rejects unknown function ids
+    // at attach, not first run, and the params JSON configures the
+    // function's execution (count_to_file_async.rs:73-78)
+    graft.functions.AttachedFunctions.resolve(functionId, params)
     Catalog.getAttachedFunction(root, tenant, database, collection,
         name) match {
       case Some(ex) if ex.active =>
@@ -360,7 +362,8 @@ final class Client(spark: SparkSession, root: String,
     if (newOps <= 0L && !segAdvanced) return false
     if (!segAdvanced && !force && newOps < inst.minRecordsForInvocation)
       return false
-    val fn = graft.functions.AttachedFunctions.resolve(inst.functionId)
+    val fn = graft.functions.AttachedFunctions.resolve(inst.functionId,
+      inst.params)
     val records = inputs.map(_.asCollection.records)
       .reduce(_ unionByName _)
     val out = graft.functions.AttachedFunctions.toRecords(fn(records))

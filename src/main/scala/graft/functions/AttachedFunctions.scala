@@ -117,18 +117,36 @@ object AttachedFunctions {
   }
 
   /** Resolve a registered function by name; `meta_histogram:<key>` and
-    * `nb_quality:<key>=<value>` are parameterized families.
+    * `nb_quality:<key>=<value>` are parameterized families. The
+    * parameterized families also resolve from their BARE id plus a
+    * params map — the reference's functions read the attached
+    * instance's stored params JSON at execution time
+    * (`rust/worker/src/execution/functions/count_to_file_async.rs:73-78`
+    * parses `af.params`), so `attach_function("meta_histogram",
+    * params={"key": "lang"})` must configure the run, not ride along as
+    * dead metadata. Missing required params reject HERE, which the
+    * attach path calls — at attach, not first run, like every other
+    * registration check.
     */
-  def resolve(name: String): AttachedFunction = name match {
-    case RecordCount.name => RecordCount
-    case TokenStats10.name => TokenStats10
-    case h if h.startsWith("meta_histogram:") =>
-      new MetaHistogram(h.stripPrefix("meta_histogram:"))
-    case nb if nb.startsWith("nb_quality:") && nb.contains("=") =>
-      val body = nb.stripPrefix("nb_quality:")
-      val Array(k, v) = body.split("=", 2)
-      new NbQuality(k, v)
-    case other =>
-      throw new IllegalArgumentException(s"unknown attached function '$other'")
+  def resolve(name: String,
+      params: Map[String, String] = Map.empty): AttachedFunction = {
+    def need(k: String): String = params.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"attached function '$name' requires params['$k']"))
+    name match {
+      case RecordCount.name => RecordCount
+      case TokenStats10.name => TokenStats10
+      case "meta_histogram" => new MetaHistogram(need("key"))
+      case h if h.startsWith("meta_histogram:") =>
+        new MetaHistogram(h.stripPrefix("meta_histogram:"))
+      case "nb_quality" => new NbQuality(need("key"), need("value"))
+      case nb if nb.startsWith("nb_quality:") && nb.contains("=") =>
+        val body = nb.stripPrefix("nb_quality:")
+        val Array(k, v) = body.split("=", 2)
+        new NbQuality(k, v)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown attached function '$other'")
+    }
   }
 }

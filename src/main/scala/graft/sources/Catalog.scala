@@ -305,7 +305,7 @@ object Catalog {
     val dir = sysdbPath(root, tenant, db)
     require(java.nio.file.Files.isDirectory(dir), s"no such database $tenant/$db")
     // fail at registration, not first run, if an attached name is unknown
-    schema.attached.foreach(graft.functions.AttachedFunctions.resolve)
+    schema.attached.foreach(graft.functions.AttachedFunctions.resolve(_))
     schema.embeddingFunction.foreach { n =>
       require(graft.functions.EmbeddingFunctions.registry.contains(n),
         s"unknown embedding function $n")

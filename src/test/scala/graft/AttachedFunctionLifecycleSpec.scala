@@ -77,6 +77,24 @@ class AttachedFunctionLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("params configure the run: bare family id + params map, missing " +
+      "required params reject at attach") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("in")
+    coll.add(docs(("a", "x", "en"), ("b", "y", "de")))
+    coll.commitLog()
+    // the reference reads the stored params JSON at execution —
+    // count_to_file_async.rs:73-78; here the bare id configures the key
+    client.attachFunction("in", "hist", "meta_histogram", "in_hist",
+      params = Map("key" -> "lang"))
+    assert(histogram(client, "in_hist") == Map("en" -> 1L, "de" -> 1L))
+    intercept[IllegalArgumentException] {
+      client.attachFunction("in", "hist2", "meta_histogram", "in_hist2")
+    }
+    // validation precedes catalog writes — no half-created output
+    assert(!client.listCollections().contains("in_hist2"))
+  }
+
   test("invocation admission: below min_records skips, at/above runs, " +
       "no-new-ops skips") {
     val client = new Client(spark, freshRoot())
