@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Server-side named functions bound to collections — the reference's
@@ -70,6 +70,85 @@ object AttachedFunctions {
     }
   }
 
+  /** The reference's `statistics` attached function —
+    * `rust/worker/src/execution/functions/statistics.rs`: per
+    * (metadata key, typed value) frequency counts over the live
+    * records, arrays expanding one count per element and sparse
+    * vectors one per index (`StatisticsValue::from_metadata_value`,
+    * statistics.rs:168-206), plus the `summary::s:total_count` row
+    * counting live records. Output rows carry the reference's exact
+    * record shape (statistics.rs:439-495): id
+    * `<key>::<type_prefix>:<value_index>`, document
+    * `statistics about <key> for <prefix>:<value_index>`, and
+    * {count, key, type, value} metadata. Floats render in Rust's
+    * `{:.16e}` form (`1.5000000000000000e0` — exponent unpadded,
+    * no plus sign), reproduced with codegen'd format + regexp, no
+    * UDF. One union-of-explodes → single groupBy count: every leg is
+    * a map-side-combinable aggregation, output is
+    * distinct-value-proportional.
+    */
+  object StatisticsFn extends AttachedFunction {
+    val name = "statistics"
+
+    /** Rust `{:.16e}`: Java's `%.16e` then strip the exponent's plus
+      * sign and leading zeros (`e+00` → `e0`, `e-05` → `e-5`).
+      */
+    private def rustExp(v: Column): Column =
+      regexp_replace(
+        regexp_replace(format_string("%.16e", v), "e\\+0*(?=\\d)", "e"),
+        "e-0*(?=\\d)", "e-")
+
+    def apply(records: DataFrame): DataFrame = {
+      val shape = Seq(col("k"), col("type"), col("pfx"), col("value"))
+      def scalarLeg(c: String, pfx: String, tpe: String,
+          render: Column => Column): Option[DataFrame] =
+        if (!records.columns.contains(c)) None
+        else Some(records.select(explode(col(c)))
+          .select(col("key").as("k"), lit(tpe).as("type"),
+            lit(pfx).as("pfx"), render(col("value")).as("value"))
+          .select(shape: _*))
+      def arrayLeg(c: String, pfx: String, tpe: String,
+          render: Column => Column): Option[DataFrame] =
+        if (!records.columns.contains(c)) None
+        else Some(records.select(explode(col(c)))
+          .select(col("key").as("k"), explode(col("value")).as("el"))
+          .select(col("k"), lit(tpe).as("type"), lit(pfx).as("pfx"),
+            render(col("el")).as("value"))
+          .select(shape: _*))
+      val sparseLeg: Option[DataFrame] =
+        if (!records.columns.contains("meta_sparse")) None
+        else Some(records.select(explode(col("meta_sparse")))
+          .select(col("key").as("k"),
+            explode(col("value.indices")).as("ix"))
+          .select(col("k"), lit("sparse").as("type"), lit("sv").as("pfx"),
+            col("ix").cast("string").as("value"))
+          .select(shape: _*))
+      val legs =
+        scalarLeg("meta_str", "s", "str", identity).toSeq ++
+        scalarLeg("meta_int", "i", "int", _.cast("string")) ++
+        scalarLeg("meta_float", "f", "float", rustExp) ++
+        scalarLeg("meta_bool", "b", "bool", _.cast("string")) ++
+        arrayLeg("meta_str_arr", "s", "str", identity) ++
+        arrayLeg("meta_int_arr", "i", "int", _.cast("string")) ++
+        arrayLeg("meta_float_arr", "f", "float", rustExp) ++
+        arrayLeg("meta_bool_arr", "b", "bool", _.cast("string")) ++
+        sparseLeg
+      val counts = legs.reduce(_ unionByName _)
+        .groupBy("k", "type", "pfx", "value")
+        .agg(count(lit(1)).as("count"))
+      val summary = records.agg(count(lit(1)).as("count"))
+        .select(lit("summary").as("k"), lit("str").as("type"),
+          lit("s").as("pfx"), lit("total_count").as("value"), col("count"))
+      counts.unionByName(summary).select(
+        concat(col("k"), lit("::"), col("pfx"), lit(":"), col("value"))
+          .as("id"),
+        format_string("statistics about %s for %s:%s",
+          col("k"), col("pfx"), col("value")).as("document"),
+        col("count"),
+        col("k").as("key"), col("type"), col("value"))
+    }
+  }
+
   /** Map a function's output table into collection RECORDS for the
     * instance's output collection (the reference's attached functions
     * write their results as records into a dedicated output collection —
@@ -79,17 +158,20 @@ object AttachedFunctions {
     * every shipped function's leading column is), every remaining
     * column shreds by Spark type into the matching typed-metadata map
     * (int-like → `meta_int`, float-like → `meta_float`, boolean →
-    * `meta_bool`, everything else stringifies into `meta_str`). A pure
-    * projection — no shuffle, no action; NULL cells drop from their map
-    * rather than ride as null-valued entries.
+    * `meta_bool`, everything else stringifies into `meta_str`) —
+    * except a column literally named `document`, which rides as the
+    * record's document (the reference's statistics output sets one,
+    * statistics.rs:447). A pure projection — no shuffle, no action;
+    * NULL cells drop from their map rather than ride as null-valued
+    * entries.
     */
   def toRecords(out: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     val idCol = out.columns.head
+    val hasDoc = out.columns.tail.contains("document")
+    def fields = out.schema.fields.tail.filterNot(_.name == "document")
     def group(p: DataType => Boolean): Seq[String] =
-      out.schema.fields.tail.collect {
-        case f if p(f.dataType) => f.name
-      }.toSeq
+      fields.collect { case f if p(f.dataType) => f.name }.toSeq
     val ints = group {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
@@ -100,7 +182,7 @@ object AttachedFunctions {
       case _ => false
     }
     val bools = group { case BooleanType => true; case _ => false }
-    val strs = out.schema.fields.tail.map(_.name)
+    val strs = fields.map(_.name)
       .filterNot((ints ++ floats ++ bools).toSet).toSeq
     def metaMap(keys: Seq[String], cast: String) =
       if (keys.isEmpty)
@@ -110,6 +192,8 @@ object AttachedFunctions {
         (_, v) => v.isNotNull)
     out.select(
       coalesce(col(idCol).cast("string"), lit("null")).as("id"),
+      (if (hasDoc) col("document").cast("string")
+       else lit(null).cast("string")).as("document"),
       metaMap(ints, "long").as("meta_int"),
       metaMap(floats, "double").as("meta_float"),
       metaMap(bools, "boolean").as("meta_bool"),
@@ -136,6 +220,7 @@ object AttachedFunctions {
     name match {
       case RecordCount.name => RecordCount
       case TokenStats10.name => TokenStats10
+      case StatisticsFn.name => StatisticsFn
       case "meta_histogram" => new MetaHistogram(need("key"))
       case h if h.startsWith("meta_histogram:") =>
         new MetaHistogram(h.stripPrefix("meta_histogram:"))

@@ -994,6 +994,35 @@ object FacadePack extends QueryPack {
         .orderBy(col("value"))
     },
 
+    // The reference's `statistics` attached function end-to-end
+    // (statistics.rs): per-(key, typed value) frequency counts over
+    // str/int/bool metadata plus the summary::s:total_count row, in the
+    // reference's EXACT output-record shape — id `<key>::<pfx>:<value>`,
+    // the `statistics about …` document, {count, key, type, value}
+    // metadata — attached, backfilled, and read back from the output
+    // collection.
+    "fc_fn_statistics" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_fnst_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("stat_docs")
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("lang"), col("lang")).as("meta"),
+        map(lit("n_mod"), col("n_chars") % 5).as("meta_int"),
+        map(lit("flag"), col("doc_id") % 2 === 0).as("meta_bool")))
+      coll.persist()
+      client.attachFunction("stat_docs", "stats", "statistics",
+        "stat_docs_stats")
+      client.getCollection("stat_docs_stats").asCollection.records
+        .select(col("id"), col("document"),
+          element_at(col("meta_int"), "count").as("count"),
+          element_at(col("meta_str"), "key").as("key"),
+          element_at(col("meta_str"), "type").as("type"),
+          element_at(col("meta_str"), "value").as("value"))
+        .orderBy(col("id"))
+    },
+
     // The NB quality classifier bound to a collection as a server-side
     // attached function (the register-by-name contract): the schema
     // declares nb_quality:lang=en, the executor fits on the LIVE records
@@ -1318,6 +1347,28 @@ object FacadePack extends QueryPack {
     "fc_fn_lifecycle" ->
       """SELECT lang AS value, count(*) AS n FROM documents
         |WHERE lang <> 'fr' GROUP BY lang ORDER BY value""".stripMargin,
+
+    "fc_fn_statistics" ->
+      """WITH s AS (
+        |  SELECT 'lang' AS key, 'str' AS type, 's' AS pfx,
+        |         lang AS value, count(*) AS count
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'n_mod', 'int', 'i', CAST(n_chars % 5 AS VARCHAR), count(*)
+        |  FROM documents GROUP BY n_chars % 5
+        |  UNION ALL
+        |  SELECT 'flag', 'bool', 'b',
+        |         CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END,
+        |         count(*)
+        |  FROM documents GROUP BY doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'summary', 'str', 's', 'total_count', count(*)
+        |  FROM documents)
+        |SELECT key||'::'||pfx||':'||value AS id,
+        |       'statistics about '||key||' for '||pfx||':'||value
+        |         AS document,
+        |       count, key, type, value
+        |FROM s ORDER BY id""".stripMargin,
 
     "fc_key_inverted" ->
       """SELECT 'doc-'||doc_id AS id, text AS document FROM documents

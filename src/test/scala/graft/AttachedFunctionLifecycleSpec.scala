@@ -225,6 +225,33 @@ class AttachedFunctionLifecycleSpec extends AnyFunSuite {
     assert(histogram(client, "in_hist") == Map("en" -> 1L, "de" -> 1L))
   }
 
+  test("StatisticsFn: Rust {:.16e} float rendering, array elements and " +
+      "sparse indices expand, summary row counts live records") {
+    import graft.functions.AttachedFunctions.StatisticsFn
+    val df = spark.range(2).select(
+      map(lit("score"), when(col("id") === 0, lit(2.5d))
+        .otherwise(lit(0.001d))).as("meta_float"),
+      map(lit("tags"), array(lit(1L), lit(2L), lit(1L))).as("meta_int_arr"),
+      map(lit("emb"), struct(
+        array(lit(7L), lit(9L)).as("indices"),
+        array(lit(1f), lit(2f)).as("values"))).as("meta_sparse"))
+    val out = StatisticsFn(df).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Long]("count")).toMap
+    // statistics.rs:142 formats floats {:.16e} — exponent unpadded
+    assert(out("score::f:2.5000000000000000e0") == 1L)
+    assert(out("score::f:1.0000000000000000e-3") == 1L)
+    // arrays expand one count per ELEMENT (from_metadata_value)
+    assert(out("tags::i:1") == 4L && out("tags::i:2") == 2L)
+    // sparse expands one count per index
+    assert(out("emb::sv:7") == 2L && out("emb::sv:9") == 2L)
+    assert(out("summary::s:total_count") == 2L)
+    // the reference's document string rides through toRecords
+    val rec = graft.functions.AttachedFunctions
+      .toRecords(StatisticsFn(df).filter(col("id") === "emb::sv:7"))
+      .collect()(0)
+    assert(rec.getAs[String]("document") == "statistics about emb for sv:7")
+  }
+
   test("toRecords shreds output columns by type; first column is the id") {
     val out = Seq((1L, 2L, 0.5, true, "s"))
       .toDF("key", "cnt", "ratio", "flag", "note")
