@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
 final class Client(spark: SparkSession, root: String,
     val tenant: String = "default_tenant",
     val database: String = "default_database",
-    val limits: Quotas.Limits = Quotas.Unlimited) {
+    val limits: Quotas.Limits = Quotas.Unlimited,
+    val allowReset: Boolean = false) {
 
   Quotas.validateName(database, "database", limits)
   Catalog.createTenant(root, tenant)
@@ -98,7 +99,7 @@ final class Client(spark: SparkSession, root: String,
     * autocompleted. Re-bootstraps this client's tenant/database so the
     * handle stays usable, and returns true like the reference.
     */
-  def reset(allowReset: Boolean = false): Boolean = {
+  def reset(allowReset: Boolean = this.allowReset): Boolean = {
     require(allowReset,
       "reset() is disabled by default — pass allowReset=true " +
         "(the reference's ALLOW_RESET gate)")
@@ -226,7 +227,11 @@ final class Client(spark: SparkSession, root: String,
     // resolve NOW, params included — the reference's
     // ensure_function_attachment_allowed rejects unknown function ids
     // at attach, not first run, and the params JSON configures the
-    // function's execution (count_to_file_async.rs:73-78)
+    // function's execution (count_to_file_async.rs:73-78); the same
+    // gate holds count_to_file_async behind allow_reset
+    // (attached_function.rs:17-25)
+    require(functionId != "count_to_file_async" || allowReset,
+      "count_to_file_async is only enabled when allow_reset is true")
     graft.functions.AttachedFunctions.resolve(functionId, params)
     Catalog.getAttachedFunction(root, tenant, database, collection,
         name) match {
@@ -366,11 +371,13 @@ final class Client(spark: SparkSession, root: String,
       inst.params)
     val records = inputs.map(_.asCollection.records)
       .reduce(_ unionByName _)
-    val out = graft.functions.AttachedFunctions.toRecords(fn(records))
+    val raw = fn(records)
+    val out = graft.functions.AttachedFunctions.toRecords(raw)
     val outH = getCollection(inst.outputCollection)
     outH.upsert(out)
     outH.retainOnly(out.select("id"))
     outH.commitLog()
+    fn.writeAside(raw)
     Catalog.updateAttachedFunction(root, tenant, database, collection,
       name)(_.copy(completionOffset = logEnd, completionSegment = segEnd))
     true

@@ -19,6 +19,12 @@ object AttachedFunctions {
     def name: String
     /** records in the standard shredded schema → output table */
     def apply(records: DataFrame): DataFrame
+    /** Optional side-channel the reference's async file functions use
+      * (count_to_file_async writes its state to a storage path beside
+      * the output records) — called once per invocation with the raw
+      * function output.
+      */
+    def writeAside(out: DataFrame): Unit = ()
   }
 
   /** CounterFunction: live record count. */
@@ -39,6 +45,33 @@ object AttachedFunctions {
         .select(explode(graft.operators.TextStats.tokens(col("document"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("term")).limit(10)
+  }
+
+  /** `count_to_file_async` (`rust/worker/src/execution/functions/
+    * count_to_file_async.rs`): maintains the live record count at a
+    * storage path (`s3_path` param — a local/shared-fs path here, the
+    * engine's storage plane). The reference folds AddNew/DeleteExisting
+    * deltas with per-input pulled offsets; our invoke recomputes the
+    * live count per run and overwrites, the same full-refresh contract
+    * as the output-collection leg, writing the `{"count": N}` form its
+    * reader accepts. Attachment is gated behind allow_reset
+    * (`frontend-core/src/attached_function.rs:17`
+    * ensure_function_attachment_allowed).
+    */
+  final class CountToFileAsync(path: String) extends AttachedFunction {
+    val name = "count_to_file_async"
+    require(path.nonEmpty && !path.startsWith("s3://"),
+      s"invalid path: '$path' (no S3 endpoint in-container — use a " +
+        "local/shared-fs path)")
+    def apply(records: DataFrame): DataFrame =
+      records.agg(count(lit(1)).as("n"))
+        .select(lit("count").as("stat"), col("n"))
+    override def writeAside(out: DataFrame): Unit = {
+      val n = out.select(col("n")).collect()(0).getLong(0)
+      val p = java.nio.file.Paths.get(path)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, s"""{"count":$n}""".getBytes("UTF-8"))
+    }
   }
 
   /** Histogram over a string metadata key (absent key → bucket NULL). */
@@ -219,8 +252,12 @@ object AttachedFunctions {
         s"attached function '$name' requires params['$k']"))
     name match {
       case RecordCount.name => RecordCount
+      // the reference's canonical id for the count function
+      // (operators_generated.rs:13 FUNCTION_RECORD_COUNTER_NAME)
+      case "record_counter" => RecordCount
       case TokenStats10.name => TokenStats10
       case StatisticsFn.name => StatisticsFn
+      case "count_to_file_async" => new CountToFileAsync(need("s3_path"))
       case "meta_histogram" => new MetaHistogram(need("key"))
       case h if h.startsWith("meta_histogram:") =>
         new MetaHistogram(h.stripPrefix("meta_histogram:"))

@@ -225,6 +225,35 @@ class AttachedFunctionLifecycleSpec extends AnyFunSuite {
     assert(histogram(client, "in_hist") == Map("en" -> 1L, "de" -> 1L))
   }
 
+  test("count_to_file_async: gated behind allow_reset, writes the live " +
+      "count to the s3_path param, record_counter id aliases") {
+    val root = freshRoot()
+    // the reference's ensure_function_attachment_allowed gate
+    val gated = new Client(spark, root)
+    gated.createCollection("in")
+    intercept[IllegalArgumentException] {
+      gated.attachFunction("in", "ctf", "count_to_file_async", "out",
+        params = Map("s3_path" -> s"$root/count.json"))
+    }
+    val client = new Client(spark, root, allowReset = true)
+    val coll = client.getCollection("in")
+    coll.add(docs(("a", "x", "en"), ("b", "y", "de")))
+    coll.commitLog()
+    val path = java.nio.file.Paths.get(s"$root/count.json")
+    client.attachFunction("in", "ctf", "count_to_file_async", "in_count",
+      params = Map("s3_path" -> path.toString))
+    assert(new String(java.nio.file.Files.readAllBytes(path), "UTF-8") ==
+      """{"count":2}""")
+    coll.delete(Seq("b")); coll.commitLog()
+    assert(client.invokeAttachedFunction("in", "ctf"))
+    assert(new String(java.nio.file.Files.readAllBytes(path), "UTF-8") ==
+      """{"count":1}""")
+    // the canonical record_counter id resolves to the count function
+    client.attachFunction("in", "rc", "record_counter", "in_rc")
+    assert(client.getAttachedFunction("in", "rc").functionId ==
+      "record_counter")
+  }
+
   test("StatisticsFn: Rust {:.16e} float rendering, array elements and " +
       "sparse indices expand, summary row counts live records") {
     import graft.functions.AttachedFunctions.StatisticsFn
