@@ -369,15 +369,28 @@ final class Client(spark: SparkSession, root: String,
       return false
     val fn = graft.functions.AttachedFunctions.resolve(inst.functionId,
       inst.params)
-    val records = inputs.map(_.asCollection.records)
-      .reduce(_ unionByName _)
-    val raw = fn(records)
-    val out = graft.functions.AttachedFunctions.toRecords(raw)
     val outH = getCollection(inst.outputCollection)
-    outH.upsert(out)
-    outH.retainOnly(out.select("id"))
-    outH.commitLog()
-    fn.writeAside(raw)
+    fn match {
+      case lf: graft.functions.AttachedFunctions.LogAttachedFunction =>
+        // log consumers append incrementally from their own output-kept
+        // resume state — no full refresh, no tombstone sweep: history
+        // must survive the log's GC in the output collection
+        val ops = inputs.map(h =>
+            WalStore.readAllEntries(spark, h.ref.dataRoot))
+          .reduce(_ unionByName _)
+        val out = lf.applyOps(ops, outH.asCollection.records)
+        outH.upsert(out)
+        outH.commitLog()
+      case _ =>
+        val records = inputs.map(_.asCollection.records)
+          .reduce(_ unionByName _)
+        val raw = fn(records)
+        val out = graft.functions.AttachedFunctions.toRecords(raw)
+        outH.upsert(out)
+        outH.retainOnly(out.select("id"))
+        outH.commitLog()
+        fn.writeAside(raw)
+    }
     Catalog.updateAttachedFunction(root, tenant, database, collection,
       name)(_.copy(completionOffset = logEnd, completionSegment = segEnd))
     true

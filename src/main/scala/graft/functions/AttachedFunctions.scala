@@ -47,6 +47,104 @@ object AttachedFunctions {
         .orderBy(desc("cnt"), col("term")).limit(10)
   }
 
+  /** Log-consuming attached functions — the reference's
+    * revision-history family reads the MATERIALIZED LOG, not the folded
+    * state, and appends incrementally, resuming from state rows it
+    * keeps in its own output collection (`revision_history.rs`
+    * RevisionTracker loads `max_version` from the output reader).
+    * Invocation feeds the inputs' retained durable ops plus the output
+    * collection's current records, and the returned rows UPSERT without
+    * the snapshot path's full-refresh tombstone sweep — history is
+    * append-only.
+    */
+  trait LogAttachedFunction extends AttachedFunction {
+    /** ops: `LogOp` rows (id, log_offset, op, document, meta);
+      * existing: the output collection's current records. Returns
+      * record-shaped rows (id, document, meta, meta_int, meta_float,
+      * meta_bool) ready to upsert.
+      */
+    def applyOps(ops: DataFrame, existing: DataFrame): DataFrame
+    final def apply(records: DataFrame): DataFrame =
+      throw new UnsupportedOperationException(
+        s"$name consumes the log — invoke feeds it ops, not state")
+  }
+
+  /** The reference's `revision_history` function
+    * (`rust/worker/src/execution/functions/revision_history.rs`): every
+    * durable mutation of a source record becomes an immutable revision
+    * record `{original_id}::v{version}` in the output collection
+    * (1-indexed per id, log order), deletes producing tombstone
+    * revisions (`is_delete: true`, no document), and a
+    * `{original_id}::v0` tracker row carrying the monotonic
+    * `max_version` counter (revision_history.rs:78-97) plus the
+    * engine's consumed-offset high-water mark — the incremental-resume
+    * state the reference's RevisionTracker loads from the output
+    * reader. Revision metadata = {original_id, version, log_offset,
+    * is_delete} merged over the op's own decoded typed metadata
+    * (reserved keys win, `RevisionMetadata::into_update_metadata`).
+    * Not carried: `archived_at` wall-clock (nondeterministic — the
+    * deterministic `log_offset` serves the same audit role) and the
+    * app-defined `version_key` generation mapping (source versions are
+    * the log's own order here). Catch-up is one plan: trackers
+    * broadcast-join the new ops, a per-id window numbers them, output
+    * is op-proportional.
+    */
+  object RevisionHistory extends LogAttachedFunction {
+    val name = "revision_history"
+    private val Reserved =
+      Seq("original_id", "version", "log_offset", "is_delete",
+        "max_version", "max_offset")
+
+    def applyOps(ops: DataFrame, existing: DataFrame): DataFrame = {
+      import graft.api.TypedMeta
+      import org.apache.spark.sql.expressions.Window
+      val trackers = existing.filter(col("id").endsWith("::v0"))
+        .select(element_at(col("meta_str"), "original_id").as("oid"),
+          element_at(col("meta_int"), "max_version").as("base_version"),
+          element_at(col("meta_int"), "max_offset").as("base_offset"))
+      val newOps = ops
+        .select(col("id").as("oid"), col("log_offset"), col("op"),
+          col("document"), col("meta"))
+        .join(trackers, Seq("oid"), "left")
+        .filter(col("log_offset") > coalesce(col("base_offset"), lit(-1L)))
+      // ops in one committed batch share an offset; the op kind breaks
+      // the (rare) same-id tie deterministically
+      val w = Window.partitionBy("oid")
+        .orderBy(col("log_offset"), col("op"))
+      val revs = newOps
+        .withColumn("version",
+          coalesce(col("base_version"), lit(0L)) + row_number().over(w))
+      def keep(m: Column) =
+        map_filter(m, (k, _) => !k.isin(Reserved.map(lit(_)): _*))
+      val none = map_from_arrays(array(), array())
+      val revRecords = revs.select(
+        concat(col("oid"), lit("::v"), col("version")).as("id"),
+        when(col("op") === "Delete", lit(null).cast("string"))
+          .otherwise(col("document")).as("document"),
+        map_concat(map(lit("original_id"), col("oid")),
+          keep(TypedMeta.decodeStr(col("meta")))).as("meta"),
+        map_concat(
+          map(lit("version"), col("version"),
+            lit("log_offset"), col("log_offset")),
+          keep(TypedMeta.decodeInt(col("meta")))).as("meta_int"),
+        keep(TypedMeta.decodeFloat(col("meta"))).as("meta_float"),
+        map_concat(map(lit("is_delete"), col("op") === "Delete"),
+          keep(TypedMeta.decodeBool(col("meta")))).as("meta_bool"))
+      val newTrackers = revs.groupBy("oid").agg(
+          max(col("version")).as("max_version"),
+          max(col("log_offset")).as("max_offset"))
+        .select(
+          concat(col("oid"), lit("::v0")).as("id"),
+          lit(null).cast("string").as("document"),
+          map(lit("original_id"), col("oid")).as("meta"),
+          map(lit("max_version"), col("max_version"),
+            lit("max_offset"), col("max_offset")).as("meta_int"),
+          none.cast("map<string,double>").as("meta_float"),
+          none.cast("map<string,boolean>").as("meta_bool"))
+      revRecords.unionByName(newTrackers)
+    }
+  }
+
   /** `count_to_file_async` (`rust/worker/src/execution/functions/
     * count_to_file_async.rs`): maintains the live record count at a
     * storage path (`s3_path` param — a local/shared-fs path here, the
@@ -257,6 +355,7 @@ object AttachedFunctions {
       case "record_counter" => RecordCount
       case TokenStats10.name => TokenStats10
       case StatisticsFn.name => StatisticsFn
+      case RevisionHistory.name => RevisionHistory
       case "count_to_file_async" => new CountToFileAsync(need("s3_path"))
       case "meta_histogram" => new MetaHistogram(need("key"))
       case h if h.startsWith("meta_histogram:") =>

@@ -1023,6 +1023,43 @@ object FacadePack extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // The reference's `revision_history` attached function
+    // (revision_history.rs): every durable mutation becomes an
+    // immutable `{id}::v{n}` revision record in the output collection —
+    // adds v1, upserts v2, deletes tombstone revisions with
+    // `is_delete: true` and no document — plus the `::v0` tracker rows
+    // carrying the monotonic version counter. Two log entries, two
+    // invocations (backfill + catch-up); the catch-up resumes from the
+    // tracker state the first run left in the output.
+    "fc_fn_revisions" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_fnrv_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("rv")
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+      coll.add(docs.select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document")))
+      coll.commitLog() // entry 1: v1 for every record
+      client.attachFunction("rv", "hist", "revision_history", "rv_hist")
+      coll.upsert(docs.filter(col("doc_id") % 4 === 0).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        concat(col("text"), lit(" v2")).as("document")))
+      coll.delete((0 until 60 by 9).map(i => s"doc-$i"))
+      coll.commitLog() // entry 2: upserts then tombstones
+      client.invokeAttachedFunction("rv", "hist")
+      // tracker rows have no version/is_delete — coalesce to sentinels
+      // on BOTH sides (a NULL boolean round-trips as NaN through the
+      // oracle's pandas compare)
+      client.getCollection("rv_hist").asCollection.records
+        .select(col("id"), col("document"),
+          element_at(col("meta_str"), "original_id").as("original_id"),
+          coalesce(element_at(col("meta_int"), "version"), lit(0L))
+            .as("version"),
+          coalesce(element_at(col("meta_bool"), "is_delete"), lit(false))
+            .as("is_delete"))
+        .orderBy(col("id"))
+    },
+
     // The NB quality classifier bound to a collection as a server-side
     // attached function (the register-by-name contract): the schema
     // declares nb_quality:lang=en, the executor fits on the LIVE records
@@ -1347,6 +1384,31 @@ object FacadePack extends QueryPack {
     "fc_fn_lifecycle" ->
       """SELECT lang AS value, count(*) AS n FROM documents
         |WHERE lang <> 'fr' GROUP BY lang ORDER BY value""".stripMargin,
+
+    "fc_fn_revisions" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+        |r AS (
+        |  SELECT 'doc-'||doc_id||'::v0' AS id,
+        |         CAST(NULL AS VARCHAR) AS document,
+        |         'doc-'||doc_id AS original_id,
+        |         CAST(0 AS BIGINT) AS version,
+        |         false AS is_delete
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'doc-'||doc_id||'::v1', text, 'doc-'||doc_id, 1, false
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'doc-'||doc_id||'::v2', text||' v2', 'doc-'||doc_id, 2, false
+        |  FROM base WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 'doc-'||doc_id||'::v'||
+        |           (CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END),
+        |         NULL, 'doc-'||doc_id,
+        |         CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END, true
+        |  FROM base WHERE doc_id % 9 = 0)
+        |SELECT id, document, original_id,
+        |       CAST(version AS BIGINT) AS version, is_delete
+        |FROM r ORDER BY id""".stripMargin,
 
     "fc_fn_statistics" ->
       """WITH s AS (

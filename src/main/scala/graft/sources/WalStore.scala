@@ -320,6 +320,32 @@ object WalStore {
       .parquet(stage.toString)
   }
 
+  /** Every RETAINED entry's ops as one batch DataFrame — the batch twin
+    * of [[streamEntries]] for consumers that process the whole durable
+    * log in one plan (revision_history's incremental catch-up). Reads
+    * only published positions from the retained floor, so voided
+    * appends and GC'd entries are invisible, the same contract as the
+    * stream. The per-entry union is driver-assembled over the retained
+    * entry COUNT (bounded by GC cadence, not data size); each entry is
+    * still a distributed parquet scan.
+    */
+  def readAllEntries(spark: SparkSession,
+      root: String): org.apache.spark.sql.DataFrame = {
+    var firstRetained = Long.MaxValue
+    cs.list(markersDir(root)).foreach { nme =>
+      if (nme.matches("b\\d+")) firstRetained =
+        math.min(firstRetained, nme.drop(1).toLong)
+    }
+    val from = if (firstRetained == Long.MaxValue) 0L else firstRetained - 1
+    val ns = publishedAfter(root, from)
+    if (ns.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.Encoders
+          .product[graft.operators.Materialize.LogOp].schema)
+    else ns.map(readEntry(spark, root, _).toDF()).reduce(_ union _)
+  }
+
   /** The log prefix a compacted segment has consumed, recorded by the
     * compaction inside its version directory: opens of that version
     * replay only entries past it.

@@ -225,6 +225,41 @@ class AttachedFunctionLifecycleSpec extends AnyFunSuite {
     assert(histogram(client, "in_hist") == Map("en" -> 1L, "de" -> 1L))
   }
 
+  test("revision_history: immutable revisions + tombstones, incremental " +
+      "resume from output-kept trackers, re-invoke is a no-op") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("in")
+    coll.add(docs(("a", "x", "en"), ("b", "y", "de")))
+    coll.commitLog()
+    client.attachFunction("in", "hist", "revision_history", "in_rev")
+    def rows: Map[String, (Option[String], Option[Boolean])] =
+      client.getCollection("in_rev").asCollection.records
+        .select(col("id"), col("document"),
+          element_at(col("meta_bool"), "is_delete").as("d"))
+        .collect().map(r => r.getString(0) ->
+          ((Option(r.getString(1)), Option(r.get(2))
+            .map(_.asInstanceOf[Boolean])))).toMap
+    assert(rows.keySet == Set("a::v0", "a::v1", "b::v0", "b::v1"))
+    assert(rows("a::v1") == ((Some("x"), Some(false))))
+    // drained: no new durable ops, the gate skips
+    assert(!client.invokeAttachedFunction("in", "hist"))
+    coll.upsert(docs(("a", "x2", "en")))
+    coll.delete(Seq("b"))
+    coll.commitLog()
+    assert(client.invokeAttachedFunction("in", "hist"))
+    val r2 = rows
+    // the catch-up resumed from the trackers: new versions appended,
+    // prior revisions untouched (history is immutable)
+    assert(r2("a::v1") == ((Some("x"), Some(false))))
+    assert(r2("a::v2") == ((Some("x2"), Some(false))))
+    assert(r2("b::v2") == ((None, Some(true)))) // tombstone revision
+    val tracker = client.getCollection("in_rev").asCollection.records
+      .filter(col("id") === "a::v0")
+      .select(element_at(col("meta_int"), "max_version"))
+      .collect()(0).getLong(0)
+    assert(tracker == 2L)
+  }
+
   test("count_to_file_async: gated behind allow_reset, writes the live " +
       "count to the s3_path param, record_counter id aliases") {
     val root = freshRoot()
