@@ -145,6 +145,124 @@ object AttachedFunctions {
     }
   }
 
+  /** `http_generate` (`rust/worker/src/execution/functions/
+    * http_generate.rs`): ship record batches to an external generation
+    * service — POST `{endpoint}/generate` with
+    * `{"record_sets": [{"records": [{id, document, metadata}, …]}]}` →
+    * `{"call_id": …}`, then poll GET `{endpoint}/status/{call_id}` with
+    * capped exponential backoff until `success` (an error status fails
+    * loudly, `poll_until_done` http_generate.rs:199-275). Shipping is
+    * DISTRIBUTED: each input partition chunks to `batch_size`
+    * (http_generate.rs:23 default bound) and runs its own spawn/poll,
+    * so egress scales with the cluster, never through the driver. The
+    * reference's service writes the generated records into the output
+    * collection itself; in-container the per-job receipts
+    * {call_id, records, status} land there instead, keeping the spawn/
+    * poll protocol real and auditable against a local HTTP fixture
+    * (the HttpConditionalStore testing pattern). Typed metadata ships
+    * string-rendered in the JSON.
+    */
+  final class HttpGenerate(endpoint: String, batchSize: Int,
+      pollMs: Long, timeoutMs: Long) extends AttachedFunction {
+    val name = "http_generate"
+    def apply(records: DataFrame): DataFrame = {
+      val spark = records.sparkSession
+      import spark.implicits._
+      def strMap(c: String): Column =
+        if (records.columns.contains(c))
+          transform_values(coalesce(col(c),
+            map_from_arrays(array(), array()).cast(records.schema(c).dataType)),
+            (_, v) => v.cast("string"))
+        else map_from_arrays(array(), array()).cast("map<string,string>")
+      val payloads = records.select(to_json(struct(
+        col("id"), col("document"),
+        map_concat(strMap("meta_str"), strMap("meta_int"),
+          strMap("meta_float"), strMap("meta_bool")).as("metadata")))
+        .as("rec")).as[String]
+      val (ep, bs, pm, tm) = (endpoint, batchSize, pollMs, timeoutMs)
+      // EAGER collect of the tiny receipt set (one row per spawned job,
+      // bounded by partitions × chunks): the POSTs must fire exactly
+      // once, not once per downstream action on a lazy plan
+      val receipts = payloads.mapPartitions { it =>
+        it.grouped(bs).map { chunk =>
+          val body =
+            s"""{"record_sets":[{"records":[${chunk.mkString(",")}]}]}"""
+          val callId = AttachedFunctions.httpSpawn(ep, body)
+          AttachedFunctions.httpPollStatus(ep, callId, pm, tm)
+          (callId, chunk.size.toLong, "success")
+        }
+      }.collect()
+      receipts.toSeq.toDF("call_id", "records", "status")
+        .orderBy(col("call_id"))
+    }
+  }
+
+  private lazy val http = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+  private def callIdOf(body: String): String = {
+    val j = org.json4s.jackson.JsonMethods.parse(body)
+    (j \ "call_id") match {
+      case org.json4s.JString(s) => s
+      case o => throw new IllegalStateException(s"no call_id in $o")
+    }
+  }
+
+  /** POST `{endpoint}/generate`; non-2xx fails loudly like the
+    * reference's spawn (http_generate.rs:154-196).
+    */
+  private[functions] def httpSpawn(endpoint: String, body: String): String = {
+    val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${endpoint.stripSuffix("/")}/generate"))
+      .timeout(java.time.Duration.ofSeconds(30))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = http.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new IllegalStateException(
+        s"POST /generate returned ${resp.statusCode()}")
+    callIdOf(resp.body())
+  }
+
+  /** GET `{endpoint}/status/{call_id}` until `success`; `failed`/
+    * `error` throw with the service's message; anything else retries
+    * with capped exponential backoff to the deadline
+    * (http_generate.rs:199-275).
+    */
+  private[functions] def httpPollStatus(endpoint: String, callId: String,
+      pollMs: Long, timeoutMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var interval = pollMs
+    while (true) {
+      val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(
+            s"${endpoint.stripSuffix("/")}/status/$callId"))
+        .timeout(java.time.Duration.ofSeconds(30)).GET().build()
+      val resp = http.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 == 2) {
+        val j = org.json4s.jackson.JsonMethods.parse(resp.body())
+        (j \ "status") match {
+          case org.json4s.JString("success") => return
+          case org.json4s.JString(s)
+              if s == "failed" || s == "error" =>
+            val msg = (j \ "error") match {
+              case org.json4s.JString(m) => m
+              case _ => "unknown error"
+            }
+            throw new IllegalStateException(s"generation $callId: $msg")
+          case _ => // pending — retry
+        }
+      }
+      if (System.currentTimeMillis() > deadline)
+        throw new java.util.concurrent.TimeoutException(
+          s"generation $callId not done within ${timeoutMs} ms")
+      Thread.sleep(interval)
+      interval = math.min(interval * 2, pollMs * 8)
+    }
+  }
+
   /** `count_to_file_async` (`rust/worker/src/execution/functions/
     * count_to_file_async.rs`): maintains the live record count at a
     * storage path (`s3_path` param — a local/shared-fs path here, the
@@ -357,6 +475,10 @@ object AttachedFunctions {
       case StatisticsFn.name => StatisticsFn
       case RevisionHistory.name => RevisionHistory
       case "count_to_file_async" => new CountToFileAsync(need("s3_path"))
+      case "http_generate" => new HttpGenerate(need("endpoint_url"),
+        batchSize = params.getOrElse("batch_size", "500000").toInt,
+        pollMs = params.getOrElse("poll_ms", "5000").toLong,
+        timeoutMs = params.getOrElse("timeout_ms", "3600000").toLong)
       case "meta_histogram" => new MetaHistogram(need("key"))
       case h if h.startsWith("meta_histogram:") =>
         new MetaHistogram(h.stripPrefix("meta_histogram:"))

@@ -289,6 +289,74 @@ class AttachedFunctionLifecycleSpec extends AnyFunSuite {
       "record_counter")
   }
 
+  test("http_generate: spawn/poll protocol over a real HTTP boundary, " +
+      "distributed batching, loud failure status") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val polls = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var failMode = false
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    }
+    server.createContext("/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      if (path == "/generate") {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        "\"id\":\"([^\"]+)\"".r.findAllMatchIn(body)
+          .foreach(m => seen.add(m.group(1)))
+        reply(ex, 200, s"""{"call_id":"job-${nextId.incrementAndGet()}"}""")
+      } else if (path.startsWith("/status/")) {
+        val id = path.stripPrefix("/status/")
+        val n = polls.merge(id, 1, _ + _)
+        if (failMode) reply(ex, 200,
+          """{"status":"failed","error":"boom"}""")
+        else if (n < 3) reply(ex, 200, """{"status":"pending"}""")
+        else reply(ex, 200, """{"status":"success"}""")
+      } else reply(ex, 404, "{}")
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = new Client(spark, freshRoot())
+      val coll = client.createCollection("in")
+      coll.add(docs(("a", "x", "en"), ("b", "y", "de"), ("c", "z", "en")))
+      coll.commitLog()
+      client.attachFunction("in", "gen", "http_generate", "in_gen",
+        params = Map("endpoint_url" -> url, "batch_size" -> "2",
+          "poll_ms" -> "10", "timeout_ms" -> "5000"))
+      // every record shipped; batch_size=2 over 3 records → ≥2 jobs,
+      // each polled through pending → success before the receipt lands
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toSet == Set("a", "b", "c"))
+      assert(polls.values().asScala.forall(_ >= 3))
+      val receipts = client.getCollection("in_gen").asCollection.records
+        .select(col("id"),
+          element_at(col("meta_int"), "records").as("n"),
+          element_at(col("meta_str"), "status").as("st"))
+        .collect()
+      assert(receipts.length >= 2)
+      assert(receipts.map(_.getLong(1)).sum == 3L)
+      assert(receipts.forall(_.getString(2) == "success"))
+      // a failed generation status fails the invocation loudly
+      failMode = true
+      coll.add(docs(("d", "w", "fr")))
+      coll.commitLog()
+      val err = intercept[Exception] {
+        client.invokeAttachedFunction("in", "gen")
+      }
+      def rootMsg(t: Throwable): String =
+        if (t.getCause != null) rootMsg(t.getCause)
+        else String.valueOf(t.getMessage)
+      assert(rootMsg(err).contains("boom") ||
+        String.valueOf(err.getMessage).contains("boom"))
+    } finally server.stop(0)
+  }
+
   test("StatisticsFn: Rust {:.16e} float rendering, array elements and " +
       "sparse indices expand, summary row counts live records") {
     import graft.functions.AttachedFunctions.StatisticsFn
