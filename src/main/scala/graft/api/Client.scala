@@ -232,7 +232,8 @@ final class Client(spark: SparkSession, root: String,
     // (attached_function.rs:17-25)
     require(functionId != "count_to_file_async" || allowReset,
       "count_to_file_async is only enabled when allow_reset is true")
-    graft.functions.AttachedFunctions.resolve(functionId, params)
+    graft.functions.AttachedFunctions.resolve(functionId,
+      params ++ instanceContext(outputCollection, 1))
     Catalog.getAttachedFunction(root, tenant, database, collection,
         name) match {
       case Some(ex) if ex.active =>
@@ -337,6 +338,16 @@ final class Client(spark: SparkSession, root: String,
     q.awaitTermination()
   }
 
+  /** Sigil-keyed params carrying what the reference's executors read
+    * off the AttachedFunction row itself (output collection name,
+    * input count — http_currents.rs:84-124); the sigil prefix keeps
+    * them out of the user's param namespace.
+    */
+  private def instanceContext(outputCollection: String,
+      inputCount: Int): Map[String, String] =
+    Map("#output_collection" -> outputCollection,
+      "#input_count" -> inputCount.toString)
+
   /** Run one invocation of an attached instance over its inputs'
     * DURABLE state — the executor-side run the reference triggers by
     * log position (`attached_function_ops.rs` backfill + the
@@ -368,7 +379,8 @@ final class Client(spark: SparkSession, root: String,
     if (!segAdvanced && !force && newOps < inst.minRecordsForInvocation)
       return false
     val fn = graft.functions.AttachedFunctions.resolve(inst.functionId,
-      inst.params)
+      inst.params ++ instanceContext(inst.outputCollection,
+        inst.inputCollections.size))
     val outH = getCollection(inst.outputCollection)
     fn match {
       case lf: graft.functions.AttachedFunctions.LogAttachedFunction =>

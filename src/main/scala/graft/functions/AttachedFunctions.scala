@@ -197,6 +197,43 @@ object AttachedFunctions {
     }
   }
 
+  /** `http_currents` (`rust/worker/src/execution/functions/
+    * http_currents.rs`): a TRIGGER-style job — no records ship; POST
+    * `{endpoint}/currents` tells the service to refresh the "currents"
+    * view for this instance's output collection
+    * (`CurrentsRequest{output_collection, database_name}` — the
+    * executor takes the output name from the INSTANCE, not params,
+    * http_currents.rs:124), authenticated by Modal proxy headers from
+    * `MODAL_KEY`/`MODAL_SECRET` (env; JVM system properties accepted
+    * as an in-container test fallback — System.getenv is immutable
+    * inside a running JVM), then the same `/status/{call_id}` poll
+    * loop as http_generate. Exactly ONE input collection is legal
+    * (`validate_input_batch_count`, http_currents.rs:84-90). The
+    * receipt row is the output-collection audit record.
+    */
+  final class HttpCurrents(endpoint: String, databaseName: String,
+      outputCollection: String, pollMs: Long, timeoutMs: Long)
+      extends AttachedFunction {
+    val name = "http_currents"
+    private def cred(k: String): String =
+      sys.env.get(k).orElse(sys.props.get(k)).getOrElse(
+        throw new IllegalArgumentException(s"missing env var $k"))
+    // resolve-time: auth must be present at attach, not first run
+    private val modalKey = cred("MODAL_KEY")
+    private val modalSecret = cred("MODAL_SECRET")
+    def apply(records: DataFrame): DataFrame = {
+      val spark = records.sparkSession
+      import spark.implicits._
+      val body = s"""{"output_collection":"$outputCollection",""" +
+        s""""database_name":"$databaseName"}"""
+      val callId = httpSpawn(endpoint, body, path = "currents",
+        headers = Seq("Modal-Key" -> modalKey,
+          "Modal-Secret" -> modalSecret))
+      httpPollStatus(endpoint, callId, pollMs, timeoutMs)
+      Seq((callId, "success")).toDF("call_id", "status")
+    }
+  }
+
   private lazy val http = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 
@@ -208,20 +245,25 @@ object AttachedFunctions {
     }
   }
 
-  /** POST `{endpoint}/generate`; non-2xx fails loudly like the
-    * reference's spawn (http_generate.rs:154-196).
+  /** POST `{endpoint}/{path}`; non-2xx fails loudly like the
+    * reference's spawns (http_generate.rs:154-196,
+    * http_currents.rs:142-170).
     */
-  private[functions] def httpSpawn(endpoint: String, body: String): String = {
-    val req = java.net.http.HttpRequest.newBuilder(
-        java.net.URI.create(s"${endpoint.stripSuffix("/")}/generate"))
+  private[functions] def httpSpawn(endpoint: String, body: String,
+      path: String = "generate",
+      headers: Seq[(String, String)] = Seq.empty): String = {
+    var b = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${endpoint.stripSuffix("/")}/$path"))
       .timeout(java.time.Duration.ofSeconds(30))
       .header("Content-Type", "application/json")
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
-    val resp = http.send(req,
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    val resp = http.send(
+      b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
       throw new IllegalStateException(
-        s"POST /generate returned ${resp.statusCode()}")
+        s"POST /$path returned ${resp.statusCode()}")
     callIdOf(resp.body())
   }
 
@@ -479,6 +521,16 @@ object AttachedFunctions {
         batchSize = params.getOrElse("batch_size", "500000").toInt,
         pollMs = params.getOrElse("poll_ms", "5000").toLong,
         timeoutMs = params.getOrElse("timeout_ms", "3600000").toLong)
+      case "http_currents" =>
+        // instance context rides sigil-keyed params the client injects
+        // (the reference executor reads these off the AttachedFunction
+        // row itself, http_currents.rs:84-124)
+        require(params.getOrElse("#input_count", "1") == "1",
+          "http_currents accepts exactly one input collection")
+        new HttpCurrents(need("endpoint_url"), need("database_name"),
+          outputCollection = params.getOrElse("#output_collection", ""),
+          pollMs = params.getOrElse("poll_ms", "5000").toLong,
+          timeoutMs = params.getOrElse("timeout_ms", "3600000").toLong)
       case "meta_histogram" => new MetaHistogram(need("key"))
       case h if h.startsWith("meta_histogram:") =>
         new MetaHistogram(h.stripPrefix("meta_histogram:"))

@@ -357,6 +357,62 @@ class AttachedFunctionLifecycleSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("http_currents: trigger job carries Modal auth + instance " +
+      "context, single-input rule, missing creds reject at attach") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    @volatile var body = ""; @volatile var mk = ""; @volatile var ms = ""
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: HttpExchange, s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    }
+    server.createContext("/", (ex: HttpExchange) => {
+      if (ex.getRequestURI.getPath == "/currents") {
+        body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        mk = ex.getRequestHeaders.getFirst("Modal-Key")
+        ms = ex.getRequestHeaders.getFirst("Modal-Secret")
+        reply(ex, """{"call_id":"cur-1"}""")
+      } else reply(ex, """{"status":"success"}""")
+    })
+    server.start()
+    sys.props("MODAL_KEY") = "mk-test"
+    sys.props("MODAL_SECRET") = "ms-test"
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = new Client(spark, freshRoot())
+      val coll = client.createCollection("in")
+      coll.add(docs(("a", "x", "en")))
+      coll.commitLog()
+      client.attachFunction("in", "cur", "http_currents", "in_currents",
+        params = Map("endpoint_url" -> url, "database_name" -> "proddb",
+          "poll_ms" -> "10", "timeout_ms" -> "5000"))
+      // CurrentsRequest carries the INSTANCE's output collection and
+      // the configured database (http_currents.rs:124), Modal headers
+      // from the environment
+      assert(body ==
+        """{"output_collection":"in_currents","database_name":"proddb"}""")
+      assert(mk == "mk-test" && ms == "ms-test")
+      // exactly one input collection is legal
+      client.createCollection("in2")
+      client.addAttachedFunctionInput("in", "cur", "in2")
+      coll.add(docs(("b", "y", "de"))); coll.commitLog()
+      intercept[IllegalArgumentException] {
+        client.invokeAttachedFunction("in", "cur")
+      }
+      // missing creds reject at attach, not first run
+      sys.props.remove("MODAL_KEY")
+      intercept[IllegalArgumentException] {
+        client.attachFunction("in", "cur2", "http_currents", "in_cur2",
+          params = Map("endpoint_url" -> url, "database_name" -> "d"))
+      }
+    } finally {
+      sys.props.remove("MODAL_KEY"); sys.props.remove("MODAL_SECRET")
+      server.stop(0)
+    }
+  }
+
   test("StatisticsFn: Rust {:.16e} float rendering, array elements and " +
       "sparse indices expand, summary row counts live records") {
     import graft.functions.AttachedFunctions.StatisticsFn
