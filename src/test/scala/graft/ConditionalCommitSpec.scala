@@ -171,8 +171,12 @@ class ConditionalCommitSpec extends AnyFunSuite {
 
     val threads = 5
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // forensics on the rare-loaded-host flake: every COMMITTED attempt's
+    // (thread, read value, won log position) — a lost update shows two
+    // positions that committed from the same read value
+    val commits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val gate = new java.util.concurrent.CountDownLatch(1)
-    val ts = (0 until threads).map { _ =>
+    val ts = (0 until threads).map { t =>
       new Thread(() => {
         try {
           gate.await()
@@ -184,7 +188,12 @@ class ConditionalCommitSpec extends AnyFunSuite {
             val tx = h.beginTransaction()
             val cur = tx.get(Seq("ctr")).collect()(0).getString(1).toInt
             tx.update(df("ctr" -> (cur + 1).toString))
-            if (tx.commit(timeoutMs = 120000L).isRight) committed = true
+            tx.commit(timeoutMs = 120000L) match {
+              case Right(pos) =>
+                commits.add(s"t$t read=$cur wrote=${cur + 1} pos=$pos")
+                committed = true
+              case Left(_) => ()
+            }
           }
           if (!committed)
             throw new IllegalStateException("increment never committed")
@@ -201,6 +210,7 @@ class ConditionalCommitSpec extends AnyFunSuite {
       .get(include = Seq("document")).collect()
     assert(fin.length == 1)
     assert(fin(0).getString(1).toInt == threads,
-      s"lost update: counter=${fin(0).getString(1)} after $threads increments")
+      s"lost update: counter=${fin(0).getString(1)} after $threads " +
+        s"increments; commits=${commits.toArray.mkString("[", ", ", "]")}")
   }
 }
