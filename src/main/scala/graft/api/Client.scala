@@ -536,12 +536,21 @@ final class CollectionHandle(spark: SparkSession,
     * stopping at the first unpublished position.
     */
   private def refreshLog(): Unit =
-    WalStore.publishedAfter(ref.dataRoot, walSeen).foreach { n =>
-      val maxOff = WalStore.entryMeta(ref.dataRoot, n).map(_._2).getOrElse(-1L)
-      if (maxOff >= 0) // count-0 marker = voided crashed append
-        writer.loadCommitted(WalStore.readEntry(spark, ref.dataRoot, n), maxOff)
-      walSeen = n
-    }
+    WalStore.publishedAfter(ref.dataRoot, walSeen).iterator
+      .map(n => n -> WalStore.entryMeta(ref.dataRoot, n))
+      // an existing-but-unparseable marker is a publish in flight on a
+      // store without atomic content visibility — STOP the prefix walk
+      // and retry next refresh. Advancing would mistake it for a void
+      // and skip ops this handle then never folds: a conditional commit
+      // reading that view validates a window missing them (lost update)
+      .takeWhile(_._2.isDefined)
+      .foreach { case (n, meta) =>
+        val maxOff = meta.get._2
+        if (maxOff >= 0) // count-0 marker = voided crashed append
+          writer.loadCommitted(
+            WalStore.readEntry(spark, ref.dataRoot, n), maxOff)
+        walSeen = n
+      }
 
   /** Commit every pending write to the durable log — the reference's
     * wal3 append (`rust/wal3/README.md:1-17`: durable, linearizable,

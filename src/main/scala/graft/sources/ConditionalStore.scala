@@ -62,20 +62,35 @@ trait ConditionalStore {
   def lastModifiedMs(path: String): Option[Long]
 }
 
-/** POSIX-filesystem implementation: `putIfAbsent` is `CREATE_NEW` (an
-  * atomic `open(O_CREAT|O_EXCL)` — also atomic on NFS v3+ for the
-  * single-shared-dir layout the WAL uses).
+/** POSIX-filesystem implementation. `putIfAbsent` must be atomic for
+  * BOTH writers and readers: a bare `CREATE_NEW` write is an exclusive
+  * `open(O_CREAT|O_EXCL)` followed by a SEPARATE write of the bytes, so
+  * a reader racing the gap observes an existing-but-empty (or partial)
+  * object — `exists()` says published while `read()` parses garbage.
+  * On the WAL that torn window is a LOST UPDATE: `refreshLog` would
+  * take the unparseable marker for a void, skip the entry, and advance
+  * the consumed prefix past ops it never folded, so a conditional
+  * commit validates a window that misses them. The fix is the POSIX
+  * CAS-with-content primitive: write the full bytes to a hidden temp
+  * sibling, then `link(2)` it to the target — `createLink` atomically
+  * either materializes the COMPLETE object or fails `EEXIST` (the CAS
+  * loss). Atomic on NFS v3+ like the exclusive create.
   */
 object LocalFsConditionalStore extends ConditionalStore {
   private def p(path: String) = java.nio.file.Paths.get(path)
   def putIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
     val pp = p(path)
     if (pp.getParent != null) java.nio.file.Files.createDirectories(pp.getParent)
+    val tmp = pp.resolveSibling(
+      s".${pp.getFileName}.${java.util.UUID.randomUUID}.tmp")
+    java.nio.file.Files.write(tmp, bytes,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     try {
-      java.nio.file.Files.write(pp, bytes,
-        java.nio.file.StandardOpenOption.CREATE_NEW)
+      java.nio.file.Files.createLink(pp, tmp)
       true
-    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
   def exists(path: String): Boolean = java.nio.file.Files.exists(p(path))
   def read(path: String): Option[Array[Byte]] =
