@@ -27,11 +27,18 @@ object AttachedFunctions {
     def writeAside(out: DataFrame): Unit = ()
   }
 
-  /** CounterFunction: live record count. */
+  /** The reference's count function (`CountAttachedFunction`,
+    * `rust/worker/src/execution/operators/execute_task.rs:30-95`): ONE
+    * output record with the fixed id `function_output` carrying the
+    * live record count under the `total_count` metadata key — its
+    * exact output shape, so a user reading the output collection by
+    * that id sees what the reference serves.
+    */
   object RecordCount extends AttachedFunction {
     val name = "record_count"
     def apply(records: DataFrame): DataFrame =
-      records.agg(count(lit(1)).as("n"))
+      records.agg(count(lit(1)).as("total_count"))
+        .select(lit("function_output").as("id"), col("total_count"))
   }
 
   /** Token-frequency statistic: global top-10 document tokens by

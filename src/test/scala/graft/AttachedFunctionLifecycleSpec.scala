@@ -172,8 +172,14 @@ class AttachedFunctionLifecycleSpec extends AnyFunSuite {
     coll.commitLog()
     assert(!client.invokeAttachedFunction("in", "hist"))
     assert(histogram(client, "in_hist") == Map("en" -> 1L))
-    // second instance, detached WITH its output
+    // second instance, detached WITH its output — and the reference's
+    // exact count shape in the output collection first
+    // (CountAttachedFunction: id "function_output", total_count meta)
     client.attachFunction("in", "hist2", "record_count", "in_count")
+    val c = client.getCollection("in_count").asCollection.records
+      .select(col("id"), element_at(col("meta_int"), "total_count"))
+      .collect()(0)
+    assert(c.getString(0) == "function_output" && c.getLong(1) == 2L)
     assert(client.detachFunction("in", "hist2", deleteOutput = true))
     assert(!client.listCollections().contains("in_count"))
   }

@@ -459,7 +459,10 @@ class ClientSpec extends AnyFunSuite {
       ("b", "beta gamma", Map("lang" -> "en")),
       ("c", "delta", Map("lang" -> "de"))).toDF("id", "document", "meta"))
     intercept[Exception] { coll.runAttached("record_count_x") }
-    assert(coll.runAttached("record_count").collect()(0).getLong(0) == 3L)
+    // the reference's CountAttachedFunction output shape: one record,
+    // fixed id "function_output", count under "total_count"
+    val cnt = coll.runAttached("record_count").collect()(0)
+    assert(cnt.getString(0) == "function_output" && cnt.getLong(1) == 3L)
     val top = coll.runAttached("token_stats_10").collect()
       .map(r => r.getString(0) -> r.getLong(1))
     assert(top.head == ("beta" -> 3L))
@@ -468,7 +471,7 @@ class ClientSpec extends AnyFunSuite {
     assert(hist == Map("de" -> 1L, "en" -> 2L))
     // delete moves the live state the functions see
     coll.delete(Seq("c"))
-    assert(coll.runAttached("record_count").collect()(0).getLong(0) == 2L)
+    assert(coll.runAttached("record_count").collect()(0).getLong(1) == 2L)
     coll.runAttachedAll()
     val persisted = spark.read.parquet(
       s"${coll.ref.dataRoot}/functions/meta_histogram_lang")
