@@ -380,11 +380,33 @@ object Catalog {
       forkedFrom.map("forked_from" -> _) ++
       dataDir.map("data_dir" -> _)
     val json = Serialization.write(base)
-    val opts =
-      if (createNew) Seq(java.nio.file.StandardOpenOption.CREATE_NEW)
-      else Seq(java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-    java.nio.file.Files.write(f, json.getBytes("UTF-8"), opts: _*)
+    atomicWrite(f, json.getBytes("UTF-8"), createNew)
+  }
+
+  /** Descriptor writes readers can never see torn: create-new keeps the
+    * exclusive-create race contract (the sysdb unique constraint), but
+    * the bytes land via a temp sibling + ATOMIC_MOVE so a concurrent
+    * `getCollection` reads either the old or the new complete JSON —
+    * a TRUNCATE_EXISTING overwrite has a window where the file is
+    * empty/partial and the parse would throw on a perfectly healthy
+    * catalog (same bug class as the WAL's torn marker publish).
+    */
+  private def atomicWrite(f: java.nio.file.Path, bytes: Array[Byte],
+      createNew: Boolean): Unit = {
+    val tmp = f.resolveSibling(
+      s".${f.getFileName}.${java.util.UUID.randomUUID}.tmp")
+    java.nio.file.Files.write(tmp, bytes,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    try {
+      if (createNew) {
+        // atomic create-new with full content: link(2) — EEXIST = lost
+        java.nio.file.Files.createLink(f, tmp)
+      } else {
+        java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   /** The reference's `collection.modify(name=…, metadata=…)`
@@ -742,12 +764,8 @@ object Catalog {
       "completion_offset" -> inst.completionOffset,
       "completion_segment" -> inst.completionSegment,
       "active" -> inst.active))
-    val opts =
-      if (createNew) Seq(java.nio.file.StandardOpenOption.CREATE_NEW)
-      else Seq(java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-    java.nio.file.Files.write(dir.resolve(s"${inst.name}.json"),
-      json.getBytes("UTF-8"), opts: _*)
+    atomicWrite(dir.resolve(s"${inst.name}.json"),
+      json.getBytes("UTF-8"), createNew)
   }
 
   def getAttachedFunction(root: String, tenant: String, db: String,
