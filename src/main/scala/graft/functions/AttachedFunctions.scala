@@ -76,78 +76,163 @@ object AttachedFunctions {
         s"$name consumes the log — invoke feeds it ops, not state")
   }
 
+  /** One incoming op for the revision fold: the source record's id, its
+    * durable position, the op kind, payload, raw WAL metadata, the
+    * app-declared source version (decoded from the `version_key`
+    * metadata), and the id's persisted tracker state (None on first
+    * sight).
+    */
+  final case class RhOp(oid: String, log_offset: Long, op: String,
+      document: Option[String], meta: Map[String, String],
+      source_ver: Option[Long], base_version: Option[Long],
+      base_offset: Option[Long], gen_pos: Option[Long],
+      gen_sv: Option[Long])
+
+  /** One fold output row — a revision (`is_tracker = false`) or the
+    * id's updated `::v0` tracker.
+    */
+  final case class RhEmit(id: String, oid: String, is_tracker: Boolean,
+      version: Long, log_offset: Long, is_delete: Boolean,
+      document: Option[String], meta: Map[String, String],
+      max_version: Long, gen_pos: Long, gen_sv: Long, max_offset: Long,
+      source_ver: Option[Long])
+
   /** The reference's `revision_history` function
     * (`rust/worker/src/execution/functions/revision_history.rs`): every
     * durable mutation of a source record becomes an immutable revision
-    * record `{original_id}::v{version}` in the output collection
-    * (1-indexed per id, log order), deletes producing tombstone
-    * revisions (`is_delete: true`, no document), and a
-    * `{original_id}::v0` tracker row carrying the monotonic
-    * `max_version` counter (revision_history.rs:78-97) plus the
-    * engine's consumed-offset high-water mark — the incremental-resume
-    * state the reference's RevisionTracker loads from the output
-    * reader. Revision metadata = {original_id, version, log_offset,
-    * is_delete} merged over the op's own decoded typed metadata
+    * record `{original_id}::v{version}` in the output collection,
+    * deletes producing tombstone revisions (`is_delete: true`, no
+    * document), and a `{original_id}::v0` tracker row carrying the
+    * RevisionTracker state (revision_history.rs:91-132) — `max_version`
+    * plus the GENERATION mapping (`generation_start_pos`,
+    * `generation_start_source_ver`) and the engine's consumed-offset
+    * high-water mark, the incremental-resume state the reference loads
+    * from its output reader.
+    *
+    * Version assignment is the reference's, line for line
+    * (`next_version_for_source` / `next_version_fallback`,
+    * revision_history.rs:143-169): an op carrying the `version_key`
+    * metadata (param, default `version`) maps deterministically to
+    * `generation_start_pos + (source_version −
+    * generation_start_source_ver)`; a source version BELOW the current
+    * generation's expected maximum starts a NEW generation (the
+    * delete-then-recreate resurrection, `is_new_generation`), and an
+    * effective version at or below `max_version` is an
+    * already-archived replay and emits nothing (idempotent
+    * re-compaction). Ops without the key — and deletes — take the
+    * `max_version + 1` fallback.
+    *
+    * Revision metadata = {original_id, version, log_offset, is_delete
+    * [, source_version]} merged over the op's decoded typed metadata
     * (reserved keys win, `RevisionMetadata::into_update_metadata`).
     * Not carried: `archived_at` wall-clock (nondeterministic — the
-    * deterministic `log_offset` serves the same audit role) and the
-    * app-defined `version_key` generation mapping (source versions are
-    * the log's own order here). Catch-up is one plan: trackers
-    * broadcast-join the new ops, a per-id window numbers them, output
-    * is op-proportional.
+    * deterministic `log_offset` serves the audit role) and the
+    * tombstone's source_version+1 positioning (our delete ops carry no
+    * metadata; the fallback still orders tombstones correctly by log
+    * position).
+    *
+    * Shape: the per-id fold is inherently sequential and stateful, so
+    * it runs as `groupByKey → flatMapGroups` — one task per id group,
+    * state the size of one tracker, per-id op lists bounded by write
+    * rate between invocations, never corpus-sized.
     */
   object RevisionHistory extends LogAttachedFunction {
     val name = "revision_history"
     private val Reserved =
       Seq("original_id", "version", "log_offset", "is_delete",
-        "max_version", "max_offset")
+        "source_version", "max_version", "max_offset",
+        "generation_start_pos", "generation_start_source_ver")
 
-    def applyOps(ops: DataFrame, existing: DataFrame): DataFrame = {
+    def applyOps(ops: DataFrame, existing: DataFrame): DataFrame =
+      applyOps(ops, existing, versionKey = "version")
+
+    def applyOps(ops: DataFrame, existing: DataFrame,
+        versionKey: String): DataFrame = {
       import graft.api.TypedMeta
-      import org.apache.spark.sql.expressions.Window
+      val spark = ops.sparkSession
+      import spark.implicits._
       val trackers = existing.filter(col("id").endsWith("::v0"))
         .select(element_at(col("meta_str"), "original_id").as("oid"),
           element_at(col("meta_int"), "max_version").as("base_version"),
-          element_at(col("meta_int"), "max_offset").as("base_offset"))
+          element_at(col("meta_int"), "max_offset").as("base_offset"),
+          element_at(col("meta_int"), "generation_start_pos")
+            .as("gen_pos"),
+          element_at(col("meta_int"), "generation_start_source_ver")
+            .as("gen_sv"))
       val newOps = ops
         .select(col("id").as("oid"), col("log_offset"), col("op"),
-          col("document"), col("meta"))
+          col("document"), col("meta"),
+          element_at(TypedMeta.decodeInt(col("meta")), versionKey)
+            .as("source_ver"))
         .join(trackers, Seq("oid"), "left")
         .filter(col("log_offset") > coalesce(col("base_offset"), lit(-1L)))
-      // ops in one committed batch share an offset; the op kind breaks
-      // the (rare) same-id tie deterministically
-      val w = Window.partitionBy("oid")
-        .orderBy(col("log_offset"), col("op"))
-      val revs = newOps
-        .withColumn("version",
-          coalesce(col("base_version"), lit(0L)) + row_number().over(w))
+        .as[RhOp]
+      val emitted = newOps.groupByKey(_.oid).flatMapGroups {
+        (oid: String, it: Iterator[RhOp]) =>
+          // ops in one committed batch share an offset; the op kind
+          // breaks the (rare) same-id tie deterministically
+          val rows = it.toVector.sortBy(r => (r.log_offset, r.op))
+          var maxV = rows.head.base_version.getOrElse(0L)
+          var genPos = rows.head.gen_pos.getOrElse(0L)
+          var genSv = rows.head.gen_sv.getOrElse(0L)
+          var maxOff = rows.head.base_offset.getOrElse(-1L)
+          val out = Vector.newBuilder[RhEmit]
+          rows.foreach { r =>
+            maxOff = math.max(maxOff, r.log_offset)
+            val assigned: Option[Long] = r.source_ver match {
+              case Some(sv) if r.op != "Delete" =>
+                // next_version_for_source (revision_history.rs:143-161)
+                val newGen = maxV == 0L ||
+                  (sv < genSv + (maxV - genPos) &&
+                    !(genPos == 0L && genSv == 0L))
+                if (newGen) { genPos = maxV + 1; genSv = sv }
+                val eff = genPos + (sv - genSv)
+                if (eff <= maxV) None // already archived — idempotent
+                else { maxV = eff; Some(eff) }
+              case _ => // next_version_fallback
+                maxV += 1; Some(maxV)
+            }
+            assigned.foreach { v =>
+              out += RhEmit(s"$oid::v$v", oid, is_tracker = false, v,
+                r.log_offset, r.op == "Delete",
+                if (r.op == "Delete") None else r.document, r.meta,
+                0L, 0L, 0L, 0L, r.source_ver)
+            }
+          }
+          out += RhEmit(s"$oid::v0", oid, is_tracker = true, 0L, 0L,
+            is_delete = false, None, Map.empty,
+            maxV, genPos, genSv, maxOff, None)
+          out.result()
+      }.toDF()
       def keep(m: Column) =
         map_filter(m, (k, _) => !k.isin(Reserved.map(lit(_)): _*))
       val none = map_from_arrays(array(), array())
-      val revRecords = revs.select(
-        concat(col("oid"), lit("::v"), col("version")).as("id"),
-        when(col("op") === "Delete", lit(null).cast("string"))
-          .otherwise(col("document")).as("document"),
+      val revRecords = emitted.filter(!col("is_tracker")).select(
+        col("id"),
+        col("document"),
         map_concat(map(lit("original_id"), col("oid")),
           keep(TypedMeta.decodeStr(col("meta")))).as("meta"),
         map_concat(
           map(lit("version"), col("version"),
             lit("log_offset"), col("log_offset")),
+          when(col("source_ver").isNotNull,
+            map(lit("source_version"), col("source_ver")))
+            .otherwise(none.cast("map<string,bigint>")),
           keep(TypedMeta.decodeInt(col("meta")))).as("meta_int"),
         keep(TypedMeta.decodeFloat(col("meta"))).as("meta_float"),
-        map_concat(map(lit("is_delete"), col("op") === "Delete"),
+        map_concat(map(lit("is_delete"), col("is_delete")),
           keep(TypedMeta.decodeBool(col("meta")))).as("meta_bool"))
-      val newTrackers = revs.groupBy("oid").agg(
-          max(col("version")).as("max_version"),
-          max(col("log_offset")).as("max_offset"))
-        .select(
-          concat(col("oid"), lit("::v0")).as("id"),
-          lit(null).cast("string").as("document"),
-          map(lit("original_id"), col("oid")).as("meta"),
-          map(lit("max_version"), col("max_version"),
-            lit("max_offset"), col("max_offset")).as("meta_int"),
-          none.cast("map<string,double>").as("meta_float"),
-          none.cast("map<string,boolean>").as("meta_bool"))
+      val newTrackers = emitted.filter(col("is_tracker")).select(
+        col("id"),
+        lit(null).cast("string").as("document"),
+        map(lit("original_id"), col("oid")).as("meta"),
+        map(lit("max_version"), col("max_version"),
+          lit("max_offset"), col("max_offset"),
+          lit("generation_start_pos"), col("gen_pos"),
+          lit("generation_start_source_ver"), col("gen_sv"))
+          .as("meta_int"),
+        none.cast("map<string,double>").as("meta_float"),
+        none.cast("map<string,boolean>").as("meta_bool"))
       revRecords.unionByName(newTrackers)
     }
   }
@@ -522,7 +607,16 @@ object AttachedFunctions {
       case "record_counter" => RecordCount
       case TokenStats10.name => TokenStats10
       case StatisticsFn.name => StatisticsFn
-      case RevisionHistory.name => RevisionHistory
+      case RevisionHistory.name =>
+        // version_key param overrides the reference's default `version`
+        // metadata key (DEFAULT_VERSION_KEY, revision_history.rs:71)
+        params.get("version_key").map { vk =>
+          new LogAttachedFunction {
+            val name = RevisionHistory.name
+            def applyOps(o: DataFrame, e: DataFrame): DataFrame =
+              RevisionHistory.applyOps(o, e, vk)
+          }: AttachedFunction
+        }.getOrElse(RevisionHistory)
       case "count_to_file_async" => new CountToFileAsync(need("s3_path"))
       case "http_generate" => new HttpGenerate(need("endpoint_url"),
         batchSize = params.getOrElse("batch_size", "500000").toInt,

@@ -266,6 +266,50 @@ class AttachedFunctionLifecycleSpec extends AnyFunSuite {
     assert(tracker == 2L)
   }
 
+  test("revision_history generation mapping: source versions assign " +
+      "deterministically, replays re-archive nothing, resurrection " +
+      "starts a new generation") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("in")
+    def recV(id: String, doc: String, v: Long) =
+      Seq((id, doc)).toDF("id", "document")
+        .withColumn("meta_int", map(lit("version"), lit(v)))
+    coll.add(recV("a", "x", 7L)); coll.commitLog()
+    client.attachFunction("in", "hist", "revision_history", "in_rev")
+    coll.upsert(recV("a", "x8", 8L)); coll.commitLog()
+    client.invokeAttachedFunction("in", "hist") // v2 = 1 + (8 - 7)
+    // re-shipping source version 8 is an already-archived replay —
+    // effective 2 <= max_version, nothing emits (next_version_for_source
+    // returning None, revision_history.rs:154-157)
+    coll.upsert(recV("a", "x8 again", 8L)); coll.commitLog()
+    client.invokeAttachedFunction("in", "hist")
+    coll.delete(Seq("a")); coll.commitLog()
+    client.invokeAttachedFunction("in", "hist") // fallback v3 tombstone
+    // resurrection: the source counter RESET to 1 — a new generation
+    // continues the effective sequence (is_new_generation)
+    coll.add(recV("a", "reborn", 1L)); coll.commitLog()
+    client.invokeAttachedFunction("in", "hist") // v4 = genPos 4 + (1-1)
+    val rows = client.getCollection("in_rev").asCollection.records
+      .select(col("id"), col("document"),
+        element_at(col("meta_int"), "source_version").as("sv"),
+        element_at(col("meta_bool"), "is_delete").as("d"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(1)), Option(r.get(2)), Option(r.get(3)))))
+      .toMap
+    assert(rows.keySet == Set("a::v0", "a::v1", "a::v2", "a::v3", "a::v4"))
+    assert(rows("a::v1") == ((Some("x"), Some(7L), Some(false))))
+    assert(rows("a::v2") == ((Some("x8"), Some(8L), Some(false))))
+    assert(rows("a::v3") == ((None, None, Some(true))))
+    assert(rows("a::v4") == ((Some("reborn"), Some(1L), Some(false))))
+    val t = client.getCollection("in_rev").asCollection.records
+      .filter(col("id") === "a::v0")
+      .select(element_at(col("meta_int"), "max_version"),
+        element_at(col("meta_int"), "generation_start_pos"),
+        element_at(col("meta_int"), "generation_start_source_ver"))
+      .collect()(0)
+    assert((t.getLong(0), t.getLong(1), t.getLong(2)) == ((4L, 4L, 1L)))
+  }
+
   test("count_to_file_async: gated behind allow_reset, writes the live " +
       "count to the s3_path param, record_counter id aliases") {
     val root = freshRoot()
