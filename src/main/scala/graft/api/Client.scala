@@ -60,9 +60,24 @@ final class Client(spark: SparkSession, root: String,
       "CRN must be in the format " +
         "<tenant_resource_name>:<database_name>:<collection_name> " +
         "with non-empty parts")
+    // the CRN's first part is the tenant's RESOURCE NAME
+    // (parse_and_validate_crn: tenant_resource_name) — resolve the
+    // alias first, fall back to the literal tenant id (resource names
+    // are optional on a tenant)
+    val t = Catalog.tenantByResourceName(root, parts(0)).getOrElse(parts(0))
     new CollectionHandle(spark,
-      Catalog.getCollection(root, parts(0), parts(1), parts(2)), limits)
+      Catalog.getCollection(root, t, parts(1), parts(2)), limits)
   }
+
+  /** `get_tenant` / `update_tenant` (`api_types.rs:258,311`): the
+    * tenant row carries an optional deployment-global resource name,
+    * the alias CRNs address.
+    */
+  def getTenant(name: String = tenant): Catalog.TenantInfo =
+    Catalog.getTenant(root, name)
+
+  def updateTenant(resourceName: String, name: String = tenant): Unit =
+    Catalog.updateTenant(root, name, resourceName)
 
   def getOrCreateCollection(name: String,
       schema: Catalog.Schema = Catalog.Schema()): CollectionHandle =

@@ -283,6 +283,50 @@ object Catalog {
       java.nio.file.Paths.get(root, "_sysdb", tenant))
   }
 
+  /** Tenant row — name plus the optional RESOURCE NAME
+    * (`GetTenantResponse{name, resource_name}`, `api_types.rs:264`):
+    * the deployment-global alias a CRN's first part addresses.
+    */
+  final case class TenantInfo(name: String, resourceName: Option[String])
+
+  private def tenantMetaPath(root: String, tenant: String) =
+    java.nio.file.Paths.get(root, "_sysdb", tenant, "_tenant.json")
+
+  def getTenant(root: String, name: String): TenantInfo = {
+    require(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, "_sysdb", name)),
+      s"no such tenant $name")
+    val p = tenantMetaPath(root, name)
+    val rn =
+      if (!java.nio.file.Files.exists(p)) None
+      else (JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(p), "UTF-8")) \ "resource_name") match {
+        case JString(s) => Some(s)
+        case _ => None
+      }
+    TenantInfo(name, rn)
+  }
+
+  /** `update_tenant` (`api_types.rs` UpdateTenantRequest:311): set the
+    * tenant's resource name. Atomic overwrite like every descriptor.
+    */
+  def updateTenant(root: String, name: String, resourceName: String): Unit = {
+    require(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, "_sysdb", name)),
+      s"no such tenant $name")
+    implicit val fmts: Formats = DefaultFormats
+    atomicWrite(tenantMetaPath(root, name),
+      Serialization.write(Map("resource_name" -> resourceName))
+        .getBytes("UTF-8"), createNew = false)
+  }
+
+  /** Resolve a tenant by its RESOURCE NAME — the CRN's first part
+    * (`parse_and_validate_crn`: `tenant_resource_name`). None when no
+    * tenant carries it.
+    */
+  def tenantByResourceName(root: String, rn: String): Option[String] =
+    listTenants(root).find(t => getTenant(root, t).resourceName.contains(rn))
+
   def createDatabase(root: String, tenant: String, db: String): Unit = {
     validName(db)
     val t = java.nio.file.Paths.get(root, "_sysdb", tenant)

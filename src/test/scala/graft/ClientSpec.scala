@@ -51,6 +51,16 @@ class ClientSpec extends AnyFunSuite {
     assert(h.count() == 1L)
     for (bad <- Seq("acme:prod", "acme:prod:events:extra", "a::c", ""))
       intercept[IllegalArgumentException] { client.getCollectionByCrn(bad) }
+    // the CRN's first part is the tenant's RESOURCE NAME: update_tenant
+    // sets the alias, get_tenant reads it back, and CRN addressing
+    // resolves through it (parse_and_validate_crn: tenant_resource_name)
+    assert(client.getTenant("acme").resourceName.isEmpty)
+    other.updateTenant("acme-prod-rn", name = "acme")
+    assert(client.getTenant("acme") ==
+      graft.sources.Catalog.TenantInfo("acme", Some("acme-prod-rn")))
+    assert(client.getCollectionByCrn("acme-prod-rn:prod:events")
+      .count() == 1L)
+    intercept[IllegalArgumentException] { client.getTenant("missing") }
   }
 
   test("reset: rejected by default, wipes the deployment, re-bootstraps") {
