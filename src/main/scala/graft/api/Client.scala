@@ -258,13 +258,23 @@ final class Client(spark: SparkSession, root: String,
         else throw new IllegalStateException(
           s"attached function [$name] already exists on [$collection]")
       case stale => // absent, or a soft-deleted row to recreate over
-        if (collectionExists(outputCollection))
-          throw new IllegalStateException(
-            s"output collection [$outputCollection] already exists")
-        // the reference hardcodes an HNSW vector segment for the output
-        // (FinishCreateAttachedFunction) — declare the same default
-        createCollection(outputCollection, Catalog.Schema(
-          vectorIndex = Some(Catalog.HnswIndexConfig())))
+        if (collectionExists(outputCollection)) {
+          // repair flow (the sysdb's TestAsyncFunctionRepairFlowSimple
+          // contract): a crash between the output-collection create and
+          // the instance persist leaves an ORPHANED empty output —
+          // adopt it instead of bricking every retry of the same attach;
+          // anything non-empty or referenced by a live instance rejects
+          val referenced = listCollections().exists(c =>
+            Catalog.listAttachedFunctions(root, tenant, database, c)
+              .exists(i => i.active && i.outputCollection == outputCollection))
+          if (referenced || getCollection(outputCollection).count() != 0L)
+            throw new IllegalStateException(
+              s"output collection [$outputCollection] already exists")
+        } else
+          // the reference hardcodes an HNSW vector segment for the output
+          // (FinishCreateAttachedFunction) — declare the same default
+          createCollection(outputCollection, Catalog.Schema(
+            vectorIndex = Some(Catalog.HnswIndexConfig())))
         val inst = Catalog.AttachedFunctionInstance(name, functionId,
           Seq(collection), outputCollection, params,
           minRecordsForInvocation, completionOffset = 0L,
@@ -418,8 +428,14 @@ final class Client(spark: SparkSession, root: String,
         outH.commitLog()
         fn.writeAside(raw)
     }
+    // the completion position only moves FORWARD (the sysdb's
+    // TestAsyncFunctionOffsetOnlyMovesForward contract): WAL GC can
+    // shrink the retained-op count below a previously consumed position,
+    // and regressing would re-admit already-consumed growth
     Catalog.updateAttachedFunction(root, tenant, database, collection,
-      name)(_.copy(completionOffset = logEnd, completionSegment = segEnd))
+      name)(cur => cur.copy(
+        completionOffset = math.max(cur.completionOffset, logEnd),
+        completionSegment = math.max(cur.completionSegment, segEnd)))
     true
   }
 }

@@ -57,7 +57,10 @@ class AttachedFunctionLifecycleSpec extends AnyFunSuite {
       "InputCollectionNotFound, unknown function id") {
     val client = new Client(spark, freshRoot())
     client.createCollection("in")
-    client.createCollection("taken")
+    // non-empty: an EMPTY unreferenced collection would be adopted by
+    // the repair flow instead of rejecting
+    val taken = client.createCollection("taken")
+    taken.add(docs(("t", "busy", "en"))); taken.commitLog()
     client.attachFunction("in", "hist", "meta_histogram:lang", "out1")
     // same name, different binding — AlreadyExists
     intercept[IllegalStateException] {
@@ -93,6 +96,36 @@ class AttachedFunctionLifecycleSpec extends AnyFunSuite {
     }
     // validation precedes catalog writes — no half-created output
     assert(!client.listCollections().contains("in_hist2"))
+  }
+
+  test("repair flow: an orphaned EMPTY output collection is adopted; " +
+      "non-empty or referenced outputs still reject") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("in")
+    coll.add(docs(("a", "x", "en")))
+    coll.commitLog()
+    // simulate the crash between output-create and instance persist
+    // (TestAsyncFunctionRepairFlowSimple): the output exists, empty,
+    // referenced by nothing — the retried attach adopts it
+    client.createCollection("in_hist")
+    val r = client.attachFunction("in", "hist", "meta_histogram:lang",
+      "in_hist")
+    assert(r.created)
+    assert(histogram(client, "in_hist") == Map("en" -> 1L))
+    // a NON-empty pre-existing collection still rejects
+    val full = client.createCollection("full")
+    full.add(docs(("z", "w", "de"))); full.commitLog()
+    intercept[IllegalStateException] {
+      client.attachFunction("in", "hist2", "record_count", "full")
+    }
+    // an output REFERENCED by a live instance rejects even while EMPTY
+    // (empty input → backfill emitted nothing into src2_count)
+    client.createCollection("src2")
+    client.attachFunction("src2", "rc", "record_count", "src2_count")
+    client.createCollection("src3")
+    intercept[IllegalStateException] {
+      client.attachFunction("src3", "steal", "record_count", "src2_count")
+    }
   }
 
   test("invocation admission: below min_records skips, at/above runs, " +
