@@ -252,11 +252,21 @@ final class Client(spark: SparkSession, root: String,
     Catalog.getAttachedFunction(root, tenant, database, collection,
         name) match {
       case Some(ex) if ex.active =>
+        // idempotency is FULL-configuration equality: a re-attach with
+        // different params or admission threshold is a reconfiguration
+        // attempt, and silently keeping the old configuration while
+        // answering created=false would let the caller believe it
+        // applied — conflict, like any other binding mismatch
         if (ex.functionId == functionId &&
-            ex.outputCollection == outputCollection)
+            ex.outputCollection == outputCollection &&
+            ex.params == params &&
+            ex.minRecordsForInvocation == minRecordsForInvocation)
           AttachFunctionResult(ex, created = false)
         else throw new IllegalStateException(
-          s"attached function [$name] already exists on [$collection]")
+          s"attached function [$name] already exists on [$collection] " +
+            "with a different configuration (function/output/params/" +
+            "min_records_for_invocation must match for an idempotent " +
+            "re-attach)")
       case stale => // absent, or a soft-deleted row to recreate over
         if (collectionExists(outputCollection)) {
           // repair flow (the sysdb's TestAsyncFunctionRepairFlowSimple
@@ -350,16 +360,18 @@ final class Client(spark: SparkSession, root: String,
   def maintainAttachedFunctions(collection: String, checkpoint: String,
       filesPerBatch: Int = 4): Unit = {
     val h = getCollection(collection)
-    val q = WalStore.streamEntries(spark, h.ref.dataRoot, filesPerBatch)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        listAttachedFunctions(collection).foreach { i =>
-          if (i.active) { invokeAttachedFunction(collection, i.name); () }
+    val q = graft.streaming.EventStream.maintained(spark) {
+      WalStore.streamEntries(spark, h.ref.dataRoot, filesPerBatch)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          listAttachedFunctions(collection).foreach { i =>
+            if (i.active) { invokeAttachedFunction(collection, i.name); () }
+          }
         }
-      }
-      .start()
+        .start()
+    }
     q.awaitTermination()
   }
 
@@ -390,11 +402,22 @@ final class Client(spark: SparkSession, root: String,
       force: Boolean = false): Boolean = {
     val inst = getAttachedFunction(collection, name)
     if (!inst.active) return false
-    val inputs = inst.inputCollections.map(getCollection)
-    val logEnd = inputs.map(_.indexingStatus().totalOps).sum
-    val segEnd = inputs.map(h =>
-      graft.sources.CollectionStore.currentVersion(h.ref.dataRoot)).sum
-    val newOps = logEnd - inst.completionOffset
+    val inputs = inst.inputCollections.map(n => n -> getCollection(n))
+    // Scout each input's consumable prefix ONCE, before anything reads:
+    // the consumed-through position recorded below is exactly what this
+    // run saw, so an entry published mid-run admits the next run.
+    val prefixes = inputs.map { case (n, h) =>
+      n -> WalStore.retainedPrefix(h.ref.dataRoot) }.toMap
+    // Admission counts ops at entry POSITIONS above the consumed
+    // position — a basis WAL GC cannot shrink (positions are immutable;
+    // the old retained-total minus stored-sum difference went ≤ 0 after
+    // a GC and stalled every later pure-log append until the retained
+    // count re-crossed the stale sum).
+    val consumed = (n: String) => inst.completionEntries.getOrElse(n, 0L)
+    val newOps = inputs.map { case (n, h) =>
+      WalStore.opsAfter(h.ref.dataRoot, consumed(n)) }.sum
+    val segEnd = inputs.map { case (_, h) =>
+      graft.sources.CollectionStore.currentVersion(h.ref.dataRoot) }.sum
     val segAdvanced = segEnd > inst.completionSegment
     // admission: durable-log growth gates on the threshold (the
     // reference's min_records_for_invocation); a compacted-segment
@@ -411,15 +434,19 @@ final class Client(spark: SparkSession, root: String,
       case lf: graft.functions.AttachedFunctions.LogAttachedFunction =>
         // log consumers append incrementally from their own output-kept
         // resume state — no full refresh, no tombstone sweep: history
-        // must survive the log's GC in the output collection
-        val ops = inputs.map(h =>
-            WalStore.readAllEntries(spark, h.ref.dataRoot))
-          .reduce(_ unionByName _)
-        val out = lf.applyOps(ops, outH.asCollection.records)
+        // must survive the log's GC in the output collection. Only
+        // UNCONSUMED entries are read: prior runs archived the rest
+        // (re-delivery would be an idempotent no-op, but skipping it is
+        // free given the recorded positions).
+        val ops = inputs.map { case (n, h) =>
+            WalStore.readEntries(spark, h.ref.dataRoot,
+              prefixes(n).filter(_ > consumed(n)))
+          }.reduce(_ unionByName _)
+        val out = lf.applyOps(ops, outH.recordsForFunctions)
         outH.upsert(out)
         outH.commitLog()
       case _ =>
-        val records = inputs.map(_.asCollection.records)
+        val records = inputs.map(_._2.recordsForFunctions)
           .reduce(_ unionByName _)
         val raw = fn(records)
         val out = graft.functions.AttachedFunctions.toRecords(raw)
@@ -429,13 +456,18 @@ final class Client(spark: SparkSession, root: String,
         fn.writeAside(raw)
     }
     // the completion position only moves FORWARD (the sysdb's
-    // TestAsyncFunctionOffsetOnlyMovesForward contract): WAL GC can
-    // shrink the retained-op count below a previously consumed position,
-    // and regressing would re-admit already-consumed growth
+    // TestAsyncFunctionOffsetOnlyMovesForward contract) — per input,
+    // max of the stored position and this run's scouted prefix end
+    val ends = prefixes.map { case (n, ns) =>
+      n -> ns.lastOption.getOrElse(0L) }
     Catalog.updateAttachedFunction(root, tenant, database, collection,
       name)(cur => cur.copy(
-        completionOffset = math.max(cur.completionOffset, logEnd),
-        completionSegment = math.max(cur.completionSegment, segEnd)))
+        completionOffset = math.max(cur.completionOffset,
+          cur.completionOffset + newOps),
+        completionSegment = math.max(cur.completionSegment, segEnd),
+        completionEntries = (cur.completionEntries.keySet ++ ends.keySet)
+          .map(k => k -> math.max(cur.completionEntries.getOrElse(k, 0L),
+            ends.getOrElse(k, 0L))).toMap))
     true
   }
 }
@@ -891,17 +923,22 @@ final class CollectionHandle(spark: SparkSession,
     * the RYW state; the Delete ops append as a WAL batch (no driver id
     * round-trip). Returns the number tombstoned.
     */
-  private[api] def retainOnly(keep: DataFrame): Long =
+  /** Tombstone every live id not in `keep` — the refresh sweep's delete
+    * half. LAZY: the anti-join rides the pending Delete batch and is
+    * computed inside the next commitLog's single entry-write job, so a
+    * refresh (upsert + retainOnly + commitLog) folds the output state
+    * exactly once instead of paying a separate count action per
+    * invocation. An empty stale set writes an empty batch piece — free
+    * relative to the action it replaces.
+    */
+  private[api] def retainOnly(keep: DataFrame): Unit =
     Quotas.Gates.withWrite(ref.dataRoot, limits) {
       val stale = state.toDF().select(col("id"))
         .join(keep.select(col("id")), Seq("id"), "left_anti")
-      val n = stale.count()
-      if (n > 0)
-        writer.addBatch(stale
-          .withColumn("document", lit(null).cast("string"))
-          .withColumn("meta", map_from_arrays(array(), array())
-            .cast("map<string,string>")), op = "Delete")
-      n
+      writer.addBatch(stale
+        .withColumn("document", lit(null).cast("string"))
+        .withColumn("meta", map_from_arrays(array(), array())
+          .cast("map<string,string>")), op = "Delete")
     }
 
   /** The reference DeleteRequest's three separate filter fields —
@@ -1039,6 +1076,18 @@ final class CollectionHandle(spark: SparkSession,
 
   private def buildCollection(): Collection =
     new Collection(shredRecords(denseOffsets(state.toDF())))
+
+  /** The shredded live records WITHOUT dense offset-id assignment —
+    * `offset_id` carries the raw WAL `first_offset` (monotone across
+    * commits, shared within one batch). Attached-function invocations
+    * read through this: none of the registered functions touch
+    * `offset_id`, and skipping [[denseOffsets]] skips the eager
+    * zipWithIndex partition-count job the dense assignment costs per
+    * epoch — an invocation sweep otherwise pays it once per instance per
+    * micro-batch. Query plans (get/knn pagination) keep the dense view.
+    */
+  private[api] def recordsForFunctions: DataFrame =
+    shredRecords(state.toDF().withColumn("offset_id", col("first_offset")))
 
   def count(readLevel: ReadLevel = ReadLevel.IndexAndWal): Long =
     Quotas.Gates.withRead(ref.dataRoot, limits) {
@@ -1933,9 +1982,25 @@ final class CollectionHandle(spark: SparkSession,
     // kept version still replay correctly)
     WalStore.recoverStaleClaims(ref.dataRoot, staleClaimAgeMs)
     val retained = CollectionStore.listVersions(ref.dataRoot)
-    if (retained.nonEmpty)
-      WalStore.gcThrough(ref.dataRoot,
-        WalStore.readMark(s"${ref.dataRoot}/v${retained.min}"))
+    if (retained.nonEmpty) {
+      // Fence on active LOG-CONSUMING attached functions: compaction may
+      // cover ops whose entries such a function has not yet archived, and
+      // pruning them would silently drop revisions from a feature whose
+      // contract is "every durable mutation becomes an immutable
+      // revision". The floor is the minimum consumed-through position
+      // across active instances taking this collection as an input — the
+      // reference's fetch_min_attached_function_completion_offset fence
+      // (rust/sysdb tested by test_gc_with_attached_functions.rs).
+      // Snapshot functions recompute from live records and need no fence.
+      val fnFloor = Catalog.listAllAttachedFunctions(ref.root, ref.tenant,
+          ref.database)
+        .filter(i => i.active && i.inputCollections.contains(ref.name) &&
+          graft.functions.AttachedFunctions.isLogConsuming(i.functionId))
+        .map(_.completionEntries.getOrElse(ref.name, 0L))
+        .minOption.getOrElse(Long.MaxValue)
+      WalStore.gcThrough(ref.dataRoot, math.min(
+        WalStore.readMark(s"${ref.dataRoot}/v${retained.min}"), fnFloor))
+    }
     removed
   }
 

@@ -62,6 +62,43 @@ final class Collection(val records: DataFrame) {
     sliced.select(cols: _*)
   }
 
+  /** Unbounded paged export — the whole (optionally filtered) collection
+    * in offset_id order, every row stamped with its page number, in ONE
+    * plan with NO global sort: `Limit{offset,limit}` paging
+    * (`operator.rs:385-391`) re-sorts per page and funnels every page
+    * after the offset through the order, so walking a 100 TB collection
+    * that way is O(pages × sort). Here the rows range-repartition on the
+    * order key once (ordered PARTITIONS), sort within partitions (ordered
+    * runs), and per-partition cursors assign global positions — a
+    * zipWithIndex pass: one count job for the partition bases, then a
+    * local map. `page = position / pageSize`; concatenating the pages in
+    * page order IS the ordered scan (PlanSpec gates the no-global-sort
+    * shape; cc_get_page_walk hash-matches the oracle's row_number form).
+    */
+  def pagedExport(pageSize: Int,
+      where: Option[Where.Expr] = None): DataFrame = {
+    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+    val filtered =
+      where.map(w => records.filter(Where.compile(w))).getOrElse(records)
+    val sorted = pagedExportSorted(filtered)
+    val spark = records.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i / pageSize)
+      },
+      sorted.schema.add("page", LongType))
+  }
+
+  /** The pre-cursor ordered-run plan — exposed so PlanSpec can assert it
+    * contains a RANGE exchange + partition-local sort and no global
+    * single-partition order (the post-RDD-boundary plan cannot show it).
+    */
+  private[graft] def pagedExportSorted(filtered: DataFrame): DataFrame =
+    filtered.repartitionByRange(col("offset_id"), col("id"))
+      .sortWithinPartitions(col("offset_id"), col("id"))
+
   /** Get plan with a served trigram-FTS index: the predicate's mandatory
     * contains-needle DNF ([[Where.containsDnf]], alternation-aware like
     * the reference's literal expression over its FTS segment) prunes the

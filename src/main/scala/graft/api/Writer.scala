@@ -235,6 +235,14 @@ final class Writer(spark: SparkSession, var segment: Dataset[Rec],
     * log offset; ordering ACROSS batches and single-record ops comes
     * from the monotonically increasing offset base.
     */
+  /** INVARIANT consumers rely on: every row of one batch shares this one
+    * offset AND one op kind — same-offset ties across different op kinds
+    * cannot exist (log consumers like revision_history order same-offset
+    * rows by op kind, which is only safe because of this). Duplicate ids
+    * WITHIN a batch are the caller's to avoid (the reference frontend
+    * rejects them); the folds downstream order such rows
+    * deterministically but arbitrarily.
+    */
   def addBatch(ops: org.apache.spark.sql.DataFrame, op: String = "Add"): Unit = {
     import org.apache.spark.sql.functions._
     pendingOffsets = pendingOffsets :+ nextOffset

@@ -169,9 +169,16 @@ object AttachedFunctions {
         .as[RhOp]
       val emitted = newOps.groupByKey(_.oid).flatMapGroups {
         (oid: String, it: Iterator[RhOp]) =>
-          // ops in one committed batch share an offset; the op kind
-          // breaks the (rare) same-id tie deterministically
-          val rows = it.toVector.sortBy(r => (r.log_offset, r.op))
+          // Ops in one committed batch share an offset. A same-offset
+          // same-id tie is always same-KIND too (Writer.addBatch stamps
+          // one op kind per batch; singleton ops own their offsets), so
+          // op-kind ordering can never archive a tombstone ahead of the
+          // content revision it followed; source_ver + document complete
+          // the key so duplicate-id batches fold DETERMINISTICALLY
+          // rather than in shuffle-arrival order.
+          val rows = it.toVector.sortBy(r =>
+            (r.log_offset, r.op, r.source_ver.getOrElse(Long.MinValue),
+              r.document.getOrElse("")))
           var maxV = rows.head.base_version.getOrElse(0L)
           var genPos = rows.head.gen_pos.getOrElse(0L)
           var genSv = rows.head.gen_sv.getOrElse(0L)
@@ -595,6 +602,14 @@ object AttachedFunctions {
     * attach path calls — at attach, not first run, like every other
     * registration check.
     */
+  /** Whether `functionId` resolves to a [[LogAttachedFunction]] — the
+    * WAL-GC fence needs this WITHOUT instance params (resolve() rejects
+    * missing required params, which a GC sweep has no business doing).
+    * Keep in sync with [[resolve]]'s log-consuming cases.
+    */
+  def isLogConsuming(functionId: String): Boolean =
+    functionId == RevisionHistory.name
+
   def resolve(name: String,
       params: Map[String, String] = Map.empty): AttachedFunction = {
     def need(k: String): String = params.getOrElse(k,

@@ -171,14 +171,23 @@ object Dedup {
     val ex = ex0.join(rare.hint("shuffle_hash"), Seq("sg"), "left_semi")
     val exBatch = ex.join(broadcast(batchIds.select(col("doc_id"))),
       Seq("doc_id"), "left_semi")
+    // a batch-batch pair is counted from BOTH sides of the asymmetric
+    // join while corpus-batch pairs are hit once — postings are distinct
+    // per doc, so a map-side count(1) plus a pair-sized broadcast halving
+    // fix-up replaces countDistinct (whose exchange would carry every
+    // distinct (da,db,sg) combination instead of partial counts)
+    val bIds = batchIds.select(col("doc_id")).distinct()
     val inter = ex.as("a").join(exBatch.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("da"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
-      // a batch-batch pair is counted from BOTH sides of the asymmetric
-      // join — de-duplicate shingle hits, not just halve, because
-      // corpus-batch pairs are hit once
-      .agg(countDistinct(col("a.sg")).as("inter"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(bIds.select(col("doc_id").as("da"),
+        lit(true).as("da_b"))), Seq("da"), "left")
+      .join(broadcast(bIds.select(col("doc_id").as("db"),
+        lit(true).as("db_b"))), Seq("db"), "left")
+      .select(col("da"), col("db"), when(col("da_b") && col("db_b"),
+        col("cnt") / 2).otherwise(col("cnt")).cast("long").as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
@@ -241,8 +250,12 @@ object Dedup {
     */
   def batchProbeHits(batchPostings: DataFrame,
       postings: DataFrame): DataFrame = {
+    // the probe side is the BATCH's distinct shingle hashes — bounded by
+    // ingest batch size (8 bytes per shingle), never corpus size — so a
+    // broadcast semi leaves the accumulated posting table entirely
+    // unshuffled: the one full-table touch per micro-batch is a scan
     val batchSg = batchPostings.select("sg").distinct()
-    postings.join(batchSg.hint("shuffle_hash"), Seq("sg"), "left_semi")
+    postings.join(broadcast(batchSg), Seq("sg"), "left_semi")
   }
 
   def jaccardBatchProbeFromHits(batchPostings: DataFrame, hits: DataFrame,
@@ -251,19 +264,35 @@ object Dedup {
     // carrying them — identical to the full-table dfreq restricted here
     val dfreq = hits.groupBy("sg").agg(count(lit(1)).as("df"))
     val rare = dfreq.filter(col("df") <= maxDf && col("df") >= 2).select("sg")
-    val ex = hits.join(rare.hint("shuffle_hash"), Seq("sg"), "left_semi")
-    val exBatch = batchPostings.join(rare.hint("shuffle_hash"), Seq("sg"), "left_semi")
+    // rare is a SUBSET of the batch's shingles (dfreq groups hits by sg),
+    // so it is batch-bounded too — broadcast keeps hits/batch unshuffled
+    val ex = hits.join(broadcast(rare), Seq("sg"), "left_semi")
+    val exBatch = batchPostings.join(broadcast(rare), Seq("sg"), "left_semi")
+    // Postings are distinct per doc (array_distinct shingles) and a doc
+    // arrives in exactly one batch, so each (pair, shingle) hit appears
+    // ONCE from the asymmetric join — except batch-batch pairs, hit from
+    // both orientations. A map-side count(1) with a pair-sized broadcast
+    // halving fix-up replaces countDistinct: the exchange then carries
+    // partially-aggregated (da,db) rows, not every distinct (da,db,sg)
+    // combination.
+    val batchDocs = batchPostings.select(col("doc_id")).distinct()
     // sizes ride the rows: whichever side is the smaller doc_id supplies
     // na (constant per doc, so max() just picks the carried value)
     ex.as("a").join(exBatch.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("da"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
-      .agg(countDistinct(col("a.sg")).as("inter"),
+      .agg(count(lit(1)).as("cnt"),
         max(when(col("a.doc_id") < col("b.doc_id"), col("a.n_sh"))
           .otherwise(col("b.n_sh"))).as("na"),
         max(when(col("a.doc_id") < col("b.doc_id"), col("b.n_sh"))
           .otherwise(col("a.n_sh"))).as("nb"))
+      .join(broadcast(batchDocs.select(col("doc_id").as("da"),
+        lit(true).as("da_b"))), Seq("da"), "left")
+      .join(broadcast(batchDocs.select(col("doc_id").as("db"),
+        lit(true).as("db_b"))), Seq("db"), "left")
+      .withColumn("inter", when(col("da_b") && col("db_b"),
+        col("cnt") / 2).otherwise(col("cnt")).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -1499,4 +1528,94 @@ object Dedup {
       .join(docs.select(col("doc_id"), col("text")), Seq("text"))
       .select(col("batch_id"), col("doc_id"))
   }
+
+  /** Serialized size of a persisted Bloom index (base + delta files) —
+    * the broadcast-vs-partitioned routing signal. Pure file metadata, no
+    * Spark job.
+    */
+  def bloomIndexBytes(root: String): Long = {
+    def dirBytes(d: String): Long = {
+      val f = new java.io.File(d)
+      if (f.isDirectory) org.apache.commons.io.FileUtils.sizeOfDirectory(f)
+      else 0L
+    }
+    dirBytes(bloomBaseDir(root)) + dirBytes(bloomNextDir(root)) +
+      dirBytes(bloomDeltasDir(root))
+  }
+
+  /** Total-filter-bytes ceiling for the driver-fold + broadcast serving
+    * path. ~1.2 GB covers ~1B corpus items at 1% fpp; past it the
+    * driver fold and the per-executor copy both stop scaling
+    * ([[bloomSurvivorsPartitioned]] takes over — at 10B items the
+    * per-pid slices are ~12 GB total, which must never transit the
+    * driver or replicate per executor).
+    */
+  val BloomBroadcastMaxBytes: Long = 1200L << 20
+
+  /** Probe a PERSISTED Bloom index without the driver fold: each task
+    * deserializes only its partition's slice, read directly from the
+    * base table with its pid's streamed delta fingerprints folded in —
+    * the per-segment split the reference keeps (its USER_ID bloom lives
+    * per record segment, `rust/segment/src/blockfile_record.rs:16`,
+    * never as one global filter). One batch shuffle on pid (the slices
+    * co-shuffle as one row + a fp list per pid); row-identical to
+    * [[bloomSurvivors]] over [[loadBloomIndex]] by construction — same
+    * slices, same puts, same probes — gated in DedupSpec.
+    */
+  def bloomSurvivorsPartitioned(batch: DataFrame, root: String): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (partitions, fpp, perSlice) = bloomMeta(root)
+    val baseDir = if (committedNext(root)) bloomNextDir(root)
+      else bloomBaseDir(root)
+    val withFp = batch
+      .withColumn("__fp", xxhash64(col("text")))
+      .withColumn("__pid",
+        pmod(col("__fp"), lit(partitions)).cast("int"))
+    val schema = withFp.schema
+    val fpIdx = schema.fieldIndex("__fp")
+    val pidIdx = schema.fieldIndex("__pid")
+    val dDir = new java.io.File(bloomDeltasDir(root))
+    val deltas =
+      if (dDir.isDirectory && dDir.list().nonEmpty)
+        spark.read.schema("pid INT, fp BIGINT").parquet(bloomDeltasDir(root))
+          .select(col("pid"), col("fp"))
+      else Seq.empty[(Int, Long)].toDF("pid", "fp")
+    // one row per pid: base slice bytes (null for a delta-only pid the
+    // base build never saw) + that pid's delta fingerprints
+    val slices = spark.read.parquet(baseDir).select(col("pid"), col("bloom"))
+      .join(deltas.groupBy(col("pid"))
+        .agg(collect_list(col("fp")).as("fps")), Seq("pid"), "full_outer")
+    val batchByPid = withFp.groupByKey(
+      _.getInt(pidIdx))(org.apache.spark.sql.Encoders.scalaInt)
+    val sliceByPid = slices.groupByKey(
+      _.getInt(0))(org.apache.spark.sql.Encoders.scalaInt)
+    batchByPid.cogroup(sliceByPid) { (_, rows, sl) =>
+      sl.toSeq.headOption match {
+        case None => Iterator.empty // pid absent from corpus AND deltas
+        case Some(s) =>
+          val filter = Option(s.get(1))
+            .map(b => org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(b.asInstanceOf[Array[Byte]])))
+            .getOrElse(org.apache.spark.util.sketch.BloomFilter
+              .create(perSlice, fpp))
+          Option(s.get(2)).foreach(
+            _.asInstanceOf[scala.collection.Seq[Long]]
+              .foreach(filter.putLong))
+          rows.filter(r => filter.mightContainLong(r.getLong(fpIdx)))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .drop("__fp", "__pid")
+  }
+
+  /** Serve a probe from a persisted index, routing on total filter
+    * bytes: under [[BloomBroadcastMaxBytes]] the driver folds and
+    * broadcasts ([[loadBloomIndex]] — cheapest when the whole index
+    * fits every executor); past it the partitioned slice-local probe
+    * runs and nothing index-sized ever transits the driver.
+    */
+  def bloomSurvivorsServed(batch: DataFrame, root: String): DataFrame =
+    if (bloomIndexBytes(root) <= BloomBroadcastMaxBytes)
+      bloomSurvivors(batch, loadBloomIndex(batch.sparkSession, root))
+    else bloomSurvivorsPartitioned(batch, root)
 }

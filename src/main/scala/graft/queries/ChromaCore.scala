@@ -160,6 +160,15 @@ object ChromaCore extends QueryPack {
           Cmp("lang", "$ne", VStr("zh"))))),
         include = Seq("document"))
     },
+
+    // Unbounded paged export: the WHOLE collection walked in 64-row
+    // pages through per-partition cursors — concatenated pages must
+    // hash-match the oracle's row_number paging exactly, with no global
+    // sort in the plan (PlanSpec gates the shape).
+    "cc_get_page_walk" -> { (s, d) =>
+      docsCollection(s, d).pagedExport(pageSize = 64)
+        .select(col("page"), col("id"), col("document"))
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -220,5 +229,13 @@ object ChromaCore extends QueryPack {
       """SELECT 'doc-'||doc_id AS id, text AS document FROM documents
         |WHERE doc_id%7=0 AND doc_id<=100 AND lang<>'zh'
         |ORDER BY doc_id""".stripMargin,
+
+    // offset_id = doc_id and ids are unique here, so (offset_id, id)
+    // order is doc_id order; integer page = floor(position / 64)
+    "cc_get_page_walk" ->
+      """SELECT CAST(floor((row_number() OVER (ORDER BY doc_id) - 1)
+        |    / 64.0) AS BIGINT) AS page,
+        |  'doc-'||doc_id AS id, text AS document
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

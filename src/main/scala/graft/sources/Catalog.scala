@@ -444,7 +444,18 @@ object Catalog {
     try {
       if (createNew) {
         // atomic create-new with full content: link(2) — EEXIST = lost
-        java.nio.file.Files.createLink(f, tmp)
+        try java.nio.file.Files.createLink(f, tmp)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException => throw e
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException
+              if !java.nio.file.Files.exists(f) =>
+            // no hard links on this filesystem (SMB/FAT/FUSE mounts):
+            // degrade to the plain exclusive create these mounts always
+            // used, accepting its narrow torn-read window
+            java.nio.file.Files.write(f, bytes,
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+        }
       } else {
         java.nio.file.Files.move(tmp, f,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -782,7 +793,15 @@ object Catalog {
       minRecordsForInvocation: Long,
       completionOffset: Long,
       completionSegment: Long,
-      active: Boolean)
+      active: Boolean,
+      // Per-input ABSOLUTE consumed position: input collection name →
+      // the highest WAL entry position an invocation has consumed
+      // through. Unlike completionOffset (a sum of RETAINED op counts,
+      // whose basis shrinks when WAL GC prunes entries), entry positions
+      // are immutable once published — admission counting and the GC
+      // fence for log-consuming functions both key off this map (the
+      // reference's fetch_min_attached_function_completion_offset).
+      completionEntries: Map[String, Long] = Map.empty)
 
   private def functionsDir(root: String, tenant: String, db: String,
       collection: String): java.nio.file.Path =
@@ -807,6 +826,7 @@ object Catalog {
       "min_records_for_invocation" -> inst.minRecordsForInvocation,
       "completion_offset" -> inst.completionOffset,
       "completion_segment" -> inst.completionSegment,
+      "completion_entries" -> inst.completionEntries,
       "active" -> inst.active))
     atomicWrite(dir.resolve(s"${inst.name}.json"),
       json.getBytes("UTF-8"), createNew)
@@ -836,10 +856,19 @@ object Catalog {
       case _ => Map.empty[String, String]
     }
     val active = (j \ "active") match { case JBool(b) => b; case _ => true }
+    // absent on descriptors written before the field existed → empty
+    // (position 0 = nothing consumed, the conservative reading)
+    val entries = (j \ "completion_entries") match {
+      case JObject(fs) => fs.collect {
+        case (k, JInt(n)) => k -> n.toLong
+        case (k, JLong(n)) => k -> n
+      }.toMap
+      case _ => Map.empty[String, Long]
+    }
     Some(AttachedFunctionInstance(str("name"), str("function_id"), inputs,
       str("output_collection"), params,
       lng("min_records_for_invocation"), lng("completion_offset"),
-      lng("completion_segment"), active))
+      lng("completion_segment"), active, entries))
   }
 
   def listAttachedFunctions(root: String, tenant: String, db: String,
@@ -849,6 +878,19 @@ object Catalog {
       .collect { case n if n.endsWith(".json") => n.stripSuffix(".json") }
       .sorted
       .flatMap(getAttachedFunction(root, tenant, db, collection, _))
+
+  /** Every instance in the database, across all attach collections —
+    * the WAL-GC fence needs instances whose inputCollections CONTAIN a
+    * collection, and an instance is filed only under its head input.
+    */
+  def listAllAttachedFunctions(root: String, tenant: String,
+      db: String): Seq[AttachedFunctionInstance] = {
+    val base = sysdbPath(root, tenant, db).resolve("_functions")
+    CollectionStore.listDir(base)
+      .filter(p => java.nio.file.Files.isDirectory(p))
+      .map(_.getFileName.toString).sorted
+      .flatMap(listAttachedFunctions(root, tenant, db, _))
+  }
 
   /** Read-modify-write an instance descriptor under the same
     * per-descriptor lock discipline as [[updateCollectionConfig]] —

@@ -90,6 +90,22 @@ object LocalFsConditionalStore extends ConditionalStore {
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
+      case e @ (_: UnsupportedOperationException |
+                _: java.nio.file.FileSystemException) =>
+        // filesystems without hard links (SMB/FAT/FUSE object-store
+        // mounts): degrade to the pre-link exclusive create rather than
+        // failing every publish — the weaker guarantee (a reader racing
+        // the create-then-write gap can see a partial object) is the
+        // behavior those mounts always had
+        if (e.isInstanceOf[java.nio.file.FileSystemException] &&
+            java.nio.file.Files.exists(pp)) false
+        else try {
+          java.nio.file.Files.write(pp, bytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
   def exists(path: String): Boolean = java.nio.file.Files.exists(p(path))

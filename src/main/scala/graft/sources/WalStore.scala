@@ -329,15 +329,49 @@ object WalStore {
     * entry COUNT (bounded by GC cadence, not data size); each entry is
     * still a distributed parquet scan.
     */
-  def readAllEntries(spark: SparkSession,
-      root: String): org.apache.spark.sql.DataFrame = {
+  /** The contiguous RETAINED published positions — what a log consumer
+    * can read right now: from the lowest retained marker through the
+    * first gap (an in-flight claim or the true tail).
+    */
+  def retainedPrefix(root: String): Seq[Long] = {
     var firstRetained = Long.MaxValue
     cs.list(markersDir(root)).foreach { nme =>
       if (nme.matches("b\\d+")) firstRetained =
         math.min(firstRetained, nme.drop(1).toLong)
     }
     val from = if (firstRetained == Long.MaxValue) 0L else firstRetained - 1
-    val ns = publishedAfter(root, from)
+    publishedAfter(root, from)
+  }
+
+  /** Op count over retained published entries at positions strictly
+    * ABOVE `pos` — "new ops since a consumed position" on a basis GC
+    * cannot shrink retroactively: entry positions are immutable, so
+    * pruning entries ≤ pos (already consumed) never changes the answer,
+    * unlike a retained-total minus stored-total difference. O(markers),
+    * no entry data touched.
+    */
+  def opsAfter(root: String, pos: Long): Long = {
+    var ops = 0L
+    cs.list(markersDir(root)).foreach { nme =>
+      if (nme.matches("b\\d+")) {
+        val n = nme.drop(1).toLong
+        if (n > pos) entryMeta(root, n).foreach { case (cnt, _) => ops += cnt }
+      }
+    }
+    ops
+  }
+
+  def readAllEntries(spark: SparkSession,
+      root: String): org.apache.spark.sql.DataFrame =
+    readEntries(spark, root, retainedPrefix(root))
+
+  /** The ops of an explicit position list — callers that must RECORD the
+    * consumed-through position read exactly the prefix they scouted, so
+    * an entry published between scout and read is consumed (and marked
+    * consumed) next run, never silently skipped.
+    */
+  def readEntries(spark: SparkSession, root: String,
+      ns: Seq[Long]): org.apache.spark.sql.DataFrame = {
     if (ns.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

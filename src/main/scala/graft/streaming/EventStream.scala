@@ -151,6 +151,39 @@ object EventStream extends Serializable {
   def dropBatch(df: DataFrame): DataFrame =
     if (df.columns.contains("batch")) df.drop("batch") else df
 
+  /** Shuffle/state-partition count for streaming maintenance. A stateful
+    * stream freezes its state-store partition count into the checkpoint at
+    * first start, and EVERY micro-batch then pays one task launch + one
+    * state-store commit (delta file, fsync) per partition — so the count
+    * must track MAINTAINED-DELTA SIZE, not the session's batch-tuned core
+    * count. Micro-batch deltas here are file-batch-sized; inheriting the
+    * 32-way batch setting made each micro-batch pay 32 state commits for
+    * KBs of state (measured 1.45x slower end-to-end on the dedup
+    * maintainer). At cluster scale set `spark.graft.stream.shufflePartitions`
+    * so state per partition stays ~100-200 MB — the conf is read at stream
+    * start, per query.
+    */
+  def maintenanceParts(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.stream.shufflePartitions")
+      .map(_.toInt).getOrElse(8)
+
+  /** Start a maintenance stream under [[maintenanceParts]]: Spark clones
+    * the session conf into the stream at `start()`, so setting the shuffle
+    * partitions just around the start (and restoring the session's batch
+    * value immediately after) scopes the reduced fan-out to the stream's
+    * micro-batches — including everything a `foreachBatch` body runs, which
+    * binds to the cloned session.
+    */
+  private[graft] def maintained(spark: SparkSession)
+      (start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      maintenanceParts(spark).toString)
+    try start
+    finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   /** Incremental ANN index maintenance — the reference's compaction loop
     * (WAL tail → vector-segment index writer,
     * `rust/worker/src/compactor/compaction_manager.rs`) as Structured
@@ -176,7 +209,7 @@ object EventStream extends Serializable {
       org.apache.spark.sql.types.StructField("embedding",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
-    val q = spark.readStream.schema(schema)
+    val q = maintained(spark) { spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -188,7 +221,7 @@ object EventStream extends Serializable {
             .repartition(col("centroid_id")), // one writer per touched list
           postingsDir, batchId, Seq("centroid_id"))
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -216,7 +249,7 @@ object EventStream extends Serializable {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    val q = spark.readStream.schema(schema)
+    val q = maintained(spark) { spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -228,7 +261,7 @@ object EventStream extends Serializable {
             .coalesce(1), // a delta is a tiny long-pair table
           deltasDir, batchId)
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -247,7 +280,7 @@ object EventStream extends Serializable {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    val q = spark.readStream.schema(schema)
+    val q = maintained(spark) { spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -259,7 +292,7 @@ object EventStream extends Serializable {
             .repartition(col("bucket")), // one writer per touched bucket
           postingsDir, batchId, Seq("bucket"))
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -280,7 +313,7 @@ object EventStream extends Serializable {
       org.apache.spark.sql.types.StructField("embedding",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
-    val q = spark.readStream.schema(schema)
+    val q = maintained(spark) { spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -292,7 +325,7 @@ object EventStream extends Serializable {
             pidOffset = batchId * 65536L),
           s"$root/hnsw/graphs", batchId)
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -317,7 +350,7 @@ object EventStream extends Serializable {
       org.apache.spark.sql.types.StructField("embedding",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
-    val q = spark.readStream.schema(schema)
+    val q = maintained(spark) { spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -330,7 +363,7 @@ object EventStream extends Serializable {
             .coalesce(1), // one entry-sized file per micro-batch
           codesDir, batchId)
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -350,7 +383,7 @@ object EventStream extends Serializable {
       filesPerBatch: Int = 1): Unit = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val q = spark.readStream.schema(schema)
+    val q = maintained(spark) { spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -366,7 +399,7 @@ object EventStream extends Serializable {
         // parameters beside the table so probes can validate
         graft.operators.Dedup.writeLshParams(bandedDir, n, bands, rows)
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -416,7 +449,7 @@ object EventStream extends Serializable {
     }
     val schema = StructType(Seq(
       StructField("offset_id", LongType), metaCol))
-    val q = spark.readStream.schema(schema)
+    val q = maintained(spark) { spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -428,7 +461,7 @@ object EventStream extends Serializable {
             .repartition(col("bucket")), // one writer per touched bucket
           tableDir, batchId, Seq("bucket"))
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -472,7 +505,7 @@ object EventStream extends Serializable {
         "first — there are no bucket ranges to route new values into")
     val schema = StructType(Seq(
       StructField("offset_id", LongType), metaCol))
-    val q = spark.readStream.schema(schema)
+    val q = maintained(spark) { spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -490,7 +523,7 @@ object EventStream extends Serializable {
             .agg(min(col("value")).as("lo"), max(col("value")).as("hi")),
           graft.operators.MetaRange.boundsDeltaDir(root, key), batchId)
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -511,7 +544,7 @@ object EventStream extends Serializable {
       checkpoint: String, filesPerBatch: Int = 1): Unit = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val q = spark.readStream.schema(schema)
+    val q = maintained(spark) { spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -523,7 +556,7 @@ object EventStream extends Serializable {
             graft.operators.TextStats.bigramTransitions(batch)),
           countsDir, batchId)
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -549,7 +582,7 @@ object EventStream extends Serializable {
       checkpoint: String, filesPerBatch: Int = 1): Unit = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val q = spark.readStream.schema(schema)
+    val q = maintained(spark) { spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -561,7 +594,7 @@ object EventStream extends Serializable {
         idempotentAppend(t.bi, s"$countsDir/bi", batchId)
         idempotentAppend(t.uni, s"$countsDir/uni", batchId)
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -594,7 +627,7 @@ object EventStream extends Serializable {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("is_target", BooleanType)))
-    val q = spark.readStream.schema(schema)
+    val q = maintained(spark) { spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -606,7 +639,7 @@ object EventStream extends Serializable {
         idempotentAppend(graft.operators.TextStats.nbDocCounts(batch),
           s"$countsDir/dc", batchId)
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -640,7 +673,7 @@ object EventStream extends Serializable {
       blockSpan: Long = graft.sources.CollectionStore.SparseBlockSpan,
       filesPerBatch: Int = 1): Unit = {
     val schema = spark.read.parquet(srcDir).schema
-    val q = spark.readStream.schema(schema)
+    val q = maintained(spark) { spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -653,7 +686,7 @@ object EventStream extends Serializable {
             .repartition(col("bucket")), // one writer per touched bucket
           s"$root/sparse_$key/postings", batchId, Seq("bucket"))
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -676,7 +709,7 @@ object EventStream extends Serializable {
     */
   def substringMaintain(spark: SparkSession, srcDir: String, root: String,
       checkpoint: String, k: Int = 10, filesPerBatch: Int = 1): Unit = {
-    val q = spark.readStream.schema(StructType(Seq(
+    val q = maintained(spark) { spark.readStream.schema(StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType))))
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
@@ -695,7 +728,8 @@ object EventStream extends Serializable {
         val marked0 =
           if (!seenExists) wins.withColumn("seen_before", lit(false))
           else wins.join(
-              spark.read.parquet(seenDir).filter(col("batch") < batchId)
+              batch.sparkSession.read.parquet(seenDir)
+                .filter(col("batch") < batchId)
                 .select(col("win")).withColumn("sb", lit(true)),
               Seq("win"), "left")
             .withColumn("seen_before", coalesce(col("sb"), lit(false)))
@@ -715,7 +749,7 @@ object EventStream extends Serializable {
             seenDir, batchId)
         } finally { marked.unpersist(); batchDocs.unpersist(); () }
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -738,7 +772,7 @@ object EventStream extends Serializable {
     */
   def spanDedupMaintain(spark: SparkSession, srcDir: String, root: String,
       checkpoint: String, span: Int = 8, filesPerBatch: Int = 1): Unit = {
-    val q = spark.readStream.schema(StructType(Seq(
+    val q = maintained(spark) { spark.readStream.schema(StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType))))
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
@@ -759,7 +793,8 @@ object EventStream extends Serializable {
         val marked0 =
           if (!seenExists) withFirst.withColumn("seen_before", lit(false))
           else withFirst.join(
-              spark.read.parquet(seenDir).filter(col("batch") < batchId)
+              batch.sparkSession.read.parquet(seenDir)
+                .filter(col("batch") < batchId)
                 .select(col("seg")).withColumn("sb", lit(true)),
               Seq("seg"), "left")
             .withColumn("seen_before", coalesce(col("sb"), lit(false)))
@@ -785,7 +820,7 @@ object EventStream extends Serializable {
             seenDir, batchId)
         } finally marked.unpersist()
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -864,7 +899,7 @@ object EventStream extends Serializable {
   def clusterMaintain(spark: SparkSession, srcDir: String, root: String,
       checkpoint: String, threshold: Double = 0.5,
       filesPerBatch: Int = 1): Unit = {
-    val q = spark.readStream.schema(StructType(Seq(
+    val q = maintained(spark) { spark.readStream.schema(StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType))))
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
@@ -872,6 +907,10 @@ object EventStream extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // plan every per-batch job off the STREAM's cloned session so the
+        // reduced maintenance fan-out applies to the probe/fold shuffles,
+        // not only the state store
+        val ss = batch.sparkSession
         val postDir = s"$root/postings"
         val labDir = s"$root/labels"
         // tokenize each document exactly ONCE, on arrival; the batch's
@@ -918,14 +957,14 @@ object EventStream extends Serializable {
             } else java.util.concurrent.CompletableFuture.runAsync(
               () => idempotentAppend(batchPost, postDir, batchId))
           val corpus =
-            if (foldedReplay) dropBatch(spark.read.parquet(postDir))
+            if (foldedReplay) dropBatch(ss.read.parquet(postDir))
             else {
               // explicit schema: no plan-time footer reads, so planning
               // never touches files of a leaf being written
               val priorSchema = StructType(batchPost.schema.fields :+
                 StructField("batch", LongType))
               val prior =
-                if (hadPrior) dropBatch(spark.read.schema(priorSchema)
+                if (hadPrior) dropBatch(ss.read.schema(priorSchema)
                   .parquet(postDir)
                   .filter(col("batch") =!= batchId))
                 else batchPost.limit(0)
@@ -933,8 +972,8 @@ object EventStream extends Serializable {
             }
           val labels =
             if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(labDir)))
-              spark.read.parquet(labDir)
-            else spark.createDataFrame(
+              ss.read.parquet(labDir)
+            else ss.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](),
               StructType(Seq(StructField("doc_id", LongType),
                 StructField("cluster", LongType))))
@@ -979,7 +1018,7 @@ object EventStream extends Serializable {
           graft.sources.CollectionStore.invalidateRoot(labDir)
         } finally batchPost.unpersist()
       }
-      .start()
+      .start() }
     q.awaitTermination()
   }
 
@@ -988,9 +1027,9 @@ object EventStream extends Serializable {
     */
   def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"stream_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = df.writeStream.outputMode(mode)
+    val q = maintained(df.sparkSession) { df.writeStream.outputMode(mode)
       .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
+      .trigger(Trigger.AvailableNow()).start() }
     q.awaitTermination()
     df.sparkSession.table(name)
   }
@@ -1181,11 +1220,11 @@ object EventStream extends Serializable {
     // growth. (A long-running scheduler would leave this stream up with
     // a ProcessingTime trigger and tick from its batches; AvailableNow
     // is the one-shot form.)
-    val q = WalStore.streamEntries(spark, dataRoot)
+    val q = maintained(spark) { WalStore.streamEntries(spark, dataRoot)
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (_: DataFrame, _: Long) => () }
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow()).start()
+      .trigger(Trigger.AvailableNow()).start() }
     q.awaitTermination()
     // Policy runs on marker arithmetic EVERY tick (zero Spark jobs), not
     // only on growth: a backlog a prior tick declined — or failed to

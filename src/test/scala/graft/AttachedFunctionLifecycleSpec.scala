@@ -343,6 +343,53 @@ class AttachedFunctionLifecycleSpec extends AnyFunSuite {
     assert((t.getLong(0), t.getLong(1), t.getLong(2)) == ((4L, 4L, 1L)))
   }
 
+  test("WAL GC fences on an active log-consuming instance: unconsumed " +
+      "entries survive gcVersions and their revisions still archive") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("in")
+    coll.add(docs(("a", "x", "en"))); coll.commitLog()
+    client.attachFunction("in", "hist", "revision_history", "in_rev")
+    // new durable ops the instance has NOT consumed yet
+    coll.upsert(docs(("a", "x2", "en"))); coll.commitLog()
+    coll.upsert(docs(("a", "x3", "en"))); coll.commitLog()
+    // compaction covers them — by walmark alone they are GC-eligible,
+    // and pruning them here would permanently drop their revisions
+    // (the reference fences on the min attached-function completion
+    // offset: fetch_min_attached_function_completion_offset.rs)
+    coll.persist()
+    coll.gcVersions(keepLast = 1)
+    assert(client.invokeAttachedFunction("in", "hist"))
+    val vs = client.getCollection("in_rev").asCollection.records
+      .select(col("id")).as[String].collect().toSet
+    assert(vs.contains("a::v2") && vs.contains("a::v3"),
+      s"post-GC invocation must archive the fenced entries, got $vs")
+    // consumed now — the next GC may prune through the walmark, and a
+    // further invocation has nothing to do
+    coll.gcVersions(keepLast = 1)
+    assert(!client.invokeAttachedFunction("in", "hist"))
+  }
+
+  test("admission survives a WAL GC rebase: op counting is " +
+      "position-based, so a pure-log append after GC still admits") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("in")
+    // committed history, fully consumed by the attach backfill
+    coll.add(docs(("a", "x", "en"), ("b", "y", "de"), ("c", "z", "en")))
+    coll.commitLog()
+    client.attachFunction("in", "hist", "meta_histogram:lang", "in_hist")
+    // compact, then GC the covered entries (snapshot functions do not
+    // fence — they recompute from live records)
+    coll.persist()
+    coll.gcVersions(keepLast = 1)
+    // ONE new op: under the old retained-sum basis the retained total
+    // (1) sits below the consumed sum (3), newOps went negative, and
+    // every later pure-log invocation skipped — even forced
+    coll.upsert(docs(("d", "w", "fr"))); coll.commitLog()
+    assert(client.invokeAttachedFunction("in", "hist", force = true))
+    assert(histogram(client, "in_hist") ==
+      Map("en" -> 2L, "de" -> 1L, "fr" -> 1L))
+  }
+
   test("count_to_file_async: gated behind allow_reset, writes the live " +
       "count to the s3_path param, record_counter id aliases") {
     val root = freshRoot()

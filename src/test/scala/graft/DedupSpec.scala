@@ -59,6 +59,39 @@ class DedupSpec extends AnyFunSuite {
         s"($nSurv survivors, $nRe true, $nFresh fresh)")
   }
 
+  test("partitioned bloom probe == broadcast probe row-identical; " +
+      "served routing picks it past the byte threshold") {
+    // same fixture shape as the broadcast test, but probed through the
+    // PERSISTED index with per-pid slice-local deserialization — the
+    // >broadcast-range path where nothing index-sized transits the driver
+    val reingested = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("batch_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 1000000L).as("batch_id"),
+        concat(col("text"), lit(" fresh")).as("text"))
+    val batch = reingested.unionByName(fresh)
+    val root = java.nio.file.Files.createTempDirectory("bloom_part").toString
+    Dedup.saveBloomIndex(docs.filter(col("doc_id") % 3 =!= 0), root,
+      partitions = 8, fpp = 0.01)
+    // stream-shaped deltas on top of the base, including a doc set that
+    // can populate delta-only pids
+    val deltas = Dedup.bloomDeltaFps(docs.filter(col("doc_id") % 3 === 0), 8)
+    deltas.write.mode("overwrite")
+      .parquet(s"${Dedup.bloomDeltasDir(root)}/batch=0")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("batch_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaBroadcast = key(Dedup.bloomSurvivors(batch,
+      Dedup.loadBloomIndex(spark, root)))
+    val viaPartitioned = key(Dedup.bloomSurvivorsPartitioned(batch, root))
+    assert(viaPartitioned == viaBroadcast,
+      "partitioned slice-local probe diverged from the broadcast probe")
+    // routing: a tiny index serves via broadcast; the same call must
+    // route partitioned when the index is over the byte ceiling
+    assert(Dedup.bloomIndexBytes(root) <= Dedup.BloomBroadcastMaxBytes)
+    assert(key(Dedup.bloomSurvivorsServed(batch, root)) == viaBroadcast)
+  }
+
   test("bucket cap bounds pair output, keeps every member covered and connected") {
     // a planted cluster LARGER than the cap: m near-identical docs would
     // emit m(m-1)/2 pairs uncapped — the cap must (a) bound the output to

@@ -266,6 +266,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!pre.contains("Window"), "no global window upstream of the boundary")
   }
 
+  test("paged export: range exchange + local sort, no global sort and no " +
+      "single-partition funnel per page") {
+    // the page walk's order comes from ONE range repartition with
+    // partition-local sorts + per-partition cursors — Limit{offset,limit}
+    // paging would re-plan a global sort per page
+    val coll = graft.queries.ChromaCore.docsCollection(spark, sf)
+    val pre = coll.pagedExportSorted(coll.records)
+      .queryExecution.executedPlan.toString
+    assert(pre.toLowerCase.contains("rangepartitioning"),
+      "ordered partitions must come from a range exchange\n" + pre.take(800))
+    assert(!pre.contains("SinglePartition"),
+      "no single-partition funnel in the export plan\n" + pre.take(800))
+    // the full walk (post-cursor) is page-complete and ordered
+    val walk = coll.pagedExport(pageSize = 64)
+      .select(org.apache.spark.sql.functions.col("page"),
+        org.apache.spark.sql.functions.col("id")).collect()
+    val byPage = walk.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val maxPage = byPage.keys.max
+    assert((0L until maxPage).forall(byPage(_) == 64),
+      s"every page but the last must hold exactly pageSize rows: $byPage")
+    assert(byPage(maxPage) >= 1 && byPage(maxPage) <= 64)
+  }
+
   test("span/substring dedup: first-occurrence mark plans NO window operator") {
     // the skew-safe contract (Dedup.markFirst): a window function over a
     // hot segment/window value cannot be AQE-skew-split, so the mark must
