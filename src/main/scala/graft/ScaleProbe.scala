@@ -57,8 +57,19 @@ object ScaleProbe {
     "ta_stupid_backoff",   // trigram SBO fit+score: worst case for LM-table
                            // growth (disjoint per-rep vocab grows all three
                            // count tables the full m-fold)
-    "ta_nb_quality")       // NB classifier fit+score: same additive-count
+    "ta_nb_quality",       // NB classifier fit+score: same additive-count
                            // discipline as the LMs
+    "fc_key_range",        // MetaRange family end-to-end: add+persist+
+                           // value-ordered posting build + bucket-pruned
+                           // probe — build-dominated, ~linear (the probe
+                           // itself is plan-time-pruned to O(buckets hit))
+    "st_fn_maintain",      // attached-function sweep off the durable WAL:
+                           // add+commit+2 sweeps — invocation folds are
+                           // corpus-linear, sweep machinery constant
+    "wp_conditional_commit") // EXPECTED FLAT: the transaction window
+                           // check is marker arithmetic over a fixed
+                           // 60-doc working set — corpus growth must not
+                           // touch it (a slope here is a regression)
 
   private def stage(spark: SparkSession, srcDir: String, outDir: String,
       m: Int): Unit = {

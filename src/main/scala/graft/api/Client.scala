@@ -916,13 +916,6 @@ final class CollectionHandle(spark: SparkSession,
     Quotas.Gates.withWrite(ref.dataRoot, limits) { writer.deleteWhere(where) }
   }
 
-  /** Tombstone every live id NOT present in `keep` — the output-refresh
-    * leg of attached-function invocation: vanished aggregate rows (an
-    * emptied histogram bucket, a term that left the top-k) must not
-    * linger in the output collection. One distributed left_anti against
-    * the RYW state; the Delete ops append as a WAL batch (no driver id
-    * round-trip). Returns the number tombstoned.
-    */
   /** Tombstone every live id not in `keep` — the refresh sweep's delete
     * half. LAZY: the anti-join rides the pending Delete batch and is
     * computed inside the next commitLog's single entry-write job, so a

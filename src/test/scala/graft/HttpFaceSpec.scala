@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** End-to-end spec for the thin HTTP face: a wire client drives
+  * create → add → count/get/query/search → delete against the same
+  * oracle-shaped data the in-process specs use, over a REAL HTTP
+  * boundary (JDK HttpClient → JDK HttpServer → [[graft.api.Client]]).
+  * The routes mirror `rust/frontend/src/server.rs:290-400`.
+  */
+class HttpFaceSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  private implicit val fmts: Formats = DefaultFormats
+
+  private val http = java.net.http.HttpClient.newHttpClient()
+
+  private def req(method: String, url: String, body: String = ""): (Int, JValue) = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+    val r = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m,
+        java.net.http.HttpRequest.BodyPublishers.ofString(body))
+    }
+    val resp = http.send(r.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), JsonMethods.parse(resp.body()))
+  }
+
+  test("wire lifecycle: create, add acks at log position, count/get/" +
+      "query/search answer, conflicts and misses map to status codes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_http").toString
+    val face = new graft.api.HttpFace(spark, root)
+    val port = face.start()
+    try {
+      val base = s"http://127.0.0.1:$port/api/v2/tenants/t1/databases/d1"
+
+      // create + idempotent get_or_create + conflict without it
+      val (c1, j1) = req("POST", s"$base/collections", """{"name":"web"}""")
+      assert(c1 == 200 && (j1 \ "created").extract[Boolean])
+      val (c2, _) = req("POST", s"$base/collections", """{"name":"web"}""")
+      assert(c2 == 409)
+      val (c3, j3) = req("POST", s"$base/collections",
+        """{"name":"web","get_or_create":true}""")
+      assert(c3 == 200 && !(j3 \ "created").extract[Boolean])
+
+      // add: typed metadata + embeddings; ack carries the log position
+      val (ca, ja) = req("POST", s"$base/collections/web/add",
+        """{"ids":["a","b","c"],
+          |"documents":["alpha doc","beta doc","gamma text"],
+          |"metadatas":[{"lang":"en","n":1},{"lang":"de","n":2},
+          |             {"lang":"en","n":3,"good":true}],
+          |"embeddings":[[1.0,0.0],[0.0,1.0],[0.9,0.1]]}""".stripMargin)
+      assert(ca == 201, s"add failed: $ja")
+      assert((ja \ "log_position").extract[Long] >= 1L)
+
+      val (cc, jc) = req("GET", s"$base/collections/web/count")
+      assert(cc == 200 && (jc \ "count").extract[Long] == 3L)
+
+      // filtered get through the same $-DSL the in-process surface parses
+      val (cg, jg) = req("POST", s"$base/collections/web/get",
+        """{"where":{"lang":{"$eq":"en"}}}""")
+      assert(cg == 200, s"get failed: $jg")
+      assert((jg \ "ids").extract[Seq[String]].sorted == Seq("a", "c"))
+
+      // knn: nearest to [1,0] is a, then c
+      val (cq, jq) = req("POST", s"$base/collections/web/query",
+        """{"query_embeddings":[[1.0,0.0]],"n_results":2}""")
+      assert(cq == 200, s"query failed: $jq")
+      assert((jq \ "ids").extract[Seq[Seq[String]]] == Seq(Seq("a", "c")))
+
+      // search WIRE payload passes through verbatim
+      val (cs, js) = req("POST", s"$base/collections/web/search",
+        """{"rank":{"$knn":{"query":[0.0,1.0],"limit":2}},
+          |"limit":{"offset":0,"limit":1}}""".stripMargin)
+      assert(cs == 200, s"search failed: $js")
+      assert((js \\ "ids").extract[Seq[String]] == Seq("b"), s"got $js")
+
+      // delete by ids, then the descriptor 404s after drop
+      val (cd, jd) = req("POST", s"$base/collections/web/delete",
+        """{"ids":["b"]}""")
+      assert(cd == 200 && (jd \ "deleted").extract[Long] == 1L)
+      val (cc2, jc2) = req("GET", s"$base/collections/web/count")
+      assert(cc2 == 200 && (jc2 \ "count").extract[Long] == 2L)
+      val (cm, _) = req("GET", s"$base/collections/missing")
+      assert(cm == 404)
+
+      // listing sees the collection; CRN addressing resolves it
+      val (cl, jl) = req("GET", s"$base/collections")
+      assert(cl == 200 &&
+        jl.extract[Seq[Map[String, String]]].map(_("name")) == Seq("web"))
+      val (cr, jr) = req("GET",
+        s"http://127.0.0.1:$port/api/v2/collections/t1:d1:web")
+      assert(cr == 200 && (jr \ "name").extract[String] == "web")
+    } finally face.stop()
+  }
+}
