@@ -479,6 +479,14 @@ object AnnGauntlet {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = sys.env.getOrElse("SPARK_GRAFT_ANN_DIR", "/tmp/graft_ann")
+    // host-speed calibration (Bench's fixed CPU job): the downward-only
+    // latency ratchet keeps best-ever times across rounds on whatever
+    // box each round got — flags must be readable against the box speed
+    val hostCal = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 31).selectExpr("sum(xxhash64(id) % 1000000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val ratchet = readRatchet()
     val cells = Seq("x200k" -> 200000L, "x1m" -> 1000000L)
     val results = cells.map { case (cell, n) =>
@@ -528,6 +536,7 @@ object AnnGauntlet {
     val (_, flagged) = foldRatchet(ratchetRows)
     flagged.foreach(f => System.err.println(s"[gauntlet] RATCHET-FLAG $f"))
     val line = s"""{"metric":"ann_gauntlet","dim":$Dim,"k":$K,""" +
+      f""""host_cal_sec":$hostCal%.3f,""" +
       s""""nq":$NQueries,"cells":$json,""" +
       f""""hard_x1m":{"cross_mass":$hardCross%.4f,"paths":$hardJson,""" +
       s""""advisor":$advisorJson,"note":"$note"},""" +

@@ -75,6 +75,14 @@ object ServeSmoke {
 
     // warm untimed: lazy IVF build + file listings + codegen
     handle.queryAnn(batchOf(0, 0), K).count()
+    // host-speed calibration (Bench's fixed CPU job) — the p95 ratchet
+    // keeps the best-ever window's value; a flag must be readable
+    // against the box this round ran on
+    val hostCal = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 31).selectExpr("sum(xxhash64(id) % 1000000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
     def phase(nThreads: Int): (Seq[Double], Int, Int, Double) = {
       val rejected = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -158,7 +166,8 @@ object ServeSmoke {
     val violation = rejectedAtCap > 0 || errAtCap > 0 || errOver > 0 ||
       rejectedOver == 0
     val line =
-      f"""{"metric":"serve_smoke","sf":"$sfDir","threads":$Threads,""" +
+      f"""{"metric":"serve_smoke","sf":"$sfDir","host_cal_sec":$hostCal%.3f,""" +
+      f""""threads":$Threads,""" +
       f""""batches_per_thread":$BatchesPerThread,""" +
       f""""queries_per_batch":$QueriesPerBatch,"k":$K,""" +
       f""""p50_sec":${pct(ls, 0.5)}%.3f,"p95_sec":${pct(ls, 0.95)}%.3f,""" +

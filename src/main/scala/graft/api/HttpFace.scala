@@ -228,10 +228,15 @@ final class HttpFace(spark: SparkSession, root: String) {
             .withColumn("q_embedding",
               col("q_embedding").cast("array<float>"))
           val k = (j \ "n_results").toOption.map(_.extract[Int]).getOrElse(10)
-          val out = h.query(qs, k,
-              where = (j \ "where").toOption.map(w =>
-                graft.model.WhereParser.parse(
-                  JsonMethods.compact(JsonMethods.render(w)))))
+          val where = (j \ "where").toOption.map(w =>
+            graft.model.WhereParser.parse(
+              JsonMethods.compact(JsonMethods.render(w))))
+          // the reference's collection_query serves from the vector
+          // SEGMENT INDEX when the collection declares one (plus the WAL
+          // tail leg) — exact scan only for index-less collections
+          val out = (if (h.ref.schema.vectorIndex.isDefined)
+              h.queryAnn(qs, k, where = where)
+            else h.query(qs, k, where = where))
             .select(col("query_id"), col("rank"), col("id"), col("dist"))
             .collect().toSeq
             .groupBy(_.getLong(0)).toSeq.sortBy(_._1)

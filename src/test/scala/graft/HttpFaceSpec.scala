@@ -94,6 +94,25 @@ class HttpFaceSpec extends AnyFunSuite {
       val (cr, jr) = req("GET",
         s"http://127.0.0.1:$port/api/v2/collections/t1:d1:web")
       assert(cr == 200 && (jr \ "name").extract[String] == "web")
+
+      // an index-DECLARED collection serves /query from its compacted
+      // vector segment (the reference's collection_query path), not the
+      // exact scan: persist through the shared catalog root, then the
+      // wire query must answer from the served index + tail merge
+      val client = new graft.api.Client(spark, root, "t1", "d1")
+      val vecs = client.createCollection("vecs",
+        graft.sources.Catalog.Schema(vectorIndex = Some(
+          graft.sources.Catalog.SpannIndexConfig(space = "cosine"))))
+      import spark.implicits._
+      vecs.add(Seq(
+          ("p", Seq(1.0f, 0.0f)), ("q", Seq(0.0f, 1.0f)),
+          ("r", Seq(0.8f, 0.2f)), ("s", Seq(0.1f, 0.9f)))
+        .toDF("id", "embedding"))
+      vecs.persist()
+      val (cv, jv) = req("POST", s"$base/collections/vecs/query",
+        """{"query_embeddings":[[1.0,0.0]],"n_results":2}""")
+      assert(cv == 200, s"indexed query failed: $jv")
+      assert((jv \ "ids").extract[Seq[Seq[String]]] == Seq(Seq("p", "r")))
     } finally face.stop()
   }
 }
