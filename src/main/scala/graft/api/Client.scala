@@ -446,13 +446,27 @@ final class Client(spark: SparkSession, root: String,
         outH.upsert(out)
         outH.commitLog()
       case _ =>
+        var tI0 = System.nanoTime()
+        def imark(l: String): Unit = {
+          val t = System.nanoTime()
+          System.err.println(f"[inv] $l ${(t - tI0) / 1e9}%.2f"); tI0 = t
+        }
         val records = inputs.map(_._2.recordsForFunctions)
           .reduce(_ unionByName _)
         val raw = fn(records)
-        val out = graft.functions.AttachedFunctions.toRecords(raw)
-        outH.upsert(out)
-        outH.retainOnly(out.select("id"))
-        outH.commitLog()
+        // ONE computation of the function output feeds both the upsert
+        // batch and the tombstone keep-set
+        val out = graft.functions.AttachedFunctions.toRecords(raw).persist()
+        try {
+          // tombstones BEFORE the upsert buffers: the anti-join then
+          // scans only the pre-refresh output state — an id in `out` is
+          // kept either way, so the order is semantics-free, but folding
+          // the pending refresh into the anti-join's state re-ran the
+          // whole function aggregation inside the commit's write job
+          outH.retainOnly(out.select("id"))
+          outH.upsert(out)
+          outH.commitLog()
+        } finally { out.unpersist(); () }
         fn.writeAside(raw)
     }
     // the completion position only moves FORWARD (the sysdb's
