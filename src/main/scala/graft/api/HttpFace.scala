@@ -131,6 +131,12 @@ final class HttpFace(spark: SparkSession, root: String) {
         "([^/]+)$").r
       val OpR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
         "([^/]+)/([a-z_]+)$").r
+      val FnAttachR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/" +
+        "collections/([^/]+)/functions/attach$").r
+      val FnR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
+        "([^/]+)/functions/([^/]+)$").r
+      val FnOpR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/" +
+        "collections/([^/]+)/attached_functions/([^/]+)/([a-z_]+)$").r
       (method, path) match {
         case ("GET", CrnR(crn)) =>
           val h = client("default_tenant", "default_database")
@@ -248,6 +254,57 @@ final class HttpFace(spark: SparkSession, root: String) {
               .toList) }.toList)
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
             "ids" -> ids, "distances" -> dists))))
+        case ("POST", OpR(t, d, c, "fork")) =>
+          val j = JsonMethods.parse(readBody(ex))
+          val h = client(t, d).forkCollection(c,
+            (j \ "new_name").extract[String])
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+            "name" -> jStr(h.ref.name),
+            "forked_from" -> jStr(c)))))
+        case ("PUT", CollR(t, d, c)) =>
+          // update_collection: rename and/or replace metadata
+          val j = JsonMethods.parse(readBody(ex))
+          val r = client(t, d).modifyCollection(c,
+            newName = (j \ "new_name").toOption.map(_.extract[String]),
+            metadata = (j \ "new_metadata").toOption.collect {
+              case JObject(fs) => fs.collect {
+                case (k, JString(v)) => k -> v }.toMap })
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+            "name" -> jStr(r.ref.name)))))
+        case ("POST", FnAttachR(t, d, c)) =>
+          val j = JsonMethods.parse(readBody(ex))
+          val r = client(t, d).attachFunction(c,
+            (j \ "name").extract[String],
+            (j \ "function_id").extract[String],
+            (j \ "output_collection").extract[String],
+            params = (j \ "params").toOption.collect {
+              case JObject(fs) => fs.collect {
+                case (k, JString(v)) => k -> v }.toMap }
+              .getOrElse(Map.empty),
+            minRecordsForInvocation = (j \ "min_records_for_invocation")
+              .toOption.map(_.extract[Long]).getOrElse(0L))
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+            "name" -> jStr(r.function.name),
+            "created" -> JBool(r.created)))))
+        case ("GET", FnR(t, d, c, fn)) =>
+          val i = client(t, d).getAttachedFunction(c, fn)
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+            "name" -> jStr(i.name), "function_id" -> jStr(i.functionId),
+            "output_collection" -> jStr(i.outputCollection),
+            "active" -> JBool(i.active)))))
+        case ("POST", FnOpR(t, d, c, fn, "add_input")) =>
+          val j = JsonMethods.parse(readBody(ex))
+          val i = client(t, d).addAttachedFunctionInput(c, fn,
+            (j \ "input").extract[String])
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+            "inputs" -> JArray(i.inputCollections.map(jStr).toList)))))
+        case ("POST", FnOpR(t, d, c, fn, "detach")) =>
+          val j = scala.util.Try(JsonMethods.parse(readBody(ex)))
+            .getOrElse(JNothing)
+          val del = (j \ "delete_output") match {
+            case JBool(b) => b; case _ => false }
+          client(t, d).detachFunction(c, fn, deleteOutput = del)
+          respond(ex, 200, "{}")
         case ("POST", OpR(t, d, c, "search")) =>
           // the Search WIRE payload parses server-side exactly as the
           // in-process surface does — body passes through verbatim

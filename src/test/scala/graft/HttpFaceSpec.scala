@@ -115,4 +115,64 @@ class HttpFaceSpec extends AnyFunSuite {
       assert((jv \ "ids").extract[Seq[Seq[String]]] == Seq(Seq("p", "r")))
     } finally face.stop()
   }
+
+  test("management routes over the wire: fork, update_collection rename, " +
+      "attach/get/detach function, add_input") {
+    val root = java.nio.file.Files.createTempDirectory("graft_http2").toString
+    val face = new graft.api.HttpFace(spark, root)
+    val port = face.start()
+    try {
+      val base = s"http://127.0.0.1:$port/api/v2/tenants/t1/databases/d1"
+      req("POST", s"$base/collections", """{"name":"src1"}""")
+      req("POST", s"$base/collections/src1/add",
+        """{"ids":["a","b"],"documents":["da","db"],
+          |"metadatas":[{"lang":"en"},{"lang":"de"}]}""".stripMargin)
+
+      // fork: copy-on-write sibling reading the source's COMPACTED
+      // segment (the COW contract — compaction is backend work, not a
+      // wire route, so persist through the shared catalog root)
+      new graft.api.Client(spark, root, "t1", "d1")
+        .getCollection("src1").persist()
+      val (cf, jf) = req("POST", s"$base/collections/src1/fork",
+        """{"new_name":"src1_fork"}""")
+      assert(cf == 200, s"fork failed: $jf")
+      assert((jf \ "name").extract[String] == "src1_fork")
+      val (cfc, jfc) = req("GET", s"$base/collections/src1_fork/count")
+      assert(cfc == 200 && (jfc \ "count").extract[Long] == 2L)
+
+      // update_collection: rename moves the catalog label only
+      val (cu, ju) = req("PUT", s"$base/collections/src1_fork",
+        """{"new_name":"renamed"}""")
+      assert(cu == 200 && (ju \ "name").extract[String] == "renamed")
+      assert(req("GET", s"$base/collections/renamed")._1 == 200)
+      assert(req("GET", s"$base/collections/src1_fork")._1 == 404)
+
+      // attach via the functions route; the backfill populates output
+      val (cat, jat) = req("POST", s"$base/collections/src1/functions/attach",
+        """{"name":"hist","function_id":"meta_histogram",
+          |"params":{"key":"lang"},
+          |"output_collection":"src1_hist"}""".stripMargin)
+      assert(cat == 200, s"attach failed: $jat")
+      assert((jat \ "created").extract[Boolean])
+      val (cgo, jgo) = req("GET", s"$base/collections/src1_hist/count")
+      assert(cgo == 200 && (jgo \ "count").extract[Long] == 2L)
+      val (cgf, jgf) = req("GET", s"$base/collections/src1/functions/hist")
+      assert(cgf == 200 && (jgf \ "active").extract[Boolean])
+
+      // add_input registers another input collection on the instance
+      req("POST", s"$base/collections", """{"name":"src2"}""")
+      val (cai, jai) = req("POST",
+        s"$base/collections/src1/attached_functions/hist/add_input",
+        """{"input":"src2"}""")
+      assert(cai == 200, s"add_input failed: $jai")
+      assert((jai \ "inputs").extract[Seq[String]] == Seq("src1", "src2"))
+
+      // detach soft-deletes; the instance row survives inactive
+      val (cdt, _) = req("POST",
+        s"$base/collections/src1/attached_functions/hist/detach", "{}")
+      assert(cdt == 200)
+      val (cgf2, jgf2) = req("GET", s"$base/collections/src1/functions/hist")
+      assert(cgf2 == 200 && !(jgf2 \ "active").extract[Boolean])
+    } finally face.stop()
+  }
 }

@@ -289,6 +289,33 @@ class PlanSpec extends AnyFunSuite {
     assert(byPage(maxPage) >= 1 && byPage(maxPage) <= 64)
   }
 
+  test("paged export under filters == the ordered scan's chunking, for " +
+      "assorted pageSizes") {
+    import graft.model.Where._
+    val coll = graft.queries.ChromaCore.docsCollection(spark, sf)
+    val cases: Seq[(Option[Expr], Int)] = Seq(
+      (None, 7),
+      (Some(Cmp("lang", "$eq", VStr("en"))), 33),
+      (Some(Cmp("n_chars", "$gte", VInt(200))), 64),
+      (Some(And(Seq(Cmp("lang", "$ne", VStr("zh")),
+        Cmp("par", "$lt", VInt(7))))), 11))
+    for ((w, ps) <- cases) {
+      // oracle: the ordered Get scan, chunked driver-side
+      val ordered = coll.get(where = w, include = Seq())
+        .select(org.apache.spark.sql.functions.col("id"))
+        .collect().map(_.getString(0))
+      val expected = ordered.zipWithIndex
+        .map { case (id, i) => id -> (i / ps).toLong }.toMap
+      val walked = coll.pagedExport(ps, w)
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("page"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(walked == expected,
+        s"page walk diverged from the ordered scan for where=$w ps=$ps " +
+          s"(first diffs: ${(walked.toSet -- expected.toSet).take(3)})")
+    }
+  }
+
   test("span/substring dedup: first-occurrence mark plans NO window operator") {
     // the skew-safe contract (Dedup.markFirst): a window function over a
     // hot segment/window value cannot be AQE-skew-split, so the mark must
