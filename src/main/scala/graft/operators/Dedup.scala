@@ -157,7 +157,9 @@ object Dedup {
     * twin of the approximate [[minhashLshProbe]]. Document frequencies
     * and set sizes come from the FULL corpus (batch included), so the
     * output is row-identical to `jaccardPairs(docs, …)` filtered to
-    * batch-touching pairs.
+    * batch-touching pairs. Postings derive from [[withShingles]]
+    * (`array_distinct`), which the count(1)/2 halving below REQUIRES —
+    * see the precondition note on [[jaccardBatchProbeFromHits]].
     */
   def jaccardProbePairs(batchIds: DataFrame, docs: DataFrame,
       threshold: Double, n: Int = 3, maxDf: Long = DefaultMaxDf): DataFrame = {
@@ -258,6 +260,16 @@ object Dedup {
     postings.join(broadcast(batchSg), Seq("sg"), "left_semi")
   }
 
+  /** PRECONDITION (both posting inputs): rows are DISTINCT per
+    * `(doc_id, sg)` — [[withShingles]] guarantees it via
+    * `array_distinct` and a 64-bit shingle hash. The intersection count
+    * below replaces `countDistinct` with `count(1)` plus a batch-batch
+    * halving fix-up, which is exact ONLY under that invariant: a
+    * caller-supplied `batchPostings` with duplicate `(doc_id, sg)` rows
+    * (or an intra-doc xxhash64 collision, ~n_shingles²/2⁶⁵ per doc)
+    * would over-count, and odd counts truncate on the /2 cast where
+    * `countDistinct` was robust. New posting sources must dedup first.
+    */
   def jaccardBatchProbeFromHits(batchPostings: DataFrame, hits: DataFrame,
       threshold: Double, maxDf: Long = DefaultMaxDf): DataFrame = {
     // global df for the batch's shingles: counted over ALL posting rows

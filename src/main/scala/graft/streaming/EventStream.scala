@@ -167,21 +167,24 @@ object EventStream extends Serializable {
     spark.conf.getOption("spark.graft.stream.shufflePartitions")
       .map(_.toInt).getOrElse(8)
 
-  /** Start a maintenance stream under [[maintenanceParts]]: Spark clones
-    * the session conf into the stream at `start()`, so setting the shuffle
-    * partitions just around the start (and restoring the session's batch
-    * value immediately after) scopes the reduced fan-out to the stream's
-    * micro-batches — including everything a `foreachBatch` body runs, which
-    * binds to the cloned session.
+  /** Start a maintenance stream under [[maintenanceParts]]: the stream
+    * is built on a CLONED session (`newSession` — shared SparkContext,
+    * copied conf) whose shuffle-partition setting carries the reduced
+    * fan-out; Spark snapshots that conf into the stream at `start()`,
+    * including everything a `foreachBatch` body runs on the micro-batch
+    * session. The clone exists because the previous shape — mutating the
+    * SHARED session's conf around start and restoring it — raced: any
+    * batch query or second stream planned concurrently on the same
+    * session inside that window silently inherited the 8-partition
+    * maintenance setting.
     */
   private[graft] def maintained(spark: SparkSession)
-      (start: => org.apache.spark.sql.streaming.StreamingQuery)
+      (start: SparkSession => org.apache.spark.sql.streaming.StreamingQuery)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
       maintenanceParts(spark).toString)
-    try start
-    finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    start(s)
   }
 
   /** Incremental ANN index maintenance — the reference's compaction loop
@@ -209,7 +212,7 @@ object EventStream extends Serializable {
       org.apache.spark.sql.types.StructField("embedding",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
-    val q = maintained(spark) { spark.readStream.schema(schema)
+    val q = maintained(spark) { s => s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -249,7 +252,7 @@ object EventStream extends Serializable {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    val q = maintained(spark) { spark.readStream.schema(schema)
+    val q = maintained(spark) { s => s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -280,7 +283,7 @@ object EventStream extends Serializable {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    val q = maintained(spark) { spark.readStream.schema(schema)
+    val q = maintained(spark) { s => s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -313,7 +316,7 @@ object EventStream extends Serializable {
       org.apache.spark.sql.types.StructField("embedding",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
-    val q = maintained(spark) { spark.readStream.schema(schema)
+    val q = maintained(spark) { s => s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -350,7 +353,7 @@ object EventStream extends Serializable {
       org.apache.spark.sql.types.StructField("embedding",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
-    val q = maintained(spark) { spark.readStream.schema(schema)
+    val q = maintained(spark) { s => s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -383,7 +386,7 @@ object EventStream extends Serializable {
       filesPerBatch: Int = 1): Unit = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val q = maintained(spark) { spark.readStream.schema(schema)
+    val q = maintained(spark) { s => s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -449,7 +452,7 @@ object EventStream extends Serializable {
     }
     val schema = StructType(Seq(
       StructField("offset_id", LongType), metaCol))
-    val q = maintained(spark) { spark.readStream.schema(schema)
+    val q = maintained(spark) { s => s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -505,7 +508,7 @@ object EventStream extends Serializable {
         "first — there are no bucket ranges to route new values into")
     val schema = StructType(Seq(
       StructField("offset_id", LongType), metaCol))
-    val q = maintained(spark) { spark.readStream.schema(schema)
+    val q = maintained(spark) { s => s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -544,7 +547,7 @@ object EventStream extends Serializable {
       checkpoint: String, filesPerBatch: Int = 1): Unit = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val q = maintained(spark) { spark.readStream.schema(schema)
+    val q = maintained(spark) { s => s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -582,7 +585,7 @@ object EventStream extends Serializable {
       checkpoint: String, filesPerBatch: Int = 1): Unit = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val q = maintained(spark) { spark.readStream.schema(schema)
+    val q = maintained(spark) { s => s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -627,7 +630,7 @@ object EventStream extends Serializable {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("is_target", BooleanType)))
-    val q = maintained(spark) { spark.readStream.schema(schema)
+    val q = maintained(spark) { s => s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -673,7 +676,7 @@ object EventStream extends Serializable {
       blockSpan: Long = graft.sources.CollectionStore.SparseBlockSpan,
       filesPerBatch: Int = 1): Unit = {
     val schema = spark.read.parquet(srcDir).schema
-    val q = maintained(spark) { spark.readStream.schema(schema)
+    val q = maintained(spark) { s => s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
       .writeStream
@@ -709,7 +712,7 @@ object EventStream extends Serializable {
     */
   def substringMaintain(spark: SparkSession, srcDir: String, root: String,
       checkpoint: String, k: Int = 10, filesPerBatch: Int = 1): Unit = {
-    val q = maintained(spark) { spark.readStream.schema(StructType(Seq(
+    val q = maintained(spark) { s => s.readStream.schema(StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType))))
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
@@ -772,7 +775,7 @@ object EventStream extends Serializable {
     */
   def spanDedupMaintain(spark: SparkSession, srcDir: String, root: String,
       checkpoint: String, span: Int = 8, filesPerBatch: Int = 1): Unit = {
-    val q = maintained(spark) { spark.readStream.schema(StructType(Seq(
+    val q = maintained(spark) { s => s.readStream.schema(StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType))))
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
@@ -899,7 +902,7 @@ object EventStream extends Serializable {
   def clusterMaintain(spark: SparkSession, srcDir: String, root: String,
       checkpoint: String, threshold: Double = 0.5,
       filesPerBatch: Int = 1): Unit = {
-    val q = maintained(spark) { spark.readStream.schema(StructType(Seq(
+    val q = maintained(spark) { s => s.readStream.schema(StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType))))
       .option("maxFilesPerTrigger", filesPerBatch)
       .parquet(srcDir)
@@ -1027,11 +1030,20 @@ object EventStream extends Serializable {
     */
   def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"stream_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = maintained(df.sparkSession) { df.writeStream.outputMode(mode)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start() }
+    // pre-built frame: re-root its plan onto the cloned session so the
+    // maintenance fan-out rides the stream, not the shared session conf.
+    // The memory sink registers its temp view on the STARTING session
+    // (the clone), so the result reads there and re-roots back.
+    var sess: SparkSession = null
+    val q = maintained(df.sparkSession) { s =>
+      sess = s
+      org.apache.spark.sql.graftbridge.SqlBridge.rebind(df, s)
+        .writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start() }
     q.awaitTermination()
-    df.sparkSession.table(name)
+    org.apache.spark.sql.graftbridge.SqlBridge.rebindAnalyzed(
+      sess.table(name), df.sparkSession)
   }
 
   /** Tumbling 1h event-time window aggregation (watermark surface). */
@@ -1220,7 +1232,7 @@ object EventStream extends Serializable {
     // growth. (A long-running scheduler would leave this stream up with
     // a ProcessingTime trigger and tick from its batches; AvailableNow
     // is the one-shot form.)
-    val q = maintained(spark) { WalStore.streamEntries(spark, dataRoot)
+    val q = maintained(spark) { s => WalStore.streamEntries(s, dataRoot)
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (_: DataFrame, _: Long) => () }
       .option("checkpointLocation", checkpoint)

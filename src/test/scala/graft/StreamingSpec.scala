@@ -1148,4 +1148,93 @@ class StreamingSpec extends AnyFunSuite {
     assertOrderGuardFires("order_spec")(
       EventStream.spanDedupMaintain(spark, _, _, _))
   }
+
+  /** GATE (r12 verdict #5): the streaming-maintenance fan-out cut — every
+    * maintainer starts through [[EventStream.maintained]], so gating the
+    * mechanism gates them all. A stateful maintained stream must run its
+    * state store at `maintenanceParts` partitions (the 1.45× win: each
+    * micro-batch pays one state-store commit per partition), NOT the
+    * session's batch setting; and starting it must never mutate the
+    * SHARED session's shuffle conf (the r12 race: a concurrent batch
+    * query silently inherited the 8-partition maintenance setting).
+    */
+  test("maintained(): state fan-out == maintenanceParts; shared session conf untouched") {
+    import org.apache.spark.sql.types._
+    // the spec session runs 4-way; pin the production 32-way batch
+    // setting for the duration so the cut is observable
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try maintainedGateBody()
+    finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+  }
+
+  private def maintainedGateBody(): Unit = {
+    import org.apache.spark.sql.types._
+    val batchParts = spark.conf.get("spark.sql.shuffle.partitions")
+    assert(batchParts.toInt > EventStream.maintenanceParts(spark),
+      "fixture requires the batch setting above the maintenance cut")
+    val dir = java.nio.file.Files.createTempDirectory("maint_gate").toString
+    val src = s"$dir/src"; val ckpt = s"$dir/ckpt"
+    import spark.implicits._
+    (1 to 50).map(i => (new java.sql.Timestamp(1700000000000L + i * 60000L),
+        s"t${i % 3}", i.toDouble))
+      .toDF("ts", "event_type", "value").write.parquet(src)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val q = EventStream.maintained(spark) { s =>
+      s.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .count()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("maint_gate_tbl")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    // the race window the clone closes: while the stream runs, the
+    // shared session still plans batch queries at its own setting
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == batchParts,
+      "starting a maintainer mutated the shared session's shuffle conf")
+    q.awaitTermination()
+    val stateOps = q.lastProgress.stateOperators
+    assert(stateOps.nonEmpty, "stateful gate stream reported no state operator")
+    val want = EventStream.maintenanceParts(spark).toLong
+    stateOps.foreach { op =>
+      assert(op.numShufflePartitions == want,
+        s"maintainer ran ${op.numShufflePartitions} state partitions; " +
+          s"expected $want — it inherited the batch fan-out")
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == batchParts)
+  }
+
+  /** The same cut for foreachBatch maintainers: the micro-batch session a
+    * foreachBatch body binds to (where ivf/fts/bloom/… append jobs run
+    * their shuffles) must carry the maintenance setting.
+    */
+  test("maintained(): foreachBatch bodies run under the maintenance shuffle setting") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("maint_fb_gate").toString
+    val src = s"$dir/src"; val ckpt = s"$dir/ckpt"
+    import spark.implicits._
+    (1 to 10).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+      .write.parquet(src)
+    val seen = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val q = EventStream.maintained(spark) { s =>
+      s.readStream.schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType)))).parquet(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.set(batch.sparkSession.conf
+            .get("spark.sql.shuffle.partitions").toInt)
+        }
+        .start()
+    }
+    q.awaitTermination()
+    assert(seen.get() == EventStream.maintenanceParts(spark),
+      s"foreachBatch body saw ${seen.get()} shuffle partitions; " +
+        s"expected ${EventStream.maintenanceParts(spark)}")
+  }
 }
