@@ -360,8 +360,8 @@ final class Client(spark: SparkSession, root: String,
   def maintainAttachedFunctions(collection: String, checkpoint: String,
       filesPerBatch: Int = 4): Unit = {
     val h = getCollection(collection)
-    val q = graft.streaming.EventStream.maintained(spark) {
-      WalStore.streamEntries(spark, h.ref.dataRoot, filesPerBatch)
+    val q = graft.streaming.EventStream.maintained(spark) { s =>
+      WalStore.streamEntries(s, h.ref.dataRoot, filesPerBatch)
         .writeStream
         .option("checkpointLocation", checkpoint)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -446,11 +446,6 @@ final class Client(spark: SparkSession, root: String,
         outH.upsert(out)
         outH.commitLog()
       case _ =>
-        var tI0 = System.nanoTime()
-        def imark(l: String): Unit = {
-          val t = System.nanoTime()
-          System.err.println(f"[inv] $l ${(t - tI0) / 1e9}%.2f"); tI0 = t
-        }
         val records = inputs.map(_._2.recordsForFunctions)
           .reduce(_ unionByName _)
         val raw = fn(records)
@@ -1133,6 +1128,40 @@ final class CollectionHandle(spark: SparkSession,
             .get(w, limit, offset, include)
         case None => view.get(w, limit, offset, include)
       }
+    }
+
+  /** One PAGE of the unbounded ordered export — the wire face's answer
+    * to "get with no limit": instead of collecting the whole (filtered)
+    * collection to one response, the caller walks
+    * `page = 0, 1, 2, …` and each call returns exactly the rows whose
+    * global position in offset_id order falls in
+    * `[page·pageSize, (page+1)·pageSize)` ([[Collection.pagedExport]] —
+    * range partitions + local sorts + per-partition cursors, no global
+    * sort). `pageSize` counts against the results-per-query quota, so a
+    * quota-bounded face serves arbitrarily large collections in
+    * quota-sized slices. Same filter fields and include projection as
+    * [[get]]; an empty page means the walk is complete.
+    */
+  def getPage(pageSize: Int, page: Long,
+      where: Option[graft.model.Where.Expr] = None,
+      include: Seq[String] = Seq("document"),
+      readLevel: ReadLevel = ReadLevel.IndexAndWal,
+      ids: Option[Seq[String]] = None,
+      whereDocument: Option[graft.model.Where.Expr] = None): DataFrame =
+    Quotas.Gates.withRead(ref.dataRoot, limits) {
+      Quotas.validateResults(pageSize, limits)
+      require(page >= 0, s"page must be non-negative, got $page")
+      val w = conjoinRequestFilters(ids, where, whereDocument)
+      w.foreach(Quotas.validateWhere(_, limits))
+      val view = readView(readLevel)
+      val coll = indexAllowedIds(w, readLevel) match {
+        case Some(allowed) =>
+          new Collection(view.records.join(allowed, Seq("id"), "left_semi"))
+        case None => view
+      }
+      coll.pagedExport(pageSize, w)
+        .filter(col("page") === page)
+        .select(Collection.includeProjection(include): _*)
     }
 
   /** Conjoin a read request's three separate filter fields into one

@@ -48,18 +48,7 @@ final class Collection(val records: DataFrame) {
     val ordered = filtered.orderBy(col("offset_id"), col("id"))
     val sliced0 = if (offset > 0) ordered.offset(offset) else ordered
     val sliced = limit.map(sliced0.limit).getOrElse(sliced0)
-    val cols: Seq[Column] = col("id") +: include.map {
-      case m if m.startsWith("meta:") =>
-        // projection of a single metadata key (Select key, operator.rs:1787-1794)
-        val k = m.stripPrefix("meta:")
-        coalesce(
-          element_at(col("meta_str"), k),
-          element_at(col("meta_int"), k).cast("string"),
-          element_at(col("meta_float"), k).cast("string"),
-          element_at(col("meta_bool"), k).cast("string")).as(k)
-      case c => col(c)
-    }
-    sliced.select(cols: _*)
+    sliced.select(Collection.includeProjection(include): _*)
   }
 
   /** Unbounded paged export — the whole (optionally filtered) collection
@@ -553,4 +542,24 @@ final class Collection(val records: DataFrame) {
       element_at(col("meta_float"), k),
       element_at(col("meta_bool"), k).cast("double")).as("n"),
     element_at(col("meta_str"), k).as("s"))
+}
+
+object Collection {
+  /** The Get plan's projection list — `Include` flags ≙ select list
+    * (`chromadb/api/types.py:526-537`): plain column names pass through,
+    * `meta:k` projects one metadata key across the shredded typed maps
+    * (Select key, operator.rs:1787-1794). Shared by [[Collection.get]]
+    * and the paged-export wire path so both project identically.
+    */
+  private[graft] def includeProjection(include: Seq[String]): Seq[Column] =
+    col("id") +: include.map {
+      case m if m.startsWith("meta:") =>
+        val k = m.stripPrefix("meta:")
+        coalesce(
+          element_at(col("meta_str"), k),
+          element_at(col("meta_int"), k).cast("string"),
+          element_at(col("meta_float"), k).cast("string"),
+          element_at(col("meta_bool"), k).cast("string")).as(k)
+      case c => col(c)
+    }
 }

@@ -1,7 +1,7 @@
 package graft.api
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -14,9 +14,8 @@ import org.json4s.jackson.JsonMethods
   * Scala API. Serving plumbing only: every route delegates to the
   * already-tested client methods (the query capabilities ARE the
   * library; this is the last surface delta). JDK `HttpServer` on an
-  * ephemeral loopback port — the same in-process fixture pattern the
-  * HTTP attached-function specs prove; a production deployment would
-  * front the same `Client` calls with any JVM HTTP server.
+  * ephemeral loopback port — a production deployment would front the
+  * same `Client` calls with any JVM HTTP server.
   *
   * Routes (reference path shapes, `{c}` = collection name):
   * {{{
@@ -28,28 +27,49 @@ import org.json4s.jackson.JsonMethods
   *   POST .../collections/{c}/delete                           {ids}
   *   GET  .../collections/{c}/count                            {count}
   *   GET  .../collections/{c}/indexing_status                  progress
-  *   POST .../collections/{c}/get                              GetRequest fields
-  *   POST .../collections/{c}/query                            {query_embeddings, n_results, where?}
+  *   POST .../collections/{c}/get                              GetRequest fields (+page/page_size)
+  *   POST .../collections/{c}/query                            {query_embeddings, n_results, where?, include?}
   *   POST .../collections/{c}/search                           Search WIRE payload (verbatim)
   * }}}
   *
   * Writes ack only after `commitLog` returns — the reference's frontend
   * acks after its log service accepts, never on buffer.
+  *
+  * QUOTAS: the face is the engine's analog of the reference's cloud
+  * frontend, so it runs under the published quota envelope by default
+  * ([[Quotas.CloudDefaults]] — `docs/mintlify/cloud/quotas-limits.mdx:
+  * 13-35`, enforced at the reference's frontend
+  * `rust/frontend/src/quota/mod.rs:247-271`): max 300 results/query,
+  * 300 records/write batch, 8 where-predicates, name rules, and the
+  * 10-concurrent-reads-per-collection admission gate. An over-quota
+  * request answers 422 (the reference's `QuotaEnforcerError::
+  * QuotaExceeded` → `ErrorCodes::UnprocessableEntity`,
+  * `quota/mod.rs:454`, `rust/error/src/lib.rs:112`). A `get` with no
+  * `limit` is served only up to `maxResults` rows; past that the caller
+  * must page (`page` + `page_size` walk [[CollectionHandle.getPage]]'s
+  * ordered export — no unbounded driver collect on the wire path).
+  *
+  * Requests serve from a bounded pool (`poolSize` threads) — the
+  * per-collection concurrency quota rejects at ITS cap inside the
+  * gated client calls, matching the reference's service-side admission.
   */
-final class HttpFace(spark: SparkSession, root: String) {
+final class HttpFace(spark: SparkSession, root: String,
+    limits: Quotas.Limits = Quotas.CloudDefaults,
+    poolSize: Int = 32) {
   private implicit val fmts: Formats = DefaultFormats
   private val server = HttpServer.create(
     new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
   // one client per (tenant, database) — Client provisions both on open
   private val clients = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Client]()
   private def client(t: String, d: String): Client =
-    clients.computeIfAbsent((t, d), _ => new Client(spark, root, t, d))
+    clients.computeIfAbsent((t, d), _ => new Client(spark, root, t, d, limits))
 
   def port: Int = server.getAddress.getPort
 
   def start(): Int = { server.start(); port }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes("UTF-8")
@@ -63,26 +83,40 @@ final class HttpFace(spark: SparkSession, root: String) {
     new String(ex.getRequestBody.readAllBytes(), "UTF-8")
 
   /** Heterogeneous metadata object → the write path's typed-map columns
-    * (string/int/float/bool split like the reference's typed metadata).
+    * (string/int/float/bool scalars + the four typed ARRAY maps,
+    * `rust/types/src/metadata.rs:659-683`), plus the reference's
+    * optional `uris` column (`chromadb/api/models/Collection.py:96-109`).
     */
   private case class WireRecord(id: String, document: Option[String],
+      uri: Option[String],
       ms: Map[String, String], mi: Map[String, Long],
       mf: Map[String, Double], mb: Map[String, Boolean],
+      msa: Map[String, Seq[String]], mia: Map[String, Seq[Long]],
+      mfa: Map[String, Seq[Double]], mba: Map[String, Seq[Boolean]],
       embedding: Option[Seq[Float]])
 
   private def parseRecords(j: JValue): Seq[WireRecord] = {
     val ids = (j \ "ids").extract[Seq[String]]
     def opt[T](k: String)(f: JValue => T): Seq[Option[T]] = (j \ k) match {
-      case JArray(vs) => vs.map(v => if (v == JNull) None else Some(f(v)))
-      case _ => Seq.fill(ids.size)(None)
+      case JArray(vs) =>
+        require(vs.size == ids.size,
+          s"'$k' carries ${vs.size} entries for ${ids.size} ids")
+        vs.map(v => if (v == JNull) None else Some(f(v)))
+      case JNothing | JNull => Seq.fill(ids.size)(None)
+      case other => throw new IllegalArgumentException(
+        s"'$k' must be an array, got $other")
     }
     val docs = opt("documents")(_.extract[String])
+    val uris = opt("uris")(_.extract[String])
     val embs = opt("embeddings")(_.extract[Seq[Double]].map(_.toFloat))
     val metas = opt("metadatas")(identity)
     ids.zipWithIndex.map { case (id, i) =>
       var (ms, mi, mf, mb) = (Map.empty[String, String],
         Map.empty[String, Long], Map.empty[String, Double],
         Map.empty[String, Boolean])
+      var (msa, mia, mfa, mba) = (Map.empty[String, Seq[String]],
+        Map.empty[String, Seq[Long]], Map.empty[String, Seq[Double]],
+        Map.empty[String, Seq[Boolean]])
       metas(i).foreach {
         case JObject(fields) => fields.foreach {
           case (k, JString(s)) => ms += k -> s
@@ -92,36 +126,122 @@ final class HttpFace(spark: SparkSession, root: String) {
           case (k, JDecimal(x)) => mf += k -> x.toDouble
           case (k, JBool(b)) => mb += k -> b
           case (k, JNull) => ()
+          // typed arrays: element type from the first element, all
+          // elements must agree (MetadataValue::{Str,Int,Float,Bool}Array)
+          case (k, JArray(Nil)) => msa += k -> Seq.empty
+          case (k, JArray(vs)) => vs.head match {
+            case _: JString => msa += k -> vs.map(_.extract[String])
+            case _: JInt | _: JLong => mia += k -> vs.map(_.extract[Long])
+            case _: JDouble | _: JDecimal => mfa += k -> vs.map(_.extract[Double])
+            case _: JBool => mba += k -> vs.map(_.extract[Boolean])
+            case other => throw new IllegalArgumentException(
+              s"metadata array for '$k' must hold str/int/float/bool, got $other")
+          }
           case (k, other) => throw new IllegalArgumentException(
-            s"metadata value for '$k' must be str/int/float/bool, got $other")
+            s"metadata value for '$k' must be str/int/float/bool/array, got $other")
         }
         case other => throw new IllegalArgumentException(
           s"metadatas entries must be objects, got $other")
       }
-      WireRecord(id, docs(i), ms, mi, mf, mb, embs(i))
+      WireRecord(id, docs(i), uris(i), ms, mi, mf, mb, msa, mia, mfa, mba,
+        embs(i))
     }
   }
 
   private def recordsDf(rs: Seq[WireRecord]): DataFrame = {
     import spark.implicits._
-    rs.map(r => (r.id, r.document.orNull, r.ms, r.mi, r.mf, r.mb,
-        r.embedding.orNull))
-      .toDF("id", "document", "meta", "meta_int", "meta_float",
-        "meta_bool", "embedding")
+    rs.map(r => (r.id, r.document.orNull, r.uri.orNull,
+        r.ms, r.mi, r.mf, r.mb,
+        (r.msa, r.mia, r.mfa, r.mba), r.embedding.orNull))
+      .toDF("id", "document", "uri", "meta", "meta_int", "meta_float",
+        "meta_bool", "arrs", "embedding")
+      .withColumn("meta_str_arr", col("arrs._1"))
+      .withColumn("meta_int_arr", col("arrs._2"))
+      .withColumn("meta_float_arr", col("arrs._3"))
+      .withColumn("meta_bool_arr", col("arrs._4"))
+      .drop("arrs")
       .withColumn("embedding", col("embedding").cast("array<float>"))
   }
 
   private def jStr(s: String): JValue = JString(s)
 
-  /** get/query responses are COLUMNAR like the reference's
-    * (GetResponse/QueryResponse carry parallel arrays, not row objects).
+  // ---- response shaping -------------------------------------------------
+
+  /** Include flag → serving-schema columns. The reference's flags
+    * (`Include` in `chromadb/api/types.py:526-537`). `distances` is
+    * query-path-only and carried by the KNN frame itself.
     */
-  private def columnar(rows: Seq[(String, Option[String])]): JValue =
-    JObject("ids" -> JArray(rows.map(r => jStr(r._1)).toList),
-      "documents" -> JArray(rows.map(r =>
-        r._2.map(jStr).getOrElse(JNull)).toList))
+  private val MetaCols = Seq("meta_str", "meta_int", "meta_float",
+    "meta_bool", "meta_str_arr", "meta_int_arr", "meta_float_arr",
+    "meta_bool_arr")
+  private def includeCols(include: Seq[String]): Seq[String] =
+    include.flatMap {
+      case "documents" => Seq("document")
+      case "embeddings" => Seq("embedding")
+      case "uris" => Seq("uri")
+      case "metadatas" => MetaCols
+      case "distances" | "data" => Seq()
+      case other => throw new IllegalArgumentException(
+        s"unknown include flag: $other")
+    }.distinct
+
+  /** One record's metadata object merged back from the shredded typed
+    * maps — scalar and array values re-typed as JSON (the wire inverse
+    * of [[parseRecords]]). JNull when the record carries no metadata
+    * (the reference's `Option<Metadata>`).
+    */
+  private def metaJson(r: Row): JValue = {
+    def m[T](c: String)(f: T => JValue): List[(String, JValue)] =
+      if (r.schema.fieldNames.contains(c) && !r.isNullAt(r.fieldIndex(c)))
+        r.getMap[String, T](r.fieldIndex(c)).toList.sortBy(_._1)
+          .map { case (k, v) => k -> f(v) }
+      else Nil
+    val fields =
+      m[String]("meta_str")(JString(_)) ++
+      m[Long]("meta_int")(JLong(_)) ++
+      m[Double]("meta_float")(JDouble(_)) ++
+      m[Boolean]("meta_bool")(JBool(_)) ++
+      m[scala.collection.Seq[String]]("meta_str_arr")(
+        vs => JArray(vs.map(JString(_)).toList)) ++
+      m[scala.collection.Seq[Long]]("meta_int_arr")(
+        vs => JArray(vs.map(JLong(_)).toList)) ++
+      m[scala.collection.Seq[Double]]("meta_float_arr")(
+        vs => JArray(vs.map(JDouble(_)).toList)) ++
+      m[scala.collection.Seq[Boolean]]("meta_bool_arr")(
+        vs => JArray(vs.map(JBool(_)).toList))
+    if (fields.isEmpty) JNull else JObject(fields)
+  }
+
+  private def strOrNull(r: Row, c: String): JValue =
+    if (!r.schema.fieldNames.contains(c) || r.isNullAt(r.fieldIndex(c))) JNull
+    else JString(r.getString(r.fieldIndex(c)))
+
+  private def embJson(r: Row, c: String = "embedding"): JValue =
+    if (!r.schema.fieldNames.contains(c) || r.isNullAt(r.fieldIndex(c))) JNull
+    else JArray(r.getSeq[Float](r.fieldIndex(c))
+      .map(f => JDouble(f.toDouble)).toList)
+
+  /** Columnar GetResponse (`rust/types/src/api_types.rs:1975`): parallel
+    * arrays per include flag, absent flags → null columns.
+    */
+  private def getResponse(rows: Seq[Row], include: Seq[String]): JValue = {
+    def when(flag: String)(col: JValue): (String, JValue) =
+      flag -> (if (include.contains(flag)) col else JNull)
+    JObject(
+      "ids" -> JArray(rows.map(r => jStr(r.getString(0))).toList),
+      when("documents")(JArray(rows.map(strOrNull(_, "document")).toList)),
+      when("embeddings")(JArray(rows.map(embJson(_)).toList)),
+      when("uris")(JArray(rows.map(strOrNull(_, "uri")).toList)),
+      when("metadatas")(JArray(rows.map(metaJson).toList)),
+      "include" -> JArray(include.map(jStr).toList))
+  }
+
+  // ---- routing ----------------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit = {
+    // getPath is already percent-decoded by URI parsing — a second
+    // URLDecoder.decode pass would turn '+' into a space and mis-decode
+    // literal '%' sequences in collection/tenant names
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod
     try {
@@ -140,7 +260,7 @@ final class HttpFace(spark: SparkSession, root: String) {
       (method, path) match {
         case ("GET", CrnR(crn)) =>
           val h = client("default_tenant", "default_database")
-            .getCollectionByCrn(java.net.URLDecoder.decode(crn, "UTF-8"))
+            .getCollectionByCrn(crn)
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
             "name" -> jStr(h.ref.name), "tenant" -> jStr(h.ref.tenant),
             "database" -> jStr(h.ref.database)))))
@@ -197,63 +317,106 @@ final class HttpFace(spark: SparkSession, root: String) {
           val h = client(t, d).getCollection(c)
           val n = h.delete(
             ids = (j \ "ids").toOption.map(_.extract[Seq[String]]),
-            where = (j \ "where").toOption
-              .map(w => graft.model.WhereParser.parse(
-                JsonMethods.compact(JsonMethods.render(w)))),
-            whereDocument = (j \ "where_document").toOption
-              .map(w => graft.model.WhereParser.parse(
-                JsonMethods.compact(JsonMethods.render(w)))))
+            where = whereField(j, "where"),
+            whereDocument = whereField(j, "where_document"))
           h.commitLog()
           respond(ex, 200, s"""{"deleted":$n}""")
         case ("POST", OpR(t, d, c, "get")) =>
           val j = JsonMethods.parse(readBody(ex))
           val h = client(t, d).getCollection(c)
-          val rows = h.get(
-            where = (j \ "where").toOption.map(w =>
-              graft.model.WhereParser.parse(
-                JsonMethods.compact(JsonMethods.render(w)))),
-            limit = (j \ "limit").toOption.map(_.extract[Int]),
-            offset = (j \ "offset").toOption.map(_.extract[Int]).getOrElse(0),
-            ids = (j \ "ids").toOption.map(_.extract[Seq[String]]),
-            whereDocument = (j \ "where_document").toOption.map(w =>
-              graft.model.WhereParser.parse(
-                JsonMethods.compact(JsonMethods.render(w)))))
-            .select(col("id"), col("document"))
-            .collect().toSeq
-            .map(r => (r.getString(0), Option(r.getString(1))))
+          val include = (j \ "include").toOption
+            .map(_.extract[Seq[String]])
+            .getOrElse(Seq("documents", "metadatas"))
+          val cols = includeCols(include)
+          val where = whereField(j, "where")
+          val ids = (j \ "ids").toOption.map(_.extract[Seq[String]])
+          val whereDoc = whereField(j, "where_document")
+          val limit = (j \ "limit").toOption.map(_.extract[Int])
+          val page = (j \ "page").toOption.map(_.extract[Long])
+          val pageSize = (j \ "page_size").toOption.map(_.extract[Int])
+          val rows: Seq[Row] = (page, pageSize) match {
+            case (Some(p), Some(ps)) =>
+              // ordered-export page walk: quota-sized slices of an
+              // arbitrarily large collection, no unbounded collect
+              h.getPage(ps, p, where, include = cols, ids = ids,
+                whereDocument = whereDoc).collect().toSeq
+            case (None, None) =>
+              val base = h.get(where = where, limit = limit,
+                offset = (j \ "offset").toOption.map(_.extract[Int])
+                  .getOrElse(0),
+                include = cols, ids = ids, whereDocument = whereDoc)
+              limit match {
+                case Some(_) => base.collect().toSeq
+                case None if limits.maxResults != Int.MaxValue =>
+                  // unbounded wire get: serve up to the results quota,
+                  // reject past it — the caller pages instead
+                  val out = base.limit(limits.maxResults + 1).collect()
+                  if (out.length > limits.maxResults)
+                    throw new Quotas.QuotaExceeded(
+                      "results per query (pass limit, or walk page/page_size)",
+                      out.length.toLong, limits.maxResults.toLong)
+                  out.toSeq
+                case None => base.collect().toSeq
+              }
+            case _ => throw new IllegalArgumentException(
+              "page and page_size must be passed together")
+          }
           respond(ex, 200, JsonMethods.compact(
-            JsonMethods.render(columnar(rows))))
+            JsonMethods.render(getResponse(rows, include))))
         case ("POST", OpR(t, d, c, "query")) =>
           val j = JsonMethods.parse(readBody(ex))
           val h = client(t, d).getCollection(c)
           import spark.implicits._
-          val qs = (j \ "query_embeddings").extract[Seq[Seq[Double]]]
-            .zipWithIndex
+          val queries = (j \ "query_embeddings").extract[Seq[Seq[Double]]]
+          val qs = queries.zipWithIndex
             .map { case (e, i) => (i.toLong, e.map(_.toFloat)) }
             .toDF("query_id", "q_embedding")
             .withColumn("q_embedding",
               col("q_embedding").cast("array<float>"))
           val k = (j \ "n_results").toOption.map(_.extract[Int]).getOrElse(10)
-          val where = (j \ "where").toOption.map(w =>
-            graft.model.WhereParser.parse(
-              JsonMethods.compact(JsonMethods.render(w))))
+          val include = (j \ "include").toOption
+            .map(_.extract[Seq[String]])
+            .getOrElse(Seq("documents", "metadatas", "distances"))
+          val cols = includeCols(include)
+          val where = whereField(j, "where")
+          val ids = (j \ "ids").toOption.map(_.extract[Seq[String]])
+          val whereDoc = whereField(j, "where_document")
           // the reference's collection_query serves from the vector
           // SEGMENT INDEX when the collection declares one (plus the WAL
           // tail leg) — exact scan only for index-less collections
-          val out = (if (h.ref.schema.vectorIndex.isDefined)
+          val nn = (if (h.ref.schema.vectorIndex.isDefined)
               h.queryAnn(qs, k, where = where)
-            else h.query(qs, k, where = where))
+            else h.query(qs, k, where = where, ids = ids,
+              whereDocument = whereDoc))
             .select(col("query_id"), col("rank"), col("id"), col("dist"))
             .collect().toSeq
-            .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-          val ids = JArray(out.map { case (_, rs) =>
-            JArray(rs.sortBy(_.getLong(1)).map(r => jStr(r.getString(2)))
-              .toList) }.toList)
-          val dists = JArray(out.map { case (_, rs) =>
-            JArray(rs.sortBy(_.getLong(1)).map(r => JDouble(r.getDouble(3)))
-              .toList) }.toList)
+          // record content for the hit set: ONE bounded id-keyed get
+          val hitIds = nn.map(_.getString(2)).distinct
+          val content: Map[String, Row] =
+            if (cols.nonEmpty && hitIds.nonEmpty)
+              h.get(ids = Some(hitIds), include = cols)
+                .collect().map(r => r.getString(0) -> r).toMap
+            else Map.empty
+          val byQuery = nn.groupBy(_.getLong(0))
+          // EVERY query id answers, in request order — zero-hit queries
+          // carry empty inner arrays (the reference returns one list per
+          // query; groupBy alone would drop empty groups and misalign)
+          val perQ: Seq[Seq[Row]] = queries.indices.map(i =>
+            byQuery.getOrElse(i.toLong, Seq.empty).sortBy(_.getLong(1)))
+          def outer(f: Row => JValue): JValue =
+            JArray(perQ.map(rs => JArray(rs.map(f).toList)).toList)
+          def contentOuter(f: Row => JValue): JValue =
+            outer(r => content.get(r.getString(2)).map(f).getOrElse(JNull))
+          def when(flag: String)(v: => JValue): (String, JValue) =
+            flag -> (if (include.contains(flag)) v else JNull)
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
-            "ids" -> ids, "distances" -> dists))))
+            "ids" -> outer(r => jStr(r.getString(2))),
+            when("distances")(outer(r => JDouble(r.getDouble(3)))),
+            when("documents")(contentOuter(strOrNull(_, "document"))),
+            when("embeddings")(contentOuter(embJson(_))),
+            when("uris")(contentOuter(strOrNull(_, "uri"))),
+            when("metadatas")(contentOuter(metaJson)),
+            "include" -> JArray(include.map(jStr).toList)))))
         case ("POST", OpR(t, d, c, "fork")) =>
           val j = JsonMethods.parse(readBody(ex))
           val h = client(t, d).forkCollection(c,
@@ -309,20 +472,63 @@ final class HttpFace(spark: SparkSession, root: String) {
           // the Search WIRE payload parses server-side exactly as the
           // in-process surface does — body passes through verbatim
           val h = client(t, d).getCollection(c)
-          val frames = h.searchAll(readBody(ex))
-          val payloads = frames.map { df =>
-            val rows = df.select(col("id")).collect()
-            JObject("ids" -> JArray(rows.map(r => jStr(r.getString(0)))
-              .toList))
+          val body = readBody(ex)
+          val reqs = graft.model.SearchParser.parseMany(body)
+          val frames = h.searchAll(body)
+          // columnar SearchResponse (`api_types.rs:2493`): parallel
+          // outer arrays per payload; documents/embeddings/metadatas
+          // present per that payload's select keys, scores per #score,
+          // plus the sorted select echo
+          val payloads = reqs.zip(frames).map { case (req, df) =>
+            val rows = df.collect().toSeq
+            val sel = req.select.sorted
+            val fieldKeys = req.select.filterNot(_.startsWith("#"))
+            def whenSel(on: Boolean)(v: => JValue): JValue =
+              if (on) v else JNull
+            val metas = whenSel(req.select.contains("#metadata") ||
+                fieldKeys.nonEmpty) {
+              JArray(rows.map { r =>
+                if (req.select.contains("#metadata")) metaJson(r)
+                else {
+                  val fs = fieldKeys.toList.sorted.flatMap { k =>
+                    strOrNull(r, k) match {
+                      case JNull => Nil
+                      case v => List(k -> v)
+                    }
+                  }
+                  if (fs.isEmpty) JNull else JObject(fs)
+                }
+              }.toList)
+            }
+            (JArray(rows.map(r => jStr(r.getString(0))).toList),
+              whenSel(req.select.contains("#document"))(
+                JArray(rows.map(strOrNull(_, "document")).toList)),
+              whenSel(req.select.contains("#embedding"))(
+                JArray(rows.map(embJson(_)).toList)),
+              metas,
+              whenSel(req.select.contains("#score"))(
+                JArray(rows.map(r =>
+                  JDouble(r.getDouble(r.fieldIndex("#score")))).toList)),
+              JArray(sel.map(jStr).toList))
           }
-          respond(ex, 200, JsonMethods.compact(JsonMethods.render(
-            JArray(payloads.toList))))
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+            "ids" -> JArray(payloads.map(_._1).toList),
+            "documents" -> JArray(payloads.map(_._2).toList),
+            "embeddings" -> JArray(payloads.map(_._3).toList),
+            "metadatas" -> JArray(payloads.map(_._4).toList),
+            "scores" -> JArray(payloads.map(_._5).toList),
+            "select" -> JArray(payloads.map(_._6).toList)))))
         case _ =>
           respond(ex, 404, s"""{"error":"no route: $method $path"}""")
       }
     } catch {
       case e: NoSuchElementException =>
         respond(ex, 404, JsonMethods.compact(JsonMethods.render(
+          JObject("error" -> jStr(String.valueOf(e.getMessage))))))
+      // over-quota → 422, the reference's QuotaEnforcerError::QuotaExceeded
+      // → ErrorCodes::UnprocessableEntity (`quota/mod.rs:454`)
+      case e: Quotas.QuotaExceeded =>
+        respond(ex, 422, JsonMethods.compact(JsonMethods.render(
           JObject("error" -> jStr(String.valueOf(e.getMessage))))))
       // the catalog rejects missing names via require — "no such" is the
       // reference's NotFoundError, every other rejection a bad request
@@ -336,7 +542,14 @@ final class HttpFace(spark: SparkSession, root: String) {
     }
   }
 
+  private def whereField(j: JValue, k: String): Option[graft.model.Where.Expr] =
+    (j \ k).toOption.map(w => graft.model.WhereParser.parse(
+      JsonMethods.compact(JsonMethods.render(w))))
+
   server.createContext("/", (ex: HttpExchange) => handle(ex))
-  server.setExecutor(null) // single-threaded: requests serialize, no
-                           // cross-request session races in the fixture
+  // bounded concurrent serving: the reference admits concurrent requests
+  // and rejects past the per-collection quota; request handling here is
+  // thread-safe (Spark sessions schedule jobs from many threads, client
+  // construction is computeIfAbsent, write paths CAS through the WAL)
+  server.setExecutor(pool)
 }

@@ -35,7 +35,7 @@ class HttpFaceSpec extends AnyFunSuite {
     val face = new graft.api.HttpFace(spark, root)
     val port = face.start()
     try {
-      val base = s"http://127.0.0.1:$port/api/v2/tenants/t1/databases/d1"
+      val base = s"http://127.0.0.1:$port/api/v2/tenants/t1/databases/db1"
 
       // create + idempotent get_or_create + conflict without it
       val (c1, j1) = req("POST", s"$base/collections", """{"name":"web"}""")
@@ -71,12 +71,22 @@ class HttpFaceSpec extends AnyFunSuite {
       assert(cq == 200, s"query failed: $jq")
       assert((jq \ "ids").extract[Seq[Seq[String]]] == Seq(Seq("a", "c")))
 
-      // search WIRE payload passes through verbatim
+      // search WIRE payload passes through verbatim; the columnar
+      // SearchResponse carries #score + selected keys per payload
+      // (`api_types.rs:2493`)
       val (cs, js) = req("POST", s"$base/collections/web/search",
         """{"rank":{"$knn":{"query":[0.0,1.0],"limit":2}},
-          |"limit":{"offset":0,"limit":1}}""".stripMargin)
+          |"limit":{"offset":0,"limit":1},
+          |"select":{"keys":["#score","#document","lang"]}}""".stripMargin)
       assert(cs == 200, s"search failed: $js")
-      assert((js \\ "ids").extract[Seq[String]] == Seq("b"), s"got $js")
+      assert((js \ "ids").extract[Seq[Seq[String]]] == Seq(Seq("b")), s"got $js")
+      assert((js \ "documents").extract[Seq[Seq[String]]] ==
+        Seq(Seq("beta doc")), s"got $js")
+      val score = (js \ "scores")(0)(0).extract[Double]
+      assert(score >= 0.0 && score < 0.5, s"cosine dist of the top hit: $js")
+      assert(((js \ "metadatas")(0)(0) \ "lang").extract[String] == "de")
+      assert((js \ "select")(0).extract[Seq[String]] ==
+        Seq("#document", "#score", "lang"), "select echo sorts keys")
 
       // delete by ids, then the descriptor 404s after drop
       val (cd, jd) = req("POST", s"$base/collections/web/delete",
@@ -92,14 +102,14 @@ class HttpFaceSpec extends AnyFunSuite {
       assert(cl == 200 &&
         jl.extract[Seq[Map[String, String]]].map(_("name")) == Seq("web"))
       val (cr, jr) = req("GET",
-        s"http://127.0.0.1:$port/api/v2/collections/t1:d1:web")
+        s"http://127.0.0.1:$port/api/v2/collections/t1:db1:web")
       assert(cr == 200 && (jr \ "name").extract[String] == "web")
 
       // an index-DECLARED collection serves /query from its compacted
       // vector segment (the reference's collection_query path), not the
       // exact scan: persist through the shared catalog root, then the
       // wire query must answer from the served index + tail merge
-      val client = new graft.api.Client(spark, root, "t1", "d1")
+      val client = new graft.api.Client(spark, root, "t1", "db1")
       val vecs = client.createCollection("vecs",
         graft.sources.Catalog.Schema(vectorIndex = Some(
           graft.sources.Catalog.SpannIndexConfig(space = "cosine"))))
@@ -122,7 +132,7 @@ class HttpFaceSpec extends AnyFunSuite {
     val face = new graft.api.HttpFace(spark, root)
     val port = face.start()
     try {
-      val base = s"http://127.0.0.1:$port/api/v2/tenants/t1/databases/d1"
+      val base = s"http://127.0.0.1:$port/api/v2/tenants/t1/databases/db1"
       req("POST", s"$base/collections", """{"name":"src1"}""")
       req("POST", s"$base/collections/src1/add",
         """{"ids":["a","b"],"documents":["da","db"],
@@ -131,7 +141,7 @@ class HttpFaceSpec extends AnyFunSuite {
       // fork: copy-on-write sibling reading the source's COMPACTED
       // segment (the COW contract — compaction is backend work, not a
       // wire route, so persist through the shared catalog root)
-      new graft.api.Client(spark, root, "t1", "d1")
+      new graft.api.Client(spark, root, "t1", "db1")
         .getCollection("src1").persist()
       val (cf, jf) = req("POST", s"$base/collections/src1/fork",
         """{"new_name":"src1_fork"}""")
