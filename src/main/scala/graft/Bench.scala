@@ -110,21 +110,42 @@ object Bench {
     // can never poison the driver's sf0.1 comparison.
     val refPath = java.nio.file.Paths.get(
       s"bench_ref_${new java.io.File(sfDir).getName}.json")
-    val ref: Map[String, Double] =
-      if (java.nio.file.Files.exists(refPath))
+    def readFlatDict(p: java.nio.file.Path): Map[String, Double] =
+      if (java.nio.file.Files.exists(p))
         """"([A-Za-z0-9_]+)":([0-9.]+)""".r
-          .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8"))
+          .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       else Map.empty
+    val ref: Map[String, Double] = readFlatDict(refPath)
+    // Host calibration sidecar: for each ratcheted row, the host_cal_sec
+    // of the run that SET its current best-ever value — so ratios compare
+    // like with like. Rows with no stamp yet (set before the sidecar
+    // existed) default to the 0.33-0.45 s class the committed bests came
+    // from (r11/r12 calibrations; the r11 same-window binary A/B pinned
+    // those windows) — midpoint 0.40. Each future ratchet-down replaces
+    // the seed with a measured value.
+    val calPath = java.nio.file.Paths.get(
+      s"bench_ref_cal_${new java.io.File(sfDir).getName}.json")
+    val SeedCal = 0.40
+    val refCal: Map[String, Double] = readFlatDict(calPath)
+    // Normalized ratio: (this run / committed best) corrected by how much
+    // slower/faster THIS box is than the box that set the best. Flagging
+    // on raw ratios re-measured 99 rows of pure host noise in r12; the
+    // normalized band measures the code.
+    def normRatio(n: String, v: Double): Double =
+      ref.get(n).map(r =>
+        (v / r) * (refCal.getOrElse(n, SeedCal) / hostCal)).getOrElse(1.0)
     val flagged = results.keys.filter { n =>
-      // either a material slowdown (>1.3x and >0.3s) or ANY >2x ratio —
-      // sub-second rows sit under the absolute guard yet a 2x+ ratio on
-      // them still reads as a regression in the artifact, so they get
-      // the isolated pass too (costs <1s each). The 1.3x band (was 1.5x)
-      // exists because a 1.33x drift on st_session_window once shipped
-      // un-re-measured and read as an unexplained regression.
-      ref.get(n).exists(r => (results(n) > r * 1.3 && results(n) - r > 0.3) ||
-        results(n) > r * 2)
+      // either a material slowdown (>1.3x normalized and >0.3s raw) or
+      // ANY >2x normalized ratio — sub-second rows sit under the
+      // absolute guard yet a 2x+ ratio on them still reads as a
+      // regression in the artifact, so they get the isolated pass too
+      // (costs <1s each). The 1.3x band (was 1.5x) exists because a
+      // 1.33x drift on st_session_window once shipped un-re-measured
+      // and read as an unexplained regression.
+      ref.get(n).exists(r =>
+        (normRatio(n, results(n)) > 1.3 && results(n) - r > 0.3) ||
+          normRatio(n, results(n)) > 2)
     }.toSeq.sorted
     val isolatedRuns = flagged.map { n =>
       // three isolated runs: two can both land inside one stall burst;
@@ -148,7 +169,9 @@ object Bench {
     val fullDict = sorted.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val restamped = flagged.map { n =>
-      f""""$n":{"suite":${results(n)}%.3f,"isolated":${isolatedRuns(n)}%.3f,"ref":${ref(n)}%.3f}"""
+      f""""$n":{"suite":${results(n)}%.3f,"isolated":${isolatedRuns(n)}%.3f,""" +
+      f""""ref":${ref(n)}%.3f,"ref_cal":${refCal.getOrElse(n, SeedCal)}%.3f,""" +
+      f""""norm":${normRatio(n, finalResults(n))}%.2f}"""
     }.mkString("{", ",", "}")
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","host_cal_sec":$hostCal%.3f,"queries":$fullDict,"restamped":$restamped,"sf":"$sfDir"}"""
@@ -172,13 +195,21 @@ object Bench {
       }.mkString("{", ",", "}")
       try java.nio.file.Files.write(refPath, (merged + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => }
+      // stamp THIS run's calibration onto every row it ratcheted down —
+      // future flags then compare that row against the box that set it
+      val mergedCal = finalResults.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        if (v < ref.getOrElse(k, Double.MaxValue)) Some(f""""$k":$hostCal%.3f""")
+        else refCal.get(k).map(c => f""""$k":$c%.3f""")
+      }.mkString("{", ",", "}")
+      try java.nio.file.Files.write(calPath, (mergedCal + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => }
     }
     val slowest = sorted.sortBy(-_._2).take(12)
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    val note = "queries=slowest12; restamp={q:[suite,isolated-min-of-3]} " +
-      "per flagged row (>1.3x committed best); official=min over runs; " +
-      "host_cal_sec=fixed cpu job, normalizes cross-round host speed; " +
-      "full per-query dict in BENCH_FULL.json"
+    val note = "queries=slowest12; restamp={q:[suite,isolated-min-of-3," +
+      "norm-ratio]} per flagged row (>1.3x NORMALIZED vs committed best; " +
+      "norm=(v/ref)*(ref_cal/host_cal), ref_cal from bench_ref_cal, " +
+      "seed 0.40); official=min over runs; full dict in BENCH_FULL.json"
     // the driver's artifact is THIS line — it must stay under the ~2000
     // char tail the driver parses, so: slowest12 + the FULL restamp dict
     // (flagged rows only, two decimals) + the calibration, and the
@@ -187,9 +218,9 @@ object Bench {
     // the capped dict still carries every row a reader would ask about
     // (the uncapped dict is in BENCH_FULL.json regardless)
     val restampCompact = flagged
-      .sortBy(n => -results(n) / math.max(ref.getOrElse(n, results(n)), 1e-9))
+      .sortBy(n => -normRatio(n, finalResults(n)))
       .take(30).sorted.map { n =>
-        f""""$n":[${results(n)}%.2f,${isolatedRuns(n)}%.2f]"""
+        f""""$n":[${results(n)}%.2f,${isolatedRuns(n)}%.2f,${normRatio(n, finalResults(n))}%.2f]"""
       }.mkString("{", ",", "}")
     System.out.flush()
     println(

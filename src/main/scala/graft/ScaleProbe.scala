@@ -127,10 +127,20 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
-    val results = Scales.map { m =>
+    // Diagnosis subsetting: SPARK_GRAFT_PROBE_ONLY=dd_substring_dedup
+    // SPARK_GRAFT_PROBE_SCALES=100 SPARK_GRAFT_PROBE_RUNS=5 re-measures
+    // one cell with more runs (the full artifact is only written by
+    // full runs, same contract as Bench's SPARK_GRAFT_ONLY)
+    val onlyProbes = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").toSet)
+    val onlyScales = sys.env.get("SPARK_GRAFT_PROBE_SCALES")
+      .map(_.split(",").map(_.toInt).toSet)
+    val nRuns = sys.env.get("SPARK_GRAFT_PROBE_RUNS").map(_.toInt).getOrElse(2)
+    val subset = onlyProbes.isDefined || onlyScales.isDefined
+    val results = Scales.filter(m => onlyScales.forall(_(m))).map { m =>
       val dir = s"$base/x$m"
       stage(spark, srcDir, dir, m)
-      val times = Probes.map { name =>
+      val times = Probes.filter(n => onlyProbes.forall(_(n))).map { name =>
         val fn = SparkEntry.queries(name)
         // materialize EVERY column through the noop sink — a bare
         // count() lets Catalyst prune computed columns and can erase
@@ -150,9 +160,10 @@ object ScaleProbe {
         // each cell is [min, max] of >= 2 runs: the big-output x100 cells
         // swing with memory pressure, and a single number would let a
         // future regression hide inside the noise band
-        val runs = Seq(once(), once())
+        val runs = Seq.fill(nRuns)(once())
         val (lo, hi) = (runs.min, runs.max)
-        System.err.println(f"[scale] x$m%-4d $name%-20s $lo%.2f-$hi%.2f s")
+        System.err.println(f"[scale] x$m%-4d $name%-20s $lo%.2f-$hi%.2f s " +
+          runs.map(r => f"$r%.1f").mkString("(", ",", ")"))
         name -> (lo, hi)
       }
       m -> times
@@ -163,8 +174,9 @@ object ScaleProbe {
         .mkString("{", ",", "}")}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"scale_probe","src":"$srcDir","scales":$json}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_PROBE.json"),
-      (line + "\n").getBytes("UTF-8"))
+    if (!subset)
+      java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_PROBE.json"),
+        (line + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()
   }

@@ -3,20 +3,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Concurrent-serving smoke: the published quota admits 10 concurrent
-  * reads per collection (`quotas-limits.mdx:33`; enforced by
-  * `Quotas.Gates.withRead`), and QuotasSpec proves admission mechanics —
-  * this main MEASURES the serving behavior that quota implies: 10
-  * threads drive `queryAnn` batches against ONE served collection
-  * (declared SPANN config, compacted segment, persisted IVF), recording
-  * per-batch latency p50/p95. The admission contract under test: at
-  * EXACTLY the cap, zero rejections across every sequential batch —
-  * this is a live check (a permit LEAK anywhere in the gated read paths
-  * would exhaust the semaphore and reject later batches; the
-  * reentrancy seam would double-count and reject immediately). A
-  * second over-cap stress phase (2× threads, simultaneous) records how
-  * many requests the gate turns away — rejections there are expected
-  * and must be clean QuotaExceeded, never a hang or another error.
+/** Concurrent-serving smoke THROUGH THE WIRE: the published quota admits
+  * 10 concurrent reads per collection (`quotas-limits.mdx:33`; enforced
+  * by `Quotas.Gates.withRead` inside the gated client reads), and
+  * QuotasSpec/HttpFaceWireSpec prove admission mechanics — this main
+  * MEASURES the serving behavior that quota implies over the face the
+  * reference actually serves from: 10 client threads drive HTTP
+  * `/query` batches against ONE served collection (declared SPANN
+  * config, compacted segment, persisted IVF) fronted by
+  * [[graft.api.HttpFace]], recording per-batch latency p50/p95. The
+  * admission contract under test: at EXACTLY the cap, zero rejections
+  * across every sequential batch — a permit LEAK anywhere in the gated
+  * read paths would exhaust the semaphore and reject later batches; the
+  * reentrancy seam would double-count and reject immediately. A second
+  * over-cap stress phase (2× threads, simultaneous) records how many
+  * requests the gate turns away — rejections there are expected and
+  * must be clean 422s (the reference's quota error), never a hang, a
+  * 500, or a connection error.
+  *
+  * The p95 ratchet normalizes by host calibration like Bench's: the
+  * committed best carries the `host_cal_sec` of the run that set it,
+  * and the flag fires on `(p95/ref)*(ref_cal/host_cal) > 1.3` — raw
+  * ratios conflate code with box speed.
   *
   * Run: `sbt "runMain graft.ServeSmoke"` → one JSON line +
   * SERVE_SMOKE.json. Indexes persist under the bench index root and
@@ -56,7 +64,17 @@ object ServeSmoke {
         lit("e").as("document"), col("embedding")))
       coll.persist()
     }
-    val handle = client.getCollection("emb")
+
+    // the measured surface: the HTTP face over the same catalog root,
+    // 2x-overload-wide pool so the admission gate (not the socket
+    // accept queue) is what turns requests away
+    val face = new graft.api.HttpFace(spark, root, limits,
+      poolSize = Threads * 2 + 4)
+    val port = face.start()
+    val url = java.net.URI.create(
+      s"http://127.0.0.1:$port/api/v2/tenants/default_tenant/databases/" +
+        s"default_database/collections/emb/query")
+    val http = java.net.http.HttpClient.newHttpClient()
 
     // per-thread query batches, driver-built (the wire contract): each
     // thread perturbs its own slice of stored vectors
@@ -64,17 +82,28 @@ object ServeSmoke {
       .orderBy(col("vec_id")).limit(Threads * QueriesPerBatch)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    import spark.implicits._
-    def batchOf(t: Int, b: Int) = {
-      val rows = (0 until QueriesPerBatch).map { i =>
+    def batchJson(t: Int, b: Int): String = {
+      val qs = (0 until QueriesPerBatch).map { i =>
         val (_, e) = baseVecs((t * QueriesPerBatch + i) % baseVecs.length)
-        (i.toLong, e.map(x => x + 1e-4f * ((t + b + i) % 7 - 3)))
-      }
-      rows.toDF("query_id", "q_embedding")
+        e.map(x => x + 1e-4f * ((t + b + i) % 7 - 3))
+          .mkString("[", ",", "]")
+      }.mkString("[", ",", "]")
+      // distances-only include: the smoke measures the serving path
+      // (route + probe + merge), not content hydration
+      s"""{"query_embeddings":$qs,"n_results":$K,"include":["distances"]}"""
+    }
+    def post(body: String): Int = {
+      val r = java.net.http.HttpRequest.newBuilder(url)
+        .method("POST",
+          java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      http.send(r, java.net.http.HttpResponse.BodyHandlers.ofString())
+        .statusCode()
     }
 
-    // warm untimed: lazy IVF build + file listings + codegen
-    handle.queryAnn(batchOf(0, 0), K).count()
+    // warm untimed: lazy IVF build + file listings + codegen, through
+    // the wire so the face's own path is warm too
+    require(post(batchJson(0, 0)) == 200, "warmup query failed over HTTP")
     // host-speed calibration (Bench's fixed CPU job) — the p95 ratchet
     // keeps the best-ever window's value; a flag must be readable
     // against the box this round ran on
@@ -97,16 +126,13 @@ object ServeSmoke {
           start.await()
           try {
             for (b <- 0 until BatchesPerThread) {
-              val q = batchOf(t, b)
+              val body = batchJson(t, b)
               val t0 = System.nanoTime()
-              try {
-                handle.queryAnn(q, K).count()
-                latencies.add((System.nanoTime() - t0) / 1e9)
-              } catch {
-                case _: graft.api.Quotas.QuotaExceeded =>
-                  rejected.incrementAndGet()
-                case _: Throwable => errors.incrementAndGet()
-              }
+              try post(body) match {
+                case 200 => latencies.add((System.nanoTime() - t0) / 1e9)
+                case 422 => rejected.incrementAndGet()
+                case _ => errors.incrementAndGet()
+              } catch { case _: Throwable => errors.incrementAndGet() }
             }
           } finally done.countDown()
         }
@@ -125,22 +151,28 @@ object ServeSmoke {
     def pct(xs: Seq[Double], p: Double): Double =
       if (xs.isEmpty) -1.0 else xs((p * (xs.size - 1)).round.toInt)
     var (ls, rejectedAtCap, errAtCap, wall) = phase(Threads)
-    // downward-only p95 ratchet with the bench's 1.3× restamp protocol
-    // (r10 ask #8: a concurrent-serving p95 regression must not pass
-    // unnoticed): past the band, re-run the at-cap phase once after a
-    // calm gap — both values land in the artifact as a restamp pair
-    // (suite-vs-isolated separates host stall from real regression),
-    // the kept stats are the faster pass's, and the flag fires only if
-    // the KEPT p95 still exceeds the band
+    // downward-only p95 ratchet with the bench's restamp protocol, flags
+    // on CALIBRATION-NORMALIZED ratios (r12 ask #1): past the normalized
+    // band, re-run the at-cap phase once after a calm gap — both values
+    // land in the artifact as a restamp pair (suite-vs-isolated
+    // separates host stall from real regression), the kept stats are the
+    // faster pass's, and the flag fires only if the KEPT p95 still
+    // exceeds the normalized band
     val refPath = java.nio.file.Paths.get("serve_ref.json")
-    val refP95: Option[Double] =
+    val refTxt =
       if (java.nio.file.Files.exists(refPath))
-        """"p95_sec":([0-9.]+)""".r.findFirstMatchIn(new String(
-          java.nio.file.Files.readAllBytes(refPath), "UTF-8"))
-          .map(_.group(1).toDouble)
-      else None
+        new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8")
+      else ""
+    def field(k: String): Option[Double] =
+      (s""""$k":([0-9.]+)""").r.findFirstMatchIn(refTxt).map(_.group(1).toDouble)
+    val refP95: Option[Double] = field("p95_sec")
+    // pre-sidecar refs (and the pre-HTTP direct-path ref) carry no cal:
+    // seed with the fast-window class the committed bests came from
+    val refCal: Double = field("cal").getOrElse(0.40)
+    def norm(p: Double): Double =
+      refP95.map(r => (p / r) * (refCal / hostCal)).getOrElse(1.0)
     var restamp: Option[(Double, Double)] = None
-    if (refP95.exists(r => pct(ls, 0.95) > r * 1.3)) {
+    if (refP95.isDefined && norm(pct(ls, 0.95)) > 1.3) {
       Thread.sleep(2000)
       val (ls1, rej1, err1, wall1) = phase(Threads)
       restamp = Some((pct(ls, 0.95), pct(ls1, 0.95)))
@@ -149,12 +181,15 @@ object ServeSmoke {
       if (pct(ls1, 0.95) < pct(ls, 0.95)) { ls = ls1; wall = wall1 }
     }
     val p95 = pct(ls, 0.95)
-    val ratchetFlag = refP95.exists(r => p95 > r * 1.3)
+    val ratchetFlag = refP95.isDefined && norm(p95) > 1.3
     val newRef = math.min(refP95.getOrElse(Double.MaxValue), p95)
+    // stamp this box's calibration when this run set the ratchet
+    val newCal = if (p95 < refP95.getOrElse(Double.MaxValue)) hostCal else refCal
     java.nio.file.Files.write(refPath,
-      f"""{"p95_sec":$newRef%.3f}%n""".getBytes("UTF-8"))
+      f"""{"p95_sec":$newRef%.3f,"cal":$newCal%.3f,"http":true}%n"""
+        .getBytes("UTF-8"))
     // phase 2 — OVER the cap (2x threads): the gate may turn requests
-    // away; every turn-away must be a clean QuotaExceeded
+    // away; every turn-away must be a clean 422
     val (ls2, rejectedOver, errOver, _) = phase(Threads * 2)
     // ADMISSION CONTRACT, all live checks: zero rejections at cap (a
     // permit leak in any gated read would reject later batches; the
@@ -166,7 +201,8 @@ object ServeSmoke {
     val violation = rejectedAtCap > 0 || errAtCap > 0 || errOver > 0 ||
       rejectedOver == 0
     val line =
-      f"""{"metric":"serve_smoke","sf":"$sfDir","host_cal_sec":$hostCal%.3f,""" +
+      f"""{"metric":"serve_smoke","sf":"$sfDir","http":true,""" +
+      f""""host_cal_sec":$hostCal%.3f,""" +
       f""""threads":$Threads,""" +
       f""""batches_per_thread":$BatchesPerThread,""" +
       f""""queries_per_batch":$QueriesPerBatch,"k":$K,""" +
@@ -176,7 +212,8 @@ object ServeSmoke {
       f""""overload_threads":${Threads * 2},""" +
       f""""overload_rejected":$rejectedOver,""" +
       f""""overload_p50_sec":${pct(ls2, 0.5)}%.3f,""" +
-      f""""p95_ratchet":$newRef%.3f,""" +
+      f""""p95_ratchet":$newRef%.3f,"p95_ratchet_cal":$newCal%.3f,""" +
+      f""""p95_norm_ratio":${norm(p95)}%.2f,""" +
       restamp.map { case (a, b) =>
         f""""p95_restamp":[$a%.3f,$b%.3f],""" }.getOrElse("") +
       f""""p95_ratchet_flag":$ratchetFlag,""" +
@@ -184,6 +221,7 @@ object ServeSmoke {
     java.nio.file.Files.write(java.nio.file.Paths.get("SERVE_SMOKE.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)
+    face.stop()
     if (violation) sys.exit(1)
     spark.stop()
   }
