@@ -111,14 +111,30 @@ object AnnGauntlet {
     }
 
   /** Current `ann_ref.json` contents (empty when absent). */
-  def readRatchet(): Map[String, Double] = {
-    val path = java.nio.file.Paths.get("ann_ref.json")
+  def readRatchet(): Map[String, Double] = readFlat("ann_ref.json")
+
+  private def readFlat(name: String): Map[String, Double] = {
+    val path = java.nio.file.Paths.get(name)
     if (!java.nio.file.Files.exists(path)) Map.empty
     else """"([^"]+)":([0-9.]+)""".r
       .findAllMatchIn(new String(
         java.nio.file.Files.readAllBytes(path), "UTF-8"))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
+
+  /** Host-calibration sidecar (`ann_ref_cal.json`, Bench's r13 protocol):
+    * per ratcheted row, the `host_cal_sec` of the run that set it; rows
+    * from the pre-sidecar era seed at the 0.33–0.45 s fast-window class
+    * midpoint. [[scaleToHost]] re-expresses the committed bests in THIS
+    * box's seconds, so every existing raw band comparison becomes a
+    * calibration-normalized one.
+    */
+  val SeedCal = 0.40
+  def readRatchetCal(): Map[String, Double] = readFlat("ann_ref_cal.json")
+  def scaleToHost(ratchet: Map[String, Double], cal: Map[String, Double],
+      hostCal: Double): Map[String, Double] =
+    ratchet.map { case (k, v) =>
+      k -> v * (hostCal / cal.getOrElse(k, SeedCal)) }
 
   /** All four serving paths over one corpus size. Builds persist under
     * `root` (untimed); each path's timed runs collect the full result
@@ -448,13 +464,18 @@ object AnnGauntlet {
     * a superseded ladder setting (e.g. `ef=400` → `ef=800`) is pruned
     * instead of accreting as a dead entry that can never flag.
     */
-  def foldRatchet(rows: Map[String, Double]): (Map[String, Double],
-      Seq[String]) = {
+  def foldRatchet(rows: Map[String, Double],
+      hostCal: Double = SeedCal): (Map[String, Double], Seq[String]) = {
     val path = java.nio.file.Paths.get("ann_ref.json")
     val old = readRatchet()
+    val cal = readRatchetCal()
+    // flags fire on calibration-normalized ratios (Bench's r13 rule):
+    // the committed best is re-expressed in this box's seconds first
+    val scaled = scaleToHost(old, cal, hostCal)
     val flagged = rows.collect {
-      case (k, v) if old.get(k).exists(r => v > r * RatchetBand) =>
-        f"$k: $v%.3f s > ${RatchetBand}x ratchet ${old(k)}%.3f s"
+      case (k, v) if scaled.get(k).exists(r => v > r * RatchetBand) =>
+        f"$k: $v%.3f s > ${RatchetBand}x host-scaled ratchet " +
+          f"${scaled(k)}%.3f s (raw ${old(k)}%.3f)"
     }.toSeq.sorted
     // fold down where the key survives; DROP keys the run no longer
     // measures (stable ladder membership is the run's responsibility)
@@ -464,6 +485,14 @@ object AnnGauntlet {
     val body = merged.toSeq.sorted.map { case (k, v) =>
       f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     java.nio.file.Files.write(path, (body + "\n").getBytes("UTF-8"))
+    // stamp this box's calibration on every row this run ratcheted down
+    val mergedCal = merged.keys.toSeq.sorted.flatMap { k =>
+      if (rows.get(k).exists(v => v < old.getOrElse(k, Double.MaxValue)))
+        Some(f""""$k":$hostCal%.3f""")
+      else cal.get(k).map(c => f""""$k":$c%.3f""")
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("ann_ref_cal.json"),
+      (mergedCal + "\n").getBytes("UTF-8"))
     (merged, flagged)
   }
 
@@ -487,7 +516,10 @@ object AnnGauntlet {
       spark.range(1L << 31).selectExpr("sum(xxhash64(id) % 1000000)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val ratchet = readRatchet()
+    // the restamp trigger compares against the committed bests scaled
+    // to THIS box (r13 normalized protocol) — raw comparisons re-measure
+    // host noise on slow boxes and under-flag on fast ones
+    val ratchet = scaleToHost(readRatchet(), readRatchetCal(), hostCal)
     val cells = Seq("x200k" -> 200000L, "x1m" -> 1000000L)
     val results = cells.map { case (cell, n) =>
       cell -> runCell(spark, s"$base/$cell", n, ratchet = ratchet,
@@ -533,7 +565,7 @@ object AnnGauntlet {
       results.flatMap { case (cell, rs) =>
         rs.map { case (p, r) => s"$cell/$p" -> r.secMin } }.toMap ++
       hard.map(r => s"hard_x1m/${r.path}[${r.setting}]" -> r.secMin).toMap
-    val (_, flagged) = foldRatchet(ratchetRows)
+    val (_, flagged) = foldRatchet(ratchetRows, hostCal)
     flagged.foreach(f => System.err.println(s"[gauntlet] RATCHET-FLAG $f"))
     val line = s"""{"metric":"ann_gauntlet","dim":$Dim,"k":$K,""" +
       f""""host_cal_sec":$hostCal%.3f,""" +

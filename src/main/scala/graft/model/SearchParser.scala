@@ -73,13 +73,22 @@ object SearchParser {
   /** Parse a request that may carry SEVERAL payloads
     * (`Search{payloads: Vec<SearchPayload>}`, `plan.rs:588-592`):
     * `{"payloads": [p1, p2, …]}` → one [[Request]] per payload in order;
-    * anything else parses as a single payload.
+    * the HTTP wire envelope spells the same field `searches`
+    * (`SearchRequestPayload`, `rust/types/src/api_types.rs:2444-2450`) —
+    * both keys accept; anything else parses as a single payload.
     */
   def parseMany(json: String): Seq[Request] = {
-    JsonMethods.parse(json) \ "payloads" match {
-      case JArray(ps) =>
+    val j = JsonMethods.parse(json)
+    (j \ "payloads", j \ "searches") match {
+      case (JArray(_), JArray(_)) => throw new IllegalArgumentException(
+        "pass either payloads or searches, not both")
+      case (JArray(ps), _) =>
         if (ps.isEmpty)
           throw new IllegalArgumentException("payloads must be non-empty")
+        ps.map(p => parse(JsonMethods.compact(JsonMethods.render(p))))
+      case (_, JArray(ps)) =>
+        if (ps.isEmpty)
+          throw new IllegalArgumentException("searches must be non-empty")
         ps.map(p => parse(JsonMethods.compact(JsonMethods.render(p))))
       case _ => Seq(parse(json))
     }

@@ -702,6 +702,31 @@ object FacadePack extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // The wire face's answer to unbounded get (r13): walk the FILTERED
+    // ordered export page by page through CollectionHandle.getPage —
+    // each page is one quota-sized slice of the offset_id order, from
+    // the one-pass range-partition + local-sort + cursor plan (never a
+    // global sort, never an unbounded driver collect). Three pages
+    // concatenated must hash-match the oracle's row_number paging.
+    "fc_get_page" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_page_q").toString
+      val client = new graft.api.Client(s, root)
+      val coll = client.createCollection("pgd")
+      // one ordered input partition → offset ids follow doc_id order
+      coll.add(Tables.documents(s, d).select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        col("text").as("document"),
+        map(lit("lang"), col("lang")).as("meta"))
+        .orderBy(col("id")).coalesce(1))
+      val where = Some(graft.model.Where.Cmp("lang", "$eq",
+        graft.model.Where.VStr("en")))
+      (0L to 2L).map(p =>
+          coll.getPage(64, p, where, include = Seq("document", "meta:lang"))
+            .withColumn("page", lit(p)))
+        .reduce(_ unionByName _)
+        .orderBy(col("page"), col("id"))
+    },
+
     // Bitmap ∧ through the posting family: BOTH conjunctive eq leaves
     // probe their posting tables and the candidate sets intersect
     // before the verify pass — the reference merges per-leaf posting
@@ -1456,6 +1481,16 @@ object FacadePack extends QueryPack {
         |WHERE doc_id % 3 = 0 AND doc_id <= 400
         |  AND lang = 'en' AND contains(text, 'data')
         |ORDER BY id""".stripMargin,
+
+    // offset ids were assigned in id-string order (single ordered input
+    // partition), so the filtered page walk pages the id order
+    "fc_get_page" ->
+      """SELECT page, id, document, lang FROM (
+        |  SELECT CAST(floor((row_number() OVER (ORDER BY 'doc-'||doc_id)
+        |      - 1) / 64.0) AS BIGINT) AS page,
+        |    'doc-'||doc_id AS id, text AS document, lang
+        |  FROM documents WHERE lang = 'en')
+        |WHERE page <= 2 ORDER BY page, id""".stripMargin,
 
     "fc_key_inverted_and" ->
       """SELECT 'doc-'||doc_id AS id, text AS document, lang, source AS src

@@ -81,6 +81,22 @@ class SearchParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SearchParser.parseMany("""{"payloads": []}""")
     }
+    // the HTTP wire envelope spells the field `searches`
+    // (SearchRequestPayload, api_types.rs:2444-2450) — same parse
+    val wire = SearchParser.parseMany(
+      """{"searches": [
+        |  {"rank": {"$knn": {"query": [1.0, 0.0], "limit": 5}}},
+        |  {"rank": {"$val": 2.5}, "limit": {"limit": 3}}],
+        | "read_level": "index_and_wal"}""".stripMargin)
+    assert(wire.size == 2 && wire(1).limit.contains(3))
+    intercept[IllegalArgumentException] {
+      SearchParser.parseMany("""{"searches": []}""")
+    }
+    intercept[IllegalArgumentException] {
+      SearchParser.parseMany(
+        """{"payloads": [{"rank":{"$val":1.0}}],
+          | "searches": [{"rank":{"$val":1.0}}]}""".stripMargin)
+    }
   }
 
   test("defaults: no filter/group/limit/select; $knn default limit and no-default fill") {
