@@ -176,6 +176,12 @@ final class Client(spark: SparkSession, root: String,
     * DESCRIPTORS only (no data-plane IO), memoizing each visited node's
     * root within the call so shared chain prefixes resolve once.
     */
+  /** Fork edges hanging off `name`'s fork ROOT — what the reference's
+    * `fork_count` route reports (`server.rs` fork_count) and the quota
+    * basis for `maxForkEdges`.
+    */
+  def forkCount(name: String): Long = forkEdgeCount(forkRootOf(name))
+
   private def forkEdgeCount(rootName: String): Long = {
     val memo = scala.collection.mutable.Map[String, String]()
     def rootOf(name: String, hops: Int = 1000): String =

@@ -19,17 +19,26 @@ import org.json4s.jackson.JsonMethods
   *
   * Routes (reference path shapes, `{c}` = collection name):
   * {{{
+  *   POST /api/v2/reset                                        gated by allowReset
+  *   POST /api/v2/tenants                                      {name}
+  *   GET|PATCH /api/v2/tenants/{t}                             descriptor / resource_name
+  *   GET|POST /api/v2/tenants/{t}/databases                    list / create {name}
+  *   GET|DELETE /api/v2/tenants/{t}/databases/{d}              descriptor / drop
   *   POST /api/v2/tenants/{t}/databases/{d}/collections        create {name, get_or_create?}
   *   GET  /api/v2/tenants/{t}/databases/{d}/collections        list
+  *   GET  .../collections_count                                {count}
   *   GET  /api/v2/tenants/{t}/databases/{d}/collections/{c}    descriptor
   *   GET  /api/v2/collections/{crn}                            by CRN
   *   POST .../collections/{c}/add | /upsert | /update          records payload
   *   POST .../collections/{c}/delete                           {ids}
   *   GET  .../collections/{c}/count                            {count}
+  *   GET  .../collections/{c}/fork_count                       {count}
   *   GET  .../collections/{c}/indexing_status                  progress
   *   POST .../collections/{c}/get                              GetRequest fields (+page/page_size)
   *   POST .../collections/{c}/query                            {query_embeddings, n_results, where?, include?}
   *   POST .../collections/{c}/search                           Search WIRE payload (verbatim)
+  *   POST .../collections/{c}/conditional_get                  get fields + read_token?
+  *   POST .../collections/{c}/conditional_commit               {read_token?, read_ids, operations}
   * }}}
   *
   * Writes ack only after `commitLog` returns — the reference's frontend
@@ -55,7 +64,8 @@ import org.json4s.jackson.JsonMethods
   */
 final class HttpFace(spark: SparkSession, root: String,
     limits: Quotas.Limits = Quotas.CloudDefaults,
-    poolSize: Int = 32) {
+    poolSize: Int = 32,
+    allowReset: Boolean = false) {
   private implicit val fmts: Formats = DefaultFormats
   private val server = HttpServer.create(
     new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -257,7 +267,67 @@ final class HttpFace(spark: SparkSession, root: String,
         "([^/]+)/functions/([^/]+)$").r
       val FnOpR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/" +
         "collections/([^/]+)/attached_functions/([^/]+)/([a-z_]+)$").r
+      val TenantsR = "^/api/v2/tenants$".r
+      val TenantR = "^/api/v2/tenants/([^/]+)$".r
+      val DbsR = "^/api/v2/tenants/([^/]+)/databases$".r
+      val DbR = "^/api/v2/tenants/([^/]+)/databases/([^/]+)$".r
+      val CollsCountR =
+        "^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections_count$".r
       (method, path) match {
+        // reset wipes the whole deployment — gated like the reference's
+        // ALLOW_RESET setting (rejects by default; destroying a
+        // deployment must be two-step intent)
+        case ("POST", "/api/v2/reset") =>
+          new Client(spark, root, limits = limits, allowReset = allowReset)
+            .reset()
+          clients.clear() // cached handles point at wiped state
+          respond(ex, 200, "true")
+        case ("POST", TenantsR()) =>
+          val name = (JsonMethods.parse(readBody(ex)) \ "name").extract[String]
+          graft.sources.Catalog.createTenant(root, name)
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+            JObject("name" -> jStr(name)))))
+        case ("GET", TenantR(t)) =>
+          val info = graft.sources.Catalog.getTenant(root, t)
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+            "name" -> jStr(info.name),
+            "resource_name" -> info.resourceName.map(jStr)
+              .getOrElse(JNull)))))
+        case ("PATCH", TenantR(t)) =>
+          val rn = (JsonMethods.parse(readBody(ex)) \ "resource_name")
+            .extract[String]
+          graft.sources.Catalog.updateTenant(root, t, rn)
+          respond(ex, 200, "{}")
+        case ("GET", DbsR(t)) =>
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JArray(
+            graft.sources.Catalog.listDatabases(root, t)
+              .map(n => JObject("name" -> jStr(n))).toList))))
+        case ("POST", DbsR(t)) =>
+          val name = (JsonMethods.parse(readBody(ex)) \ "name").extract[String]
+          client(t, name) // provisions tenant+database, validates name
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+            JObject("name" -> jStr(name)))))
+        case ("DELETE", DbR(t, d)) =>
+          if (!graft.sources.Catalog.listDatabases(root, t).contains(d))
+            respond(ex, 404, s"""{"error":"no such database $t/$d"}""")
+          else {
+            // the engine's deleteDatabase refuses while collections
+            // remain (data dirs hold real segments); the reference's
+            // delete_database cascades SERVER-side — the face is the
+            // server, so it cascades explicitly
+            val c = client(t, d)
+            c.listCollections().foreach(c.deleteCollection)
+            graft.sources.Catalog.deleteDatabase(root, t, d)
+            clients.remove((t, d))
+            respond(ex, 200, "{}")
+          }
+        case ("GET", DbR(t, d)) =>
+          if (!graft.sources.Catalog.listDatabases(root, t).contains(d))
+            respond(ex, 404, s"""{"error":"no such database $t/$d"}""")
+          else respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+            JObject("name" -> jStr(d), "tenant" -> jStr(t)))))
+        case ("GET", CollsCountR(t, d)) =>
+          respond(ex, 200, s"""{"count":${client(t, d).countCollections()}}""")
         case ("GET", CrnR(crn)) =>
           val h = client("default_tenant", "default_database")
             .getCollectionByCrn(crn)
@@ -417,6 +487,79 @@ final class HttpFace(spark: SparkSession, root: String,
             when("uris")(contentOuter(strOrNull(_, "uri"))),
             when("metadatas")(contentOuter(metaJson)),
             "include" -> JArray(include.map(jStr).toList)))))
+        case ("GET", OpR(t, d, c, "fork_count")) =>
+          respond(ex, 200, s"""{"count":${client(t, d).forkCount(c)}}""")
+        // conditional transaction pair (`server.rs` conditional_get /
+        // conditional_commit; payloads `api_types.rs:2131-2201`): the
+        // read token is the OCC log offset pinning the validation
+        // window's lower bound — FIRST token wins across chained reads;
+        // read_ids stay client-side and ride the commit payload, which
+        // carries the buffered operations. A conflicting window rejects
+        // with the reference's Aborted → 400 mapping, nothing applied.
+        case ("POST", OpR(t, d, c, "conditional_get")) =>
+          val j = JsonMethods.parse(readBody(ex))
+          val h = client(t, d).getCollection(c)
+          val token = (j \ "read_token").toOption.map(_.extract[Long])
+          val tx = h.beginTransaction(token)
+          val include = (j \ "include").toOption
+            .map(_.extract[Seq[String]])
+            .getOrElse(Seq("documents", "metadatas"))
+          val rows = h.get(
+            where = whereField(j, "where"),
+            limit = (j \ "limit").toOption.map(_.extract[Int]),
+            offset = (j \ "offset").toOption.map(_.extract[Int]).getOrElse(0),
+            include = includeCols(include),
+            ids = (j \ "ids").toOption.map(_.extract[Seq[String]]),
+            whereDocument = whereField(j, "where_document")).collect().toSeq
+          val JObject(fields) = getResponse(rows, include): @unchecked
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+            fields :+ ("read_token" -> (JLong(tx.observedLogOffset): JValue))))))
+        case ("POST", OpR(t, d, c, "conditional_commit")) =>
+          val j = JsonMethods.parse(readBody(ex))
+          val h = client(t, d).getCollection(c)
+          val tx = h.beginTransaction(
+            (j \ "read_token").toOption.map(_.extract[Long]))
+          (j \ "read_ids").toOption.map(_.extract[Seq[String]])
+            .filter(_.nonEmpty).foreach(tx.trackReads)
+          var recordCount = 0L
+          (j \ "operations") match {
+            case JArray(ops) => ops.foreach { op =>
+              val kind = (op \ "operation").extract[String]
+              val payload = op \ "payload"
+              kind match {
+                case "add" | "update" | "upsert" =>
+                  val rs = parseRecords(payload)
+                  recordCount += rs.size
+                  val df = recordsDf(rs)
+                  kind match {
+                    case "add" => tx.add(df)
+                    case "update" => tx.update(df)
+                    case _ => tx.upsert(df)
+                  }
+                case "delete" =>
+                  require((payload \ "where") == JNothing,
+                    "transactional delete is id-scoped (no where)")
+                  val ids = (payload \ "ids").extract[Seq[String]]
+                  recordCount += ids.size
+                  tx.delete(ids)
+                case other => throw new IllegalArgumentException(
+                  s"unknown operation '$other'")
+              }
+            }
+            case JNothing | JNull => ()
+            case other => throw new IllegalArgumentException(
+              s"operations must be an array, got $other")
+          }
+          tx.commit() match {
+            case Right(pos) => respond(ex, 200,
+              s"""{"first_inserted_record_offset":$pos,""" +
+                s""""record_count":$recordCount}""")
+            case Left(cf) => respond(ex, 400, JsonMethods.compact(
+              JsonMethods.render(JObject(
+                "error" -> jStr("conditional commit conflict"),
+                "validated_through" -> JLong(cf.validatedThrough),
+                "conflict_ids" -> JArray(cf.ids.map(jStr).toList)))))
+          }
         case ("POST", OpR(t, d, c, "fork")) =>
           val j = JsonMethods.parse(readBody(ex))
           val h = client(t, d).forkCollection(c,

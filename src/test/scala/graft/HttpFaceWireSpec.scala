@@ -187,6 +187,100 @@ class HttpFaceWireSpec extends AnyFunSuite {
     } finally face.stop()
   }
 
+  test("tenant/database/reset/fork_count routes; conditional transaction " +
+      "commits at the token and conflicts on a raced id") {
+    val root = java.nio.file.Files.createTempDirectory("graft_http_sys").toString
+    val face = new graft.api.HttpFace(spark, root, allowReset = true)
+    val port = face.start()
+    try {
+      val v2 = s"http://127.0.0.1:$port/api/v2"
+      // tenant lifecycle: create → get → patch resource_name
+      assert(req("POST", s"$v2/tenants", """{"name":"t2"}""")._1 == 200)
+      val (ct, jt) = req("GET", s"$v2/tenants/t2")
+      assert(ct == 200 && (jt \ "name").extract[String] == "t2"
+        && (jt \ "resource_name") == JNull)
+      assert(req("PATCH", s"$v2/tenants/t2",
+        """{"resource_name":"arn:demo"}""")._1 == 200)
+      assert((req("GET", s"$v2/tenants/t2")._2 \ "resource_name")
+        .extract[String] == "arn:demo")
+      assert(req("GET", s"$v2/tenants/missing_t")._1 == 404)
+
+      // database lifecycle under the tenant
+      assert(req("POST", s"$v2/tenants/t2/databases",
+        """{"name":"dbx"}""")._1 == 200)
+      assert(req("GET", s"$v2/tenants/t2/databases")._2
+        .extract[Seq[Map[String, String]]].map(_("name")).contains("dbx"))
+      assert(req("GET", s"$v2/tenants/t2/databases/dbx")._1 == 200)
+      assert(req("GET", s"$v2/tenants/t2/databases/nope")._1 == 404)
+
+      val base = s"$v2/tenants/t2/databases/dbx"
+      req("POST", s"$base/collections", """{"name":"ctc"}""")
+      req("POST", s"$base/collections/ctc/add",
+        """{"ids":["a","b"],"documents":["da","db"]}""")
+      assert((req("GET", s"$base/collections_count")._2 \ "count")
+        .extract[Long] == 1L)
+
+      // conditional transaction: read pins the token, commit validates
+      // the window (observed, tail] against read ∪ write ids
+      val (cg1, jg1) = req("POST", s"$base/collections/ctc/conditional_get",
+        """{"ids":["a"]}""")
+      assert(cg1 == 200, s"conditional_get failed: $jg1")
+      val token = (jg1 \ "read_token").extract[Long]
+      assert((jg1 \ "documents").extract[Seq[String]] == Seq("da"))
+      val (cc1, jc1) = req("POST",
+        s"$base/collections/ctc/conditional_commit",
+        s"""{"read_token":$token,"read_ids":["a"],"operations":[
+           |  {"operation":"upsert",
+           |   "payload":{"ids":["a"],"documents":["da v2"]}}]}""".stripMargin)
+      assert(cc1 == 200, s"conditional_commit failed: $jc1")
+      assert((jc1 \ "record_count").extract[Long] == 1L)
+      val (_, jChk) = req("POST", s"$base/collections/ctc/get",
+        """{"ids":["a"],"limit":1}""")
+      assert((jChk \ "documents").extract[Seq[String]] == Seq("da v2"))
+
+      // stale token: a write to 'a' lands AFTER this token is taken →
+      // the commit's validation window catches it, nothing applies
+      val (_, jg2) = req("POST", s"$base/collections/ctc/conditional_get",
+        """{"ids":["a"]}""")
+      val stale = (jg2 \ "read_token").extract[Long]
+      req("POST", s"$base/collections/ctc/upsert",
+        """{"ids":["a"],"documents":["da v3 raced"]}""")
+      val (cc2, jc2) = req("POST",
+        s"$base/collections/ctc/conditional_commit",
+        s"""{"read_token":$stale,"read_ids":["a"],"operations":[
+           |  {"operation":"upsert",
+           |   "payload":{"ids":["a"],"documents":["lost update"]}}]}"""
+          .stripMargin)
+      assert(cc2 == 400, s"stale commit must reject: $jc2")
+      assert((jc2 \ "conflict_ids").extract[Seq[String]].contains("a"))
+      val (_, jChk2) = req("POST", s"$base/collections/ctc/get",
+        """{"ids":["a"],"limit":1}""")
+      assert((jChk2 \ "documents").extract[Seq[String]] == Seq("da v3 raced"),
+        "a rejected commit must apply nothing")
+
+      // fork_count counts edges off the fork root (persist in-process —
+      // compaction is backend work, not a wire route)
+      new graft.api.Client(spark, root, "t2", "dbx")
+        .getCollection("ctc").persist()
+      req("POST", s"$base/collections/ctc/fork", """{"new_name":"ctc_f1"}""")
+      assert((req("GET", s"$base/collections/ctc/fork_count")._2 \ "count")
+        .extract[Long] == 1L)
+
+      // drop the database; reset wipes the deployment (gated on the
+      // face's allowReset — a default face rejects)
+      assert(req("DELETE", s"$v2/tenants/t2/databases/dbx")._1 == 200)
+      assert(req("GET", s"$v2/tenants/t2/databases/dbx")._1 == 404)
+      assert(req("POST", s"$v2/reset")._1 == 200)
+      assert(req("GET", s"$v2/tenants/t2")._1 == 404,
+        "reset must wipe tenants")
+      val noReset = new graft.api.HttpFace(spark,
+        java.nio.file.Files.createTempDirectory("graft_http_nr").toString)
+      val p2 = noReset.start()
+      try assert(req("POST", s"http://127.0.0.1:$p2/api/v2/reset")._1 == 400)
+      finally noReset.stop()
+    } finally face.stop()
+  }
+
   test("per-collection concurrent-read admission rejects 422 at the cap " +
       "and admits once permits free") {
     val root = java.nio.file.Files.createTempDirectory("graft_http_adm").toString
