@@ -1911,8 +1911,12 @@ final class CollectionHandle(spark: SparkSession,
       readLevel: ReadLevel = ReadLevel.IndexAndWal): Seq[DataFrame] =
     Quotas.Gates.withRead(ref.dataRoot, limits) {
       val lvl = wireReadLevel(json, readLevel)
+      val reqs = graft.model.SearchParser.parseMany(json)
+      // per-request payload fan-out quota (the enforcer's
+      // NumSearchPayloads, quota/mod.rs:393)
+      Quotas.validateSearchPayloads(reqs.size, limits)
       // per-payload filters differ — each payload gets its own prefilter
-      graft.model.SearchParser.parseMany(json).map { req =>
+      reqs.map { req =>
         searchBase(req.filter, lvl).searchRequest(req, cfgSpace(space),
           None, embedFn, schemaSparseFns)
       }

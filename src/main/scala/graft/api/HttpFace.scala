@@ -438,6 +438,9 @@ final class HttpFace(spark: SparkSession, root: String,
           val h = client(t, d).getCollection(c)
           import spark.implicits._
           val queries = (j \ "query_embeddings").extract[Seq[Seq[Double]]]
+          // bounds the N in the route's N×k result collect (the
+          // enforcer's NumQueryEmbeddings, quota/mod.rs:386)
+          Quotas.validateQueryEmbeddings(queries.size, limits)
           val qs = queries.zipWithIndex
             .map { case (e, i) => (i.toLong, e.map(_.toFloat)) }
             .toDF("query_id", "q_embedding")

@@ -39,7 +39,9 @@ object Quotas {
       maxConcurrentReads: Int = Int.MaxValue,
       maxConcurrentWrites: Int = Int.MaxValue,
       maxCollections: Long = Long.MaxValue,
-      maxForkEdges: Int = Int.MaxValue) {
+      maxForkEdges: Int = Int.MaxValue,
+      maxQueryEmbeddings: Int = Int.MaxValue,
+      maxSearchPayloads: Int = Int.MaxValue) {
     /** Any per-record shape rule active → the write path pays one batch
       * aggregate; all unlimited → job-free.
       */
@@ -70,7 +72,12 @@ object Quotas {
     maxConcurrentReads = 10,              // Maximum concurrent reads per collection
     maxConcurrentWrites = 10,             // Maximum concurrent writes per collection
     maxCollections = 1000000L,            // Maximum collections
-    maxForkEdges = 256)                   // Maximum fork edges from root
+    maxForkEdges = 256,                   // Maximum fork edges from root
+    // enforcer-internal defaults (not in the published table):
+    // `rust/frontend/src/quota/mod.rs:386,393` — both bound the
+    // per-request KNN fan-out, i.e. the N in the N×k result collect
+    maxQueryEmbeddings = 20,              // Number of query embeddings
+    maxSearchPayloads = 5)                // Search payloads per request
 
   val Unlimited: Limits = Limits(Int.MaxValue, Int.MaxValue, Int.MaxValue,
     Int.MaxValue, Int.MaxValue, Long.MaxValue)
@@ -115,6 +122,14 @@ object Quotas {
 
   def validateResults(k: Int, limits: Limits): Unit =
     check("results per query", k.toLong, limits.maxResults.toLong)
+
+  def validateQueryEmbeddings(n: Int, limits: Limits): Unit =
+    check("query embeddings per request", n.toLong,
+      limits.maxQueryEmbeddings.toLong)
+
+  def validateSearchPayloads(n: Int, limits: Limits): Unit =
+    check("search payloads per request", n.toLong,
+      limits.maxSearchPayloads.toLong)
 
   def validateCollectionSize(nRecords: Long, limits: Limits): Unit =
     check("records per collection", nRecords, limits.maxRecordsPerCollection)

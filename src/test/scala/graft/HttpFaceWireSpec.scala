@@ -184,6 +184,17 @@ class HttpFaceWireSpec extends AnyFunSuite {
       // n_results over the cap → 422
       assert(req("POST", s"$base/collections/quo/query",
         """{"query_embeddings":[[1.0]],"n_results":6}""")._1 == 422)
+
+      // 21 query embeddings > the 20-embedding request fan-out → 422
+      val manyQ = (0 until 21).map(_ => "[1.0]").mkString(",")
+      assert(req("POST", s"$base/collections/quo/query",
+        s"""{"query_embeddings":[$manyQ],"n_results":1}""")._1 == 422)
+
+      // 6 search payloads > the 5-payload request fan-out → 422
+      val sixP = (0 until 6).map(_ =>
+        """{"rank":{"$val":1.0},"limit":{"limit":1}}""").mkString(",")
+      assert(req("POST", s"$base/collections/quo/search",
+        s"""{"searches":[$sixP]}""")._1 == 422)
     } finally face.stop()
   }
 
