@@ -37,8 +37,12 @@ import org.json4s.jackson.JsonMethods
   *   POST .../collections/{c}/get                              GetRequest fields (+page/page_size)
   *   POST .../collections/{c}/query                            {query_embeddings, n_results, where?, include?}
   *   POST .../collections/{c}/search                           Search WIRE payload (verbatim)
-  *   POST .../collections/{c}/conditional_get                  get fields + read_token?
-  *   POST .../collections/{c}/conditional_commit               {read_token?, read_ids, operations}
+  *   POST .../collections/{c}/conditional/get                  get fields + read_token?
+  *   POST .../collections/{c}/conditional/commit               {read_token?, read_ids, operations}
+  *   GET  .../collections/by-id/{id}                           descriptor (id = name here)
+  *   GET  /api/v2 | /heartbeat | /healthcheck | /version       system router
+  *   GET  /api/v2/pre-flight-checks | /auth/identity           (frontend-core routes.rs:206)
+  *   ANY  /api/v1/...                                          410 deprecation notice
   * }}}
   *
   * Writes ack only after `commitLog` returns — the reference's frontend
@@ -246,6 +250,84 @@ final class HttpFace(spark: SparkSession, root: String,
       "include" -> JArray(include.map(jStr).toList))
   }
 
+  // ---- conditional transaction pair (`server.rs:367-373`; payloads
+  // `api_types.rs:2131-2201`): the read token is the OCC log offset
+  // pinning the validation window's lower bound — FIRST token wins
+  // across chained reads; read_ids stay client-side and ride the commit
+  // payload, which carries the buffered operations. A conflicting
+  // window rejects with the reference's Aborted → 400 mapping, nothing
+  // applied. ---------------------------------------------------------
+
+  private def conditionalGet(ex: HttpExchange, t: String, d: String,
+      c: String): Unit = {
+    val j = JsonMethods.parse(readBody(ex))
+    val h = client(t, d).getCollection(c)
+    val token = (j \ "read_token").toOption.map(_.extract[Long])
+    val tx = h.beginTransaction(token)
+    val include = (j \ "include").toOption
+      .map(_.extract[Seq[String]])
+      .getOrElse(Seq("documents", "metadatas"))
+    val rows = h.get(
+      where = whereField(j, "where"),
+      limit = (j \ "limit").toOption.map(_.extract[Int]),
+      offset = (j \ "offset").toOption.map(_.extract[Int]).getOrElse(0),
+      include = includeCols(include),
+      ids = (j \ "ids").toOption.map(_.extract[Seq[String]]),
+      whereDocument = whereField(j, "where_document")).collect().toSeq
+    val JObject(fields) = getResponse(rows, include): @unchecked
+    respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+      fields :+ ("read_token" -> (JLong(tx.observedLogOffset): JValue))))))
+  }
+
+  private def conditionalCommit(ex: HttpExchange, t: String, d: String,
+      c: String): Unit = {
+    val j = JsonMethods.parse(readBody(ex))
+    val h = client(t, d).getCollection(c)
+    val tx = h.beginTransaction(
+      (j \ "read_token").toOption.map(_.extract[Long]))
+    (j \ "read_ids").toOption.map(_.extract[Seq[String]])
+      .filter(_.nonEmpty).foreach(tx.trackReads)
+    var recordCount = 0L
+    (j \ "operations") match {
+      case JArray(ops) => ops.foreach { op =>
+        val kind = (op \ "operation").extract[String]
+        val payload = op \ "payload"
+        kind match {
+          case "add" | "update" | "upsert" =>
+            val rs = parseRecords(payload)
+            recordCount += rs.size
+            val df = recordsDf(rs)
+            kind match {
+              case "add" => tx.add(df)
+              case "update" => tx.update(df)
+              case _ => tx.upsert(df)
+            }
+          case "delete" =>
+            require((payload \ "where") == JNothing,
+              "transactional delete is id-scoped (no where)")
+            val ids = (payload \ "ids").extract[Seq[String]]
+            recordCount += ids.size
+            tx.delete(ids)
+          case other => throw new IllegalArgumentException(
+            s"unknown operation '$other'")
+        }
+      }
+      case JNothing | JNull => ()
+      case other => throw new IllegalArgumentException(
+        s"operations must be an array, got $other")
+    }
+    tx.commit() match {
+      case Right(pos) => respond(ex, 200,
+        s"""{"first_inserted_record_offset":$pos,""" +
+          s""""record_count":$recordCount}""")
+      case Left(cf) => respond(ex, 400, JsonMethods.compact(
+        JsonMethods.render(JObject(
+          "error" -> jStr("conditional commit conflict"),
+          "validated_through" -> JLong(cf.validatedThrough),
+          "conflict_ids" -> JArray(cf.ids.map(jStr).toList)))))
+    }
+  }
+
   // ---- routing ----------------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit = {
@@ -257,6 +339,10 @@ final class HttpFace(spark: SparkSession, root: String,
     try {
       val CrnR = "^/api/v2/collections/([^/]+)$".r
       val CollsR = "^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections$".r
+      val ByIdR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
+        "by-id/([^/]+)$").r
+      val CondR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
+        "([^/]+)/conditional/(get|commit)$").r
       val CollR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
         "([^/]+)$").r
       val OpR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
@@ -274,6 +360,40 @@ final class HttpFace(spark: SparkSession, root: String,
       val CollsCountR =
         "^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections_count$".r
       (method, path) match {
+        // ---- system router (frontend-core/src/routes.rs:206-214): the
+        // generic endpoints every reference frontend binary mounts ----
+        case ("GET", "/api/v2") | ("GET", "/api/v2/heartbeat") =>
+          // nanoseconds since epoch, the reference's HeartbeatResponse
+          // field spelled with a SPACE (`api-types/src/heartbeat.rs:6`)
+          respond(ex, 200, s"""{"nanosecond heartbeat":${
+            System.currentTimeMillis() * 1000000L}}""")
+        case ("GET", "/api/v2/healthcheck") =>
+          // 200 only when both legs answer (HealthCheckResponse
+          // `api_types.rs:2596-2603`): executor = the Spark session,
+          // log client = the deployment root accepting IO
+          val execReady = !spark.sparkContext.isStopped
+          val logReady = java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(root))
+          respond(ex, if (execReady && logReady) 200 else 503,
+            s"""{"is_executor_ready":$execReady,""" +
+              s""""is_log_client_ready":$logReady}""")
+        case ("GET", "/api/v2/pre-flight-checks") =>
+          // ChecklistResponse (`api_types.rs:194-196`): the write-batch
+          // bound a client should chunk to = the face's quota envelope
+          val mb = math.min(limits.maxBatchRecords.toLong,
+            Int.MaxValue.toLong)
+          respond(ex, 200,
+            s"""{"max_batch_size":$mb,"supports_base64_encoding":true}""")
+        case ("GET", "/api/v2/version") =>
+          respond(ex, 200, "\"" + HttpFace.Version + "\"")
+        case ("GET", "/api/v2/auth/identity") =>
+          // the no-auth default identity (frontend-core/src/auth.rs:130)
+          respond(ex, 200, """{"user_id":"","tenant":"default_tenant",""" +
+            """"databases":["default_database"]}""")
+        case (_, p) if p.startsWith("/api/v1/") || p == "/api/v1" =>
+          // v1 is GONE in the reference (server.rs v1_deprecation_notice)
+          respond(ex, 410, """{"error":"Unimplemented","message":""" +
+            """"The v1 API is deprecated. Please use /v2 apis"}""")
         // reset wipes the whole deployment — gated like the reference's
         // ALLOW_RESET setting (rejects by default; destroying a
         // deployment must be two-step intent)
@@ -358,6 +478,15 @@ final class HttpFace(spark: SparkSession, root: String,
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
             "name" -> jStr(h.ref.name), "tenant" -> jStr(t),
             "database" -> jStr(d)))))
+        case ("GET", ByIdR(t, d, id)) =>
+          // the reference's get_collection_by_id (server.rs:301-304)
+          // resolves a collection UUID inside the tenant/database scope;
+          // this engine's stable collection identifier IS its name, so
+          // the id segment resolves through the same name lookup
+          val h = client(t, d).getCollection(id)
+          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
+            "id" -> jStr(h.ref.name), "name" -> jStr(h.ref.name),
+            "tenant" -> jStr(t), "database" -> jStr(d)))))
         case ("DELETE", CollR(t, d, c)) =>
           client(t, d).deleteCollection(c)
           respond(ex, 200, "{}")
@@ -492,77 +621,17 @@ final class HttpFace(spark: SparkSession, root: String,
             "include" -> JArray(include.map(jStr).toList)))))
         case ("GET", OpR(t, d, c, "fork_count")) =>
           respond(ex, 200, s"""{"count":${client(t, d).forkCount(c)}}""")
-        // conditional transaction pair (`server.rs` conditional_get /
-        // conditional_commit; payloads `api_types.rs:2131-2201`): the
-        // read token is the OCC log offset pinning the validation
-        // window's lower bound — FIRST token wins across chained reads;
-        // read_ids stay client-side and ride the commit payload, which
-        // carries the buffered operations. A conflicting window rejects
-        // with the reference's Aborted → 400 mapping, nothing applied.
+        // the reference's wire paths are `.../conditional/get` and
+        // `.../conditional/commit` (server.rs:367-373); the flat
+        // `conditional_get`/`conditional_commit` spellings stay accepted
+        case ("POST", CondR(t, d, c, "get")) =>
+          conditionalGet(ex, t, d, c)
+        case ("POST", CondR(t, d, c, "commit")) =>
+          conditionalCommit(ex, t, d, c)
         case ("POST", OpR(t, d, c, "conditional_get")) =>
-          val j = JsonMethods.parse(readBody(ex))
-          val h = client(t, d).getCollection(c)
-          val token = (j \ "read_token").toOption.map(_.extract[Long])
-          val tx = h.beginTransaction(token)
-          val include = (j \ "include").toOption
-            .map(_.extract[Seq[String]])
-            .getOrElse(Seq("documents", "metadatas"))
-          val rows = h.get(
-            where = whereField(j, "where"),
-            limit = (j \ "limit").toOption.map(_.extract[Int]),
-            offset = (j \ "offset").toOption.map(_.extract[Int]).getOrElse(0),
-            include = includeCols(include),
-            ids = (j \ "ids").toOption.map(_.extract[Seq[String]]),
-            whereDocument = whereField(j, "where_document")).collect().toSeq
-          val JObject(fields) = getResponse(rows, include): @unchecked
-          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
-            fields :+ ("read_token" -> (JLong(tx.observedLogOffset): JValue))))))
+          conditionalGet(ex, t, d, c)
         case ("POST", OpR(t, d, c, "conditional_commit")) =>
-          val j = JsonMethods.parse(readBody(ex))
-          val h = client(t, d).getCollection(c)
-          val tx = h.beginTransaction(
-            (j \ "read_token").toOption.map(_.extract[Long]))
-          (j \ "read_ids").toOption.map(_.extract[Seq[String]])
-            .filter(_.nonEmpty).foreach(tx.trackReads)
-          var recordCount = 0L
-          (j \ "operations") match {
-            case JArray(ops) => ops.foreach { op =>
-              val kind = (op \ "operation").extract[String]
-              val payload = op \ "payload"
-              kind match {
-                case "add" | "update" | "upsert" =>
-                  val rs = parseRecords(payload)
-                  recordCount += rs.size
-                  val df = recordsDf(rs)
-                  kind match {
-                    case "add" => tx.add(df)
-                    case "update" => tx.update(df)
-                    case _ => tx.upsert(df)
-                  }
-                case "delete" =>
-                  require((payload \ "where") == JNothing,
-                    "transactional delete is id-scoped (no where)")
-                  val ids = (payload \ "ids").extract[Seq[String]]
-                  recordCount += ids.size
-                  tx.delete(ids)
-                case other => throw new IllegalArgumentException(
-                  s"unknown operation '$other'")
-              }
-            }
-            case JNothing | JNull => ()
-            case other => throw new IllegalArgumentException(
-              s"operations must be an array, got $other")
-          }
-          tx.commit() match {
-            case Right(pos) => respond(ex, 200,
-              s"""{"first_inserted_record_offset":$pos,""" +
-                s""""record_count":$recordCount}""")
-            case Left(cf) => respond(ex, 400, JsonMethods.compact(
-              JsonMethods.render(JObject(
-                "error" -> jStr("conditional commit conflict"),
-                "validated_through" -> JLong(cf.validatedThrough),
-                "conflict_ids" -> JArray(cf.ids.map(jStr).toList)))))
-          }
+          conditionalCommit(ex, t, d, c)
         case ("POST", OpR(t, d, c, "fork")) =>
           val j = JsonMethods.parse(readBody(ex))
           val h = client(t, d).forkCollection(c,
@@ -698,4 +767,11 @@ final class HttpFace(spark: SparkSession, root: String,
   // thread-safe (Spark sessions schedule jobs from many threads, client
   // construction is computeIfAbsent, write paths CAS through the WAL)
   server.setExecutor(pool)
+}
+
+object HttpFace {
+  /** Served by `GET /api/v2/version` — the reference returns its crate
+    * version string the same way (frontend-core/src/routes.rs:174).
+    */
+  val Version = "0.13.0"
 }

@@ -233,13 +233,13 @@ class HttpFaceWireSpec extends AnyFunSuite {
 
       // conditional transaction: read pins the token, commit validates
       // the window (observed, tail] against read ∪ write ids
-      val (cg1, jg1) = req("POST", s"$base/collections/ctc/conditional_get",
+      val (cg1, jg1) = req("POST", s"$base/collections/ctc/conditional/get",
         """{"ids":["a"]}""")
       assert(cg1 == 200, s"conditional_get failed: $jg1")
       val token = (jg1 \ "read_token").extract[Long]
       assert((jg1 \ "documents").extract[Seq[String]] == Seq("da"))
       val (cc1, jc1) = req("POST",
-        s"$base/collections/ctc/conditional_commit",
+        s"$base/collections/ctc/conditional/commit",
         s"""{"read_token":$token,"read_ids":["a"],"operations":[
            |  {"operation":"upsert",
            |   "payload":{"ids":["a"],"documents":["da v2"]}}]}""".stripMargin)
@@ -324,6 +324,62 @@ class HttpFaceWireSpec extends AnyFunSuite {
       hold.countDown(); ts.foreach(_.join())
       assert(req("POST", s"$base/collections/adm/get",
         """{"limit":1}""")._1 == 200, "freed permits admit again")
+    } finally face.stop()
+  }
+
+  test("system router: heartbeat/healthcheck/pre-flight/version/identity " +
+      "answer the reference shapes; by-id resolves; v1 answers 410") {
+    val root = java.nio.file.Files.createTempDirectory("graft_http_sys").toString
+    val face = new graft.api.HttpFace(spark, root)
+    val port = face.start()
+    try {
+      val api = s"http://127.0.0.1:$port/api/v2"
+
+      // heartbeat on both mounts, field spelled with a space
+      // (`api-types/src/heartbeat.rs:6`), nanosecond epoch magnitude
+      for (u <- Seq(api, s"$api/heartbeat")) {
+        val (c, j) = req("GET", u)
+        assert(c == 200)
+        val ns = (j \ "nanosecond heartbeat").extract[Long]
+        assert(ns > 1e18.toLong, s"epoch nanos expected, got $ns")
+      }
+
+      val (ch, jh) = req("GET", s"$api/healthcheck")
+      assert(ch == 200)
+      assert((jh \ "is_executor_ready").extract[Boolean])
+      assert((jh \ "is_log_client_ready").extract[Boolean])
+
+      // pre-flight advertises the face's write-batch quota
+      val (cp, jp) = req("GET", s"$api/pre-flight-checks")
+      assert(cp == 200)
+      assert((jp \ "max_batch_size").extract[Long] ==
+        graft.api.Quotas.CloudDefaults.maxBatchRecords.toLong)
+      assert((jp \ "supports_base64_encoding").extract[Boolean])
+
+      val (cv, jv) = req("GET", s"$api/version")
+      assert(cv == 200 && jv.extract[String] == graft.api.HttpFace.Version)
+
+      val (ci, ji) = req("GET", s"$api/auth/identity")
+      assert(ci == 200)
+      assert((ji \ "tenant").extract[String] == "default_tenant")
+      assert((ji \ "databases").extract[Seq[String]] ==
+        Seq("default_database"))
+
+      // by-id: the engine's collection id IS its name — same descriptor
+      val base = s"$api/tenants/t1/databases/db1"
+      req("POST", s"$base/collections", """{"name":"sys"}""")
+      val (cb, jb) = req("GET", s"$base/collections/by-id/sys")
+      assert(cb == 200)
+      assert((jb \ "id").extract[String] == "sys")
+      assert((jb \ "name").extract[String] == "sys")
+      assert(req("GET", s"$base/collections/by-id/nope")._1 == 404)
+
+      // v1 is GONE with the reference's deprecation body
+      val (c1, j1) = req("GET",
+        s"http://127.0.0.1:$port/api/v1/collections")
+      assert(c1 == 410)
+      assert((j1 \ "message").extract[String].contains("v1 API is deprecated"))
+      assert(req("POST", s"http://127.0.0.1:$port/api/v1/x", "{}")._1 == 410)
     } finally face.stop()
   }
 }
