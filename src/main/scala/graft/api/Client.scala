@@ -1227,30 +1227,56 @@ final class CollectionHandle(spark: SparkSession,
     def toIds(cand: DataFrame): DataFrame =
       seg.select(col("offset_id"), col("id"))
         .join(cand, Seq("offset_id")).select("id")
+    // the segment's persisted row count, shared by every build key below
+    // — one _segmeta read instead of one count job per index leg
+    lazy val segN: Option[Long] =
+      CollectionStore.readSegMeta(dataRoot).map(_._3)
+    // Index-leg builds run in TWO passes: route(w) first evaluates DRY —
+    // probes register their (marker-idempotent) serving builds here and
+    // return sentinel frames — then the registered builds run
+    // CONCURRENTLY (independent Spark jobs over different keys that
+    // individually underutilize the cluster; the scheduler overlaps
+    // them), then route(w) re-evaluates for real against built markers.
+    // Because the dry pass IS the routing logic, an Or the router drops
+    // builds nothing at all.
+    var dryPass = true
+    val pendingBuilds =
+      new scala.collection.mutable.LinkedHashMap[String, () => Unit]
+    lazy val sentinel = seg.select(col("offset_id")).limit(0)
+    def building(tag: String)(build: => Unit)(real: => DataFrame): DataFrame =
+      if (dryPass) { pendingBuilds.getOrElseUpdate(tag, () => build); sentinel }
+      else { build; real }
     // builds key on the segment CONTENT fingerprint: a re-compaction
     // that changes values but keeps the row count must rebuild, or the
     // prefilter would serve stale postings and drop matching rows
     def probe(k: String, cfg: Catalog.KeyConfig,
-        vs: Seq[graft.model.Where.Value]): DataFrame = {
-      CollectionStore.metaInvertedServing(seg, dataRoot, k, cfg.valueType,
-        keyTag = segMetaTag(seg))
-      graft.operators.MetaInverted.candidateIds(spark, dataRoot, k,
-        vs.map(graft.operators.MetaInverted.renderValue))
-    }
+        vs: Seq[graft.model.Where.Value]): DataFrame =
+      building(s"inv:$k") {
+        CollectionStore.metaInvertedServing(seg, dataRoot, k, cfg.valueType,
+          keyTag = segMetaTag(seg), knownCount = segN)
+      } {
+        graft.operators.MetaInverted.candidateIds(spark, dataRoot, k,
+          vs.map(graft.operators.MetaInverted.renderValue))
+      }
     def rangeProbe(k: String, cfg: Catalog.KeyConfig,
-        leaves: Seq[graft.operators.MetaRange.Leaf]): DataFrame = {
-      CollectionStore.metaRangeServing(seg, dataRoot, k, cfg.valueType,
-        keyTag = segMetaTag(seg))
-      graft.operators.MetaRange.candidateIds(spark, dataRoot, k, leaves)
-    }
+        leaves: Seq[graft.operators.MetaRange.Leaf]): DataFrame =
+      building(s"rng:$k") {
+        CollectionStore.metaRangeServing(seg, dataRoot, k, cfg.valueType,
+          keyTag = segMetaTag(seg), knownCount = segN)
+      } {
+        graft.operators.MetaRange.candidateIds(spark, dataRoot, k, leaves)
+      }
     val ftsOk = ref.schema.documentFts
-    def ftsProbe(dnf: Seq[Seq[String]]): DataFrame = {
-      CollectionStore.ftsServing(
-        seg.select(col("offset_id").as("doc_id"),
-          col("document").as("text")), dataRoot, keyTag = segMetaTag(seg))
-      graft.operators.Fts.candidateIdsDnf(spark, dataRoot, dnf)
-        .select(col("doc_id").as("offset_id"))
-    }
+    def ftsProbe(dnf: Seq[Seq[String]]): DataFrame =
+      building("fts") {
+        CollectionStore.ftsServing(
+          seg.select(col("offset_id").as("doc_id"),
+            col("document").as("text")), dataRoot,
+          keyTag = segMetaTag(seg), knownCount = segN)
+      } {
+        graft.operators.Fts.candidateIdsDnf(spark, dataRoot, dnf)
+          .select(col("doc_id").as("offset_id"))
+      }
     def andDocNeedle(c: Where.Expr): Boolean = c match {
       case Where.DocContains(n, false) => ftsOk && n.length >= 3
       case _ => false
@@ -1308,7 +1334,32 @@ final class CollectionHandle(spark: SparkSession,
           .orElse(routableRangeKeys(rangeLeaf(leaf).toSeq).headOption
             .map { case (k, cfg, ls) => rangeProbe(k, cfg, ls) })
     }
-    route(w).map(toIds).map { ids =>
+    val routed = route(w) match {
+      case None => None // nothing routable — and nothing was built
+      case Some(_) =>
+        dryPass = false
+        if (pendingBuilds.size > 1) {
+          // pre-warm the shared fingerprint so the workers don't race
+          // duplicate tag jobs, then build the legs concurrently
+          segMetaTag(seg)
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(pendingBuilds.size, 4))
+          try pendingBuilds.values.toSeq
+            .map(b => pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = b()
+            }))
+            .foreach { f =>
+              try f.get()
+              catch {
+                case e: java.util.concurrent.ExecutionException =>
+                  throw e.getCause
+              }
+            }
+          finally pool.shutdown()
+        }
+        route(w)
+    }
+    routed.map(toIds).map { ids =>
       if (level == ReadLevel.IndexAndWal)
         writer.tailIds.map(t => ids.union(t.select(col("id"))).distinct())
           .getOrElse(ids)

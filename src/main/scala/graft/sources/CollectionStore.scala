@@ -404,13 +404,14 @@ object CollectionStore {
     * [[Fts.containsSearch]]/[[Fts.regexSearch]] against the returned root.
     */
   def ftsServing(docs: DataFrame, root: String,
-      nBuckets: Int = Fts.DefaultBuckets, keyTag: String = ""): String = {
+      nBuckets: Int = Fts.DefaultBuckets, keyTag: String = "",
+      knownCount: Option[Long] = None): String = {
     // a CONTENT keyTag (the facade's segment fingerprint) re-keys the
     // build across re-compactions that keep the row count — same
     // contract as ivfServing; count-keying alone is only safe for
     // immutable corpora (the bench tables)
     once(s"fts-$root-$nBuckets-$keyTag") {
-      val key = s"fts-$nBuckets-$keyTag-n${docs.count()}"
+      val key = s"fts-$nBuckets-$keyTag-n${knownCount.getOrElse(docs.count())}"
       ensureBuilt(root, "fts", key) {
         Fts.buildAndSave(docs, root, nBuckets)
       }
@@ -426,14 +427,19 @@ object CollectionStore {
   def metaInvertedServing(records: DataFrame, root: String,
       metaKey: String, vtype: Catalog.ValueType,
       nBuckets: Int = graft.operators.MetaInverted.DefaultBuckets,
-      keyTag: String = ""): String = {
+      keyTag: String = "",
+      knownCount: Option[Long] = None): String = {
     // keyTag = the segment CONTENT fingerprint (CollectionHandle.segTag):
     // a re-compaction that changes values but not the row count must
     // re-key this build, or the get() prefilter would serve stale
-    // postings and silently drop matching rows
+    // postings and silently drop matching rows.
+    // knownCount: the caller's already-persisted row count for the SAME
+    // frame (the segment's _segmeta `n`) — skips the per-key count job a
+    // multi-key predicate would otherwise pay once per leg
     val enc = java.net.URLEncoder.encode(metaKey, "UTF-8")
     once(s"metainv-$root-$enc-$nBuckets-$keyTag") {
-      val key = s"metainv-$enc-$nBuckets-$keyTag-n${records.count()}"
+      val n = knownCount.getOrElse(records.count())
+      val key = s"metainv-$enc-$nBuckets-$keyTag-n$n"
       ensureBuilt(root, s"meta_inverted_$enc", key) {
         graft.operators.MetaInverted.buildAndSave(
           records, root, metaKey, vtype, nBuckets)
@@ -452,10 +458,12 @@ object CollectionStore {
   def metaRangeServing(records: DataFrame, root: String,
       metaKey: String, vtype: Catalog.ValueType,
       nBuckets: Int = graft.operators.MetaRange.DefaultBuckets,
-      keyTag: String = ""): String = {
+      keyTag: String = "",
+      knownCount: Option[Long] = None): String = {
     val enc = java.net.URLEncoder.encode(metaKey, "UTF-8")
     once(s"metarange-$root-$enc-$nBuckets-$keyTag") {
-      val key = s"metarange-$enc-$nBuckets-$keyTag-n${records.count()}"
+      val n = knownCount.getOrElse(records.count())
+      val key = s"metarange-$enc-$nBuckets-$keyTag-n$n"
       ensureBuilt(root, s"meta_range_$enc", key) {
         graft.operators.MetaRange.buildAndSave(
           records, root, metaKey, vtype, nBuckets)
