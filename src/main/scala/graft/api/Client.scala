@@ -1757,7 +1757,8 @@ final class CollectionHandle(spark: SparkSession,
           .loadRecords(spark, dataRoot).columns.contains("meta_sparse") =>
         val seg = CollectionStore.loadRecords(spark, dataRoot)
         CollectionStore.sparseServing(seg, key, dataRoot,
-          keyTag = segMetaTag(seg))
+          keyTag = segMetaTag(seg),
+          knownCount = CollectionStore.readSegMeta(dataRoot).map(_._3))
         val (tail, stale, _) = tailAndStale(readLevel)
         // tail offsets are leg-local — shift them clear of the segment
         // doc-id space so the merged scoring can never alias two records

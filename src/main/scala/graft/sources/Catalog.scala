@@ -978,12 +978,21 @@ object Catalog {
         .cast("string")).collect()(0)
       if (r.isNullAt(0)) "empty" else r.getString(0)
     }
+    // the segment's persisted row count, shared by every build key — one
+    // _segmeta read instead of one count job per index family
+    val segN = CollectionStore.readSegMeta(ref.dataRoot).map(_._3)
+    // the index families are independent (distinct dirs, distinct build
+    // markers) and each underutilizes the cluster alone at compaction
+    // scale — collect them as thunks and let the scheduler overlap them
+    val builds = scala.collection.mutable.ArrayBuffer[() => Unit]()
     ref.schema.embedding.foreach { e =>
       val vecs = records.select(col("offset_id"), col("embedding"))
-      CollectionStore.ivfServing(vecs, ref.dataRoot, nCentroids, nReplica,
-        keyTag = tag)
-      CollectionStore.hnswServing(vecs, ref.dataRoot, space = e.space,
-        keyTag = tag)
+      builds += (() =>
+        CollectionStore.ivfServing(vecs, ref.dataRoot, nCentroids, nReplica,
+          keyTag = tag, knownCount = segN))
+      builds += (() =>
+        CollectionStore.hnswServing(vecs, ref.dataRoot, space = e.space,
+          keyTag = tag, knownCount = segN))
     }
     // sparse keys with indexed=true get their Block-Max posting index at
     // compaction (the reference's per-key sparse_vector_index build);
@@ -993,13 +1002,35 @@ object Catalog {
           records.columns.contains("meta_sparse") =>
         // a segment stored without the column carries no sparse values —
         // nothing to index (raw writeCollection with scalar-only records)
-        CollectionStore.sparseServing(records, k, ref.dataRoot, keyTag = mtag)
+        builds += (() => CollectionStore.sparseServing(records, k,
+          ref.dataRoot, keyTag = mtag, knownCount = segN))
       case _ => ()
     }
     if (ref.schema.documentFts)
-      CollectionStore.ftsServing(
+      builds += (() => CollectionStore.ftsServing(
         records.select(col("offset_id").as("doc_id"), col("document").as("text")),
-        ref.dataRoot, keyTag = mtag)
+        ref.dataRoot, keyTag = mtag, knownCount = segN))
+    if (builds.size > 1) {
+      // pre-warm the shared fingerprints the thunks close over, so the
+      // workers don't race duplicate tag jobs
+      if (ref.schema.embedding.isDefined) tag
+      if (ref.schema.documentFts || ref.schema.keys.exists(
+          kc => kc._2.valueType == VSparseVector && kc._2.indexed)) mtag
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(builds.size, 4))
+      try builds.toSeq
+        .map(b => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = b()
+        }))
+        .foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      finally pool.shutdown()
+    } else builds.foreach(_())
   }
 
   /** Write records (validated) + provision declared indexes + open. */

@@ -294,12 +294,13 @@ object CollectionStore {
       nReplica: Int = 2, seed: Long = 42L, space: String = "cosine",
       graphRouteThreshold: Int = CentroidGraphThreshold,
       keyTag: String = "",
-      fitSampleMax: Long = Ivf.FitSampleMax): Ivf.Model = {
+      fitSampleMax: Long = Ivf.FitSampleMax,
+      knownCount: Option[Long] = None): Ivf.Model = {
     // a non-default fit sample re-keys the build; the default keeps the
     // pre-existing key (and every already-built index) stable
     val fs = if (fitSampleMax == Ivf.FitSampleMax) "" else s"-fs$fitSampleMax"
     once(s"ivf-$root-$nCentroids-$nReplica-$seed-$keyTag$fs") {
-      val n = vecs.count()
+      val n = knownCount.getOrElse(vecs.count())
       val key = s"ivf-$nCentroids-$nReplica-$seed-n$n-$keyTag$fs"
       ensureBuilt(root, "ivf", key) {
         saveIvf(Ivf.build(vecs, nCentroids, nReplica, seed,
@@ -371,7 +372,8 @@ object CollectionStore {
     */
   def hnswServing(vecs: DataFrame, root: String, m: Int = 16,
       efConstruction: Int = 100, space: String = "cosine",
-      keyTag: String = ""): String = {
+      keyTag: String = "",
+      knownCount: Option[Long] = None): String = {
     // past the flat fan-out threshold, default to the centroid-routed
     // layout (SPANN centers-search): one graph per k-means centroid,
     // partition-pruned probes — searchSaved detects the persisted
@@ -385,7 +387,7 @@ object CollectionStore {
       // v3: centroid-routed layout past the partition threshold
       // (nReplica 4 — same closure-assignment density the IVF serving
       // defaults use; recall at nprobe 8/32 is gated in HnswSpec)
-      val n = vecs.count()
+      val n = knownCount.getOrElse(vecs.count())
       val key =
         s"hnsw-v3-$m-$efConstruction-$space-n$n-p$nParts-r4-$keyTag"
       ensureBuilt(root, "hnsw", key) {
@@ -499,13 +501,14 @@ object CollectionStore {
     */
   def sparseServing(records: DataFrame, key: String, root: String,
       nBuckets: Int = 64, blockSpan: Long = SparseBlockSpan,
-      keyTag: String = ""): String = {
+      keyTag: String = "",
+      knownCount: Option[Long] = None): String = {
     // keyTag = the segment CONTENT fingerprint on facade collections
     // (same contract as metaInvertedServing); count-only keying is only
     // safe for immutable corpora (the bench tables)
     once(s"sparse-$root-$key-$nBuckets-$blockSpan-$keyTag") {
-      val buildKey =
-        s"sparse-v2-$key-$nBuckets-$blockSpan-$keyTag-n${records.count()}"
+      val buildKey = s"sparse-v2-$key-$nBuckets-$blockSpan-$keyTag" +
+        s"-n${knownCount.getOrElse(records.count())}"
       ensureBuilt(root, s"sparse_$key", buildKey) {
         sparsePostingRows(records, key, nBuckets, blockSpan)
           .repartition(col("bucket")) // one writer per bucket
