@@ -237,6 +237,90 @@ class HttpFaceFuzzSpec extends AnyFunSuite {
     } finally face.stop()
   }
 
+  test("random filtered gets and knn queries answer identically over " +
+      "the wire and in-process") {
+    val rnd = new scala.util.Random(13L)
+    val root = java.nio.file.Files.createTempDirectory("graft_fz_qry").toString
+    val face = new graft.api.HttpFace(spark, root)
+    val port = face.start()
+    try {
+      val base = s"http://127.0.0.1:$port/api/v2/tenants/t1/databases/db1"
+      assert(post(s"$base/collections", """{"name":"fqz"}""")._1 == 200)
+      // the same records through BOTH surfaces' write paths would test
+      // the writer twice — here one write, two READ paths over it
+      val recs = gen(rnd, 90).map(r => r.copy(
+        emb = Some(r.emb.getOrElse(Seq.fill(4)(0f))),
+        mi = r.mi + ("bucket" -> rnd.nextInt(5).toLong),
+        ms = r.ms + ("tier" -> s"t${rnd.nextInt(3)}")))
+      recs.grouped(45).foreach { b =>
+        assert(post(s"$base/collections/fqz/add", payload(b))._1 == 201)
+      }
+      val inproc = new graft.api.Client(spark, root, "t1", "db1")
+        .getCollection("fqz")
+
+      // 25 random where trees over the planted keys: wire get and
+      // in-process get must agree on the matching id set
+      def leaf(): String = rnd.nextInt(4) match {
+        case 0 => s"""{"bucket":{"$$eq":${rnd.nextInt(5)}}}"""
+        case 1 => s"""{"tier":{"$$eq":"t${rnd.nextInt(3)}"}}"""
+        case 2 => s"""{"bucket":{"$$gte":${rnd.nextInt(5)}}}"""
+        case _ => s"""{"bucket":{"$$in":[${rnd.nextInt(5)},${rnd.nextInt(5)}]}}"""
+      }
+      def tree(depth: Int): String =
+        if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+        else {
+          val op = if (rnd.nextBoolean()) "$and" else "$or"
+          s"""{"$op":[${tree(depth - 1)},${tree(depth - 1)}]}"""
+        }
+      (1 to 25).foreach { _ =>
+        val w = tree(2)
+        val (c, body) = post(s"$base/collections/fqz/get",
+          s"""{"where":$w,"limit":300,"include":[]}""")
+        assert(c == 200, s"wire get where=$w failed: $body")
+        val wireIds = (JsonMethods.parse(body) \ "ids")
+          .extract[Seq[String]].toSet
+        val procIds = inproc.get(
+          where = Some(graft.model.WhereParser.parse(w)),
+          limit = Some(300), include = Seq())
+          .collect().map(_.getString(0)).toSet
+        assert(wireIds == procIds,
+          s"where=$w: wire=${wireIds.size} ids, proc=${procIds.size}; " +
+            s"wire-only=${wireIds -- procIds} proc-only=${procIds -- wireIds}")
+      }
+
+      // 15 random knn queries: distances must match to float tolerance,
+      // ids must match wherever the distance uniquely ranks them
+      (1 to 15).foreach { _ =>
+        val q = Seq.fill(4)(math.round(rnd.nextFloat() * 1000) / 64f)
+        val (c, body) = post(s"$base/collections/fqz/query",
+          s"""{"query_embeddings":[[${q.mkString(",")}]],"n_results":7,
+             |"include":["distances"]}""".stripMargin)
+        assert(c == 200, s"wire query failed: $body")
+        val j = JsonMethods.parse(body)
+        val wireIds = (j \ "ids")(0).extract[Seq[String]]
+        val wireDs = (j \ "distances")(0).extract[Seq[Double]]
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val qdf = Seq((0L, q)).toDF("query_id", "q_embedding")
+          .withColumn("q_embedding", col("q_embedding").cast("array<float>"))
+        val proc = inproc.query(qdf, 7).orderBy(col("rank"))
+          .select("id", "dist").collect()
+          .map(r => (r.getString(0), r.getDouble(r.fieldIndex("dist"))))
+        assert(wireDs.size == proc.length)
+        wireDs.zip(proc.map(_._2)).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-5, s"distance drift: $a vs $b")
+        }
+        wireIds.zip(proc.map(_._1)).zipWithIndex.foreach {
+          case ((wi, pi), r) =>
+            val tied = proc.map(_._2).count(d =>
+              math.abs(d - proc(r)._2) < 1e-9) > 1
+            assert(tied || wi == pi,
+              s"rank $r: wire=$wi proc=$pi (untied distance)")
+        }
+      }
+    } finally face.stop()
+  }
+
   test("malformed and ill-typed wire bodies answer 400 with a JSON error") {
     val root = java.nio.file.Files.createTempDirectory("graft_fz_err").toString
     val face = new graft.api.HttpFace(spark, root)
