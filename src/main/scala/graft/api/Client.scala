@@ -1319,10 +1319,19 @@ final class CollectionHandle(spark: SparkSession,
         else Some(all.reduce((a, b) =>
           a.join(b, Seq("offset_id"), "left_semi")))
       case Where.Or(bs) if bs.nonEmpty =>
+        // all-or-nothing: one unroutable branch drops the whole Or — and
+        // on the dry pass, also un-registers the builds its OTHER
+        // branches queued, so a dropped disjunct never builds an index
+        // leg the real pass will not probe
+        val before = pendingBuilds.keySet.toSet
         val legs = bs.map(route)
         if (legs.forall(_.isDefined))
           Some(legs.flatten.reduce(_ union _).distinct())
-        else None
+        else {
+          if (dryPass)
+            (pendingBuilds.keySet.toSet -- before).foreach(pendingBuilds.remove)
+          None
+        }
       case Where.IdIn(ids) if ids.nonEmpty =>
         Some(seg.filter(col("id").isin(ids: _*)).select("offset_id"))
       case Where.DocContains(n, false) if ftsOk && n.length >= 3 =>
@@ -1338,25 +1347,11 @@ final class CollectionHandle(spark: SparkSession,
       case None => None // nothing routable — and nothing was built
       case Some(_) =>
         dryPass = false
-        if (pendingBuilds.size > 1) {
+        if (pendingBuilds.size > 1)
           // pre-warm the shared fingerprint so the workers don't race
           // duplicate tag jobs, then build the legs concurrently
           segMetaTag(seg)
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            math.min(pendingBuilds.size, 4))
-          try pendingBuilds.values.toSeq
-            .map(b => pool.submit(new java.util.concurrent.Callable[Unit] {
-              def call(): Unit = b()
-            }))
-            .foreach { f =>
-              try f.get()
-              catch {
-                case e: java.util.concurrent.ExecutionException =>
-                  throw e.getCause
-              }
-            }
-          finally pool.shutdown()
-        }
+        CollectionStore.runBuilds(pendingBuilds.values.toSeq)
         route(w)
     }
     routed.map(toIds).map { ids =>

@@ -80,6 +80,20 @@ final class HttpFace(spark: SparkSession, root: String,
   private def client(t: String, d: String): Client =
     clients.computeIfAbsent((t, d), _ => new Client(spark, root, t, d, limits))
 
+  /** [[client]] for routes that ADDRESS existing state (reads, collection
+    * ops): the Client constructor provisions tenant+database on open —
+    * correct for the create routes, but a read must never resurrect a
+    * deleted database (DELETE then GET would flip back to 200). Throws
+    * the "no such" shape the handler maps to 404.
+    */
+  private def readClient(t: String, d: String): Client = {
+    if (!graft.sources.Catalog.listDatabases(root, t).contains(d)) {
+      clients.remove((t, d)) // a cached handle points at deleted state
+      throw new NoSuchElementException(s"no such database $t/$d")
+    }
+    client(t, d)
+  }
+
   def port: Int = server.getAddress.getPort
 
   def start(): Int = { server.start(); port }
@@ -261,7 +275,7 @@ final class HttpFace(spark: SparkSession, root: String,
   private def conditionalGet(ex: HttpExchange, t: String, d: String,
       c: String): Unit = {
     val j = JsonMethods.parse(readBody(ex))
-    val h = client(t, d).getCollection(c)
+    val h = readClient(t, d).getCollection(c)
     val token = (j \ "read_token").toOption.map(_.extract[Long])
     val tx = h.beginTransaction(token)
     val include = (j \ "include").toOption
@@ -282,7 +296,7 @@ final class HttpFace(spark: SparkSession, root: String,
   private def conditionalCommit(ex: HttpExchange, t: String, d: String,
       c: String): Unit = {
     val j = JsonMethods.parse(readBody(ex))
-    val h = client(t, d).getCollection(c)
+    val h = readClient(t, d).getCollection(c)
     val tx = h.beginTransaction(
       (j \ "read_token").toOption.map(_.extract[Long]))
     (j \ "read_ids").toOption.map(_.extract[Seq[String]])
@@ -317,9 +331,18 @@ final class HttpFace(spark: SparkSession, root: String,
         s"operations must be an array, got $other")
     }
     tx.commit() match {
-      case Right(pos) => respond(ex, 200,
-        s"""{"first_inserted_record_offset":$pos,""" +
-          s""""record_count":$recordCount}""")
+      case Right(pos) =>
+        // the reference's ConditionalCommitResult carries the first
+        // RECORD offset (Option<i64>, conditional_transaction.rs:66-69)
+        // — commit() returns the won ENTRY position n, whose records
+        // take offsets n*OffsetStride+rank; null when nothing inserted
+        val first =
+          if (recordCount > 0)
+            (pos * graft.sources.WalStore.OffsetStride).toString
+          else "null"
+        respond(ex, 200,
+          s"""{"first_inserted_record_offset":$first,""" +
+            s""""record_count":$recordCount}""")
       case Left(cf) => respond(ex, 400, JsonMethods.compact(
         JsonMethods.render(JObject(
           "error" -> jStr("conditional commit conflict"),
@@ -328,6 +351,30 @@ final class HttpFace(spark: SparkSession, root: String,
     }
   }
 
+  // route shapes, compiled once (handle() runs per request on the
+  // serving pool — 13 Pattern.compile calls per request is pure waste)
+  private val CrnR = "^/api/v2/collections/([^/]+)$".r
+  private val CollsR = "^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections$".r
+  private val ByIdR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
+    "by-id/([^/]+)$").r
+  private val CondR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
+    "([^/]+)/conditional/(get|commit)$").r
+  private val CollR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
+    "([^/]+)$").r
+  private val OpR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
+    "([^/]+)/([a-z_]+)$").r
+  private val FnAttachR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/" +
+    "collections/([^/]+)/functions/attach$").r
+  private val FnR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
+    "([^/]+)/functions/([^/]+)$").r
+  private val FnOpR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/" +
+    "collections/([^/]+)/attached_functions/([^/]+)/([a-z_]+)$").r
+  private val TenantsR = "^/api/v2/tenants$".r
+  private val TenantR = "^/api/v2/tenants/([^/]+)$".r
+  private val DbsR = "^/api/v2/tenants/([^/]+)/databases$".r
+  private val DbR = "^/api/v2/tenants/([^/]+)/databases/([^/]+)$".r
+  private val CollsCountR =
+    "^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections_count$".r
   // ---- routing ----------------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit = {
@@ -337,28 +384,6 @@ final class HttpFace(spark: SparkSession, root: String,
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod
     try {
-      val CrnR = "^/api/v2/collections/([^/]+)$".r
-      val CollsR = "^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections$".r
-      val ByIdR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
-        "by-id/([^/]+)$").r
-      val CondR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
-        "([^/]+)/conditional/(get|commit)$").r
-      val CollR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
-        "([^/]+)$").r
-      val OpR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
-        "([^/]+)/([a-z_]+)$").r
-      val FnAttachR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/" +
-        "collections/([^/]+)/functions/attach$").r
-      val FnR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections/" +
-        "([^/]+)/functions/([^/]+)$").r
-      val FnOpR = ("^/api/v2/tenants/([^/]+)/databases/([^/]+)/" +
-        "collections/([^/]+)/attached_functions/([^/]+)/([a-z_]+)$").r
-      val TenantsR = "^/api/v2/tenants$".r
-      val TenantR = "^/api/v2/tenants/([^/]+)$".r
-      val DbsR = "^/api/v2/tenants/([^/]+)/databases$".r
-      val DbR = "^/api/v2/tenants/([^/]+)/databases/([^/]+)$".r
-      val CollsCountR =
-        "^/api/v2/tenants/([^/]+)/databases/([^/]+)/collections_count$".r
       (method, path) match {
         // ---- system router (frontend-core/src/routes.rs:206-214): the
         // generic endpoints every reference frontend binary mounts ----
@@ -398,6 +423,11 @@ final class HttpFace(spark: SparkSession, root: String,
         // ALLOW_RESET setting (rejects by default; destroying a
         // deployment must be two-step intent)
         case ("POST", "/api/v2/reset") =>
+          // gate BEFORE constructing the throwaway client — its
+          // constructor provisions default_tenant/default_database, and
+          // a DENIED reset must not mutate anything
+          require(allowReset,
+            "reset is disabled (construct the face with allowReset=true)")
           new Client(spark, root, limits = limits, allowReset = allowReset)
             .reset()
           clients.clear() // cached handles point at wiped state
@@ -447,7 +477,7 @@ final class HttpFace(spark: SparkSession, root: String,
           else respond(ex, 200, JsonMethods.compact(JsonMethods.render(
             JObject("name" -> jStr(d), "tenant" -> jStr(t)))))
         case ("GET", CollsCountR(t, d)) =>
-          respond(ex, 200, s"""{"count":${client(t, d).countCollections()}}""")
+          respond(ex, 200, s"""{"count":${readClient(t, d).countCollections()}}""")
         case ("GET", CrnR(crn)) =>
           val h = client("default_tenant", "default_database")
             .getCollectionByCrn(crn)
@@ -471,10 +501,10 @@ final class HttpFace(spark: SparkSession, root: String,
           }
         case ("GET", CollsR(t, d)) =>
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(
-            JArray(client(t, d).listCollections()
+            JArray(readClient(t, d).listCollections()
               .map(n => JObject("name" -> jStr(n))).toList))))
         case ("GET", CollR(t, d, c)) =>
-          val h = client(t, d).getCollection(c)
+          val h = readClient(t, d).getCollection(c)
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
             "name" -> jStr(h.ref.name), "tenant" -> jStr(t),
             "database" -> jStr(d)))))
@@ -483,18 +513,18 @@ final class HttpFace(spark: SparkSession, root: String,
           // resolves a collection UUID inside the tenant/database scope;
           // this engine's stable collection identifier IS its name, so
           // the id segment resolves through the same name lookup
-          val h = client(t, d).getCollection(id)
+          val h = readClient(t, d).getCollection(id)
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
             "id" -> jStr(h.ref.name), "name" -> jStr(h.ref.name),
             "tenant" -> jStr(t), "database" -> jStr(d)))))
         case ("DELETE", CollR(t, d, c)) =>
-          client(t, d).deleteCollection(c)
+          readClient(t, d).deleteCollection(c)
           respond(ex, 200, "{}")
         case ("GET", OpR(t, d, c, "count")) =>
           respond(ex, 200,
-            s"""{"count":${client(t, d).getCollection(c).count()}}""")
+            s"""{"count":${readClient(t, d).getCollection(c).count()}}""")
         case ("GET", OpR(t, d, c, "indexing_status")) =>
-          val st = client(t, d).getCollection(c).indexingStatus()
+          val st = readClient(t, d).getCollection(c).indexingStatus()
           respond(ex, 200,
             s"""{"op_indexing_progress":${st.opIndexingProgress},""" +
             s""""num_unindexed_ops":${st.numUnindexedOps},""" +
@@ -502,7 +532,7 @@ final class HttpFace(spark: SparkSession, root: String,
             s""""total_ops":${st.totalOps}}""")
         case ("POST", OpR(t, d, c, op))
             if op == "add" || op == "upsert" || op == "update" =>
-          val h = client(t, d).getCollection(c)
+          val h = readClient(t, d).getCollection(c)
           val df = recordsDf(parseRecords(JsonMethods.parse(readBody(ex))))
           op match {
             case "add" => h.add(df)
@@ -513,7 +543,7 @@ final class HttpFace(spark: SparkSession, root: String,
           respond(ex, 201, s"""{"log_position":$pos}""")
         case ("POST", OpR(t, d, c, "delete")) =>
           val j = JsonMethods.parse(readBody(ex))
-          val h = client(t, d).getCollection(c)
+          val h = readClient(t, d).getCollection(c)
           val n = h.delete(
             ids = (j \ "ids").toOption.map(_.extract[Seq[String]]),
             where = whereField(j, "where"),
@@ -522,7 +552,7 @@ final class HttpFace(spark: SparkSession, root: String,
           respond(ex, 200, s"""{"deleted":$n}""")
         case ("POST", OpR(t, d, c, "get")) =>
           val j = JsonMethods.parse(readBody(ex))
-          val h = client(t, d).getCollection(c)
+          val h = readClient(t, d).getCollection(c)
           val include = (j \ "include").toOption
             .map(_.extract[Seq[String]])
             .getOrElse(Seq("documents", "metadatas"))
@@ -564,7 +594,7 @@ final class HttpFace(spark: SparkSession, root: String,
             JsonMethods.render(getResponse(rows, include))))
         case ("POST", OpR(t, d, c, "query")) =>
           val j = JsonMethods.parse(readBody(ex))
-          val h = client(t, d).getCollection(c)
+          val h = readClient(t, d).getCollection(c)
           import spark.implicits._
           val queries = (j \ "query_embeddings").extract[Seq[Seq[Double]]]
           // bounds the N in the route's N×k result collect (the
@@ -620,7 +650,7 @@ final class HttpFace(spark: SparkSession, root: String,
             when("metadatas")(contentOuter(metaJson)),
             "include" -> JArray(include.map(jStr).toList)))))
         case ("GET", OpR(t, d, c, "fork_count")) =>
-          respond(ex, 200, s"""{"count":${client(t, d).forkCount(c)}}""")
+          respond(ex, 200, s"""{"count":${readClient(t, d).forkCount(c)}}""")
         // the reference's wire paths are `.../conditional/get` and
         // `.../conditional/commit` (server.rs:367-373); the flat
         // `conditional_get`/`conditional_commit` spellings stay accepted
@@ -634,7 +664,7 @@ final class HttpFace(spark: SparkSession, root: String,
           conditionalCommit(ex, t, d, c)
         case ("POST", OpR(t, d, c, "fork")) =>
           val j = JsonMethods.parse(readBody(ex))
-          val h = client(t, d).forkCollection(c,
+          val h = readClient(t, d).forkCollection(c,
             (j \ "new_name").extract[String])
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
             "name" -> jStr(h.ref.name),
@@ -642,7 +672,7 @@ final class HttpFace(spark: SparkSession, root: String,
         case ("PUT", CollR(t, d, c)) =>
           // update_collection: rename and/or replace metadata
           val j = JsonMethods.parse(readBody(ex))
-          val r = client(t, d).modifyCollection(c,
+          val r = readClient(t, d).modifyCollection(c,
             newName = (j \ "new_name").toOption.map(_.extract[String]),
             metadata = (j \ "new_metadata").toOption.collect {
               case JObject(fs) => fs.collect {
@@ -651,7 +681,7 @@ final class HttpFace(spark: SparkSession, root: String,
             "name" -> jStr(r.ref.name)))))
         case ("POST", FnAttachR(t, d, c)) =>
           val j = JsonMethods.parse(readBody(ex))
-          val r = client(t, d).attachFunction(c,
+          val r = readClient(t, d).attachFunction(c,
             (j \ "name").extract[String],
             (j \ "function_id").extract[String],
             (j \ "output_collection").extract[String],
@@ -665,14 +695,14 @@ final class HttpFace(spark: SparkSession, root: String,
             "name" -> jStr(r.function.name),
             "created" -> JBool(r.created)))))
         case ("GET", FnR(t, d, c, fn)) =>
-          val i = client(t, d).getAttachedFunction(c, fn)
+          val i = readClient(t, d).getAttachedFunction(c, fn)
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
             "name" -> jStr(i.name), "function_id" -> jStr(i.functionId),
             "output_collection" -> jStr(i.outputCollection),
             "active" -> JBool(i.active)))))
         case ("POST", FnOpR(t, d, c, fn, "add_input")) =>
           val j = JsonMethods.parse(readBody(ex))
-          val i = client(t, d).addAttachedFunctionInput(c, fn,
+          val i = readClient(t, d).addAttachedFunctionInput(c, fn,
             (j \ "input").extract[String])
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
             "inputs" -> JArray(i.inputCollections.map(jStr).toList)))))
@@ -681,12 +711,12 @@ final class HttpFace(spark: SparkSession, root: String,
             .getOrElse(JNothing)
           val del = (j \ "delete_output") match {
             case JBool(b) => b; case _ => false }
-          client(t, d).detachFunction(c, fn, deleteOutput = del)
+          readClient(t, d).detachFunction(c, fn, deleteOutput = del)
           respond(ex, 200, "{}")
         case ("POST", OpR(t, d, c, "search")) =>
           // the Search WIRE payload parses server-side exactly as the
           // in-process surface does — body passes through verbatim
-          val h = client(t, d).getCollection(c)
+          val h = readClient(t, d).getCollection(c)
           val body = readBody(ex)
           val reqs = graft.model.SearchParser.parseMany(body)
           val frames = h.searchAll(body)

@@ -1016,21 +1016,8 @@ object Catalog {
       if (ref.schema.embedding.isDefined) tag
       if (ref.schema.documentFts || ref.schema.keys.exists(
           kc => kc._2.valueType == VSparseVector && kc._2.indexed)) mtag
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(builds.size, 4))
-      try builds.toSeq
-        .map(b => pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = b()
-        }))
-        .foreach { f =>
-          try f.get()
-          catch {
-            case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
-          }
-        }
-      finally pool.shutdown()
-    } else builds.foreach(_())
+    }
+    CollectionStore.runBuilds(builds.toSeq)
   }
 
   /** Write records (validated) + provision declared indexes + open. */

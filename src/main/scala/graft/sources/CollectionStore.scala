@@ -214,6 +214,31 @@ object CollectionStore {
     if (!verifiedRoots.contains(memo)) { body; verifiedRoots.add(memo) }
   }
 
+  /** Run independent build thunks concurrently on a bounded pool —
+    * distinct index families/keys write distinct directories under
+    * distinct markers, and each build alone underutilizes the cluster
+    * at compaction scale, so the scheduler overlaps their jobs. The
+    * cap (4) bounds concurrent Spark jobs; failures rethrow the cause.
+    */
+  def runBuilds(thunks: Seq[() => Unit], maxThreads: Int = 4): Unit =
+    if (thunks.size <= 1) thunks.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(thunks.size, maxThreads))
+      try thunks
+        .map(b => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = b()
+        }))
+        .foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      finally pool.shutdown()
+    }
+
   def ensureBuilt(root: String, what: String, key: String)(build: => Unit): Unit = {
     val marker = java.nio.file.Paths.get(root, what, "_built")
     val ok = java.nio.file.Files.exists(marker) &&

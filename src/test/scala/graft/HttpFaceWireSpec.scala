@@ -245,6 +245,12 @@ class HttpFaceWireSpec extends AnyFunSuite {
            |   "payload":{"ids":["a"],"documents":["da v2"]}}]}""".stripMargin)
       assert(cc1 == 200, s"conditional_commit failed: $jc1")
       assert((jc1 \ "record_count").extract[Long] == 1L)
+      // the response field is the first RECORD offset (entry·stride),
+      // the reference's ConditionalCommitResult shape — not the entry n
+      val firstOff = (jc1 \ "first_inserted_record_offset").extract[Long]
+      assert(firstOff > 0 &&
+        firstOff % graft.sources.WalStore.OffsetStride == 0L,
+        s"record offset expected, got $firstOff")
       val (_, jChk) = req("POST", s"$base/collections/ctc/get",
         """{"ids":["a"],"limit":1}""")
       assert((jChk \ "documents").extract[Seq[String]] == Seq("da v2"))
@@ -281,14 +287,29 @@ class HttpFaceWireSpec extends AnyFunSuite {
       // face's allowReset — a default face rejects)
       assert(req("DELETE", s"$v2/tenants/t2/databases/dbx")._1 == 200)
       assert(req("GET", s"$v2/tenants/t2/databases/dbx")._1 == 404)
+      // addressing routes must NOT resurrect the dropped database — the
+      // client constructor provisions on open, so every read/op route
+      // guards existence first (a GET after DELETE stays 404)
+      assert(req("GET", s"$base/collections_count")._1 == 404)
+      assert(req("GET", s"$base/collections")._1 == 404)
+      assert(req("POST", s"$base/collections/ctc/get", "{}")._1 == 404)
+      assert(req("GET", s"$v2/tenants/t2/databases/dbx")._1 == 404,
+        "reads must not have re-created the dropped database")
       assert(req("POST", s"$v2/reset")._1 == 200)
       assert(req("GET", s"$v2/tenants/t2")._1 == 404,
         "reset must wipe tenants")
-      val noReset = new graft.api.HttpFace(spark,
-        java.nio.file.Files.createTempDirectory("graft_http_nr").toString)
+      val nrRoot =
+        java.nio.file.Files.createTempDirectory("graft_http_nr").toString
+      val noReset = new graft.api.HttpFace(spark, nrRoot)
       val p2 = noReset.start()
-      try assert(req("POST", s"http://127.0.0.1:$p2/api/v2/reset")._1 == 400)
-      finally noReset.stop()
+      try {
+        assert(req("POST", s"http://127.0.0.1:$p2/api/v2/reset")._1 == 400)
+        // a DENIED reset must not mutate: the throwaway client used to
+        // provision default_tenant before the gate fired
+        assert(req("GET",
+          s"http://127.0.0.1:$p2/api/v2/tenants/default_tenant")._1 == 404,
+          "denied reset must not provision default_tenant")
+      } finally noReset.stop()
     } finally face.stop()
   }
 
