@@ -22,10 +22,10 @@ import org.json4s.jackson.JsonMethods
   *   POST /api/v2/reset                                        gated by allowReset
   *   POST /api/v2/tenants                                      {name}
   *   GET|PATCH /api/v2/tenants/{t}                             descriptor / resource_name
-  *   GET|POST /api/v2/tenants/{t}/databases                    list / create {name}
+  *   GET|POST /api/v2/tenants/{t}/databases                    list (?limit=&offset=) / create
   *   GET|DELETE /api/v2/tenants/{t}/databases/{d}              descriptor / drop
   *   POST /api/v2/tenants/{t}/databases/{d}/collections        create {name, get_or_create?}
-  *   GET  /api/v2/tenants/{t}/databases/{d}/collections        list
+  *   GET  /api/v2/tenants/{t}/databases/{d}/collections        list (?limit=&offset=)
   *   GET  .../collections_count                                {count}
   *   GET  /api/v2/tenants/{t}/databases/{d}/collections/{c}    descriptor
   *   GET  /api/v2/collections/{crn}                            by CRN
@@ -109,6 +109,26 @@ final class HttpFace(spark: SparkSession, root: String,
 
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+
+  /** `?limit=&offset=` pagination params of the list routes (the
+    * reference's ListCollectionsParams/ListDatabasesParams). Slices
+    * driver-side name listings — bounded by the collections quota.
+    */
+  private def limitOffset(ex: HttpExchange): (Int, Int) = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val kv = q.split("&").filter(_.contains("=")).map { p =>
+      val Array(k, v) = p.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+    def int(k: String, dflt: Int): Int = kv.get(k) match {
+      case Some(v) =>
+        val n = v.toInt
+        require(n >= 0, s"'$k' must be non-negative, got $n")
+        n
+      case None => dflt
+    }
+    (int("limit", Int.MaxValue), int("offset", 0))
+  }
 
   /** Heterogeneous metadata object → the write path's typed-map columns
     * (string/int/float/bool scalars + the four typed ARRAY maps,
@@ -449,8 +469,11 @@ final class HttpFace(spark: SparkSession, root: String,
           graft.sources.Catalog.updateTenant(root, t, rn)
           respond(ex, 200, "{}")
         case ("GET", DbsR(t)) =>
+          // ?limit=&offset= like the reference's ListDatabasesParams
+          val (lim, off) = limitOffset(ex)
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(JArray(
-            graft.sources.Catalog.listDatabases(root, t)
+            graft.sources.Catalog.listDatabases(root, t).sorted
+              .slice(off, (off.toLong + lim).min(Int.MaxValue).toInt)
               .map(n => JObject("name" -> jStr(n))).toList))))
         case ("POST", DbsR(t)) =>
           val name = (JsonMethods.parse(readBody(ex)) \ "name").extract[String]
@@ -500,8 +523,13 @@ final class HttpFace(spark: SparkSession, root: String,
               "name" -> jStr(h.ref.name), "created" -> JBool(!existed)))))
           }
         case ("GET", CollsR(t, d)) =>
+          // ?limit=&offset= (ListCollectionsParams, server.rs:996) —
+          // at the 1M-collection quota a client pages, never lists all;
+          // name order makes the walk deterministic
+          val (lim, off) = limitOffset(ex)
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(
-            JArray(readClient(t, d).listCollections()
+            JArray(readClient(t, d).listCollections().sorted
+              .slice(off, (off.toLong + lim).min(Int.MaxValue).toInt)
               .map(n => JObject("name" -> jStr(n))).toList))))
         case ("GET", CollR(t, d, c)) =>
           val h = readClient(t, d).getCollection(c)

@@ -395,6 +395,17 @@ class HttpFaceWireSpec extends AnyFunSuite {
       assert((jb \ "name").extract[String] == "sys")
       assert(req("GET", s"$base/collections/by-id/nope")._1 == 404)
 
+      // list pagination: ?limit=&offset= walk the name-ordered listing
+      req("POST", s"$base/collections", """{"name":"sys_b"}""")
+      req("POST", s"$base/collections", """{"name":"sys_a"}""")
+      def page(l: Int, o: Int): Seq[String] =
+        req("GET", s"$base/collections?limit=$l&offset=$o")._2
+          .extract[Seq[Map[String, String]]].map(_("name"))
+      assert(page(2, 0) == Seq("sys", "sys_a"))
+      assert(page(2, 2) == Seq("sys_b"))
+      assert(page(2, 4) == Seq())
+      assert(req("GET", s"$base/collections?limit=-1")._1 == 400)
+
       // v1 is GONE with the reference's deprecation body
       val (c1, j1) = req("GET",
         s"http://127.0.0.1:$port/api/v1/collections")
