@@ -63,6 +63,12 @@ object ScaleProbe {
                            // value-ordered posting build + bucket-pruned
                            // probe — build-dominated, ~linear (the probe
                            // itself is plan-time-pruned to O(buckets hit))
+    "fc_key_bool_nested",  // r13 overlapped-build path: THREE index legs
+                           // (2 inverted + 1 range) built concurrently
+                           // behind the dry routing pass, then the
+                           // recursive Or-of-Ands bitmap probe — build-
+                           // dominated like fc_key_range, ~linear, with
+                           // the overlap hiding the per-leg fixed cost
     "st_fn_maintain",      // attached-function sweep off the durable WAL:
                            // add+commit+2 sweeps — invocation folds are
                            // corpus-linear, sweep machinery constant
