@@ -130,6 +130,42 @@ final class HttpFace(spark: SparkSession, root: String,
     (int("limit", Int.MaxValue), int("offset", 0))
   }
 
+  /** The reference's Collection JSON (`collection.rs:101-117`, the
+    * serialized fields): id / name / configuration_json / metadata /
+    * dimension / tenant / database / log_position / version — mapped
+    * from this engine's catalog. The stable collection id IS the name;
+    * `version` is the compacted-segment version; `log_position` the
+    * durable log's published tail.
+    */
+  private def collJson(h: CollectionHandle, t: String, d: String): JValue = {
+    val ref = h.ref
+    val meta: JValue =
+      if (ref.metadata.isEmpty) JNull
+      else JObject(ref.metadata.toList.map { case (k, v) =>
+        k -> (JString(v): JValue) })
+    val dim: JValue = ref.schema.embedding
+      .map(e => JLong(e.dim.toLong): JValue).getOrElse(JNull)
+    val cfg: JValue = graft.sources.Catalog
+      .effectiveVectorIndex(ref.schema, ref.metadata) match {
+        case Some(c: graft.sources.Catalog.HnswIndexConfig) => JObject(
+          "hnsw" -> JObject("space" -> jStr(c.space),
+            "ef_construction" -> JLong(c.efConstruction.toLong),
+            "ef_search" -> JLong(c.efSearch.toLong),
+            "max_neighbors" -> JLong(c.maxNeighbors.toLong)))
+        case Some(c) => JObject(c.kind -> JObject("space" -> jStr(c.space)))
+        case None => JNull
+      }
+    JObject(
+      "id" -> jStr(ref.name), "name" -> jStr(ref.name),
+      "configuration_json" -> cfg, "metadata" -> meta,
+      "dimension" -> dim,
+      "tenant" -> jStr(t), "database" -> jStr(d),
+      "log_position" -> JLong(graft.sources.WalStore
+        .retainedPrefix(ref.dataRoot).lastOption.getOrElse(0L)),
+      "version" -> JLong(graft.sources.CollectionStore
+        .currentVersion(ref.dataRoot)))
+  }
+
   /** Heterogeneous metadata object → the write path's typed-map columns
     * (string/int/float/bool scalars + the four typed ARRAY maps,
     * `rust/types/src/metadata.rs:659-683`), plus the reference's
@@ -504,23 +540,36 @@ final class HttpFace(spark: SparkSession, root: String,
         case ("GET", CrnR(crn)) =>
           val h = client("default_tenant", "default_database")
             .getCollectionByCrn(crn)
-          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
-            "name" -> jStr(h.ref.name), "tenant" -> jStr(h.ref.tenant),
-            "database" -> jStr(h.ref.database)))))
+          respond(ex, 200, JsonMethods.compact(
+            JsonMethods.render(collJson(h, h.ref.tenant, h.ref.database))))
         case ("POST", CollsR(t, d)) =>
           val j = JsonMethods.parse(readBody(ex))
           val name = (j \ "name").extract[String]
           val goc = (j \ "get_or_create") match {
             case JBool(b) => b; case _ => false }
+          // CreateCollectionPayload carries metadata beside the name
+          // (string values through the catalog's descriptor store;
+          // `hnsw:*` keys configure the legacy vector-index path)
+          val meta = (j \ "metadata") match {
+            case JObject(fs) => fs.collect {
+              case (k, JString(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toString
+              case (k, JLong(v)) => k -> v.toString
+              case (k, JDouble(v)) => k -> v.toString
+              case (k, JBool(v)) => k -> v.toString
+            }.toMap
+            case _ => Map.empty[String, String]
+          }
           val c = client(t, d)
           val existed = c.listCollections().contains(name)
           if (existed && !goc)
             respond(ex, 409, s"""{"error":"collection [$name] exists"}""")
           else {
             val h = if (existed) c.getCollection(name)
-              else c.createCollection(name)
+              else c.createCollection(name, metadata = meta)
+            val JObject(fields) = collJson(h, t, d): @unchecked
             respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
-              "name" -> jStr(h.ref.name), "created" -> JBool(!existed)))))
+              fields :+ ("created" -> (JBool(!existed): JValue))))))
           }
         case ("GET", CollsR(t, d)) =>
           // ?limit=&offset= (ListCollectionsParams, server.rs:996) —
@@ -533,18 +582,16 @@ final class HttpFace(spark: SparkSession, root: String,
               .map(n => JObject("name" -> jStr(n))).toList))))
         case ("GET", CollR(t, d, c)) =>
           val h = readClient(t, d).getCollection(c)
-          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
-            "name" -> jStr(h.ref.name), "tenant" -> jStr(t),
-            "database" -> jStr(d)))))
+          respond(ex, 200,
+            JsonMethods.compact(JsonMethods.render(collJson(h, t, d))))
         case ("GET", ByIdR(t, d, id)) =>
           // the reference's get_collection_by_id (server.rs:301-304)
           // resolves a collection UUID inside the tenant/database scope;
           // this engine's stable collection identifier IS its name, so
           // the id segment resolves through the same name lookup
           val h = readClient(t, d).getCollection(id)
-          respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
-            "id" -> jStr(h.ref.name), "name" -> jStr(h.ref.name),
-            "tenant" -> jStr(t), "database" -> jStr(d)))))
+          respond(ex, 200,
+            JsonMethods.compact(JsonMethods.render(collJson(h, t, d))))
         case ("DELETE", CollR(t, d, c)) =>
           readClient(t, d).deleteCollection(c)
           respond(ex, 200, "{}")

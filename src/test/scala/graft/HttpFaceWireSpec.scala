@@ -388,11 +388,21 @@ class HttpFaceWireSpec extends AnyFunSuite {
 
       // by-id: the engine's collection id IS its name — same descriptor
       val base = s"$api/tenants/t1/databases/db1"
-      req("POST", s"$base/collections", """{"name":"sys"}""")
+      val (cc, jc) = req("POST", s"$base/collections",
+        """{"name":"sys","metadata":{"owner":"ops","hnsw:space":"cosine"}}""")
+      assert(cc == 200 && (jc \ "created").extract[Boolean])
       val (cb, jb) = req("GET", s"$base/collections/by-id/sys")
       assert(cb == 200)
+      // the reference's Collection JSON fields (collection.rs:101-117)
       assert((jb \ "id").extract[String] == "sys")
       assert((jb \ "name").extract[String] == "sys")
+      assert((jb \ "tenant").extract[String] == "t1")
+      assert((jb \ "metadata" \ "owner").extract[String] == "ops")
+      assert((jb \ "configuration_json" \ "hnsw" \ "space")
+        .extract[String] == "cosine",
+        "legacy hnsw:* metadata must surface as configuration_json")
+      assert((jb \ "version").extract[Long] == 0L)
+      assert((jb \ "log_position").extract[Long] == 0L)
       assert(req("GET", s"$base/collections/by-id/nope")._1 == 404)
 
       // list pagination: ?limit=&offset= walk the name-ordered listing
