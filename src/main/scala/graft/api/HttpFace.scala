@@ -130,6 +130,21 @@ final class HttpFace(spark: SparkSession, root: String,
     (int("limit", Int.MaxValue), int("offset", 0))
   }
 
+  /** Collection-level metadata object → the catalog's string-valued
+    * descriptor map (numbers/bools stringify; the reference stores
+    * collection metadata as scalars beside the descriptor).
+    */
+  private def collMeta(v: JValue): Map[String, String] = v match {
+    case JObject(fs) => fs.collect {
+      case (k, JString(x)) => k -> x
+      case (k, JInt(x)) => k -> x.toString
+      case (k, JLong(x)) => k -> x.toString
+      case (k, JDouble(x)) => k -> x.toString
+      case (k, JBool(x)) => k -> x.toString
+    }.toMap
+    case _ => Map.empty
+  }
+
   /** The reference's Collection JSON (`collection.rs:101-117`, the
     * serialized fields): id / name / configuration_json / metadata /
     * dimension / tenant / database / log_position / version — mapped
@@ -550,16 +565,7 @@ final class HttpFace(spark: SparkSession, root: String,
           // CreateCollectionPayload carries metadata beside the name
           // (string values through the catalog's descriptor store;
           // `hnsw:*` keys configure the legacy vector-index path)
-          val meta = (j \ "metadata") match {
-            case JObject(fs) => fs.collect {
-              case (k, JString(v)) => k -> v
-              case (k, JInt(v)) => k -> v.toString
-              case (k, JLong(v)) => k -> v.toString
-              case (k, JDouble(v)) => k -> v.toString
-              case (k, JBool(v)) => k -> v.toString
-            }.toMap
-            case _ => Map.empty[String, String]
-          }
+          val meta = collMeta(j \ "metadata")
           val c = client(t, d)
           val existed = c.listCollections().contains(name)
           if (existed && !goc)
@@ -749,9 +755,8 @@ final class HttpFace(spark: SparkSession, root: String,
           val j = JsonMethods.parse(readBody(ex))
           val r = readClient(t, d).modifyCollection(c,
             newName = (j \ "new_name").toOption.map(_.extract[String]),
-            metadata = (j \ "new_metadata").toOption.collect {
-              case JObject(fs) => fs.collect {
-                case (k, JString(v)) => k -> v }.toMap })
+            metadata = (j \ "new_metadata").toOption
+              .collect { case o: JObject => collMeta(o) })
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(JObject(
             "name" -> jStr(r.ref.name)))))
         case ("POST", FnAttachR(t, d, c)) =>
