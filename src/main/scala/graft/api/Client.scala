@@ -1983,24 +1983,27 @@ final class CollectionHandle(spark: SparkSession,
     */
   def persist(): Unit = {
     val records = asCollection.records
-    // schema-less collections accept arbitrary metadata (the reference
-    // only enforces declared per-key config)
-    if (ref.schema.keys.nonEmpty || ref.schema.embedding.isDefined)
-      Catalog.validate(records, ref.schema)
-    // Publish through the versioned conditional commit — the reference's
-    // compaction transaction (`conditional_transaction.rs`): the new
-    // segment lands in its own version directory and becomes visible
-    // only when the version marker claims atomically, so a crash
-    // mid-compaction leaves the previous version serving (never a
-    // half-written only-copy), and a concurrent compactor loses the race
-    // loudly instead of silently clobbering. Old versions retire via
-    // [[gcVersions]].
-    // the segment plan evaluates twice inside the commit (parquet write
-    // + the _segmeta aggregate) — cache it for the duration so the WAL
-    // fold and offset assignment run once
-    records.persist()
-    try persistCommit(records)
-    finally records.unpersist()
+    // `_segmeta` rides the write job as observed metrics (saveRecords),
+    // so the segment plan evaluates once per action here. Schema-LESS
+    // collections run exactly one action (the write) — no cache at all;
+    // schema'd collections cache across the validate action + the write.
+    val validating =
+      ref.schema.keys.nonEmpty || ref.schema.embedding.isDefined
+    if (validating) records.persist()
+    try {
+      // schema-less collections accept arbitrary metadata (the reference
+      // only enforces declared per-key config)
+      if (validating) Catalog.validate(records, ref.schema)
+      // Publish through the versioned conditional commit — the reference's
+      // compaction transaction (`conditional_transaction.rs`): the new
+      // segment lands in its own version directory and becomes visible
+      // only when the version marker claims atomically, so a crash
+      // mid-compaction leaves the previous version serving (never a
+      // half-written only-copy), and a concurrent compactor loses the race
+      // loudly instead of silently clobbering. Old versions retire via
+      // [[gcVersions]].
+      persistCommit(records)
+    } finally if (validating) { records.unpersist(); () }
   }
 
   private def persistCommit(records: DataFrame): Unit = {

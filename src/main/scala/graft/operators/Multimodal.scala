@@ -153,9 +153,24 @@ object Multimodal {
     * synthetic media table the image queries decode. Map-only; the blob
     * column is genuine binary (a corrupted byte fails the zlib inflate).
     */
+  /** Spread an id frame over the cluster's full parallelism before a
+    * CPU-heavy per-row codec stage: the ids come off a scan whose
+    * partition count tracks INPUT BYTES (tiny for a long column), while
+    * the generate/encode/decode work downstream is per-row compute — at
+    * 32 cores a 1-4-partition scan left 28+ cores idle (measured: the
+    * GIF query ran 4 tasks end-to-end). The shuffle moves 8-byte rows,
+    * the heavy blob bytes are created AFTER it (guide §8: move the light
+    * proxy, not the payload); `defaultParallelism` keeps the count
+    * cluster-adaptive rather than a constant.
+    */
+  private def spreadIds(ids: DataFrame): DataFrame = {
+    val df = ids.select(col("doc_id"))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  }
+
   def synthPngBlobs(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
-    val rdd = ids.select(col("doc_id")).rdd.mapPartitions { it =>
+    val rdd = spreadIds(ids).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         Row(id, syntheticImageBytes(id))
@@ -362,6 +377,10 @@ object Multimodal {
     StructField("v_max", IntegerType), StructField("v_min", IntegerType)))
 
   /** `(doc_id, blob BINARY)` of real WAV bytes per document. */
+  // NOT spread like the image generators: the downstream decode funnels
+  // through javax.sound's synchronized provider lookup, and 32-way task
+  // concurrency measured 3.5x SLOWER than the 4-task scan partitioning
+  // (lock contention, not CPU, bounds the audio path).
   def synthWavBlobs(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
     val rdd = ids.select(col("doc_id")).rdd.mapPartitions { it =>
@@ -489,7 +508,7 @@ object Multimodal {
     */
   def synthGifBlobs(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
-    val rdd = ids.select(col("doc_id")).rdd.mapPartitions { it =>
+    val rdd = spreadIds(ids).rdd.mapPartitions { it =>
       ImageIO.setUseCache(false)
       val writer = ImageIO.getImageWritersByFormatName("gif").next()
       val md = gifFrameMetadata(writer)

@@ -42,33 +42,38 @@ object CollectionStore {
   def saveRecords(records: DataFrame, root: String): Unit = {
     val servingCols =
       Set("id", "offset_id", "embedding").subsetOf(records.columns.toSet)
-    // the segment plan evaluates TWICE when _segmeta is written (the
-    // parquet write and the aggregate) — cache it for the duration so
-    // the upstream fold/offset-assignment runs once, unless the caller
-    // already holds it cached (persist() does)
-    val cachedHere = servingCols &&
-      records.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    if (cachedHere) records.persist()
-    try {
+    if (servingCols) {
+      // `_segmeta` aggregates ride the WRITE job as observed metrics —
+      // ONE pass over the segment instead of two (write + aggregate
+      // scan), with no need to cache the fold for the duration. At
+      // compaction scale the second pass was a full segment re-read.
+      val obs = new org.apache.spark.sql.Observation("segmeta")
+      records.observe(obs,
+          max(col("offset_id")).as("mo"),
+          bit_xor(xxhash64(col("id"), col("embedding"))).as("tag"),
+          bit_xor(contentTagExpr(records)).as("mtag"),
+          count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.bloom.filter.expected.ndv#id", "1000000")
+        .parquet(s"$root/records")
+      val m = obs.get
+      val mo = m.get("mo").collect { case l: Long => l }.getOrElse(-1L)
+      val tag = m.get("tag").collect { case l: Long => l.toString }
+        .getOrElse("empty")
+      val mtag = m.get("mtag").collect { case l: Long => l.toString }
+        .getOrElse("empty")
+      java.nio.file.Files.write(java.nio.file.Paths.get(root, "_segmeta.json"),
+        (s"""{"max_offset": $mo, "tag": "$tag", "mtag": "$mtag", """ +
+          s""""n": ${m("n")}}""").getBytes("UTF-8"))
+    } else {
       records.write.mode(SaveMode.Overwrite)
         .option("parquet.bloom.filter.enabled#id", "true")
         .option("parquet.bloom.filter.expected.ndv#id", "1000000")
         .parquet(s"$root/records")
-      val metaPath = java.nio.file.Paths.get(root, "_segmeta.json")
-      if (servingCols) {
-        val r = records.agg(
-          max(col("offset_id")).as("mo"),
-          bit_xor(xxhash64(col("id"), col("embedding"))).as("tag"),
-          bit_xor(contentTagExpr(records)).as("mtag"),
-          count(lit(1)).as("n")).collect()(0)
-        val mo = if (r.isNullAt(0)) -1L else r.getLong(0)
-        val tag = if (r.isNullAt(1)) "empty" else r.getLong(1).toString
-        val mtag = if (r.isNullAt(2)) "empty" else r.getLong(2).toString
-        java.nio.file.Files.write(metaPath,
-          (s"""{"max_offset": $mo, "tag": "$tag", "mtag": "$mtag", """ +
-            s""""n": ${r.getLong(3)}}""").getBytes("UTF-8"))
-      } else java.nio.file.Files.deleteIfExists(metaPath)
-    } finally if (cachedHere) records.unpersist()
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, "_segmeta.json"))
+    }
   }
 
   /** Per-row FULL-content hash: id + embedding + document + uri + every

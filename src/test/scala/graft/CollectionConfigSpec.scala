@@ -170,10 +170,13 @@ class CollectionConfigSpec extends AnyFunSuite {
     coll.persist()
     val h = c.getCollection("cfg_spann")
     val qs = Seq((0L, Seq(0.5f, -0.2f, 0.8f))).toDF("query_id", "q_embedding")
+    // collect in RANK order on both sides: the query plans end in a join
+    // whose output row order is build-side-dependent, so an unsorted
+    // collect() flakes under full-suite scheduling pressure
     val served = h.queryAnn(qs, k = 5) // nprobe/replica/space from config
-      .select("id").collect().map(_.getString(0)).toSeq
+      .orderBy("rank").select("id").collect().map(_.getString(0)).toSeq
     val exact = h.query(qs, 5, space = "cosine")
-      .select("id").collect().map(_.getString(0)).toSeq
+      .orderBy("rank").select("id").collect().map(_.getString(0)).toSeq
     assert(served == exact,
       s"config-driven exhaustive queryAnn diverged: $served vs $exact")
     // without a spann config and without nprobe, the call fails loudly
