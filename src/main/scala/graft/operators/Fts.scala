@@ -65,6 +65,8 @@ object Fts {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$root/fts/postings")
+    // self-describing hashing: probes resolve the count from the sidecar
+    PostingTables.writeBucketCount(s"$root/fts/postings", nBuckets)
   }
 
   /** Posting compaction — the reference rewrites posting lists at
@@ -118,7 +120,10 @@ object Fts {
     */
   private def postingRows(spark: SparkSession, root: String,
       tgs: Seq[String], nBuckets: Int): DataFrame = {
-    val buckets = tgs.map(bucketOf(_, nBuckets)).distinct
+    // the persisted table knows its own hashing (`_nbuckets` sidecar);
+    // the param is the fallback for pre-sidecar tables
+    val nb = PostingTables.bucketCount(s"$root/fts/postings", nBuckets)
+    val buckets = tgs.map(bucketOf(_, nb)).distinct
     graft.sources.CollectionStore.readCached(spark, s"$root/fts/postings")
       .filter(col("bucket").isin(buckets: _*) && col("trigram").isin(tgs: _*))
   }

@@ -119,12 +119,16 @@ object MetaInverted {
     */
   def buildAndSave(records: DataFrame, root: String, key: String,
       vtype: graft.sources.Catalog.ValueType,
-      nBuckets: Int = DefaultBuckets): Unit =
+      nBuckets: Int = DefaultBuckets): Unit = {
     postings(records, key, vtype, nBuckets)
       .repartition(col("bucket")) // one writer per bucket → no tiny files
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(tableDir(root, key))
+    // self-describing hashing: path-based probes resolve the count from
+    // the sidecar, so the build can scale it with the corpus
+    PostingTables.writeBucketCount(tableDir(root, key), nBuckets)
+  }
 
   /** Same driver-side bucket hash as the build (xxhash64 seed 42). */
   private def bucketOf(value: String, nBuckets: Int): Int = {
@@ -143,7 +147,10 @@ object MetaInverted {
       values: Seq[String], nBuckets: Int = DefaultBuckets): DataFrame =
     candidatesFromTable(
       graft.sources.CollectionStore.readCached(spark, tableDir(root, key)),
-      values, nBuckets)
+      values,
+      // the persisted table knows its own hashing (`_nbuckets` sidecar);
+      // the param is the fallback for pre-sidecar/stream-appended tables
+      PostingTables.bucketCount(tableDir(root, key), nBuckets))
 
   /** Posting compaction for a STREAM-MAINTAINED table (`tableDir` from
     * [[graft.streaming.EventStream.metaInvertedMaintain]]): incremental

@@ -18,6 +18,50 @@ import org.apache.spark.sql.functions._
   */
 object PostingTables {
 
+  /** Bucket count for a posting build, derived from the corpus row count
+    * instead of a constant (guide §2: partitioning must be
+    * scale-adaptive): ~64k records per bucket directory, floored at 4
+    * (don't scatter a small corpus over 32-64 near-empty directories —
+    * each costs a file create/commit round at build and a listing entry
+    * forever) and capped at 4096 (directory-count sanity). At 100 TB the
+    * count GROWS with the corpus, keeping per-probe reads bounded, where
+    * the old constants (32/64) would have made bucket files arbitrarily
+    * large.
+    */
+  def adaptiveBuckets(n: Long): Int =
+    math.min(4096L, math.max(4L, n / 65536L + 4L)).toInt
+
+  /** Self-describing bucket count: builds persist the count they hashed
+    * with as `_nbuckets` INSIDE the posting directory, and path-based
+    * readers resolve it from there (falling back to the caller's value
+    * for pre-sidecar or stream-appended tables). This is what lets the
+    * build side scale the count with data without every probe site
+    * having to re-derive the same number.
+    */
+  def writeBucketCount(dir: String, n: Int): Unit = {
+    val p = java.nio.file.Paths.get(dir.stripPrefix("file:"), "_nbuckets")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, n.toString.getBytes("UTF-8"))
+    bucketMemo.put(dir, n)
+    ()
+  }
+
+  /** The directory's persisted bucket count, or `default` when the table
+    * carries no sidecar. Memoized per path — probes must not pay a file
+    * read per query. (A rebuild under the same path goes through
+    * [[writeBucketCount]], which refreshes the memo in this JVM.)
+    */
+  def bucketCount(dir: String, default: Int): Int =
+    bucketMemo.getOrElseUpdate(dir, {
+      val p = java.nio.file.Paths.get(dir.stripPrefix("file:"), "_nbuckets")
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt
+      else default
+    })
+
+  private val bucketMemo =
+    scala.collection.concurrent.TrieMap[String, Int]()
+
   def compact(spark: SparkSession, dir: String, termCol: String): Unit = {
     val tmp = s"${dir}_compacting"
     graft.sources.CollectionStore.healSwap(dir) // crashed prior swap
@@ -33,6 +77,12 @@ object PostingTables {
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp + sub)
     // max-folded-batch marker rides the atomic swap (replay-dup guard)
     graft.streaming.EventStream.recordFoldedMaxBatch(dir, tmp)
+    // the bucket-count sidecar describes the HASHING, which the fold
+    // preserves — carry it through the swap
+    val nbSrc = java.nio.file.Paths.get(dir.stripPrefix("file:"), "_nbuckets")
+    if (java.nio.file.Files.exists(nbSrc))
+      java.nio.file.Files.copy(nbSrc,
+        java.nio.file.Paths.get(tmp.stripPrefix("file:"), "_nbuckets"))
     graft.sources.CollectionStore.swapDirectory(dir, tmp)
     // drop memoized file listings for the swapped directory
     graft.sources.CollectionStore.invalidateRoot(dir)

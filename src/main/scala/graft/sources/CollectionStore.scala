@@ -436,16 +436,23 @@ object CollectionStore {
     * [[Fts.containsSearch]]/[[Fts.regexSearch]] against the returned root.
     */
   def ftsServing(docs: DataFrame, root: String,
-      nBuckets: Int = Fts.DefaultBuckets, keyTag: String = "",
+      nBuckets: Int = -1, keyTag: String = "",
       knownCount: Option[Long] = None): String = {
     // a CONTENT keyTag (the facade's segment fingerprint) re-keys the
     // build across re-compactions that keep the row count — same
     // contract as ivfServing; count-keying alone is only safe for
     // immutable corpora (the bench tables)
     once(s"fts-$root-$nBuckets-$keyTag") {
-      val key = s"fts-$nBuckets-$keyTag-n${knownCount.getOrElse(docs.count())}"
+      val n = knownCount.getOrElse(docs.count())
+      // default (-1): bucket count scales with the corpus instead of a
+      // constant; the build persists it in the table's sidecar, probes
+      // resolve it from there (guide §2: scale-adaptive partitioning)
+      val nB =
+        if (nBuckets > 0) nBuckets
+        else graft.operators.PostingTables.adaptiveBuckets(n)
+      val key = s"fts-$nB-$keyTag-n$n"
       ensureBuilt(root, "fts", key) {
-        Fts.buildAndSave(docs, root, nBuckets)
+        Fts.buildAndSave(docs, root, nB)
       }
     }
     root
@@ -458,7 +465,7 @@ object CollectionStore {
     */
   def metaInvertedServing(records: DataFrame, root: String,
       metaKey: String, vtype: Catalog.ValueType,
-      nBuckets: Int = graft.operators.MetaInverted.DefaultBuckets,
+      nBuckets: Int = -1,
       keyTag: String = "",
       knownCount: Option[Long] = None): String = {
     // keyTag = the segment CONTENT fingerprint (CollectionHandle.segTag):
@@ -471,10 +478,15 @@ object CollectionStore {
     val enc = java.net.URLEncoder.encode(metaKey, "UTF-8")
     once(s"metainv-$root-$enc-$nBuckets-$keyTag") {
       val n = knownCount.getOrElse(records.count())
-      val key = s"metainv-$enc-$nBuckets-$keyTag-n$n"
+      // default (-1): corpus-scaled bucket count, persisted in the
+      // table's `_nbuckets` sidecar for the probes (guide §2)
+      val nB =
+        if (nBuckets > 0) nBuckets
+        else graft.operators.PostingTables.adaptiveBuckets(n)
+      val key = s"metainv-$enc-$nB-$keyTag-n$n"
       ensureBuilt(root, s"meta_inverted_$enc", key) {
         graft.operators.MetaInverted.buildAndSave(
-          records, root, metaKey, vtype, nBuckets)
+          records, root, metaKey, vtype, nB)
       }
     }
     root
@@ -489,16 +501,22 @@ object CollectionStore {
     */
   def metaRangeServing(records: DataFrame, root: String,
       metaKey: String, vtype: Catalog.ValueType,
-      nBuckets: Int = graft.operators.MetaRange.DefaultBuckets,
+      nBuckets: Int = -1,
       keyTag: String = "",
       knownCount: Option[Long] = None): String = {
     val enc = java.net.URLEncoder.encode(metaKey, "UTF-8")
     once(s"metarange-$root-$enc-$nBuckets-$keyTag") {
       val n = knownCount.getOrElse(records.count())
-      val key = s"metarange-$enc-$nBuckets-$keyTag-n$n"
+      // default (-1): corpus-scaled bucket count (guide §2). The range
+      // probe needs no sidecar — its bounds table carries the actual
+      // rbucket ids.
+      val nB =
+        if (nBuckets > 0) nBuckets
+        else graft.operators.PostingTables.adaptiveBuckets(n)
+      val key = s"metarange-$enc-$nB-$keyTag-n$n"
       ensureBuilt(root, s"meta_range_$enc", key) {
         graft.operators.MetaRange.buildAndSave(
-          records, root, metaKey, vtype, nBuckets)
+          records, root, metaKey, vtype, nB)
       }
     }
     root
@@ -530,20 +548,27 @@ object CollectionStore {
     * beside the posting blocks for the same reason).
     */
   def sparseServing(records: DataFrame, key: String, root: String,
-      nBuckets: Int = 64, blockSpan: Long = SparseBlockSpan,
+      nBuckets: Int = -1, blockSpan: Long = SparseBlockSpan,
       keyTag: String = "",
       knownCount: Option[Long] = None): String = {
     // keyTag = the segment CONTENT fingerprint on facade collections
     // (same contract as metaInvertedServing); count-only keying is only
     // safe for immutable corpora (the bench tables)
     once(s"sparse-$root-$key-$nBuckets-$blockSpan-$keyTag") {
-      val buildKey = s"sparse-v2-$key-$nBuckets-$blockSpan-$keyTag" +
-        s"-n${knownCount.getOrElse(records.count())}"
+      val n = knownCount.getOrElse(records.count())
+      // default (-1): corpus-scaled bucket count, persisted in the
+      // table's `_nbuckets` sidecar for the query-time probe (guide §2)
+      val nB =
+        if (nBuckets > 0) nBuckets
+        else graft.operators.PostingTables.adaptiveBuckets(n)
+      val buildKey = s"sparse-v2-$key-$nB-$blockSpan-$keyTag-n$n"
       ensureBuilt(root, s"sparse_$key", buildKey) {
-        sparsePostingRows(records, key, nBuckets, blockSpan)
+        sparsePostingRows(records, key, nB, blockSpan)
           .repartition(col("bucket")) // one writer per bucket
           .write.mode(SaveMode.Overwrite).partitionBy("bucket")
           .parquet(s"$root/sparse_$key/postings")
+        graft.operators.PostingTables.writeBucketCount(
+          s"$root/sparse_$key/postings", nB)
       }
     }
     root
@@ -611,6 +636,12 @@ object CollectionStore {
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp + sub)
     // max-folded-batch marker rides the atomic swap (replay-dup guard)
     graft.streaming.EventStream.recordFoldedMaxBatch(dir, tmp)
+    // the bucket-count sidecar describes the HASHING, which the fold
+    // preserves — carry it through the swap
+    val nbSrc = java.nio.file.Paths.get(dir.stripPrefix("file:"), "_nbuckets")
+    if (java.nio.file.Files.exists(nbSrc))
+      java.nio.file.Files.copy(nbSrc,
+        java.nio.file.Paths.get(tmp.stripPrefix("file:"), "_nbuckets"))
     swapDirectory(dir, tmp)
     invalidateRoot(dir)
   }
@@ -669,8 +700,12 @@ object CollectionStore {
       query: Seq[(Long, Float)], k: Int, nBuckets: Int,
       seedRanges: Int, tail: Option[DataFrame],
       staleDocs: Option[DataFrame]): (DataFrame, DataFrame, DataFrame) = {
+    // the persisted table knows its own hashing (`_nbuckets` sidecar);
+    // the param is the fallback for pre-sidecar/stream-appended tables
+    val nb = graft.operators.PostingTables.bucketCount(
+      s"$root/sparse_$key/postings", nBuckets)
     val buckets = query
-      .map(q => java.lang.Math.floorMod(q._1, nBuckets.toLong).toInt).distinct
+      .map(q => java.lang.Math.floorMod(q._1, nb.toLong).toInt).distinct
     val blocks = readCached(spark, s"$root/sparse_$key/postings")
       .filter(col("bucket").isin(buckets: _*) &&
         col("term_id").isin(query.map(_._1): _*))
