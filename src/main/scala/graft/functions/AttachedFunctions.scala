@@ -488,54 +488,76 @@ object AttachedFunctions {
         regexp_replace(format_string("%.16e", v), "e\\+0*(?=\\d)", "e"),
         "e-0*(?=\\d)", "e-")
 
+    /** ONE pass over the records (guide §1.2): the old shape was a
+      * union of up to nine per-column explode legs plus a separate
+      * summary aggregate — ten scans of the live state, i.e. ten corpus
+      * scans at compaction scale. Each row now builds its entry array
+      * with codegen'd higher-order expressions (`transform`/`flatten`
+      * over `map_entries`), a synthetic `summary` entry per row makes
+      * the record count fall out of the same groupBy, and a single
+      * explode + count produces byte-identical output.
+      */
+    private val entryType =
+      "array<struct<k:string,type:string,pfx:string,value:string>>"
+
     def apply(records: DataFrame): DataFrame = {
-      val shape = Seq(col("k"), col("type"), col("pfx"), col("value"))
-      def scalarLeg(c: String, pfx: String, tpe: String,
-          render: Column => Column): Option[DataFrame] =
+      def entry(k: Column, tpe: String, pfx: String, v: Column): Column =
+        struct(k.as("k"), lit(tpe).as("type"), lit(pfx).as("pfx"),
+          v.cast("string").as("value"))
+      def scalarEntries(c: String, pfx: String, tpe: String,
+          render: Column => Column): Option[Column] =
         if (!records.columns.contains(c)) None
-        else Some(records.select(explode(col(c)))
-          .select(col("key").as("k"), lit(tpe).as("type"),
-            lit(pfx).as("pfx"), render(col("value")).as("value"))
-          .select(shape: _*))
-      def arrayLeg(c: String, pfx: String, tpe: String,
-          render: Column => Column): Option[DataFrame] =
+        else Some(transform(map_entries(col(c)), e =>
+          entry(e.getField("key"), tpe, pfx, render(e.getField("value")))))
+      def arrayEntries(c: String, pfx: String, tpe: String,
+          render: Column => Column): Option[Column] =
         if (!records.columns.contains(c)) None
-        else Some(records.select(explode(col(c)))
-          .select(col("key").as("k"), explode(col("value")).as("el"))
-          .select(col("k"), lit(tpe).as("type"), lit(pfx).as("pfx"),
-            render(col("el")).as("value"))
-          .select(shape: _*))
-      val sparseLeg: Option[DataFrame] =
+        else Some(flatten(transform(map_entries(col(c)), e =>
+          transform(e.getField("value"), el =>
+            entry(e.getField("key"), tpe, pfx, render(el))))))
+      val sparseEntries: Option[Column] =
         if (!records.columns.contains("meta_sparse")) None
-        else Some(records.select(explode(col("meta_sparse")))
-          .select(col("key").as("k"),
-            explode(col("value.indices")).as("ix"))
-          .select(col("k"), lit("sparse").as("type"), lit("sv").as("pfx"),
-            col("ix").cast("string").as("value"))
-          .select(shape: _*))
-      val legs =
-        scalarLeg("meta_str", "s", "str", identity).toSeq ++
-        scalarLeg("meta_int", "i", "int", _.cast("string")) ++
-        scalarLeg("meta_float", "f", "float", rustExp) ++
-        scalarLeg("meta_bool", "b", "bool", _.cast("string")) ++
-        arrayLeg("meta_str_arr", "s", "str", identity) ++
-        arrayLeg("meta_int_arr", "i", "int", _.cast("string")) ++
-        arrayLeg("meta_float_arr", "f", "float", rustExp) ++
-        arrayLeg("meta_bool_arr", "b", "bool", _.cast("string")) ++
-        sparseLeg
-      val counts = legs.reduce(_ unionByName _)
+        else Some(flatten(transform(map_entries(col("meta_sparse")), e =>
+          transform(e.getField("value").getField("indices"), ix =>
+            entry(e.getField("key"), "sparse", "sv", ix.cast("string"))))))
+      val pieces = (
+        scalarEntries("meta_str", "s", "str", identity).toSeq ++
+        scalarEntries("meta_int", "i", "int", _.cast("string")) ++
+        scalarEntries("meta_float", "f", "float", rustExp) ++
+        scalarEntries("meta_bool", "b", "bool", _.cast("string")) ++
+        arrayEntries("meta_str_arr", "s", "str", identity) ++
+        arrayEntries("meta_int_arr", "i", "int", _.cast("string")) ++
+        arrayEntries("meta_float_arr", "f", "float", rustExp) ++
+        arrayEntries("meta_bool_arr", "b", "bool", _.cast("string")) ++
+        sparseEntries
+      ).map(c => coalesce(c, array().cast(entryType))) // null map ⇒ no entries
+      // every live record contributes one summary entry — the
+      // `summary::s:total_count` row's count IS the record count
+      val summaryEntry =
+        array(entry(lit("summary"), "str", "s", lit("total_count")))
+      val counted = records
+        .select(explode(concat((pieces :+ summaryEntry): _*)).as("e"))
+        .select(col("e.k").as("k"), col("e.type").as("type"),
+          col("e.pfx").as("pfx"), col("e.value").as("value"))
         .groupBy("k", "type", "pfx", "value")
         .agg(count(lit(1)).as("count"))
-      val summary = records.agg(count(lit(1)).as("count"))
-        .select(lit("summary").as("k"), lit("str").as("type"),
-          lit("s").as("pfx"), lit("total_count").as("value"), col("count"))
-      counts.unionByName(summary).select(
-        concat(col("k"), lit("::"), col("pfx"), lit(":"), col("value"))
-          .as("id"),
-        format_string("statistics about %s for %s:%s",
-          col("k"), col("pfx"), col("value")).as("document"),
-        col("count"),
-        col("k").as("key"), col("type"), col("value"))
+      // an EMPTY collection still reports `summary::s:total_count` = 0
+      // (the old global-aggregate leg did); the zero seed rides a
+      // constant row and the re-aggregate is output-sized, not
+      // corpus-sized
+      val zeroSummary = records.sparkSession.range(1).select(
+        lit("summary").as("k"), lit("str").as("type"), lit("s").as("pfx"),
+        lit("total_count").as("value"), lit(0L).as("count"))
+      counted.unionByName(zeroSummary)
+        .groupBy("k", "type", "pfx", "value")
+        .agg(sum(col("count")).as("count"))
+        .select(
+          concat(col("k"), lit("::"), col("pfx"), lit(":"), col("value"))
+            .as("id"),
+          format_string("statistics about %s for %s:%s",
+            col("k"), col("pfx"), col("value")).as("document"),
+          col("count"),
+          col("k").as("key"), col("type"), col("value"))
     }
   }
 
