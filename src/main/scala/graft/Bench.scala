@@ -173,8 +173,11 @@ object Bench {
       f""""ref":${ref(n)}%.3f,"ref_cal":${refCal.getOrElse(n, SeedCal)}%.3f,""" +
       f""""norm":${normRatio(n, finalResults(n))}%.2f}"""
     }.mkString("{", ",", "}")
+    // "cpus" is stamped so the driver's scaling probe can see the core
+    // count the run honored (r13's suspect_cpus_ignored flag fired false
+    // because the artifact did not carry it) — additions-only
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","host_cal_sec":$hostCal%.3f,"queries":$fullDict,"restamped":$restamped,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","host_cal_sec":$hostCal%.3f,"cpus":$cpus,"queries":$fullDict,"restamped":$restamped,"sf":"$sfDir"}"""
     // only full runs own the committed artifact — a SPARK_GRAFT_ONLY
     // subset must not clobber the 160+-query dict with its handful
     if (only.isEmpty) {
@@ -224,7 +227,7 @@ object Bench {
       }.mkString("{", ",", "}")
     System.out.flush()
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","host_cal_sec":$hostCal%.3f,"qn":${sorted.size},"queries":$slowest,"restamp":$restampCompact,"note":"$note","sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","host_cal_sec":$hostCal%.3f,"cpus":$cpus,"qn":${sorted.size},"queries":$slowest,"restamp":$restampCompact,"note":"$note","sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

@@ -509,16 +509,24 @@ object AttachedFunctions {
         if (!records.columns.contains(c)) None
         else Some(transform(map_entries(col(c)), e =>
           entry(e.getField("key"), tpe, pfx, render(e.getField("value")))))
+      // NULL-GUARD before the flatten: Spark's `flatten` returns null if
+      // ANY nested element is null, so one null-valued map entry would
+      // otherwise erase EVERY sibling key's entries on that row (the old
+      // per-leg explode dropped only the null entry). Filtering the null
+      // values first restores that semantics.
       def arrayEntries(c: String, pfx: String, tpe: String,
           render: Column => Column): Option[Column] =
         if (!records.columns.contains(c)) None
-        else Some(flatten(transform(map_entries(col(c)), e =>
-          transform(e.getField("value"), el =>
+        else Some(flatten(transform(
+          filter(map_entries(col(c)), e => e.getField("value").isNotNull),
+          e => transform(e.getField("value"), el =>
             entry(e.getField("key"), tpe, pfx, render(el))))))
       val sparseEntries: Option[Column] =
         if (!records.columns.contains("meta_sparse")) None
-        else Some(flatten(transform(map_entries(col("meta_sparse")), e =>
-          transform(e.getField("value").getField("indices"), ix =>
+        else Some(flatten(transform(
+          filter(map_entries(col("meta_sparse")),
+            e => e.getField("value").getField("indices").isNotNull),
+          e => transform(e.getField("value").getField("indices"), ix =>
             entry(e.getField("key"), "sparse", "sv", ix.cast("string"))))))
       val pieces = (
         scalarEntries("meta_str", "s", "str", identity).toSeq ++

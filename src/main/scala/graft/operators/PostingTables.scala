@@ -39,9 +39,7 @@ object PostingTables {
     * having to re-derive the same number.
     */
   def writeBucketCount(dir: String, n: Int): Unit = {
-    val p = java.nio.file.Paths.get(dir.stripPrefix("file:"), "_nbuckets")
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, n.toString.getBytes("UTF-8"))
+    graft.sources.MetaIO.write(s"$dir/_nbuckets", n.toString)
     bucketMemo.put(dir, n)
     ()
   }
@@ -49,15 +47,22 @@ object PostingTables {
   /** The directory's persisted bucket count, or `default` when the table
     * carries no sidecar. Memoized per path — probes must not pay a file
     * read per query. (A rebuild under the same path goes through
-    * [[writeBucketCount]], which refreshes the memo in this JVM.)
+    * [[writeBucketCount]], which refreshes the memo in this JVM; a
+    * rebuild by ANOTHER JVM is caught at the established invalidation
+    * point — `CollectionStore.invalidateRoot` drops matching memo
+    * entries via [[invalidateMemo]].)
     */
   def bucketCount(dir: String, default: Int): Int =
-    bucketMemo.getOrElseUpdate(dir, {
-      val p = java.nio.file.Paths.get(dir.stripPrefix("file:"), "_nbuckets")
-      if (java.nio.file.Files.exists(p))
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt
-      else default
-    })
+    bucketMemo.getOrElseUpdate(dir,
+      graft.sources.MetaIO.read(s"$dir/_nbuckets")
+        .map(_.trim.toInt).getOrElse(default))
+
+  /** Drop memoized bucket counts under `root` — wired into
+    * `CollectionStore.invalidateRoot` so the hashing metadata refreshes
+    * at the same point the listing/DF memos do.
+    */
+  def invalidateMemo(root: String): Unit =
+    bucketMemo.keys.filter(_.startsWith(root)).foreach(bucketMemo.remove)
 
   private val bucketMemo =
     scala.collection.concurrent.TrieMap[String, Int]()
@@ -78,11 +83,11 @@ object PostingTables {
     // max-folded-batch marker rides the atomic swap (replay-dup guard)
     graft.streaming.EventStream.recordFoldedMaxBatch(dir, tmp)
     // the bucket-count sidecar describes the HASHING, which the fold
-    // preserves — carry it through the swap
-    val nbSrc = java.nio.file.Paths.get(dir.stripPrefix("file:"), "_nbuckets")
-    if (java.nio.file.Files.exists(nbSrc))
-      java.nio.file.Files.copy(nbSrc,
-        java.nio.file.Paths.get(tmp.stripPrefix("file:"), "_nbuckets"))
+    // preserves — carry it through the swap. MetaIO.copy OVERWRITES: a
+    // crash between this copy and swapDirectory leaves tmp/_nbuckets
+    // behind, and the retry must not throw FileAlreadyExists (the
+    // documented heal-and-retry recovery would otherwise brick)
+    graft.sources.MetaIO.copy(s"$dir/_nbuckets", s"$tmp/_nbuckets")
     graft.sources.CollectionStore.swapDirectory(dir, tmp)
     // drop memoized file listings for the swapped directory
     graft.sources.CollectionStore.invalidateRoot(dir)

@@ -63,16 +63,17 @@ object CollectionStore {
         .getOrElse("empty")
       val mtag = m.get("mtag").collect { case l: Long => l.toString }
         .getOrElse("empty")
-      java.nio.file.Files.write(java.nio.file.Paths.get(root, "_segmeta.json"),
-        (s"""{"max_offset": $mo, "tag": "$tag", "mtag": "$mtag", """ +
-          s""""n": ${m("n")}}""").getBytes("UTF-8"))
+      // Hadoop FS, not java.nio: the segment root is object storage on
+      // a real cluster, and this sidecar must land beside the parquet
+      MetaIO.write(s"$root/_segmeta.json",
+        s"""{"max_offset": $mo, "tag": "$tag", "mtag": "$mtag", """ +
+          s""""n": ${m("n")}}""")
     } else {
       records.write.mode(SaveMode.Overwrite)
         .option("parquet.bloom.filter.enabled#id", "true")
         .option("parquet.bloom.filter.expected.ndv#id", "1000000")
         .parquet(s"$root/records")
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(root, "_segmeta.json"))
+      MetaIO.delete(s"$root/_segmeta.json")
     }
   }
 
@@ -99,31 +100,27 @@ object CollectionStore {
     * serving columns. [[readSegMetaTag]] surfaces the mtag — absent in
     * pre-mtag segments, whose readers fall back to the aggregate.
     */
-  def readSegMeta(root: String): Option[(Long, String, Long)] = {
-    val p = java.nio.file.Paths.get(recordsRoot(root), "_segmeta.json")
-    if (!java.nio.file.Files.exists(p)) None
-    else try {
-      val j = org.json4s.jackson.JsonMethods.parse(
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-      Some((
-        (j \ "max_offset").extract[Long],
-        (j \ "tag").extract[String],
-        (j \ "n").extract[Long]))
-    } catch { case _: Throwable => None }
-  }
+  def readSegMeta(root: String): Option[(Long, String, Long)] =
+    MetaIO.read(s"${recordsRoot(root)}/_segmeta.json").flatMap { s =>
+      try {
+        val j = org.json4s.jackson.JsonMethods.parse(s)
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        Some((
+          (j \ "max_offset").extract[Long],
+          (j \ "tag").extract[String],
+          (j \ "n").extract[Long]))
+      } catch { case _: Throwable => None }
+    }
 
   /** The stored full-content mtag, when the segment carries one. */
-  def readSegMetaTag(root: String): Option[String] = {
-    val p = java.nio.file.Paths.get(recordsRoot(root), "_segmeta.json")
-    if (!java.nio.file.Files.exists(p)) None
-    else try {
-      val j = org.json4s.jackson.JsonMethods.parse(
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-      (j \ "mtag").extractOpt[String]
-    } catch { case _: Throwable => None }
-  }
+  def readSegMetaTag(root: String): Option[String] =
+    MetaIO.read(s"${recordsRoot(root)}/_segmeta.json").flatMap { s =>
+      try {
+        val j = org.json4s.jackson.JsonMethods.parse(s)
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        (j \ "mtag").extractOpt[String]
+      } catch { case _: Throwable => None }
+    }
 
   /** Root of the CURRENT record segment under `root`: a collection whose
     * compactions publish through [[conditionalCommit]] resolves to its
@@ -245,13 +242,10 @@ object CollectionStore {
     }
 
   def ensureBuilt(root: String, what: String, key: String)(build: => Unit): Unit = {
-    val marker = java.nio.file.Paths.get(root, what, "_built")
-    val ok = java.nio.file.Files.exists(marker) &&
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == key
-    if (!ok) {
+    val marker = s"$root/$what/_built"
+    if (!MetaIO.read(marker).contains(key)) {
       build
-      java.nio.file.Files.createDirectories(marker.getParent)
-      java.nio.file.Files.write(marker, key.getBytes("UTF-8"))
+      MetaIO.write(marker, key)
     }
   }
 
@@ -274,6 +268,10 @@ object CollectionStore {
     val it = verifiedRoots.iterator()
     while (it.hasNext) if (it.next().contains(root)) it.remove()
     dfCache.keys.filter(_._2.startsWith(root)).foreach(dfCache.remove)
+    // the hashing metadata memo refreshes at the same point the
+    // listing/DF memos do — a rebuild by another JVM under this root
+    // must not leave long-lived readers pruning with a stale count
+    graft.operators.PostingTables.invalidateMemo(root)
   }
 
   /** PrefetchSegment (`rust/worker/src/execution/operators/prefetch_
@@ -637,11 +635,10 @@ object CollectionStore {
     // max-folded-batch marker rides the atomic swap (replay-dup guard)
     graft.streaming.EventStream.recordFoldedMaxBatch(dir, tmp)
     // the bucket-count sidecar describes the HASHING, which the fold
-    // preserves — carry it through the swap
-    val nbSrc = java.nio.file.Paths.get(dir.stripPrefix("file:"), "_nbuckets")
-    if (java.nio.file.Files.exists(nbSrc))
-      java.nio.file.Files.copy(nbSrc,
-        java.nio.file.Paths.get(tmp.stripPrefix("file:"), "_nbuckets"))
+    // preserves — carry it through the swap. MetaIO.copy OVERWRITES: a
+    // crash between this copy and swapDirectory leaves tmp/_nbuckets
+    // behind, and the retry must not throw FileAlreadyExists
+    graft.sources.MetaIO.copy(s"$dir/_nbuckets", s"$tmp/_nbuckets")
     swapDirectory(dir, tmp)
     invalidateRoot(dir)
   }
@@ -847,12 +844,15 @@ object CollectionStore {
     */
   def swapDirectory(live: String, staged: String): Unit = {
     healSwap(live)
-    val liveF = new java.io.File(live)
-    val oldF = new java.io.File(live + "_old")
-    if (oldF.exists()) org.apache.commons.io.FileUtils.deleteDirectory(oldF)
-    org.apache.commons.io.FileUtils.moveDirectory(liveF, oldF)
-    org.apache.commons.io.FileUtils.moveDirectory(new java.io.File(staged), liveF)
-    org.apache.commons.io.FileUtils.deleteDirectory(oldF)
+    // Hadoop FS from the path's scheme (java.io.File would silently
+    // resolve an object-store root against local disk); rename is the
+    // same O(1) syscall on file:. Sweep a leftover `_old` from a prior
+    // crash FIRST — Hadoop rename onto an existing directory nests the
+    // source inside it instead of failing.
+    MetaIO.deleteDir(live + "_old")
+    MetaIO.rename(live, live + "_old")
+    MetaIO.rename(staged, live)
+    MetaIO.deleteDir(live + "_old")
   }
 
   /** Recover [[swapDirectory]]'s one crash window — rename-aside done,
@@ -862,12 +862,9 @@ object CollectionStore {
     * Compaction re-runs call this before reading the live dir; the swap
     * itself calls it on entry.
     */
-  def healSwap(live: String): Unit = {
-    val liveF = new java.io.File(live)
-    val oldF = new java.io.File(live + "_old")
-    if (!liveF.exists() && oldF.exists())
-      org.apache.commons.io.FileUtils.moveDirectory(oldF, liveF)
-  }
+  def healSwap(live: String): Unit =
+    if (!MetaIO.exists(live) && MetaIO.exists(live + "_old"))
+      MetaIO.rename(live + "_old", live)
 
   /** Eagerly-materialized directory listing with the underlying stream
     * CLOSED — `Files.list` holds an open directory handle until closed,

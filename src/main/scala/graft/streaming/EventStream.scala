@@ -117,12 +117,8 @@ object EventStream extends Serializable {
     */
   val FoldedMarker = "_compacted_max_batch"
 
-  def foldedMaxBatch(dir: String): Option[Long] = {
-    val p = java.nio.file.Paths.get(
-      dir.stripPrefix("file:"), FoldedMarker)
-    if (!java.nio.file.Files.exists(p)) None
-    else Some(new String(java.nio.file.Files.readAllBytes(p)).trim.toLong)
-  }
+  def foldedMaxBatch(dir: String): Option[Long] =
+    graft.sources.MetaIO.read(s"$dir/$FoldedMarker").map(_.trim.toLong)
 
   /** Called by the compactors BEFORE their swap: compute the max real
     * `batch=<id>` leaf in `dir` (carrying forward any previous fold's
@@ -131,17 +127,13 @@ object EventStream extends Serializable {
     * away and silently re-open the replay-duplication window.
     */
   def recordFoldedMaxBatch(dir: String, tmp: String): Unit = {
-    val d = new java.io.File(dir.stripPrefix("file:"))
-    val leaves = Option(d.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => scala.util.Try(
-        f.getName.stripPrefix("batch=").toLong).toOption)
+    val leaves = graft.sources.MetaIO.childNames(dir)
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("batch=").toLong).toOption)
       .filter(_ >= 0)
     val prior = foldedMaxBatch(dir)
     (leaves ++ prior).maxOption.foreach { mx =>
-      val t = java.nio.file.Paths.get(tmp.stripPrefix("file:"))
-      java.nio.file.Files.createDirectories(t)
-      java.nio.file.Files.write(t.resolve(FoldedMarker),
-        mx.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.sources.MetaIO.write(s"$tmp/$FoldedMarker", mx.toString)
     }
   }
 
@@ -278,6 +270,13 @@ object EventStream extends Serializable {
   def ftsMaintain(spark: SparkSession, srcDir: String, postingsDir: String,
       checkpoint: String, nBuckets: Int = graft.operators.Fts.DefaultBuckets,
       filesPerBatch: Int = 1): Unit = {
+    // appends must hash with the TABLE's persisted bucket count: a table
+    // built by the adaptive serving build carries an `_nbuckets` sidecar
+    // that probes trust — rows hashed with a mismatched caller constant
+    // would land in buckets the probe prunes away (silent misses). The
+    // first append records the hashing it used for the same reason.
+    val nb = graft.operators.PostingTables.bucketCount(postingsDir, nBuckets)
+    graft.operators.PostingTables.writeBucketCount(postingsDir, nb)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -291,7 +290,7 @@ object EventStream extends Serializable {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         idempotentAppend(
-          graft.operators.Fts.postings(batch, nBuckets)
+          graft.operators.Fts.postings(batch, nb)
             .repartition(col("bucket")), // one writer per touched bucket
           postingsDir, batchId, Seq("bucket"))
       }
@@ -450,6 +449,10 @@ object EventStream extends Serializable {
       case other => throw new IllegalArgumentException(
         s"no inverted index for value type ${other.name}")
     }
+    // hash appended rows with the table's persisted bucket count (see
+    // [[ftsMaintain]]) and record the hashing on first append
+    val nb = graft.operators.PostingTables.bucketCount(tableDir, nBuckets)
+    graft.operators.PostingTables.writeBucketCount(tableDir, nb)
     val schema = StructType(Seq(
       StructField("offset_id", LongType), metaCol))
     val q = maintained(spark) { s => s.readStream.schema(schema)
@@ -460,7 +463,7 @@ object EventStream extends Serializable {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         idempotentAppend(
-          graft.operators.MetaInverted.postings(batch, key, vtype, nBuckets)
+          graft.operators.MetaInverted.postings(batch, key, vtype, nb)
             .repartition(col("bucket")), // one writer per touched bucket
           tableDir, batchId, Seq("bucket"))
       }
@@ -675,6 +678,11 @@ object EventStream extends Serializable {
       key: String, checkpoint: String, nBuckets: Int = 64,
       blockSpan: Long = graft.sources.CollectionStore.SparseBlockSpan,
       filesPerBatch: Int = 1): Unit = {
+    // hash appended rows with the table's persisted bucket count (see
+    // [[ftsMaintain]]) and record the hashing on first append
+    val postingsDir = s"$root/sparse_$key/postings"
+    val nb = graft.operators.PostingTables.bucketCount(postingsDir, nBuckets)
+    graft.operators.PostingTables.writeBucketCount(postingsDir, nb)
     val schema = spark.read.parquet(srcDir).schema
     val q = maintained(spark) { s => s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerBatch)
@@ -685,9 +693,9 @@ object EventStream extends Serializable {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         idempotentAppend(
           graft.sources.CollectionStore
-            .sparsePostingRows(batch, key, nBuckets, blockSpan)
+            .sparsePostingRows(batch, key, nb, blockSpan)
             .repartition(col("bucket")), // one writer per touched bucket
-          s"$root/sparse_$key/postings", batchId, Seq("bucket"))
+          postingsDir, batchId, Seq("bucket"))
       }
       .start() }
     q.awaitTermination()
