@@ -24,9 +24,12 @@ object Profile {
     override def onJobStart(j: SparkListenerJobStart): Unit =
       synchronized {
         jobs += 1
-        jobStart(j.jobId) = (System.nanoTime(),
-          Option(j.properties).map(p =>
-            Option(p.getProperty("callSite.short")).getOrElse("")).getOrElse(""))
+        val site = Option(j.properties).map(p =>
+          Option(p.getProperty("callSite.short")).getOrElse("")).getOrElse("")
+        // the final stage's name carries the action's RDD op — the only
+        // attribution available when the callSite is a stream's start()
+        val stage = j.stageInfos.lastOption.map(_.name.take(60)).getOrElse("")
+        jobStart(j.jobId) = (System.nanoTime(), s"$site | $stage")
       }
     override def onJobEnd(j: SparkListenerJobEnd): Unit = synchronized {
       jobStart.remove(j.jobId).foreach { case (t0, site) =>

@@ -95,16 +95,22 @@ object WalStore {
       // an entry is ONE log batch (bounded by the per-entry offset range
       // and the client batch quota) — write it as a handful of files, not
       // one per shuffle partition: entry file count is what a streamed
-      // consumer pays per position (maxFilesPerTrigger batches)
-      ops.coalesce(4).write.mode(SaveMode.Overwrite).parquet(dataDir)
-      // marker carries the entry's shape so opens replay with ZERO jobs
-      val r = ops.sparkSession.read.parquet(dataDir)
-        .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)),
+      // consumer pays per position (maxFilesPerTrigger batches).
+      // The marker's (count, max_offset) ride the SAME write job as
+      // observed metrics — one pass over the entry instead of a write
+      // plus a read-back aggregate scan (guide §1.4; the read-back was
+      // one full extra job per committed entry).
+      val obs = org.apache.spark.sql.Observation()
+      ops.coalesce(4)
+        .observe(obs,
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("cnt"),
           org.apache.spark.sql.functions.max(
-            org.apache.spark.sql.functions.col("log_offset"))).collect()(0)
-      val cnt = r.getLong(0)
-      val mo = if (r.isNullAt(1)) -1L else r.getLong(1)
+            org.apache.spark.sql.functions.col("log_offset")).as("mo"))
+        .write.mode(SaveMode.Overwrite).parquet(dataDir)
+      val m = obs.get
+      val cnt = m.get("cnt").collect { case l: Long => l }.getOrElse(0L)
+      val mo = m.get("mo").collect { case l: Long => l }.getOrElse(-1L)
       // CAS publish: putIfAbsent, never overwrite. If the marker already
       // exists, either [[recoverStaleClaims]] voided this slot while the
       // data write was in flight (only possible past its age guard), or

@@ -750,14 +750,34 @@ object EventStream extends Serializable {
           .persist() // referenced twice: covered positions + new seen values
         val batchDocs = batch.persist()
         try {
-          enforceAscendingBatches(batchDocs, root, batchId, "substringMaintain")
-          idempotentAppend(graft.operators.Dedup.substringReconstruct(
-              batchDocs,
-              graft.operators.Dedup.coveredPositions(
-                marked.filter(col("removed")).select("doc_id", "start"), k)),
-            s"$root/out", batchId)
-          idempotentAppend(marked.filter(!col("removed")).select("win"),
+          // Materialize the cached window marks WHILE the ascending-
+          // arrival guard aggregates the batch (independent jobs — the
+          // guard must pass before any WRITE, and neither of these
+          // writes): the expensive tokenize+mark pass then overlaps the
+          // guard instead of hiding inside the first write's critical
+          // path, and the two writes below can consume the cache
+          // concurrently without racing its population.
+          val markedReady = java.util.concurrent.CompletableFuture
+            .runAsync(() => { marked.count(); () })
+          try enforceAscendingBatches(
+            batchDocs, root, batchId, "substringMaintain")
+          finally if (!markedReady.isDone)
+            try markedReady.join() catch { case _: Throwable => () }
+          markedReady.join()
+          // the two appends are independent given the cached marks —
+          // overlap them (guide §2.6), the same async-write pattern as
+          // clusterMaintain's posting append
+          val outDone = java.util.concurrent.CompletableFuture.runAsync(() =>
+            idempotentAppend(graft.operators.Dedup.substringReconstruct(
+                batchDocs,
+                graft.operators.Dedup.coveredPositions(
+                  marked.filter(col("removed")).select("doc_id", "start"), k)),
+              s"$root/out", batchId))
+          try idempotentAppend(marked.filter(!col("removed")).select("win"),
             seenDir, batchId)
+          finally if (!outDone.isDone)
+            try outDone.join() catch { case _: Throwable => () }
+          outDone.join(); ()
         } finally { marked.unpersist(); batchDocs.unpersist(); () }
       }
       .start() }
@@ -823,12 +843,22 @@ object EventStream extends Serializable {
           enforceAscendingBatches(marked, root, batchId, "spanDedupMaintain")
           // batchId-keyed overwrite ([[idempotentAppend]]): a replayed
           // batch recomputes against exactly the pre-batch seen state and
-          // rewrites identical rows instead of appending duplicates
-          idempotentAppend(graft.operators.Dedup
-            .spanReconstruct(marked.select("doc_id", "seg_idx", "seg", "is_first")),
-            s"$root/out", batchId)
-          idempotentAppend(marked.filter(col("is_first")).select("seg"),
+          // rewrites identical rows instead of appending duplicates.
+          // The two appends are independent given the cached marks (the
+          // guard's agg just materialized them) — overlap them
+          // (guide §2.6), the same async-write pattern as
+          // clusterMaintain's posting append; replay stays idempotent in
+          // either completion order because the seen read above excludes
+          // this batch's own leaf (`batch < batchId`).
+          val outDone = java.util.concurrent.CompletableFuture.runAsync(() =>
+            idempotentAppend(graft.operators.Dedup
+              .spanReconstruct(marked.select("doc_id", "seg_idx", "seg", "is_first")),
+              s"$root/out", batchId))
+          try idempotentAppend(marked.filter(col("is_first")).select("seg"),
             seenDir, batchId)
+          finally if (!outDone.isDone)
+            try outDone.join() catch { case _: Throwable => () }
+          outDone.join(); ()
         } finally marked.unpersist()
       }
       .start() }
