@@ -1983,27 +1983,28 @@ final class CollectionHandle(spark: SparkSession,
     */
   def persist(): Unit = {
     val records = asCollection.records
-    // `_segmeta` rides the write job as observed metrics (saveRecords),
-    // so the segment plan evaluates once per action here. Schema-LESS
-    // collections run exactly one action (the write) — no cache at all;
-    // schema'd collections cache across the validate action + the write.
-    val validating =
-      ref.schema.keys.nonEmpty || ref.schema.embedding.isDefined
-    if (validating) records.persist()
-    try {
-      // schema-less collections accept arbitrary metadata (the reference
-      // only enforces declared per-key config)
-      if (validating) Catalog.validate(records, ref.schema)
-      // Publish through the versioned conditional commit — the reference's
-      // compaction transaction (`conditional_transaction.rs`): the new
-      // segment lands in its own version directory and becomes visible
-      // only when the version marker claims atomically, so a crash
-      // mid-compaction leaves the previous version serving (never a
-      // half-written only-copy), and a concurrent compactor loses the race
-      // loudly instead of silently clobbering. Old versions retire via
-      // [[gcVersions]].
-      persistCommit(records)
-    } finally if (validating) { records.unpersist(); () }
+    // Schema validation rides the segment WRITE as observed metrics
+    // (saveRecords), like `_segmeta` — so a compaction runs exactly ONE
+    // action over the folded segment whether or not the collection is
+    // schema'd (the old shape cached the fold across a separate validate
+    // aggregate plus the write). The column-presence half is job-free
+    // and still runs BEFORE any data lands; a key violation throws after
+    // the write but before the version publishes — the conditional
+    // commit then releases the claim and the unpublished data, so the
+    // visible contract is unchanged. Schema-less collections accept
+    // arbitrary metadata (the reference only enforces declared per-key
+    // config).
+    if (ref.schema.keys.nonEmpty || ref.schema.embedding.isDefined)
+      Catalog.validateShape(records, ref.schema)
+    // Publish through the versioned conditional commit — the reference's
+    // compaction transaction (`conditional_transaction.rs`): the new
+    // segment lands in its own version directory and becomes visible
+    // only when the version marker claims atomically, so a crash
+    // mid-compaction leaves the previous version serving (never a
+    // half-written only-copy), and a concurrent compactor loses the race
+    // loudly instead of silently clobbering. Old versions retire via
+    // [[gcVersions]].
+    persistCommit(records)
   }
 
   private def persistCommit(records: DataFrame): Unit = {
@@ -2012,7 +2013,8 @@ final class CollectionHandle(spark: SparkSession,
     // commit even if it reads currentVersion fresh — its folded state is
     // missing the other writer's records (the classic lost update)
     CollectionStore.conditionalCommit(ref.dataRoot, baseVersion, { dir =>
-      CollectionStore.saveRecords(records, dir)
+      CollectionStore.saveRecords(records, dir,
+        if (ref.schema.keys.nonEmpty) Some(ref.schema) else None)
       // the segment folded exactly the log prefix this handle has seen —
       // record it so opens of this version replay only entries past it
       WalStore.writeMark(dir, walSeen)

@@ -920,10 +920,29 @@ object Catalog {
     * data (no collect of rows).
     */
   def validate(records: DataFrame, schema: Schema): Unit = {
+    val aggs = validationAggs(records, schema)
+    if (aggs.nonEmpty) {
+      val row = records.agg(aggs.head, aggs.tail: _*).collect()(0)
+      assertValidCounts(row.schema.fieldNames.map(n =>
+        n -> (if (row.isNullAt(row.fieldIndex(n))) null
+              else row.getAs[Any](n))).toMap)
+    }
+    validateShape(records, schema)
+  }
+
+  /** [[validate]]'s per-column undeclared-key counters as NAMED aggregate
+    * columns, so a compaction can attach them to its segment WRITE as
+    * observed metrics (one pass over the data) instead of running a
+    * separate aggregate action — the `_segmeta`/WAL-marker pattern
+    * (guide §1.4). Empty when the frame carries no typed metadata
+    * columns to check.
+    */
+  def validationAggs(records: DataFrame,
+      schema: Schema): Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions._
     def declared(t: ValueType): Seq[String] =
       schema.keys.collect { case (k, c) if c.valueType == t => k }.toSeq
-    val checks = Seq(
+    Seq(
       "meta_str" -> declared(VString), "meta_int" -> declared(VInt),
       "meta_float" -> declared(VFloat), "meta_bool" -> declared(VBool),
       "meta_sparse" -> declared(VSparseVector),
@@ -932,22 +951,32 @@ object Catalog {
       "meta_float_arr" -> declared(VFloatArray),
       "meta_bool_arr" -> declared(VBoolArray)
     ).filter { case (c, _) => records.columns.contains(c) }
-    if (checks.isEmpty) return
-    val badPerCol = checks.map { case (colName, keys) =>
-      val allowed = array(keys.map(lit): _*)
-      sum(size(array_except(map_keys(col(colName)), allowed))).as(colName)
-    }
-    val row = records.agg(badPerCol.head, badPerCol.tail: _*).collect()(0)
-    checks.map(_._1).zipWithIndex.foreach { case (colName, i) =>
-      if (!row.isNullAt(i) && row.getLong(i) > 0)
+      .map { case (colName, keys) =>
+        val allowed = array(keys.map(lit): _*)
+        sum(size(array_except(map_keys(col(colName)), allowed))).as(colName)
+      }
+  }
+
+  /** Throw iff any [[validationAggs]] counter is positive — the check
+    * half, fed either from a collected row or from observed metrics.
+    */
+  def assertValidCounts(counts: Map[String, Any]): Unit =
+    counts.foreach { case (colName, v) =>
+      val bad = v match {
+        case l: java.lang.Long => l.longValue()
+        case _ => 0L
+      }
+      if (bad > 0)
         throw new IllegalArgumentException(
           s"records carry undeclared $colName keys (schema violation)")
     }
-    schema.embedding.foreach { e =>
+
+  /** The job-free half of [[validate]]: column-presence checks. */
+  def validateShape(records: DataFrame, schema: Schema): Unit =
+    schema.embedding.foreach { _ =>
       require(records.columns.contains("embedding"),
         "schema declares an embedding but records have no embedding column")
     }
-  }
 
   /** Compaction-time provisioning: build every serving index the schema
     * asks for over the stored records. Vector config → IVF postings +
@@ -1023,8 +1052,11 @@ object Catalog {
   /** Write records (validated) + provision declared indexes + open. */
   def writeCollection(spark: SparkSession, ref: CollectionRef,
       records: DataFrame): Collection = {
-    validate(records, ref.schema)
-    CollectionStore.saveRecords(records, ref.dataRoot)
+    // key validation rides the write job as observed metrics (one pass);
+    // shape checks stay job-free up front
+    validateShape(records, ref.schema)
+    CollectionStore.saveRecords(records, ref.dataRoot,
+      if (ref.schema.keys.nonEmpty) Some(ref.schema) else None)
     provision(spark, ref)
     openCollection(spark, ref)
   }

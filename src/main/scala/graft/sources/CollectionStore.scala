@@ -39,7 +39,25 @@ object CollectionStore {
     * Record frames without the serving columns (raw materializer dumps)
     * drop any stale meta instead.
     */
-  def saveRecords(records: DataFrame, root: String): Unit = {
+  def saveRecords(records: DataFrame, root: String): Unit =
+    saveRecords(records, root, None)
+
+  /** [[saveRecords]] with schema validation RIDING THE WRITE JOB as
+    * observed metrics — one pass over the segment instead of a separate
+    * validate aggregate plus the write (guide §1.4). A violation throws
+    * AFTER the files land but BEFORE the caller publishes (persist's
+    * conditional commit releases the claim and the unpublished data on
+    * exception), so the visible contract is unchanged: a schema-violating
+    * compaction fails and publishes nothing.
+    */
+  def saveRecords(records0: DataFrame, root: String,
+      schema: Option[Catalog.Schema]): Unit = {
+    val valAggs = schema.map(Catalog.validationAggs(records0, _))
+      .getOrElse(Seq.empty)
+    val valObs = org.apache.spark.sql.Observation()
+    val records =
+      if (valAggs.isEmpty) records0
+      else records0.observe(valObs, valAggs.head, valAggs.tail: _*)
     val servingCols =
       Set("id", "offset_id", "embedding").subsetOf(records.columns.toSet)
     if (servingCols) {
@@ -75,6 +93,7 @@ object CollectionStore {
         .parquet(s"$root/records")
       MetaIO.delete(s"$root/_segmeta.json")
     }
+    if (valAggs.nonEmpty) Catalog.assertValidCounts(valObs.get)
   }
 
   /** Per-row FULL-content hash: id + embedding + document + uri + every
