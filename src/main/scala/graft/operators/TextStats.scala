@@ -304,19 +304,60 @@ object TextStats {
     * NOT derivable from the trigram table (2-token docs contribute no
     * trigram; interior bigrams would double-count), hence three tables.
     */
+  /** `shared`: the one-pass counted table the three views filter
+    * ([[sboTables]]) — exposed so a per-batch caller (the streaming
+    * maintainer) can unpersist it once its writes land. Callers that
+    * assemble the tables directly (the fold path) leave it None.
+    */
   case class SboTables(tri: org.apache.spark.sql.DataFrame,
       bi: org.apache.spark.sql.DataFrame,
-      uni: org.apache.spark.sql.DataFrame)
+      uni: org.apache.spark.sql.DataFrame,
+      shared: Option[org.apache.spark.sql.DataFrame] = None)
 
+  /** ONE tokenize pass and ONE keyed shuffle build all three tables:
+    * every unigram/bigram/trigram occurrence explodes as a (p2, p1, w)
+    * row — lower orders carry null contexts, and tokens are never null,
+    * so the sentinel is unambiguous — and a single groupBy counts them
+    * together (guide §2.3/§2.4: the old shape scanned the corpus and
+    * shuffled once PER ORDER — 3 scans + 3 exchanges for the same total
+    * row volume). The counted table persists so the three views (and
+    * every downstream consumer — context sums, scoring joins, the
+    * maintainer's three writes) share the single pass instead of
+    * re-deriving it per reference; at corpus scale this is 3 corpus
+    * scans → 1 per model fit.
+    */
   def sboTables(corpus: org.apache.spark.sql.DataFrame): SboTables = {
-    val tri = trigramTransitions(corpus)
-      .groupBy("p2", "p1", "w").agg(count(lit(1)).as("c3"))
-    val bi = bigramTransitions(corpus).withColumnRenamed("prev", "p1")
-      .groupBy("p1", "w").agg(count(lit(1)).as("c2"))
-    val uni = corpus
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-    SboTables(tri, bi, uni)
+    val tk = corpus.select(tokens(col("text")).as("t"))
+    val t = col("t")
+    val gramType = "array<struct<p2:string,p1:string,w:string>>"
+    // n-gram rows of order n: contexts from the bound token column (the
+    // [[shingles]] lambda-binding rule — a tokenizer reference inside
+    // the per-position lambda would re-evaluate per position)
+    def grams(n: Int): Column = {
+      val rows = transform(sequence(lit(1), size(t) - (n - 1)), i =>
+        struct(
+          (if (n == 3) element_at(t, i)
+           else lit(null).cast("string")).as("p2"),
+          (if (n >= 2) element_at(t, i + (n - 2))
+           else lit(null).cast("string")).as("p1"),
+          element_at(t, i + (n - 1)).as("w")))
+      // size guard: sequence(1, 0) would generate DESCENDING indices
+      when(size(t) >= n, rows).otherwise(array().cast(gramType))
+    }
+    val counted = tk
+      .select(explode(concat(grams(1), grams(2), grams(3))).as("g"))
+      .groupBy(col("g.p2").as("p2"), col("g.p1").as("p1"),
+        col("g.w").as("w"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    SboTables(
+      counted.filter(col("p2").isNotNull)
+        .select(col("p2"), col("p1"), col("w"), col("c").as("c3")),
+      counted.filter(col("p2").isNull && col("p1").isNotNull)
+        .select(col("p1"), col("w"), col("c").as("c2")),
+      counted.filter(col("p2").isNull && col("p1").isNull)
+        .select(col("w"), col("c").as("c1")),
+      Some(counted))
   }
 
   /** Score `batch` docs against (possibly incrementally maintained)

@@ -596,9 +596,13 @@ object EventStream extends Serializable {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t = graft.operators.TextStats.sboTables(batch)
-        idempotentAppend(t.tri, s"$countsDir/tri", batchId)
-        idempotentAppend(t.bi, s"$countsDir/bi", batchId)
-        idempotentAppend(t.uni, s"$countsDir/uni", batchId)
+        // the three writes are filters over sboTables' ONE cached pass
+        // (the first materializes it); drop the per-batch cache after
+        try {
+          idempotentAppend(t.tri, s"$countsDir/tri", batchId)
+          idempotentAppend(t.bi, s"$countsDir/bi", batchId)
+          idempotentAppend(t.uni, s"$countsDir/uni", batchId)
+        } finally t.shared.foreach { c => c.unpersist(); () }
       }
       .start() }
     q.awaitTermination()
