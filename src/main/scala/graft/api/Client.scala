@@ -1082,8 +1082,25 @@ final class CollectionHandle(spark: SparkSession,
       TypedMeta.decodeArrBool(col("meta")).as("meta_bool_arr"))
   }
 
-  private def buildCollection(): Collection =
-    new Collection(shredRecords(denseOffsets(state.toDF())))
+  // The epoch superseded at the LAST view build — unpersisted when the
+  // next epoch's view replaces it, so at most one epoch's view is ever
+  // cached (the Writer.flush retiring discipline applied to the read
+  // side).
+  private var retiringView: Option[DataFrame] = None
+
+  private def buildCollection(): Collection = {
+    // The shredded view is persisted per epoch: a facade read typically
+    // runs SEVERAL actions over it (prefilter counts, KNN legs,
+    // pagination), and each action otherwise replays the range exchange
+    // + sort + zipWithIndex + shred above the (already cached) WAL fold.
+    // Boundedness is the same argument as Writer.flush's fold cache: the
+    // view is the live working set between compactions, exactly what a
+    // serving tier keeps hot.
+    val df = shredRecords(denseOffsets(state.toDF())).persist()
+    retiringView.foreach(_.unpersist())
+    retiringView = Some(df)
+    new Collection(df)
+  }
 
   /** The shredded live records WITHOUT dense offset-id assignment —
     * `offset_id` carries the raw WAL `first_offset` (monotone across
